@@ -1,0 +1,240 @@
+"""Type lattice + merging rules over **Spark** types.
+
+Parity target: ``flink-cdc-common/.../utils/SchemaMergingUtils.java``
+(``TYPE_MERGING_TREE`` at :974, ``getLeastCommonType`` :471,
+``mergeDecimalType`` :596, ``mergeTimestampType`` :553,
+``getNumericPrecision`` :632). We deliberately keep **Spark's** type objects
+as the one type system (no parallel CDC type classes — Tungsten's UnsafeRow
+already plays the role of ``BinaryRecordData``).
+
+Reference-type → Spark-type conventions (see SURVEY.md §1.5):
+
+- TIMESTAMP(p)      → TimestampNTZType  (no local-tz shift)
+- TIMESTAMP_LTZ(p)  → TimestampType     (session-tz interpreted instant)
+- TIMESTAMP_TZ(p)   → TimestampType     (Spark has no tz-preserving type;
+  offset fidelity is documented loss — merge lattice treats it as LTZ)
+- CHAR(n)/VARCHAR(n)→ StringType (length constraints are metadata-only in
+  Spark; we keep plain StringType and record lengths nowhere, like Spark SQL)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+STRING = T.StringType()
+DOUBLE = T.DoubleType()
+FLOAT = T.FloatType()
+BIGINT = T.LongType()
+INT = T.IntegerType()
+SMALLINT = T.ShortType()
+TINYINT = T.ByteType()
+BOOLEAN = T.BooleanType()
+BINARY = T.BinaryType()
+DATE = T.DateType()
+TIMESTAMP_NTZ = T.TimestampNTZType()
+TIMESTAMP_LTZ = T.TimestampType()
+
+MAX_DECIMAL_PRECISION = 38
+# DECIMAL(38, 18): the reference's widest decimal used in its merging tree
+# (DecimalType.MAX_PRECISION, DEFAULT_SCALE=18... actually Flink CDC default
+# scale is 0; see DecimalType.java — DEFAULT_SCALE = 0).
+_LATTICE_DECIMAL = T.DecimalType(38, 0)
+
+# Port of TYPE_MERGING_TREE (SchemaMergingUtils.java:974-1050): for each
+# source type, the ordered chain of types it can widen into. First common
+# element of the two chains is the least common type; fallback is STRING.
+_MERGING_TREE: dict[type, list[T.DataType]] = {
+    T.StringType: [STRING],
+    T.CharType: [STRING],
+    T.VarcharType: [STRING],
+    T.BooleanType: [STRING],
+    T.BinaryType: [STRING],
+    T.DoubleType: [DOUBLE, STRING],
+    T.FloatType: [FLOAT, DOUBLE, STRING],
+    T.DecimalType: [STRING],  # fine-grained handling in merge_decimal
+    T.LongType: [BIGINT, _LATTICE_DECIMAL, DOUBLE, STRING],
+    T.IntegerType: [INT, BIGINT, _LATTICE_DECIMAL, DOUBLE, STRING],
+    T.ShortType: [SMALLINT, INT, BIGINT, _LATTICE_DECIMAL, FLOAT, DOUBLE, STRING],
+    T.ByteType: [TINYINT, SMALLINT, INT, BIGINT, _LATTICE_DECIMAL, FLOAT, DOUBLE, STRING],
+    T.TimestampType: [TIMESTAMP_LTZ, STRING],
+    T.TimestampNTZType: [TIMESTAMP_NTZ, TIMESTAMP_LTZ, STRING],
+    T.DateType: [DATE, TIMESTAMP_NTZ, TIMESTAMP_LTZ, STRING],
+    T.DayTimeIntervalType: [STRING],
+    # Complex types: mismatch degrades to STRING (reference behavior).
+    T.StructType: [STRING],
+    T.ArrayType: [STRING],
+    T.MapType: [STRING],
+}
+
+_EXACT_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType)
+_TIMESTAMPY = (T.TimestampType, T.TimestampNTZType)
+
+
+def numeric_precision(dt: T.DataType) -> int:
+    """Digits of precision of an exact-numeric type.
+
+    Parity: ``SchemaMergingUtils.getNumericPrecision`` (:632).
+    """
+    if isinstance(dt, T.ByteType):
+        return 3
+    if isinstance(dt, T.ShortType):
+        return 5
+    if isinstance(dt, T.IntegerType):
+        return 10
+    if isinstance(dt, T.LongType):
+        return 19
+    if isinstance(dt, T.DecimalType):
+        return dt.precision
+    raise ValueError(f"not an exact-numeric type: {dt}")
+
+
+def merge_decimal(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Parity: ``SchemaMergingUtils.mergeDecimalType`` (:596-630)."""
+    if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
+        int_digits = max(a.precision - a.scale, b.precision - b.scale)
+        scale = max(a.scale, b.scale)
+        if int_digits + scale > MAX_DECIMAL_PRECISION:
+            # Reference throws here; we degrade to STRING (LENIENT posture) —
+            # noted divergence, pinned in tests.
+            return STRING
+        return T.DecimalType(int_digits + scale, scale)
+    dec, other = (a, b) if isinstance(a, T.DecimalType) else (b, a)
+    if isinstance(other, _EXACT_NUMERIC):
+        precision = max(dec.precision, dec.scale + numeric_precision(other))
+        if precision <= MAX_DECIMAL_PRECISION:
+            return T.DecimalType(precision, dec.scale)
+        return STRING
+    return STRING
+
+
+def merge_timestamp(a: T.DataType, b: T.DataType) -> T.DataType:
+    """NTZ (level 0) < LTZ (level 1); TZ collapses to LTZ in Spark.
+
+    Parity: ``SchemaMergingUtils.mergeTimestampType`` (:553-594), with the
+    documented loss that TIMESTAMP_TZ is carried as TimestampType.
+    """
+    level = max(
+        0 if isinstance(a, T.TimestampNTZType) else 1,
+        0 if isinstance(b, T.TimestampNTZType) else 1,
+    )
+    return TIMESTAMP_NTZ if level == 0 else TIMESTAMP_LTZ
+
+
+def get_least_common_type(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Least common (widest-necessary) type of two Spark types.
+
+    Parity: ``SchemaMergingUtils.getLeastCommonType`` (:471-502). Nullability
+    is a StructField attribute in Spark, so callers OR nullability themselves.
+    """
+    if a == b:
+        return a
+    if isinstance(a, _TIMESTAMPY) and isinstance(b, _TIMESTAMPY):
+        return merge_timestamp(a, b)
+    if isinstance(a, T.DecimalType) or isinstance(b, T.DecimalType):
+        if isinstance(a, _EXACT_NUMERIC) and isinstance(b, _EXACT_NUMERIC):
+            return merge_decimal(a, b)
+        return STRING
+    chain_a = _MERGING_TREE.get(type(a))
+    chain_b = _MERGING_TREE.get(type(b))
+    if chain_a and chain_b:
+        for t in chain_a:
+            if t in chain_b:
+                return t
+    return STRING
+
+
+def get_least_common_types(types: list[T.DataType]) -> T.DataType:
+    """Fold :func:`get_least_common_type` over a list (``getLeastCommonType``
+    applied across N schemas during route-merge)."""
+    if not types:
+        raise ValueError("empty type list")
+    out = types[0]
+    for t in types[1:]:
+        out = get_least_common_type(out, t)
+    return out
+
+
+def is_type_compatible(current: T.DataType | None, upcoming: T.DataType) -> bool:
+    """True if ``upcoming`` data can be stored in a ``current``-typed column
+    without widening. Parity: ``SchemaMergingUtils.isDataTypeCompatible``."""
+    if current == upcoming:
+        return True
+    if current is None:
+        return False
+    chain = _MERGING_TREE.get(type(upcoming))
+    if chain is None:
+        return False
+    if isinstance(upcoming, T.DecimalType):
+        return (
+            isinstance(current, T.DecimalType)
+            and current.scale >= upcoming.scale
+            and current.precision - current.scale >= upcoming.precision - upcoming.scale
+        ) or current == STRING
+    return current in chain or (
+        isinstance(current, T.DecimalType)
+        and isinstance(upcoming, _EXACT_NUMERIC)
+        and current.precision - current.scale >= numeric_precision(upcoming)
+    )
+
+
+# --- MySQL type-name mapping -------------------------------------------------
+# Parity: flink-cdc-pipeline-connector-mysql/.../utils/MySqlTypeUtils.java:132+
+_MYSQL_TYPE_MAP: dict[str, T.DataType] = {
+    "TINYINT": TINYINT,
+    "TINYINT UNSIGNED": SMALLINT,
+    "SMALLINT": SMALLINT,
+    "SMALLINT UNSIGNED": INT,
+    "MEDIUMINT": INT,
+    "MEDIUMINT UNSIGNED": INT,
+    "INT": INT,
+    "INT UNSIGNED": BIGINT,
+    "BIGINT": BIGINT,
+    "BIGINT UNSIGNED": T.DecimalType(20, 0),
+    "FLOAT": FLOAT,
+    "DOUBLE": DOUBLE,
+    "REAL": DOUBLE,
+    "BIT": BOOLEAN,  # BIT(1); BIT(n>1) → BINARY handled by caller
+    "BOOLEAN": BOOLEAN,
+    "DATE": DATE,
+    "TIME": STRING,  # Spark has no TIME type; carried as 'HH:mm:ss.SSS' string
+    "DATETIME": TIMESTAMP_NTZ,
+    "TIMESTAMP": TIMESTAMP_LTZ,
+    "YEAR": INT,
+    "CHAR": STRING,
+    "VARCHAR": STRING,
+    "TEXT": STRING,
+    "TINYTEXT": STRING,
+    "MEDIUMTEXT": STRING,
+    "LONGTEXT": STRING,
+    "BINARY": BINARY,
+    "VARBINARY": BINARY,
+    "BLOB": BINARY,
+    "TINYBLOB": BINARY,
+    "MEDIUMBLOB": BINARY,
+    "LONGBLOB": BINARY,
+    "ENUM": STRING,
+    "SET": STRING,
+    "JSON": STRING,
+    "GEOMETRY": STRING,
+    "POINT": STRING,
+    "DECIMAL": None,  # handled below (precision-dependent)
+    "NUMERIC": None,
+}
+
+
+def mysql_type_to_spark(type_name: str, precision: int | None = None, scale: int | None = None) -> T.DataType:
+    """Map a MySQL column type name to a Spark type.
+
+    Parity: ``MySqlTypeUtils.java:132+`` including unsigned widening and
+    DECIMAL(p>38) → STRING.
+    """
+    name = type_name.strip().upper()
+    if name in ("DECIMAL", "NUMERIC"):
+        p = precision if precision is not None else 10
+        s = scale if scale is not None else 0
+        return T.DecimalType(p, s) if p <= MAX_DECIMAL_PRECISION else STRING
+    if name == "BIT" and (precision or 1) > 1:
+        return BINARY
+    if name in _MYSQL_TYPE_MAP and _MYSQL_TYPE_MAP[name] is not None:
+        return _MYSQL_TYPE_MAP[name]
+    raise ValueError(f"unmapped MySQL type: {type_name}")

@@ -1,0 +1,251 @@
+"""Pipeline composer: PipelineDef -> executable Spark pipeline.
+
+Parity target: ``FlinkPipelineComposer.compose/translate``
+(flink-cdc-composer/.../flink/FlinkPipelineComposer.java:100-260) which
+chains Source → PreTransform → PostTransform → SchemaOperator →
+PrePartition → Sink.
+
+Spark-first architecture: per (micro-)batch the driver runs the **control
+plane** (schema events: registry update → transform schema derivation →
+route → behavior rewrite → sink MetadataApplier), and builds ONE Catalyst
+plan for the **data plane** (select/where transform → route fan-out/merge →
+coercion select → PK repartition → sink write). The reference's
+SchemaOperator/SchemaCoordinator/FlushEvent RPC machinery collapses into the
+batch boundary (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import importlib
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..common.events import (
+    AddColumnEvent,
+    AlterColumnTypeEvent,
+    ColumnWithPosition,
+    CreateTableEvent,
+    DropColumnEvent,
+    SchemaChangeEvent,
+)
+from ..common.schema import Column, Schema
+from ..common.tableid import TableId
+from ..operators.partitioning import pk_repartition
+from ..operators.route import TableIdRouter
+from ..operators.schema_evolution import (
+    SchemaChangeBehavior,
+    coercion_select,
+    get_common_schema,
+    is_schema_compatible,
+    normalize_schema_change_events,
+)
+from ..operators.schema_registry import SchemaRegistry
+from ..operators.transform import PostTransform, PreTransform
+from ..sinks.base import DataSink
+from ..sources.base import ChangeBatch, DataSource, SEQ_COL
+from ..common.events import OP_COL, BEFORE_COL, META_COL
+from .definition import PipelineDef
+
+
+def diff_schemas(table_id: TableId, old: Schema, new: Schema) -> list[SchemaChangeEvent]:
+    """Structural diff old->new as DDL events (adds / drops / type changes).
+
+    Renames are not detected (a rename diffs as drop+add) — under the default
+    LENIENT behavior this is exactly the lenientized decomposition the
+    reference would apply anyway (SchemaDerivator.java:226-262).
+    """
+    events: list[SchemaChangeEvent] = []
+    old_cols = {c.name: c for c in old.columns}
+    new_cols = {c.name: c for c in new.columns}
+    added = [c for c in new.columns if c.name not in old_cols]
+    dropped = [n for n in old_cols if n not in new_cols]
+    altered = tuple(
+        (c.name, c.data_type)
+        for c in new.columns
+        if c.name in old_cols and old_cols[c.name].data_type != c.data_type
+    )
+    if added:
+        events.append(AddColumnEvent(table_id, tuple(ColumnWithPosition(c) for c in added)))
+    if dropped:
+        events.append(DropColumnEvent(table_id, tuple(dropped)))
+    if altered:
+        events.append(AlterColumnTypeEvent(table_id, altered))
+    return events
+
+
+@dataclass
+class PipelineExecution:
+    """Handle over a composed pipeline; drives batches to completion."""
+
+    spark: SparkSession
+    source: DataSource
+    sink: DataSink
+    pre: PreTransform
+    post: PostTransform
+    router: TableIdRouter
+    registry: SchemaRegistry
+    behavior: SchemaChangeBehavior
+    include_types: set[str] | None = None
+    exclude_types: set[str] | None = None
+    parallelism: int | None = None
+    batches_run: int = field(default=0)
+
+    # -- schema inference -------------------------------------------------
+    def _infer_output_schema(self, table_id: TableId, in_schema: Schema) -> Schema:
+        """True output schema of the transform chain, via Catalyst analysis
+        on an empty frame (driver-only, no job)."""
+        empty = self.spark.createDataFrame([], in_schema.struct_type())
+        from ..sources.base import attach_envelope
+
+        out = self.post.apply(attach_envelope(empty), table_id, in_schema)
+        compiled = self.post.compile(table_id, in_schema)
+        declared = compiled[0].output_schema if compiled else in_schema
+        phys = [f for f in out.schema.fields if f.name not in (OP_COL, BEFORE_COL, META_COL, SEQ_COL)]
+        cols = []
+        for f in phys:
+            d = declared.get_column(f.name)
+            cols.append(Column(f.name, f.dataType, f.nullable,
+                               d.comment if d else None, d.default_expr if d else None))
+        return Schema(
+            columns=tuple(cols),
+            primary_keys=declared.primary_keys,
+            partition_keys=declared.partition_keys,
+            options=declared.options,
+        )
+
+    # -- control plane ----------------------------------------------------
+    def _handle_schema_events(self, batch: ChangeBatch) -> None:
+        for ev in batch.schema_events:
+            self.registry.apply_original(ev)
+        if not batch.schema_events:
+            return
+        in_schema = self.registry.original_schema(batch.table_id)
+        if in_schema is None:
+            return  # table dropped
+        pruned = self.pre.pruned_schema(batch.table_id, in_schema)
+        out_schema = self._infer_output_schema(batch.table_id, pruned)
+        for sink_tid in self.router.route(batch.table_id):
+            self._evolve_sink_table(sink_tid, out_schema)
+
+    def _evolve_sink_table(self, sink_tid: TableId, required: Schema) -> None:
+        current = self.registry.evolved_schema(sink_tid)
+        if current is None:
+            ev = CreateTableEvent(sink_tid, required)
+            evolved = required
+            events: list[SchemaChangeEvent] = [ev]
+        elif is_schema_compatible(current, required):
+            return
+        else:
+            evolved = get_common_schema([current, required])
+            events = diff_schemas(sink_tid, current, evolved)
+            events = normalize_schema_change_events(
+                current, events, self.behavior, self.include_types, self.exclude_types)
+        applier = self.sink.metadata_applier()
+        for ev in events:
+            if not applier.accepts(ev.event_type()):
+                continue
+            new_schema = self.registry.apply_evolved(sink_tid, ev)
+            applier.apply_schema_change(sink_tid, ev, new_schema)
+
+    # -- data plane -------------------------------------------------------
+    def _process_data(self, batch: ChangeBatch) -> None:
+        if batch.data is None:
+            return
+        table_id = batch.table_id
+        in_schema = self.registry.original_schema(table_id)
+        if in_schema is None:
+            raise ValueError(f"data for unknown table {table_id}")
+        transformed = self.post.apply(batch.data, table_id, in_schema)
+        out_schema = self._infer_output_schema(table_id, in_schema)
+        for sink_tid in self.router.route(table_id):
+            self._evolve_sink_table(sink_tid, out_schema)
+            evolved = self.registry.evolved_schema(sink_tid)
+            coerced = coercion_select(
+                transformed, evolved, keep_extra=(OP_COL, META_COL, SEQ_COL))
+            write_schema = evolved
+            partitioned = pk_repartition(coerced, write_schema, self.parallelism)
+            self.sink.write(sink_tid, partitioned, write_schema, self.batches_run)
+
+    # -- driver loop ------------------------------------------------------
+    def run(self) -> "PipelineExecution":
+        for ev in self.source.create_table_events(self.spark):
+            self.registry.apply_original(ev)
+            pruned = self.pre.pruned_schema(ev.table_id, ev.schema)
+            out_schema = self._infer_output_schema(ev.table_id, pruned)
+            for sink_tid in self.router.route(ev.table_id):
+                self._evolve_sink_table(sink_tid, out_schema)
+        for batch_set in self.source.batches(self.spark):
+            for batch in batch_set:
+                self._handle_schema_events(batch)
+            for batch in batch_set:
+                self._process_data(batch)
+            self.batches_run += 1
+        return self
+
+
+class PipelineComposer:
+    """Builds a PipelineExecution from a PipelineDef (factory discovery +
+    operator chaining, parity with FlinkPipelineComposer.translate)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def compose(self, pdef: PipelineDef,
+                source: DataSource | None = None,
+                sink: DataSink | None = None) -> PipelineExecution:
+        src = source if source is not None else self._create_source(pdef)
+        snk = sink if sink is not None else self._create_sink(pdef)
+        udf_names = self._register_udfs(pdef)
+        pre = PreTransform(pdef.transforms, udf_names)
+        post = PostTransform(pdef.transforms, udf_names)
+        router = TableIdRouter(pdef.routes)
+        include = set(t.lower() for t in pdef.sink.include_schema_types) or None
+        exclude = set(t.lower() for t in pdef.sink.exclude_schema_types) or None
+        return PipelineExecution(
+            spark=self.spark,
+            source=src,
+            sink=snk,
+            pre=pre,
+            post=post,
+            router=router,
+            registry=SchemaRegistry(),
+            behavior=pdef.config.schema_change_behavior,
+            include_types=include,
+            exclude_types=exclude,
+            parallelism=pdef.config.parallelism if pdef.config.parallelism > 1 else None,
+        )
+
+    def _register_udfs(self, pdef: PipelineDef) -> set[str]:
+        names: set[str] = set()
+        for u in pdef.udfs:
+            mod, _, attr = u.classpath.partition(":")
+            fn = getattr(importlib.import_module(mod), attr or u.name)
+            self.spark.udf.register(u.name, fn)
+            names.add(u.name)
+        return names
+
+    def _create_source(self, pdef: PipelineDef) -> DataSource:
+        t = pdef.source.type.lower()
+        opts = pdef.source.options_dict()
+        if t == "parquet":
+            from ..sources.parquet import ParquetSnapshotSource
+            import json
+
+            tables = json.loads(opts["tables"])  # {"ns.db.tbl": "/path"}
+            pks = json.loads(opts.get("primary-keys", "{}"))
+            return ParquetSnapshotSource(tables, pks)
+        raise ValueError(f"unknown source type {t!r} (programmatic sources: pass source=)")
+
+    def _create_sink(self, pdef: PipelineDef) -> DataSink:
+        t = pdef.sink.type.lower()
+        opts = pdef.sink.options_dict()
+        if t in ("values", "memory"):
+            from ..sinks.memory import MemorySink
+
+            return MemorySink()
+        if t == "parquet":
+            from ..sinks.parquet_sink import ParquetUpsertSink
+
+            return ParquetUpsertSink(opts["path"])
+        raise ValueError(f"unknown sink type {t!r}")

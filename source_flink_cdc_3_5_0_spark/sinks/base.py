@@ -1,0 +1,46 @@
+"""Sink abstraction.
+
+Parity targets: ``DataSink`` = ``EventSinkProvider`` + ``MetadataApplier``
+(flink-cdc-common/.../sink/DataSink.java, MetadataApplier.java:33-37).
+The MetadataApplier executes DDL on the external system; the writer upserts
+change rows. On Spark a sink's write happens at the end of a (micro-)batch,
+which is exactly the reference's FlushEvent barrier — so there is no
+flush/ack protocol surface here.
+"""
+
+from __future__ import annotations
+
+import abc
+
+from pyspark.sql import DataFrame
+
+from ..common.events import SchemaChangeEvent
+from ..common.schema import Schema
+from ..common.tableid import TableId
+
+
+class MetadataApplier(abc.ABC):
+    """Applies schema changes to the external system (DDL executor)."""
+
+    def accepts(self, event_type: str) -> bool:
+        """Fine-grained capability filter (MetadataApplier.
+        acceptsSchemaEvolutionType); default: everything."""
+        return True
+
+    @abc.abstractmethod
+    def apply_schema_change(self, table_id: TableId, event: SchemaChangeEvent,
+                            evolved_schema: Schema) -> None:
+        ...
+
+
+class DataSink(abc.ABC):
+    @abc.abstractmethod
+    def metadata_applier(self) -> MetadataApplier:
+        ...
+
+    @abc.abstractmethod
+    def write(self, table_id: TableId, df: DataFrame, schema: Schema, batch_id: int) -> None:
+        """Write one batch of changelog rows (envelope columns included) for
+        one table. Must be idempotent per (table, batch_id) for exactly-once
+        replay (Structured Streaming re-delivers the last batch on restart)."""
+        ...

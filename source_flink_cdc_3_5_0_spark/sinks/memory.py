@@ -1,0 +1,108 @@
+"""In-memory materializing sink — the ``values`` sink / golden store.
+
+Parity target: ``ValuesDatabase`` (flink-cdc-pipeline-connector-values/...
+/ValuesDatabase.java:228-386): applies change events to per-table in-memory
+state keyed by primary key and renders deterministic string snapshots used by
+golden tests.
+
+Driver-side by design (test sink, like the reference's). The scalable path is
+:mod:`.parquet_sink`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..common.events import (
+    OP_COL,
+    AddColumnEvent,
+    AlterColumnTypeEvent,
+    CreateTableEvent,
+    DropColumnEvent,
+    DropTableEvent,
+    RenameColumnEvent,
+    SchemaChangeEvent,
+    TruncateTableEvent,
+)
+from ..common.schema import Schema
+from ..common.tableid import TableId
+from ..sources.base import SEQ_COL
+from .base import DataSink, MetadataApplier
+
+
+class _MemoryMetadataApplier(MetadataApplier):
+    def __init__(self, sink: "MemorySink"):
+        self.sink = sink
+
+    def apply_schema_change(self, table_id: TableId, event: SchemaChangeEvent,
+                            evolved_schema: Schema) -> None:
+        s = self.sink
+        if isinstance(event, CreateTableEvent):
+            s.schemas[table_id] = evolved_schema
+            s.state.setdefault(table_id, {})
+            return
+        if isinstance(event, DropTableEvent):
+            s.schemas.pop(table_id, None)
+            s.state.pop(table_id, None)
+            return
+        if isinstance(event, TruncateTableEvent):
+            s.state[table_id] = {}
+            return
+        old = s.schemas[table_id]
+        s.schemas[table_id] = evolved_schema
+        old_names = [c.name for c in old.columns]
+        new_names = [c.name for c in evolved_schema.columns]
+        rename = event.mapping_dict() if isinstance(event, RenameColumnEvent) else {}
+        # restructure stored rows to the evolved schema (null-fill new cols)
+        new_state = {}
+        for pk, row in s.state.get(table_id, {}).items():
+            renamed = {rename.get(k, k): v for k, v in row.items()}
+            new_state[pk] = {n: renamed.get(n) for n in new_names}
+        s.state[table_id] = new_state
+        _ = old_names  # kept for debuggability
+
+
+class MemorySink(DataSink):
+    def __init__(self) -> None:
+        self.schemas: dict[TableId, Schema] = {}
+        self.state: dict[TableId, dict[tuple, dict]] = {}
+        self._applier = _MemoryMetadataApplier(self)
+
+    def metadata_applier(self) -> MetadataApplier:
+        return self._applier
+
+    def write(self, table_id: TableId, df: DataFrame, schema: Schema, batch_id: int) -> None:
+        self.schemas.setdefault(table_id, schema)
+        table = self.state.setdefault(table_id, {})
+        pks = list(schema.primary_keys)
+        names = [c.name for c in schema.columns]
+        cols = [c for c in names if c in df.columns]
+        sel = cols + [c for c in (OP_COL, SEQ_COL) if c in df.columns]
+        rows = df.select(*sel).collect()
+        if SEQ_COL in df.columns:
+            rows.sort(key=lambda r: r[SEQ_COL])
+        for r in rows:
+            d = {c: r[c] for c in cols}
+            full = {n: d.get(n) for n in names}
+            op = r[OP_COL] if OP_COL in sel else "+I"
+            key = tuple(full.get(k) for k in pks) if pks else tuple(full.values())
+            if op in ("+I", "+U"):
+                table[key] = full
+            elif op == "-D":
+                table.pop(key, None)
+            # '-U' (update-before) rows carry no new state; ignored like
+            # ValuesDatabase (the +U that follows rewrites the key).
+
+    # -- golden rendering ------------------------------------------------
+    def snapshot(self, table_id: TableId) -> list[str]:
+        """Deterministic row rendering for golden assertions."""
+        schema = self.schemas[table_id]
+        names = [c.name for c in schema.columns]
+        rows = [
+            ", ".join("null" if row[n] is None else str(row[n]) for n in names)
+            for row in self.state.get(table_id, {}).values()
+        ]
+        return sorted(rows)
+
+    def row_count(self, table_id: TableId) -> int:
+        return len(self.state.get(table_id, {}))
