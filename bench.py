@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query executes fully (noop write —
+measures scan+compute+shuffle, not driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+BENCH_QUERIES = [
+    # CDC transform surface (the reference's core workload)
+    "transform_projection_arith",
+    "transform_string_funcs",
+    "transform_temporal",
+    # changelog / partition operators
+    "cdc_materialize_latest",
+    "pk_bucket_distribution",
+    # relational extensions
+    "agg_pricing_summary",
+    "join_shipping_priority",
+    "window_top_orders",
+    # training-data extensions
+    "dedup_exact",
+    "text_token_stats",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("cdc-engine-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from source_flink_cdc_3_5_0_spark import entry_queries as EQ
+
+    # warm the JVM + parquet footers once (excluded from per-query timing)
+    EQ.load(spark, SF_DIR, "lineitem").count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = EQ.QUERIES[name]
+        # two runs, report the faster: first run pays one-time JVM JIT +
+        # codegen compilation that a long-lived cluster amortizes away.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "bench_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

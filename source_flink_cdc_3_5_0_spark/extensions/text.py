@@ -1,0 +1,115 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference's operator set (SURVEY.md §2 extensions): language ID,
+quality scoring, token counting, document fingerprinting over a ``documents``
+table. All hot-path expressions are built-in Spark SQL functions (JVM-side,
+codegen'd) — no Python UDFs — so they scale linearly with executors at 100 TB.
+
+Each operator has a **dual-dialect SQL generator** (Spark SQL / DuckDB SQL)
+so the DuckDB oracle runs the *same* computation — the generators are the
+single source of truth for the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Distinctive marker words per language (heuristic n-gram/stopword LID).
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|with|for)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|für)\b",
+    "fr": r"\b(le|la|les|et|est|pas|pour|dans)\b",
+    "es": r"\b(el|la|los|las|es|no|por|para)\b",
+}
+CJK_PATTERN = r"[一-鿿]"
+
+_PUNCT_PATTERN = r"[.!?,;:]"
+_WS_SPLIT = r"\s+"
+
+
+def _lit(dialect: str, pattern: str) -> str:
+    """Regex pattern as a string literal: Spark SQL literals process
+    backslash escapes ('\\s' -> 's'), DuckDB's do not — double the
+    backslashes for Spark only."""
+    p = pattern.replace("'", "''")
+    if dialect == "spark":
+        p = p.replace("\\", "\\\\")
+    return f"'{p}'"
+
+
+def _regexp_count(dialect: str, s: str, pattern: str) -> str:
+    if dialect == "spark":
+        return f"regexp_count({s}, {_lit(dialect, pattern)})"
+    return f"len(regexp_extract_all({s}, {_lit(dialect, pattern)}))"
+
+
+def token_count_sql(dialect: str, col: str = "text") -> str:
+    """Whitespace token count; empty/blank text counts 0."""
+    if dialect == "spark":
+        return (f"CASE WHEN length(trim({col})) = 0 THEN 0 "
+                f"ELSE size(split(trim({col}), {_lit(dialect, _WS_SPLIT)})) END")
+    return (f"CASE WHEN length(trim({col})) = 0 THEN 0 "
+            f"ELSE len(regexp_split_to_array(trim({col}), {_lit(dialect, _WS_SPLIT)})) END")
+
+
+def punct_ratio_sql(dialect: str, col: str = "text") -> str:
+    """Punctuation chars / total chars (0 for empty)."""
+    cnt = _regexp_count(dialect, col, _PUNCT_PATTERN)
+    return (f"CASE WHEN length({col}) = 0 THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE CAST({cnt} AS DOUBLE) / CAST(length({col}) AS DOUBLE) END")
+
+
+def stopword_count_sql(dialect: str, col: str = "text") -> str:
+    """English stopword hits (quality signal)."""
+    return _regexp_count(dialect, f"lower({col})", LANG_MARKERS["en"])
+
+
+def quality_score_sql(dialect: str, col: str = "text") -> str:
+    """Composite quality score in [0,1]: length band + stopword presence -
+    punctuation excess. Deterministic integer/decimal arithmetic only."""
+    tokens = token_count_sql(dialect, col)
+    stop = stopword_count_sql(dialect, col)
+    punct = punct_ratio_sql(dialect, col)
+    return (
+        f"CAST(CASE WHEN ({tokens}) >= 20 THEN 0.4 WHEN ({tokens}) >= 5 THEN 0.2 ELSE 0.0 END"
+        f" + CASE WHEN ({stop}) >= 3 THEN 0.4 WHEN ({stop}) >= 1 THEN 0.2 ELSE 0.0 END"
+        f" + CASE WHEN ({punct}) <= 0.1 THEN 0.2 ELSE 0.0 END AS DOUBLE)"
+    )
+
+
+def lang_id_sql(dialect: str, col: str = "text") -> str:
+    """Marker-word-count language ID with deterministic tie order
+    (en > de > fr > es), CJK characters short-circuit to 'zh'."""
+    counts = {lang: _regexp_count(dialect, f"lower({col})", pat)
+              for lang, pat in LANG_MARKERS.items()}
+    cjk = _regexp_count(dialect, col, CJK_PATTERN)
+    c = {k: f"({v})" for k, v in counts.items()}
+    return (
+        f"CASE WHEN ({cjk}) > 0 THEN 'zh' "
+        f"WHEN {c['en']} >= {c['de']} AND {c['en']} >= {c['fr']} AND {c['en']} >= {c['es']} AND {c['en']} > 0 THEN 'en' "
+        f"WHEN {c['de']} >= {c['fr']} AND {c['de']} >= {c['es']} AND {c['de']} > 0 THEN 'de' "
+        f"WHEN {c['fr']} >= {c['es']} AND {c['fr']} > 0 THEN 'fr' "
+        f"WHEN {c['es']} > 0 THEN 'es' "
+        f"ELSE 'unknown' END"
+    )
+
+
+def fingerprint_sql(dialect: str, col: str = "text") -> str:
+    """Normalized-content fingerprint: md5 of lowercased, whitespace-collapsed
+    text — identical built-in in both engines."""
+    if dialect == "spark":
+        return f"md5(regexp_replace(lower(trim({col})), {_lit(dialect, _WS_SPLIT)}, ' '))"
+    return f"md5(regexp_replace(lower(trim({col})), {_lit(dialect, _WS_SPLIT)}, ' ', 'g'))"
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All text-analysis columns at once (one codegen'd projection)."""
+    d = "spark"
+    return df.select(
+        "*",
+        F.expr(token_count_sql(d, text_col)).alias("token_count"),
+        F.expr(punct_ratio_sql(d, text_col)).alias("punct_ratio"),
+        F.expr(quality_score_sql(d, text_col)).alias("quality_score"),
+        F.expr(lang_id_sql(d, text_col)).alias("lang_pred"),
+        F.expr(fingerprint_sql(d, text_col)).alias("fingerprint"),
+    )
