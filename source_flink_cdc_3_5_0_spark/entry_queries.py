@@ -41,6 +41,9 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .functions.dialect import ensure_lenient_sql
+
+    ensure_lenient_sql(spark)
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read nanos as long, convert to micros timestamp

@@ -155,6 +155,21 @@ _CAST_TYPES = {
 LONG_MIN = "BIGINT('-9223372036854775808')"
 
 
+def ensure_lenient_sql(spark) -> None:
+    """Pin the reference's lenient expression semantics on the session.
+
+    Spark 4 enables ANSI mode by default (parse/overflow errors throw);
+    Flink CDC's function runtime (SystemFunctionUtils) returns NULL /
+    Long.MIN_VALUE instead. The engine sets this per-session before planning
+    transform expressions; it is a documented divergence from ANSI SQL,
+    pinned by tests/test_dialect.py.
+    """
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    except Exception:  # pragma: no cover - conf may be locked on some clusters
+        pass
+
+
 # ---------------------------------------------------------------------------
 # AST -> we emit Spark SQL strings directly during parsing (single pass); the
 # only context-sensitivity (null-is-false) is local to each comparison node.

@@ -34,6 +34,7 @@ from ..functions.dialect import (
     ExpressionError,
     ProjectionColumn,
     compile_expression,
+    ensure_lenient_sql,
     parse_projection,
 )
 
@@ -222,6 +223,7 @@ class PostTransform:
         before-image struct is projected with the same expressions
         (PostTransformOperator.java:293-317 projects both images).
         """
+        ensure_lenient_sql(df.sparkSession)
         compiled = self.compile(table_id, schema)
         if not compiled:
             return df
