@@ -197,6 +197,7 @@ class PipelineComposer:
         src = source if source is not None else self._create_source(pdef)
         snk = sink if sink is not None else self._create_sink(pdef)
         udf_names = self._register_udfs(pdef)
+        udf_names |= self._register_models(pdef)
         pre = PreTransform(pdef.transforms, udf_names)
         post = PostTransform(pdef.transforms, udf_names)
         router = TableIdRouter(pdef.routes)
@@ -224,6 +225,19 @@ class PipelineComposer:
             self.spark.udf.register(u.name, fn)
             names.add(u.name)
         return names
+
+    def _register_models(self, pdef: PipelineDef) -> set[str]:
+        if not pdef.models:
+            return set()
+        from ..functions.ai_models import ModelSpec, register_model_functions
+
+        specs = []
+        for m in pdef.models:
+            opts = dict(m.options)
+            specs.append(ModelSpec(
+                name=m.name, model=m.model,
+                api_key=opts.get("api-key"), endpoint=opts.get("endpoint")))
+        return register_model_functions(self.spark, specs)
 
     def _create_source(self, pdef: PipelineDef) -> DataSource:
         t = pdef.source.type.lower()

@@ -1,0 +1,138 @@
+"""Debezium-JSON / Canal-JSON changelog codecs.
+
+Parity targets:
+- Kafka pipeline sink's serializers (flink-cdc-pipeline-connector-kafka/...
+  /json/JsonSerializationType.java:29-32 — ``debezium-json`` and
+  ``canal-json``; serializer impls under .../json/debezium/ and /canal/).
+- The MySQL source consumes Debezium-format change records; our Kafka source
+  path decodes the same envelope.
+
+Debezium row envelope (value JSON):
+  {"before": {...}|null, "after": {...}|null,
+   "op": "c"|"u"|"d"|"r", "source": {"db": ..., "table": ...}, "ts_ms": N}
+Canal row envelope:
+  {"old": [{...}]|null, "data": [{...}], "type": "INSERT"|"UPDATE"|"DELETE",
+   "database": ..., "table": ..., "es": N, "ts": N}
+
+All parsing/serialization is built-in ``from_json`` / ``to_json`` — JVM-side,
+codegen'd — so a Kafka topic at 100 TB/day decodes without Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from ..common.events import BEFORE_COL, META_COL, OP_COL
+from ..common.schema import Schema
+from ..common.tableid import TableId
+from ..sources.base import SEQ_COL
+
+_DEBEZIUM_OPS = {"c": "+I", "r": "+I", "u": "+U", "d": "-D"}
+
+
+def debezium_value_schema(payload: T.StructType) -> T.StructType:
+    return T.StructType([
+        T.StructField("before", payload, True),
+        T.StructField("after", payload, True),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("source", T.StructType([
+            T.StructField("db", T.StringType(), True),
+            T.StructField("schema", T.StringType(), True),
+            T.StructField("table", T.StringType(), True),
+        ]), True),
+    ])
+
+
+def decode_debezium(raw: DataFrame, payload_schema: T.StructType,
+                    value_col: str = "value") -> DataFrame:
+    """Kafka value JSON -> engine changelog envelope.
+
+    ``raw`` is a Kafka-shaped frame (``value`` binary/string, ``offset``
+    long optional). Update events arrive as single rows carrying both
+    images — exactly our envelope's ``__before`` convention. The Kafka
+    ``offset`` (or ``ts_ms`` fallback) provides the per-key ``__seq``.
+    """
+    env = debezium_value_schema(payload_schema)
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), env).alias("v"),
+        *([F.col("offset")] if "offset" in raw.columns else []),
+    )
+    op = F.coalesce(
+        *[F.when(F.col("v.op") == k, F.lit(v)) for k, v in _DEBEZIUM_OPS.items()]
+    )
+    image = F.when(F.col("v.op") == "d", F.col("v.before")).otherwise(F.col("v.after"))
+    seq = F.col("offset") if "offset" in raw.columns else F.col("v.ts_ms")
+    out = parsed.select(
+        image.alias("__row"),
+        op.alias(OP_COL),
+        F.when(F.col("v.op") == "u", F.col("v.before")).alias(BEFORE_COL),
+        F.map_from_arrays(
+            F.array(F.lit("ts_ms"), F.lit("db"), F.lit("table")),
+            F.array(F.col("v.ts_ms").cast("string"), F.col("v.source.db"),
+                    F.col("v.source.table")),
+        ).alias(META_COL),
+        seq.cast("bigint").alias(SEQ_COL),
+    )
+    return out.select("__row.*", OP_COL, BEFORE_COL, META_COL, SEQ_COL)
+
+
+def encode_debezium(df: DataFrame, table_id: TableId, schema: Schema) -> DataFrame:
+    """Engine changelog envelope -> Kafka-ready (key, value) JSON strings.
+
+    Key = JSON of primary-key columns (Debezium key convention); update rows
+    (``+U`` with a ``__before`` struct) serialize both images; ``-D`` rows
+    put the image in ``before`` with ``after: null``.
+    """
+    phys = [c.name for c in schema.columns if c.name in df.columns]
+    row = F.struct(*[F.col(c) for c in phys])
+    has_op = OP_COL in df.columns
+    op = F.col(OP_COL) if has_op else F.lit("+I")
+    dbz_op = (F.when(op == "+I", "c").when(op == "+U", "u")
+              .when(op == "-U", "u").when(op == "-D", "d"))
+    before = (
+        F.when(op == "-D", row)
+        .when(op.isin("+U", "-U"),
+              F.col(BEFORE_COL) if BEFORE_COL in df.columns else F.lit(None))
+        .otherwise(F.lit(None))
+    )
+    after = F.when(op != "-D", row).otherwise(F.lit(None))
+    source = F.struct(
+        F.lit(table_id.namespace).alias("db"),
+        F.lit(table_id.schema_name).alias("schema"),
+        F.lit(table_id.table_name).alias("table"),
+    )
+    value = F.to_json(F.struct(
+        before.alias("before"), after.alias("after"),
+        dbz_op.alias("op"), source.alias("source"),
+    ))
+    pks = [k for k in schema.primary_keys if k in df.columns] or phys
+    key = F.to_json(F.struct(*[F.col(k) for k in pks]))
+    return df.select(key.alias("key"), value.alias("value"))
+
+
+_CANAL_TYPES = {"+I": "INSERT", "+U": "UPDATE", "-U": "UPDATE", "-D": "DELETE"}
+
+
+def encode_canal(df: DataFrame, table_id: TableId, schema: Schema) -> DataFrame:
+    """Engine changelog envelope -> canal-json values (one row per event)."""
+    phys = [c.name for c in schema.columns if c.name in df.columns]
+    row = F.struct(*[F.col(c) for c in phys])
+    has_op = OP_COL in df.columns
+    op = F.col(OP_COL) if has_op else F.lit("+I")
+    ctype = F.coalesce(
+        *[F.when(op == k, F.lit(v)) for k, v in _CANAL_TYPES.items()])
+    old = (F.when(op.isin("+U", "-U"),
+                  F.array(F.col(BEFORE_COL)) if BEFORE_COL in df.columns
+                  else F.lit(None))
+           .otherwise(F.lit(None)))
+    value = F.to_json(F.struct(
+        old.alias("old"),
+        F.array(row).alias("data"),
+        ctype.alias("type"),
+        F.lit(table_id.schema_name or table_id.namespace).alias("database"),
+        F.lit(table_id.table_name).alias("table"),
+    ))
+    pks = [k for k in schema.primary_keys if k in df.columns] or phys
+    key = F.to_json(F.struct(*[F.col(k) for k in pks]))
+    return df.select(key.alias("key"), value.alias("value"))

@@ -1,0 +1,140 @@
+"""Structured Streaming runner: the streaming execution mode of the engine.
+
+Parity target: the reference's streaming pipeline (SURVEY.md §3.1/§3.3) —
+continuous change capture with exactly-once sink application. On Spark:
+
+- the change stream arrives as a ``readStream`` DataFrame of Debezium-JSON
+  records (Kafka in production; file-stream in tests — same code path);
+- ``foreachBatch`` is the control loop: the driver decodes each micro-batch
+  per table, applies transforms/routes, coerces to the evolved schema and
+  hands the result to the sink with the micro-batch id;
+- exactly-once = Structured Streaming checkpoint (source offsets) + the
+  sink's idempotence per (table, batch_id) — on restart the last batch is
+  re-delivered and skipped by the sink's marker (see ParquetUpsertSink);
+- schema changes happen *between* micro-batches, the natural FlushEvent
+  barrier (§3.3): before processing, each batch's decoded frame is checked
+  against the registry's original schema and the evolution path runs first.
+
+At scale: one decode+transform+repartition+merge per table per micro-batch —
+all Catalyst plans; the driver does O(tables) bookkeeping only.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..common.events import CreateTableEvent, OP_COL, META_COL
+from ..common.schema import Schema
+from ..common.tableid import TableId
+from ..operators.partitioning import pk_repartition
+from ..operators.route import TableIdRouter
+from ..operators.schema_evolution import SchemaChangeBehavior, coercion_select
+from ..operators.schema_registry import SchemaRegistry
+from ..operators.transform import PostTransform, PreTransform
+from ..pipeline.composer import PipelineExecution
+from ..sinks.base import DataSink
+from ..sources.base import SEQ_COL
+from ..sources.debezium import decode_debezium
+
+
+@dataclass
+class StreamingPipeline:
+    """Streaming counterpart of PipelineExecution, sharing its control plane."""
+
+    spark: SparkSession
+    sink: DataSink
+    post: PostTransform
+    pre: PreTransform
+    router: TableIdRouter
+    registry: SchemaRegistry
+    checkpoint_dir: str
+    behavior: SchemaChangeBehavior = SchemaChangeBehavior.LENIENT
+    parallelism: int | None = None
+
+    @staticmethod
+    def create(spark: SparkSession, sink: DataSink, checkpoint_dir: str,
+               transforms=None, routes=None,
+               behavior: SchemaChangeBehavior = SchemaChangeBehavior.LENIENT,
+               parallelism: int | None = None) -> "StreamingPipeline":
+        return StreamingPipeline(
+            spark=spark, sink=sink,
+            post=PostTransform(list(transforms or [])),
+            pre=PreTransform(list(transforms or [])),
+            router=TableIdRouter(list(routes or [])),
+            registry=SchemaRegistry(),
+            checkpoint_dir=checkpoint_dir,
+            behavior=behavior,
+            parallelism=parallelism,
+        )
+
+    # -- shared control plane (delegates to the batch execution) ----------
+    def _execution(self) -> PipelineExecution:
+        return PipelineExecution(
+            spark=self.spark, source=None, sink=self.sink, pre=self.pre,
+            post=self.post, router=self.router, registry=self.registry,
+            behavior=self.behavior, parallelism=self.parallelism)
+
+    def register_table(self, table_id: TableId, schema: Schema) -> None:
+        """Declare a captured table (snapshot of the source catalog)."""
+        if self.registry.original_schema(table_id) is None:
+            self.registry.apply_original(CreateTableEvent(table_id, schema))
+            exe = self._execution()
+            pruned = self.pre.pruned_schema(table_id, schema)
+            out_schema = exe._infer_output_schema(table_id, pruned)
+            for sink_tid in self.router.route(table_id):
+                exe._evolve_sink_table(sink_tid, out_schema)
+
+    # -- streaming loop ----------------------------------------------------
+    def start(self, raw_stream: DataFrame, tables: dict[str, Schema],
+              value_col: str = "value"):
+        """Attach to a stream of Debezium-JSON records and start the query.
+
+        ``tables``: table-id string -> payload Schema (with primary keys).
+        """
+        for tid_str, schema in tables.items():
+            self.register_table(TableId.parse(tid_str), schema)
+
+        registry_ckpt = os.path.join(self.checkpoint_dir, "schema_registry.json")
+        if os.path.exists(registry_ckpt):
+            self.registry = SchemaRegistry.restore(registry_ckpt)
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.persist()
+            try:
+                exe = self._execution()
+                exe.batches_run = batch_id
+                for tid_str, schema in tables.items():
+                    tid = TableId.parse(tid_str)
+                    decoded = decode_debezium(batch_df, schema.struct_type(), value_col)
+                    mine = decoded.where(
+                        (F.col(META_COL)["table"] == tid.table_name)
+                        & (F.col(META_COL)["db"] == (tid.namespace or tid.schema_name))
+                    )
+                    from ..sources.base import ChangeBatch
+
+                    exe._process_data(ChangeBatch(tid, [], mine))
+                self.registry.checkpoint(registry_ckpt)
+            finally:
+                batch_df.unpersist()
+
+        return (
+            raw_stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", os.path.join(self.checkpoint_dir, "stream"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+def file_stream_source(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Debezium-JSON-lines file stream (test stand-in for Kafka; the decode
+    path is identical)."""
+    reader = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger or 1000)
+    )
+    df = reader.load(path)
+    return df.select(F.col("value"))

@@ -1,0 +1,139 @@
+"""JDBC chunk-splitter math (mirrors JdbcSourceChunkSplitter semantics),
+UDF pipeline registration, AI model functions."""
+
+import pytest
+from pyspark.sql import types as T
+
+from source_flink_cdc_3_5_0_spark.sources.jdbc import (
+    ChunkRange,
+    DEFAULT_CHUNK_SIZE,
+    StartupOptions,
+    distribution_factor,
+    dynamic_chunk_size,
+    split_evenly_sized_chunks,
+    JdbcSnapshotSource,
+)
+
+
+class TestChunkSplitter:
+    def test_distribution_factor(self):
+        # dense keys 1..1000 over 1000 rows -> factor 1.0
+        assert distribution_factor(1, 1000, 1000) == 1.0
+        # sparse: range 10x rows
+        assert distribution_factor(0, 9999, 1000) == 10.0
+        # ceiling rounding at 4 dp (reference ROUND_CEILING)
+        assert distribution_factor(1, 3, 7) == 0.4286
+        assert distribution_factor(0, 10, 0) == float("inf")
+
+    def test_dynamic_chunk_size(self):
+        # factor 1.0 -> chunk width == chunk size
+        assert dynamic_chunk_size(1, 8096 * 10, 8096 * 10) == 8096
+        # sparse factor 10 -> width 10x
+        assert dynamic_chunk_size(0, 80959, 8096) == 80960
+        # absurdly sparse (factor > 1000) -> uneven (None)
+        assert dynamic_chunk_size(0, 10_000_000, 100) is None
+        # ultra dense (factor < 0.05): duplicate-heavy key -> uneven
+        assert dynamic_chunk_size(1, 10, 100000) is None
+
+    def test_split_even(self):
+        chunks = split_evenly_sized_chunks(1, 25, 25, chunk_size=10)
+        # width 10: (-inf,11) [11,21) [21,+inf)
+        assert chunks == [ChunkRange(None, 11), ChunkRange(11, 21), ChunkRange(21, None)]
+        preds = [c.predicate("id") for c in chunks]
+        assert preds[0] == "id < 11"
+        assert preds[1] == "id >= 11 AND id < 21"
+        assert preds[2] == "id >= 21"
+
+    def test_split_single_row_or_empty(self):
+        assert split_evenly_sized_chunks(5, 5, 1) == [ChunkRange(None, None)]
+        assert split_evenly_sized_chunks(0, 0, 0) == [ChunkRange(None, None)]
+
+    def test_uneven_fallback_bounded_parts(self):
+        # factor > 1000 -> fallback still yields ~rowcount/chunk_size parts
+        chunks = split_evenly_sized_chunks(0, 10_000_000, 100, chunk_size=10)
+        assert len(chunks) == 10
+
+    def test_plan_predicates_cover_domain(self):
+        src = JdbcSnapshotSource("jdbc:mysql://h/db", "t", "id", chunk_size=100)
+        preds = src.plan_predicates(1, 1000, 1000)
+        assert preds[0].startswith("id < ")
+        assert preds[-1].startswith("id >= ")
+        assert len(preds) == 10
+
+    def test_startup_options(self):
+        assert StartupOptions("initial").kafka_starting_offsets() == "earliest"
+        assert StartupOptions("latest").kafka_starting_offsets() == "latest"
+        assert StartupOptions("specific_offset", specific_offset='{"t":{"0":42}}') \
+            .kafka_starting_offsets() == '{"t":{"0":42}}'
+
+
+def test_udf_pipeline(spark, tmp_path):
+    """YAML user-defined-function registered and callable in a projection
+    (parity: FlinkPipelineUdfITCase)."""
+    from source_flink_cdc_3_5_0_spark.common import (Column, CreateTableEvent,
+                                                     DataChangeEvent, Schema, TableId)
+    from source_flink_cdc_3_5_0_spark.pipeline import PipelineComposer, parse_yaml_pipeline
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+    from source_flink_cdc_3_5_0_spark.sources.values import ValuesSource
+
+    yaml_text = """
+source: {type: values}
+sink: {type: values}
+transform:
+  - source-table: a.b.\\.*
+    projection: "k, fmt(v) AS fv"
+pipeline:
+  user-defined-function:
+    - name: fmt
+      classpath: tests.udf_fixtures:format_val
+"""
+    tbl = TableId.parse("a.b.t")
+    schema = Schema.of(Column("k", T.IntegerType(), False), Column("v", T.IntegerType()),
+                       primary_keys=["k"])
+    events = [CreateTableEvent(tbl, schema),
+              DataChangeEvent.insert(tbl, (1, 10)),
+              DataChangeEvent.insert(tbl, (2, 20))]
+    sink = MemorySink()
+    pdef = parse_yaml_pipeline(yaml_text)
+    PipelineComposer(spark).compose(pdef, source=ValuesSource(events), sink=sink).run()
+    assert sink.snapshot(tbl) == ["1, v=10", "2, v=20"]
+
+
+def test_ai_model_functions(spark):
+    """GET_EMBEDDING / AI_CHAT_PREDICT registered from the model block and
+    usable in transform projections (fake deterministic backends)."""
+    from source_flink_cdc_3_5_0_spark.common import (Column, CreateTableEvent,
+                                                     DataChangeEvent, Schema, TableId)
+    from source_flink_cdc_3_5_0_spark.pipeline import PipelineComposer, parse_yaml_pipeline
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+    from source_flink_cdc_3_5_0_spark.sources.values import ValuesSource
+
+    yaml_text = """
+source: {type: values}
+sink: {type: values}
+transform:
+  - source-table: a.b.\\.*
+    projection: "k, AI_CHAT_PREDICT(txt) AS resp"
+pipeline:
+  model:
+    - model-name: AI_CHAT_PREDICT
+      model: gpt-fake
+"""
+    tbl = TableId.parse("a.b.docs")
+    schema = Schema.of(Column("k", T.IntegerType(), False), Column("txt", T.StringType()),
+                       primary_keys=["k"])
+    events = [CreateTableEvent(tbl, schema), DataChangeEvent.insert(tbl, (1, "hello"))]
+    sink = MemorySink()
+    pdef = parse_yaml_pipeline(yaml_text)
+    PipelineComposer(spark).compose(pdef, source=ValuesSource(events), sink=sink).run()
+    assert sink.snapshot(tbl) == ["1, [fake-model] hello"]
+
+
+def test_embedding_udf_shape(spark):
+    from source_flink_cdc_3_5_0_spark.functions.ai_models import (ModelSpec,
+                                                                  register_model_functions)
+    register_model_functions(spark, [ModelSpec(name="GET_EMBEDDING")])
+    row = spark.sql("SELECT GET_EMBEDDING('abc') AS e").collect()[0]
+    assert len(row["e"]) == 16
+    row2 = spark.sql("SELECT GET_EMBEDDING('abc') AS e").collect()[0]
+    assert row["e"] == row2["e"]  # deterministic

@@ -1,0 +1,148 @@
+"""Streaming-mode tests: Debezium codec round trip, file-stream pipeline,
+checkpoint restart idempotence (SURVEY.md §7 Stage 5)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F, types as T
+
+from source_flink_cdc_3_5_0_spark.common import Column, Schema, TableId
+from source_flink_cdc_3_5_0_spark.common.events import BEFORE_COL, OP_COL
+from source_flink_cdc_3_5_0_spark.sinks.kafka import KafkaChangelogSink
+from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+from source_flink_cdc_3_5_0_spark.sources.base import SEQ_COL, attach_envelope
+from source_flink_cdc_3_5_0_spark.sources.debezium import (
+    decode_debezium,
+    encode_canal,
+    encode_debezium,
+)
+from source_flink_cdc_3_5_0_spark.streaming.runner import StreamingPipeline, file_stream_source
+
+TID = TableId.parse("inventory.db.products")
+SCHEMA = Schema.of(
+    Column("id", T.LongType(), False),
+    Column("name", T.StringType()),
+    Column("weight", T.DoubleType()),
+    primary_keys=["id"],
+)
+
+
+def dbz(op, after=None, before=None, ts=0):
+    return json.dumps({
+        "before": before, "after": after, "op": op, "ts_ms": ts,
+        "source": {"db": "inventory", "schema": "db", "table": "products"},
+    })
+
+
+EVENTS_1 = [
+    dbz("c", {"id": 1, "name": "bolt", "weight": 1.5}, ts=1),
+    dbz("c", {"id": 2, "name": "nut", "weight": 0.4}, ts=2),
+    dbz("r", {"id": 3, "name": "washer", "weight": 0.1}, ts=3),
+]
+EVENTS_2 = [
+    dbz("u", {"id": 2, "name": "nut-v2", "weight": 0.5},
+        {"id": 2, "name": "nut", "weight": 0.4}, ts=4),
+    dbz("d", None, {"id": 3, "name": "washer", "weight": 0.1}, ts=5),
+]
+
+
+class TestDebeziumCodec:
+    def test_decode(self, spark):
+        raw = spark.createDataFrame([(v,) for v in EVENTS_1 + EVENTS_2], "value STRING")
+        out = decode_debezium(raw, SCHEMA.struct_type())
+        rows = {(r["id"], r[OP_COL]): r for r in out.collect()}
+        assert rows[(1, "+I")]["name"] == "bolt"
+        assert rows[(2, "+U")]["name"] == "nut-v2"
+        assert rows[(2, "+U")][BEFORE_COL]["name"] == "nut"
+        assert rows[(3, "-D")]["name"] == "washer"  # delete carries before image
+
+    def test_encode_roundtrip(self, spark):
+        raw = spark.createDataFrame([(v,) for v in EVENTS_2], "value STRING")
+        decoded = decode_debezium(raw, SCHEMA.struct_type())
+        encoded = encode_debezium(decoded, TID, SCHEMA)
+        back = decode_debezium(encoded, SCHEMA.struct_type())
+        rows = {(r["id"], r[OP_COL]): r for r in back.collect()}
+        assert rows[(2, "+U")]["name"] == "nut-v2"
+        assert rows[(2, "+U")][BEFORE_COL]["name"] == "nut"
+        assert rows[(3, "-D")]["name"] == "washer"
+        keys = [json.loads(r["key"]) for r in encoded.collect()]
+        assert {k["id"] for k in keys} == {2, 3}
+
+    def test_encode_canal(self, spark):
+        raw = spark.createDataFrame([(v,) for v in EVENTS_2], "value STRING")
+        decoded = decode_debezium(raw, SCHEMA.struct_type())
+        vals = [json.loads(r["value"]) for r in encode_canal(decoded, TID, SCHEMA).collect()]
+        by_type = {v["type"]: v for v in vals}
+        assert by_type["UPDATE"]["data"][0]["name"] == "nut-v2"
+        assert by_type["UPDATE"]["old"][0]["name"] == "nut"
+        assert by_type["DELETE"]["data"][0]["id"] == 3
+        assert by_type["UPDATE"]["table"] == "products"
+
+
+def _write_events(d, name, events):
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, name), "w") as f:
+        f.write("\n".join(events))
+
+
+class TestStreamingPipeline:
+    def test_stream_then_restart(self, spark, tmp_path):
+        src = str(tmp_path / "stream_in")
+        ckpt = str(tmp_path / "ckpt")
+        _write_events(src, "part1.jsonl", EVENTS_1)
+
+        sink = MemorySink()
+
+        def run_once():
+            pipe = StreamingPipeline.create(spark, sink, ckpt)
+            q = pipe.start(file_stream_source(spark, src),
+                           {"inventory.db.products": SCHEMA})
+            q.awaitTermination(120)
+            return pipe
+
+        run_once()
+        assert sink.snapshot(TID) == ["1, bolt, 1.5", "2, nut, 0.4", "3, washer, 0.1"]
+
+        # second tranche: update + delete, then restart from checkpoint
+        _write_events(src, "part2.jsonl", EVENTS_2)
+        run_once()
+        assert sink.snapshot(TID) == ["1, bolt, 1.5", "2, nut-v2, 0.5"]
+
+        # third restart with no new data: no reprocessing, state unchanged
+        run_once()
+        assert sink.snapshot(TID) == ["1, bolt, 1.5", "2, nut-v2, 0.5"]
+
+    def test_stream_with_transform(self, spark, tmp_path):
+        from source_flink_cdc_3_5_0_spark.operators.transform import TransformRule
+
+        src = str(tmp_path / "in2")
+        ckpt = str(tmp_path / "ckpt2")
+        _write_events(src, "p.jsonl", EVENTS_1)
+        sink = MemorySink()
+        pipe = StreamingPipeline.create(
+            spark, sink, ckpt,
+            transforms=[TransformRule(
+                source_table="inventory.db.\\.*",
+                projection="id, UPPER(name) AS name_u",
+                filter="weight < 1.0",
+            )])
+        q = pipe.start(file_stream_source(spark, src), {"inventory.db.products": SCHEMA})
+        q.awaitTermination(120)
+        assert sink.snapshot(TID) == ["2, NUT", "3, WASHER"]
+
+
+class TestKafkaSinkLocal:
+    def test_local_topic_dir(self, spark, tmp_path):
+        out = str(tmp_path / "kafka_out")
+        sink = KafkaChangelogSink(output_dir=out)
+        df = attach_envelope(spark.createDataFrame(
+            [Row(id=1, name="a", weight=1.0)], SCHEMA.struct_type()))
+        sink.write(TID, df, SCHEMA, batch_id=0)
+        sink.write(TID, df, SCHEMA, batch_id=0)  # replay -> idempotent
+        topic_dir = os.path.join(out, "inventory.db.products")
+        batches = os.listdir(topic_dir)
+        assert batches == ["batch_0"]
+        lines = spark.read.text(os.path.join(topic_dir, "batch_0")).collect()
+        v = json.loads(lines[0]["value"])
+        assert v["op"] == "c" and v["after"]["name"] == "a"
