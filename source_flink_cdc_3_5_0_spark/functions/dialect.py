@@ -186,7 +186,8 @@ class Compiled:
 
 class _Parser:
     def __init__(self, text: str, udfs: set[str] | None = None,
-                 metadata_bindings: dict[str, str] | None = None):
+                 metadata_bindings: dict[str, str] | None = None,
+                 context: str = "projection"):
         self.text = text
         self.toks = tokenize(text)
         self.i = 0
@@ -195,6 +196,17 @@ class _Parser:
         self.meta = metadata_bindings or {}
         self.columns: set[str] = set()
         self.functions: set[str] = set()
+        # Null-is-false wrapping policy. The reference's comparisons return
+        # FALSE on NULL operands (SystemFunctionUtils null-guards). In a
+        # *positive* WHERE context, SQL 3-valued logic is observably
+        # identical (NULL never passes a filter), and skipping the
+        # coalesce() wrapper keeps predicates eligible for parquet pushdown
+        # — a large-scan win. The wrapper is required only where NULL vs
+        # FALSE is distinguishable: projected boolean columns, and operands
+        # of NOT (NOT NULL = NULL drops the row, but the reference's
+        # NOT FALSE = TRUE keeps it). parse_not() flips wrapping on for its
+        # subtree; 'projection' context wraps everywhere.
+        self._wrap_stack = [context == "projection"]
 
     # -- token helpers --------------------------------------------------
     def peek(self, k: int = 0) -> Token:
@@ -239,7 +251,11 @@ class _Parser:
 
     def parse_not(self) -> str:
         if self.accept("kw", "NOT"):
-            inner = self.parse_not()
+            self._wrap_stack.append(True)
+            try:
+                inner = self.parse_not()
+            finally:
+                self._wrap_stack.pop()
             return f"(NOT {inner})"
         return self.parse_comparison()
 
@@ -294,13 +310,18 @@ class _Parser:
         return left
 
     def _false_on_null(self, core: str, negate: bool = False) -> str:
-        """Reference comparisons return FALSE (not NULL) on NULL operands; NOT
-        variants therefore return TRUE for NULLs? No: notIn/notLike etc. also
-        null-guard to FALSE (SystemFunctionUtils.java:393-421), so negation
-        applies to the non-null result only."""
+        """Reference comparisons return FALSE (not NULL) on NULL operands;
+        the NOT-variants (notIn/notLike/notBetween) also null-guard to FALSE
+        (SystemFunctionUtils.java:393-421), so negation applies inside the
+        guard. In unwrapped (positive-filter) context the guard is elided —
+        see __init__ — keeping the predicate pushdown-eligible."""
+        wrap = self._wrap_stack[-1]
         if negate:
-            return f"coalesce((NOT {core}), false)"
-        return f"coalesce({core}, false)"
+            # NOT-variants always need the guard: NULL must yield FALSE,
+            # while un-guarded NOT(NULL) stays NULL only in filter context
+            # where both drop the row — still identical; elide when allowed.
+            return f"coalesce((NOT {core}), false)" if wrap else f"(NOT {core})"
+        return f"coalesce({core}, false)" if wrap else core
 
     def parse_additive(self) -> str:
         left = self.parse_multiplicative()
@@ -541,9 +562,13 @@ class _Parser:
 # ---------------------------------------------------------------------------
 
 def compile_expression(text: str, udfs: set[str] | None = None,
-                       metadata_bindings: dict[str, str] | None = None) -> Compiled:
-    """Compile one scalar expression to a Spark SQL string."""
-    p = _Parser(text, udfs, metadata_bindings)
+                       metadata_bindings: dict[str, str] | None = None,
+                       context: str = "projection") -> Compiled:
+    """Compile one scalar expression to a Spark SQL string.
+
+    ``context='filter'`` elides null-is-false guards where 3-valued WHERE
+    logic is observably identical (keeps parquet predicate pushdown)."""
+    p = _Parser(text, udfs, metadata_bindings, context)
     sql = p.parse_expr()
     if p.peek().kind != "eof":
         t = p.peek()

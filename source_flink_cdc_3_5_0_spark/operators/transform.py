@@ -194,7 +194,7 @@ class PostTransform:
             ]
         filt = None
         if rule.has_filter:
-            filt = compile_expression(rule.filter, self.udfs, binds)
+            filt = compile_expression(rule.filter, self.udfs, binds, context="filter")
             referenced |= filt.columns
 
         out_cols = []

@@ -1,0 +1,78 @@
+"""Physical-plan assertions — the 100 TB posture, pinned as tests.
+
+Checks what .explain shows, not what we hope: filters reach the parquet scan
+(PushedFilters), projections prune the read schema (ReadSchema), small dims
+broadcast, single-shuffle operators stay single-shuffle, hot paths stay in
+WholeStageCodegen.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from source_flink_cdc_3_5_0_spark import entry_queries as EQ
+from source_flink_cdc_3_5_0_spark.api import transform_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_transform_filter_pushed_down(spark):
+    df = EQ.q_transform_projection_arith(spark, SF)
+    p = plan_of(df)
+    pushed = p.split("PushedFilters: [")[1].split("]")[0] if "PushedFilters: [" in p else ""
+    # note: toString() truncates long filter lists — assert on prefixes
+    assert "LessThan(l_quantity,25" in pushed, f"filter not pushed: {pushed!r}"
+    assert "GreaterThan(l_discount" in pushed
+
+
+def test_transform_prunes_read_schema(spark):
+    df = transform_table(
+        spark.read.parquet(f"{SF}/lineitem.parquet"),
+        projection="l_orderkey, l_quantity * 2 AS q2",
+    )
+    p = plan_of(df)
+    rs = p.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_extendedprice" not in rs, f"column pruning failed: {rs}"
+
+
+def test_transform_stays_in_codegen(spark):
+    df = EQ.q_transform_string_funcs(spark, SF)
+    # '*(N)' prefixes mark WholeStageCodegen stages in the compact plan form
+    assert "*(1)" in plan_of(df)
+
+
+def test_not_filter_keeps_reference_semantics(spark):
+    """NOT over a nullable comparison must keep the null-is-false guard
+    (rows with NULL operand are KEPT under reference semantics)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(a=1, b=10), Row(a=2, b=None), Row(a=3, b=1)])
+    out = transform_table(df, projection="a", filter="NOT (b > 5)")
+    assert sorted(r["a"] for r in out.collect()) == [2, 3]
+
+
+def test_join_broadcasts_small_dims(spark):
+    p = plan_of(EQ.q_join_shipping_priority(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # AQE/broadcast hints at this scale
+
+
+def test_materialize_single_shuffle(spark):
+    p = plan_of(EQ.q_cdc_materialize_latest(spark, SF))
+    assert p.count("Exchange") == 1, "latest_image should shuffle once on the key"
+
+
+def test_dedup_partial_aggregation(spark):
+    p = plan_of(EQ.q_dedup_exact(spark, SF))
+    # map-side partial agg before the exchange (two HashAggregate levels)
+    assert p.count("HashAggregate") >= 2
+    assert p.count("Exchange") == 1
+
+
+def test_ann_broadcasts_queries(spark):
+    p = plan_of(EQ.q_ann_cosine_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
