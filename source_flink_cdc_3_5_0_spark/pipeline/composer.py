@@ -17,6 +17,7 @@ batch boundary (SURVEY.md §3.3).
 from __future__ import annotations
 
 import importlib
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -90,6 +91,14 @@ class PipelineExecution:
     exclude_types: set[str] | None = None
     parallelism: int | None = None
     batches_run: int = field(default=0)
+    # Namespace for sink idempotence markers. Batch runs get a fresh unique
+    # id (two batch pipelines into one sink must both apply); the streaming
+    # runner sets "stream" so markers line up with the checkpointed
+    # micro-batch ids across restarts (replay dedupe).
+    run_id: str = field(default="")
+
+    def _sink_batch_id(self) -> str | int:
+        return f"{self.run_id}_{self.batches_run}" if self.run_id else self.batches_run
 
     # -- schema inference -------------------------------------------------
     def _infer_output_schema(self, table_id: TableId, in_schema: Schema) -> Schema:
@@ -165,7 +174,7 @@ class PipelineExecution:
                 transformed, evolved, keep_extra=(OP_COL, META_COL, SEQ_COL))
             write_schema = evolved
             partitioned = pk_repartition(coerced, write_schema, self.parallelism)
-            self.sink.write(sink_tid, partitioned, write_schema, self.batches_run)
+            self.sink.write(sink_tid, partitioned, write_schema, self._sink_batch_id())
 
     # -- driver loop ------------------------------------------------------
     def run(self) -> "PipelineExecution":
@@ -215,6 +224,7 @@ class PipelineComposer:
             include_types=include,
             exclude_types=exclude,
             parallelism=pdef.config.parallelism if pdef.config.parallelism > 1 else None,
+            run_id=uuid.uuid4().hex[:12],
         )
 
     def _register_udfs(self, pdef: PipelineDef) -> set[str]:

@@ -75,7 +75,7 @@ class StreamingPipeline:
         return PipelineExecution(
             spark=self.spark, source=None, sink=self.sink, pre=self.pre,
             post=self.post, router=self.router, registry=self.registry,
-            behavior=self.behavior, parallelism=self.parallelism)
+            behavior=self.behavior, parallelism=self.parallelism, run_id="")
 
     def register_table(self, table_id: TableId, schema: Schema) -> None:
         """Declare a captured table (snapshot of the source catalog)."""

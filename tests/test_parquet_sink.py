@@ -1,0 +1,85 @@
+"""Bucketed parquet upsert sink: merge semantics, partition pruning,
+delete-only buckets, replay idempotence."""
+
+import os
+
+from pyspark.sql import Row, types as T
+
+from source_flink_cdc_3_5_0_spark.common import (
+    Column,
+    CreateTableEvent,
+    DataChangeEvent,
+    Schema,
+    TableId,
+)
+from source_flink_cdc_3_5_0_spark.pipeline import PipelineComposer, parse_yaml_pipeline
+from source_flink_cdc_3_5_0_spark.sinks.parquet_sink import ParquetUpsertSink
+from source_flink_cdc_3_5_0_spark.sources.values import ValuesSource
+
+TBL = TableId.parse("a.b.t")
+SCHEMA = Schema.of(
+    Column("id", T.IntegerType(), False),
+    Column("v", T.StringType()),
+    primary_keys=["id"],
+)
+
+
+def run(spark, sink, events):
+    pdef = parse_yaml_pipeline("source: {type: values}\nsink: {type: values}\n")
+    PipelineComposer(spark).compose(pdef, source=ValuesSource(events), sink=sink).run()
+
+
+def test_upsert_delete_and_bucketing(spark, tmp_path):
+    sink = ParquetUpsertSink(str(tmp_path), num_buckets=4)
+    events = [
+        CreateTableEvent(TBL, SCHEMA),
+        *[DataChangeEvent.insert(TBL, (i, f"v{i}")) for i in range(1, 9)],
+        DataChangeEvent.update(TBL, (3, "v3"), (3, "v3b")),
+        DataChangeEvent.delete(TBL, (5, "v5")),
+    ]
+    run(spark, sink, events)
+    got = {r["id"]: r["v"] for r in sink.read(spark, TBL).collect()}
+    assert got == {1: "v1", 2: "v2", 3: "v3b", 4: "v4", 6: "v6", 7: "v7", 8: "v8"}
+    # physical layout is bucket-partitioned
+    data_dir = os.path.join(str(tmp_path), "a.b.t", "data")
+    assert any(d.startswith("__bucket=") for d in os.listdir(data_dir))
+
+
+def test_delete_only_bucket_cleared(spark, tmp_path):
+    sink = ParquetUpsertSink(str(tmp_path), num_buckets=2)
+    run(spark, sink, [
+        CreateTableEvent(TBL, SCHEMA),
+        DataChangeEvent.insert(TBL, (1, "a")),
+        DataChangeEvent.insert(TBL, (2, "b")),
+    ])
+    # second pipeline run: delete ALL keys of one bucket
+    sink2 = ParquetUpsertSink(str(tmp_path), num_buckets=2)
+    run(spark, sink2, [
+        CreateTableEvent(TBL, SCHEMA),
+        DataChangeEvent.delete(TBL, (1, "a")),
+        DataChangeEvent.delete(TBL, (2, "b")),
+    ])
+    assert sink2.read(spark, TBL).count() == 0
+
+
+def test_merge_only_reads_touched_buckets(spark, tmp_path):
+    sink = ParquetUpsertSink(str(tmp_path), num_buckets=8)
+    run(spark, sink, [
+        CreateTableEvent(TBL, SCHEMA),
+        *[DataChangeEvent.insert(TBL, (i, f"v{i}")) for i in range(1, 40)],
+    ])
+    data_dir = os.path.join(str(tmp_path), "a.b.t", "data")
+    before = {d: os.path.getmtime(os.path.join(data_dir, d))
+              for d in os.listdir(data_dir) if d.startswith("__bucket=")}
+    # update one key -> exactly one bucket dir should change
+    sink2 = ParquetUpsertSink(str(tmp_path), num_buckets=8)
+    run(spark, sink2, [
+        CreateTableEvent(TBL, SCHEMA),
+        DataChangeEvent.update(TBL, (7, "v7"), (7, "v7-new")),
+    ])
+    after = {d: os.path.getmtime(os.path.join(data_dir, d))
+             for d in os.listdir(data_dir) if d.startswith("__bucket=")}
+    changed = [d for d in before if after.get(d) != before[d]]
+    assert len(changed) == 1, f"expected 1 rewritten bucket, got {changed}"
+    got = {r["id"]: r["v"] for r in sink2.read(spark, TBL).collect()}
+    assert got[7] == "v7-new" and len(got) == 39
