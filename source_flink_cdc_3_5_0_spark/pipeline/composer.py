@@ -146,6 +146,12 @@ class PipelineExecution:
         elif is_schema_compatible(current, required):
             return
         else:
+            if self.behavior == SchemaChangeBehavior.EXCEPTION:
+                # Parity: EXCEPTION refuses any sink-schema evolution
+                # (SchemaChangeBehavior.java:27-33 / coordinator failure path)
+                raise RuntimeError(
+                    f"schema change required on {sink_tid} (behavior=exception): "
+                    f"{current.pretty()} -> {required.pretty()}")
             evolved = get_common_schema([current, required])
             events = diff_schemas(sink_tid, current, evolved)
             events = normalize_schema_change_events(
@@ -154,8 +160,15 @@ class PipelineExecution:
         for ev in events:
             if not applier.accepts(ev.event_type()):
                 continue
-            new_schema = self.registry.apply_evolved(sink_tid, ev)
-            applier.apply_schema_change(sink_tid, ev, new_schema)
+            try:
+                new_schema = self.registry.apply_evolved(sink_tid, ev)
+                applier.apply_schema_change(sink_tid, ev, new_schema)
+            except Exception:
+                if self.behavior == SchemaChangeBehavior.TRY_EVOLVE:
+                    # TRY_EVOLVE: applier failures tolerated; rows are
+                    # coerced to the last successfully-applied schema
+                    continue
+                raise
 
     # -- data plane -------------------------------------------------------
     def _process_data(self, batch: ChangeBatch) -> None:
@@ -205,6 +218,10 @@ class PipelineComposer:
                 sink: DataSink | None = None) -> PipelineExecution:
         src = source if source is not None else self._create_source(pdef)
         snk = sink if sink is not None else self._create_sink(pdef)
+        # pipeline local-time-zone (PipelineOptions.java:76-81) governs all
+        # temporal functions via the session timezone
+        if pdef.config.local_time_zone:
+            self.spark.conf.set("spark.sql.session.timeZone", pdef.config.local_time_zone)
         udf_names = self._register_udfs(pdef)
         udf_names |= self._register_models(pdef)
         pre = PreTransform(pdef.transforms, udf_names)

@@ -87,6 +87,25 @@ class StreamingPipeline:
             for sink_tid in self.router.route(table_id):
                 exe._evolve_sink_table(sink_tid, out_schema)
 
+    # -- 'initial' startup mode: snapshot backfill then stream -------------
+    def initial_load(self, snapshots: dict[str, DataFrame]) -> None:
+        """StartupOptions 'initial' analog: apply a bounded snapshot of each
+        table through the same transform/route/sink path before attaching to
+        the log stream. The stream must start at/before the snapshot's
+        capture offset; PK upsert makes the overlap idempotent (the
+        reference stitches with low/high binlog watermarks — our sink-side
+        upsert absorbs replays instead)."""
+        from ..sources.base import ChangeBatch, attach_envelope
+
+        exe = self._execution()
+        exe.run_id = "initial"
+        for tid_str, df in snapshots.items():
+            tid = TableId.parse(tid_str)
+            if self.registry.original_schema(tid) is None:
+                self.register_table(
+                    tid, Schema.from_struct_type(df.schema))
+            exe._process_data(ChangeBatch(tid, [], attach_envelope(df)))
+
     # -- streaming loop ----------------------------------------------------
     def start(self, raw_stream: DataFrame, tables: dict[str, Schema],
               value_col: str = "value"):
@@ -102,19 +121,36 @@ class StreamingPipeline:
             self.registry = SchemaRegistry.restore(registry_ckpt)
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
+            from ..common.events_json import schema_event_from_json
+            from ..sources.base import ChangeBatch
+
             batch_df.persist()
             try:
                 exe = self._execution()
                 exe.batches_run = batch_id
-                for tid_str, schema in tables.items():
+                # 1. in-stream DDL control records (Debezium schema-change
+                #    topic analog) — rare, collected to the driver, applied
+                #    FIRST so the whole batch decodes with the newest schema
+                #    (LENIENT add-only evolution makes that sound: earlier
+                #    rows null-fill the new columns)
+                ddl_raw = batch_df.where(
+                    F.col(value_col).startswith('{"ddl"')).collect()
+                for r in ddl_raw:
+                    ev = schema_event_from_json(r[value_col])
+                    exe._handle_schema_events(ChangeBatch(ev.table_id, [ev], None))
+                data_df = batch_df.where(~F.col(value_col).startswith('{"ddl"'))
+                # 2. data records, decoded per table with the registry's
+                #    CURRENT schema (not the registration-time one)
+                for tid_str in tables:
                     tid = TableId.parse(tid_str)
-                    decoded = decode_debezium(batch_df, schema.struct_type(), value_col)
+                    schema = self.registry.original_schema(tid)
+                    if schema is None:
+                        continue  # dropped mid-stream
+                    decoded = decode_debezium(data_df, schema.struct_type(), value_col)
                     mine = decoded.where(
                         (F.col(META_COL)["table"] == tid.table_name)
                         & (F.col(META_COL)["db"] == (tid.namespace or tid.schema_name))
                     )
-                    from ..sources.base import ChangeBatch
-
                     exe._process_data(ChangeBatch(tid, [], mine))
                 self.registry.checkpoint(registry_ckpt)
             finally:
