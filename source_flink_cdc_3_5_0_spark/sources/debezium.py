@@ -111,6 +111,50 @@ def encode_debezium(df: DataFrame, table_id: TableId, schema: Schema) -> DataFra
     return df.select(key.alias("key"), value.alias("value"))
 
 
+def canal_value_schema(payload: T.StructType) -> T.StructType:
+    return T.StructType([
+        T.StructField("old", T.ArrayType(payload), True),
+        T.StructField("data", T.ArrayType(payload), True),
+        T.StructField("type", T.StringType(), True),
+        T.StructField("database", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("es", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+    ])
+
+
+def decode_canal(raw: DataFrame, payload_schema: T.StructType,
+                 value_col: str = "value") -> DataFrame:
+    """Canal-JSON -> engine changelog envelope (INSERT/UPDATE/DELETE; canal
+    batches multiple rows per record in ``data`` — exploded here)."""
+    env = canal_value_schema(payload_schema)
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), env).alias("v"),
+        *([F.col("offset")] if "offset" in raw.columns else []),
+    )
+    exploded = parsed.select(
+        "v.type", "v.database", "v.table", "v.ts",
+        F.posexplode("v.data").alias("pos", "__row"),
+        F.col("v.old").alias("old"),
+        *([F.col("offset")] if "offset" in raw.columns else []),
+    )
+    op = (F.when(F.col("type") == "INSERT", "+I")
+          .when(F.col("type") == "UPDATE", "+U")
+          .when(F.col("type") == "DELETE", "-D"))
+    before = F.when(F.col("type") == "UPDATE", F.col("old")[F.col("pos")])
+    seq = F.col("offset") if "offset" in raw.columns else F.col("ts")
+    out = exploded.select(
+        F.col("__row"),
+        op.alias(OP_COL),
+        before.alias(BEFORE_COL),
+        F.map_from_arrays(
+            F.array(F.lit("db"), F.lit("table")),
+            F.array(F.col("database"), F.col("table"))).alias(META_COL),
+        seq.cast("bigint").alias(SEQ_COL),
+    )
+    return out.select("__row.*", OP_COL, BEFORE_COL, META_COL, SEQ_COL)
+
+
 _CANAL_TYPES = {"+I": "INSERT", "+U": "UPDATE", "-U": "UPDATE", "-D": "DELETE"}
 
 

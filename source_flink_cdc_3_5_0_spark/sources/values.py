@@ -69,8 +69,6 @@ class ValuesSource(DataSource):
                 schemas[ev.table_id] = apply_schema_change_event(schemas.get(ev.table_id), ev)
             else:
                 assert isinstance(ev, DataChangeEvent)
-                if pending_ddl and ev.table_id in pending_ddl and pending.get(ev.table_id):
-                    yield flush()
                 ev = DataChangeEvent(ev.table_id, ev.op, ev.before, ev.after, ev.meta + (("__seq", str(seq)),))
                 seq += 1
                 pending.setdefault(ev.table_id, []).append(ev)
