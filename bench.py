@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "window_top_orders",
     # training-data extensions
     "dedup_exact",
+    "dedup_minhash_lsh",
     "text_token_stats",
     "ann_cosine_topk",
 ]

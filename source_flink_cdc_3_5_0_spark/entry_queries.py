@@ -575,7 +575,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 def q_dedup_simhash(spark, sf_dir):
     """SimHash hamming-distance near-dups — rows-only check."""
-    return simhash_neardup_pairs(load(spark, sf_dir, "documents"), max_hamming=10)
+    return simhash_neardup_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def q_ann_ivf_topk(spark, sf_dir):

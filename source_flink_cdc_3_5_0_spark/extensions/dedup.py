@@ -29,7 +29,10 @@ from pyspark.sql.functions import pandas_udf
 from .text import fingerprint_sql
 
 # Deterministic MinHash parameters (seeded; no runtime randomness).
-_MERSENNE = (1 << 61) - 1
+# Hash family: multiply-shift over uint64 with natural wraparound —
+# h_i(x) = (a_i * x + b_i) mod 2^64 with odd a_i. Overflow-free and fully
+# numpy-vectorizable (the (a*x+b) mod Mersenne family needs 128-bit products,
+# which forces slow object-dtype arithmetic).
 _N_HASHES = 64
 _BANDS = 16
 _ROWS_PER_BAND = _N_HASHES // _BANDS
@@ -37,27 +40,26 @@ _ROWS_PER_BAND = _N_HASHES // _BANDS
 
 def _hash_params(n: int = _N_HASHES) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(42)
-    a = rng.randint(1, _MERSENNE, size=n, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=n, dtype=np.int64)
+    a = rng.randint(1, 1 << 62, size=n).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=n).astype(np.uint64)
     return a, b
 
 
 _A, _B = _hash_params()
 
 
-def _shingles(text: str, k: int = 3) -> set[int]:
-    """Word k-gram shingles hashed to stable 64-bit ints (md5-based, not
-    Python's salted hash)."""
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingles hashed to stable uint64 via pandas' SipHash
+    (fixed key → deterministic across processes; vectorized, unlike
+    per-shingle hashlib)."""
     toks = text.lower().split()
     if len(toks) < k:
         grams = [" ".join(toks)] if toks else []
     else:
         grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    out = set()
-    for g in grams:
-        h = hashlib.md5(g.encode("utf-8")).digest()[:8]
-        out.add(struct.unpack("<q", h)[0] & 0x7FFFFFFFFFFFFFFF)
-    return out
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(pd.util.hash_array(np.asarray(grams, dtype=object)))
 
 
 @pandas_udf(T.ArrayType(T.LongType()))
@@ -65,15 +67,16 @@ def minhash_signature(texts: pd.Series) -> pd.Series:
     """64-value MinHash signature per text (Arrow-batched, numpy-vectorized
     across hash functions)."""
     sigs = []
-    for t in texts:
-        sh = _shingles(t or "")
-        if not sh:
-            sigs.append([0] * _N_HASHES)
-            continue
-        x = np.fromiter(sh, dtype=np.int64, count=len(sh))
-        # (a*x + b) mod p for all 64 params at once -> min over shingles
-        vals = (x[None, :].astype(object) * _A[:, None] + _B[:, None]) % _MERSENNE
-        sigs.append([int(v) for v in vals.min(axis=1)])
+    with np.errstate(over="ignore"):
+        for t in texts:
+            x = _shingle_hashes(t or "")
+            if x.size == 0:
+                sigs.append([0] * _N_HASHES)
+                continue
+            # (a*x + b) mod 2^64 for all 64 params at once -> min per hash;
+            # shift >>1 so the value fits Spark's signed LongType
+            vals = x[None, :] * _A[:, None] + _B[:, None]
+            sigs.append([int(v) for v in (vals.min(axis=1) >> np.uint64(1))])
     return pd.Series(sigs)
 
 
@@ -81,22 +84,23 @@ def minhash_signature(texts: pd.Series) -> pd.Series:
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over word-level md5 hashes."""
     out = []
+    shifts = np.arange(64, dtype=np.uint64)
+    tok_cache: dict[str, np.ndarray] = {}  # per-batch token->bits memo
     for t in texts:
         toks = (t or "").lower().split()
         if not toks:
             out.append(0)
             continue
         acc = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
         for tok in toks:
-            h = struct.unpack("<Q", hashlib.md5(tok.encode()).digest()[:8])[0]
-            bits = (np.uint64(h) >> shifts) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        bits = (acc > 0).astype(np.uint64)
-        val = 0
-        for i in range(64):
-            if bits[i]:
-                val |= 1 << i
+            bits = tok_cache.get(tok)
+            if bits is None:
+                h = struct.unpack("<Q", hashlib.md5(tok.encode()).digest()[:8])[0]
+                bits = ((np.uint64(h) >> shifts) & np.uint64(1)).astype(np.int64)
+                tok_cache[tok] = bits
+            acc += bits * 2 - 1
+        val = int(np.packbits((acc > 0).astype(np.uint8), bitorder="little")
+                  .view(np.uint64)[0])
         out.append(val - (1 << 64) if val >= (1 << 63) else val)
     return pd.Series(out)
 
@@ -112,11 +116,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition ahead of a pandas-UDF stage: a single-file parquet
+    scan yields ONE partition, serializing the Python compute; spreading to
+    the session's parallelism restores linear scaling. Hash (not round-robin)
+    partitioning keeps the subtree deterministic so the downstream self-join
+    REUSES the exchange instead of recomputing the signatures twice."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target, F.col(key))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       jaccard_threshold: float = 0.7) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, verified by
     signature-level Jaccard estimate. Returns (id_a, id_b, est_jaccard)."""
-    sig = df.select(F.col(id_col), minhash_signature(F.col(text_col)).alias("sig"))
+    sig = _spread(df, id_col).select(F.col(id_col), minhash_signature(F.col(text_col)).alias("sig"))
     bands = sig.select(
         id_col,
         "sig",
@@ -160,7 +174,7 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "
                           max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit hash into 4×16-bit keys
     (pigeonhole: hamming≤3 ⇒ ≥1 identical band), verify hamming distance."""
-    sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    sh = _spread(df, id_col).select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
     bands = sh.select(
         id_col, "sh",
         F.explode(F.array(*[
