@@ -585,6 +585,34 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, emb.where(F.col("vec_id") < 8), cents, k=5, nprobe=3)
 
 
+def q_asof_join_events(spark, sf_dir):
+    """As-of join (custom temporal operator, extensions/temporal_join.py):
+    each purchase event picks up the user's most recent click at-or-before
+    it — one shuffle, union-window implementation."""
+    from .extensions.temporal_join import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"))
+    out = asof_join(purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts")
+    return out.select("event_id", "user_id", "click_event_id", "click_value")
+
+
+ORACLE_ASOF_JOIN = """
+SELECT p.event_id, p.user_id, c.click_event_id, c.click_value
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                       event_id AS click_event_id, value AS click_value
+                FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-payload decode/feature plumbing (stub decoder) — rows-only."""
     media = synthetic_media(spark, n=256)
@@ -627,6 +655,7 @@ QUERIES: dict[str, object] = {
     "dedup_simhash": q_dedup_simhash,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
+    "asof_join_events": q_asof_join_events,
 }
 
 ORACLES: dict[str, str] = {
@@ -653,6 +682,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ann_cosine_topk": ORACLE_ANN_TOPK,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "asof_join_events": ORACLE_ASOF_JOIN,
 }
 
 

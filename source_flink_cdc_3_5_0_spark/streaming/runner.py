@@ -53,12 +53,14 @@ class StreamingPipeline:
     checkpoint_dir: str
     behavior: SchemaChangeBehavior = SchemaChangeBehavior.LENIENT
     parallelism: int | None = None
+    serialization: str = "debezium-json"  # or "canal-json"
 
     @staticmethod
     def create(spark: SparkSession, sink: DataSink, checkpoint_dir: str,
                transforms=None, routes=None,
                behavior: SchemaChangeBehavior = SchemaChangeBehavior.LENIENT,
-               parallelism: int | None = None) -> "StreamingPipeline":
+               parallelism: int | None = None,
+               serialization: str = "debezium-json") -> "StreamingPipeline":
         return StreamingPipeline(
             spark=spark, sink=sink,
             post=PostTransform(list(transforms or [])),
@@ -68,6 +70,7 @@ class StreamingPipeline:
             checkpoint_dir=checkpoint_dir,
             behavior=behavior,
             parallelism=parallelism,
+            serialization=serialization,
         )
 
     # -- shared control plane (delegates to the batch execution) ----------
@@ -141,12 +144,15 @@ class StreamingPipeline:
                 data_df = batch_df.where(~F.col(value_col).startswith('{"ddl"'))
                 # 2. data records, decoded per table with the registry's
                 #    CURRENT schema (not the registration-time one)
+                from ..sources.debezium import decode_canal
+
+                decode = decode_debezium if self.serialization == "debezium-json" else decode_canal
                 for tid_str in tables:
                     tid = TableId.parse(tid_str)
                     schema = self.registry.original_schema(tid)
                     if schema is None:
                         continue  # dropped mid-stream
-                    decoded = decode_debezium(data_df, schema.struct_type(), value_col)
+                    decoded = decode(data_df, schema.struct_type(), value_col)
                     mine = decoded.where(
                         (F.col(META_COL)["table"] == tid.table_name)
                         & (F.col(META_COL)["db"] == (tid.namespace or tid.schema_name))
@@ -163,6 +169,28 @@ class StreamingPipeline:
             .trigger(availableNow=True)
             .start()
         )
+
+
+def kafka_stream_source(spark: SparkSession, bootstrap_servers: str, topics: str,
+                        startup: "StartupOptions | None" = None,
+                        options: dict[str, str] | None = None) -> DataFrame:
+    """Kafka changelog stream (production source). Keeps ``value`` and
+    ``offset`` (used as the per-key ``__seq``). Requires the spark-sql-kafka
+    package on the classpath; the decode path is shared with the file
+    source, so everything downstream is broker-independent."""
+    from ..sources.jdbc import StartupOptions
+
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", (startup or StartupOptions()).kafka_starting_offsets())
+    )
+    if startup and startup.mode == "timestamp":
+        reader = reader.option("startingTimestamp", str(startup.timestamp_ms))
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load().select(F.col("value").cast("string"), F.col("offset"))
 
 
 def file_stream_source(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
