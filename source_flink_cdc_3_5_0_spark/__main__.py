@@ -1,0 +1,53 @@
+"""CLI front-end: ``python -m source_flink_cdc_3_5_0_spark run job.yaml``.
+
+Parity target: ``bin/flink-cdc.sh job.yaml`` → CliFrontend
+(flink-cdc-cli/.../CliFrontend.java:66-88). Flags mirror the reference's
+surface where meaningful on Spark (``--use-mini-cluster`` ≈ local master).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="source_flink_cdc_3_5_0_spark",
+                                 description="PySpark-native CDC pipeline engine")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    run = sub.add_parser("run", help="run a YAML pipeline")
+    run.add_argument("pipeline", help="pipeline YAML file")
+    run.add_argument("--master", default="local[*]", help="Spark master (default local[*])")
+    run.add_argument("--name", default=None, help="override pipeline name")
+    run.add_argument("--shuffle-partitions", default=None, type=int)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .pipeline import PipelineComposer, parse_yaml_pipeline
+
+    with open(args.pipeline) as f:
+        pdef = parse_yaml_pipeline(f.read())
+    if args.name:
+        pdef.config.name = args.name
+
+    builder = (SparkSession.builder.master(args.master)
+               .appName(pdef.config.name)
+               .config("spark.sql.session.timeZone", pdef.config.local_time_zone)
+               .config("spark.sql.adaptive.enabled", "true"))
+    if args.shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    spark = builder.getOrCreate()
+    try:
+        exe = PipelineComposer(spark).compose(pdef)
+        exe.run()
+        tables = exe.registry.known_tables()
+        print(f"pipeline {pdef.config.name!r} finished: "
+              f"{exe.batches_run} batch(es), {len(tables)} table(s)")
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

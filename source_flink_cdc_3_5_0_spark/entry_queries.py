@@ -613,6 +613,90 @@ ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
 """
 
 
+def q_interval_join_events(spark, sf_dir):
+    """Range/interval join (extensions/range_join.py): clicks within 1 hour
+    before each purchase by the same user — bucketed bin join, no per-key
+    cross-join."""
+    from .extensions.range_join import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"))
+    pairs = interval_join(purchases, clicks, on=["user_id"],
+                          left_ts="ts", right_ts="click_ts",
+                          before="1 hours", after="0 seconds")
+    return pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_clicks_1h"))
+
+
+ORACLE_INTERVAL_JOIN = """
+SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_clicks_1h
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+GROUP BY p.event_id
+"""
+
+
+def q_window_running_total(spark, sf_dir):
+    """Running per-customer order total (window frame extension)."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("decimal(38,2)").alias("running_total"),
+        F.lag("o_orderkey", 1).over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.col("o_orderdate").asc(), F.col("o_orderkey").asc())).alias("prev_orderkey"),
+    )
+
+
+ORACLE_WINDOW_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))
+         AS running_total,
+       lag(o_orderkey, 1) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+         AS prev_orderkey
+FROM orders
+"""
+
+
+def q_array_functions(spark, sf_dir):
+    """Array/map scalar extensions over the embedding column (absent from
+    the reference's operator table — §2.4)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.aggregate(F.transform("embedding", lambda x: x.cast("double")),
+                            F.lit(0.0), lambda a, x: a + x), 6).alias("vec_sum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vec_max"),
+        F.round(F.element_at(F.transform("embedding", lambda x: x.cast("double")), 1), 6)
+         .alias("first_elem"),
+    )
+
+
+ORACLE_ARRAY_FUNCS = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       round(list_sum(embedding::DOUBLE[]), 6) AS vec_sum,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS vec_max,
+       round((embedding::DOUBLE[])[1], 6) AS first_elem
+FROM embeddings
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-payload decode/feature plumbing (stub decoder) — rows-only."""
     media = synthetic_media(spark, n=256)
@@ -656,6 +740,9 @@ QUERIES: dict[str, object] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
     "asof_join_events": q_asof_join_events,
+    "interval_join_events": q_interval_join_events,
+    "window_running_total": q_window_running_total,
+    "array_functions": q_array_functions,
 }
 
 ORACLES: dict[str, str] = {
@@ -683,6 +770,9 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": ORACLE_ANN_TOPK,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "asof_join_events": ORACLE_ASOF_JOIN,
+    "interval_join_events": ORACLE_INTERVAL_JOIN,
+    "window_running_total": ORACLE_WINDOW_RUNNING,
+    "array_functions": ORACLE_ARRAY_FUNCS,
 }
 
 
