@@ -54,13 +54,20 @@ class StreamingPipeline:
     behavior: SchemaChangeBehavior = SchemaChangeBehavior.LENIENT
     parallelism: int | None = None
     serialization: str = "debezium-json"  # or "canal-json"
+    # Auto-register tables first seen mid-stream (full-database-sync parity:
+    # a table created upstream after the pipeline started still syncs).
+    # Payload schemas are inferred from the JSON after-images of the first
+    # batch that mentions the table — the parallel-metadata path of
+    # DataSource.isParallelMetadataSource (SURVEY.md §2.1 P8).
+    discover_tables: bool = False
 
     @staticmethod
     def create(spark: SparkSession, sink: DataSink, checkpoint_dir: str,
                transforms=None, routes=None,
                behavior: SchemaChangeBehavior = SchemaChangeBehavior.LENIENT,
                parallelism: int | None = None,
-               serialization: str = "debezium-json") -> "StreamingPipeline":
+               serialization: str = "debezium-json",
+               discover_tables: bool = False) -> "StreamingPipeline":
         return StreamingPipeline(
             spark=spark, sink=sink,
             post=PostTransform(list(transforms or [])),
@@ -71,6 +78,7 @@ class StreamingPipeline:
             behavior=behavior,
             parallelism=parallelism,
             serialization=serialization,
+            discover_tables=discover_tables,
         )
 
     # -- shared control plane (delegates to the batch execution) ----------
@@ -108,6 +116,39 @@ class StreamingPipeline:
                 self.register_table(
                     tid, Schema.from_struct_type(df.schema))
             exe._process_data(ChangeBatch(tid, [], attach_envelope(df)))
+
+    def _discover_new_tables(self, data_df: DataFrame, tables: dict[str, Schema],
+                             value_col: str) -> None:
+        """Register tables first seen in this batch (P8 parallel-metadata
+        path): distinct (db, table) pairs are extracted JVM-side; payload
+        schemas are inferred by Spark's JSON reader over that table's
+        after-images only (one driver-side inference per NEW table, not per
+        batch)."""
+        pairs = (
+            data_df.select(
+                F.get_json_object(F.col(value_col), "$.source.db").alias("db"),
+                F.get_json_object(F.col(value_col), "$.source.schema").alias("schema"),
+                F.get_json_object(F.col(value_col), "$.source.table").alias("table"),
+            ).where(F.col("table").isNotNull()).distinct().collect()
+        )
+        for r in pairs:
+            tid = TableId(r["db"] or "", r["schema"] or "", r["table"])
+            if str(tid) in tables or self.registry.original_schema(tid) is not None:
+                continue
+            mine = data_df.where(
+                (F.get_json_object(F.col(value_col), "$.source.table") == tid.table_name)
+                & (F.get_json_object(F.col(value_col), "$.source.db") == (tid.namespace or ""))
+            )
+            after_json = mine.select(
+                F.coalesce(
+                    F.get_json_object(F.col(value_col), "$.after"),
+                    F.get_json_object(F.col(value_col), "$.before"),
+                ).alias("payload")).where(F.col("payload").isNotNull())
+            inferred = self.spark.read.json(
+                after_json.rdd.map(lambda row: row["payload"]))
+            schema = Schema.from_struct_type(inferred.schema)
+            self.register_table(tid, schema)
+            tables[str(tid)] = schema
 
     # -- streaming loop ----------------------------------------------------
     def start(self, raw_stream: DataFrame, tables: dict[str, Schema],
@@ -147,6 +188,8 @@ class StreamingPipeline:
                 from ..sources.debezium import decode_canal
 
                 decode = decode_debezium if self.serialization == "debezium-json" else decode_canal
+                if self.discover_tables:
+                    self._discover_new_tables(data_df, tables, value_col)
                 for tid_str in tables:
                     tid = TableId.parse(tid_str)
                     schema = self.registry.original_schema(tid)
