@@ -22,9 +22,11 @@ BENCH_QUERIES = [
     "transform_projection_arith",
     "transform_string_funcs",
     "transform_temporal",
-    # changelog / partition operators
+    # changelog / partition / temporal operators
     "cdc_materialize_latest",
     "pk_bucket_distribution",
+    "asof_join_events",
+    "interval_join_events",
     # relational extensions
     "agg_pricing_summary",
     "join_shipping_priority",

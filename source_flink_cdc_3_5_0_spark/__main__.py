@@ -35,11 +35,26 @@ def main(argv: list[str] | None = None) -> int:
                .appName(pdef.config.name)
                .config("spark.sql.session.timeZone", pdef.config.local_time_zone)
                .config("spark.sql.adaptive.enabled", "true"))
-    if args.shuffle_partitions:
-        builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    shuffle = args.shuffle_partitions
+    if shuffle is None and args.master.startswith("local"):
+        import os as _os
+
+        # local mode: track cores instead of Spark's 200 default (AQE
+        # coalesces anyway, but small pipelines shouldn't schedule 200 tasks)
+        shuffle = _os.cpu_count() or 8
+    if shuffle:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle))
     spark = builder.getOrCreate()
     try:
-        exe = PipelineComposer(spark).compose(pdef)
+        composer = PipelineComposer(spark)
+        if composer.is_streaming(pdef):
+            pipe, raw, tables = composer.compose_streaming(pdef)
+            q = pipe.start(raw, tables)
+            q.awaitTermination()
+            print(f"streaming pipeline {pdef.config.name!r} drained "
+                  f"({len(pipe.registry.known_tables())} table(s))")
+            return 0
+        exe = composer.compose(pdef)
         exe.run()
         tables = exe.registry.known_tables()
         print(f"pipeline {pdef.config.name!r} finished: "

@@ -278,6 +278,59 @@ class PipelineComposer:
             return ParquetSnapshotSource(tables, pks)
         raise ValueError(f"unknown source type {t!r} (programmatic sources: pass source=)")
 
+    # -- streaming YAML surface -------------------------------------------
+    STREAMING_SOURCE_TYPES = ("debezium-file", "kafka")
+
+    def is_streaming(self, pdef: PipelineDef) -> bool:
+        return pdef.source.type.lower() in self.STREAMING_SOURCE_TYPES
+
+    def compose_streaming(self, pdef: PipelineDef, sink: DataSink | None = None):
+        """Build a StreamingPipeline + raw stream from a streaming-source
+        YAML (source types: ``debezium-file`` with ``path``; ``kafka`` with
+        ``bootstrap-servers``/``topics``). Required source options:
+        ``tables`` = JSON {table-id: Spark DDL schema string} (or {} with
+        ``discover-tables: true``), optional ``primary-keys`` JSON map,
+        ``serialization``, ``checkpoint``."""
+        import json
+
+        from pyspark.sql import types as T
+
+        from ..streaming.runner import StreamingPipeline, file_stream_source, kafka_stream_source
+
+        opts = pdef.source.options_dict()
+        snk = sink if sink is not None else self._create_sink(pdef)
+        if pdef.config.local_time_zone:
+            self.spark.conf.set("spark.sql.session.timeZone", pdef.config.local_time_zone)
+        self._register_udfs(pdef)
+        self._register_models(pdef)
+
+        pks = json.loads(opts.get("primary-keys", "{}"))
+        tables: dict[str, Schema] = {}
+        for tid, ddl in json.loads(opts.get("tables", "{}")).items():
+            st = T.StructType.fromDDL(ddl)
+            tables[tid] = Schema.from_struct_type(st, primary_keys=pks.get(tid, ()))
+
+        pipe = StreamingPipeline.create(
+            self.spark, snk,
+            checkpoint_dir=opts.get("checkpoint", ".cdc_checkpoint"),
+            transforms=pdef.transforms, routes=pdef.routes,
+            behavior=pdef.config.schema_change_behavior,
+            parallelism=pdef.config.parallelism if pdef.config.parallelism > 1 else None,
+            serialization=opts.get("serialization", "debezium-json"),
+            discover_tables=opts.get("discover-tables", "false").lower() == "true",
+        )
+        t = pdef.source.type.lower()
+        if t == "debezium-file":
+            raw = file_stream_source(self.spark, opts["path"])
+        else:
+            from ..sources.jdbc import StartupOptions
+
+            startup = StartupOptions(mode=opts.get("startup-mode", "initial"),
+                                     specific_offset=opts.get("specific-offset"))
+            raw = kafka_stream_source(self.spark, opts["bootstrap-servers"],
+                                      opts["topics"], startup)
+        return pipe, raw, tables
+
     def _create_sink(self, pdef: PipelineDef) -> DataSink:
         t = pdef.sink.type.lower()
         opts = pdef.sink.options_dict()

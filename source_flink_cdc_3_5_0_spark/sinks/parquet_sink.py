@@ -147,6 +147,33 @@ class ParquetUpsertSink(DataSink):
         finally:
             batch_final.unpersist()
 
+    def compact(self, spark: SparkSession, table_id: TableId,
+                target_files_per_bucket: int = 1) -> None:
+        """Small-file compaction: rewrite each bucket directory down to
+        ``target_files_per_bucket`` parquet files. Long-running CDC upserts
+        accumulate one file set per touched batch; compaction is the
+        standard background maintenance (Delta OPTIMIZE / Paimon compaction
+        analog). Buckets compact independently, so at scale this can run on
+        a slice of buckets per pass."""
+        import shutil
+
+        data_dir = self._data_dir(table_id)
+        if not os.path.exists(data_dir):
+            return
+        for d in sorted(os.listdir(data_dir)):
+            if not d.startswith(f"{_BUCKET_COL}="):
+                continue
+            bucket_dir = os.path.join(data_dir, d)
+            files = [x for x in os.listdir(bucket_dir) if x.endswith(".parquet")]
+            if len(files) <= target_files_per_bucket:
+                continue
+            tmp = bucket_dir + ".compact_tmp"
+            (spark.read.parquet(bucket_dir)
+             .coalesce(target_files_per_bucket)
+             .write.mode("overwrite").parquet(tmp))
+            shutil.rmtree(bucket_dir)
+            os.rename(tmp, bucket_dir)
+
     def read(self, spark: SparkSession, table_id: TableId) -> DataFrame:
         data_dir = self._data_dir(table_id)
         has_data = os.path.exists(data_dir) and any(
