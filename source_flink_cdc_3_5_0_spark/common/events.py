@@ -136,6 +136,10 @@ class RenameColumnEvent(SchemaChangeEvent):
 class AlterColumnTypeEvent(SchemaChangeEvent):
     table_id: TableId
     type_mapping: tuple[tuple[str, T.DataType], ...]  # (col, new type)
+    # LENIENT decomposition uses ALTER solely to relax nullability (drop/
+    # rename keep the column, nullable). Flagged here — NEVER on the DataType
+    # objects, which are process-wide singletons in PySpark.
+    force_nullable: bool = False
 
     def mapping_dict(self) -> dict[str, T.DataType]:
         return dict(self.type_mapping)

@@ -3,28 +3,16 @@
 The reference formats/parses with ``java.text.SimpleDateFormat``
 (``SystemFunctionUtils.java:105-145`` DATE_FORMAT / TO_DATE / TO_TIMESTAMP),
 while Spark >= 3.0 uses ``java.time.DateTimeFormatter`` patterns. The two
-dialects agree on the common letters (y M d H m s) but diverge on a few:
-
-| SimpleDateFormat | meaning              | DateTimeFormatter |
-|------------------|----------------------|-------------------|
-| ``u``            | day number of week   | ``e``             |
-| ``S``            | millisecond          | ``S`` (fraction — same rendering for SSS) |
-| ``z``/``Z``      | tz name / RFC offset | kept as-is        |
-| ``Y``            | week year            | ``Y`` (same)      |
-
-Additionally SimpleDateFormat is lenient about pattern-letter counts where
-DateTimeFormatter throws (e.g. ``yyyyy``); we clamp known letters to their
-maximum legal Spark run length.
+dialects agree on the common letters (y M d H m s S E a z); the known
+divergence is ``u`` (SimpleDateFormat: day number of week; DateTimeFormatter
+uses ``e``). Run lengths are passed through unchanged — DateTimeFormatter
+accepts the same padding semantics for these letters (``MMMM`` = full month
+name in both, ``yyyyy`` = pad-to-5 in both).
 """
 
 from __future__ import annotations
 
-import re
-
 _TRANSLATE = {"u": "e"}
-# Max run-lengths DateTimeFormatter accepts for the letters the reference
-# documents (docs/content/docs/core-concept/transform.md).
-_MAX_RUN = {"y": 4, "M": 3, "d": 2, "H": 2, "h": 2, "m": 2, "s": 2, "a": 1, "E": 4}
 
 
 def translate_java_pattern(pattern: str) -> str:
@@ -51,11 +39,7 @@ def translate_java_pattern(pattern: str) -> str:
             j = i
             while j < n and pattern[j] == ch:
                 j += 1
-            run = j - i
-            letter = _TRANSLATE.get(ch, ch)
-            if letter in _MAX_RUN and run > _MAX_RUN[letter] and letter != "y":
-                run = _MAX_RUN[letter]
-            out.append(letter * run)
+            out.append(_TRANSLATE.get(ch, ch) * (j - i))
             i = j
             continue
         out.append(ch)

@@ -268,10 +268,14 @@ class _Parser:
             neg = bool(self.accept("kw", "NOT"))
             if self.accept("kw", "NULL"):
                 return f"({left} IS {'NOT ' if neg else ''}NULL)"
+            # IS TRUE/FALSE distinguish NULL from FALSE, so the operand
+            # must carry the null-is-false guard even in filter context
+            # (it may have been parsed unguarded) — re-guard here.
+            guarded = f"coalesce({left}, false)"
             if self.accept("kw", "TRUE"):
-                return f"(({left}) {'IS NOT TRUE' if neg else 'IS TRUE'})"
+                return f"(({guarded}) {'IS NOT TRUE' if neg else 'IS TRUE'})"
             if self.accept("kw", "FALSE"):
-                return f"(({left}) {'IS NOT FALSE' if neg else 'IS FALSE'})"
+                return f"(({guarded}) {'IS NOT FALSE' if neg else 'IS FALSE'})"
             raise ExpressionError(f"bad IS clause near pos {t.pos}")
         neg = False
         if t.kind == "kw" and t.text == "NOT" and self.peek(1).text in ("BETWEEN", "IN", "LIKE"):
@@ -402,6 +406,15 @@ class _Parser:
         return f"`{name}`"
 
     def parse_case(self) -> str:
+        # inside CASE, comparison results feed value positions (THEN/ELSE
+        # can be booleans surfacing in output) — keep the guard on
+        self._wrap_stack.append(True)
+        try:
+            return self._parse_case_inner()
+        finally:
+            self._wrap_stack.pop()
+
+    def _parse_case_inner(self) -> str:
         self.expect("kw", "CASE")
         parts = ["CASE"]
         if not (self.peek().kind == "kw" and self.peek().text in ("WHEN",)):
@@ -422,7 +435,12 @@ class _Parser:
     def parse_cast(self) -> str:
         self.expect("kw", "CAST")
         self.expect("op", "(")
-        inner = self.parse_expr()
+        # CAST(x AS ...) materializes x — guard comparisons inside
+        self._wrap_stack.append(True)
+        try:
+            inner = self.parse_expr()
+        finally:
+            self._wrap_stack.pop()
         self.expect("kw", "AS")
         tname = self.expect("ident").text.upper()
         if tname not in _CAST_TYPES:
@@ -447,7 +465,16 @@ class _Parser:
         fname = name_tok.text.upper()
         self.functions.add(fname)
         self.expect("op", "(")
+        # a comparison used as a FUNCTION ARGUMENT (e.g. COALESCE(x > 5,
+        # TRUE)) surfaces its NULL-vs-FALSE distinction — guard applies even
+        # in filter context
+        self._wrap_stack.append(True)
+        try:
+            return self._parse_call_inner(fname)
+        finally:
+            self._wrap_stack.pop()
 
+    def _parse_call_inner(self, fname: str) -> str:
         if fname == "TRIM":
             return self._parse_trim()
         if fname in ("SUBSTRING", "SUBSTR"):

@@ -93,7 +93,7 @@ def apply_schema_change_event(schema: Schema | None, event: SchemaChangeEvent) -
         for c in schema.columns:
             if c.name in mapping:
                 new_type = mapping[c.name]
-                nullable = c.nullable or getattr(new_type, "_force_nullable", False)
+                nullable = c.nullable or event.force_nullable
                 cols.append(Column(c.name, new_type, nullable, c.comment, c.default_expr, c.metadata_key))
             else:
                 cols.append(c)
@@ -142,8 +142,7 @@ def lenientize(old_schema: Schema, event: SchemaChangeEvent) -> list[SchemaChang
         }
         if not to_relax:
             return []
-        ev = AlterColumnTypeEvent(tid, tuple(to_relax.items()))
-        return [_mark_force_nullable(ev)]
+        return [AlterColumnTypeEvent(tid, tuple(to_relax.items()), force_nullable=True)]
     if isinstance(event, RenameColumnEvent):
         adds, relax = [], {}
         for old_name, new_name in event.name_mapping:
@@ -155,17 +154,9 @@ def lenientize(old_schema: Schema, event: SchemaChangeEvent) -> list[SchemaChang
             adds.append(ColumnWithPosition(Column(new_name, col.data_type, True, col.comment, col.default_expr)))
         out: list[SchemaChangeEvent] = [AddColumnEvent(tid, tuple(adds))]
         if relax:
-            out.append(_mark_force_nullable(AlterColumnTypeEvent(tid, tuple(relax.items()))))
+            out.append(AlterColumnTypeEvent(tid, tuple(relax.items()), force_nullable=True))
         return out
     return [event]
-
-
-def _mark_force_nullable(ev: AlterColumnTypeEvent) -> AlterColumnTypeEvent:
-    # AlterColumnType events produced by lenientization only relax
-    # nullability; tag the types so apply_schema_change_event flips the flag.
-    for _, t in ev.type_mapping:
-        t._force_nullable = True  # noqa: SLF001 - internal marker
-    return ev
 
 
 def normalize_schema_change_events(

@@ -259,10 +259,14 @@ class PostTransform:
         if has_before:
             # project the before-image with the same expressions, evaluated
             # over the before struct's fields
+            from ..functions.dialect import METADATA_COLUMNS
+
             before_fields = []
             for i in ct.projection_cols:
                 sql = i.compiled.sql
                 for col in sorted(i.compiled.columns, key=len, reverse=True):
+                    if col in METADATA_COLUMNS:
+                        continue  # metadata cols bind per-row, not per-image
                     sql = sql.replace(f"`{col}`", f"`{BEFORE_COL}`.`{col}`")
                 before_fields.append(F.expr(render(sql)).alias(i.alias))
             passthrough.append(

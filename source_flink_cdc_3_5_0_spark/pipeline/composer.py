@@ -160,15 +160,21 @@ class PipelineExecution:
         for ev in events:
             if not applier.accepts(ev.event_type()):
                 continue
+            # apply to the external system FIRST; only a successful apply
+            # advances the registry, so under TRY_EVOLVE a failed ALTER
+            # leaves rows coerced to the schema the sink actually has (and
+            # the evolution is retried on the next incompatible batch)
+            from ..operators.schema_evolution import apply_schema_change_event
+
+            tentative = apply_schema_change_event(
+                self.registry.evolved_schema(sink_tid), ev)
             try:
-                new_schema = self.registry.apply_evolved(sink_tid, ev)
-                applier.apply_schema_change(sink_tid, ev, new_schema)
+                applier.apply_schema_change(sink_tid, ev, tentative)
             except Exception:
                 if self.behavior == SchemaChangeBehavior.TRY_EVOLVE:
-                    # TRY_EVOLVE: applier failures tolerated; rows are
-                    # coerced to the last successfully-applied schema
                     continue
                 raise
+            self.registry.apply_evolved(sink_tid, ev)
 
     # -- data plane -------------------------------------------------------
     def _process_data(self, batch: ChangeBatch) -> None:

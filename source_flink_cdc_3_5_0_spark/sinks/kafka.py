@@ -74,4 +74,9 @@ class KafkaChangelogSink(DataSink):
             out = os.path.join(self.output_dir, topic, f"batch_{batch_id}")
             if os.path.exists(out):
                 return  # idempotent replay
-            encoded.select(F.col("value")).write.mode("overwrite").text(out)
+            # write to a temp dir then atomically rename: a crash mid-write
+            # must not leave a partial dir that replay would mistake for a
+            # completed batch
+            tmp = out + ".tmp"
+            encoded.select(F.col("value")).write.mode("overwrite").text(tmp)
+            os.rename(tmp, out)

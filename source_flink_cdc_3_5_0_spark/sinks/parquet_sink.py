@@ -71,9 +71,17 @@ class ParquetUpsertSink(DataSink):
     def metadata_applier(self) -> MetadataApplier:
         return _ParquetMetadataApplier(self)
 
+    _INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
     def _bucket_of(self, df: DataFrame, pks: list[str]):
-        key = F.coalesce(F.col(pks[0]).cast("bigint"),
-                         F.lit(0)) if len(pks) == 1 else F.abs(F.hash(*pks).cast("bigint"))
+        # numeric single PK: portable multiplicative hash (oracle-checkable,
+        # matches the PrePartition operator); any other key shape: Spark's
+        # hash — casting a string PK to bigint would yield NULL and funnel
+        # the whole table into bucket 0.
+        if len(pks) == 1 and dict(df.dtypes).get(pks[0]) in self._INTEGRAL:
+            key = F.coalesce(F.col(pks[0]).cast("bigint"), F.lit(0))
+        else:
+            key = F.abs(F.hash(*pks).cast("bigint"))
         return portable_bucket_expr(key, self.num_buckets)
 
     def write(self, table_id: TableId, df: DataFrame, schema: Schema, batch_id: int) -> None:
@@ -119,15 +127,24 @@ class ParquetUpsertSink(DataSink):
                  .select(*names, _BUCKET_COL)
                  .write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(data_dir))
                 return
-            # dynamic partition overwrite: only touched buckets are replaced
+            # dynamic partition overwrite: only touched buckets are replaced.
+            # mergeSchema + null-fill keeps post-evolution batches intact:
+            # existing files may predate an ADD COLUMN, so align BOTH sides
+            # to the evolved column list instead of current.columns (which
+            # would silently drop the new column's data).
             current = (
-                spark.read.option("basePath", data_dir).parquet(data_dir)
+                spark.read.option("basePath", data_dir)
+                .option("mergeSchema", "true").parquet(data_dir)
                 .where(F.col(_BUCKET_COL).isin(touched))
             )
+            out_cols = names + [_BUCKET_COL]
+            have = set(current.columns)
+            aligned_current = current.select(*[
+                F.col(c) if c in have else F.lit(None).alias(c) for c in out_cols])
             merged = (
-                current.join(batch_final.select(*pks), on=pks, how="left_anti")
+                aligned_current.join(batch_final.select(*pks), on=pks, how="left_anti")
                 .unionByName(
-                    batch_final.where(F.col(OP_COL) != "-D").select(*current.columns),
+                    batch_final.where(F.col(OP_COL) != "-D").select(*out_cols),
                     allowMissingColumns=True)
             )
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -185,5 +202,14 @@ class ParquetUpsertSink(DataSink):
             with open(self._schema_path(table_id)) as f:
                 schema = Schema.from_json(f.read())
             return spark.createDataFrame([], schema.struct_type())
-        df = spark.read.parquet(data_dir)
-        return df.drop(_BUCKET_COL) if _BUCKET_COL in df.columns else df
+        df = spark.read.option("mergeSchema", "true").parquet(data_dir)
+        if _BUCKET_COL in df.columns:
+            df = df.drop(_BUCKET_COL)
+        # coerce to the evolved sidecar schema (older files null-fill
+        # post-evolution columns; column order follows the registry)
+        if os.path.exists(self._schema_path(table_id)):
+            from ..operators.schema_evolution import coercion_select
+
+            with open(self._schema_path(table_id)) as f:
+                df = coercion_select(df, Schema.from_json(f.read()))
+        return df

@@ -132,7 +132,13 @@ class StreamingPipeline:
             ).where(F.col("table").isNotNull()).distinct().collect()
         )
         for r in pairs:
-            tid = TableId(r["db"] or "", r["schema"] or "", r["table"])
+            # schema-less sources (MySQL-style Debezium) get 2-part ids
+            # (db.table), matching TableId.parse conventions so 2-part
+            # route/transform selectors still apply to discovered tables
+            if r["schema"]:
+                tid = TableId(r["db"] or "", r["schema"], r["table"])
+            else:
+                tid = TableId("", r["db"] or "", r["table"])
             if str(tid) in tables or self.registry.original_schema(tid) is not None:
                 continue
             mine = data_df.where(
@@ -157,12 +163,14 @@ class StreamingPipeline:
 
         ``tables``: table-id string -> payload Schema (with primary keys).
         """
-        for tid_str, schema in tables.items():
-            self.register_table(TableId.parse(tid_str), schema)
-
+        # restore FIRST, then register declared tables the checkpoint does
+        # not know yet — the other order wipes tables added to the config
+        # after a restart and their data would be silently skipped
         registry_ckpt = os.path.join(self.checkpoint_dir, "schema_registry.json")
         if os.path.exists(registry_ckpt):
             self.registry = SchemaRegistry.restore(registry_ckpt)
+        for tid_str, schema in tables.items():
+            self.register_table(TableId.parse(tid_str), schema)
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             from ..common.events_json import schema_event_from_json
