@@ -423,6 +423,22 @@ GROUP BY ROLLUP(r_name, n_name)
 """
 
 
+def q_agg_cube_orders(spark, sf_dir):
+    """CUBE over (status, priority) — grouping-sets family extension."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total"),
+    )
+
+
+ORACLE_CUBE_ORDERS = """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
 def q_window_top_orders(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -725,6 +741,7 @@ QUERIES: dict[str, object] = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_shipping_priority": q_join_shipping_priority,
     "join_region_rollup": q_join_region_rollup,
+    "agg_cube_orders": q_agg_cube_orders,
     "window_top_orders": q_window_top_orders,
     "join_anti_customers_no_orders": q_join_anti_customers_no_orders,
     "join_semi_customers_with_orders": q_join_semi_customers_with_orders,
@@ -760,6 +777,7 @@ ORACLES: dict[str, str] = {
     "agg_pricing_summary": ORACLE_PRICING_SUMMARY,
     "join_shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "join_region_rollup": ORACLE_REGION_ROLLUP,
+    "agg_cube_orders": ORACLE_CUBE_ORDERS,
     "window_top_orders": ORACLE_WINDOW_TOP_ORDERS,
     "join_anti_customers_no_orders": ORACLE_ANTI_CUSTOMERS,
     "join_semi_customers_with_orders": ORACLE_SEMI_CUSTOMERS,
