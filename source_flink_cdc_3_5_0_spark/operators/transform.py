@@ -231,23 +231,54 @@ class PostTransform:
         has_before = BEFORE_COL in df.columns
         binds = metadata_bindings(table_id)
 
+        if len(compiled) == 1:
+            # fast path: single rule keeps the filter inline (pushdown-friendly)
+            return self._apply_rule(df, compiled[0], has_op, has_before)
+
+        # First-match-per-row (PostTransformOperator.processDataChangeEvent:
+        # 288-331 returns on the FIRST transformer whose filter passes; rows
+        # passing no filter are dropped). Each rule's pass-predicate is
+        # rewritten over the pre-row, and rule i only sees rows that failed
+        # rules 0..i-1 — no duplication across overlapping filters.
+        passes = [self._pass_expr(ct, has_op) for ct in compiled]
         frames: list[DataFrame] = []
-        remaining = df
+        prior_any = None
         for idx, ct in enumerate(compiled):
-            is_last = idx == len(compiled) - 1
-            cur = remaining
-            frames.append(self._apply_rule(cur, ct, has_op, has_before))
-            # first-match: only an unfiltered rule ends the chain, and
-            # effective_rules already truncated after it; filtered rules each
-            # see ALL rows of the table (reference applies every filtered rule
-            # to the stream; rows can match several rules -> fan-out union).
+            cond = passes[idx] if prior_any is None else (passes[idx] & ~prior_any)
+            frames.append(self._apply_rule(df.where(cond), ct, has_op, has_before,
+                                           apply_filter=False))
+            prior_any = passes[idx] if prior_any is None else (prior_any | passes[idx])
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
         return out
 
+    def _pass_expr(self, ct: CompiledTransform, has_op: bool):
+        """Rule's filter as a pre-row boolean Column (null -> False).
+
+        Filter references resolve aliases-first (aliases shadow physical
+        columns), so alias references are inlined with their defining
+        projection expression via placeholders (no cascading substitution).
+        """
+        if ct.filter_compiled is None:
+            return F.lit(True)
+        sql = ct.filter_compiled.sql
+        alias_sql = {i.alias: i.compiled.sql for i in ct.projection_cols}
+        subs: list[tuple[str, str]] = []
+        for k, name in enumerate(sorted(ct.filter_compiled.columns, key=len, reverse=True)):
+            expr = alias_sql.get(name)
+            if expr is not None and expr != f"`{name}`":
+                ph = f"\x00{k}\x00"
+                sql = sql.replace(f"`{name}`", ph)
+                subs.append((ph, f"({expr})"))
+        for ph, expr in subs:
+            sql = sql.replace(ph, expr)
+        if has_op:
+            sql = sql.replace("`__data_event_type__`", f"`{OP_COL}`")
+        return F.coalesce(F.expr(sql).cast("boolean"), F.lit(False))
+
     def _apply_rule(self, df: DataFrame, ct: CompiledTransform, has_op: bool,
-                    has_before: bool) -> DataFrame:
+                    has_before: bool, apply_filter: bool = True) -> DataFrame:
         # dynamic metadata column: __data_event_type__ -> __op value
         def render(sql: str) -> str:
             return sql.replace("`__data_event_type__`", f"`{OP_COL}`") if has_op else sql
@@ -278,7 +309,7 @@ class PostTransform:
             passthrough.append(F.col(META_COL))
 
         projected = df.select(*proj_exprs, *passthrough)
-        if ct.filter_compiled is not None:
+        if ct.filter_compiled is not None and apply_filter:
             # filter sees pre ∪ post row; aliases shadow originals. We select
             # original columns not shadowed + projected, filter, then drop.
             aliases = {i.alias for i in ct.projection_cols}

@@ -96,6 +96,11 @@ class PipelineExecution:
     # runner sets "stream" so markers line up with the checkpointed
     # micro-batch ids across restarts (replay dedupe).
     run_id: str = field(default="")
+    # (table_id, input schema) -> inferred output schema. Inference costs one
+    # Catalyst analysis; uncached it runs per table per (micro-)batch even
+    # when the schema never changed. The streaming runner shares one cache
+    # across its per-batch executions.
+    schema_cache: dict = field(default_factory=dict)
 
     def _sink_batch_id(self) -> str | int:
         return f"{self.run_id}_{self.batches_run}" if self.run_id else self.batches_run
@@ -103,7 +108,11 @@ class PipelineExecution:
     # -- schema inference -------------------------------------------------
     def _infer_output_schema(self, table_id: TableId, in_schema: Schema) -> Schema:
         """True output schema of the transform chain, via Catalyst analysis
-        on an empty frame (driver-only, no job)."""
+        on an empty frame (driver-only, no job). Cached per (table, input
+        schema version)."""
+        cached = self.schema_cache.get((table_id, in_schema))
+        if cached is not None:
+            return cached
         empty = self.spark.createDataFrame([], in_schema.struct_type())
         from ..sources.base import attach_envelope
 
@@ -116,12 +125,14 @@ class PipelineExecution:
             d = declared.get_column(f.name)
             cols.append(Column(f.name, f.dataType, f.nullable,
                                d.comment if d else None, d.default_expr if d else None))
-        return Schema(
+        out = Schema(
             columns=tuple(cols),
             primary_keys=declared.primary_keys,
             partition_keys=declared.partition_keys,
             options=declared.options,
         )
+        self.schema_cache[(table_id, in_schema)] = out
+        return out
 
     # -- control plane ----------------------------------------------------
     def _handle_schema_events(self, batch: ChangeBatch) -> None:

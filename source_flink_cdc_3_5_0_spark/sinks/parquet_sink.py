@@ -100,7 +100,13 @@ class ParquetUpsertSink(DataSink):
         if not pks or not has_op:
             # append-only path (no PK / pure inserts): still bucket-partition
             # the layout when a PK exists so later upserts can prune
-            out = df.select(*names)
+            out = df.select(*names, *([OP_COL] if has_op else []))
+            if has_op:
+                # PK-less changelog: -D/-U rows carry BEFORE images — without
+                # a key there is nothing to retract against, and appending
+                # them would resurrect deleted rows as live data (the
+                # reference's upsert sinks require a key for changelogs)
+                out = out.where(~F.col(OP_COL).isin("-D", "-U")).drop(OP_COL)
             if pks:
                 out = out.withColumn(_BUCKET_COL, self._bucket_of(out, pks))
                 out.write.mode("append").partitionBy(_BUCKET_COL).parquet(data_dir)
@@ -147,10 +153,13 @@ class ParquetUpsertSink(DataSink):
                     batch_final.where(F.col(OP_COL) != "-D").select(*out_cols),
                     allowMissingColumns=True)
             )
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             merged = merged.persist()
             remaining = {r[0] for r in merged.select(_BUCKET_COL).distinct().collect()}
-            merged.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(data_dir)
+            # per-write option, NOT spark.conf.set — mutating the session conf
+            # would silently change unrelated overwrite-with-partitionBy writes
+            (merged.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy(_BUCKET_COL).parquet(data_dir))
             merged.unpersist()
             # dynamic overwrite only replaces partitions present in the
             # output — a touched bucket whose rows were ALL deleted writes

@@ -83,10 +83,15 @@ class StreamingPipeline:
 
     # -- shared control plane (delegates to the batch execution) ----------
     def _execution(self) -> PipelineExecution:
+        if not hasattr(self, "_schema_cache"):
+            # shared across per-batch executions: one Catalyst schema
+            # inference per (table, schema version), not per micro-batch
+            self._schema_cache: dict = {}
         return PipelineExecution(
             spark=self.spark, source=None, sink=self.sink, pre=self.pre,
             post=self.post, router=self.router, registry=self.registry,
-            behavior=self.behavior, parallelism=self.parallelism, run_id="")
+            behavior=self.behavior, parallelism=self.parallelism, run_id="",
+            schema_cache=self._schema_cache)
 
     def register_table(self, table_id: TableId, schema: Schema) -> None:
         """Declare a captured table (snapshot of the source catalog)."""
@@ -139,11 +144,20 @@ class StreamingPipeline:
                 tid = TableId(r["db"] or "", r["schema"], r["table"])
             else:
                 tid = TableId("", r["db"] or "", r["table"])
-            if str(tid) in tables or self.registry.original_schema(tid) is not None:
+            if str(tid) in tables:
+                continue
+            known = self.registry.original_schema(tid)
+            if known is not None:
+                # registry knows it (e.g. discovered before a restart) but the
+                # caller's table dict doesn't — re-add so the decode loop
+                # doesn't silently drop its data
+                tables[str(tid)] = known
                 continue
             mine = data_df.where(
                 (F.get_json_object(F.col(value_col), "$.source.table") == tid.table_name)
-                & (F.get_json_object(F.col(value_col), "$.source.db") == (tid.namespace or ""))
+                & (F.coalesce(F.get_json_object(F.col(value_col), "$.source.db"),
+                              F.get_json_object(F.col(value_col), "$.source.schema"))
+                   == (tid.namespace or tid.schema_name))
             )
             after_json = mine.select(
                 F.coalesce(
@@ -171,6 +185,11 @@ class StreamingPipeline:
             self.registry = SchemaRegistry.restore(registry_ckpt)
         for tid_str, schema in tables.items():
             self.register_table(TableId.parse(tid_str), schema)
+        # tables discovered mid-stream in a PRIOR run live in the restored
+        # registry but not in the caller's dict — seed them back, or the
+        # decode loop (which iterates `tables`) would silently drop their data
+        for tid in self.registry.known_tables():
+            tables.setdefault(str(tid), self.registry.original_schema(tid))
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             from ..common.events_json import schema_event_from_json
@@ -185,17 +204,31 @@ class StreamingPipeline:
                 #    FIRST so the whole batch decodes with the newest schema
                 #    (LENIENT add-only evolution makes that sound: earlier
                 #    rows null-fill the new columns)
-                ddl_raw = batch_df.where(
-                    F.col(value_col).startswith('{"ddl"')).collect()
+                is_ddl = F.get_json_object(F.col(value_col), "$.ddl").isNotNull()
+                ddl_raw = batch_df.where(is_ddl).collect()
                 for r in ddl_raw:
                     ev = schema_event_from_json(r[value_col])
                     exe._handle_schema_events(ChangeBatch(ev.table_id, [ev], None))
-                data_df = batch_df.where(~F.col(value_col).startswith('{"ddl"'))
-                # 2. data records, decoded per table with the registry's
-                #    CURRENT schema (not the registration-time one)
+                # 2. data records: route RAW rows by (db, table) extracted
+                #    with get_json_object (cheap path scan), then run the full
+                #    from_json decode only on each table's own slice — the
+                #    batch is parsed once total, not once per registered
+                #    table (O(batch), not O(tables × batch))
                 from ..sources.debezium import decode_canal
 
-                decode = decode_debezium if self.serialization == "debezium-json" else decode_canal
+                if self.serialization == "debezium-json":
+                    src_db = F.coalesce(
+                        F.get_json_object(F.col(value_col), "$.source.db"),
+                        F.get_json_object(F.col(value_col), "$.source.schema"))
+                    src_tbl = F.get_json_object(F.col(value_col), "$.source.table")
+                    decode = decode_debezium
+                else:
+                    src_db = F.get_json_object(F.col(value_col), "$.database")
+                    src_tbl = F.get_json_object(F.col(value_col), "$.table")
+                    decode = decode_canal
+                data_df = (batch_df.where(~is_ddl)
+                           .withColumn("__src_db", src_db)
+                           .withColumn("__src_tbl", src_tbl))
                 if self.discover_tables:
                     self._discover_new_tables(data_df, tables, value_col)
                 for tid_str in tables:
@@ -203,12 +236,12 @@ class StreamingPipeline:
                     schema = self.registry.original_schema(tid)
                     if schema is None:
                         continue  # dropped mid-stream
-                    decoded = decode(data_df, schema.struct_type(), value_col)
-                    mine = decoded.where(
-                        (F.col(META_COL)["table"] == tid.table_name)
-                        & (F.col(META_COL)["db"] == (tid.namespace or tid.schema_name))
-                    )
-                    exe._process_data(ChangeBatch(tid, [], mine))
+                    mine_raw = data_df.where(
+                        (F.col("__src_tbl") == tid.table_name)
+                        & (F.col("__src_db") == (tid.namespace or tid.schema_name))
+                    ).drop("__src_db", "__src_tbl")
+                    decoded = decode(mine_raw, schema.struct_type(), value_col)
+                    exe._process_data(ChangeBatch(tid, [], decoded))
                 self.registry.checkpoint(registry_ckpt)
             finally:
                 batch_df.unpersist()
