@@ -26,6 +26,7 @@ from .extensions import text as X
 from .extensions.dedup import (
     exact_dedup,
     embedding_neardup_pairs,
+    minhash_lsh_exact_pairs,
     minhash_lsh_pairs,
     simhash_neardup_pairs,
 )
@@ -594,21 +595,125 @@ WHERE round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash LSH near-dup pairs — not SQL-expressible (banded signature
-    join); rows-only driver check, pinned further by pytest golden tests."""
-    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), jaccard_threshold=0.5)
+    """MinHash-LSH near-dup pairs, exact-verified: banded signatures prune
+    candidates (r=1/b=64 → miss prob ≤ (1-J)^64 ≈ 1e-19 at J≥0.5), true
+    word-3-gram Jaccard decides — so the result equals the DuckDB all-pairs
+    exact-Jaccard oracle while the Spark plan never goes all-pairs."""
+    return minhash_lsh_exact_pairs(load(spark, sf_dir, "documents"),
+                                   jaccard_threshold=0.5)
+
+
+ORACLE_MINHASH_LSH = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         list_distinct(CASE
+           WHEN len(t) >= 3 THEN
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+           ELSE []::VARCHAR[] END) AS g
+  FROM toks)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 6) AS jaccard
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.g, b.g))) > 0) p
+WHERE jaccard >= 0.5
+"""
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash hamming-distance near-dups — rows-only check."""
-    return simhash_neardup_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash hamming-distance near-dups. The 4×16-bit banding is
+    pigeonhole-LOSSLESS for hamming≤3 (≥1 band must be identical), so the
+    banded result equals the all-pairs answer — oracled by recomputing the
+    md5-based simhash in DuckDB (md5_number_upper = little-endian first 8
+    digest bytes, the exact hash ``simhash64`` uses)."""
+    out = simhash_neardup_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+ORACLE_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS tok
+  FROM documents),
+bits AS (
+  SELECT doc_id, s.s,
+         CASE WHEN SUM(CASE WHEN (md5_number_upper(tok) >> s.s) & 1 = 1
+                            THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+  FROM toks CROSS JOIN (SELECT unnest(range(0, 64)) AS s) s
+  GROUP BY doc_id, s.s),
+sh AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(SUM(CASE WHEN b.bit = 1 THEN
+                 CASE WHEN b.s = 63 THEN -9223372036854775808
+                      ELSE (1::BIGINT << b.s) END
+               ELSE 0 END), 0) AS BIGINT) AS sh
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  LEFT JOIN bits b ON d.doc_id = b.doc_id
+  GROUP BY d.doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-bucketed ANN — approximate by design; rows-only check."""
+    """IVF-bucketed ANN with deterministic centroids (the first 8 vectors by
+    vec_id) so the bucket assignment, probing and ranking are all
+    SQL-expressible — the DuckDB oracle replays the same IVF search. The
+    library's ``train_centroids`` k-means path stays available for real use;
+    this query pins the bucket/probe/rank machinery."""
     emb = load(spark, sf_dir, "embeddings")
-    cents = train_centroids(emb, n_centroids=8)
-    return ivf_topk(emb, emb.where(F.col("vec_id") < 8), cents, k=5, nprobe=3)
+    seed = (emb.where(F.col("vec_id") < 8).orderBy("vec_id")
+            .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+            .collect())
+    cents = [list(r["v"]) for r in seed]
+    out = ivf_topk(emb, emb.where(F.col("vec_id") < 8), cents, k=5, nprobe=3)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+ORACLE_ANN_IVF = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS bucket, e AS c FROM v WHERE vec_id < 8),
+cdist AS (
+  SELECT v.vec_id, cents.bucket,
+         list_sum(list_transform(range(1, len(v.e) + 1),
+                  i -> (v.e[i] - cents.c[i]) * (v.e[i] - cents.c[i]))) AS d
+  FROM v CROSS JOIN cents),
+cand_bucket AS (
+  SELECT vec_id, bucket FROM (
+    SELECT vec_id, bucket,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, bucket ASC) AS rn
+    FROM cdist) t WHERE rn = 1),
+probe AS (
+  SELECT vec_id, bucket FROM (
+    SELECT vec_id, bucket,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, bucket ASC) AS rn
+    FROM cdist WHERE vec_id < 8) t WHERE rn <= 3),
+pairs AS (
+  SELECT p.vec_id AS query_id, cb.vec_id AS cand_id
+  FROM probe p JOIN cand_bucket cb ON p.bucket = cb.bucket
+  WHERE cb.vec_id <> p.vec_id),
+scored AS (
+  SELECT query_id, cand_id,
+         round(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+  FROM pairs JOIN v q ON q.vec_id = query_id JOIN v c ON c.vec_id = cand_id)
+SELECT query_id, cand_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id ASC) AS rank
+  FROM scored) r
+WHERE rank <= 5
+"""
 
 
 def q_asof_join_events(spark, sf_dir):
@@ -797,6 +902,9 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ann_cosine_topk": ORACLE_ANN_TOPK,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+    "dedup_simhash": ORACLE_SIMHASH,
+    "ann_ivf_topk": ORACLE_ANN_IVF,
     "asof_join_events": ORACLE_ASOF_JOIN,
     "interval_join_events": ORACLE_INTERVAL_JOIN,
     "window_running_total": ORACLE_WINDOW_RUNNING,

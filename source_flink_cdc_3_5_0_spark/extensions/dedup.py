@@ -170,6 +170,56 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def word_ngrams_col(text_col: str, k: int = 3):
+    """Distinct word k-gram set as a Column — the JVM-side mirror of
+    ``_shingle_hashes``'s shingling (lowercase, whitespace split, k-grams;
+    texts shorter than k words collapse to one whole-text gram)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    kgrams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )
+    short = F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(
+        F.array().cast("array<string>"))
+    return F.array_distinct(F.when(n >= k, kgrams).otherwise(short))
+
+
+def minhash_lsh_exact_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                            jaccard_threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs by TRUE word-3-gram Jaccard, with MinHash LSH as
+    the candidate pruner (r=1, b=64 banding: a pair is a candidate if ANY of
+    the 64 minhash values collide — miss probability (1-J)^64 ≤ 1e-19 at
+    J≥0.5, so the output equals the all-pairs exact answer, checkable by a
+    DuckDB oracle). Verification runs JVM-side (array_intersect/union on the
+    gram sets of candidate pairs only) — never all-pairs.
+
+    Returns (id_a, id_b, jaccard) with jaccard = |∩|/|∪| over distinct
+    3-gram sets, rounded to 6 dp."""
+    base = _spread(df, id_col).select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col)).alias("sig"),
+        word_ngrams_col(text_col).alias("grams"),
+    )
+    hashes = base.select(
+        id_col, "grams", F.posexplode("sig").alias("hx", "hv"))
+    cand = (
+        hashes.alias("l").join(hashes.alias("r"), on=["hx", "hv"])
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"),
+                F.col("l.grams").alias("ga"), F.col("r.grams").alias("gb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb")).cast("double")
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .where(union > 0)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash_neardup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                           max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit hash into 4×16-bit keys
@@ -198,12 +248,22 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "
 
 def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                             id_col: str = "vec_id", block_col: str | None = "label",
-                            min_cosine: float = 0.95) -> DataFrame:
+                            min_cosine: float = 0.95,
+                            allow_all_pairs: bool = False) -> DataFrame:
     """Cosine-similar pairs with equi-join blocking (no all-pairs shuffle).
+
+    ``block_col=None`` means an O(n²) cross join — refused unless
+    ``allow_all_pairs=True`` (tiny inputs only); at scale use a blocking
+    column or LSH (``minhash_lsh_pairs`` / ``simhash_neardup_pairs``).
 
     Cosine is computed in double precision with an explicit left-to-right
     fold so the DuckDB oracle can reproduce it bit-for-bit.
     """
+    if block_col is None and not allow_all_pairs:
+        raise ValueError(
+            "embedding_neardup_pairs without block_col is an all-pairs cross "
+            "join; pass a blocking column, use an LSH variant, or opt in "
+            "explicitly with allow_all_pairs=True for small inputs")
     v = df.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),

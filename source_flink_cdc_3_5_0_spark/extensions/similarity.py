@@ -69,31 +69,49 @@ def train_centroids(df: DataFrame, vec_col: str = "embedding", n_centroids: int 
     return [[float(v) for v in c] for c in cent]
 
 
+def nearest_buckets(vec, centroids: list[list[float]], n: int):
+    """Column of the ``n`` nearest centroid bucket ids for a vector column.
+
+    Pure per-row projection: the centroid table rides along as an array
+    literal (tiny — K·dim doubles, the same payload a broadcast would ship),
+    distances evaluate as codegen'd higher-order functions, and the argmin is
+    ``array_sort`` over (dist, bucket) structs. Zero joins, zero windows,
+    zero shuffles — the round-1 version windowed over the FULL ROW (vector
+    included) to pick argmin, shuffling every vector as a window key."""
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(int(i)).alias("bucket"),
+            F.array(*[F.lit(float(v)) for v in c]).alias("centroid"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(vec, c["centroid"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+            c["bucket"].alias("bucket"),
+        ),
+    )
+    # array_sort on struct<d,bucket> orders by dist asc then bucket asc —
+    # the deterministic tie-break
+    return F.transform(F.slice(F.array_sort(scored), 1, n), lambda s: s["bucket"])
+
+
 def ivf_topk(candidates: DataFrame, queries: DataFrame, centroids: list[list[float]],
              k: int = 5, nprobe: int = 4, vec_col: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:
     """IVF-bucketed approximate top-k: candidates pre-assigned to their
     nearest centroid; each query searches its ``nprobe`` nearest buckets."""
-    spark = candidates.sparkSession
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "bucket INT, centroid ARRAY<DOUBLE>")
-
-    def bucket_assign(df: DataFrame, vec: str, n: int, out: str) -> DataFrame:
-        joined = df.crossJoin(F.broadcast(cent_df))
-        dist = F.aggregate(
-            F.zip_with(F.col(vec), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
-        w = Window.partitionBy(*df.columns).orderBy(dist.asc(), F.col("bucket").asc())
-        return (joined.withColumn("__rk", F.row_number().over(w))
-                .where(F.col("__rk") <= n).drop("__rk", "centroid")
-                .withColumnRenamed("bucket", out))
-
-    cand = bucket_assign(
-        candidates.select(F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cv")),
-        "cv", 1, "bucket")
-    qry = bucket_assign(
-        queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")),
-        "qv", nprobe, "bucket")
+    cand = candidates.select(
+        F.col(id_col).alias("cand_id"), _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn(
+        "bucket", F.element_at(nearest_buckets(F.col("cv"), centroids, 1), 1))
+    qry = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn(
+        "bucket", F.explode(nearest_buckets(F.col("qv"), centroids, nprobe)))
     joined = cand.join(F.broadcast(qry), on="bucket").where(F.col("cand_id") != F.col("query_id"))
     cos = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())

@@ -76,3 +76,37 @@ def test_dedup_partial_aggregation(spark):
 def test_ann_broadcasts_queries(spark):
     p = plan_of(EQ.q_ann_cosine_topk(spark, SF))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_ivf_bucket_assign_adds_no_exchange(spark):
+    """Round-1 'weak' finding: bucket assignment windowed over the full row
+    (vector included) — a shuffle with ARRAY<DOUBLE> keys. The rewrite is a
+    pure projection: centroid literals + array_sort argmin."""
+    from source_flink_cdc_3_5_0_spark.extensions.similarity import nearest_buckets
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned = emb.select(
+        "vec_id",
+        F.element_at(nearest_buckets(
+            F.transform("embedding", lambda x: x.cast("double")),
+            [[0.0] * 8, [1.0] * 8], 1), 1).alias("bucket"),
+    )
+    p = plan_of(assigned)
+    assert "Exchange" not in p, f"bucket assignment must not shuffle:\n{p}"
+    assert "Window" not in p
+
+
+def test_ivf_topk_matches_bruteforce_on_probed_buckets(spark):
+    """IVF with nprobe=K (probe everything) must equal brute force exactly;
+    with small nprobe it returns a subset ranking of the same K."""
+    from source_flink_cdc_3_5_0_spark.extensions.similarity import (
+        cosine_topk_bruteforce, ivf_topk, train_centroids)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 4)
+    cents = train_centroids(emb, n_centroids=4)
+    exact = {(r.query_id, r.rank): r.cand_id
+             for r in cosine_topk_bruteforce(emb, q, k=3).collect()}
+    full_probe = {(r.query_id, r.rank): r.cand_id
+                  for r in ivf_topk(emb, q, cents, k=3, nprobe=4).collect()}
+    assert full_probe == exact
