@@ -21,6 +21,8 @@ def transform_table(
     table_id: str = "default_namespace.default_schema.tbl",
     primary_keys: list[str] | None = None,
     with_envelope: bool = False,
+    udfs: set[str] | None = None,
+    converter_after_transform: str | None = None,
 ) -> DataFrame:
     """Apply one transform rule (projection/filter in the CDC dialect) to a
     DataFrame through the engine's PostTransform operator.
@@ -35,8 +37,9 @@ def transform_table(
         projection=projection,
         filter=filter,
         primary_keys=tuple(primary_keys or ()),
+        converter_after_transform=converter_after_transform,
     )
-    post = PostTransform([rule])
+    post = PostTransform([rule], udfs)
     src = attach_envelope(df) if with_envelope else df
     out = post.apply(src, tid, schema)
     return out if with_envelope else strip_envelope(out)

@@ -835,6 +835,163 @@ def q_multimodal_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# 5. Operator parity queries (round-2: driver coverage for pytest-only §2 ops)
+# ---------------------------------------------------------------------------
+
+def q_transform_udf(spark, sf_dir):
+    """User-defined function through the transform dialect (E10; reference
+    test FlinkPipelineUdfITCase.java). The UDF is registered on the session
+    and called from the projection string like any dialect function."""
+    def key_tag(k):
+        return None if k is None else f"K{int(k):06d}"
+
+    spark.udf.register("key_tag", key_tag, T.StringType())
+    return transform_table(
+        load(spark, sf_dir, "nation"),
+        projection="n_nationkey, key_tag(n_nationkey) AS tag, n_name",
+        table_id="tpch.main.nation",
+        udfs={"key_tag"},
+    )
+
+
+ORACLE_TRANSFORM_UDF = """
+SELECT n_nationkey, 'K' || lpad(CAST(n_nationkey AS VARCHAR), 6, '0') AS tag, n_name
+FROM nation
+"""
+
+
+def q_transform_soft_delete(spark, sf_dir):
+    """SOFT_DELETE converter (E9; SoftDeleteConverter.java:30-40): -D events
+    rewrite to +I carrying the image, so 'deleted' keys SURVIVE
+    materialization — contrast with cdc_materialize_latest where the same
+    'error' tombstones remove the key."""
+    ev = load(spark, sf_dir, "events")
+    env = ev.select(
+        "*",
+        F.when(F.col("event_type") == "error", F.lit("-D")).otherwise(F.lit("+U")).alias(OP_COL),
+        F.col("event_id").alias(SEQ_COL),
+    )
+    out = transform_table(
+        env, projection="user_id, event_id, event_type, value",
+        table_id="tpch.main.events", with_envelope=True,
+        converter_after_transform="SOFT_DELETE",
+    )
+    latest = latest_image(out, ["user_id"], seq_col=SEQ_COL)
+    return latest.select("user_id", "event_id", "event_type", "value")
+
+
+ORACLE_SOFT_DELETE = """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1
+"""
+
+
+def q_codec_debezium_roundtrip(spark, sf_dir):
+    """debezium-json serializer/deserializer round-trip (S7;
+    JsonSerializationType.java:29-32): engine envelope -> Kafka (key,value)
+    JSON -> envelope; identity oracle on the payload."""
+    from .sources.base import attach_envelope
+    from .sources.debezium import decode_debezium, encode_debezium
+    from .common.tableid import TableId
+
+    cust = load(spark, sf_dir, "customer")
+    tid = TableId.parse("tpch.main.customer")
+    schema = Schema.from_struct_type(cust.schema, primary_keys=["c_custkey"])
+    encoded = encode_debezium(attach_envelope(cust), tid, schema)
+    decoded = decode_debezium(encoded, schema.struct_type())
+    return decoded.select(*[c.name for c in schema.columns])
+
+
+ORACLE_CODEC_DEBEZIUM = """
+SELECT * FROM customer
+"""
+
+
+def q_codec_canal_roundtrip(spark, sf_dir):
+    """canal-json serializer/deserializer round-trip (S7)."""
+    from .sources.base import attach_envelope
+    from .sources.debezium import decode_canal, encode_canal
+    from .common.tableid import TableId
+
+    supp = load(spark, sf_dir, "supplier")
+    tid = TableId.parse("tpch.main.supplier")
+    schema = Schema.from_struct_type(supp.schema, primary_keys=["s_suppkey"])
+    encoded = encode_canal(attach_envelope(supp), tid, schema)
+    decoded = decode_canal(encoded, schema.struct_type())
+    return decoded.select(*[c.name for c in schema.columns])
+
+
+ORACLE_CODEC_CANAL = """
+SELECT * FROM supplier
+"""
+
+
+def q_sink_upsert_merge(spark, sf_dir):
+    """Parquet upsert sink end-to-end (P9/S8; the changelog-applying sink
+    contract of the lake writers): snapshot insert batch, then a scripted
+    update/delete batch, read back the merged table state. Oracle = the same
+    changelog replayed as SQL over `customer`."""
+    import tempfile
+
+    from .common.tableid import TableId
+    from .sinks.parquet_sink import ParquetUpsertSink
+    from .sources.base import attach_envelope
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    tid = TableId.parse("out.db.customer")
+    schema = Schema.from_struct_type(cust.schema, primary_keys=["c_custkey"])
+    sink = ParquetUpsertSink(tempfile.mkdtemp(prefix="cdc_sink_merge_"), num_buckets=16)
+    sink.write(tid, attach_envelope(cust, "+I", seq=0), schema, batch_id=0)
+    updates = (cust.where(F.col("c_custkey") % 10 == 0)
+               .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+               .select("*", F.lit("+U").alias(OP_COL), F.lit(1).cast("bigint").alias(SEQ_COL)))
+    deletes = (cust.where(F.col("c_custkey") % 7 == 0)
+               .select("*", F.lit("-D").alias(OP_COL), F.lit(2).cast("bigint").alias(SEQ_COL)))
+    sink.write(tid, updates.unionByName(deletes), schema, batch_id=1)
+    return sink.read(spark, tid)
+
+
+ORACLE_SINK_UPSERT = """
+SELECT c_custkey, c_name,
+       CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+FROM customer WHERE c_custkey % 7 <> 0
+"""
+
+
+def q_transform_op_ts_metadata(spark, sf_dir):
+    """Connector metadata column in expressions (SupportedMetadataColumn /
+    OpTsMetadataColumn.java): `op_ts` resolves to the source's per-row
+    ``__meta['ts_ms']`` inside any projection/filter."""
+    from .common.events import META_COL
+
+    ev = load(spark, sf_dir, "events")
+    env = ev.select(
+        "event_id", "user_id",
+        F.map_from_arrays(
+            F.array(F.lit("ts_ms"), F.lit("db"), F.lit("table")),
+            F.array((F.unix_micros("ts") / 1000).cast("bigint").cast("string"),
+                    F.lit("tpch"), F.lit("events")),
+        ).alias(META_COL),
+    )
+    return transform_table(
+        env,
+        projection="event_id, user_id, op_ts, op_ts DIV 1000 AS op_ts_sec",
+        filter="op_ts > 0",
+        table_id="tpch.main.events",
+    )
+
+
+ORACLE_OP_TS = """
+SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS op_ts,
+       epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS op_ts_sec
+FROM events WHERE epoch_ms(CAST(ts AS TIMESTAMP)) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -875,6 +1032,13 @@ QUERIES: dict[str, object] = {
     "interval_join_events": q_interval_join_events,
     "window_running_total": q_window_running_total,
     "array_functions": q_array_functions,
+    # operator parity (round-2 driver coverage)
+    "transform_udf": q_transform_udf,
+    "transform_soft_delete": q_transform_soft_delete,
+    "codec_debezium_roundtrip": q_codec_debezium_roundtrip,
+    "codec_canal_roundtrip": q_codec_canal_roundtrip,
+    "sink_upsert_merge": q_sink_upsert_merge,
+    "transform_op_ts_metadata": q_transform_op_ts_metadata,
 }
 
 ORACLES: dict[str, str] = {
@@ -905,6 +1069,12 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
     "dedup_simhash": ORACLE_SIMHASH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
+    "transform_udf": ORACLE_TRANSFORM_UDF,
+    "transform_soft_delete": ORACLE_SOFT_DELETE,
+    "codec_debezium_roundtrip": ORACLE_CODEC_DEBEZIUM,
+    "codec_canal_roundtrip": ORACLE_CODEC_CANAL,
+    "sink_upsert_merge": ORACLE_SINK_UPSERT,
+    "transform_op_ts_metadata": ORACLE_OP_TS,
     "asof_join_events": ORACLE_ASOF_JOIN,
     "interval_join_events": ORACLE_INTERVAL_JOIN,
     "window_running_total": ORACLE_WINDOW_RUNNING,

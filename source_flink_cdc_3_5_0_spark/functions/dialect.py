@@ -350,6 +350,12 @@ class _Parser:
                 self.next()
                 right = self.parse_unary()
                 left = f"({left} {t.text} {right})"
+            elif t.kind == "ident" and t.text.upper() == "DIV":
+                # MySQL integer division (transform expression dialect);
+                # Spark's `DIV` operator has the same truncating semantics
+                self.next()
+                right = self.parse_unary()
+                left = f"({left} DIV {right})"
             else:
                 return left
 

@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 
 from ..common.events import BEFORE_COL, META_COL, OP_COL
+from ..sources.base import SEQ_COL
 from ..common.schema import Column, Schema
 from ..common.tableid import TableId, cached_selectors
 from ..common.types import STRING
@@ -85,6 +86,16 @@ def metadata_bindings(table_id: TableId) -> dict[str, str]:
         "__schema_name__": table_id.schema_name,
         "__table_name__": table_id.table_name,
     }
+
+
+# Connector-declared metadata columns usable in any transform expression
+# (SupportedMetadataColumn.java / OpTsMetadataColumn.java): name -> SQL over
+# the envelope's ``__meta`` map. Resolved per-row when the source carries
+# ``__meta``; referencing one against a source without it fails analysis —
+# the same contract as a connector not declaring the column.
+SOURCE_METADATA_COLUMNS: dict[str, str] = {
+    "op_ts": f"CAST(`{META_COL}`['ts_ms'] AS BIGINT)",
+}
 
 
 @dataclass
@@ -240,7 +251,8 @@ class PostTransform:
         # passing no filter are dropped). Each rule's pass-predicate is
         # rewritten over the pre-row, and rule i only sees rows that failed
         # rules 0..i-1 — no duplication across overlapping filters.
-        passes = [self._pass_expr(ct, has_op) for ct in compiled]
+        passes = [self._pass_expr(ct, has_op, META_COL in df.columns)
+                  for ct in compiled]
         frames: list[DataFrame] = []
         prior_any = None
         for idx, ct in enumerate(compiled):
@@ -253,7 +265,7 @@ class PostTransform:
             out = out.unionByName(f, allowMissingColumns=True)
         return out
 
-    def _pass_expr(self, ct: CompiledTransform, has_op: bool):
+    def _pass_expr(self, ct: CompiledTransform, has_op: bool, has_meta: bool):
         """Rule's filter as a pre-row boolean Column (null -> False).
 
         Filter references resolve aliases-first (aliases shadow physical
@@ -273,15 +285,27 @@ class PostTransform:
                 subs.append((ph, f"({expr})"))
         for ph, expr in subs:
             sql = sql.replace(ph, expr)
+        sql = self._render_dynamic(sql, has_op, has_meta)
+        return F.coalesce(F.expr(sql).cast("boolean"), F.lit(False))
+
+    @staticmethod
+    def _render_dynamic(sql: str, has_op: bool, has_meta: bool) -> str:
+        """Bind dynamic metadata references: ``__data_event_type__`` -> the
+        envelope op column; connector metadata (``op_ts``) -> its ``__meta``
+        expression when the source carries the map."""
         if has_op:
             sql = sql.replace("`__data_event_type__`", f"`{OP_COL}`")
-        return F.coalesce(F.expr(sql).cast("boolean"), F.lit(False))
+        if has_meta:
+            for name, expr in SOURCE_METADATA_COLUMNS.items():
+                sql = sql.replace(f"`{name}`", f"({expr})")
+        return sql
 
     def _apply_rule(self, df: DataFrame, ct: CompiledTransform, has_op: bool,
                     has_before: bool, apply_filter: bool = True) -> DataFrame:
-        # dynamic metadata column: __data_event_type__ -> __op value
+        has_meta = META_COL in df.columns
+
         def render(sql: str) -> str:
-            return sql.replace("`__data_event_type__`", f"`{OP_COL}`") if has_op else sql
+            return self._render_dynamic(sql, has_op, has_meta)
 
         proj_exprs = [F.expr(render(i.compiled.sql)).alias(i.alias) for i in ct.projection_cols]
         passthrough = []
@@ -296,7 +320,7 @@ class PostTransform:
             for i in ct.projection_cols:
                 sql = i.compiled.sql
                 for col in sorted(i.compiled.columns, key=len, reverse=True):
-                    if col in METADATA_COLUMNS:
+                    if col in METADATA_COLUMNS or col in SOURCE_METADATA_COLUMNS:
                         continue  # metadata cols bind per-row, not per-image
                     sql = sql.replace(f"`{col}`", f"`{BEFORE_COL}`.`{col}`")
                 before_fields.append(F.expr(render(sql)).alias(i.alias))
@@ -305,8 +329,11 @@ class PostTransform:
                 .otherwise(F.lit(None))
                 .alias(BEFORE_COL)
             )
-        if META_COL in df.columns:
+        if has_meta:
             passthrough.append(F.col(META_COL))
+        if SEQ_COL in df.columns:
+            # per-key ordering survives the transform (sink merges order on it)
+            passthrough.append(F.col(SEQ_COL))
 
         projected = df.select(*proj_exprs, *passthrough)
         if ct.filter_compiled is not None and apply_filter:
@@ -314,7 +341,7 @@ class PostTransform:
             # original columns not shadowed + projected, filter, then drop.
             aliases = {i.alias for i in ct.projection_cols}
             extra = [c for c in df.columns if c not in aliases
-                     and c not in (OP_COL, BEFORE_COL, META_COL)]
+                     and c not in (OP_COL, BEFORE_COL, META_COL, SEQ_COL)]
             if extra:
                 staged = df.select(
                     *[F.col(c).alias(f"__pre_{c}") for c in extra],

@@ -114,9 +114,15 @@ class PipelineExecution:
         if cached is not None:
             return cached
         empty = self.spark.createDataFrame([], in_schema.struct_type())
+        from pyspark.sql import functions as F
+
         from ..sources.base import attach_envelope
 
-        out = self.post.apply(attach_envelope(empty), table_id, in_schema)
+        # include a typed __meta so connector metadata references (op_ts)
+        # analyze during inference; the data path carries the real map
+        env = attach_envelope(empty).withColumn(
+            META_COL, F.lit(None).cast("map<string,string>"))
+        out = self.post.apply(env, table_id, in_schema)
         compiled = self.post.compile(table_id, in_schema)
         declared = compiled[0].output_schema if compiled else in_schema
         phys = [f for f in out.schema.fields if f.name not in (OP_COL, BEFORE_COL, META_COL, SEQ_COL)]
