@@ -250,13 +250,15 @@ def get_common_schema(schemas: Sequence[Schema]) -> Schema:
 # ---------------------------------------------------------------------------
 
 def coercion_select(df: DataFrame, target: Schema, keep_extra: Sequence[str] = ()) -> DataFrame:
-    """Project ``df`` onto ``target``: cast widened columns, null-fill
-    missing ones, drop unknown ones; envelope columns in ``keep_extra`` pass
-    through untouched.
+    """Project ``df`` onto ``target``: cast widened columns, fill missing
+    ones with their declared default expression (null when none), drop
+    unknown ones; envelope columns in ``keep_extra`` pass through untouched.
 
     Parity: ``SchemaMergingUtils.coerceRow`` (:258-323) /
-    ``SchemaDerivator.coerceDataRecord`` (:298-344), expressed declaratively
-    so Catalyst folds it into the surrounding stage (no shuffle, codegen'd).
+    ``SchemaDerivator.coerceDataRecord`` (:298-344); default-value fill
+    mirrors ``PhysicalColumn.defaultValueExpression`` applied on ADD COLUMN.
+    Expressed declaratively so Catalyst folds it into the surrounding stage
+    (no shuffle, codegen'd).
     """
     have = {f.name: f.dataType for f in df.schema.fields}
     cols = []
@@ -266,6 +268,8 @@ def coercion_select(df: DataFrame, target: Schema, keep_extra: Sequence[str] = (
                 cols.append(F.col(c.name))
             else:
                 cols.append(F.col(c.name).cast(c.data_type).alias(c.name))
+        elif c.default_expr is not None:
+            cols.append(F.expr(str(c.default_expr)).cast(c.data_type).alias(c.name))
         else:
             cols.append(F.lit(None).cast(c.data_type).alias(c.name))
     for extra in keep_extra:

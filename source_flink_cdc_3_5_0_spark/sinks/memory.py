@@ -50,16 +50,36 @@ class _MemoryMetadataApplier(MetadataApplier):
             return
         old = s.schemas[table_id]
         s.schemas[table_id] = evolved_schema
-        old_names = [c.name for c in old.columns]
+        old_names = {c.name for c in old.columns}
         new_names = [c.name for c in evolved_schema.columns]
         rename = event.mapping_dict() if isinstance(event, RenameColumnEvent) else {}
-        # restructure stored rows to the evolved schema (null-fill new cols)
+        # ADD COLUMN backfills existing rows with the declared default
+        # (PhysicalColumn.defaultValueExpression); no default -> null-fill
+        fills = {}
+        if isinstance(event, AddColumnEvent):
+            for cw in event.added_columns:
+                c = cw.column
+                if c.name not in old_names and c.default_expr is not None:
+                    fills[c.name] = _eval_default(c)
+        # restructure stored rows to the evolved schema
         new_state = {}
         for pk, row in s.state.get(table_id, {}).items():
             renamed = {rename.get(k, k): v for k, v in row.items()}
-            new_state[pk] = {n: renamed.get(n) for n in new_names}
+            new_state[pk] = {n: renamed.get(n, fills.get(n)) for n in new_names}
         s.state[table_id] = new_state
-        _ = old_names  # kept for debuggability
+
+
+def _eval_default(col) -> object:
+    """Evaluate a column's SQL default expression driver-side (one tiny
+    local job per DDL event — test-sink scale)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:  # pragma: no cover
+        return None
+    row = spark.range(1).selectExpr(
+        f"CAST({col.default_expr} AS {col.data_type.simpleString()}) AS v").collect()
+    return row[0]["v"]
 
 
 class MemorySink(DataSink):

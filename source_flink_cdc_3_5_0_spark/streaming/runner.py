@@ -104,13 +104,24 @@ class StreamingPipeline:
                 exe._evolve_sink_table(sink_tid, out_schema)
 
     # -- 'initial' startup mode: snapshot backfill then stream -------------
-    def initial_load(self, snapshots: dict[str, DataFrame]) -> None:
+    def _watermarks_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "snapshot_watermarks.json")
+
+    def initial_load(self, snapshots: dict[str, DataFrame],
+                     stream_watermarks: dict[str, int] | None = None) -> None:
         """StartupOptions 'initial' analog: apply a bounded snapshot of each
         table through the same transform/route/sink path before attaching to
-        the log stream. The stream must start at/before the snapshot's
-        capture offset; PK upsert makes the overlap idempotent (the
-        reference stitches with low/high binlog watermarks — our sink-side
-        upsert absorbs replays instead)."""
+        the log stream (started at/before the snapshot's capture offset).
+
+        ``stream_watermarks``: table-id -> highest stream offset/seq already
+        reflected in that table's snapshot (the reference's high watermark,
+        HybridSplitAssigner.java:53-110). Stream records with ``__seq`` at or
+        below the watermark are filtered out — the exactly-once stitch that
+        PK-less/append-only tables need (PK upsert absorbs replays, appends
+        cannot). Persisted in the checkpoint dir so restarts keep filtering.
+        """
+        import json
+
         from ..sources.base import ChangeBatch, attach_envelope
 
         exe = self._execution()
@@ -121,6 +132,16 @@ class StreamingPipeline:
                 self.register_table(
                     tid, Schema.from_struct_type(df.schema))
             exe._process_data(ChangeBatch(tid, [], attach_envelope(df)))
+        if stream_watermarks:
+            os.makedirs(self.checkpoint_dir, exist_ok=True)
+            merged = dict(stream_watermarks)
+            if os.path.exists(self._watermarks_path()):
+                with open(self._watermarks_path()) as f:
+                    merged = {**json.load(f), **merged}
+            tmp = self._watermarks_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(merged, f)
+            os.replace(tmp, self._watermarks_path())
 
     def _discover_new_tables(self, data_df: DataFrame, tables: dict[str, Schema],
                              value_col: str) -> None:
@@ -190,6 +211,14 @@ class StreamingPipeline:
         # decode loop (which iterates `tables`) would silently drop their data
         for tid in self.registry.known_tables():
             tables.setdefault(str(tid), self.registry.original_schema(tid))
+        # snapshot high watermarks (initial_load): stream records already
+        # reflected in the snapshot are filtered per table
+        import json as _json
+
+        watermarks: dict[str, int] = {}
+        if os.path.exists(self._watermarks_path()):
+            with open(self._watermarks_path()) as f:
+                watermarks = {k: int(v) for k, v in _json.load(f).items()}
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             from ..common.events_json import schema_event_from_json
@@ -241,6 +270,12 @@ class StreamingPipeline:
                         & (F.col("__src_db") == (tid.namespace or tid.schema_name))
                     ).drop("__src_db", "__src_tbl")
                     decoded = decode(mine_raw, schema.struct_type(), value_col)
+                    wm = watermarks.get(tid_str)
+                    if wm is not None:
+                        # high-watermark stitch: drop records the snapshot
+                        # already contains; unknown (null) seq is kept
+                        decoded = decoded.where(
+                            F.coalesce(F.col(SEQ_COL) > F.lit(wm), F.lit(True)))
                     exe._process_data(ChangeBatch(tid, [], decoded))
                 self.registry.checkpoint(registry_ckpt)
             finally:

@@ -151,3 +151,48 @@ def test_ddl_detection_is_key_order_independent(spark, tmp_path):
     q.awaitTermination(120)
     assert "rank" in sink.schemas[tid].column_names()
     assert sink.row_count(tid) == 2
+
+
+def test_pkless_snapshot_stream_stitch_no_duplicates(spark, tmp_path):
+    """VERDICT missing#2 (HybridSplitAssigner.java:53-110): PK-less tables
+    must not duplicate rows in the snapshot/stream overlap — the snapshot's
+    high watermark filters already-reflected stream records."""
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    tid = TableId.parse("inv.s.logs")
+    schema = Schema.of(Column("id", T.LongType(), False),
+                       Column("name", T.StringType()))  # NO primary key
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], "id LONG, name STRING")
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        f.write("\n".join([
+            # ts 5 <= watermark 10: already in the snapshot (the overlap)
+            _dbz("logs", "c", {"id": 2, "name": "b"}, ts=5),
+            # ts 20 > watermark: genuinely new
+            _dbz("logs", "c", {"id": 3, "name": "c"}, ts=20),
+        ]))
+    sink = ParquetUpsertSink(str(tmp_path / "out"), num_buckets=2)
+    pipe = StreamingPipeline.create(spark, sink, ckpt)
+    pipe.register_table(tid, schema)
+    pipe.initial_load({"inv.s.logs": snap}, stream_watermarks={"inv.s.logs": 10})
+    q = pipe.start(file_stream_source(spark, src), {"inv.s.logs": schema})
+    q.awaitTermination(120)
+    rows = sorted((r["id"], r["name"]) for r in sink.read(spark, tid).collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]  # no duplicate of id=2
+
+
+def test_coercion_fills_declared_default_expr(spark):
+    """VERDICT missing#4 (PhysicalColumn.defaultValueExpression): a missing
+    column with a declared default fills with the default, not null."""
+    from source_flink_cdc_3_5_0_spark.operators.schema_evolution import coercion_select
+
+    df = spark.createDataFrame([(1,), (2,)], "id INT")
+    target = Schema.of(
+        Column("id", T.IntegerType(), False),
+        Column("flag", T.StringType(), default_expr="'new'"),
+        Column("score", T.IntegerType(), default_expr="40 + 2"),
+        Column("nodefault", T.StringType()),
+    )
+    rows = coercion_select(df, target).collect()
+    assert all(r["flag"] == "new" and r["score"] == 42 and r["nodefault"] is None
+               for r in rows)
