@@ -195,25 +195,65 @@ def minhash_lsh_exact_pairs(df: DataFrame, text_col: str = "text", id_col: str =
     gram sets of candidate pairs only) — never all-pairs.
 
     Returns (id_a, id_b, jaccard) with jaccard = |∩|/|∪| over distinct
-    3-gram sets, rounded to 6 dp."""
-    base = _spread(df, id_col).select(
-        F.col(id_col),
-        minhash_signature(F.col(text_col)).alias("sig"),
-        word_ngrams_col(text_col).alias("grams"),
+    3-gram sets, rounded to 6 dp.
+
+    Shape (three tiers, each shuffling less data than the one before):
+      1. band join on exploded (id, hash) pairs only — never the document
+         payload; r=1 banding admits any pair sharing ANY slot, so it's a
+         strict superset of the answer but a WEAK filter (~4% of all pairs
+         on uniform text),
+      2. signature-estimate prune: join the 64-int signatures back by id
+         and keep pairs with est-Jaccard ≥ threshold − 0.35; a true pair at
+         J = threshold sits ≥ 5σ above that floor (Binom(64, J)), so the
+         superset property survives while candidates drop ~1000×,
+      3. true-Jaccard verify on the gram arrays of the survivors only.
+    The per-doc base (id, signature, grams) is persist()ed: the plan fans
+    out into 5 branches with different projections, so ReusedExchange can
+    never fire (column pruning makes every subtree distinct — verified:
+    6 ArrowEvalPython nodes without the persist) and the pandas UDF would
+    re-run per branch. MEMORY_AND_DISK keeps it one UDF pass at any scale;
+    size is O(docs × (64 longs + gram array))."""
+    from pyspark import StorageLevel
+
+    sig = (
+        _spread(df, id_col)
+        .select(F.col(id_col),
+                minhash_signature(F.col(text_col)).alias("sig"),
+                word_ngrams_col(text_col).alias("grams"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    hashes = base.select(
-        id_col, "grams", F.posexplode("sig").alias("hx", "hv"))
+    hashes = sig.select(F.col(id_col), F.posexplode("sig").alias("hx", "hv"))
     cand = (
         hashes.alias("l").join(hashes.alias("r"), on=["hx", "hv"])
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"),
-                F.col("l.grams").alias("ga"), F.col("r.grams").alias("gb"))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sa", "sb", lambda a, b: (a == b).cast("int")),
+        F.lit(0), lambda acc, x: acc + x,
+    ) / F.lit(_N_HASHES)
+    est_floor = max(jaccard_threshold - 0.35, 0.05)
+    pruned = (
+        cand.join(sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sa")),
+                  on="id_a")
+        .join(sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sb")),
+              on="id_b")
+        .where(est >= F.lit(est_floor))
+        .select("id_a", "id_b")
+    )
+    grams = sig.select(F.col(id_col), "grams")
+    pairs = (
+        pruned.join(grams.select(F.col(id_col).alias("id_a"),
+                                 F.col("grams").alias("ga")), on="id_a")
+        .join(grams.select(F.col(id_col).alias("id_b"),
+                           F.col("grams").alias("gb")), on="id_b")
     )
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
     union = F.size(F.array_union("ga", "gb")).cast("double")
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
         .where(union > 0)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
