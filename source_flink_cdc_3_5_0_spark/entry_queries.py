@@ -473,15 +473,19 @@ SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
 
 
 def q_join_anti_customers_no_orders(spark, sf_dir):
+    # restricted to 1995 so the anti side is non-empty at every SF (the
+    # generator gives every customer at least one order overall)
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between("1995-01-01", "1995-12-31"))
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti") \
         .select("c_custkey", "c_name")
 
 
 ORACLE_ANTI_CUSTOMERS = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31')
 """
 
 
@@ -579,7 +583,9 @@ WHERE rank <= 5
 
 def q_embedding_neardup(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, min_cosine=0.9)
+    # 0.4: the synthetic embeddings top out at ~0.51 within-label cosine,
+    # so a 0.9 gate matches nothing at any SF; 0.4 yields real pairs
+    return embedding_neardup_pairs(emb, min_cosine=0.4)
 
 
 ORACLE_EMBEDDING_NEARDUP = """
@@ -590,7 +596,7 @@ SELECT l.vec_id AS id_a, r.vec_id AS id_b,
 FROM embeddings l JOIN embeddings r ON l.label = r.label AND l.vec_id < r.vec_id
 WHERE round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
       / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
-         * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))), 6) >= 0.9
+         * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))), 6) >= 0.4
 """
 
 
