@@ -23,7 +23,10 @@ class Column:
 
     ``default_expr`` is a SQL expression string (reference keeps the raw
     default-value expression, ``PhysicalColumn.java``); ``metadata_key``
-    marks metadata columns mapped from the source event's meta map.
+    marks metadata columns mapped from the source event's meta map;
+    ``zoned`` marks a TIMESTAMP_TZ column (``ZonedTimestampType.java``) —
+    carried as an instant plus a ``<name>__tz_offset`` side-channel column
+    (see ``functions/zoned_time.py``).
     """
 
     name: str
@@ -32,6 +35,7 @@ class Column:
     comment: str | None = None
     default_expr: str | None = None
     metadata_key: str | None = None
+    zoned: bool = False
 
     @property
     def is_physical(self) -> bool:
@@ -45,6 +49,8 @@ class Column:
             md["default_expr"] = self.default_expr
         if self.metadata_key is not None:
             md["metadata_key"] = self.metadata_key
+        if self.zoned:
+            md["zoned"] = True
         return T.StructField(self.name, self.data_type, self.nullable, md)
 
     @staticmethod
@@ -57,6 +63,7 @@ class Column:
             comment=md.get("comment"),
             default_expr=md.get("default_expr"),
             metadata_key=md.get("metadata_key"),
+            zoned=bool(md.get("zoned", False)),
         )
 
 

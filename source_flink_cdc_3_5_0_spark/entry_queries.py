@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .api import transform_table
 from .common.events import OP_COL
-from .common.schema import Schema
+from .common.schema import Column as SchemaColumn, Schema
 from .extensions import text as X
 from .extensions.dedup import (
     exact_dedup,
@@ -935,6 +935,63 @@ SELECT * FROM supplier
 """
 
 
+def q_zoned_timestamp_roundtrip(spark, sf_dir):
+    """TIMESTAMP_TZ fidelity (ZonedTimestampType.java): zoned ISO-offset
+    strings decode into an instant + ``__tz_offset`` side-channel column and
+    re-render in the ORIGINAL offset — plus a UTC rendering off the same
+    instant. Events get a deterministic per-user offset; the whole round
+    trip runs through the debezium codec (io.debezium.time.ZonedTimestamp
+    wire convention)."""
+    from .common.tableid import TableId
+    from .functions.zoned_time import offset_col_name, render_zoned
+    from .sources.debezium import decode_debezium
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    offs = F.element_at(
+        F.array(F.lit("+05:30"), F.lit("-07:00"), F.lit("+00:00"), F.lit("+09:00")),
+        (F.col("user_id") % 4 + 1).cast("int"))
+    src = F.concat(
+        F.date_format(F.col("ts").cast("timestamp_ntz"),
+                      "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), offs)
+    raw = ev.select(F.format_string(
+        '{"before": null, "after": {"event_id": %s, "src": "%s", "created": "%s"},'
+        ' "op": "c", "ts_ms": %s,'
+        ' "source": {"db": "d", "schema": "s", "table": "t"}}',
+        F.col("event_id"), src, src, F.col("event_id")).alias("value"))
+    schema = Schema.of(
+        SchemaColumn("event_id", T.LongType(), False),
+        SchemaColumn("src", T.StringType()),
+        SchemaColumn("created", T.TimestampType(), zoned=True),
+    )
+    dec = decode_debezium(raw, schema.struct_type())
+    off = F.col(offset_col_name("created"))
+    return dec.select(
+        F.col("event_id"),
+        F.col("src"),
+        render_zoned(F.col("created"), off).alias("out_rt"),
+        off.alias("tz_offset"),
+        render_zoned(F.col("created"), F.lit("+00:00")).alias("utc_ts"),
+    )
+
+
+ORACLE_ZONED_ROUNDTRIP = """
+WITH b AS (
+  SELECT event_id,
+         ['+05:30','-07:00','+00:00','+09:00'][(user_id % 4)::INT + 1] AS offs,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS body6,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S') AS body0,
+         regexp_replace(strftime(ts, '%f'), '0+$', '') AS frac
+  FROM events)
+SELECT event_id,
+       body6 || offs AS src,
+       body0 || CASE WHEN frac = '' THEN '' ELSE '.' || frac END || offs AS out_rt,
+       offs AS tz_offset,
+       strftime(timezone('UTC', (body6 || offs)::TIMESTAMPTZ), '%Y-%m-%dT%H:%M:%S')
+         || CASE WHEN frac = '' THEN '' ELSE '.' || frac END || '+00:00' AS utc_ts
+FROM b
+"""
+
+
 def q_sink_upsert_merge(spark, sf_dir):
     """Parquet upsert sink end-to-end (P9/S8; the changelog-applying sink
     contract of the lake writers): snapshot insert batch, then a scripted
@@ -1043,6 +1100,7 @@ QUERIES: dict[str, object] = {
     "transform_soft_delete": q_transform_soft_delete,
     "codec_debezium_roundtrip": q_codec_debezium_roundtrip,
     "codec_canal_roundtrip": q_codec_canal_roundtrip,
+    "zoned_timestamp_roundtrip": q_zoned_timestamp_roundtrip,
     "sink_upsert_merge": q_sink_upsert_merge,
     "transform_op_ts_metadata": q_transform_op_ts_metadata,
 }
@@ -1079,6 +1137,7 @@ ORACLES: dict[str, str] = {
     "transform_soft_delete": ORACLE_SOFT_DELETE,
     "codec_debezium_roundtrip": ORACLE_CODEC_DEBEZIUM,
     "codec_canal_roundtrip": ORACLE_CODEC_CANAL,
+    "zoned_timestamp_roundtrip": ORACLE_ZONED_ROUNDTRIP,
     "sink_upsert_merge": ORACLE_SINK_UPSERT,
     "transform_op_ts_metadata": ORACLE_OP_TS,
     "asof_join_events": ORACLE_ASOF_JOIN,

@@ -32,6 +32,7 @@ from ..common.events import (
 )
 from ..common.schema import Column, Schema
 from ..common.tableid import TableId
+from ..functions.zoned_time import OFFSET_SUFFIX
 from ..operators.partitioning import pk_repartition
 from ..operators.route import TableIdRouter
 from ..operators.schema_evolution import (
@@ -206,8 +207,11 @@ class PipelineExecution:
         for sink_tid in self.router.route(table_id):
             self._evolve_sink_table(sink_tid, out_schema)
             evolved = self.registry.evolved_schema(sink_tid)
+            tz_extras = tuple(c for c in transformed.columns
+                              if c.endswith(OFFSET_SUFFIX))
             coerced = coercion_select(
-                transformed, evolved, keep_extra=(OP_COL, META_COL, SEQ_COL))
+                transformed, evolved,
+                keep_extra=(OP_COL, META_COL, SEQ_COL) + tz_extras)
             write_schema = evolved
             partitioned = pk_repartition(coerced, write_schema, self.parallelism)
             self.sink.write(sink_tid, partitioned, write_schema, self._sink_batch_id())

@@ -25,6 +25,9 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 from ..common.events import BEFORE_COL, META_COL, OP_COL
 from ..common.schema import Schema
 from ..common.tableid import TableId
+from ..functions.zoned_time import (
+    offset_col_name, render_zoned, split_zoned, wire_schema, zoned_field_names,
+)
 from ..sources.base import SEQ_COL
 
 _DEBEZIUM_OPS = {"c": "+I", "r": "+I", "u": "+U", "d": "-D"}
@@ -52,8 +55,16 @@ def decode_debezium(raw: DataFrame, payload_schema: T.StructType,
     long optional). Update events arrive as single rows carrying both
     images — exactly our envelope's ``__before`` convention. The Kafka
     ``offset`` (or ``ts_ms`` fallback) provides the per-key ``__seq``.
+
+    Zoned (TIMESTAMP_TZ) columns arrive as ISO-8601 offset strings
+    (io.debezium.time.ZonedTimestamp); each is split into the instant
+    column plus a ``<name>__tz_offset`` side-channel column
+    (ZonedTimestampType.java fidelity). The before-image keeps only the
+    instant (its offset is not carried — documented loss; re-encoded
+    before-images render at UTC).
     """
-    env = debezium_value_schema(payload_schema)
+    zoned = zoned_field_names(payload_schema)
+    env = debezium_value_schema(wire_schema(payload_schema))
     parsed = raw.select(
         F.from_json(F.col(value_col).cast("string"), env).alias("v"),
         *([F.col("offset")] if "offset" in raw.columns else []),
@@ -74,7 +85,24 @@ def decode_debezium(raw: DataFrame, payload_schema: T.StructType,
         ).alias(META_COL),
         seq.cast("bigint").alias(SEQ_COL),
     )
-    return out.select("__row.*", OP_COL, BEFORE_COL, META_COL, SEQ_COL)
+    if not zoned:
+        return out.select("__row.*", OP_COL, BEFORE_COL, META_COL, SEQ_COL)
+    cols = []
+    for f in payload_schema.fields:
+        if f.name in zoned:
+            instant, off = split_zoned(F.col(f"__row.{f.name}"))
+            cols += [instant.alias(f.name), off.alias(offset_col_name(f.name))]
+        else:
+            cols.append(F.col(f"__row.{f.name}"))
+    # before-image: zoned fields become instants (offset dropped); the
+    # string->timestamp type change requires rebuilding the struct
+    before = F.when(F.col(BEFORE_COL).isNull(), F.lit(None).cast(
+        payload_schema.simpleString())).otherwise(F.struct(*[
+            split_zoned(F.col(BEFORE_COL)[f.name])[0].alias(f.name)
+            if f.name in zoned else F.col(BEFORE_COL)[f.name].alias(f.name)
+            for f in payload_schema.fields]))
+    return out.select(*cols, OP_COL, before.alias(BEFORE_COL), META_COL,
+                      SEQ_COL)
 
 
 def encode_debezium(df: DataFrame, table_id: TableId, schema: Schema) -> DataFrame:
@@ -83,17 +111,33 @@ def encode_debezium(df: DataFrame, table_id: TableId, schema: Schema) -> DataFra
     Key = JSON of primary-key columns (Debezium key convention); update rows
     (``+U`` with a ``__before`` struct) serialize both images; ``-D`` rows
     put the image in ``before`` with ``after: null``.
+
+    Zoned columns with a present ``<name>__tz_offset`` side-channel column
+    serialize as ISO-8601 strings in their ORIGINAL offset (ZonedTimestamp
+    round-trip); before-images render at UTC (offset not carried there).
     """
     phys = [c.name for c in schema.columns if c.name in df.columns]
-    row = F.struct(*[F.col(c) for c in phys])
+    zoned = {c.name for c in schema.columns
+             if c.zoned and offset_col_name(c.name) in df.columns}
+    row = F.struct(*[
+        render_zoned(F.col(c), F.col(offset_col_name(c))).alias(c)
+        if c in zoned else F.col(c) for c in phys])
     has_op = OP_COL in df.columns
     op = F.col(OP_COL) if has_op else F.lit("+I")
     dbz_op = (F.when(op == "+I", "c").when(op == "+U", "u")
               .when(op == "-U", "u").when(op == "-D", "d"))
+    if BEFORE_COL in df.columns:
+        # zoned fields: before carries instants; render at UTC so the
+        # struct type matches `row` (whose zoned fields are strings)
+        bimg = F.struct(*[
+            render_zoned(F.col(BEFORE_COL)[c], F.lit(None)).alias(c)
+            if c in zoned else F.col(BEFORE_COL)[c].alias(c) for c in phys])
+        bimg = F.when(F.col(BEFORE_COL).isNotNull(), bimg)
+    else:
+        bimg = F.lit(None)
     before = (
         F.when(op == "-D", row)
-        .when(op.isin("+U", "-U"),
-              F.col(BEFORE_COL) if BEFORE_COL in df.columns else F.lit(None))
+        .when(op.isin("+U", "-U"), bimg)
         .otherwise(F.lit(None))
     )
     after = F.when(op != "-D", row).otherwise(F.lit(None))
