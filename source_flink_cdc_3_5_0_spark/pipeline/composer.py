@@ -303,6 +303,15 @@ class PipelineComposer:
             tables = json.loads(opts["tables"])  # {"ns.db.tbl": "/path"}
             pks = json.loads(opts.get("primary-keys", "{}"))
             return ParquetSnapshotSource(tables, pks)
+        if t in ("mysql", "postgres"):
+            # reference YAML parity (MySqlDataSourceFactory.java /
+            # PostgresDataSourceFactory.java): hostname/port/username/
+            # password/tables -> chunk-parallel JDBC snapshot. Duck-typed
+            # DataSource (jdbc.py stays importable without pyspark for the
+            # pure chunk-math tests).
+            from ..sources.jdbc import JdbcPipelineSource
+
+            return JdbcPipelineSource.from_options(t, opts)
         raise ValueError(f"unknown source type {t!r} (programmatic sources: pass source=)")
 
     # -- streaming YAML surface -------------------------------------------
@@ -369,4 +378,37 @@ class PipelineComposer:
             from ..sinks.parquet_sink import ParquetUpsertSink
 
             return ParquetUpsertSink(opts["path"])
+        if t == "kafka":
+            # JsonSerializationType.java:29-32 — debezium-json / canal-json;
+            # properties.bootstrap.servers like the reference, or a local
+            # output-dir spool for sandboxed runs
+            from ..sinks.kafka import KafkaChangelogSink
+
+            return KafkaChangelogSink(
+                serialization=opts.get("value.format",
+                                       opts.get("serialization", "debezium-json")),
+                bootstrap_servers=opts.get("properties.bootstrap.servers",
+                                           opts.get("bootstrap-servers")),
+                topic=opts.get("topic"),
+                output_dir=opts.get("output-dir"),
+            )
+        if t in ("doris", "starrocks", "paimon", "iceberg"):
+            # lake/OLAP sinks: same changelog-apply contract (PK upsert,
+            # delete, idempotent replay) represented by the bucketed
+            # copy-on-write parquet sink; a live-endpoint option without the
+            # external system is refused rather than silently redirected
+            live_opts = [k for k in ("fenodes", "jdbc-url", "load-url",
+                                     "metastore.uris", "uri", "warehouse.s3")
+                         if k in opts]
+            if live_opts:
+                raise ValueError(
+                    f"{t} sink: live endpoint options {live_opts} need the "
+                    "external system (environment-gated); use 'path' for the "
+                    "local lake-contract stand-in")
+            path = opts.get("path") or opts.get("warehouse")
+            if not path:
+                raise ValueError(f"{t} sink needs 'path' (or 'warehouse')")
+            from ..sinks.parquet_sink import ParquetUpsertSink
+
+            return ParquetUpsertSink(path)
         raise ValueError(f"unknown sink type {t!r}")

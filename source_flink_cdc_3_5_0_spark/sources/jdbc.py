@@ -141,3 +141,117 @@ class JdbcSnapshotSource:
         preds = self.plan_predicates(min_key, max_key, row_count)
         return spark.read.jdbc(self.url, self.table, predicates=preds,
                                properties=self.properties)
+
+
+class JdbcPipelineSource:
+    """YAML ``mysql`` / ``postgres`` pipeline-source analog.
+
+    Parity target: ``MySqlDataSourceFactory.java`` /
+    ``PostgresDataSourceFactory.java`` option surface — hostname, port,
+    username, password, ``tables`` (comma list of ``db.table``; regex
+    patterns need live-catalog discovery, which is environment-gated like
+    the reference's SHOW TABLES scan). Each table becomes a chunk-parallel
+    ``spark.read.jdbc`` snapshot split on its PK / declared chunk key
+    (``scan.incremental.snapshot.chunk.key-column``), stats-driven exactly
+    like ``JdbcSourceChunkSplitter``.
+
+    This is the bounded (``startup-mode: snapshot``) path; ``initial`` mode
+    composes with the streaming runner: this snapshot backfills via
+    ``StreamingPipeline.initial_load`` and the binlog arrives through the
+    Debezium/Kafka stream source (SURVEY §2.2 mapping).
+    """
+
+    DIALECT_PORTS = {"mysql": 3306, "postgres": 5432}
+
+    def __init__(self, url: str, tables: list[str],
+                 split_columns: dict[str, str],
+                 properties: dict[str, str] | None = None,
+                 chunk_size: int = DEFAULT_CHUNK_SIZE,
+                 namespace: str | None = None):
+        self.url = url
+        self.table_names = tables
+        self.split_columns = split_columns
+        self.properties = properties or {}
+        self.chunk_size = chunk_size
+        self.namespace = namespace
+
+    @classmethod
+    def from_options(cls, dialect: str, opts: dict[str, str]) -> "JdbcPipelineSource":
+        """Translate reference YAML options to a JDBC source. ``jdbc-url``
+        overrides the hostname/port construction."""
+        if dialect not in cls.DIALECT_PORTS:
+            raise ValueError(f"unsupported jdbc dialect {dialect!r}")
+        url = opts.get("jdbc-url")
+        if not url:
+            host = opts.get("hostname", "localhost")
+            port = int(opts.get("port", cls.DIALECT_PORTS[dialect]))
+            scheme = "mysql" if dialect == "mysql" else "postgresql"
+            url = f"jdbc:{scheme}://{host}:{port}"
+        tables = [t.strip() for t in opts.get("tables", "").split(",") if t.strip()]
+        if not tables:
+            raise ValueError("'tables' is required (comma list of db.table)")
+        import json
+
+        pks = json.loads(opts.get("primary-keys", "{}"))
+        key_col = opts.get("scan.incremental.snapshot.chunk.key-column")
+        split = {}
+        for t in tables:
+            cols = pks.get(t)
+            split[t] = key_col or (cols[0] if cols else None)
+            if split[t] is None:
+                raise ValueError(
+                    f"no split column for {t}: declare primary-keys or "
+                    "scan.incremental.snapshot.chunk.key-column")
+        props = {"user": opts.get("username", ""), "password": opts.get("password", "")}
+        if dialect == "mysql":
+            props.setdefault("driver", "com.mysql.cj.jdbc.Driver")
+        else:
+            props.setdefault("driver", "org.postgresql.Driver")
+        chunk = int(opts.get("scan.incremental.snapshot.chunk.size", DEFAULT_CHUNK_SIZE))
+        return cls(url, tables, split, props, chunk,
+                   namespace=opts.get("namespace", dialect))
+
+    # -- DataSource surface (imports deferred: this file is also used for
+    # pure chunk-math tests with no Spark session) ------------------------
+    def _table_id(self, name: str):
+        from ..common.tableid import TableId
+
+        parts = name.split(".")
+        if len(parts) == 1:
+            return TableId.parse(f"{self.namespace}..{name}")
+        return TableId.parse(f"{self.namespace}.{name}")
+
+    def _stats(self, spark, table: str) -> tuple[int, int, int]:
+        col = self.split_columns[table]
+        q = (f"(SELECT MIN({col}) AS mn, MAX({col}) AS mx, COUNT(*) AS cnt "
+             f"FROM {table}) s")
+        row = spark.read.jdbc(self.url, q, properties=self.properties).collect()[0]
+        return int(row["mn"] or 0), int(row["mx"] or 0), int(row["cnt"] or 0)
+
+    def create_table_events(self, spark):
+        from ..common.events import CreateTableEvent
+        from ..common.schema import Schema
+
+        out = []
+        for t in self.table_names:
+            st = spark.read.jdbc(self.url, t, properties=self.properties).schema
+            pk = self.split_columns[t]
+            out.append(CreateTableEvent(
+                self._table_id(t),
+                Schema.from_struct_type(st, primary_keys=(pk,) if pk else ())))
+        return out
+
+    def batches(self, spark):
+        from .base import ChangeBatch, attach_envelope
+
+        out = []
+        for t in self.table_names:
+            mn, mx, cnt = self._stats(spark, t)
+            inner = JdbcSnapshotSource(self.url, t, self.split_columns[t],
+                                       self.properties, self.chunk_size)
+            df = inner.read(spark, mn, mx, cnt)
+            out.append(ChangeBatch(self._table_id(t), [], attach_envelope(df)))
+        yield out
+
+    def is_parallel_metadata_source(self) -> bool:
+        return False

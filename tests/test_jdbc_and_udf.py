@@ -137,3 +137,78 @@ def test_embedding_udf_shape(spark):
     assert len(row["e"]) == 16
     row2 = spark.sql("SELECT GET_EMBEDDING('abc') AS e").collect()[0]
     assert row["e"] == row2["e"]  # deterministic
+
+
+class TestJdbcPipelineSourceFactory:
+    """YAML mysql/postgres source translation (MySqlDataSourceFactory.java
+    option surface -> chunk-parallel JDBC snapshot)."""
+
+    def test_mysql_options(self):
+        from source_flink_cdc_3_5_0_spark.sources.jdbc import JdbcPipelineSource
+
+        s = JdbcPipelineSource.from_options("mysql", {
+            "hostname": "db1", "port": "3307", "username": "u",
+            "password": "p", "tables": "app.users, app.orders",
+            "primary-keys": '{"app.users": ["id"], "app.orders": ["oid"]}',
+        })
+        assert s.url == "jdbc:mysql://db1:3307"
+        assert s.table_names == ["app.users", "app.orders"]
+        assert s.split_columns == {"app.users": "id", "app.orders": "oid"}
+        assert s.properties["driver"] == "com.mysql.cj.jdbc.Driver"
+        assert str(s._table_id("app.users")) == "mysql.app.users"
+
+    def test_postgres_defaults_and_chunk_key_column(self):
+        from source_flink_cdc_3_5_0_spark.sources.jdbc import JdbcPipelineSource
+
+        s = JdbcPipelineSource.from_options("postgres", {
+            "tables": "public.t",
+            "scan.incremental.snapshot.chunk.key-column": "seq",
+            "scan.incremental.snapshot.chunk.size": "1000",
+        })
+        assert s.url == "jdbc:postgresql://localhost:5432"
+        assert s.split_columns == {"public.t": "seq"}
+        assert s.chunk_size == 1000
+        assert s.properties["driver"] == "org.postgresql.Driver"
+
+    def test_missing_split_column_rejected(self):
+        from source_flink_cdc_3_5_0_spark.sources.jdbc import JdbcPipelineSource
+
+        with pytest.raises(ValueError, match="no split column"):
+            JdbcPipelineSource.from_options("mysql", {"tables": "a.b"})
+
+
+class TestYamlSinkDispatch:
+    def _compose(self, spark, yaml_text):
+        from source_flink_cdc_3_5_0_spark.pipeline import (
+            PipelineComposer, parse_yaml_pipeline)
+
+        return PipelineComposer(spark), parse_yaml_pipeline(yaml_text)
+
+    def test_kafka_sink_local_spool(self, spark, tmp_path):
+        from source_flink_cdc_3_5_0_spark.sinks.kafka import KafkaChangelogSink
+
+        composer, pdef = self._compose(spark, f"""
+source: {{type: parquet, tables: '{{}}'}}
+sink:
+  type: kafka
+  value.format: canal-json
+  output-dir: {tmp_path}/spool
+""")
+        sink = composer._create_sink(pdef)
+        assert isinstance(sink, KafkaChangelogSink)
+        assert sink.serialization == "canal-json"
+
+    def test_lake_sink_stand_in_and_live_refusal(self, spark, tmp_path):
+        from source_flink_cdc_3_5_0_spark.sinks.parquet_sink import ParquetUpsertSink
+
+        composer, pdef = self._compose(spark, f"""
+source: {{type: parquet, tables: '{{}}'}}
+sink: {{type: iceberg, path: {tmp_path}/wh}}
+""")
+        assert isinstance(composer._create_sink(pdef), ParquetUpsertSink)
+        composer, pdef = self._compose(spark, """
+source: {type: parquet, tables: '{}'}
+sink: {type: doris, fenodes: "fe:8030"}
+""")
+        with pytest.raises(ValueError, match="environment-gated"):
+            composer._create_sink(pdef)
