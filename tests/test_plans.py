@@ -110,3 +110,24 @@ def test_ivf_topk_matches_bruteforce_on_probed_buckets(spark):
     full_probe = {(r.query_id, r.rank): r.cand_id
                   for r in ivf_topk(emb, q, cents, k=3, nprobe=4).collect()}
     assert full_probe == exact
+
+
+def test_lsh_exact_single_udf_pass_and_no_payload_in_band_join(spark):
+    """minhash_lsh_exact_pairs: the pandas-UDF signature stage must run
+    ONCE (persisted base; column pruning would otherwise clone it into
+    every branch — 6 ArrowEvalPython nodes before the fix), and the band
+    self-join must carry only (id, hash) — never gram arrays."""
+    from source_flink_cdc_3_5_0_spark.extensions.dedup import (
+        minhash_lsh_exact_pairs)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = minhash_lsh_exact_pairs(docs, jaccard_threshold=0.5)
+    p = plan_of(out)
+    # every ArrowEvalPython in the printout sits INSIDE an InMemoryRelation
+    # (each InMemoryTableScan re-prints the cached build plan); equal counts
+    # means no branch computes the UDF outside the cache
+    assert p.count("InMemoryTableScan") >= 3, p
+    assert p.count("ArrowEvalPython") == p.count("InMemoryRelation"), p
+    # band-join input scans only (doc_id, sig) — gram payload never enters
+    # the 64x explode
+    assert "InMemoryTableScan [doc_id" in p and "Generate posexplode(sig" in p
