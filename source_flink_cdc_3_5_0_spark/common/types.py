@@ -238,3 +238,76 @@ def mysql_type_to_spark(type_name: str, precision: int | None = None, scale: int
     if name in _MYSQL_TYPE_MAP and _MYSQL_TYPE_MAP[name] is not None:
         return _MYSQL_TYPE_MAP[name]
     raise ValueError(f"unmapped MySQL type: {type_name}")
+
+
+# --- Postgres type-name mapping ----------------------------------------------
+# Parity: flink-cdc-pipeline-connector-postgres/.../utils/PostgresTypeUtils.java
+# (:84-196, the PgOid switch under PRECISE decimal / adaptive temporal modes).
+# We map by type NAME (psql's internal names and their SQL aliases) since we
+# read through JDBC, not the OID registry.
+_PG_TYPE_MAP: dict[str, T.DataType] = {
+    "BOOL": BOOLEAN, "BOOLEAN": BOOLEAN,
+    "BYTEA": BINARY,
+    "INT2": SMALLINT, "SMALLINT": SMALLINT, "SMALLSERIAL": SMALLINT,
+    "INT4": INT, "INT": INT, "INTEGER": INT, "SERIAL": INT,
+    "INT8": BIGINT, "BIGINT": BIGINT, "BIGSERIAL": BIGINT, "OID": BIGINT,
+    "FLOAT4": FLOAT, "REAL": FLOAT,
+    "FLOAT8": DOUBLE, "DOUBLE PRECISION": DOUBLE,
+    "CHAR": STRING, "BPCHAR": STRING, "CHARACTER": STRING,
+    "VARCHAR": STRING, "CHARACTER VARYING": STRING,
+    # TEXT + the string-carried exotics (PostgresTypeUtils.java:144-160,
+    # 181-196: point/uuid/json(b)/xml/inet/cidr/macaddr/ranges/ltree/
+    # geometry/geography/citext/enums)
+    "TEXT": STRING, "POINT": STRING, "UUID": STRING, "JSON": STRING,
+    "JSONB": STRING, "XML": STRING, "INET": STRING, "CIDR": STRING,
+    "MACADDR": STRING, "MACADDR8": STRING, "INT4RANGE": STRING,
+    "NUMRANGE": STRING, "INT8RANGE": STRING, "TSRANGE": STRING,
+    "TSTZRANGE": STRING, "DATERANGE": STRING, "LTREE": STRING,
+    "GEOMETRY": STRING, "GEOGRAPHY": STRING, "CITEXT": STRING,
+    "HSTORE": T.MapType(STRING, STRING),  # hstore-mode MAP (default JSON-ish)
+    "DATE": DATE,
+    "TIME": STRING,          # no TIME type in Spark (same carry as MySQL)
+    "TIMETZ": STRING,
+    "TIMESTAMP": TIMESTAMP_NTZ,
+    "TIMESTAMPTZ": TIMESTAMP_LTZ,  # + zoned flag (postgres_type_is_zoned)
+    "INTERVAL": STRING,      # interval-mode STRING (IntervalHandlingMode)
+    "MONEY": T.DecimalType(19, 2),
+}
+
+# TIMESTAMPTZ maps to ZonedTimestampType in the reference; on Spark the
+# instant lands in TimestampType and the offset in the __tz_offset
+# side-channel column (functions/zoned_time.py)
+_PG_ZONED_TYPES = {"TIMESTAMPTZ"}
+
+
+def postgres_type_to_spark(type_name: str, precision: int | None = None,
+                           scale: int | None = None) -> T.DataType:
+    """Map a Postgres column type name to a Spark type.
+
+    Array types (``int4[]`` / psql's ``_int4``) map to ``ArrayType`` of the
+    element mapping — PostgresTypeUtils maps every ``*_ARRAY`` OID the same
+    way. NUMERIC follows PRECISE decimal mode: declared p∈[1,38] keeps
+    (p, s), otherwise DECIMAL(38, 0) (:216-224).
+    """
+    name = type_name.strip().upper()
+    if name.endswith("[]"):
+        return T.ArrayType(postgres_type_to_spark(name[:-2], precision, scale))
+    if name.startswith("_"):
+        return T.ArrayType(postgres_type_to_spark(name[1:], precision, scale))
+    if name in ("NUMERIC", "DECIMAL"):
+        p = precision if precision is not None else 0
+        s = scale if scale is not None else 0
+        if 0 < p <= MAX_DECIMAL_PRECISION:
+            return T.DecimalType(p, s)
+        return T.DecimalType(MAX_DECIMAL_PRECISION, 0)
+    if name == "BIT" or name == "VARBIT":
+        return BOOLEAN if (precision or 1) == 1 else BINARY
+    if name in _PG_TYPE_MAP:
+        return _PG_TYPE_MAP[name]
+    raise ValueError(f"unmapped Postgres type: {type_name}")
+
+
+def postgres_type_is_zoned(type_name: str) -> bool:
+    """True for types that need the ``__tz_offset`` side-channel column."""
+    n = type_name.strip().upper().removesuffix("[]").removeprefix("_")
+    return n in _PG_ZONED_TYPES

@@ -105,3 +105,56 @@ def test_mysql_type_mapping():
     assert mysql_type_to_spark("TIMESTAMP") == TS_LTZ
     assert mysql_type_to_spark("BIT", 1) == BOOL
     assert mysql_type_to_spark("BIT", 8) == T.BinaryType()
+
+
+class TestPostgresTypeMapping:
+    """PostgresTypeUtils.java:84-196 parity (name-keyed, PRECISE/adaptive
+    modes)."""
+
+    def test_scalar_mappings(self):
+        from source_flink_cdc_3_5_0_spark.common.types import postgres_type_to_spark as m
+
+        assert m("bool") == T.BooleanType()
+        assert m("int2") == T.ShortType()
+        assert m("serial") == T.IntegerType()
+        assert m("bigserial") == T.LongType()
+        assert m("oid") == T.LongType()
+        assert m("float4") == T.FloatType()
+        assert m("double precision") == T.DoubleType()
+        assert m("bytea") == T.BinaryType()
+        assert m("uuid") == T.StringType()
+        assert m("jsonb") == T.StringType()
+        assert m("tstzrange") == T.StringType()
+        assert m("money") == T.DecimalType(19, 2)
+        assert m("timestamp") == T.TimestampNTZType()
+        assert m("timestamptz") == T.TimestampType()
+        assert m("hstore") == T.MapType(T.StringType(), T.StringType())
+
+    def test_numeric_precise_mode(self):
+        from source_flink_cdc_3_5_0_spark.common.types import postgres_type_to_spark as m
+
+        assert m("numeric", 10, 2) == T.DecimalType(10, 2)
+        # unconstrained / over-max precision -> DECIMAL(38, 0)
+        assert m("numeric") == T.DecimalType(38, 0)
+        assert m("numeric", 131072, 0) == T.DecimalType(38, 0)
+
+    def test_bit_and_arrays(self):
+        from source_flink_cdc_3_5_0_spark.common.types import postgres_type_to_spark as m
+
+        assert m("bit", 1) == T.BooleanType()
+        assert m("varbit", 16) == T.BinaryType()
+        assert m("int4[]") == T.ArrayType(T.IntegerType())
+        assert m("_text") == T.ArrayType(T.StringType())
+        assert m("numeric[]", 12, 3) == T.ArrayType(T.DecimalType(12, 3))
+
+    def test_zoned_marker_and_unmapped(self):
+        import pytest
+
+        from source_flink_cdc_3_5_0_spark.common.types import (
+            postgres_type_is_zoned, postgres_type_to_spark as m)
+
+        assert postgres_type_is_zoned("timestamptz")
+        assert postgres_type_is_zoned("_timestamptz")
+        assert not postgres_type_is_zoned("timestamp")
+        with pytest.raises(ValueError):
+            m("box")
