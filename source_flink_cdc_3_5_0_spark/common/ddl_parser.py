@@ -1,0 +1,310 @@
+"""MySQL DDL statement parser -> schema-change event algebra.
+
+Parity target: ``flink-cdc-pipeline-connector-mysql/.../source/parser/
+CustomMySqlAntlrDdlParser.java`` (+ ``CustomAlterTableParserListener``),
+which listens on Debezium's ANTLR parse of binlog DDL and emits
+``SchemaChangeEvent``s. We parse the same statement surface with a small
+hand tokenizer (no grammar dependency) since the statements Debezium
+forwards on the schema-change topic are a narrow, regular subset:
+
+- ``CREATE TABLE [IF NOT EXISTS] t (col defs…, PRIMARY KEY (…))``
+- ``ALTER TABLE t ADD [COLUMN] c TYPE … [FIRST | AFTER x]`` (multi-action,
+  parenthesized multi-column form)
+- ``ALTER TABLE t DROP [COLUMN] c``
+- ``ALTER TABLE t RENAME COLUMN a TO b`` / ``CHANGE [COLUMN] old new TYPE``
+- ``ALTER TABLE t MODIFY [COLUMN] c TYPE``
+- ``TRUNCATE [TABLE] t`` / ``DROP TABLE [IF EXISTS] t``
+
+Type names map through ``mysql_type_to_spark`` (MySqlTypeUtils parity,
+unsigned widening included). A ``CHANGE`` with identical old/new names is an
+ALTER TYPE; with different names and the same type it's a RENAME; different
+names AND type decomposes into RENAME + ALTER TYPE — the same decomposition
+the reference listener performs.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .events import (
+    AddColumnEvent,
+    AlterColumnTypeEvent,
+    ColumnPosition,
+    ColumnWithPosition,
+    CreateTableEvent,
+    DropColumnEvent,
+    DropTableEvent,
+    RenameColumnEvent,
+    SchemaChangeEvent,
+    TruncateTableEvent,
+)
+from .schema import Column, Schema
+from .tableid import TableId
+from .types import mysql_type_to_spark
+
+_TOKEN_RE = re.compile(
+    r"'(?:[^'\\]|\\.)*'"
+    r'|"(?:[^"\\]|\\.)*"'
+    # qualified name (`db`.`tbl` / db.tbl) as ONE token; split by _table_id
+    r"|(?:`[^`]*`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]*`|[A-Za-z_][\w$]*))+"
+    r"|`[^`]*`"
+    r"|\(|\)|,"
+    r"|[^\s(),`]+",
+    re.S)
+
+
+def _tokens(sql: str) -> list[str]:
+    return _TOKEN_RE.findall(sql.strip().rstrip(";"))
+
+
+def _ident(tok: str) -> str:
+    return tok[1:-1] if tok.startswith("`") else tok
+
+
+class _Cursor:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, ahead: int = 0) -> str | None:
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of DDL")
+        self.i += 1
+        return t
+
+    def accept(self, *words: str) -> bool:
+        t = self.peek()
+        if t is not None and t.upper() in words:
+            self.i += 1
+            return True
+        return False
+
+    def expect(self, word: str) -> str:
+        t = self.next()
+        if t.upper() != word:
+            raise ValueError(f"expected {word}, got {t!r}")
+        return t
+
+
+def _table_id(name_tok: str, database: str | None) -> TableId:
+    parts = [_ident(p) for p in name_tok.split(".")]
+    if len(parts) == 2:
+        return TableId.parse(f"{parts[0]}.{parts[1]}")
+    if len(parts) == 1:
+        if database:
+            return TableId.parse(f"{database}.{parts[0]}")
+        return TableId.parse(parts[0])
+    return TableId.parse(".".join(parts))
+
+
+_COL_TERMINATORS = {",", ")"}
+_CONSTRAINT_STARTERS = {"PRIMARY", "UNIQUE", "KEY", "INDEX", "CONSTRAINT",
+                        "FOREIGN", "FULLTEXT", "SPATIAL", "CHECK"}
+
+
+def _parse_type(cur: _Cursor):
+    """TYPE [(p[,s])] [UNSIGNED] [ZEROFILL] [CHARACTER SET …] [COLLATE …]"""
+    name = cur.next().upper()
+    # two-word types: DOUBLE PRECISION
+    if name == "DOUBLE" and cur.accept("PRECISION"):
+        pass
+    precision = scale = None
+    if cur.peek() == "(":
+        cur.next()
+        first = cur.next()
+        if first.upper() in ("'", '"') or first.startswith("'"):
+            # ENUM('a','b') / SET(...) value lists — skip to )
+            while cur.next() != ")":
+                pass
+        else:
+            precision = int(first)
+            if cur.accept(","):
+                scale = int(cur.next())
+            cur.expect(")")
+    unsigned = cur.accept("UNSIGNED")
+    cur.accept("ZEROFILL")
+    while True:
+        p = cur.peek()
+        if p is None:
+            break
+        up = p.upper()
+        if up == "CHARACTER" and (cur.peek(1) or "").upper() == "SET":
+            cur.next(); cur.next(); cur.next()
+        elif up in ("CHARSET", "COLLATE"):
+            cur.next(); cur.next()
+        else:
+            break
+    lookup = f"{name} UNSIGNED" if unsigned else name
+    return mysql_type_to_spark(lookup, precision, scale)
+
+
+def _parse_column_def(cur: _Cursor) -> tuple[Column, ColumnPosition, str | None]:
+    name = _ident(cur.next())
+    dt = _parse_type(cur)
+    nullable = True
+    default_expr = None
+    comment = None
+    position = ColumnPosition.LAST
+    anchor = None
+    while True:
+        p = cur.peek()
+        if p is None or p in _COL_TERMINATORS:
+            break
+        up = p.upper()
+        if up == "NOT" and (cur.peek(1) or "").upper() == "NULL":
+            cur.next(); cur.next()
+            nullable = False
+        elif up == "NULL":
+            cur.next()
+        elif up == "DEFAULT":
+            cur.next()
+            default_expr = cur.next()
+        elif up == "COMMENT":
+            cur.next()
+            c = cur.next()
+            comment = c[1:-1] if c[:1] in "'\"" else c
+        elif up in ("AUTO_INCREMENT", "UNIQUE", "PRIMARY"):
+            cur.next()
+            if up == "PRIMARY":
+                cur.accept("KEY")
+            if up == "UNIQUE":
+                cur.accept("KEY")
+        elif up == "FIRST":
+            cur.next()
+            position = ColumnPosition.FIRST
+        elif up == "AFTER":
+            cur.next()
+            position = ColumnPosition.AFTER
+            anchor = _ident(cur.next())
+        elif up == "ON":  # ON UPDATE CURRENT_TIMESTAMP
+            cur.next(); cur.next(); cur.next()
+        else:
+            cur.next()  # tolerated attribute (COLUMN_FORMAT etc.)
+    return (Column(name, dt, nullable, comment=comment,
+                   default_expr=default_expr), position, anchor)
+
+
+def _parse_create(cur: _Cursor, database: str | None) -> CreateTableEvent:
+    cur.expect("TABLE")
+    if cur.accept("IF"):
+        cur.expect("NOT"); cur.expect("EXISTS")
+    tid = _table_id(cur.next(), database)
+    cur.expect("(")
+    cols: list[Column] = []
+    pks: list[str] = []
+    while True:
+        p = cur.peek()
+        if p is None:
+            raise ValueError("unterminated column list")
+        if p.upper() in _CONSTRAINT_STARTERS:
+            kw = cur.next().upper()
+            if kw == "PRIMARY":
+                cur.expect("KEY")
+                cur.expect("(")
+                while not cur.accept(")"):
+                    t = cur.next()
+                    if t != ",":
+                        pks.append(_ident(t))
+            else:
+                # skip constraint to its closing paren / next comma at depth 0
+                depth = 0
+                while True:
+                    t = cur.peek()
+                    if t is None or (depth == 0 and t in (",", ")")):
+                        break
+                    t = cur.next()
+                    depth += t == "("
+                    depth -= t == ")"
+        else:
+            col, _, _ = _parse_column_def(cur)
+            cols.append(col)
+        if cur.accept(","):
+            continue
+        cur.expect(")")
+        break
+    # PK columns are implicitly NOT NULL (reference: Schema#primaryKey)
+    cols = [c if c.name not in pks else
+            Column(c.name, c.data_type, False, c.comment, c.default_expr)
+            for c in cols]
+    return CreateTableEvent(tid, Schema(columns=tuple(cols),
+                                        primary_keys=tuple(pks)))
+
+
+def _parse_alter(cur: _Cursor, database: str | None) -> list[SchemaChangeEvent]:
+    cur.expect("TABLE")
+    tid = _table_id(cur.next(), database)
+    events: list[SchemaChangeEvent] = []
+    adds: list[ColumnWithPosition] = []
+    while cur.peek() is not None:
+        kw = cur.next().upper()
+        if kw == "ADD":
+            cur.accept("COLUMN")
+            if cur.accept("("):
+                while not cur.accept(")"):
+                    col, pos, anchor = _parse_column_def(cur)
+                    adds.append(ColumnWithPosition(col, pos, anchor))
+                    cur.accept(",")
+            else:
+                col, pos, anchor = _parse_column_def(cur)
+                adds.append(ColumnWithPosition(col, pos, anchor))
+        elif kw == "DROP":
+            cur.accept("COLUMN")
+            events.append(DropColumnEvent(tid, (_ident(cur.next()),)))
+        elif kw == "RENAME":
+            if cur.accept("COLUMN"):
+                old = _ident(cur.next())
+                cur.expect("TO")
+                new = _ident(cur.next())
+                events.append(RenameColumnEvent(tid, ((old, new),)))
+            else:
+                raise ValueError("RENAME TABLE is not a column-schema change")
+        elif kw == "CHANGE":
+            cur.accept("COLUMN")
+            old = _ident(cur.next())
+            new = _ident(cur.next())
+            dt = _parse_type(cur)
+            # reference listener decomposition: rename and/or retype
+            if old != new:
+                events.append(RenameColumnEvent(tid, ((old, new),)))
+            events.append(AlterColumnTypeEvent(tid, ((new, dt),)))
+        elif kw == "MODIFY":
+            cur.accept("COLUMN")
+            name = _ident(cur.next())
+            dt = _parse_type(cur)
+            events.append(AlterColumnTypeEvent(tid, ((name, dt),)))
+        elif kw == ",":
+            continue
+        else:
+            raise ValueError(f"unsupported ALTER action {kw!r}")
+        cur.accept(",")
+    if adds:
+        events.insert(0, AddColumnEvent(tid, tuple(adds)))
+    return events
+
+
+def parse_mysql_ddl(sql: str, database: str | None = None) -> list[SchemaChangeEvent]:
+    """Parse one MySQL DDL statement into schema-change events.
+
+    ``database``: default database for unqualified table names (Debezium's
+    ``databaseName`` field on schema-change records).
+    """
+    cur = _Cursor(_tokens(sql))
+    head = cur.next().upper()
+    if head == "CREATE":
+        return [_parse_create(cur, database)]
+    if head == "ALTER":
+        return _parse_alter(cur, database)
+    if head == "TRUNCATE":
+        cur.accept("TABLE")
+        return [TruncateTableEvent(_table_id(cur.next(), database))]
+    if head == "DROP":
+        cur.expect("TABLE")
+        if cur.accept("IF"):
+            cur.expect("EXISTS")
+        return [DropTableEvent(_table_id(cur.next(), database))]
+    raise ValueError(f"unsupported DDL statement: {sql[:60]!r}")

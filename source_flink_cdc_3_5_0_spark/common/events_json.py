@@ -106,6 +106,27 @@ def schema_event_to_json(ev: SchemaChangeEvent) -> str:
     return json.dumps({"ddl": body})
 
 
+def schema_events_from_json(s: str | dict) -> list[SchemaChangeEvent]:
+    """Decode a schema-change record: either this engine's structured form
+    (``{"ddl": {...}}``) or Debezium's schema-change-topic form carrying the
+    RAW SQL statement (``{"databaseName": "db", "ddl": "ALTER TABLE …"}``,
+    io.debezium.relational.history.HistoryRecord) — parsed through the
+    CustomMySqlAntlrDdlParser analog, which may yield several events (e.g.
+    CHANGE = rename + retype)."""
+    d = json.loads(s) if isinstance(s, str) else s
+    if isinstance(d.get("ddl"), str):
+        from .ddl_parser import parse_mysql_ddl
+
+        try:
+            return parse_mysql_ddl(d["ddl"], d.get("databaseName"))
+        except ValueError:
+            # Debezium forwards EVERY statement (CREATE INDEX, GRANT, …);
+            # the reference's ANTLR listener only reacts to column-schema
+            # changes — parity is to ignore the rest, not fail the stream
+            return []
+    return [schema_event_from_json(d)]
+
+
 def schema_event_from_json(s: str | dict) -> SchemaChangeEvent:
     d = json.loads(s) if isinstance(s, str) else s
     body = d["ddl"] if "ddl" in d else d

@@ -221,7 +221,7 @@ class StreamingPipeline:
                 watermarks = {k: int(v) for k, v in _json.load(f).items()}
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
-            from ..common.events_json import schema_event_from_json
+            from ..common.events_json import schema_events_from_json
             from ..sources.base import ChangeBatch
 
             batch_df.persist()
@@ -236,8 +236,9 @@ class StreamingPipeline:
                 is_ddl = F.get_json_object(F.col(value_col), "$.ddl").isNotNull()
                 ddl_raw = batch_df.where(is_ddl).collect()
                 for r in ddl_raw:
-                    ev = schema_event_from_json(r[value_col])
-                    exe._handle_schema_events(ChangeBatch(ev.table_id, [ev], None))
+                    for ev in schema_events_from_json(r[value_col]):
+                        exe._handle_schema_events(
+                            ChangeBatch(ev.table_id, [ev], None))
                 # 2. data records: route RAW rows by (db, table) extracted
                 #    with get_json_object (cheap path scan), then run the full
                 #    from_json decode only on each table's own slice — the
