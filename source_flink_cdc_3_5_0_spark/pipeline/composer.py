@@ -392,13 +392,16 @@ class PipelineComposer:
                 topic=opts.get("topic"),
                 output_dir=opts.get("output-dir"),
             )
-        if t in ("doris", "starrocks", "paimon", "iceberg"):
+        if t in ("doris", "starrocks", "paimon", "iceberg", "elasticsearch",
+                 "fluss", "maxcompute", "oceanbase", "mysql", "postgres"):
             # lake/OLAP sinks: same changelog-apply contract (PK upsert,
             # delete, idempotent replay) represented by the bucketed
             # copy-on-write parquet sink; a live-endpoint option without the
             # external system is refused rather than silently redirected
             live_opts = [k for k in ("fenodes", "jdbc-url", "load-url",
-                                     "metastore.uris", "uri", "warehouse.s3")
+                                     "metastore.uris", "uri", "warehouse.s3",
+                                     "hosts", "hostname", "endpoint",
+                                     "bootstrap.servers", "url")
                          if k in opts]
             if live_opts:
                 raise ValueError(

@@ -123,11 +123,28 @@ def test_lsh_exact_single_udf_pass_and_no_payload_in_band_join(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     out = minhash_lsh_exact_pairs(docs, jaccard_threshold=0.5)
     p = plan_of(out)
-    # every ArrowEvalPython in the printout sits INSIDE an InMemoryRelation
-    # (each InMemoryTableScan re-prints the cached build plan); equal counts
-    # means no branch computes the UDF outside the cache
+
+    def outside_cached_builds(plan: str) -> str:
+        """Drop every InMemoryRelation subtree (each InMemoryTableScan
+        re-prints the cached BUILD plan — twice once materialized), keeping
+        only operators the query itself executes."""
+        kept, skip_depth = [], None
+        for line in plan.splitlines():
+            body = line.lstrip(" :+-")
+            depth = len(line) - len(body)
+            if skip_depth is not None:
+                if depth > skip_depth:
+                    continue
+                skip_depth = None
+            if body.startswith("InMemoryRelation"):
+                skip_depth = depth
+                continue
+            kept.append(line)
+        return "\n".join(kept)
+
+    live = outside_cached_builds(p)
     assert p.count("InMemoryTableScan") >= 3, p
-    assert p.count("ArrowEvalPython") == p.count("InMemoryRelation"), p
+    assert "ArrowEvalPython" not in live, live
     # band-join input scans only (doc_id, sig) — gram payload never enters
     # the 64x explode
     assert "InMemoryTableScan [doc_id" in p and "Generate posexplode(sig" in p
