@@ -17,6 +17,8 @@ value hash):
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .api import transform_table
@@ -335,6 +337,57 @@ SELECT * FROM (VALUES
 """
 
 
+def q_cdc_ddl_sql_evolution(spark, sf_dir):
+    """Schema evolution driven by RAW MySQL DDL statements (S4 — the
+    CustomMySqlAntlrDdlParser analog, common/ddl_parser.py): CREATE TABLE,
+    ALTER ADD with a DEFAULT (backfills existing rows), CHANGE rename.
+    LENIENT mode keeps renamed-away columns nullable, like the reference's
+    lenientized decomposition."""
+    from .common import DataChangeEvent, TableId
+    from .common.ddl_parser import parse_mysql_ddl
+    from .pipeline import PipelineComposer, parse_yaml_pipeline
+    from .sinks.memory import MemorySink
+    from .sources.values import ValuesSource
+
+    tbl = TableId.parse("shop.products")
+    ddl = lambda sql: parse_mysql_ddl(sql, database="shop")  # noqa: E731
+    events = [
+        *ddl("CREATE TABLE products (id INT NOT NULL, name VARCHAR(50), "
+             "PRIMARY KEY (id))"),
+        DataChangeEvent.insert(tbl, (1, "bolt")),
+        DataChangeEvent.insert(tbl, (2, "nut")),
+        *ddl("ALTER TABLE products ADD COLUMN price DECIMAL(10,2) "
+             "DEFAULT 1.50"),
+        DataChangeEvent.insert(tbl, (3, "washer", Decimal("2.25"))),
+        *ddl("ALTER TABLE products CHANGE name title VARCHAR(80)"),
+        # post-rename original schema is (id, title, price)
+        DataChangeEvent.insert(tbl, (4, "gear", Decimal("9.99"))),
+        DataChangeEvent.delete(tbl, (2, None, None)),
+    ]
+    pdef = parse_yaml_pipeline("source: {type: values}\nsink: {type: values}\n")
+    sink = MemorySink()
+    PipelineComposer(spark).compose(
+        pdef, source=ValuesSource(events), sink=sink).run()
+    schema = sink.schemas[tbl]
+    rows = [tuple(r[n] for n in schema.column_names())
+            for r in sink.state[tbl].values()]
+    df = spark.createDataFrame(rows, schema.struct_type())
+    # decimal surfaced as DOUBLE (driver-hash representation stability)
+    return df.select(*[
+        F.col(f.name).cast("double").alias(f.name)
+        if isinstance(f.dataType, T.DecimalType) else F.col(f.name)
+        for f in df.schema.fields])
+
+
+ORACLE_DDL_SQL_EVOLUTION = """
+SELECT * FROM (VALUES
+  (1, 'bolt',   CAST(1.50 AS DOUBLE), CAST(NULL AS VARCHAR)),
+  (3, 'washer', CAST(2.25 AS DOUBLE), CAST(NULL AS VARCHAR)),
+  (4, CAST(NULL AS VARCHAR), CAST(9.99 AS DOUBLE), 'gear')
+) AS t(id, name, price, title)
+"""
+
+
 # ---------------------------------------------------------------------------
 # 3. Relational extensions (joins/aggs/windows — beyond the reference)
 # ---------------------------------------------------------------------------
@@ -521,6 +574,7 @@ def q_text_token_stats(spark, sf_dir):
     return docs.select(
         "doc_id",
         F.expr(X.token_count_sql(d)).cast("int").alias("token_count"),
+        F.expr(X.subword_count_sql(d)).cast("int").alias("subword_count"),
         F.expr(X.punct_ratio_sql(d)).alias("punct_ratio"),
         F.expr(X.quality_score_sql(d)).alias("quality_score"),
     )
@@ -529,6 +583,7 @@ def q_text_token_stats(spark, sf_dir):
 ORACLE_TOKEN_STATS = f"""
 SELECT doc_id,
        CAST({X.token_count_sql('duckdb')} AS INTEGER) AS token_count,
+       CAST({X.subword_count_sql('duckdb')} AS INTEGER) AS subword_count,
        {X.punct_ratio_sql('duckdb')} AS punct_ratio,
        {X.quality_score_sql('duckdb')} AS quality_score
 FROM documents
@@ -1070,6 +1125,7 @@ QUERIES: dict[str, object] = {
     # changelog / schema evolution / route / partition
     "cdc_materialize_latest": q_cdc_materialize_latest,
     "cdc_schema_evolution_lenient": q_cdc_schema_evolution_lenient,
+    "cdc_ddl_sql_evolution": q_cdc_ddl_sql_evolution,
     "route_merge_union": q_route_merge_union,
     "pk_bucket_distribution": q_pk_bucket_distribution,
     # relational extensions
@@ -1115,6 +1171,7 @@ ORACLES: dict[str, str] = {
     "transform_metadata_cols": ORACLE_METADATA_COLS,
     "cdc_materialize_latest": ORACLE_MATERIALIZE,
     "cdc_schema_evolution_lenient": ORACLE_SCHEMA_EVOLUTION,
+    "cdc_ddl_sql_evolution": ORACLE_DDL_SQL_EVOLUTION,
     "route_merge_union": ORACLE_ROUTE_MERGE,
     "pk_bucket_distribution": ORACLE_PK_BUCKET,
     "agg_pricing_summary": ORACLE_PRICING_SUMMARY,

@@ -52,6 +52,17 @@ def token_count_sql(dialect: str, col: str = "text") -> str:
             f"ELSE len(regexp_split_to_array(trim({col}), {_lit(dialect, _WS_SPLIT)})) END")
 
 
+_BPEISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def subword_count_sql(dialect: str, col: str = "text") -> str:
+    """BPE-ish token count: letter runs, single digits, single symbols —
+    the GPT-2 pre-tokenizer shape (letters merge, digits don't), as one
+    portable regexp_count. A calibration proxy for real BPE token budgets
+    without shipping a merges table."""
+    return _regexp_count(dialect, col, _BPEISH_PATTERN)
+
+
 def punct_ratio_sql(dialect: str, col: str = "text") -> str:
     """Punctuation chars / total chars (0 for empty)."""
     cnt = _regexp_count(dialect, col, _PUNCT_PATTERN)

@@ -221,6 +221,7 @@ def get_common_schema(schemas: Sequence[Schema]) -> Schema:
     types: dict[str, T.DataType] = {}
     nullable: dict[str, bool] = {}
     seen_in: dict[str, int] = {}
+    extras: dict[str, Column] = {}  # first declaration: default/comment/zoned
     for s in schemas:
         for c in s.columns:
             if c.name not in types:
@@ -228,13 +229,17 @@ def get_common_schema(schemas: Sequence[Schema]) -> Schema:
                 types[c.name] = c.data_type
                 nullable[c.name] = c.nullable
                 seen_in[c.name] = 1
+                extras[c.name] = c
             else:
                 types[c.name] = get_least_common_type(types[c.name], c.data_type)
                 nullable[c.name] = nullable[c.name] or c.nullable
                 seen_in[c.name] += 1
     n = len(schemas)
     cols = [
-        Column(name, types[name], nullable[name] or seen_in[name] < n)
+        Column(name, types[name], nullable[name] or seen_in[name] < n,
+               comment=extras[name].comment,
+               default_expr=extras[name].default_expr,
+               zoned=extras[name].zoned)
         for name in order
     ]
     return Schema(

@@ -131,7 +131,9 @@ class PipelineExecution:
         for f in phys:
             d = declared.get_column(f.name)
             cols.append(Column(f.name, f.dataType, f.nullable,
-                               d.comment if d else None, d.default_expr if d else None))
+                               d.comment if d else None,
+                               d.default_expr if d else None,
+                               zoned=d.zoned if d else False))
         out = Schema(
             columns=tuple(cols),
             primary_keys=declared.primary_keys,
