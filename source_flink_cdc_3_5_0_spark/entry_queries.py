@@ -890,9 +890,32 @@ FROM embeddings
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary-payload decode/feature plumbing (stub decoder) — rows-only."""
+    """Binary-payload decode/feature plumbing through the mapInPandas stage.
+
+    The stub decoder's feature VALUES are md5+numpy (not SQL-expressible),
+    but every structural output is: synthetic payload length is
+    16·(4 + id%7), kind cycles image/audio/video, the feature vector is
+    always 16-dim, and its values lie in [0,1) — so the oracle pins the
+    full Arrow round-trip shape and the decode contract, rows-first."""
     media = synthetic_media(spark, n=256)
-    return extract_features(media).select("media_id", "kind", "n_bytes")
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.size("feature").cast("int").alias("feature_dim"),
+        (F.array_min("feature") >= 0).alias("f_in_lo"),
+        (F.array_max("feature") < 1).alias("f_in_hi"),
+    )
+
+
+ORACLE_MULTIMODAL = """
+SELECT i AS media_id,
+       ['image','audio','video'][(i % 3)::INT + 1] AS kind,
+       CAST(16 * (4 + i % 7) AS INTEGER) AS n_bytes,
+       CAST(16 AS INTEGER) AS feature_dim,
+       TRUE AS f_in_lo,
+       TRUE AS f_in_hi
+FROM range(0, 256) t(i)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1195,6 +1218,7 @@ ORACLES: dict[str, str] = {
     "codec_debezium_roundtrip": ORACLE_CODEC_DEBEZIUM,
     "codec_canal_roundtrip": ORACLE_CODEC_CANAL,
     "zoned_timestamp_roundtrip": ORACLE_ZONED_ROUNDTRIP,
+    "multimodal_features": ORACLE_MULTIMODAL,
     "sink_upsert_merge": ORACLE_SINK_UPSERT,
     "transform_op_ts_metadata": ORACLE_OP_TS,
     "asof_join_events": ORACLE_ASOF_JOIN,
