@@ -1052,6 +1052,39 @@ def q_zoned_timestamp_roundtrip(spark, sf_dir):
     )
 
 
+def q_stream_windowed_counts(spark, sf_dir):
+    """Structured Streaming event-time windowed aggregation with watermark
+    (readStream → withWatermark → window → availableNow), oracled by the
+    equivalent batch GROUP BY time-bucket in DuckDB — the stream and batch
+    modes share one plan (streaming/windowed.py)."""
+    from .streaming.windowed import windowed_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    wire = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        # file stream source needs a DIRECTORY; glob-filter to the one table
+        spark.readStream.schema(wire)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")))
+    out = windowed_counts(stream, window="1 hour", keys=("event_type",),
+                          watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("q_stream_win")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table("q_stream_win")
+
+
+ORACLE_STREAM_WINDOWED = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 ORACLE_ZONED_ROUNDTRIP = """
 WITH b AS (
   SELECT event_id,
@@ -1180,6 +1213,7 @@ QUERIES: dict[str, object] = {
     "codec_debezium_roundtrip": q_codec_debezium_roundtrip,
     "codec_canal_roundtrip": q_codec_canal_roundtrip,
     "zoned_timestamp_roundtrip": q_zoned_timestamp_roundtrip,
+    "stream_windowed_counts": q_stream_windowed_counts,
     "sink_upsert_merge": q_sink_upsert_merge,
     "transform_op_ts_metadata": q_transform_op_ts_metadata,
 }
@@ -1218,6 +1252,7 @@ ORACLES: dict[str, str] = {
     "codec_debezium_roundtrip": ORACLE_CODEC_DEBEZIUM,
     "codec_canal_roundtrip": ORACLE_CODEC_CANAL,
     "zoned_timestamp_roundtrip": ORACLE_ZONED_ROUNDTRIP,
+    "stream_windowed_counts": ORACLE_STREAM_WINDOWED,
     "multimodal_features": ORACLE_MULTIMODAL,
     "sink_upsert_merge": ORACLE_SINK_UPSERT,
     "transform_op_ts_metadata": ORACLE_OP_TS,

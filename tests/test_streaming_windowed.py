@@ -1,0 +1,88 @@
+"""Event-time windowed aggregation (watermark) + applyInPandasWithState
+latest-image operator."""
+
+import json
+import os
+
+from pyspark.sql import functions as F, types as T
+
+from source_flink_cdc_3_5_0_spark.streaming.windowed import (
+    stateful_latest, windowed_counts)
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    """The streaming windowed agg (availableNow) must produce exactly the
+    batch plan's result on the same data — one code path, two modes."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    rows = [(i, f"2024-01-01 0{i % 3}:1{i % 6}:00", "click" if i % 2 else "view",
+             float(i)) for i in range(30)]
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(
+                {"event_id": r[0], "ts": r[1], "event_type": r[2],
+                 "value": r[3]}) + "\n")
+    schema = ("event_id LONG, ts STRING, event_type STRING, value DOUBLE")
+    batch = (spark.read.schema(schema).json(src)
+             .withColumn("ts", F.to_timestamp("ts")))
+    stream = (spark.readStream.schema(schema).json(src)
+              .withColumn("ts", F.to_timestamp("ts")))
+    expected = sorted(
+        tuple(r) for r in windowed_counts(batch, window="1 hour").collect())
+
+    q = (windowed_counts(stream, window="1 hour")
+         .writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("win_counts").collect())
+    assert got == expected and len(got) > 0
+
+
+def test_stateful_latest_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    batch 2's higher-seq row supersedes batch 1's."""
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+
+    def write_file(fname, rows):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "id LONG, name STRING, __seq LONG").json(src)
+        out = stateful_latest(stream, schema, key_cols=["id"])
+        emitted: dict = {}
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                emitted[r["id"]] = r["name"]
+
+        q = (out.writeStream.foreachBatch(sink)
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return emitted
+
+    write_file("b1.jsonl", [
+        {"id": 1, "name": "a", "__seq": 1},
+        {"id": 1, "name": "b", "__seq": 2},
+        {"id": 2, "name": "x", "__seq": 1},
+    ])
+    got = run_once()
+    assert got == {1: "b", 2: "x"}
+
+    # second run: new file, state restored from checkpoint — id=1 updates,
+    # id=2 untouched (not re-emitted in update mode), id=3 appears
+    write_file("b2.jsonl", [
+        {"id": 1, "name": "c", "__seq": 5},
+        {"id": 3, "name": "z", "__seq": 1},
+    ])
+    got = run_once()
+    assert got.get(1) == "c" and got.get(3) == "z"
