@@ -148,3 +148,15 @@ def test_lsh_exact_single_udf_pass_and_no_payload_in_band_join(spark):
     # band-join input scans only (doc_id, sig) — gram payload never enters
     # the 64x explode
     assert "InMemoryTableScan [doc_id" in p and "Generate posexplode(sig" in p
+
+
+def test_windowed_counts_single_shuffle_partial_agg(spark):
+    """Event-time windowed agg (batch mode of the shared plan): map-side
+    partial aggregation, exactly one exchange on (window, keys)."""
+    from source_flink_cdc_3_5_0_spark.streaming.windowed import windowed_counts
+
+    ev = EQ.load(spark, SF, "events")  # handles the nanos-timestamp parquet
+    p = plan_of(windowed_counts(ev, window="1 hour"))
+    import re
+    assert len(re.findall(r"\bExchange\b", p)) == 1, p
+    assert p.count("HashAggregate") == 2, p  # partial + final
