@@ -117,10 +117,14 @@ def _parse_type(cur: _Cursor):
     if cur.peek() == "(":
         cur.next()
         first = cur.next()
-        if first.upper() in ("'", '"') or first.startswith("'"):
-            # ENUM('a','b') / SET(...) value lists — skip to )
-            while cur.next() != ")":
-                pass
+        if first.startswith(("'", '"')):
+            # ENUM('a','b') / SET("x") value lists (either quote style) —
+            # skip the balanced list
+            depth = 1
+            while depth:
+                t = cur.next()
+                depth += t == "("
+                depth -= t == ")"
         else:
             precision = int(first)
             if cur.accept(","):
@@ -164,6 +168,14 @@ def _parse_column_def(cur: _Cursor) -> tuple[Column, ColumnPosition, str | None]
         elif up == "DEFAULT":
             cur.next()
             default_expr = cur.next()
+            # balanced parens belong to the default: DEFAULT
+            # CURRENT_TIMESTAMP(6), DEFAULT (uuid())
+            depth = default_expr.count("(") - default_expr.count(")")
+            while depth > 0 or cur.peek() == "(":
+                t = cur.next()
+                default_expr += t
+                depth += t == "("
+                depth -= t == ")"
         elif up == "COMMENT":
             cur.next()
             c = cur.next()
@@ -181,10 +193,21 @@ def _parse_column_def(cur: _Cursor) -> tuple[Column, ColumnPosition, str | None]
             cur.next()
             position = ColumnPosition.AFTER
             anchor = _ident(cur.next())
-        elif up == "ON":  # ON UPDATE CURRENT_TIMESTAMP
+        elif up == "ON":  # ON UPDATE CURRENT_TIMESTAMP[(p)]
             cur.next(); cur.next(); cur.next()
+            if cur.peek() == "(":
+                while cur.next() != ")":
+                    pass
         else:
-            cur.next()  # tolerated attribute (COLUMN_FORMAT etc.)
+            # tolerated attribute (COLUMN_FORMAT etc.); skip a balanced
+            # paren group so a stray '(' can't truncate the column list
+            t = cur.next()
+            if t == "(":
+                depth = 1
+                while depth:
+                    t = cur.next()
+                    depth += t == "("
+                    depth -= t == ")"
     return (Column(name, dt, nullable, comment=comment,
                    default_expr=default_expr), position, anchor)
 
@@ -208,8 +231,12 @@ def _parse_create(cur: _Cursor, database: str | None) -> CreateTableEvent:
                 cur.expect("(")
                 while not cur.accept(")"):
                     t = cur.next()
-                    if t != ",":
-                        pks.append(_ident(t))
+                    if t == ",":
+                        continue
+                    pks.append(_ident(t))
+                    if cur.peek() == "(":  # index prefix length: name(10)
+                        while cur.next() != ")":
+                            pass
             else:
                 # skip constraint to its closing paren / next comma at depth 0
                 depth = 0
@@ -235,15 +262,33 @@ def _parse_create(cur: _Cursor, database: str | None) -> CreateTableEvent:
                                         primary_keys=tuple(pks)))
 
 
+# ADD/DROP/RENAME targets that are NOT column-schema changes — the action is
+# skipped (reference listener: no reaction), never the whole statement
+_NON_COLUMN_TARGETS = {"INDEX", "KEY", "CONSTRAINT", "UNIQUE", "FULLTEXT",
+                       "SPATIAL", "PRIMARY", "FOREIGN", "CHECK", "PARTITION"}
+
+
+def _skip_action(cur: _Cursor) -> None:
+    """Consume the rest of one ALTER action: to the next top-level comma."""
+    depth = 0
+    while True:
+        t = cur.peek()
+        if t is None or (depth == 0 and t == ","):
+            return
+        t = cur.next()
+        depth += t == "("
+        depth -= t == ")"
+
+
 def _parse_alter(cur: _Cursor, database: str | None) -> list[SchemaChangeEvent]:
     cur.expect("TABLE")
     tid = _table_id(cur.next(), database)
     events: list[SchemaChangeEvent] = []
-    adds: list[ColumnWithPosition] = []
     while cur.peek() is not None:
         kw = cur.next().upper()
-        if kw == "ADD":
+        if kw == "ADD" and (cur.peek() or "").upper() not in _NON_COLUMN_TARGETS:
             cur.accept("COLUMN")
+            adds: list[ColumnWithPosition] = []
             if cur.accept("("):
                 while not cur.accept(")"):
                     col, pos, anchor = _parse_column_def(cur)
@@ -252,17 +297,17 @@ def _parse_alter(cur: _Cursor, database: str | None) -> list[SchemaChangeEvent]:
             else:
                 col, pos, anchor = _parse_column_def(cur)
                 adds.append(ColumnWithPosition(col, pos, anchor))
-        elif kw == "DROP":
+            # in-order: DROP c, ADD c must replay as drop THEN add
+            events.append(AddColumnEvent(tid, tuple(adds)))
+        elif kw == "DROP" and (cur.peek() or "").upper() not in _NON_COLUMN_TARGETS:
             cur.accept("COLUMN")
             events.append(DropColumnEvent(tid, (_ident(cur.next()),)))
-        elif kw == "RENAME":
-            if cur.accept("COLUMN"):
-                old = _ident(cur.next())
-                cur.expect("TO")
-                new = _ident(cur.next())
-                events.append(RenameColumnEvent(tid, ((old, new),)))
-            else:
-                raise ValueError("RENAME TABLE is not a column-schema change")
+        elif kw == "RENAME" and (cur.peek() or "").upper() == "COLUMN":
+            cur.next()
+            old = _ident(cur.next())
+            cur.expect("TO")
+            new = _ident(cur.next())
+            events.append(RenameColumnEvent(tid, ((old, new),)))
         elif kw == "CHANGE":
             cur.accept("COLUMN")
             old = _ident(cur.next())
@@ -280,10 +325,12 @@ def _parse_alter(cur: _Cursor, database: str | None) -> list[SchemaChangeEvent]:
         elif kw == ",":
             continue
         else:
-            raise ValueError(f"unsupported ALTER action {kw!r}")
+            # index/constraint/table-option actions (ADD INDEX, DROP KEY,
+            # RENAME TO/INDEX, ALGORITHM=..., CONVERT TO CHARACTER SET, …):
+            # skip THIS action only — other actions in the statement still
+            # produce their events
+            _skip_action(cur)
         cur.accept(",")
-    if adds:
-        events.insert(0, AddColumnEvent(tid, tuple(adds)))
     return events
 
 

@@ -212,7 +212,12 @@ def minhash_lsh_exact_pairs(df: DataFrame, text_col: str = "text", id_col: str =
     never fire (column pruning makes every subtree distinct — verified:
     6 ArrowEvalPython nodes without the persist) and the pandas UDF would
     re-run per branch. MEMORY_AND_DISK keeps it one UDF pass at any scale;
-    size is O(docs × (64 longs + gram array))."""
+    size is O(docs × (64 longs + gram array)). Cache lifetime: Spark's
+    CacheManager dedupes by canonicalized plan, so repeated calls over the
+    SAME input share one entry (no per-call growth); distinct inputs add
+    one entry each, LRU-evicted under memory pressure. Callers that want
+    deterministic release can unpersist via the returned DataFrame's
+    ``lsh_base`` attribute."""
     from pyspark import StorageLevel
 
     sig = (
@@ -252,12 +257,14 @@ def minhash_lsh_exact_pairs(df: DataFrame, text_col: str = "text", id_col: str =
     )
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
     union = F.size(F.array_union("ga", "gb")).cast("double")
-    return (
+    out = (
         pairs.withColumn("jaccard", F.round(inter / union, 6))
         .where(union > 0)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    out.lsh_base = sig  # release handle: out.lsh_base.unpersist()
+    return out
 
 
 def simhash_neardup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

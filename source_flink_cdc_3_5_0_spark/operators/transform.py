@@ -251,7 +251,8 @@ class PostTransform:
         # passing no filter are dropped). Each rule's pass-predicate is
         # rewritten over the pre-row, and rule i only sees rows that failed
         # rules 0..i-1 — no duplication across overlapping filters.
-        passes = [self._pass_expr(ct, has_op, META_COL in df.columns)
+        phys = frozenset(df.columns)
+        passes = [self._pass_expr(ct, has_op, META_COL in df.columns, phys)
                   for ct in compiled]
         frames: list[DataFrame] = []
         prior_any = None
@@ -265,7 +266,8 @@ class PostTransform:
             out = out.unionByName(f, allowMissingColumns=True)
         return out
 
-    def _pass_expr(self, ct: CompiledTransform, has_op: bool, has_meta: bool):
+    def _pass_expr(self, ct: CompiledTransform, has_op: bool, has_meta: bool,
+                   physical: frozenset = frozenset()):
         """Rule's filter as a pre-row boolean Column (null -> False).
 
         Filter references resolve aliases-first (aliases shadow physical
@@ -285,27 +287,32 @@ class PostTransform:
                 subs.append((ph, f"({expr})"))
         for ph, expr in subs:
             sql = sql.replace(ph, expr)
-        sql = self._render_dynamic(sql, has_op, has_meta)
+        sql = self._render_dynamic(sql, has_op, has_meta, physical)
         return F.coalesce(F.expr(sql).cast("boolean"), F.lit(False))
 
     @staticmethod
-    def _render_dynamic(sql: str, has_op: bool, has_meta: bool) -> str:
+    def _render_dynamic(sql: str, has_op: bool, has_meta: bool,
+                        physical: frozenset = frozenset()) -> str:
         """Bind dynamic metadata references: ``__data_event_type__`` -> the
         envelope op column; connector metadata (``op_ts``) -> its ``__meta``
-        expression when the source carries the map."""
+        expression when the source carries the map. A PHYSICAL column with a
+        metadata name shadows the metadata binding (reference precedence:
+        SupportedMetadataColumn resolves only unknown names)."""
         if has_op:
             sql = sql.replace("`__data_event_type__`", f"`{OP_COL}`")
         if has_meta:
             for name, expr in SOURCE_METADATA_COLUMNS.items():
-                sql = sql.replace(f"`{name}`", f"({expr})")
+                if name not in physical:
+                    sql = sql.replace(f"`{name}`", f"({expr})")
         return sql
 
     def _apply_rule(self, df: DataFrame, ct: CompiledTransform, has_op: bool,
                     has_before: bool, apply_filter: bool = True) -> DataFrame:
         has_meta = META_COL in df.columns
+        physical = frozenset(df.columns)
 
         def render(sql: str) -> str:
-            return self._render_dynamic(sql, has_op, has_meta)
+            return self._render_dynamic(sql, has_op, has_meta, physical)
 
         proj_exprs = [F.expr(render(i.compiled.sql)).alias(i.alias) for i in ct.projection_cols]
         passthrough = []
@@ -320,7 +327,8 @@ class PostTransform:
             for i in ct.projection_cols:
                 sql = i.compiled.sql
                 for col in sorted(i.compiled.columns, key=len, reverse=True):
-                    if col in METADATA_COLUMNS or col in SOURCE_METADATA_COLUMNS:
+                    if ((col in METADATA_COLUMNS or col in SOURCE_METADATA_COLUMNS)
+                            and col not in physical):
                         continue  # metadata cols bind per-row, not per-image
                     sql = sql.replace(f"`{col}`", f"`{BEFORE_COL}`.`{col}`")
                 before_fields.append(F.expr(render(sql)).alias(i.alias))

@@ -80,10 +80,14 @@ def stateful_latest(stream: DataFrame, schema: T.StructType,
             best_seq, row_json = state.get
             best_row = json.loads(row_json)
         for pdf in pdfs:
+            # rows with a null/unparseable seq can't be ordered — drop them
+            # rather than crash the query (astype('int64') raises on NaN)
+            seqs = pd.to_numeric(pdf[seq_col], errors="coerce")
+            pdf = pdf[seqs.notna()]
             if len(pdf) == 0:
                 continue
-            idx = pdf[seq_col].astype("int64").idxmax()
-            seq = int(pdf[seq_col].loc[idx])
+            idx = seqs[seqs.notna()].astype("int64").idxmax()
+            seq = int(seqs.loc[idx])
             if best_seq is None or seq >= best_seq:
                 best_seq = seq
                 best_row = {n: pdf[n].loc[idx] for n in out_names}

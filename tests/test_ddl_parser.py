@@ -151,3 +151,61 @@ def test_raw_sql_ddl_in_stream(spark, tmp_path):
     q.awaitTermination(120)
     assert "color" in sink.schemas[tid].column_names()
     assert sink.snapshot(tid) == ["1, bolt, null", "2, nut, red"]
+
+
+class TestReviewRegressions:
+    """Round-2 code-review findings pinned."""
+
+    def test_parenthesized_default_does_not_truncate_create(self):
+        (ev,) = parse_mysql_ddl(
+            "CREATE TABLE t (a INT, ts DATETIME DEFAULT CURRENT_TIMESTAMP(6),"
+            " b INT, PRIMARY KEY (a))")
+        assert [c.name for c in ev.schema.columns] == ["a", "ts", "b"]
+        assert ev.schema.primary_keys == ("a",)
+        assert ev.schema.get_column("ts").default_expr == "CURRENT_TIMESTAMP(6)"
+        # expression default
+        (ev,) = parse_mysql_ddl(
+            "ALTER TABLE d.t ADD COLUMN u VARCHAR(36) DEFAULT (uuid())")
+        assert ev.added_columns[0].column.default_expr == "(uuid())"
+
+    def test_unsupported_alter_action_does_not_drop_siblings(self):
+        evs = parse_mysql_ddl(
+            "ALTER TABLE d.t ADD COLUMN c INT, ADD INDEX idx (c)")
+        assert len(evs) == 1 and isinstance(evs[0], AddColumnEvent)
+        assert evs[0].added_columns[0].column.name == "c"
+        # table-level actions alone -> no events, no exception
+        assert parse_mysql_ddl("ALTER TABLE d.t DROP PRIMARY KEY") == []
+        assert parse_mysql_ddl("ALTER TABLE d.t RENAME TO t2") == []
+
+    def test_drop_then_add_same_column_stays_ordered(self):
+        evs = parse_mysql_ddl(
+            "ALTER TABLE d.t DROP COLUMN c, ADD COLUMN c VARCHAR(10)")
+        assert [type(e) for e in evs] == [DropColumnEvent, AddColumnEvent]
+
+    def test_enum_with_double_quoted_values(self):
+        (ev,) = parse_mysql_ddl(
+            'ALTER TABLE d.t ADD COLUMN s ENUM("a","b") NOT NULL')
+        assert ev.added_columns[0].column.data_type == T.StringType()
+        assert not ev.added_columns[0].column.nullable
+
+    def test_primary_key_prefix_length(self):
+        (ev,) = parse_mysql_ddl(
+            "CREATE TABLE t (name VARCHAR(300), tail INT, "
+            "PRIMARY KEY (name(10)))")
+        assert ev.schema.primary_keys == ("name",)
+        assert [c.name for c in ev.schema.columns] == ["name", "tail"]
+
+
+def test_physical_op_ts_column_shadows_metadata(spark):
+    """A real column named op_ts must NOT be rewritten to the __meta
+    binding (reference: SupportedMetadataColumn resolves only unknown
+    names)."""
+    from source_flink_cdc_3_5_0_spark.api import transform_table
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 111), (2, 222)], "id INT, op_ts BIGINT"
+    ).withColumn("__meta", F.create_map(F.lit("ts_ms"), F.lit("999")))
+    out = transform_table(df, projection="id, op_ts", table_id="d.s.t")
+    assert sorted((r["id"], r["op_ts"]) for r in out.collect()) == [
+        (1, 111), (2, 222)]

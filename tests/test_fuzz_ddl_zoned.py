@@ -76,15 +76,17 @@ def test_alter_add_fuzz(cols, pos):
     for i, (csql, _) in enumerate(cols):
         suffix = f" {pos}" if pos and i == 0 else ""
         actions.append(f"ADD COLUMN {csql}{suffix}")
-    (ev,) = parse_mysql_ddl("ALTER TABLE d.t " + ", ".join(actions))
-    assert isinstance(ev, AddColumnEvent)
-    assert [cw.column.name for cw in ev.added_columns] == [
-        c[1][0] for c in cols]
+    evs = parse_mysql_ddl("ALTER TABLE d.t " + ", ".join(actions))
+    # one in-order AddColumnEvent per ADD action (DROP c, ADD c must replay
+    # drop-then-add, so ADDs are never hoisted/merged)
+    assert all(isinstance(e, AddColumnEvent) for e in evs)
+    added = [cw for e in evs for cw in e.added_columns]
+    assert [cw.column.name for cw in added] == [c[1][0] for c in cols]
     if pos == "FIRST":
-        assert ev.added_columns[0].position == ColumnPosition.FIRST
+        assert added[0].position == ColumnPosition.FIRST
     elif pos.startswith("AFTER"):
-        assert ev.added_columns[0].position == ColumnPosition.AFTER
-        assert ev.added_columns[0].existed_column_name == "other"
+        assert added[0].position == ColumnPosition.AFTER
+        assert added[0].existed_column_name == "other"
 
 
 _OFFSETS = st.sampled_from(
