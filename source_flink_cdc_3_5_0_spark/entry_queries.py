@@ -1169,6 +1169,172 @@ FROM events WHERE epoch_ms(CAST(ts AS TIMESTAMP)) > 0
 # Registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# 6b. Corpus-statistics / behavioral extensions (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def q_text_ngram_top(spark, sf_dir):
+    """Top-20 word bigrams per language — tokenizer-training corpus stats.
+    Explode→groupBy is map-side-combinable (partial agg before the single
+    (lang,gram) shuffle); the per-lang top-k window runs on the already
+    aggregated (small) set. Ties break on gram text for determinism."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select("lang", F.explode(grams).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 20)
+        .select("lang", "gram", "cnt", "rank")
+    )
+
+
+ORACLE_TEXT_NGRAM_TOP = r"""
+WITH toks AS (
+  SELECT lang,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT lang, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM toks
+  WHERE len(t) >= 2
+), counts AS (
+  SELECT lang, gram, CAST(count(*) AS BIGINT) AS cnt
+  FROM grams GROUP BY lang, gram
+)
+SELECT lang, gram, cnt,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram ASC) AS INTEGER) AS rank
+FROM counts
+QUALIFY rank <= 20
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity splits), the canonical
+    event-stream prep op: one shuffle by user_id for the lag window, then
+    the (user, session) aggregate reuses that partitioning. Gap compares
+    exact integer microseconds; per-session value sums go through DECIMAL
+    so they are order-independent, final-cast to DOUBLE."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    new_sess = F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("int"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+             .cast("decimal(38,2)").cast("double").alias("total_value"),
+        )
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+def q_doc_length_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles of document length per language
+    (corpus length-distribution profiling). Spark `percentile` and DuckDB
+    `quantile_cont` both do linear interpolation (1-d)*lo + d*hi; rounded
+    to 4 dp. At scale this is a partial-aggregable sort-based agg over the
+    (lang) keys — no full-data collect."""
+    docs = load(spark, sf_dir, "documents")
+    aggs = [
+        F.round(F.expr(f"percentile(n_chars, {p})"), 4).alias(f"p{int(p * 100)}")
+        for p in (0.25, 0.5, 0.75, 0.95)
+    ]
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"), *aggs)
+    )
+
+
+ORACLE_DOC_PERCENTILES = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 4) AS p25,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.75), 4) AS p75,
+       round(quantile_cont(n_chars, 0.95), 4) AS p95
+FROM documents
+GROUP BY lang
+"""
+
+
+def q_agg_event_type_pivot(spark, sf_dir):
+    """PIVOT with an explicit value list, written as a single-pass
+    conditional aggregate: `DataFrame.pivot` plans TWO shuffles (pre-agg on
+    (user, type), then pivot_first on user); the conditional-count form is
+    semantically identical, map-side-combinable, and shuffles ONCE on
+    user_id — the formulation that survives a 100× scale-up (pinned in
+    test_plans)."""
+    ev = load(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return ev.groupBy("user_id").agg(
+        *[F.count(F.when(F.col("event_type") == k, 1)).cast("long").alias(k)
+          for k in kinds]
+    )
+
+
+ORACLE_EVENT_TYPE_PIVOT = """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+       CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, object] = {
     # CDC transform dialect parity
     "transform_projection_arith": q_transform_projection_arith,
@@ -1216,6 +1382,11 @@ QUERIES: dict[str, object] = {
     "stream_windowed_counts": q_stream_windowed_counts,
     "sink_upsert_merge": q_sink_upsert_merge,
     "transform_op_ts_metadata": q_transform_op_ts_metadata,
+    # corpus-statistics / behavioral extensions
+    "text_ngram_top": q_text_ngram_top,
+    "sessionize_events": q_sessionize_events,
+    "doc_length_percentiles": q_doc_length_percentiles,
+    "agg_event_type_pivot": q_agg_event_type_pivot,
 }
 
 ORACLES: dict[str, str] = {
@@ -1260,6 +1431,10 @@ ORACLES: dict[str, str] = {
     "interval_join_events": ORACLE_INTERVAL_JOIN,
     "window_running_total": ORACLE_WINDOW_RUNNING,
     "array_functions": ORACLE_ARRAY_FUNCS,
+    "text_ngram_top": ORACLE_TEXT_NGRAM_TOP,
+    "sessionize_events": ORACLE_SESSIONIZE,
+    "doc_length_percentiles": ORACLE_DOC_PERCENTILES,
+    "agg_event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,
 }
 
 

@@ -160,3 +160,31 @@ def test_windowed_counts_single_shuffle_partial_agg(spark):
     import re
     assert len(re.findall(r"\bExchange\b", p)) == 1, p
     assert p.count("HashAggregate") == 2, p  # partial + final
+
+
+def test_sessionize_single_shuffle(spark):
+    """Sessionization: lag-window + session agg share ONE exchange on
+    user_id — HashPartitioning(user_id) satisfies the (user_id, session_id)
+    clustering requirement, so no second shuffle appears."""
+    import re
+    p = plan_of(EQ.q_sessionize_events(spark, SF))
+    assert len(re.findall(r"\bExchange\b", p)) == 1, p
+    assert p.count("HashAggregate") == 2, p  # partial + final
+
+
+def test_ngram_top_partial_agg_small_window(spark):
+    """Bigram frequency: partial agg before the (lang, gram) exchange; the
+    top-k window runs on the aggregated set only (2 exchanges total)."""
+    import re
+    p = plan_of(EQ.q_text_ngram_top(spark, SF))
+    assert p.count("HashAggregate") >= 2, p
+    assert len(re.findall(r"\bExchange\b", p)) == 2, p
+
+
+def test_pivot_single_shuffle(spark):
+    """Conditional-aggregate pivot: one exchange on user_id (the
+    DataFrame.pivot two-shuffle shape is deliberately avoided)."""
+    import re
+    p = plan_of(EQ.q_agg_event_type_pivot(spark, SF))
+    assert len(re.findall(r"\bExchange\b", p)) == 1, p
+    assert p.count("HashAggregate") == 2, p
