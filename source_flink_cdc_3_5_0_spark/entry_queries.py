@@ -1335,6 +1335,68 @@ GROUP BY user_id
 """
 
 
+def q_decontam_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination (extensions/decontam.py): docs from
+    source 'src0' act as the eval suite; every other doc sharing ≥1
+    distinct word 4-gram is flagged with the shared-gram count. The
+    exploded eval side broadcasts — the corpus is never shuffled."""
+    from .extensions.decontam import ngram_overlap_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    return ngram_overlap_pairs(corpus, ev, k=4)
+
+
+ORACLE_DECONTAM = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(range(1, len(t) - 2),
+                i -> list_aggregate(t[i:i+3], 'string_agg', ' ')))) AS gram
+  FROM toks WHERE len(t) >= 4
+)
+SELECT e.doc_id AS eval_doc_id, c.doc_id AS corpus_doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM grams e JOIN grams c ON e.gram = c.gram
+WHERE e.source = 'src0' AND c.source <> 'src0'
+GROUP BY 1, 2
+"""
+
+
+def q_sample_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (extensions/sampling.py): md5
+    content-hash buckets at 13:2:1 — reproducible across engines and runs
+    (unlike rand()/sample), a pure no-shuffle filter-and-tag; per
+    (lang, split) doc and char counts summarize the assignment."""
+    from .extensions.sampling import hash_split_col
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", hash_split_col("doc_id"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_HASH_SPLIT = """
+SELECT lang,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 32, 1) = 'f' THEN 'test'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('d', 'e') THEN 'val'
+            ELSE 'train' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, object] = {
     # CDC transform dialect parity
     "transform_projection_arith": q_transform_projection_arith,
@@ -1387,6 +1449,8 @@ QUERIES: dict[str, object] = {
     "sessionize_events": q_sessionize_events,
     "doc_length_percentiles": q_doc_length_percentiles,
     "agg_event_type_pivot": q_agg_event_type_pivot,
+    "decontam_ngram_overlap": q_decontam_ngram_overlap,
+    "sample_hash_split": q_sample_hash_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -1435,6 +1499,8 @@ ORACLES: dict[str, str] = {
     "sessionize_events": ORACLE_SESSIONIZE,
     "doc_length_percentiles": ORACLE_DOC_PERCENTILES,
     "agg_event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,
+    "decontam_ngram_overlap": ORACLE_DECONTAM,
+    "sample_hash_split": ORACLE_HASH_SPLIT,
 }
 
 

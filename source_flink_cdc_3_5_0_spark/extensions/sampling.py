@@ -1,0 +1,40 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+`DataFrame.sample` is seed-dependent on partitioning (row order), so at
+cluster scale the same logical dataset can sample differently between runs
+or between engines. The content-hash formulation below is the reproducible
+alternative every large training pipeline uses: bucket each row by a stable
+hash of its key, then carve buckets into splits / keep-sets. Pure codegen
+(md5 on the key string), embarrassingly parallel, no shuffle, and byte-for-
+byte reproducible across engines — which is exactly what makes it DuckDB-
+oracle-able, unlike rand()-based sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 16 hex buckets from the last md5 nibble: 13 train / 2 val / 1 test
+_VAL_NIBBLES = ("d", "e")
+_TEST_NIBBLES = ("f",)
+
+
+def hash_bucket_col(id_col: str) -> Column:
+    """Last hex nibble of md5(key-as-string) — uniform 1/16 buckets,
+    identical in any engine with md5 (Spark, DuckDB, Trino, ...)."""
+    return F.substring(F.md5(F.col(id_col).cast("string")), 32, 1)
+
+
+def hash_split_col(id_col: str = "doc_id") -> Column:
+    """'train' / 'val' / 'test' assignment at 13:2:1 by content hash."""
+    b = hash_bucket_col(id_col)
+    return (
+        F.when(b.isin(*_TEST_NIBBLES), F.lit("test"))
+        .when(b.isin(*_VAL_NIBBLES), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def hash_sample(df: DataFrame, id_col: str, keep_nibbles: tuple[str, ...] = ("0", "1")) -> DataFrame:
+    """Deterministic ~len(keep_nibbles)/16 sample — a filter, no shuffle."""
+    return df.where(hash_bucket_col(id_col).isin(*keep_nibbles))

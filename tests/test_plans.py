@@ -188,3 +188,23 @@ def test_pivot_single_shuffle(spark):
     p = plan_of(EQ.q_agg_event_type_pivot(spark, SF))
     assert len(re.findall(r"\bExchange\b", p)) == 1, p
     assert p.count("HashAggregate") == 2, p
+
+
+def test_decontam_broadcasts_eval_side(spark):
+    """Decontamination joins the exploded eval grams by BROADCAST — the
+    corpus side is never shuffled for the join; the only exchange is the
+    pair aggregate."""
+    import re
+    p = plan_of(EQ.q_decontam_ngram_overlap(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert len(re.findall(r"\bExchange\b", p)) == 1, p
+
+
+def test_hash_split_no_presplit_shuffle(spark):
+    """Hash split is a tag + single-shuffle aggregate (the split column is
+    computed map-side; only the (lang, split) agg exchanges)."""
+    import re
+    p = plan_of(EQ.q_sample_hash_split(spark, SF))
+    assert len(re.findall(r"\bExchange\b", p)) == 1, p
+    assert p.count("HashAggregate") == 2, p
