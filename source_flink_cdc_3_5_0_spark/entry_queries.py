@@ -918,6 +918,35 @@ FROM range(0, 256) t(i)
 """
 
 
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling through the 1:N mapInPandas stage
+    (extensions/multimodal.sample_frames): synthetic video i has
+    duration 1000·(i%90) ms, so sampling at 1000 ms stride yields
+    min(i%90 + 1, 32) frames at t = 0, 1000, … — the oracle pins the
+    exploding Arrow round-trip (row multiplicity, stride positions,
+    16-byte fake-frame payloads) structurally; frame BYTES are the
+    documented stub."""
+    from .extensions.multimodal import sample_frames
+
+    media = synthetic_media(spark, n=256)
+    frames = sample_frames(media, every_ms=1000, max_frames=32)
+    return frames.select(
+        "media_id", "frame_idx", "ts_ms",
+        F.length("frame").cast("int").alias("n_bytes"),
+    )
+
+
+ORACLE_FRAME_SAMPLE = """
+SELECT i AS media_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(f * 1000 AS BIGINT) AS ts_ms,
+       CAST(16 AS INTEGER) AS n_bytes
+FROM range(0, 256) t(i)
+CROSS JOIN LATERAL (SELECT unnest(range(0, least((i % 90) + 1, 32)))) u(f)
+WHERE i % 3 = 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # 5. Operator parity queries (round-2: driver coverage for pytest-only §2 ops)
 # ---------------------------------------------------------------------------
@@ -1451,6 +1480,7 @@ QUERIES: dict[str, object] = {
     "agg_event_type_pivot": q_agg_event_type_pivot,
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1501,6 +1531,7 @@ ORACLES: dict[str, str] = {
     "agg_event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,
     "decontam_ngram_overlap": ORACLE_DECONTAM,
     "sample_hash_split": ORACLE_HASH_SPLIT,
+    "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
 }
 
 

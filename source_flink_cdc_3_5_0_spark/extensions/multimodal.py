@@ -75,6 +75,93 @@ def extract_features(df: DataFrame, use_fake_decoder: bool = True,
     return df.mapInPandas(run, schema=_FEATURES_SCHEMA)
 
 
+_RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+])
+
+
+def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32,
+                  use_fake_decoder: bool = True) -> DataFrame:
+    """Decode→resize→re-encode image rows via ``mapInPandas``.
+
+    Non-image rows are filtered JVM-side BEFORE the Python stage (predicate
+    stays in the scan, Python only sees image payloads). The fake resizer
+    emits a deterministic ``target_w*target_h*3``-byte payload derived from
+    the source bytes; a real impl swaps ``_fake_resize`` for PIL
+    ``Image.resize`` with the same signature."""
+    if not use_fake_decoder:
+        raise NotImplementedError(
+            "real image resize needs PIL — not installed; pass "
+            "use_fake_decoder=True for the plumbing path")
+    n_out = target_w * target_h * 3
+
+    def _fake_resize(payload) -> bytes | None:
+        if payload is None:
+            return None
+        seed = hashlib.md5(bytes(payload)).digest()
+        reps = (n_out + len(seed) - 1) // len(seed)
+        return (seed * reps)[:n_out]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": np.int32(target_w),
+                "height": np.int32(target_h),
+                "payload": pdf["payload"].map(_fake_resize),
+            })
+
+    return df.where(F.col("kind") == "image").mapInPandas(run, schema=_RESIZED_SCHEMA)
+
+
+_FRAMES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("ts_ms", T.LongType(), False),
+    T.StructField("frame", T.BinaryType(), True),
+])
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 32,
+                  use_fake_decoder: bool = True) -> DataFrame:
+    """Sample video frames at a fixed stride via ``mapInPandas`` — the
+    1:N (row → frames) exploding shape: each Arrow batch of video rows
+    yields one output batch carrying all its frames, so frame count per
+    task is bounded by ``maxRecordsPerBatch × max_frames`` regardless of
+    partition size. Frames land at t = 0, every_ms, 2·every_ms … ≤
+    duration_ms, capped at ``max_frames``. The fake decoder emits the
+    16-byte md5 of (payload, frame_idx) per frame; a real impl swaps in
+    ffmpeg/pyav keyframe extraction with the same signature."""
+    if not use_fake_decoder:
+        raise NotImplementedError(
+            "real frame sampling needs ffmpeg/pyav — not installed; pass "
+            "use_fake_decoder=True for the plumbing path")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, payload, dur in zip(pdf["media_id"], pdf["payload"],
+                                         pdf["duration_ms"]):
+                n = min(int(dur or 0) // every_ms + 1, max_frames)
+                base = b"" if payload is None else bytes(payload)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(hashlib.md5(base + i.to_bytes(4, "little")).digest())
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "ts_ms": pd.Series(tss, dtype="int64"),
+                "frame": pd.Series(frames, dtype=object),
+            })
+
+    return df.where(F.col("kind") == "video").mapInPandas(run, schema=_FRAMES_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 256) -> DataFrame:
     """Deterministic fake media table for tests (payload = seeded bytes)."""
     rows = []
