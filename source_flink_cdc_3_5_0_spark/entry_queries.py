@@ -947,6 +947,161 @@ WHERE i % 3 = 2
 """
 
 
+def q_jdbc_chunk_plan(spark, sf_dir):
+    """Incremental-snapshot chunk planning (S1,
+    JdbcSourceChunkSplitter.java:109-377) surfaced as data: plan even
+    chunks over orders.o_orderkey (CEILING-4dp distribution factor →
+    dynamic width, open first/last edges), then count actual rows per
+    chunk. The min/max/count aggregate is the reference's queryMinMax
+    metadata step; the per-chunk count is one partial-agg shuffle with the
+    tiny chunk table broadcast."""
+    from .sources.jdbc import split_evenly_sized_chunks
+
+    orders = load(spark, sf_dir, "orders")
+    mn, mx, cnt = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey"), F.count(F.lit(1))).first()
+    chunks = split_evenly_sized_chunks(int(mn), int(mx), int(cnt), chunk_size=512)
+    cdf = spark.createDataFrame(
+        [(i, c.start, c.end) for i, c in enumerate(chunks)],
+        "chunk_idx INT, start_key BIGINT, end_key BIGINT")
+    if len(chunks) > 1:
+        width = int(chunks[0].end) - int(mn)
+        idx = F.least(
+            F.floor((F.col("o_orderkey") - F.lit(int(mn))) / F.lit(width)),
+            F.lit(len(chunks) - 1),
+        ).cast("int")
+    else:
+        idx = F.lit(0)
+    counts = (
+        orders.select(idx.alias("chunk_idx"))
+        .groupBy("chunk_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    return (
+        cdf.join(counts, "chunk_idx", "left")
+        .select("chunk_idx", "start_key", "end_key",
+                F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"))
+    )
+
+
+# Same arithmetic as the splitter: factor = CEIL-4dp((mx-mn+1)/cnt) (double
+# path is bit-identical: exact-integer numerator, one correctly-rounded
+# division), width = max(trunc(factor*512), 1), bounded-chunk count =
+# (mx-mn)//width, first/last chunks open-ended.
+ORACLE_JDBC_CHUNKS = """
+WITH params AS (
+  SELECT mn, mx, cnt,
+         greatest(CAST(trunc((ceil((mx - mn + 1) * 10000.0 / cnt) / 10000.0) * 512) AS BIGINT), 1) AS width
+  FROM (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx, count(*) AS cnt FROM orders)
+), chunks AS (
+  SELECT CAST(i AS INTEGER) AS chunk_idx,
+         CASE WHEN i = 0 THEN NULL ELSE mn + width * i END AS start_key,
+         CASE WHEN i = (mx - mn) // width THEN NULL ELSE mn + width * (i + 1) END AS end_key,
+         mn, width, (mx - mn) // width AS lastidx
+  FROM params CROSS JOIN LATERAL (SELECT unnest(range(0, (mx - mn) // width + 1))) t(i)
+)
+SELECT c.chunk_idx,
+       CAST(c.start_key AS BIGINT) AS start_key,
+       CAST(c.end_key AS BIGINT) AS end_key,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_rows
+FROM chunks c LEFT JOIN orders o
+  ON least((o.o_orderkey - c.mn) // c.width, c.lastidx) = c.chunk_idx
+GROUP BY 1, 2, 3
+"""
+
+
+def q_transform_ai_functions(spark, sf_dir):
+    """AI model functions (E8, TransformSqlOperatorTable.java:355-378)
+    through the transform dialect: AI_CHAT_PREDICT's deterministic fake is
+    value-level SQL-expressible ('[fake-model] ' || first 64 chars), so the
+    oracle checks real values; GET_EMBEDDING (md5+numpy fake) is pinned
+    structurally (16-dim, [0,1) bounds) — both batched pandas UDFs."""
+    from .functions.ai_models import ModelSpec, register_model_functions
+
+    names = register_model_functions(spark, [
+        ModelSpec("GET_EMBEDDING", model="text-embedding-3-small"),
+        ModelSpec("AI_CHAT_PREDICT", model="gpt-4o-mini"),
+    ])
+    out = transform_table(
+        load(spark, sf_dir, "documents"),
+        projection=("doc_id, AI_CHAT_PREDICT(text) AS reply, "
+                    "GET_EMBEDDING(text) AS emb"),
+        filter="text IS NOT NULL",
+        table_id="corpus.main.documents",
+        udfs=names,
+    )
+    return out.select(
+        "doc_id", "reply",
+        F.size("emb").cast("int").alias("emb_dim"),
+        (F.array_min("emb") >= 0).alias("emb_lo"),
+        (F.array_max("emb") < 1).alias("emb_hi"),
+    )
+
+
+ORACLE_AI_FUNCTIONS = """
+SELECT doc_id,
+       '[fake-model] ' || substr(text, 1, 64) AS reply,
+       CAST(16 AS INTEGER) AS emb_dim,
+       TRUE AS emb_lo,
+       TRUE AS emb_hi
+FROM documents
+WHERE text IS NOT NULL
+"""
+
+
+def q_cdc_schema_evolution_ignore(spark, sf_dir):
+    """Same scripted DDL+data fixture as cdc_schema_evolution_lenient, under
+    behavior=IGNORE (C4, SchemaDerivator.java:196-199): only CreateTable
+    survives, so the sink schema stays (col1, col2) while the upstream
+    schema keeps evolving — coerceDataRecord drops unknown columns and
+    null-fills ones the upstream no longer carries (rows 5/6 lose col2 after
+    the ignored RENAME/DROP; key 1's update null-fills col2)."""
+    from .common import (AddColumnEvent, Column, CreateTableEvent, DataChangeEvent,
+                        DropColumnEvent, RenameColumnEvent, TableId)
+    from .pipeline import PipelineComposer, parse_yaml_pipeline
+    from .sinks.memory import MemorySink
+    from .sources.values import ValuesSource
+
+    tbl = TableId.parse("default_namespace.default_schema.table1")
+    schema1 = Schema.of(
+        Column("col1", T.StringType(), False), Column("col2", T.StringType()),
+        primary_keys=["col1"])
+    events = [
+        CreateTableEvent(tbl, schema1),
+        DataChangeEvent.insert(tbl, ("1", "1")),
+        DataChangeEvent.insert(tbl, ("2", "2")),
+        DataChangeEvent.insert(tbl, ("3", "3")),
+        AddColumnEvent.last(tbl, Column("col3", T.StringType())),
+        DataChangeEvent.insert(tbl, ("4", "4", "c3")),
+        RenameColumnEvent(tbl, (("col2", "newCol2"),)),
+        DataChangeEvent.insert(tbl, ("5", "5", "c3b")),
+        DropColumnEvent(tbl, ("newCol2",)),
+        DataChangeEvent.insert(tbl, ("6", "c3c")),
+        DataChangeEvent.update(tbl, ("1", None), ("1", "u1")),
+        DataChangeEvent.delete(tbl, ("2", None)),
+    ]
+    pdef = parse_yaml_pipeline(
+        "source: {type: values}\nsink: {type: values}\n"
+        "pipeline:\n  schema.change.behavior: ignore\n")
+    sink = MemorySink()
+    PipelineComposer(spark).compose(pdef, source=ValuesSource(events), sink=sink).run()
+    schema = sink.schemas[tbl]
+    rows = [tuple(r[n] for n in schema.column_names())
+            for r in sink.state[tbl].values()]
+    return spark.createDataFrame(rows, schema.struct_type())
+
+
+ORACLE_SCHEMA_EVOLUTION_IGNORE = """
+SELECT * FROM (VALUES
+  ('1', CAST(NULL AS VARCHAR)),
+  ('3', '3'),
+  ('4', '4'),
+  ('5', NULL),
+  ('6', NULL)
+) AS t(col1, col2)
+"""
+
+
 # ---------------------------------------------------------------------------
 # 5. Operator parity queries (round-2: driver coverage for pytest-only §2 ops)
 # ---------------------------------------------------------------------------
@@ -1481,6 +1636,9 @@ QUERIES: dict[str, object] = {
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "jdbc_chunk_plan": q_jdbc_chunk_plan,
+    "transform_ai_functions": q_transform_ai_functions,
+    "cdc_schema_evolution_ignore": q_cdc_schema_evolution_ignore,
 }
 
 ORACLES: dict[str, str] = {
@@ -1532,6 +1690,9 @@ ORACLES: dict[str, str] = {
     "decontam_ngram_overlap": ORACLE_DECONTAM,
     "sample_hash_split": ORACLE_HASH_SPLIT,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
+    "jdbc_chunk_plan": ORACLE_JDBC_CHUNKS,
+    "transform_ai_functions": ORACLE_AI_FUNCTIONS,
+    "cdc_schema_evolution_ignore": ORACLE_SCHEMA_EVOLUTION_IGNORE,
 }
 
 
