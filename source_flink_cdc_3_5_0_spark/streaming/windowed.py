@@ -54,6 +54,22 @@ def windowed_counts(df: DataFrame, ts_col: str = "ts",
     )
 
 
+def dedup_stream(df: DataFrame, keys: Sequence[str], ts_col: str = "ts",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Drop redelivered events by key — the at-least-once → effectively-once
+    shim in front of any sink (Kafka redelivery, source retry, replayed
+    micro-batch). Streaming input uses ``dropDuplicatesWithinWatermark``:
+    per-key state is EVICTED once the watermark passes it, so state is
+    bounded by (horizon × key rate) instead of growing with the stream —
+    the only dedup configuration that survives an unbounded stream. Batch
+    input degrades to plain ``dropDuplicates`` (same contract: one row per
+    key; which duplicate survives is unspecified in both modes)."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark) \
+            .dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))
+
+
 _LATEST_STATE_SCHEMA = T.StructType([
     T.StructField("seq", T.LongType()),
     T.StructField("row_json", T.StringType()),

@@ -130,3 +130,39 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(tuple(r) for r in spark.table("ssj_out").collect())
     assert got == expected
+
+
+def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
+    """dropDuplicatesWithinWatermark path: redelivered event_ids across two
+    micro-batch files collapse to one row per key, matching the batch-mode
+    key set."""
+    from source_flink_cdc_3_5_0_spark.streaming.windowed import dedup_stream
+
+    src = str(tmp_path / "dd")
+    os.makedirs(src)
+    batch1 = [{"event_id": i, "ts": f"2024-01-01 00:{10 + i}:00", "value": float(i)}
+              for i in range(20)]
+    # file 2 redelivers half of file 1 (same ids, same ts) plus new ids
+    batch2 = [dict(r) for r in batch1[::2]] + [
+        {"event_id": 100 + i, "ts": f"2024-01-01 00:{30 + i}:00", "value": 1.0}
+        for i in range(5)]
+    for fname, rows in (("a.jsonl", batch1), ("b.jsonl", batch2)):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    schema = "event_id LONG, ts STRING, value DOUBLE"
+
+    def prep(df):
+        return dedup_stream(df.withColumn("ts", F.to_timestamp("ts")),
+                            keys=["event_id"], watermark="2 hours")
+
+    batch_keys = sorted(r.event_id for r in
+                        prep(spark.read.schema(schema).json(src)).collect())
+
+    q = (prep(spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(src))
+         .writeStream.format("memory").queryName("dd_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.table("dd_out").collect())
+    assert got == batch_keys == sorted({r["event_id"] for r in batch1 + batch2})
