@@ -1102,6 +1102,69 @@ SELECT * FROM (VALUES
 """
 
 
+def q_skew_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation (operators/skew.py) end-to-end:
+    l_returnflag has 3 values over 600k rows — the textbook hot-key
+    aggregate. Phase 1 spreads each key over 16 salts (partial agg),
+    phase 2 reduces 3×16 rows. Result must equal the plain groupBy —
+    which is what the DuckDB oracle checks. Sums go through DECIMAL so
+    the two-phase reduction is order-independent."""
+    from .operators.skew import salted_agg
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(18,2)"))
+    out = salted_agg(
+        li, ["l_returnflag"],
+        {"n_rows": "count(*)", "sum_qty": "sum(qty_dec)",
+         "min_ship": "min(l_shipdate)", "max_ship": "max(l_shipdate)"},
+        n_salts=16)
+    return out.select(
+        "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_qty").cast("decimal(38,2)").cast("double").alias("sum_qty"),
+        "min_ship", "max_ship")
+
+
+ORACLE_SKEW_SALTED = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+       min(l_shipdate) AS min_ship,
+       max(l_shipdate) AS max_ship
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_json_extract_props(spark, sf_dir):
+    """Semi-structured extraction over the events.props JSON column
+    (absent in the reference — §2.4 extension): `get_json_object` stays
+    JVM-side codegen, the per-type aggregate is one partial-agg shuffle."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+ORACLE_JSON_PROPS = """
+SELECT event_type,
+       CAST(count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_with_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # 5. Operator parity queries (round-2: driver coverage for pytest-only §2 ops)
 # ---------------------------------------------------------------------------
@@ -1639,6 +1702,8 @@ QUERIES: dict[str, object] = {
     "jdbc_chunk_plan": q_jdbc_chunk_plan,
     "transform_ai_functions": q_transform_ai_functions,
     "cdc_schema_evolution_ignore": q_cdc_schema_evolution_ignore,
+    "skew_salted_agg": q_skew_salted_agg,
+    "json_extract_props": q_json_extract_props,
 }
 
 ORACLES: dict[str, str] = {
@@ -1693,6 +1758,8 @@ ORACLES: dict[str, str] = {
     "jdbc_chunk_plan": ORACLE_JDBC_CHUNKS,
     "transform_ai_functions": ORACLE_AI_FUNCTIONS,
     "cdc_schema_evolution_ignore": ORACLE_SCHEMA_EVOLUTION_IGNORE,
+    "skew_salted_agg": ORACLE_SKEW_SALTED,
+    "json_extract_props": ORACLE_JSON_PROPS,
 }
 
 
