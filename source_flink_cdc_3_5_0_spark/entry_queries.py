@@ -1428,16 +1428,10 @@ def q_text_ngram_top(spark, sf_dir):
     aggregated (small) set. Ties break on gram text for determinism."""
     from pyspark.sql import Window
 
+    from .extensions.dedup import word_ngrams_col
+
     docs = load(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
-    n = F.size(toks)
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams_col("text", 2, distinct=False, fallback_whole_text=False)
     counts = (
         docs.select("lang", F.explode(grams).alias("gram"))
         .groupBy("lang", "gram")

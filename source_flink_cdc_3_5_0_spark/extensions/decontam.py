@@ -18,21 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-
-def word_kgrams_nofallback(text_col: str, k: int):
-    """Distinct word k-grams as a Column; docs with fewer than k tokens
-    yield an empty array (mirrors the oracle's ``len(tokens) >= k`` filter —
-    unlike dedup.word_ngrams_col there is no whole-text fallback, because a
-    short doc cannot contain a k-gram of the eval set)."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
-    n = F.size(toks)
-    kgrams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
-    )
-    return F.array_distinct(
-        F.when(n >= k, kgrams).otherwise(F.array().cast("array<string>"))
-    )
+from .dedup import word_ngrams_col
 
 
 def ngram_overlap_pairs(corpus: DataFrame, eval_df: DataFrame,
@@ -41,9 +27,12 @@ def ngram_overlap_pairs(corpus: DataFrame, eval_df: DataFrame,
     """(eval_doc_id, corpus_doc_id, n_shared_grams) for every corpus doc
     sharing at least one distinct word k-gram with an eval doc."""
     def grams_of(df: DataFrame, out_id: str) -> DataFrame:
+        # no whole-text fallback: a doc shorter than k words cannot
+        # contain a k-gram of the eval set
         return df.select(
             F.col(id_col).alias(out_id),
-            F.explode(word_kgrams_nofallback(text_col, k)).alias("gram"),
+            F.explode(word_ngrams_col(text_col, k,
+                                      fallback_whole_text=False)).alias("gram"),
         )
 
     ev = F.broadcast(grams_of(eval_df, "eval_doc_id"))

@@ -170,19 +170,28 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
-def word_ngrams_col(text_col: str, k: int = 3):
-    """Distinct word k-gram set as a Column — the JVM-side mirror of
-    ``_shingle_hashes``'s shingling (lowercase, whitespace split, k-grams;
-    texts shorter than k words collapse to one whole-text gram)."""
+def word_ngrams_col(text_col: str, k: int = 3, distinct: bool = True,
+                    fallback_whole_text: bool = True):
+    """Word k-grams as a Column — THE one tokenization definition
+    (lowercase, whitespace split, drop empties) shared by dedup,
+    decontamination and corpus n-gram stats, so 'a word' can't silently
+    diverge between them (and their oracles).
+
+    ``distinct``: set semantics (dedup/Jaccard) vs multiset (frequency
+    counts). ``fallback_whole_text``: texts shorter than k words collapse
+    to one whole-text gram (mirrors ``_shingle_hashes``; turn OFF when a
+    short doc genuinely contains no k-gram, e.g. decontamination)."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
     n = F.size(toks)
     kgrams = F.transform(
         F.sequence(F.lit(0), n - k),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
     )
-    short = F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(
-        F.array().cast("array<string>"))
-    return F.array_distinct(F.when(n >= k, kgrams).otherwise(short))
+    empty = F.array().cast("array<string>")
+    short = (F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(empty)
+             if fallback_whole_text else empty)
+    out = F.when(n >= k, kgrams).otherwise(short)
+    return F.array_distinct(out) if distinct else out
 
 
 def minhash_lsh_exact_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -145,7 +145,9 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 32,
             ids, idxs, tss, frames = [], [], [], []
             for mid, payload, dur in zip(pdf["media_id"], pdf["payload"],
                                          pdf["duration_ms"]):
-                n = min(int(dur or 0) // every_ms + 1, max_frames)
+                # nullable long arrives as float64 NaN in pandas, not None
+                dur = 0 if dur is None or pd.isna(dur) else int(dur)
+                n = min(dur // every_ms + 1, max_frames)
                 base = b"" if payload is None else bytes(payload)
                 for i in range(n):
                     ids.append(mid)

@@ -40,16 +40,27 @@ def stream_stream_interval_join(
     """
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must be distinct column names")
-    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
-    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    clash = (set(left.columns) & set(right.columns)) - set(on)
+    if clash:
+        raise ValueError(
+            f"non-key columns shared by both sides would collide in the "
+            f"output: {sorted(clash)}; rename before joining")
+    l = (left.withWatermark(left_ts, watermark) if left.isStreaming else left) \
+        .alias("__ssj_l")
+    r = (right.withWatermark(right_ts, watermark) if right.isStreaming else right) \
+        .alias("__ssj_r")
+    # qualified names, not frame attributes: both sides may derive from the
+    # same source (self-join), where l[k]/r[k] are ambiguous
     cond = F.expr(
         f"{right_ts} >= {left_ts} - INTERVAL {lookback} AND {right_ts} <= {left_ts}"
     )
     for k in on:
-        cond = (l[k] == r[k]) & cond
+        cond = (F.col(f"__ssj_l.{k}") == F.col(f"__ssj_r.{k}")) & cond
     joined = l.join(r, cond, how)
-    # shared key columns appear twice post-join; keep the left copy
-    keep = [l[k].alias(k) for k in on]
-    keep += [l[c] for c in left.columns if c not in on]
-    keep += [r[c] for c in right.columns if c not in on]
+    # shared key columns appear twice post-join; coalesce so outer joins
+    # keep the real key from whichever side matched
+    keep = [F.coalesce(F.col(f"__ssj_l.{k}"), F.col(f"__ssj_r.{k}")).alias(k)
+            for k in on]
+    keep += [F.col(f"__ssj_l.{c}") for c in left.columns if c not in on]
+    keep += [F.col(f"__ssj_r.{c}") for c in right.columns if c not in on]
     return joined.select(*keep)

@@ -61,9 +61,12 @@ def dedup_stream(df: DataFrame, keys: Sequence[str], ts_col: str = "ts",
     micro-batch). Streaming input uses ``dropDuplicatesWithinWatermark``:
     per-key state is EVICTED once the watermark passes it, so state is
     bounded by (horizon × key rate) instead of growing with the stream —
-    the only dedup configuration that survives an unbounded stream. Batch
-    input degrades to plain ``dropDuplicates`` (same contract: one row per
-    key; which duplicate survives is unspecified in both modes)."""
+    the only dedup configuration that survives an unbounded stream. The
+    trade: a redelivery arriving more than ``watermark`` after the original
+    is NOT deduplicated (its state was evicted) — size the watermark to the
+    source's redelivery horizon. Batch input uses plain ``dropDuplicates``,
+    which dedups globally; which duplicate survives is unspecified in both
+    modes."""
     if df.isStreaming:
         return df.withWatermark(ts_col, watermark) \
             .dropDuplicatesWithinWatermark(list(keys))

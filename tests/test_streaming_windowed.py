@@ -166,3 +166,39 @@ def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.event_id for r in spark.table("dd_out").collect())
     assert got == batch_keys == sorted({r["event_id"] for r in batch1 + batch2})
+
+
+def test_stream_stream_join_guards_and_outer_keys(spark):
+    """Review regressions: colliding non-key columns are rejected upfront;
+    outer joins keep the real key from whichever side matched."""
+    import pytest as _pytest
+    from source_flink_cdc_3_5_0_spark.streaming.joins import (
+        stream_stream_interval_join)
+
+    l = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1.0)], "k LONG, l_ts STRING, value DOUBLE"
+    ).withColumn("l_ts", F.to_timestamp("l_ts"))
+    r = spark.createDataFrame(
+        [(2, "2024-01-01 09:59:00", 2.0)], "k LONG, r_ts STRING, value DOUBLE"
+    ).withColumn("r_ts", F.to_timestamp("r_ts"))
+    with _pytest.raises(ValueError, match="value"):
+        stream_stream_interval_join(l, r, on=["k"], left_ts="l_ts", right_ts="r_ts")
+
+    r2 = r.withColumnRenamed("value", "r_value")
+    out = stream_stream_interval_join(
+        l, r2, on=["k"], left_ts="l_ts", right_ts="r_ts", how="full_outer")
+    keys = sorted(row.k for row in out.collect())
+    assert keys == [1, 2]  # unmatched RIGHT row keeps its key (coalesce)
+
+
+def test_sample_frames_null_duration(spark):
+    """NULL duration_ms (NaN in pandas) must yield one frame, not crash."""
+    from pyspark.sql import Row
+    from source_flink_cdc_3_5_0_spark.extensions.multimodal import (
+        MEDIA_SCHEMA, sample_frames)
+
+    rows = [Row(media_id=0, kind="video", payload=bytearray(b"x"),
+                mime="application/x-video", width=None, height=None,
+                duration_ms=None)]
+    out = sample_frames(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    assert len(out) == 1 and out[0].frame_idx == 0
