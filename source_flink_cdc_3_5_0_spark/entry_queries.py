@@ -1165,6 +1165,30 @@ GROUP BY event_type
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Repetition / token-shape quality signals (Gopher-style filters):
+    duplicate-word fraction, longest and mean token length — dual-dialect
+    SQL generators (extensions/text.py), pure codegen, no shuffle."""
+    d = "spark"
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(X.token_count_sql(d)).cast("int").alias("n_tokens"),
+        F.round(F.expr(X.dup_token_ratio_sql(d)), 6).alias("dup_ratio"),
+        F.expr(X.max_token_len_sql(d)).alias("max_token_len"),
+        F.round(F.expr(X.avg_token_len_sql(d)), 6).alias("avg_token_len"),
+    )
+
+
+ORACLE_TEXT_REPETITION = f"""
+SELECT doc_id,
+       CAST({X.token_count_sql('duckdb')} AS INTEGER) AS n_tokens,
+       round({X.dup_token_ratio_sql('duckdb')}, 6) AS dup_ratio,
+       {X.max_token_len_sql('duckdb')} AS max_token_len,
+       round({X.avg_token_len_sql('duckdb')}, 6) AS avg_token_len
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # 5. Operator parity queries (round-2: driver coverage for pytest-only §2 ops)
 # ---------------------------------------------------------------------------
@@ -1698,6 +1722,7 @@ QUERIES: dict[str, object] = {
     "cdc_schema_evolution_ignore": q_cdc_schema_evolution_ignore,
     "skew_salted_agg": q_skew_salted_agg,
     "json_extract_props": q_json_extract_props,
+    "text_repetition": q_text_repetition,
 }
 
 ORACLES: dict[str, str] = {
@@ -1754,6 +1779,7 @@ ORACLES: dict[str, str] = {
     "cdc_schema_evolution_ignore": ORACLE_SCHEMA_EVOLUTION_IGNORE,
     "skew_salted_agg": ORACLE_SKEW_SALTED,
     "json_extract_props": ORACLE_JSON_PROPS,
+    "text_repetition": ORACLE_TEXT_REPETITION,
 }
 
 

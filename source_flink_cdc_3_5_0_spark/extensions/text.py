@@ -105,6 +105,43 @@ def lang_id_sql(dialect: str, col: str = "text") -> str:
     )
 
 
+def _tokens_expr(dialect: str, col: str = "text") -> str:
+    if dialect == "spark":
+        return f"split(trim({col}), {_lit(dialect, _WS_SPLIT)})"
+    return f"regexp_split_to_array(trim({col}), {_lit(dialect, _WS_SPLIT)})"
+
+
+def dup_token_ratio_sql(dialect: str, col: str = "text") -> str:
+    """Gopher-style repetition signal: fraction of duplicate words,
+    1 − distinct_tokens/total_tokens (0 for blank text)."""
+    toks = _tokens_expr(dialect, col)
+    total = token_count_sql(dialect, col)
+    distinct = (f"size(array_distinct({toks}))" if dialect == "spark"
+                else f"len(list_distinct({toks}))")
+    return (f"CASE WHEN ({total}) = 0 THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE CAST(1.0 AS DOUBLE) - CAST({distinct} AS DOUBLE) / CAST({total} AS DOUBLE) END")
+
+
+def max_token_len_sql(dialect: str, col: str = "text") -> str:
+    """Longest whitespace token (0 for blank) — flags unbroken junk runs."""
+    toks = _tokens_expr(dialect, col)
+    total = token_count_sql(dialect, col)
+    mx = (f"array_max(transform({toks}, x -> length(x)))" if dialect == "spark"
+          else f"list_max(list_transform({toks}, x -> length(x)))")
+    return f"CASE WHEN ({total}) = 0 THEN 0 ELSE CAST({mx} AS INTEGER) END"
+
+
+def avg_token_len_sql(dialect: str, col: str = "text") -> str:
+    """Mean token length (0 for blank)."""
+    toks = _tokens_expr(dialect, col)
+    total = token_count_sql(dialect, col)
+    s = (f"aggregate(transform({toks}, x -> length(x)), 0, (a, x) -> a + x)"
+         if dialect == "spark"
+         else f"list_sum(list_transform({toks}, x -> length(x)))")
+    return (f"CASE WHEN ({total}) = 0 THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE CAST({s} AS DOUBLE) / CAST({total} AS DOUBLE) END")
+
+
 def fingerprint_sql(dialect: str, col: str = "text") -> str:
     """Normalized-content fingerprint: md5 of lowercased, whitespace-collapsed
     text — identical built-in in both engines."""
