@@ -1189,6 +1189,24 @@ FROM documents
 """
 
 
+def q_sketch_kmv_distinct(spark, sf_dir):
+    """KMV (bottom-k) distinct-count sketch over lineitem.l_orderkey
+    (extensions/sketches.py): md5-fraction hashing makes the ESTIMATE
+    bit-identical across engines, so an approximate operator passes an
+    exact oracle. Executes as partial distinct + TakeOrdered — never a
+    full sort."""
+    from .extensions.sketches import kmv_distinct_estimate
+
+    return kmv_distinct_estimate(
+        load(spark, sf_dir, "lineitem"), "l_orderkey", k=256)
+
+
+def _oracle_kmv() -> str:
+    from .extensions.sketches import kmv_oracle_sql
+
+    return kmv_oracle_sql("lineitem", "l_orderkey", k=256)
+
+
 # ---------------------------------------------------------------------------
 # 5. Operator parity queries (round-2: driver coverage for pytest-only §2 ops)
 # ---------------------------------------------------------------------------
@@ -1723,6 +1741,7 @@ QUERIES: dict[str, object] = {
     "skew_salted_agg": q_skew_salted_agg,
     "json_extract_props": q_json_extract_props,
     "text_repetition": q_text_repetition,
+    "sketch_kmv_distinct": q_sketch_kmv_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -1780,6 +1799,7 @@ ORACLES: dict[str, str] = {
     "skew_salted_agg": ORACLE_SKEW_SALTED,
     "json_extract_props": ORACLE_JSON_PROPS,
     "text_repetition": ORACLE_TEXT_REPETITION,
+    "sketch_kmv_distinct": _oracle_kmv(),
 }
 
 

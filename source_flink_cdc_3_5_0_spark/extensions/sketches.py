@@ -1,0 +1,80 @@
+"""Deterministic distinct-count sketch: KMV (k minimum values).
+
+The classic bottom-k estimator (Bar-Yossef et al. 2002, the theta-sketch
+ancestor): hash every value to a uniform fraction u ∈ (0,1], keep the k
+smallest DISTINCT fractions, and estimate |D| ≈ (k-1) / u_(k) where u_(k)
+is the k-th smallest. Standard error ~ 1/√(k-2).
+
+Why this sketch here (vs ``approx_count_distinct``'s HLL++): the hash is an
+md5-derived fraction both Spark and DuckDB compute bit-identically, so the
+ESTIMATE itself is deterministic and cross-engine reproducible — an
+approximate operator that still passes an exact value-hash oracle. HLL
+implementations differ per engine and can never be oracled this way.
+
+Scale shape: the k smallest distinct hashes are a bottom-k aggregate —
+per-partition bottom-k, then merge (bottom-k of unions = union of
+bottom-ks, the sketch's mergeability). Expressed as distinct→sort→limit,
+which Spark executes as map-side partial distinct + TakeOrdered (per-
+partition heads merged on the driver, never a full sort of the data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def uniform_fraction_sql(dialect: str, col: str) -> str:
+    """u ∈ (0, 1] from the first 8 md5 hex nibbles of the value's string
+    form — positional hex parse (strpos arithmetic) so Spark and DuckDB
+    produce bit-identical doubles; +1 keeps u > 0 so (k-1)/u is safe."""
+    strpos = "instr" if dialect == "spark" else "strpos"
+    h = f"md5(CAST({col} AS VARCHAR))" if dialect == "duckdb" else f"md5(CAST({col} AS STRING))"
+    # CAST to BIGINT: the high-nibble terms exceed int32 (15 * 16^7), which
+    # Spark's non-ANSI mode would silently wrap
+    terms = " + ".join(
+        f"CAST({strpos}('{_HEX}', substring({h}, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * CAST({16 ** (7 - i)} AS BIGINT)"
+        for i in range(8)
+    )
+    return f"(CAST({terms} AS DOUBLE) + 1.0) / 4294967296.0"
+
+
+def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """One-row DataFrame: (k, kth_min, kmv_estimate) for ``col``.
+
+    If fewer than k distinct values exist, the estimate IS the exact
+    distinct count (the sketch is exact below its capacity — standard KMV
+    behavior)."""
+    u = F.expr(uniform_fraction_sql("spark", col)).alias("u")
+    mins = df.select(u).distinct().orderBy("u").limit(k)
+    return mins.agg(
+        F.count(F.lit(1)).cast("int").alias("n_mins"),
+        F.max("u").alias("kth_min"),
+    ).select(
+        F.lit(k).cast("int").alias("k"),
+        F.round("kth_min", 12).alias("kth_min"),
+        F.round(
+            F.when(F.col("n_mins") < k, F.col("n_mins").cast("double"))
+            .otherwise((F.lit(k - 1)) / F.col("kth_min")),
+            4,
+        ).alias("kmv_estimate"),
+    )
+
+
+def kmv_oracle_sql(table: str, col: str, k: int = 256) -> str:
+    """DuckDB oracle computing the identical sketch."""
+    u = uniform_fraction_sql("duckdb", col)
+    return f"""
+WITH mins AS (
+  SELECT DISTINCT {u} AS u FROM {table} ORDER BY u LIMIT {k}
+), agg AS (
+  SELECT CAST(count(*) AS INTEGER) AS n_mins, max(u) AS kth_min FROM mins
+)
+SELECT CAST({k} AS INTEGER) AS k,
+       round(kth_min, 12) AS kth_min,
+       round(CASE WHEN n_mins < {k} THEN CAST(n_mins AS DOUBLE)
+                  ELSE {k - 1} / kth_min END, 4) AS kmv_estimate
+FROM agg
+"""
