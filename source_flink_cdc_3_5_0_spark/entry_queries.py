@@ -1102,6 +1102,55 @@ SELECT * FROM (VALUES
 """
 
 
+def q_cdc_truncate_drop(spark, sf_dir):
+    """TRUNCATE + DROP TABLE through the full pipeline (C1's last two
+    events without driver coverage; SchemaUtils.applySchemaChangeEvent):
+    t1 is truncated mid-stream (pre-truncate rows vanish, later inserts
+    survive), t2 is dropped (disappears from the sink entirely), t3 is
+    untouched — the returned frame unions t1 and t3 states with a table
+    tag; t2 contributes nothing."""
+    from .common import (CreateTableEvent, DataChangeEvent, DropTableEvent,
+                        TableId, TruncateTableEvent)
+    from .common.schema import Column as C
+    from .pipeline import PipelineComposer, parse_yaml_pipeline
+    from .sinks.memory import MemorySink
+    from .sources.values import ValuesSource
+
+    def tid(n):
+        return TableId.parse(f"default_namespace.default_schema.{n}")
+
+    sch = Schema.of(C("id", T.StringType(), False), C("v", T.StringType()),
+                    primary_keys=["id"])
+    events = []
+    for n in ("t1", "t2", "t3"):
+        events.append(CreateTableEvent(tid(n), sch))
+        events.append(DataChangeEvent.insert(tid(n), (f"{n}-a", "1")))
+        events.append(DataChangeEvent.insert(tid(n), (f"{n}-b", "2")))
+    events += [
+        TruncateTableEvent(tid("t1")),
+        DataChangeEvent.insert(tid("t1"), ("t1-c", "3")),
+        DropTableEvent(tid("t2")),
+    ]
+    sink = MemorySink()
+    pdef = parse_yaml_pipeline("source: {type: values}\nsink: {type: values}\n")
+    PipelineComposer(spark).compose(pdef, source=ValuesSource(events), sink=sink).run()
+    rows = []
+    for n in ("t1", "t2", "t3"):
+        if tid(n) in sink.state:
+            for r in sink.state[tid(n)].values():
+                rows.append((n, r["id"], r["v"]))
+    return spark.createDataFrame(rows, "tbl STRING, id STRING, v STRING")
+
+
+ORACLE_TRUNCATE_DROP = """
+SELECT * FROM (VALUES
+  ('t1', 't1-c', '3'),
+  ('t3', 't3-a', '1'),
+  ('t3', 't3-b', '2')
+) AS t(tbl, id, v)
+"""
+
+
 def q_skew_salted_agg(spark, sf_dir):
     """Two-phase salted aggregation (operators/skew.py) end-to-end:
     l_returnflag has 3 values over 600k rows — the textbook hot-key
@@ -1742,6 +1791,7 @@ QUERIES: dict[str, object] = {
     "json_extract_props": q_json_extract_props,
     "text_repetition": q_text_repetition,
     "sketch_kmv_distinct": q_sketch_kmv_distinct,
+    "cdc_truncate_drop": q_cdc_truncate_drop,
 }
 
 ORACLES: dict[str, str] = {
@@ -1800,6 +1850,7 @@ ORACLES: dict[str, str] = {
     "json_extract_props": ORACLE_JSON_PROPS,
     "text_repetition": ORACLE_TEXT_REPETITION,
     "sketch_kmv_distinct": _oracle_kmv(),
+    "cdc_truncate_drop": ORACLE_TRUNCATE_DROP,
 }
 
 

@@ -28,7 +28,9 @@ from ..common.events import (
     ColumnWithPosition,
     CreateTableEvent,
     DropColumnEvent,
+    DropTableEvent,
     SchemaChangeEvent,
+    TruncateTableEvent,
 )
 from ..common.schema import Column, Schema
 from ..common.tableid import TableId
@@ -144,9 +146,52 @@ class PipelineExecution:
         return out
 
     # -- control plane ----------------------------------------------------
+    def _event_type_allowed(self, ev: SchemaChangeEvent) -> bool:
+        t = ev.event_type().lower()
+        if self.exclude_types and t in self.exclude_types:
+            return False
+        if self.include_types is not None and t not in self.include_types:
+            return False
+        return True
+
+    def _forward_table_level_event(self, source_ev: SchemaChangeEvent,
+                                   source_tid: TableId) -> None:
+        """TRUNCATE/DROP TABLE don't change the column schema, so the
+        diff-based sink evolution can't see them — forward them to the
+        sink's MetadataApplier directly (the reference's SchemaOperator →
+        MetadataApplier path for table-level events). IGNORE drops them
+        (only CreateTable survives, SchemaDerivator.java:196-199);
+        EXCEPTION refuses them like any other schema change."""
+        if self.behavior == SchemaChangeBehavior.IGNORE:
+            return
+        if not self._event_type_allowed(source_ev):
+            return
+        if self.behavior == SchemaChangeBehavior.EXCEPTION:
+            raise RuntimeError(
+                f"schema change {source_ev.event_type()} on {source_tid} "
+                f"refused (behavior=exception)")
+        applier = self.sink.metadata_applier()
+        for sink_tid in self.router.route(source_tid):
+            ev = type(source_ev)(sink_tid)
+            if not applier.accepts(ev.event_type()):
+                continue
+            from ..operators.schema_evolution import apply_schema_change_event
+
+            tentative = apply_schema_change_event(
+                self.registry.evolved_schema(sink_tid), ev)
+            try:
+                applier.apply_schema_change(sink_tid, ev, tentative)
+            except Exception:
+                if self.behavior == SchemaChangeBehavior.TRY_EVOLVE:
+                    continue
+                raise
+            self.registry.apply_evolved(sink_tid, ev)
+
     def _handle_schema_events(self, batch: ChangeBatch) -> None:
         for ev in batch.schema_events:
             self.registry.apply_original(ev)
+            if isinstance(ev, (TruncateTableEvent, DropTableEvent)):
+                self._forward_table_level_event(ev, batch.table_id)
         if not batch.schema_events:
             return
         in_schema = self.registry.original_schema(batch.table_id)
