@@ -28,7 +28,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..common.events import OP_COL, SchemaChangeEvent
+from ..common.events import (DropTableEvent, OP_COL, SchemaChangeEvent,
+                             TruncateTableEvent)
 from ..common.schema import Schema
 from ..common.tableid import TableId
 from ..operators.partitioning import portable_bucket_expr
@@ -48,6 +49,16 @@ class _ParquetMetadataApplier(MetadataApplier):
 
     def apply_schema_change(self, table_id: TableId, event: SchemaChangeEvent,
                             evolved_schema: Schema) -> None:
+        import shutil
+
+        if isinstance(event, DropTableEvent):
+            shutil.rmtree(self.sink._table_dir(table_id), ignore_errors=True)
+            return
+        if isinstance(event, TruncateTableEvent):
+            # data files go, schema and batch markers stay (a replayed
+            # pre-truncate batch must NOT resurrect rows)
+            shutil.rmtree(self.sink._data_dir(table_id), ignore_errors=True)
+            return
         path = self.sink._schema_path(table_id)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:

@@ -83,3 +83,25 @@ def test_merge_only_reads_touched_buckets(spark, tmp_path):
     assert len(changed) == 1, f"expected 1 rewritten bucket, got {changed}"
     got = {r["id"]: r["v"] for r in sink2.read(spark, TBL).collect()}
     assert got[7] == "v7-new" and len(got) == 39
+
+
+def test_truncate_and_drop_reach_parquet_sink(spark, tmp_path):
+    """Table-level DDL forwarded by the composer: TRUNCATE clears data files
+    (later inserts survive), DROP removes the table directory."""
+    from source_flink_cdc_3_5_0_spark.common import DropTableEvent, TruncateTableEvent
+
+    t2 = TableId.parse("a.b.t2")
+    sink = ParquetUpsertSink(str(tmp_path), num_buckets=4)
+    events = [
+        CreateTableEvent(TBL, SCHEMA),
+        CreateTableEvent(t2, SCHEMA),
+        *[DataChangeEvent.insert(TBL, (i, f"v{i}")) for i in range(1, 5)],
+        DataChangeEvent.insert(t2, (1, "x")),
+        TruncateTableEvent(TBL),
+        DataChangeEvent.insert(TBL, (9, "after")),
+        DropTableEvent(t2),
+    ]
+    run(spark, sink, events)
+    got = spark.read.parquet(str(tmp_path / "a.b.t" / "data")).collect()
+    assert sorted((r.id, r.v) for r in got) == [(9, "after")]
+    assert not os.path.exists(str(tmp_path / "a.b.t2"))
