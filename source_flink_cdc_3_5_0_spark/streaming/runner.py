@@ -235,10 +235,24 @@ class StreamingPipeline:
                 #    rows null-fill the new columns)
                 is_ddl = F.get_json_object(F.col(value_col), "$.ddl").isNotNull()
                 ddl_raw = batch_df.where(is_ddl).collect()
+                # Destructive table-level DDL (TRUNCATE/DROP) must respect
+                # intra-batch ORDER: rows before the statement belong to the
+                # old table state. Column DDL stays apply-first (sound under
+                # LENIENT add-only: earlier rows null-fill). Destructive
+                # events are deferred to the per-table loop, segmented by
+                # the records' ts_ms against each row's __seq.
+                from ..common.events import DropTableEvent, TruncateTableEvent
+
+                destructive: dict[str, list] = {}
                 for r in ddl_raw:
-                    for ev in schema_events_from_json(r[value_col]):
-                        exe._handle_schema_events(
-                            ChangeBatch(ev.table_id, [ev], None))
+                    rec = _json.loads(r[value_col])
+                    ts = rec.get("ts_ms")
+                    for ev in schema_events_from_json(rec):
+                        if isinstance(ev, (TruncateTableEvent, DropTableEvent)):
+                            destructive.setdefault(str(ev.table_id), []).append((ts, ev))
+                        else:
+                            exe._handle_schema_events(
+                                ChangeBatch(ev.table_id, [ev], None))
                 # 2. data records: route RAW rows by (db, table) extracted
                 #    with get_json_object (cheap path scan), then run the full
                 #    from_json decode only on each table's own slice — the
@@ -277,7 +291,43 @@ class StreamingPipeline:
                         # already contains; unknown (null) seq is kept
                         decoded = decoded.where(
                             F.coalesce(F.col(SEQ_COL) > F.lit(wm), F.lit(True)))
-                    exe._process_data(ChangeBatch(tid, [], decoded))
+                    destr = destructive.pop(tid_str, None)
+                    if not destr:
+                        exe._process_data(ChangeBatch(tid, [], decoded))
+                        continue
+                    # segment the table's rows around each destructive event
+                    # (ts-less events apply before any data — old behavior);
+                    # distinct sub-batch ids keep sink replay markers sound
+                    destr.sort(key=lambda p: (p[0] is not None, p[0] or 0))
+                    base_bid, seg, prev_ts = exe.batches_run, 0, None
+
+                    def emit(df_seg):
+                        nonlocal seg
+                        exe.batches_run = f"{base_bid}s{seg}"
+                        seg += 1
+                        exe._process_data(ChangeBatch(tid, [], df_seg))
+
+                    for ts, ev in destr:
+                        if ts is not None:
+                            cond = F.coalesce(F.col(SEQ_COL) <= F.lit(ts), F.lit(False))
+                            if prev_ts is not None:
+                                cond = cond & (F.col(SEQ_COL) > F.lit(prev_ts))
+                            emit(decoded.where(cond))
+                            prev_ts = ts
+                        exe._handle_schema_events(ChangeBatch(ev.table_id, [ev], None))
+                        if self.registry.original_schema(tid) is None:
+                            decoded = None  # table dropped: discard the rest
+                            break
+                    if decoded is not None:
+                        tail = (decoded.where(
+                            F.coalesce(F.col(SEQ_COL) > F.lit(prev_ts), F.lit(True)))
+                            if prev_ts is not None else decoded)
+                        emit(tail)
+                    exe.batches_run = base_bid
+                # destructive DDL for tables with no data in this batch
+                for evs in destructive.values():
+                    for _, ev in evs:
+                        exe._handle_schema_events(ChangeBatch(ev.table_id, [ev], None))
                 self.registry.checkpoint(registry_ckpt)
             finally:
                 batch_df.unpersist()

@@ -137,3 +137,36 @@ transform:
     PipelineComposer(spark).compose(pdef, source=ValuesSource(events), sink=sink).run()
     assert sink.snapshot(TID) == [
         "1, n1, small", "2, n2, small", "3, n3, big", "4, n4, big", "5, n5, big"]
+
+
+def test_inflight_truncate_and_drop(spark, tmp_path):
+    """Raw-SQL TRUNCATE/DROP control records mid-stream reach the sink
+    applier through the shared composer path: truncate clears prior rows
+    (later inserts survive), drop removes the table."""
+    t2 = TableId.parse("inv.s.legacy")
+
+    def dbz2(op, after, table, ts):
+        return json.dumps({"before": None, "after": after, "op": op, "ts_ms": ts,
+                           "source": {"db": "inv", "schema": "s", "table": table}})
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    lines = [
+        dbz("c", {"id": 1, "name": "bolt"}, ts=1),
+        dbz("c", {"id": 2, "name": "nut"}, ts=2),
+        dbz2("c", {"id": 10, "name": "old"}, "legacy", 3),
+        json.dumps({"databaseName": "inv.s", "ddl": "TRUNCATE TABLE products",
+                    "ts_ms": 3}),
+        dbz("c", {"id": 3, "name": "washer"}, ts=4),
+        json.dumps({"databaseName": "inv.s", "ddl": "DROP TABLE legacy",
+                    "ts_ms": 5}),
+    ]
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        f.write("\n".join(lines))
+    sink = MemorySink()
+    pipe = StreamingPipeline.create(spark, sink, str(tmp_path / "ckpt"))
+    q = pipe.start(file_stream_source(spark, src),
+                   {"inv.s.products": SCHEMA, "inv.s.legacy": SCHEMA})
+    q.awaitTermination(120)
+    assert sink.snapshot(TID) == ["3, washer"]
+    assert t2 not in sink.state
