@@ -48,13 +48,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ensure_lenient_sql(spark)
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long, convert to micros timestamp
-        # (matches DuckDB's nanos→micros truncation).
+        # Some testdata generations write events.ts as TIMESTAMP(NANOS),
+        # which Spark's vectorized reader rejects; read nanos as long and
+        # convert to a micros timestamp (DuckDB's nanos→micros truncation).
+        # Newer generations write plain timestamp[us] — pass through.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # DuckDB reads parquet TIMESTAMP (no zone) as plain TIMESTAMP and
+            # epoch_us() treats the wall clock as UTC; pin the session to UTC
+            # so CAST(ntz AS timestamp) is the same instant on both sides.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1402,8 +1411,13 @@ def q_stream_windowed_counts(spark, sf_dir):
     stream = (
         # file stream source needs a DIRECTORY; glob-filter to the one table
         spark.readStream.schema(wire)
-        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")))
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    if isinstance(wire["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    elif isinstance(wire["ts"].dataType, T.TimestampNTZType):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     out = windowed_counts(stream, window="1 hour", keys=("event_type",),
                           watermark="1 hour")
     q = (out.writeStream.format("memory").queryName("q_stream_win")
