@@ -406,20 +406,34 @@ def _dec(col, p=18, s=2):
 
 
 def q_agg_pricing_summary(spark, sf_dir):
+    """Exact order-independent sums via bigint cents-scaling.
+
+    The money columns are conceptually DECIMAL(x,2) stored as DOUBLE, so
+    round(v*100) recovers the exact integer cents. Summing bigints is
+    associative/exact and stays inside whole-stage codegen (no Decimal128
+    aggregate buffers — the decimal(38,x) sums used previously cost +57%
+    wall time, round-2 verdict). Final CAST(bigint AS DOUBLE)/scale is
+    IEEE-correctly-rounded identically in Spark and DuckDB, so the value
+    hash is stable. int64 headroom: sum_charge scales 1e6, ~4e10/row —
+    overflow needs ~2e8 rows *per group*; at that scale flip the sum to
+    decimal(38,0) (one-line change) or enable ANSI mode to fail loudly.
+    """
     li = load(spark, sf_dir, "lineitem")
-    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    qty_c = F.round(F.col("l_quantity") * 100).cast("bigint")
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100).cast("bigint")
+    tax_c = F.round(F.col("l_tax") * 100).cast("bigint")
+    disc_price_c = ep_c * (F.lit(100) - disc_c)          # scale 1e4
+    charge_c = disc_price_c * (F.lit(100) + tax_c)       # scale 1e6
     return (
         li.where(F.col("l_shipdate") <= F.expr("TIMESTAMP '1998-09-02 00:00:00'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # DECIMAL sums for order-independence; final-cast to DOUBLE so the
-            # driver's value hash is representation-stable (round-1 finding).
-            F.sum(_dec("l_quantity")).cast("decimal(38,2)").cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,4)").cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,6)").cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(qty_c).cast("double") / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(ep_c).cast("double") / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(disc_price_c).cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(charge_c).cast("double") / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum(qty_c).cast("double") / F.lit(100.0) / F.count(F.lit(1))).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -427,11 +441,11 @@ def q_agg_pricing_summary(spark, sf_dir):
 
 ORACLE_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
-       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
-       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
-       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_qty,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -445,31 +459,34 @@ def q_join_shipping_priority(spark, sf_dir):
         F.col("o_orderdate") < F.expr("TIMESTAMP '1998-03-15 00:00:00'"))
     li = load(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.expr("TIMESTAMP '1995-03-15 00:00:00'"))
-    revenue = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+    # bigint cents-scaled exact revenue (see q_agg_pricing_summary docstring)
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100).cast("bigint")
+    revenue_c = F.sum(ep_c * (F.lit(100) - disc_c))      # scale 1e4
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(revenue.cast("decimal(38,4)").alias("revenue_dec"))
-        .orderBy(F.col("revenue_dec").desc(), F.col("l_orderkey").asc())
+        .agg(revenue_c.alias("revenue_c"))
+        .orderBy(F.col("revenue_c").desc(), F.col("l_orderkey").asc())
         .limit(10)
         .select("l_orderkey", "o_orderdate", "o_orderpriority",
-                F.col("revenue_dec").cast("double").alias("revenue"))
+                (F.col("revenue_c").cast("double") / F.lit(10000.0)).alias("revenue"))
     )
 
 
 ORACLE_SHIPPING_PRIORITY = """
-SELECT l_orderkey, o_orderdate, o_orderpriority, CAST(revenue_dec AS DOUBLE) AS revenue
+SELECT l_orderkey, o_orderdate, o_orderpriority, CAST(revenue_c AS DOUBLE) / 10000.0 AS revenue
 FROM (
   SELECT l_orderkey, o_orderdate, o_orderpriority,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue_dec
+         SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_c
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
   WHERE c_mktsegment = 'BUILDING'
     AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
     AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
   GROUP BY l_orderkey, o_orderdate, o_orderpriority
-  ORDER BY revenue_dec DESC, l_orderkey LIMIT 10) t
+  ORDER BY revenue_c DESC, l_orderkey LIMIT 10) t
 """
 
 
