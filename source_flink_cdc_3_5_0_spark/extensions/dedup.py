@@ -48,35 +48,50 @@ def _hash_params(n: int = _N_HASHES) -> tuple[np.ndarray, np.ndarray]:
 _A, _B = _hash_params()
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingles hashed to stable uint64 via pandas' SipHash
-    (fixed key → deterministic across processes; vectorized, unlike
-    per-shingle hashlib)."""
-    toks = text.lower().split()
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not grams:
-        return np.empty(0, dtype=np.uint64)
-    return np.unique(pd.util.hash_array(np.asarray(grams, dtype=object)))
+# position multipliers for combining 3 consecutive token hashes into one
+# gram hash (odd 64-bit constants → bijective per-term mixing mod 2^64)
+_P1 = np.uint64(0x9E3779B185EBCA87)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P3 = np.uint64(0x165667B19E3779F9)
 
 
 @pandas_udf(T.ArrayType(T.LongType()))
 def minhash_signature(texts: pd.Series) -> pd.Series:
-    """64-value MinHash signature per text (Arrow-batched, numpy-vectorized
-    across hash functions)."""
+    """64-value MinHash signature over word-3-gram shingles (Arrow-batched,
+    numpy-vectorized). ALL tokens of the batch are SipHashed in one
+    ``pd.util.hash_array`` call (fixed key → deterministic across
+    processes); a doc's gram hashes are then position-weighted sums of 3
+    consecutive token hashes (wraparound uint64) — no per-gram string
+    building, which dominated the round-2 profile. The gram-hash set
+    bijects with the distinct word-3-gram set (mod 2^-64 collisions), so
+    the LSH superset argument in ``minhash_lsh_exact_pairs`` is unchanged.
+    Docs shorter than 3 words collapse to one whole-text gram (mirrors
+    ``word_ngrams_col``); min over a multiset equals min over the set, so
+    duplicate grams need no dedup pass."""
+    tok_lists = [(t or "").lower().split() for t in texts]
+    flat = [tok for toks in tok_lists for tok in toks]
+    th_all = (pd.util.hash_array(np.asarray(flat, dtype=object))
+              if flat else np.empty(0, dtype=np.uint64))
     sigs = []
+    pos = 0
     with np.errstate(over="ignore"):
-        for t in texts:
-            x = _shingle_hashes(t or "")
-            if x.size == 0:
+        for toks in tok_lists:
+            n = len(toks)
+            th = th_all[pos:pos + n]
+            pos += n
+            if n == 0:
                 sigs.append([0] * _N_HASHES)
                 continue
-            # (a*x + b) mod 2^64 for all 64 params at once -> min per hash;
+            if n >= 3:
+                g = th[:-2] * _P1 + th[1:-1] * _P2 + th[2:] * _P3
+            elif n == 2:
+                g = th[0:1] * _P1 + th[1:2] * _P2
+            else:
+                g = th * _P1
+            # (a*g + b) mod 2^64 for all 64 params at once -> min per hash;
             # shift >>1 so the value fits Spark's signed LongType
-            vals = x[None, :] * _A[:, None] + _B[:, None]
-            sigs.append([int(v) for v in (vals.min(axis=1) >> np.uint64(1))])
+            vals = g[None, :] * _A[:, None] + _B[:, None]
+            sigs.append((vals.min(axis=1) >> np.uint64(1)).view(np.int64).tolist())
     return pd.Series(sigs)
 
 
@@ -170,18 +185,27 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def tokens_col(text_col: str):
+    """THE one tokenization definition (lowercase, whitespace split, drop
+    empties) shared by dedup, decontamination and corpus n-gram stats."""
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+
+
 def word_ngrams_col(text_col: str, k: int = 3, distinct: bool = True,
-                    fallback_whole_text: bool = True):
-    """Word k-grams as a Column — THE one tokenization definition
-    (lowercase, whitespace split, drop empties) shared by dedup,
-    decontamination and corpus n-gram stats, so 'a word' can't silently
-    diverge between them (and their oracles).
+                    fallback_whole_text: bool = True, from_tokens: bool = False):
+    """Word k-grams as a Column, built on ``tokens_col`` so 'a word' can't
+    silently diverge between dedup/decontam/corpus-stats (and their oracles).
 
     ``distinct``: set semantics (dedup/Jaccard) vs multiset (frequency
     counts). ``fallback_whole_text``: texts shorter than k words collapse
-    to one whole-text gram (mirrors ``_shingle_hashes``; turn OFF when a
-    short doc genuinely contains no k-gram, e.g. decontamination)."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    to one whole-text gram (mirrors ``minhash_signature``; turn OFF when a
+    short doc genuinely contains no k-gram, e.g. decontamination).
+    ``from_tokens``: ``text_col`` is already a tokenized array column —
+    pre-materializing tokens matters inside higher-order functions, where
+    the lambda body is interpreted (no codegen subexpression elimination):
+    an inlined split+filter subtree re-tokenizes per element_at reference,
+    a 3.6× slowdown on the round-2 profile."""
+    toks = F.col(text_col) if from_tokens else tokens_col(text_col)
     n = F.size(toks)
     kgrams = F.transform(
         F.sequence(F.lit(0), n - k),
@@ -195,7 +219,8 @@ def word_ngrams_col(text_col: str, k: int = 3, distinct: bool = True,
 
 
 def minhash_lsh_exact_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                            jaccard_threshold: float = 0.5) -> DataFrame:
+                            jaccard_threshold: float = 0.5,
+                            hot_bucket_cap: int | None = None) -> DataFrame:
     """Near-duplicate pairs by TRUE word-3-gram Jaccard, with MinHash LSH as
     the candidate pruner (r=1, b=64 banding: a pair is a candidate if ANY of
     the 64 minhash values collide — miss probability (1-J)^64 ≤ 1e-19 at
@@ -206,58 +231,81 @@ def minhash_lsh_exact_pairs(df: DataFrame, text_col: str = "text", id_col: str =
     Returns (id_a, id_b, jaccard) with jaccard = |∩|/|∪| over distinct
     3-gram sets, rounded to 6 dp.
 
-    Shape (three tiers, each shuffling less data than the one before):
-      1. band join on exploded (id, hash) pairs only — never the document
-         payload; r=1 banding admits any pair sharing ANY slot, so it's a
-         strict superset of the answer but a WEAK filter (~4% of all pairs
-         on uniform text),
-      2. signature-estimate prune: join the 64-int signatures back by id
-         and keep pairs with est-Jaccard ≥ threshold − 0.35; a true pair at
-         J = threshold sits ≥ 5σ above that floor (Binom(64, J)), so the
-         superset property survives while candidates drop ~1000×,
-      3. true-Jaccard verify on the gram arrays of the survivors only.
-    The per-doc base (id, signature, grams) is persist()ed: the plan fans
-    out into 5 branches with different projections, so ReusedExchange can
-    never fire (column pruning makes every subtree distinct — verified:
-    6 ArrowEvalPython nodes without the persist) and the pandas UDF would
-    re-run per branch. MEMORY_AND_DISK keeps it one UDF pass at any scale;
-    size is O(docs × (64 longs + gram array)). Cache lifetime: Spark's
-    CacheManager dedupes by canonicalized plan, so repeated calls over the
-    SAME input share one entry (no per-call growth); distinct inputs add
-    one entry each, LRU-evicted under memory pressure. Callers that want
-    deterministic release can unpersist via the returned DataFrame's
-    ``lsh_base`` attribute."""
+    Shape (two tiers; the round-2 three-tier plan shuffled the raw r=1
+    candidate-pair set three times — dropDuplicates + two signature joins —
+    which is quadratic in the size of a hot bucket):
+      1. band self-join on exploded (id, hx, hv) rows — never the document
+         payload — immediately aggregated by pair: slot hx of a pair matches
+         iff both docs land in bucket (hx, h_x(a)), so
+         count(collisions per pair) IS the signature-match count and
+         count/64 IS the tier-2 Jaccard estimate. One groupBy(id_a, id_b)
+         with map-side partial aggregation replaces the old
+         dropDuplicates + two sig joins: the only full shuffle after the
+         join carries the ~1000×-pruned est-filtered pairs. Keep pairs with
+         est ≥ threshold − 0.35; a true pair at J = threshold sits ≥ 5σ
+         above that floor (Binom(64, J)), so the superset property holds.
+      2. true-Jaccard verify on the gram arrays of the survivors only.
+    Hot-bucket posture: a shingle shared corpus-wide skews one (hx, hv)
+    bucket. The join-side skew is split by AQE's OptimizeSkewedJoin (tests
+    pin adaptive=on), the post-join rows hit a pipelined partial aggregate
+    (no m² materialization/shuffle), and ``hot_bucket_cap`` optionally
+    drops buckets with > cap members before the join — a dropped bucket
+    only loses pairs whose EVERY matching slot is overfull, i.e. members
+    of massive mutual-dup clusters, which belong to ``exact_dedup``
+    upstream; leave None for the oracle-exact answer.
+
+    Persisted state is MINIMAL: only (id, 64-long signature) — one pandas
+    UDF pass, O(docs × 512 B), MEMORY_AND_DISK (the signature subtree is
+    referenced by both sides of the self-join and ReusedExchange can't fire
+    across different projections). Gram arrays — the heavyweight payload —
+    are NEVER persisted or shuffled corpus-wide: the verify tier re-derives
+    them only for the est-filtered survivor ids via a semi-join back to the
+    source (re-reads the text column of survivors; trade memory for that
+    re-scan by persisting grams if survivors are ever a large fraction).
+    The tiny survivor pair set is persist()ed too (it fans out into three
+    branches). Callers that want deterministic release can unpersist via
+    the returned DataFrame's ``lsh_base`` / ``lsh_pruned`` attributes."""
     from pyspark import StorageLevel
 
     sig = (
         _spread(df, id_col)
-        .select(F.col(id_col),
-                minhash_signature(F.col(text_col)).alias("sig"),
-                word_ngrams_col(text_col).alias("grams"))
+        .select(F.col(id_col), minhash_signature(F.col(text_col)).alias("sig"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     hashes = sig.select(F.col(id_col), F.posexplode("sig").alias("hx", "hv"))
-    cand = (
+    if hot_bucket_cap is not None:
+        from pyspark.sql import Window
+
+        cnt = Window.partitionBy("hx", "hv")
+        hashes = (hashes.withColumn("__bn", F.count(F.lit(1)).over(cnt))
+                  .where(F.col("__bn") <= hot_bucket_cap).drop("__bn"))
+    est_floor = max(jaccard_threshold - 0.35, 0.05)
+    min_slots = int(np.ceil(est_floor * _N_HASHES))
+    pruned = (
         hashes.alias("l").join(hashes.alias("r"), on=["hx", "hv"])
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(F.col(f"l.{id_col}").alias("id_a"),
                 F.col(f"r.{id_col}").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = F.aggregate(
-        F.zip_with("sa", "sb", lambda a, b: (a == b).cast("int")),
-        F.lit(0), lambda acc, x: acc + x,
-    ) / F.lit(_N_HASHES)
-    est_floor = max(jaccard_threshold - 0.35, 0.05)
-    pruned = (
-        cand.join(sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sa")),
-                  on="id_a")
-        .join(sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sb")),
-              on="id_b")
-        .where(est >= F.lit(est_floor))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__slots"))
+        .where(F.col("__slots") >= min_slots)
         .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    grams = sig.select(F.col(id_col), "grams")
+    # verify tier: grams computed ONLY for survivor docs (semi-join prunes
+    # the source before tokenization; tokens materialized as a real column
+    # — see word_ngrams_col docstring; grams stay multiset because
+    # array_intersect/array_union dedupe at verify time anyway).
+    surv_ids = (pruned.select(F.col("id_a").alias(id_col))
+                .union(pruned.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    grams = (
+        df.join(surv_ids, on=id_col, how="leftsemi")
+        .withColumn("__toks", tokens_col(text_col))
+        .select(F.col(id_col),
+                word_ngrams_col("__toks", distinct=False,
+                                from_tokens=True).alias("grams"))
+    )
     pairs = (
         pruned.join(grams.select(F.col(id_col).alias("id_a"),
                                  F.col("grams").alias("ga")), on="id_a")
@@ -272,7 +320,8 @@ def minhash_lsh_exact_pairs(df: DataFrame, text_col: str = "text", id_col: str =
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    out.lsh_base = sig  # release handle: out.lsh_base.unpersist()
+    out.lsh_base = sig        # release handles:
+    out.lsh_pruned = pruned   # out.lsh_base.unpersist(); out.lsh_pruned.unpersist()
     return out
 
 
