@@ -1010,6 +1010,96 @@ def q_jdbc_chunk_plan(spark, sf_dir):
     )
 
 
+def q_jdbc_chunk_plan_uneven(spark, sf_dir):
+    """Query-driven UNEVEN chunk planning (JdbcSourceChunkSplitter.java:
+    482-531, the `MAX(pk) ... LIMIT chunkSize` walk) surfaced as data.
+    The split key is quadratically stretched (k = l_orderkey²) so the
+    distribution factor blows past the upper bound (~6e4 at sf0.01) and
+    the even split would yield pathological fixed-width ranges — exactly
+    the production case the reference's uneven path exists for.
+
+    The key histogram comes from ONE distributed groupBy (map-side
+    combine), the walk itself is driver-side over O(distinct keys) — the
+    control-plane analog of the reference's per-chunk round-trips; per-
+    chunk row counts are a broadcast range join (chunk table is tiny)."""
+    from .sources.jdbc import split_uneven_from_histogram
+
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey").cast("bigint") * F.col("l_orderkey")).alias("k"))
+    hist = sorted((r["k"], r["c"]) for r in
+                  li.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect())
+    chunks = split_uneven_from_histogram(hist, chunk_size=512)
+    cdf = spark.createDataFrame(
+        [(i, c.start, c.end) for i, c in enumerate(chunks)],
+        "chunk_idx INT, start_key BIGINT, end_key BIGINT")
+    in_chunk = (
+        (F.col("start_key").isNull() | (F.col("k") >= F.col("start_key")))
+        & (F.col("end_key").isNull() | (F.col("k") < F.col("end_key"))))
+    return (
+        F.broadcast(cdf).join(li, in_chunk, "left")
+        .groupBy("chunk_idx", "start_key", "end_key")
+        .agg(F.count(F.col("k")).cast("long").alias("n_rows"))
+    )
+
+
+# DuckDB replays the identical walk: histogram (key, cumcount) folded into
+# lists, then a recursive CTE advances the boundary by chunk-window max
+# (rows_below(prev) + 511 -> owning key), with the reference's equal-
+# boundary escape (next strictly-greater key) and the >= max stop; the
+# unbounded tail lands at chunk_idx 0 like splits.add(0, ...).
+ORACLE_JDBC_CHUNKS_UNEVEN = """
+WITH RECURSIVE
+t AS (SELECT CAST(l_orderkey AS BIGINT) * l_orderkey AS k FROM lineitem),
+h AS (SELECT k, count(*) AS c FROM t GROUP BY k),
+arr AS (
+  SELECT list(k ORDER BY k) AS ks,
+         list(cs ORDER BY k) AS cums,
+         max(cs) AS total
+  FROM (SELECT k, CAST(sum(c) OVER (ORDER BY k) AS BIGINT) AS cs FROM h)
+),
+bounds AS (SELECT min(k) AS mn, max(k) AS mx FROM t),
+walk(i, b) AS (
+  SELECT 0, (SELECT mn FROM bounds)
+  UNION ALL
+  SELECT s2.i + 1,
+         CASE WHEN s2.adj IS NULL OR s2.adj >= s2.mx THEN NULL ELSE s2.adj END
+  FROM (
+    SELECT s1.i, s1.mx,
+           CASE WHEN s1.cand = s1.b
+                THEN s1.ks[list_position(s1.ks, s1.b) + 1]
+                ELSE s1.cand END AS adj
+    FROM (
+      SELECT w.i, w.b, a.ks, bo.mx,
+             CASE WHEN coalesce(a.cums[list_position(a.ks, w.b) - 1], 0) + 511 >= a.total
+                  THEN a.ks[len(a.ks)]
+                  ELSE a.ks[len(list_filter(a.cums,
+                         x -> x <= coalesce(a.cums[list_position(a.ks, w.b) - 1], 0) + 511)) + 1]
+             END AS cand
+      FROM walk w, arr a, bounds bo
+      WHERE w.b IS NOT NULL
+    ) s1
+  ) s2
+),
+bnd AS (SELECT i, b FROM walk WHERE i >= 1 AND b IS NOT NULL),
+chunks AS (
+  SELECT CAST(i AS INTEGER) AS chunk_idx,
+         lag(b) OVER (ORDER BY i) AS start_key,
+         b AS end_key
+  FROM bnd
+  UNION ALL
+  SELECT 0, (SELECT max(b) FROM bnd), NULL
+)
+SELECT c.chunk_idx,
+       CAST(c.start_key AS BIGINT) AS start_key,
+       CAST(c.end_key AS BIGINT) AS end_key,
+       CAST(count(t.k) AS BIGINT) AS n_rows
+FROM chunks c LEFT JOIN t
+  ON (c.start_key IS NULL OR t.k >= c.start_key)
+ AND (c.end_key IS NULL OR t.k < c.end_key)
+GROUP BY 1, 2, 3
+"""
+
+
 # Same arithmetic as the splitter: factor = CEIL-4dp((mx-mn+1)/cnt) (double
 # path is bit-identical: exact-integer numerator, one correctly-rounded
 # division), width = max(trunc(factor*512), 1), bounded-chunk count =
@@ -1816,6 +1906,7 @@ QUERIES: dict[str, object] = {
     "sample_hash_split": q_sample_hash_split,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "jdbc_chunk_plan": q_jdbc_chunk_plan,
+    "jdbc_chunk_plan_uneven": q_jdbc_chunk_plan_uneven,
     "transform_ai_functions": q_transform_ai_functions,
     "cdc_schema_evolution_ignore": q_cdc_schema_evolution_ignore,
     "skew_salted_agg": q_skew_salted_agg,
@@ -1875,6 +1966,7 @@ ORACLES: dict[str, str] = {
     "sample_hash_split": ORACLE_HASH_SPLIT,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
     "jdbc_chunk_plan": ORACLE_JDBC_CHUNKS,
+    "jdbc_chunk_plan_uneven": ORACLE_JDBC_CHUNKS_UNEVEN,
     "transform_ai_functions": ORACLE_AI_FUNCTIONS,
     "cdc_schema_evolution_ignore": ORACLE_SCHEMA_EVOLUTION_IGNORE,
     "skew_salted_agg": ORACLE_SKEW_SALTED,

@@ -9,10 +9,12 @@ Parity target: the incremental-snapshot framework's chunk splitter
   (defaults from JdbcSourceOptions); then chunks are fixed ranges of
   ``dynamicChunkSize = max(int(distributionFactor * chunkSize), 1)`` key
   units (:411-440, splitEvenlySizedChunks);
-- otherwise chunks are query-driven unevenly-sized (``MAX(pk) LIMIT
-  chunkSize`` walk) — on Spark we fall back to numPartitions range split
-  because per-chunk re-query defeats the point of a declarative scan; the
-  skew is bounded by AQE coalescing small partitions at runtime;
+- otherwise chunks are query-driven unevenly-sized: walk ``SELECT MAX(pk)
+  FROM (SELECT pk FROM t WHERE pk >= ? ORDER BY pk ASC LIMIT chunkSize)``
+  (``splitUnevenlySizedChunks`` :482-508, ``nextChunkEnd`` :510-531) —
+  ported faithfully in ``split_unevenly_sized_chunks`` with injectable
+  query callables (live JDBC in production, a key histogram when the
+  engine already scanned the table, DuckDB in tests);
 - default chunk size 8096 rows (MySqlDataSourceOptions
   ``scan.incremental.snapshot.chunk.size``).
 
@@ -82,7 +84,11 @@ def split_evenly_sized_chunks(min_key: int, max_key: int, row_count: int,
         return [ChunkRange(None, None)]
     width = dynamic_chunk_size(min_key, max_key, row_count, chunk_size)
     if width is None:
-        # uneven fallback: bounded range split into rowCount/chunkSize parts
+        # no-data-access fallback when the factor is out of bounds and the
+        # caller can supply neither a histogram nor live-query callables
+        # for the faithful uneven walk (split_unevenly_sized_chunks):
+        # bounded range split into rowCount/chunkSize parts, skew healed
+        # only partially by AQE coalescing
         n = max(1, math.ceil(row_count / chunk_size))
         step = max(1, math.ceil((max_key - min_key + 1) / n))
         width = step
@@ -95,6 +101,114 @@ def split_evenly_sized_chunks(min_key: int, max_key: int, row_count: int,
         next_end += width
     chunks.append(ChunkRange(start, None))
     return chunks
+
+
+def split_unevenly_sized_chunks(next_chunk_max, next_min,
+                                min_key: int, max_key: int,
+                                chunk_size: int = DEFAULT_CHUNK_SIZE) -> list[ChunkRange]:
+    """Query-driven uneven chunk split — faithful port of
+    ``splitUnevenlySizedChunks`` (JdbcSourceChunkSplitter.java:482-508) +
+    ``nextChunkEnd`` (:510-531): used when the distribution factor is out
+    of bounds, i.e. the key space is sparse/skewed and fixed-width ranges
+    would yield pathological partition sizes.
+
+    ``next_chunk_max(lower_inclusive)`` must return
+    ``MAX(pk) of (SELECT pk WHERE pk >= lower ORDER BY pk ASC LIMIT
+    chunk_size)`` — the reference's ``queryNextChunkMax``;
+    ``next_min(lower_exclusive)`` must return ``MIN(pk) WHERE pk > lower``
+    (``queryMin``), used when a single key fills a whole chunk window so
+    the boundary wouldn't advance. Both are injectable: issue real JDBC
+    queries in production (exactly the reference's round-trips), or serve
+    from a key histogram the engine computed distributively (one
+    groupBy(pk).count() shuffle — see ``histogram_walk_callables``).
+
+    Boundary semantics: each chunk is ``[start, end)``; the unbounded tail
+    ``[last_boundary, null)`` is inserted at index 0, mirroring the
+    reference's ``splits.add(0, ChunkRange.of(chunkStart, null))``
+    (:506-507 — chunk order doesn't affect the parallel read, but parity
+    includes the quirk)."""
+
+    def _next_chunk_end(prev):
+        end = next_chunk_max(prev)
+        if end == prev:
+            # a single key fills the window; advance to the next key so
+            # chunk start and end are never equal (nextChunkEnd :521-525)
+            end = next_min(end)
+        if end is None or end >= max_key:
+            return None
+        return end
+
+    splits: list[ChunkRange] = []
+    chunk_start = None
+    chunk_end = _next_chunk_end(min_key)
+    while chunk_end is not None:
+        splits.append(ChunkRange(chunk_start, chunk_end))
+        chunk_start = chunk_end
+        chunk_end = _next_chunk_end(chunk_end)
+    splits.insert(0, ChunkRange(chunk_start, None))
+    return splits
+
+
+def histogram_walk_callables(pairs, chunk_size: int = DEFAULT_CHUNK_SIZE):
+    """Build (next_chunk_max, next_min) walk callables from a sorted
+    ``[(key, row_count), ...]`` histogram — the engine-side replacement for
+    the reference's per-chunk JDBC round-trips when the key histogram is
+    already available from a distributed groupBy (one shuffle, no driver
+    loop against the database). Driver memory is O(distinct keys); for key
+    spaces too large to collect, fall back to the JDBC-query callables or
+    the even split."""
+    import bisect
+
+    keys = [k for k, _ in pairs]
+    cum = []
+    total = 0
+    for _, c in pairs:
+        total += c
+        cum.append(total)  # rows with key <= keys[i]
+
+    def rows_below(key: int) -> int:
+        i = bisect.bisect_left(keys, key)
+        return cum[i - 1] if i > 0 else 0
+
+    def next_chunk_max(lower_inclusive: int):
+        # row window = the first chunk_size rows with key >= lower; its max
+        # key = the key owning row index (rows_below(lower) + chunk_size - 1)
+        target = rows_below(lower_inclusive) + chunk_size - 1
+        if target >= total:
+            return keys[-1]
+        return keys[bisect.bisect_right(cum, target)]
+
+    def next_min(lower_exclusive: int):
+        i = bisect.bisect_right(keys, lower_exclusive)
+        return keys[i] if i < len(keys) else None
+
+    return next_chunk_max, next_min
+
+
+def split_uneven_from_histogram(pairs, chunk_size: int = DEFAULT_CHUNK_SIZE) -> list[ChunkRange]:
+    """Uneven walk served entirely from a sorted (key, count) histogram."""
+    if not pairs:
+        return [ChunkRange(None, None)]
+    next_chunk_max, next_min = histogram_walk_callables(pairs, chunk_size)
+    return split_unevenly_sized_chunks(
+        next_chunk_max, next_min, pairs[0][0], pairs[-1][0], chunk_size)
+
+
+def split_chunks(min_key: int, max_key: int, row_count: int,
+                 chunk_size: int = DEFAULT_CHUNK_SIZE,
+                 histogram=None) -> list[ChunkRange]:
+    """Strategy dispatch, parity with ``trySplitAllEvenlySizedChunks``
+    (:333-357): even fixed-width ranges when the distribution factor is in
+    bounds, else the query-driven uneven walk (from ``histogram`` when
+    provided; callers with live JDBC use ``split_unevenly_sized_chunks``
+    with real query callables)."""
+    if min_key == max_key or row_count == 0:
+        return [ChunkRange(None, None)]
+    if dynamic_chunk_size(min_key, max_key, row_count, chunk_size) is not None:
+        return split_evenly_sized_chunks(min_key, max_key, row_count, chunk_size)
+    if histogram is not None:
+        return split_uneven_from_histogram(histogram, chunk_size)
+    return split_evenly_sized_chunks(min_key, max_key, row_count, chunk_size)
 
 
 @dataclass(frozen=True)
@@ -133,12 +247,53 @@ class JdbcSnapshotSource:
         self.properties = properties or {}
         self.chunk_size = chunk_size
 
-    def plan_predicates(self, min_key: int, max_key: int, row_count: int) -> list[str]:
-        chunks = split_evenly_sized_chunks(min_key, max_key, row_count, self.chunk_size)
+    def jdbc_walk_callables(self, spark):
+        """(next_chunk_max, next_min) issuing the reference's actual
+        per-chunk queries over JDBC (queryNextChunkMax / queryMin) — the
+        production path for the uneven walk when no key histogram is at
+        hand. One driver round-trip per chunk, exactly like the
+        reference."""
+        col, t = self.split_column, self.table
+
+        def _scalar(q):
+            row = spark.read.jdbc(self.url, f"({q}) s",
+                                  properties=self.properties).collect()[0]
+            v = row[0]
+            return None if v is None else int(v)
+
+        def next_chunk_max(lower_inclusive: int):
+            return _scalar(
+                f"SELECT MAX({col}) m FROM (SELECT {col} FROM {t} "
+                f"WHERE {col} >= {lower_inclusive} ORDER BY {col} ASC "
+                f"LIMIT {self.chunk_size}) w")
+
+        def next_min(lower_exclusive: int):
+            return _scalar(
+                f"SELECT MIN({col}) m FROM {t} WHERE {col} > {lower_exclusive}")
+
+        return next_chunk_max, next_min
+
+    def plan_predicates(self, min_key: int, max_key: int, row_count: int,
+                        histogram=None, spark=None) -> list[str]:
+        """Chunk predicates via strategy dispatch: even fixed-width when the
+        distribution factor is in bounds; otherwise the query-driven uneven
+        walk — served from ``histogram`` if given, else via live JDBC
+        round-trips if ``spark`` is given, else the bounded range split +
+        AQE coalesce fallback."""
+        if (histogram is None and spark is not None
+                and min_key != max_key and row_count > 0
+                and dynamic_chunk_size(min_key, max_key, row_count,
+                                       self.chunk_size) is None):
+            ncm, nm = self.jdbc_walk_callables(spark)
+            chunks = split_unevenly_sized_chunks(ncm, nm, min_key, max_key,
+                                                 self.chunk_size)
+        else:
+            chunks = split_chunks(min_key, max_key, row_count,
+                                  self.chunk_size, histogram)
         return [c.predicate(self.split_column) for c in chunks]
 
     def read(self, spark, min_key: int, max_key: int, row_count: int):
-        preds = self.plan_predicates(min_key, max_key, row_count)
+        preds = self.plan_predicates(min_key, max_key, row_count, spark=spark)
         return spark.read.jdbc(self.url, self.table, predicates=preds,
                                properties=self.properties)
 

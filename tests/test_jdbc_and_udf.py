@@ -10,7 +10,10 @@ from source_flink_cdc_3_5_0_spark.sources.jdbc import (
     StartupOptions,
     distribution_factor,
     dynamic_chunk_size,
+    split_chunks,
     split_evenly_sized_chunks,
+    split_uneven_from_histogram,
+    split_unevenly_sized_chunks,
     JdbcSnapshotSource,
 )
 
@@ -59,6 +62,80 @@ class TestChunkSplitter:
         assert preds[0].startswith("id < ")
         assert preds[-1].startswith("id >= ")
         assert len(preds) == 10
+
+    def test_uneven_walk_matches_live_sql(self):
+        """The histogram-served walk must agree with callables issuing the
+        reference's ACTUAL SQL (queryNextChunkMax / queryMin) against a
+        database — DuckDB stands in for the JDBC source."""
+        import duckdb
+        from collections import Counter
+
+        # skewed key space: dense cluster + sparse quadratic tail + dups
+        keys = ([k for k in range(100, 150) for _ in range(3)]
+                + [k * k for k in range(20, 90)])
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT unnest(?::BIGINT[]) AS k", [keys])
+        cs = 37
+
+        def sql_next_chunk_max(lower):
+            return con.execute(
+                "SELECT max(k) FROM (SELECT k FROM t WHERE k >= ? "
+                "ORDER BY k ASC LIMIT ?)", [lower, cs]).fetchone()[0]
+
+        def sql_next_min(lower):
+            return con.execute(
+                "SELECT min(k) FROM t WHERE k > ?", [lower]).fetchone()[0]
+
+        mn, mx = min(keys), max(keys)
+        via_sql = split_unevenly_sized_chunks(
+            sql_next_chunk_max, sql_next_min, mn, mx, chunk_size=cs)
+        hist = sorted(Counter(keys).items())
+        via_hist = split_uneven_from_histogram(hist, chunk_size=cs)
+        assert via_sql == via_hist
+        # reference quirk: unbounded tail at index 0 (:506-507)
+        assert via_sql[0].end is None
+        # chunks partition the key space: every row lands in exactly 1 chunk
+        for k in set(keys):
+            hits = [c for c in via_sql
+                    if (c.start is None or k >= c.start)
+                    and (c.end is None or k < c.end)]
+            assert len(hits) == 1
+        # every bounded chunk holds <= chunk_size rows
+        n_in = lambda c: sum(1 for k in keys  # noqa: E731
+                             if (c.start is None or k >= c.start)
+                             and (c.end is None or k < c.end))
+        assert all(n_in(c) <= cs for c in via_sql if c.end is not None)
+
+    def test_uneven_walk_hot_key_advances_boundary(self):
+        """A single key with more duplicates than chunk_size must not stall
+        the walk (nextChunkEnd's queryMin escape, :521-525)."""
+        keys = [5] * 100 + list(range(1000, 1020))
+        from collections import Counter
+
+        chunks = split_uneven_from_histogram(
+            sorted(Counter(keys).items()), chunk_size=10)
+        # first bounded chunk is the hot key alone: [None, next-key)
+        bounded = [c for c in chunks if c.end is not None]
+        assert bounded[0] == ChunkRange(None, 1000)
+        for k in set(keys):
+            hits = [c for c in chunks
+                    if (c.start is None or k >= c.start)
+                    and (c.end is None or k < c.end)]
+            assert len(hits) == 1
+
+    def test_split_chunks_dispatch(self):
+        # in-bounds factor -> even split regardless of histogram
+        even = split_chunks(1, 1000, 1000, chunk_size=100)
+        assert even == split_evenly_sized_chunks(1, 1000, 1000, chunk_size=100)
+        # out-of-bounds factor (cubic keys: range/count > 1000) + histogram
+        # -> uneven walk
+        hist = [(k ** 3, 1) for k in range(1, 200)]
+        uneven = split_chunks(1, 199 ** 3, 199, chunk_size=10, histogram=hist)
+        assert uneven == split_uneven_from_histogram(hist, chunk_size=10)
+        # walk stride is chunk_size-1 (the boundary row re-enters the next
+        # window, WHERE pk >= boundary): 199 distinct keys / stride 9 ->
+        # 21 bounded chunks + the unbounded tail at index 0
+        assert uneven[0].end is None and len(uneven) == 22
 
     def test_startup_options(self):
         assert StartupOptions("initial").kafka_starting_offsets() == "earliest"
