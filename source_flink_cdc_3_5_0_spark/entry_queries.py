@@ -1594,6 +1594,40 @@ FROM customer WHERE c_custkey % 7 <> 0
 """
 
 
+def q_sink_jdbc_upsert(spark, sf_dir):
+    """Relational (JDBC) sink end-to-end (reference mysql/postgres pipeline
+    sinks + DataSinkWriterOperator.java:65 idempotent-replay contract):
+    CREATE TABLE through the MetadataApplier, snapshot insert batch, a
+    scripted update/delete batch, then a REPLAY of that batch (must no-op
+    via the marker), read back final table state from SQLite. Oracle = the
+    same changelog replayed as SQL over `customer`."""
+    import os
+    import tempfile
+
+    from .common.events import CreateTableEvent
+    from .common.tableid import TableId
+    from .sinks.jdbc_sink import JdbcUpsertSink
+    from .sources.base import attach_envelope
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    tid = TableId.parse("out.db.customer")
+    schema = Schema.from_struct_type(cust.schema, primary_keys=["c_custkey"])
+    db = os.path.join(tempfile.mkdtemp(prefix="cdc_jdbc_sink_"), "sink.db")
+    sink = JdbcUpsertSink(db)
+    sink.metadata_applier().apply_schema_change(
+        tid, CreateTableEvent(tid, schema), schema)
+    sink.write(tid, attach_envelope(cust, "+I", seq=0), schema, batch_id=0)
+    updates = (cust.where(F.col("c_custkey") % 10 == 0)
+               .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+               .select("*", F.lit("+U").alias(OP_COL), F.lit(1).cast("bigint").alias(SEQ_COL)))
+    deletes = (cust.where(F.col("c_custkey") % 7 == 0)
+               .select("*", F.lit("-D").alias(OP_COL), F.lit(2).cast("bigint").alias(SEQ_COL)))
+    batch = updates.unionByName(deletes)
+    sink.write(tid, batch, schema, batch_id=1)
+    sink.write(tid, batch, schema, batch_id=1)  # replay: marker no-ops it
+    return sink.read(spark, tid, schema)
+
+
 def q_transform_op_ts_metadata(spark, sf_dir):
     """Connector metadata column in expressions (SupportedMetadataColumn /
     OpTsMetadataColumn.java): `op_ts` resolves to the source's per-row
@@ -1896,6 +1930,7 @@ QUERIES: dict[str, object] = {
     "zoned_timestamp_roundtrip": q_zoned_timestamp_roundtrip,
     "stream_windowed_counts": q_stream_windowed_counts,
     "sink_upsert_merge": q_sink_upsert_merge,
+    "sink_jdbc_upsert": q_sink_jdbc_upsert,
     "transform_op_ts_metadata": q_transform_op_ts_metadata,
     # corpus-statistics / behavioral extensions
     "text_ngram_top": q_text_ngram_top,
@@ -1953,6 +1988,7 @@ ORACLES: dict[str, str] = {
     "stream_windowed_counts": ORACLE_STREAM_WINDOWED,
     "multimodal_features": ORACLE_MULTIMODAL,
     "sink_upsert_merge": ORACLE_SINK_UPSERT,
+    "sink_jdbc_upsert": ORACLE_SINK_UPSERT,
     "transform_op_ts_metadata": ORACLE_OP_TS,
     "asof_join_events": ORACLE_ASOF_JOIN,
     "interval_join_events": ORACLE_INTERVAL_JOIN,

@@ -439,6 +439,16 @@ class PipelineComposer:
                 topic=opts.get("topic"),
                 output_dir=opts.get("output-dir"),
             )
+        if t in ("jdbc", "sqlite"):
+            # relational sink (reference mysql/postgres pipeline sinks):
+            # keyed upsert/delete via per-partition DB connections; sqlite
+            # is the sandbox-testable dialect
+            from ..sinks.jdbc_sink import JdbcUpsertSink
+
+            db = opts.get("database") or opts.get("db-path")
+            if not db:
+                raise ValueError(f"{t} sink needs 'database' (file path)")
+            return JdbcUpsertSink(db, dialect=opts.get("dialect", "sqlite"))
         if t in ("doris", "starrocks", "paimon", "iceberg", "elasticsearch",
                  "fluss", "maxcompute", "oceanbase", "mysql", "postgres"):
             # lake/OLAP sinks: same changelog-apply contract (PK upsert,
