@@ -1267,6 +1267,117 @@ SELECT * FROM (VALUES
 """
 
 
+def q_cdc_postgres_pipeline(spark, sf_dir):
+    """Postgres end-to-end (PostgresDataSourceFactory.java surface): a
+    scripted Debezium-postgres stream — 3-part TableId resolved from
+    ``$.source.db/schema/table``, TIMESTAMPTZ payload column carried as
+    io.debezium.time.ZonedTimestamp ISO-offset strings, postgres type
+    names mapped through ``postgres_type_to_spark`` /
+    ``postgres_type_is_zoned`` (common/types.py) — through transform +
+    route + sink via the streaming runner. Scripted churn: every event
+    inserted, every 5th updated (+100 value), every 7th deleted; the
+    final state re-renders the zoned column in its ORIGINAL captured
+    offset (full TIMESTAMP_TZ round trip)."""
+    import os
+    import tempfile
+
+    from .common.schema import Column as C
+    from .common.tableid import TableId
+    from .common.types import postgres_type_is_zoned, postgres_type_to_spark
+    from .functions.zoned_time import render_zoned
+    from .operators.route import RouteRule
+    from .operators.transform import TransformRule
+    from .sinks.memory import MemorySink
+    from .streaming.runner import StreamingPipeline, file_stream_source
+
+    pg_types = {"event_id": "INT8", "user_id": "INT8",
+                "event_type": "VARCHAR", "value": "FLOAT8",
+                "created": "TIMESTAMPTZ"}
+    schema = Schema.of(
+        *[C(n, postgres_type_to_spark(t), zoned=postgres_type_is_zoned(t))
+          for n, t in pg_types.items()],
+        primary_keys=["event_id"])
+
+    ev = load(spark, sf_dir, "events")
+    offs = F.element_at(
+        F.array(F.lit("+05:30"), F.lit("-07:00"), F.lit("+00:00"), F.lit("+09:00")),
+        (F.col("user_id") % 4 + 1).cast("int"))
+    created = F.concat(
+        F.date_format(F.col("ts").cast("timestamp_ntz"),
+                      "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), offs)
+
+    def img(val):
+        return F.struct(F.col("event_id"), F.col("user_id"),
+                        F.col("event_type"), val.alias("value"),
+                        created.alias("created"))
+
+    null_img = F.when(F.lit(False), img(F.col("value")))  # typed NULL struct
+    src = F.struct(F.lit("pgsrv").alias("db"), F.lit("public").alias("schema"),
+                   F.lit("events").alias("table"))
+
+    def rec(op, before, after, seq):
+        return F.to_json(F.struct(
+            before.alias("before"), after.alias("after"),
+            F.lit(op).alias("op"), seq.cast("long").alias("ts_ms"),
+            src.alias("source"))).alias("value")
+
+    inserts = ev.select(rec("c", null_img, img(F.col("value")),
+                            F.col("event_id") * 10))
+    updates = ev.where(F.col("event_id") % 5 == 0).select(
+        rec("u", img(F.col("value")), img(F.col("value") + 100),
+            F.col("event_id") * 10 + 1))
+    del_val = F.when(F.col("event_id") % 5 == 0,
+                     F.col("value") + 100).otherwise(F.col("value"))
+    deletes = ev.where(F.col("event_id") % 7 == 0).select(
+        rec("d", img(del_val), null_img, F.col("event_id") * 10 + 2))
+
+    tmp = tempfile.mkdtemp(prefix="cdc_pg_")
+    src_dir = os.path.join(tmp, "in")
+    inserts.unionAll(updates).unionAll(deletes).coalesce(4) \
+        .write.mode("overwrite").text(src_dir)
+
+    sink = MemorySink()
+    pipe = StreamingPipeline.create(
+        spark, sink, os.path.join(tmp, "ckpt"),
+        transforms=[TransformRule(
+            source_table=r"pgsrv.public.\.*",
+            projection=("event_id, user_id, UPPER(event_type) AS etype, "
+                        "value, created, created__tz_offset AS tz_off"),
+            filter="user_id % 3 <> 1",
+        )],
+        routes=[RouteRule(source_table="pgsrv.public.events",
+                          sink_table="out.db.pg_events")])
+    q = pipe.start(file_stream_source(spark, src_dir),
+                   {"pgsrv.public.events": schema})
+    q.awaitTermination(300)
+
+    out_tid = TableId.parse("out.db.pg_events")
+    sschema = sink.schemas[out_tid]
+    rows = [tuple(r[n] for n in sschema.column_names())
+            for r in sink.state[out_tid].values()]
+    out = spark.createDataFrame(rows, sschema.struct_type())
+    return out.select(
+        "event_id", "user_id", "etype", "value",
+        render_zoned(F.col("created"), F.col("tz_off")).alias("created_rt"),
+        F.col("tz_off"))
+
+
+ORACLE_POSTGRES_PIPELINE = """
+WITH base AS (
+  SELECT event_id, user_id, upper(event_type) AS etype,
+         CASE WHEN event_id % 5 = 0 THEN value + 100 ELSE value END AS value,
+         ['+05:30','-07:00','+00:00','+09:00'][(user_id % 4)::INT + 1] AS offs,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S') AS body0,
+         regexp_replace(strftime(ts, '%f'), '0+$', '') AS frac
+  FROM events
+  WHERE event_id % 7 <> 0 AND user_id % 3 <> 1)
+SELECT event_id, user_id, etype, value,
+       body0 || CASE WHEN frac = '' THEN '' ELSE '.' || frac END || offs AS created_rt,
+       offs AS tz_off
+FROM base
+"""
+
+
 def q_skew_salted_agg(spark, sf_dir):
     """Two-phase salted aggregation (operators/skew.py) end-to-end:
     l_returnflag has 3 values over 600k rows — the textbook hot-key
@@ -1949,6 +2060,7 @@ QUERIES: dict[str, object] = {
     "text_repetition": q_text_repetition,
     "sketch_kmv_distinct": q_sketch_kmv_distinct,
     "cdc_truncate_drop": q_cdc_truncate_drop,
+    "cdc_postgres_pipeline": q_cdc_postgres_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -2010,6 +2122,7 @@ ORACLES: dict[str, str] = {
     "text_repetition": ORACLE_TEXT_REPETITION,
     "sketch_kmv_distinct": _oracle_kmv(),
     "cdc_truncate_drop": ORACLE_TRUNCATE_DROP,
+    "cdc_postgres_pipeline": ORACLE_POSTGRES_PIPELINE,
 }
 
 

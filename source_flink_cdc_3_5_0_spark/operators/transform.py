@@ -323,6 +323,8 @@ class PostTransform:
             # over the before struct's fields
             from ..functions.dialect import METADATA_COLUMNS
 
+            btype = df.schema[BEFORE_COL].dataType
+            bfields = set(btype.fieldNames()) if hasattr(btype, "fieldNames") else set()
             before_fields = []
             for i in ct.projection_cols:
                 sql = i.compiled.sql
@@ -330,7 +332,15 @@ class PostTransform:
                     if ((col in METADATA_COLUMNS or col in SOURCE_METADATA_COLUMNS)
                             and col not in physical):
                         continue  # metadata cols bind per-row, not per-image
-                    sql = sql.replace(f"`{col}`", f"`{BEFORE_COL}`.`{col}`")
+                    if col in bfields:
+                        sql = sql.replace(f"`{col}`", f"`{BEFORE_COL}`.`{col}`")
+                    elif col in physical:
+                        # physical column with no before-image field (e.g. a
+                        # zoned __tz_offset side channel — decode carries only
+                        # the instant in before): bind a typed NULL
+                        sql = sql.replace(
+                            f"`{col}`",
+                            f"CAST(NULL AS {df.schema[col].dataType.simpleString()})")
                 before_fields.append(F.expr(render(sql)).alias(i.alias))
             passthrough.append(
                 F.when(F.col(BEFORE_COL).isNotNull(), F.struct(*before_fields))

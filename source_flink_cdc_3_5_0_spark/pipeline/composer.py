@@ -119,8 +119,16 @@ class PipelineExecution:
         empty = self.spark.createDataFrame([], in_schema.struct_type())
         from pyspark.sql import functions as F
 
+        from ..functions.zoned_time import offset_col_name
         from ..sources.base import attach_envelope
 
+        # zoned (TIMESTAMP_TZ) columns decode into instant + __tz_offset
+        # side-channel columns — the inference frame must carry them too,
+        # or a projection referencing the offset fails analysis
+        for c in in_schema.columns:
+            if c.zoned:
+                empty = empty.withColumn(
+                    offset_col_name(c.name), F.lit(None).cast("string"))
         # include a typed __meta so connector metadata references (op_ts)
         # analyze during inference; the data path carries the real map
         env = attach_envelope(empty).withColumn(
