@@ -43,27 +43,48 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
+def pin_driver_session(spark: SparkSession) -> None:
+    """Driver-contract session settings, applied VISIBLY at every load()
+    (round-2 ADVICE: not buried in a dtype branch as a hidden side
+    effect). UTC rendering is part of the contract: the correctness
+    driver collects Spark rows and compares wall clocks against DuckDB,
+    which treats parquet TIMESTAMP as UTC. YAML-composed pipelines set
+    their zone from ``pipeline.local-time-zone`` (composer.py) and never
+    call load()."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _events_ts_to_timestamp(df_or_stream, ts_type: T.DataType):
+    """events.ts dtype dispatch, shared by batch and streaming loads.
+    TIMESTAMP(NANOS) fixtures arrive as long (nanosAsLong) → truncate to
+    micros like DuckDB; timestamp_ntz → cast (UTC session pinned). Any
+    OTHER type fails loudly: e.g. a fixture written with
+    isAdjustedToUTC=true reads as TIMESTAMPTZ in DuckDB and a naive
+    instant in Spark — that must be a clear load-time error, not a
+    confusing oracle hash mismatch (round-2 ADVICE)."""
+    if isinstance(ts_type, T.LongType):
+        return df_or_stream.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df_or_stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    raise TypeError(
+        f"events.ts: unexpected parquet type {ts_type}; the fixture "
+        "generation changed (TIMESTAMP with isAdjustedToUTC? zoned?) — "
+        "extend _events_ts_to_timestamp explicitly instead of letting the "
+        "oracle hash-mismatch")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .functions.dialect import ensure_lenient_sql
 
     ensure_lenient_sql(spark)
+    pin_driver_session(spark)
     if name == "events":
-        # Some testdata generations write events.ts as TIMESTAMP(NANOS),
-        # which Spark's vectorized reader rejects; read nanos as long and
-        # convert to a micros timestamp (DuckDB's nanos→micros truncation).
-        # Newer generations write plain timestamp[us] — pass through.
+        # TIMESTAMP(NANOS) fixtures reject Spark's vectorized reader;
+        # read nanos as long, then dispatch on the actual dtype.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
-        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
-            # DuckDB reads parquet TIMESTAMP (no zone) as plain TIMESTAMP and
-            # epoch_us() treats the wall clock as UTC; pin the session to UTC
-            # so CAST(ntz AS timestamp) is the same instant on both sides.
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-        return df
+        return _events_ts_to_timestamp(df, df.schema["ts"].dataType)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1624,18 +1645,14 @@ def q_stream_windowed_counts(spark, sf_dir):
     modes share one plan (streaming/windowed.py)."""
     from .streaming.windowed import windowed_counts
 
+    pin_driver_session(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     wire = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         # file stream source needs a DIRECTORY; glob-filter to the one table
         spark.readStream.schema(wire)
         .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
-    if isinstance(wire["ts"].dataType, T.LongType):
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
-    elif isinstance(wire["ts"].dataType, T.TimestampNTZType):
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    stream = _events_ts_to_timestamp(stream, wire["ts"].dataType)
     out = windowed_counts(stream, window="1 hour", keys=("event_type",),
                           watermark="1 hour")
     q = (out.writeStream.format("memory").queryName("q_stream_win")
@@ -1785,10 +1802,12 @@ def q_text_ngram_top(spark, sf_dir):
     aggregated (small) set. Ties break on gram text for determinism."""
     from pyspark.sql import Window
 
-    from .extensions.dedup import word_ngrams_col
+    from .extensions.dedup import tokens_col, word_ngrams_col
 
-    docs = load(spark, sf_dir, "documents")
-    grams = word_ngrams_col("text", 2, distinct=False, fallback_whole_text=False)
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "__toks", tokens_col("text"))  # materialized: see word_ngrams_col doc
+    grams = word_ngrams_col("__toks", 2, distinct=False,
+                            fallback_whole_text=False, from_tokens=True)
     counts = (
         docs.select("lang", F.explode(grams).alias("gram"))
         .groupBy("lang", "gram")

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import word_ngrams_col
+from .dedup import tokens_col, word_ngrams_col
 
 
 def ngram_overlap_pairs(corpus: DataFrame, eval_df: DataFrame,
@@ -27,13 +27,19 @@ def ngram_overlap_pairs(corpus: DataFrame, eval_df: DataFrame,
     """(eval_doc_id, corpus_doc_id, n_shared_grams) for every corpus doc
     sharing at least one distinct word k-gram with an eval doc."""
     def grams_of(df: DataFrame, out_id: str) -> DataFrame:
-        # no whole-text fallback: a doc shorter than k words cannot
-        # contain a k-gram of the eval set
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.explode(word_ngrams_col(text_col, k,
-                                      fallback_whole_text=False)).alias("gram"),
-        )
+        # tokens materialized as a real column first — the higher-order
+        # gram builder is interpreted and would re-tokenize per element_at
+        # reference otherwise (see word_ngrams_col docstring; was 4x wall
+        # time on this query). No whole-text fallback: a doc shorter than
+        # k words cannot contain a k-gram of the eval set.
+        return (
+            df.withColumn("__toks", tokens_col(text_col))
+            .select(
+                F.col(id_col).alias(out_id),
+                F.explode(word_ngrams_col(
+                    "__toks", k, fallback_whole_text=False,
+                    from_tokens=True)).alias("gram"),
+            ))
 
     ev = F.broadcast(grams_of(eval_df, "eval_doc_id"))
     co = grams_of(corpus, "corpus_doc_id")

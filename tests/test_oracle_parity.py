@@ -56,8 +56,15 @@ def test_oracle_parity(spark, name):
     assert _rows_key(scols, srows) == _rows_key(dcols, drows), f"{name}: values differ"
 
 
-@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+_ROWS_ONLY = sorted(set(_QUERIES) - set(_ORACLES))
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY or [None])
 def test_rows_only_queries_run(spark, name):
+    if name is None:
+        pytest.skip("every queries() entry currently has a DuckDB oracle — "
+                    "no rows-only queries left to smoke-test (this is the "
+                    "desired state, not a gap)")
     df = _QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
 

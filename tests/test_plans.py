@@ -120,7 +120,13 @@ def test_lsh_exact_single_udf_pass_and_no_payload_in_band_join(spark):
     from source_flink_cdc_3_5_0_spark.extensions.dedup import (
         minhash_lsh_exact_pairs)
 
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # the trivially-true filter makes this input canonically DISTINCT from
+    # other tests' calls (e.g. oracle parity at the same sf): a cache entry
+    # they materialized would otherwise be reused here, and a materialized
+    # InMemoryRelation prints its cached build with AQE Initial/Final Plan
+    # sections the depth-based stripper below can't bracket
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .where("doc_id IS NOT NULL OR doc_id IS NULL")
     out = minhash_lsh_exact_pairs(docs, jaccard_threshold=0.5)
     p = plan_of(out)
 
