@@ -735,6 +735,55 @@ WHERE jaccard >= 0.5
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup pairs -> dedup CLUSTERS (the keep/drop decision step):
+    connected components over the exact-verified MinHash pair graph via
+    distributed min-label propagation (extensions/dedup.py
+    connected_components). Oracle = DuckDB transitive closure (recursive
+    CTE) over the identical all-pairs exact-Jaccard pair set, taking the
+    min reachable id per node."""
+    from .extensions.dedup import connected_components, minhash_lsh_exact_pairs
+
+    pairs = minhash_lsh_exact_pairs(load(spark, sf_dir, "documents"),
+                                    jaccard_threshold=0.5)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "rep_id")
+
+
+ORACLE_DEDUP_COMPONENTS = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         list_distinct(CASE
+           WHEN len(t) >= 3 THEN
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+           ELSE []::VARCHAR[] END) AS g
+  FROM toks),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 6) AS jaccard
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    WHERE len(list_distinct(list_concat(a.g, b.g))) > 0) p
+  WHERE jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id)
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS rep_id FROM reach GROUP BY id
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash hamming-distance near-dups. The 4×16-bit banding is
     pigeonhole-LOSSLESS for hamming≤3 (≥1 band must be identical), so the
@@ -2045,6 +2094,7 @@ QUERIES: dict[str, object] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_components": q_dedup_components,
     "dedup_simhash": q_dedup_simhash,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
@@ -2109,6 +2159,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": ORACLE_ANN_TOPK,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+    "dedup_components": ORACLE_DEDUP_COMPONENTS,
     "dedup_simhash": ORACLE_SIMHASH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "transform_udf": ORACLE_TRANSFORM_UDF,

@@ -325,6 +325,53 @@ def minhash_lsh_exact_pairs(df: DataFrame, text_col: str = "text", id_col: str =
     return out
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 30) -> DataFrame:
+    """Near-dup pairs -> dedup clusters: (id, rep_id) where rep_id is the
+    MINIMUM id reachable through the pair graph — the step that turns
+    candidate pairs into actual keep/drop decisions (keep rep, drop rest).
+
+    Distributed min-label propagation: each iteration joins the symmetric
+    edge list against current labels and takes the per-node min — one
+    shuffle join + one partial-agg groupBy per iteration, converging in
+    O(component diameter) rounds (near-dup clusters are shallow: dozens of
+    mutually-similar docs, not long chains). Each round's labels are
+    ``localCheckpoint``ed: iterative plans double in size per round
+    otherwise (persist caches execution, NOT the logical tree — a
+    24-round chain OOMed the driver just PRINTING its plan), and the
+    checkpoint truncates lineage to the materialized blocks. The driver
+    loop only runs a bounded-count convergence check per round (control
+    plane, O(1) rows). At extreme diameters switch to alternating
+    large/small-star (Kiveris et al.) — same join primitive, O(log n)
+    rounds.
+
+    Only ids appearing in ≥1 pair are returned (singletons are their own
+    representative by definition and need no shuffle)."""
+    from pyspark import StorageLevel
+
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges.dst == labels.id)
+                 .select(edges.src.alias("id"), "label"))
+        new_labels = (labels.unionAll(neigh)
+                      .groupBy("id").agg(F.min("label").alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), on="id")
+                   .where(F.col("n.label") < F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("rep_id"))
+
+
 def simhash_neardup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                           max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit hash into 4×16-bit keys

@@ -151,3 +151,27 @@ class TestMinhashHotShingle:
         assert set(got).issubset(set(truth))
         for k, v in got.items():
             assert truth[k] == v
+
+
+class TestConnectedComponents:
+    def test_known_graph(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.dedup import (
+            connected_components)
+        # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star on 20)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+            "id_a bigint, id_b bigint")
+        got = {(r.id, r.rep_id) for r in connected_components(pairs).collect()}
+        assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                       (10, 10), (11, 10),
+                       (20, 20), (21, 20), (22, 20)}
+
+    def test_long_chain_converges(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.dedup import (
+            connected_components)
+        n = 24  # diameter 24 chain still converges under max_iter
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint")
+        got = connected_components(pairs)
+        assert {r.rep_id for r in got.collect()} == {0}
+        assert got.count() == n + 1
