@@ -1870,6 +1870,60 @@ def q_text_ngram_top(spark, sf_dir):
     )
 
 
+def q_text_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-5 salient terms by tf·idf with a RATIONAL idf
+    (BM25's (N−df+0.5)/(df+0.5) — pure IEEE arithmetic, so Spark and
+    DuckDB produce bit-identical doubles; log-based idf would drift at
+    the libm rounding level). Plan: explode→(doc,term) partial-agg
+    shuffle, term-level df partial-agg, broadcast-join df back (term
+    vocabulary ≪ corpus), window top-k on the aggregated set only.
+    N = total docs is one bounded control-plane scalar."""
+    from pyspark.sql import Window
+
+    from .extensions.dedup import tokens_col
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = (F.col("tf") * (F.lit(n_docs) - F.col("df") + F.lit(0.5))) \
+        / (F.col("df") + F.lit(0.5))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(dfreq), on="term")
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                "score", "rank")
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         (tf * (n - df + 0.5)) / (df + 0.5) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank
+      FROM scored) t
+WHERE rank <= 5
+"""
+
+
 ORACLE_TEXT_NGRAM_TOP = r"""
 WITH toks AS (
   SELECT lang,
@@ -2114,6 +2168,7 @@ QUERIES: dict[str, object] = {
     "transform_op_ts_metadata": q_transform_op_ts_metadata,
     # corpus-statistics / behavioral extensions
     "text_ngram_top": q_text_ngram_top,
+    "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "sessionize_events": q_sessionize_events,
     "doc_length_percentiles": q_doc_length_percentiles,
     "agg_event_type_pivot": q_agg_event_type_pivot,
@@ -2177,6 +2232,7 @@ ORACLES: dict[str, str] = {
     "window_running_total": ORACLE_WINDOW_RUNNING,
     "array_functions": ORACLE_ARRAY_FUNCS,
     "text_ngram_top": ORACLE_TEXT_NGRAM_TOP,
+    "text_tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "sessionize_events": ORACLE_SESSIONIZE,
     "doc_length_percentiles": ORACLE_DOC_PERCENTILES,
     "agg_event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,
