@@ -120,13 +120,29 @@ class ParquetUpsertSink(DataSink):
                 out = out.where(~F.col(OP_COL).isin("-D", "-U")).drop(OP_COL)
             if pks:
                 out = out.withColumn(_BUCKET_COL, self._bucket_of(out, pks))
-                out.write.mode("append").partitionBy(_BUCKET_COL).parquet(data_dir)
+                self._write_bucketed(out, "append", data_dir)
             else:
                 out.write.mode("append").parquet(data_dir)
         else:
             self._merge(spark, df, data_dir, pks, names, batch_id)
         with open(marker, "w") as f:
             f.write("ok")
+
+    @staticmethod
+    def _write_bucketed(df: DataFrame, mode: str, data_dir: str,
+                        dynamic: bool = False) -> None:
+        """partitionBy(bucket) write with ONE file per bucket: without the
+        keyed repartition, every shuffle task holds a mix of buckets and
+        the write emits tasks×buckets small files (590 files for a 15k-row
+        table in the round-3 profile) — bloating later listing/mergeSchema
+        reads. The repartition is the standard write-distribution step
+        (Delta optimized writes / Paimon write-buffer do the same)."""
+        w = df.repartition(F.col(_BUCKET_COL)).write.mode(mode)
+        if dynamic:
+            # per-write option, NOT spark.conf.set — mutating the session
+            # conf would affect unrelated overwrite-with-partitionBy writes
+            w = w.option("partitionOverwriteMode", "dynamic")
+        w.partitionBy(_BUCKET_COL).parquet(data_dir)
 
     def _merge(self, spark: SparkSession, df: DataFrame, data_dir: str,
                pks: list[str], names: list[str], batch_id: int) -> None:
@@ -140,9 +156,9 @@ class ParquetUpsertSink(DataSink):
         try:
             touched = [r[0] for r in batch_final.select(_BUCKET_COL).distinct().collect()]
             if not os.path.exists(data_dir):
-                (batch_final.where(F.col(OP_COL) != "-D")
-                 .select(*names, _BUCKET_COL)
-                 .write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(data_dir))
+                self._write_bucketed(
+                    batch_final.where(F.col(OP_COL) != "-D")
+                    .select(*names, _BUCKET_COL), "overwrite", data_dir)
                 return
             # dynamic partition overwrite: only touched buckets are replaced.
             # mergeSchema + null-fill keeps post-evolution batches intact:
@@ -166,11 +182,7 @@ class ParquetUpsertSink(DataSink):
             )
             merged = merged.persist()
             remaining = {r[0] for r in merged.select(_BUCKET_COL).distinct().collect()}
-            # per-write option, NOT spark.conf.set — mutating the session conf
-            # would silently change unrelated overwrite-with-partitionBy writes
-            (merged.write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy(_BUCKET_COL).parquet(data_dir))
+            self._write_bucketed(merged, "overwrite", data_dir, dynamic=True)
             merged.unpersist()
             # dynamic overwrite only replaces partitions present in the
             # output — a touched bucket whose rows were ALL deleted writes

@@ -107,10 +107,15 @@ def test_truncate_and_drop_reach_parquet_sink(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "a.b.t2"))
 
 
-def test_many_batch_compaction_bounds_files(spark, tmp_path):
-    """Long-CDC-run maintenance (round-2 verdict #9): 50 upsert batches
-    accumulate one file set per touched bucket per batch; compact() must
-    bound file counts per bucket AND leave query results unchanged."""
+def test_many_batch_file_bound_and_compaction(spark, tmp_path):
+    """Long-CDC-run maintenance (round-2 verdict #9), strengthened by the
+    round-3 write-distribution fix: 50 upsert batches must leave ONE file
+    per bucket WITHOUT any compaction (each write repartitions by bucket,
+    and copy-on-write replaces touched buckets wholesale — no cross-batch
+    accumulation). compact() still bounds legacy multi-file buckets and
+    must leave query results unchanged."""
+    import shutil
+
     from source_flink_cdc_3_5_0_spark.sources.base import OP_COL, SEQ_COL, attach_envelope
 
     sink = ParquetUpsertSink(str(tmp_path), num_buckets=4)
@@ -127,6 +132,7 @@ def test_many_batch_compaction_bounds_files(spark, tmp_path):
         sink.write(TBL, chg, SCHEMA, batch_id=b)
 
     data_dir = str(tmp_path / "a.b.t" / "data")
+
     def files_per_bucket():
         out = {}
         for d in os.listdir(data_dir):
@@ -135,7 +141,9 @@ def test_many_batch_compaction_bounds_files(spark, tmp_path):
                               if f.endswith(".parquet")])
         return out
 
-    assert max(files_per_bucket().values()) > 1  # accumulation happened
+    # the invariant the write distribution guarantees: bounded WITHOUT
+    # compaction, after 51 batches
+    assert max(files_per_bucket().values()) == 1
     expected = {r["id"]: r["v"] for r in sink.read(spark, TBL).collect()}
     assert len(expected) == 40
     # last writer wins per key: key k was updated at batches {b : b%40==k}
@@ -143,10 +151,21 @@ def test_many_batch_compaction_bounds_files(spark, tmp_path):
         bs = [b for b in range(1, 51) if b % 40 == k]
         assert expected[k] == (f"u{max(bs)}" if bs else f"v{k}")
 
+    # fragment one bucket by hand (legacy layout / larger target) and
+    # verify compact() rewrites it down without changing results
+    frag = next(d for d in sorted(os.listdir(data_dir))
+                if d.startswith("__bucket="))
+    frag_dir = os.path.join(data_dir, frag)
+    tmp = frag_dir + ".split"
+    spark.read.parquet(frag_dir).repartition(3).write.parquet(tmp)
+    shutil.rmtree(frag_dir)
+    os.rename(tmp, frag_dir)
+    assert files_per_bucket()[frag] > 1
+    assert {r["id"]: r["v"] for r in sink.read(spark, TBL).collect()} == expected
+
     sink.compact(spark, TBL)
     assert max(files_per_bucket().values()) <= 1
-    after = {r["id"]: r["v"] for r in sink.read(spark, TBL).collect()}
-    assert after == expected
+    assert {r["id"]: r["v"] for r in sink.read(spark, TBL).collect()} == expected
     # upserts keep working on compacted buckets
     chg = spark.createDataFrame([(0, "post-compact", "+U", 99)], chg_st)
     sink.write(TBL, chg, SCHEMA, batch_id=99)
