@@ -191,3 +191,45 @@ route:
         'SELECT count(*), min(n_nationkey), max(n_nationkey) '
         'FROM "out.db.nation"').fetchone()
     assert rows == (25, 0, 24)
+
+
+def test_streaming_ddl_reaches_jdbc_sink(spark, tmp_path):
+    """Mid-stream ALTER ADD COLUMN must flow composer -> behavior rewrite ->
+    JDBC MetadataApplier -> SQLite ALTER, with pre-DDL rows null-filled and
+    post-DDL rows carrying the new column (the DataSinkWriterOperator +
+    MetadataApplier integration, not just the applier unit surface)."""
+    import json
+
+    from source_flink_cdc_3_5_0_spark.streaming.runner import (
+        StreamingPipeline, file_stream_source)
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+
+    def dbz(op, after, ts):
+        return json.dumps({
+            "before": None, "after": after, "op": op, "ts_ms": ts,
+            "source": {"db": "pg", "schema": "s", "table": "t"}})
+
+    ddl = json.dumps({
+        "databaseName": "pg.s", "ts_ms": 2,
+        "ddl": "ALTER TABLE t ADD COLUMN note VARCHAR(40)"})
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        f.write("\n".join([
+            dbz("c", {"id": 1, "v": "a"}, 1),
+            ddl,
+            dbz("c", {"id": 2, "v": "b", "note": "n2"}, 3),
+        ]))
+
+    sink = JdbcUpsertSink(str(tmp_path / "sink.db"))
+    pipe = StreamingPipeline.create(spark, sink, str(tmp_path / "ckpt"))
+    schema = Schema.of(("id", T.IntegerType()), ("v", T.StringType()),
+                       primary_keys=["id"])
+    q = pipe.start(file_stream_source(spark, src), {"pg.s.t": schema})
+    q.awaitTermination(120)
+
+    con = sqlite3.connect(sink.db_path)
+    cols = [r[1] for r in con.execute('PRAGMA table_info("pg.s.t")')]
+    assert cols == ["id", "v", "note"]
+    rows = set(con.execute('SELECT id, v, note FROM "pg.s.t"').fetchall())
+    assert rows == {(1, "a", None), (2, "b", "n2")}
