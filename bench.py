@@ -41,6 +41,10 @@ BENCH_QUERIES = [
     "decontam_ngram_overlap",
     "stream_windowed_counts",
     "sink_upsert_merge",
+    # round-3 surface
+    "dedup_components",
+    "text_tfidf_top_terms",
+    "sink_jdbc_upsert",
 ]
 
 

@@ -1089,9 +1089,14 @@ def q_jdbc_chunk_plan_uneven(spark, sf_dir):
     the production case the reference's uneven path exists for.
 
     The key histogram comes from ONE distributed groupBy (map-side
-    combine), the walk itself is driver-side over O(distinct keys) — the
-    control-plane analog of the reference's per-chunk round-trips; per-
-    chunk row counts are a broadcast range join (chunk table is tiny)."""
+    combine); the walk AND the per-chunk row counts are then driver-side
+    prefix-sum arithmetic over O(distinct keys) — chunk planning is pure
+    control plane, and a broadcast range join for the counts would be
+    rows×chunks quadratic (25 s at sf0.1, hours at sf1). The DuckDB
+    oracle still derives its counts independently with a LEFT JOIN, so
+    the arithmetic is cross-checked against truth."""
+    import bisect
+
     from .sources.jdbc import split_uneven_from_histogram
 
     li = load(spark, sf_dir, "lineitem").select(
@@ -1099,17 +1104,22 @@ def q_jdbc_chunk_plan_uneven(spark, sf_dir):
     hist = sorted((r["k"], r["c"]) for r in
                   li.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect())
     chunks = split_uneven_from_histogram(hist, chunk_size=512)
-    cdf = spark.createDataFrame(
-        [(i, c.start, c.end) for i, c in enumerate(chunks)],
-        "chunk_idx INT, start_key BIGINT, end_key BIGINT")
-    in_chunk = (
-        (F.col("start_key").isNull() | (F.col("k") >= F.col("start_key")))
-        & (F.col("end_key").isNull() | (F.col("k") < F.col("end_key"))))
-    return (
-        F.broadcast(cdf).join(li, in_chunk, "left")
-        .groupBy("chunk_idx", "start_key", "end_key")
-        .agg(F.count(F.col("k")).cast("long").alias("n_rows"))
-    )
+    keys = [k for k, _ in hist]
+    cum = [0]
+    for _, c in hist:
+        cum.append(cum[-1] + c)  # cum[i] = rows with key < keys[i]
+
+    def rows_before(key):
+        return cum[bisect.bisect_left(keys, key)]
+
+    def n_rows(c):
+        lo = rows_before(c.start) if c.start is not None else 0
+        hi = rows_before(c.end) if c.end is not None else cum[-1]
+        return hi - lo
+
+    return spark.createDataFrame(
+        [(i, c.start, c.end, n_rows(c)) for i, c in enumerate(chunks)],
+        "chunk_idx INT, start_key BIGINT, end_key BIGINT, n_rows BIGINT")
 
 
 # DuckDB replays the identical walk: histogram (key, cumcount) folded into
