@@ -214,3 +214,14 @@ def test_hash_split_no_presplit_shuffle(spark):
     p = plan_of(EQ.q_sample_hash_split(spark, SF))
     assert len(re.findall(r"\bExchange\b", p)) == 1, p
     assert p.count("HashAggregate") == 2, p
+
+
+def test_tfidf_broadcasts_df_and_single_window(spark):
+    """text_tfidf_top_terms: term document-frequencies must broadcast onto
+    the (doc,term) counts (vocabulary << corpus — a SortMergeJoin would
+    shuffle the tf table a second time), and exactly one window computes
+    the top-k rank."""
+    p = plan_of(EQ.q_text_tfidf_top_terms(spark, SF))
+    assert "BroadcastHashJoin" in p or "BroadcastQueryStage" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("RunningWindowFunction") <= 1 and p.count("Window") >= 1, p
