@@ -1563,6 +1563,24 @@ def _oracle_kmv() -> str:
     return kmv_oracle_sql("lineitem", "l_orderkey", k=256)
 
 
+def q_sketch_kmv_by_group(spark, sf_dir):
+    """Per-group KMV distinct sketch (extensions/sketches.py): distinct
+    users per event_type as one mergeable bottom-64 sketch row per group —
+    ONE group-key shuffle with a bounded (k doubles) per-group state,
+    never a per-group exact distinct at scale. Same md5-fraction hashing,
+    so the per-group ESTIMATES are bit-identical across engines."""
+    from .extensions.sketches import kmv_distinct_estimate_by
+
+    return kmv_distinct_estimate_by(
+        load(spark, sf_dir, "events"), ["event_type"], "user_id", k=64)
+
+
+def _oracle_kmv_by() -> str:
+    from .extensions.sketches import kmv_by_oracle_sql
+
+    return kmv_by_oracle_sql("events", ["event_type"], "user_id", k=64)
+
+
 # ---------------------------------------------------------------------------
 # 5. Operator parity queries (round-2: driver coverage for pytest-only §2 ops)
 # ---------------------------------------------------------------------------
@@ -2193,6 +2211,7 @@ QUERIES: dict[str, object] = {
     "json_extract_props": q_json_extract_props,
     "text_repetition": q_text_repetition,
     "sketch_kmv_distinct": q_sketch_kmv_distinct,
+    "sketch_kmv_by_group": q_sketch_kmv_by_group,
     "cdc_truncate_drop": q_cdc_truncate_drop,
     "cdc_postgres_pipeline": q_cdc_postgres_pipeline,
 }
@@ -2257,6 +2276,7 @@ ORACLES: dict[str, str] = {
     "json_extract_props": ORACLE_JSON_PROPS,
     "text_repetition": ORACLE_TEXT_REPETITION,
     "sketch_kmv_distinct": _oracle_kmv(),
+    "sketch_kmv_by_group": _oracle_kmv_by(),
     "cdc_truncate_drop": ORACLE_TRUNCATE_DROP,
     "cdc_postgres_pipeline": ORACLE_POSTGRES_PIPELINE,
 }

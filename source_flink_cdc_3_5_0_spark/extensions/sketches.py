@@ -63,6 +63,57 @@ def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     )
 
 
+def kmv_distinct_estimate_by(df: DataFrame, group_cols: list[str], col: str,
+                             k: int = 64) -> DataFrame:
+    """Per-group KMV: (group..., k, kth_min, kmv_estimate) — the 100 TB way
+    to get per-key cardinalities (one sketch row per group, mergeable
+    across partitions/files/days by unioning bottom-k sets).
+
+    Shape: distinct (group, u) with map-side partial distinct, then ONE
+    shuffle on the group key where a row_number window keeps the k
+    smallest fractions per group — never a global sort, state per group
+    bounded at k doubles."""
+    from pyspark.sql import Window
+
+    u = F.expr(uniform_fraction_sql("spark", col)).alias("u")
+    base = df.select(*group_cols, u).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("u")
+    mins = base.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    return (
+        mins.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_mins"),
+             F.max("u").alias("kth_min"))
+        .select(
+            *group_cols,
+            F.lit(k).cast("int").alias("k"),
+            F.round("kth_min", 12).alias("kth_min"),
+            F.round(
+                F.when(F.col("n_mins") < k, F.col("n_mins").cast("double"))
+                .otherwise(F.lit(k - 1) / F.col("kth_min")), 4,
+            ).alias("kmv_estimate"),
+        ))
+
+
+def kmv_by_oracle_sql(table: str, group_cols: list[str], col: str,
+                      k: int = 64) -> str:
+    """DuckDB oracle computing the identical per-group sketch."""
+    u = uniform_fraction_sql("duckdb", col)
+    g = ", ".join(group_cols)
+    return f"""
+WITH d AS (SELECT DISTINCT {g}, {u} AS u FROM {table}),
+r AS (SELECT {g}, u,
+             row_number() OVER (PARTITION BY {g} ORDER BY u) AS rn
+      FROM d),
+a AS (SELECT {g}, CAST(count(*) AS INTEGER) AS n_mins, max(u) AS kth_min
+      FROM r WHERE rn <= {k} GROUP BY {g})
+SELECT {g}, CAST({k} AS INTEGER) AS k,
+       round(kth_min, 12) AS kth_min,
+       round(CASE WHEN n_mins < {k} THEN CAST(n_mins AS DOUBLE)
+                  ELSE {k - 1} / kth_min END, 4) AS kmv_estimate
+FROM a
+"""
+
+
 def kmv_oracle_sql(table: str, col: str, k: int = 256) -> str:
     """DuckDB oracle computing the identical sketch."""
     u = uniform_fraction_sql("duckdb", col)
