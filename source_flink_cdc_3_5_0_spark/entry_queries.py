@@ -2145,6 +2145,30 @@ GROUP BY 1, 2
 """
 
 
+def q_sample_quota_per_lang(spark, sf_dir):
+    """Per-group quota sampling (extensions/sampling.py quota_sample): the
+    corpus-mixing primitive — exactly min(25, |lang|) docs per language by
+    md5-priority order, the deterministic form of reservoir sampling
+    (same rows picked by any engine, and other groups' growth never
+    perturbs a group's selection). One group-key shuffle, rank-only
+    window state."""
+    from .extensions.sampling import quota_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return quota_sample(docs, ["lang"], "doc_id", 25).select(
+        "lang", "doc_id", "n_chars")
+
+
+ORACLE_QUOTA_SAMPLE = """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 25
+"""
+
+
 QUERIES: dict[str, object] = {
     # CDC transform dialect parity
     "transform_projection_arith": q_transform_projection_arith,
@@ -2202,6 +2226,7 @@ QUERIES: dict[str, object] = {
     "agg_event_type_pivot": q_agg_event_type_pivot,
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
+    "sample_quota_per_lang": q_sample_quota_per_lang,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "jdbc_chunk_plan": q_jdbc_chunk_plan,
     "jdbc_chunk_plan_uneven": q_jdbc_chunk_plan_uneven,
@@ -2267,6 +2292,7 @@ ORACLES: dict[str, str] = {
     "agg_event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,
     "decontam_ngram_overlap": ORACLE_DECONTAM,
     "sample_hash_split": ORACLE_HASH_SPLIT,
+    "sample_quota_per_lang": ORACLE_QUOTA_SAMPLE,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
     "jdbc_chunk_plan": ORACLE_JDBC_CHUNKS,
     "jdbc_chunk_plan_uneven": ORACLE_JDBC_CHUNKS_UNEVEN,

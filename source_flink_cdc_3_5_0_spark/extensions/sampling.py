@@ -38,3 +38,21 @@ def hash_split_col(id_col: str = "doc_id") -> Column:
 def hash_sample(df: DataFrame, id_col: str, keep_nibbles: tuple[str, ...] = ("0", "1")) -> DataFrame:
     """Deterministic ~len(keep_nibbles)/16 sample — a filter, no shuffle."""
     return df.where(hash_bucket_col(id_col).isin(*keep_nibbles))
+
+
+def quota_sample(df: DataFrame, group_cols: list[str], id_col: str,
+                 n_per_group: int) -> DataFrame:
+    """Deterministic per-group quota sample: exactly min(n, |group|) rows
+    per group, chosen by md5-priority order — the data-mixing primitive for
+    training corpora (per-source/per-language quotas). A hash priority is
+    the deterministic form of reservoir sampling (Efraimidis-Spirakis with
+    uniform weights): every engine picks the SAME rows, runs are
+    reproducible, and adding rows to OTHER groups never changes a group's
+    selection. One shuffle on the group key; per-group window state is one
+    counter (rank), never a global sort."""
+    from pyspark.sql import Window
+
+    pri = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*group_cols).orderBy(pri, F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n_per_group).drop("__rn"))
