@@ -2169,6 +2169,78 @@ WHERE rn <= 25
 """
 
 
+def q_text_chunk_windows(spark, sf_dir):
+    """Context-window chunking (extensions/text.chunk_windows): split each
+    document into consecutive 64-token chunks — the training-window
+    preprocessing step. No shuffle, no Python: tokens materialized once,
+    posexplode over window indices, slice+join per chunk."""
+    from .extensions.text import chunk_windows
+
+    return chunk_windows(load(spark, sf_dir, "documents"), window_tokens=64)
+
+
+ORACLE_CHUNK_WINDOWS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+w AS (
+  SELECT doc_id, t,
+         unnest(range(0, CAST(ceil(len(t) / 64.0) AS INT))) AS wi
+  FROM toks WHERE len(t) > 0)
+SELECT doc_id,
+       CAST(wi AS INTEGER) AS window_idx,
+       CAST(least(64, len(t) - wi * 64) AS INTEGER) AS n_tokens,
+       array_to_string(t[wi * 64 + 1 : wi * 64 + 64], ' ') AS chunk
+FROM w
+"""
+
+
+def q_text_redact_pii(spark, sf_dir):
+    """PII scrubbing (extensions/text.redact_pii): emails/URLs replaced
+    with typed placeholders + per-doc match counts, one codegen'd
+    projection. The corpus has no natural PII, so deterministic emails
+    (every 3rd doc) and URLs (every 5th) are appended first — the oracle
+    replays the append and the identical Java-regex/RE2-common scrub."""
+    from .extensions.text import redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" contact user"), F.col("doc_id"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" see https://ex.com/d"), F.col("doc_id"))
+                   ).otherwise(F.lit("")),
+        ).alias("text"))
+    return redact_pii(aug).select(
+        "doc_id", "n_emails", "n_urls",
+        F.md5("redacted").alias("redacted_md5"))
+
+
+ORACLE_REDACT_PII = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN ' contact user' || doc_id || '@example.com'
+                      ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN ' see https://ex.com/d' || doc_id
+                      ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%+~#?&=-]+')) AS INTEGER) AS n_urls,
+       md5(regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+', '<EMAIL>', 'g'),
+             'https?://[A-Za-z0-9./_%+~#?&=-]+', '<URL>', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
 QUERIES: dict[str, object] = {
     # CDC transform dialect parity
     "transform_projection_arith": q_transform_projection_arith,
@@ -2221,6 +2293,8 @@ QUERIES: dict[str, object] = {
     # corpus-statistics / behavioral extensions
     "text_ngram_top": q_text_ngram_top,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
+    "text_chunk_windows": q_text_chunk_windows,
+    "text_redact_pii": q_text_redact_pii,
     "sessionize_events": q_sessionize_events,
     "doc_length_percentiles": q_doc_length_percentiles,
     "agg_event_type_pivot": q_agg_event_type_pivot,
@@ -2287,6 +2361,8 @@ ORACLES: dict[str, str] = {
     "array_functions": ORACLE_ARRAY_FUNCS,
     "text_ngram_top": ORACLE_TEXT_NGRAM_TOP,
     "text_tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "text_chunk_windows": ORACLE_CHUNK_WINDOWS,
+    "text_redact_pii": ORACLE_REDACT_PII,
     "sessionize_events": ORACLE_SESSIONIZE,
     "doc_length_percentiles": ORACLE_DOC_PERCENTILES,
     "agg_event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,

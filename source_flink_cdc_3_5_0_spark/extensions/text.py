@@ -161,3 +161,56 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.expr(lang_id_sql(d, text_col)).alias("lang_pred"),
         F.expr(fingerprint_sql(d, text_col)).alias("fingerprint"),
     )
+
+
+def chunk_windows(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", window_tokens: int = 64) -> DataFrame:
+    """Context-window chunking: split each document into consecutive
+    ``window_tokens``-token chunks (the training-window preprocessing step
+    before tokenizer packing). Pure codegen: tokens materialized once, one
+    posexplode over ceil(n/W) window indices, slice+join per chunk — no
+    shuffle, no Python. Emits (id, window_idx, n_tokens, chunk)."""
+    from .dedup import tokens_col
+
+    W = window_tokens
+    base = df.withColumn("__toks", tokens_col(text_col))
+    n = F.size("__toks")
+    n_windows = F.ceil(n / F.lit(W)).cast("int")
+    return (
+        base.where(n > 0)
+        .select(F.col(id_col),
+                F.col("__toks"),
+                F.posexplode(F.sequence(F.lit(0), n_windows - 1))
+                .alias("window_idx", "__w"))
+        .select(
+            id_col,
+            F.col("window_idx").cast("int"),
+            F.least(F.lit(W), F.size("__toks") - F.col("__w") * W)
+            .cast("int").alias("n_tokens"),
+            F.array_join(F.slice("__toks", F.col("__w") * W + 1, W), " ")
+            .alias("chunk"),
+        ))
+
+
+# PII patterns restricted to syntax with IDENTICAL meaning in Java regex
+# (Spark) and RE2 (DuckDB): character classes, +, literal dots.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+"
+PII_URL = r"https?://[A-Za-z0-9./_%+~#?&=-]+"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails and URLs (standard pre-training hygiene): replaces each
+    match with a typed placeholder token and counts matches per document —
+    one codegen'd projection, no Python. Patterns use only regex syntax
+    with identical semantics in Java regex and RE2, so the DuckDB oracle
+    reproduces the scrub byte-for-byte."""
+    n_emails = F.size(F.regexp_extract_all(text_col, F.lit(PII_EMAIL), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(text_col, PII_EMAIL, "<EMAIL>"), PII_URL, "<URL>")
+    n_urls = F.size(F.regexp_extract_all(text_col, F.lit(PII_URL), F.lit(0)))
+    return df.select(
+        "*",
+        n_emails.cast("int").alias("n_emails"),
+        n_urls.cast("int").alias("n_urls"),
+        redacted.alias("redacted"),
+    )
