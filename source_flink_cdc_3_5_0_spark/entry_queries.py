@@ -1898,14 +1898,28 @@ def q_text_ngram_top(spark, sf_dir):
     )
 
 
-def q_text_tfidf_top_terms(spark, sf_dir):
+# Broadcasting the term→df map is only safe while the vocabulary is small.
+# ~4M terms × ~32 B/row ≈ 128 MB of broadcast state — near the practical
+# ceiling for per-executor broadcast tables.  A 100-TB corpus has 10⁸+
+# distinct terms (Heaps' law), which would OOM a pinned broadcast, so above
+# the limit we fall back to a shuffle join on `term` (which reuses the
+# exchange the df aggregate already created).
+TFIDF_BROADCAST_VOCAB_LIMIT = 4_000_000
+
+
+def q_text_tfidf_top_terms(spark, sf_dir,
+                           broadcast_vocab_limit=TFIDF_BROADCAST_VOCAB_LIMIT):
     """Per-document top-5 salient terms by tf·idf with a RATIONAL idf
     (BM25's (N−df+0.5)/(df+0.5) — pure IEEE arithmetic, so Spark and
     DuckDB produce bit-identical doubles; log-based idf would drift at
     the libm rounding level). Plan: explode→(doc,term) partial-agg
-    shuffle, term-level df partial-agg, broadcast-join df back (term
-    vocabulary ≪ corpus), window top-k on the aggregated set only.
-    N = total docs is one bounded control-plane scalar."""
+    shuffle, term-level df partial-agg, then a SIZE-GATED join of df back
+    onto the (doc,term) counts: broadcast while the counted vocabulary is
+    ≤ broadcast_vocab_limit, else a shuffle join on `term` (the df table
+    is persisted either way, so the gate's count() is the only extra
+    pass and it runs over the already-aggregated term table, not the
+    corpus). Window top-k runs on the aggregated set only. N = total
+    docs and the vocab count are the two bounded control-plane scalars."""
     from pyspark.sql import Window
 
     from .extensions.dedup import tokens_col
@@ -1917,12 +1931,14 @@ def q_text_tfidf_top_terms(spark, sf_dir):
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).persist()
+    vocab_size = dfreq.count()
+    right = F.broadcast(dfreq) if vocab_size <= broadcast_vocab_limit else dfreq
     score = (F.col("tf") * (F.lit(n_docs) - F.col("df") + F.lit(0.5))) \
         / (F.col("df") + F.lit(0.5))
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
-        tf.join(F.broadcast(dfreq), on="term")
+        tf.join(right, on="term")
         .withColumn("score", score)
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= 5)

@@ -217,11 +217,43 @@ def test_hash_split_no_presplit_shuffle(spark):
 
 
 def test_tfidf_broadcasts_df_and_single_window(spark):
-    """text_tfidf_top_terms: term document-frequencies must broadcast onto
-    the (doc,term) counts (vocabulary << corpus — a SortMergeJoin would
-    shuffle the tf table a second time), and exactly one window computes
-    the top-k rank."""
+    """text_tfidf_top_terms below the vocab gate: term document-frequencies
+    must broadcast onto the (doc,term) counts (vocabulary << corpus — a
+    SortMergeJoin would shuffle the tf table a second time), and exactly
+    one window computes the top-k rank."""
     p = plan_of(EQ.q_text_tfidf_top_terms(spark, SF))
     assert "BroadcastHashJoin" in p or "BroadcastQueryStage" in p, p
     assert "SortMergeJoin" not in p, p
     assert p.count("RunningWindowFunction") <= 1 and p.count("Window") >= 1, p
+
+
+def test_tfidf_vocab_gate_falls_back_to_shuffle_join(spark):
+    """Above the vocab gate our code must NOT pin the broadcast (a pinned
+    broadcast of a 10^8-term vocabulary would OOM at 100 TB).  At sandbox
+    scale the optimizer still auto-broadcasts the tiny df table from its
+    own statistics — that's the correct division of labor — so to observe
+    the fallback shape we disable auto-broadcast and assert a shuffle
+    join: proof the hint is gone and stats alone decide."""
+    thresholds = ["spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold"]
+    saved = {k: spark.conf.get(k, None) for k in thresholds}
+    try:
+        for k in thresholds:
+            spark.conf.set(k, "-1")
+        p = plan_of(
+            EQ.q_text_tfidf_top_terms(spark, SF, broadcast_vocab_limit=0))
+        assert "BroadcastHashJoin" not in p and "BroadcastExchange" not in p, p
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+def test_tfidf_gate_paths_agree(spark):
+    """Both sides of the gate compute the identical result (the gate is a
+    physical-plan decision only)."""
+    key = ["doc_id", "term"]
+    fast = EQ.q_text_tfidf_top_terms(spark, SF).orderBy(*key).collect()
+    slow = EQ.q_text_tfidf_top_terms(
+        spark, SF, broadcast_vocab_limit=0).orderBy(*key).collect()
+    assert fast == slow
