@@ -18,11 +18,13 @@ and keyed deletes are idempotent per row, so re-running a half-applied
 batch converges (at-least-once delivery + idempotent apply = exactly-once
 table state, the same argument the reference's sinks make).
 
-Dialects: ``sqlite`` is fully implemented (file-backed, testable in this
-sandbox; its single-writer lock serializes concurrent partition commits —
-busy_timeout handles the contention; real MySQL/Postgres take concurrent
-writers, same statements modulo quoting). MySQL/Postgres statement text is
-generated but connecting is environment-gated (no server in the sandbox).
+Dialects: all statement text (upsert/delete DML + 7-event DDL) is rendered
+by :mod:`.dialects`; ``sqlite`` is fully executable (file-backed, testable
+in this sandbox; its single-writer lock serializes concurrent partition
+commits — busy_timeout handles the contention). MySQL/Postgres statement
+text comes from the same generators and is pinned byte-for-byte by
+``tests/test_sink_conformance.py``, but connecting is environment-gated
+(no server in the sandbox).
 """
 
 from __future__ import annotations
@@ -33,35 +35,25 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from ..common.events import (AddColumnEvent, AlterColumnTypeEvent, OP_COL,
-                             CreateTableEvent, DropColumnEvent,
-                             DropTableEvent, RenameColumnEvent,
-                             SchemaChangeEvent, TruncateTableEvent)
+from ..common.events import OP_COL
 from ..common.schema import Schema
 from ..common.tableid import TableId
 from ..sources.base import SEQ_COL
 from .base import DataSink, MetadataApplier
+from .dialects import SqliteDialect, get_dialect
 
 _MARKERS = "__cdc_batches"
 _BUSY_TIMEOUT_MS = 60_000
+_SQLITE = SqliteDialect()
 
 
 def sqlite_type(dt: T.DataType) -> str:
-    """Spark type -> SQLite storage class. SQLite is dynamically typed;
-    the declared type only sets affinity. DECIMAL goes to TEXT to keep
-    exact digits (REAL affinity would round through float64)."""
-    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                       T.BooleanType)):
-        return "INTEGER"
-    if isinstance(dt, (T.FloatType, T.DoubleType)):
-        return "REAL"
-    if isinstance(dt, T.BinaryType):
-        return "BLOB"
-    return "TEXT"  # strings, decimals, dates, timestamps, complex-as-json
+    """Spark type -> SQLite storage class (see SqliteDialect.type_name)."""
+    return _SQLITE.type_name(dt)
 
 
 def _quote(name: str) -> str:
-    return '"' + name.replace('"', '""') + '"'
+    return _SQLITE.quote(name)
 
 
 def _to_sql_value(v):
@@ -112,67 +104,24 @@ def _connect(db_path: str):
 class _SqliteMetadataApplier(MetadataApplier):
     """Executes the 7-event DDL algebra on the SQLite target.
 
-    SQLite has no in-place column retype, so AlterColumnType rebuilds the
-    table (create-new + INSERT SELECT CAST + swap) — the standard SQLite
-    migration; MySQL/Postgres would emit ALTER TABLE ... MODIFY/TYPE."""
+    Statement text comes from :class:`.dialects.SqliteDialect` (AlterColumnType
+    renders as a table rebuild — create-new + INSERT SELECT + swap, the
+    standard SQLite migration; MySQL/Postgres render MODIFY/ALTER TYPE)."""
 
     def __init__(self, sink: "JdbcUpsertSink"):
         self.sink = sink
 
-    def apply_schema_change(self, table_id: TableId, event: SchemaChangeEvent,
-                            evolved_schema: Schema) -> None:
+    def apply_schema_change(self, table_id, event, evolved_schema) -> None:
+        stmts = _SQLITE.ddl_sql(self.sink.table_name(table_id), event,
+                                evolved_schema)
         con = _connect(self.sink.db_path)
         try:
-            t = _quote(self.sink.table_name(table_id))
             cur = con.cursor()
-            if isinstance(event, CreateTableEvent):
-                cols = ", ".join(
-                    f"{_quote(c.name)} {sqlite_type(c.data_type)}"
-                    for c in evolved_schema.columns)
-                pk = ""
-                if evolved_schema.primary_keys:
-                    pk = ", PRIMARY KEY (" + ", ".join(
-                        _quote(k) for k in evolved_schema.primary_keys) + ")"
-                cur.execute(f"CREATE TABLE IF NOT EXISTS {t} ({cols}{pk})")
-            elif isinstance(event, AddColumnEvent):
-                # SQLite appends; FIRST/BEFORE/AFTER position is metadata
-                # only (readback orders by the evolved registry schema)
-                for cwp in event.added_columns:
-                    cur.execute(
-                        f"ALTER TABLE {t} ADD COLUMN "
-                        f"{_quote(cwp.column.name)} {sqlite_type(cwp.column.data_type)}")
-            elif isinstance(event, DropColumnEvent):
-                for name in event.dropped_column_names:
-                    cur.execute(f"ALTER TABLE {t} DROP COLUMN {_quote(name)}")
-            elif isinstance(event, RenameColumnEvent):
-                for old, new in event.name_mapping:
-                    cur.execute(f"ALTER TABLE {t} RENAME COLUMN "
-                                f"{_quote(old)} TO {_quote(new)}")
-            elif isinstance(event, AlterColumnTypeEvent):
-                self._rebuild(cur, t, evolved_schema)
-            elif isinstance(event, TruncateTableEvent):
-                cur.execute(f"DELETE FROM {t}")
-            elif isinstance(event, DropTableEvent):
-                cur.execute(f"DROP TABLE IF EXISTS {t}")
+            for stmt in stmts:
+                cur.execute(stmt)
             con.commit()
         finally:
             con.close()
-
-    def _rebuild(self, cur, quoted_table: str, evolved: Schema) -> None:
-        tmp = quoted_table[:-1] + '__rebuild"'
-        cols = ", ".join(f"{_quote(c.name)} {sqlite_type(c.data_type)}"
-                         for c in evolved.columns)
-        pk = ""
-        if evolved.primary_keys:
-            pk = ", PRIMARY KEY (" + ", ".join(
-                _quote(k) for k in evolved.primary_keys) + ")"
-        collist = ", ".join(_quote(c.name) for c in evolved.columns)
-        cur.execute(f"DROP TABLE IF EXISTS {tmp}")
-        cur.execute(f"CREATE TABLE {tmp} ({cols}{pk})")
-        cur.execute(f"INSERT INTO {tmp} ({collist}) SELECT {collist} "
-                    f"FROM {quoted_table}")
-        cur.execute(f"DROP TABLE {quoted_table}")
-        cur.execute(f"ALTER TABLE {tmp} RENAME TO {quoted_table}")
 
 
 class JdbcUpsertSink(DataSink):
@@ -180,11 +129,13 @@ class JdbcUpsertSink(DataSink):
 
     def __init__(self, db_path: str, dialect: str = "sqlite",
                  write_partitions: int | None = None):
+        self.sql = get_dialect(dialect)  # validates the name
         if dialect != "sqlite":
             raise NotImplementedError(
-                f"dialect {dialect!r} is environment-gated: statement "
-                "generation matches MySQL/Postgres but no server exists in "
-                "this sandbox; use dialect='sqlite'")
+                f"dialect {dialect!r} is environment-gated: its statement "
+                "text is generated by sinks.dialects and pinned in "
+                "tests/test_sink_conformance.py, but no MySQL/Postgres "
+                "server exists in this sandbox; use dialect='sqlite'")
         self.db_path = db_path
         self.dialect = dialect
         self.write_partitions = write_partitions
@@ -239,18 +190,8 @@ class JdbcUpsertSink(DataSink):
         n_parts = (self.write_partitions
                    or final.sparkSession.sparkContext.defaultParallelism)
         db_path = self.db_path
-        quoted_t = _quote(tname)
-        collist = ", ".join(_quote(c) for c in names)
-        placeholders = ", ".join("?" for _ in names)
-        pklist = ", ".join(_quote(k) for k in pks)
-        setlist = ", ".join(f"{_quote(c)}=excluded.{_quote(c)}"
-                            for c in names if c not in pks)
-        upsert_sql = (f"INSERT INTO {quoted_t} ({collist}) VALUES ({placeholders}) "
-                      + (f"ON CONFLICT ({pklist}) DO UPDATE SET {setlist}"
-                         if setlist else
-                         f"ON CONFLICT ({pklist}) DO NOTHING"))
-        delete_sql = (f"DELETE FROM {quoted_t} WHERE "
-                      + " AND ".join(f"{_quote(k)}=?" for k in pks))
+        upsert_sql = self.sql.upsert_sql(tname, names, pks)
+        delete_sql = self.sql.delete_sql(tname, pks)
         pk_idx = [names.index(k) for k in pks]
 
         def apply_partition(rows):
