@@ -149,6 +149,39 @@ def split_unevenly_sized_chunks(next_chunk_max, next_min,
     return splits
 
 
+def quote_identifier(name: str, quote: str = '"') -> str:
+    """ANSI-quote an identifier, each dot-separated part separately —
+    parity with the reference's ``quotedTableIdString`` (reserved words and
+    special characters in config-sourced table/column names must not break
+    or inject into the generated SQL)."""
+    return ".".join(quote + part.replace(quote, quote * 2) + quote
+                    for part in name.split("."))
+
+
+def sql_walk_callables(execute_scalar, table: str, split_column: str,
+                       chunk_size: int = DEFAULT_CHUNK_SIZE):
+    """(next_chunk_max, next_min) rendering the reference's per-chunk SQL
+    (``queryNextChunkMax`` / ``queryMin``) and executing it via an injected
+    ``execute_scalar(sql) -> int | None`` — ``spark.read.jdbc`` in
+    production (:meth:`JdbcSnapshotSource.jdbc_walk_callables`), a DB-API
+    cursor in tests. Identifiers are quoted; bounds are forced to int
+    before interpolation."""
+    col = quote_identifier(split_column)
+    t = quote_identifier(table)
+
+    def next_chunk_max(lower_inclusive: int):
+        return execute_scalar(
+            f"SELECT MAX({col}) m FROM (SELECT {col} FROM {t} "
+            f"WHERE {col} >= {int(lower_inclusive)} ORDER BY {col} ASC "
+            f"LIMIT {int(chunk_size)}) w")
+
+    def next_min(lower_exclusive: int):
+        return execute_scalar(
+            f"SELECT MIN({col}) m FROM {t} WHERE {col} > {int(lower_exclusive)}")
+
+    return next_chunk_max, next_min
+
+
 def histogram_walk_callables(pairs, chunk_size: int = DEFAULT_CHUNK_SIZE):
     """Build (next_chunk_max, next_min) walk callables from a sorted
     ``[(key, row_count), ...]`` histogram — the engine-side replacement for
@@ -252,8 +285,8 @@ class JdbcSnapshotSource:
         per-chunk queries over JDBC (queryNextChunkMax / queryMin) — the
         production path for the uneven walk when no key histogram is at
         hand. One driver round-trip per chunk, exactly like the
-        reference."""
-        col, t = self.split_column, self.table
+        reference. Statement text comes from :func:`sql_walk_callables`,
+        which tests drive against a real database via a DB-API cursor."""
 
         def _scalar(q):
             row = spark.read.jdbc(self.url, f"({q}) s",
@@ -261,17 +294,8 @@ class JdbcSnapshotSource:
             v = row[0]
             return None if v is None else int(v)
 
-        def next_chunk_max(lower_inclusive: int):
-            return _scalar(
-                f"SELECT MAX({col}) m FROM (SELECT {col} FROM {t} "
-                f"WHERE {col} >= {lower_inclusive} ORDER BY {col} ASC "
-                f"LIMIT {self.chunk_size}) w")
-
-        def next_min(lower_exclusive: int):
-            return _scalar(
-                f"SELECT MIN({col}) m FROM {t} WHERE {col} > {lower_exclusive}")
-
-        return next_chunk_max, next_min
+        return sql_walk_callables(_scalar, self.table, self.split_column,
+                                  self.chunk_size)
 
     def plan_predicates(self, min_key: int, max_key: int, row_count: int,
                         histogram=None, spark=None) -> list[str]:

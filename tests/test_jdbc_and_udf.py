@@ -12,8 +12,10 @@ from source_flink_cdc_3_5_0_spark.sources.jdbc import (
     dynamic_chunk_size,
     split_chunks,
     split_evenly_sized_chunks,
+    quote_identifier,
     split_uneven_from_histogram,
     split_unevenly_sized_chunks,
+    sql_walk_callables,
     JdbcSnapshotSource,
 )
 
@@ -105,6 +107,50 @@ class TestChunkSplitter:
                              if (c.start is None or k >= c.start)
                              and (c.end is None or k < c.end))
         assert all(n_in(c) <= cs for c in via_sql if c.end is not None)
+
+    def test_uneven_walk_through_source_sql_callables(self, tmp_path):
+        """Drive the walk through the SOURCE'S OWN generated SQL
+        (sql_walk_callables — the statements jdbc_walk_callables ships to
+        spark.read.jdbc) against a live sqlite file, and assert chunk
+        parity with the histogram-served walk.  The split column is a
+        reserved word to prove the identifier quoting holds."""
+        import sqlite3
+        from collections import Counter
+
+        keys = ([k for k in range(100, 150) for _ in range(3)]
+                + [k * k for k in range(20, 90)] + [7] * 55)
+        db = str(tmp_path / "walk.db")
+        con = sqlite3.connect(db)
+        con.execute('CREATE TABLE "select from" ("order" INTEGER)')
+        con.executemany('INSERT INTO "select from" VALUES (?)',
+                        [(k,) for k in keys])
+        con.commit()
+
+        def scalar(sql):
+            v = con.execute(sql).fetchone()[0]
+            return None if v is None else int(v)
+
+        cs = 37
+        ncm, nm = sql_walk_callables(scalar, "select from", "order",
+                                     chunk_size=cs)
+        via_sql = split_unevenly_sized_chunks(ncm, nm, min(keys), max(keys),
+                                              chunk_size=cs)
+        via_hist = split_uneven_from_histogram(
+            sorted(Counter(keys).items()), chunk_size=cs)
+        con.close()
+        assert via_sql == via_hist
+        assert via_sql[0].end is None  # tail-at-index-0 reference quirk
+        for k in set(keys):  # chunks partition the key space
+            hits = [c for c in via_sql
+                    if (c.start is None or k >= c.start)
+                    and (c.end is None or k < c.end)]
+            assert len(hits) == 1
+
+    def test_quote_identifier(self):
+        assert quote_identifier("order") == '"order"'
+        assert quote_identifier("db.t") == '"db"."t"'
+        assert quote_identifier('we"ird') == '"we""ird"'
+        assert quote_identifier("x; DROP TABLE t") == '"x; DROP TABLE t"'
 
     def test_uneven_walk_hot_key_advances_boundary(self):
         """A single key with more duplicates than chunk_size must not stall
