@@ -192,6 +192,29 @@ class StreamingPipeline:
             tables[str(tid)] = schema
 
     # -- streaming loop ----------------------------------------------------
+    @staticmethod
+    def enrich_batch(batch_df: DataFrame, value_col: str,
+                     serialization: str) -> DataFrame:
+        """ONE projection computing every per-row JSON probe the micro-batch
+        loop needs (__is_ddl flag + (db, table) routing columns).  The
+        caller persists the result, so the JSON path extraction runs exactly
+        once per row at cache-fill time; the DDL collect and every
+        per-table slice are then column filters over the cached projection
+        — a single pass over the raw batch instead of one scan for DDL plus
+        re-extraction per registered table."""
+        if serialization == "debezium-json":
+            src_db = F.coalesce(
+                F.get_json_object(F.col(value_col), "$.source.db"),
+                F.get_json_object(F.col(value_col), "$.source.schema"))
+            src_tbl = F.get_json_object(F.col(value_col), "$.source.table")
+        else:
+            src_db = F.get_json_object(F.col(value_col), "$.database")
+            src_tbl = F.get_json_object(F.col(value_col), "$.table")
+        is_ddl = F.get_json_object(F.col(value_col), "$.ddl").isNotNull()
+        return (batch_df.withColumn("__is_ddl", is_ddl)
+                .withColumn("__src_db", src_db)
+                .withColumn("__src_tbl", src_tbl))
+
     def start(self, raw_stream: DataFrame, tables: dict[str, Schema],
               value_col: str = "value"):
         """Attach to a stream of Debezium-JSON records and start the query.
@@ -224,6 +247,8 @@ class StreamingPipeline:
             from ..common.events_json import schema_events_from_json
             from ..sources.base import ChangeBatch
 
+            batch_df = self.enrich_batch(batch_df, value_col,
+                                         self.serialization)
             batch_df.persist()
             try:
                 exe = self._execution()
@@ -232,9 +257,11 @@ class StreamingPipeline:
                 #    topic analog) — rare, collected to the driver, applied
                 #    FIRST so the whole batch decodes with the newest schema
                 #    (LENIENT add-only evolution makes that sound: earlier
-                #    rows null-fill the new columns)
-                is_ddl = F.get_json_object(F.col(value_col), "$.ddl").isNotNull()
-                ddl_raw = batch_df.where(is_ddl).collect()
+                #    rows null-fill the new columns). The collect is the
+                #    cache-fill action: the enriched projection materializes
+                #    here once; later slices are cached-column filters.
+                ddl_raw = batch_df.where(F.col("__is_ddl")) \
+                    .select(value_col).collect()
                 # Destructive table-level DDL (TRUNCATE/DROP) must respect
                 # intra-batch ORDER: rows before the statement belong to the
                 # old table state. Column DDL stays apply-first (sound under
@@ -253,26 +280,17 @@ class StreamingPipeline:
                         else:
                             exe._handle_schema_events(
                                 ChangeBatch(ev.table_id, [ev], None))
-                # 2. data records: route RAW rows by (db, table) extracted
-                #    with get_json_object (cheap path scan), then run the full
-                #    from_json decode only on each table's own slice — the
-                #    batch is parsed once total, not once per registered
+                # 2. data records: route by the (db, table) columns the
+                #    enriched projection already materialized, then run the
+                #    full from_json decode only on each table's own slice —
+                #    the batch is parsed once total, not once per registered
                 #    table (O(batch), not O(tables × batch))
                 from ..sources.debezium import decode_canal
 
-                if self.serialization == "debezium-json":
-                    src_db = F.coalesce(
-                        F.get_json_object(F.col(value_col), "$.source.db"),
-                        F.get_json_object(F.col(value_col), "$.source.schema"))
-                    src_tbl = F.get_json_object(F.col(value_col), "$.source.table")
-                    decode = decode_debezium
-                else:
-                    src_db = F.get_json_object(F.col(value_col), "$.database")
-                    src_tbl = F.get_json_object(F.col(value_col), "$.table")
-                    decode = decode_canal
-                data_df = (batch_df.where(~is_ddl)
-                           .withColumn("__src_db", src_db)
-                           .withColumn("__src_tbl", src_tbl))
+                decode = (decode_debezium
+                          if self.serialization == "debezium-json"
+                          else decode_canal)
+                data_df = batch_df.where(~F.col("__is_ddl"))
                 if self.discover_tables:
                     self._discover_new_tables(data_df, tables, value_col)
                 for tid_str in tables:
@@ -283,7 +301,7 @@ class StreamingPipeline:
                     mine_raw = data_df.where(
                         (F.col("__src_tbl") == tid.table_name)
                         & (F.col("__src_db") == (tid.namespace or tid.schema_name))
-                    ).drop("__src_db", "__src_tbl")
+                    ).drop("__src_db", "__src_tbl", "__is_ddl")
                     decoded = decode(mine_raw, schema.struct_type(), value_col)
                     wm = watermarks.get(tid_str)
                     if wm is not None:

@@ -170,3 +170,37 @@ def test_inflight_truncate_and_drop(spark, tmp_path):
     q.awaitTermination(120)
     assert sink.snapshot(TID) == ["3, washer"]
     assert t2 not in sink.state
+
+
+def test_micro_batch_single_pass_enrichment(spark):
+    """The micro-batch loop must parse each raw JSON row ONCE: enrich_batch
+    materializes the __is_ddl flag and (db, table) routing columns into the
+    persisted projection, so the DDL collect and every per-table slice are
+    cached-column filters — no get_json_object re-evaluation per slice."""
+    from pyspark.sql import functions as F
+
+    raw = spark.createDataFrame(
+        [('{"ddl": "ALTER TABLE t ADD c INT", "ts_ms": 5}',),
+         ('{"op": "c", "after": {"id": 1}, '
+          '"source": {"db": "inv", "table": "t"}}',)],
+        "value string")
+    enriched = StreamingPipeline.enrich_batch(raw, "value", "debezium-json")
+    # correctness of the single projection
+    rows = {r["__is_ddl"]: (r["__src_db"], r["__src_tbl"])
+            for r in enriched.collect()}
+    assert rows[True] == (None, None) and rows[False] == ("inv", "t")
+    enriched.persist()
+    try:
+        enriched.where(F.col("__is_ddl")).select("value").collect()  # fill
+        slice_plan = enriched.where(
+            (~F.col("__is_ddl")) & (F.col("__src_tbl") == "t")
+            & (F.col("__src_db") == "inv"))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "InMemoryTableScan" in slice_plan, slice_plan
+        # get_json_object may appear only in the cache-BUILD description
+        # (below InMemoryRelation); the slice itself must filter cached
+        # columns, not re-extract JSON
+        above_cache = slice_plan.split("InMemoryRelation")[0]
+        assert "get_json_object" not in above_cache, slice_plan
+    finally:
+        enriched.unpersist()
