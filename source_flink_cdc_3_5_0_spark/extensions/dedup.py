@@ -325,8 +325,59 @@ def minhash_lsh_exact_pairs(df: DataFrame, text_col: str = "text", id_col: str =
     return out
 
 
+def _alternating_star(und: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — O(log² n)
+    rounds regardless of component diameter, the fallback for pathological
+    long-chain graphs where min-label propagation's O(diameter) bound is
+    too slow.  Both phases are one partial-agg groupBy (per-node min — no
+    per-node neighbor lists materialize) + one shuffle join each; rounds
+    are ``localCheckpoint``ed for the same lineage-truncation reason as
+    the propagation loop.
+
+    Input: undirected edges as (u, v) rows, u != v, any orientation.
+    Output: (id, label) with label = component minimum."""
+
+    def large_star(e):
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", "u").alias("m")))
+        return (sym.join(mins, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v")).distinct())
+
+    def small_star(e):
+        d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        leaves = (d.join(mins, "u").where(F.col("v") != F.col("m"))
+                  .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        centers = mins.select("u", F.col("m").alias("v"))
+        return (leaves.unionAll(centers)
+                .where(F.col("u") != F.col("v")).distinct())
+
+    edges = (und.select(F.col("u"), F.col("v"))
+             .where(F.col("u") != F.col("v")).distinct().localCheckpoint())
+    for _ in range(max_rounds):
+        new_edges = small_star(large_star(edges)).localCheckpoint()
+        same = (new_edges.count() == edges.count()
+                and new_edges.exceptAll(edges).count() == 0)
+        edges = new_edges
+        if same:
+            break
+    else:  # pragma: no cover - log²n bound makes this unreachable in practice
+        raise RuntimeError(
+            f"alternating-star did not converge in {max_rounds} rounds")
+    # converged: every edge is leaf -> component-min center
+    return (edges.select(F.col("u").alias("id"), F.col("v").alias("label"))
+            .unionAll(edges.select(F.col("v").alias("id"),
+                                   F.col("v").alias("label")))
+            .groupBy("id").agg(F.min("label").alias("label")))
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 30) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 30,
+                         on_max_iter: str = "star") -> DataFrame:
     """Near-dup pairs -> dedup clusters: (id, rep_id) where rep_id is the
     MINIMUM id reachable through the pair graph — the step that turns
     candidate pairs into actual keep/drop decisions (keep rep, drop rest).
@@ -341,12 +392,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     24-round chain OOMed the driver just PRINTING its plan), and the
     checkpoint truncates lineage to the materialized blocks. The driver
     loop only runs a bounded-count convergence check per round (control
-    plane, O(1) rows). At extreme diameters switch to alternating
-    large/small-star (Kiveris et al.) — same join primitive, O(log n)
-    rounds.
+    plane, O(1) rows).
+
+    A component with diameter > max_iter cannot converge here; silently
+    returning partial labels would mis-assign keep/drop decisions, so
+    ``on_max_iter`` decides: ``"star"`` (default) finishes the job with
+    the O(log² n) alternating-star fallback (:func:`_alternating_star`),
+    ``"raise"`` raises with guidance, ``"warn"`` emits a warning and
+    returns the partial labels (callers that only need *some* merging).
 
     Only ids appearing in ≥1 pair are returned (singletons are their own
     representative by definition and need no shuffle)."""
+    if on_max_iter not in ("star", "raise", "warn"):
+        raise ValueError(f"on_max_iter must be star|raise|warn, got {on_max_iter!r}")
     from pyspark import StorageLevel
 
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -356,6 +414,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))
               .localCheckpoint())
+    changed = 0
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges.dst == labels.id)
                  .select(edges.src.alias("id"), "label"))
@@ -368,6 +427,28 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        if on_max_iter == "raise":
+            edges.unpersist()
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"iterations ({changed} labels still improving): a component "
+                "has diameter > max_iter. Raise max_iter, or use "
+                "on_max_iter='star' for the O(log² n) alternating-star "
+                "fallback.")
+        if on_max_iter == "warn":
+            import warnings
+
+            warnings.warn(
+                f"connected_components hit max_iter={max_iter} with "
+                f"{changed} labels still improving; returned rep_ids are "
+                "NOT component minima for the unconverged components",
+                RuntimeWarning, stacklevel=2)
+        else:  # star fallback: restart from the raw edges, diameter-proof
+            stars = _alternating_star(
+                fwd.select(F.col("src").alias("u"), F.col("dst").alias("v")))
+            edges.unpersist()
+            return stars.select("id", F.col("label").alias("rep_id"))
     edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("rep_id"))
 

@@ -175,3 +175,52 @@ class TestConnectedComponents:
         got = connected_components(pairs)
         assert {r.rep_id for r in got.collect()} == {0}
         assert got.count() == n + 1
+
+    def test_pathological_chain_star_fallback(self, spark):
+        """A 200-node chain (diameter >> max_iter) must still produce the
+        component minimum — the default on_max_iter='star' finishes with
+        the alternating-star algorithm instead of silently returning
+        partial labels."""
+        from source_flink_cdc_3_5_0_spark.extensions.dedup import (
+            connected_components)
+        n = 200
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint")
+        got = connected_components(pairs, max_iter=5)
+        assert {r.rep_id for r in got.collect()} == {0}
+        assert got.count() == n + 1
+
+    def test_nonconvergence_raises_with_guidance(self, spark):
+        import pytest as _pytest
+
+        from source_flink_cdc_3_5_0_spark.extensions.dedup import (
+            connected_components)
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "id_a bigint, id_b bigint")
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_iter=3, on_max_iter="raise")
+
+    def test_nonconvergence_warns_partial(self, spark):
+        import warnings
+
+        from source_flink_cdc_3_5_0_spark.extensions.dedup import (
+            connected_components)
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "id_a bigint, id_b bigint")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            got = connected_components(pairs, max_iter=3, on_max_iter="warn")
+            got.collect()
+        assert any("NOT component minima" in str(w.message) for w in caught)
+
+    def test_alternating_star_multi_component(self, spark):
+        """Star algorithm alone on a mixed graph: chain + star + pair."""
+        from source_flink_cdc_3_5_0_spark.extensions.dedup import (
+            _alternating_star)
+        und = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+            "u bigint, v bigint")
+        got = {(r.id, r.label) for r in _alternating_star(und).collect()}
+        assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                       (10, 10), (11, 10),
+                       (20, 20), (21, 20), (22, 20)}
