@@ -104,6 +104,9 @@ class PipelineExecution:
     # when the schema never changed. The streaming runner shares one cache
     # across its per-batch executions.
     schema_cache: dict = field(default_factory=dict)
+    # pipeline.local-time-zone (PipelineOptions.java:76-81): applied around
+    # run() and restored after — see run() for the ownership rationale
+    local_time_zone: str | None = None
 
     def _sink_batch_id(self) -> str | int:
         return f"{self.run_id}_{self.batches_run}" if self.run_id else self.batches_run
@@ -273,18 +276,32 @@ class PipelineExecution:
 
     # -- driver loop ------------------------------------------------------
     def run(self) -> "PipelineExecution":
-        for ev in self.source.create_table_events(self.spark):
-            self.registry.apply_original(ev)
-            pruned = self.pre.pruned_schema(ev.table_id, ev.schema)
-            out_schema = self._infer_output_schema(ev.table_id, pruned)
-            for sink_tid in self.router.route(ev.table_id):
-                self._evolve_sink_table(sink_tid, out_schema)
-        for batch_set in self.source.batches(self.spark):
-            for batch in batch_set:
-                self._handle_schema_events(batch)
-            for batch in batch_set:
-                self._process_data(batch)
-            self.batches_run += 1
+        # Session-timezone ownership: the pipeline's local-time-zone is
+        # applied around THIS run and restored afterward — composing a
+        # pipeline must not leave a global zone behind (driver-contract
+        # loads pin UTC; a leaked pipeline zone, or a pipeline composed
+        # before a driver query ran, would render temporals in the wrong
+        # zone whichever came second).
+        tz_key = "spark.sql.session.timeZone"
+        prior_tz = self.spark.conf.get(tz_key, None)
+        if self.local_time_zone:
+            self.spark.conf.set(tz_key, self.local_time_zone)
+        try:
+            for ev in self.source.create_table_events(self.spark):
+                self.registry.apply_original(ev)
+                pruned = self.pre.pruned_schema(ev.table_id, ev.schema)
+                out_schema = self._infer_output_schema(ev.table_id, pruned)
+                for sink_tid in self.router.route(ev.table_id):
+                    self._evolve_sink_table(sink_tid, out_schema)
+            for batch_set in self.source.batches(self.spark):
+                for batch in batch_set:
+                    self._handle_schema_events(batch)
+                for batch in batch_set:
+                    self._process_data(batch)
+                self.batches_run += 1
+        finally:
+            if self.local_time_zone and prior_tz is not None:
+                self.spark.conf.set(tz_key, prior_tz)
         return self
 
 
@@ -300,10 +317,6 @@ class PipelineComposer:
                 sink: DataSink | None = None) -> PipelineExecution:
         src = source if source is not None else self._create_source(pdef)
         snk = sink if sink is not None else self._create_sink(pdef)
-        # pipeline local-time-zone (PipelineOptions.java:76-81) governs all
-        # temporal functions via the session timezone
-        if pdef.config.local_time_zone:
-            self.spark.conf.set("spark.sql.session.timeZone", pdef.config.local_time_zone)
         udf_names = self._register_udfs(pdef)
         udf_names |= self._register_models(pdef)
         pre = PreTransform(pdef.transforms, udf_names)
@@ -324,6 +337,7 @@ class PipelineComposer:
             exclude_types=exclude,
             parallelism=pdef.config.parallelism if pdef.config.parallelism > 1 else None,
             run_id=uuid.uuid4().hex[:12],
+            local_time_zone=pdef.config.local_time_zone,
         )
 
     def _register_udfs(self, pdef: PipelineDef) -> set[str]:
@@ -390,6 +404,10 @@ class PipelineComposer:
 
         opts = pdef.source.options_dict()
         snk = sink if sink is not None else self._create_sink(pdef)
+        # Streaming micro-batches execute asynchronously, so run-scoped
+        # save/restore (batch run()) doesn't apply: the stream OWNS the
+        # session zone for its lifetime. Don't interleave driver-contract
+        # loads (which pin UTC) with a live non-UTC stream in one session.
         if pdef.config.local_time_zone:
             self.spark.conf.set("spark.sql.session.timeZone", pdef.config.local_time_zone)
         self._register_udfs(pdef)

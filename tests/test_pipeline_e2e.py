@@ -195,3 +195,53 @@ transform:
         "2, table1, default_namespace",
         "3, table1, default_namespace",
     ]
+
+
+def test_local_time_zone_owned_by_run_and_restored(spark):
+    """Session-timezone ownership: a pipeline with a non-UTC
+    local-time-zone renders temporals in ITS zone even when a
+    driver-contract load (which pins the session to UTC) ran between
+    compose() and run() — and run() restores the caller's zone after."""
+    import datetime
+
+    from source_flink_cdc_3_5_0_spark.entry_queries import pin_driver_session
+
+    tid = TableId.parse("tz.db.t")
+    schema = Schema.of(
+        Column("id", T.IntegerType(), False),
+        Column("ts", T.TimestampType()),
+        primary_keys=["id"],
+    )
+    # 2024-01-01T00:00:00Z == 2024-01-01 09:00:00 Asia/Tokyo
+    instant = datetime.datetime(2024, 1, 1, 0, 0, 0,
+                                tzinfo=datetime.timezone.utc)
+    events = [
+        CreateTableEvent(tid, schema),
+        DataChangeEvent.insert(tid, (1, instant.replace(tzinfo=None))),
+    ]
+    yaml_text = """
+source: {type: values}
+sink: {type: values}
+transform:
+  - source-table: tz.db.\\.*
+    projection: "id, DATE_FORMAT(ts, 'yyyy-MM-dd HH:mm') AS local_ts"
+pipeline:
+  local-time-zone: Asia/Tokyo
+"""
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        sink = MemorySink()
+        exe = PipelineComposer(spark).compose(
+            parse_yaml_pipeline(yaml_text),
+            source=ValuesSource(events), sink=sink)
+        # a driver-contract query runs between compose and run: it pins UTC
+        pin_driver_session(spark)
+        exe.run()
+        # createDataFrame interpreted the naive wall clock in the session
+        # zone at batch build (UTC) -> Tokyo rendering shifts +9
+        assert sink.snapshot(tid) == ["1, 2024-01-01 09:00"]
+        # and the pipeline zone did not leak into the session
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
