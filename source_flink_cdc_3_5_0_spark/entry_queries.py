@@ -2213,11 +2213,14 @@ FROM w
 
 
 def q_text_redact_pii(spark, sf_dir):
-    """PII scrubbing (extensions/text.redact_pii): emails/URLs replaced
-    with typed placeholders + per-doc match counts, one codegen'd
-    projection. The corpus has no natural PII, so deterministic emails
-    (every 3rd doc) and URLs (every 5th) are appended first — the oracle
-    replays the append and the identical Java-regex/RE2-common scrub."""
+    """PII scrubbing (extensions/text.redact_pii): emails/URLs/IPv4s/
+    phones replaced with typed placeholders + per-doc match counts, one
+    codegen'd projection. Counts are sequential (each pattern counted on
+    the string its replacement consumes), so count == placeholders
+    emitted. The corpus has no natural PII, so deterministic emails
+    (every 3rd doc), URLs (every 5th), IPs (every 7th) and phones (every
+    11th) are appended first — the oracle replays the append and the
+    identical Java-regex/RE2-common scrub."""
     from .extensions.text import redact_pii
 
     docs = load(spark, sf_dir, "documents")
@@ -2231,9 +2234,15 @@ def q_text_redact_pii(spark, sf_dir):
             F.when(F.col("doc_id") % 5 == 0,
                    F.concat(F.lit(" see https://ex.com/d"), F.col("doc_id"))
                    ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" from 10.0."), F.col("doc_id") % 256,
+                            F.lit(".5"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(F.lit(" call +1 555 010 "), F.col("doc_id"))
+                   ).otherwise(F.lit("")),
         ).alias("text"))
     return redact_pii(aug).select(
-        "doc_id", "n_emails", "n_urls",
+        "doc_id", "n_emails", "n_urls", "n_ipv4", "n_phones",
         F.md5("redacted").alias("redacted_md5"))
 
 
@@ -2245,15 +2254,31 @@ WITH aug AS (
                       ELSE '' END
               || CASE WHEN doc_id % 5 = 0
                       THEN ' see https://ex.com/d' || doc_id
-                      ELSE '' END AS text
-  FROM documents)
+                      ELSE '' END
+              || CASE WHEN doc_id % 7 = 0
+                      THEN ' from 10.0.' || (doc_id % 256) || '.5'
+                      ELSE '' END
+              || CASE WHEN doc_id % 11 = 0
+                      THEN ' call +1 555 010 ' || doc_id
+                      ELSE '' END AS t0
+  FROM documents),
+stages AS (
+  SELECT doc_id, t0,
+         regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+', '<EMAIL>', 'g') AS t1,
+         regexp_replace(regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+', '<EMAIL>', 'g'),
+                        'https?://[A-Za-z0-9./_%+~#?&=-]+', '<URL>', 'g') AS t2
+  FROM aug),
+stages2 AS (
+  SELECT doc_id, t0, t1, t2,
+         regexp_replace(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS t3
+  FROM stages)
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+')) AS INTEGER) AS n_emails,
-       CAST(len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%+~#?&=-]+')) AS INTEGER) AS n_urls,
-       md5(regexp_replace(
-             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+', '<EMAIL>', 'g'),
-             'https?://[A-Za-z0-9./_%+~#?&=-]+', '<URL>', 'g')) AS redacted_md5
-FROM aug
+       CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t1, 'https?://[A-Za-z0-9./_%+~#?&=-]+')) AS INTEGER) AS n_urls,
+       CAST(len(regexp_extract_all(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INTEGER) AS n_ipv4,
+       CAST(len(regexp_extract_all(t3, '\+[0-9][0-9() -]{6,}[0-9]')) AS INTEGER) AS n_phones,
+       md5(regexp_replace(t3, '\+[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+FROM stages2
 """
 
 

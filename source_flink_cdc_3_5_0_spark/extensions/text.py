@@ -193,24 +193,44 @@ def chunk_windows(df: DataFrame, text_col: str = "text",
 
 
 # PII patterns restricted to syntax with IDENTICAL meaning in Java regex
-# (Spark) and RE2 (DuckDB): character classes, +, literal dots.
+# (Spark) and RE2 (DuckDB): character classes, +, {m,n} repetition,
+# literal dots. No lookaround, no backreferences (RE2 has neither).
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+"
 PII_URL = r"https?://[A-Za-z0-9./_%+~#?&=-]+"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+# international-prefix phones: leading '+', then digits with separators,
+# ending in a digit (>= 8 chars total keeps version strings etc. out)
+PII_PHONE = r"\+[0-9][0-9() -]{6,}[0-9]"
+
+# scrub order matters: URLs may contain '@' userinfo and dotted hosts, so
+# emails go first (longest-anchor), then URLs (swallowing any IPs inside
+# them), then bare IPs, then phones (no dots — disjoint from the rest)
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("n_emails", PII_EMAIL, "<EMAIL>"),
+    ("n_urls", PII_URL, "<URL>"),
+    ("n_ipv4", PII_IPV4, "<IP>"),
+    ("n_phones", PII_PHONE, "<PHONE>"),
+)
 
 
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Scrub emails and URLs (standard pre-training hygiene): replaces each
-    match with a typed placeholder token and counts matches per document —
-    one codegen'd projection, no Python. Patterns use only regex syntax
-    with identical semantics in Java regex and RE2, so the DuckDB oracle
-    reproduces the scrub byte-for-byte."""
-    n_emails = F.size(F.regexp_extract_all(text_col, F.lit(PII_EMAIL), F.lit(0)))
-    redacted = F.regexp_replace(
-        F.regexp_replace(text_col, PII_EMAIL, "<EMAIL>"), PII_URL, "<URL>")
-    n_urls = F.size(F.regexp_extract_all(text_col, F.lit(PII_URL), F.lit(0)))
-    return df.select(
-        "*",
-        n_emails.cast("int").alias("n_emails"),
-        n_urls.cast("int").alias("n_urls"),
-        redacted.alias("redacted"),
-    )
+    """Scrub emails, URLs, IPv4 addresses and phone numbers (standard
+    pre-training hygiene): replaces each match with a typed placeholder
+    token and counts matches per document — one codegen'd projection, no
+    Python. Patterns use only regex syntax with identical semantics in
+    Java regex and RE2, so the DuckDB oracle reproduces the scrub
+    byte-for-byte.
+
+    Each pattern's count is taken on the SAME intermediate string its
+    replacement consumes (the scrub is sequential), so every count equals
+    the number of placeholders that scrub step actually emitted — e.g. an
+    email inside a URL is scrubbed by the email step and no longer counts
+    as a URL match."""
+    stage = F.col(text_col)
+    counts = []
+    for name, pattern, _tok in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(stage, F.lit(pattern),
+                                                  F.lit(0)))
+                      .cast("int").alias(name))
+        stage = F.regexp_replace(stage, pattern, _tok)
+    return df.select("*", *counts, stage.alias("redacted"))
