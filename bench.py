@@ -45,6 +45,13 @@ BENCH_QUERIES = [
     "dedup_components",
     "text_tfidf_top_terms",
     "sink_jdbc_upsert",
+    # round-4 surface (verdict #8: every nontrivial operator gets a trend
+    # line)
+    "route_merge_union",
+    "dedup_simhash",
+    "text_chunk_windows",
+    "text_redact_pii",
+    "cdc_postgres_pipeline",
 ]
 
 
