@@ -735,6 +735,42 @@ WHERE jaccard >= 0.5
 """
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-2-gram Jaccard near-dup pairs via shared-gram blocking
+    (extensions/dedup.ngram_jaccard_pairs) — complete answer, no
+    probabilistic pruner; the blocking join on the gram key is the one
+    shuffle. Oracle = DuckDB all-pairs over identical distinct 2-gram
+    sets."""
+    from .extensions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"),
+                               k=2, jaccard_threshold=0.3)
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         list_distinct(CASE
+           WHEN len(t) >= 2 THEN
+             list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i+1])
+           WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+           ELSE []::VARCHAR[] END) AS g
+  FROM toks)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 6) AS jaccard
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.g, b.g)) > 0) p
+WHERE jaccard >= 0.3
+"""
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup pairs -> dedup CLUSTERS (the keep/drop decision step):
     connected components over the exact-verified MinHash pair graph via
@@ -2185,6 +2221,47 @@ WHERE rn <= 25
 """
 
 
+# per-language token budgets: en down-sampled hard, others lightly — the
+# mixing-ratio shape every multilingual training corpus uses
+_MIX_BUDGETS = {"en": 2000, "de": 1500, "fr": 1500, "es": 1500, "zh": 1500}
+
+
+def q_sample_token_budget(spark, sf_dir):
+    """Weighted corpus mixing (extensions/sampling.token_budget_sample):
+    per-language token budgets consumed in deterministic md5-priority
+    order — docs are kept while the group's running token total stays
+    within its budget (exact, reproducible mixing ratios; adding docs to
+    one language never changes another's selection)."""
+    from .extensions.sampling import token_budget_sample
+    from .extensions.text import token_count_sql
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.expr(token_count_sql("spark", "text")).cast("int"))
+    out = token_budget_sample(docs, ["lang"], "doc_id", "n_tokens",
+                              _MIX_BUDGETS)
+    return out.select("lang", "doc_id", "n_tokens")
+
+
+def _oracle_token_budget() -> str:
+    from .extensions.text import token_count_sql
+
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_BUDGETS.items())
+    return f"""
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST({token_count_sql('duckdb', 'text')} AS INTEGER) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT lang, doc_id, n_tokens FROM c
+WHERE cum <= CASE lang {cases} ELSE 0 END
+"""
+
+
 def q_text_chunk_windows(spark, sf_dir):
     """Context-window chunking (extensions/text.chunk_windows): split each
     document into consecutive 64-token chunks — the training-window
@@ -2210,6 +2287,106 @@ SELECT doc_id,
        array_to_string(t[wi * 64 + 1 : wi * 64 + 64], ' ') AS chunk
 FROM w
 """
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Corpus-level line dedup (extensions/text.dedup_lines — the CCNet/
+    RefinedWeb boilerplate scrub): the corpus has no newlines, so 3-token
+    chunks stand in as lines (chunk_windows); any line occurring > 2
+    times corpus-wide is dropped from every document, which is then
+    rebuilt from its surviving lines in order."""
+    from .extensions.text import chunk_windows, dedup_lines
+
+    docs = load(spark, sf_dir, "documents")
+    lines = chunk_windows(docs, window_tokens=3).select(
+        "doc_id", F.col("window_idx").alias("pos"),
+        F.col("chunk").alias("line"))
+    out = dedup_lines(lines, max_freq=2)
+    return out.select("doc_id", "n_lines", "n_kept",
+                      F.md5("text").alias("kept_md5"))
+
+
+ORACLE_DEDUP_LINES = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+w AS (
+  SELECT doc_id, t,
+         unnest(range(0, CAST(ceil(len(t) / 3.0) AS INT))) AS wi
+  FROM toks WHERE len(t) > 0),
+lines AS (
+  SELECT doc_id, wi, array_to_string(t[wi * 3 + 1 : wi * 3 + 3], ' ') AS line
+  FROM w),
+freq AS (SELECT line, count(*) AS c FROM lines GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_lines,
+       CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+       md5(string_agg(line, chr(10) ORDER BY wi)
+           FILTER (WHERE c <= 2)) AS kept_md5
+FROM lines JOIN freq USING (line)
+GROUP BY doc_id
+HAVING sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) > 0
+"""
+
+
+def q_text_quality_filters(spark, sf_dir):
+    """C4/Gopher-style quality filter flags (extensions/text.
+    quality_filters): per-document pass/fail per rule + combined keep —
+    the pre-training corpus-cleaning gate, one codegen'd projection. The
+    synthetic corpus is uniformly clean, so deterministic noise (symbol
+    runs every 4th doc, digit runs every 6th, a 'lorem ipsum' marker
+    every 9th) is appended first to exercise every rule both ways; the
+    oracle replays the identical augmentation."""
+    from .extensions.text import quality_filters
+
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id", "lang",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit(" $$$###@@@!!!%%%^^^&&&***((()))===+++[[[]]]{{{}}}"
+                         "|||\\\\///<<<>>>???~~~```:::;;;")
+                   ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 6 == 0,
+                   F.concat(F.lit(" 00112233445566778899"),
+                            F.col("doc_id") * 1000000)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 9 == 0,
+                   F.lit(" lorem ipsum dolor")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.concat(F.lit(" "), F.expr("repeat('w', 400)"))
+                   ).otherwise(F.lit("")),
+        ).alias("text"))
+    return quality_filters(aug).select(
+        "doc_id", "lang", "f_min_words", "f_word_len", "f_symbol_ratio",
+        "f_digit_ratio", "f_no_boilerplate", "keep")
+
+
+_QUALITY_AUG_SQL = r"""
+  SELECT doc_id, lang,
+         text || CASE WHEN doc_id % 4 = 0
+                      THEN ' $$$###@@@!!!%%%^^^&&&***((()))===+++[[[]]]{{{}}}|||\\///<<<>>>???~~~```:::;;;'
+                      ELSE '' END
+              || CASE WHEN doc_id % 6 = 0
+                      THEN ' 00112233445566778899' || (doc_id * 1000000)
+                      ELSE '' END
+              || CASE WHEN doc_id % 9 = 0
+                      THEN ' lorem ipsum dolor' ELSE '' END
+              || CASE WHEN doc_id % 13 = 0
+                      THEN ' ' || repeat('w', 400) ELSE '' END AS text
+  FROM documents
+"""
+
+
+def _oracle_quality_filters() -> str:
+    from .extensions.text import quality_filters_sql
+
+    cols = ",\n       ".join(
+        f"{sql} AS {name}"
+        for name, sql in quality_filters_sql("duckdb", "text").items())
+    return (f"WITH aug AS ({_QUALITY_AUG_SQL})\n"
+            f"SELECT doc_id, lang,\n       {cols}\nFROM aug")
 
 
 def q_text_redact_pii(spark, sf_dir):
@@ -2304,6 +2481,11 @@ QUERIES: dict[str, object] = {
     "sketch_kmv_by_group": q_sketch_kmv_by_group,
     "cdc_truncate_drop": q_cdc_truncate_drop,
     "cdc_postgres_pipeline": q_cdc_postgres_pipeline,
+    # new in round 4 (no driver row yet)
+    "dedup_lines": q_dedup_lines,
+    "sample_token_budget": q_sample_token_budget,
+    "text_quality_filters": q_text_quality_filters,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -2417,6 +2599,10 @@ ORACLES: dict[str, str] = {
     "text_tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "text_chunk_windows": ORACLE_CHUNK_WINDOWS,
     "text_redact_pii": ORACLE_REDACT_PII,
+    "dedup_lines": ORACLE_DEDUP_LINES,
+    "sample_token_budget": _oracle_token_budget(),
+    "text_quality_filters": _oracle_quality_filters(),
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "sessionize_events": ORACLE_SESSIONIZE,
     "doc_length_percentiles": ORACLE_DOC_PERCENTILES,
     "agg_event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,

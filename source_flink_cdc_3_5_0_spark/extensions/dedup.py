@@ -218,6 +218,54 @@ def word_ngrams_col(text_col: str, k: int = 3, distinct: bool = True,
     return F.array_distinct(out) if distinct else out
 
 
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        jaccard_threshold: float = 0.5,
+                        max_gram_df: int | None = None) -> DataFrame:
+    """Exact word-k-gram Jaccard near-dup pairs via shared-gram blocking —
+    the direct member of the dedup family (exact / MinHash+LSH / SimHash /
+    n-gram Jaccard / embedding): two documents pair iff they share at
+    least one k-gram, so the blocking misses nothing with J > 0 and the
+    output is the complete exact answer (unlike the probabilistic MinHash
+    pruner, there is no 1e-19 miss bound to argue about — at the cost of
+    a candidate set that grows with gram document-frequency).
+
+    Shape: explode distinct grams -> (id, gram); self-join on gram (the
+    one shuffle that matters, equi-join on the gram key); per-pair
+    partial-agg count = |A∩B|; per-doc gram counts broadcast back;
+    jaccard = inter / (|A| + |B| - inter). A gram shared by d documents
+    contributes d² join rows — ``max_gram_df`` drops grams with corpus
+    df > the cap BEFORE pairing (sizes are then post-pruning too, i.e.
+    Jaccard over the rare-gram subsets — the standard stop-shingle
+    trade); leave None for the exact full-set semantics."""
+    grams = (_spread(df, id_col)
+             .select(F.col(id_col).alias("id"),
+                     F.explode(word_ngrams_col(text_col, k=k)).alias("gram")))
+    if max_gram_df is not None:
+        dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+        grams = (grams.join(dfreq.where(F.col("__df") <= max_gram_df), "gram")
+                 .drop("__df"))
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        grams.alias("a").join(grams.alias("b"), on="gram")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.round(F.col("inter")
+                  / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+    return (
+        inter
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")),
+              "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")),
+              "id_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_exact_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                             jaccard_threshold: float = 0.5,
                             hot_bucket_cap: int | None = None) -> DataFrame:

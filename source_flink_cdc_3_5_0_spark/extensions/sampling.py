@@ -40,6 +40,44 @@ def hash_sample(df: DataFrame, id_col: str, keep_nibbles: tuple[str, ...] = ("0"
     return df.where(hash_bucket_col(id_col).isin(*keep_nibbles))
 
 
+def token_budget_sample(df: DataFrame, group_cols: list[str], id_col: str,
+                        weight_col: str, budget) -> DataFrame:
+    """Deterministic per-group WEIGHTED budget sample — the corpus-mixing
+    primitive: take documents in md5-priority order until each group's
+    cumulative weight (token count) reaches its budget. A doc is kept iff
+    the running total INCLUDING it is <= the group's budget, so the
+    selection never overshoots and is invariant to rows in other groups.
+
+    ``budget`` is an int (same budget for every group) or a dict
+    {group-value: budget} for single-column grouping (per-domain /
+    per-language token mixing ratios).
+
+    Scale shape: one shuffle on the group key; the window carries one
+    running sum, never a global sort. Same skew posture as quota_sample
+    (a giant group serializes into one partition's window — split such a
+    group with a salt-bucket sub-key upstream if a single group exceeds
+    executor throughput)."""
+    from pyspark.sql import Window
+
+    pri = F.md5(F.col(id_col).cast("string"))
+    w = (Window.partitionBy(*group_cols).orderBy(pri, F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if isinstance(budget, dict):
+        if len(group_cols) != 1:
+            raise ValueError("dict budget needs exactly one group column")
+        bexpr = None
+        for k, v in budget.items():
+            cond = F.col(group_cols[0]) == F.lit(k)
+            bexpr = F.when(cond, F.lit(v)) if bexpr is None else bexpr.when(cond, F.lit(v))
+        bexpr = bexpr.otherwise(F.lit(0))
+    else:
+        bexpr = F.lit(budget)
+    cum = F.sum(F.col(weight_col)).over(w)
+    return (df.withColumn("__cum", cum)
+            .where(F.col("__cum") <= bexpr)
+            .drop("__cum"))
+
+
 def quota_sample(df: DataFrame, group_cols: list[str], id_col: str,
                  n_per_group: int) -> DataFrame:
     """Deterministic per-group quota sample: exactly min(n, |group|) rows

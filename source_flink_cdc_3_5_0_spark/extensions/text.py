@@ -213,6 +213,97 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+def _regexp_strip(dialect: str, s: str, pattern: str) -> str:
+    """Remove every match of pattern (global replace with '')."""
+    if dialect == "spark":
+        return f"regexp_replace({s}, {_lit(dialect, pattern)}, '')"
+    return f"regexp_replace({s}, {_lit(dialect, pattern)}, '', 'g')"
+
+
+def quality_filters_sql(dialect: str, col: str = "text") -> dict[str, str]:
+    """C4/Gopher-style per-document quality filter flags, as named SQL
+    expressions with identical semantics in Spark SQL and DuckDB (the
+    generator is the single source of truth; the oracle runs the duckdb
+    rendering). Deterministic integer/ratio arithmetic only — no
+    transcendentals, so doubles compare bit-identically.
+
+    Flags (TRUE = passes the rule):
+      f_min_words      >= 30 whitespace words
+      f_word_len       mean word length in [2, 12] chars
+      f_symbol_ratio   non-alphanumeric-non-space chars <= 10% of text
+      f_digit_ratio    digits <= 20% of text
+      f_no_boilerplate no 'lorem ipsum' marker
+      keep             conjunction of all flags
+    """
+    sym_pattern = r"[^A-Za-z0-9\s]"
+    n_words = f"({token_count_sql(dialect, col)})"
+    n_chars_in_words = f"length({_regexp_strip(dialect, col, _WS_SPLIT)})"
+    n_sym = f"({_regexp_count(dialect, col, sym_pattern)})"
+    n_dig = f"({_regexp_count(dialect, col, '[0-9]')})"
+    tot = f"nullif(length({col}), 0)"
+    mean_wl = f"(CAST({n_chars_in_words} AS DOUBLE) / nullif({n_words}, 0))"
+    flags = {
+        "f_min_words": f"{n_words} >= 30",
+        "f_word_len": f"{mean_wl} BETWEEN 2.0 AND 12.0",
+        "f_symbol_ratio": f"(CAST({n_sym} AS DOUBLE) / {tot}) <= 0.10",
+        "f_digit_ratio": f"(CAST({n_dig} AS DOUBLE) / {tot}) <= 0.20",
+        "f_no_boilerplate": f"lower({col}) NOT LIKE '%lorem ipsum%'",
+    }
+    flags["keep"] = " AND ".join(f"({e})" for e in flags.values())
+    # normalize NULL (empty doc) to FALSE in every flag so the keep
+    # decision is total
+    return {k: f"coalesce({e}, FALSE)" for k, e in flags.items()}
+
+
+def quality_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the quality-filter flag columns (see quality_filters_sql) —
+    one codegen'd projection, no shuffle, no Python."""
+    d = "spark"
+    return df.select(
+        "*", *[F.expr(sql).alias(name)
+               for name, sql in quality_filters_sql(d, text_col).items()])
+
+
+def dedup_lines(lines: DataFrame, id_col: str = "doc_id",
+                pos_col: str = "pos", line_col: str = "line",
+                max_freq: int = 1) -> DataFrame:
+    """Corpus-level line deduplication (the CCNet/RefinedWeb boilerplate
+    scrub): drop every line whose exact text occurs more than ``max_freq``
+    times corpus-wide, then rebuild each document from its surviving lines
+    in position order. Documents with zero surviving lines drop out
+    entirely (pure boilerplate).
+
+    Scale shape: one partial-agg groupBy on the line text (map-side
+    combine collapses repeats before the shuffle), an equi-join of the
+    lines against the aggregated frequency table (one row per DISTINCT
+    line — Catalyst broadcasts it while small, shuffles on the line key
+    at corpus scale; not pinned), and one groupBy(doc) rebuild whose
+    per-doc state is bounded by document length. No Python anywhere.
+
+    Emits (id, n_lines, n_kept, text) with text = surviving lines joined
+    by newline."""
+    freq = (lines.groupBy(line_col)
+            .agg(F.count(F.lit(1)).alias("__line_freq")))
+    tagged = lines.join(freq, line_col)
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.sum(F.when(F.col("__line_freq") <= max_freq, 1).otherwise(0))
+            .cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("__line_freq") <= max_freq,
+                               F.struct(F.col(pos_col).alias("p"),
+                                        F.col(line_col).alias("l"))))),
+                    lambda s: s.getField("l")),
+                "\n").alias("text"),
+        )
+        .where(F.col("n_kept") > 0)
+    )
+
+
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Scrub emails, URLs, IPv4 addresses and phone numbers (standard
     pre-training hygiene): replaces each match with a typed placeholder

@@ -224,3 +224,38 @@ class TestConnectedComponents:
         assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
                        (10, 10), (11, 10),
                        (20, 20), (21, 20), (22, 20)}
+
+
+class TestNgramJaccard:
+    def test_exact_pairs_match_bruteforce(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.dedup import (
+            ngram_jaccard_pairs)
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d x"), (3, "q r s t u"),
+             (4, "q r s t u"), (5, "zz")],
+            "doc_id bigint, text string")
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in ngram_jaccard_pairs(
+                   docs, k=2, jaccard_threshold=0.3).collect()}
+        # 1-2 share 3 of 5 distinct 2-grams -> 3/5; 3-4 identical -> 1.0
+        assert got == {(1, 2): 0.6, (3, 4): 1.0}
+
+    def test_max_gram_df_prunes_hot_grams(self, spark):
+        """With a df cap, a gram shared by every doc stops generating
+        pairs; Jaccard is computed over the surviving (rare) gram sets."""
+        from source_flink_cdc_3_5_0_spark.extensions.dedup import (
+            ngram_jaccard_pairs)
+        # 'h h' appears in all 4 docs (hot); rare grams pair 1-2 only
+        docs = spark.createDataFrame(
+            [(1, "h h a b"), (2, "h h a b"), (3, "h h z1 z2"),
+             (4, "h h y1 y2")],
+            "doc_id bigint, text string")
+        full = {(r.id_a, r.id_b)
+                for r in ngram_jaccard_pairs(
+                    docs, k=2, jaccard_threshold=0.2).collect()}
+        pruned = {(r.id_a, r.id_b): r.jaccard
+                  for r in ngram_jaccard_pairs(
+                      docs, k=2, jaccard_threshold=0.2,
+                      max_gram_df=2).collect()}
+        assert (3, 4) not in pruned and (1, 3) in full
+        assert pruned[(1, 2)] == 1.0  # rare-subset Jaccard: identical rares
