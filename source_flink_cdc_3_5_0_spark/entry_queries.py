@@ -1869,6 +1869,61 @@ def q_sink_jdbc_upsert(spark, sf_dir):
     return sink.read(spark, tid, schema)
 
 
+def q_sink_es_bulk(spark, sf_dir):
+    """Elasticsearch sink end-to-end (reference
+    ElasticsearchEventSerializer.java:140-170): snapshot insert batch, a
+    scripted update/delete batch, a REPLAY of that batch (spool marker
+    no-ops it), then materialize the spooled _bulk NDJSON exactly like an
+    ES cluster would (index=upsert by _id, delete=remove). Oracle = the
+    same changelog replayed as SQL over `customer`."""
+    import glob as _glob
+    import json as _json
+    import os
+    import tempfile
+
+    from .common.tableid import TableId
+    from .sinks.elasticsearch import ElasticsearchBulkSink
+    from .sources.base import attach_envelope
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    tid = TableId.parse("out.db.customer")
+    schema = Schema.from_struct_type(cust.schema, primary_keys=["c_custkey"])
+    out = tempfile.mkdtemp(prefix="cdc_es_sink_")
+    sink = ElasticsearchBulkSink(output_dir=out)
+    sink.write(tid, attach_envelope(cust, "+I", seq=0), schema, batch_id=0)
+    updates = (cust.where(F.col("c_custkey") % 10 == 0)
+               .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+               .select("*", F.lit("+U").alias(OP_COL),
+                       F.lit(1).cast("bigint").alias(SEQ_COL)))
+    deletes = (cust.where(F.col("c_custkey") % 7 == 0)
+               .select("*", F.lit("-D").alias(OP_COL),
+                       F.lit(2).cast("bigint").alias(SEQ_COL)))
+    batch = updates.unionByName(deletes)
+    sink.write(tid, batch, schema, batch_id=1)
+    sink.write(tid, batch, schema, batch_id=1)  # replay: marker no-ops it
+    # materialize the spool the way an ES cluster applies _bulk
+    state: dict[str, tuple] = {}
+    for d in sorted(_glob.glob(os.path.join(out, tid.identifier(), "batch_*")),
+                    key=lambda p: int(p.rsplit("_", 1)[1])):
+        for part in sorted(_glob.glob(os.path.join(d, "part-*"))):
+            with open(part) as f:
+                lines = [ln for ln in f.read().splitlines() if ln.strip()]
+            i = 0
+            while i < len(lines):
+                action = _json.loads(lines[i])
+                if "index" in action:
+                    doc = _json.loads(lines[i + 1])
+                    state[action["index"]["_id"]] = (
+                        doc["c_custkey"], doc["c_name"], doc["c_acctbal"])
+                    i += 2
+                else:
+                    state.pop(action["delete"]["_id"], None)
+                    i += 1
+    return spark.createDataFrame(
+        list(state.values()), schema.struct_type())
+
+
 def q_transform_op_ts_metadata(spark, sf_dir):
     """Connector metadata column in expressions (SupportedMetadataColumn /
     OpTsMetadataColumn.java): `op_ts` resolves to the source's per-row
@@ -2486,6 +2541,7 @@ QUERIES: dict[str, object] = {
     "sample_token_budget": q_sample_token_budget,
     "text_quality_filters": q_text_quality_filters,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "sink_es_bulk": q_sink_es_bulk,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -2603,6 +2659,7 @@ ORACLES: dict[str, str] = {
     "sample_token_budget": _oracle_token_budget(),
     "text_quality_filters": _oracle_quality_filters(),
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "sink_es_bulk": ORACLE_SINK_UPSERT,
     "sessionize_events": ORACLE_SESSIONIZE,
     "doc_length_percentiles": ORACLE_DOC_PERCENTILES,
     "agg_event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,

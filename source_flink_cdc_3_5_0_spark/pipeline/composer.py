@@ -475,6 +475,15 @@ class PipelineComposer:
             if not db:
                 raise ValueError(f"{t} sink needs 'database' (file path)")
             return JdbcUpsertSink(db, dialect=opts.get("dialect", "sqlite"))
+        if t == "elasticsearch" and ("output-dir" in opts or "hosts" in opts):
+            # real _bulk wire-format sink (spool mode; live hosts are
+            # environment-gated inside the sink)
+            from ..sinks.elasticsearch import ElasticsearchBulkSink
+
+            return ElasticsearchBulkSink(
+                output_dir=opts.get("output-dir"),
+                hosts=opts.get("hosts"),
+                shard_suffix_col=opts.get("sharding.suffix.key"))
         if t in ("doris", "starrocks", "paimon", "iceberg", "elasticsearch",
                  "fluss", "maxcompute", "oceanbase", "mysql", "postgres"):
             # lake/OLAP sinks: same changelog-apply contract (PK upsert,
