@@ -475,6 +475,17 @@ class PipelineComposer:
             if not db:
                 raise ValueError(f"{t} sink needs 'database' (file path)")
             return JdbcUpsertSink(db, dialect=opts.get("dialect", "sqlite"))
+        if t in ("doris", "starrocks") and ("output-dir" in opts
+                                            or "frontend" in opts):
+            # real Stream Load wire-format sinks (spool mode; a live
+            # frontend is environment-gated inside the sink)
+            from ..sinks.streamload import (DorisStreamLoadSink,
+                                            StarRocksStreamLoadSink)
+
+            cls = (DorisStreamLoadSink if t == "doris"
+                   else StarRocksStreamLoadSink)
+            return cls(output_dir=opts.get("output-dir"),
+                       frontend=opts.get("frontend"))
         if t == "elasticsearch" and ("output-dir" in opts or "hosts" in opts):
             # real _bulk wire-format sink (spool mode; live hosts are
             # environment-gated inside the sink)
