@@ -257,3 +257,36 @@ def test_tfidf_gate_paths_agree(spark):
     slow = EQ.q_text_tfidf_top_terms(
         spark, SF, broadcast_vocab_limit=0).orderBy(*key).collect()
     assert fast == slow
+
+
+def test_quality_filters_no_shuffle(spark):
+    """text_quality_filters is one codegen'd projection — zero exchanges."""
+    import re
+    p = plan_of(EQ.q_text_quality_filters(spark, SF))
+    assert len(re.findall(r"\bExchange\b", p)) == 0, p
+    assert "CartesianProduct" not in p
+
+
+def test_token_budget_single_shuffle(spark):
+    """sample_token_budget: one group-key exchange feeding the running-sum
+    window — never a global sort."""
+    import re
+    p = plan_of(EQ.q_sample_token_budget(spark, SF))
+    assert len(re.findall(r"\bExchange\b", p)) == 1, p
+    assert "rangepartitioning" not in p.lower(), p
+
+
+def test_ngram_jaccard_no_cartesian(spark):
+    """dedup_ngram_jaccard pairs via the gram equi-join — an all-pairs
+    CartesianProduct would be the 100-TB killer."""
+    p = plan_of(EQ.q_dedup_ngram_jaccard(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_dedup_lines_no_cartesian_and_partial_agg(spark):
+    """dedup_lines: line-frequency groupBy must partial-aggregate (map-side
+    combine collapses repeated lines before the shuffle); the freq join is
+    an equi-join."""
+    p = plan_of(EQ.q_dedup_lines(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("HashAggregate") >= 2 or p.count("ObjectHashAggregate") >= 2, p
