@@ -464,6 +464,11 @@ class PipelineComposer:
                                            opts.get("bootstrap-servers")),
                 topic=opts.get("topic"),
                 output_dir=opts.get("output-dir"),
+                partition_strategy=opts.get("partition.strategy",
+                                            "all-to-zero"),
+                add_table_to_header=str(opts.get(
+                    "sink.add.tableId.to.header.enabled", "false"))
+                .lower() == "true",
             )
         if t in ("jdbc", "sqlite"):
             # relational sink (reference mysql/postgres pipeline sinks):
