@@ -52,6 +52,11 @@ BENCH_QUERIES = [
     "text_chunk_windows",
     "text_redact_pii",
     "cdc_postgres_pipeline",
+    "dedup_lines",
+    "dedup_ngram_jaccard",
+    "text_quality_filters",
+    "sample_token_budget",
+    "sink_es_bulk",
 ]
 
 

@@ -238,9 +238,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     df > the cap BEFORE pairing (sizes are then post-pruning too, i.e.
     Jaccard over the rare-gram subsets — the standard stop-shingle
     trade); leave None for the exact full-set semantics."""
+    # persist the exploded gram table: it feeds BOTH self-join sides and
+    # the per-doc size aggregate — uncached, the tokenize+explode subtree
+    # runs three times (the join sides' exchange reuse doesn't cover the
+    # separate sizes aggregation)
     grams = (_spread(df, id_col)
              .select(F.col(id_col).alias("id"),
-                     F.explode(word_ngrams_col(text_col, k=k)).alias("gram")))
+                     F.explode(word_ngrams_col(text_col, k=k)).alias("gram"))
+             .persist())
     if max_gram_df is not None:
         dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
         grams = (grams.join(dfreq.where(F.col("__df") <= max_gram_df), "gram")
