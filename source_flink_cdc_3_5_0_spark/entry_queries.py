@@ -771,6 +771,50 @@ WHERE jaccard >= 0.3
 """
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Scalar quantization of the embedding column (extensions/similarity.
+    quantize_scalar — the float32->uint8 memory lever behind IVF+SQ ANN at
+    billion-vector scale): per-dimension corpus min/max (bounded control
+    plane), then one projection computing codes + mean reconstruction
+    error. floor-based code arithmetic is bit-identical across engines."""
+    from .extensions.similarity import quantize_scalar
+
+    out = quantize_scalar(load(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.md5(F.concat_ws(",", F.transform(
+            "codes", lambda c: c.cast("string")))).alias("codes_md5"),
+        "mae")
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH d AS (
+  -- parallel unnests zip positionally in DuckDB
+  SELECT vec_id,
+         unnest(range(len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+stats AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM d GROUP BY 1),
+coded AS (
+  SELECT vec_id, pos, v, mn, mx,
+         CASE WHEN mx - mn > 0
+              THEN least(255, greatest(0,
+                     CAST(floor((v - mn) * 256.0 / (mx - mn)) AS INT)))
+              ELSE 0 END AS code
+  FROM d JOIN stats USING (pos)),
+err AS (
+  SELECT vec_id, pos, code,
+         CASE WHEN mx - mn > 0
+              THEN abs(v - (mn + (CAST(code AS DOUBLE) + 0.5) * (mx - mn) / 256.0))
+              ELSE abs(v - (mn + 0.5 * (mx - mn) / 256.0)) END AS e
+  FROM coded)
+SELECT vec_id,
+       md5(string_agg(code, ',' ORDER BY pos)) AS codes_md5,
+       round(sum(e) / count(*), 6) AS mae
+FROM err GROUP BY vec_id
+"""
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup pairs -> dedup CLUSTERS (the keep/drop decision step):
     connected components over the exact-verified MinHash pair graph via
@@ -2276,6 +2320,39 @@ WHERE rn <= 25
 """
 
 
+def q_sample_stratified_split(spark, sf_dir):
+    """Exact-count stratified train/val/test split (extensions/sampling.
+    stratified_split): per-language md5-priority order cut at exact
+    floor(n·cum) boundaries — unlike the binomial hash split, every
+    stratum gets its precise share (a small language keeps val/test
+    representation)."""
+    from .extensions.sampling import stratified_split
+
+    docs = load(spark, sf_dir, "documents")
+    out = stratified_split(docs, ["lang"], "doc_id",
+                           {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("lang", "doc_id", "split")
+
+
+def _oracle_stratified_split() -> str:
+    # the cut literals must be the IDENTICAL accumulated doubles the Spark
+    # side uses (0.8 + 0.1 != 0.9 exactly in binary; repr round-trips)
+    c1, c2 = 0.8, 0.8 + 0.1
+    return f"""
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT lang, doc_id,
+       CASE WHEN rn <= CAST(floor(n * {c1!r}) AS INT) THEN 'train'
+            WHEN rn <= CAST(floor(n * {c2!r}) AS INT) THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""
+
+
 # per-language token budgets: en down-sampled hard, others lightly — the
 # mixing-ratio shape every multilingual training corpus uses
 _MIX_BUDGETS = {"en": 2000, "de": 1500, "fr": 1500, "es": 1500, "zh": 1500}
@@ -2542,6 +2619,8 @@ QUERIES: dict[str, object] = {
     "text_quality_filters": q_text_quality_filters,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "sink_es_bulk": q_sink_es_bulk,
+    "embedding_quantize": q_embedding_quantize,
+    "sample_stratified_split": q_sample_stratified_split,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -2660,6 +2739,8 @@ ORACLES: dict[str, str] = {
     "text_quality_filters": _oracle_quality_filters(),
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "sink_es_bulk": ORACLE_SINK_UPSERT,
+    "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
+    "sample_stratified_split": _oracle_stratified_split(),
     "sessionize_events": ORACLE_SESSIONIZE,
     "doc_length_percentiles": ORACLE_DOC_PERCENTILES,
     "agg_event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,

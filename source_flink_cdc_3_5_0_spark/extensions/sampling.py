@@ -78,6 +78,44 @@ def token_budget_sample(df: DataFrame, group_cols: list[str], id_col: str,
             .drop("__cum"))
 
 
+def stratified_split(df: DataFrame, strata_cols: list[str], id_col: str,
+                     fractions: dict[str, float]) -> DataFrame:
+    """Exact-count stratified split: within every stratum, rows are ordered
+    by md5 priority and cut at floor(n·cum_fraction) boundaries, so each
+    stratum's split sizes are exact (±1 from flooring) rather than the
+    hash-split's binomial approximation — the difference matters for small
+    strata (a 6-doc language keeps its val/test representation).
+
+    Deterministic and engine-reproducible: same rows land in the same
+    split on every run and every engine (the window arithmetic is integer
+    + one double multiply, identical everywhere). One shuffle on the
+    strata key; window state is a counter, never a global sort.
+
+    ``fractions`` values must sum to 1 (e.g. {"train": .8, "val": .1,
+    "test": .1}); the LAST named split absorbs the flooring remainder."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    from pyspark.sql import Window
+
+    pri = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*strata_cols).orderBy(pri, F.col(id_col))
+    wn = Window.partitionBy(*strata_cols)
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wn)
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        cut = F.floor(n * F.lit(cum)).cast("int")
+        cond = rn <= cut
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = (expr.otherwise(F.lit(names[-1])) if expr is not None
+            else F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
 def quota_sample(df: DataFrame, group_cols: list[str], id_col: str,
                  n_per_group: int) -> DataFrame:
     """Deterministic per-group quota sample: exactly min(n, |group|) rows

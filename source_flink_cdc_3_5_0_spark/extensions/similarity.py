@@ -121,3 +121,58 @@ def ivf_topk(candidates: DataFrame, queries: DataFrame, centroids: list[list[flo
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def quantize_scalar(df: DataFrame, vec_col: str = "embedding",
+                    id_col: str = "vec_id", levels: int = 256) -> DataFrame:
+    """Per-dimension scalar quantization (the memory-side ANN scale lever:
+    float32 -> uint8 shrinks vector storage 4x; IVF+SQ is the standard
+    billion-vector recipe). Two passes:
+
+    1. per-dimension corpus min/max — one posexplode + partial-agg groupBy,
+       collected to the driver (BOUNDED control plane: n_dims rows, never
+       corpus rows) and re-broadcast as literal arrays;
+    2. one codegen projection: code_d = clamp(floor((v - min_d) * levels /
+       (max_d - min_d))) in [0, levels-1]; floor (not round) keeps the
+       arithmetic bit-identical across engines. Constant dimensions code
+       to 0.
+
+    Emits (id, codes array<int>, mae double) where mae = mean |v - dequant|
+    with dequant = min_d + (code + 0.5) * range_d / levels."""
+    stats = (df.select(F.posexplode(_as_double(F.col(vec_col)))
+                       .alias("pos", "v"))
+             .groupBy("pos")
+             .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+             .collect())
+    mn = [0.0] * len(stats)
+    mx = [0.0] * len(stats)
+    for r in stats:
+        mn[r["pos"]], mx[r["pos"]] = r["mn"], r["mx"]
+    mn_arr = F.array(*[F.lit(float(v)) for v in mn])
+    mx_arr = F.array(*[F.lit(float(v)) for v in mx])
+    L = float(levels)
+
+    def feat(x, i):
+        lo = F.element_at(mn_arr, i + 1)
+        hi = F.element_at(mx_arr, i + 1)
+        rng = hi - lo
+        code = F.when(rng > 0.0, F.least(
+            F.lit(int(levels - 1)),
+            F.greatest(F.lit(0),
+                       F.floor((x - lo) * F.lit(L) / rng).cast("int"))
+        )).otherwise(F.lit(0))
+        deq = lo + (code.cast("double") + F.lit(0.5)) * rng / F.lit(L)
+        return F.struct(code.alias("code"), F.abs(x - deq).alias("err"))
+
+    # one interpreted-lambda pass producing (code, err) pairs; the pair
+    # struct is materialized as a real column so the two extractions below
+    # don't re-run the arithmetic (no codegen CSE inside lambdas)
+    base = df.select(
+        F.col(id_col),
+        F.transform(_as_double(F.col(vec_col)), feat).alias("__f"))
+    return base.select(
+        id_col,
+        F.transform("__f", lambda f: f["code"]).alias("codes"),
+        F.round(F.aggregate("__f", F.lit(0.0), lambda a, f: a + f["err"])
+                / F.size("__f"), 6).alias("mae"),
+    )
