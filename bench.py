@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "text_quality_filters",
     "sample_token_budget",
     "sink_es_bulk",
+    "embedding_quantize",
+    "sample_stratified_split",
+    "pipeline_corpus_prep",
 ]
 
 

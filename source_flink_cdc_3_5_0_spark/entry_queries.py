@@ -2320,6 +2320,81 @@ WHERE rn <= 25
 """
 
 
+def q_pipeline_corpus_prep(spark, sf_dir):
+    """Flagship COMPOSITION: the full training-corpus preparation pipeline
+    as one declarative plan — C4-style quality gate → exact dedup (keep
+    min doc_id per fingerprint) → benchmark decontamination (drop docs
+    sharing ≥1 word-4-gram with the 'src0' eval suite) → exact stratified
+    split — emitting per-(lang, split) survivor counts. Every stage is an
+    oracled operator; composed, Catalyst still plans it as a handful of
+    shuffles (quality gate is a projection, dedup one agg+join,
+    decontam a broadcast semi-join, split one window)."""
+    from .extensions.decontam import ngram_overlap_pairs
+    from .extensions.sampling import stratified_split
+    from .extensions.text import quality_filters
+
+    docs = load(spark, sf_dir, "documents")
+    kept = quality_filters(docs).where(F.col("keep")).select(
+        "doc_id", "lang", "source", "text")
+    # exact dedup: keep the smallest doc_id per exact-text fingerprint
+    fp = kept.withColumn("__fp", F.md5(F.col("text")))
+    reps = fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = fp.join(reps, ["__fp", "doc_id"]).drop("__fp")
+    # decontamination: drop docs overlapping the eval suite (src0)
+    ev = docs.where(F.col("source") == "src0")
+    corpus = deduped.where(F.col("source") != "src0")
+    contaminated = ngram_overlap_pairs(corpus, ev, k=4) \
+        .select(F.col("corpus_doc_id").alias("doc_id")).distinct()
+    clean = corpus.join(contaminated, "doc_id", "left_anti")
+    out = stratified_split(clean, ["lang"], "doc_id",
+                           {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (out.groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+
+
+def _oracle_corpus_prep() -> str:
+    from .extensions.text import quality_filters_sql
+
+    keep = quality_filters_sql("duckdb", "text")["keep"]
+    c1, c2 = 0.8, 0.8 + 0.1
+    return f"""
+WITH kept AS (
+  SELECT doc_id, lang, source, text FROM documents WHERE {keep}),
+fp AS (SELECT *, md5(text) AS f FROM kept),
+reps AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY 1),
+deduped AS (SELECT fp.* FROM fp JOIN reps USING (f, doc_id)),
+toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(range(1, len(t) - 2),
+                i -> list_aggregate(t[i:i+3], 'string_agg', ' ')))) AS gram
+  FROM toks WHERE len(t) >= 4),
+contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM grams e JOIN grams c ON e.gram = c.gram
+  WHERE e.source = 'src0' AND c.source <> 'src0'),
+clean AS (
+  SELECT d.* FROM deduped d
+  WHERE d.source <> 'src0'
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM clean)
+SELECT lang,
+       CASE WHEN rn <= CAST(floor(n * {c1!r}) AS INT) THEN 'train'
+            WHEN rn <= CAST(floor(n * {c2!r}) AS INT) THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM r GROUP BY 1, 2
+"""
+
+
 def q_sample_stratified_split(spark, sf_dir):
     """Exact-count stratified train/val/test split (extensions/sampling.
     stratified_split): per-language md5-priority order cut at exact
@@ -2621,6 +2696,7 @@ QUERIES: dict[str, object] = {
     "sink_es_bulk": q_sink_es_bulk,
     "embedding_quantize": q_embedding_quantize,
     "sample_stratified_split": q_sample_stratified_split,
+    "pipeline_corpus_prep": q_pipeline_corpus_prep,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -2741,6 +2817,7 @@ ORACLES: dict[str, str] = {
     "sink_es_bulk": ORACLE_SINK_UPSERT,
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "sample_stratified_split": _oracle_stratified_split(),
+    "pipeline_corpus_prep": _oracle_corpus_prep(),
     "sessionize_events": ORACLE_SESSIONIZE,
     "doc_length_percentiles": ORACLE_DOC_PERCENTILES,
     "agg_event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,
