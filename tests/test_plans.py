@@ -290,3 +290,14 @@ def test_dedup_lines_no_cartesian_and_partial_agg(spark):
     p = plan_of(EQ.q_dedup_lines(spark, SF))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert p.count("HashAggregate") >= 2 or p.count("ObjectHashAggregate") >= 2, p
+
+
+def test_corpus_prep_composition_bounded_shuffles(spark):
+    """The 4-stage corpus-prep flagship composes into ONE plan with a
+    bounded handful of exchanges (quality gate is a projection; dedup one
+    agg + join; decontam gram agg + broadcast semi-join; split one
+    window; final count) and no cartesian anywhere."""
+    import re
+    p = plan_of(EQ.q_pipeline_corpus_prep(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert len(re.findall(r"\bExchange\b", p)) <= 6, p
