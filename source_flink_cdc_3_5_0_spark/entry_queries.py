@@ -1968,6 +1968,84 @@ def q_sink_es_bulk(spark, sf_dir):
         list(state.values()), schema.struct_type())
 
 
+def q_multimodal_real_codecs(spark, sf_dir):
+    """REAL media decode, value-level oracled: deterministic PPM images
+    (solid color derived from the id) and 16-bit-PCM WAVs (constant
+    amplitude) are built as actual bytes in an Arrow stage, decoded by the
+    real pure-numpy/stdlib codecs (extensions/multimodal._decode_ppm /
+    _decode_wav — no PIL/ffmpeg), and feature values are checked against a
+    CLOSED-FORM oracle: a solid gray image's 4x4 block-mean grid is
+    gray/255 in every cell; constant-amplitude PCM has segment RMS
+    amp/32768. Features pass through float32 (the schema type), so both
+    engines quantize through REAL before rounding."""
+    import numpy as np
+    import pandas as pd
+
+    from .extensions.multimodal import (MEDIA_SCHEMA, _encode_ppm,
+                                        extract_features)
+
+    ids = load(spark, sf_dir, "embeddings").select("vec_id")
+
+    def gen(batches):
+        import io
+        import wave as _wave
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["vec_id"]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    rgb = (mid * 7 % 256, mid * 13 % 256, mid * 29 % 256)
+                    arr = np.zeros((8, 8, 3), dtype=np.uint8)
+                    arr[:, :] = rgb
+                    rows.append((mid, "image", bytearray(_encode_ppm(arr)),
+                                 "image/x-portable-pixmap", 8, 8, None))
+                else:
+                    amp = (mid * 37) % 30000
+                    buf = io.BytesIO()
+                    with _wave.open(buf, "wb") as f:
+                        f.setnchannels(1)
+                        f.setsampwidth(2)
+                        f.setframerate(8000)
+                        f.writeframes(
+                            np.full(64, amp, dtype="<i2").tobytes())
+                    rows.append((mid, "audio", bytearray(buf.getvalue()),
+                                 "audio/wav", None, None, 8))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    media = ids.mapInPandas(gen, MEDIA_SCHEMA)
+    feats = extract_features(media, decoder="real")
+    f1 = F.element_at("feature", 1).cast("double")
+    fmean = (F.aggregate("feature", F.lit(0.0),
+                         lambda a, x: a + x.cast("double")) / F.size("feature"))
+    return feats.select(
+        F.col("media_id"), "kind", "n_bytes",
+        F.round(f1, 6).alias("f_first"),
+        F.round(fmean, 6).alias("f_mean"))
+
+
+# closed-form replay: image n_bytes = 11-byte 'P6\n8 8\n255\n' header +
+# 8*8*3 raster = 203; wav n_bytes = 44-byte canonical PCM header + 64*2 =
+# 172. Feature floats quantize through REAL (float32) exactly like the
+# ArrayType(FloatType) schema does.
+ORACLE_MULTIMODAL_REAL = """
+WITH ids AS (SELECT vec_id AS media_id FROM embeddings),
+img AS (
+  SELECT media_id, 'image' AS kind, 203 AS n_bytes,
+         CAST(CAST(
+           ((media_id * 7 % 256) + (media_id * 13 % 256) + (media_id * 29 % 256))
+           / 3.0 / 255.0 AS REAL) AS DOUBLE) AS f
+  FROM ids WHERE media_id % 2 = 0),
+aud AS (
+  SELECT media_id, 'audio' AS kind, 172 AS n_bytes,
+         CAST(CAST(((media_id * 37) % 30000) / 32768.0 AS REAL) AS DOUBLE) AS f
+  FROM ids WHERE media_id % 2 = 1)
+SELECT media_id, kind, n_bytes,
+       round(f, 6) AS f_first, round(f, 6) AS f_mean
+FROM (SELECT * FROM img UNION ALL SELECT * FROM aud)
+"""
+
+
 def q_transform_op_ts_metadata(spark, sf_dir):
     """Connector metadata column in expressions (SupportedMetadataColumn /
     OpTsMetadataColumn.java): `op_ts` resolves to the source's per-row
@@ -2697,6 +2775,7 @@ QUERIES: dict[str, object] = {
     "embedding_quantize": q_embedding_quantize,
     "sample_stratified_split": q_sample_stratified_split,
     "pipeline_corpus_prep": q_pipeline_corpus_prep,
+    "multimodal_real_codecs": q_multimodal_real_codecs,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -2818,6 +2897,7 @@ ORACLES: dict[str, str] = {
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "sample_stratified_split": _oracle_stratified_split(),
     "pipeline_corpus_prep": _oracle_corpus_prep(),
+    "multimodal_real_codecs": ORACLE_MULTIMODAL_REAL,
     "sessionize_events": ORACLE_SESSIONIZE,
     "doc_length_percentiles": ORACLE_DOC_PERCENTILES,
     "agg_event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,

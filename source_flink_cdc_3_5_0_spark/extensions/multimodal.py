@@ -3,16 +3,25 @@
 Media payloads are opaque ``binary`` columns plus typed metadata structs;
 decode / feature-extraction run as Arrow-batched ``mapInPandas`` stages so a
 1000-executor cluster streams batches through Python workers without
-materializing whole partitions. The actual codecs (PIL/ffmpeg/torchaudio) are
-NOT available in this container — the decode step is stubbed with a
-deterministic fake behind ``use_fake_decoder=True`` (default) or raises
-``NotImplementedError``; the Spark-side plumbing (schema, batching,
-partition sizing) is real and tested.
+materializing whole partitions.
+
+Codecs: PPM (P6) images and WAV (16-bit PCM) audio decode FOR REAL —
+pure numpy + stdlib ``wave``, no external libs (`_decode_ppm` /
+`_decode_wav`, exact-value unit tests in ``tests/test_multimodal_codecs``).
+Compressed formats (JPEG/PNG/MP4/...) need PIL/ffmpeg, which are NOT in
+this container — those payloads fall back to a deterministic md5-seeded
+fake under ``decoder='auto'`` (the default used by the driver queries,
+whose fixtures are opaque bytes), or raise under ``decoder='real'``. The
+Spark-side plumbing (schema, batching, partition sizing) is identical on
+every path.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -41,7 +50,7 @@ _FEATURES_SCHEMA = T.StructType([
 
 def _fake_decode_features(payload: bytes | None) -> list[float]:
     """Deterministic stand-in for decode→embed: md5-seeded pseudo-features.
-    Replace with a real decoder (PIL/torchvision) where libs exist."""
+    Used for formats whose codecs (PIL/ffmpeg) aren't in this container."""
     if payload is None:
         return [0.0] * _FEATURE_DIM
     h = hashlib.md5(bytes(payload)).digest()
@@ -49,18 +58,140 @@ def _fake_decode_features(payload: bytes | None) -> list[float]:
     return [float(x) for x in rng.rand(_FEATURE_DIM).astype(np.float32)]
 
 
+# -- real codecs (pure numpy / stdlib — no PIL/ffmpeg needed) ---------------
+
+def _decode_ppm(payload: bytes) -> np.ndarray | None:
+    """Binary PPM (P6, maxval 255) -> (h, w, 3) uint8 array, or None if the
+    payload isn't P6. Header = 'P6' + whitespace-separated width height
+    maxval (comments '#…' allowed), one whitespace byte, then raw RGB."""
+    if not payload.startswith(b"P6"):
+        return None
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3 and i < len(payload):
+        c = payload[i:i + 1]
+        if c == b"#":  # comment to end of line
+            i = payload.find(b"\n", i)
+            if i < 0:
+                return None
+            i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(payload) and payload[j:j + 1].isdigit():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(fields) < 3 or fields[2] != 255:
+        return None
+    i += 1  # single whitespace after maxval
+    w, h = fields[0], fields[1]
+    raw = payload[i:i + w * h * 3]
+    if len(raw) != w * h * 3:
+        return None
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _encode_ppm(arr: np.ndarray) -> bytes:
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def _decode_wav(payload: bytes) -> np.ndarray | None:
+    """RIFF/WAV 16-bit PCM -> mono float64 samples in [-1, 1), or None if
+    not a 16-bit PCM WAV (stdlib ``wave`` — no external audio lib)."""
+    if not payload.startswith(b"RIFF"):
+        return None
+    try:
+        with wave.open(io.BytesIO(bytes(payload))) as f:
+            if f.getsampwidth() != 2:
+                return None
+            frames = f.readframes(f.getnframes())
+            ch = f.getnchannels()
+    except (wave.Error, EOFError, struct.error):
+        return None
+    x = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x / 32768.0
+
+
+def _image_features(arr: np.ndarray) -> list[float]:
+    """16-dim REAL image feature: 4x4 grid of grayscale block means in
+    [0, 1] (nearest-boundary blocks; the classic tiny-thumbnail feature)."""
+    gray = arr.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = np.linspace(0, h, 5).astype(int)
+    xs = np.linspace(0, w, 5).astype(int)
+    out = []
+    for r in range(4):
+        for c in range(4):
+            block = gray[ys[r]:max(ys[r + 1], ys[r] + 1),
+                         xs[c]:max(xs[c + 1], xs[c] + 1)]
+            out.append(float(block.mean()) / 255.0)
+    return out
+
+
+def _audio_features(x: np.ndarray) -> list[float]:
+    """16-dim REAL audio feature: RMS energy of 16 equal segments."""
+    if x.size == 0:
+        return [0.0] * _FEATURE_DIM
+    bounds = np.linspace(0, x.size, _FEATURE_DIM + 1).astype(int)
+    out = []
+    for i in range(_FEATURE_DIM):
+        seg = x[bounds[i]:max(bounds[i + 1], bounds[i] + 1)]
+        out.append(float(np.sqrt(np.mean(seg * seg))))
+    return out
+
+
+def _real_decode_features(payload: bytes | None) -> list[float] | None:
+    """Real decode for the formats we can parse without PIL/ffmpeg;
+    None = unknown format (caller decides: fake fallback or raise)."""
+    if payload is None:
+        return None
+    payload = bytes(payload)
+    img = _decode_ppm(payload)
+    if img is not None:
+        return _image_features(img)
+    audio = _decode_wav(payload)
+    if audio is not None:
+        return _audio_features(audio)
+    return None
+
+
 def extract_features(df: DataFrame, use_fake_decoder: bool = True,
-                     batch_rows_hint: int = 1024) -> DataFrame:
+                     batch_rows_hint: int = 1024,
+                     decoder: str | None = None) -> DataFrame:
     """Decode + feature-extract media rows via ``mapInPandas``.
+
+    ``decoder``: ``'fake'`` (md5-seeded pseudo-features — opaque test
+    payloads), ``'real'`` (PPM/WAV decode for real, raise on formats
+    needing PIL/ffmpeg), ``'auto'`` (real where the format is parseable,
+    fake fallback otherwise). ``use_fake_decoder`` is the legacy boolean
+    spelling (True -> 'fake', False -> 'real').
 
     The iterator-of-batches shape means constant memory per task regardless
     of partition size; tune ``spark.sql.execution.arrow.maxRecordsPerBatch``
     to bound decoded-payload memory (large blobs → smaller batches).
     """
-    if not use_fake_decoder:
+    mode = decoder or ("fake" if use_fake_decoder else "real")
+    if mode not in ("fake", "real", "auto"):
+        raise ValueError(f"decoder must be fake|real|auto, got {mode!r}")
+
+    def one(payload):
+        if mode == "fake":
+            return _fake_decode_features(payload)
+        feats = _real_decode_features(payload)
+        if feats is not None:
+            return feats
+        if mode == "auto":
+            return _fake_decode_features(payload)
         raise NotImplementedError(
-            "real media decoding needs PIL/ffmpeg — not installed in this "
-            "environment; pass use_fake_decoder=True for the plumbing path")
+            "payload is not PPM/WAV; decoding compressed formats needs "
+            "PIL/ffmpeg (not installed) — use decoder='auto' to fall back")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -68,7 +199,7 @@ def extract_features(df: DataFrame, use_fake_decoder: bool = True,
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int32"),
-                "feature": pdf["payload"].map(_fake_decode_features),
+                "feature": pdf["payload"].map(one),
             })
             yield out
 
@@ -84,18 +215,18 @@ _RESIZED_SCHEMA = T.StructType([
 
 
 def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32,
-                  use_fake_decoder: bool = True) -> DataFrame:
+                  use_fake_decoder: bool = True,
+                  decoder: str | None = None) -> DataFrame:
     """Decode→resize→re-encode image rows via ``mapInPandas``.
 
     Non-image rows are filtered JVM-side BEFORE the Python stage (predicate
-    stays in the scan, Python only sees image payloads). The fake resizer
-    emits a deterministic ``target_w*target_h*3``-byte payload derived from
-    the source bytes; a real impl swaps ``_fake_resize`` for PIL
-    ``Image.resize`` with the same signature."""
-    if not use_fake_decoder:
-        raise NotImplementedError(
-            "real image resize needs PIL — not installed; pass "
-            "use_fake_decoder=True for the plumbing path")
+    stays in the scan, Python only sees image payloads). PPM (P6) payloads
+    resize FOR REAL — nearest-neighbor index sampling in numpy, re-encoded
+    as PPM (``decoder='real'``/``'auto'``); other formats need PIL and
+    fall back to a deterministic fake payload under ``'fake'``/``'auto'``."""
+    mode = decoder or ("fake" if use_fake_decoder else "real")
+    if mode not in ("fake", "real", "auto"):
+        raise ValueError(f"decoder must be fake|real|auto, got {mode!r}")
     n_out = target_w * target_h * 3
 
     def _fake_resize(payload) -> bytes | None:
@@ -105,13 +236,29 @@ def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32,
         reps = (n_out + len(seed) - 1) // len(seed)
         return (seed * reps)[:n_out]
 
+    def _resize(payload) -> bytes | None:
+        if payload is None:
+            return None
+        if mode != "fake":
+            img = _decode_ppm(bytes(payload))
+            if img is not None:
+                h, w = img.shape[:2]
+                ys = (np.arange(target_h) * h // target_h)
+                xs = (np.arange(target_w) * w // target_w)
+                return _encode_ppm(img[ys][:, xs])
+            if mode == "real":
+                raise NotImplementedError(
+                    "payload is not PPM; resizing compressed formats needs "
+                    "PIL (not installed) — use decoder='auto' to fall back")
+        return _fake_resize(payload)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "width": np.int32(target_w),
                 "height": np.int32(target_h),
-                "payload": pdf["payload"].map(_fake_resize),
+                "payload": pdf["payload"].map(_resize),
             })
 
     return df.where(F.col("kind") == "image").mapInPandas(run, schema=_RESIZED_SCHEMA)

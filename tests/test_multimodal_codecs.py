@@ -1,0 +1,119 @@
+"""Real multimodal codecs (no PIL/ffmpeg): PPM image + 16-bit-PCM WAV
+decode with EXACT expected values, the real nearest-neighbor resize
+round-trip, and the auto-fallback contract for unparseable formats."""
+
+import io
+import wave
+
+import numpy as np
+import pytest
+
+from source_flink_cdc_3_5_0_spark.extensions.multimodal import (
+    MEDIA_SCHEMA,
+    _decode_ppm,
+    _decode_wav,
+    _encode_ppm,
+    extract_features,
+    resize_images,
+)
+
+
+def make_ppm(w, h, fn):
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            arr[y, x] = fn(x, y)
+    return _encode_ppm(arr), arr
+
+
+def make_wav(samples, rate=8000):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_ppm_roundtrip_and_comment_header():
+    payload, arr = make_ppm(6, 4, lambda x, y: (x * 40, y * 60, 7))
+    got = _decode_ppm(payload)
+    assert got is not None and np.array_equal(got, arr)
+    commented = payload.replace(b"P6\n", b"P6\n# a comment\n", 1)
+    assert np.array_equal(_decode_ppm(commented), arr)
+    assert _decode_ppm(b"JFIF...") is None
+    assert _decode_ppm(b"P6\n2 2\n255\nshort") is None  # truncated raster
+
+
+def test_wav_decode_exact_samples():
+    samples = [0, 16384, -16384, 32767]
+    x = _decode_wav(make_wav(samples))
+    assert x is not None
+    assert np.allclose(x, np.array(samples) / 32768.0)
+    assert _decode_wav(b"OggS....") is None
+
+
+def test_real_image_features_exact(spark):
+    """A 4x4 image with known grayscale values: the 4x4 block-mean grid IS
+    the pixels — features must equal gray/255 exactly."""
+    arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    payload = _encode_ppm(arr)
+    gray = arr.astype(np.float64).mean(axis=2) / 255.0
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload), "image/x-portable-pixmap",
+          4, 4, None)], MEDIA_SCHEMA)
+    row = extract_features(df, decoder="real").collect()[0]
+    assert row["n_bytes"] == len(payload)
+    assert np.allclose(row["feature"], gray.flatten(), atol=1e-6)
+
+
+def test_real_audio_features_exact(spark):
+    """Constant-amplitude PCM: every segment RMS equals |amplitude|/32768."""
+    amp = 12288
+    payload = make_wav([amp] * 160)
+    df = spark.createDataFrame(
+        [(2, "audio", bytearray(payload), "audio/wav", None, None, 20)],
+        MEDIA_SCHEMA)
+    row = extract_features(df, decoder="real").collect()[0]
+    assert np.allclose(row["feature"], [amp / 32768.0] * 16, atol=1e-6)
+
+
+def test_real_resize_nearest_neighbor_exact(spark):
+    """Downscale 8x8 -> 2x2 by nearest-neighbor: output pixels must be the
+    exact sampled sources (indices floor(i*8/2) = 0 and 4)."""
+    payload, arr = make_ppm(8, 8, lambda x, y: (x * 30, y * 30, 128))
+    df = spark.createDataFrame(
+        [(3, "image", bytearray(payload), "image/x-portable-pixmap",
+          8, 8, None)], MEDIA_SCHEMA)
+    out = resize_images(df, target_w=2, target_h=2, decoder="real").collect()[0]
+    got = _decode_ppm(bytes(out["payload"]))
+    assert np.array_equal(got, arr[[0, 4]][:, [0, 4]])
+    assert (out["width"], out["height"]) == (2, 2)
+
+
+def test_auto_falls_back_fake_real_raises(spark):
+    opaque = b"\x89PNG\r\n\x1a\n not actually decodable here"
+    df = spark.createDataFrame(
+        [(4, "image", bytearray(opaque), "image/png", 1, 1, None)],
+        MEDIA_SCHEMA)
+    auto = extract_features(df, decoder="auto").collect()[0]
+    fake = extract_features(df, decoder="fake").collect()[0]
+    assert auto["feature"] == fake["feature"]  # documented fallback
+    with pytest.raises(Exception):  # NotImplementedError inside the worker
+        extract_features(df, decoder="real").collect()
+
+
+def test_mixed_corpus_auto_decodes_parseable_rows(spark):
+    ppm, arr = make_ppm(4, 4, lambda x, y: (100, 100, 100))
+    rows = [
+        (10, "image", bytearray(ppm), "image/x-portable-pixmap", 4, 4, None),
+        (11, "audio", bytearray(make_wav([0] * 64)), "audio/wav", None, None, 8),
+        (12, "video", bytearray(b"opaque-bytes"), "video/mp4", None, None, 900),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r["feature"]
+           for r in extract_features(df, decoder="auto").collect()}
+    assert np.allclose(got[10], [100 / 255.0] * 16, atol=1e-6)
+    assert np.allclose(got[11], [0.0] * 16)
+    assert len(got[12]) == 16  # fake fallback, still 16-dim

@@ -67,8 +67,16 @@ def test_sample_frames_cap(spark):
     assert max(r["count"] for r in counts) == 8
 
 
-def test_real_decoder_paths_are_gated():
-    with pytest.raises(NotImplementedError):
-        resize_images(None, use_fake_decoder=False)
+def test_real_decoder_paths_are_gated(spark):
+    """Real decode now EXISTS for PPM/WAV (test_multimodal_codecs pins the
+    exact values); what stays environment-gated: frame sampling (video
+    needs ffmpeg — eager raise), and real-mode resize over a format PPM
+    can't express (raises inside the worker)."""
     with pytest.raises(NotImplementedError):
         sample_frames(None, use_fake_decoder=False)
+    from source_flink_cdc_3_5_0_spark.extensions.multimodal import MEDIA_SCHEMA
+    jpeg = spark.createDataFrame(
+        [(1, "image", bytearray(b"\xff\xd8\xff jpeg-ish"), "image/jpeg",
+          2, 2, None)], MEDIA_SCHEMA)
+    with pytest.raises(Exception):
+        resize_images(jpeg, use_fake_decoder=False).collect()
