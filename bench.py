@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "sample_stratified_split",
     "pipeline_corpus_prep",
+    "multimodal_real_codecs",
 ]
 
 
