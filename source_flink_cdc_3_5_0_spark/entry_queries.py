@@ -2150,7 +2150,7 @@ def q_text_tfidf_top_terms(spark, sf_dir,
     score = (F.col("tf") * (F.lit(n_docs) - F.col("df") + F.lit(0.5))) \
         / (F.col("df") + F.lit(0.5))
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
-    return (
+    out = (
         tf.join(right, on="term")
         .withColumn("score", score)
         .withColumn("rank", F.row_number().over(w).cast("int"))
@@ -2158,6 +2158,10 @@ def q_text_tfidf_top_terms(spark, sf_dir,
         .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
                 "score", "rank")
     )
+    # release handle (ngram_jaccard_pairs convention): one canonical cache
+    # entry per session; call out.dfreq_base.unpersist() when done
+    out.dfreq_base = dfreq
+    return out
 
 
 ORACLE_TFIDF_TOP_TERMS = r"""

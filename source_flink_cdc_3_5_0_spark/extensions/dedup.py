@@ -259,7 +259,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
     jac = F.round(F.col("inter")
                   / (F.col("na") + F.col("nb") - F.col("inter")), 6)
-    return (
+    out = (
         inter
         .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")),
               "id_a")
@@ -269,6 +269,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # release handle, same convention as minhash_lsh_exact_pairs'
+    # lsh_base/lsh_pruned: callers that are done with the result call
+    # out.gram_base.unpersist() (re-invocations canonicalize to the same
+    # cache entry, so a long session holds ONE copy, not one per call)
+    out.gram_base = grams
+    return out
 
 
 def minhash_lsh_exact_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -500,8 +506,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         else:  # star fallback: restart from the raw edges, diameter-proof
             stars = _alternating_star(
                 fwd.select(F.col("src").alias("u"), F.col("dst").alias("v")))
+            # the star rounds drop u==v rows, but the output contract keeps
+            # every id that appears in >=1 pair — ids seen ONLY in
+            # self-pairs re-enter as their own representative
+            all_ids = edges.select(F.col("src").alias("id")).distinct()
+            labels = (all_ids.join(stars, "id", "left")
+                      .select("id", F.coalesce("label", F.col("id"))
+                              .alias("rep_id")))
+            labels = labels.localCheckpoint()  # release edges afterwards
             edges.unpersist()
-            return stars.select("id", F.col("label").alias("rep_id"))
+            return labels
     edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("rep_id"))
 

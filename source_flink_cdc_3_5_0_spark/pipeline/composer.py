@@ -300,8 +300,14 @@ class PipelineExecution:
                     self._process_data(batch)
                 self.batches_run += 1
         finally:
-            if self.local_time_zone and prior_tz is not None:
-                self.spark.conf.set(tz_key, prior_tz)
+            if self.local_time_zone:
+                # a session that never set the key explicitly reads None
+                # even though an effective default zone exists — unset
+                # restores that default instead of leaking our zone
+                if prior_tz is not None:
+                    self.spark.conf.set(tz_key, prior_tz)
+                else:
+                    self.spark.conf.unset(tz_key)
         return self
 
 

@@ -44,12 +44,27 @@ class _StreamLoadMetadataApplier(MetadataApplier):
         self.sql = MySqlDialect()
 
     def apply_schema_change(self, table_id, event, evolved_schema) -> None:
+        import hashlib
+
         tdir = os.path.join(self.sink.output_dir, table_id.identifier())
         os.makedirs(tdir, exist_ok=True)
         stmts = self.sql.ddl_sql(table_id.identifier(), event, evolved_schema)
+        # replay idempotence (the DDL analog of the batch_<id> markers): a
+        # restarted micro-batch re-applies its schema events, so skip a
+        # statement group identical to the LAST one appended — consecutive
+        # identical DDL is always either a replay or a semantic no-op
+        # (e.g. TRUNCATE;TRUNCATE), never a legal distinct change
+        digest = hashlib.md5("\n".join(stmts).encode()).hexdigest()
+        marker = os.path.join(tdir, "_ddl_last")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if f.read().strip() == digest:
+                    return
         with open(os.path.join(tdir, "ddl.sql"), "a") as f:
             for s in stmts:
                 f.write(s + ";\n")
+        with open(marker, "w") as f:
+            f.write(digest)
 
 
 class _StreamLoadSink(DataSink):

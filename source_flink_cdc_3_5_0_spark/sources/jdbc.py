@@ -158,16 +158,25 @@ def quote_identifier(name: str, quote: str = '"') -> str:
                     for part in name.split("."))
 
 
+def quote_char_for_url(url: str) -> str:
+    """Identifier quote for a JDBC url: MySQL's default sql_mode treats
+    double quotes as STRING literals (no ANSI_QUOTES), so mysql/mariadb
+    get backticks; everything else speaks ANSI double quotes."""
+    return "`" if url.lower().startswith(("jdbc:mysql", "jdbc:mariadb")) else '"'
+
+
 def sql_walk_callables(execute_scalar, table: str, split_column: str,
-                       chunk_size: int = DEFAULT_CHUNK_SIZE):
+                       chunk_size: int = DEFAULT_CHUNK_SIZE,
+                       quote: str = '"'):
     """(next_chunk_max, next_min) rendering the reference's per-chunk SQL
     (``queryNextChunkMax`` / ``queryMin``) and executing it via an injected
     ``execute_scalar(sql) -> int | None`` — ``spark.read.jdbc`` in
     production (:meth:`JdbcSnapshotSource.jdbc_walk_callables`), a DB-API
-    cursor in tests. Identifiers are quoted; bounds are forced to int
-    before interpolation."""
-    col = quote_identifier(split_column)
-    t = quote_identifier(table)
+    cursor in tests. Identifiers are quoted with the dialect's quote char
+    (``quote_char_for_url``); bounds are forced to int before
+    interpolation."""
+    col = quote_identifier(split_column, quote)
+    t = quote_identifier(table, quote)
 
     def next_chunk_max(lower_inclusive: int):
         return execute_scalar(
@@ -295,7 +304,8 @@ class JdbcSnapshotSource:
             return None if v is None else int(v)
 
         return sql_walk_callables(_scalar, self.table, self.split_column,
-                                  self.chunk_size)
+                                  self.chunk_size,
+                                  quote=quote_char_for_url(self.url))
 
     def plan_predicates(self, min_key: int, max_key: int, row_count: int,
                         histogram=None, spark=None) -> list[str]:

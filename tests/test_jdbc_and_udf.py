@@ -335,3 +335,29 @@ sink: {type: doris, fenodes: "fe:8030"}
 """)
         with pytest.raises(ValueError, match="environment-gated"):
             composer._create_sink(pdef)
+
+
+def test_walk_sql_uses_backticks_for_mysql_urls():
+    """MySQL's default sql_mode treats double quotes as string literals —
+    the walk SQL must quote identifiers with backticks there."""
+    from source_flink_cdc_3_5_0_spark.sources.jdbc import quote_char_for_url
+
+    assert quote_char_for_url("jdbc:mysql://h:3306/db") == "`"
+    assert quote_char_for_url("jdbc:mariadb://h/db") == "`"
+    assert quote_char_for_url("jdbc:postgresql://h/db") == '"'
+    captured = []
+
+    def scalar(sql):
+        captured.append(sql)
+        return None
+
+    src = JdbcSnapshotSource("jdbc:mysql://h/db", "db.t", "order",
+                             chunk_size=10)
+    from source_flink_cdc_3_5_0_spark.sources.jdbc import sql_walk_callables
+    ncm, _ = sql_walk_callables(scalar, src.table, src.split_column,
+                                src.chunk_size,
+                                quote=quote_char_for_url(src.url))
+    ncm(5)
+    assert captured[0] == ("SELECT MAX(`order`) m FROM (SELECT `order` "
+                           "FROM `db`.`t` WHERE `order` >= 5 "
+                           "ORDER BY `order` ASC LIMIT 10) w")

@@ -245,3 +245,32 @@ pipeline:
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prior)
+
+
+def test_local_time_zone_restored_on_unset_session(spark):
+    """A session that never explicitly set the timezone key must get its
+    DEFAULT zone back after a non-UTC pipeline run — not keep the
+    pipeline's zone (conf.get returns None there; restore must unset)."""
+    tid = TableId.parse("tz2.db.t")
+    schema = Schema.of(Column("id", T.IntegerType(), False),
+                       primary_keys=["id"])
+    yaml_text = """
+source: {type: values}
+sink: {type: values}
+pipeline:
+  local-time-zone: Pacific/Kiritimati
+"""
+    key = "spark.sql.session.timeZone"
+    prior = spark.conf.get(key)
+    spark.conf.unset(key)
+    try:
+        effective_default = spark.conf.get(key)
+        exe = PipelineComposer(spark).compose(
+            parse_yaml_pipeline(yaml_text),
+            source=ValuesSource([CreateTableEvent(tid, schema),
+                                 DataChangeEvent.insert(tid, (1,))]),
+            sink=MemorySink())
+        exe.run()
+        assert spark.conf.get(key) == effective_default != "Pacific/Kiritimati"
+    finally:
+        spark.conf.set(key, prior)

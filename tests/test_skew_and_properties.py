@@ -259,3 +259,16 @@ class TestNgramJaccard:
                       max_gram_df=2).collect()}
         assert (3, 4) not in pruned and (1, 3) in full
         assert pruned[(1, 2)] == 1.0  # rare-subset Jaccard: identical rares
+
+    def test_star_fallback_keeps_self_pair_ids(self, spark):
+        """Ids appearing only in self-pairs must survive the star fallback
+        (the converged propagation path keeps them; the fallback must too)."""
+        from source_flink_cdc_3_5_0_spark.extensions.dedup import (
+            connected_components)
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)] + [(777, 777)],
+            "id_a bigint, id_b bigint")
+        got = {r.id: r.rep_id
+               for r in connected_components(pairs, max_iter=3).collect()}
+        assert got[777] == 777
+        assert all(v == 0 for k, v in got.items() if k != 777)
