@@ -525,6 +525,13 @@ class PipelineComposer:
             path = opts.get("path") or opts.get("warehouse")
             if not path:
                 raise ValueError(f"{t} sink needs 'path' (or 'warehouse')")
+            if str(opts.get("snapshots", "false")).lower() == "true":
+                # snapshot-isolated manifests + time travel (the
+                # paimon/iceberg table-format semantics); default stays
+                # the bounded-files copy-on-write stand-in
+                from ..sinks.lakehouse import SnapshotLakeSink
+
+                return SnapshotLakeSink(path)
             from ..sinks.parquet_sink import ParquetUpsertSink
 
             return ParquetUpsertSink(path)
