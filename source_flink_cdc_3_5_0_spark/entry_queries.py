@@ -2046,6 +2046,52 @@ FROM (SELECT * FROM img UNION ALL SELECT * FROM aud)
 """
 
 
+def q_sink_lake_time_travel(spark, sf_dir):
+    """Snapshot-isolated lake sink TIME TRAVEL, oracled (sinks/lakehouse.
+    SnapshotLakeSink — paimon/iceberg table-format semantics): a snapshot
+    insert commit, then an update/delete commit; the query reads BOTH
+    snapshots from the same table and unions them tagged v0/v1 — the v0
+    read proves replaced buckets' history stays readable. Oracle = the
+    pre-change and post-change states computed directly from `customer`."""
+    import tempfile
+
+    from .common.events import CreateTableEvent
+    from .common.tableid import TableId
+    from .sinks.lakehouse import SnapshotLakeSink
+    from .sources.base import attach_envelope
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    tid = TableId.parse("out.db.customer")
+    schema = Schema.from_struct_type(cust.schema, primary_keys=["c_custkey"])
+    sink = SnapshotLakeSink(tempfile.mkdtemp(prefix="cdc_lake_tt_"))
+    sink.metadata_applier().apply_schema_change(
+        tid, CreateTableEvent(tid, schema), schema)
+    sink.write(tid, attach_envelope(cust, "+I", seq=0), schema, batch_id=0)
+    s0 = sink.snapshots(tid)[-1]
+    updates = (cust.where(F.col("c_custkey") % 10 == 0)
+               .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+               .select("*", F.lit("+U").alias(OP_COL),
+                       F.lit(1).cast("bigint").alias(SEQ_COL)))
+    deletes = (cust.where(F.col("c_custkey") % 7 == 0)
+               .select("*", F.lit("-D").alias(OP_COL),
+                       F.lit(2).cast("bigint").alias(SEQ_COL)))
+    sink.write(tid, updates.unionByName(deletes), schema, batch_id=1)
+    v0 = sink.read(spark, tid, snapshot=s0).withColumn("version", F.lit("v0"))
+    v1 = sink.read(spark, tid).withColumn("version", F.lit("v1"))
+    return v0.unionByName(v1)
+
+
+ORACLE_LAKE_TIME_TRAVEL = """
+SELECT c_custkey, c_name, c_acctbal, 'v0' AS version FROM customer
+UNION ALL
+SELECT c_custkey, c_name,
+       CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END,
+       'v1' AS version
+FROM customer WHERE c_custkey % 7 <> 0
+"""
+
+
 def q_transform_op_ts_metadata(spark, sf_dir):
     """Connector metadata column in expressions (SupportedMetadataColumn /
     OpTsMetadataColumn.java): `op_ts` resolves to the source's per-row
@@ -2780,6 +2826,7 @@ QUERIES: dict[str, object] = {
     "sample_stratified_split": q_sample_stratified_split,
     "pipeline_corpus_prep": q_pipeline_corpus_prep,
     "multimodal_real_codecs": q_multimodal_real_codecs,
+    "sink_lake_time_travel": q_sink_lake_time_travel,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -2902,6 +2949,7 @@ ORACLES: dict[str, str] = {
     "sample_stratified_split": _oracle_stratified_split(),
     "pipeline_corpus_prep": _oracle_corpus_prep(),
     "multimodal_real_codecs": ORACLE_MULTIMODAL_REAL,
+    "sink_lake_time_travel": ORACLE_LAKE_TIME_TRAVEL,
     "sessionize_events": ORACLE_SESSIONIZE,
     "doc_length_percentiles": ORACLE_DOC_PERCENTILES,
     "agg_event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,
