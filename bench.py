@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "sample_stratified_split",
     "pipeline_corpus_prep",
     "multimodal_real_codecs",
+    "pack_sequences",
+    "global_row_ids",
 ]
 
 

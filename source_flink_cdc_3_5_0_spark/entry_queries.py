@@ -2794,6 +2794,71 @@ FROM stages2
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (extensions/sampling.pack_sequences): lay each
+    language's documents end-to-end in md5-priority order and cut the
+    token stream into 256-token training windows — every document gets
+    its window id, offset, and a boundary-straddle flag (the
+    cross-document attention-mask signal). One shuffle on the group key;
+    integer window arithmetic only, reproducible across engines."""
+    from .extensions.sampling import pack_sequences
+    from .extensions.text import token_count_sql
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.expr(token_count_sql("spark", "text")).cast("int"))
+    out = pack_sequences(docs, ["lang"], "doc_id", "n_tokens", 256)
+    return out.select("lang", "doc_id", "n_tokens", "bin_id", "bin_offset",
+                      "straddles")
+
+
+def _oracle_pack_sequences() -> str:
+    from .extensions.text import token_count_sql
+
+    return f"""
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST({token_count_sql('duckdb', 'text')} AS INTEGER) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+         sum(CAST(n_tokens AS BIGINT)) OVER (
+             PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT lang, doc_id, n_tokens,
+       CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS bin_id,
+       (cum - n_tokens) % 256 AS bin_offset,
+       n_tokens > 0 AND
+         CAST(floor((cum - 1) / 256.0) AS BIGINT)
+           > CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS straddles
+FROM c
+"""
+
+
+def q_global_row_ids(spark, sf_dir):
+    """Dense global row numbering (extensions/indexing.global_row_ids):
+    the scale-correct two-phase zipWithIndex shape — range shuffle +
+    per-partition Arrow numbering + collected offsets — instead of the
+    single-reducer ``row_number() OVER (ORDER BY ...)`` global window.
+    The oracle IS that naive global window (fine at DuckDB's scale),
+    asserting both produce the identical total order."""
+    from .extensions.indexing import global_row_ids
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    out = global_row_ids(docs, ["source", "doc_id"], num_partitions=8)
+    return out.select("source", "doc_id", "global_id")
+
+
+ORACLE_GLOBAL_ROW_IDS = """
+SELECT source, doc_id,
+       CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT)
+         AS global_id
+FROM documents
+"""
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -2827,6 +2892,8 @@ QUERIES: dict[str, object] = {
     "pipeline_corpus_prep": q_pipeline_corpus_prep,
     "multimodal_real_codecs": q_multimodal_real_codecs,
     "sink_lake_time_travel": q_sink_lake_time_travel,
+    "pack_sequences": q_pack_sequences,
+    "global_row_ids": q_global_row_ids,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -2942,6 +3009,8 @@ ORACLES: dict[str, str] = {
     "text_redact_pii": ORACLE_REDACT_PII,
     "dedup_lines": ORACLE_DEDUP_LINES,
     "sample_token_budget": _oracle_token_budget(),
+    "pack_sequences": _oracle_pack_sequences(),
+    "global_row_ids": ORACLE_GLOBAL_ROW_IDS,
     "text_quality_filters": _oracle_quality_filters(),
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "sink_es_bulk": ORACLE_SINK_UPSERT,

@@ -116,6 +116,40 @@ def stratified_split(df: DataFrame, strata_cols: list[str], id_col: str,
     return df.withColumn("split", expr)
 
 
+def pack_sequences(df: DataFrame, group_cols: list[str], id_col: str,
+                   weight_col: str, capacity: int) -> DataFrame:
+    """Deterministic sequence packing (concat-then-chunk): lay the group's
+    documents end-to-end in md5-priority order and cut the resulting token
+    stream into fixed ``capacity`` windows — the GPT-style training-batch
+    packing step. Each document gets:
+
+    - ``bin_id``      window index where the document STARTS
+    - ``bin_offset``  token offset of the document inside that window
+    - ``straddles``   true iff the document crosses a window boundary
+      (training pipelines use this to decide whether to mask the
+      cross-document attention span)
+
+    All integer window arithmetic over one running sum — engine-portable
+    and byte-for-byte reproducible, hence DuckDB-oracle-able. Scale shape:
+    ONE shuffle on the group key; the window state is a single running
+    counter (never a global sort). A giant group serializes into one
+    partition's window — same documented posture as token_budget_sample."""
+    from pyspark.sql import Window
+
+    pri = F.md5(F.col(id_col).cast("string"))
+    w = (Window.partitionBy(*group_cols).orderBy(pri, F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(F.col(weight_col).cast("bigint")).over(w)
+    start = (cum - F.col(weight_col)).cast("bigint")
+    end_bin = F.floor((cum - F.lit(1)) / F.lit(capacity))
+    return (df.withColumn("__start", start)
+            .withColumn("bin_id", F.floor(F.col("__start") / F.lit(capacity)))
+            .withColumn("bin_offset", F.col("__start") % F.lit(capacity))
+            .withColumn("straddles",
+                        (F.col(weight_col) > 0) & (end_bin > F.col("bin_id")))
+            .drop("__start"))
+
+
 def quota_sample(df: DataFrame, group_cols: list[str], id_col: str,
                  n_per_group: int) -> DataFrame:
     """Deterministic per-group quota sample: exactly min(n, |group|) rows

@@ -301,3 +301,12 @@ def test_corpus_prep_composition_bounded_shuffles(spark):
     p = plan_of(EQ.q_pipeline_corpus_prep(spark, SF))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert len(re.findall(r"\bExchange\b", p)) <= 6, p
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """pack_sequences: one group-key exchange feeding the running-sum
+    window — the span arithmetic is pure projection on top."""
+    import re
+    p = plan_of(EQ.q_pack_sequences(spark, SF))
+    assert len(re.findall(r"\bExchange\b", p)) == 1, p
+    assert "rangepartitioning" not in p.lower(), p

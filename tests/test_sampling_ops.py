@@ -96,3 +96,98 @@ class TestDedupLines:
         assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 2
         assert out[2]["text"] == "unique two"
         assert 3 not in out  # zero surviving lines -> document dropped
+
+
+class TestPackSequences:
+    def test_concat_then_chunk_arithmetic(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import (
+            pack_sequences,
+        )
+
+        # one group; md5-priority order is deterministic — recompute it
+        # here and check the span arithmetic against a pure-Python pack
+        import hashlib
+
+        rows = [("a", i, 3 + (i * 7) % 10) for i in range(40)]
+        df = _docs(spark, rows)
+        out = {r["id"]: r for r in
+               pack_sequences(df, ["g"], "id", "w", 16).collect()}
+
+        order = sorted(rows, key=lambda r: (
+            hashlib.md5(str(r[1]).encode()).hexdigest(), r[1]))
+        cum = 0
+        for g, i, w in order:
+            start, end = cum, cum + w
+            cum = end
+            r = out[i]
+            assert r["bin_id"] == start // 16
+            assert r["bin_offset"] == start % 16
+            assert r["straddles"] == (w > 0 and (end - 1) // 16 > start // 16)
+
+    def test_zero_weight_never_straddles(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import (
+            pack_sequences,
+        )
+
+        df = _docs(spark, [("a", 1, 0), ("a", 2, 32), ("a", 3, 0)])
+        for r in pack_sequences(df, ["g"], "id", "w", 16).collect():
+            if r["w"] == 0:
+                assert not r["straddles"]
+
+    def test_groups_pack_independently(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import (
+            pack_sequences,
+        )
+
+        base = [("a", i, 5) for i in range(20)]
+        extra = [("b", 100 + i, 5) for i in range(20)]
+        one = {(r["id"], r["bin_id"], r["bin_offset"]) for r in
+               pack_sequences(_docs(spark, base), ["g"], "id", "w", 13)
+               .collect()}
+        two = {(r["id"], r["bin_id"], r["bin_offset"]) for r in
+               pack_sequences(_docs(spark, base + extra), ["g"], "id", "w", 13)
+               .where("g = 'a'").collect()}
+        assert one == two
+
+
+class TestGlobalRowIds:
+    def test_dense_ids_follow_total_order(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.indexing import (
+            global_row_ids,
+        )
+
+        # shuffled input across several partitions
+        rows = [("s%02d" % (i % 7), 1000 - i) for i in range(300)]
+        df = spark.createDataFrame(rows, "src string, k bigint").repartition(11)
+        out = global_row_ids(df, ["src", "k"], num_partitions=5).collect()
+        assert sorted(r["global_id"] for r in out) == list(range(300))
+        by_order = sorted(out, key=lambda r: (r["src"], r["k"]))
+        assert [r["global_id"] for r in by_order] == list(range(300))
+
+    def test_invariant_to_partition_count(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.indexing import (
+            global_row_ids,
+        )
+
+        df = spark.createDataFrame(
+            [(i % 3, i) for i in range(100)], "g int, k int")
+        a = {(r["g"], r["k"], r["global_id"]) for r in
+             global_row_ids(df, ["g", "k"], num_partitions=2).collect()}
+        b = {(r["g"], r["k"], r["global_id"]) for r in
+             global_row_ids(df, ["g", "k"], num_partitions=9).collect()}
+        assert a == b
+
+    def test_no_single_partition_exchange_in_plan(self, spark):
+        """The whole point: a dense global id WITHOUT collapsing to one
+        partition. The plan must contain a range exchange and no
+        SinglePartition exchange (which the naive global window would
+        introduce)."""
+        from source_flink_cdc_3_5_0_spark.extensions.indexing import (
+            global_row_ids,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(50)], "k int")
+        out = global_row_ids(df, ["k"], num_partitions=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" in plan.lower()
+        assert "singlepartition" not in plan.lower()
