@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "multimodal_real_codecs",
     "pack_sequences",
     "global_row_ids",
+    "sink_lake_mor",
 ]
 
 

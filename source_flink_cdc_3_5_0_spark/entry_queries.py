@@ -2092,6 +2092,64 @@ FROM customer WHERE c_custkey % 7 <> 0
 """
 
 
+def q_sink_lake_mor(spark, sf_dir):
+    """Merge-on-read lake sink (sinks/lakehouse.SnapshotLakeSink
+    mode='mor' — paimon changelog table / iceberg v2 row-level deletes):
+    a snapshot commit then an update/delete commit land as APPEND-ONLY
+    delta files (no base rewrite — asserted on the manifests), read back
+    through the per-key latest-commit-wins merge; then ``compact`` folds
+    deltas into base files and the same state reads back as a pure scan.
+    The query unions the pre-compact merge read ('merged') and the
+    post-compact scan read ('compacted') — identical rows, both paths."""
+    import tempfile
+
+    from .common.events import CreateTableEvent
+    from .common.tableid import TableId
+    from .sinks.lakehouse import SnapshotLakeSink
+    from .sources.base import attach_envelope
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    tid = TableId.parse("out.db.customer")
+    schema = Schema.from_struct_type(cust.schema, primary_keys=["c_custkey"])
+    sink = SnapshotLakeSink(tempfile.mkdtemp(prefix="cdc_lake_mor_"),
+                            mode="mor")
+    sink.metadata_applier().apply_schema_change(
+        tid, CreateTableEvent(tid, schema), schema)
+    sink.write(tid, attach_envelope(cust, "+I", seq=0), schema, batch_id=0)
+    updates = (cust.where(F.col("c_custkey") % 10 == 0)
+               .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+               .select("*", F.lit("+U").alias(OP_COL),
+                       F.lit(1).cast("bigint").alias(SEQ_COL)))
+    deletes = (cust.where(F.col("c_custkey") % 7 == 0)
+               .select("*", F.lit("-D").alias(OP_COL),
+                       F.lit(2).cast("bigint").alias(SEQ_COL)))
+    sink.write(tid, updates.unionByName(deletes), schema, batch_id=1)
+    # both commits were append-only: delta files only, base never written
+    m = sink._manifest(tid)
+    assert not m["buckets"] and m.get("deltas"), m
+    pre = sink.snapshots(tid)[-1]
+    sink.compact(spark, tid)
+    m2 = sink._manifest(tid)
+    assert m2["buckets"] and not m2.get("deltas"), m2
+    merged = (sink.read(spark, tid, snapshot=pre)
+              .withColumn("path", F.lit("merged")))
+    compacted = sink.read(spark, tid).withColumn("path", F.lit("compacted"))
+    return merged.unionByName(compacted)
+
+
+ORACLE_LAKE_MOR = """
+WITH final AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+           AS c_acctbal
+  FROM customer WHERE c_custkey % 7 <> 0)
+SELECT c_custkey, c_name, c_acctbal, 'merged' AS path FROM final
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, 'compacted' AS path FROM final
+"""
+
+
 def q_transform_op_ts_metadata(spark, sf_dir):
     """Connector metadata column in expressions (SupportedMetadataColumn /
     OpTsMetadataColumn.java): `op_ts` resolves to the source's per-row
@@ -2894,6 +2952,7 @@ QUERIES: dict[str, object] = {
     "sink_lake_time_travel": q_sink_lake_time_travel,
     "pack_sequences": q_pack_sequences,
     "global_row_ids": q_global_row_ids,
+    "sink_lake_mor": q_sink_lake_mor,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3011,6 +3070,7 @@ ORACLES: dict[str, str] = {
     "sample_token_budget": _oracle_token_budget(),
     "pack_sequences": _oracle_pack_sequences(),
     "global_row_ids": ORACLE_GLOBAL_ROW_IDS,
+    "sink_lake_mor": ORACLE_LAKE_MOR,
     "text_quality_filters": _oracle_quality_filters(),
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "sink_es_bulk": ORACLE_SINK_UPSERT,

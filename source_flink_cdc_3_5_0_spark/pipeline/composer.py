@@ -528,10 +528,16 @@ class PipelineComposer:
             if str(opts.get("snapshots", "false")).lower() == "true":
                 # snapshot-isolated manifests + time travel (the
                 # paimon/iceberg table-format semantics); default stays
-                # the bounded-files copy-on-write stand-in
+                # the bounded-files copy-on-write stand-in.
+                # changelog-mode: copy-on-write (default) or merge-on-read
+                # delta commits (paimon changelog table / iceberg v2)
                 from ..sinks.lakehouse import SnapshotLakeSink
 
-                return SnapshotLakeSink(path)
+                mode = str(opts.get("changelog-mode", "cow")).lower()
+                return SnapshotLakeSink(
+                    path, mode={"cow": "cow", "copy-on-write": "cow",
+                                "mor": "mor", "merge-on-read": "mor"}.get(
+                                    mode, mode))
             from ..sinks.parquet_sink import ParquetUpsertSink
 
             return ParquetUpsertSink(path)

@@ -26,6 +26,19 @@ commits an empty manifest (history stays readable); DROP removes the
 table directory.  The driver-side file bookkeeping is one directory
 listing per touched bucket per commit — the same control-plane shape as
 Delta/Paimon commit protocols.
+
+MERGE-ON-READ mode (``mode="mor"`` — Paimon changelog tables / Iceberg v2
+row-level deletes, the mode the reference's streaming CDC ingestion
+actually runs): a commit APPENDS delta files carrying the batch's final
+images (row kind + commit sequence) and touches nothing else — commit
+cost is O(batch) regardless of table size, where copy-on-write rewrites
+every touched bucket (a scattered-key CDC stream at 100 TB touches every
+bucket every batch, i.e. rewrites the table continuously).  Readers merge
+base + deltas per key (latest commit sequence wins, delete kinds drop the
+key) — one window shuffle, bucket-aligned; ``compact`` folds the deltas
+into new base files and commits a delta-free snapshot, after which reads
+are pure scans again.  Same manifests, time travel, vacuum and replay
+markers as copy-on-write.
 """
 
 from __future__ import annotations
@@ -44,6 +57,7 @@ from ..sources.base import SEQ_COL
 from .base import DataSink, MetadataApplier
 
 _BUCKET_COL = "__bucket"
+_COMMIT_SEQ = "__commit_seq"
 
 
 class _LakeMetadataApplier(MetadataApplier):
@@ -71,9 +85,12 @@ class _LakeMetadataApplier(MetadataApplier):
 
 
 class SnapshotLakeSink(DataSink):
-    def __init__(self, root: str, num_buckets: int = 16):
+    def __init__(self, root: str, num_buckets: int = 16, mode: str = "cow"):
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be cow|mor, got {mode!r}")
         self.root = root
         self.num_buckets = num_buckets
+        self.mode = mode
 
     # -- layout ------------------------------------------------------------
     def _table_dir(self, tid: TableId) -> str:
@@ -87,6 +104,9 @@ class SnapshotLakeSink(DataSink):
 
     def _snap_dir(self, tid: TableId) -> str:
         return os.path.join(self._table_dir(tid), "_snapshots")
+
+    def _delta_dir(self, tid: TableId) -> str:
+        return os.path.join(self._table_dir(tid), "delta")
 
     def metadata_applier(self) -> MetadataApplier:
         return _LakeMetadataApplier(self)
@@ -110,14 +130,17 @@ class SnapshotLakeSink(DataSink):
             return json.load(f)
 
     def _commit(self, tid: TableId, buckets: dict[str, list[str]],
-                batch_id=None) -> int:
+                batch_id=None, deltas: dict[str, list[str]] | None = None) -> int:
         snap_dir = self._snap_dir(tid)
         os.makedirs(snap_dir, exist_ok=True)
         seq = (self.snapshots(tid) or [-1])[-1] + 1
         tmp = os.path.join(snap_dir, f"{seq}.json.tmp")
+        doc = {"seq": seq, "batch_id": None if batch_id is None
+               else str(batch_id), "buckets": buckets}
+        if deltas:
+            doc["deltas"] = deltas
         with open(tmp, "w") as f:
-            json.dump({"seq": seq, "batch_id": None if batch_id is None
-                       else str(batch_id), "buckets": buckets}, f)
+            json.dump(doc, f)
         os.rename(tmp, os.path.join(snap_dir, f"{seq}.json"))
         return seq
 
@@ -129,6 +152,17 @@ class SnapshotLakeSink(DataSink):
             return set()
         return {f"{_BUCKET_COL}={bucket}/{f}" for f in os.listdir(d)
                 if f.endswith(".parquet")}
+
+    def _delta_files_on_disk(self, tid: TableId, bucket: int) -> set[str]:
+        d = os.path.join(self._delta_dir(tid), f"{_BUCKET_COL}={bucket}")
+        if not os.path.isdir(d):
+            return set()
+        return {f"{_BUCKET_COL}={bucket}/{f}" for f in os.listdir(d)
+                if f.endswith(".parquet")}
+
+    def _pks(self, tid: TableId) -> list[str]:
+        with open(self._schema_path(tid)) as f:
+            return Schema.from_json(f.read()).primary_keys
 
     # -- write path --------------------------------------------------------
     def _bucket_of(self, df: DataFrame, pks: list[str]):
@@ -160,8 +194,13 @@ class SnapshotLakeSink(DataSink):
                 keep_delete_marker=True)
         else:
             final = df.withColumn(OP_COL, F.lit("+I"))
-        final = (final.withColumn(_BUCKET_COL, self._bucket_of(final, pks))
-                 .persist())
+        final = final.withColumn(_BUCKET_COL, self._bucket_of(final, pks))
+        if self.mode == "mor":
+            self._write_mor_commit(table_id, final, names, pks, batch_id)
+            with open(marker, "w") as f:
+                f.write("ok")
+            return
+        final = final.persist()
         try:
             touched = sorted(r[0] for r in
                              final.select(_BUCKET_COL).distinct().collect())
@@ -201,6 +240,32 @@ class SnapshotLakeSink(DataSink):
         with open(marker, "w") as f:
             f.write("ok")
 
+    def _write_mor_commit(self, tid: TableId, final: DataFrame,
+                          names: list[str], pks: list[str], batch_id) -> None:
+        """Append-only delta commit: the batch's final images (row kind +
+        commit sequence) land as new files under ``delta/``; base buckets
+        and every previous delta file are carried forward untouched — the
+        commit never reads or rewrites existing data (O(batch) at any
+        table size)."""
+        manifest = self._manifest(tid)
+        seq = manifest["seq"] + 1
+        delta_cols = names + [OP_COL, _BUCKET_COL]
+        rows = (final.select(*delta_cols)
+                .withColumn(_COMMIT_SEQ, F.lit(seq).cast("bigint")))
+        touched = sorted(r[0] for r in
+                         final.select(_BUCKET_COL).distinct().collect())
+        before = {b: self._delta_files_on_disk(tid, b) for b in touched}
+        (rows.repartition(F.col(_BUCKET_COL))
+         .write.mode("append").partitionBy(_BUCKET_COL)
+         .parquet(self._delta_dir(tid)))
+        deltas = {k: list(v) for k, v in
+                  (manifest.get("deltas") or {}).items()}
+        for b in touched:
+            added = sorted(self._delta_files_on_disk(tid, b) - before[b])
+            if added:
+                deltas[str(b)] = deltas.get(str(b), []) + added
+        self._commit(tid, dict(manifest["buckets"]), batch_id, deltas=deltas)
+
     # -- read path ---------------------------------------------------------
     def read(self, spark: SparkSession, table_id: TableId,
              snapshot: int | None = None) -> DataFrame:
@@ -209,22 +274,57 @@ class SnapshotLakeSink(DataSink):
         manifest = self._manifest(table_id, snapshot)
         paths = [os.path.join(self._data_dir(table_id), p)
                  for files in manifest["buckets"].values() for p in files]
+        delta_paths = [os.path.join(self._delta_dir(table_id), p)
+                       for files in (manifest.get("deltas") or {}).values()
+                       for p in files]
         schema = None
         if os.path.exists(self._schema_path(table_id)):
             with open(self._schema_path(table_id)) as f:
                 schema = Schema.from_json(f.read())
-        if not paths:
+        if not paths and not delta_paths:
             if schema is None:
                 raise ValueError(f"{table_id}: empty table and no schema")
             return spark.createDataFrame([], schema.struct_type())
-        df = (spark.read.option("basePath", self._data_dir(table_id))
-              .option("mergeSchema", "true").parquet(*paths)
-              .drop(_BUCKET_COL))
+        if delta_paths:
+            df = self._merge_read(spark, table_id, paths, delta_paths)
+        else:
+            df = (spark.read.option("basePath", self._data_dir(table_id))
+                  .option("mergeSchema", "true").parquet(*paths)
+                  .drop(_BUCKET_COL, _COMMIT_SEQ))
         if schema is not None:
             from ..operators.schema_evolution import coercion_select
 
             df = coercion_select(df, schema)
         return df
+
+    def _merge_read(self, spark: SparkSession, tid: TableId,
+                    base_paths: list[str], delta_paths: list[str]) -> DataFrame:
+        """Merge-on-read: latest commit sequence wins per key, delete row
+        kinds drop the key. One bucket-aligned window shuffle — the read
+        cost MoR trades for its O(batch) commits (compact() removes it)."""
+        from pyspark.sql import Window
+
+        pks = self._pks(tid)
+        delta = (spark.read.option("basePath", self._delta_dir(tid))
+                 .option("mergeSchema", "true").parquet(*delta_paths))
+        parts = [delta]
+        if base_paths:
+            base = (spark.read.option("basePath", self._data_dir(tid))
+                    .option("mergeSchema", "true").parquet(*base_paths))
+            if OP_COL not in base.columns:
+                base = base.withColumn(OP_COL, F.lit("+I"))
+            if _COMMIT_SEQ not in base.columns:
+                # pre-compact base files sort before every delta commit
+                base = base.withColumn(_COMMIT_SEQ, F.lit(-1).cast("bigint"))
+            parts.append(base)
+        allr = parts[0]
+        for p in parts[1:]:
+            allr = allr.unionByName(p, allowMissingColumns=True)
+        w = Window.partitionBy(*[F.col(k) for k in pks]).orderBy(
+            F.col(_COMMIT_SEQ).desc())
+        return (allr.withColumn("__rn", F.row_number().over(w))
+                .where((F.col("__rn") == 1) & (F.col(OP_COL) != "-D"))
+                .drop("__rn", OP_COL, _BUCKET_COL, _COMMIT_SEQ))
 
     # -- maintenance -------------------------------------------------------
     def vacuum(self, table_id: TableId, keep_last: int = 1) -> int:
@@ -233,19 +333,24 @@ class SnapshotLakeSink(DataSink):
         seqs = self.snapshots(table_id)
         keep, drop = seqs[-keep_last:], seqs[:-keep_last]
         live: set[str] = set()
+        live_delta: set[str] = set()
         for s in keep:
-            for files in self._manifest(table_id, s)["buckets"].values():
+            m = self._manifest(table_id, s)
+            for files in m["buckets"].values():
                 live.update(files)
+            for files in (m.get("deltas") or {}).values():
+                live_delta.update(files)
         removed = 0
-        data_dir = self._data_dir(table_id)
-        for b_dir in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
-            if not b_dir.startswith(f"{_BUCKET_COL}="):
-                continue
-            for f in os.listdir(os.path.join(data_dir, b_dir)):
-                rel = f"{b_dir}/{f}"
-                if f.endswith(".parquet") and rel not in live:
-                    os.remove(os.path.join(data_dir, rel))
-                    removed += 1
+        for root, live_set in ((self._data_dir(table_id), live),
+                               (self._delta_dir(table_id), live_delta)):
+            for b_dir in os.listdir(root) if os.path.isdir(root) else []:
+                if not b_dir.startswith(f"{_BUCKET_COL}="):
+                    continue
+                for f in os.listdir(os.path.join(root, b_dir)):
+                    rel = f"{b_dir}/{f}"
+                    if f.endswith(".parquet") and rel not in live_set:
+                        os.remove(os.path.join(root, rel))
+                        removed += 1
         for s in drop:
             os.remove(os.path.join(self._snap_dir(table_id), f"{s}.json"))
         return removed
@@ -253,8 +358,13 @@ class SnapshotLakeSink(DataSink):
     def compact(self, spark: SparkSession, table_id: TableId) -> None:
         """Rewrite every live bucket down to one file and commit the
         result as a new snapshot (older snapshots keep working until
-        vacuum)."""
+        vacuum).  With outstanding MoR deltas, folds base + deltas into
+        fresh delta-free base files first (the LSM-compaction step that
+        returns reads to pure scans)."""
         manifest = self._manifest(table_id)
+        if manifest.get("deltas"):
+            self._compact_mor(spark, table_id, manifest)
+            return
         new_buckets: dict[str, list[str]] = {}
         for b, files in manifest["buckets"].items():
             before = self._bucket_files(table_id, int(b))
@@ -267,3 +377,34 @@ class SnapshotLakeSink(DataSink):
             new_buckets[b] = sorted(
                 self._bucket_files(table_id, int(b)) - before)
         self._commit(table_id, new_buckets)
+
+    def _compact_mor(self, spark: SparkSession, tid: TableId,
+                     manifest: dict) -> None:
+        """Fold base + delta files into new base files (one per bucket)
+        and commit a delta-free snapshot.  New rows carry the compaction's
+        commit sequence so later delta commits always sort after them."""
+        base_paths = [os.path.join(self._data_dir(tid), p)
+                      for files in manifest["buckets"].values() for p in files]
+        delta_paths = [os.path.join(self._delta_dir(tid), p)
+                       for files in manifest["deltas"].values() for p in files]
+        merged = self._merge_read(spark, tid, base_paths, delta_paths)
+        pks = self._pks(tid)
+        new_seq = manifest["seq"] + 1
+        rows = (merged
+                .withColumn(_BUCKET_COL, self._bucket_of(merged, pks))
+                .withColumn(_COMMIT_SEQ, F.lit(new_seq).cast("bigint"))
+                .persist())
+        try:
+            touched = sorted(r[0] for r in
+                             rows.select(_BUCKET_COL).distinct().collect())
+            before = {b: self._bucket_files(tid, b) for b in touched}
+            (rows.repartition(F.col(_BUCKET_COL))
+             .write.mode("append").partitionBy(_BUCKET_COL)
+             .parquet(self._data_dir(tid)))
+            new_buckets = {
+                str(b): sorted(self._bucket_files(tid, b) - before[b])
+                for b in touched
+                if self._bucket_files(tid, b) - before[b]}
+            self._commit(tid, new_buckets)
+        finally:
+            rows.unpersist()
