@@ -475,6 +475,12 @@ class PipelineComposer:
                 add_table_to_header=str(opts.get(
                     "sink.add.tableId.to.header.enabled", "false"))
                 .lower() == "true",
+                key_format=opts.get("key.format", "json"),
+                custom_headers=opts.get("sink.custom-header", ""),
+                topic_mapping=opts.get("sink.tableId-to-topic.mapping"),
+                include_schema=str(opts.get(
+                    "debezium-json.include-schema.enabled", "false"))
+                .lower() == "true",
             )
         if t in ("jdbc", "sqlite"):
             # relational sink (reference mysql/postgres pipeline sinks):

@@ -40,7 +40,11 @@ class KafkaChangelogSink(DataSink):
                  output_dir: str | None = None,
                  kafka_options: dict[str, str] | None = None,
                  partition_strategy: str = "all-to-zero",
-                 add_table_to_header: bool = False):
+                 add_table_to_header: bool = False,
+                 key_format: str = "json",
+                 custom_headers: str = "",
+                 topic_mapping: str | None = None,
+                 include_schema: bool = False):
         if serialization not in ("debezium-json", "canal-json"):
             raise ValueError(f"unknown serialization {serialization!r}")
         if partition_strategy not in ("all-to-zero", "hash-by-key"):
@@ -48,6 +52,14 @@ class KafkaChangelogSink(DataSink):
             raise ValueError(
                 f"unknown partition.strategy {partition_strategy!r} "
                 "(all-to-zero | hash-by-key)")
+        if key_format not in ("json", "csv"):
+            # KafkaDataSinkOptions.KEY_FORMAT:52-58
+            raise ValueError(f"unknown key.format {key_format!r} (json | csv)")
+        if include_schema and serialization != "debezium-json":
+            # KafkaDataSinkOptions:105-108 ("only supported ... debezium-json")
+            raise ValueError(
+                "debezium-json.include-schema.enabled requires "
+                "value.format debezium-json")
         if not bootstrap_servers and not output_dir:
             raise ValueError("need bootstrap_servers (real Kafka) or output_dir (local)")
         self.serialization = serialization
@@ -57,14 +69,75 @@ class KafkaChangelogSink(DataSink):
         self.kafka_options = kafka_options or {}
         self.partition_strategy = partition_strategy
         self.add_table_to_header = add_table_to_header
+        self.key_format = key_format
+        # "k1:v1,k2:v2" (KafkaDataSinkOptions.SINK_CUSTOM_HEADER:80-85)
+        self.custom_headers: list[tuple[str, str]] = []
+        for part in (custom_headers or "").split(","):
+            part = part.strip()
+            if not part:
+                continue
+            if ":" not in part:
+                raise ValueError(
+                    f"sink.custom-header entry {part!r} must be key:value")
+            k, v = part.split(":", 1)
+            self.custom_headers.append((k.strip(), v.strip()))
+        # "selector:topic;selector:topic"
+        # (KafkaDataSinkOptions.SINK_TABLE_ID_TO_TOPIC_MAPPING:87-108)
+        self.topic_mapping: list[tuple[str, str]] = []
+        for part in (topic_mapping or "").split(";"):
+            part = part.strip()
+            if not part:
+                continue
+            sel, _, top = part.rpartition(":")
+            if not sel or not top:
+                raise ValueError(
+                    f"sink.tableId-to-topic.mapping entry {part!r} must be "
+                    "selector:topic")
+            self.topic_mapping.append((sel, top))
+        self.include_schema = include_schema
 
     def metadata_applier(self) -> MetadataApplier:
         return _KafkaMetadataApplier()
 
     def _encode(self, table_id: TableId, df: DataFrame, schema: Schema) -> DataFrame:
+        key_col = self._record_key(table_id, df, schema)
         if self.serialization == "debezium-json":
-            return encode_debezium(df, table_id, schema)
-        return encode_canal(df, table_id, schema)
+            return encode_debezium(df, table_id, schema, key_col=key_col)
+        return encode_canal(df, table_id, schema, key_col=key_col)
+
+    def topic_for(self, table_id: TableId) -> str:
+        """Fixed topic > first matching tableId-to-topic selector > the
+        table identifier (reference resolution order)."""
+        if self.topic:
+            return self.topic
+        from ..common.tableid import cached_selectors
+
+        for sel, top in self.topic_mapping:
+            if cached_selectors(sel).is_match(table_id):
+                return top
+        return table_id.identifier()
+
+    def _record_key(self, table_id: TableId, df: DataFrame,
+                    schema: Schema) -> F.Column:
+        """Producer-record key per ``key.format`` (KeySerializationFactory
+        + {Json,Csv}SerializationSchema: a (TableId, pk...) row; csv with
+        RFC-style quoting like Flink's CsvRowDataSerializationSchema)."""
+        pks = [k for k in schema.primary_keys if k in df.columns]
+        tid = F.lit(table_id.identifier())
+        if self.key_format == "json":
+            return F.to_json(F.struct(
+                tid.alias("TableId"),
+                *[F.col(k) for k in pks]))
+        fields = [tid] + [F.col(k).cast("string") for k in pks]
+
+        def csv_field(c):
+            quoted = F.concat(F.lit('"'),
+                              F.regexp_replace(c, '"', '""'), F.lit('"'))
+            return (F.when(c.isNull(), F.lit(""))
+                    .when(c.rlike('[",\n\r]'), quoted)
+                    .otherwise(c))
+
+        return F.concat_ws(",", *[csv_field(c) for c in fields])
 
     def encode_records(self, table_id: TableId, df: DataFrame,
                        schema: Schema) -> DataFrame:
@@ -76,21 +149,35 @@ class KafkaChangelogSink(DataSink):
         (namespace/schemaName/tableName) when
         ``sink.add.tableId.to.header.enabled``."""
         out = self._encode(table_id, df, schema)
+        if self.include_schema:
+            # {"schema": <connect schema>, "payload": <envelope>} — the
+            # schema block is rendered ONCE per table (driver-side) and
+            # spliced as a literal (DebeziumJsonSerializationSchema:211-215)
+            from ..sources.debezium import connect_schema_json
+
+            out = out.withColumn("value", F.concat(
+                F.lit('{"schema":' + connect_schema_json(schema)
+                      + ',"payload":'),
+                F.col("value"), F.lit("}")))
         if self.partition_strategy == "all-to-zero":
             out = out.withColumn("partition", F.lit(0).cast("int"))
+        hdr_pairs: list[tuple[str, str]] = []
         if self.add_table_to_header:
+            hdr_pairs += [("namespace", table_id.namespace),
+                          ("schemaName", table_id.schema_name),
+                          ("tableName", table_id.table_name)]
+        hdr_pairs += self.custom_headers
+        if hdr_pairs:
             hdr = F.array(*[
                 F.struct(F.lit(k).alias("key"),
                          F.lit(v or "").cast("binary").alias("value"))
-                for k, v in (("namespace", table_id.namespace),
-                             ("schemaName", table_id.schema_name),
-                             ("tableName", table_id.table_name))])
+                for k, v in hdr_pairs])
             out = out.withColumn("headers", hdr)
         return out
 
     def write(self, table_id: TableId, df: DataFrame, schema: Schema, batch_id: int) -> None:
         encoded = self.encode_records(table_id, df, schema)
-        topic = self.topic or table_id.identifier()
+        topic = self.topic_for(table_id)
         if self.bootstrap_servers:
             extra = [c for c in ("partition", "headers")
                      if c in encoded.columns]

@@ -105,7 +105,8 @@ def decode_debezium(raw: DataFrame, payload_schema: T.StructType,
                       SEQ_COL)
 
 
-def encode_debezium(df: DataFrame, table_id: TableId, schema: Schema) -> DataFrame:
+def encode_debezium(df: DataFrame, table_id: TableId, schema: Schema,
+                    key_col: Column | None = None) -> DataFrame:
     """Engine changelog envelope -> Kafka-ready (key, value) JSON strings.
 
     Key = JSON of primary-key columns (Debezium key convention); update rows
@@ -151,8 +152,87 @@ def encode_debezium(df: DataFrame, table_id: TableId, schema: Schema) -> DataFra
         dbz_op.alias("op"), source.alias("source"),
     ))
     pks = [k for k in schema.primary_keys if k in df.columns] or phys
-    key = F.to_json(F.struct(*[F.col(k) for k in pks]))
+    key = (key_col if key_col is not None
+           else F.to_json(F.struct(*[F.col(k) for k in pks])))
     return df.select(key.alias("key"), value.alias("value"))
+
+
+def connect_field_schema(col) -> dict:
+    """One column's Kafka-Connect schema node, reference type mapping
+    (DebeziumJsonSerializationSchema.convertCDCDataTypeToDebeziumDataType
+    :250-331): int16/int32/int64/boolean/float/double/string/bytes +
+    Debezium logical names for date/time/timestamp/decimal/binary."""
+    dt = col.data_type
+    node: dict = {}
+    if isinstance(dt, (T.ByteType, T.ShortType)):
+        node["type"] = "int16"
+    elif isinstance(dt, T.IntegerType):
+        node["type"] = "int32"
+    elif isinstance(dt, T.LongType):
+        node["type"] = "int64"
+    elif isinstance(dt, T.DecimalType):
+        node["type"] = "bytes"
+        node["name"] = "org.apache.kafka.connect.data.Decimal"
+        node["version"] = 1
+        node["parameters"] = {
+            "scale": str(dt.scale),
+            "connect.decimal.precision": str(dt.precision)}
+    elif isinstance(dt, T.BooleanType):
+        node["type"] = "boolean"
+    elif isinstance(dt, T.FloatType):
+        node["type"] = "float"
+    elif isinstance(dt, T.DoubleType):
+        node["type"] = "double"
+    elif isinstance(dt, T.DateType):
+        node["type"] = "int32"
+        node["name"] = "io.debezium.time.Date"
+        node["version"] = 1
+    elif isinstance(dt, T.TimestampNTZType) or (
+            isinstance(dt, T.TimestampType) and not getattr(col, "zoned", False)):
+        # reference: precision > 3 -> MicroTimestamp (Spark timestamps are
+        # micros), TIMESTAMP_LTZ/TZ -> ZonedTimestamp string
+        node["type"] = "int64"
+        node["name"] = "io.debezium.time.MicroTimestamp"
+        node["version"] = 1
+    elif isinstance(dt, T.TimestampType):
+        node["type"] = "string"
+        node["name"] = "io.debezium.time.ZonedTimestamp"
+        node["version"] = 1
+    elif isinstance(dt, T.BinaryType):
+        node["type"] = "bytes"
+        node["name"] = "io.debezium.data.Bits"
+        node["version"] = 1
+        node["parameters"] = {"length": "0"}
+    else:
+        node["type"] = "string"
+    node["optional"] = bool(col.nullable)
+    if col.default_expr is not None:
+        node["default"] = col.default_expr
+    if col.comment:
+        node["doc"] = col.comment
+    node["field"] = col.name
+    return node
+
+
+def connect_schema_json(schema: Schema) -> str:
+    """The ``"schema"`` block for debezium-json.include-schema.enabled —
+    a Kafka-Connect struct schema with optional ``before``/``after`` row
+    structs (DebeziumJsonSerializationSchema.convertSchemaToDebeziumSchema
+    :234-248). Rendered once per table at schema-change time (driver
+    side); data rows splice the precomputed string."""
+    import json as _json
+
+    fields = [connect_field_schema(c) for c in schema.columns]
+
+    def row_struct(name: str) -> dict:
+        return {"type": "struct", "fields": fields, "optional": True,
+                "field": name}
+
+    return _json.dumps(
+        {"type": "struct",
+         "fields": [row_struct("before"), row_struct("after")],
+         "optional": False},
+        separators=(",", ":"))
 
 
 def canal_value_schema(payload: T.StructType) -> T.StructType:
@@ -202,7 +282,8 @@ def decode_canal(raw: DataFrame, payload_schema: T.StructType,
 _CANAL_TYPES = {"+I": "INSERT", "+U": "UPDATE", "-U": "UPDATE", "-D": "DELETE"}
 
 
-def encode_canal(df: DataFrame, table_id: TableId, schema: Schema) -> DataFrame:
+def encode_canal(df: DataFrame, table_id: TableId, schema: Schema,
+                 key_col: Column | None = None) -> DataFrame:
     """Engine changelog envelope -> canal-json values (one row per event)."""
     phys = [c.name for c in schema.columns if c.name in df.columns]
     row = F.struct(*[F.col(c) for c in phys])
@@ -222,5 +303,6 @@ def encode_canal(df: DataFrame, table_id: TableId, schema: Schema) -> DataFrame:
         F.lit(table_id.table_name).alias("table"),
     ))
     pks = [k for k in schema.primary_keys if k in df.columns] or phys
-    key = F.to_json(F.struct(*[F.col(k) for k in pks]))
+    key = (key_col if key_col is not None
+           else F.to_json(F.struct(*[F.col(k) for k in pks])))
     return df.select(key.alias("key"), value.alias("value"))
