@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "global_row_ids",
     "sink_lake_mor",
+    "sketch_histogram_quantiles",
 ]
 
 

@@ -1661,6 +1661,26 @@ def _oracle_kmv_by() -> str:
     return kmv_by_oracle_sql("events", ["event_type"], "user_id", k=64)
 
 
+def q_sketch_histogram_quantiles(spark, sf_dir):
+    """Per-group quantiles from a mergeable fixed-bin histogram sketch
+    (extensions/sketches.histogram_quantiles): p50/p90/p99 of events.value
+    per event_type without ever sorting the values — bucket counts are the
+    only shuffled state (≤ groups × 128 rows), mergeable across files and
+    days. Deterministic IEEE arithmetic on both engines, so an
+    APPROXIMATE operator still passes the exact value-hash oracle (the
+    property t-digest/KLL/HLL can never have)."""
+    from .extensions.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        load(spark, sf_dir, "events"), "value", ["event_type"])
+
+
+def _oracle_histogram_quantiles() -> str:
+    from .extensions.sketches import histogram_quantiles_oracle_sql
+
+    return histogram_quantiles_oracle_sql("events", "value", ["event_type"])
+
+
 # ---------------------------------------------------------------------------
 # 5. Operator parity queries (round-2: driver coverage for pytest-only §2 ops)
 # ---------------------------------------------------------------------------
@@ -2953,6 +2973,7 @@ QUERIES: dict[str, object] = {
     "pack_sequences": q_pack_sequences,
     "global_row_ids": q_global_row_ids,
     "sink_lake_mor": q_sink_lake_mor,
+    "sketch_histogram_quantiles": q_sketch_histogram_quantiles,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3071,6 +3092,7 @@ ORACLES: dict[str, str] = {
     "pack_sequences": _oracle_pack_sequences(),
     "global_row_ids": ORACLE_GLOBAL_ROW_IDS,
     "sink_lake_mor": ORACLE_LAKE_MOR,
+    "sketch_histogram_quantiles": _oracle_histogram_quantiles(),
     "text_quality_filters": _oracle_quality_filters(),
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "sink_es_bulk": ORACLE_SINK_UPSERT,

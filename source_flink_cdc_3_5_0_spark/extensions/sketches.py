@@ -114,6 +114,102 @@ FROM a
 """
 
 
+def histogram_quantiles(df: DataFrame, value_col: str,
+                        group_cols: list[str],
+                        qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                        bins: int = 128) -> DataFrame:
+    """Per-group quantile estimates from a fixed equi-width histogram —
+    the mergeable quantile sketch (bucket counts add across partitions /
+    files / days, unlike exact percentiles which need the full sort).
+
+    Why not ``approx_percentile`` / t-digest / KLL: every engine's
+    implementation differs, so their estimates can never pass a value-hash
+    oracle. A fixed-bin histogram is deterministic — identical IEEE
+    arithmetic in Spark and DuckDB yields the identical estimate (same
+    design choice as the KMV sketch above).
+
+    Estimate = lower edge of the first bucket whose cumulative count
+    reaches ``ceil(q·n)`` (a conservative sub-bucket-width answer; error
+    bounded by (max-min)/bins).
+
+    Scale shape: one tiny global min/max agg (2 doubles to the driver —
+    control plane, same pattern as IVF centroids), then ONE shuffle:
+    per-group-per-bucket partial-agg counts (≤ groups × bins rows), a
+    bins-bounded window for the cumulative sum, one row per (group, q)
+    out. The raw values are never sorted."""
+    from pyspark.sql import Window
+
+    mn, mx = df.agg(F.min(value_col), F.max(value_col)).first()
+    if mn is None:
+        raise ValueError(f"histogram_quantiles: {value_col} is all-null")
+    width = (float(mx) - float(mn)) / bins or 1.0
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.floor((F.col(value_col) - F.lit(float(mn))) / F.lit(width))
+        .cast("int"))
+    counts = (df.where(F.col(value_col).isNotNull())
+              .groupBy(*group_cols, bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (Window.partitionBy(*group_cols).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = Window.partitionBy(*group_cols)
+    cum = (counts.withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("n", F.sum("cnt").over(wn)))
+    parts = []
+    for q in qs:
+        need = F.ceil(F.lit(q) * F.col("n"))
+        hit = (cum.where(F.col("cum") >= need)
+               .groupBy(*group_cols)
+               .agg(F.min("bucket").alias("bucket"),
+                    F.max("n").alias("n")))
+        parts.append(hit.select(
+            *group_cols, F.lit(q).alias("q"),
+            F.round(F.lit(float(mn)) + F.col("bucket") * F.lit(width), 9)
+            .alias("estimate"),
+            F.col("n").alias("n_rows")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def histogram_quantiles_oracle_sql(table: str, value_col: str,
+                                   group_cols: list[str],
+                                   qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                                   bins: int = 128) -> str:
+    """DuckDB oracle replaying the identical histogram arithmetic (min/max
+    computed in SQL — same doubles the Spark side collected)."""
+    g = ", ".join(group_cols)
+    q_rows = ", ".join(f"(CAST({q!r} AS DOUBLE))" for q in qs)
+    return f"""
+WITH stats AS (
+  SELECT min({value_col}) AS mn, max({value_col}) AS mx FROM {table}),
+p AS (
+  SELECT CASE WHEN (mx - mn) / {bins} = 0 THEN 1.0
+              ELSE (mx - mn) / {bins} END AS width, mn FROM stats),
+b AS (
+  SELECT {g},
+         least({bins - 1},
+               CAST(floor(({value_col} - p.mn) / p.width) AS INT)) AS bucket
+  FROM {table}, p WHERE {value_col} IS NOT NULL),
+c AS (
+  SELECT {g}, bucket, count(*) AS cnt FROM b GROUP BY {g}, bucket),
+cc AS (
+  SELECT {g}, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY {g} ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY {g}) AS n
+  FROM c),
+qs(q) AS (VALUES {q_rows})
+SELECT {g}, q,
+       round(p.mn + min(bucket) * p.width, 9) AS estimate,
+       CAST(max(n) AS BIGINT) AS n_rows
+FROM cc, qs, p
+WHERE cum >= ceil(q * n)
+GROUP BY {g}, q, p.mn, p.width
+"""
+
+
 def kmv_oracle_sql(table: str, col: str, k: int = 256) -> str:
     """DuckDB oracle computing the identical sketch."""
     u = uniform_fraction_sql("duckdb", col)

@@ -51,3 +51,56 @@ def test_grouped_kmv_accuracy_and_exact_below_capacity(spark):
     assert got["small"] == 40.0
     rel_err = abs(got["big"] - 5000) / 5000
     assert rel_err < 5 / math.sqrt(62), f"estimate {got['big']} off by {rel_err:.2%}"
+
+
+class TestHistogramQuantiles:
+    def test_error_bounded_by_bin_width(self, spark):
+        """The estimate is the lower edge of the covering bucket, so it is
+        within one bin width below the exact quantile."""
+        import numpy as np
+
+        from source_flink_cdc_3_5_0_spark.extensions.sketches import (
+            histogram_quantiles,
+        )
+
+        vals = [float((i * 37) % 1000) for i in range(2000)]
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+        out = {r["q"]: r for r in
+               histogram_quantiles(df, "v", ["g"], bins=100).collect()}
+        width = (max(vals) - min(vals)) / 100
+        for q in (0.5, 0.9, 0.99):
+            exact = float(np.quantile(vals, q, method="inverted_cdf"))
+            est = out[q]["estimate"]
+            assert est <= exact + 1e-9
+            assert exact - est <= width + 1e-9, (q, est, exact)
+            assert out[q]["n_rows"] == 2000
+
+    def test_merge_equals_recompute(self, spark):
+        """Bucket counts are additive: the sketch over a union equals the
+        sketch computed per part and merged (here: recomputed over the
+        concatenation — the merge is the same groupBy)."""
+        from source_flink_cdc_3_5_0_spark.extensions.sketches import (
+            histogram_quantiles,
+        )
+
+        a = [("g", float(i)) for i in range(500)]
+        b = [("g", float(i)) for i in range(500, 1000)]
+        whole = spark.createDataFrame(a + b, "g string, v double")
+        got = {(r["q"]): r["estimate"] for r in
+               histogram_quantiles(whole, "v", ["g"]).collect()}
+        # recompute on a reshuffled layout: partitioning must not matter
+        got2 = {(r["q"]): r["estimate"] for r in
+                histogram_quantiles(whole.repartition(13), "v", ["g"])
+                .collect()}
+        assert got == got2
+
+    def test_all_null_raises(self, spark):
+        import pytest
+
+        from source_flink_cdc_3_5_0_spark.extensions.sketches import (
+            histogram_quantiles,
+        )
+
+        df = spark.createDataFrame([("g", None)], "g string, v double")
+        with pytest.raises(ValueError, match="all-null"):
+            histogram_quantiles(df, "v", ["g"])
