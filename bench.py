@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "global_row_ids",
     "sink_lake_mor",
     "sketch_histogram_quantiles",
+    "fuzzy_join_names",
 ]
 
 

@@ -1681,6 +1681,27 @@ def _oracle_histogram_quantiles() -> str:
     return histogram_quantiles_oracle_sql("events", "value", ["event_type"])
 
 
+def q_fuzzy_join_names(spark, sf_dir):
+    """Typo-tolerant fuzzy self-join (extensions/fuzzy.fuzzy_self_join):
+    customer-name pairs within Levenshtein distance 1 via complete
+    deletion-neighborhood blocking (FastSS) + built-in levenshtein verify
+    — O(n·L) join input instead of the oracle's O(n²) cross join, zero
+    recall loss (the oracle IS the all-pairs formulation; equal output
+    proves completeness)."""
+    from .extensions.fuzzy import fuzzy_self_join
+
+    cust = load(spark, sf_dir, "customer")
+    return fuzzy_self_join(cust, "c_custkey", "c_name", max_distance=1)
+
+
+ORACLE_FUZZY_JOIN = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # 5. Operator parity queries (round-2: driver coverage for pytest-only §2 ops)
 # ---------------------------------------------------------------------------
@@ -2974,6 +2995,7 @@ QUERIES: dict[str, object] = {
     "global_row_ids": q_global_row_ids,
     "sink_lake_mor": q_sink_lake_mor,
     "sketch_histogram_quantiles": q_sketch_histogram_quantiles,
+    "fuzzy_join_names": q_fuzzy_join_names,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3093,6 +3115,7 @@ ORACLES: dict[str, str] = {
     "global_row_ids": ORACLE_GLOBAL_ROW_IDS,
     "sink_lake_mor": ORACLE_LAKE_MOR,
     "sketch_histogram_quantiles": _oracle_histogram_quantiles(),
+    "fuzzy_join_names": ORACLE_FUZZY_JOIN,
     "text_quality_filters": _oracle_quality_filters(),
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "sink_es_bulk": ORACLE_SINK_UPSERT,

@@ -1,0 +1,74 @@
+"""Typo-tolerant (edit-distance) fuzzy join.
+
+The entity-resolution primitive: find record pairs whose string keys are
+within Levenshtein distance *k* — near-duplicate names, OCR'd titles,
+user-typed identifiers. The naive formulation is an all-pairs cross join
+with a levenshtein filter: O(n²) comparisons, a non-starter at scale.
+
+The blocking used here is the deletion neighborhood (FastSS / SymSpell):
+every string emits itself plus every single-character deletion as block
+keys. Two strings within edit distance 1 ALWAYS share a key —
+
+- substitution at position i: deleting i from both sides yields the same
+  string;
+- insertion/deletion: the longer side's deletion of the extra character
+  IS the shorter string (which emits itself).
+
+— so the equi-join on block keys is provably complete (no recall loss,
+unlike prefix/length blocking), and the levenshtein verify runs only on
+candidates. Key fan-out is len(s)+1 keys per row: O(n·L) join input
+instead of O(n²) comparisons, with the join a plain hash equi-join.
+
+Everything is JVM-side: the neighborhood is a higher-order-function
+``transform`` over a ``sequence``, the verify is the built-in
+``levenshtein`` — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def deletion_neighborhood(col, max_distance: int = 1):
+    """Array column: the string plus all single-character deletions."""
+    if max_distance != 1:
+        raise NotImplementedError(
+            "deletion-neighborhood blocking is implemented for "
+            "max_distance=1; k>=2 needs the k-deletion closure "
+            "(O(L^k) keys/row — generate iteratively if ever needed)")
+    dels = F.expr(
+        "transform(sequence(1, length({c})), "
+        "i -> concat(substring({c}, 1, i - 1), substring({c}, i + 1)))"
+        .format(c=col))
+    return F.array_union(F.array(F.col(col)), dels)
+
+
+def fuzzy_self_join(df: DataFrame, id_col: str, text_col: str,
+                    max_distance: int = 1) -> DataFrame:
+    """Pairs (id_a, id_b, dist) with levenshtein(text_a, text_b) <=
+    max_distance and id_a < id_b. Complete (every qualifying pair is
+    found) by the deletion-neighborhood argument above.
+
+    Scale shape: explode to (key, id, text) — O(n·L) rows; ONE hash
+    equi-join on the key; candidate pairs deduped by a partial-agg
+    groupBy before the levenshtein verify. A hot key (many strings
+    sharing a deletion variant) grows that key's bucket quadratically —
+    the same posture as LSH band buckets; AQE skew-split applies, and
+    genuinely adversarial corpora should pre-filter stop-strings."""
+    keys = (df.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("txt"))
+            .where(F.col("txt").isNotNull())
+            .select("id", "txt",
+                    F.explode(deletion_neighborhood("txt", max_distance))
+                    .alias("key")))
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (a.join(b, "key")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("a.txt").alias("ta"),
+                    F.col("b.id").alias("id_b"), F.col("b.txt").alias("tb"))
+            .groupBy("id_a", "id_b")
+            .agg(F.first("ta").alias("ta"), F.first("tb").alias("tb")))
+    dist = F.levenshtein(F.col("ta"), F.col("tb"))
+    return (cand.withColumn("dist", dist)
+            .where(F.col("dist") <= max_distance)
+            .select("id_a", "id_b", F.col("dist").cast("int").alias("dist")))
