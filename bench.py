@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "sink_lake_mor",
     "sketch_histogram_quantiles",
     "fuzzy_join_names",
+    "text_chunk_sliding",
 ]
 
 

@@ -1702,6 +1702,35 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def q_text_chunk_sliding(spark, sf_dir):
+    """SLIDING context windows (extensions/text.chunk_windows with
+    stride < window): 64-token windows every 32 tokens — consecutive
+    windows share 32 tokens, the long-document evaluation / retrieval
+    chunking convention. Same no-shuffle posexplode+slice shape as the
+    disjoint chunker."""
+    from .extensions.text import chunk_windows
+
+    return chunk_windows(load(spark, sf_dir, "documents"),
+                         window_tokens=64, stride=32)
+
+
+ORACLE_CHUNK_SLIDING = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+w AS (
+  SELECT doc_id, t,
+         unnest(range(0, CAST(ceil(len(t) / 32.0) AS INT))) AS wi
+  FROM toks WHERE len(t) > 0)
+SELECT doc_id,
+       CAST(wi AS INTEGER) AS window_idx,
+       CAST(least(64, len(t) - wi * 32) AS INTEGER) AS n_tokens,
+       array_to_string(t[wi * 32 + 1 : wi * 32 + 64], ' ') AS chunk
+FROM w
+"""
+
+
 # ---------------------------------------------------------------------------
 # 5. Operator parity queries (round-2: driver coverage for pytest-only §2 ops)
 # ---------------------------------------------------------------------------
@@ -2996,6 +3025,7 @@ QUERIES: dict[str, object] = {
     "sink_lake_mor": q_sink_lake_mor,
     "sketch_histogram_quantiles": q_sketch_histogram_quantiles,
     "fuzzy_join_names": q_fuzzy_join_names,
+    "text_chunk_sliding": q_text_chunk_sliding,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3116,6 +3146,7 @@ ORACLES: dict[str, str] = {
     "sink_lake_mor": ORACLE_LAKE_MOR,
     "sketch_histogram_quantiles": _oracle_histogram_quantiles(),
     "fuzzy_join_names": ORACLE_FUZZY_JOIN,
+    "text_chunk_sliding": ORACLE_CHUNK_SLIDING,
     "text_quality_filters": _oracle_quality_filters(),
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "sink_es_bulk": ORACLE_SINK_UPSERT,

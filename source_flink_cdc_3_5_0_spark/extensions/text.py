@@ -164,18 +164,30 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def chunk_windows(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", window_tokens: int = 64) -> DataFrame:
-    """Context-window chunking: split each document into consecutive
+                  id_col: str = "doc_id", window_tokens: int = 64,
+                  stride: int | None = None) -> DataFrame:
+    """Context-window chunking: split each document into
     ``window_tokens``-token chunks (the training-window preprocessing step
-    before tokenizer packing). Pure codegen: tokens materialized once, one
-    posexplode over ceil(n/W) window indices, slice+join per chunk — no
-    shuffle, no Python. Emits (id, window_idx, n_tokens, chunk)."""
+    before tokenizer packing). ``stride`` < ``window_tokens`` makes the
+    windows OVERLAP (sliding windows — the long-document evaluation /
+    retrieval-chunking convention: each window starts ``stride`` tokens
+    after the previous, so consecutive windows share ``W - stride``
+    tokens); default stride = window size = disjoint chunks. Windows
+    start at 0, stride, 2·stride, … while the start is < n, so the final
+    window may be short — same tail rule as the disjoint case.
+
+    Pure codegen: tokens materialized once, one posexplode over the
+    window starts, slice+join per chunk — no shuffle, no Python. Emits
+    (id, window_idx, n_tokens, chunk)."""
     from .dedup import tokens_col
 
     W = window_tokens
+    S = stride or W
+    if S > W or S <= 0:
+        raise ValueError(f"stride must be in [1, window_tokens], got {S}")
     base = df.withColumn("__toks", tokens_col(text_col))
     n = F.size("__toks")
-    n_windows = F.ceil(n / F.lit(W)).cast("int")
+    n_windows = F.ceil(n / F.lit(S)).cast("int")
     return (
         base.where(n > 0)
         .select(F.col(id_col),
@@ -185,9 +197,9 @@ def chunk_windows(df: DataFrame, text_col: str = "text",
         .select(
             id_col,
             F.col("window_idx").cast("int"),
-            F.least(F.lit(W), F.size("__toks") - F.col("__w") * W)
+            F.least(F.lit(W), F.size("__toks") - F.col("__w") * S)
             .cast("int").alias("n_tokens"),
-            F.array_join(F.slice("__toks", F.col("__w") * W + 1, W), " ")
+            F.array_join(F.slice("__toks", F.col("__w") * S + 1, W), " ")
             .alias("chunk"),
         ))
 

@@ -191,3 +191,40 @@ class TestGlobalRowIds:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "rangepartitioning" in plan.lower()
         assert "singlepartition" not in plan.lower()
+
+
+class TestSlidingChunks:
+    def test_overlap_shares_tokens(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.text import chunk_windows
+
+        text = " ".join(f"t{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        rows = sorted(chunk_windows(df, window_tokens=4, stride=2).collect(),
+                      key=lambda r: r["window_idx"])
+        # starts at 0,2,4,6,8 — 5 windows; window i covers tokens [2i, 2i+4)
+        assert [r["window_idx"] for r in rows] == [0, 1, 2, 3, 4]
+        assert rows[0]["chunk"] == "t0 t1 t2 t3"
+        assert rows[1]["chunk"] == "t2 t3 t4 t5"
+        assert rows[4]["chunk"] == "t8 t9"  # short tail
+        assert rows[4]["n_tokens"] == 2
+        # consecutive windows share W - S = 2 tokens
+        for a, b in zip(rows, rows[1:]):
+            assert a["chunk"].split()[-2:] == b["chunk"].split()[:2] or \
+                b["n_tokens"] < 2
+
+    def test_default_stride_is_disjoint(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.text import chunk_windows
+
+        text = " ".join(f"t{i}" for i in range(9))
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        rows = chunk_windows(df, window_tokens=4).collect()
+        assert sorted(r["n_tokens"] for r in rows) == [1, 4, 4]
+
+    def test_bad_stride_rejected(self, spark):
+        import pytest
+
+        from source_flink_cdc_3_5_0_spark.extensions.text import chunk_windows
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="stride"):
+            chunk_windows(df, window_tokens=4, stride=5)
