@@ -146,3 +146,42 @@ class TestKafkaSinkLocal:
         lines = spark.read.text(os.path.join(topic_dir, "batch_0")).collect()
         v = json.loads(lines[0]["value"])
         assert v["op"] == "c" and v["after"]["name"] == "a"
+
+
+class TestMorLakeStreaming:
+    def test_stream_into_merge_on_read_lake(self, spark, tmp_path):
+        """The streaming runner drives the merge-on-read lake sink like
+        any DataSink: each micro-batch lands as an append-only delta
+        commit, a checkpoint restart replays as a no-op (batch markers),
+        and the merged read equals the memory-sink golden state."""
+        from source_flink_cdc_3_5_0_spark.sinks.lakehouse import (
+            SnapshotLakeSink,
+        )
+
+        src = str(tmp_path / "in_mor")
+        ckpt = str(tmp_path / "ckpt_mor")
+        _write_events(src, "p1.jsonl", EVENTS_1)
+        sink = SnapshotLakeSink(str(tmp_path / "lake_mor"), num_buckets=2,
+                                mode="mor")
+
+        def run_once():
+            pipe = StreamingPipeline.create(spark, sink, ckpt)
+            q = pipe.start(file_stream_source(spark, src),
+                           {"inventory.db.products": SCHEMA})
+            q.awaitTermination(120)
+
+        run_once()
+        m = sink._manifest(TID)
+        assert m.get("deltas") and not m["buckets"]  # append-only commit
+        _write_events(src, "p2.jsonl", EVENTS_2)
+        run_once()
+        rows = {(r["id"], r["name"], r["weight"])
+                for r in sink.read(spark, TID).collect()}
+        assert rows == {(1, "bolt", 1.5), (2, "nut-v2", 0.5)}
+        n_snaps = len(sink.snapshots(TID))
+        run_once()  # restart, no new data: no extra snapshot
+        assert len(sink.snapshots(TID)) == n_snaps
+        sink.compact(spark, TID)
+        rows2 = {(r["id"], r["name"], r["weight"])
+                 for r in sink.read(spark, TID).collect()}
+        assert rows2 == rows
