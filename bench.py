@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "sketch_histogram_quantiles",
     "fuzzy_join_names",
     "text_chunk_sliding",
+    "cdc_incremental_agg",
 ]
 
 

@@ -22,7 +22,7 @@ from decimal import Decimal
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .api import transform_table
-from .common.events import OP_COL
+from .common.events import BEFORE_COL, OP_COL
 from .common.schema import Column as SchemaColumn, Schema
 from .extensions import text as X
 from .extensions.dedup import (
@@ -274,6 +274,53 @@ SELECT user_id, event_id, event_type, value FROM (
          row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
   FROM events) t
 WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_cdc_incremental_agg(spark, sf_dir):
+    """Retract-stream aggregate maintenance (operators/retract.py):
+    per-event_type count + exact cents-scaled sum maintained from a
+    scripted changelog (insert all, update every 5th to value+100,
+    delete every 7th) — ONE partial-aggregated shuffle, NO per-key
+    state (vs materialize-latest-then-aggregate, which shuffles every
+    key and holds the table). Oracle aggregates the equivalent final
+    state directly; integer cents make the sum order-independent and
+    bit-exact."""
+    from .operators.retract import incremental_agg
+
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    up_cents = F.round((F.col("value") + 100) * 100).cast("bigint")
+    inserts = ev.select(
+        "event_type", cents.alias("v"),
+        F.lit(None).cast("bigint").alias("bv"), F.lit("+I").alias(OP_COL))
+    updates = ev.where(F.col("event_id") % 5 == 0).select(
+        "event_type", up_cents.alias("v"), cents.alias("bv"),
+        F.lit("+U").alias(OP_COL))
+    deletes = ev.where(F.col("event_id") % 7 == 0).select(
+        "event_type",
+        F.when(F.col("event_id") % 5 == 0, up_cents).otherwise(cents)
+        .alias("v"),
+        F.lit(None).cast("bigint").alias("bv"), F.lit("-D").alias(OP_COL))
+    changelog = (inserts.unionByName(updates).unionByName(deletes)
+                 .withColumn(BEFORE_COL, F.when(
+                     F.col("bv").isNotNull(), F.struct(F.col("bv")))))
+    out = incremental_agg(changelog, ["event_type"], F.col("v"),
+                          before_value=F.col(f"{BEFORE_COL}.bv"))
+    return out.select("event_type", F.col("n_rows").cast("bigint"),
+                      F.col("sum_value").cast("bigint").alias("sum_cents"))
+
+
+ORACLE_INCREMENTAL_AGG = """
+WITH final AS (
+  SELECT event_type,
+         CASE WHEN event_id % 5 = 0
+              THEN CAST(round((value + 100) * 100) AS BIGINT)
+              ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+  FROM events WHERE event_id % 7 <> 0)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM final GROUP BY event_type
 """
 
 
@@ -3026,6 +3073,7 @@ QUERIES: dict[str, object] = {
     "sketch_histogram_quantiles": q_sketch_histogram_quantiles,
     "fuzzy_join_names": q_fuzzy_join_names,
     "text_chunk_sliding": q_text_chunk_sliding,
+    "cdc_incremental_agg": q_cdc_incremental_agg,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3147,6 +3195,7 @@ ORACLES: dict[str, str] = {
     "sketch_histogram_quantiles": _oracle_histogram_quantiles(),
     "fuzzy_join_names": ORACLE_FUZZY_JOIN,
     "text_chunk_sliding": ORACLE_CHUNK_SLIDING,
+    "cdc_incremental_agg": ORACLE_INCREMENTAL_AGG,
     "text_quality_filters": _oracle_quality_filters(),
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "sink_es_bulk": ORACLE_SINK_UPSERT,

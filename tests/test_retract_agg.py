@@ -1,0 +1,97 @@
+"""Retract-stream incremental aggregation: delta algebra per op kind,
+-U/+U pair convention, equality with materialize-then-aggregate, and the
+single-shuffle plan shape."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from source_flink_cdc_3_5_0_spark.common.events import BEFORE_COL, OP_COL
+from source_flink_cdc_3_5_0_spark.operators.retract import incremental_agg
+
+
+def _chg(spark, rows):
+    """rows: (group, value, before_value_or_None, op)"""
+    df = spark.createDataFrame(
+        rows, f"g string, v long, bv long, {OP_COL} string")
+    return df.withColumn(
+        BEFORE_COL, F.when(F.col("bv").isNotNull(), F.struct(F.col("bv"))))
+
+
+def _agg(spark, rows):
+    out = incremental_agg(_chg(spark, rows), ["g"], F.col("v"),
+                          before_value=F.col(f"{BEFORE_COL}.bv"))
+    return {r["g"]: (r["n_rows"], r["sum_value"]) for r in out.collect()}
+
+
+class TestIncrementalAgg:
+    def test_insert_update_delete_deltas(self, spark):
+        got = _agg(spark, [
+            ("a", 10, None, "+I"),
+            ("a", 20, None, "+I"),
+            ("a", 25, 20, "+U"),    # 20 -> 25: count unchanged, sum +5
+            ("a", 10, None, "-D"),  # remove the 10
+            ("b", 7, None, "+I"),
+        ])
+        assert got == {"a": (1, 25), "b": (1, 7)}
+
+    def test_retract_pair_convention(self, spark):
+        # Flink-style -U/+U pairs: the -U retracts the before image, the
+        # +U (before absent) adds the after image
+        got = _agg(spark, [
+            ("a", 20, None, "+I"),
+            ("a", 20, None, "-U"),
+            ("a", 26, None, "+U"),
+        ])
+        assert got == {"a": (1, 26)}
+
+    def test_fully_deleted_group_dropped(self, spark):
+        got = _agg(spark, [
+            ("a", 5, None, "+I"),
+            ("a", 5, None, "-D"),
+            ("b", 1, None, "+I"),
+        ])
+        assert got == {"b": (1, 1)}
+
+    def test_equals_materialize_then_aggregate(self, spark):
+        """The retract aggregate over a keyed changelog must equal
+        aggregating the materialized final state."""
+        from source_flink_cdc_3_5_0_spark.sources.base import SEQ_COL
+        from source_flink_cdc_3_5_0_spark.streaming.materialize import (
+            latest_image,
+        )
+
+        # keyed churn: 100 keys, every 3rd updated, every 4th deleted
+        base = [(i, "g%d" % (i % 5), i * 10) for i in range(100)]
+        rows, seq = [], 0
+        for k, g, v in base:
+            rows.append((k, g, v, None, "+I", seq)); seq += 1
+        for k, g, v in base:
+            if k % 3 == 0:
+                rows.append((k, g, v + 1, v, "+U", seq)); seq += 1
+        for k, g, v in base:
+            if k % 4 == 0:
+                vv = v + 1 if k % 3 == 0 else v
+                rows.append((k, g, vv, None, "-D", seq)); seq += 1
+        df = spark.createDataFrame(
+            rows, f"k long, g string, v long, bv long, {OP_COL} string, "
+                  f"{SEQ_COL} long")
+        chg = df.withColumn(BEFORE_COL, F.when(
+            F.col("bv").isNotNull(), F.struct(F.col("bv"))))
+        inc = {r["g"]: (r["n_rows"], r["sum_value"]) for r in
+               incremental_agg(chg, ["g"], F.col("v"),
+                               before_value=F.col(f"{BEFORE_COL}.bv"))
+               .collect()}
+        mat = latest_image(chg.drop(BEFORE_COL, "bv"), ["k"], seq_col=SEQ_COL)
+        ref = {r["g"]: (r["n"], r["s"]) for r in
+               mat.groupBy("g").agg(F.count(F.lit(1)).alias("n"),
+                                    F.sum("v").alias("s")).collect()}
+        assert inc == ref
+
+    def test_single_shuffle_partial_agg(self, spark):
+        chg = _chg(spark, [("a", 1, None, "+I")])
+        plan = (incremental_agg(chg, ["g"], F.col("v"),
+                                before_value=F.col(f"{BEFORE_COL}.bv"))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert len(re.findall(r"\bExchange\b", plan)) == 1, plan
+        assert plan.count("HashAggregate") >= 2, plan  # partial + final
