@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "fuzzy_join_names",
     "text_chunk_sliding",
     "cdc_incremental_agg",
+    "agg_session_window",
+    "scd2_enrich_events",
 ]
 
 

@@ -311,6 +311,82 @@ def q_cdc_incremental_agg(spark, sf_dir):
                       F.col("sum_value").cast("bigint").alias("sum_cents"))
 
 
+def q_agg_session_window(spark, sf_dir):
+    """Spark's NATIVE session_window aggregation (the gap-based session
+    operator Structured Streaming uses in both batch and stream mode) —
+    30-minute inactivity gap per user. Complements `sessionize_events`
+    (the manual lag/gap-and-islands form): same semantics, different
+    engine surface; a session window spans [first event, last event +
+    gap). One shuffle on the session key."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("decimal(38,2)").cast("double").alias("total_value"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "total_value"))
+
+
+ORACLE_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+         AS total_value
+FROM numbered GROUP BY user_id, sid
+"""
+
+
+def q_scd2_enrich_events(spark, sf_dir):
+    """Slowly-changing-dimension (SCD2) enrichment: events joined to the
+    dimension version valid AT EVENT TIME — the streaming dim-join every
+    warehouse pipeline needs. The versioned dim is scripted from
+    `customer` (v1 from epoch, v2 re-segments at 2024-01-15); the
+    temporal resolution is the as-of join (extensions/temporal_join):
+    union + ONE key shuffle + last-non-null carry — no range cross
+    join."""
+    from .extensions.temporal_join import asof_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    cust = load(spark, sf_dir, "customer")
+    v1 = cust.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2023-01-01 00:00:00").cast("timestamp").alias("valid_from"))
+    v2 = cust.select(
+        F.col("c_custkey").alias("user_id"),
+        F.concat(F.lit("UPGRADED-"), F.col("c_mktsegment")).alias("segment"),
+        F.lit("2024-01-15 00:00:00").cast("timestamp").alias("valid_from"))
+    dim = v1.unionByName(v2)
+    return asof_join(ev, dim, on=["user_id"], left_ts="ts",
+                     right_ts="valid_from", right_payload=["segment"])
+
+
+ORACLE_SCD2 = """
+SELECT e.event_id, e.user_id, e.ts,
+       CASE WHEN e.ts >= TIMESTAMP '2024-01-15 00:00:00'
+            THEN 'UPGRADED-' || c.c_mktsegment
+            ELSE c.c_mktsegment END AS segment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 ORACLE_INCREMENTAL_AGG = """
 WITH final AS (
   SELECT event_type,
@@ -3074,6 +3150,8 @@ QUERIES: dict[str, object] = {
     "fuzzy_join_names": q_fuzzy_join_names,
     "text_chunk_sliding": q_text_chunk_sliding,
     "cdc_incremental_agg": q_cdc_incremental_agg,
+    "agg_session_window": q_agg_session_window,
+    "scd2_enrich_events": q_scd2_enrich_events,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3196,6 +3274,8 @@ ORACLES: dict[str, str] = {
     "fuzzy_join_names": ORACLE_FUZZY_JOIN,
     "text_chunk_sliding": ORACLE_CHUNK_SLIDING,
     "cdc_incremental_agg": ORACLE_INCREMENTAL_AGG,
+    "agg_session_window": ORACLE_SESSION_WINDOW,
+    "scd2_enrich_events": ORACLE_SCD2,
     "text_quality_filters": _oracle_quality_filters(),
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "sink_es_bulk": ORACLE_SINK_UPSERT,
