@@ -3079,7 +3079,7 @@ c AS (
   FROM t)
 SELECT lang, doc_id, n_tokens,
        CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS bin_id,
-       (cum - n_tokens) % 256 AS bin_offset,
+       CAST((cum - n_tokens) % 256 AS BIGINT) AS bin_offset,
        n_tokens > 0 AND
          CAST(floor((cum - 1) / 256.0) AS BIGINT)
            > CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS straddles

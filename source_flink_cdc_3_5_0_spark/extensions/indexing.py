@@ -11,11 +11,13 @@ re-expressed over DataFrames:
    — the global order is now the concatenation of locally-sorted
    partitions.
 2. A tiny per-partition count aggregate (``num_partitions`` rows) is
-   collected and turned into cumulative offsets. This extra job does NOT
-   re-scan the source: Spark reuses the range exchange's shuffle files, so
-   the stage shows as *skipped* when the main job runs (no persist /
-   checkpoint needed — caching 100 TB to number it would be the real
-   cost).
+   collected and turned into cumulative offsets. This is a SEPARATE
+   action, so the source is scanned and range-shuffled twice per call —
+   exactly the contract of ``RDD.zipWithIndex`` (its internal count job
+   does the same); caching 100 TB to avoid the second pass would cost
+   more than the pass. Callers who already have the input materialized
+   (a parquet table) pay two cheap scans; callers with an expensive
+   upstream plan should persist it themselves first.
 3. A no-shuffle Arrow ``mapInPandas`` pass assigns LOCAL row numbers — the
    iterator covers a whole physical partition, so a running counter across
    batches numbers it 0..n-1 — and adds the partition's offset:
@@ -23,7 +25,10 @@ re-expressed over DataFrames:
 
 Output ids are invariant to the partition boundaries the range sampler
 picks: ids derive only from the total order, which any boundary choice
-preserves when the order key is unique.
+preserves when the order key is unique. Because the two actions evaluate
+the input independently, the input must be DETERMINISTIC (no rand()
+columns, no unseeded sampling, no source mutated between the jobs) —
+again the same requirement ``RDD.zipWithIndex`` has.
 """
 
 from __future__ import annotations

@@ -155,22 +155,22 @@ def histogram_quantiles(df: DataFrame, value_col: str,
     wn = Window.partitionBy(*group_cols)
     cum = (counts.withColumn("cum", F.sum("cnt").over(w))
            .withColumn("n", F.sum("cnt").over(wn)))
-    parts = []
-    for q in qs:
-        need = F.ceil(F.lit(q) * F.col("n"))
-        hit = (cum.where(F.col("cum") >= need)
-               .groupBy(*group_cols)
-               .agg(F.min("bucket").alias("bucket"),
-                    F.max("n").alias("n")))
-        parts.append(hit.select(
-            *group_cols, F.lit(q).alias("q"),
-            F.round(F.lit(float(mn)) + F.col("bucket") * F.lit(width), 9)
-            .alias("estimate"),
-            F.col("n").alias("n_rows")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # ONE pass over the (group, bucket) rows: conditional min per quantile,
+    # then unpivot — not one filtered aggregation per q (a per-q loop
+    # would replicate the counts+window subtree q times in the plan)
+    hits = [F.min(F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")),
+                         F.col("bucket"))).alias(f"__b{i}")
+            for i, q in enumerate(qs)]
+    agg = cum.groupBy(*group_cols).agg(*hits, F.max("n").alias("n"))
+    stack = F.stack(
+        F.lit(len(qs)),
+        *[c for i, q in enumerate(qs)
+          for c in (F.lit(q), F.col(f"__b{i}"))]).alias("q", "bucket")
+    return (agg.select(*group_cols, F.col("n"), stack)
+            .select(*group_cols, "q",
+                    F.round(F.lit(float(mn)) + F.col("bucket") * F.lit(width),
+                            9).alias("estimate"),
+                    F.col("n").alias("n_rows")))
 
 
 def histogram_quantiles_oracle_sql(table: str, value_col: str,

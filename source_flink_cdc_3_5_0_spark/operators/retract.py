@@ -32,37 +32,48 @@ from ..common.events import BEFORE_COL, OP_COL
 
 def incremental_agg(df: DataFrame, group_cols: list[str],
                     value: Column, before_value: Column | None = None,
-                    op_col: str = OP_COL) -> DataFrame:
+                    op_col: str = OP_COL,
+                    emit_deltas: bool = False) -> DataFrame:
     """Maintain per-group (n_rows, sum_value) from changelog deltas.
 
     ``value`` is the contribution expression evaluated on the event's
     carried image (the after-image for +I/+U, the deleted image for -D/-U
     — our envelope carries both in the regular columns). ``before_value``
     is the same expression over the before-image (e.g.
-    ``F.col("__before.v")``); required to absorb single-row +U events,
-    defaults to the ``__before`` struct being absent (pure
-    insert/retract streams).
+    ``F.col("__before.v")``); required to absorb single-row +U events.
+    Without it, every +U is treated as the adding half of a -U/+U pair
+    (count +1, sum +after).
+
+    ``emit_deltas=False`` (default) treats ``df`` as the COMPLETE history
+    and drops groups whose net count is zero (fully deleted). For
+    batch-wise maintenance — merging each micro-batch's deltas into a
+    state table — pass ``emit_deltas=True``: a batch of pure updates has
+    count delta 0 but a real sum delta, which the filter would otherwise
+    silently discard.
     """
     op = F.col(op_col)
-    cnt_delta = (F.when(op == "+I", F.lit(1))
-                 .when(op.isin("-D", "-U"), F.lit(-1))
-                 .otherwise(F.lit(0)))
     if before_value is not None:
         has_before = F.col(BEFORE_COL).isNotNull() \
             if BEFORE_COL in df.columns else F.lit(False)
+        # +U with a before image absorbs the whole update (delta, count 0);
+        # +U without one is the second half of a -U/+U pair (adds, count +1)
         upd_delta = F.when(has_before, value - before_value).otherwise(value)
         upd_cnt = F.when(has_before, F.lit(0)).otherwise(F.lit(1))
-        cnt_delta = (F.when(op == "+I", F.lit(1))
-                     .when(op.isin("-D", "-U"), F.lit(-1))
-                     .when(op == "+U", upd_cnt)
-                     .otherwise(F.lit(0)))
     else:
+        # pure retract-pair convention: every +U adds its after image
         upd_delta = value
-    sum_delta = (F.when(op.isin("+I"), value)
+        upd_cnt = F.lit(1)
+    cnt_delta = (F.when(op == "+I", F.lit(1))
+                 .when(op.isin("-D", "-U"), F.lit(-1))
+                 .when(op == "+U", upd_cnt)
+                 .otherwise(F.lit(0)))
+    sum_delta = (F.when(op == "+I", value)
                  .when(op.isin("-D", "-U"), -value)
                  .when(op == "+U", upd_delta)
                  .otherwise(F.lit(0)))
-    return (df.groupBy(*group_cols)
-            .agg(F.sum(cnt_delta).alias("n_rows"),
-                 F.sum(sum_delta).alias("sum_value"))
-            .where(F.col("n_rows") > 0))
+    out = (df.groupBy(*group_cols)
+           .agg(F.sum(cnt_delta).alias("n_rows"),
+                F.sum(sum_delta).alias("sum_value")))
+    if not emit_deltas:
+        out = out.where(F.col("n_rows") > 0)
+    return out

@@ -121,7 +121,15 @@ class KafkaChangelogSink(DataSink):
                     schema: Schema) -> F.Column:
         """Producer-record key per ``key.format`` (KeySerializationFactory
         + {Json,Csv}SerializationSchema: a (TableId, pk...) row; csv with
-        RFC-style quoting like Flink's CsvRowDataSerializationSchema)."""
+        RFC-style quoting like Flink's CsvRowDataSerializationSchema).
+
+        A pk-less table keys every record by TableId alone — the
+        reference does the same (its key row is TableId + primaryKeys,
+        which is empty here), so under hash-by-key such a table lands on
+        one partition; use all-to-zero (the default) or add PKs. The
+        standalone codecs (`encode_debezium`/`encode_canal` without
+        key_col) keep their all-physical-columns fallback for pk-less
+        Debezium-convention keys."""
         pks = [k for k in schema.primary_keys if k in df.columns]
         tid = F.lit(table_id.identifier())
         if self.key_format == "json":

@@ -194,13 +194,19 @@ class SnapshotLakeSink(DataSink):
                 keep_delete_marker=True)
         else:
             final = df.withColumn(OP_COL, F.lit("+I"))
-        final = final.withColumn(_BUCKET_COL, self._bucket_of(final, pks))
+        # persist: the touched-bucket collect and the file write are two
+        # actions — unpersisted, a nondeterministic batch could write a
+        # bucket the manifest never records (and vacuum would delete)
+        final = (final.withColumn(_BUCKET_COL, self._bucket_of(final, pks))
+                 .persist())
         if self.mode == "mor":
-            self._write_mor_commit(table_id, final, names, pks, batch_id)
+            try:
+                self._write_mor_commit(table_id, final, names, pks, batch_id)
+            finally:
+                final.unpersist()
             with open(marker, "w") as f:
                 f.write("ok")
             return
-        final = final.persist()
         try:
             touched = sorted(r[0] for r in
                              final.select(_BUCKET_COL).distinct().collect())

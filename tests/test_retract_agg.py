@@ -95,3 +95,30 @@ class TestIncrementalAgg:
                 ._jdf.queryExecution().executedPlan().toString())
         assert len(re.findall(r"\bExchange\b", plan)) == 1, plan
         assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+class TestIncrementalAggModes:
+    def test_pair_convention_without_before_value(self, spark):
+        """No before_value: every +U is the adding half of a -U/+U pair
+        (count +1) — a lone review finding: the group must survive."""
+        df = _chg(spark, [
+            ("a", 20, None, "+I"),
+            ("a", 20, None, "-U"),
+            ("a", 26, None, "+U"),
+        ]).drop(BEFORE_COL, "bv")
+        out = {r["g"]: (r["n_rows"], r["sum_value"])
+               for r in incremental_agg(df, ["g"], F.col("v")).collect()}
+        assert out == {"a": (1, 26)}
+
+    def test_emit_deltas_keeps_zero_count_updates(self, spark):
+        """Batch-wise maintenance: a micro-batch of pure updates has
+        count delta 0 but a real sum delta — emit_deltas must keep it."""
+        rows = [("a", 25, 20, "+U")]
+        dropped = incremental_agg(_chg(spark, rows), ["g"], F.col("v"),
+                                  before_value=F.col(f"{BEFORE_COL}.bv"))
+        assert dropped.count() == 0  # default full-history mode drops it
+        kept = {r["g"]: (r["n_rows"], r["sum_value"]) for r in
+                incremental_agg(_chg(spark, rows), ["g"], F.col("v"),
+                                before_value=F.col(f"{BEFORE_COL}.bv"),
+                                emit_deltas=True).collect()}
+        assert kept == {"a": (0, 5)}
