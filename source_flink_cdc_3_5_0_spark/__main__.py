@@ -11,7 +11,9 @@ import argparse
 import sys
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, _spark=None) -> int:
+    """``_spark``: inject an existing SparkSession (tests / embedding) —
+    the CLI then neither builds nor stops it."""
     ap = argparse.ArgumentParser(prog="source_flink_cdc_3_5_0_spark",
                                  description="PySpark-native CDC pipeline engine")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -31,20 +33,24 @@ def main(argv: list[str] | None = None) -> int:
     if args.name:
         pdef.config.name = args.name
 
-    builder = (SparkSession.builder.master(args.master)
-               .appName(pdef.config.name)
-               .config("spark.sql.session.timeZone", pdef.config.local_time_zone)
-               .config("spark.sql.adaptive.enabled", "true"))
-    shuffle = args.shuffle_partitions
-    if shuffle is None and args.master.startswith("local"):
-        import os as _os
+    if _spark is not None:
+        spark = _spark
+    else:
+        builder = (SparkSession.builder.master(args.master)
+                   .appName(pdef.config.name)
+                   .config("spark.sql.session.timeZone", pdef.config.local_time_zone)
+                   .config("spark.sql.adaptive.enabled", "true"))
+        shuffle = args.shuffle_partitions
+        if shuffle is None and args.master.startswith("local"):
+            import os as _os
 
-        # local mode: track cores instead of Spark's 200 default (AQE
-        # coalesces anyway, but small pipelines shouldn't schedule 200 tasks)
-        shuffle = _os.cpu_count() or 8
-    if shuffle:
-        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle))
-    spark = builder.getOrCreate()
+            # local mode: track cores instead of Spark's 200 default (AQE
+            # coalesces anyway, but small pipelines shouldn't schedule 200
+            # tasks)
+            shuffle = _os.cpu_count() or 8
+        if shuffle:
+            builder = builder.config("spark.sql.shuffle.partitions", str(shuffle))
+        spark = builder.getOrCreate()
     try:
         composer = PipelineComposer(spark)
         if composer.is_streaming(pdef):
@@ -61,7 +67,8 @@ def main(argv: list[str] | None = None) -> int:
               f"{exe.batches_run} batch(es), {len(tables)} table(s)")
         return 0
     finally:
-        spark.stop()
+        if _spark is None:
+            spark.stop()
 
 
 if __name__ == "__main__":
