@@ -482,10 +482,15 @@ class PipelineComposer:
                     "debezium-json.include-schema.enabled", "false"))
                 .lower() == "true",
             )
-        if t in ("jdbc", "sqlite"):
+        if t in ("jdbc", "sqlite") or (
+                t == "oceanbase" and ("database" in opts or "db-path" in opts)):
             # relational sink (reference mysql/postgres pipeline sinks):
             # keyed upsert/delete via per-partition DB connections; sqlite
-            # is the sandbox-testable dialect
+            # is the sandbox-testable dialect. OceanBase routes here too —
+            # the reference's OceanBaseMySQLCatalog emits MySQL-dialect
+            # statements (RENAME/MODIFY COLUMN, OceanBaseMySQLCatalog.java:
+            # 39-40) which sinks/dialects.py 'mysql' pins byte-for-byte;
+            # a live 'url' endpoint stays refused above.
             from ..sinks.jdbc_sink import JdbcUpsertSink
 
             db = opts.get("database") or opts.get("db-path")
