@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "cdc_incremental_agg",
     "agg_session_window",
     "scd2_enrich_events",
+    "curriculum_order",
 ]
 
 

@@ -3110,6 +3110,39 @@ FROM documents
 """
 
 
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum ordering: rank the corpus easiest-first by quality
+    score and assign dense training positions — the composition of the
+    quality scorer (codegen projection) with the two-phase global-id
+    assigner (range shuffle + Arrow numbering, never a single-reducer
+    sort). Position 0 = highest-quality document."""
+    from .extensions.indexing import global_row_ids
+    from .extensions.text import quality_score_sql
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(quality_score_sql("spark", "text")).alias("quality"))
+    # descending quality with an ascending range sort: negate the key
+    ranked = global_row_ids(
+        docs.withColumn("__negq", -F.col("quality")),
+        ["__negq", "doc_id"], id_name="position", num_partitions=8)
+    return ranked.select("doc_id", "quality", "position")
+
+
+def _oracle_curriculum() -> str:
+    from .extensions.text import quality_score_sql
+
+    return f"""
+WITH q AS (
+  SELECT doc_id, {quality_score_sql('duckdb', 'text')} AS quality
+  FROM documents)
+SELECT doc_id, quality,
+       CAST(row_number() OVER (ORDER BY quality DESC, doc_id) - 1 AS BIGINT)
+         AS position
+FROM q
+"""
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -3152,6 +3185,7 @@ QUERIES: dict[str, object] = {
     "cdc_incremental_agg": q_cdc_incremental_agg,
     "agg_session_window": q_agg_session_window,
     "scd2_enrich_events": q_scd2_enrich_events,
+    "curriculum_order": q_curriculum_order,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3276,6 +3310,7 @@ ORACLES: dict[str, str] = {
     "cdc_incremental_agg": ORACLE_INCREMENTAL_AGG,
     "agg_session_window": ORACLE_SESSION_WINDOW,
     "scd2_enrich_events": ORACLE_SCD2,
+    "curriculum_order": _oracle_curriculum(),
     "text_quality_filters": _oracle_quality_filters(),
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "sink_es_bulk": ORACLE_SINK_UPSERT,
