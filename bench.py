@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "agg_session_window",
     "scd2_enrich_events",
     "curriculum_order",
+    "sample_negatives",
 ]
 
 

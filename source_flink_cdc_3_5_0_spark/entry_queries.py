@@ -3045,6 +3045,37 @@ FROM stages2
 """
 
 
+def q_sample_negatives(spark, sf_dir):
+    """Deterministic negative sampling (extensions/sampling.
+    negative_samples): 4 contrastive negatives per document along
+    per-bucket md5 rings — reproducible across engines and runs, no
+    rand(), no global-ring single-partition window, no per-bucket
+    collected arrays. One bucket-window shuffle + one (bucket, pos)
+    equi-join."""
+    from .extensions.sampling import negative_samples
+
+    return negative_samples(load(spark, sf_dir, "documents"), "doc_id", k=4)
+
+
+ORACLE_NEGATIVES = """
+WITH ranked AS (
+  SELECT doc_id AS id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         substring(md5(CAST(doc_id AS VARCHAR)), 32, 1) AS bkt
+  FROM documents),
+pos AS (
+  SELECT id, bkt,
+         row_number() OVER (PARTITION BY bkt ORDER BY h, id) - 1 AS p,
+         count(*) OVER (PARTITION BY bkt) AS m
+  FROM ranked),
+tgt AS (
+  SELECT a.id AS anchor_id, a.bkt, (a.p + i.i) % a.m AS tpos
+  FROM pos a, (VALUES (1), (2), (3), (4)) AS i(i))
+SELECT DISTINCT t.anchor_id, b.id AS negative_id
+FROM tgt t JOIN pos b ON t.bkt = b.bkt AND t.tpos = b.p
+WHERE b.id <> t.anchor_id
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing (extensions/sampling.pack_sequences): lay each
     language's documents end-to-end in md5-priority order and cut the
@@ -3186,6 +3217,7 @@ QUERIES: dict[str, object] = {
     "agg_session_window": q_agg_session_window,
     "scd2_enrich_events": q_scd2_enrich_events,
     "curriculum_order": q_curriculum_order,
+    "sample_negatives": q_sample_negatives,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3311,6 +3343,7 @@ ORACLES: dict[str, str] = {
     "agg_session_window": ORACLE_SESSION_WINDOW,
     "scd2_enrich_events": ORACLE_SCD2,
     "curriculum_order": _oracle_curriculum(),
+    "sample_negatives": ORACLE_NEGATIVES,
     "text_quality_filters": _oracle_quality_filters(),
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "sink_es_bulk": ORACLE_SINK_UPSERT,

@@ -150,6 +150,47 @@ def pack_sequences(df: DataFrame, group_cols: list[str], id_col: str,
             .drop("__start"))
 
 
+def negative_samples(df: DataFrame, id_col: str, k: int = 4,
+                     num_buckets: int = 16) -> DataFrame:
+    """Deterministic pseudo-random negative sampling (contrastive
+    training): each anchor gets the next ``k`` ids along an md5-ordered
+    ring — uniform-looking, engine-reproducible pairs without rand().
+
+    The ring is per md5-BUCKET, not global: a single global ring would
+    need a one-partition window (the single-reducer anti-pattern), while
+    per-bucket rings keep every step bucket-parallel and are equally
+    "random" — bucket assignment and in-bucket order are both md5-driven,
+    so neighbors on the ring are unrelated documents.
+
+    Shape: one bucket shuffle for the ranking window (position + bucket
+    size), then an equi-join on (bucket, (pos + i) % size) to fetch the
+    neighbor ids — k rows per anchor, no cross join, no collected arrays
+    (a per-bucket collect_list would OOM at corpus scale). Self-pairs
+    (bucket smaller than k+1) are filtered; such tiny buckets can also
+    repeat a negative — dedup keeps one."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    bucket = F.substring(h, 32, 1)
+    w = Window.partitionBy("__bkt").orderBy("__h", "id")
+    wn = Window.partitionBy("__bkt")
+    ranked = (df.select(F.col(id_col).alias("id"), h.alias("__h"),
+                        bucket.alias("__bkt"))
+              .withColumn("__pos", F.row_number().over(w) - 1)
+              .withColumn("__m", F.count(F.lit(1)).over(wn)))
+    targets = ranked.select(
+        F.col("id").alias("anchor_id"), "__bkt", "__m",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("__i"),
+        F.col("__pos"),
+    ).select("anchor_id", "__bkt",
+             ((F.col("__pos") + F.col("__i")) % F.col("__m")).alias("__tpos"))
+    members = ranked.select("__bkt", F.col("__pos").alias("__tpos"),
+                            F.col("id").alias("negative_id"))
+    return (targets.join(members, ["__bkt", "__tpos"])
+            .where(F.col("negative_id") != F.col("anchor_id"))
+            .select("anchor_id", "negative_id").distinct())
+
+
 def quota_sample(df: DataFrame, group_cols: list[str], id_col: str,
                  n_per_group: int) -> DataFrame:
     """Deterministic per-group quota sample: exactly min(n, |group|) rows

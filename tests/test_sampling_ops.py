@@ -228,3 +228,35 @@ class TestSlidingChunks:
         df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
         with pytest.raises(ValueError, match="stride"):
             chunk_windows(df, window_tokens=4, stride=5)
+
+
+class TestNegativeSamples:
+    def test_k_negatives_per_anchor_and_determinism(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import (
+            negative_samples,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(400)], "doc_id bigint")
+        out = negative_samples(df, "doc_id", k=3).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r["anchor_id"], set()).add(r["negative_id"])
+            assert r["negative_id"] != r["anchor_id"]
+        # 400 ids over 16 buckets -> ~25 per bucket, always > k+1: exactly
+        # k distinct negatives per anchor
+        assert set(per) == set(range(400))
+        assert all(len(v) == 3 for v in per.values())
+        again = {(r["anchor_id"], r["negative_id"]) for r in
+                 negative_samples(df.repartition(7), "doc_id", k=3).collect()}
+        assert {(r["anchor_id"], r["negative_id"]) for r in out} == again
+
+    def test_tiny_bucket_no_self_pairs(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import (
+            negative_samples,
+        )
+
+        # 3 ids: buckets of size <= 3 with k=4 wrap repeatedly — output
+        # must still never contain a self pair
+        df = spark.createDataFrame([(1,), (2,), (3,)], "doc_id bigint")
+        for r in negative_samples(df, "doc_id", k=4).collect():
+            assert r["negative_id"] != r["anchor_id"]
