@@ -25,6 +25,22 @@ def hash_bucket_col(id_col: str) -> Column:
     return F.substring(F.md5(F.col(id_col).cast("string")), 32, 1)
 
 
+_HEX = "0123456789abcdef"
+
+
+def hash_bucket_int(id_col: str, num_buckets: int) -> Column:
+    """Integer bucket in [0, num_buckets) from the last two md5 nibbles
+    (value % n) — engine-portable positional hex parse (same technique as
+    sketches.uniform_fraction_sql). For num_buckets=16 this equals the
+    numeric value of :func:`hash_bucket_col`'s nibble (16a+b ≡ b mod 16)."""
+    if not 1 <= num_buckets <= 256:
+        raise ValueError(f"num_buckets must be in [1, 256], got {num_buckets}")
+    h = f"md5(CAST({id_col} AS STRING))"
+    val = (f"(instr('{_HEX}', substring({h}, 31, 1)) - 1) * 16"
+           f" + (instr('{_HEX}', substring({h}, 32, 1)) - 1)")
+    return F.expr(f"({val}) % {num_buckets}")
+
+
 def hash_split_col(id_col: str = "doc_id") -> Column:
     """'train' / 'val' / 'test' assignment at 13:2:1 by content hash."""
     b = hash_bucket_col(id_col)
@@ -167,11 +183,15 @@ def negative_samples(df: DataFrame, id_col: str, k: int = 4,
     neighbor ids — k rows per anchor, no cross join, no collected arrays
     (a per-bucket collect_list would OOM at corpus scale). Self-pairs
     (bucket smaller than k+1) are filtered; such tiny buckets can also
-    repeat a negative — dedup keeps one."""
+    repeat a negative — dedup keeps one. ``num_buckets`` (1..256, md5
+    modulo via :func:`hash_bucket_int`) sizes the rings: more buckets =
+    smaller rings for huge corpora; tune so buckets stay > k+1."""
     from pyspark.sql import Window
 
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     h = F.md5(F.col(id_col).cast("string"))
-    bucket = F.substring(h, 32, 1)
+    bucket = hash_bucket_int(id_col, num_buckets)
     w = Window.partitionBy("__bkt").orderBy("__h", "id")
     wn = Window.partitionBy("__bkt")
     ranked = (df.select(F.col(id_col).alias("id"), h.alias("__h"),

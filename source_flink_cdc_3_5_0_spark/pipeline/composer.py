@@ -482,15 +482,29 @@ class PipelineComposer:
                     "debezium-json.include-schema.enabled", "false"))
                 .lower() == "true",
             )
-        if t in ("jdbc", "sqlite") or (
-                t == "oceanbase" and ("database" in opts or "db-path" in opts)):
+        _live_opts = [k for k in ("fenodes", "jdbc-url", "load-url",
+                                  "metastore.uris", "uri", "warehouse.s3",
+                                  "hosts", "hostname", "endpoint",
+                                  "bootstrap.servers", "url") if k in opts]
+        if (t in ("jdbc", "sqlite") or (
+                t == "oceanbase"
+                and ("database" in opts or "db-path" in opts))):
+            if _live_opts:
+                raise ValueError(
+                    f"{t} sink: live endpoint options {_live_opts} need the "
+                    "external server (environment-gated); use 'database' "
+                    "(file path) for the local sqlite state contract")
             # relational sink (reference mysql/postgres pipeline sinks):
             # keyed upsert/delete via per-partition DB connections; sqlite
-            # is the sandbox-testable dialect. OceanBase routes here too —
-            # the reference's OceanBaseMySQLCatalog emits MySQL-dialect
-            # statements (RENAME/MODIFY COLUMN, OceanBaseMySQLCatalog.java:
-            # 39-40) which sinks/dialects.py 'mysql' pins byte-for-byte;
-            # a live 'url' endpoint stays refused above.
+            # executes the state contract in-sandbox. OceanBase routes
+            # here because the reference's writer IS MySQL-protocol JDBC:
+            # the MySQL statement text a live server would receive
+            # (RENAME/MODIFY COLUMN, OceanBaseMySQLCatalog.java:39-40) is
+            # generated by the same sinks/dialects.py layer and pinned
+            # byte-for-byte in test_sink_conformance — a live endpoint
+            # (dialect='mysql' + 'url') is environment-gated; configs
+            # carrying any live-endpoint option fall through to the
+            # refusal below rather than silently writing a local file.
             from ..sinks.jdbc_sink import JdbcUpsertSink
 
             db = opts.get("database") or opts.get("db-path")

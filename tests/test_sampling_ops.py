@@ -260,3 +260,29 @@ class TestNegativeSamples:
         df = spark.createDataFrame([(1,), (2,), (3,)], "doc_id bigint")
         for r in negative_samples(df, "doc_id", k=4).collect():
             assert r["negative_id"] != r["anchor_id"]
+
+
+class TestNegativeSamplesConfig:
+    def test_num_buckets_honored_and_k_validated(self, spark):
+        import pytest
+
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import (
+            hash_bucket_int,
+            negative_samples,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(200)], "doc_id bigint")
+        # more buckets -> different ring neighborhoods than the default
+        a = {(r["anchor_id"], r["negative_id"]) for r in
+             negative_samples(df, "doc_id", k=2).collect()}
+        b = {(r["anchor_id"], r["negative_id"]) for r in
+             negative_samples(df, "doc_id", k=2, num_buckets=64).collect()}
+        assert a != b
+        # bucket expression bounded by n
+        mx = (df.select(hash_bucket_int("doc_id", 64).alias("b"))
+              .agg({"b": "max"}).first()[0])
+        assert 0 <= mx < 64
+        with pytest.raises(ValueError, match="k must be"):
+            negative_samples(df, "doc_id", k=0)
+        with pytest.raises(ValueError, match="num_buckets"):
+            negative_samples(df, "doc_id", k=1, num_buckets=1000)

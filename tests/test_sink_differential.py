@@ -64,7 +64,8 @@ def _script(seed, n_batches=4, ops_per_batch=8):
                 state[k] = new
                 events.append(DataChangeEvent.update(TID, old, new))
         batches.append(("data", events))
-    replay_at = rng.randrange(len(batches))
+    n_data = sum(1 for kind, _ in batches if kind == "data")
+    replay_at = rng.randrange(n_data)  # bid counts DATA batches only
     return batches, replay_at, set(state.values())
 
 
