@@ -122,3 +122,67 @@ class TestIncrementalAggModes:
                                 before_value=F.col(f"{BEFORE_COL}.bv"),
                                 emit_deltas=True).collect()}
         assert kept == {"a": (0, 5)}
+
+
+class TestStreamingMaintenance:
+    def test_batchwise_delta_merge_equals_full_recompute(self, spark):
+        """The production loop: each micro-batch's deltas
+        (emit_deltas=True) merge into a per-group state table; after any
+        batch the state equals recomputing over all history. This is the
+        no-per-key-state continuous aggregation the operator exists for."""
+        import random
+
+        from source_flink_cdc_3_5_0_spark.sources.base import SEQ_COL
+
+        rng = random.Random(5)
+        live = {}   # key -> (group, value)
+        state = {}  # group -> [count, sum]
+        history = []
+        seq = 0
+
+        def batch(n=12):
+            nonlocal seq
+            events = []
+            for _ in range(n):
+                k = rng.randrange(30)
+                g = "g%d" % (k % 4)
+                if k in live and rng.random() < 0.35:
+                    _, old = live.pop(k)
+                    events.append((g, old, None, "-D", seq))
+                elif k in live:
+                    _, old = live[k]
+                    new = rng.randrange(100)
+                    live[k] = (g, new)
+                    events.append((g, new, old, "+U", seq))
+                else:
+                    v = rng.randrange(100)
+                    live[k] = (g, v)
+                    events.append((g, v, None, "+I", seq))
+                seq += 1
+            history.extend(events)
+            return events
+
+        for _ in range(5):
+            events = batch()
+            df = spark.createDataFrame(
+                events, f"g string, v long, bv long, {OP_COL} string, "
+                        f"{SEQ_COL} long")
+            chg = df.withColumn(BEFORE_COL, F.when(
+                F.col("bv").isNotNull(), F.struct(F.col("bv"))))
+            deltas = incremental_agg(
+                chg, ["g"], F.col("v"),
+                before_value=F.col(f"{BEFORE_COL}.bv"),
+                emit_deltas=True).collect()
+            for r in deltas:  # the sink-side merge (state table upsert)
+                c, s = state.get(r["g"], (0, 0))
+                c, s = c + r["n_rows"], s + r["sum_value"]
+                if c == 0 and s == 0:
+                    state.pop(r["g"], None)
+                else:
+                    state[r["g"]] = (c, s)
+            # ground truth from the live-rows model
+            truth = {}
+            for g, v in live.values():
+                c, s = truth.get(g, (0, 0))
+                truth[g] = (c + 1, s + v)
+            assert {g: t for g, t in state.items() if t != (0, 0)} == truth
