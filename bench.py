@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "scd2_enrich_events",
     "curriculum_order",
     "sample_negatives",
+    "dedup_prefix",
 ]
 
 

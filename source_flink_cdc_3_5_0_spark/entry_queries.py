@@ -3076,6 +3076,46 @@ WHERE b.id <> t.anchor_id
 """
 
 
+def q_dedup_prefix(spark, sf_dir):
+    """Prefix-containment dedup (extensions/dedup.prefix_dup_pairs): the
+    corpus is seeded with truncated re-crawls (every 10th doc re-added as
+    its first-half token prefix under a shifted id), then the complete
+    first-16-token fingerprint blocking finds every (dup, kept)
+    containment pair — the oracle is the ALL-PAIRS containment check, so
+    equal output proves the blocking misses nothing."""
+    from .extensions.dedup import prefix_dup_pairs, tokens_col
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens_col("text")
+    half = F.floor(F.size(toks) / 2).cast("int")
+    trunc = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.greatest(half, F.lit(1))), " ")
+        .alias("text"))
+    return prefix_dup_pairs(docs.unionByName(trunc), min_prefix_tokens=16)
+
+
+ORACLE_DEDUP_PREFIX = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+trunc AS (
+  SELECT doc_id + 100000 AS doc_id,
+         t[1:greatest(CAST(floor(len(t) / 2.0) AS INT), 1)] AS t
+  FROM toks WHERE doc_id % 10 = 0),
+corpus AS (
+  SELECT doc_id, t FROM toks UNION ALL SELECT doc_id, t FROM trunc),
+elig AS (SELECT doc_id, t, len(t) AS n FROM corpus WHERE len(t) >= 16)
+SELECT a.doc_id AS dup_id, b.doc_id AS kept_id,
+       CAST(a.n AS INTEGER) AS n_tokens_dup,
+       CAST(b.n AS INTEGER) AS n_tokens_kept
+FROM elig a JOIN elig b
+  ON (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+WHERE b.t[1:CAST(a.n AS INT)] = a.t
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing (extensions/sampling.pack_sequences): lay each
     language's documents end-to-end in md5-priority order and cut the
@@ -3218,6 +3258,7 @@ QUERIES: dict[str, object] = {
     "scd2_enrich_events": q_scd2_enrich_events,
     "curriculum_order": q_curriculum_order,
     "sample_negatives": q_sample_negatives,
+    "dedup_prefix": q_dedup_prefix,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3344,6 +3385,7 @@ ORACLES: dict[str, str] = {
     "scd2_enrich_events": ORACLE_SCD2,
     "curriculum_order": _oracle_curriculum(),
     "sample_negatives": ORACLE_NEGATIVES,
+    "dedup_prefix": ORACLE_DEDUP_PREFIX,
     "text_quality_filters": _oracle_quality_filters(),
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "sink_es_bulk": ORACLE_SINK_UPSERT,

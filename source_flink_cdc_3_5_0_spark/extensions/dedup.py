@@ -218,6 +218,46 @@ def word_ngrams_col(text_col: str, k: int = 3, distinct: bool = True,
     return F.array_distinct(out) if distinct else out
 
 
+def prefix_dup_pairs(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     min_prefix_tokens: int = 16) -> DataFrame:
+    """Prefix-containment dedup — the CONTAINMENT member of the dedup
+    family (exact / MinHash / SimHash / n-gram-Jaccard / embedding /
+    prefix): find (dup, kept) pairs where dup's token sequence is an
+    exact prefix of kept's — truncated re-crawls, articles republished
+    with appended boilerplate, partial captures. Similarity dedup misses
+    these when the longer doc dwarfs the shorter (Jaccard ≈ |a|/|b|).
+
+    Semantics: only documents with >= ``min_prefix_tokens`` tokens
+    participate (standard practice — a 3-token doc being a "prefix" of
+    half the corpus is noise, and the threshold is what makes blocking
+    COMPLETE: any qualifying pair shares its first-P-token fingerprint).
+    Equal-content pairs tie-break by id (smaller id is the dup).
+
+    Shape: one md5-fingerprint equi-join on the first-P-token key (no
+    cross join); the token arrays ride only into the candidate verify,
+    same posture as ngram_jaccard's gram verify. Returns (dup_id,
+    kept_id, n_tokens_dup, n_tokens_kept)."""
+    P = min_prefix_tokens
+    toks = tokens_col(text_col)
+    base = (df.select(F.col(id_col).alias("id"), toks.alias("t"))
+            .withColumn("n", F.size("t"))
+            .where(F.col("n") >= P)
+            .withColumn("pkey", F.md5(F.concat_ws(
+                " ", F.slice("t", 1, P)))))
+    a, b = base.alias("a"), base.alias("b")
+    cand = (a.join(b, "pkey")
+            .where((F.col("a.n") < F.col("b.n"))
+                   | ((F.col("a.n") == F.col("b.n"))
+                      & (F.col("a.id") < F.col("b.id")))))
+    is_prefix = F.expr("slice(b.t, 1, a.n) = a.t")
+    return (cand.where(is_prefix)
+            .select(F.col("a.id").alias("dup_id"),
+                    F.col("b.id").alias("kept_id"),
+                    F.col("a.n").cast("int").alias("n_tokens_dup"),
+                    F.col("b.n").cast("int").alias("n_tokens_kept")))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         jaccard_threshold: float = 0.5,

@@ -57,3 +57,37 @@ class TestFuzzySelfJoin:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestPrefixDup:
+    def test_containment_pairs_and_threshold(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.dedup import (
+            prefix_dup_pairs,
+        )
+
+        long = " ".join(f"w{i}" for i in range(40))
+        half = " ".join(f"w{i}" for i in range(20))
+        other = " ".join(f"x{i}" for i in range(40))
+        short = "w0 w1 w2"  # below min_prefix_tokens: exempt
+        df = spark.createDataFrame(
+            [(1, long), (2, half), (3, other), (4, short), (5, long)],
+            "doc_id bigint, text string")
+        got = {(r["dup_id"], r["kept_id"]): (r["n_tokens_dup"],
+                                             r["n_tokens_kept"])
+               for r in prefix_dup_pairs(df, min_prefix_tokens=16).collect()}
+        # 2 is a prefix of 1 and of 5; 1 and 5 are equal (id tiebreak);
+        # 3 matches nothing; 4 is exempt
+        assert got == {(2, 1): (20, 40), (2, 5): (20, 40),
+                       (1, 5): (40, 40)}
+
+    def test_no_cartesian_plan(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.dedup import (
+            prefix_dup_pairs,
+        )
+
+        df = spark.createDataFrame([(1, "a b"), (2, "a b c")],
+                                   "doc_id bigint, text string")
+        plan = (prefix_dup_pairs(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
