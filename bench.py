@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "curriculum_order",
     "sample_negatives",
     "dedup_prefix",
+    "agg_zscore_outliers",
 ]
 
 

@@ -3076,6 +3076,28 @@ WHERE b.id <> t.anchor_id
 """
 
 
+def q_agg_zscore_outliers(spark, sf_dir):
+    """Per-group z-score outlier flags (extensions/stats.py): events.value
+    vs its event_type population — exact integer/decimal moments (order-
+    free) then a fixed IEEE double sequence, so an operator built on
+    stddev is still bit-identical across engines (plain stddev_samp over
+    doubles is summation-order-dependent and can never hash-match)."""
+    from .extensions.stats import group_zscore_outliers
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    out = group_zscore_outliers(ev, ["event_type"], "value", z=2.0)
+    return out.select("event_id", "event_type", "cents", "zscore",
+                      "is_outlier")
+
+
+def _oracle_zscore() -> str:
+    from .extensions.stats import zscore_oracle_sql
+
+    return zscore_oracle_sql("events", ["event_type"], "value",
+                             ["event_id", "event_type"], z=2.0)
+
+
 def q_dedup_prefix(spark, sf_dir):
     """Prefix-containment dedup (extensions/dedup.prefix_dup_pairs): the
     corpus is seeded with truncated re-crawls (every 10th doc re-added as
@@ -3259,6 +3281,7 @@ QUERIES: dict[str, object] = {
     "curriculum_order": q_curriculum_order,
     "sample_negatives": q_sample_negatives,
     "dedup_prefix": q_dedup_prefix,
+    "agg_zscore_outliers": q_agg_zscore_outliers,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3386,6 +3409,7 @@ ORACLES: dict[str, str] = {
     "curriculum_order": _oracle_curriculum(),
     "sample_negatives": ORACLE_NEGATIVES,
     "dedup_prefix": ORACLE_DEDUP_PREFIX,
+    "agg_zscore_outliers": _oracle_zscore(),
     "text_quality_filters": _oracle_quality_filters(),
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "sink_es_bulk": ORACLE_SINK_UPSERT,

@@ -220,7 +220,8 @@ def word_ngrams_col(text_col: str, k: int = 3, distinct: bool = True,
 
 def prefix_dup_pairs(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
-                     min_prefix_tokens: int = 16) -> DataFrame:
+                     min_prefix_tokens: int = 16,
+                     side: str = "prefix") -> DataFrame:
     """Prefix-containment dedup — the CONTAINMENT member of the dedup
     family (exact / MinHash / SimHash / n-gram-Jaccard / embedding /
     prefix): find (dup, kept) pairs where dup's token sequence is an
@@ -237,21 +238,33 @@ def prefix_dup_pairs(df: DataFrame, text_col: str = "text",
     Shape: one md5-fingerprint equi-join on the first-P-token key (no
     cross join); the token arrays ride only into the candidate verify,
     same posture as ngram_jaccard's gram verify. Returns (dup_id,
-    kept_id, n_tokens_dup, n_tokens_kept)."""
+    kept_id, n_tokens_dup, n_tokens_kept).
+
+    ``side="suffix"`` finds SUFFIX containment instead (prepended
+    boilerplate / headers): fingerprint the LAST P tokens, verify against
+    the tail — same complete-blocking argument on the reversed
+    sequence."""
+    if side not in ("prefix", "suffix"):
+        raise ValueError(f"side must be prefix|suffix, got {side!r}")
     P = min_prefix_tokens
     toks = tokens_col(text_col)
     base = (df.select(F.col(id_col).alias("id"), toks.alias("t"))
             .withColumn("n", F.size("t"))
-            .where(F.col("n") >= P)
-            .withColumn("pkey", F.md5(F.concat_ws(
-                " ", F.slice("t", 1, P)))))
+            .where(F.col("n") >= P))
+    if side == "prefix":
+        base = base.withColumn("pkey", F.md5(F.concat_ws(
+            " ", F.slice("t", 1, P))))
+        verify = F.expr("slice(b.t, 1, a.n) = a.t")
+    else:
+        base = base.withColumn("pkey", F.md5(F.concat_ws(
+            " ", F.slice("t", -P, P))))
+        verify = F.expr("slice(b.t, -a.n, a.n) = a.t")
     a, b = base.alias("a"), base.alias("b")
     cand = (a.join(b, "pkey")
             .where((F.col("a.n") < F.col("b.n"))
                    | ((F.col("a.n") == F.col("b.n"))
                       & (F.col("a.id") < F.col("b.id")))))
-    is_prefix = F.expr("slice(b.t, 1, a.n) = a.t")
-    return (cand.where(is_prefix)
+    return (cand.where(verify)
             .select(F.col("a.id").alias("dup_id"),
                     F.col("b.id").alias("kept_id"),
                     F.col("a.n").cast("int").alias("n_tokens_dup"),

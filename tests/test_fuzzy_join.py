@@ -91,3 +91,25 @@ class TestPrefixDup:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestSuffixDup:
+    def test_suffix_containment(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.dedup import (
+            prefix_dup_pairs,
+        )
+
+        tail = " ".join(f"w{i}" for i in range(20))
+        long = "HEADER BOILER " + tail
+        df = spark.createDataFrame(
+            [(1, long), (2, tail), (3, "x " + tail.replace("w5", "zz"))],
+            "doc_id bigint, text string")
+        got = {(r["dup_id"], r["kept_id"]) for r in
+               prefix_dup_pairs(df, min_prefix_tokens=16,
+                                side="suffix").collect()}
+        assert got == {(2, 1)}  # tail is a suffix of long; 3 diverges
+        # prefix mode must NOT pair them (the header breaks the prefix)
+        assert prefix_dup_pairs(df, min_prefix_tokens=16).count() == 0
+        import pytest as _p
+        with _p.raises(ValueError, match="side"):
+            prefix_dup_pairs(df, side="infix")

@@ -1,0 +1,42 @@
+"""Exact-moment group z-score outliers: correctness vs numpy, partition
+invariance (the determinism the operator exists for), sigma-zero guard."""
+
+from pyspark.sql import functions as F
+
+from source_flink_cdc_3_5_0_spark.extensions.stats import (
+    group_zscore_outliers,
+)
+
+
+class TestZscoreOutliers:
+    def test_matches_numpy_population_stats(self, spark):
+        import numpy as np
+
+        vals = [float((i * 13) % 50) for i in range(300)] + [500.0]
+        df = spark.createDataFrame([("g", i, v) for i, v in enumerate(vals)],
+                                   "g string, i long, v double")
+        out = {r["i"]: r for r in
+               group_zscore_outliers(df, ["g"], "v", z=2.0).collect()}
+        cents = np.round(np.array(vals) * 100)
+        mu, sigma = cents.mean(), cents.std()
+        for i, c in enumerate(cents):
+            zs = (c - mu) / sigma
+            assert abs(out[i]["zscore"] - round(zs, 6)) <= 1e-6
+            assert out[i]["is_outlier"] == (abs(zs) > 2.0)
+        assert out[300]["is_outlier"]  # the planted 500.0 spike
+
+    def test_partition_invariant(self, spark):
+        df = spark.createDataFrame(
+            [("g%d" % (i % 3), i, float(i % 17)) for i in range(200)],
+            "g string, i long, v double")
+        a = {(r["i"], r["zscore"], r["is_outlier"]) for r in
+             group_zscore_outliers(df, ["g"], "v").collect()}
+        b = {(r["i"], r["zscore"], r["is_outlier"]) for r in
+             group_zscore_outliers(df.repartition(17), ["g"], "v").collect()}
+        assert a == b
+
+    def test_constant_group_no_outliers(self, spark):
+        df = spark.createDataFrame([("g", i, 7.0) for i in range(10)],
+                                   "g string, i long, v double")
+        rows = group_zscore_outliers(df, ["g"], "v").collect()
+        assert all(r["zscore"] == 0.0 and not r["is_outlier"] for r in rows)
