@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "sample_negatives",
     "dedup_prefix",
     "agg_zscore_outliers",
+    "inference_batches",
 ]
 
 

@@ -3098,6 +3098,48 @@ def _oracle_zscore() -> str:
                              ["event_id", "event_type"], z=2.0)
 
 
+def q_inference_batches(spark, sf_dir):
+    """Length-bucketed inference batching (extensions/sampling.
+    length_bucket_batches): documents grouped into 32-doc batches within
+    64-token length buckets — bounded padding waste for embedding/serving
+    runs; md5-priority order makes batch membership reproducible across
+    engines and runs. One bucket-key shuffle, counter-only window."""
+    from .extensions.sampling import length_bucket_batches
+    from .extensions.text import token_count_sql
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.expr(token_count_sql("spark", "text")).cast("int"))
+    out = length_bucket_batches(docs, "doc_id", "n_tokens",
+                                bucket_width=64, batch_size=32)
+    return out.select("doc_id", "n_tokens", "length_bucket", "batch_idx",
+                      "slot")
+
+
+def _oracle_inference_batches() -> str:
+    from .extensions.text import token_count_sql
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST({token_count_sql('duckdb', 'text')} AS INTEGER) AS n_tokens
+  FROM documents),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(n_tokens / 64.0) AS INT) AS length_bucket
+  FROM t),
+r AS (
+  SELECT doc_id, n_tokens, length_bucket,
+         row_number() OVER (PARTITION BY length_bucket
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           - 1 AS rn
+  FROM b)
+SELECT doc_id, n_tokens, length_bucket,
+       CAST(floor(rn / 32.0) AS INT) AS batch_idx,
+       CAST(rn % 32 AS INT) AS slot
+FROM r
+"""
+
+
 def q_dedup_prefix(spark, sf_dir):
     """Prefix-containment dedup (extensions/dedup.prefix_dup_pairs): the
     corpus is seeded with truncated re-crawls (every 10th doc re-added as
@@ -3282,6 +3324,7 @@ QUERIES: dict[str, object] = {
     "sample_negatives": q_sample_negatives,
     "dedup_prefix": q_dedup_prefix,
     "agg_zscore_outliers": q_agg_zscore_outliers,
+    "inference_batches": q_inference_batches,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3410,6 +3453,7 @@ ORACLES: dict[str, str] = {
     "sample_negatives": ORACLE_NEGATIVES,
     "dedup_prefix": ORACLE_DEDUP_PREFIX,
     "agg_zscore_outliers": _oracle_zscore(),
+    "inference_batches": _oracle_inference_batches(),
     "text_quality_filters": _oracle_quality_filters(),
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "sink_es_bulk": ORACLE_SINK_UPSERT,

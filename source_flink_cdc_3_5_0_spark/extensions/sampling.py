@@ -166,6 +166,32 @@ def pack_sequences(df: DataFrame, group_cols: list[str], id_col: str,
             .drop("__start"))
 
 
+def length_bucket_batches(df: DataFrame, id_col: str, weight_col: str,
+                          bucket_width: int = 64,
+                          batch_size: int = 32) -> DataFrame:
+    """Length-bucketed inference batching: group similar-length documents
+    into fixed-size batches so padding waste is bounded by the bucket
+    width — the standard serving/embedding-prep step. Adds
+    ``length_bucket`` (floor(weight / width)), ``batch_idx`` (dense batch
+    number within the bucket, md5-priority order — deterministic and
+    engine-reproducible) and ``slot`` (position in the batch).
+
+    One shuffle on the bucket key; window state is a single counter.
+    Same single-group skew posture as the other window ops."""
+    from pyspark.sql import Window
+
+    if bucket_width < 1 or batch_size < 1:
+        raise ValueError("bucket_width and batch_size must be >= 1")
+    bucket = F.floor(F.col(weight_col) / F.lit(bucket_width)).cast("int")
+    pri = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy("length_bucket").orderBy(pri, F.col(id_col))
+    rn = F.row_number().over(w) - 1
+    return (df.withColumn("length_bucket", bucket)
+            .withColumn("batch_idx",
+                        F.floor(rn / F.lit(batch_size)).cast("int"))
+            .withColumn("slot", (rn % F.lit(batch_size)).cast("int")))
+
+
 def negative_samples(df: DataFrame, id_col: str, k: int = 4,
                      num_buckets: int = 16) -> DataFrame:
     """Deterministic pseudo-random negative sampling (contrastive

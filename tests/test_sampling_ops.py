@@ -286,3 +286,41 @@ class TestNegativeSamplesConfig:
             negative_samples(df, "doc_id", k=0)
         with pytest.raises(ValueError, match="num_buckets"):
             negative_samples(df, "doc_id", k=1, num_buckets=1000)
+
+
+class TestLengthBucketBatches:
+    def test_batches_bounded_and_deterministic(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import (
+            length_bucket_batches,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 10 + (i * 7) % 200) for i in range(300)],
+            "doc_id bigint, w int")
+        out = length_bucket_batches(df, "doc_id", "w",
+                                    bucket_width=32, batch_size=8).collect()
+        by_batch = {}
+        for r in out:
+            assert r["length_bucket"] == r["w"] // 32
+            assert 0 <= r["slot"] < 8
+            by_batch.setdefault(
+                (r["length_bucket"], r["batch_idx"]), []).append(r["slot"])
+        for (lb, bi), slots in by_batch.items():
+            assert sorted(slots) == list(range(len(slots)))
+            assert len(slots) <= 8
+        again = {(r["doc_id"], r["batch_idx"], r["slot"]) for r in
+                 length_bucket_batches(df.repartition(9), "doc_id", "w",
+                                       bucket_width=32, batch_size=8)
+                 .collect()}
+        assert {(r["doc_id"], r["batch_idx"], r["slot"]) for r in out} == again
+
+    def test_bad_params(self, spark):
+        import pytest
+
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import (
+            length_bucket_batches,
+        )
+
+        df = spark.createDataFrame([(1, 5)], "doc_id bigint, w int")
+        with pytest.raises(ValueError, match="must be >= 1"):
+            length_bucket_batches(df, "doc_id", "w", batch_size=0)
