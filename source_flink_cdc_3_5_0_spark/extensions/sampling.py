@@ -19,6 +19,13 @@ _VAL_NIBBLES = ("d", "e")
 _TEST_NIBBLES = ("f",)
 
 
+def md5_priority(id_col: str) -> Column:
+    """THE deterministic ordering priority (md5 of the id's string form,
+    callers tie-break by id) shared by every sampling/packing/batching op
+    in this module — one definition so the convention can't diverge."""
+    return F.md5(F.col(id_col).cast("string"))
+
+
 def hash_bucket_col(id_col: str) -> Column:
     """Last hex nibble of md5(key-as-string) — uniform 1/16 buckets,
     identical in any engine with md5 (Spark, DuckDB, Trino, ...)."""
@@ -75,7 +82,7 @@ def token_budget_sample(df: DataFrame, group_cols: list[str], id_col: str,
     executor throughput)."""
     from pyspark.sql import Window
 
-    pri = F.md5(F.col(id_col).cast("string"))
+    pri = md5_priority(id_col)
     w = (Window.partitionBy(*group_cols).orderBy(pri, F.col(id_col))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     if isinstance(budget, dict):
@@ -114,7 +121,7 @@ def stratified_split(df: DataFrame, strata_cols: list[str], id_col: str,
         raise ValueError(f"fractions must sum to 1, got {total}")
     from pyspark.sql import Window
 
-    pri = F.md5(F.col(id_col).cast("string"))
+    pri = md5_priority(id_col)
     w = Window.partitionBy(*strata_cols).orderBy(pri, F.col(id_col))
     wn = Window.partitionBy(*strata_cols)
     rn = F.row_number().over(w)
@@ -152,7 +159,7 @@ def pack_sequences(df: DataFrame, group_cols: list[str], id_col: str,
     partition's window — same documented posture as token_budget_sample."""
     from pyspark.sql import Window
 
-    pri = F.md5(F.col(id_col).cast("string"))
+    pri = md5_priority(id_col)
     w = (Window.partitionBy(*group_cols).orderBy(pri, F.col(id_col))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum(F.col(weight_col).cast("bigint")).over(w)
@@ -183,7 +190,7 @@ def length_bucket_batches(df: DataFrame, id_col: str, weight_col: str,
     if bucket_width < 1 or batch_size < 1:
         raise ValueError("bucket_width and batch_size must be >= 1")
     bucket = F.floor(F.col(weight_col) / F.lit(bucket_width)).cast("int")
-    pri = F.md5(F.col(id_col).cast("string"))
+    pri = md5_priority(id_col)
     w = Window.partitionBy("length_bucket").orderBy(pri, F.col(id_col))
     rn = F.row_number().over(w) - 1
     return (df.withColumn("length_bucket", bucket)
@@ -249,7 +256,7 @@ def quota_sample(df: DataFrame, group_cols: list[str], id_col: str,
     counter (rank), never a global sort."""
     from pyspark.sql import Window
 
-    pri = F.md5(F.col(id_col).cast("string"))
+    pri = md5_priority(id_col)
     w = Window.partitionBy(*group_cols).orderBy(pri, F.col(id_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= n_per_group).drop("__rn"))

@@ -24,23 +24,39 @@ def group_zscore_outliers(df: DataFrame, group_cols: list[str],
 
     Scale shape: ONE partial-agg shuffle for the (n, Σ, Σ²) moments — a
     row per group — joined back to the rows (the optimizer broadcasts the
-    tiny stats side). The Σ² ACCUMULATOR runs in DECIMAL(38,0) (order-free
-    exact sums); the per-row square is bigint, exact while
-    |value·scale| < ~3.04e9 (drop ``scale`` for larger magnitudes —
-    beyond that bound Spark would wrap where DuckDB raises)."""
+    tiny stats side). BOTH accumulators (Σ, Σ²) run in DECIMAL(38,0)
+    (order-free exact sums, no silent bigint wrap); the per-row square is
+    bigint, exact while |value·scale| < ~3.04e9 (drop ``scale`` for
+    larger magnitudes — beyond that bound Spark would wrap where DuckDB
+    raises). Rows with a NULL value are excluded (they carry no signal
+    and cannot be flagged); NULL group keys form their own group
+    (null-safe join)."""
     cents = F.round(F.col(value_col) * scale).cast("bigint")
-    rows = df.withColumn("__c", cents)
+    # NULL values carry no information and would bias n vs the null-
+    # skipping sums — they are excluded from stats AND from the output
+    # (documented: the operator returns only flaggable rows)
+    rows = (df.where(F.col(value_col).isNotNull())
+            .withColumn("__c", cents))
     stats = (rows.groupBy(*group_cols)
-             .agg(F.count(F.lit(1)).alias("__n"),
-                  F.sum("__c").alias("__s"),
+             .agg(F.count("__c").alias("__n"),
+                  # both accumulators DECIMAL(38,0): a plain bigint sum
+                  # wraps silently in Spark where DuckDB promotes exactly
+                  F.sum(F.col("__c").cast("decimal(38,0)")).alias("__s"),
                   F.sum((F.col("__c") * F.col("__c"))
                         .cast("decimal(38,0)")).alias("__ss")))
     mean = F.col("__s").cast("double") / F.col("__n")
     var = (F.col("__ss").cast("double") / F.col("__n")) - mean * mean
     sigma = F.sqrt(F.greatest(var, F.lit(0.0)))  # clamp -0.0-ish rounding
-    joined = rows.join(
-        stats.select(*group_cols, mean.alias("__mean"),
-                     sigma.alias("__sigma")), group_cols)
+    # null-safe join keys: a NULL group is a legitimate group
+    cond = None
+    st = stats.select(*group_cols, mean.alias("__mean"),
+                      sigma.alias("__sigma"))
+    st = st.select(*[F.col(c).alias(f"__g_{c}") for c in group_cols],
+                   "__mean", "__sigma")
+    for c in group_cols:
+        piece = rows[c].eqNullSafe(st[f"__g_{c}"])
+        cond = piece if cond is None else cond & piece
+    joined = rows.join(st, cond).drop(*[f"__g_{c}" for c in group_cols])
     zscore = F.when(F.col("__sigma") > 0,
                     (F.col("__c") - F.col("__mean")) / F.col("__sigma")) \
         .otherwise(F.lit(0.0))
@@ -60,7 +76,7 @@ def zscore_oracle_sql(table: str, group_cols: list[str], value_col: str,
     return f"""
 WITH r AS (
   SELECT *, CAST(round({value_col} * {scale}) AS BIGINT) AS cents
-  FROM {table}),
+  FROM {table} WHERE {value_col} IS NOT NULL),
 s AS (
   SELECT {g}, count(*) AS n, sum(cents) AS s,
          sum(CAST(cents * cents AS DECIMAL(38,0))) AS ss

@@ -40,3 +40,22 @@ class TestZscoreOutliers:
                                    "g string, i long, v double")
         rows = group_zscore_outliers(df, ["g"], "v").collect()
         assert all(r["zscore"] == 0.0 and not r["is_outlier"] for r in rows)
+
+
+class TestZscoreNullHandling:
+    def test_null_values_excluded_null_groups_kept(self, spark):
+        """Review findings: NULL values must not bias n vs the null-
+        skipping sums, and NULL group keys must not vanish from the
+        output (null-safe join)."""
+        df = spark.createDataFrame(
+            [("g", 1, 10.0), ("g", 2, 20.0), ("g", 3, None),
+             (None, 4, 5.0), (None, 5, 7.0)],
+            "g string, i long, v double")
+        out = {r["i"]: r for r in
+               group_zscore_outliers(df, ["g"], "v", z=1.5).collect()}
+        # NULL-value row excluded entirely
+        assert set(out) == {1, 2, 4, 5}
+        # group 'g' stats over n=2 (not 3): mean 1500 cents, sigma 500
+        assert out[1]["zscore"] == -1.0 and out[2]["zscore"] == 1.0
+        # NULL group survives and has its own stats
+        assert out[4]["zscore"] == -1.0 and out[5]["zscore"] == 1.0
