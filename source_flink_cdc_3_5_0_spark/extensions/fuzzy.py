@@ -49,26 +49,30 @@ def fuzzy_self_join(df: DataFrame, id_col: str, text_col: str,
     max_distance and id_a < id_b. Complete (every qualifying pair is
     found) by the deletion-neighborhood argument above.
 
-    Scale shape: explode to (key, id, text) — O(n·L) rows; ONE hash
-    equi-join on the key; candidate pairs deduped by a partial-agg
-    groupBy before the levenshtein verify. A hot key (many strings
-    sharing a deletion variant) grows that key's bucket quadratically —
-    the same posture as LSH band buckets; AQE skew-split applies, and
-    genuinely adversarial corpora should pre-filter stop-strings."""
-    keys = (df.select(F.col(id_col).alias("id"),
+    Scale shape: explode to (key, id) — the hot key self-join carries
+    ONLY ids, never the strings (shuffling text payloads through every
+    shared-variant bucket is the quadratic-bytes trap; same redesign as
+    the MinHash tier-1 fix). Candidate pairs collapse through a
+    partial-agg distinct, then two plain id equi-joins fetch the two
+    texts for the levenshtein verify — O(candidates) string traffic. A
+    hot key still grows its bucket quadratically in IDS — AQE skew-split
+    applies, and genuinely adversarial corpora should pre-filter
+    stop-strings."""
+    base = (df.select(F.col(id_col).alias("id"),
                       F.col(text_col).alias("txt"))
-            .where(F.col("txt").isNotNull())
-            .select("id", "txt",
-                    F.explode(deletion_neighborhood("txt", max_distance))
-                    .alias("key")))
+            .where(F.col("txt").isNotNull()))
+    keys = base.select(
+        "id", F.explode(deletion_neighborhood("txt", max_distance))
+        .alias("key"))
     a, b = keys.alias("a"), keys.alias("b")
     cand = (a.join(b, "key")
             .where(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("a.txt").alias("ta"),
-                    F.col("b.id").alias("id_b"), F.col("b.txt").alias("tb"))
-            .groupBy("id_a", "id_b")
-            .agg(F.first("ta").alias("ta"), F.first("tb").alias("tb")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    ta = base.select(F.col("id").alias("id_a"), F.col("txt").alias("ta"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("txt").alias("tb"))
     dist = F.levenshtein(F.col("ta"), F.col("tb"))
-    return (cand.withColumn("dist", dist)
+    return (cand.join(ta, "id_a").join(tb, "id_b")
+            .withColumn("dist", dist)
             .where(F.col("dist") <= max_distance)
             .select("id_a", "id_b", F.col("dist").cast("int").alias("dist")))
