@@ -2343,6 +2343,108 @@ SELECT c_custkey, c_name, c_acctbal, 'compacted' AS path FROM final
 """
 
 
+def q_sink_lake_file_skipping(spark, sf_dir):
+    """Zone-map FILE SKIPPING on the lake sink (sinks/lakehouse — Iceberg
+    manifest column bounds / Paimon file statistics): orders land in the
+    snapshot sink, a CLUSTERED compaction (Iceberg rewrite_data_files with
+    a sort order) range-partitions every bucket by o_orderdate into 8
+    files, and a one-year scan predicate then PRUNES most data files
+    driver-side from the manifest stats alone — asserted before the read
+    runs.  The filter is re-applied on the kept files (pruning is an
+    optimization, never the filter).  Oracle = the same year's revenue by
+    month straight off the orders table."""
+    import datetime
+    import tempfile
+
+    from .common.events import CreateTableEvent
+    from .common.tableid import TableId
+    from .sinks.lakehouse import SnapshotLakeSink
+    from .sources.base import attach_envelope
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    tid = TableId.parse("lake.db.orders")
+    schema = Schema.from_struct_type(orders.schema,
+                                     primary_keys=["o_orderkey"])
+    sink = SnapshotLakeSink(tempfile.mkdtemp(prefix="cdc_lake_skip_"),
+                            num_buckets=4)
+    sink.metadata_applier().apply_schema_change(
+        tid, CreateTableEvent(tid, schema), schema)
+    sink.write(tid, attach_envelope(orders, "+I", seq=0), schema, batch_id=0)
+    sink.compact(spark, tid, order_by=["o_orderdate"], files_per_bucket=8)
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    filters = [("o_orderdate", ">=", lo), ("o_orderdate", "<", hi)]
+    kept, total = sink.scan_files(tid, filters=filters)
+    assert total == 8 * sink.num_buckets and len(kept) < total // 2, \
+        (len(kept), total)
+    df = sink.read(spark, tid, filters=filters)
+    return (df.groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                       .alias("order_month"))
+            .agg(F.count("*").cast("bigint").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2)))
+                 .cast(T.DecimalType(18, 2)).alias("revenue")))
+
+
+ORACLE_LAKE_FILE_SKIPPING = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+         AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+def q_cdc_lake_incremental(spark, sf_dir):
+    """INCREMENTAL CHANGELOG READ out of the lake sink (Paimon streaming
+    read / Iceberg incremental scan): a merge-on-read table takes a
+    snapshot commit then a churn commit; ``read_changes(from=s0)`` returns
+    EXACTLY the second commit's row-level changes by reading only the
+    delta files committed in the range (O(changes), never O(table)) —
+    the lake table consumed as a CDC stream.  Oracle = the churn batch's
+    final images computed directly from `customer`."""
+    import tempfile
+
+    from .common.events import CreateTableEvent
+    from .common.tableid import TableId
+    from .sinks.lakehouse import SnapshotLakeSink
+    from .sources.base import attach_envelope
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    tid = TableId.parse("lake.db.customer")
+    schema = Schema.from_struct_type(cust.schema, primary_keys=["c_custkey"])
+    sink = SnapshotLakeSink(tempfile.mkdtemp(prefix="cdc_lake_inc_"),
+                            mode="mor")
+    sink.metadata_applier().apply_schema_change(
+        tid, CreateTableEvent(tid, schema), schema)
+    sink.write(tid, attach_envelope(cust, "+I", seq=0), schema, batch_id=0)
+    s0 = sink.snapshots(tid)[-1]
+    updates = (cust.where(F.col("c_custkey") % 10 == 0)
+               .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+               .select("*", F.lit("+U").alias(OP_COL),
+                       F.lit(1).cast("bigint").alias(SEQ_COL)))
+    deletes = (cust.where(F.col("c_custkey") % 7 == 0)
+               .select("*", F.lit("-D").alias(OP_COL),
+                       F.lit(2).cast("bigint").alias(SEQ_COL)))
+    sink.write(tid, updates.unionByName(deletes), schema, batch_id=1)
+    ch = sink.read_changes(spark, tid, from_snapshot=s0)
+    return ch.select("c_custkey", "c_name", "c_acctbal",
+                     F.col(OP_COL).alias("op"))
+
+
+ORACLE_LAKE_INCREMENTAL = """
+SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal, '+U' AS op
+FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 7 <> 0
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, '-D' AS op
+FROM customer WHERE c_custkey % 7 = 0
+"""
+
+
 def q_transform_op_ts_metadata(spark, sf_dir):
     """Connector metadata column in expressions (SupportedMetadataColumn /
     OpTsMetadataColumn.java): `op_ts` resolves to the source's per-row
@@ -3325,6 +3427,8 @@ QUERIES: dict[str, object] = {
     "dedup_prefix": q_dedup_prefix,
     "agg_zscore_outliers": q_agg_zscore_outliers,
     "inference_batches": q_inference_batches,
+    "sink_lake_file_skipping": q_sink_lake_file_skipping,
+    "cdc_lake_incremental": q_cdc_lake_incremental,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3462,6 +3566,8 @@ ORACLES: dict[str, str] = {
     "pipeline_corpus_prep": _oracle_corpus_prep(),
     "multimodal_real_codecs": ORACLE_MULTIMODAL_REAL,
     "sink_lake_time_travel": ORACLE_LAKE_TIME_TRAVEL,
+    "sink_lake_file_skipping": ORACLE_LAKE_FILE_SKIPPING,
+    "cdc_lake_incremental": ORACLE_LAKE_INCREMENTAL,
     "sessionize_events": ORACLE_SESSIONIZE,
     "doc_length_percentiles": ORACLE_DOC_PERCENTILES,
     "agg_event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,

@@ -60,6 +60,138 @@ _BUCKET_COL = "__bucket"
 _COMMIT_SEQ = "__commit_seq"
 
 
+# -- zone maps (manifest file statistics) ----------------------------------
+#
+# Iceberg/Paimon manifests carry per-file column stats (lower/upper bound,
+# null count) harvested from the parquet footers at COMMIT time; planners
+# prune whole data files whose bounds cannot satisfy a scan predicate
+# before any task is scheduled.  Same here: stats are read driver-side
+# from the footers of the files a commit just wrote (O(new files) control
+# plane — the data is never re-scanned) and stored in the snapshot
+# manifest; ``read(..., filters=…)`` drops provably-dead files and then
+# applies the predicate for real.  Pruning is conservative: unknown
+# types, missing stats, or tag mismatches keep the file.
+
+def _norm_stat(v):
+    """Normalize a footer min/max value to (tag, comparable) or None."""
+    import datetime as _dt
+    from decimal import Decimal
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return ("n", int(v))
+    if isinstance(v, (int, float)):
+        return ("n", v)
+    if isinstance(v, Decimal):
+        return ("c", str(v))
+    if isinstance(v, _dt.datetime):
+        return ("ts", v.isoformat(sep=" "))
+    if isinstance(v, _dt.date):
+        return ("d", v.isoformat())
+    if isinstance(v, str):
+        return ("s", v)
+    return None  # bytes etc. — no pruning on this column
+
+
+def _footer_stats(path: str) -> dict:
+    """Per-column {lo, hi, nulls, t} + row count from one parquet footer."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    cols: dict[str, dict] = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            name = col.path_in_schema
+            s = col.statistics
+            ent = cols.setdefault(
+                name, {"lo": None, "hi": None, "nulls": 0, "t": None})
+            if s is None:
+                ent["t"] = "x"  # a row group without stats poisons the col
+                continue
+            ent["nulls"] += s.null_count or 0
+            if not s.has_min_max:
+                # all-null row group: contributes no bounds, not poison
+                continue
+            lo, hi = _norm_stat(s.min), _norm_stat(s.max)
+            if lo is None or hi is None or lo[0] != hi[0]:
+                ent["t"] = "x"
+                continue
+            if ent["t"] is None:
+                ent["t"], ent["lo"], ent["hi"] = lo[0], lo[1], hi[1]
+            elif ent["t"] == lo[0]:
+                ent["lo"] = min(ent["lo"], lo[1])
+                ent["hi"] = max(ent["hi"], hi[1])
+            else:
+                ent["t"] = "x"
+    return {"rows": md.num_rows,
+            "cols": {k: v for k, v in cols.items() if v["t"] != "x"}}
+
+
+def _file_excluded(stats: dict, filters) -> bool:
+    """True iff the per-file stats PROVE no row can satisfy the AND of
+    ``filters`` (comparisons are null-rejecting, so all-null columns
+    exclude the file for every supported op)."""
+    cols = stats.get("cols", {})
+    nrows = stats.get("rows", 0)
+    for col, op, val in filters:
+        ent = cols.get(col)
+        if ent is None:
+            continue
+        if ent["lo"] is None:
+            if nrows and ent["nulls"] >= nrows:
+                return True  # every value null: no comparison matches
+            continue
+        vals = list(val) if op == "in" else [val]
+        normed = [_norm_stat(v) for v in vals]
+        if any(n is None or n[0] != ent["t"] for n in normed):
+            continue
+        lo, hi = ent["lo"], ent["hi"]
+        if op in ("=", "=="):
+            if normed[0][1] < lo or normed[0][1] > hi:
+                return True
+        elif op == "in":
+            if all(n[1] < lo or n[1] > hi for n in normed):
+                return True
+        elif op == "<":
+            if lo >= normed[0][1]:
+                return True
+        elif op == "<=":
+            if lo > normed[0][1]:
+                return True
+        elif op == ">":
+            if hi <= normed[0][1]:
+                return True
+        elif op == ">=":
+            if hi < normed[0][1]:
+                return True
+    return False
+
+
+def _filters_to_column(filters):
+    col = None
+    for name, op, val in filters:
+        c = F.col(name)
+        if op in ("=", "=="):
+            cond = c == F.lit(val)
+        elif op == "in":
+            cond = c.isin(*list(val))
+        elif op == "<":
+            cond = c < F.lit(val)
+        elif op == "<=":
+            cond = c <= F.lit(val)
+        elif op == ">":
+            cond = c > F.lit(val)
+        elif op == ">=":
+            cond = c >= F.lit(val)
+        else:
+            raise ValueError(f"unsupported filter op {op!r}")
+        col = cond if col is None else (col & cond)
+    return col
+
+
 class _LakeMetadataApplier(MetadataApplier):
     """Schema changes update the sidecar (schema-on-read — existing files
     stay valid, readers null-fill); TRUNCATE commits an empty snapshot
@@ -139,10 +271,33 @@ class SnapshotLakeSink(DataSink):
                else str(batch_id), "buckets": buckets}
         if deltas:
             doc["deltas"] = deltas
+        prev = self._manifest(tid) if self.snapshots(tid) else {}
+        doc["stats"] = self._assemble_stats(
+            buckets, prev.get("stats"), self._data_dir(tid))
+        if deltas:
+            doc["delta_stats"] = self._assemble_stats(
+                deltas, prev.get("delta_stats"), self._delta_dir(tid))
         with open(tmp, "w") as f:
             json.dump(doc, f)
         os.rename(tmp, os.path.join(snap_dir, f"{seq}.json"))
         return seq
+
+    def _assemble_stats(self, files_by_bucket: dict[str, list[str]],
+                        prev_stats: dict | None, base_dir: str) -> dict:
+        """Zone maps for every file the manifest will reference: stats for
+        carried-forward files are copied from the previous manifest, new
+        files get one driver-side footer read each (never a data scan)."""
+        out: dict[str, dict] = {}
+        for files in files_by_bucket.values():
+            for rel in files:
+                st = (prev_stats or {}).get(rel)
+                if st is None:
+                    try:
+                        st = _footer_stats(os.path.join(base_dir, rel))
+                    except Exception:
+                        st = {"rows": 0, "cols": {}}  # unreadable: no pruning
+                out[rel] = st
+        return out
 
     def _bucket_files(self, tid: TableId, bucket: int) -> set[str]:
         """Relative paths of the parquet files currently ON DISK for a
@@ -273,13 +428,34 @@ class SnapshotLakeSink(DataSink):
         self._commit(tid, dict(manifest["buckets"]), batch_id, deltas=deltas)
 
     # -- read path ---------------------------------------------------------
-    def read(self, spark: SparkSession, table_id: TableId,
-             snapshot: int | None = None) -> DataFrame:
-        """Read the table at a snapshot (default: latest) — time travel is
-        ``read(spark, tid, snapshot=<seq>)``."""
+    def scan_files(self, table_id: TableId, snapshot: int | None = None,
+                   filters=None) -> tuple[list[str], int]:
+        """Plan a scan: (base files kept after zone-map pruning, total base
+        files in the snapshot).  With no filters every file is kept.  MoR
+        DELTA files are never pruned — a newer delta version must shadow an
+        older matching base row even when the new value itself falls outside
+        the predicate, so only base files are prunable (same reason Iceberg
+        applies delete files before residual filters)."""
         manifest = self._manifest(table_id, snapshot)
-        paths = [os.path.join(self._data_dir(table_id), p)
-                 for files in manifest["buckets"].values() for p in files]
+        rels = [p for files in manifest["buckets"].values() for p in files]
+        if not filters:
+            return rels, len(rels)
+        stats = manifest.get("stats") or {}
+        kept = [p for p in rels
+                if not _file_excluded(stats.get(p, {}), filters)]
+        return kept, len(rels)
+
+    def read(self, spark: SparkSession, table_id: TableId,
+             snapshot: int | None = None, filters=None) -> DataFrame:
+        """Read the table at a snapshot (default: latest) — time travel is
+        ``read(spark, tid, snapshot=<seq>)``.  ``filters`` is a pyarrow-style
+        AND list ``[(col, op, value), ...]`` (ops ``= < <= > >= in``): data
+        files whose manifest zone maps prove no row can match are dropped
+        from the scan driver-side, then the predicate is applied for real
+        (pruning is an optimization, never the filter itself)."""
+        manifest = self._manifest(table_id, snapshot)
+        kept, _total = self.scan_files(table_id, snapshot, filters)
+        paths = [os.path.join(self._data_dir(table_id), p) for p in kept]
         delta_paths = [os.path.join(self._delta_dir(table_id), p)
                        for files in (manifest.get("deltas") or {}).values()
                        for p in files]
@@ -290,7 +466,9 @@ class SnapshotLakeSink(DataSink):
         if not paths and not delta_paths:
             if schema is None:
                 raise ValueError(f"{table_id}: empty table and no schema")
-            return spark.createDataFrame([], schema.struct_type())
+            df = spark.createDataFrame([], schema.struct_type())
+            cond = _filters_to_column(filters) if filters else None
+            return df.where(cond) if cond is not None else df
         if delta_paths:
             df = self._merge_read(spark, table_id, paths, delta_paths)
         else:
@@ -301,7 +479,8 @@ class SnapshotLakeSink(DataSink):
             from ..operators.schema_evolution import coercion_select
 
             df = coercion_select(df, schema)
-        return df
+        cond = _filters_to_column(filters) if filters else None
+        return df.where(cond) if cond is not None else df
 
     def _merge_read(self, spark: SparkSession, tid: TableId,
                     base_paths: list[str], delta_paths: list[str]) -> DataFrame:
@@ -332,6 +511,85 @@ class SnapshotLakeSink(DataSink):
                 .where((F.col("__rn") == 1) & (F.col(OP_COL) != "-D"))
                 .drop("__rn", OP_COL, _BUCKET_COL, _COMMIT_SEQ))
 
+    # -- incremental (changelog) read --------------------------------------
+    def read_changes(self, spark: SparkSession, table_id: TableId,
+                     from_snapshot: int, to_snapshot: int | None = None
+                     ) -> DataFrame:
+        """CDC OUT of the lake table (Paimon streaming read / Iceberg
+        incremental scan): the row-level changes between two snapshots as a
+        changelog DataFrame — data columns + ``__op`` (+I/+U/-D, new image
+        for upserts, old image for deletes) + ``__commit_seq``.
+
+        Two plans, picked from the manifests alone:
+
+        * **delta fast path** (MoR history, the streaming-ingestion case):
+          when base buckets are unchanged and the delta list only grew, the
+          change set IS the delta files committed in ``(from, to]`` — read
+          exactly those files, nothing else.  O(changes), never O(table):
+          this is what makes the lake table consumable as a stream.
+        * **state diff fallback** (copy-on-write commits, TRUNCATE,
+          compaction mixed into the range): join the two snapshot states on
+          the primary key and classify +I/+U/-D.  Bucket pruning keeps the
+          join to the buckets whose file sets actually changed — the bucket
+          is a pure function of the PK, so it is recomputed on the read
+          rather than stored.  A pure compaction diffs to zero rows.
+        """
+        m0 = self._manifest(table_id, from_snapshot)
+        m1 = self._manifest(table_id, to_snapshot)
+        d0 = {(b, p) for b, fs in (m0.get("deltas") or {}).items()
+              for p in fs}
+        d1 = {(b, p) for b, fs in (m1.get("deltas") or {}).items()
+              for p in fs}
+        pks = self._pks(table_id)
+        if m0["buckets"] == m1["buckets"] and d0 <= d1:
+            new_rels = sorted(p for _, p in d1 - d0)
+            if not new_rels:
+                empty = self.read(spark, table_id, snapshot=to_snapshot)
+                return (empty.withColumn(OP_COL, F.lit("+I"))
+                        .withColumn(_COMMIT_SEQ, F.lit(0).cast("bigint"))
+                        .limit(0))
+            paths = [os.path.join(self._delta_dir(table_id), p)
+                     for p in new_rels]
+            df = (spark.read.option("basePath", self._delta_dir(table_id))
+                  .option("mergeSchema", "true").parquet(*paths))
+            data_cols = [c for c in df.columns
+                         if c not in (OP_COL, _COMMIT_SEQ, _BUCKET_COL)]
+            return df.select(*data_cols, OP_COL, _COMMIT_SEQ)
+        # state-diff fallback
+        changed = {b for b in set(m0["buckets"]) | set(m1["buckets"])
+                   if m0["buckets"].get(b) != m1["buckets"].get(b)}
+        changed |= {b for b, _ in d0 ^ d1}
+        old = self.read(spark, table_id, snapshot=from_snapshot)
+        new = self.read(spark, table_id, snapshot=to_snapshot)
+        if changed != set(m0["buckets"]) | set(m1["buckets"]):
+            want = [int(b) for b in changed]
+            old = old.where(self._bucket_of(old, pks).isin(want))
+            new = new.where(self._bucket_of(new, pks).isin(want))
+        data_cols = new.columns
+        o = old.select(*[F.col(c).alias(f"__o_{c}") for c in data_cols])
+        n = new.select(*[F.col(c).alias(f"__n_{c}") for c in data_cols])
+        cond = None
+        for k in pks:
+            c = F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}"))
+            cond = c if cond is None else (cond & c)
+        j = o.join(n, on=cond, how="full_outer")
+        in_old = F.col(f"__o_{pks[0]}").isNotNull()
+        in_new = F.col(f"__n_{pks[0]}").isNotNull()
+        non_pk = [c for c in data_cols if c not in pks]
+        if non_pk:
+            same = F.struct(*[F.col(f"__o_{c}") for c in non_pk]).eqNullSafe(
+                F.struct(*[F.col(f"__n_{c}") for c in non_pk]))
+        else:
+            same = F.lit(True)
+        op = (F.when(~in_old, F.lit("+I"))
+              .when(~in_new, F.lit("-D"))
+              .otherwise(F.lit("+U")))
+        picked = [F.when(in_new, F.col(f"__n_{c}"))
+                  .otherwise(F.col(f"__o_{c}")).alias(c) for c in data_cols]
+        return (j.where(~in_old | ~in_new | ~same)
+                .select(*picked, op.alias(OP_COL),
+                        F.lit(m1["seq"]).cast("bigint").alias(_COMMIT_SEQ)))
+
     # -- maintenance -------------------------------------------------------
     def vacuum(self, table_id: TableId, keep_last: int = 1) -> int:
         """Delete data files referenced by NO retained snapshot and drop
@@ -361,34 +619,54 @@ class SnapshotLakeSink(DataSink):
             os.remove(os.path.join(self._snap_dir(table_id), f"{s}.json"))
         return removed
 
-    def compact(self, spark: SparkSession, table_id: TableId) -> None:
-        """Rewrite every live bucket down to one file and commit the
-        result as a new snapshot (older snapshots keep working until
-        vacuum).  With outstanding MoR deltas, folds base + deltas into
-        fresh delta-free base files first (the LSM-compaction step that
-        returns reads to pure scans)."""
+    def compact(self, spark: SparkSession, table_id: TableId,
+                order_by: list[str] | None = None,
+                files_per_bucket: int = 1) -> None:
+        """Rewrite every live bucket and commit the result as a new
+        snapshot (older snapshots keep working until vacuum).  With
+        outstanding MoR deltas, folds base + deltas into fresh delta-free
+        base files first (the LSM-compaction step that returns reads to
+        pure scans).
+
+        ``order_by`` CLUSTERS the rewrite (Iceberg ``rewrite_data_files``
+        with a sort order / Paimon sort-compact): each bucket is
+        range-partitioned into ``files_per_bucket`` files with disjoint
+        ``order_by`` ranges and sorted within each file, which is what
+        makes the manifest zone maps selective — a range predicate over
+        the cluster key then prunes ~(1 - 1/files_per_bucket) of the
+        scan before it is scheduled."""
         manifest = self._manifest(table_id)
         if manifest.get("deltas"):
-            self._compact_mor(spark, table_id, manifest)
+            self._compact_mor(spark, table_id, manifest,
+                              order_by=order_by,
+                              files_per_bucket=files_per_bucket)
             return
         new_buckets: dict[str, list[str]] = {}
         for b, files in manifest["buckets"].items():
             before = self._bucket_files(table_id, int(b))
             paths = [os.path.join(self._data_dir(table_id), p) for p in files]
-            (spark.read.option("basePath", self._data_dir(table_id))
-             .option("mergeSchema", "true").parquet(*paths)
-             .coalesce(1)
-             .write.mode("append").partitionBy(_BUCKET_COL)
+            df = (spark.read.option("basePath", self._data_dir(table_id))
+                  .option("mergeSchema", "true").parquet(*paths))
+            if order_by:
+                df = (df.repartitionByRange(
+                          files_per_bucket, *[F.col(c) for c in order_by])
+                      .sortWithinPartitions(*order_by))
+            else:
+                df = df.coalesce(1)
+            (df.write.mode("append").partitionBy(_BUCKET_COL)
              .parquet(self._data_dir(table_id)))
             new_buckets[b] = sorted(
                 self._bucket_files(table_id, int(b)) - before)
         self._commit(table_id, new_buckets)
 
     def _compact_mor(self, spark: SparkSession, tid: TableId,
-                     manifest: dict) -> None:
+                     manifest: dict, order_by: list[str] | None = None,
+                     files_per_bucket: int = 1) -> None:
         """Fold base + delta files into new base files (one per bucket)
         and commit a delta-free snapshot.  New rows carry the compaction's
-        commit sequence so later delta commits always sort after them."""
+        commit sequence so later delta commits always sort after them.
+        With ``order_by`` the fold commits first, then the clustered
+        copy-on-write rewrite runs as a second snapshot."""
         base_paths = [os.path.join(self._data_dir(tid), p)
                       for files in manifest["buckets"].values() for p in files]
         delta_paths = [os.path.join(self._delta_dir(tid), p)
@@ -414,3 +692,6 @@ class SnapshotLakeSink(DataSink):
             self._commit(tid, new_buckets)
         finally:
             rows.unpersist()
+        if order_by:
+            self.compact(spark, tid, order_by=order_by,
+                         files_per_bucket=files_per_bucket)

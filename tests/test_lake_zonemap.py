@@ -1,0 +1,239 @@
+"""Zone-map file skipping, clustered compaction, incremental reads.
+
+Parity target: Iceberg manifest column bounds / Paimon file statistics
+(what `rewrite_data_files` + min-max pruning give a 100-TB table), and
+Paimon streaming read / Iceberg incremental scan for `read_changes`.
+The stats are harvested from parquet footers at commit time (driver-side,
+O(new files)); pruning must be conservative — these tests pin both the
+pruning wins and the can't-prune cases.
+"""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from source_flink_cdc_3_5_0_spark.common.events import (CreateTableEvent,
+                                                        OP_COL)
+from source_flink_cdc_3_5_0_spark.common.schema import Schema
+from source_flink_cdc_3_5_0_spark.common.tableid import TableId
+from source_flink_cdc_3_5_0_spark.sinks.lakehouse import (SnapshotLakeSink,
+                                                          _file_excluded)
+from source_flink_cdc_3_5_0_spark.sources.base import SEQ_COL, attach_envelope
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mk(spark, tmp_path, mode="cow", num_buckets=4):
+    ev = (spark.read.parquet(os.path.join(SF, "events.parquet"))
+          .select("event_id", "ts", "user_id", "event_type", "value"))
+    tid = TableId.parse("lake.db.events")
+    schema = Schema.from_struct_type(ev.schema, primary_keys=["event_id"])
+    sink = SnapshotLakeSink(str(tmp_path / mode), num_buckets=num_buckets,
+                            mode=mode)
+    sink.metadata_applier().apply_schema_change(
+        tid, CreateTableEvent(tid, schema), schema)
+    sink.write(tid, attach_envelope(ev, "+I", seq=0), schema, batch_id=0)
+    return sink, tid, schema, ev
+
+
+class TestZoneMaps:
+    def test_manifest_carries_footer_stats(self, spark, tmp_path):
+        sink, tid, _, ev = _mk(spark, tmp_path)
+        m = sink._manifest(tid)
+        rels = [p for fs in m["buckets"].values() for p in fs]
+        assert rels and set(m["stats"]) == set(rels)
+        st = m["stats"][rels[0]]
+        assert st["rows"] > 0
+        assert st["cols"]["event_id"]["t"] == "n"
+        assert st["cols"]["ts"]["t"] == "ts"
+        assert st["cols"]["event_type"]["t"] == "s"
+
+    def test_unclustered_scan_keeps_everything(self, spark, tmp_path):
+        """Before clustering, event_id is scattered across files — a range
+        predicate cannot prune (bounds overlap everywhere)."""
+        sink, tid, _, _ = _mk(spark, tmp_path)
+        kept, total = sink.scan_files(tid, filters=[("ts", ">=",
+                                                     dt.datetime(2024, 1, 5))])
+        assert total >= 4 and len(kept) == total
+
+    def test_clustered_compaction_prunes_range_scan(self, spark, tmp_path):
+        sink, tid, _, ev = _mk(spark, tmp_path)
+        sink.compact(spark, tid, order_by=["ts"], files_per_bucket=4)
+        lo = dt.datetime(2024, 1, 1)
+        hi = dt.datetime(2024, 1, 2)
+        kept, total = sink.scan_files(
+            tid, filters=[("ts", ">=", lo), ("ts", "<", hi)])
+        # 4 range files per bucket; a ~1-day slice of a multi-day table
+        # must skip most of them
+        assert total == 4 * sink.num_buckets
+        assert len(kept) <= total // 2, (len(kept), total)
+        got = sink.read(spark, tid,
+                        filters=[("ts", ">=", lo), ("ts", "<", hi)])
+        want = ev.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        assert sorted(r["event_id"] for r in got.collect()) == \
+            sorted(r["event_id"] for r in want.collect())
+
+    def test_filters_are_reapplied_not_just_pruned(self, spark, tmp_path):
+        """Pruning is file-granular; the residual predicate must still drop
+        the non-matching rows inside kept files."""
+        sink, tid, _, ev = _mk(spark, tmp_path)
+        got = sink.read(spark, tid, filters=[("event_type", "=", "click")])
+        want = ev.where(F.col("event_type") == "click")
+        assert got.count() == want.count() != ev.count()
+
+    def test_equality_and_in_pruning(self, spark, tmp_path):
+        sink, tid, _, _ = _mk(spark, tmp_path)
+        sink.compact(spark, tid, order_by=["user_id"], files_per_bucket=4)
+        kept, total = sink.scan_files(tid, filters=[("user_id", "=", 3)])
+        assert len(kept) < total
+        kept_in, _ = sink.scan_files(tid, filters=[("user_id", "in", [3, 4])])
+        assert len(kept_in) < total
+        # a value outside the global domain prunes every file
+        kept0, _ = sink.scan_files(tid, filters=[("user_id", "=", -1)])
+        assert kept0 == []
+        assert sink.read(spark, tid,
+                         filters=[("user_id", "=", -1)]).count() == 0
+
+    def test_mor_deltas_never_pruned(self, spark, tmp_path):
+        """An update moving a row OUT of the predicate range must shadow
+        the old in-range base image even though the delta file's bounds
+        fall outside the scan predicate."""
+        sink, tid, schema, ev = _mk(spark, tmp_path, mode="mor")
+        sink.compact(spark, tid, order_by=["value"], files_per_bucket=4)
+        moved = (ev.where(F.col("value") < 10.0)
+                 .withColumn("value", F.col("value") + 1000.0)
+                 .select("*", F.lit("+U").alias(OP_COL),
+                         F.lit(1).cast("bigint").alias(SEQ_COL)))
+        n_moved = moved.count()
+        assert n_moved > 0
+        sink.write(tid, moved, schema, batch_id=1)
+        got = sink.read(spark, tid, filters=[("value", "<", 50.0)])
+        want = (ev.where((F.col("value") >= 10.0) & (F.col("value") < 50.0)))
+        assert got.count() == want.count()
+
+    def test_time_travel_prunes_against_its_own_manifest(self, spark,
+                                                         tmp_path):
+        sink, tid, _, _ = _mk(spark, tmp_path)
+        s0 = sink.snapshots(tid)[-1]
+        sink.compact(spark, tid, order_by=["ts"], files_per_bucket=4)
+        f = [("ts", "<", dt.datetime(2024, 1, 2))]
+        kept0, total0 = sink.scan_files(tid, snapshot=s0, filters=f)
+        kept1, total1 = sink.scan_files(tid, filters=f)
+        assert len(kept0) == total0  # pre-cluster snapshot: no pruning
+        assert len(kept1) < total1
+        assert sink.read(spark, tid, snapshot=s0, filters=f).count() == \
+            sink.read(spark, tid, filters=f).count()
+
+
+class TestFileExcluded:
+    ST = {"rows": 10, "cols": {"x": {"lo": 5, "hi": 9, "nulls": 0, "t": "n"},
+                               "s": {"lo": "b", "hi": "d", "nulls": 0,
+                                     "t": "s"}}}
+
+    def test_range_ops(self):
+        assert _file_excluded(self.ST, [("x", ">", 9)])
+        assert not _file_excluded(self.ST, [("x", ">", 8)])
+        assert _file_excluded(self.ST, [("x", "<", 5)])
+        assert not _file_excluded(self.ST, [("x", "<=", 5)])
+        assert _file_excluded(self.ST, [("x", "=", 4)])
+        assert _file_excluded(self.ST, [("x", "in", [1, 12])])
+        assert not _file_excluded(self.ST, [("x", "in", [1, 7])])
+
+    def test_conservative_cases(self):
+        # unknown column / type mismatch / missing stats: keep the file
+        assert not _file_excluded(self.ST, [("y", ">", 100)])
+        assert not _file_excluded(self.ST, [("x", ">", "zzz")])
+        assert not _file_excluded({}, [("x", ">", 100)])
+        # all-null column excludes under any comparison
+        st = {"rows": 4, "cols": {"x": {"lo": None, "hi": None, "nulls": 4,
+                                        "t": None}}}
+        assert _file_excluded(st, [("x", "=", 1)])
+
+    def test_string_bounds(self):
+        assert _file_excluded(self.ST, [("s", ">", "e")])
+        assert not _file_excluded(self.ST, [("s", "=", "c")])
+
+
+class TestReadChanges:
+    def test_mor_delta_fast_path(self, spark, tmp_path):
+        sink, tid, schema, ev = _mk(spark, tmp_path, mode="mor")
+        s0 = sink.snapshots(tid)[-1]
+        upd = (ev.where(F.col("event_id") % 100 == 0)
+               .withColumn("value", F.col("value") + 1.0)
+               .select("*", F.lit("+U").alias(OP_COL),
+                       F.lit(1).cast("bigint").alias(SEQ_COL)))
+        dels = (ev.where(F.col("event_id") % 177 == 0)
+                .select("*", F.lit("-D").alias(OP_COL),
+                        F.lit(2).cast("bigint").alias(SEQ_COL)))
+        sink.write(tid, upd.unionByName(dels), schema, batch_id=1)
+        ch = sink.read_changes(spark, tid, from_snapshot=s0)
+        rows = {(r["event_id"], r[OP_COL]) for r in ch.collect()}
+        # the commit reduces the batch to final images first, so a key hit
+        # by both rules appears once, with the later (-D) op
+        want = {}
+        for r in upd.collect():
+            want[r["event_id"]] = "+U"
+        for r in dels.collect():
+            want[r["event_id"]] = "-D"
+        assert rows == set(want.items())
+
+    def test_mor_empty_range(self, spark, tmp_path):
+        sink, tid, _, _ = _mk(spark, tmp_path, mode="mor")
+        s0 = sink.snapshots(tid)[-1]
+        ch = sink.read_changes(spark, tid, from_snapshot=s0, to_snapshot=s0)
+        assert ch.count() == 0
+        assert OP_COL in ch.columns
+
+    def test_cow_state_diff(self, spark, tmp_path):
+        sink, tid, schema, ev = _mk(spark, tmp_path, mode="cow")
+        s0 = sink.snapshots(tid)[-1]
+        upd = (ev.where(F.col("event_id") % 100 == 0)
+               .withColumn("value", F.col("value") + 1.0)
+               .select("*", F.lit("+U").alias(OP_COL),
+                       F.lit(1).cast("bigint").alias(SEQ_COL)))
+        dels = (ev.where(F.col("event_id") % 177 == 0)
+                .select("*", F.lit("-D").alias(OP_COL),
+                        F.lit(2).cast("bigint").alias(SEQ_COL)))
+        sink.write(tid, upd.unionByName(dels), schema, batch_id=1)
+        ch = sink.read_changes(spark, tid, from_snapshot=s0)
+        got = {(r["event_id"], r[OP_COL]) for r in ch.collect()}
+        # ids hit by both rules resolve to their final image (% 17700):
+        # deleted wins because latest_image keeps the -D marker
+        want = {}
+        for r in upd.collect():
+            want[r["event_id"]] = "+U"
+        for r in dels.collect():
+            want[r["event_id"]] = "-D"
+        assert got == set(want.items())
+
+    def test_compaction_diffs_to_zero(self, spark, tmp_path):
+        sink, tid, _, _ = _mk(spark, tmp_path, mode="cow")
+        s0 = sink.snapshots(tid)[-1]
+        sink.compact(spark, tid, order_by=["ts"], files_per_bucket=2)
+        ch = sink.read_changes(spark, tid, from_snapshot=s0)
+        assert ch.count() == 0
+
+    def test_truncate_emits_delete_all(self, spark, tmp_path):
+        from source_flink_cdc_3_5_0_spark.common.events import \
+            TruncateTableEvent
+
+        sink, tid, schema, ev = _mk(spark, tmp_path, mode="cow")
+        s0 = sink.snapshots(tid)[-1]
+        sink.metadata_applier().apply_schema_change(
+            tid, TruncateTableEvent(tid), schema)
+        ch = sink.read_changes(spark, tid, from_snapshot=s0)
+        assert ch.where(F.col(OP_COL) != "-D").count() == 0
+        assert ch.count() == ev.count()
+
+    def test_new_inserts_classified(self, spark, tmp_path):
+        sink, tid, schema, ev = _mk(spark, tmp_path, mode="cow")
+        s0 = sink.snapshots(tid)[-1]
+        fresh = (ev.limit(10)
+                 .withColumn("event_id", F.col("event_id") + 10_000_000))
+        sink.write(tid, attach_envelope(fresh, "+I", seq=3), schema,
+                   batch_id=2)
+        ch = sink.read_changes(spark, tid, from_snapshot=s0)
+        assert {r[OP_COL] for r in ch.collect()} == {"+I"}
+        assert ch.count() == 10
