@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "dedup_prefix",
     "agg_zscore_outliers",
     "inference_batches",
+    "sink_lake_file_skipping",
+    "cdc_lake_incremental",
 ]
 
 
