@@ -2747,6 +2747,56 @@ GROUP BY 1, 2
 """
 
 
+def q_decontam_bloom(spark, sf_dir):
+    """Bloom-filter decontamination (extensions/decontam.bloom_decontam_
+    flags): the eval suite's word 4-grams populate a Bloom filter whose
+    set-bit POSITIONS (ints, not gram strings) are the only broadcast
+    state; corpus docs with ≥1 all-probes-hit gram are flagged with the
+    positive-gram count.  md5-positional hashing makes every position —
+    and therefore every false positive — bit-identical across engines, so
+    the approximate operator passes an exact oracle."""
+    from .extensions.decontam import bloom_decontam_flags
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    return bloom_decontam_flags(corpus, ev, k=4, m_bits=1 << 18, n_hashes=3)
+
+
+def _oracle_decontam_bloom() -> str:
+    from .extensions.decontam import bloom_position_sql
+
+    m = 1 << 18
+    pos = [bloom_position_sql("duckdb", "gram", s, m) for s in range(3)]
+    ev = "\n    UNION ALL ".join(
+        f"SELECT {p} AS pos FROM grams WHERE source = 'src0'" for p in pos)
+    pr = "\n    UNION ALL ".join(
+        f"SELECT doc_id, gram, {p} AS pos FROM grams WHERE source <> 'src0'"
+        for p in pos)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(range(1, len(t) - 2),
+                i -> list_aggregate(t[i:i+3], 'string_agg', ' ')))) AS gram
+  FROM toks WHERE len(t) >= 4
+), eval_pos AS (
+  SELECT DISTINCT pos FROM (
+    {ev})
+), probes AS (
+  {pr}
+), hits AS (
+  SELECT doc_id, gram FROM probes JOIN eval_pos USING (pos)
+  GROUP BY doc_id, gram HAVING count(*) = 3
+)
+SELECT doc_id AS corpus_doc_id, CAST(count(*) AS BIGINT) AS n_bloom_grams
+FROM hits GROUP BY 1
+"""
+
+
 def q_sample_hash_split(spark, sf_dir):
     """Deterministic train/val/test split (extensions/sampling.py): md5
     content-hash buckets at 13:2:1 — reproducible across engines and runs
@@ -3429,6 +3479,7 @@ QUERIES: dict[str, object] = {
     "inference_batches": q_inference_batches,
     "sink_lake_file_skipping": q_sink_lake_file_skipping,
     "cdc_lake_incremental": q_cdc_lake_incremental,
+    "decontam_bloom": q_decontam_bloom,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3572,6 +3623,7 @@ ORACLES: dict[str, str] = {
     "doc_length_percentiles": ORACLE_DOC_PERCENTILES,
     "agg_event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,
     "decontam_ngram_overlap": ORACLE_DECONTAM,
+    "decontam_bloom": _oracle_decontam_bloom(),
     "sample_hash_split": ORACLE_HASH_SPLIT,
     "sample_quota_per_lang": ORACLE_QUOTA_SAMPLE,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,

@@ -48,3 +48,72 @@ def ngram_overlap_pairs(corpus: DataFrame, eval_df: DataFrame,
         .groupBy("eval_doc_id", "corpus_doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
     )
+
+
+# -- Bloom-filter membership variant ---------------------------------------
+
+def bloom_position_sql(dialect: str, col: str, salt: int, m_bits: int) -> str:
+    """Bloom hash position in [0, m_bits) from md5(col || '#salt') —
+    positional hex parse of the first 8 nibbles (the same cross-engine
+    trick as ``sketches.uniform_fraction_sql``), so Spark and DuckDB
+    compute bit-identical positions and the whole approximate operator
+    stays exactly oracle-able (false positives included)."""
+    _hex = "0123456789abcdef"
+    strpos = "instr" if dialect == "spark" else "strpos"
+    cast_t = "STRING" if dialect == "spark" else "VARCHAR"
+    h = f"md5(CAST({col} AS {cast_t}) || '#{salt}')"
+    terms = " + ".join(
+        f"CAST({strpos}('{_hex}', substring({h}, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * CAST({16 ** (7 - i)} AS BIGINT)"
+        for i in range(8)
+    )
+    return f"(({terms}) % {m_bits})"
+
+
+def bloom_decontam_flags(corpus: DataFrame, eval_df: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 4, m_bits: int = 1 << 18,
+                         n_hashes: int = 3) -> DataFrame:
+    """(corpus_doc_id, n_bloom_grams): corpus docs whose word k-grams test
+    positive against a Bloom filter of the eval suite's grams.
+
+    Why a Bloom variant next to :func:`ngram_overlap_pairs`: the broadcast
+    there ships the eval grams as STRINGS (tens of bytes each).  Here the
+    broadcast state is the filter's set-bit POSITIONS — bounded by
+    ``n_hashes × |eval grams|`` 8-byte ints regardless of gram length, and
+    by ``m_bits`` overall — so a 100-TB run broadcasts a few MB however
+    long the grams are, and the probe join is int-keyed.  The price is the
+    classic FP rate (1 - e^(-kn/m))^k, acceptable for decontamination
+    (flagging slightly too much is safe; missing overlap is not — Bloom
+    filters have NO false negatives).
+
+    Scale shape: both sides stay JVM codegen (no Python).  The eval side
+    reduces to DISTINCT positions and broadcasts; the corpus side explodes
+    each distinct gram to its n_hashes positions, joins on the int
+    position, and a gram is positive iff ALL n_hashes probes hit
+    (count == n_hashes per (doc, gram) — each probe matches at most one
+    distinct position row).  The corpus is never shuffled: explode →
+    broadcast-join → two partial aggs, one pass."""
+    def _grams(df: DataFrame, out_id: str) -> DataFrame:
+        from .dedup import tokens_col, word_ngrams_col
+
+        return (df.withColumn("__toks", tokens_col(text_col))
+                .select(F.col(id_col).alias(out_id),
+                        F.explode(word_ngrams_col(
+                            "__toks", k, fallback_whole_text=False,
+                            from_tokens=True)).alias("gram")))
+
+    pos_exprs = [F.expr(bloom_position_sql("spark", "gram", s, m_bits))
+                 for s in range(n_hashes)]
+    eval_pos = (_grams(eval_df, "eval_doc_id")
+                .select(F.explode(F.array(*pos_exprs)).alias("pos"))
+                .distinct())
+    probes = (_grams(corpus, "corpus_doc_id")
+              .select("corpus_doc_id", "gram",
+                      F.explode(F.array(*pos_exprs)).alias("pos")))
+    return (probes.join(F.broadcast(eval_pos), on="pos")
+            .groupBy("corpus_doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+            .where(F.col("n_hit") == n_hashes)
+            .groupBy("corpus_doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bloom_grams")))
