@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "inference_batches",
     "sink_lake_file_skipping",
     "cdc_lake_incremental",
+    "decontam_bloom",
 ]
 
 

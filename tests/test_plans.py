@@ -310,3 +310,41 @@ def test_pack_sequences_single_shuffle(spark):
     p = plan_of(EQ.q_pack_sequences(spark, SF))
     assert len(re.findall(r"\bExchange\b", p)) == 1, p
     assert "rangepartitioning" not in p.lower(), p
+
+
+def test_lake_filtered_read_pushes_residual_to_scan(spark, tmp_path):
+    """Zone-map pruning and parquet-footer pushdown STACK: after the
+    driver-side file skip, the residual predicate must still reach the
+    parquet scan of the kept files (row-group skipping + codegen filter),
+    and the broadcast decontam-bloom probe side must broadcast."""
+    import datetime
+    from source_flink_cdc_3_5_0_spark.common.events import CreateTableEvent
+    from source_flink_cdc_3_5_0_spark.common.schema import Schema
+    from source_flink_cdc_3_5_0_spark.common.tableid import TableId
+    from source_flink_cdc_3_5_0_spark.sinks.lakehouse import SnapshotLakeSink
+    from source_flink_cdc_3_5_0_spark.sources.base import attach_envelope
+
+    orders = EQ.load(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate")
+    tid = TableId.parse("lake.db.orders")
+    schema = Schema.from_struct_type(orders.schema,
+                                     primary_keys=["o_orderkey"])
+    sink = SnapshotLakeSink(str(tmp_path / "t"), num_buckets=2)
+    sink.metadata_applier().apply_schema_change(
+        tid, CreateTableEvent(tid, schema), schema)
+    sink.write(tid, attach_envelope(orders, "+I", seq=0), schema, batch_id=0)
+    sink.compact(spark, tid, order_by=["o_orderdate"], files_per_bucket=4)
+    lo = datetime.datetime(1996, 1, 1)
+    df = sink.read(spark, tid, filters=[("o_orderdate", ">=", lo)])
+    p = plan_of(df)
+    pushed = p.split("PushedFilters: [")[1].split("]")[0] \
+        if "PushedFilters: [" in p else ""
+    assert "GreaterThanOrEqual(o_orderdate" in pushed, pushed or p
+
+
+def test_decontam_bloom_broadcasts_positions(spark):
+    """The bloom probe joins corpus gram positions against the BROADCAST
+    eval-position set — the corpus side is never shuffled for the join."""
+    p = plan_of(EQ.q_decontam_bloom(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
