@@ -170,6 +170,46 @@ def _file_excluded(stats: dict, filters) -> bool:
     return False
 
 
+def _zvalue_col(df: DataFrame, cols: list[str], bits: int = 12):
+    """Z-order (Morton) key over 2+ numeric/timestamp columns — the
+    Delta OPTIMIZE ZORDER / Iceberg z-order rewrite strategy.  Each
+    column is min-max normalized to a ``bits``-wide integer from a
+    bounded driver-side (min, max) aggregate, then the bit strings are
+    interleaved so file ranges stay tight on EVERY participating column
+    (a single-column sort gives perfect bounds on one column and useless
+    bounds on the rest).  Nulls sort to 0.  Pure Column expression —
+    no UDF, stays in codegen."""
+    numeric = ("tinyint", "smallint", "int", "bigint", "float", "double",
+               "date", "timestamp", "timestamp_ntz")
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        base = dtypes.get(c, "").split("(")[0]
+        if base not in numeric and not base.startswith("decimal"):
+            raise ValueError(
+                f"zorder column {c!r} has non-orderable-numeric type "
+                f"{dtypes.get(c)!r}; cast or hash it first")
+    bounds = df.agg(*[F.min(F.col(c).cast("double")).alias(f"lo_{i}")
+                      for i, c in enumerate(cols)],
+                    *[F.max(F.col(c).cast("double")).alias(f"hi_{i}")
+                      for i, c in enumerate(cols)]).collect()[0]
+    z = F.lit(0).cast("bigint")
+    n = len(cols)
+    top = (1 << bits) - 1
+    for ci, c in enumerate(cols):
+        lo, hi = bounds[f"lo_{ci}"], bounds[f"hi_{ci}"]
+        if lo is None or hi is None or hi <= lo:
+            scaled = F.lit(0).cast("bigint")
+        else:
+            scaled = F.floor((F.col(c).cast("double") - F.lit(lo))
+                             / F.lit(hi - lo) * F.lit(float(top)))
+        scaled = F.coalesce(scaled, F.lit(0)).cast("bigint")
+        for bit in range(bits):
+            z = z.bitwiseOR(F.shiftleft(
+                F.shiftright(scaled, bit).bitwiseAND(F.lit(1)),
+                bit * n + ci))
+    return z
+
+
 def _filters_to_column(filters):
     col = None
     for name, op, val in filters:
@@ -621,7 +661,9 @@ class SnapshotLakeSink(DataSink):
 
     def compact(self, spark: SparkSession, table_id: TableId,
                 order_by: list[str] | None = None,
-                files_per_bucket: int = 1) -> None:
+                files_per_bucket: int = 1,
+                zorder: list[str] | None = None,
+                zorder_bits: int = 12) -> None:
         """Rewrite every live bucket and commit the result as a new
         snapshot (older snapshots keep working until vacuum).  With
         outstanding MoR deltas, folds base + deltas into fresh delta-free
@@ -634,20 +676,46 @@ class SnapshotLakeSink(DataSink):
         ``order_by`` ranges and sorted within each file, which is what
         makes the manifest zone maps selective — a range predicate over
         the cluster key then prunes ~(1 - 1/files_per_bucket) of the
-        scan before it is scheduled."""
+        scan before it is scheduled.
+
+        ``zorder`` instead CLUSTERS ON MULTIPLE COLUMNS at once (Delta
+        OPTIMIZE ZORDER BY): rows are range-split and sorted by a Morton
+        interleave of the named columns, so a predicate on ANY of them
+        prunes — the single-column sort's bounds are perfect on one
+        column and useless on the others.  Mutually exclusive with
+        ``order_by``."""
+        if order_by and zorder:
+            raise ValueError("order_by and zorder are mutually exclusive")
         manifest = self._manifest(table_id)
         if manifest.get("deltas"):
             self._compact_mor(spark, table_id, manifest,
                               order_by=order_by,
-                              files_per_bucket=files_per_bucket)
+                              files_per_bucket=files_per_bucket,
+                              zorder=zorder, zorder_bits=zorder_bits)
             return
+        zcol = None
+        if zorder:
+            all_paths = [os.path.join(self._data_dir(table_id), p)
+                         for fs in manifest["buckets"].values() for p in fs]
+            if all_paths:
+                # GLOBAL min/max normalization (one bounded agg) so every
+                # bucket's files share one z-space
+                df_all = (spark.read
+                          .option("basePath", self._data_dir(table_id))
+                          .option("mergeSchema", "true").parquet(*all_paths))
+                zcol = _zvalue_col(df_all, zorder, zorder_bits)
         new_buckets: dict[str, list[str]] = {}
         for b, files in manifest["buckets"].items():
             before = self._bucket_files(table_id, int(b))
             paths = [os.path.join(self._data_dir(table_id), p) for p in files]
             df = (spark.read.option("basePath", self._data_dir(table_id))
                   .option("mergeSchema", "true").parquet(*paths))
-            if order_by:
+            if zcol is not None:
+                df = (df.withColumn("__zorder", zcol)
+                      .repartitionByRange(files_per_bucket, F.col("__zorder"))
+                      .sortWithinPartitions("__zorder")
+                      .drop("__zorder"))
+            elif order_by:
                 df = (df.repartitionByRange(
                           files_per_bucket, *[F.col(c) for c in order_by])
                       .sortWithinPartitions(*order_by))
@@ -661,7 +729,9 @@ class SnapshotLakeSink(DataSink):
 
     def _compact_mor(self, spark: SparkSession, tid: TableId,
                      manifest: dict, order_by: list[str] | None = None,
-                     files_per_bucket: int = 1) -> None:
+                     files_per_bucket: int = 1,
+                     zorder: list[str] | None = None,
+                     zorder_bits: int = 12) -> None:
         """Fold base + delta files into new base files (one per bucket)
         and commit a delta-free snapshot.  New rows carry the compaction's
         commit sequence so later delta commits always sort after them.
@@ -692,6 +762,7 @@ class SnapshotLakeSink(DataSink):
             self._commit(tid, new_buckets)
         finally:
             rows.unpersist()
-        if order_by:
+        if order_by or zorder:
             self.compact(spark, tid, order_by=order_by,
-                         files_per_bucket=files_per_bucket)
+                         files_per_bucket=files_per_bucket,
+                         zorder=zorder, zorder_bits=zorder_bits)

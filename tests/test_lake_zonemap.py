@@ -237,3 +237,57 @@ class TestReadChanges:
         ch = sink.read_changes(spark, tid, from_snapshot=s0)
         assert {r[OP_COL] for r in ch.collect()} == {"+I"}
         assert ch.count() == 10
+
+
+class TestZOrder:
+    def test_zorder_prunes_on_every_column(self, spark, tmp_path):
+        """Morton clustering gives useful bounds on BOTH columns — a
+        single-column sort would prune only its own column."""
+        sink, tid, _, ev = _mk(spark, tmp_path, num_buckets=2)
+        sink.compact(spark, tid, zorder=["user_id", "value"],
+                     files_per_bucket=8)
+        total = 8 * sink.num_buckets
+        kept_u, tot = sink.scan_files(tid, filters=[("user_id", "=", 3)])
+        kept_v, _ = sink.scan_files(tid, filters=[("value", ">", 250.0)])
+        assert tot == total
+        assert len(kept_u) < total, (len(kept_u), total)
+        assert len(kept_v) < total, (len(kept_v), total)
+        # and the reads stay correct
+        got = sink.read(spark, tid, filters=[("user_id", "=", 3)])
+        assert got.count() == ev.where(F.col("user_id") == 3).count()
+        got_v = sink.read(spark, tid, filters=[("value", ">", 250.0)])
+        assert got_v.count() == ev.where(F.col("value") > 250.0).count()
+
+    def test_zorder_point_query_prunes_harder_than_either(self, spark,
+                                                          tmp_path):
+        sink, tid, _, ev = _mk(spark, tmp_path, num_buckets=2)
+        sink.compact(spark, tid, zorder=["user_id", "value"],
+                     files_per_bucket=8)
+        both = [("user_id", "=", 3), ("value", ">", 250.0)]
+        kept_b, total = sink.scan_files(tid, filters=both)
+        kept_u, _ = sink.scan_files(tid, filters=both[:1])
+        assert len(kept_b) <= len(kept_u)
+        got = sink.read(spark, tid, filters=both)
+        want = ev.where((F.col("user_id") == 3) & (F.col("value") > 250.0))
+        assert got.count() == want.count()
+
+    def test_zorder_rejects_string_column(self, spark, tmp_path):
+        sink, tid, _, _ = _mk(spark, tmp_path, num_buckets=2)
+        with pytest.raises(ValueError, match="zorder column"):
+            sink.compact(spark, tid, zorder=["event_type", "value"])
+
+    def test_zorder_exclusive_with_order_by(self, spark, tmp_path):
+        sink, tid, _, _ = _mk(spark, tmp_path, num_buckets=2)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            sink.compact(spark, tid, order_by=["ts"], zorder=["value"])
+
+    def test_zorder_mor_fold_then_cluster(self, spark, tmp_path):
+        sink, tid, schema, ev = _mk(spark, tmp_path, mode="mor",
+                                    num_buckets=2)
+        sink.compact(spark, tid, zorder=["user_id", "value"],
+                     files_per_bucket=8)
+        m = sink._manifest(tid)
+        assert m["buckets"] and not m.get("deltas")
+        kept, total = sink.scan_files(tid, filters=[("user_id", "=", 3)])
+        assert len(kept) < total
+        assert sink.read(spark, tid).count() == ev.count()
