@@ -60,6 +60,13 @@ _BUCKET_COL = "__bucket"
 _COMMIT_SEQ = "__commit_seq"
 
 
+class CommitConflictError(RuntimeError):
+    """A concurrent writer committed the same snapshot sequence first
+    (Iceberg's CommitFailedException).  The failed commit wrote only
+    unreferenced data files — re-read the manifest and retry the write;
+    ``vacuum`` reclaims the orphans."""
+
+
 # -- zone maps (manifest file statistics) ----------------------------------
 #
 # Iceberg/Paimon manifests carry per-file column stats (lower/upper bound,
@@ -306,7 +313,8 @@ class SnapshotLakeSink(DataSink):
         snap_dir = self._snap_dir(tid)
         os.makedirs(snap_dir, exist_ok=True)
         seq = (self.snapshots(tid) or [-1])[-1] + 1
-        tmp = os.path.join(snap_dir, f"{seq}.json.tmp")
+        # per-writer tmp name so racing writers don't collide pre-commit
+        tmp = os.path.join(snap_dir, f"{seq}.json.{os.getpid()}.tmp")
         doc = {"seq": seq, "batch_id": None if batch_id is None
                else str(batch_id), "buckets": buckets}
         if deltas:
@@ -319,7 +327,20 @@ class SnapshotLakeSink(DataSink):
                 deltas, prev.get("delta_stats"), self._delta_dir(tid))
         with open(tmp, "w") as f:
             json.dump(doc, f)
-        os.rename(tmp, os.path.join(snap_dir, f"{seq}.json"))
+        # optimistic concurrency: atomically CREATE (never overwrite) the
+        # manifest — two writers racing to commit seq N cannot both win,
+        # the loser gets a conflict instead of silently clobbering the
+        # winner's snapshot (os.rename would overwrite)
+        final = os.path.join(snap_dir, f"{seq}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise CommitConflictError(
+                f"{tid}: snapshot {seq} was committed concurrently; "
+                "re-read the manifest and retry (orphaned data files are "
+                "unreferenced — vacuum reclaims them)") from None
+        os.unlink(tmp)
         return seq
 
     def _assemble_stats(self, files_by_bucket: dict[str, list[str]],

@@ -291,3 +291,36 @@ class TestZOrder:
         kept, total = sink.scan_files(tid, filters=[("user_id", "=", 3)])
         assert len(kept) < total
         assert sink.read(spark, tid).count() == ev.count()
+
+
+class TestCommitConflict:
+    def test_concurrent_commit_raises_not_clobbers(self, spark, tmp_path):
+        """Optimistic concurrency (Iceberg CommitFailedException): a
+        second writer racing to the same snapshot seq must get a conflict
+        error, and the first writer's manifest must survive untouched."""
+        import json as _json
+        from source_flink_cdc_3_5_0_spark.sinks.lakehouse import \
+            CommitConflictError
+
+        sink, tid, schema, ev = _mk(spark, tmp_path, num_buckets=2)
+        seqs = list(sink.snapshots(tid))
+        nxt = seqs[-1] + 1
+        # freeze this writer's view of the snapshot list, then land a
+        # concurrent winner — the race window between reading the latest
+        # seq and linking the manifest
+        orig = sink.snapshots
+        sink.snapshots = lambda t: list(seqs)
+        winner = os.path.join(sink._snap_dir(tid), f"{nxt}.json")
+        with open(winner, "w") as f:
+            _json.dump({"seq": nxt, "buckets": {}, "marker": "winner"}, f)
+        try:
+            with pytest.raises(CommitConflictError,
+                               match="committed concurrently"):
+                sink._commit(tid, {})
+        finally:
+            sink.snapshots = orig
+        with open(winner) as f:
+            assert _json.load(f)["marker"] == "winner"  # not clobbered
+        # losing writer's tmp file was cleaned up
+        assert not [f for f in os.listdir(sink._snap_dir(tid))
+                    if f.endswith(".tmp")]
