@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "sink_lake_file_skipping",
     "cdc_lake_incremental",
     "decontam_bloom",
+    "dedup_incremental",
 ]
 
 

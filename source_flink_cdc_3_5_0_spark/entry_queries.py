@@ -858,6 +858,90 @@ WHERE jaccard >= 0.5
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup against a persisted signature store
+    (extensions/dedup.build_signature_store + incremental_dedup_flags):
+    the corpus (every source but src1) writes its (fingerprint, MinHash
+    signature) store to parquet ONCE; the incoming batch (src1 plus five
+    re-ingested src2 docs under new ids — the CDC re-crawl case) is then
+    flagged exact/near/unique against the STORE, with corpus text touched
+    only by the est-filtered verify semi-join.  Oracle = DuckDB all-pairs:
+    fingerprint equality for 'exact', true 3-gram Jaccard ≥ 0.5 for
+    'near'."""
+    import tempfile
+
+    from .extensions.dedup import (build_signature_store,
+                                   incremental_dedup_flags)
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("source") != "src1").select("doc_id", "text")
+    batch = (docs.where(F.col("source") == "src1").select("doc_id", "text")
+             .unionByName(
+                 docs.where((F.col("source") == "src2") &
+                            (F.col("doc_id") % 5 == 0))
+                 .select((F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+                         "text")))
+    store_dir = tempfile.mkdtemp(prefix="cdc_sigstore_") + "/store"
+    build_signature_store(corpus, store_dir)
+    store = spark.read.parquet(store_dir)
+    return incremental_dedup_flags(batch, store, corpus)
+
+
+def _oracle_dedup_incremental() -> str:
+    from .extensions.text import fingerprint_sql
+
+    fp = fingerprint_sql("duckdb", "text")
+    return rf"""
+WITH batch AS (
+  SELECT doc_id, text FROM documents WHERE source = 'src1'
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE source = 'src2' AND doc_id % 5 = 0
+), corpus AS (
+  SELECT doc_id, text FROM documents WHERE source <> 'src1'
+), cfp AS (
+  SELECT DISTINCT {fp} AS fp FROM corpus
+), btoks AS (
+  SELECT doc_id, {fp} AS fp,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM batch
+), bgrams AS (
+  SELECT doc_id, fp,
+         list_distinct(CASE
+           WHEN len(t) >= 3 THEN
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+           ELSE []::VARCHAR[] END) AS g
+  FROM btoks
+), ctoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM corpus
+), cgrams AS (
+  SELECT doc_id,
+         list_distinct(CASE
+           WHEN len(t) >= 3 THEN
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+           ELSE []::VARCHAR[] END) AS g
+  FROM ctoks
+), near AS (
+  SELECT DISTINCT b.doc_id FROM bgrams b JOIN cgrams c ON
+    len(list_distinct(list_concat(b.g, c.g))) > 0 AND
+    round(CAST(len(list_intersect(b.g, c.g)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(b.g, c.g))) AS DOUBLE), 6)
+      >= 0.5
+)
+SELECT b.doc_id,
+       CASE WHEN b.fp IN (SELECT fp FROM cfp) THEN 'exact'
+            WHEN b.doc_id IN (SELECT doc_id FROM near) THEN 'near'
+            ELSE 'unique' END AS status
+FROM bgrams b
+"""
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact word-2-gram Jaccard near-dup pairs via shared-gram blocking
     (extensions/dedup.ngram_jaccard_pairs) — complete answer, no
@@ -3480,6 +3564,7 @@ QUERIES: dict[str, object] = {
     "sink_lake_file_skipping": q_sink_lake_file_skipping,
     "cdc_lake_incremental": q_cdc_lake_incremental,
     "decontam_bloom": q_decontam_bloom,
+    "dedup_incremental": q_dedup_incremental,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3624,6 +3709,7 @@ ORACLES: dict[str, str] = {
     "agg_event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,
     "decontam_ngram_overlap": ORACLE_DECONTAM,
     "decontam_bloom": _oracle_decontam_bloom(),
+    "dedup_incremental": _oracle_dedup_incremental(),
     "sample_hash_split": ORACLE_HASH_SPLIT,
     "sample_quota_per_lang": ORACLE_QUOTA_SAMPLE,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,

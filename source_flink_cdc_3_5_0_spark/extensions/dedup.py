@@ -640,3 +640,92 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
         )
         .where(F.col("cosine") >= min_cosine)
     )
+
+
+# -- incremental dedup against a persisted signature store -----------------
+
+def build_signature_store(df: DataFrame, path: str, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          mode: str = "overwrite") -> None:
+    """Persist the corpus's dedup state: (id, normalized-content md5
+    fingerprint, 64-long MinHash signature) — ~550 B/doc of parquet,
+    the ONLY thing a growing corpus needs to keep for dedup.  New batches
+    (e.g. a lake table's ``read_changes`` output) are checked against the
+    store without ever re-reading the corpus text for candidate
+    generation; ``mode="append"`` grows the store with a batch's
+    surviving uniques."""
+    fp = F.expr(fingerprint_sql("spark", text_col))
+    (_spread(df, id_col)
+     .select(F.col(id_col), fp.alias("fp"),
+             minhash_signature(F.col(text_col)).alias("sig"))
+     .write.mode(mode).parquet(path))
+
+
+def incremental_dedup_flags(batch: DataFrame, store: DataFrame,
+                            corpus: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            jaccard_threshold: float = 0.5) -> DataFrame:
+    """(id, status) for every batch document: ``exact`` (fingerprint
+    already in the store), ``near`` (true word-3-gram Jaccard ≥ threshold
+    against some corpus doc), else ``unique`` — batch-vs-store only;
+    within-batch duplicates are ``exact_dedup``/``minhash_lsh_exact_pairs``
+    on the batch itself, run upstream.
+
+    Scale shape (the incremental counterpart of
+    :func:`minhash_lsh_exact_pairs`): candidate generation joins the
+    batch's exploded signature slots against the STORED signatures —
+    r=1/b=64 banding, miss probability (1-J)^64 at true Jaccard J, so the
+    flagged set equals the exact answer and stays oracle-checkable.  The
+    corpus text is touched ONLY by the verify semi-join on est-filtered
+    survivor ids (at 100 TB: point reads the lake sink's zone maps can
+    serve), and the batch-sized side of every join is the small one.  The
+    store never re-shuffles the corpus: it IS the reusable shuffle."""
+    batch_fp = F.expr(fingerprint_sql("spark", text_col))
+    bsig = (_spread(batch, id_col)
+            .select(F.col(id_col), batch_fp.alias("fp"),
+                    minhash_signature(F.col(text_col)).alias("sig"))
+            .persist())
+    exact = (bsig.join(store.select("fp").distinct(), on="fp",
+                       how="leftsemi")
+             .select(id_col))
+    est_floor = max(jaccard_threshold - 0.35, 0.05)
+    min_slots = int(np.ceil(est_floor * _N_HASHES))
+    bh = bsig.select(F.col(id_col).alias("__bid"),
+                     F.posexplode("sig").alias("hx", "hv"))
+    sh = store.select(F.col(id_col).alias("__cid"),
+                      F.posexplode("sig").alias("hx", "hv"))
+    cand = (bh.join(sh, on=["hx", "hv"])
+            .groupBy("__bid", "__cid")
+            .agg(F.count(F.lit(1)).alias("__slots"))
+            .where(F.col("__slots") >= min_slots)
+            .select("__bid", "__cid")
+            .persist())
+    gb = (batch.join(cand.select(F.col("__bid").alias(id_col)).distinct(),
+                     on=id_col, how="leftsemi")
+          .withColumn("__toks", tokens_col(text_col))
+          .select(F.col(id_col).alias("__bid"),
+                  word_ngrams_col("__toks", distinct=False,
+                                  from_tokens=True).alias("gb")))
+    gc = (corpus.join(cand.select(F.col("__cid").alias(id_col)).distinct(),
+                      on=id_col, how="leftsemi")
+          .withColumn("__toks", tokens_col(text_col))
+          .select(F.col(id_col).alias("__cid"),
+                  word_ngrams_col("__toks", distinct=False,
+                                  from_tokens=True).alias("gc")))
+    inter = F.size(F.array_intersect("gb", "gc")).cast("double")
+    union = F.size(F.array_union("gb", "gc")).cast("double")
+    near = (cand.join(gb, on="__bid").join(gc, on="__cid")
+            .where(union > 0)
+            .where(F.round(inter / union, 6) >= jaccard_threshold)
+            .select(F.col("__bid").alias(id_col))
+            .distinct())
+    out = (batch.select(id_col)
+           .join(exact.withColumn("__e", F.lit(1)), on=id_col, how="left")
+           .join(near.withColumn("__n", F.lit(1)), on=id_col, how="left")
+           .select(F.col(id_col),
+                   F.when(F.col("__e").isNotNull(), F.lit("exact"))
+                   .when(F.col("__n").isNotNull(), F.lit("near"))
+                   .otherwise(F.lit("unique")).alias("status")))
+    out.inc_base = bsig   # release handles, same contract as
+    out.inc_cand = cand   # minhash_lsh_exact_pairs
+    return out

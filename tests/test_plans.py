@@ -348,3 +348,12 @@ def test_decontam_bloom_broadcasts_positions(spark):
     p = plan_of(EQ.q_decontam_bloom(spark, SF))
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_incremental_dedup_no_cartesian_store_reused(spark):
+    """Batch-vs-store dedup: candidates come from the banded signature
+    equi-join (no cartesian, no nested-loop anywhere), and the corpus
+    text is only read behind the survivor semi-join."""
+    p = plan_of(EQ.q_dedup_incremental(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
