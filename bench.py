@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "cdc_lake_incremental",
     "decontam_bloom",
     "dedup_incremental",
+    "embedding_srp_neardup",
 ]
 
 

@@ -813,6 +813,58 @@ def q_embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(emb, min_cosine=0.4)
 
 
+def q_embedding_srp_neardup(spark, sf_dir):
+    """SRP-LSH embedding near-dup WITHOUT a blocking column
+    (extensions/dedup.srp_neardup_pairs): the corpus is augmented with a
+    deterministically perturbed copy of every vector (±0.3%/coordinate
+    rational scaling — the re-encoded-duplicate case; new ids +10000),
+    and the operator must recover exactly the (original, copy) pairs at
+    cos ≥ 0.999 from 8-band sign-bit collisions + true-cosine verify —
+    no label blocking, no all-pairs.  Oracle = DuckDB ALL-PAIRS cosine
+    over the same augmented set — PAIR-SET equality proves zero recall
+    loss.  The operator's verified cosine column is dropped from the
+    driver projection: near-1.0 cosines differ in the 6th decimal across
+    the two engines' dot-product summation orders while the pair set is
+    bit-exact (the fixture's true cosines sit ≥ 0.9999, far from the
+    0.999 gate, so inclusion is drift-proof)."""
+    from .extensions.dedup import srp_neardup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    pert = emb.select(
+        (F.col("vec_id") + F.lit(10000)).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: F.element_at(F.col("embedding"), j + 1).cast("double")
+            * (F.lit(1.0)
+               + ((F.col("vec_id") * 31 + j) % 7 - 3).cast("double")
+               / F.lit(1000.0))).alias("embedding"))
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"),
+                    lambda x: x.cast("double")).alias("embedding"))
+    return (srp_neardup_pairs(base.unionByName(pert), min_cosine=0.999)
+            .select("id_a", "id_b"))
+
+
+ORACLE_EMBEDDING_SRP = """
+WITH aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id,
+         list_transform(range(1, 65),
+           j -> embedding[j]::DOUBLE
+                * (1.0 + CAST((vec_id * 31 + (j - 1)) % 7 - 3 AS DOUBLE)
+                   / 1000.0)) AS v
+  FROM embeddings
+)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b
+FROM aug l JOIN aug r ON l.vec_id < r.vec_id
+WHERE round(list_dot_product(l.v, r.v)
+      / (sqrt(list_dot_product(l.v, l.v))
+         * sqrt(list_dot_product(r.v, r.v))), 6) >= 0.999
+"""
+
+
 ORACLE_EMBEDDING_NEARDUP = """
 SELECT l.vec_id AS id_a, r.vec_id AS id_b,
        round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
@@ -3565,6 +3617,7 @@ QUERIES: dict[str, object] = {
     "cdc_lake_incremental": q_cdc_lake_incremental,
     "decontam_bloom": q_decontam_bloom,
     "dedup_incremental": q_dedup_incremental,
+    "embedding_srp_neardup": q_embedding_srp_neardup,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3710,6 +3763,7 @@ ORACLES: dict[str, str] = {
     "decontam_ngram_overlap": ORACLE_DECONTAM,
     "decontam_bloom": _oracle_decontam_bloom(),
     "dedup_incremental": _oracle_dedup_incremental(),
+    "embedding_srp_neardup": ORACLE_EMBEDDING_SRP,
     "sample_hash_split": ORACLE_HASH_SPLIT,
     "sample_quota_per_lang": ORACLE_QUOTA_SAMPLE,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,

@@ -729,3 +729,80 @@ def incremental_dedup_flags(batch: DataFrame, store: DataFrame,
     out.inc_base = bsig   # release handles, same contract as
     out.inc_cand = cand   # minhash_lsh_exact_pairs
     return out
+
+
+# -- signed-random-projection LSH for embeddings ---------------------------
+
+_SRP_BITS = 64
+_SRP_BANDS = 8
+_SRP_PLANES: np.ndarray | None = None
+
+
+def _srp_planes(dim: int) -> np.ndarray:
+    """±1 hyperplanes, seeded (no runtime randomness) — Charikar's SRP:
+    P(sign bit agrees) = 1 - θ/π for angle θ between two vectors."""
+    global _SRP_PLANES
+    if _SRP_PLANES is None or _SRP_PLANES.shape[1] != dim:
+        rng = np.random.RandomState(7)
+        _SRP_PLANES = rng.choice(np.array([-1.0, 1.0]),
+                                 size=(_SRP_BITS, dim))
+    return _SRP_PLANES
+
+
+@pandas_udf(T.ArrayType(T.IntegerType()))
+def srp_band_keys(vecs: pd.Series) -> pd.Series:
+    """8 band keys (8 sign bits each) per vector — Arrow-batched numpy
+    matmul, no per-row Python."""
+    rows = [np.asarray(v, dtype=np.float64) for v in vecs]
+    if not rows:
+        return pd.Series([], dtype=object)
+    X = np.stack(rows)
+    bits = (X @ _srp_planes(X.shape[1]).T) >= 0.0     # (n, 64) bool
+    r = _SRP_BITS // _SRP_BANDS
+    weights = (1 << np.arange(r))[::-1]
+    bands = bits.reshape(len(X), _SRP_BANDS, r) @ weights  # (n, 8) ints
+    return pd.Series([b.astype(np.int32).tolist() for b in bands])
+
+
+def srp_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      min_cosine: float = 0.99) -> DataFrame:
+    """Near-identical embedding pairs WITHOUT a blocking column — the LSH
+    variant :func:`embedding_neardup_pairs` points to when no label/block
+    key exists.  Candidates collide on any of 8 SRP bands (8 sign bits
+    each); per-bit agreement is 1 - θ/π.  The banding is tuned for
+    NEAR-IDENTICAL vectors (re-ingested/re-encoded duplicates): at
+    cos ≥ 0.999 a band matches with p ≈ 0.92 and the miss probability
+    (1-p)^8 ≈ 1e-9 — the verified output equals the all-pairs exact
+    answer (checkable by a DuckDB all-pairs oracle) — while at the
+    looser cos 0.99 the miss rate is ~8e-5 (quantify before claiming
+    exactness there) and random pairs (cos ≈ 0) match a band with only
+    (1/2)^8 each.  One shuffle on the (band, key) pair —
+    never the vectors; verification computes true cosine for bucket-mates
+    only, via id joins back to the vector table."""
+    v = df.select(F.col(id_col),
+                  F.transform(F.col(vec_col),
+                              lambda x: x.cast("double")).alias("v"))
+    keyed = (_spread(df, id_col)
+             .select(F.col(id_col),
+                     srp_band_keys(F.col(vec_col)).alias("bands")))
+    h = keyed.select(F.col(id_col), F.posexplode("bands").alias("bx", "bv"))
+    cand = (h.alias("l").join(h.alias("r"), on=["bx", "bv"])
+            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"))
+            .distinct())
+    pairs = (cand
+             .join(v.select(F.col(id_col).alias("id_a"),
+                            F.col("v").alias("va")), on="id_a")
+             .join(v.select(F.col(id_col).alias("id_b"),
+                            F.col("v").alias("vb")), on="id_b"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x), F.lit(0.0),
+        lambda a, x: a + x))
+    return (pairs.withColumn("cosine",
+                             F.round(dot / (norm("va") * norm("vb")), 6))
+            .where(F.col("cosine") >= min_cosine)
+            .select("id_a", "id_b", "cosine"))

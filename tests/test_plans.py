@@ -357,3 +357,11 @@ def test_incremental_dedup_no_cartesian_store_reused(spark):
     p = plan_of(EQ.q_dedup_incremental(spark, SF))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_srp_neardup_no_cartesian_band_join(spark):
+    """SRP-LSH: the only self-join is the (band, key) equi-join — no
+    cartesian / nested-loop fallback anywhere in the plan."""
+    p = plan_of(EQ.q_embedding_srp_neardup(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
