@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "decontam_bloom",
     "dedup_incremental",
     "embedding_srp_neardup",
+    "sample_temperature",
 ]
 
 

@@ -2977,6 +2977,53 @@ def q_sample_quota_per_lang(spark, sf_dir):
         "lang", "doc_id", "n_chars")
 
 
+def q_sample_temperature(spark, sf_dir):
+    """Temperature-based multilingual mixing (extensions/sampling.
+    temperature_sample, the CC-100/mT5 scheme): 200 total docs allocated
+    across languages ∝ n_lang^0.5 — small languages up-weighted vs
+    proportional sampling — with integer-exact weights (floor∘sqrt),
+    largest-remainder quotas summing to the target, size caps, and
+    md5-priority selection.  Every arithmetic step is engine-exact, so
+    the approximate-sounding scheme passes an exact oracle."""
+    from .extensions.sampling import temperature_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return temperature_sample(docs, ["lang"], "doc_id", 200).select(
+        "lang", "doc_id")
+
+
+ORACLE_TEMPERATURE_SAMPLE = """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+), w AS (
+  SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM c
+), q AS (
+  SELECT lang, n, w,
+         (200 * w) // SUM(w) OVER () AS q,
+         (200 * w) % SUM(w) OVER () AS rem
+  FROM w
+), qq AS (
+  SELECT lang, n, q,
+         row_number() OVER (ORDER BY rem DESC, lang) AS extra_rank,
+         200 - SUM(q) OVER () AS deficit
+  FROM q
+), quotas AS (
+  SELECT lang,
+         least(q + CASE WHEN extra_rank <= deficit THEN 1 ELSE 0 END, n)
+           AS quota
+  FROM qq
+)
+SELECT d.lang, d.doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents) d
+JOIN quotas USING (lang)
+WHERE d.rn <= quotas.quota
+"""
+
+
 ORACLE_QUOTA_SAMPLE = """
 SELECT lang, doc_id, n_chars FROM (
   SELECT lang, doc_id, n_chars,
@@ -3618,6 +3665,7 @@ QUERIES: dict[str, object] = {
     "decontam_bloom": q_decontam_bloom,
     "dedup_incremental": q_dedup_incremental,
     "embedding_srp_neardup": q_embedding_srp_neardup,
+    "sample_temperature": q_sample_temperature,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3764,6 +3812,7 @@ ORACLES: dict[str, str] = {
     "decontam_bloom": _oracle_decontam_bloom(),
     "dedup_incremental": _oracle_dedup_incremental(),
     "embedding_srp_neardup": ORACLE_EMBEDDING_SRP,
+    "sample_temperature": ORACLE_TEMPERATURE_SAMPLE,
     "sample_hash_split": ORACLE_HASH_SPLIT,
     "sample_quota_per_lang": ORACLE_QUOTA_SAMPLE,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,

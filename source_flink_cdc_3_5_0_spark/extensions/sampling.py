@@ -260,3 +260,66 @@ def quota_sample(df: DataFrame, group_cols: list[str], id_col: str,
     w = Window.partitionBy(*group_cols).orderBy(pri, F.col(id_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= n_per_group).drop("__rn"))
+
+
+def temperature_sample(df: DataFrame, group_cols: list[str], id_col: str,
+                       target_total: int, alpha: float = 0.5) -> DataFrame:
+    """Temperature-based corpus mixing (the CC-100 / mT5 multilingual
+    sampling scheme): group g receives a share of ``target_total``
+    proportional to n_g^alpha — alpha < 1 up-weights small languages /
+    domains relative to raw proportional sampling.
+
+    Deterministic across engines by construction: alpha is restricted to
+    {0, 0.5, 1} so the group weight is INTEGER (1, floor(sqrt(n_g)) —
+    IEEE sqrt of an int is exact, floor makes it an int — or n_g), and
+    quotas use exact integer arithmetic: floor(target·w/W) plus a
+    largest-remainder round so quotas SUM TO target exactly (remainder
+    ties broken on the group value).  A group's quota caps at its size —
+    the standard oversampling caveat (real mixing repeats small-group
+    data across epochs; repetition is a separate op).  Selection within
+    a group is md5-priority (:func:`md5_priority`), same convention as
+    every sampler here.
+
+    Scale shape: the group-count table is control-plane tiny (#groups
+    rows) — its windows/joins are driver-cheap and it broadcasts onto
+    the corpus; the corpus itself pays ONE group-key shuffle for the
+    rank window, rank-only state."""
+    from pyspark.sql import Window
+
+    if alpha not in (0.0, 0.5, 1.0):
+        raise ValueError(
+            f"alpha must be 0, 0.5 or 1 (integer-exact weights; libm pow "
+            f"drifts across engines), got {alpha}")
+    counts = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"))
+    if alpha == 0.0:
+        w = F.lit(1).cast("bigint")
+    elif alpha == 1.0:
+        w = F.col("__n")
+    else:
+        w = F.floor(F.sqrt(F.col("__n"))).cast("bigint")
+    counts = counts.withColumn("__w", w)
+    tw = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    t = F.lit(int(target_total)).cast("bigint")
+    quotas = (counts
+              .withColumn("__wsum", F.sum("__w").over(tw))
+              .withColumn("__q", F.expr(
+                  f"CAST(({int(target_total)} * __w) DIV __wsum AS BIGINT)"))
+              .withColumn("__rem", (t * F.col("__w")) % F.col("__wsum"))
+              .withColumn("__extra_rank", F.row_number().over(
+                  Window.orderBy(F.col("__rem").desc(),
+                                 *[F.col(c) for c in group_cols])))
+              .withColumn("__deficit", t - F.sum("__q").over(tw))
+              .withColumn("__quota", F.least(
+                  F.col("__q")
+                  + F.when(F.col("__extra_rank") <= F.col("__deficit"),
+                           F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+                  F.col("__n")))
+              .select(*group_cols, "__quota"))
+    pri = md5_priority(id_col)
+    rw = Window.partitionBy(*group_cols).orderBy(pri, F.col(id_col))
+    return (df.join(F.broadcast(quotas), on=group_cols)
+            .withColumn("__rn", F.row_number().over(rw))
+            .where(F.col("__rn") <= F.col("__quota"))
+            .drop("__rn", "__quota"))

@@ -2,6 +2,7 @@
 selection independence across groups, exact stratified counts, budget
 never overshot, line-dedup rebuild order."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from source_flink_cdc_3_5_0_spark.extensions.sampling import (
@@ -324,3 +325,57 @@ class TestLengthBucketBatches:
         df = spark.createDataFrame([(1, 5)], "doc_id bigint, w int")
         with pytest.raises(ValueError, match="must be >= 1"):
             length_bucket_batches(df, "doc_id", "w", batch_size=0)
+
+
+class TestTemperatureSample:
+    def _docs(self, spark):
+        rows = [(i, "big") for i in range(400)] + \
+               [(1000 + i, "mid") for i in range(100)] + \
+               [(2000 + i, "small") for i in range(25)]
+        return spark.createDataFrame(rows, "doc_id bigint, lang string")
+
+    def test_quotas_sum_to_target_and_upweight_small(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import \
+            temperature_sample
+
+        out = temperature_sample(self._docs(spark), ["lang"], "doc_id", 100)
+        per = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert sum(per.values()) == 100
+        # alpha=0.5 shares: w = floor(sqrt(n)) = 20/10/5 -> 57/28/14 (+1)
+        # vs proportional 76/19/5: small and mid up-weighted, big down
+        assert per["small"] > 100 * 25 / 525
+        assert per["big"] < 100 * 400 / 525
+
+    def test_alpha_one_is_proportional_and_zero_uniform(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import \
+            temperature_sample
+
+        docs = self._docs(spark)
+        p1 = {r["lang"]: r["n"] for r in
+              temperature_sample(docs, ["lang"], "doc_id", 105, alpha=1.0)
+              .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert p1["big"] == 80  # 105*400/525 exactly
+        p0 = {r["lang"]: r["n"] for r in
+              temperature_sample(docs, ["lang"], "doc_id", 30, alpha=0.0)
+              .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert set(p0.values()) == {10}
+
+    def test_quota_caps_at_group_size(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import \
+            temperature_sample
+
+        out = temperature_sample(self._docs(spark), ["lang"], "doc_id", 520,
+                                 alpha=0.0)
+        per = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # uniform 173/group, but small has only 25 docs
+        assert per["small"] == 25
+
+    def test_unsupported_alpha_raises(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import \
+            temperature_sample
+
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_sample(self._docs(spark), ["lang"], "doc_id", 10,
+                               alpha=0.3)
