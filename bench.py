@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "embedding_srp_neardup",
     "sample_temperature",
+    "sample_repeat_epochs",
 ]
 
 

@@ -3024,6 +3024,42 @@ WHERE d.rn <= quotas.quota
 """
 
 
+def q_sample_repeat_epochs(spark, sf_dir):
+    """Deterministic data repetition up to a token budget (extensions/
+    sampling.repeat_to_budget — the multi-epoch half of corpus mixing:
+    small languages REPEAT to fill their budget instead of being capped):
+    per-language 60k-char budget, docs cycling in md5-priority order,
+    each emitted row tagged with its 0-based epoch.  Integer window
+    arithmetic + a posexplode fan-out (no cross join, no per-group
+    collect) — engine-exact, so the repetition schedule itself is
+    oracled."""
+    from .extensions.sampling import repeat_to_budget
+
+    docs = load(spark, sf_dir, "documents")
+    return repeat_to_budget(docs, ["lang"], "doc_id", "n_chars",
+                            60000).select("lang", "doc_id", "epoch")
+
+
+ORACLE_REPEAT_EPOCHS = """
+WITH t AS (
+  SELECT lang, doc_id,
+         SUM(CAST(n_chars AS BIGINT)) OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang) AS tot
+  FROM documents
+), ne AS (
+  SELECT lang, doc_id,
+         CAST(CASE WHEN cum <= 60000 AND tot > 0
+              THEN (60000 - cum) // tot + 1 ELSE 0 END AS BIGINT) AS n_ep
+  FROM t
+)
+SELECT lang, doc_id, CAST(unnest(range(n_ep)) AS BIGINT) AS epoch
+FROM ne WHERE n_ep > 0
+"""
+
+
 ORACLE_QUOTA_SAMPLE = """
 SELECT lang, doc_id, n_chars FROM (
   SELECT lang, doc_id, n_chars,
@@ -3666,6 +3702,7 @@ QUERIES: dict[str, object] = {
     "dedup_incremental": q_dedup_incremental,
     "embedding_srp_neardup": q_embedding_srp_neardup,
     "sample_temperature": q_sample_temperature,
+    "sample_repeat_epochs": q_sample_repeat_epochs,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3813,6 +3850,7 @@ ORACLES: dict[str, str] = {
     "dedup_incremental": _oracle_dedup_incremental(),
     "embedding_srp_neardup": ORACLE_EMBEDDING_SRP,
     "sample_temperature": ORACLE_TEMPERATURE_SAMPLE,
+    "sample_repeat_epochs": ORACLE_REPEAT_EPOCHS,
     "sample_hash_split": ORACLE_HASH_SPLIT,
     "sample_quota_per_lang": ORACLE_QUOTA_SAMPLE,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,

@@ -323,3 +323,58 @@ def temperature_sample(df: DataFrame, group_cols: list[str], id_col: str,
             .withColumn("__rn", F.row_number().over(rw))
             .where(F.col("__rn") <= F.col("__quota"))
             .drop("__rn", "__quota"))
+
+
+def repeat_to_budget(df: DataFrame, group_cols: list[str], id_col: str,
+                     weight_col: str, budget) -> DataFrame:
+    """Deterministic data REPETITION up to a per-group token budget — the
+    other half of corpus mixing (:func:`temperature_sample` caps a
+    group's quota at its size; real multilingual runs instead repeat
+    small-language data for multiple epochs).  Documents cycle in
+    md5-priority order: full epochs while the whole group's token weight
+    fits, then one partial epoch cut by the running sum — every emitted
+    row carries ``epoch`` (0-based), so downstream can cap repetition or
+    decay sample weight per epoch.
+
+    ``budget`` is an int or a {group-value: budget} dict (single group
+    column), same contract as :func:`token_budget_sample`.  A document
+    is emitted in epoch e iff e·W_g + cum_w(doc) ≤ budget_g where W_g is
+    the group's total weight and cum_w the running sum including the doc
+    — pure integer arithmetic, engine-exact, never overshoots.
+
+    Scale shape: one group-key shuffle for the running-sum window; the
+    epoch fan-out is a posexplode of a per-row epoch count (no cross
+    join, no per-group collect)."""
+    from pyspark.sql import Window
+
+    if isinstance(budget, dict):
+        if len(group_cols) != 1:
+            raise ValueError("dict budget needs exactly one group column")
+        bexpr = None
+        for k, v in budget.items():
+            cond = F.col(group_cols[0]) == F.lit(k)
+            bexpr = (F.when(cond, F.lit(v)) if bexpr is None
+                     else bexpr.when(cond, F.lit(v)))
+        bexpr = bexpr.otherwise(F.lit(0)).cast("bigint")
+    else:
+        bexpr = F.lit(int(budget)).cast("bigint")
+    pri = md5_priority(id_col)
+    w = (Window.partitionBy(*group_cols).orderBy(pri, F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wg = Window.partitionBy(*group_cols)
+    cum = F.sum(F.col(weight_col).cast("bigint")).over(w)
+    tot = F.sum(F.col(weight_col).cast("bigint")).over(wg)
+    # max epoch e with e*tot + cum <= budget  ->  e_max = (budget - cum) DIV tot
+    # (negative -> the doc never fits; emitted 0 times)
+    n_epochs = F.when(
+        (F.col("__cum") <= F.col("__budget")) & (F.col("__tot") > 0),
+        F.expr("(__budget - __cum) DIV __tot") + 1).otherwise(F.lit(0))
+    return (df.withColumn("__cum", cum)
+            .withColumn("__tot", tot)
+            .withColumn("__budget", bexpr)
+            .withColumn("__n_ep", n_epochs)
+            .where(F.col("__n_ep") > 0)
+            .select("*", F.explode(F.sequence(
+                F.lit(0).cast("bigint"),
+                F.col("__n_ep") - 1)).alias("epoch"))
+            .drop("__cum", "__tot", "__budget", "__n_ep"))

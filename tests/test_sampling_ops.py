@@ -379,3 +379,49 @@ class TestTemperatureSample:
         with pytest.raises(ValueError, match="alpha"):
             temperature_sample(self._docs(spark), ["lang"], "doc_id", 10,
                                alpha=0.3)
+
+
+class TestRepeatToBudget:
+    def _docs(self, spark):
+        rows = [(i, "small", 100) for i in range(5)] + \
+               [(100 + i, "big", 100) for i in range(50)]
+        return spark.createDataFrame(
+            rows, "doc_id bigint, lang string, n_tok int")
+
+    def test_small_group_repeats_big_group_truncates(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import \
+            repeat_to_budget
+
+        out = repeat_to_budget(self._docs(spark), ["lang"], "doc_id",
+                               "n_tok", 2000)
+        per = {r["lang"]: r["n"] for r in out.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+        # small: tot=500, budget 2000 -> 4 full epochs x 5 docs
+        assert per["small"] == 20
+        # big: tot=5000 > budget -> first 20 docs, epoch 0 only
+        assert per["big"] == 20
+        eps = {r["lang"]: r["m"] for r in out.groupBy("lang")
+               .agg(F.max("epoch").alias("m")).collect()}
+        assert eps["small"] == 3 and eps["big"] == 0
+
+    def test_never_overshoots_budget(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import \
+            repeat_to_budget
+
+        out = repeat_to_budget(self._docs(spark), ["lang"], "doc_id",
+                               "n_tok", 1234)
+        used = {r["lang"]: r["s"] for r in out.groupBy("lang")
+                .agg(F.sum("n_tok").alias("s")).collect()}
+        assert all(v <= 1234 for v in used.values())
+        # and it fills to within one doc weight of the budget
+        assert all(v > 1234 - 100 for v in used.values())
+
+    def test_dict_budget_per_group(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import \
+            repeat_to_budget
+
+        out = repeat_to_budget(self._docs(spark), ["lang"], "doc_id",
+                               "n_tok", {"small": 1500, "big": 300})
+        per = {r["lang"]: r["n"] for r in out.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert per["small"] == 15 and per["big"] == 3
