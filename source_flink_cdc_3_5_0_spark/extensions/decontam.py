@@ -53,21 +53,23 @@ def ngram_overlap_pairs(corpus: DataFrame, eval_df: DataFrame,
 # -- Bloom-filter membership variant ---------------------------------------
 
 def bloom_position_sql(dialect: str, col: str, salt: int, m_bits: int) -> str:
-    """Bloom hash position in [0, m_bits) from md5(col || '#salt') —
-    positional hex parse of the first 8 nibbles (the same cross-engine
-    trick as ``sketches.uniform_fraction_sql``), so Spark and DuckDB
-    compute bit-identical positions and the whole approximate operator
-    stays exactly oracle-able (false positives included)."""
-    _hex = "0123456789abcdef"
-    strpos = "instr" if dialect == "spark" else "strpos"
-    cast_t = "STRING" if dialect == "spark" else "VARCHAR"
-    h = f"md5(CAST({col} AS {cast_t}) || '#{salt}')"
-    terms = " + ".join(
-        f"CAST({strpos}('{_hex}', substring({h}, {i + 1}, 1)) - 1 AS BIGINT)"
-        f" * CAST({16 ** (7 - i)} AS BIGINT)"
-        for i in range(8)
-    )
-    return f"(({terms}) % {m_bits})"
+    """Bloom hash position in [0, m_bits) — positional hex parse (the
+    same cross-engine trick as ``sketches.uniform_fraction_sql``) of the
+    salt-th DISJOINT 8-nibble window of ONE md5(col): one hash call
+    serves up to 4 independent 32-bit probe values (disjoint bits of a
+    strong hash are independent — cheaper than the k-salted-md5 form,
+    which tripled the per-gram string work in the bench profile).  Spark
+    and DuckDB compute bit-identical positions, so the whole approximate
+    operator stays exactly oracle-able (false positives included)."""
+    if not 0 <= salt <= 3:
+        raise ValueError(f"salt must be 0..3 (md5 has 4 disjoint 8-nibble "
+                         f"windows), got {salt}")
+    off = salt * 8 + 1
+    if dialect == "spark":
+        win = f"substring(md5(CAST({col} AS STRING)), {off}, 8)"
+        return f"(CAST(conv({win}, 16, 10) AS BIGINT) % {m_bits})"
+    win = f"substring(md5(CAST({col} AS VARCHAR)), {off}, 8)"
+    return f"(CAST(('0x' || {win}) AS BIGINT) % {m_bits})"
 
 
 def bloom_decontam_flags(corpus: DataFrame, eval_df: DataFrame,

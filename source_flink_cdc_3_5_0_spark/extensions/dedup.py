@@ -769,15 +769,17 @@ def srp_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                       min_cosine: float = 0.99) -> DataFrame:
     """Near-identical embedding pairs WITHOUT a blocking column — the LSH
     variant :func:`embedding_neardup_pairs` points to when no label/block
-    key exists.  Candidates collide on any of 8 SRP bands (8 sign bits
-    each); per-bit agreement is 1 - θ/π.  The banding is tuned for
+    key exists.  Candidates must collide on ≥2 of 8 SRP bands (8 sign
+    bits each); per-bit agreement is 1 - θ/π.  The banding is tuned for
     NEAR-IDENTICAL vectors (re-ingested/re-encoded duplicates): at
-    cos ≥ 0.999 a band matches with p ≈ 0.92 and the miss probability
-    (1-p)^8 ≈ 1e-9 — the verified output equals the all-pairs exact
-    answer (checkable by a DuckDB all-pairs oracle) — while at the
-    looser cos 0.99 the miss rate is ~8e-5 (quantify before claiming
-    exactness there) and random pairs (cos ≈ 0) match a band with only
-    (1/2)^8 each.  One shuffle on the (band, key) pair —
+    cos ≥ 0.999 a band matches with p ≈ 0.92 and missing two bands has
+    probability ≈ 1.5e-7 — the verified output equals the all-pairs
+    exact answer (checkable by a DuckDB all-pairs oracle) — while a
+    random pair (cos ≈ 0, band p = 2^-8) reaches two bands with ~4e-4
+    of its already-tiny one-band rate, keeping the verify tier ~70×
+    smaller than any-band banding.  At a looser cos 0.99 gate the miss
+    rate grows to ~2e-3 — quantify before claiming exactness there.
+    One shuffle on the (band, key) pair —
     never the vectors; verification computes true cosine for bucket-mates
     only, via id joins back to the vector table."""
     v = df.select(F.col(id_col),
@@ -787,11 +789,18 @@ def srp_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
              .select(F.col(id_col),
                      srp_band_keys(F.col(vec_col)).alias("bands")))
     h = keyed.select(F.col(id_col), F.posexplode("bands").alias("bx", "bv"))
+    # ≥2 matching bands (same slot-count trick as minhash_lsh_exact_pairs):
+    # a random pair matches one band with 2^-8 but two with ~4e-4 of that,
+    # while a near-identical pair (per-band p ≈ 0.92) misses two bands with
+    # ~1.5e-7 — ~70× fewer candidate verifies for free recall
     cand = (h.alias("l").join(h.alias("r"), on=["bx", "bv"])
             .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
             .select(F.col(f"l.{id_col}").alias("id_a"),
                     F.col(f"r.{id_col}").alias("id_b"))
-            .distinct())
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__bands"))
+            .where(F.col("__bands") >= 2)
+            .select("id_a", "id_b"))
     pairs = (cand
              .join(v.select(F.col(id_col).alias("id_a"),
                             F.col("v").alias("va")), on="id_a")
