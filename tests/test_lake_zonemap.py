@@ -324,3 +324,65 @@ class TestCommitConflict:
         # losing writer's tmp file was cleaned up
         assert not [f for f in os.listdir(sink._snap_dir(tid))
                     if f.endswith(".tmp")]
+
+
+class TestContinuousIngestDedup:
+    def test_lake_changes_feed_incremental_dedup(self, spark, tmp_path):
+        """The continuous-ingestion composition: corpus lives in a MoR
+        lake table with a parquet signature store; an increment commits
+        as delta files, read_changes serves EXACTLY the new docs, the
+        incremental dedup flags them against the store, and the store
+        grows by the surviving uniques — no stage ever re-reads or
+        re-shuffles the existing corpus."""
+        from source_flink_cdc_3_5_0_spark.extensions.dedup import (
+            build_signature_store, incremental_dedup_flags)
+
+        docs = (spark.read.parquet(os.path.join(SF, "documents.parquet"))
+                .select("doc_id", "source", "text"))
+        corpus0 = docs.where(F.col("source") != "src1") \
+                      .select("doc_id", "text")
+        tid = TableId.parse("lake.db.docs")
+        schema = Schema.from_struct_type(corpus0.schema,
+                                         primary_keys=["doc_id"])
+        sink = SnapshotLakeSink(str(tmp_path / "lake"), num_buckets=2,
+                                mode="mor")
+        sink.metadata_applier().apply_schema_change(
+            tid, CreateTableEvent(tid, schema), schema)
+        sink.write(tid, attach_envelope(corpus0, "+I", seq=0), schema,
+                   batch_id=0)
+        store_dir = str(tmp_path / "store")
+        build_signature_store(sink.read(spark, tid), store_dir)
+        s0 = sink.snapshots(tid)[-1]
+
+        # increment: fresh src1 docs + 3 exact re-ingests under new ids
+        fresh = docs.where(F.col("source") == "src1") \
+                    .select("doc_id", "text")
+        copies = (docs.where((F.col("source") == "src2") &
+                             (F.col("doc_id") % 7 == 0)).limit(3)
+                  .select((F.col("doc_id") + 900000).alias("doc_id"),
+                          "text"))
+        inc = fresh.unionByName(copies)
+        sink.write(tid, attach_envelope(inc, "+I", seq=1), schema,
+                   batch_id=1)
+
+        changes = (sink.read_changes(spark, tid, from_snapshot=s0)
+                   .where(F.col(OP_COL) == "+I").select("doc_id", "text"))
+        assert changes.count() == inc.count()
+
+        store = spark.read.parquet(store_dir)
+        corpus_at_s0 = sink.read(spark, tid, snapshot=s0)
+        flags = incremental_dedup_flags(changes, store, corpus_at_s0)
+        by = {r["doc_id"]: r["status"] for r in flags.collect()}
+        n_copies = copies.count()
+        assert sum(1 for v in by.values() if v == "exact") == n_copies
+        assert all(by[r["doc_id"]] == "exact" for r in copies.collect())
+
+        # grow the store by the surviving uniques only
+        keep_ids = flags.where(F.col("status") == "unique") \
+                        .select("doc_id")
+        build_signature_store(
+            changes.join(keep_ids, on="doc_id", how="leftsemi"),
+            store_dir, mode="append")
+        n0 = store.count()
+        assert spark.read.parquet(store_dir).count() == \
+            n0 + keep_ids.count()
