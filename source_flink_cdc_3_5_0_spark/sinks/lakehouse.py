@@ -224,7 +224,9 @@ def _filters_to_column(filters):
         if op in ("=", "=="):
             cond = c == F.lit(val)
         elif op == "in":
-            cond = c.isin(*list(val))
+            vals = list(val)
+            # col IN () is vacuously false (and isin() would throw)
+            cond = c.isin(*vals) if vals else F.lit(False)
         elif op == "<":
             cond = c < F.lit(val)
         elif op == "<=":

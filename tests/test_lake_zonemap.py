@@ -386,3 +386,39 @@ class TestContinuousIngestDedup:
         n0 = store.count()
         assert spark.read.parquet(store_dir).count() == \
             n0 + keep_ids.count()
+
+
+class TestZoneMapsSchemaEvolution:
+    def test_filter_on_added_column_keeps_old_files(self, spark, tmp_path):
+        """Old files predate an ADD COLUMN: they have no stats for it, so
+        pruning must conservatively keep them (their rows null-fill and
+        the residual comparison drops them for real) while new files
+        prune normally."""
+        from source_flink_cdc_3_5_0_spark.common.events import \
+            AddColumnEvent
+        from source_flink_cdc_3_5_0_spark.common.schema import Column as C
+        from source_flink_cdc_3_5_0_spark.operators.schema_evolution import \
+            apply_schema_change_event
+        from pyspark.sql import types as T
+
+        sink, tid, schema, ev = _mk(spark, tmp_path, num_buckets=2)
+        add = AddColumnEvent.last(tid, C("score", T.DoubleType()))
+        schema2 = apply_schema_change_event(schema, add)
+        sink.metadata_applier().apply_schema_change(tid, add, schema2)
+        fresh = (ev.limit(0)
+                 .withColumn("score", F.lit(0.0)))  # schema template
+        newrows = (ev.limit(50)
+                   .withColumn("event_id", F.col("event_id") + 50000)
+                   .withColumn("score", (F.col("event_id") % 10)
+                               .cast("double")))
+        del fresh
+        sink.write(tid, attach_envelope(newrows, "+I", seq=1), schema2,
+                   batch_id=1)
+        kept, total = sink.scan_files(tid, filters=[("score", ">", 100.0)])
+        # old files kept (no stats for score); new files pruned (max 9)
+        m = sink._manifest(tid)
+        old_files = [p for fs in m["buckets"].values() for p in fs
+                     if "score" not in m["stats"][p]["cols"]]
+        assert set(kept) == set(old_files), (kept, old_files)
+        got = sink.read(spark, tid, filters=[("score", ">", 5.0)])
+        assert got.count() == newrows.where(F.col("score") > 5.0).count()
