@@ -63,6 +63,23 @@ def hash_sample(df: DataFrame, id_col: str, keep_nibbles: tuple[str, ...] = ("0"
     return df.where(hash_bucket_col(id_col).isin(*keep_nibbles))
 
 
+def _budget_expr(group_cols: list[str], budget) -> Column:
+    """Per-row budget as a Column: an int applies to every group; a dict
+    (single group column only) maps group values to budgets, with
+    unlisted groups getting 0 (excluded) — THE dict-budget semantics
+    shared by token_budget_sample and repeat_to_budget."""
+    if isinstance(budget, dict):
+        if len(group_cols) != 1:
+            raise ValueError("dict budget needs exactly one group column")
+        bexpr = None
+        for k, v in budget.items():
+            cond = F.col(group_cols[0]) == F.lit(k)
+            bexpr = (F.when(cond, F.lit(v)) if bexpr is None
+                     else bexpr.when(cond, F.lit(v)))
+        return bexpr.otherwise(F.lit(0)).cast("bigint")
+    return F.lit(int(budget)).cast("bigint")
+
+
 def token_budget_sample(df: DataFrame, group_cols: list[str], id_col: str,
                         weight_col: str, budget) -> DataFrame:
     """Deterministic per-group WEIGHTED budget sample — the corpus-mixing
@@ -85,16 +102,7 @@ def token_budget_sample(df: DataFrame, group_cols: list[str], id_col: str,
     pri = md5_priority(id_col)
     w = (Window.partitionBy(*group_cols).orderBy(pri, F.col(id_col))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    if isinstance(budget, dict):
-        if len(group_cols) != 1:
-            raise ValueError("dict budget needs exactly one group column")
-        bexpr = None
-        for k, v in budget.items():
-            cond = F.col(group_cols[0]) == F.lit(k)
-            bexpr = F.when(cond, F.lit(v)) if bexpr is None else bexpr.when(cond, F.lit(v))
-        bexpr = bexpr.otherwise(F.lit(0))
-    else:
-        bexpr = F.lit(budget)
+    bexpr = _budget_expr(group_cols, budget)
     cum = F.sum(F.col(weight_col)).over(w)
     return (df.withColumn("__cum", cum)
             .where(F.col("__cum") <= bexpr)
@@ -319,10 +327,19 @@ def temperature_sample(df: DataFrame, group_cols: list[str], id_col: str,
               .select(*group_cols, "__quota"))
     pri = md5_priority(id_col)
     rw = Window.partitionBy(*group_cols).orderBy(pri, F.col(id_col))
-    return (df.join(F.broadcast(quotas), on=group_cols)
+    # null-safe equi-join: a NULL group value is a real group (the count
+    # above included it) — a plain on=[cols] join would silently drop
+    # those rows and break the quotas-sum-to-target contract
+    q = quotas.select(*[F.col(c).alias(f"__g_{c}") for c in group_cols],
+                      "__quota")
+    cond = None
+    for c in group_cols:
+        e = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        cond = e if cond is None else (cond & e)
+    return (df.join(F.broadcast(q), on=cond)
             .withColumn("__rn", F.row_number().over(rw))
             .where(F.col("__rn") <= F.col("__quota"))
-            .drop("__rn", "__quota"))
+            .drop("__rn", "__quota", *[f"__g_{c}" for c in group_cols]))
 
 
 def repeat_to_budget(df: DataFrame, group_cols: list[str], id_col: str,
@@ -347,17 +364,7 @@ def repeat_to_budget(df: DataFrame, group_cols: list[str], id_col: str,
     join, no per-group collect)."""
     from pyspark.sql import Window
 
-    if isinstance(budget, dict):
-        if len(group_cols) != 1:
-            raise ValueError("dict budget needs exactly one group column")
-        bexpr = None
-        for k, v in budget.items():
-            cond = F.col(group_cols[0]) == F.lit(k)
-            bexpr = (F.when(cond, F.lit(v)) if bexpr is None
-                     else bexpr.when(cond, F.lit(v)))
-        bexpr = bexpr.otherwise(F.lit(0)).cast("bigint")
-    else:
-        bexpr = F.lit(int(budget)).cast("bigint")
+    bexpr = _budget_expr(group_cols, budget)
     pri = md5_priority(id_col)
     w = (Window.partitionBy(*group_cols).orderBy(pri, F.col(id_col))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

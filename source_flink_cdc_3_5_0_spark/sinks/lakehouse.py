@@ -80,7 +80,16 @@ class CommitConflictError(RuntimeError):
 # types, missing stats, or tag mismatches keep the file.
 
 def _norm_stat(v):
-    """Normalize a footer min/max value to (tag, comparable) or None."""
+    """Normalize a footer min/max value to (tag, comparable) or None.
+
+    Comparables must ORDER correctly within a tag: decimals keep their
+    string form for JSON but are re-parsed to Decimal at compare time
+    (see ``_cmp_key`` — lexicographic '30' > '100' would silently prune
+    matching files); tz-AWARE datetimes are converted to UTC and tagged
+    'tsz', distinct from naive 'ts' — a naive filter value under an
+    unknown session timezone can NOT be soundly compared against a UTC
+    instant, so that mismatch keeps the file (the residual filter does
+    the real work)."""
     import datetime as _dt
     from decimal import Decimal
 
@@ -93,12 +102,24 @@ def _norm_stat(v):
     if isinstance(v, Decimal):
         return ("c", str(v))
     if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            u = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return ("tsz", u.isoformat(sep=" "))
         return ("ts", v.isoformat(sep=" "))
     if isinstance(v, _dt.date):
         return ("d", v.isoformat())
     if isinstance(v, str):
         return ("s", v)
     return None  # bytes etc. — no pruning on this column
+
+
+def _cmp_key(tag: str, v):
+    """Comparable form of a normalized stat/filter value for one tag."""
+    if tag == "c":
+        from decimal import Decimal
+
+        return Decimal(v)
+    return v
 
 
 def _footer_stats(path: str) -> dict:
@@ -155,24 +176,26 @@ def _file_excluded(stats: dict, filters) -> bool:
         normed = [_norm_stat(v) for v in vals]
         if any(n is None or n[0] != ent["t"] for n in normed):
             continue
-        lo, hi = ent["lo"], ent["hi"]
+        tag = ent["t"]
+        lo, hi = _cmp_key(tag, ent["lo"]), _cmp_key(tag, ent["hi"])
+        keys = [_cmp_key(tag, n[1]) for n in normed]
         if op in ("=", "=="):
-            if normed[0][1] < lo or normed[0][1] > hi:
+            if keys[0] < lo or keys[0] > hi:
                 return True
         elif op == "in":
-            if all(n[1] < lo or n[1] > hi for n in normed):
+            if all(k < lo or k > hi for k in keys):
                 return True
         elif op == "<":
-            if lo >= normed[0][1]:
+            if lo >= keys[0]:
                 return True
         elif op == "<=":
-            if lo > normed[0][1]:
+            if lo > keys[0]:
                 return True
         elif op == ">":
-            if hi <= normed[0][1]:
+            if hi <= keys[0]:
                 return True
         elif op == ">=":
-            if hi < normed[0][1]:
+            if hi < keys[0]:
                 return True
     return False
 
@@ -189,15 +212,23 @@ def _zvalue_col(df: DataFrame, cols: list[str], bits: int = 12):
     numeric = ("tinyint", "smallint", "int", "bigint", "float", "double",
                "date", "timestamp", "timestamp_ntz")
     dtypes = dict(df.dtypes)
+    nexprs: dict[str, object] = {}
     for c in cols:
         base = dtypes.get(c, "").split("(")[0]
         if base not in numeric and not base.startswith("decimal"):
             raise ValueError(
                 f"zorder column {c!r} has non-orderable-numeric type "
                 f"{dtypes.get(c)!r}; cast or hash it first")
-    bounds = df.agg(*[F.min(F.col(c).cast("double")).alias(f"lo_{i}")
+        # date/ntz cannot cast to double directly; route through
+        # timestamp first (monotonic — a constant session-tz shift
+        # cannot reorder values, which is all z-ordering needs)
+        if base in ("date", "timestamp_ntz"):
+            nexprs[c] = F.col(c).cast("timestamp").cast("double")
+        else:
+            nexprs[c] = F.col(c).cast("double")
+    bounds = df.agg(*[F.min(nexprs[c]).alias(f"lo_{i}")
                       for i, c in enumerate(cols)],
-                    *[F.max(F.col(c).cast("double")).alias(f"hi_{i}")
+                    *[F.max(nexprs[c]).alias(f"hi_{i}")
                       for i, c in enumerate(cols)]).collect()[0]
     z = F.lit(0).cast("bigint")
     n = len(cols)
@@ -207,7 +238,7 @@ def _zvalue_col(df: DataFrame, cols: list[str], bits: int = 12):
         if lo is None or hi is None or hi <= lo:
             scaled = F.lit(0).cast("bigint")
         else:
-            scaled = F.floor((F.col(c).cast("double") - F.lit(lo))
+            scaled = F.floor((nexprs[c] - F.lit(lo))
                              / F.lit(hi - lo) * F.lit(float(top)))
         scaled = F.coalesce(scaled, F.lit(0)).cast("bigint")
         for bit in range(bits):
@@ -321,12 +352,12 @@ class SnapshotLakeSink(DataSink):
                else str(batch_id), "buckets": buckets}
         if deltas:
             doc["deltas"] = deltas
+        # stats only for BASE files: delta files are never pruned (see
+        # scan_files) and read_changes selects them by manifest listing,
+        # so delta stats would be dead weight copied forward every commit
         prev = self._manifest(tid) if self.snapshots(tid) else {}
         doc["stats"] = self._assemble_stats(
             buckets, prev.get("stats"), self._data_dir(tid))
-        if deltas:
-            doc["delta_stats"] = self._assemble_stats(
-                deltas, prev.get("delta_stats"), self._delta_dir(tid))
         with open(tmp, "w") as f:
             json.dump(doc, f)
         # optimistic concurrency: atomically CREATE (never overwrite) the
@@ -492,14 +523,17 @@ class SnapshotLakeSink(DataSink):
 
     # -- read path ---------------------------------------------------------
     def scan_files(self, table_id: TableId, snapshot: int | None = None,
-                   filters=None) -> tuple[list[str], int]:
+                   filters=None, _manifest: dict | None = None
+                   ) -> tuple[list[str], int]:
         """Plan a scan: (base files kept after zone-map pruning, total base
         files in the snapshot).  With no filters every file is kept.  MoR
         DELTA files are never pruned — a newer delta version must shadow an
         older matching base row even when the new value itself falls outside
         the predicate, so only base files are prunable (same reason Iceberg
-        applies delete files before residual filters)."""
-        manifest = self._manifest(table_id, snapshot)
+        applies delete files before residual filters).  ``_manifest`` lets
+        ``read`` pass its already-loaded manifest instead of re-parsing."""
+        manifest = (_manifest if _manifest is not None
+                    else self._manifest(table_id, snapshot))
         rels = [p for files in manifest["buckets"].values() for p in files]
         if not filters:
             return rels, len(rels)
@@ -517,7 +551,8 @@ class SnapshotLakeSink(DataSink):
         from the scan driver-side, then the predicate is applied for real
         (pruning is an optimization, never the filter itself)."""
         manifest = self._manifest(table_id, snapshot)
-        kept, _total = self.scan_files(table_id, snapshot, filters)
+        kept, _total = self.scan_files(table_id, snapshot, filters,
+                                       _manifest=manifest)
         paths = [os.path.join(self._data_dir(table_id), p) for p in kept]
         delta_paths = [os.path.join(self._delta_dir(table_id), p)
                        for files in (manifest.get("deltas") or {}).values()

@@ -155,6 +155,34 @@ class TestFileExcluded:
         assert _file_excluded(self.ST, [("s", ">", "e")])
         assert not _file_excluded(self.ST, [("s", "=", "c")])
 
+    def test_decimal_bounds_compare_numerically(self):
+        """Decimal stats are stored as strings for JSON but MUST compare
+        as numbers: lexicographic '30' > '100' once silently pruned a
+        file whose bounds [2, 100] contain 30 (code-review find)."""
+        from decimal import Decimal
+
+        st = {"rows": 5, "cols": {"d": {"lo": "2", "hi": "100",
+                                        "nulls": 0, "t": "c"}}}
+        assert not _file_excluded(st, [("d", "=", Decimal("30"))])
+        assert not _file_excluded(st, [("d", ">", Decimal("30"))])
+        assert _file_excluded(st, [("d", ">", Decimal("100"))])
+        assert _file_excluded(st, [("d", "=", Decimal("101"))])
+
+    def test_tz_aware_stats_never_pruned_by_naive_filter(self):
+        """UTC-instant (tz-aware) footer stats can't be soundly compared
+        with a naive session-local filter value — the mismatch must keep
+        the file; an aware filter value compares fine."""
+        import datetime as _dt
+
+        aware = _dt.datetime(1996, 1, 1, 1, 0,
+                             tzinfo=_dt.timezone.utc)
+        st = {"rows": 5, "cols": {"ts": {
+            "lo": "1996-01-01 00:00:00", "hi": "1996-01-01 01:00:00",
+            "nulls": 0, "t": "tsz"}}}
+        naive = _dt.datetime(1996, 1, 1, 2, 0)
+        assert not _file_excluded(st, [("ts", ">", naive)])  # keep: unsound
+        assert _file_excluded(st, [("ts", ">", aware)])      # sound: prune
+
 
 class TestReadChanges:
     def test_mor_delta_fast_path(self, spark, tmp_path):
@@ -269,6 +297,23 @@ class TestZOrder:
         assert len(kept_b) <= len(kept_u)
         got = sink.read(spark, tid, filters=both)
         want = ev.where((F.col("user_id") == 3) & (F.col("value") > 250.0))
+        assert got.count() == want.count()
+
+    def test_zorder_on_timestamp_column(self, spark, tmp_path):
+        """ts reads as TIMESTAMP_NTZ from this repo's parquet fixtures —
+        z-ordering it must route through a monotonic timestamp cast
+        instead of crashing on a direct double cast (code-review find)."""
+        sink, tid, _, ev = _mk(spark, tmp_path, num_buckets=2)
+        sink.compact(spark, tid, zorder=["ts", "user_id"],
+                     files_per_bucket=8)
+        lo = dt.datetime(2024, 1, 1)
+        hi = dt.datetime(2024, 1, 8)
+        kept, total = sink.scan_files(
+            tid, filters=[("ts", ">=", lo), ("ts", "<", hi)])
+        assert len(kept) < total
+        got = sink.read(spark, tid, filters=[("ts", ">=", lo),
+                                             ("ts", "<", hi)])
+        want = ev.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
         assert got.count() == want.count()
 
     def test_zorder_rejects_string_column(self, spark, tmp_path):
@@ -405,13 +450,10 @@ class TestZoneMapsSchemaEvolution:
         add = AddColumnEvent.last(tid, C("score", T.DoubleType()))
         schema2 = apply_schema_change_event(schema, add)
         sink.metadata_applier().apply_schema_change(tid, add, schema2)
-        fresh = (ev.limit(0)
-                 .withColumn("score", F.lit(0.0)))  # schema template
         newrows = (ev.limit(50)
                    .withColumn("event_id", F.col("event_id") + 50000)
                    .withColumn("score", (F.col("event_id") % 10)
                                .cast("double")))
-        del fresh
         sink.write(tid, attach_envelope(newrows, "+I", seq=1), schema2,
                    batch_id=1)
         kept, total = sink.scan_files(tid, filters=[("score", ">", 100.0)])

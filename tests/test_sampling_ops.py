@@ -425,3 +425,21 @@ class TestRepeatToBudget:
         per = {r["lang"]: r["n"] for r in out.groupBy("lang")
                .agg(F.count(F.lit(1)).alias("n")).collect()}
         assert per["small"] == 15 and per["big"] == 3
+
+
+class TestTemperatureNullGroup:
+    def test_null_group_value_keeps_its_quota(self, spark):
+        """A NULL group value is a real group: the quota join must be
+        null-safe or those rows silently vanish and the sum-to-target
+        contract breaks (code-review find)."""
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import \
+            temperature_sample
+
+        rows = [(i, "en") for i in range(90)] + \
+               [(1000 + i, None) for i in range(90)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+        out = temperature_sample(docs, ["lang"], "doc_id", 100)
+        assert out.count() == 100
+        per = {r["lang"]: r["n"] for r in out.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert per[None] == 50 and per["en"] == 50
