@@ -688,12 +688,60 @@ class SnapshotLakeSink(DataSink):
                 .select(*picked, op.alias(OP_COL),
                         F.lit(m1["seq"]).cast("bigint").alias(_COMMIT_SEQ)))
 
+    # -- refs: rollback + tags (Iceberg table refs) ------------------------
+    def rollback(self, table_id: TableId, to_snapshot: int) -> int:
+        """Roll the table back to an earlier snapshot by COMMITTING a new
+        manifest with the old snapshot's content (Iceberg
+        ``rollback_to_snapshot``): history stays intact — the bad
+        snapshots remain time-travelable until vacuum — and readers
+        pinned to the latest seq atomically see the restored state.
+        Returns the new snapshot seq."""
+        m = self._manifest(table_id, to_snapshot)  # validates membership
+        return self._commit(table_id, dict(m["buckets"]),
+                            deltas={k: list(v) for k, v in
+                                    (m.get("deltas") or {}).items()} or None)
+
+    def _tags_path(self, tid: TableId) -> str:
+        return os.path.join(self._table_dir(tid), "_tags.json")
+
+    def tag(self, table_id: TableId, name: str,
+            snapshot: int | None = None) -> int:
+        """Name a snapshot (Iceberg tag): ``read(..., snapshot=sink.
+        tag_seq(tid, name))`` pins it forever; vacuum REFUSES to expire
+        tagged snapshots.  Defaults to the latest snapshot."""
+        seqs = self.snapshots(table_id)
+        seq = seqs[-1] if snapshot is None else snapshot
+        if seq not in seqs:
+            raise ValueError(f"unknown snapshot {seq}; have {seqs}")
+        tags = self.tags(table_id)
+        tags[name] = seq
+        with open(self._tags_path(table_id), "w") as f:
+            json.dump(tags, f)
+        return seq
+
+    def tags(self, table_id: TableId) -> dict[str, int]:
+        p = self._tags_path(table_id)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def tag_seq(self, table_id: TableId, name: str) -> int:
+        tags = self.tags(table_id)
+        if name not in tags:
+            raise ValueError(f"unknown tag {name!r}; have {sorted(tags)}")
+        return tags[name]
+
     # -- maintenance -------------------------------------------------------
     def vacuum(self, table_id: TableId, keep_last: int = 1) -> int:
         """Delete data files referenced by NO retained snapshot and drop
-        the expired manifests. Returns the number of files removed."""
+        the expired manifests.  TAGGED snapshots are always retained
+        (Iceberg: refs block snapshot expiration).  Returns the number
+        of files removed."""
         seqs = self.snapshots(table_id)
-        keep, drop = seqs[-keep_last:], seqs[:-keep_last]
+        tagged = set(self.tags(table_id).values())
+        keep = sorted(set(seqs[-keep_last:]) | (tagged & set(seqs)))
+        drop = [s for s in seqs if s not in keep]
         live: set[str] = set()
         live_delta: set[str] = set()
         for s in keep:

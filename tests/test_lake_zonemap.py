@@ -464,3 +464,61 @@ class TestZoneMapsSchemaEvolution:
         assert set(kept) == set(old_files), (kept, old_files)
         got = sink.read(spark, tid, filters=[("score", ">", 5.0)])
         assert got.count() == newrows.where(F.col("score") > 5.0).count()
+
+
+class TestRollbackAndTags:
+    def test_rollback_restores_state_keeps_history(self, spark, tmp_path):
+        sink, tid, schema, ev = _mk(spark, tmp_path, num_buckets=2)
+        s0 = sink.snapshots(tid)[-1]
+        bad = (ev.limit(100)
+               .withColumn("value", F.lit(-1.0))
+               .select("*", F.lit("+U").alias(OP_COL),
+                       F.lit(1).cast("bigint").alias(SEQ_COL)))
+        sink.write(tid, bad, schema, batch_id=1)
+        assert sink.read(spark, tid).where(
+            F.col("value") == -1.0).count() == 100
+        new_seq = sink.rollback(tid, s0)
+        assert new_seq == sink.snapshots(tid)[-1]
+        # latest reads the restored state; the bad snapshot stays readable
+        assert sink.read(spark, tid).where(
+            F.col("value") == -1.0).count() == 0
+        assert sink.read(spark, tid).count() == ev.count()
+        assert sink.read(spark, tid, snapshot=new_seq - 1).where(
+            F.col("value") == -1.0).count() == 100
+
+    def test_rollback_mor_deltas(self, spark, tmp_path):
+        sink, tid, schema, ev = _mk(spark, tmp_path, mode="mor",
+                                    num_buckets=2)
+        s0 = sink.snapshots(tid)[-1]
+        dels = (ev.limit(10)
+                .select("*", F.lit("-D").alias(OP_COL),
+                        F.lit(1).cast("bigint").alias(SEQ_COL)))
+        sink.write(tid, dels, schema, batch_id=1)
+        assert sink.read(spark, tid).count() == ev.count() - 10
+        sink.rollback(tid, s0)
+        assert sink.read(spark, tid).count() == ev.count()
+
+    def test_tags_pin_snapshots_through_vacuum(self, spark, tmp_path):
+        sink, tid, schema, ev = _mk(spark, tmp_path, num_buckets=2)
+        s0 = sink.snapshots(tid)[-1]
+        sink.tag(tid, "v1.0")
+        upd = (ev.limit(50)
+               .withColumn("value", F.col("value") + 1.0)
+               .select("*", F.lit("+U").alias(OP_COL),
+                       F.lit(1).cast("bigint").alias(SEQ_COL)))
+        sink.write(tid, upd, schema, batch_id=1)
+        sink.compact(spark, tid)
+        assert sink.tag_seq(tid, "v1.0") == s0
+        sink.vacuum(tid, keep_last=1)
+        # tagged snapshot survived expiration and still reads
+        assert s0 in sink.snapshots(tid)
+        assert sink.read(spark, tid,
+                         snapshot=sink.tag_seq(tid, "v1.0")).count() == \
+            ev.count()
+
+    def test_unknown_tag_and_snapshot_raise(self, spark, tmp_path):
+        sink, tid, _, _ = _mk(spark, tmp_path, num_buckets=2)
+        with pytest.raises(ValueError, match="unknown tag"):
+            sink.tag_seq(tid, "nope")
+        with pytest.raises(ValueError, match="unknown snapshot"):
+            sink.tag(tid, "x", snapshot=999)
