@@ -54,3 +54,21 @@ def portable_bucket_sql(key_sql: str, num_buckets: int) -> str:
     return (
         f"abs(((CAST({key_sql} AS BIGINT) * {_KNUTH_32}) % {1 << 31})) % {num_buckets}"
     )
+
+
+def portable_bucket_py(key: int, num_buckets: int) -> int:
+    """Driver-side Python replica of :func:`portable_bucket_expr` —
+    BIT-IDENTICAL to the Spark expression including Java semantics the
+    Python operators don't share: the 64-bit two's-complement wrap of
+    ``key * K`` (Spark non-ANSI longs wrap; Python ints don't) and
+    ``%`` keeping the DIVIDEND's sign (Java) rather than the divisor's
+    (Python).  Lets planners compute a row's bucket without a Spark job
+    (e.g. lake-sink point-lookup pruning); equivalence is pinned by
+    test against the expression over adversarial keys."""
+    prod = (int(key) * _KNUTH_32) & ((1 << 64) - 1)
+    if prod >= 1 << 63:
+        prod -= 1 << 64
+    m = prod % (1 << 31)
+    if prod < 0 and m != 0:
+        m -= 1 << 31
+    return abs(m) % num_buckets

@@ -522,6 +522,46 @@ class SnapshotLakeSink(DataSink):
         self._commit(tid, dict(manifest["buckets"]), batch_id, deltas=deltas)
 
     # -- read path ---------------------------------------------------------
+    def _pk_point_buckets(self, tid: TableId, filters) -> set[int] | None:
+        """Bucket ids implied by an equality/IN filter on the table's
+        single INTEGRAL primary key — the point-lookup planner: a PK row
+        can only live in ``portable_bucket(pk)``, so a ``pk = v`` scan
+        needs ONE bucket's files regardless of table size (the same
+        guarantee Iceberg's bucket partition transform gives).  Computed
+        driver-side with :func:`portable_bucket_py`, the bit-identical
+        Python replica of the write path's bucket expression.  Returns
+        None when not derivable (no filters, composite/non-integral PK,
+        non-int filter values) — pruning then falls back to zone maps
+        alone."""
+        import pyspark.sql.types as T
+
+        from ..operators.partitioning import portable_bucket_py
+
+        if not filters or not os.path.exists(self._schema_path(tid)):
+            return None
+        with open(self._schema_path(tid)) as f:
+            schema = Schema.from_json(f.read())
+        pks = schema.primary_keys
+        if len(pks) != 1:
+            return None
+        field = next((fl for fl in schema.struct_type().fields
+                      if fl.name == pks[0]), None)
+        if field is None or not isinstance(
+                field.dataType,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return None
+        out: set[int] | None = None
+        for c, op, val in filters:
+            if c != pks[0] or op not in ("=", "==", "in"):
+                continue
+            vals = list(val) if op == "in" else [val]
+            if not all(isinstance(v, int) and not isinstance(v, bool)
+                       for v in vals):
+                continue
+            bs = {portable_bucket_py(v, self.num_buckets) for v in vals}
+            out = bs if out is None else (out & bs)
+        return out
+
     def scan_files(self, table_id: TableId, snapshot: int | None = None,
                    filters=None, _manifest: dict | None = None
                    ) -> tuple[list[str], int]:
@@ -534,13 +574,18 @@ class SnapshotLakeSink(DataSink):
         ``read`` pass its already-loaded manifest instead of re-parsing."""
         manifest = (_manifest if _manifest is not None
                     else self._manifest(table_id, snapshot))
-        rels = [p for files in manifest["buckets"].values() for p in files]
+        total = sum(len(fs) for fs in manifest["buckets"].values())
         if not filters:
-            return rels, len(rels)
+            return [p for fs in manifest["buckets"].values() for p in fs], \
+                total
+        allowed = self._pk_point_buckets(table_id, filters)
+        rels = [p for b, fs in manifest["buckets"].items()
+                if allowed is None or int(b) in allowed
+                for p in fs]
         stats = manifest.get("stats") or {}
         kept = [p for p in rels
                 if not _file_excluded(stats.get(p, {}), filters)]
-        return kept, len(rels)
+        return kept, total
 
     def read(self, spark: SparkSession, table_id: TableId,
              snapshot: int | None = None, filters=None) -> DataFrame:
@@ -554,8 +599,16 @@ class SnapshotLakeSink(DataSink):
         kept, _total = self.scan_files(table_id, snapshot, filters,
                                        _manifest=manifest)
         paths = [os.path.join(self._data_dir(table_id), p) for p in kept]
+        # delta files carry the same PK-bucket invariant as base files
+        # (both write paths bucket the final image by the PK), so a PK
+        # point lookup restricts deltas to the owning bucket too —
+        # zone-map stats still never prune deltas (shadowing, see
+        # scan_files)
+        pk_allowed = (self._pk_point_buckets(table_id, filters)
+                      if filters else None)
         delta_paths = [os.path.join(self._delta_dir(table_id), p)
-                       for files in (manifest.get("deltas") or {}).values()
+                       for b, files in (manifest.get("deltas") or {}).items()
+                       if pk_allowed is None or int(b) in pk_allowed
                        for p in files]
         schema = None
         if os.path.exists(self._schema_path(table_id)):

@@ -522,3 +522,58 @@ class TestRollbackAndTags:
             sink.tag_seq(tid, "nope")
         with pytest.raises(ValueError, match="unknown snapshot"):
             sink.tag(tid, "x", snapshot=999)
+
+
+class TestPkPointLookup:
+    def test_point_lookup_reads_one_bucket(self, spark, tmp_path):
+        """pk = v scans exactly the owning bucket's files — the Iceberg
+        bucket-transform guarantee, from the driver-side Python replica
+        of the write path's bucket expression."""
+        from source_flink_cdc_3_5_0_spark.operators.partitioning import \
+            portable_bucket_py
+
+        sink, tid, _, ev = _mk(spark, tmp_path, num_buckets=4)
+        some = [r["event_id"] for r in ev.limit(3).collect()]
+        for v in some:
+            kept, total = sink.scan_files(tid, filters=[("event_id", "=", v)])
+            b = portable_bucket_py(v, sink.num_buckets)
+            assert all(p.startswith(f"__bucket={b}/") for p in kept), kept
+            assert len(kept) < total
+            got = sink.read(spark, tid, filters=[("event_id", "=", v)])
+            assert got.count() == 1
+
+    def test_in_list_unions_buckets(self, spark, tmp_path):
+        from source_flink_cdc_3_5_0_spark.operators.partitioning import \
+            portable_bucket_py
+
+        sink, tid, _, ev = _mk(spark, tmp_path, num_buckets=4)
+        vals = [r["event_id"] for r in ev.limit(5).collect()]
+        kept, _ = sink.scan_files(tid, filters=[("event_id", "in", vals)])
+        want_b = {portable_bucket_py(v, 4) for v in vals}
+        got_b = {int(p.split("=")[1].split("/")[0]) for p in kept}
+        assert got_b <= want_b
+        got = sink.read(spark, tid, filters=[("event_id", "in", vals)])
+        assert got.count() == len(vals)
+
+    def test_mor_point_lookup_restricts_deltas_and_stays_correct(
+            self, spark, tmp_path):
+        """A MoR update to the looked-up key must still be visible (its
+        delta lives in the same bucket), and an update to a key in a
+        DIFFERENT bucket must not widen the scan."""
+        sink, tid, schema, ev = _mk(spark, tmp_path, mode="mor",
+                                    num_buckets=4)
+        v = ev.limit(1).collect()[0]["event_id"]
+        upd = (ev.where(F.col("event_id") == v)
+               .withColumn("value", F.lit(777.0))
+               .select("*", F.lit("+U").alias(OP_COL),
+                       F.lit(1).cast("bigint").alias(SEQ_COL)))
+        sink.write(tid, upd, schema, batch_id=1)
+        got = sink.read(spark, tid, filters=[("event_id", "=", v)])
+        rows = got.collect()
+        assert len(rows) == 1 and rows[0]["value"] == 777.0
+
+    def test_range_filters_do_not_bucket_prune(self, spark, tmp_path):
+        sink, tid, _, ev = _mk(spark, tmp_path, num_buckets=4)
+        kept, total = sink.scan_files(
+            tid, filters=[("event_id", ">", 10)])
+        assert len(kept) == total  # hash buckets are useless for ranges

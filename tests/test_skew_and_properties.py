@@ -272,3 +272,26 @@ class TestNgramJaccard:
                for r in connected_components(pairs, max_iter=3).collect()}
         assert got[777] == 777
         assert all(v == 0 for k, v in got.items() if k != 777)
+
+
+class TestPortableBucketPyEquivalence:
+    def test_python_replica_matches_spark_expression(self, spark):
+        """portable_bucket_py must be bit-identical to the Spark column
+        expression under the lenient (non-ANSI) mode the pipeline runs,
+        including 64-bit wrap and Java % sign semantics."""
+        from pyspark.sql import functions as F
+        from source_flink_cdc_3_5_0_spark.functions.dialect import \
+            ensure_lenient_sql
+        from source_flink_cdc_3_5_0_spark.operators.partitioning import (
+            portable_bucket_expr, portable_bucket_py)
+
+        ensure_lenient_sql(spark)
+        keys = [0, 1, 2, 7, 16, 12345, 10**6, 2**31 - 1, 2**31, 2**40,
+                2**62, 2**63 // 2654435761 + 5, -1, -7, -2**31, -2**40,
+                999999999999]
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        for n in (4, 16, 37):
+            got = [r[0] for r in
+                   df.select(portable_bucket_expr(F.col("k"), n)).collect()]
+            want = [portable_bucket_py(k, n) for k in keys]
+            assert got == want, (n, list(zip(keys, got, want)))
