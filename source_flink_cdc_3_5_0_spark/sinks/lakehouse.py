@@ -741,6 +741,39 @@ class SnapshotLakeSink(DataSink):
                 .select(*picked, op.alias(OP_COL),
                         F.lit(m1["seq"]).cast("bigint").alias(_COMMIT_SEQ)))
 
+    def merge(self, table_id: TableId, df: DataFrame, schema: Schema,
+              batch_id, delete_where=None) -> None:
+        """MERGE-style sugar over :meth:`write` for callers without a
+        changelog envelope: every ``df`` row upserts by primary key
+        (+U); rows matching ``delete_where`` (a Column) are keyed
+        deletes instead — Delta/Iceberg ``MERGE INTO`` reduced to the
+        sink's changelog contract."""
+        op = (F.when(delete_where, F.lit("-D")).otherwise(F.lit("+U"))
+              if delete_where is not None else F.lit("+U"))
+        self.write(table_id,
+                   df.select("*", op.alias(OP_COL),
+                             F.lit(0).cast("bigint").alias(SEQ_COL)),
+                   schema, batch_id)
+
+    def maintenance(self, spark: SparkSession, table_id: TableId,
+                    max_files_per_bucket: int = 8,
+                    max_delta_files: int = 16, **compact_kwargs) -> bool:
+        """Threshold-triggered compaction (the auto-maintenance loop a
+        streaming ingestion job calls after each commit): compacts when
+        any bucket holds more than ``max_files_per_bucket`` base files
+        or the table has more than ``max_delta_files`` MoR delta files.
+        Returns True iff a compaction ran.  Extra kwargs (``order_by``,
+        ``zorder``, ``files_per_bucket``) pass through to
+        :meth:`compact` so the maintenance rewrite can cluster."""
+        m = self._manifest(table_id)
+        n_deltas = sum(len(fs) for fs in (m.get("deltas") or {}).values())
+        fat_bucket = any(len(fs) > max_files_per_bucket
+                         for fs in m["buckets"].values())
+        if n_deltas <= max_delta_files and not fat_bucket:
+            return False
+        self.compact(spark, table_id, **compact_kwargs)
+        return True
+
     # -- refs: rollback + tags (Iceberg table refs) ------------------------
     def rollback(self, table_id: TableId, to_snapshot: int) -> int:
         """Roll the table back to an earlier snapshot by COMMITTING a new

@@ -577,3 +577,88 @@ class TestPkPointLookup:
         kept, total = sink.scan_files(
             tid, filters=[("event_id", ">", 10)])
         assert len(kept) == total  # hash buckets are useless for ranges
+
+
+class TestFileExcludedProperty:
+    """Soundness property: pruning may only drop files that provably
+    contain NO matching row — brute-force checked over random files and
+    filters (pure Python, no Spark)."""
+
+    @staticmethod
+    def _matches(row, op, val):
+        if row is None:
+            return False  # comparisons are null-rejecting
+        if op == "=":
+            return row == val
+        if op == "in":
+            return row in val
+        if op == "<":
+            return row < val
+        if op == "<=":
+            return row <= val
+        if op == ">":
+            return row > val
+        if op == ">=":
+            return row >= val
+        raise AssertionError(op)
+
+    def test_pruned_files_have_no_matching_rows(self):
+        from hypothesis import given, settings, strategies as st
+        from source_flink_cdc_3_5_0_spark.sinks.lakehouse import \
+            _file_excluded
+
+        values = st.lists(
+            st.one_of(st.none(), st.integers(-1000, 1000)),
+            min_size=1, max_size=12)
+        ops = st.sampled_from(["=", "in", "<", "<=", ">", ">="])
+
+        @settings(max_examples=300, deadline=None)
+        @given(rows=values, op=ops,
+               val=st.integers(-1000, 1000),
+               inlist=st.lists(st.integers(-1000, 1000), max_size=4))
+        def check(rows, op, val, inlist):
+            present = [r for r in rows if r is not None]
+            stats = {"rows": len(rows), "cols": {"x": {
+                "lo": min(present) if present else None,
+                "hi": max(present) if present else None,
+                "nulls": sum(1 for r in rows if r is None),
+                "t": "n" if present else None}}}
+            v = inlist if op == "in" else val
+            filt = [("x", op, v)]
+            if _file_excluded(stats, filt):
+                assert not any(self._matches(r, op, v) for r in rows), \
+                    (rows, op, v, stats)
+
+        check()
+
+
+class TestMergeAndMaintenance:
+    def test_merge_upserts_and_conditional_deletes(self, spark, tmp_path):
+        sink, tid, schema, ev = _mk(spark, tmp_path, num_buckets=2)
+        patch = (ev.limit(20)
+                 .withColumn("value", F.lit(5.0)))
+        sink.merge(tid, patch, schema, batch_id="m1",
+                   delete_where=F.col("user_id") == 3)
+        out = sink.read(spark, tid)
+        n_del = patch.where(F.col("user_id") == 3).count()
+        assert out.count() == ev.count() - n_del
+        assert out.where(F.col("value") == 5.0).count() == 20 - n_del
+
+    def test_maintenance_triggers_on_delta_pileup(self, spark, tmp_path):
+        sink, tid, schema, ev = _mk(spark, tmp_path, mode="mor",
+                                    num_buckets=2)
+        for i in range(4):
+            churn = (ev.limit(5)
+                     .withColumn("value", F.lit(float(i)))
+                     .select("*", F.lit("+U").alias(OP_COL),
+                             F.lit(i + 1).cast("bigint").alias(SEQ_COL)))
+            sink.write(tid, churn, schema, batch_id=i + 1)
+        m = sink._manifest(tid)
+        n_deltas = sum(len(fs) for fs in (m.get("deltas") or {}).values())
+        assert n_deltas > 3
+        assert sink.maintenance(spark, tid, max_delta_files=3) is True
+        m2 = sink._manifest(tid)
+        assert not m2.get("deltas")
+        assert sink.read(spark, tid).count() == ev.count()
+        # under thresholds: no-op
+        assert sink.maintenance(spark, tid, max_delta_files=3) is False
