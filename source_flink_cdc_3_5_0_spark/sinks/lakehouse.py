@@ -818,6 +818,37 @@ class SnapshotLakeSink(DataSink):
             raise ValueError(f"unknown tag {name!r}; have {sorted(tags)}")
         return tags[name]
 
+    # -- the table as a STREAM (changelog source) --------------------------
+    def stream_changes(self, spark: SparkSession,
+                       table_id: TableId) -> DataFrame:
+        """The MoR table's changelog as a REAL Structured Streaming
+        source: delta commits are append-only parquet files, so Spark's
+        file stream source over ``delta/`` IS the change stream — each
+        delta file processed exactly once per checkpoint, rows carrying
+        ``__op`` + ``__commit_seq``.  Pair with ``foreachBatch`` to feed
+        downstream incremental jobs (e.g. the signature-store dedup).
+        Compaction never re-emits (it writes base files, not deltas);
+        vacuum only removes already-processed files.  Batch analog:
+        :meth:`read_changes`."""
+        import pyspark.sql.types as T
+
+        if self.mode != "mor":
+            raise ValueError(
+                "stream_changes needs mode='mor' (copy-on-write commits "
+                "rewrite buckets in place; use read_changes' state diff)")
+        with open(self._schema_path(table_id)) as f:
+            schema = Schema.from_json(f.read())
+        fields = list(schema.struct_type().fields) + [
+            T.StructField(OP_COL, T.StringType()),
+            T.StructField(_COMMIT_SEQ, T.LongType()),
+            T.StructField(_BUCKET_COL, T.IntegerType()),
+        ]
+        return (spark.readStream.schema(T.StructType(fields))
+                .option("basePath", self._delta_dir(table_id))
+                .parquet(os.path.join(self._delta_dir(table_id),
+                                      f"{_BUCKET_COL}=*"))
+                .drop(_BUCKET_COL))
+
     # -- maintenance -------------------------------------------------------
     def vacuum(self, table_id: TableId, keep_last: int = 1) -> int:
         """Delete data files referenced by NO retained snapshot and drop

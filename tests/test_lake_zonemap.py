@@ -662,3 +662,46 @@ class TestMergeAndMaintenance:
         assert sink.read(spark, tid).count() == ev.count()
         # under thresholds: no-op
         assert sink.maintenance(spark, tid, max_delta_files=3) is False
+
+
+class TestStreamChanges:
+    def test_delta_dir_streams_exactly_once(self, spark, tmp_path):
+        """The MoR changelog consumed as a Structured Streaming file
+        source: first run drains the existing deltas, a second run on the
+        same checkpoint emits ONLY the new commit, compaction re-emits
+        nothing."""
+        sink, tid, schema, ev = _mk(spark, tmp_path, mode="mor",
+                                    num_buckets=2)
+        ckpt = str(tmp_path / "ckpt")
+        seen: list[tuple] = []
+
+        def drain():
+            def collect(bdf, _bid):
+                seen.extend((r["event_id"], r[OP_COL])
+                            for r in bdf.collect())
+
+            q = (sink.stream_changes(spark, tid)
+                 .writeStream.foreachBatch(collect)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        drain()
+        n0 = len(seen)
+        assert n0 == ev.count()  # the initial snapshot commit
+        churn = (ev.limit(7)
+                 .withColumn("value", F.lit(9.0))
+                 .select("*", F.lit("+U").alias(OP_COL),
+                         F.lit(1).cast("bigint").alias(SEQ_COL)))
+        sink.write(tid, churn, schema, batch_id=1)
+        drain()
+        assert len(seen) == n0 + 7
+        assert sum(1 for _, op in seen if op == "+U") == 7
+        sink.compact(spark, tid)
+        drain()
+        assert len(seen) == n0 + 7  # compaction re-emits nothing
+
+    def test_cow_mode_refused(self, spark, tmp_path):
+        sink, tid, _, _ = _mk(spark, tmp_path, mode="cow")
+        with pytest.raises(ValueError, match="mor"):
+            sink.stream_changes(spark, tid)
