@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "embedding_srp_neardup",
     "sample_temperature",
     "sample_repeat_epochs",
+    "sink_lake_point_lookup",
 ]
 
 

@@ -2534,6 +2534,47 @@ GROUP BY 1
 """
 
 
+def q_sink_lake_point_lookup(spark, sf_dir):
+    """PK POINT LOOKUP on the lake sink (Iceberg bucket-transform
+    pruning): customers land bucketed by c_custkey; a `pk IN (…)` read
+    consults only the owning buckets' files — asserted driver-side via
+    scan_files (the bucket ids come from portable_bucket_py, the
+    bit-identical Python replica of the write path's bucket expression)
+    — before the residual filter runs.  Oracle = the same keys straight
+    off the customer table."""
+    import tempfile
+
+    from .common.events import CreateTableEvent
+    from .common.tableid import TableId
+    from .operators.partitioning import portable_bucket_py
+    from .sinks.lakehouse import SnapshotLakeSink
+    from .sources.base import attach_envelope
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    tid = TableId.parse("lake.db.customer")
+    schema = Schema.from_struct_type(cust.schema, primary_keys=["c_custkey"])
+    sink = SnapshotLakeSink(tempfile.mkdtemp(prefix="cdc_lake_pt_"),
+                            num_buckets=8)
+    sink.metadata_applier().apply_schema_change(
+        tid, CreateTableEvent(tid, schema), schema)
+    sink.write(tid, attach_envelope(cust, "+I", seq=0), schema, batch_id=0)
+    keys = [7, 42, 123, 999]
+    filters = [("c_custkey", "in", keys)]
+    kept, total = sink.scan_files(tid, filters=filters)
+    want_buckets = {portable_bucket_py(k, sink.num_buckets) for k in keys}
+    assert len(kept) < total and all(
+        int(p.split("=")[1].split("/")[0]) in want_buckets for p in kept), \
+        (kept, total)
+    return sink.read(spark, tid, filters=filters)
+
+
+ORACLE_LAKE_POINT_LOOKUP = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey IN (7, 42, 123, 999)
+"""
+
+
 def q_cdc_lake_incremental(spark, sf_dir):
     """INCREMENTAL CHANGELOG READ out of the lake sink (Paimon streaming
     read / Iceberg incremental scan): a merge-on-read table takes a
@@ -3703,6 +3744,7 @@ QUERIES: dict[str, object] = {
     "embedding_srp_neardup": q_embedding_srp_neardup,
     "sample_temperature": q_sample_temperature,
     "sample_repeat_epochs": q_sample_repeat_epochs,
+    "sink_lake_point_lookup": q_sink_lake_point_lookup,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3851,6 +3893,7 @@ ORACLES: dict[str, str] = {
     "embedding_srp_neardup": ORACLE_EMBEDDING_SRP,
     "sample_temperature": ORACLE_TEMPERATURE_SAMPLE,
     "sample_repeat_epochs": ORACLE_REPEAT_EPOCHS,
+    "sink_lake_point_lookup": ORACLE_LAKE_POINT_LOOKUP,
     "sample_hash_split": ORACLE_HASH_SPLIT,
     "sample_quota_per_lang": ORACLE_QUOTA_SAMPLE,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
