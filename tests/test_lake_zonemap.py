@@ -705,3 +705,32 @@ class TestStreamChanges:
         sink, tid, _, _ = _mk(spark, tmp_path, mode="cow")
         with pytest.raises(ValueError, match="mor"):
             sink.stream_changes(spark, tid)
+
+
+class TestReadChangesMixedRange:
+    def test_deltas_plus_compaction_in_range_falls_back_to_diff(
+            self, spark, tmp_path):
+        """A range containing churn commits AND a compaction can't use
+        the delta fast path (buckets changed) — the state diff must
+        still produce exactly the logical changes of the churn."""
+        sink, tid, schema, ev = _mk(spark, tmp_path, mode="mor",
+                                    num_buckets=2)
+        s0 = sink.snapshots(tid)[-1]
+        upd = (ev.where(F.col("event_id") % 50 == 0)
+               .withColumn("value", F.col("value") + 1.0)
+               .select("*", F.lit("+U").alias(OP_COL),
+                       F.lit(1).cast("bigint").alias(SEQ_COL)))
+        sink.write(tid, upd, schema, batch_id=1)
+        sink.compact(spark, tid)  # folds deltas -> buckets change
+        dels = (ev.where(F.col("event_id") % 177 == 0)
+                .select("*", F.lit("-D").alias(OP_COL),
+                        F.lit(2).cast("bigint").alias(SEQ_COL)))
+        sink.write(tid, dels, schema, batch_id=2)
+        ch = sink.read_changes(spark, tid, from_snapshot=s0)
+        got = {(r["event_id"], r[OP_COL]) for r in ch.collect()}
+        want = {}
+        for r in upd.collect():
+            want[r["event_id"]] = "+U"
+        for r in dels.collect():
+            want[r["event_id"]] = "-D"
+        assert got == set(want.items())
