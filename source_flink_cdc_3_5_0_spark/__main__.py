@@ -22,7 +22,31 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
     run.add_argument("--master", default="local[*]", help="Spark master (default local[*])")
     run.add_argument("--name", default=None, help="override pipeline name")
     run.add_argument("--shuffle-partitions", default=None, type=int)
+    lake = sub.add_parser(
+        "lake", help="snapshot-lake table maintenance "
+        "(snapshots / compact / vacuum / rollback / tag)")
+    lake.add_argument("root", help="lake root path (the sink's 'path')")
+    lake.add_argument("table", help="table id, e.g. out.db.orders")
+    lake.add_argument("action", choices=["snapshots", "compact", "vacuum",
+                                         "rollback", "tag"])
+    lake.add_argument("--mode", default="cow", choices=["cow", "mor"])
+    lake.add_argument("--num-buckets", type=int, default=16,
+                      help="MUST match the writing sink's bucket count")
+    lake.add_argument("--order-by", default=None,
+                      help="comma-separated cluster columns for compact")
+    lake.add_argument("--zorder", default=None,
+                      help="comma-separated z-order columns for compact")
+    lake.add_argument("--files-per-bucket", type=int, default=1)
+    lake.add_argument("--keep-last", type=int, default=1,
+                      help="snapshots to retain on vacuum")
+    lake.add_argument("--to-snapshot", type=int, default=None,
+                      help="target seq for rollback / tag")
+    lake.add_argument("--tag-name", default=None)
+    lake.add_argument("--master", default="local[*]")
     args = ap.parse_args(argv)
+
+    if args.cmd == "lake":
+        return _lake_cmd(args, _spark)
 
     from pyspark.sql import SparkSession
 
@@ -68,6 +92,69 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
         return 0
     finally:
         if _spark is None:
+            spark.stop()
+
+
+def _lake_cmd(args, _spark) -> int:
+    """Operational surface over SnapshotLakeSink — what an Iceberg user
+    reaches via spark-sql CALL procedures (rewrite_data_files,
+    expire_snapshots, rollback_to_snapshot)."""
+    from .common.tableid import TableId
+    from .sinks.lakehouse import SnapshotLakeSink
+
+    sink = SnapshotLakeSink(args.root, num_buckets=args.num_buckets,
+                            mode=args.mode)
+    tid = TableId.parse(args.table)
+    if args.action == "snapshots":
+        seqs = sink.snapshots(tid)
+        tags = sink.tags(tid)
+        by_seq: dict[int, list[str]] = {}
+        for name, s in tags.items():
+            by_seq.setdefault(s, []).append(name)
+        for s in seqs:
+            suffix = f"  tags: {', '.join(sorted(by_seq[s]))}" \
+                if s in by_seq else ""
+            print(f"snapshot {s}{suffix}")
+        return 0
+    if args.action == "vacuum":
+        removed = sink.vacuum(tid, keep_last=args.keep_last)
+        print(f"vacuum removed {removed} file(s)")
+        return 0
+    if args.action == "rollback":
+        if args.to_snapshot is None:
+            print("rollback needs --to-snapshot", file=sys.stderr)
+            return 2
+        seq = sink.rollback(tid, args.to_snapshot)
+        print(f"rolled back to snapshot {args.to_snapshot} "
+              f"as new snapshot {seq}")
+        return 0
+    if args.action == "tag":
+        if not args.tag_name:
+            print("tag needs --tag-name", file=sys.stderr)
+            return 2
+        seq = sink.tag(tid, args.tag_name, snapshot=args.to_snapshot)
+        print(f"tagged snapshot {seq} as {args.tag_name!r}")
+        return 0
+    # compact needs a session
+    from pyspark.sql import SparkSession
+
+    spark = _spark
+    own = spark is None
+    if own:
+        spark = (SparkSession.builder.master(args.master)
+                 .appName("lake-maintenance")
+                 .config("spark.sql.session.timeZone", "UTC")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+    try:
+        sink.compact(
+            spark, tid,
+            order_by=args.order_by.split(",") if args.order_by else None,
+            zorder=args.zorder.split(",") if args.zorder else None,
+            files_per_bucket=args.files_per_bucket)
+        print(f"compacted; latest snapshot {sink.snapshots(tid)[-1]}")
+        return 0
+    finally:
+        if own:
             spark.stop()
 
 
