@@ -303,6 +303,7 @@ class SnapshotLakeSink(DataSink):
         self.root = root
         self.num_buckets = num_buckets
         self.mode = mode
+        self._shard_cache: dict[tuple[str, str], dict] = {}
 
     # -- layout ------------------------------------------------------------
     def _table_dir(self, tid: TableId) -> str:
@@ -354,10 +355,39 @@ class SnapshotLakeSink(DataSink):
             doc["deltas"] = deltas
         # stats only for BASE files: delta files are never pruned (see
         # scan_files) and read_changes selects them by manifest listing,
-        # so delta stats would be dead weight copied forward every commit
+        # so delta stats would be dead weight copied forward every commit.
+        # SHARDED (Iceberg manifest-list shape): each commit writes ONE
+        # immutable shard holding only its NEW files' footer stats and
+        # carries the previous shard list forward by reference — commit
+        # control-plane is O(new files), never O(all live files), which
+        # is what keeps a million-file table's commits flat
         prev = self._manifest(tid) if self.snapshots(tid) else {}
-        doc["stats"] = self._assemble_stats(
-            buckets, prev.get("stats"), self._data_dir(tid))
+        prev_shards = list(prev.get("stats_shards") or [])
+        covered: set[str] = set()
+        for sh in prev_shards:
+            covered |= self._load_shard(tid, sh).keys()
+        legacy = prev.get("stats") or {}  # pre-shard manifests
+        new_entries: dict[str, dict] = {}
+        for files in buckets.values():
+            for rel in files:
+                if rel in covered:
+                    continue
+                st = legacy.get(rel)
+                if st is None:
+                    try:
+                        st = _footer_stats(
+                            os.path.join(self._data_dir(tid), rel))
+                    except Exception:
+                        st = {"rows": 0, "cols": {}}  # unreadable: no prune
+                new_entries[rel] = st
+        if new_entries:
+            sdir = self._stats_dir(tid)
+            os.makedirs(sdir, exist_ok=True)
+            shard = f"s{seq}_{os.getpid()}.json"
+            with open(os.path.join(sdir, shard), "w") as f:
+                json.dump(new_entries, f)
+            prev_shards = prev_shards + [shard]
+        doc["stats_shards"] = prev_shards
         with open(tmp, "w") as f:
             json.dump(doc, f)
         # optimistic concurrency: atomically CREATE (never overwrite) the
@@ -376,22 +406,35 @@ class SnapshotLakeSink(DataSink):
         os.unlink(tmp)
         return seq
 
-    def _assemble_stats(self, files_by_bucket: dict[str, list[str]],
-                        prev_stats: dict | None, base_dir: str) -> dict:
-        """Zone maps for every file the manifest will reference: stats for
-        carried-forward files are copied from the previous manifest, new
-        files get one driver-side footer read each (never a data scan)."""
-        out: dict[str, dict] = {}
-        for files in files_by_bucket.values():
-            for rel in files:
-                st = (prev_stats or {}).get(rel)
-                if st is None:
-                    try:
-                        st = _footer_stats(os.path.join(base_dir, rel))
-                    except Exception:
-                        st = {"rows": 0, "cols": {}}  # unreadable: no pruning
-                out[rel] = st
+    def _stats_dir(self, tid: TableId) -> str:
+        return os.path.join(self._table_dir(tid), "_stats")
+
+    def _load_shard(self, tid: TableId, shard: str) -> dict:
+        """One immutable stats shard (cached per sink instance — shards
+        never change after commit, so the cache cannot go stale)."""
+        key = (tid.identifier(), shard)
+        cached = self._shard_cache.get(key)
+        if cached is not None:
+            return cached
+        path = os.path.join(self._stats_dir(tid), shard)
+        try:
+            with open(path) as f:
+                out = json.load(f)
+        except OSError:
+            out = {}  # referenced-but-missing shard: no pruning
+        self._shard_cache[key] = out
         return out
+
+    def file_stats(self, table_id: TableId, snapshot: int | None = None,
+                   _manifest: dict | None = None) -> dict:
+        """Merged zone-map stats for a snapshot's base files: the union
+        of its stats shards (plus legacy inline stats)."""
+        m = (_manifest if _manifest is not None
+             else self._manifest(table_id, snapshot))
+        merged: dict[str, dict] = dict(m.get("stats") or {})
+        for sh in m.get("stats_shards") or []:
+            merged.update(self._load_shard(table_id, sh))
+        return merged
 
     def _bucket_files(self, tid: TableId, bucket: int) -> set[str]:
         """Relative paths of the parquet files currently ON DISK for a
@@ -582,7 +625,7 @@ class SnapshotLakeSink(DataSink):
         rels = [p for b, fs in manifest["buckets"].items()
                 if allowed is None or int(b) in allowed
                 for p in fs]
-        stats = manifest.get("stats") or {}
+        stats = self.file_stats(table_id, _manifest=manifest)
         kept = [p for p in rels
                 if not _file_excluded(stats.get(p, {}), filters)]
         return kept, total
@@ -880,6 +923,16 @@ class SnapshotLakeSink(DataSink):
                         removed += 1
         for s in drop:
             os.remove(os.path.join(self._snap_dir(table_id), f"{s}.json"))
+        # stats shards referenced by NO retained manifest (incl. orphans
+        # from lost commit races) go with the expired snapshots
+        live_shards: set[str] = set()
+        for s in keep:
+            m = self._manifest(table_id, s)
+            live_shards.update(m.get("stats_shards") or [])
+        sdir = self._stats_dir(table_id)
+        for f in os.listdir(sdir) if os.path.isdir(sdir) else []:
+            if f.endswith(".json") and f not in live_shards:
+                os.remove(os.path.join(sdir, f))
         return removed
 
     def compact(self, spark: SparkSession, table_id: TableId,
