@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "sample_temperature",
     "sample_repeat_epochs",
     "sink_lake_point_lookup",
+    "dedup_keep_best",
 ]
 
 

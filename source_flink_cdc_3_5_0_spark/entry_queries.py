@@ -1123,6 +1123,53 @@ SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS rep_id FROM reach GROUP BY id
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """The full dedup DECISION: near-dup clusters keep their
+    highest-QUALITY member, not an arbitrary one — pairs →
+    connected components → per-cluster arg-max on the composite quality
+    score (tie → min doc_id).  Composition of three oracled operators
+    (minhash_lsh_exact_pairs, connected_components, quality_score_sql)
+    in one Catalyst plan; the winner join broadcasts the tiny
+    (cluster, winner) table.  Singleton docs trivially keep and are
+    excluded (same output domain as `dedup_components`)."""
+    from pyspark.sql import Window
+
+    from .extensions.dedup import (connected_components,
+                                   minhash_lsh_exact_pairs)
+    from .extensions.text import quality_score_sql
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_exact_pairs(docs, jaccard_threshold=0.5)
+    comps = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "rep_id")
+    scored = comps.join(docs.select("doc_id", "text"), on="doc_id") \
+        .withColumn("quality", F.expr(quality_score_sql("spark", "text")))
+    w = Window.partitionBy("rep_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id"))
+    return (scored
+            .withColumn("keep", (F.row_number().over(w) == 1))
+            .select("doc_id", "rep_id", "quality", "keep"))
+
+
+def _oracle_dedup_keep_best() -> str:
+    from .extensions.text import quality_score_sql
+
+    q = quality_score_sql("duckdb", "d.text")
+    return ORACLE_DEDUP_COMPONENTS.replace(
+        'SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS rep_id '
+        'FROM reach GROUP BY id',
+        """, comps AS (
+  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS rep_id
+  FROM reach GROUP BY id),
+scored AS (
+  SELECT c.doc_id, c.rep_id, {q} AS quality
+  FROM comps c JOIN documents d ON c.doc_id = d.doc_id)
+SELECT doc_id, rep_id, quality,
+       row_number() OVER (PARTITION BY rep_id
+                          ORDER BY quality DESC, doc_id) = 1 AS keep
+FROM scored""".replace("{q}", q))
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash hamming-distance near-dups. The 4×16-bit banding is
     pigeonhole-LOSSLESS for hamming≤3 (≥1 band must be identical), so the
@@ -3745,6 +3792,7 @@ QUERIES: dict[str, object] = {
     "sample_temperature": q_sample_temperature,
     "sample_repeat_epochs": q_sample_repeat_epochs,
     "sink_lake_point_lookup": q_sink_lake_point_lookup,
+    "dedup_keep_best": q_dedup_keep_best,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3894,6 +3942,7 @@ ORACLES: dict[str, str] = {
     "sample_temperature": ORACLE_TEMPERATURE_SAMPLE,
     "sample_repeat_epochs": ORACLE_REPEAT_EPOCHS,
     "sink_lake_point_lookup": ORACLE_LAKE_POINT_LOOKUP,
+    "dedup_keep_best": _oracle_dedup_keep_best(),
     "sample_hash_split": ORACLE_HASH_SPLIT,
     "sample_quota_per_lang": ORACLE_QUOTA_SAMPLE,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
