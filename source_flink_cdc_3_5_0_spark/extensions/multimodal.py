@@ -6,11 +6,15 @@ decode / feature-extraction run as Arrow-batched ``mapInPandas`` stages so a
 materializing whole partitions.
 
 Codecs: PPM (P6) images and WAV (16-bit PCM) audio decode FOR REAL —
-pure numpy + stdlib ``wave``, no external libs (`_decode_ppm` /
-`_decode_wav`, exact-value unit tests in ``tests/test_multimodal_codecs``).
-Compressed formats (JPEG/PNG/MP4/...) need PIL/ffmpeg, which are NOT in
-this container — those payloads fall back to a deterministic md5-seeded
-fake under ``decoder='auto'`` (the default used by the driver queries,
+pure numpy + stdlib, no external libs: PPM (P6), 16-bit PCM WAV, and
+PNG for real — the PNG path is a full spec decoder over stdlib ``zlib``
+(8-bit gray/gray+alpha/RGB/RGBA, all five scanline filters; palette /
+16-bit / interlaced return None) with exact-value unit tests in
+``tests/test_multimodal_codecs`` covering every filter path against a
+built-in encoder. Remaining compressed formats (JPEG/MP4/...) need
+PIL/ffmpeg, which are NOT in this container — those payloads fall back
+to a deterministic md5-seeded fake under ``decoder='auto'`` (the
+default used by the driver queries,
 whose fixtures are opaque bytes), or raise under ``decoder='real'``. The
 Spark-side plumbing (schema, batching, partition sizing) is identical on
 every path.
@@ -100,6 +104,139 @@ def _encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes) -> np.ndarray | None:
+    """PNG -> (h, w, 3) uint8, pure stdlib zlib + numpy (no PIL):
+    non-interlaced 8-bit gray / gray+alpha / RGB / RGBA, all five
+    scanline filters (None/Sub/Up/Average/Paeth) unfiltered per spec.
+    Alpha is dropped, gray replicated to 3 channels.  Returns None for
+    anything else (palette, 16-bit, interlaced) — callers fall back or
+    raise per their decoder mode.  The Sub/Average/Paeth loops are
+    byte-sequential by definition (each byte depends on the previous
+    reconstructed byte); fine for thumbnail-scale media — a production
+    decoder vectorizes Sub via cumsum and keeps Paeth in native code."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos, ihdr, idat = len(_PNG_SIG), None, b""
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, inter = ihdr[8:13]
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or comp != 0 or filt != 0 or inter != 0 or ch is None \
+            or w <= 0 or h <= 0:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        cur = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
+        p += stride + 1
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(ch, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - ch])) & 0xFF
+        elif f == 2:  # Up (uint8 addition wraps mod 256 — the spec)
+            cur += prev
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                cur[i] = (int(cur[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                q = a + b - c
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pr) & 0xFF
+        else:
+            return None
+        out[y] = cur
+        prev = cur
+    arr = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(arr, 3, axis=2)
+    if ch == 2:
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    return arr[:, :, :3]
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (len(data).to_bytes(4, "big") + typ + data
+            + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+
+def _encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal RGB PNG encoder (8-bit, non-interlaced) applying ONE
+    forward scanline filter to every row — exists so tests can exercise
+    each unfilter path against ground truth without an external
+    encoder."""
+    import zlib
+
+    a = arr.astype(np.uint8)
+    h, w = a.shape[:2]
+    ch = 3
+    flat = a.reshape(h, w * ch).astype(np.int32)
+    rows = []
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        upl = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            enc = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            q = left + prev - upl
+            pa, pb, pc = np.abs(q - left), np.abs(q - prev), np.abs(q - upl)
+            pr = np.where((pa <= pb) & (pa <= pc), left,
+                          np.where(pb <= pc, prev, upl))
+            enc = cur - pr
+        else:
+            raise ValueError(f"filter_type must be 0..4, got {filter_type}")
+        rows.append(bytes([filter_type]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + _png_chunk(b"IEND", b""))
+
+
 def _decode_wav(payload: bytes) -> np.ndarray | None:
     """RIFF/WAV 16-bit PCM -> mono float64 samples in [-1, 1), or None if
     not a 16-bit PCM WAV (stdlib ``wave`` — no external audio lib)."""
@@ -154,6 +291,8 @@ def _real_decode_features(payload: bytes | None) -> list[float] | None:
         return None
     payload = bytes(payload)
     img = _decode_ppm(payload)
+    if img is None:
+        img = _decode_png(payload)
     if img is not None:
         return _image_features(img)
     audio = _decode_wav(payload)
@@ -240,16 +379,23 @@ def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32,
         if payload is None:
             return None
         if mode != "fake":
-            img = _decode_ppm(bytes(payload))
+            raw = bytes(payload)
+            was_png = raw.startswith(_PNG_SIG)
+            img = _decode_ppm(raw)
+            if img is None:
+                img = _decode_png(raw)
             if img is not None:
                 h, w = img.shape[:2]
                 ys = (np.arange(target_h) * h // target_h)
                 xs = (np.arange(target_w) * w // target_w)
-                return _encode_ppm(img[ys][:, xs])
+                small = img[ys][:, xs]
+                # re-encode in the payload's own container
+                return _encode_png(small) if was_png else _encode_ppm(small)
             if mode == "real":
                 raise NotImplementedError(
-                    "payload is not PPM; resizing compressed formats needs "
-                    "PIL (not installed) — use decoder='auto' to fall back")
+                    "payload is not PPM/PNG; resizing other compressed "
+                    "formats needs PIL (not installed) — use "
+                    "decoder='auto' to fall back")
         return _fake_resize(payload)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
