@@ -29,9 +29,12 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
     lake.add_argument("table", help="table id, e.g. out.db.orders")
     lake.add_argument("action", choices=["snapshots", "compact", "vacuum",
                                          "rollback", "tag"])
-    lake.add_argument("--mode", default="cow", choices=["cow", "mor"])
-    lake.add_argument("--num-buckets", type=int, default=16,
-                      help="MUST match the writing sink's bucket count")
+    lake.add_argument("--mode", default=None, choices=["cow", "mor"],
+                      help="only needed for tables without persisted "
+                      "_table.json metadata")
+    lake.add_argument("--num-buckets", type=int, default=None,
+                      help="only needed for tables without persisted "
+                      "_table.json metadata; must match if given")
     lake.add_argument("--order-by", default=None,
                       help="comma-separated cluster columns for compact")
     lake.add_argument("--zorder", default=None,
@@ -102,9 +105,12 @@ def _lake_cmd(args, _spark) -> int:
     from .common.tableid import TableId
     from .sinks.lakehouse import SnapshotLakeSink
 
-    sink = SnapshotLakeSink(args.root, num_buckets=args.num_buckets,
-                            mode=args.mode)
     tid = TableId.parse(args.table)
+    # resolve bucket count + mode from the table's persisted metadata —
+    # a guessed-wrong bucket count would silently break point-lookup
+    # pruning, so the flags are only a fallback for pre-metadata tables
+    sink = SnapshotLakeSink.for_table(
+        args.root, tid, num_buckets=args.num_buckets, mode=args.mode)
     if args.action == "snapshots":
         seqs = sink.snapshots(tid)
         tags = sink.tags(tid)

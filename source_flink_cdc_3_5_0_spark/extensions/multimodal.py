@@ -5,9 +5,9 @@ decode / feature-extraction run as Arrow-batched ``mapInPandas`` stages so a
 1000-executor cluster streams batches through Python workers without
 materializing whole partitions.
 
-Codecs: PPM (P6) images and WAV (16-bit PCM) audio decode FOR REAL —
-pure numpy + stdlib, no external libs: PPM (P6), 16-bit PCM WAV, and
-PNG for real — the PNG path is a full spec decoder over stdlib ``zlib``
+Codecs that decode FOR REAL, pure numpy + stdlib, no external libs:
+PPM (P6) images, 16-bit PCM WAV audio, and PNG — the PNG path is a
+full spec decoder over stdlib ``zlib``
 (8-bit gray/gray+alpha/RGB/RGBA, all five scanline filters; palette /
 16-bit / interlaced return None) with exact-value unit tests in
 ``tests/test_multimodal_codecs`` covering every filter path against a
@@ -329,7 +329,9 @@ def extract_features(df: DataFrame, use_fake_decoder: bool = True,
         if mode == "auto":
             return _fake_decode_features(payload)
         raise NotImplementedError(
-            "payload is not PPM/WAV; decoding compressed formats needs "
+            "payload is not decodable: PPM/PNG/WAV decode for real "
+            "(palette/16-bit/interlaced PNGs are intentionally declined - "
+            "re-encode to 8-bit non-interlaced); other formats need "
             "PIL/ffmpeg (not installed) — use decoder='auto' to fall back")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -393,8 +395,10 @@ def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32,
                 return _encode_png(small) if was_png else _encode_ppm(small)
             if mode == "real":
                 raise NotImplementedError(
-                    "payload is not PPM/PNG; resizing other compressed "
-                    "formats needs PIL (not installed) — use "
+                    "payload is not decodable: PPM/PNG resize for real (note "
+                    "palette/16-bit/interlaced PNGs are intentionally "
+                    "declined — re-encode to 8-bit non-interlaced); other "
+                    "formats need PIL (not installed) — use "
                     "decoder='auto' to fall back")
         return _fake_resize(payload)
 

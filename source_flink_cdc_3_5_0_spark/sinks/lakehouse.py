@@ -58,6 +58,7 @@ from .base import DataSink, MetadataApplier
 
 _BUCKET_COL = "__bucket"
 _COMMIT_SEQ = "__commit_seq"
+_UNSET = object()  # "not passed" sentinel (None is a meaningful value)
 
 
 class CommitConflictError(RuntimeError):
@@ -290,6 +291,7 @@ class _LakeMetadataApplier(MetadataApplier):
         if isinstance(event, TruncateTableEvent):
             self.sink._commit(table_id, {})
             return
+        self.sink._ensure_meta(table_id)
         path = self.sink._schema_path(table_id)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
@@ -305,9 +307,70 @@ class SnapshotLakeSink(DataSink):
         self.mode = mode
         self._shard_cache: dict[tuple[str, str], dict] = {}
 
+    @classmethod
+    def for_table(cls, root: str, table_id: TableId,
+                  num_buckets: int | None = None,
+                  mode: str | None = None) -> "SnapshotLakeSink":
+        """Open an EXISTING table with its persisted bucket count and
+        changelog mode (the ``_table.json`` written at create time) —
+        the safe constructor for readers and maintenance tools.
+        Explicit arguments must match the persisted values."""
+        meta_path = os.path.join(root, table_id.identifier(), "_table.json")
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        nb = meta.get("num_buckets", num_buckets)
+        md = meta.get("mode", mode)
+        if nb is None or md is None:
+            raise ValueError(
+                f"{table_id}: no persisted table metadata at {meta_path}; "
+                "pass num_buckets and mode explicitly")
+        if num_buckets is not None and num_buckets != nb:
+            raise ValueError(
+                f"{table_id}: requested num_buckets={num_buckets} but the "
+                f"table was created with {nb}")
+        if mode is not None and mode != md:
+            raise ValueError(
+                f"{table_id}: requested mode={mode!r} but the table was "
+                f"created with {md!r}")
+        return cls(root, num_buckets=nb, mode=md)
+
     # -- layout ------------------------------------------------------------
     def _table_dir(self, tid: TableId) -> str:
         return os.path.join(self.root, tid.identifier())
+
+    def _meta_path(self, tid: TableId) -> str:
+        return os.path.join(self._table_dir(tid), "_table.json")
+
+    def _ensure_meta(self, tid: TableId, create: bool = True) -> None:
+        """Persist {num_buckets, mode} once, and REFUSE to operate on a
+        table whose persisted layout disagrees with this instance — a
+        bucket-count mismatch would make PK point-lookup pruning return
+        silently missing rows, which must be an error instead.
+        ``create=False`` (read paths) only validates."""
+        path = self._meta_path(tid)
+        if os.path.exists(path):
+            with open(path) as f:
+                meta = json.load(f)
+            if meta.get("num_buckets") != self.num_buckets:
+                raise ValueError(
+                    f"{tid}: table has num_buckets="
+                    f"{meta.get('num_buckets')} but this sink was built "
+                    f"with {self.num_buckets}; use "
+                    "SnapshotLakeSink.for_table() to open existing tables")
+            if meta.get("mode") != self.mode:
+                raise ValueError(
+                    f"{tid}: table has mode={meta.get('mode')!r} but this "
+                    f"sink was built with {self.mode!r}; use "
+                    "SnapshotLakeSink.for_table()")
+            return
+        if not create:
+            return
+        os.makedirs(self._table_dir(tid), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"num_buckets": self.num_buckets, "mode": self.mode},
+                      f)
 
     def _data_dir(self, tid: TableId) -> str:
         return os.path.join(self._table_dir(tid), "data")
@@ -363,13 +426,18 @@ class SnapshotLakeSink(DataSink):
         # is what keeps a million-file table's commits flat
         prev = self._manifest(tid) if self.snapshots(tid) else {}
         prev_shards = list(prev.get("stats_shards") or [])
-        covered: set[str] = set()
-        for sh in prev_shards:
-            covered |= self._load_shard(tid, sh).keys()
+        # a file listed in the PREVIOUS manifest is covered by its shard
+        # chain BY CONSTRUCTION — deriving coverage from the bucket
+        # listing (not by loading every shard) is what actually keeps the
+        # commit O(new files)
+        covered = {rel for fs in prev.get("buckets", {}).values()
+                   for rel in fs}
         legacy = prev.get("stats") or {}  # pre-shard manifests
         new_entries: dict[str, dict] = {}
+        live: set[str] = set()
         for files in buckets.values():
             for rel in files:
+                live.add(rel)
                 if rel in covered:
                     continue
                 st = legacy.get(rel)
@@ -380,10 +448,21 @@ class SnapshotLakeSink(DataSink):
                     except Exception:
                         st = {"rows": 0, "cols": {}}  # unreadable: no prune
                 new_entries[rel] = st
+        if live and not (live & covered):
+            # full rewrite (compaction / truncate+reload): nothing from
+            # the old shard chain is still live, so RESET the list — the
+            # shard-ref growth is bounded by commits since the last full
+            # compaction instead of table lifetime
+            prev_shards = []
         if new_entries:
+            import uuid
+
             sdir = self._stats_dir(tid)
             os.makedirs(sdir, exist_ok=True)
-            shard = f"s{seq}_{os.getpid()}.json"
+            # per-writer unique shard name: racing committers must never
+            # share a shard path (the loser's file would otherwise
+            # overwrite content a winning manifest references)
+            shard = f"s{seq}_{os.getpid()}_{uuid.uuid4().hex[:8]}.json"
             with open(os.path.join(sdir, shard), "w") as f:
                 json.dump(new_entries, f)
             prev_shards = prev_shards + [shard]
@@ -457,18 +536,45 @@ class SnapshotLakeSink(DataSink):
             return Schema.from_json(f.read()).primary_keys
 
     # -- write path --------------------------------------------------------
-    def _bucket_of(self, df: DataFrame, pks: list[str]):
-        integral = ("tinyint", "smallint", "int", "bigint")
-        if len(pks) == 1 and dict(df.dtypes).get(pks[0]) in integral:
+    def _schema_pk_integral(self, schema: Schema) -> bool:
+        """Whether the (single) PK is integral PER THE TABLE SCHEMA — the
+        one authority both the write path's bucket placement and the read
+        path's point-lookup pruning must share: deciding from a batch's
+        incidental dtypes instead would let a mistyped batch place rows
+        in buckets a point lookup never scans."""
+        import pyspark.sql.types as T
+
+        pks = schema.primary_keys
+        if len(pks) != 1:
+            return False
+        field = next((fl for fl in schema.struct_type().fields
+                      if fl.name == pks[0]), None)
+        return field is not None and isinstance(
+            field.dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+
+    def _bucket_of(self, df: DataFrame, pks: list[str], schema: Schema):
+        if self._schema_pk_integral(schema):
             key = F.coalesce(F.col(pks[0]).cast("bigint"), F.lit(0))
         else:
-            key = F.abs(F.hash(*pks).cast("bigint"))
+            # cast to the schema's declared types so the hash — and thus
+            # the bucket — is stable whatever dtypes a batch arrives with
+            types = {fl.name: fl.dataType
+                     for fl in schema.struct_type().fields}
+            key = F.abs(F.hash(
+                *[F.col(k).cast(types[k]) if k in types else F.col(k)
+                  for k in pks]).cast("bigint"))
         return portable_bucket_expr(key, self.num_buckets)
+
+    def _table_schema(self, tid: TableId) -> Schema:
+        with open(self._schema_path(tid)) as f:
+            return Schema.from_json(f.read())
 
     def write(self, table_id: TableId, df: DataFrame, schema: Schema,
               batch_id) -> None:
         from ..streaming.materialize import latest_image
 
+        self._ensure_meta(table_id)
         tdir = self._table_dir(table_id)
         marker = os.path.join(tdir, f"_batch_{batch_id}")
         if os.path.exists(marker):
@@ -489,7 +595,8 @@ class SnapshotLakeSink(DataSink):
         # persist: the touched-bucket collect and the file write are two
         # actions — unpersisted, a nondeterministic batch could write a
         # bucket the manifest never records (and vacuum would delete)
-        final = (final.withColumn(_BUCKET_COL, self._bucket_of(final, pks))
+        final = (final.withColumn(_BUCKET_COL,
+                                  self._bucket_of(final, pks, schema))
                  .persist())
         if self.mode == "mor":
             try:
@@ -606,8 +713,8 @@ class SnapshotLakeSink(DataSink):
         return out
 
     def scan_files(self, table_id: TableId, snapshot: int | None = None,
-                   filters=None, _manifest: dict | None = None
-                   ) -> tuple[list[str], int]:
+                   filters=None, _manifest: dict | None = None,
+                   _pk_allowed=_UNSET) -> tuple[list[str], int]:
         """Plan a scan: (base files kept after zone-map pruning, total base
         files in the snapshot).  With no filters every file is kept.  MoR
         DELTA files are never pruned — a newer delta version must shadow an
@@ -615,13 +722,15 @@ class SnapshotLakeSink(DataSink):
         the predicate, so only base files are prunable (same reason Iceberg
         applies delete files before residual filters).  ``_manifest`` lets
         ``read`` pass its already-loaded manifest instead of re-parsing."""
+        self._ensure_meta(table_id, create=False)
         manifest = (_manifest if _manifest is not None
                     else self._manifest(table_id, snapshot))
         total = sum(len(fs) for fs in manifest["buckets"].values())
         if not filters:
             return [p for fs in manifest["buckets"].values() for p in fs], \
                 total
-        allowed = self._pk_point_buckets(table_id, filters)
+        allowed = (_pk_allowed if _pk_allowed is not _UNSET
+                   else self._pk_point_buckets(table_id, filters))
         rels = [p for b, fs in manifest["buckets"].items()
                 if allowed is None or int(b) in allowed
                 for p in fs]
@@ -638,17 +747,19 @@ class SnapshotLakeSink(DataSink):
         files whose manifest zone maps prove no row can match are dropped
         from the scan driver-side, then the predicate is applied for real
         (pruning is an optimization, never the filter itself)."""
+        self._ensure_meta(table_id, create=False)
         manifest = self._manifest(table_id, snapshot)
-        kept, _total = self.scan_files(table_id, snapshot, filters,
-                                       _manifest=manifest)
-        paths = [os.path.join(self._data_dir(table_id), p) for p in kept]
-        # delta files carry the same PK-bucket invariant as base files
-        # (both write paths bucket the final image by the PK), so a PK
-        # point lookup restricts deltas to the owning bucket too —
-        # zone-map stats still never prune deltas (shadowing, see
+        # computed ONCE here (schema parse + bucket hash) and shared with
+        # scan_files: a PK point lookup restricts BASE and DELTA files to
+        # the owning bucket (both write paths bucket the final image by
+        # PK); zone-map stats still never prune deltas (shadowing, see
         # scan_files)
         pk_allowed = (self._pk_point_buckets(table_id, filters)
                       if filters else None)
+        kept, _total = self.scan_files(table_id, snapshot, filters,
+                                       _manifest=manifest,
+                                       _pk_allowed=pk_allowed)
+        paths = [os.path.join(self._data_dir(table_id), p) for p in kept]
         delta_paths = [os.path.join(self._delta_dir(table_id), p)
                        for b, files in (manifest.get("deltas") or {}).items()
                        if pk_allowed is None or int(b) in pk_allowed
@@ -728,6 +839,7 @@ class SnapshotLakeSink(DataSink):
           is a pure function of the PK, so it is recomputed on the read
           rather than stored.  A pure compaction diffs to zero rows.
         """
+        self._ensure_meta(table_id, create=False)
         m0 = self._manifest(table_id, from_snapshot)
         m1 = self._manifest(table_id, to_snapshot)
         d0 = {(b, p) for b, fs in (m0.get("deltas") or {}).items()
@@ -757,8 +869,9 @@ class SnapshotLakeSink(DataSink):
         new = self.read(spark, table_id, snapshot=to_snapshot)
         if changed != set(m0["buckets"]) | set(m1["buckets"]):
             want = [int(b) for b in changed]
-            old = old.where(self._bucket_of(old, pks).isin(want))
-            new = new.where(self._bucket_of(new, pks).isin(want))
+            sch = self._table_schema(table_id)
+            old = old.where(self._bucket_of(old, pks, sch).isin(want))
+            new = new.where(self._bucket_of(new, pks, sch).isin(want))
         data_cols = new.columns
         o = old.select(*[F.col(c).alias(f"__o_{c}") for c in data_cols])
         n = new.select(*[F.col(c).alias(f"__n_{c}") for c in data_cols])
@@ -791,6 +904,11 @@ class SnapshotLakeSink(DataSink):
         (+U); rows matching ``delete_where`` (a Column) are keyed
         deletes instead — Delta/Iceberg ``MERGE INTO`` reduced to the
         sink's changelog contract."""
+        clash = [c for c in (OP_COL, SEQ_COL) if c in df.columns]
+        if clash:
+            raise ValueError(
+                f"merge() is for envelope-free DataFrames but {clash} "
+                "already present — pass changelog rows to write() instead")
         op = (F.when(delete_where, F.lit("-D")).otherwise(F.lit("+U"))
               if delete_where is not None else F.lit("+U"))
         self.write(table_id,
@@ -870,11 +988,16 @@ class SnapshotLakeSink(DataSink):
         delta file processed exactly once per checkpoint, rows carrying
         ``__op`` + ``__commit_seq``.  Pair with ``foreachBatch`` to feed
         downstream incremental jobs (e.g. the signature-store dedup).
-        Compaction never re-emits (it writes base files, not deltas);
-        vacuum only removes already-processed files.  Batch analog:
+        Compaction never re-emits (it writes base files, not deltas).
+        RETENTION: vacuum expires delta files with their snapshots — a
+        consumer lagging more than ``vacuum(keep_last=N)`` commits
+        behind loses those changes permanently (the Kafka-retention
+        contract; see :meth:`vacuum`), so size keep_last to the slowest
+        consumer or pin a tag it has not passed.  Batch analog:
         :meth:`read_changes`."""
         import pyspark.sql.types as T
 
+        self._ensure_meta(table_id, create=False)
         if self.mode != "mor":
             raise ValueError(
                 "stream_changes needs mode='mor' (copy-on-write commits "
@@ -897,7 +1020,14 @@ class SnapshotLakeSink(DataSink):
         """Delete data files referenced by NO retained snapshot and drop
         the expired manifests.  TAGGED snapshots are always retained
         (Iceberg: refs block snapshot expiration).  Returns the number
-        of files removed."""
+        of files removed.
+
+        RETENTION CONTRACT for changelog consumers: ``keep_last`` is the
+        delta-retention window — a ``stream_changes`` consumer lagging
+        more than keep_last commits behind the head loses the vacuumed
+        deltas permanently (the same contract as Kafka retention); size
+        keep_last to the slowest consumer's worst-case lag, or tag a
+        snapshot the consumer has not passed to block expiration."""
         seqs = self.snapshots(table_id)
         tagged = set(self.tags(table_id).values())
         keep = sorted(set(seqs[-keep_last:]) | (tagged & set(seqs)))
@@ -929,10 +1059,19 @@ class SnapshotLakeSink(DataSink):
         for s in keep:
             m = self._manifest(table_id, s)
             live_shards.update(m.get("stats_shards") or [])
+        import time as _time
+
         sdir = self._stats_dir(table_id)
+        now = _time.time()
         for f in os.listdir(sdir) if os.path.isdir(sdir) else []:
-            if f.endswith(".json") and f not in live_shards:
-                os.remove(os.path.join(sdir, f))
+            full = os.path.join(sdir, f)
+            # age grace: an in-flight commit writes its shard BEFORE the
+            # atomic manifest link — a concurrent vacuum must not reap it
+            # as an orphan (Iceberg's orphan-file cleanup uses the same
+            # age-threshold discipline)
+            if (f.endswith(".json") and f not in live_shards
+                    and now - os.path.getmtime(full) > 3600):
+                os.remove(full)
         return removed
 
     def compact(self, spark: SparkSession, table_id: TableId,
@@ -962,6 +1101,7 @@ class SnapshotLakeSink(DataSink):
         ``order_by``."""
         if order_by and zorder:
             raise ValueError("order_by and zorder are mutually exclusive")
+        self._ensure_meta(table_id, create=False)
         manifest = self._manifest(table_id)
         if manifest.get("deltas"):
             self._compact_mor(spark, table_id, manifest,
@@ -1021,7 +1161,9 @@ class SnapshotLakeSink(DataSink):
         pks = self._pks(tid)
         new_seq = manifest["seq"] + 1
         rows = (merged
-                .withColumn(_BUCKET_COL, self._bucket_of(merged, pks))
+                .withColumn(_BUCKET_COL,
+                            self._bucket_of(merged, pks,
+                                            self._table_schema(tid)))
                 .withColumn(_COMMIT_SEQ, F.lit(new_seq).cast("bigint"))
                 .persist())
         try:

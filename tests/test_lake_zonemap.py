@@ -53,16 +53,24 @@ class TestZoneMaps:
 
     def test_stats_shards_are_o_new_files(self, spark, tmp_path):
         """Each commit's shard holds only ITS new files (Iceberg
-        manifest-list shape): a second commit must not re-serialize the
-        first commit's stats, and old shards are immutable."""
+        manifest-list shape): a commit touching one bucket must not
+        re-serialize the carried buckets' stats, and old shards are
+        immutable."""
+        from source_flink_cdc_3_5_0_spark.operators.partitioning import \
+            portable_bucket_py
+
         sink, tid, schema, ev = _mk(spark, tmp_path)
         m1 = sink._manifest(tid)
         shards1 = m1["stats_shards"]
         assert len(shards1) == 1
         sizes1 = {s: os.path.getsize(os.path.join(sink._stats_dir(tid), s))
                   for s in shards1}
-        fresh = (ev.limit(10)
-                 .withColumn("event_id", F.col("event_id") + 70000))
+        # fresh ids confined to bucket 0 so other buckets carry forward
+        ids = [v for v in range(70000, 71000)
+               if portable_bucket_py(v, sink.num_buckets) == 0][:10]
+        fresh = (spark.createDataFrame([(v,) for v in ids], "event_id long")
+                 .crossJoin(ev.limit(1).drop("event_id"))
+                 .select(*ev.columns))
         sink.write(tid, attach_envelope(fresh, "+I", seq=1), schema,
                    batch_id=1)
         m2 = sink._manifest(tid)
@@ -78,17 +86,35 @@ class TestZoneMaps:
         assert set(new_shard) <= rels2
         assert not (set(new_shard) & rels1 & rels2)
 
-    def test_vacuum_reclaims_unreferenced_shards(self, spark, tmp_path):
+    def test_full_rewrite_resets_shard_chain(self, spark, tmp_path):
+        """Compaction rewrites every live file, so the new manifest's
+        shard list starts over — shard-ref growth is bounded by commits
+        since the last full compaction, not table lifetime."""
         sink, tid, schema, ev = _mk(spark, tmp_path)
-        sink.compact(spark, tid)  # snapshot 1 with new files+shard
-        n_shards = len(os.listdir(sink._stats_dir(tid)))
-        assert n_shards >= 2
+        assert len(sink._manifest(tid)["stats_shards"]) == 1
+        sink.compact(spark, tid)
+        m = sink._manifest(tid)
+        assert len(m["stats_shards"]) == 1  # reset, not appended
+        assert set(sink.file_stats(tid)) == \
+            {p for fs in m["buckets"].values() for p in fs}
+
+    def test_vacuum_reclaims_unreferenced_shards_after_grace(
+            self, spark, tmp_path):
+        import time
+
+        sink, tid, schema, ev = _mk(spark, tmp_path)
+        sink.compact(spark, tid)  # full rewrite: chain reset, old shard dead
+        sdir = sink._stats_dir(tid)
+        assert len(os.listdir(sdir)) == 2
         sink.vacuum(tid, keep_last=1)
-        left = os.listdir(sink._stats_dir(tid))
-        # snapshot 1's shard list still references both (append-only),
-        # so both survive; drop to just the latest manifest's refs
+        # young unreferenced shard survives the in-flight-commit grace
+        assert len(os.listdir(sdir)) == 2
+        for f in os.listdir(sdir):
+            old = time.time() - 7200
+            os.utime(os.path.join(sdir, f), (old, old))
+        sink.vacuum(tid, keep_last=1)
         live = set(sink._manifest(tid).get("stats_shards") or [])
-        assert set(left) == live
+        assert set(os.listdir(sdir)) == live
         # pruning still works off the shards after vacuum
         sink._shard_cache.clear()
         assert sink.read(spark, tid).count() == ev.count()
@@ -778,3 +804,50 @@ class TestReadChangesMixedRange:
         for r in dels.collect():
             want[r["event_id"]] = "-D"
         assert got == set(want.items())
+
+
+class TestLayoutAuthority:
+    def test_bucket_count_mismatch_refused(self, spark, tmp_path):
+        """Opening a table with the wrong bucket count must ERROR — a
+        silent mismatch would make point lookups miss existing rows
+        (code-review find)."""
+        sink, tid, schema, ev = _mk(spark, tmp_path, num_buckets=4)
+        other = SnapshotLakeSink(sink.root, num_buckets=16)
+        with pytest.raises(ValueError, match="num_buckets"):
+            other.scan_files(tid, filters=[("event_id", "=", 1)])
+        with pytest.raises(ValueError, match="num_buckets"):
+            other.read(spark, tid)
+        with pytest.raises(ValueError, match="num_buckets"):
+            other.write(tid, attach_envelope(ev.limit(1), "+I", seq=9),
+                        schema, batch_id=99)
+
+    def test_for_table_resolves_persisted_layout(self, spark, tmp_path):
+        sink, tid, _, ev = _mk(spark, tmp_path, mode="mor", num_buckets=4)
+        opened = SnapshotLakeSink.for_table(sink.root, tid)
+        assert opened.num_buckets == 4 and opened.mode == "mor"
+        assert opened.read(spark, tid).count() == ev.count()
+        with pytest.raises(ValueError, match="num_buckets"):
+            SnapshotLakeSink.for_table(sink.root, tid, num_buckets=8)
+        with pytest.raises(ValueError, match="mode"):
+            SnapshotLakeSink.for_table(sink.root, tid, mode="cow")
+
+    def test_merge_refuses_envelope_columns(self, spark, tmp_path):
+        sink, tid, schema, ev = _mk(spark, tmp_path, num_buckets=2)
+        bad = ev.limit(3).withColumn(OP_COL, F.lit("+I"))
+        with pytest.raises(ValueError, match="envelope-free"):
+            sink.merge(tid, bad, schema, batch_id="m9")
+
+    def test_point_lookup_survives_mistyped_batch(self, spark, tmp_path):
+        """Bucket placement derives from the TABLE SCHEMA, not a batch's
+        incidental dtypes: a batch arriving with a string-typed PK still
+        lands in the integral bucket a later point lookup scans
+        (code-review find)."""
+        sink, tid, schema, ev = _mk(spark, tmp_path, num_buckets=4)
+        v = 987654
+        oddball = (ev.limit(1)
+                   .withColumn("event_id", F.lit(str(v)))  # STRING pk!
+                   .select("*", F.lit("+I").alias(OP_COL),
+                           F.lit(5).cast("bigint").alias(SEQ_COL)))
+        sink.write(tid, oddball, schema, batch_id=5)
+        got = sink.read(spark, tid, filters=[("event_id", "=", v)])
+        assert got.count() == 1
