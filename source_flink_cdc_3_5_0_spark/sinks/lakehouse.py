@@ -10,9 +10,13 @@ rewrites small files without changing visible data.
 
 Physical layout (all JSON control files are tiny — O(buckets) entries):
 
-    <root>/<tableId>/data/__bucket=N/part-*.parquet   append-only files
+    <root>/<tableId>/data/__bucket=N/part-*.parquet   append-only base files
+    <root>/<tableId>/delta/__bucket=N/part-*.parquet  MoR delta files
     <root>/<tableId>/_snapshots/<seq>.json            one manifest/commit
+    <root>/<tableId>/_stats/s<seq>_*.json             zone-map stat shards
     <root>/<tableId>/_schema.json                     evolved schema sidecar
+    <root>/<tableId>/_table.json                      layout {num_buckets, mode}
+    <root>/<tableId>/_tags.json                       named snapshot refs
     <root>/<tableId>/_batch_<id>                      replay markers
 
 Write path (copy-on-write at bucket granularity, like the default
