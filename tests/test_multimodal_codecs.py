@@ -212,3 +212,34 @@ class TestPngCodec:
         ys = (np.arange(4) * 13 // 4)
         xs = (np.arange(4) * 9 // 4)
         assert np.array_equal(small, img[ys][:, xs])
+
+
+class TestPngFuzz:
+    def test_parser_never_raises_on_arbitrary_bytes(self):
+        """A binary parser facing untrusted payloads must degrade to
+        None, never raise — fuzzed with random bytes, truncations and
+        chunk-level corruptions of a valid file."""
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import (
+            _PNG_SIG, _decode_png, _encode_png)
+
+        good = _encode_png(np.random.RandomState(5).randint(
+            0, 256, size=(6, 7, 3), dtype="uint8"))
+
+        @settings(max_examples=250, deadline=None)
+        @given(data=st.binary(max_size=300),
+               cut=st.integers(0, len(good)),
+               flip_at=st.integers(8, len(good) - 1),
+               flip_to=st.integers(0, 255))
+        def check(data, cut, flip_at, flip_to):
+            out = _decode_png(_PNG_SIG + data)   # signature + garbage
+            assert out is None or out.ndim == 3
+            out = _decode_png(good[:cut])        # truncation
+            assert out is None or out.ndim == 3
+            mutated = good[:flip_at] + bytes([flip_to]) + good[flip_at + 1:]
+            out = _decode_png(mutated)           # single-byte corruption
+            assert out is None or out.ndim == 3
+
+        check()
