@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "sample_repeat_epochs",
     "sink_lake_point_lookup",
     "dedup_keep_best",
+    "text_sentences",
 ]
 
 

@@ -3317,6 +3317,43 @@ def q_text_chunk_windows(spark, sf_dir):
     return chunk_windows(load(spark, sf_dir, "documents"), window_tokens=64)
 
 
+def q_text_sentences(spark, sf_dir):
+    """Sentence segmentation (extensions/text.sentences_sql — the step
+    upstream of sentence-level chunking/embedding): maximal runs of
+    non-terminator characters plus their trailing .!? terminators,
+    trimmed and positionally exploded with a per-sentence word count.
+    RE2-safe pattern so BOTH engines run the identical regex; zero
+    shuffles — one codegen projection + generator."""
+    from .extensions.text import sentences_sql, token_count_sql
+
+    docs = load(spark, sf_dir, "documents")
+    return (docs
+            .withColumn("__s", F.expr(sentences_sql("spark", "text")))
+            .select("doc_id", F.posexplode("__s").alias("sent_idx",
+                                                        "sentence"))
+            .select("doc_id", F.col("sent_idx").cast("int"),
+                    "sentence",
+                    F.expr(token_count_sql("spark", "sentence"))
+                    .cast("int").alias("n_words")))
+
+
+def _oracle_text_sentences() -> str:
+    from .extensions.text import sentences_sql, token_count_sql
+
+    return rf"""
+WITH s AS (
+  SELECT doc_id, {sentences_sql("duckdb", "text")} AS sents FROM documents
+), e AS (
+  SELECT doc_id, sents, unnest(range(1, len(sents) + 1)) AS i
+  FROM s WHERE len(sents) > 0
+)
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS sent_idx,
+       sents[i] AS sentence,
+       CAST({token_count_sql("duckdb", "sents[i]")} AS INTEGER) AS n_words
+FROM e
+"""
+
+
 ORACLE_CHUNK_WINDOWS = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -3793,6 +3830,7 @@ QUERIES: dict[str, object] = {
     "sample_repeat_epochs": q_sample_repeat_epochs,
     "sink_lake_point_lookup": q_sink_lake_point_lookup,
     "dedup_keep_best": q_dedup_keep_best,
+    "text_sentences": q_text_sentences,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3943,6 +3981,7 @@ ORACLES: dict[str, str] = {
     "sample_repeat_epochs": ORACLE_REPEAT_EPOCHS,
     "sink_lake_point_lookup": ORACLE_LAKE_POINT_LOOKUP,
     "dedup_keep_best": _oracle_dedup_keep_best(),
+    "text_sentences": _oracle_text_sentences(),
     "sample_hash_split": ORACLE_HASH_SPLIT,
     "sample_quota_per_lang": ORACLE_QUOTA_SAMPLE,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,

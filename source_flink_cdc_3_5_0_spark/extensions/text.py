@@ -337,3 +337,21 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
                       .cast("int").alias(name))
         stage = F.regexp_replace(stage, pattern, _tok)
     return df.select("*", *counts, stage.alias("redacted"))
+
+
+_SENT_PATTERN = r"[^.!?]+[.!?]*"
+
+
+def sentences_sql(dialect: str, col: str = "text") -> str:
+    """Array of trimmed, non-empty sentences — maximal runs of
+    non-terminator characters plus their trailing ``.!?`` terminators.
+    Deliberately RE2-safe (no lookbehind, which DuckDB's RE2 rejects) so
+    the SAME pattern runs in both engines; abbreviation handling ('Dr.')
+    is out of scope for a regex segmenter and documented as such."""
+    pat = _lit(dialect, _SENT_PATTERN)
+    if dialect == "spark":
+        arr = f"regexp_extract_all({col}, {pat}, 0)"
+        return (f"filter(transform({arr}, x -> trim(x)), x -> x != '')")
+    arr = f"regexp_extract_all({col}, {pat})"
+    return (f"list_filter(list_transform({arr}, x -> trim(x)), "
+            f"x -> x <> '')")
