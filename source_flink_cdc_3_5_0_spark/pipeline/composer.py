@@ -550,6 +550,18 @@ class PipelineComposer:
             path = opts.get("path") or opts.get("warehouse")
             if not path:
                 raise ValueError(f"{t} sink needs 'path' (or 'warehouse')")
+            if t == "fluss":
+                # fluss PRIMARY KEY tables ARE a log + kv pair: an
+                # append-only changelog (the log) merged per key on read
+                # (the kv view) — exactly the merge-on-read lake table,
+                # so fluss maps there rather than to the copy-on-write
+                # stand-in: write() appends delta files (the log),
+                # read() is the kv view, stream_changes() is log
+                # subscription (FlussDataSink's log tables; bucket
+                # hashing parity via the shared portable bucket fn)
+                from ..sinks.lakehouse import SnapshotLakeSink
+
+                return SnapshotLakeSink(path, mode="mor")
             if str(opts.get("snapshots", "false")).lower() == "true":
                 # snapshot-isolated manifests + time travel (the
                 # paimon/iceberg table-format semantics); default stays

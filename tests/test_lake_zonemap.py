@@ -851,3 +851,40 @@ class TestLayoutAuthority:
         sink.write(tid, oddball, schema, batch_id=5)
         got = sink.read(spark, tid, filters=[("event_id", "=", v)])
         assert got.count() == 1
+
+
+class TestFlussRouting:
+    def test_yaml_fluss_is_log_plus_kv(self, spark, tmp_path):
+        """YAML type=fluss routes to the MoR lake table — fluss PK tables
+        ARE a log (append-only changelog) + kv (merged-by-key) pair: the
+        pipeline's commits land as delta files only, read() is the kv
+        view, stream_changes() subscribes to the log."""
+        from source_flink_cdc_3_5_0_spark.pipeline import (PipelineComposer,
+                                                           parse_yaml_pipeline)
+        from source_flink_cdc_3_5_0_spark.sinks.lakehouse import \
+            SnapshotLakeSink
+
+        root = str(tmp_path / "fluss")
+        yaml = f"""
+source:
+  type: parquet
+  tables: '{{"tpch.main.nation": "{SF}/nation.parquet"}}'
+  primary-keys: '{{"tpch.main.nation": ["n_nationkey"]}}'
+sink:
+  type: fluss
+  path: {root}
+route:
+  - source-table: tpch.main.nation
+    sink-table: out.db.nation
+"""
+        exe = PipelineComposer(spark).compose(parse_yaml_pipeline(yaml))
+        exe.run()
+        sink = exe.sink
+        assert isinstance(sink, SnapshotLakeSink) and sink.mode == "mor"
+        tid = TableId.parse("out.db.nation")
+        m = sink._manifest(tid)
+        assert m.get("deltas") and not m["buckets"]  # log: append-only
+        kv = sink.read(spark, tid)  # kv: merged view
+        want = spark.read.parquet(f"{SF}/nation.parquet")
+        assert kv.count() == want.count()
+        assert sink.stream_changes(spark, tid) is not None  # log subscribe
