@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "sink_lake_point_lookup",
     "dedup_keep_best",
     "text_sentences",
+    "dedup_winnow",
 ]
 
 

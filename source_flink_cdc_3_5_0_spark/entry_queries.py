@@ -1170,6 +1170,46 @@ SELECT doc_id, rep_id, quality,
 FROM scored""".replace("{q}", q))
 
 
+def q_dedup_winnow(spark, sf_dir):
+    """Shared-SUBSTRING detection via winnowing (extensions/dedup.
+    winnowed_fingerprint_pairs — Schleimer et al. 2003, the MOSS
+    fingerprinter; the scale stand-in for Lee et al. 2022 suffix-array
+    substring dedup): 8-token window hashes winnowed by min-in-4, so any
+    shared run ≥ 11 tokens contributes an identical fingerprint to both
+    docs REGARDLESS of alignment (the winnowing theorem — stride
+    sampling can't promise that).  Pairs sharing ≥1 fingerprint with
+    counts; md5 end-to-end keeps it engine-exact."""
+    from .extensions.dedup import winnowed_fingerprint_pairs
+
+    return winnowed_fingerprint_pairs(load(spark, sf_dir, "documents"),
+                                      k=8, window=4)
+
+
+ORACLE_DEDUP_WINNOW = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t) - 8 + 2),
+                        i -> md5(array_to_string(t[i:i+7], ' '))) AS hs
+  FROM toks WHERE len(t) >= 8
+), fps AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(hs) >= 4 THEN
+           list_transform(range(1, len(hs) - 4 + 2),
+                          i -> list_aggregate(hs[i:i+3], 'min'))
+         ELSE [list_aggregate(hs, 'min')] END) AS f
+  FROM g
+), e AS (SELECT doc_id, unnest(f) AS fp FROM fps)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash hamming-distance near-dups. The 4×16-bit banding is
     pigeonhole-LOSSLESS for hamming≤3 (≥1 band must be identical), so the
@@ -3831,6 +3871,7 @@ QUERIES: dict[str, object] = {
     "sink_lake_point_lookup": q_sink_lake_point_lookup,
     "dedup_keep_best": q_dedup_keep_best,
     "text_sentences": q_text_sentences,
+    "dedup_winnow": q_dedup_winnow,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -3982,6 +4023,7 @@ ORACLES: dict[str, str] = {
     "sink_lake_point_lookup": ORACLE_LAKE_POINT_LOOKUP,
     "dedup_keep_best": _oracle_dedup_keep_best(),
     "text_sentences": _oracle_text_sentences(),
+    "dedup_winnow": ORACLE_DEDUP_WINNOW,
     "sample_hash_split": ORACLE_HASH_SPLIT,
     "sample_quota_per_lang": ORACLE_QUOTA_SAMPLE,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,

@@ -815,3 +815,60 @@ def srp_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                              F.round(dot / (norm("va") * norm("vb")), 6))
             .where(F.col("cosine") >= min_cosine)
             .select("id_a", "id_b", "cosine"))
+
+
+# -- winnowed fingerprints (substring-level dedup) -------------------------
+
+def winnowed_fingerprint_pairs(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", k: int = 8,
+                               window: int = 4) -> DataFrame:
+    """Cross-document SHARED-SUBSTRING detection via winnowing
+    (Schleimer, Wilkerson & Aiken 2003 — the MOSS fingerprinter; the
+    practical stand-in for Lee et al. 2022's suffix-array substring
+    dedup at cluster scale): hash every k-token window, then keep only
+    the MINIMUM hash of each ``window``-length run of consecutive
+    hashes.  The winnowing THEOREM makes the sampling alignment-free:
+    any token run of length ≥ k + window - 1 shared by two documents
+    contributes at least one IDENTICAL selected fingerprint to both —
+    unlike stride sampling, which misses shared spans that start at
+    different offsets.
+
+    Returns (id_a, id_b, n_shared_fps) for document pairs sharing ≥1
+    selected fingerprint — repeated-boilerplate / quotation / near-copy
+    span evidence, complementary to whole-doc (MinHash) and prefix
+    containment.
+
+    Scale shape: fingerprints are ~1/window of the gram stream, each an
+    md5 string; candidate generation is the usual hash-bucket equi-join
+    on the fingerprint (shuffle carries ids + 32-char hashes, never
+    text), partial-agg counts per pair.  Everything is JVM higher-order
+    functions over one tokens array — no Python, no shuffle before the
+    fingerprint join.  md5 keeps the whole computation engine-exact, so
+    the DuckDB oracle replays it bit-for-bit."""
+    toks = tokens_col(text_col)
+    n = F.size(F.col("__toks"))
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("__toks"), i + j + 1)
+                   for j in range(k)]))
+    hashes = F.transform(F.col("__grams"), lambda g: F.md5(g))
+    nh = F.size(F.col("__hashes"))
+    fps = F.when(
+        nh >= window,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), nh - window),
+            lambda i: F.array_min(F.slice(F.col("__hashes"), i + 1,
+                                          window))))
+    ).otherwise(F.array_distinct(F.array(F.array_min(F.col("__hashes")))))
+    fp_rows = (df.withColumn("__toks", toks)
+               .where(F.size(F.col("__toks")) >= k)
+               .withColumn("__grams", grams)
+               .withColumn("__hashes", hashes)
+               .select(F.col(id_col), F.explode(fps).alias("fp")))
+    return (fp_rows.alias("l").join(fp_rows.alias("r"), on="fp")
+            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps")))

@@ -295,3 +295,43 @@ class TestPortableBucketPyEquivalence:
                    df.select(portable_bucket_expr(F.col("k"), n)).collect()]
             want = [portable_bucket_py(k, n) for k in keys]
             assert got == want, (n, list(zip(keys, got, want)))
+
+
+class TestWinnowingGuarantee:
+    def test_shared_span_detected_regardless_of_alignment(self, spark):
+        """The winnowing theorem: a shared token run of length >=
+        k + window - 1 (= 11 here) yields >= 1 identical fingerprint in
+        both docs, whatever offsets the run sits at."""
+        from source_flink_cdc_3_5_0_spark.extensions.dedup import \
+            winnowed_fingerprint_pairs
+
+        span = " ".join(f"s{i}" for i in range(11))
+        rows = [
+            (1, "a1 a2 a3 " + span + " a4 a5"),            # offset 3
+            (2, "b1 " + span + " b2 b3 b4 b5 b6 b7"),      # offset 1
+            (3, " ".join(f"c{i}" for i in range(30))),     # no overlap
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in winnowed_fingerprint_pairs(df, k=8, window=4)
+                 .collect()}
+        assert (1, 2) in pairs
+        assert not any(3 in p for p in pairs)
+
+    def test_short_shared_span_may_miss_long_always_hits(self, spark):
+        """Below the guarantee (10 shared tokens) detection is allowed
+        to miss; at and above it never does — pinned over several
+        alignments."""
+        from source_flink_cdc_3_5_0_spark.extensions.dedup import \
+            winnowed_fingerprint_pairs
+
+        span = " ".join(f"s{i}" for i in range(11))
+        for off_a, off_b in [(0, 5), (2, 9), (7, 0)]:
+            rows = [
+                (1, " ".join(f"a{i}" for i in range(off_a)) + " " + span),
+                (2, " ".join(f"b{i}" for i in range(off_b)) + " " + span),
+            ]
+            df = spark.createDataFrame(rows, "doc_id bigint, text string")
+            got = winnowed_fingerprint_pairs(df, k=8, window=4).collect()
+            assert len(got) == 1 and got[0]["n_shared_fps"] >= 1, \
+                (off_a, off_b)
