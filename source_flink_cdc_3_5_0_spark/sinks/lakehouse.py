@@ -416,8 +416,11 @@ class SnapshotLakeSink(DataSink):
         seq = (self.snapshots(tid) or [-1])[-1] + 1
         # per-writer tmp name so racing writers don't collide pre-commit
         tmp = os.path.join(snap_dir, f"{seq}.json.{os.getpid()}.tmp")
+        import time as _time
+
         doc = {"seq": seq, "batch_id": None if batch_id is None
-               else str(batch_id), "buckets": buckets}
+               else str(batch_id), "buckets": buckets,
+               "committed_at": _time.time()}
         if deltas:
             doc["deltas"] = deltas
         # stats only for BASE files: delta files are never pruned (see
@@ -951,6 +954,27 @@ class SnapshotLakeSink(DataSink):
         return self._commit(table_id, dict(m["buckets"]),
                             deltas={k: list(v) for k, v in
                                     (m.get("deltas") or {}).items()} or None)
+
+    def snapshot_as_of(self, table_id: TableId, ts: float) -> int:
+        """The snapshot current AT wall-clock ``ts`` (epoch seconds or a
+        datetime) — Iceberg's ``FOR SYSTEM_TIME AS OF``.  Resolves to the
+        last snapshot whose ``committed_at`` ≤ ts; raises if the table
+        had no snapshot yet at that time (or the manifests predate the
+        committed_at field and were since vacuumed)."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            ts = ts.timestamp()
+        best = None
+        for s in self.snapshots(table_id):
+            at = self._manifest(table_id, s).get("committed_at")
+            if at is not None and at <= ts:
+                best = s
+        if best is None:
+            raise ValueError(
+                f"{table_id}: no snapshot existed at {ts} "
+                f"(have {self.snapshots(table_id)})")
+        return best
 
     def _tags_path(self, tid: TableId) -> str:
         return os.path.join(self._table_dir(tid), "_tags.json")

@@ -888,3 +888,35 @@ route:
         want = spark.read.parquet(f"{SF}/nation.parquet")
         assert kv.count() == want.count()
         assert sink.stream_changes(spark, tid) is not None  # log subscribe
+
+
+class TestAsOfTimestamp:
+    def test_as_of_resolves_the_snapshot_current_at_time(self, spark,
+                                                         tmp_path):
+        """FOR SYSTEM_TIME AS OF: wall-clock between two commits resolves
+        to the earlier snapshot; before the first commit raises."""
+        import time
+
+        sink, tid, schema, ev = _mk(spark, tmp_path, num_buckets=2)
+        s0 = sink.snapshots(tid)[-1]
+        t_before = sink._manifest(tid, s0)["committed_at"] - 1.0
+        time.sleep(0.05)
+        t_mid = time.time()
+        time.sleep(0.05)
+        upd = (ev.limit(5)
+               .withColumn("value", F.lit(1.0))
+               .select("*", F.lit("+U").alias(OP_COL),
+                       F.lit(1).cast("bigint").alias(SEQ_COL)))
+        sink.write(tid, upd, schema, batch_id=1)
+        s1 = sink.snapshots(tid)[-1]
+        assert sink.snapshot_as_of(tid, t_mid) == s0
+        assert sink.snapshot_as_of(tid, time.time()) == s1
+        import datetime as dt2
+        assert sink.snapshot_as_of(
+            tid, dt2.datetime.fromtimestamp(t_mid)) == s0
+        with pytest.raises(ValueError, match="no snapshot existed"):
+            sink.snapshot_as_of(tid, t_before)
+        # reads through the resolved seq see the pre-update state
+        old = sink.read(spark, tid,
+                        snapshot=sink.snapshot_as_of(tid, t_mid))
+        assert old.where(F.col("value") == 1.0).count() == 0
