@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "text_sentences",
     "dedup_winnow",
+    "profile_orders",
+    "validate_orders",
+    "text_lm_quality",
 ]
 
 

@@ -3814,6 +3814,172 @@ FROM q
 """
 
 
+def q_profile_orders(spark, sf_dir):
+    """Deequ-style column profiling (extensions/dataquality.profile_table):
+    per-column null counts, exact distinct cardinality, typed min/max over
+    six orders columns — ONE wide aggregate (map-side partial agg to a
+    single row) + a 1-row stack unpivot. The exact multi-distinct rewrite
+    (Expand) is the oracle-friendly mode; the 100-TB mode is
+    ``approx=True`` (HLL, no Expand — plan pinned in tests)."""
+    from .extensions.dataquality import profile_table
+
+    orders = load(spark, sf_dir, "orders")
+    return profile_table(orders, ["o_orderkey", "o_custkey", "o_orderstatus",
+                                  "o_totalprice", "o_orderdate",
+                                  "o_orderpriority"])
+
+
+ORACLE_PROFILE_ORDERS = """
+WITH a AS (
+  SELECT COUNT(*) AS n,
+         COUNT(o_orderkey) AS nn1, COUNT(DISTINCT o_orderkey) AS nd1,
+         CAST(MIN(o_orderkey) AS DOUBLE) AS mn1, CAST(MAX(o_orderkey) AS DOUBLE) AS mx1,
+         COUNT(o_custkey) AS nn2, COUNT(DISTINCT o_custkey) AS nd2,
+         CAST(MIN(o_custkey) AS DOUBLE) AS mn2, CAST(MAX(o_custkey) AS DOUBLE) AS mx2,
+         COUNT(o_orderstatus) AS nn3, COUNT(DISTINCT o_orderstatus) AS nd3,
+         CAST(MIN(o_orderstatus) AS VARCHAR) AS smn3, CAST(MAX(o_orderstatus) AS VARCHAR) AS smx3,
+         COUNT(o_totalprice) AS nn4, COUNT(DISTINCT o_totalprice) AS nd4,
+         CAST(MIN(o_totalprice) AS DOUBLE) AS mn4, CAST(MAX(o_totalprice) AS DOUBLE) AS mx4,
+         COUNT(o_orderdate) AS nn5, COUNT(DISTINCT o_orderdate) AS nd5,
+         CAST(MIN(o_orderdate) AS VARCHAR) AS smn5, CAST(MAX(o_orderdate) AS VARCHAR) AS smx5,
+         COUNT(o_orderpriority) AS nn6, COUNT(DISTINCT o_orderpriority) AS nd6,
+         CAST(MIN(o_orderpriority) AS VARCHAR) AS smn6, CAST(MAX(o_orderpriority) AS VARCHAR) AS smx6
+  FROM orders)
+SELECT 'o_orderkey' AS col_name, n AS n_rows, n - nn1 AS n_null, nd1 AS n_distinct,
+       mn1 AS min_num, mx1 AS max_num, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+UNION ALL
+SELECT 'o_custkey', n, n - nn2, nd2, mn2, mx2, NULL, NULL FROM a
+UNION ALL
+SELECT 'o_orderstatus', n, n - nn3, nd3, NULL, NULL, smn3, smx3 FROM a
+UNION ALL
+SELECT 'o_totalprice', n, n - nn4, nd4, mn4, mx4, NULL, NULL FROM a
+UNION ALL
+SELECT 'o_orderdate', n, n - nn5, nd5, NULL, NULL, smn5, smx5 FROM a
+UNION ALL
+SELECT 'o_orderpriority', n, n - nn6, nd6, NULL, NULL, smn6, smx6 FROM a
+"""
+
+
+def q_validate_orders(spark, sf_dir):
+    """Declarative constraint validation (extensions/dataquality.
+    validate_constraints): PK uniqueness, NOT NULL, accepted values,
+    range, and referential integrity over orders→customer. The base
+    corpus is clean, so five deterministic corruption classes (modulo
+    buckets, PK-offset so classes stay disjoint) are injected first and
+    the oracle replays them — every check both fires and counts exactly.
+    Row-level rules share ONE scan; unique is one group-count; the FK is
+    one anti-join on the key."""
+    from .extensions.dataquality import (accepted_values, foreign_key,
+                                         in_range, not_null, unique,
+                                         validate_constraints)
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    customer = load(spark, sf_dir, "customer")
+
+    def corrupt(mod, key_off, **sets):
+        d = base.where(F.col("o_orderkey") % mod == 0) \
+                .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(key_off))
+        for col, val in sets.items():
+            d = d.withColumn(col, val)
+        return d
+
+    aug = (base
+           .unionByName(corrupt(101, 0))                      # duplicate PK
+           .unionByName(corrupt(103, 1_000_000_000,
+                                o_custkey=F.lit(None).cast("long")))
+           .unionByName(corrupt(107, 2_000_000_000,
+                                o_orderstatus=F.lit("X")))
+           .unionByName(corrupt(109, 3_000_000_000,
+                                o_totalprice=F.lit(-1.0)))
+           .unionByName(corrupt(113, 4_000_000_000,
+                                o_custkey=F.lit(-42).cast("long"))))
+    return validate_constraints(aug, [
+        unique("orderkey_unique", "o_orderkey"),
+        not_null("custkey_not_null", "o_custkey"),
+        accepted_values("status_accepted", "o_orderstatus", ["O", "F", "P"]),
+        in_range("totalprice_positive", "o_totalprice", lo=0.0),
+        foreign_key("custkey_fk", "o_custkey", customer, "c_custkey"),
+    ])
+
+
+ORACLE_VALIDATE_ORDERS = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+aug AS (
+  SELECT * FROM base
+  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM base WHERE o_orderkey % 101 = 0
+  UNION ALL SELECT o_orderkey + 1000000000, NULL, o_orderstatus, o_totalprice
+            FROM base WHERE o_orderkey % 103 = 0
+  UNION ALL SELECT o_orderkey + 2000000000, o_custkey, 'X', o_totalprice
+            FROM base WHERE o_orderkey % 107 = 0
+  UNION ALL SELECT o_orderkey + 3000000000, o_custkey, o_orderstatus, -1.0
+            FROM base WHERE o_orderkey % 109 = 0
+  UNION ALL SELECT o_orderkey + 4000000000, -42, o_orderstatus, o_totalprice
+            FROM base WHERE o_orderkey % 113 = 0),
+res AS (
+  SELECT 'orderkey_unique' AS chk,
+         (SELECT COALESCE(SUM(cnt - 1), 0) FROM
+            (SELECT COUNT(*) AS cnt FROM aug GROUP BY o_orderkey
+             HAVING COUNT(*) > 1)) AS violations
+  UNION ALL
+  SELECT 'custkey_not_null',
+         (SELECT COUNT(*) FROM aug WHERE o_custkey IS NULL)
+  UNION ALL
+  SELECT 'status_accepted',
+         (SELECT COUNT(*) FROM aug WHERE o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('O', 'F', 'P'))
+  UNION ALL
+  SELECT 'totalprice_positive',
+         (SELECT COUNT(*) FROM aug WHERE o_totalprice IS NOT NULL
+            AND o_totalprice < 0.0)
+  UNION ALL
+  SELECT 'custkey_fk',
+         (SELECT COUNT(*) FROM aug WHERE o_custkey IS NOT NULL
+            AND o_custkey NOT IN (SELECT c_custkey FROM customer)))
+SELECT chk AS "check", CAST(violations AS BIGINT) AS violations,
+       violations = 0 AS passed
+FROM res ORDER BY chk
+"""
+
+
+def q_text_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality filter (extensions/lm.lm_quality_score):
+    the trigram model is trained on the CLEAN corpus (the CCNet reference
+    role), then an augmented crawl — every 17th doc gets gibberish
+    appended, sized ~proportional to the doc — is scored by mean
+    character-trigram probability; out-of-vocabulary junk grams score 0,
+    so corrupted docs drop well below the keep threshold. Integer-scaled
+    probabilities ((c3 * 1e9) div c2) keep the score bit-identical across
+    engines (no libm); the oracle replays the append and the identical
+    model."""
+    from .extensions.lm import lm_quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 17 == 0,
+                   F.expr("repeat(' qzx vqj xkq jzv qqw zzk', "
+                          "CAST(ceil(length(text) / 50.0) AS INT))"))
+             .otherwise(F.lit(""))).alias("text"))
+    return lm_quality_score(aug, reference=docs.select("doc_id", "text"),
+                            keep_threshold=520_000_000)
+
+
+def _oracle_lm_quality() -> str:
+    from .extensions.lm import lm_quality_oracle_sql
+
+    aug = ("(SELECT doc_id, text || CASE WHEN doc_id % 17 = 0 "
+           "THEN repeat(' qzx vqj xkq jzv qqw zzk', "
+           "CAST(ceil(len(text) / 50.0) AS INTEGER)) ELSE '' END "
+           "AS text FROM documents) AS aug_docs")
+    return lm_quality_oracle_sql(table=aug, ref_table="documents",
+                                 keep_threshold=520_000_000)
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -3872,6 +4038,9 @@ QUERIES: dict[str, object] = {
     "dedup_keep_best": q_dedup_keep_best,
     "text_sentences": q_text_sentences,
     "dedup_winnow": q_dedup_winnow,
+    "profile_orders": q_profile_orders,
+    "validate_orders": q_validate_orders,
+    "text_lm_quality": q_text_lm_quality,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -4038,6 +4207,9 @@ ORACLES: dict[str, str] = {
     "sketch_kmv_by_group": _oracle_kmv_by(),
     "cdc_truncate_drop": ORACLE_TRUNCATE_DROP,
     "cdc_postgres_pipeline": ORACLE_POSTGRES_PIPELINE,
+    "profile_orders": ORACLE_PROFILE_ORDERS,
+    "validate_orders": ORACLE_VALIDATE_ORDERS,
+    "text_lm_quality": _oracle_lm_quality(),
 }
 
 

@@ -1,0 +1,150 @@
+"""Data-quality operators: column profiling, constraint validation, and
+the char-trigram LM quality scorer (plan shapes + semantics)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from source_flink_cdc_3_5_0_spark.extensions.dataquality import (
+    accepted_values, foreign_key, in_range, not_null, profile_table, unique,
+    validate_constraints)
+from source_flink_cdc_3_5_0_spark.extensions.lm import (
+    char_trigrams, lm_quality_score, train_trigram_model)
+
+
+@pytest.fixture()
+def frame(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, 2.5), (3, "b", -4.0)],
+        "id BIGINT, s STRING, x DOUBLE")
+
+
+class TestProfile:
+    def test_profile_values(self, spark, frame):
+        rows = {r["col_name"]: r for r in profile_table(frame).collect()}
+        assert set(rows) == {"id", "s", "x"}
+        assert all(r["n_rows"] == 4 for r in rows.values())
+        assert rows["id"]["n_null"] == 0 and rows["id"]["n_distinct"] == 3
+        assert rows["id"]["min_num"] == 1.0 and rows["id"]["max_num"] == 3.0
+        assert rows["id"]["min_str"] is None
+        assert rows["s"]["n_null"] == 1 and rows["s"]["n_distinct"] == 2
+        assert rows["s"]["min_str"] == "a" and rows["s"]["max_str"] == "b"
+        assert rows["s"]["min_num"] is None
+        assert rows["x"]["n_null"] == 1 and rows["x"]["min_num"] == -4.0
+
+    def test_exact_mode_uses_expand_approx_does_not(self, spark, frame):
+        """Exact multi-distinct needs Spark's Expand rewrite (k-fold scan);
+        the 100-TB approx mode must stay a plain two-phase aggregate."""
+        exact = profile_table(frame)._jdf.queryExecution().executedPlan().toString()
+        approx = profile_table(frame, approx=True) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" in exact
+        assert "Expand" not in approx
+
+    def test_approx_mode_close_on_real_table(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        rows = {r["col_name"]: r
+                for r in profile_table(docs, ["doc_id", "lang"],
+                                       approx=True).collect()}
+        # HLL default rsd = 5%; doc_id is unique, lang has a handful
+        assert abs(rows["doc_id"]["n_distinct"] - 500) <= 50
+        assert rows["lang"]["n_distinct"] <= 10
+
+
+class TestValidate:
+    def test_all_kinds_fire(self, spark, frame):
+        parent = spark.createDataFrame([(1,), (2,)], "pid BIGINT")
+        out = {r["check"]: r for r in validate_constraints(frame, [
+            unique("id_unique", "id"),
+            not_null("s_not_null", "s"),
+            accepted_values("s_accepted", "s", ["a"]),
+            in_range("x_nonneg", "x", lo=0.0),
+            foreign_key("id_fk", "id", parent, "pid"),
+        ]).collect()}
+        assert out["id_unique"]["violations"] == 1          # 3 appears twice
+        assert out["s_not_null"]["violations"] == 1
+        assert out["s_accepted"]["violations"] == 2         # two 'b' rows
+        assert out["x_nonneg"]["violations"] == 1           # -4.0
+        assert out["id_fk"]["violations"] == 2              # both id=3 rows
+        assert not any(r["passed"] for r in out.values())
+
+    def test_clean_table_passes(self, spark):
+        clean = spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, s STRING")
+        out = validate_constraints(clean, [
+            unique("u", "id"), not_null("n", "s"),
+            accepted_values("a", "s", ["a", "b"]),
+        ]).collect()
+        assert all(r["passed"] and r["violations"] == 0 for r in out)
+
+    def test_row_rules_share_one_scan(self, spark, frame):
+        """not_null + accepted + range compile to a single aggregate over
+        one scan of the table — no per-rule passes."""
+        plan = validate_constraints(frame, [
+            not_null("a", "s"), accepted_values("b", "s", ["a"]),
+            in_range("c", "x", lo=0.0),
+        ])._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan ExistingRDD") == 1
+
+    def test_null_fk_and_accepted_are_not_violations(self, spark, frame):
+        parent = spark.createDataFrame([(9,)], "pid BIGINT")
+        null_heavy = frame.withColumn("id", F.lit(None).cast("long"))
+        out = {r["check"]: r for r in validate_constraints(null_heavy, [
+            foreign_key("fk", "id", parent, "pid"),
+            accepted_values("acc", "id", [9]),
+        ]).collect()}
+        assert out["fk"]["violations"] == 0
+        assert out["acc"]["violations"] == 0
+
+
+class TestLmQuality:
+    def test_trigram_explosion(self, spark):
+        df = spark.createDataFrame([(1, "abcd"), (2, "ab"), (3, None)],
+                                   "doc_id BIGINT, text STRING")
+        grams = {tuple(r) for r in char_trigrams(df).collect()}
+        assert grams == {(1, "abc"), (1, "bcd")}
+
+    def test_deterministic_continuation_scores_full(self, spark):
+        # "ababab": every trigram's prefix continues one way -> p = 1e9
+        df = spark.createDataFrame([(1, "ababab")], "doc_id BIGINT, text STRING")
+        row = lm_quality_score(df).collect()[0]
+        assert row["mean_p_scaled"] == 1_000_000_000.0
+        assert row["n_trigrams"] == 4
+
+    def test_oov_scores_zero_under_reference(self, spark):
+        ref = spark.createDataFrame([(0, "ababab")], "doc_id BIGINT, text STRING")
+        crawl = spark.createDataFrame([(1, "xyzxyz")], "doc_id BIGINT, text STRING")
+        row = lm_quality_score(crawl, reference=ref).collect()[0]
+        assert row["mean_p_scaled"] == 0.0
+
+    def test_model_join_is_broadcast(self, spark):
+        """The trigram vocabulary is charset-bounded (≤ |charset|³), so the
+        model side broadcasts by default — no second shuffle of the gram
+        stream; broadcast_model=False falls back to a shuffle join."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = lm_quality_score(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # The hint must hold even when Catalyst wouldn't volunteer a
+        # broadcast; without it the fallback is a plain shuffle join.
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            hinted = lm_quality_score(docs)._jdf.queryExecution() \
+                .executedPlan().toString()
+            assert "BroadcastHashJoin" in hinted
+            shuffled = lm_quality_score(docs, broadcast_model=False) \
+                ._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in shuffled
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+    def test_split_probabilities_sum_per_prefix(self, spark):
+        # continuation MLE: per-prefix scaled probs sum to ~1e9 (floor loss)
+        df = spark.createDataFrame([(1, "aab aac aab aad")],
+                                   "doc_id BIGINT, text STRING")
+        model = train_trigram_model(char_trigrams(df)).collect()
+        per_prefix: dict = {}
+        for r in model:
+            per_prefix.setdefault(r["gram"][:2], []).append(r["p_scaled"])
+        for probs in per_prefix.values():
+            assert sum(probs) <= 1_000_000_000
+            assert sum(probs) > 1_000_000_000 - len(probs)
