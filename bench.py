@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "profile_orders",
     "validate_orders",
     "text_lm_quality",
+    "audio_frame_energy",
+    "image_phash_dedup",
 ]
 
 

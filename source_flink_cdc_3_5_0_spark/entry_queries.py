@@ -3980,6 +3980,120 @@ def _oracle_lm_quality() -> str:
                                  keep_threshold=520_000_000)
 
 
+def q_audio_frame_energy(spark, sf_dir):
+    """Sliding-window audio framing, REAL decode, value-level oracled
+    (extensions/multimodal.frame_audio_energy): deterministic sawtooth
+    16-bit PCM WAVs (sample i = ((id*37 + i*11) % 4001) - 2000) are built
+    as actual RIFF bytes in an Arrow stage, decoded by the stdlib codec,
+    and framed 16-samples/hop-8 with integer energy (Σx²) and peak —
+    no float anywhere, so DuckDB replays every frame's values exactly
+    from the same waveform formula."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+    import pandas as pd
+
+    from .extensions.multimodal import MEDIA_SCHEMA, frame_audio_energy
+
+    ids = load(spark, sf_dir, "embeddings").select("vec_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["vec_id"]:
+                mid = int(mid)
+                x = ((mid * 37 + np.arange(64, dtype=np.int64) * 11) % 4001
+                     - 2000).astype("<i2")
+                buf = _io.BytesIO()
+                with _wave.open(buf, "wb") as f:
+                    f.setnchannels(1)
+                    f.setsampwidth(2)
+                    f.setframerate(8000)
+                    f.writeframes(x.tobytes())
+                rows.append((mid, "audio", bytearray(buf.getvalue()),
+                             "audio/wav", None, None, 8))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    media = ids.mapInPandas(gen, MEDIA_SCHEMA)
+    return frame_audio_energy(media, frame_len=16, hop=8)
+
+
+ORACLE_AUDIO_FRAMES = """
+WITH ids AS (SELECT vec_id AS media_id FROM embeddings),
+samples AS (
+  SELECT media_id, i, ((media_id * 37 + i * 11) % 4001) - 2000 AS x
+  FROM (SELECT media_id, unnest(generate_series(0, 63)) AS i FROM ids)),
+frames AS (SELECT unnest(generate_series(0, 6)) AS frame_idx)
+SELECT s.media_id,
+       CAST(f.frame_idx AS INTEGER) AS frame_idx,
+       CAST(16 AS INTEGER) AS n_samples,
+       CAST(SUM(x * x) AS BIGINT) AS energy,
+       CAST(MAX(ABS(x)) AS INTEGER) AS peak
+FROM samples s, frames f
+WHERE s.i >= f.frame_idx * 8 AND s.i < f.frame_idx * 8 + 16
+GROUP BY s.media_id, f.frame_idx
+"""
+
+
+def q_image_phash_dedup(spark, sf_dir):
+    """Perceptual image dedup, REAL decode, value-level oracled
+    (extensions/multimodal.image_ahash): groups of 4 images share one
+    gradient pattern ((id div 4)*31 + r*16 + c) % 200 but carry DIFFERENT
+    uniform brightness offsets ((id % 4)*10) — their encoded bytes differ,
+    exact/md5 dedup finds nothing, yet the integer-threshold aHash is
+    provably brightness-invariant so all 4 collapse to one hash. Output =
+    per-image hash + candidate-group size (the same hash-equality shuffle
+    MinHash banding uses). DuckDB recomputes every pixel, the integer
+    threshold, and the 64-bit string."""
+    import numpy as np
+    import pandas as pd
+
+    from .extensions.multimodal import MEDIA_SCHEMA, _encode_ppm, image_ahash
+    from pyspark.sql import Window
+
+    ids = load(spark, sf_dir, "embeddings").select("vec_id")
+
+    def gen(batches):
+        rr, cc = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        for pdf in batches:
+            rows = []
+            for mid in pdf["vec_id"]:
+                mid = int(mid)
+                v = ((mid // 4) * 31 + rr * 16 + cc) % 200 + (mid % 4) * 10
+                arr = np.repeat(v[:, :, None], 3, axis=2).astype(np.uint8)
+                rows.append((mid, "image", bytearray(_encode_ppm(arr)),
+                             "image/x-portable-pixmap", 8, 8, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    media = ids.mapInPandas(gen, MEDIA_SCHEMA)
+    hashed = image_ahash(media, grid=8)
+    return (hashed.select("media_id", F.md5("ahash_bits").alias("ahash"))
+                  .withColumn("group_size",
+                              F.count(F.lit(1)).over(
+                                  Window.partitionBy("ahash"))))
+
+
+ORACLE_IMAGE_PHASH = """
+WITH ids AS (SELECT vec_id AS media_id FROM embeddings),
+px AS (
+  SELECT media_id, r, c,
+         ((media_id // 4) * 31 + r * 16 + c) % 200 + (media_id % 4) * 10 AS v
+  FROM (SELECT media_id, unnest(generate_series(0, 7)) AS r FROM ids),
+       (SELECT unnest(generate_series(0, 7)) AS c)),
+stats AS (SELECT media_id, SUM(3 * v) AS s FROM px GROUP BY media_id),
+bits AS (
+  SELECT px.media_id, r * 8 + c AS idx,
+         CASE WHEN 64 * (3 * v) >= s THEN '1' ELSE '0' END AS b
+  FROM px JOIN stats USING (media_id)),
+h AS (SELECT media_id, md5(string_agg(b, '' ORDER BY idx)) AS ahash
+      FROM bits GROUP BY media_id)
+SELECT media_id, ahash,
+       COUNT(*) OVER (PARTITION BY ahash) AS group_size
+FROM h
+"""
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -4041,6 +4155,8 @@ QUERIES: dict[str, object] = {
     "profile_orders": q_profile_orders,
     "validate_orders": q_validate_orders,
     "text_lm_quality": q_text_lm_quality,
+    "audio_frame_energy": q_audio_frame_energy,
+    "image_phash_dedup": q_image_phash_dedup,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -4210,6 +4326,8 @@ ORACLES: dict[str, str] = {
     "profile_orders": ORACLE_PROFILE_ORDERS,
     "validate_orders": ORACLE_VALIDATE_ORDERS,
     "text_lm_quality": _oracle_lm_quality(),
+    "audio_frame_energy": ORACLE_AUDIO_FRAMES,
+    "image_phash_dedup": ORACLE_IMAGE_PHASH,
 }
 
 

@@ -473,3 +473,137 @@ def synthetic_media(spark, n: int = 256) -> DataFrame:
                      64 + i % 256 if kind == "image" else None,
                      1000 * (i % 90) if kind != "image" else None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# -- frame-level audio analysis (real decode, integer-exact) ----------------
+
+_FRAME_ENERGY_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("n_samples", T.IntegerType(), False),
+    T.StructField("energy", T.LongType(), False),       # sum of sample^2
+    T.StructField("peak", T.IntegerType(), False),      # max |sample|
+])
+
+
+def _decode_wav_raw(payload: bytes) -> np.ndarray | None:
+    """16-bit PCM WAV -> RAW int32 samples of channel 0 (no normalization —
+    downstream framing stays integer-exact). None if not 16-bit PCM."""
+    if not payload.startswith(b"RIFF"):
+        return None
+    try:
+        with wave.open(io.BytesIO(bytes(payload))) as f:
+            if f.getsampwidth() != 2:
+                return None
+            frames = f.readframes(f.getnframes())
+            ch = f.getnchannels()
+    except (wave.Error, EOFError, struct.error):
+        return None
+    x = np.frombuffer(frames, dtype="<i2").astype(np.int32)
+    if ch > 1:
+        x = x.reshape(-1, ch)[:, 0]
+    return x
+
+
+def frame_audio_energy(df: DataFrame, frame_len: int = 16,
+                       hop: int = 8) -> DataFrame:
+    """Sliding-window audio framing — the first stage of every audio
+    feature extractor (MFCC/VAD/silence trim): each 16-bit-PCM clip
+    explodes into frames of ``frame_len`` samples every ``hop``, with the
+    frame's ENERGY (sum of squared samples) and PEAK (max absolute
+    sample), both exact integers — no float anywhere, so a SQL oracle can
+    replay the values bit-for-bit from a deterministic waveform.
+
+    Plumbing: non-audio rows are dropped JVM-side; the Arrow stage decodes
+    each clip once and emits a strided view (numpy ``sliding_window_view``
+    — no per-frame copy). 1:N fan-out is bounded by ``n_samples/hop``
+    rows per clip; undecodable audio payloads are skipped (None rows
+    would poison integer columns)."""
+    if frame_len <= 0 or hop <= 0:
+        raise ValueError("frame_len and hop must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, es, ps = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                x = _decode_wav_raw(bytes(payload))
+                if x is None or x.size < frame_len:
+                    continue
+                win = np.lib.stride_tricks.sliding_window_view(x, frame_len)
+                win = win[::hop].astype(np.int64)
+                n = win.shape[0]
+                ids.extend([int(mid)] * n)
+                idxs.extend(range(n))
+                ns.extend([frame_len] * n)
+                es.extend((win * win).sum(axis=1).tolist())
+                ps.extend(np.abs(win).max(axis=1).tolist())
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "n_samples": pd.Series(ns, dtype="int32"),
+                "energy": pd.Series(es, dtype="int64"),
+                "peak": pd.Series(ps, dtype="int32"),
+            })
+
+    return (df.where(F.col("kind") == "audio")
+              .mapInPandas(run, schema=_FRAME_ENERGY_SCHEMA))
+
+
+# -- perceptual image hashing (real decode, integer-exact) ------------------
+
+_AHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("ahash_bits", T.StringType(), False),  # 64-char '0'/'1'
+])
+
+
+def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) of decodable images: ``grid²`` bits,
+    bit p = "block p is at least as bright as the image mean".  The
+    threshold is the INTEGER inequality ``N·B_p ≥ Σ B`` (B_p = summed
+    channel values over block p, N = grid²) — no float division, so the
+    hash is bit-identical in any engine, and a uniform brightness shift
+    +b changes both sides by exactly ``N·(pixels·channels·b)``:
+    brightness-shifted copies hash IDENTICALLY (the property exact/md5
+    dedup lacks — this is the image analog of MinHash text near-dup).
+
+    Emits the raw 64-char bitstring; group near-dups by equality (or by
+    band-substrings for hamming-tolerant LSH, exactly like SimHash's
+    pigeonhole bands).  Images are average-pooled to ``grid×grid`` by
+    exact integer block sums; edges beyond the largest multiple of
+    ``grid`` are cropped.  Non-image rows drop JVM-side; undecodable
+    payloads are skipped."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_blocks = grid * grid
+        for pdf in batches:
+            ids, bits = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                arr = _decode_ppm(bytes(payload))
+                if arr is None:
+                    arr = _decode_png(bytes(payload))
+                if arr is None:
+                    continue
+                h, w = arr.shape[:2]
+                bh, bw = h // grid, w // grid
+                if bh == 0 or bw == 0:
+                    continue
+                crop = arr[:bh * grid, :bw * grid].astype(np.int64)
+                csum = crop.sum(axis=2)  # per-pixel channel sum
+                blocks = (csum.reshape(grid, bh, grid, bw)
+                              .sum(axis=(1, 3)))           # (grid, grid)
+                total = int(blocks.sum())
+                flat = (n_blocks * blocks.reshape(-1) >= total)
+                ids.append(int(mid))
+                bits.append("".join("1" if b else "0" for b in flat))
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "ahash_bits": pd.Series(bits, dtype=object),
+            })
+
+    return (df.where(F.col("kind") == "image")
+              .mapInPandas(run, schema=_AHASH_SCHEMA))
