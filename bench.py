@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "text_lm_quality",
     "audio_frame_energy",
     "image_phash_dedup",
+    "funnel_conversion",
+    "window_rolling_revenue",
+    "json_schema_infer",
 ]
 
 

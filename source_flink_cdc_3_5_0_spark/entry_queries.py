@@ -4094,6 +4094,161 @@ FROM h
 """
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered-funnel analysis (view → click → purchase): each stage's
+    timestamp is the FIRST qualifying event strictly after the previous
+    stage — the product-analytics windowed-funnel primitive. Three
+    filtered min-aggregates chained by user_id joins: every shuffle is on
+    the same key, so the exchanges line up (no re-partitioning between
+    stages) and per-user state is three timestamps, never the event
+    list."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (ev.where(F.col("event_type") == "view")
+           .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.where(F.col("event_type") == "click").join(v, "user_id")
+           .where(F.col("ts") > F.col("t_view"))
+           .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.where(F.col("event_type") == "purchase").join(c, "user_id")
+           .where(F.col("ts") > F.col("t_click"))
+           .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    return (v.join(c, "user_id", "left").join(p, "user_id", "left")
+             .select("user_id", "t_view", "t_click", "t_purchase",
+                     (F.lit(1)
+                      + F.col("t_click").isNotNull().cast("int")
+                      + F.col("t_purchase").isNotNull().cast("int"))
+                     .alias("steps_reached")))
+
+
+ORACLE_FUNNEL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       CAST(1 + (c.t_click IS NOT NULL)::INT
+              + (p.t_purchase IS NOT NULL)::INT AS INTEGER) AS steps_reached
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+def q_window_rolling_revenue(spark, sf_dir):
+    """Time-RANGE window frame: per-customer rolling 7-day revenue —
+    ``RANGE BETWEEN 6 PRECEDING AND CURRENT ROW`` over the integer day
+    number, the event-time frame ROWS frames can't express (a customer's
+    frame covers however many orders landed in the window). Revenue is
+    cents-scaled BIGINT inside the frame so the rolling sum is exact and
+    order-insensitive (the agg_pricing_summary discipline — a double
+    rolling sum could hash-differ across engines)."""
+    orders = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = (Window.partitionBy("o_custkey").orderBy(day.cast("long"))
+               .rangeBetween(-6, 0))
+    return (orders.select(
+        "o_custkey", "o_orderkey",
+        day.cast("long").alias("day_no"),
+        F.sum(cents).over(w).alias("rolling_cents")))
+
+
+ORACLE_ROLLING_REVENUE = """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+         AS day_no,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey
+         ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS rolling_cents
+FROM orders
+"""
+
+
+def q_json_schema_infer(spark, sf_dir):
+    """Distributed JSON schema inference (extensions/jsoninfer): the
+    events props column is deterministically diversified into seven
+    document shapes (ints, doubles, strings, booleans, nulls, arrays,
+    nested objects, malformed text), then every document's top-level
+    (key, json-type) observations aggregate into the observed-type
+    histogram + the least-common-supertype verdict per key — what
+    ``spark.read.json``'s inference pass computes, as a reusable,
+    mergeable aggregate. The oracle rebuilds the identical documents and
+    replays the observations with DuckDB's native json_keys/json_type."""
+    from .extensions.jsoninfer import infer_json_schema
+
+    ev = load(spark, sf_dir, "events").select("event_id", "props")
+    m = F.col("event_id") % 7
+    aug = ev.select(F.when(m == 0, F.format_string(
+                        '{"k": %d, "tag": "t%d"}',
+                        F.col("event_id") % 100, F.col("event_id") % 5))
+                     .when(m == 1, F.format_string(
+                        '{"k": %d.5, "flag": true}', F.col("event_id") % 10))
+                     .when(m == 2, F.lit('{"k": null, "arr": [1, 2]}'))
+                     .when(m == 3, F.format_string(
+                        '{"obj": {"x": %d}}', F.col("event_id") % 3))
+                     .when(m == 4, F.col("props"))
+                     .when(m == 5, F.lit('{"flag": false, "tag": "x"}'))
+                     .otherwise(F.format_string(
+                        'not-json %d', F.col("event_id"))).alias("props"))
+    return infer_json_schema(aug)
+
+
+ORACLE_JSON_SCHEMA_INFER = """
+WITH aug AS (
+  SELECT CASE event_id % 7
+           WHEN 0 THEN '{"k": ' || (event_id % 100) || ', "tag": "t'
+                       || (event_id % 5) || '"}'
+           WHEN 1 THEN '{"k": ' || (event_id % 10) || '.5, "flag": true}'
+           WHEN 2 THEN '{"k": null, "arr": [1, 2]}'
+           WHEN 3 THEN '{"obj": {"x": ' || (event_id % 3) || '}}'
+           WHEN 4 THEN props
+           WHEN 5 THEN '{"flag": false, "tag": "x"}'
+           ELSE 'not-json ' || event_id
+         END AS props
+  FROM events),
+flagged AS (
+  SELECT props,
+         CASE WHEN json_valid(props)
+              THEN json_type(props::JSON) = 'OBJECT' ELSE false END AS is_obj
+  FROM aug),
+kv AS (SELECT key,
+              -- DuckDB reports UBIGINT for non-negative ints (JSON has
+              -- one integer type) and SQL NULL for JSON null values
+              COALESCE(replace(json_type(props::JSON, '$.' || key),
+                               'UBIGINT', 'BIGINT'), 'NULL') AS jtype
+       FROM (SELECT props, unnest(json_keys(props::JSON)) AS key
+             FROM flagged WHERE is_obj)),
+obs AS (
+  SELECT key, jtype FROM kv
+  UNION ALL
+  SELECT '__corrupt__' AS key, '__MALFORMED__' AS jtype
+  FROM flagged WHERE NOT is_obj),
+counts AS (SELECT key, jtype, COUNT(*) AS n FROM obs GROUP BY key, jtype),
+perkey AS (SELECT key, list_sort(list(DISTINCT jtype)) AS ts
+           FROM obs WHERE jtype <> 'NULL' GROUP BY key),
+inf AS (
+  SELECT key,
+         CASE WHEN len(ts) = 1 THEN ts[1]
+              WHEN len(ts) = 2 AND list_contains(ts, 'BIGINT')
+                   AND list_contains(ts, 'DOUBLE') THEN 'DOUBLE'
+              ELSE 'VARCHAR' END AS inferred
+  FROM perkey)
+SELECT c.key, c.jtype, c.n, COALESCE(i.inferred, 'NULL') AS inferred
+FROM counts c LEFT JOIN inf i ON c.key = i.key
+"""
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -4157,6 +4312,9 @@ QUERIES: dict[str, object] = {
     "text_lm_quality": q_text_lm_quality,
     "audio_frame_energy": q_audio_frame_energy,
     "image_phash_dedup": q_image_phash_dedup,
+    "funnel_conversion": q_funnel_conversion,
+    "window_rolling_revenue": q_window_rolling_revenue,
+    "json_schema_infer": q_json_schema_infer,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -4328,6 +4486,9 @@ ORACLES: dict[str, str] = {
     "text_lm_quality": _oracle_lm_quality(),
     "audio_frame_energy": ORACLE_AUDIO_FRAMES,
     "image_phash_dedup": ORACLE_IMAGE_PHASH,
+    "funnel_conversion": ORACLE_FUNNEL,
+    "window_rolling_revenue": ORACLE_ROLLING_REVENUE,
+    "json_schema_infer": ORACLE_JSON_SCHEMA_INFER,
 }
 
 

@@ -1,0 +1,60 @@
+"""JSON schema inference (extensions/jsoninfer)."""
+
+from source_flink_cdc_3_5_0_spark.extensions.jsoninfer import (
+    CORRUPT_KEY, MALFORMED, infer_json_schema, json_type_observations)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([(r,) for r in rows], "props STRING")
+
+
+class TestObservations:
+    def test_type_tokens(self, spark):
+        df = _docs(spark, [
+            '{"a": 1, "b": 1.5, "c": "s", "d": true, "e": null, '
+            '"f": [1], "g": {"x": 1}}'])
+        obs = {(r.key, r.jtype) for r in json_type_observations(df).collect()}
+        assert obs == {("a", "BIGINT"), ("b", "DOUBLE"), ("c", "VARCHAR"),
+                       ("d", "BOOLEAN"), ("e", "NULL"), ("f", "ARRAY"),
+                       ("g", "OBJECT")}
+
+    def test_malformed_and_non_object_and_null(self, spark):
+        df = _docs(spark, ["{broken", "[1, 2]", '"just a string"', None])
+        obs = [(r.key, r.jtype) for r in json_type_observations(df).collect()]
+        # NULL input emits nothing; the other three are corrupt markers
+        assert obs == [(CORRUPT_KEY, MALFORMED)] * 3
+
+
+class TestInference:
+    def test_widening_rules(self, spark):
+        df = _docs(spark, [
+            '{"i": 1, "m": 1, "s": "x", "n": null}',
+            '{"i": 2, "m": 2.5, "s": 3, "n": null}',
+        ])
+        got = {(r.key, r.jtype): (r.n, r.inferred)
+               for r in infer_json_schema(df).collect()}
+        assert got[("i", "BIGINT")] == (2, "BIGINT")      # stable type
+        assert got[("m", "BIGINT")][1] == "DOUBLE"        # int+double widen
+        assert got[("m", "DOUBLE")][1] == "DOUBLE"
+        assert got[("s", "VARCHAR")][1] == "VARCHAR"      # mixed -> varchar
+        assert got[("s", "BIGINT")][1] == "VARCHAR"
+        assert got[("n", "NULL")] == (2, "NULL")          # null-only stays
+
+    def test_null_plus_type_ignores_null(self, spark):
+        df = _docs(spark, ['{"k": null}', '{"k": 7}'])
+        got = {(r.key, r.jtype): r.inferred
+               for r in infer_json_schema(df).collect()}
+        assert got[("k", "NULL")] == "BIGINT"
+        assert got[("k", "BIGINT")] == "BIGINT"
+
+    def test_counts_are_mergeable(self, spark):
+        """Counts over a union equal the sum of per-part counts — the
+        property that lets the histogram aggregate across files/days."""
+        a = _docs(spark, ['{"k": 1}'] * 3)
+        b = _docs(spark, ['{"k": "s"}'] * 2)
+        whole = {(r.key, r.jtype): r.n
+                 for r in infer_json_schema(a.unionAll(b)).collect()}
+        pa = {(r.key, r.jtype): r.n for r in infer_json_schema(a).collect()}
+        pb = {(r.key, r.jtype): r.n for r in infer_json_schema(b).collect()}
+        for k in whole:
+            assert whole[k] == pa.get(k, 0) + pb.get(k, 0)
