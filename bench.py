@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "funnel_conversion",
     "window_rolling_revenue",
     "json_schema_infer",
+    "cdc_scd2_history",
+    "text_normalize",
 ]
 
 

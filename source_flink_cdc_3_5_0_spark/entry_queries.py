@@ -4249,6 +4249,90 @@ FROM counts c LEFT JOIN inf i ON c.key = i.key
 """
 
 
+def q_cdc_scd2_history(spark, sf_dir):
+    """SCD2 history construction (operators/scd2.scd2_from_changelog):
+    the inverse of final-image upsert — every version a key ever had with
+    its [valid_from, valid_to) seq interval, deletes closing intervals
+    and later inserts re-opening history. events replayed as a changelog
+    keyed by user_id (event_id = seq, 'error' = delete tombstone, the
+    cdc_materialize_latest fixture). One key shuffle + one lead window;
+    the oracle replays the identical interval algebra."""
+    from .operators.scd2 import scd2_from_changelog
+
+    ev = load(spark, sf_dir, "events")
+    ch = ev.select(
+        "user_id", "event_type", "value",
+        F.when(F.col("event_type") == "error", F.lit("-D"))
+         .otherwise(F.lit("+U")).alias(OP_COL),
+        F.col("event_id").alias(SEQ_COL))
+    return scd2_from_changelog(ch, ["user_id"])
+
+
+ORACLE_SCD2_HISTORY = """
+WITH ch AS (
+  SELECT user_id, event_type, value, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN '-D' ELSE '+U' END AS op
+  FROM events),
+led AS (
+  SELECT *, lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to
+  FROM ch)
+SELECT user_id, event_type, value,
+       CAST(seq AS BIGINT) AS valid_from_seq,
+       CAST(valid_to AS BIGINT) AS valid_to_seq,
+       valid_to IS NULL AS is_current
+FROM led WHERE op <> '-D'
+"""
+
+
+def q_text_normalize(spark, sf_dir):
+    """Canonical text normalization (extensions/text.normalize_sql):
+    unicode lowercase, Latin accents folded to ASCII via one-pass
+    translate, whitespace runs collapsed, trimmed — the pre-dedup
+    canonical form (two docs differing only in case/accents/spacing get
+    one fingerprint). Deterministic accented + ragged-whitespace noise is
+    appended first so every rule fires; output is the normalized md5 +
+    before/after lengths, all codegen builtins."""
+    from .extensions.text import normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit("  Café  ÑANDÚ   àÉÎõÜ\tmañana ")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 6 == 0,
+                   F.lit(" MIXED Case\n\nRuns   here")).otherwise(F.lit("")),
+        ).alias("text"))
+    out = normalize_text(aug)
+    return out.select(
+        "doc_id",
+        F.length("text").alias("len_raw"),
+        F.length("normalized").alias("len_norm"),
+        F.md5("normalized").alias("norm_md5"))
+
+
+def _oracle_text_normalize() -> str:
+    from .extensions.text import normalize_sql
+
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0
+                      THEN '  Café  ÑANDÚ   àÉÎõÜ' || chr(9) || 'mañana '
+                      ELSE '' END
+              || CASE WHEN doc_id % 6 = 0
+                      THEN ' MIXED Case' || chr(10) || chr(10) || 'Runs   here'
+                      ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS len_raw,
+       CAST(length({normalize_sql('duckdb', 'text')}) AS INTEGER) AS len_norm,
+       md5({normalize_sql('duckdb', 'text')}) AS norm_md5
+FROM aug
+"""
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -4315,6 +4399,8 @@ QUERIES: dict[str, object] = {
     "funnel_conversion": q_funnel_conversion,
     "window_rolling_revenue": q_window_rolling_revenue,
     "json_schema_infer": q_json_schema_infer,
+    "cdc_scd2_history": q_cdc_scd2_history,
+    "text_normalize": q_text_normalize,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -4489,6 +4575,8 @@ ORACLES: dict[str, str] = {
     "funnel_conversion": ORACLE_FUNNEL,
     "window_rolling_revenue": ORACLE_ROLLING_REVENUE,
     "json_schema_infer": ORACLE_JSON_SCHEMA_INFER,
+    "cdc_scd2_history": ORACLE_SCD2_HISTORY,
+    "text_normalize": _oracle_text_normalize(),
 }
 
 

@@ -355,3 +355,31 @@ def sentences_sql(dialect: str, col: str = "text") -> str:
     arr = f"regexp_extract_all({col}, {pat})"
     return (f"list_filter(list_transform({arr}, x -> trim(x)), "
             f"x -> x <> '')")
+
+
+# -- text normalization (pre-dedup canonical form) ---------------------------
+
+_ACCENT_FROM = "àáâãäåèéêëìíîïòóôõöùúûüýñç"
+_ACCENT_TO = "aaaaaaeeeeiiiiooooouuuuync"
+
+
+def normalize_sql(dialect: str, col: str = "text") -> str:
+    """Canonical text form for dedup/fingerprinting: lowercase (unicode),
+    Latin accents folded to ASCII (``translate`` — one pass, no regex),
+    whitespace runs collapsed to single spaces, trimmed.  Same expression
+    text in both dialects except the Spark string-literal escaping of
+    ``\\s`` — all codegen'd builtins, no Python."""
+    s = f"lower({col})"
+    s = f"translate({s}, '{_ACCENT_FROM}', '{_ACCENT_TO}')"
+    if dialect == "spark":
+        s = f"regexp_replace({s}, {_lit(dialect, _WS_SPLIT)}, ' ')"
+    else:  # DuckDB replaces only the first match without the 'g' flag
+        s = f"regexp_replace({s}, {_lit(dialect, _WS_SPLIT)}, ' ', 'g')"
+    return f"trim({s})"
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``normalized`` to the frame (one codegen projection)."""
+    from pyspark.sql import functions as _F
+    return df.withColumn("normalized",
+                         _F.expr(normalize_sql("spark", text_col)))

@@ -148,3 +148,58 @@ class TestLmQuality:
         for probs in per_prefix.values():
             assert sum(probs) <= 1_000_000_000
             assert sum(probs) > 1_000_000_000 - len(probs)
+
+
+class TestScd2History:
+    def _hist(self, spark, rows):
+        from source_flink_cdc_3_5_0_spark.operators.scd2 import (
+            scd2_from_changelog)
+        df = spark.createDataFrame(
+            rows, "k BIGINT, v STRING, __op STRING, __seq BIGINT")
+        return sorted((r.k, r.v, r.valid_from_seq, r.valid_to_seq, r.is_current)
+                      for r in scd2_from_changelog(df, ["k"]).collect())
+
+    def test_update_chain_and_delete(self, spark):
+        got = self._hist(spark, [
+            (1, "a", "+I", 10), (1, "b", "+U", 20), (1, "c", "+U", 30),
+            (2, "x", "+I", 15), (2, None, "-D", 25),
+        ])
+        assert got == [
+            (1, "a", 10, 20, False), (1, "b", 20, 30, False),
+            (1, "c", 30, None, True),
+            (2, "x", 15, 25, False),   # closed by the delete, no current row
+        ]
+
+    def test_reopen_after_delete(self, spark):
+        got = self._hist(spark, [
+            (1, "a", "+I", 1), (1, None, "-D", 2), (1, "b", "+I", 3),
+        ])
+        assert got == [(1, "a", 1, 2, False), (1, "b", 3, None, True)]
+
+    def test_update_before_images_ignored(self, spark):
+        got = self._hist(spark, [
+            (1, "a", "+I", 1), (1, "a", "-U", 2), (1, "b", "+U", 2),
+        ])
+        # -U must not close or open anything; seq 2's +U closes seq 1
+        assert got == [(1, "a", 1, 2, False), (1, "b", 2, None, True)]
+
+
+class TestNormalizeText:
+    def test_rules(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.text import normalize_text
+        df = spark.createDataFrame(
+            [(1, "  Café\t\tÑANDÚ  du  Lac\n"), (2, "plain"), (3, "")],
+            "doc_id BIGINT, text STRING")
+        got = {r.doc_id: r.normalized for r in normalize_text(df).collect()}
+        assert got[1] == "cafe nandu du lac"
+        assert got[2] == "plain"
+        assert got[3] == ""
+
+    def test_idempotent(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.text import normalize_text
+        docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                .select("doc_id", "text"))
+        once = normalize_text(docs).select(
+            "doc_id", F.col("normalized").alias("text"))
+        twice = normalize_text(once)
+        assert twice.where(F.col("text") != F.col("normalized")).count() == 0
