@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "json_schema_infer",
     "cdc_scd2_history",
     "text_normalize",
+    "cohort_retention",
+    "agg_grouping_sets",
 ]
 
 
@@ -140,6 +142,14 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        # drop cached/persisted state between queries: some operators
+        # localCheckpoint/persist internally, and 70 queries of accrued
+        # blocks turn into GC pressure that charges LATER queries (a 2x
+        # phantom regression observed on a long run); a long-lived
+        # cluster sheds this per job, so the bench should too.
+        spark.catalog.clearCache()
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {

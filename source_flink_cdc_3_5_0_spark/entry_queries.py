@@ -4333,6 +4333,76 @@ FROM aug
 """
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention: customers bucketed by first-order month, then
+    (cohort, months-since-first) active counts — the warehouse retention
+    matrix. Two aggregates chained on the same key (first-order month per
+    customer, then the matrix), month arithmetic as integer year*12+month
+    — no date-diff float anywhere. distinct customers per cell via one
+    (cohort, offset, cust) partial-distinct pass."""
+    orders = load(spark, sf_dir, "orders")
+    mnum = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+    per = orders.select("o_custkey", mnum.alias("m"))
+    firsts = per.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    return (per.join(firsts, "o_custkey")
+               .select("o_custkey", "m0",
+                       (F.col("m") - F.col("m0")).alias("month_offset"))
+               .distinct()
+               .groupBy("m0", "month_offset")
+               .agg(F.count(F.lit(1)).alias("active_customers"))
+               .select(F.col("m0").alias("cohort_month"),
+                       "month_offset", "active_customers"))
+
+
+ORACLE_COHORT = """
+WITH per AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
+  FROM orders),
+firsts AS (SELECT o_custkey, MIN(m) AS m0 FROM per GROUP BY o_custkey),
+cells AS (
+  SELECT DISTINCT per.o_custkey, m0, m - m0 AS month_offset
+  FROM per JOIN firsts ON per.o_custkey = firsts.o_custkey)
+SELECT CAST(m0 AS BIGINT) AS cohort_month,
+       CAST(month_offset AS BIGINT) AS month_offset,
+       COUNT(*) AS active_customers
+FROM cells GROUP BY m0, month_offset
+"""
+
+
+def q_agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (completes the CUBE/ROLLUP family): order
+    counts + cents-exact revenue by (status), (priority), (status,
+    priority) and the grand total in ONE aggregate pass — Spark's Expand
+    rewrite materializes each set from one scan, exactly what four
+    separate groupBys would each rescan for. grouping_id disambiguates
+    the null-as-total rows."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (orders
+            .select("o_orderstatus", "o_orderpriority", cents.alias("cents"))
+            .groupingSets(
+                [["o_orderstatus"], ["o_orderpriority"],
+                 ["o_orderstatus", "o_orderpriority"], []],
+                "o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("cents").alias("revenue_cents"),
+                 F.grouping_id().alias("gid")))
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+            AS BIGINT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority), ())
+"""
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -4401,6 +4471,8 @@ QUERIES: dict[str, object] = {
     "json_schema_infer": q_json_schema_infer,
     "cdc_scd2_history": q_cdc_scd2_history,
     "text_normalize": q_text_normalize,
+    "cohort_retention": q_cohort_retention,
+    "agg_grouping_sets": q_agg_grouping_sets,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -4577,6 +4649,8 @@ ORACLES: dict[str, str] = {
     "json_schema_infer": ORACLE_JSON_SCHEMA_INFER,
     "cdc_scd2_history": ORACLE_SCD2_HISTORY,
     "text_normalize": _oracle_text_normalize(),
+    "cohort_retention": ORACLE_COHORT,
+    "agg_grouping_sets": ORACLE_GROUPING_SETS,
 }
 
 

@@ -203,3 +203,48 @@ class TestNormalizeText:
             "doc_id", F.col("normalized").alias("text"))
         twice = normalize_text(once)
         assert twice.where(F.col("text") != F.col("normalized")).count() == 0
+
+
+class TestNormalizeFuzz:
+    """Cross-engine fuzz: the normalize generator must produce identical
+    bytes in Spark and DuckDB for arbitrary text (the property the
+    text_normalize oracle relies on), and be idempotent."""
+
+    def test_fuzz_matches_duckdb(self, spark):
+        import duckdb
+        from hypothesis import given, settings, strategies as st
+
+        from source_flink_cdc_3_5_0_spark.extensions.text import normalize_sql
+
+        alphabet = ("aZ09 \t\n\r.,!?-_" "àáâãäåèéêëìíîïòóôõöùúûüýñç"
+                    "ÀÉÎÕÜÑÇ" "中хш")
+
+        @settings(max_examples=12, deadline=None)
+        @given(st.text(alphabet=alphabet, max_size=40))
+        def check(text):
+            srow = (spark.createDataFrame([(text,)], "text string")
+                    .selectExpr(normalize_sql("spark", "text") + " AS n")
+                    .collect())[0]["n"]
+            drow = duckdb.execute(
+                f"SELECT {normalize_sql('duckdb', 't')} FROM (SELECT ?::VARCHAR AS t)",
+                [text]).fetchone()[0]
+            assert srow == drow, repr(text)
+
+        check()
+
+    def test_fuzz_idempotent(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        from source_flink_cdc_3_5_0_spark.extensions.text import normalize_sql
+
+        @settings(max_examples=10, deadline=None)
+        @given(st.text(alphabet="aZ09 \t\nàÉñ ç.", max_size=40))
+        def check(text):
+            df = spark.createDataFrame([(text,)], "text string")
+            once = df.selectExpr(normalize_sql("spark", "text") + " AS text")
+            twice = once.selectExpr(normalize_sql("spark", "text") + " AS n",
+                                    "text")
+            r = twice.collect()[0]
+            assert r["n"] == r["text"]
+
+        check()
