@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "text_normalize",
     "cohort_retention",
     "agg_grouping_sets",
+    "dedup_url",
+    "decontam_split_leakage",
 ]
 
 

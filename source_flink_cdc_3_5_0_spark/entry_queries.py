@@ -4403,6 +4403,124 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
 """
 
 
+def q_dedup_url(spark, sf_dir):
+    """Canonical-URL dedup (extensions/urls.py): crawl re-fetches of one
+    resource hide behind case, default ports, fragments, utm params and
+    trailing slashes — three deterministic URL variants per resource
+    (plus malformed rows every 17th doc) are synthesized, canonicalized
+    by the shared RE2-safe parts regex + higher-order param filter (one
+    codegen projection), and grouped by canonical identity: every
+    3-variant family collapses, malformed rows surface as NULL canonical
+    with group_size 0. One hash shuffle on the canonical URL."""
+    from .extensions.urls import dedup_by_canonical_url
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") - F.col("doc_id") % 3) / 3
+    gi = g.cast("long")
+    v = F.col("doc_id") % 3
+    url = (F.when(F.col("doc_id") % 17 == 0,
+                  F.format_string("not a url %d", F.col("doc_id")))
+            .when(v == 0, F.format_string(
+                "http://SITE%d.Example.COM:80/page/%d?utm_source=x#top", gi, gi))
+            .when(v == 1, F.format_string(
+                "http://site%d.example.com/page/%d/", gi, gi))
+            .otherwise(F.format_string(
+                "Http://site%d.EXAMPLE.com/page/%d?utm_campaign=z&utm_x=1",
+                gi, gi)))
+    return dedup_by_canonical_url(docs.withColumn("url", url))
+
+
+def _oracle_dedup_url() -> str:
+    from .extensions.urls import canonical_url_sql
+
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN 'not a url ' || doc_id
+              WHEN doc_id % 3 = 0 THEN
+                'http://SITE' || (doc_id // 3) || '.Example.COM:80/page/'
+                || (doc_id // 3) || '?utm_source=x#top'
+              WHEN doc_id % 3 = 1 THEN
+                'http://site' || (doc_id // 3) || '.example.com/page/'
+                || (doc_id // 3) || '/'
+              ELSE
+                'Http://site' || (doc_id // 3) || '.EXAMPLE.com/page/'
+                || (doc_id // 3) || '?utm_campaign=z&utm_x=1'
+         END AS url
+  FROM documents),
+canon AS (
+  SELECT doc_id, {canonical_url_sql('duckdb', 'url')} AS canonical_url
+  FROM base),
+groups AS (
+  SELECT canonical_url, COUNT(*) AS group_size, MIN(doc_id) AS keep_id
+  FROM canon WHERE canonical_url IS NOT NULL GROUP BY canonical_url)
+SELECT c.doc_id, c.canonical_url,
+       COALESCE(g.group_size, 0) AS group_size,
+       CASE WHEN c.canonical_url IS NULL THEN false
+            ELSE c.doc_id = g.keep_id END AS is_keeper
+FROM canon c LEFT JOIN groups g ON c.canonical_url = g.canonical_url
+"""
+
+
+def q_decontam_split_leakage(spark, sf_dir):
+    """Train/test split-leakage detection (extensions/decontam.
+    cross_split_leakage): near-copies planted across an md5 half/half
+    split (every 23rd doc re-appears with a ' leaked tail' suffix under a
+    new id, landing in a split determined by its own hash) are caught as
+    cross-split word-3-gram Jaccard pairs — the eval-integrity check run
+    before any benchmark number is trusted. Exact bipartite blocking:
+    intra-split candidates never materialize; oracle = all-pairs
+    cross-split Jaccard."""
+    from .extensions.decontam import cross_split_leakage
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (docs.where(F.col("doc_id") % 23 == 0)
+                  .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                          F.concat("text", F.lit(" leaked tail")).alias("text")))
+    corpus = docs.unionByName(copies)
+    split = (F.when(F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+                    .isin(*"89abcdef"), F.lit("test"))
+              .otherwise(F.lit("train")))
+    return cross_split_leakage(corpus.withColumn("split", split), "split",
+                               jaccard_threshold=0.5)
+
+
+ORACLE_SPLIT_LEAKAGE = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, text || ' leaked tail'
+  FROM documents WHERE doc_id % 23 = 0),
+tagged AS (
+  SELECT doc_id, text,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)
+                   IN ('8','9','a','b','c','d','e','f')
+              THEN 'test' ELSE 'train' END AS s
+  FROM corpus),
+toks AS (
+  SELECT doc_id, s,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM tagged),
+grams AS (
+  SELECT doc_id, s,
+         list_distinct(CASE
+           WHEN len(t) >= 3 THEN
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+           ELSE []::VARCHAR[] END) AS g
+  FROM toks)
+SELECT test_id, train_id, jaccard FROM (
+  SELECT b.doc_id AS test_id, a.doc_id AS train_id,
+         round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 6)
+           AS jaccard
+  FROM grams a JOIN grams b ON a.s = 'train' AND b.s = 'test'
+  WHERE len(list_intersect(a.g, b.g)) > 0) p
+WHERE jaccard >= 0.5
+"""
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -4473,6 +4591,8 @@ QUERIES: dict[str, object] = {
     "text_normalize": q_text_normalize,
     "cohort_retention": q_cohort_retention,
     "agg_grouping_sets": q_agg_grouping_sets,
+    "dedup_url": q_dedup_url,
+    "decontam_split_leakage": q_decontam_split_leakage,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -4651,6 +4771,8 @@ ORACLES: dict[str, str] = {
     "text_normalize": _oracle_text_normalize(),
     "cohort_retention": ORACLE_COHORT,
     "agg_grouping_sets": ORACLE_GROUPING_SETS,
+    "dedup_url": _oracle_dedup_url(),
+    "decontam_split_leakage": ORACLE_SPLIT_LEAKAGE,
 }
 
 

@@ -119,3 +119,48 @@ def bloom_decontam_flags(corpus: DataFrame, eval_df: DataFrame,
             .where(F.col("n_hit") == n_hashes)
             .groupBy("corpus_doc_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_bloom_grams")))
+
+
+def cross_split_leakage(df: DataFrame, split_col: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        from_split: str = "train", to_split: str = "test",
+                        k: int = 3,
+                        jaccard_threshold: float = 0.5) -> DataFrame:
+    """Train/test split-leakage detection: near-duplicate pairs that CROSS
+    the split — a test document sharing ≥ ``jaccard_threshold`` word-k-gram
+    Jaccard with any train document means the eval split leaks training
+    content (the eval-integrity failure decontamination exists to prevent).
+
+    Exact bipartite variant of ``dedup.ngram_jaccard_pairs``: one distinct
+    gram explode carrying the split tag, ONE gram equi-join restricted to
+    (train side) × (test side) — the bipartite restriction means intra-split
+    candidate pairs never materialize (strictly cheaper than pairing the
+    union and filtering after), per-pair partial-agg intersection counts,
+    exact Jaccard on the rare side. Returns (test id, train id, jaccard),
+    complete for J > 0 like the underlying shared-gram blocking."""
+    from .dedup import _spread
+
+    grams = (_spread(df, id_col)
+             .select(F.col(id_col).alias("id"), F.col(split_col).alias("s"),
+                     F.explode(word_ngrams_col(text_col, k=k)).alias("gram"))
+             .persist())
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.where(F.col("s") == from_split).select(
+        F.col("id").alias("train_id"), "gram")
+    b = grams.where(F.col("s") == to_split).select(
+        F.col("id").alias("test_id"), "gram")
+    inter = (b.join(a, "gram")
+              .groupBy("test_id", "train_id")
+              .agg(F.count(F.lit(1)).alias("inter")))
+    jac = F.round(F.col("inter")
+                  / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+    out = (inter
+           .join(sizes.select(F.col("id").alias("train_id"),
+                              F.col("n").alias("na")), "train_id")
+           .join(sizes.select(F.col("id").alias("test_id"),
+                              F.col("n").alias("nb")), "test_id")
+           .withColumn("jaccard", jac)
+           .where(F.col("jaccard") >= jaccard_threshold)
+           .select("test_id", "train_id", "jaccard"))
+    out.gram_base = grams   # caller may unpersist (ngram_jaccard convention)
+    return out
