@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "agg_grouping_sets",
     "dedup_url",
     "decontam_split_leakage",
+    "merge_corpora",
 ]
 
 

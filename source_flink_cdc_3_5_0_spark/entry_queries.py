@@ -4521,6 +4521,50 @@ WHERE jaccard >= 0.5
 """
 
 
+def q_merge_corpora(spark, sf_dir):
+    """Source-priority corpus merge (extensions/sampling.merge_corpora):
+    three overlapping synthetic sources — 'wiki' (every 5th doc, priority
+    0), 'books' (every 7th doc, text + marker, priority 1), 'web' (all
+    docs, priority 2) — merged with exact-content dedup keeping the
+    highest-priority copy (wiki beats web for the shared texts; books
+    rows differ in content so they survive independently). One
+    fingerprint shuffle, rank-only window state; provenance columns
+    report copy and source counts per winner."""
+    from .extensions.sampling import merge_corpora
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    wiki = docs.where(F.col("doc_id") % 5 == 0)
+    books = (docs.where(F.col("doc_id") % 7 == 0)
+                 .select((F.col("doc_id") + 20_000_000).alias("doc_id"),
+                         F.concat("text", F.lit(" [book edition]")).alias("text")))
+    web = docs.select((F.col("doc_id") + 40_000_000).alias("doc_id"), "text")
+    return merge_corpora([(wiki, "wiki", 0), (books, "books", 1),
+                          (web, "web", 2)])
+
+
+ORACLE_MERGE_CORPORA = """
+WITH tagged AS (
+  SELECT doc_id, text, 'wiki' AS source, 0 AS priority
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 20000000, text || ' [book edition]', 'books', 1
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 40000000, text, 'web', 2 FROM documents),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY priority, doc_id, source) AS rn,
+         COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+         CAST(len(list_distinct(list(source) OVER (PARTITION BY md5(text))))
+              AS INTEGER) AS n_sources
+  FROM tagged)
+SELECT doc_id, text, source, CAST(priority AS INTEGER) AS priority,
+       CAST(n_copies AS BIGINT) AS n_copies, n_sources
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -4593,6 +4637,7 @@ QUERIES: dict[str, object] = {
     "agg_grouping_sets": q_agg_grouping_sets,
     "dedup_url": q_dedup_url,
     "decontam_split_leakage": q_decontam_split_leakage,
+    "merge_corpora": q_merge_corpora,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -4773,6 +4818,7 @@ ORACLES: dict[str, str] = {
     "agg_grouping_sets": ORACLE_GROUPING_SETS,
     "dedup_url": _oracle_dedup_url(),
     "decontam_split_leakage": ORACLE_SPLIT_LEAKAGE,
+    "merge_corpora": ORACLE_MERGE_CORPORA,
 }
 
 

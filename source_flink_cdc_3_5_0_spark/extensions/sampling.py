@@ -385,3 +385,42 @@ def repeat_to_budget(df: DataFrame, group_cols: list[str], id_col: str,
                 F.lit(0).cast("bigint"),
                 F.col("__n_ep") - 1)).alias("epoch"))
             .drop("__cum", "__tot", "__budget", "__n_ep"))
+
+
+def merge_corpora(sources: list[tuple[DataFrame, str, int]],
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Merge N document corpora with source-priority dedup: identical
+    content appearing in several sources keeps ONE copy, from the
+    highest-priority (lowest number) source — the "wiki beats common
+    crawl" rule every mixture build applies before weighting. Ties break
+    on id (first-seen wins deterministically).
+
+    Each entry is ``(frame, source_name, priority)``.  Shape: tag + union
+    (no shuffle), md5 content fingerprint, ONE hash shuffle on the
+    fingerprint for the rank-1 window — rank state only, the standard
+    latest_image shape.  Returns winners with provenance: ``source``,
+    ``priority``, ``n_copies`` (how many source rows carried this
+    content) and ``n_sources`` (how many distinct sources)."""
+    if not sources:
+        raise ValueError("merge_corpora needs at least one source")
+    tagged = None
+    for frame, name, prio in sources:
+        t = frame.select(
+            F.col(id_col), F.col(text_col),
+            F.lit(name).alias("source"),
+            F.lit(int(prio)).cast("int").alias("priority"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    from pyspark.sql import Window
+    fp = F.md5(F.col(text_col))
+    w = (Window.partitionBy("__fp")
+               .orderBy(F.col("priority"), F.col(id_col), F.col("source")))
+    return (tagged.withColumn("__fp", fp)
+            .withColumn("__rn", F.row_number().over(w))
+            .withColumn("n_copies", F.count(F.lit(1)).over(
+                Window.partitionBy("__fp")))
+            .withColumn("n_sources", F.size(F.collect_set("source").over(
+                Window.partitionBy("__fp"))))
+            .where(F.col("__rn") == 1)
+            .select(id_col, text_col, "source", "priority",
+                    "n_copies", "n_sources"))

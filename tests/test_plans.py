@@ -365,3 +365,58 @@ def test_srp_neardup_no_cartesian_band_join(spark):
     p = plan_of(EQ.q_embedding_srp_neardup(spark, SF))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_rolling_revenue_single_shuffle(spark):
+    """Time-RANGE frame: one hash exchange on o_custkey, the frame sort
+    rides the same exchange."""
+    import re
+    p = plan_of(EQ.q_window_rolling_revenue(spark, SF))
+    assert len(re.findall(r"\bExchange\b", p)) == 1, p
+
+
+def test_scd2_history_single_shuffle(spark):
+    """SCD2 construction = latest_image's shape: one key exchange feeds
+    the lead window, interval algebra stays in the projection."""
+    import re
+    p = plan_of(EQ.q_cdc_scd2_history(spark, SF))
+    assert len(re.findall(r"\bExchange\b", p)) == 1, p
+
+
+def test_grouping_sets_one_expand_one_shuffle(spark):
+    """Four grouping sets share ONE Expand over one scan and one final
+    exchange — not four separate aggregate passes."""
+    import re
+    p = plan_of(EQ.q_agg_grouping_sets(spark, SF))
+    assert p.count("Expand") == 1, p
+    assert len(re.findall(r"\bExchange\b", p)) == 1, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_text_normalize_zero_shuffle(spark):
+    p = plan_of(EQ.q_text_normalize(spark, SF))
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+
+
+def test_dedup_url_single_shuffle_no_python(spark):
+    """Canonicalization is one codegen projection; the dedup groupBy is
+    the only hash shuffle (group stats come back via broadcast)."""
+    import re
+    p = plan_of(EQ.q_dedup_url(spark, SF))
+    assert len(re.findall(r"\bExchange\b", p)) == 1, p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+
+
+def test_funnel_no_cartesian_all_equijoins(spark):
+    """Funnel stages chain by user_id equi-joins — never a cross join;
+    with small stage outputs the joins broadcast."""
+    p = plan_of(EQ.q_funnel_conversion(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_split_leakage_bipartite_no_cartesian(spark):
+    """Leakage candidates come from the gram equi-join between the two
+    split sides — no all-pairs shuffle anywhere."""
+    p = plan_of(EQ.q_decontam_split_leakage(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p

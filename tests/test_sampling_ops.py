@@ -443,3 +443,33 @@ class TestTemperatureNullGroup:
         per = {r["lang"]: r["n"] for r in out.groupBy("lang")
                .agg(F.count(F.lit(1)).alias("n")).collect()}
         assert per[None] == 50 and per["en"] == 50
+
+
+class TestMergeCorpora:
+    def test_priority_wins_and_provenance(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import merge_corpora
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        wiki = mk([(1, "shared a"), (2, "wiki only")])
+        web = mk([(10, "shared a"), (11, "web only"), (12, "shared a")])
+        out = {r.text: r for r in merge_corpora(
+            [(wiki, "wiki", 0), (web, "web", 2)]).collect()}
+        assert len(out) == 3
+        a = out["shared a"]
+        assert a.source == "wiki" and a.doc_id == 1
+        assert a.n_copies == 3 and a.n_sources == 2
+        assert out["wiki only"].n_copies == 1
+        assert out["web only"].source == "web"
+
+    def test_tie_breaks_on_id(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import merge_corpora
+        a = spark.createDataFrame([(5, "x")], "doc_id BIGINT, text STRING")
+        b = spark.createDataFrame([(3, "x")], "doc_id BIGINT, text STRING")
+        out = merge_corpora([(a, "a", 1), (b, "b", 1)]).collect()
+        assert len(out) == 1 and out[0].doc_id == 3 and out[0].source == "b"
+
+    def test_empty_sources_rejected(self, spark):
+        import pytest as _pytest
+
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import merge_corpora
+        with _pytest.raises(ValueError):
+            merge_corpora([])
