@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "dedup_url",
     "decontam_split_leakage",
     "merge_corpora",
+    "graph_pagerank",
+    "event_transitions",
 ]
 
 

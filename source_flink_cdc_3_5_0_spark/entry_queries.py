@@ -4565,6 +4565,68 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Link-graph PageRank (extensions/graph.pagerank): a deterministic
+    synthetic link graph over the document ids (each doc links to three
+    modulo-derived targets), ranked by 5 integer-scaled PageRank
+    iterations — the iterative join+agg workload, bit-identical across
+    engines via pure floor-division arithmetic (a float PageRank could
+    never hash-match). State between rounds = the rank vector only."""
+    from .extensions.graph import pagerank
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # bounded control-plane scalar (node count)
+    i = F.col("doc_id")
+    edges = None
+    for a, b in ((7, 1), (13, 2), (29, 3)):
+        e = docs.select(i.alias("src"), ((i * a + b) % n).alias("dst"))
+        edges = e if edges is None else edges.unionByName(e)
+    return pagerank(edges, docs.select(F.col("doc_id").alias("v")),
+                    iterations=5)
+
+
+def _oracle_pagerank() -> str:
+    from .extensions.graph import pagerank_oracle_sql
+
+    edges = """
+  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT COUNT(*) FROM documents) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 2) % (SELECT COUNT(*) FROM documents) FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 29 + 3) % (SELECT COUNT(*) FROM documents) FROM documents
+"""
+    return pagerank_oracle_sql(edges, "SELECT doc_id AS v FROM documents",
+                               iterations=5)
+
+
+def q_event_transitions(spark, sf_dir):
+    """Per-user event-transition mining: (previous event type → event
+    type) bigram counts over each user's time-ordered stream — the
+    Markov-chain / navigation-path summary. One key shuffle for the lag
+    window, then a partial-agg on the tiny transition domain."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select("user_id", "ts", "event_id", "event_type",
+                      F.lag("event_type").over(w).alias("prev_type"))
+              .where(F.col("prev_type").isNotNull())
+              .groupBy("prev_type", F.col("event_type").alias("next_type"))
+              .agg(F.count(F.lit(1)).alias("n")))
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH lagged AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM lagged WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -4638,6 +4700,8 @@ QUERIES: dict[str, object] = {
     "dedup_url": q_dedup_url,
     "decontam_split_leakage": q_decontam_split_leakage,
     "merge_corpora": q_merge_corpora,
+    "graph_pagerank": q_graph_pagerank,
+    "event_transitions": q_event_transitions,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -4819,6 +4883,8 @@ ORACLES: dict[str, str] = {
     "dedup_url": _oracle_dedup_url(),
     "decontam_split_leakage": ORACLE_SPLIT_LEAKAGE,
     "merge_corpora": ORACLE_MERGE_CORPORA,
+    "graph_pagerank": _oracle_pagerank(),
+    "event_transitions": ORACLE_EVENT_TRANSITIONS,
 }
 
 
