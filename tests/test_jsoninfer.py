@@ -58,3 +58,47 @@ class TestInference:
         pb = {(r.key, r.jtype): r.n for r in infer_json_schema(b).collect()}
         for k in whole:
             assert whole[k] == pa.get(k, 0) + pb.get(k, 0)
+
+
+class TestStreamingMergeability:
+    def test_incremental_histogram_equals_batch(self, spark, tmp_path):
+        """The type histogram maintained incrementally over micro-batches
+        (foreachBatch, one file per trigger) must equal the one-shot batch
+        histogram — the mergeability property in its streaming role:
+        schema inference over an unbounded JSONL feed never re-reads old
+        data."""
+        import pyspark.sql.functions as F
+
+        from source_flink_cdc_3_5_0_spark.extensions.jsoninfer import (
+            infer_json_schema, json_type_observations)
+
+        src = tmp_path / "feed"
+        docs = [
+            ['{"a": 1}', '{"a": 1.5, "b": "x"}'],
+            ['{"a": null, "c": [1]}', "broken{"],
+            ['{"b": true, "c": {"x": 1}}'],
+        ]
+        for i, chunk in enumerate(docs):
+            (spark.createDataFrame([(d,) for d in chunk], "props STRING")
+             .coalesce(1).write.mode("append").parquet(str(src)))
+
+        acc: dict = {}
+
+        def sink(batch_df, batch_id):
+            for r in (json_type_observations(batch_df)
+                      .groupBy("key", "jtype")
+                      .agg(F.count(F.lit(1)).alias("n")).collect()):
+                acc[(r.key, r.jtype)] = acc.get((r.key, r.jtype), 0) + r.n
+
+        stream = (spark.readStream.schema("props STRING")
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        whole = {(r.key, r.jtype): r.n
+                 for r in infer_json_schema(
+                     spark.read.parquet(str(src))).collect()}
+        assert acc == whole
+        assert sum(acc.values()) > 0
