@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "merge_corpora",
     "graph_pagerank",
     "event_transitions",
+    "sample_interleave",
 ]
 
 

@@ -4627,6 +4627,42 @@ GROUP BY prev_type, event_type
 """
 
 
+def q_sample_interleave(spark, sf_dir):
+    """Deterministic mixture interleaving (extensions/sampling.
+    mixture_interleave): a dense global training order spreading every
+    language evenly end-to-end — each doc sits at the midpoint of its
+    within-group stratum ((2·rank+1)/(2·n_g)), so no prefix of the
+    stream over-samples a group. md5-priority within-group shuffle, one
+    IEEE division (engine-identical), dense positions via the two-phase
+    range numbering (no single-reducer sort). The oracle replays the key
+    and the total order with row_number."""
+    from .extensions.sampling import mixture_interleave
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = mixture_interleave(docs, "lang")
+    return out.select("doc_id", "lang", "rank_in_group", "position")
+
+
+ORACLE_INTERLEAVE = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+           AS rank_in_group,
+         COUNT(*) OVER (PARTITION BY lang) AS n_g
+  FROM documents),
+keyed AS (
+  SELECT doc_id, lang, rank_in_group,
+         (2 * rank_in_group + 1) / (2.0 * n_g) AS k
+  FROM ranked)
+SELECT doc_id, lang, rank_in_group,
+       CAST(row_number() OVER (ORDER BY k, lang, rank_in_group) - 1
+            AS BIGINT) AS position
+FROM keyed
+"""
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -4702,6 +4738,7 @@ QUERIES: dict[str, object] = {
     "merge_corpora": q_merge_corpora,
     "graph_pagerank": q_graph_pagerank,
     "event_transitions": q_event_transitions,
+    "sample_interleave": q_sample_interleave,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -4885,6 +4922,7 @@ ORACLES: dict[str, str] = {
     "merge_corpora": ORACLE_MERGE_CORPORA,
     "graph_pagerank": _oracle_pagerank(),
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
+    "sample_interleave": ORACLE_INTERLEAVE,
 }
 
 

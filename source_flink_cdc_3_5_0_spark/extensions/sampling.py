@@ -424,3 +424,41 @@ def merge_corpora(sources: list[tuple[DataFrame, str, int]],
             .where(F.col("__rn") == 1)
             .select(id_col, text_col, "source", "priority",
                     "n_copies", "n_sources"))
+
+
+def mixture_interleave(df: DataFrame, group_col: str,
+                       id_col: str = "doc_id",
+                       num_partitions: int = 8) -> DataFrame:
+    """Deterministic mixture interleaving: a dense global training order
+    in which every group's documents are spread EVENLY end-to-end (small
+    groups don't cluster at the front the way sorted-by-group orders do,
+    and no window of the stream over- or under-samples a group) — the
+    low-discrepancy schedule mixture training wants after quotas are
+    fixed.
+
+    Each document gets the interleave key ``(2·rank + 1) / (2·n_g)`` —
+    the midpoint of its [rank/n_g, (rank+1)/n_g) stratum, so group g's
+    items sit at the odd multiples of 1/(2·n_g): uniformly spaced, and no
+    two groups collide except at exactly-equal fractions (broken by the
+    total order (key, group, rank)).  Within a group, documents are
+    ordered by md5 priority (deterministic shuffle).  The one IEEE
+    division is computed identically in any engine; dense positions come
+    from the two-phase range-shuffle numbering (``global_row_ids``) — no
+    single-reducer sort.  Shuffles: one group-key window + one range
+    exchange."""
+    from pyspark.sql import Window
+
+    from .indexing import global_row_ids
+
+    w = Window.partitionBy(group_col).orderBy(md5_priority(id_col), id_col)
+    n = Window.partitionBy(group_col)
+    keyed = (df.withColumn("rank_in_group",
+                           (F.row_number().over(w) - 1).cast("bigint"))
+               .withColumn("__n_g", F.count(F.lit(1)).over(n))
+               .withColumn("interleave_key",
+                           (2 * F.col("rank_in_group") + 1)
+                           / (2 * F.col("__n_g"))))
+    return (global_row_ids(keyed.drop("__n_g"),
+                           ["interleave_key", group_col, "rank_in_group"],
+                           id_name="position",
+                           num_partitions=num_partitions))

@@ -473,3 +473,38 @@ class TestMergeCorpora:
         from source_flink_cdc_3_5_0_spark.extensions.sampling import merge_corpora
         with _pytest.raises(ValueError):
             merge_corpora([])
+
+
+class TestMixtureInterleave:
+    def test_even_spread_property(self, spark):
+        """In any prefix of the interleaved order, each group's share is
+        within one item of proportional — the low-discrepancy property
+        that blocked (sorted-by-group) orders lack."""
+        import pyspark.sql.functions as F
+
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import (
+            mixture_interleave)
+        rows = ([(i, "big") for i in range(90)]
+                + [(1000 + i, "small") for i in range(10)])
+        df = spark.createDataFrame(rows, "doc_id BIGINT, g STRING")
+        out = (mixture_interleave(df, "g").orderBy("position")
+               .select("g", "position").collect())
+        assert [r.position for r in out] == list(range(100))
+        seen_small = 0
+        for idx, r in enumerate(out, start=1):
+            if r.g == "small":
+                seen_small += 1
+            expected = idx * 10 / 100
+            assert abs(seen_small - expected) <= 1.0, (idx, seen_small)
+
+    def test_positions_dense_and_deterministic(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.sampling import (
+            mixture_interleave)
+        df = spark.createDataFrame(
+            [(i, "ab"[i % 2]) for i in range(20)], "doc_id BIGINT, g STRING")
+        a = {r.doc_id: r.position
+             for r in mixture_interleave(df, "g").collect()}
+        b = {r.doc_id: r.position
+             for r in mixture_interleave(df, "g").collect()}
+        assert a == b
+        assert sorted(a.values()) == list(range(20))
