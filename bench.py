@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "graph_pagerank",
     "event_transitions",
     "sample_interleave",
+    "cdc_distinct_maintenance",
 ]
 
 

@@ -4663,6 +4663,49 @@ FROM keyed
 """
 
 
+def q_cdc_distinct_maintenance(spark, sf_dir):
+    """Retract-maintained COUNT(DISTINCT) (operators/retract.
+    incremental_distinct_count): per-event-type distinct USER counts kept
+    current from a scripted changelog — inserts for all events, then
+    -U/+U pairs moving every 5th event to a different user, then deletes
+    of every 7th — via per-(type, user) net counts (live while net > 0).
+    Two partial-agg shuffles, state per observed member; a KMV/HLL sketch
+    could never absorb the deletes. Oracle aggregates the equivalent
+    final state directly."""
+    from .operators.retract import incremental_distinct_count
+
+    ev = load(spark, sf_dir, "events")
+    ins = ev.select("event_type", "user_id", F.lit("+I").alias(OP_COL))
+    moved = ev.where(F.col("event_id") % 5 == 0)
+    pairs = (moved.select("event_type", "user_id", F.lit("-U").alias(OP_COL))
+             .unionByName(moved.select(
+                 "event_type", (F.col("user_id") + 1000).alias("user_id"),
+                 F.lit("+U").alias(OP_COL))))
+    dels = (ev.where(F.col("event_id") % 7 == 0)
+              .where(F.col("event_id") % 5 != 0)
+              .select("event_type", "user_id", F.lit("-D").alias(OP_COL)))
+    ch = ins.unionByName(pairs).unionByName(dels)
+    return incremental_distinct_count(ch, ["event_type"], "user_id")
+
+
+ORACLE_DISTINCT_MAINTENANCE = """
+WITH ch AS (
+  SELECT event_type, user_id, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type, user_id, -1 FROM events WHERE event_id % 5 = 0
+  UNION ALL
+  SELECT event_type, user_id + 1000, 1 FROM events WHERE event_id % 5 = 0
+  UNION ALL
+  SELECT event_type, user_id, -1 FROM events
+  WHERE event_id % 7 = 0 AND event_id % 5 <> 0),
+net AS (
+  SELECT event_type, user_id, SUM(d) AS net
+  FROM ch GROUP BY event_type, user_id)
+SELECT event_type, COUNT(*) AS n_distinct
+FROM net WHERE net > 0 GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -4739,6 +4782,7 @@ QUERIES: dict[str, object] = {
     "graph_pagerank": q_graph_pagerank,
     "event_transitions": q_event_transitions,
     "sample_interleave": q_sample_interleave,
+    "cdc_distinct_maintenance": q_cdc_distinct_maintenance,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -4923,6 +4967,7 @@ ORACLES: dict[str, str] = {
     "graph_pagerank": _oracle_pagerank(),
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "sample_interleave": ORACLE_INTERLEAVE,
+    "cdc_distinct_maintenance": ORACLE_DISTINCT_MAINTENANCE,
 }
 
 

@@ -77,3 +77,33 @@ def incremental_agg(df: DataFrame, group_cols: list[str],
     if not emit_deltas:
         out = out.where(F.col("n_rows") > 0)
     return out
+
+
+def incremental_distinct_count(df: DataFrame, group_cols: list[str],
+                               member_col: str,
+                               op_col: str = OP_COL) -> DataFrame:
+    """Maintain per-group COUNT(DISTINCT member) from a changelog.
+
+    Distinct counts can't be maintained from scalar deltas (a sketch like
+    KMV isn't retractable — a delete of a bottom-k member invalidates the
+    sketch), but they CAN from per-(group, member) NET counts: +I/+U add
+    1, -D/-U subtract 1, and a member is live while its net is > 0.  Two
+    partial-aggregated shuffles — (group, member) then group — with state
+    per OBSERVED member, never per row; that sub-aggregate is itself
+    mergeable across batches, so a streaming job checkpoints the member
+    net-count table and folds each micro-batch in (the standard
+    two-level distinct maintenance Flink's retract aggregates use).
+
+    Update semantics: a -U/+U pair whose member changed moves one unit
+    between members; a single +U without a before-image counts as its
+    adding half (the caller must supply pairs when members can change,
+    exactly as ``incremental_agg`` requires ``before_value``)."""
+    op = F.col(op_col)
+    delta = (F.when(op.isin("+I", "+U"), F.lit(1))
+              .when(op.isin("-D", "-U"), F.lit(-1))
+              .otherwise(F.lit(0)))
+    net = (df.groupBy(*group_cols, member_col)
+             .agg(F.sum(delta).alias("__net")))
+    return (net.where(F.col("__net") > 0)
+               .groupBy(*group_cols)
+               .agg(F.count(F.lit(1)).alias("n_distinct")))

@@ -186,3 +186,48 @@ class TestStreamingMaintenance:
                 c, s = truth.get(g, (0, 0))
                 truth[g] = (c + 1, s + v)
             assert {g: t for g, t in state.items() if t != (0, 0)} == truth
+
+
+class TestIncrementalDistinct:
+    def _run(self, spark, rows):
+        from source_flink_cdc_3_5_0_spark.operators.retract import (
+            incremental_distinct_count)
+        df = spark.createDataFrame(rows, "g STRING, m BIGINT, __op STRING")
+        return {r.g: r.n_distinct
+                for r in incremental_distinct_count(df, ["g"], "m").collect()}
+
+    def test_inserts_and_deletes(self, spark):
+        got = self._run(spark, [
+            ("a", 1, "+I"), ("a", 1, "+I"), ("a", 2, "+I"),
+            ("a", 1, "-D"),                       # one copy of 1 remains
+            ("b", 9, "+I"), ("b", 9, "-D"),       # b fully deleted
+        ])
+        assert got == {"a": 2}
+
+    def test_member_move_via_update_pair(self, spark):
+        got = self._run(spark, [
+            ("a", 1, "+I"), ("a", 1, "-U"), ("a", 2, "+U"),
+        ])
+        assert got == {"a": 1}
+
+    def test_mergeable_across_batches(self, spark):
+        """Folding batch-level (group, member) nets equals processing the
+        whole changelog at once — the property a streaming job relies on."""
+        import pyspark.sql.functions as F
+
+        from source_flink_cdc_3_5_0_spark.operators.retract import (
+            incremental_distinct_count)
+        b1 = [("a", 1, "+I"), ("a", 2, "+I"), ("b", 5, "+I")]
+        b2 = [("a", 1, "-D"), ("a", 3, "+I"), ("b", 5, "-D")]
+        whole = self._run(spark, b1 + b2)
+
+        def nets(rows):
+            df = spark.createDataFrame(rows, "g STRING, m BIGINT, __op STRING")
+            d = F.when(F.col("__op").isin("+I", "+U"), 1).otherwise(-1)
+            return df.groupBy("g", "m").agg(F.sum(d).alias("net"))
+
+        folded = (nets(b1).unionByName(nets(b2))
+                  .groupBy("g", "m").agg(F.sum("net").alias("net"))
+                  .where(F.col("net") > 0)
+                  .groupBy("g").agg(F.count(F.lit(1)).alias("n")))
+        assert {r.g: r.n for r in folded.collect()} == whole
