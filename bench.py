@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "sample_interleave",
     "cdc_distinct_maintenance",
+    "stats_correlation",
 ]
 
 

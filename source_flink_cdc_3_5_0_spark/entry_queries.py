@@ -4706,6 +4706,27 @@ FROM net WHERE net > 0 GROUP BY event_type
 """
 
 
+def q_stats_correlation(spark, sf_dir):
+    """Exact-moment Pearson correlation matrix (extensions/stats.
+    pairwise_correlation) over four lineitem measures — all per-column
+    and per-pair moments ride ONE aggregate over one scan (order-free
+    DECIMAL(38,0) accumulators), Pearson r derived by a fixed IEEE
+    sequence; the built-in corr() could never hash-match across
+    engines."""
+    from .extensions.stats import pairwise_correlation
+
+    li = load(spark, sf_dir, "lineitem")
+    return pairwise_correlation(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+def _oracle_stats_correlation() -> str:
+    from .extensions.stats import correlation_oracle_sql
+
+    return correlation_oracle_sql(
+        "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -4783,6 +4804,7 @@ QUERIES: dict[str, object] = {
     "event_transitions": q_event_transitions,
     "sample_interleave": q_sample_interleave,
     "cdc_distinct_maintenance": q_cdc_distinct_maintenance,
+    "stats_correlation": q_stats_correlation,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -4968,6 +4990,7 @@ ORACLES: dict[str, str] = {
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "sample_interleave": ORACLE_INTERLEAVE,
     "cdc_distinct_maintenance": ORACLE_DISTINCT_MAINTENANCE,
+    "stats_correlation": _oracle_stats_correlation(),
 }
 
 

@@ -96,3 +96,90 @@ SELECT {sel}, r.cents,
          AS is_outlier
 FROM r JOIN m USING ({g})
 """
+
+
+def pairwise_correlation(df: DataFrame, cols: list[str],
+                         scale: int = 100) -> DataFrame:
+    """Exact-moment Pearson correlation matrix over numeric columns —
+    the profiling companion to ``profile_table``: which signals move
+    together (quality scores vs lengths, price vs quantity) before
+    anyone trains on them.
+
+    The naive ``corr()`` aggregate accumulates doubles and is summation-
+    order-dependent (never hash-matches across engines).  Here every
+    column is cents-scaled to BIGINT and ALL moments for ALL pairs —
+    n, Σx, Σx² per column and Σxy per pair — ride ONE map-side-combining
+    aggregate over ONE scan (k columns → k(k+1)/2 + 2k + 1 exact
+    DECIMAL(38,0) accumulators, order-free); Pearson r then derives per
+    pair with a fixed IEEE sequence:
+    ``(n·Σxy − Σx·Σy) / sqrt((n·Σx²−Σx²)·(n·Σy²−Σy²))``, each double op
+    correctly rounded hence bit-identical everywhere.  Rows with a NULL
+    in ANY participating column are excluded (listwise deletion) so all
+    pairs share one n.  Returns ``(col_x, col_y, n, r)`` for x < y;
+    constant columns yield NULL r (undefined, surfaced not zeroed)."""
+    rows = df
+    for c in cols:
+        rows = rows.where(F.col(c).isNotNull())
+    scaled = rows.select(*[
+        F.round(F.col(c) * scale).cast("bigint").alias(c) for c in cols])
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("decimal(38,0)")).alias(f"__s_{c}"))
+        aggs.append(F.sum((F.col(c) * F.col(c)).cast("decimal(38,0)"))
+                    .alias(f"__ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)"))
+                    .alias(f"__sp_{a}_{b}"))
+    one = scaled.agg(*aggs)
+
+    n = F.col("__n").cast("double")
+
+    def num(a, b):
+        return (n * F.col(f"__sp_{a}_{b}").cast("double")
+                - F.col(f"__s_{a}").cast("double")
+                * F.col(f"__s_{b}").cast("double"))
+
+    def den2(c):
+        s = F.col(f"__s_{c}").cast("double")
+        return n * F.col(f"__ss_{c}").cast("double") - s * s
+
+    out = None
+    for a, b in pairs:
+        d = den2(a) * den2(b)
+        r = F.when(d > 0, F.round(num(a, b) / F.sqrt(d), 6))
+        row = one.select(F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
+                         F.col("__n").alias("n"), r.alias("r"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def correlation_oracle_sql(table: str, cols: list[str],
+                           scale: int = 100) -> str:
+    """DuckDB replay of the identical exact-moment Pearson sequence."""
+    not_null = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    scaled = ", ".join(
+        f"CAST(round({c} * {scale}) AS BIGINT) AS {c}" for c in cols)
+    moments = ["count(*) AS n"]
+    for c in cols:
+        moments.append(f"sum(CAST({c} AS DECIMAL(38,0))) AS s_{c}")
+        moments.append(f"sum(CAST({c} * {c} AS DECIMAL(38,0))) AS ss_{c}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        moments.append(f"sum(CAST({a} * {b} AS DECIMAL(38,0))) AS sp_{a}_{b}")
+    selects = []
+    for a, b in pairs:
+        num = (f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+               f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))")
+        da = (f"(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+              f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))")
+        db = (f"(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+              f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))")
+        selects.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n,\n"
+            f"       CASE WHEN {da} * {db} > 0\n"
+            f"            THEN round({num} / sqrt({da} * {db}), 6) END AS r\n"
+            f"FROM m")
+    return (f"WITH r AS (SELECT {scaled} FROM {table} WHERE {not_null}),\n"
+            f"m AS (SELECT {', '.join(moments)} FROM r)\n"
+            + "\nUNION ALL\n".join(selects))

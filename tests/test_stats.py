@@ -59,3 +59,40 @@ class TestZscoreNullHandling:
         assert out[1]["zscore"] == -1.0 and out[2]["zscore"] == 1.0
         # NULL group survives and has its own stats
         assert out[4]["zscore"] == -1.0 and out[5]["zscore"] == 1.0
+
+
+class TestPairwiseCorrelation:
+    def test_known_correlations(self, spark):
+        import numpy as np
+
+        from source_flink_cdc_3_5_0_spark.extensions.stats import (
+            pairwise_correlation)
+        rows = [(float(i), float(2 * i + 3), float((-1) ** i), 5.0)
+                for i in range(50)]
+        df = spark.createDataFrame(rows, "x DOUBLE, y DOUBLE, w DOUBLE, k DOUBLE")
+        got = {(r.col_x, r.col_y): r for r in
+               pairwise_correlation(df, ["x", "y", "w", "k"]).collect()}
+        assert got[("x", "y")].r == 1.0            # perfect linear
+        assert got[("x", "k")].r is None           # constant col -> undefined
+        # numpy cross-check on the alternating column
+        xs = np.array([r[0] for r in rows]); ws = np.array([r[2] for r in rows])
+        want = float(np.corrcoef(xs, ws)[0, 1])
+        assert abs(got[("x", "w")].r - want) < 1e-6
+        assert all(r.n == 50 for r in got.values())
+
+    def test_listwise_null_deletion(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.stats import (
+            pairwise_correlation)
+        df = spark.createDataFrame(
+            [(1.0, 1.0), (2.0, 2.0), (3.0, None), (None, 4.0)],
+            "x DOUBLE, y DOUBLE")
+        out = pairwise_correlation(df, ["x", "y"]).collect()
+        assert out[0].n == 2
+
+    def test_single_scan_single_aggregate(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.stats import (
+            pairwise_correlation)
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        p = pairwise_correlation(li, ["l_quantity", "l_extendedprice"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert p.count("Scan parquet") == 1, p
