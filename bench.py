@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "sample_interleave",
     "cdc_distinct_maintenance",
     "stats_correlation",
+    "agg_correlated_subquery",
+    "gapfill_forward",
 ]
 
 

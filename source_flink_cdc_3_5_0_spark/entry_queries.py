@@ -4727,6 +4727,89 @@ def _oracle_stats_correlation() -> str:
         "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
 
+def q_agg_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery (the TPC-H Q17 shape): lineitems whose
+    quantity is below 20% of their PART's average — Catalyst decorrelates
+    the inner aggregate into a join against a per-part aggregate (one
+    partkey shuffle each side), never a per-row re-scan. The 0.2·avg
+    threshold is compared in integer-exact form (5·qty < sum/count via
+    cross-multiplication: 5·qty·cnt < Σqty — no division drift), revenue
+    cents-scaled."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_q17")
+    return spark.sql("""
+        SELECT l_partkey,
+               COUNT(*) AS n_small,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS revenue_cents
+        FROM li_q17 outer_li
+        WHERE 5 * CAST(l_quantity AS BIGINT)
+                * (SELECT COUNT(*) FROM li_q17 i
+                   WHERE i.l_partkey = outer_li.l_partkey)
+              < (SELECT CAST(SUM(CAST(i.l_quantity AS BIGINT)) AS BIGINT)
+                 FROM li_q17 i WHERE i.l_partkey = outer_li.l_partkey)
+        GROUP BY l_partkey
+    """)
+
+
+ORACLE_CORRELATED_SUBQUERY = """
+SELECT l_partkey,
+       COUNT(*) AS n_small,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem o
+WHERE 5 * CAST(l_quantity AS BIGINT)
+        * (SELECT COUNT(*) FROM lineitem i
+           WHERE i.l_partkey = o.l_partkey)
+      < (SELECT CAST(SUM(CAST(i.l_quantity AS BIGINT)) AS BIGINT)
+         FROM lineitem i WHERE i.l_partkey = o.l_partkey)
+GROUP BY l_partkey
+"""
+
+
+def q_gapfill_forward(spark, sf_dir):
+    """Forward-fill gap imputation (LAST_VALUE ... IGNORE NULLS): sensor
+    streams carry nulls where a reading was missed — each user's value
+    series is filled with the most recent non-null observation (every 3rd
+    event's value is deterministically nulled first so the fill
+    demonstrably fires). One user_id window shuffle; carried cents keep
+    the comparison exact."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    sparse = ev.select(
+        "user_id", "event_id", "ts",
+        F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("bigint"))
+         .otherwise(cents).alias("v_cents"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return sparse.select(
+        "user_id", "event_id", "v_cents",
+        F.last("v_cents", ignorenulls=True).over(w).alias("filled_cents"),
+        (F.col("v_cents").isNull()
+         & F.last("v_cents", ignorenulls=True).over(w).isNotNull())
+        .alias("was_filled"))
+
+
+ORACLE_GAPFILL = """
+WITH sparse AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_id % 3 = 0 THEN NULL
+              ELSE CAST(round(value * 100) AS BIGINT) END AS v_cents
+  FROM events)
+SELECT user_id, event_id, v_cents,
+       last_value(v_cents IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+       v_cents IS NULL AND last_value(v_cents IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL
+         AS was_filled
+FROM sparse
+"""
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -4805,6 +4888,8 @@ QUERIES: dict[str, object] = {
     "sample_interleave": q_sample_interleave,
     "cdc_distinct_maintenance": q_cdc_distinct_maintenance,
     "stats_correlation": q_stats_correlation,
+    "agg_correlated_subquery": q_agg_correlated_subquery,
+    "gapfill_forward": q_gapfill_forward,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -4991,6 +5076,8 @@ ORACLES: dict[str, str] = {
     "sample_interleave": ORACLE_INTERLEAVE,
     "cdc_distinct_maintenance": ORACLE_DISTINCT_MAINTENANCE,
     "stats_correlation": _oracle_stats_correlation(),
+    "agg_correlated_subquery": ORACLE_CORRELATED_SUBQUERY,
+    "gapfill_forward": ORACLE_GAPFILL,
 }
 
 

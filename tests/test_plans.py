@@ -420,3 +420,16 @@ def test_split_leakage_bipartite_no_cartesian(spark):
     split sides — no all-pairs shuffle anywhere."""
     p = plan_of(EQ.q_decontam_split_leakage(spark, SF))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """Catalyst must rewrite the Q17-shape correlated aggregates into
+    partkey equi-joins — never a per-row re-scan or a nested-loop join."""
+    p = plan_of(EQ.q_agg_correlated_subquery(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_gapfill_single_shuffle(spark):
+    import re
+    p = plan_of(EQ.q_gapfill_forward(spark, SF))
+    assert len(re.findall(r"\bExchange\b", p)) == 1, p
