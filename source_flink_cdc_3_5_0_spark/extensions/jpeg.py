@@ -1,0 +1,501 @@
+"""Baseline JPEG codec — pure numpy + stdlib, no libjpeg/PIL.
+
+Completes the real-codec set (PPM, WAV, PNG in ``multimodal.py``): the
+container has no imaging libraries, so both directions are implemented
+from the spec (ITU-T T.81):
+
+- ``decode_jpeg``: baseline sequential DCT, 8-bit, grayscale or YCbCr
+  (4:4:4 / 4:2:0 / 4:2:2 and any h/v factor ≤ 2), restart markers,
+  multiple DHT/DQT segments.  Progressive, arithmetic-coded, 12-bit and
+  hierarchical streams return ``None`` honestly (re-encode as baseline).
+- ``encode_jpeg``: baseline encoder (quality-scaled Annex-K quantization
+  tables, standard Annex-K Huffman tables, 4:4:4) used by the tests to
+  produce real compressed streams to decode — decode∘encode round-trips
+  are asserted by PSNR, plus DC-exactness on solid-color images.
+
+Scale posture: identical to the PNG path — decode runs inside the Arrow
+``mapInPandas`` batch; payload bytes never transit a shuffle.  The
+entropy decoder is a Python bit-loop (fine for the thumbnail-scale
+fixtures the sandbox exercises; a production deployment swaps this one
+function for libjpeg-turbo behind the same ``decode_jpeg`` signature).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# shared DCT basis (orthonormal 8x8)
+# ---------------------------------------------------------------------------
+
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16)
+_C *= np.sqrt(2 / 8)
+_C[0, :] *= np.sqrt(0.5)
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    return _C.T @ block @ _C
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+# Annex K quantization tables (luminance, chrominance)
+_QY = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99])
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99])
+
+# Annex K Huffman specs: (bits-per-length[1..16], values)
+_HUFF_SPECS = {
+    ("dc", 0): ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12))),
+    ("dc", 1): ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                list(range(12))),
+    ("ac", 0): ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]),
+    ("ac", 1): ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]),
+}
+
+
+def _build_codes(bits, values):
+    """(code, length) per value, canonical Huffman order."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_table(bits, values):
+    """length -> {code: value} lookup for the decoder."""
+    table: dict[int, dict[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        if bits[length - 1]:
+            table.setdefault(length, {})
+            for _ in range(bits[length - 1]):
+                table[length][code] = values[k]
+                code += 1
+                k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """Entropy-coded-segment bit reader with 0xFF00 unstuffing; restart
+    markers terminate the current run (caller resets DC predictors)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(self.data):
+                self.acc = (self.acc << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    self.marker = nxt
+                    self.pos += 2
+                    continue
+                else:           # EOI or other marker: stop consuming
+                    self.marker = nxt
+                    continue
+            else:
+                self.pos += 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self):
+        """Consume a pending RSTn and realign to a byte boundary."""
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+
+
+def _decode_huff(reader: _BitReader, table) -> int | None:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        row = table.get(length)
+        if row is not None and code in row:
+            return row[code]
+    return None
+
+
+def _extend(v: int, t: int) -> int:
+    return v - ((1 << t) - 1) if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray | None:
+    """Baseline JPEG -> (h, w, 3) uint8 RGB (grayscale replicated), or
+    None for non-JPEG / unsupported variants / corrupt streams."""
+    try:
+        return _decode_jpeg_inner(bytes(payload))
+    except Exception:
+        return None
+
+
+def _decode_jpeg_inner(d: bytes) -> np.ndarray | None:
+    if len(d) < 4 or d[0:2] != b"\xFF\xD8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[str, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(d):
+        if d[i] != 0xFF:
+            return None
+        marker = d[i + 1]
+        if marker == 0xD9:      # EOI before SOS
+            return None
+        seglen = struct.unpack(">H", d[i + 2:i + 4])[0]
+        seg = d[i + 4:i + 2 + seglen]
+        if marker == 0xDB:      # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                if pq != 0:
+                    return None     # 16-bit tables unsupported
+                tbl = np.zeros(64)
+                tbl[_ZIGZAG] = np.frombuffer(seg[j + 1:j + 65], np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                j += 65
+        elif marker == 0xC4:    # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                bits = list(seg[j + 1:j + 17])
+                n = sum(bits)
+                values = list(seg[j + 17:j + 17 + n])
+                huff[("dc" if tc == 0 else "ac", th)] = \
+                    _build_decode_table(bits, values)
+                j += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8 or nc not in (1, 3):
+                return None
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            return None         # progressive / arithmetic / hierarchical
+        elif marker == 0xDD:    # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:    # SOS
+            if frame is None:
+                return None
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel[cs] = (tt >> 4, tt & 15)
+            return _decode_scan(d, i + 2 + seglen, frame, qt, huff, sel,
+                                restart_interval)
+        i += 2 + seglen
+    return None
+
+
+def _decode_scan(d, pos, frame, qt, huff, sel, restart_interval):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2 or hmax < 1 or vmax < 1:
+        return None
+    h, w = frame["h"], frame["w"]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes.append(np.zeros((ph, pw)))
+
+    reader = _BitReader(d, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count == restart_interval:
+                reader.align_restart()
+                pred = [0] * len(comps)
+                mcu_count = 0
+            for ci, c in enumerate(comps):
+                dc_t, ac_t = sel[c["id"]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = _decode_block(reader, huff[("dc", dc_t)],
+                                            huff[("ac", ac_t)])
+                        if blk is None:
+                            return None
+                        pred[ci] += blk[0]
+                        coeff = np.zeros(64)
+                        coeff[:] = blk
+                        coeff[0] = pred[ci]
+                        mat = np.zeros(64)
+                        mat[_ZIGZAG] = coeff
+                        px = _idct2(mat.reshape(8, 8) * q) + 128
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+            mcu_count += 1
+
+    out = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        g = np.clip(out[0], 0, 255)
+        return np.repeat(g[:, :, None], 3, axis=2).astype(np.uint8)
+    y, cb, cr = out[0], out[1] - 128, out[2] - 128
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+def _decode_block(reader, dc_table, ac_table):
+    """One 8x8 block's zigzag coefficients; [0] is the DC *difference*."""
+    t = _decode_huff(reader, dc_table)
+    if t is None or t > 11:
+        return None
+    diff = _extend(reader.read_bits(t), t) if t else 0
+    coeff = np.zeros(64)
+    coeff[0] = diff
+    k = 1
+    while k < 64:
+        rs = _decode_huff(reader, ac_table)
+        if rs is None:
+            return None
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break               # EOB
+        k += r
+        if k > 63:
+            return None
+        coeff[k] = _extend(reader.read_bits(s), s)
+        k += 1
+    return coeff
+
+
+# ---------------------------------------------------------------------------
+# encoder (baseline, 4:4:4) — produces real streams for the tests
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        while self.nbits:
+            self.write(1, 1)    # pad with 1s per spec
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    quality = max(1, min(100, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = np.floor((q * s + 50) / 100)
+    return np.clip(t, 1, 255)
+
+
+def _cat(v: int) -> int:
+    a, t = abs(v), 0
+    while a:
+        a >>= 1
+        t += 1
+    return t
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> baseline JFIF bytes (4:4:4)."""
+    arr = np.asarray(arr)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        a = arr.astype(np.float64)
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        planes = [y, cb, cr]
+    qy = _quality_scale(_QY.reshape(8, 8), quality)
+    qc = _quality_scale(_QC.reshape(8, 8), quality)
+    qts = [qy] if gray else [qy, qc]
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, q in enumerate(qts):
+        z = q.reshape(-1)[_ZIGZAG].astype(np.uint8)
+        out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tq]) + z.tobytes()
+    nc = 1 if gray else 3
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for c in range(nc):
+        out += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    specs = [("dc", 0), ("ac", 0)] if gray else \
+        [("dc", 0), ("ac", 0), ("dc", 1), ("ac", 1)]
+    enc_tables = {}
+    for kind, tid in specs:
+        bits, values = _HUFF_SPECS[(kind, tid)]
+        enc_tables[(kind, tid)] = _build_codes(bits, values)
+        out += b"\xFF\xC4" + struct.pack(">H", 19 + len(values)) \
+            + bytes([(0 if kind == "dc" else 0x10) | tid]) \
+            + bytes(bits) + bytes(values)
+    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for c in range(nc):
+        out += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    out += b"\x00\x3F\x00"
+
+    wtr = _BitWriter()
+    pred = [0] * nc
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = []
+    for p in planes:
+        pp = np.empty((bh * 8, bw * 8))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1:h, :]
+        pp[:, w:] = pp[:, w - 1:w]
+        padded.append(pp)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(nc):
+                q = qts[0] if ci == 0 else qts[1]
+                dct = enc_tables[("dc", 0 if ci == 0 else 1)]
+                act = enc_tables[("ac", 0 if ci == 0 else 1)]
+                blk = padded[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128
+                coeff = np.round(_dct2(blk) / q).astype(int)
+                zz = coeff.reshape(-1)[_ZIGZAG]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                t = _cat(diff)
+                code, ln = dct[t]
+                wtr.write(code, ln)
+                if t:
+                    v = diff if diff >= 0 else diff + (1 << t) - 1
+                    wtr.write(v, t)
+                run = 0
+                last = 63
+                while last > 0 and zz[last] == 0:
+                    last -= 1
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = act[0xF0]
+                        wtr.write(code, ln)
+                        run -= 16
+                    s = _cat(v)
+                    code, ln = act[(run << 4) | s]
+                    wtr.write(code, ln)
+                    ev = v if v >= 0 else v + (1 << s) - 1
+                    wtr.write(ev, s)
+                    run = 0
+                if last < 63:
+                    code, ln = act[0x00]
+                    wtr.write(code, ln)
+    wtr.flush()
+    out += wtr.out
+    out += b"\xFF\xD9"
+    return bytes(out)

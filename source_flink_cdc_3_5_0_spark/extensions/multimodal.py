@@ -6,16 +6,19 @@ decode / feature-extraction run as Arrow-batched ``mapInPandas`` stages so a
 materializing whole partitions.
 
 Codecs that decode FOR REAL, pure numpy + stdlib, no external libs:
-PPM (P6) images, 16-bit PCM WAV audio, and PNG — the PNG path is a
-full spec decoder over stdlib ``zlib``
+PPM (P6) images, 16-bit PCM WAV audio, PNG, and baseline JPEG — the PNG
+path is a full spec decoder over stdlib ``zlib``
 (8-bit gray/gray+alpha/RGB/RGBA, all five scanline filters; palette /
 16-bit / interlaced return None) with exact-value unit tests in
 ``tests/test_multimodal_codecs`` covering every filter path against a
-built-in encoder. Remaining compressed formats (JPEG/MP4/...) need
-PIL/ffmpeg, which are NOT in this container — those payloads fall back
-to a deterministic md5-seeded fake under ``decoder='auto'`` (the
-default used by the driver queries,
-whose fixtures are opaque bytes), or raise under ``decoder='real'``. The
+built-in encoder, and the JPEG path (``extensions/jpeg.py``) decodes
+baseline sequential DCT streams (gray + YCbCr, subsampling up to 2×2,
+restart markers; progressive/arithmetic return None) with a matching
+baseline encoder and PSNR round-trip tests. Remaining formats (MP4 and
+JPEG's progressive variants) need PIL/ffmpeg, which are NOT in this
+container — those payloads fall back to a deterministic md5-seeded fake
+under ``decoder='auto'`` (the default used by the driver queries, whose
+fixtures are opaque bytes), or raise under ``decoder='real'``. The
 Spark-side plumbing (schema, batching, partition sizing) is identical on
 every path.
 """
@@ -293,6 +296,9 @@ def _real_decode_features(payload: bytes | None) -> list[float] | None:
     img = _decode_ppm(payload)
     if img is None:
         img = _decode_png(payload)
+    if img is None and payload[:2] == b"\xFF\xD8":
+        from .jpeg import decode_jpeg
+        img = decode_jpeg(payload)
     if img is not None:
         return _image_features(img)
     audio = _decode_wav(payload)

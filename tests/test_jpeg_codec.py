@@ -1,0 +1,98 @@
+"""Baseline JPEG codec (extensions/jpeg.py) — pure numpy/stdlib."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from source_flink_cdc_3_5_0_spark.extensions.jpeg import (
+    decode_jpeg, encode_jpeg)
+
+
+def _psnr(a, b):
+    mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+    return 99.0 if mse == 0 else 10 * np.log10(255 ** 2 / mse)
+
+
+class TestRoundTrip:
+    def test_solid_color_dc_exact(self, *_):
+        img = np.full((16, 16, 3), 128, np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 90))
+        assert out.shape == (16, 16, 3)
+        assert (out == 128).all()
+
+    def test_color_gradient_psnr(self):
+        rr, cc = np.meshgrid(np.arange(24), np.arange(33), indexing="ij")
+        img = np.stack([(rr * 10) % 256, (cc * 7) % 256,
+                        ((rr + cc) * 5) % 256], axis=2).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 90))
+        assert out.shape == img.shape
+        assert _psnr(img, out) > 35
+
+    def test_smooth_image_high_fidelity(self):
+        x, y = np.meshgrid(np.arange(40), np.arange(32))
+        img = np.stack([np.sin(x / 8) * 60 + 128, np.cos(y / 9) * 60 + 128,
+                        ((x + y) * 2) % 256], axis=2).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 90))
+        assert _psnr(img, out) > 40
+
+    def test_grayscale(self):
+        x, y = np.meshgrid(np.arange(40), np.arange(32))
+        g = ((x * 3 + y * 2) % 256).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(g, 85))
+        assert out.shape == (32, 40, 3)
+        # all three channels replicate the gray plane
+        assert (out[:, :, 0] == out[:, :, 1]).all()
+        assert _psnr(np.repeat(g[:, :, None], 3, 2), out) > 35
+
+    def test_non_multiple_of_8_dims(self):
+        img = np.full((9, 13, 3), 200, np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 90))
+        assert out.shape == (9, 13, 3)
+        assert abs(int(out.mean()) - 200) <= 1
+
+    def test_quality_monotone(self):
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 255, (16, 16, 3)).astype(np.uint8)
+        lo = decode_jpeg(encode_jpeg(img, 20))
+        hi = decode_jpeg(encode_jpeg(img, 95))
+        assert _psnr(img, hi) > _psnr(img, lo)
+
+
+class TestRobustness:
+    def test_non_jpeg_rejected(self):
+        assert decode_jpeg(b"hello world") is None
+        assert decode_jpeg(b"\x89PNG\r\n\x1a\n") is None
+        assert decode_jpeg(b"") is None
+
+    def test_truncations_never_raise(self):
+        payload = encode_jpeg(np.full((16, 16, 3), 77, np.uint8), 80)
+        for cut in range(0, len(payload), 7):
+            decode_jpeg(payload[:cut])    # None or partial, never raises
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.binary(min_size=0, max_size=200))
+    def test_fuzz_arbitrary_bytes_never_raise(self, data):
+        decode_jpeg(b"\xFF\xD8" + data)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(0, 400), st.integers(0, 255))
+    def test_fuzz_corrupted_stream_never_raises(self, pos, val):
+        payload = bytearray(encode_jpeg(np.full((8, 8, 3), 90, np.uint8), 80))
+        if pos < len(payload):
+            payload[pos] = val
+        decode_jpeg(bytes(payload))
+
+
+class TestIntegration:
+    def test_real_decoder_path_extracts_features(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import (
+            MEDIA_SCHEMA, extract_features)
+        img = np.full((8, 8, 3), 64, np.uint8)
+        rows = [(1, "image", bytearray(encode_jpeg(img, 90)), "image/jpeg",
+                 8, 8, None)]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        feats = extract_features(media, decoder="real").collect()
+        assert len(feats) == 1
+        # solid 64-gray image: every 4x4 block mean is 64/255
+        for v in feats[0].feature:
+            assert abs(v - 64 / 255) < 0.02
