@@ -429,19 +429,60 @@ _FRAMES_SCHEMA = T.StructType([
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 32,
-                  use_fake_decoder: bool = True) -> DataFrame:
+                  use_fake_decoder: bool = True,
+                  decoder: str | None = None) -> DataFrame:
     """Sample video frames at a fixed stride via ``mapInPandas`` — the
     1:N (row → frames) exploding shape: each Arrow batch of video rows
     yields one output batch carrying all its frames, so frame count per
     task is bounded by ``maxRecordsPerBatch × max_frames`` regardless of
     partition size. Frames land at t = 0, every_ms, 2·every_ms … ≤
-    duration_ms, capped at ``max_frames``. The fake decoder emits the
-    16-byte md5 of (payload, frame_idx) per frame; a real impl swaps in
-    ffmpeg/pyav keyframe extraction with the same signature."""
-    if not use_fake_decoder:
-        raise NotImplementedError(
-            "real frame sampling needs ffmpeg/pyav — not installed; pass "
-            "use_fake_decoder=True for the plumbing path")
+    duration_ms, capped at ``max_frames``.
+
+    ``decoder='real'`` demuxes MJPEG-in-AVI containers for real
+    (``extensions/avi.py``): the sampled ``frame`` bytes are the actual
+    JPEG of the frame nearest each timestamp (decodable downstream by
+    ``extensions/jpeg.py``), timing from the container's ``avih`` header
+    — duration_ms metadata is ignored in favor of the container's own
+    clock. Non-AVI payloads raise under ``'real'`` and fall back to the
+    fake under ``'auto'``. The fake decoder (default — opaque driver
+    fixtures) emits the 16-byte md5 of (payload, frame_idx) per frame.
+    Other containers (MP4...) still need ffmpeg."""
+    mode = decoder or ("fake" if use_fake_decoder else "real")
+    if mode not in ("fake", "real", "auto"):
+        raise ValueError(f"decoder must be fake|real|auto, got {mode!r}")
+
+    from .avi import demux_avi_mjpeg
+
+    def fake_rows(mid, payload, dur):
+        dur = 0 if dur is None or pd.isna(dur) else int(dur)
+        n = min(dur // every_ms + 1, max_frames)
+        base = b"" if payload is None else bytes(payload)
+        return [(mid, i, i * every_ms,
+                 hashlib.md5(base + i.to_bytes(4, "little")).digest())
+                for i in range(n)]
+
+    def real_rows(mid, payload, dur):
+        demuxed = None if payload is None else demux_avi_mjpeg(bytes(payload))
+        if demuxed is None:
+            if mode == "auto":
+                return fake_rows(mid, payload, dur)
+            raise NotImplementedError(
+                "payload is not an MJPEG AVI — other containers (MP4...) "
+                "need ffmpeg (not installed); use decoder='auto' to fall "
+                "back to the deterministic fake")
+        us_per_frame, frames = demuxed
+        frame_ms = us_per_frame / 1000.0
+        total_ms = int(len(frames) * frame_ms)
+        out = []
+        i = 0
+        while i * every_ms <= total_ms and len(out) < max_frames:
+            t = i * every_ms
+            fi = min(int(t / frame_ms), len(frames) - 1)
+            out.append((mid, i, t, frames[fi]))
+            i += 1
+        return out
+
+    per_row = real_rows if mode in ("real", "auto") else fake_rows
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -449,14 +490,11 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 32,
             for mid, payload, dur in zip(pdf["media_id"], pdf["payload"],
                                          pdf["duration_ms"]):
                 # nullable long arrives as float64 NaN in pandas, not None
-                dur = 0 if dur is None or pd.isna(dur) else int(dur)
-                n = min(dur // every_ms + 1, max_frames)
-                base = b"" if payload is None else bytes(payload)
-                for i in range(n):
-                    ids.append(mid)
-                    idxs.append(i)
-                    tss.append(i * every_ms)
-                    frames.append(hashlib.md5(base + i.to_bytes(4, "little")).digest())
+                for mid_, idx, ts, fr in per_row(mid, payload, dur):
+                    ids.append(mid_)
+                    idxs.append(idx)
+                    tss.append(ts)
+                    frames.append(fr)
             yield pd.DataFrame({
                 "media_id": pd.Series(ids, dtype="int64"),
                 "frame_idx": pd.Series(idxs, dtype="int32"),

@@ -96,3 +96,61 @@ class TestIntegration:
         # solid 64-gray image: every 4x4 block mean is 64/255
         for v in feats[0].feature:
             assert abs(v - 64 / 255) < 0.02
+
+
+class TestAviMjpeg:
+    def _avi(self, n_frames=6, fps=10):
+        frames = [encode_jpeg(np.full((8, 8, 3), 30 * i % 256, np.uint8), 85)
+                  for i in range(n_frames)]
+        from source_flink_cdc_3_5_0_spark.extensions.avi import mux_avi_mjpeg
+        return frames, mux_avi_mjpeg(frames, fps=fps)
+
+    def test_mux_demux_roundtrip(self):
+        from source_flink_cdc_3_5_0_spark.extensions.avi import demux_avi_mjpeg
+        frames, payload = self._avi(6, fps=10)
+        us, got = demux_avi_mjpeg(payload)
+        assert us == 100_000 and got == frames
+
+    def test_demux_rejects_garbage(self):
+        from source_flink_cdc_3_5_0_spark.extensions.avi import demux_avi_mjpeg
+        assert demux_avi_mjpeg(b"RIFFxxxxWAVE") is None
+        assert demux_avi_mjpeg(b"not riff at all") is None
+        # truncated container never raises
+        _, payload = self._avi(3)
+        for cut in range(0, len(payload), 11):
+            demux_avi_mjpeg(payload[:cut])
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.binary(max_size=120))
+    def test_demux_fuzz_never_raises(self, data):
+        from source_flink_cdc_3_5_0_spark.extensions.avi import demux_avi_mjpeg
+        demux_avi_mjpeg(b"RIFF" + data)
+
+    def test_real_frame_sampling_end_to_end(self, spark):
+        """AVI demux -> timestamp sampling -> each sampled frame is a
+        REAL decodable JPEG of the right solid color."""
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import (
+            MEDIA_SCHEMA, sample_frames)
+        frames, payload = self._avi(10, fps=10)   # 100 ms per frame, 1 s
+        rows = [(7, "video", bytearray(payload), "video/x-msvideo",
+                 None, None, 999_999)]            # duration metadata ignored
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = sorted(sample_frames(media, every_ms=300, decoder="real")
+                     .collect(), key=lambda r: r.frame_idx)
+        # t = 0, 300, 600, 900 ms -> frame indices 0, 3, 6, 9
+        assert [r.ts_ms for r in got] == [0, 300, 600, 900]
+        for r, fi in zip(got, [0, 3, 6, 9]):
+            img = decode_jpeg(bytes(r.frame))
+            assert img is not None
+            assert abs(int(img.mean()) - (30 * fi % 256)) <= 2
+
+    def test_real_mode_rejects_non_avi_auto_falls_back(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import (
+            MEDIA_SCHEMA, sample_frames)
+        rows = [(1, "video", bytearray(b"opaque-not-avi"), "video/mp4",
+                 None, None, 2000)]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        with pytest.raises(Exception):
+            sample_frames(media, decoder="real").collect()
+        auto = sample_frames(media, every_ms=1000, decoder="auto").collect()
+        assert len(auto) == 3   # fake path: duration 2000 -> t=0,1000,2000

@@ -68,18 +68,22 @@ def test_sample_frames_cap(spark):
 
 
 def test_real_decoder_paths_are_gated(spark):
-    """Real decode now EXISTS for PPM/WAV (test_multimodal_codecs pins the
-    exact values); what stays environment-gated: frame sampling (video
-    needs ffmpeg — eager raise), and real-mode resize over a format PPM
-    can't express (raises inside the worker)."""
-    with pytest.raises(NotImplementedError):
-        sample_frames(None, use_fake_decoder=False)
+    """Real decode EXISTS for PPM/WAV/PNG/baseline-JPEG and MJPEG-AVI
+    frame sampling (test_multimodal_codecs / test_jpeg_codec pin values);
+    what stays environment-gated raises inside the worker: real-mode
+    frame sampling over a non-AVI container (MP4 needs ffmpeg) and
+    real-mode resize over a format the resizer can't re-encode."""
     from source_flink_cdc_3_5_0_spark.extensions.multimodal import MEDIA_SCHEMA
-    jpeg = spark.createDataFrame(
+    mp4 = spark.createDataFrame(
+        [(1, "video", bytearray(b"\x00\x00\x00 ftypmp42 opaque"),
+          "video/mp4", None, None, 1000)], MEDIA_SCHEMA)
+    with pytest.raises(Exception):
+        sample_frames(mp4, use_fake_decoder=False).collect()
+    truncated_jpeg = spark.createDataFrame(
         [(1, "image", bytearray(b"\xff\xd8\xff jpeg-ish"), "image/jpeg",
           2, 2, None)], MEDIA_SCHEMA)
     with pytest.raises(Exception):
-        resize_images(jpeg, use_fake_decoder=False).collect()
+        resize_images(truncated_jpeg, use_fake_decoder=False).collect()
 
 
 class TestFrameAudioEnergy:
