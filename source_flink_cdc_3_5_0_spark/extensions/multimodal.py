@@ -367,10 +367,11 @@ def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32,
     """Decode→resize→re-encode image rows via ``mapInPandas``.
 
     Non-image rows are filtered JVM-side BEFORE the Python stage (predicate
-    stays in the scan, Python only sees image payloads). PPM (P6) payloads
-    resize FOR REAL — nearest-neighbor index sampling in numpy, re-encoded
-    as PPM (``decoder='real'``/``'auto'``); other formats need PIL and
-    fall back to a deterministic fake payload under ``'fake'``/``'auto'``."""
+    stays in the scan, Python only sees image payloads). PPM (P6), PNG and
+    baseline JPEG payloads resize FOR REAL — nearest-neighbor index
+    sampling in numpy, re-encoded in the payload's own container
+    (``decoder='real'``/``'auto'``); undecodable payloads fall back to a
+    deterministic fake under ``'fake'``/``'auto'``."""
     mode = decoder or ("fake" if use_fake_decoder else "real")
     if mode not in ("fake", "real", "auto"):
         raise ValueError(f"decoder must be fake|real|auto, got {mode!r}")
@@ -389,23 +390,30 @@ def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32,
         if mode != "fake":
             raw = bytes(payload)
             was_png = raw.startswith(_PNG_SIG)
+            was_jpeg = raw[:2] == b"\xFF\xD8"
             img = _decode_ppm(raw)
             if img is None:
                 img = _decode_png(raw)
+            if img is None and was_jpeg:
+                from .jpeg import decode_jpeg
+                img = decode_jpeg(raw)
             if img is not None:
                 h, w = img.shape[:2]
                 ys = (np.arange(target_h) * h // target_h)
                 xs = (np.arange(target_w) * w // target_w)
                 small = img[ys][:, xs]
                 # re-encode in the payload's own container
+                if was_jpeg:
+                    from .jpeg import encode_jpeg
+                    return encode_jpeg(small)
                 return _encode_png(small) if was_png else _encode_ppm(small)
             if mode == "real":
                 raise NotImplementedError(
-                    "payload is not decodable: PPM/PNG resize for real (note "
-                    "palette/16-bit/interlaced PNGs are intentionally "
-                    "declined — re-encode to 8-bit non-interlaced); other "
-                    "formats need PIL (not installed) — use "
-                    "decoder='auto' to fall back")
+                    "payload is not decodable: PPM/PNG/baseline-JPEG resize "
+                    "for real (palette/16-bit/interlaced PNGs and "
+                    "progressive JPEGs are intentionally declined — "
+                    "re-encode to a baseline form); other formats need PIL "
+                    "(not installed) — use decoder='auto' to fall back")
         return _fake_resize(payload)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -630,6 +638,9 @@ def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
                 arr = _decode_ppm(bytes(payload))
                 if arr is None:
                     arr = _decode_png(bytes(payload))
+                if arr is None and bytes(payload[:2]) == b"\xFF\xD8":
+                    from .jpeg import decode_jpeg
+                    arr = decode_jpeg(bytes(payload))
                 if arr is None:
                     continue
                 h, w = arr.shape[:2]

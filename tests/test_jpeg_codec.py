@@ -154,3 +154,38 @@ class TestAviMjpeg:
             sample_frames(media, decoder="real").collect()
         auto = sample_frames(media, every_ms=1000, decoder="auto").collect()
         assert len(auto) == 3   # fake path: duration 2000 -> t=0,1000,2000
+
+
+class TestJpegResizeAndAhash:
+    def test_resize_jpeg_real_roundtrip(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import (
+            MEDIA_SCHEMA, resize_images)
+        img = np.full((32, 32, 3), 99, np.uint8)
+        rows = [(1, "image", bytearray(encode_jpeg(img, 90)), "image/jpeg",
+                 32, 32, None)]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = resize_images(media, 8, 8, decoder="real").collect()[0]
+        # output stays a decodable JPEG of the right size & color
+        small = decode_jpeg(bytes(out.payload))
+        assert small.shape == (8, 8, 3)
+        assert abs(int(small.mean()) - 99) <= 1
+
+    def test_ahash_brightness_invariance_across_jpeg(self, spark):
+        """A brightness-shifted JPEG re-encode hashes like the original —
+        the perceptual-dedup story across a LOSSY codec (quantization
+        noise < the 1-bit threshold margin on a high-contrast pattern)."""
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import (
+            MEDIA_SCHEMA, image_ahash)
+        rr, cc = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        base = ((rr + cc) % 2 * 180 + 20).astype(np.uint8)   # checkerboard
+        img = np.repeat(base[:, :, None], 3, axis=2)
+        rows = [
+            (1, "image", bytearray(encode_jpeg(img, 95)), "image/jpeg",
+             8, 8, None),
+            (2, "image", bytearray(encode_jpeg(
+                np.clip(img.astype(int) + 40, 0, 255).astype(np.uint8), 95)),
+             "image/jpeg", 8, 8, None),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        hashes = {r.media_id: r.ahash_bits for r in image_ahash(media).collect()}
+        assert hashes[1] == hashes[2]
