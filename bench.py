@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "stats_correlation",
     "agg_correlated_subquery",
     "gapfill_forward",
+    "text_blocklist",
+    "text_dedup_paragraphs",
 ]
 
 

@@ -4810,6 +4810,92 @@ FROM sparse
 """
 
 
+_BLOCKLIST = ["lorem ipsum", "click here", "subscribe now", "winbig casino"]
+
+
+def q_text_blocklist(spark, sf_dir):
+    """Phrase-blocklist content filtering (extensions/text.
+    blocklist_filter): the NSFW/badword/boilerplate gate — one
+    case-insensitive word-boundary alternation regex, one codegen
+    projection. Deterministic phrase injection (every 6th/8th/9th doc)
+    exercises the gate both ways; the oracle runs the identical RE2-safe
+    pattern."""
+    from .extensions.text import blocklist_filter
+
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 6 == 0,
+                   F.lit(" please Click Here to continue")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 8 == 0,
+                   F.lit(" LOREM IPSUM dolor sit")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 9 == 0,
+                   F.lit(" visit winbig casino today")).otherwise(F.lit("")),
+        ).alias("text"))
+    return (blocklist_filter(aug, _BLOCKLIST)
+            .select("doc_id", "n_blocked_terms", "keep"))
+
+
+def _oracle_text_blocklist() -> str:
+    from .extensions.text import blocklist_flags_sql
+
+    exprs = blocklist_flags_sql("duckdb", _BLOCKLIST, "text")
+    cols = ",\n       ".join(f"{sql} AS {name}" for name, sql in exprs.items())
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 6 = 0
+                      THEN ' please Click Here to continue' ELSE '' END
+              || CASE WHEN doc_id % 8 = 0
+                      THEN ' LOREM IPSUM dolor sit' ELSE '' END
+              || CASE WHEN doc_id % 9 = 0
+                      THEN ' visit winbig casino today' ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       {cols}
+FROM aug
+"""
+
+
+def q_text_dedup_paragraphs(spark, sf_dir):
+    """Intra-document paragraph dedup (extensions/text.dedup_paragraphs):
+    repeated paragraphs within one document (navigation boilerplate,
+    repeated headers) removed with first-occurrence order preserved —
+    zero shuffles, pure higher-order array ops. Each doc is rebuilt as
+    A ¶ B ¶ A (+ a trailing blank every 4th), so every doc has exactly
+    one in-document repeat to scrub; the oracle replays the rebuild and
+    the order-preserving distinct."""
+    from .extensions.text import dedup_paragraphs
+
+    docs = load(spark, sf_dir, "documents")
+    a = F.substring("text", 1, 120)
+    b = F.substring("text", 121, 120)
+    aug = docs.select(
+        "doc_id",
+        F.concat(a, F.lit("\n\n"), b, F.lit("\n\n"), a,
+                 F.when(F.col("doc_id") % 4 == 0, F.lit("\n\n "))
+                  .otherwise(F.lit(""))).alias("text"))
+    return (dedup_paragraphs(aug)
+            .select("doc_id", "n_paras", "n_unique",
+                    F.md5("deduped").alias("deduped_md5")))
+
+
+def _oracle_dedup_paragraphs() -> str:
+    from .extensions.text import dedup_paragraphs_oracle_sql
+
+    aug = ("(SELECT doc_id, "
+           "substr(text, 1, 120) || chr(10) || chr(10) || "
+           "substr(text, 121, 120) || chr(10) || chr(10) || "
+           "substr(text, 1, 120) || "
+           "CASE WHEN doc_id % 4 = 0 THEN chr(10) || chr(10) || ' ' "
+           "ELSE '' END AS text FROM documents) AS aug_docs")
+    inner = dedup_paragraphs_oracle_sql(table=aug)
+    return (f"SELECT doc_id, n_paras, n_unique, md5(deduped) AS deduped_md5 "
+            f"FROM ({inner}) t")
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -4890,6 +4976,8 @@ QUERIES: dict[str, object] = {
     "stats_correlation": q_stats_correlation,
     "agg_correlated_subquery": q_agg_correlated_subquery,
     "gapfill_forward": q_gapfill_forward,
+    "text_blocklist": q_text_blocklist,
+    "text_dedup_paragraphs": q_text_dedup_paragraphs,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -5078,6 +5166,8 @@ ORACLES: dict[str, str] = {
     "stats_correlation": _oracle_stats_correlation(),
     "agg_correlated_subquery": ORACLE_CORRELATED_SUBQUERY,
     "gapfill_forward": ORACLE_GAPFILL,
+    "text_blocklist": _oracle_text_blocklist(),
+    "text_dedup_paragraphs": _oracle_dedup_paragraphs(),
 }
 
 

@@ -383,3 +383,90 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     from pyspark.sql import functions as _F
     return df.withColumn("normalized",
                          _F.expr(normalize_sql("spark", text_col)))
+
+
+# -- content filtering: phrase blocklist -------------------------------------
+
+def blocklist_flags_sql(dialect: str, phrases: list[str],
+                        col: str = "text") -> dict[str, str]:
+    """Blocklist filtering (the NSFW/badword gate every pretraining corpus
+    runs): named SQL expressions counting case-insensitive word-boundary
+    matches of each phrase plus the combined keep flag.  The pattern is a
+    single alternation per phrase group — one codegen'd regex pass, no
+    Python, identical RE2-safe pattern text in both engines (``\\b`` word
+    boundaries work in Java regex and RE2 alike)."""
+    import re as _re
+
+    alts = "|".join(_re.escape(p.lower()) for p in phrases)
+    pattern = rf"\b({alts})\b"
+    lowered = f"lower({col})"
+    n = _regexp_count(dialect, lowered, pattern)
+    return {
+        "n_blocked_terms": f"CAST({n} AS INTEGER)",
+        "keep": f"({n}) = 0",
+    }
+
+
+def blocklist_filter(df: DataFrame, phrases: list[str],
+                     text_col: str = "text") -> DataFrame:
+    """Append ``n_blocked_terms`` + ``keep`` (one codegen projection)."""
+    from pyspark.sql import functions as _F
+
+    exprs = blocklist_flags_sql("spark", phrases, text_col)
+    out = df
+    for name, sql in exprs.items():
+        out = out.withColumn(name, _F.expr(sql))
+    return out
+
+
+# -- intra-document paragraph dedup (boilerplate removal) --------------------
+
+def dedup_paragraphs(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     sep: str = "\n\n") -> DataFrame:
+    """Remove repeated paragraphs WITHIN each document, preserving first-
+    occurrence order — the navigation/boilerplate scrub that runs before
+    any cross-document dedup (repeated headers inflate shingle overlap).
+
+    Pure higher-order array ops, zero shuffles: split on the separator,
+    keep position i iff no earlier position holds the same trimmed
+    paragraph, rejoin.  O(p²) comparisons per doc where p = paragraph
+    count — tiny against the string work itself, and entirely
+    codegen-free of Python."""
+    from pyspark.sql import functions as _F
+
+    sep_lit = sep.replace("\n", "\\n")
+    paras = f"split({text_col}, '{sep_lit}')"
+    keep = (f"filter({paras}, (x, i) -> trim(x) != '' AND NOT exists("
+            f"slice({paras}, 1, i), y -> trim(y) = trim(x)))")
+    return (df.withColumn("n_paras",
+                          _F.expr(f"size(filter({paras}, x -> trim(x) != ''))")
+                          .cast("int"))
+              .withColumn("deduped", _F.expr(f"array_join({keep}, '{sep_lit}')"))
+              .withColumn("n_unique", _F.expr(f"size({keep})").cast("int")))
+
+
+def dedup_paragraphs_oracle_sql(table: str = "documents",
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> str:
+    """DuckDB replay: same split/first-occurrence/rejoin semantics —
+    ``list_position`` over the trimmed list IS "index of first
+    occurrence", giving an order-preserving distinct without subqueries
+    (DuckDB lambdas refuse correlated subqueries)."""
+    paras = f"string_split({text_col}, chr(10) || chr(10))"
+    return f"""
+WITH split_docs AS (
+  SELECT {id_col}, {paras} AS ps,
+         list_transform({paras}, y -> trim(y)) AS ts
+  FROM {table}),
+kept AS (
+  SELECT {id_col}, ps,
+         [ps[i] FOR i IN generate_series(1, len(ps))
+          IF trim(ps[i]) <> '' AND list_position(ts, trim(ps[i])) = i] AS kp
+  FROM split_docs)
+SELECT {id_col},
+       CAST(len(list_filter(ps, x -> trim(x) <> '')) AS INTEGER) AS n_paras,
+       array_to_string(kp, chr(10) || chr(10)) AS deduped,
+       CAST(len(kp) AS INTEGER) AS n_unique
+FROM kept
+"""

@@ -248,3 +248,45 @@ class TestNormalizeFuzz:
             assert r["n"] == r["text"]
 
         check()
+
+
+class TestBlocklistAndParagraphs:
+    def test_blocklist_word_boundaries(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.text import blocklist_filter
+        df = spark.createDataFrame(
+            [(1, "please Click Here now"), (2, "clickhere is one word"),
+             (3, "totally clean text"), (4, "LOREM IPSUM and click here")],
+            "doc_id BIGINT, text STRING")
+        got = {r.doc_id: (r.n_blocked_terms, r.keep)
+               for r in blocklist_filter(
+                   df, ["lorem ipsum", "click here"]).collect()}
+        assert got[1] == (1, False)
+        assert got[2] == (0, True)       # no word-boundary match
+        assert got[3] == (0, True)
+        assert got[4] == (2, False)
+
+    def test_paragraph_dedup_order_preserved(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.text import dedup_paragraphs
+        df = spark.createDataFrame(
+            [(1, "head\n\nbody\n\nhead\n\n \n\nbody\n\ntail")],
+            "doc_id BIGINT, text STRING")
+        r = dedup_paragraphs(df).collect()[0]
+        assert r.deduped == "head\n\nbody\n\ntail"
+        assert r.n_paras == 5 and r.n_unique == 3
+
+    def test_paragraph_dedup_trim_equality(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.text import dedup_paragraphs
+        df = spark.createDataFrame([(1, "a \n\na\n\nb")],
+                                   "doc_id BIGINT, text STRING")
+        r = dedup_paragraphs(df).collect()[0]
+        # first occurrence keeps its ORIGINAL (untrimmed) form
+        assert r.deduped == "a \n\nb"
+        assert r.n_unique == 2
+
+    def test_paragraph_dedup_no_python_no_shuffle(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.text import dedup_paragraphs
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        p = dedup_paragraphs(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in p and "MapInPandas" not in p \
+            and "BatchEvalPython" not in p, p
