@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "gapfill_forward",
     "text_blocklist",
     "text_dedup_paragraphs",
+    "drift_histogram",
 ]
 
 

@@ -4896,6 +4896,43 @@ def _oracle_dedup_paragraphs() -> str:
             f"FROM ({inner}) t")
 
 
+def q_drift_histogram(spark, sf_dir):
+    """Distribution-drift monitoring (extensions/stats.histogram_drift):
+    total-variation distance between two samples over a shared fixed
+    histogram, integer-exact (cents + cross-multiplied counts in
+    DECIMAL(38,0), one trailing division). Two comparisons in one result:
+    even-vs-odd orderkey halves of o_totalprice (same distribution → tvd
+    near 0, not drifted) and original-vs-shifted (price·1.5 + 1000 →
+    large tvd, drifted) — the check fires exactly where it should."""
+    from .extensions.stats import histogram_drift
+
+    orders = load(spark, sf_dir, "orders")
+    even = orders.where(F.col("o_orderkey") % 2 == 0)
+    odd = orders.where(F.col("o_orderkey") % 2 == 1)
+    shifted = orders.select(
+        (F.col("o_totalprice") * 1.5 + 1000).alias("o_totalprice"))
+    same = (histogram_drift(even, odd, "o_totalprice")
+            .select(F.lit("even_vs_odd").alias("pair"), "*"))
+    drift = (histogram_drift(orders, shifted, "o_totalprice")
+             .select(F.lit("orig_vs_shifted").alias("pair"), "*"))
+    return same.unionByName(drift)
+
+
+def _oracle_drift_histogram() -> str:
+    from .extensions.stats import histogram_drift_oracle_sql
+
+    same = histogram_drift_oracle_sql(
+        "SELECT o_totalprice FROM orders WHERE o_orderkey % 2 = 0",
+        "SELECT o_totalprice FROM orders WHERE o_orderkey % 2 = 1",
+        "o_totalprice")
+    drift = histogram_drift_oracle_sql(
+        "SELECT o_totalprice FROM orders",
+        "SELECT o_totalprice * 1.5 + 1000 AS o_totalprice FROM orders",
+        "o_totalprice")
+    return (f"SELECT 'even_vs_odd' AS pair, * FROM ({same}) s\n"
+            f"UNION ALL\nSELECT 'orig_vs_shifted', * FROM ({drift}) d")
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -4978,6 +5015,7 @@ QUERIES: dict[str, object] = {
     "gapfill_forward": q_gapfill_forward,
     "text_blocklist": q_text_blocklist,
     "text_dedup_paragraphs": q_text_dedup_paragraphs,
+    "drift_histogram": q_drift_histogram,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -5168,6 +5206,7 @@ ORACLES: dict[str, str] = {
     "gapfill_forward": ORACLE_GAPFILL,
     "text_blocklist": _oracle_text_blocklist(),
     "text_dedup_paragraphs": _oracle_dedup_paragraphs(),
+    "drift_histogram": _oracle_drift_histogram(),
 }
 
 

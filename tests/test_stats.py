@@ -96,3 +96,42 @@ class TestPairwiseCorrelation:
         p = pairwise_correlation(li, ["l_quantity", "l_extendedprice"]) \
             ._jdf.queryExecution().executedPlan().toString()
         assert p.count("Scan parquet") == 1, p
+
+
+class TestHistogramDrift:
+    def test_identical_not_drifted_shifted_drifted(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.stats import histogram_drift
+        import pyspark.sql.functions as F
+        base = spark.range(2000).select(
+            ((F.col("id") % 100) * 1.0).alias("x"))
+        same = histogram_drift(base, base, "x").collect()[0]
+        assert same.tvd == 0.0 and not same.drifted
+        shifted = base.select((F.col("x") + 500.0).alias("x"))
+        d = histogram_drift(base, shifted, "x").collect()[0]
+        assert d.tvd > 0.9 and d.drifted     # disjoint supports -> TVD ~1
+
+    def test_noise_floor_guards_small_samples(self, spark):
+        """Two small random-ish halves of one distribution must NOT
+        drift: tvd lands under the analytic noise floor."""
+        from source_flink_cdc_3_5_0_spark.extensions.stats import histogram_drift
+        import pyspark.sql.functions as F
+        df = spark.range(600).select(
+            (F.crc32(F.col("id").cast("string")) % 1000).cast("double")
+            .alias("x"), "id")
+        a = df.where(F.col("id") % 2 == 0)
+        b = df.where(F.col("id") % 2 == 1)
+        r = histogram_drift(a, b, "x").collect()[0]
+        assert r.tvd <= r.noise_floor and not r.drifted
+
+    def test_mergeable_counts(self, spark):
+        """TVD from unioned halves equals TVD from the whole frame — the
+        bin counts are additive, so the sketch maintains incrementally."""
+        from source_flink_cdc_3_5_0_spark.extensions.stats import histogram_drift
+        import pyspark.sql.functions as F
+        whole = spark.range(1000).select((F.col("id") % 50 * 2.0).alias("x"))
+        h1 = whole.limit(400)
+        h2 = whole.subtract(h1.limit(0)).exceptAll(h1)
+        other = whole.select((F.col("x") + 7.0).alias("x"))
+        t_whole = histogram_drift(whole, other, "x").collect()[0].tvd
+        t_union = histogram_drift(h1.unionAll(h2), other, "x").collect()[0].tvd
+        assert t_whole == t_union
