@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "text_blocklist",
     "text_dedup_paragraphs",
     "drift_histogram",
+    "schema_drift",
 ]
 
 

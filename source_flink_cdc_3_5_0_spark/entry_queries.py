@@ -4933,6 +4933,71 @@ def _oracle_drift_histogram() -> str:
             f"UNION ALL\nSELECT 'orig_vs_shifted', * FROM ({drift}) d")
 
 
+def q_schema_drift(spark, sf_dir):
+    """Schema/contract drift (extensions/dataquality.schema_drift): two
+    profile_table outputs diffed — a renamed column surfaces as
+    removed+added, a column whose nulls jumped (every 3rd custkey nulled)
+    as null_rate_jump, untouched columns as ok. Profiles are control-
+    plane-sized at any table size, so the diff is a broadcast join over
+    ≤k rows; the monitoring triad's third leg next to
+    validate_constraints (snapshot) and drift_histogram (values)."""
+    from .extensions.dataquality import profile_table, schema_drift
+
+    orders = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    old = profile_table(orders, cols)
+    mutated = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("long"))
+         .otherwise(F.col("o_custkey")).alias("o_custkey"),
+        F.col("o_orderstatus").alias("o_status"),
+        "o_totalprice")
+    new = profile_table(mutated, ["o_orderkey", "o_custkey", "o_status",
+                                  "o_totalprice"])
+    return schema_drift(old, new)
+
+
+ORACLE_SCHEMA_DRIFT = """
+WITH stats AS (
+  SELECT COUNT(*) AS n,
+         COUNT(o_orderkey) AS nn_ok,
+         COUNT(o_custkey) AS nn_ck,
+         COUNT(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE o_custkey END) AS nn_ck2,
+         COUNT(o_orderstatus) AS nn_st,
+         COUNT(o_totalprice) AS nn_tp
+  FROM orders),
+oldp AS (
+  SELECT 'o_orderkey' AS col_name, n, n - nn_ok AS nul FROM stats
+  UNION ALL SELECT 'o_custkey', n, n - nn_ck FROM stats
+  UNION ALL SELECT 'o_orderstatus', n, n - nn_st FROM stats
+  UNION ALL SELECT 'o_totalprice', n, n - nn_tp FROM stats),
+newp AS (
+  SELECT 'o_orderkey' AS col_name, n, n - nn_ok AS nul FROM stats
+  UNION ALL SELECT 'o_custkey', n, n - nn_ck2 FROM stats
+  UNION ALL SELECT 'o_status', n, n - nn_st FROM stats
+  UNION ALL SELECT 'o_totalprice', n, n - nn_tp FROM stats),
+j AS (
+  SELECT COALESCE(o.col_name, nw.col_name) AS col_name,
+         o.n AS o_rows, o.nul AS o_null,
+         nw.n AS n_rows2, nw.nul AS n_null2
+  FROM oldp o FULL OUTER JOIN newp nw ON o.col_name = nw.col_name)
+SELECT col_name,
+       CASE WHEN o_rows IS NULL THEN 'added'
+            WHEN n_rows2 IS NULL THEN 'removed'
+            WHEN abs(CAST(n_null2 AS DOUBLE) / n_rows2
+                     - CAST(o_null AS DOUBLE) / o_rows) > 0.05
+              THEN 'null_rate_jump'
+            ELSE 'ok' END AS status,
+       CASE WHEN o_rows IS NULL OR n_rows2 IS NULL
+            THEN CAST(NULL AS DOUBLE)
+            ELSE round(CAST(n_null2 AS DOUBLE) / n_rows2
+                       - CAST(o_null AS DOUBLE) / o_rows, 6) END
+         AS null_rate_delta
+FROM j ORDER BY col_name
+"""
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -5016,6 +5081,7 @@ QUERIES: dict[str, object] = {
     "text_blocklist": q_text_blocklist,
     "text_dedup_paragraphs": q_text_dedup_paragraphs,
     "drift_histogram": q_drift_histogram,
+    "schema_drift": q_schema_drift,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -5207,6 +5273,7 @@ ORACLES: dict[str, str] = {
     "text_blocklist": _oracle_text_blocklist(),
     "text_dedup_paragraphs": _oracle_dedup_paragraphs(),
     "drift_histogram": _oracle_drift_histogram(),
+    "schema_drift": ORACLE_SCHEMA_DRIFT,
 }
 
 

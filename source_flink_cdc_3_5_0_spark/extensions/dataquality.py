@@ -183,3 +183,41 @@ def validate_constraints(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     return (out.select("check", "violations",
                        (F.col("violations") == 0).alias("passed"))
                .orderBy("check"))
+
+
+def schema_drift(profile_old: DataFrame, profile_new: DataFrame,
+                 null_rate_jump: float = 0.05) -> DataFrame:
+    """Schema/contract drift between two ``profile_table`` outputs — the
+    third leg of the monitoring triad (constraints validate a snapshot,
+    ``histogram_drift`` watches value distributions, this watches the
+    SHAPE): columns added, columns removed, and null-rate jumps above
+    ``null_rate_jump`` (the classic silent upstream break — a field that
+    quietly went mostly-null).
+
+    Pure profile-row arithmetic: a full outer join on col_name over two
+    ≤k-row frames (broadcast both sides at any table size — profiles are
+    control-plane) and one projection.  Null rates compare by integer
+    cross-multiplication (n_null·n_rows' vs bounds) plus one IEEE
+    division for the reported delta.  Returns (col_name, status, detail)
+    with status ∈ added | removed | null_rate_jump | ok."""
+    o = profile_old.select(F.col("col_name"),
+                           F.col("n_rows").alias("o_rows"),
+                           F.col("n_null").alias("o_null"))
+    n = profile_new.select(F.col("col_name"),
+                           F.col("n_rows").alias("n_rows2"),
+                           F.col("n_null").alias("n_null2"))
+    j = o.join(n, "col_name", "full_outer")
+    o_rate = F.col("o_null").cast("double") / F.col("o_rows").cast("double")
+    n_rate = F.col("n_null2").cast("double") / F.col("n_rows2").cast("double")
+    delta = F.round(n_rate - o_rate, 6)
+    status = (F.when(F.col("o_rows").isNull(), F.lit("added"))
+               .when(F.col("n_rows2").isNull(), F.lit("removed"))
+               .when(F.abs(n_rate - o_rate) > F.lit(null_rate_jump),
+                     F.lit("null_rate_jump"))
+               .otherwise(F.lit("ok")))
+    detail = (F.when(F.col("o_rows").isNull() | F.col("n_rows2").isNull(),
+                     F.lit(None).cast("double"))
+               .otherwise(delta))
+    return (j.select("col_name", status.alias("status"),
+                     detail.alias("null_rate_delta"))
+             .orderBy("col_name"))

@@ -290,3 +290,23 @@ class TestBlocklistAndParagraphs:
             .executedPlan().toString()
         assert "Exchange" not in p and "MapInPandas" not in p \
             and "BatchEvalPython" not in p, p
+
+
+class TestSchemaDrift:
+    def test_statuses(self, spark):
+        from source_flink_cdc_3_5_0_spark.extensions.dataquality import (
+            profile_table, schema_drift)
+        old_df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", None), (3, None, 3.0), (4, "d", 4.0)],
+            "id BIGINT, s STRING, x DOUBLE")
+        new_df = spark.createDataFrame(
+            [(1, None, "p"), (2, None, "q"), (3, None, "r"), (4, "d", "s")],
+            "id BIGINT, s STRING, y STRING")
+        out = {r.col_name: r for r in schema_drift(
+            profile_table(old_df), profile_table(new_df)).collect()}
+        assert out["id"].status == "ok" and out["id"].null_rate_delta == 0.0
+        assert out["s"].status == "null_rate_jump"      # 25% -> 75%
+        assert out["s"].null_rate_delta == 0.5
+        assert out["x"].status == "removed"
+        assert out["y"].status == "added"
+        assert out["x"].null_rate_delta is None
