@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "text_dedup_paragraphs",
     "drift_histogram",
     "schema_drift",
+    "tokenizer_vocab_coverage",
 ]
 
 

@@ -4998,6 +4998,55 @@ FROM j ORDER BY col_name
 """
 
 
+def q_tokenizer_vocab_coverage(spark, sf_dir):
+    """Tokenizer vocabulary coverage: per-document OOV rate against a
+    fixed top-K word vocabulary — the go/no-go check before reusing an
+    existing tokenizer on a new corpus (high OOV = the tokenizer
+    fragments this data). Vocab = top 200 corpus words by count with a
+    total (count DESC, word ASC) order so the cutoff is deterministic;
+    the vocabulary is bounded and BROADCAST back onto the token stream
+    (the charset-bounded-model pattern), tokens pay one doc_id
+    partial-agg. OOV fraction = one IEEE division."""
+    from .extensions.dedup import tokens_col
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id",
+                       F.explode(tokens_col("text")).alias("w"))
+    vocab = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+                 .orderBy(F.col("c").desc(), F.col("w"))
+                 .limit(200)
+                 .select("w", F.lit(True).alias("in_vocab")))
+    return (toks.join(F.broadcast(vocab), "w", "left")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_tokens"),
+                     F.sum(F.when(F.col("in_vocab").isNull(), 1)
+                            .otherwise(0)).alias("n_oov"))
+                .select("doc_id", "n_tokens", "n_oov",
+                        F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+                        .alias("oov_rate")))
+
+
+ORACLE_VOCAB_COVERAGE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS w
+  FROM documents),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+    ORDER BY c DESC, w LIMIT 200)),
+flagged AS (
+  SELECT t.doc_id, (v.w IS NOT NULL) AS iv
+  FROM toks t LEFT JOIN vocab v ON t.w = v.w)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+       round(CAST(SUM(CASE WHEN iv THEN 0 ELSE 1 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM flagged GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -5082,6 +5131,7 @@ QUERIES: dict[str, object] = {
     "text_dedup_paragraphs": q_text_dedup_paragraphs,
     "drift_histogram": q_drift_histogram,
     "schema_drift": q_schema_drift,
+    "tokenizer_vocab_coverage": q_tokenizer_vocab_coverage,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -5274,6 +5324,7 @@ ORACLES: dict[str, str] = {
     "text_dedup_paragraphs": _oracle_dedup_paragraphs(),
     "drift_histogram": _oracle_drift_histogram(),
     "schema_drift": ORACLE_SCHEMA_DRIFT,
+    "tokenizer_vocab_coverage": ORACLE_VOCAB_COVERAGE,
 }
 
 
