@@ -4945,7 +4945,7 @@ def q_schema_drift(spark, sf_dir):
 
     orders = load(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
-    old = profile_table(orders, cols)
+    old = profile_table(orders, cols, include_distinct=False)
     mutated = orders.select(
         "o_orderkey",
         F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("long"))
@@ -4953,7 +4953,7 @@ def q_schema_drift(spark, sf_dir):
         F.col("o_orderstatus").alias("o_status"),
         "o_totalprice")
     new = profile_table(mutated, ["o_orderkey", "o_custkey", "o_status",
-                                  "o_totalprice"])
+                                  "o_totalprice"], include_distinct=False)
     return schema_drift(old, new)
 
 

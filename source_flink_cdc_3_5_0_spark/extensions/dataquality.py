@@ -41,7 +41,8 @@ _NUMERIC_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
 
 
 def profile_table(df: DataFrame, columns: Sequence[str] | None = None,
-                  approx: bool = False) -> DataFrame:
+                  approx: bool = False,
+                  include_distinct: bool = True) -> DataFrame:
     """Long-format per-column profile: ``(col_name, n_rows, n_null,
     n_distinct, min_num, max_num, min_str, max_str)``.
 
@@ -63,7 +64,12 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None,
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
-        if approx:
+        # include_distinct=False skips the cardinality channel entirely —
+        # consumers that only read counts (schema_drift) shouldn't pay
+        # the Expand (exact) or sketch (approx) cost
+        if not include_distinct:
+            aggs.append(F.lit(None).cast("bigint").alias(f"__nd_{c}"))
+        elif approx:
             aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
         else:
             aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))

@@ -310,3 +310,14 @@ class TestSchemaDrift:
         assert out["x"].status == "removed"
         assert out["y"].status == "added"
         assert out["x"].null_rate_delta is None
+
+
+def test_profile_skip_distinct_has_no_expand(spark):
+    from source_flink_cdc_3_5_0_spark.extensions.dataquality import profile_table
+    li = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    p = profile_table(li, ["o_orderkey", "o_custkey"],
+                      include_distinct=False) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in p, p
+    rows = profile_table(li, ["o_orderkey"], include_distinct=False).collect()
+    assert rows[0].n_distinct is None
