@@ -135,3 +135,50 @@ class TestHistogramDrift:
         t_whole = histogram_drift(whole, other, "x").collect()[0].tvd
         t_union = histogram_drift(h1.unionAll(h2), other, "x").collect()[0].tvd
         assert t_whole == t_union
+
+
+class TestStreamingDriftMaintenance:
+    def test_incremental_bin_counts_equal_batch_tvd(self, spark, tmp_path):
+        """Maintain the reference histogram incrementally over a file
+        stream (foreachBatch) and compare the final TVD against the
+        one-shot batch computation — the drift monitor as a continuously
+        maintained observability job (bin counts are additive, so no
+        micro-batch ever re-reads history)."""
+        import pyspark.sql.functions as F
+
+        from source_flink_cdc_3_5_0_spark.extensions.stats import histogram_drift
+
+        src = tmp_path / "feed"
+        whole = spark.range(3000).select(
+            ((F.col("id") % 77) * 1.0).alias("x"), "id")
+        for part in range(3):
+            (whole.where(F.col("id") % 3 == part).select("x").coalesce(1)
+             .write.mode("append").parquet(str(src)))
+        other = whole.select((F.col("x") * 2.0 + 11).alias("x"))
+
+        # incremental side: fold each micro-batch's cents values into an
+        # accumulated bin-count dict using the SAME bucketing constants
+        mn = 0
+        width_src = whole.agg(F.max("x")).first()[0]
+        acc: dict = {}
+
+        def fold(batch_df, batch_id):
+            rows = (batch_df.select(
+                        F.round(F.col("x") * 100).cast("bigint").alias("v"))
+                    .groupBy("v").count().collect())
+            for r in rows:
+                acc[r["v"]] = acc.get(r["v"], 0) + r["count"]
+
+        q = (spark.readStream.schema("x DOUBLE")
+             .option("maxFilesPerTrigger", 1).parquet(str(src))
+             .writeStream.foreachBatch(fold)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        rebuilt = spark.createDataFrame(
+            [(v,) for v, c in acc.items() for _ in range(c)], "v BIGINT") \
+            .select((F.col("v") / 100.0).alias("x"))
+        t_stream = histogram_drift(rebuilt, other, "x").collect()[0].tvd
+        t_batch = histogram_drift(whole.select("x"), other, "x").collect()[0].tvd
+        assert t_stream == t_batch
