@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "drift_histogram",
     "schema_drift",
     "tokenizer_vocab_coverage",
+    "media_probe_dims",
 ]
 
 

@@ -5047,6 +5047,72 @@ FROM flagged GROUP BY doc_id
 """
 
 
+def q_media_probe_dims(spark, sf_dir):
+    """Header-only media metadata (extensions/multimodal.probe_media):
+    format + pixel dimensions extracted from container HEADERS — no
+    pixel decode, no decompression (curating 100 TB of media by
+    size/aspect must not pay the decode). Real PPM/PNG/JPEG/WAV payloads
+    with modulo-derived dimensions are built in an Arrow stage; the
+    oracle recomputes format and dimensions closed-form from the id.
+    Every container's dims survive the probe byte-exactly — including
+    JPEG, whose SOF header the prober reads without entropy decode."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+    import pandas as pd
+
+    from .extensions.multimodal import (MEDIA_SCHEMA, _encode_png,
+                                        _encode_ppm, probe_media)
+
+    ids = load(spark, sf_dir, "embeddings").select("vec_id")
+
+    def gen(batches):
+        from .extensions.jpeg import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["vec_id"]:
+                mid = int(mid)
+                w, h = 8 + mid % 5, 8 + mid % 7
+                m = mid % 4
+                if m == 0:
+                    payload = _encode_ppm(np.zeros((h, w, 3), np.uint8))
+                    kind = "image"
+                elif m == 1:
+                    payload = _encode_png(np.zeros((h, w, 3), np.uint8))
+                    kind = "image"
+                elif m == 2:
+                    payload = encode_jpeg(np.zeros((h, w, 3), np.uint8), 85)
+                    kind = "image"
+                else:
+                    buf = _io.BytesIO()
+                    with _wave.open(buf, "wb") as f:
+                        f.setnchannels(1)
+                        f.setsampwidth(2)
+                        f.setframerate(8000)
+                        f.writeframes(b"\x00\x00" * 16)
+                    payload = buf.getvalue()
+                    kind = "audio"
+                rows.append((mid, kind, bytearray(payload), None,
+                             None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    return probe_media(ids.mapInPandas(gen, MEDIA_SCHEMA))
+
+
+ORACLE_MEDIA_PROBE = """
+SELECT vec_id AS media_id,
+       CASE vec_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+                       WHEN 2 THEN 'jpeg' ELSE 'wav' END AS format,
+       CASE WHEN vec_id % 4 = 3 THEN NULL
+            ELSE CAST(8 + vec_id % 5 AS INTEGER) END AS width,
+       CASE WHEN vec_id % 4 = 3 THEN NULL
+            ELSE CAST(8 + vec_id % 7 AS INTEGER) END AS height
+FROM embeddings
+"""
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -5132,6 +5198,7 @@ QUERIES: dict[str, object] = {
     "drift_histogram": q_drift_histogram,
     "schema_drift": q_schema_drift,
     "tokenizer_vocab_coverage": q_tokenizer_vocab_coverage,
+    "media_probe_dims": q_media_probe_dims,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -5325,6 +5392,7 @@ ORACLES: dict[str, str] = {
     "drift_histogram": _oracle_drift_histogram(),
     "schema_drift": ORACLE_SCHEMA_DRIFT,
     "tokenizer_vocab_coverage": ORACLE_VOCAB_COVERAGE,
+    "media_probe_dims": ORACLE_MEDIA_PROBE,
 }
 
 

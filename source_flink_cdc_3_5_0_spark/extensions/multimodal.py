@@ -662,3 +662,97 @@ def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
 
     return (df.where(F.col("kind") == "image")
               .mapInPandas(run, schema=_AHASH_SCHEMA))
+
+
+# -- header-only metadata probing (no decode) --------------------------------
+
+_PROBE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("format", T.StringType(), True),    # ppm|png|jpeg|wav|None
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+])
+
+
+def probe_format_and_dims(payload: bytes) -> tuple[str, int, int] | None:
+    """Container format + pixel dimensions from HEADERS ONLY — no pixel
+    decode, no decompression: curating 100 TB of media by size/aspect
+    must not pay the decode. PPM reads the ASCII header, PNG the fixed
+    IHDR offsets, JPEG walks markers to the first SOF (any DCT variant —
+    dims live in the frame header even for progressive streams we refuse
+    to fully decode), WAV reports (None, None) dims."""
+    d = bytes(payload)
+    if d[:2] == b"P6":
+        fields = []
+        i = 2
+        while len(fields) < 2 and i < min(len(d), 64):
+            c = d[i:i + 1]
+            if c == b"#":
+                j = d.find(b"\n", i)
+                if j < 0:
+                    return None
+                i = j + 1
+            elif c.isspace():
+                i += 1
+            elif c.isdigit():
+                j = i
+                while j < len(d) and d[j:j + 1].isdigit():
+                    j += 1
+                fields.append(int(d[i:j]))
+                i = j
+            else:
+                return None
+        if len(fields) == 2:
+            return ("ppm", fields[0], fields[1])
+        return None
+    if d[:8] == _PNG_SIG and len(d) >= 24 and d[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", d[16:24])
+        return ("png", w, h)
+    if d[:2] == b"\xFF\xD8":
+        i = 2
+        while i + 9 <= len(d):
+            if d[i] != 0xFF:
+                return None
+            marker = d[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = struct.unpack(">H", d[i + 2:i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", d[i + 5:i + 9])
+                return ("jpeg", w, h)
+            if marker in (0xDA, 0xD9):
+                return None
+            i += 2 + seglen
+        return None
+    if d[:4] == b"RIFF" and d[8:12] == b"WAVE":
+        return ("wav", None, None)
+    return None
+
+
+def probe_media(df: DataFrame) -> DataFrame:
+    """Header-only probe over every media row via ``mapInPandas`` —
+    unknown/corrupt payloads surface as NULL format, never an error."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, ws, hs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                got = None
+                if payload is not None:
+                    try:
+                        got = probe_format_and_dims(bytes(payload))
+                    except Exception:
+                        got = None
+                ids.append(int(mid))
+                fmts.append(got[0] if got else None)
+                ws.append(got[1] if got else None)
+                hs.append(got[2] if got else None)
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "format": pd.Series(fmts, dtype=object),
+                "width": pd.Series(ws, dtype="Int32"),
+                "height": pd.Series(hs, dtype="Int32"),
+            })
+
+    return df.mapInPandas(run, schema=_PROBE_SCHEMA)

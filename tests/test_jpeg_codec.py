@@ -189,3 +189,36 @@ class TestJpegResizeAndAhash:
         media = spark.createDataFrame(rows, MEDIA_SCHEMA)
         hashes = {r.media_id: r.ahash_bits for r in image_ahash(media).collect()}
         assert hashes[1] == hashes[2]
+
+
+class TestHeaderProbe:
+    def test_all_formats(self):
+        import io
+        import wave
+
+        from source_flink_cdc_3_5_0_spark.extensions.avi import mux_avi_mjpeg
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import (
+            _encode_png, _encode_ppm, probe_format_and_dims)
+        img = np.zeros((5, 9, 3), np.uint8)
+        assert probe_format_and_dims(_encode_ppm(img)) == ("ppm", 9, 5)
+        assert probe_format_and_dims(_encode_png(img)) == ("png", 9, 5)
+        assert probe_format_and_dims(encode_jpeg(img)) == ("jpeg", 9, 5)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1); f.setsampwidth(2); f.setframerate(8000)
+            f.writeframes(b"\x00\x00")
+        assert probe_format_and_dims(buf.getvalue()) == ("wav", None, None)
+        assert probe_format_and_dims(b"garbage bytes") is None
+        # probing must NOT require a decodable stream: truncate the JPEG
+        # right after its headers (entropy data gone) - dims still probe
+        j = encode_jpeg(img)
+        sos = j.find(b"\xFF\xDA")
+        assert probe_format_and_dims(j[:sos]) == ("jpeg", 9, 5)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.binary(max_size=100))
+    def test_probe_fuzz_never_raises(self, data):
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import (
+            probe_format_and_dims)
+        for prefix in (b"", b"P6", b"\xFF\xD8", b"RIFF"):
+            probe_format_and_dims(prefix + data)
