@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "schema_drift",
     "tokenizer_vocab_coverage",
     "media_probe_dims",
+    "interval_union_coverage",
 ]
 
 

@@ -5113,6 +5113,69 @@ FROM embeddings
 """
 
 
+def q_interval_union_coverage(spark, sf_dir):
+    """Interval-union coverage (gaps-and-islands): each event opens an
+    interval [ts, ts + value-seconds); per user, the total UNION length
+    and island count — overlaps must not double-count (the classic
+    billing/uptime aggregation naive SUM gets wrong). One user_id window
+    shuffle: an island starts where the start exceeds the running max of
+    prior ends; island ids = running sum of starts; then two nested
+    aggregations on the same key. All integer seconds (cents-derived) —
+    exact in both engines."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    start = F.unix_timestamp(F.col("ts").cast("timestamp")).cast("bigint")
+    dur = (F.round(F.col("value")).cast("bigint") + 1)   # seconds, >= 1
+    iv = ev.select("user_id", start.alias("s"), (start + dur).alias("e"))
+    w = (Window.partitionBy("user_id").orderBy("s", "e")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "new_island",
+        (F.col("s") > F.coalesce(F.max("e").over(w), F.lit(-1)))
+        .cast("int"))
+    w2 = (Window.partitionBy("user_id").orderBy("s", "e")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    islands = marked.withColumn("island", F.sum("new_island").over(w2))
+    per_island = (islands.groupBy("user_id", "island")
+                  .agg(F.min("s").alias("is_s"), F.max("e").alias("is_e")))
+    return (per_island.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_islands"),
+                 F.sum(F.col("is_e") - F.col("is_s"))
+                  .alias("covered_seconds")))
+
+
+ORACLE_INTERVAL_UNION = """
+WITH iv AS (
+  -- floor(epoch) matches Spark's unix_timestamp truncation; a bare
+  -- BIGINT cast would ROUND the fractional seconds in DuckDB
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + CAST(round(value) AS BIGINT) + 1 AS e
+  FROM events),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+  FROM marked),
+per_island AS (
+  SELECT user_id, island, MIN(s) AS is_s, MAX(e) AS is_e
+  FROM islands GROUP BY user_id, island)
+SELECT user_id, COUNT(*) AS n_islands,
+       CAST(SUM(is_e - is_s) AS BIGINT) AS covered_seconds
+FROM per_island GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -5199,6 +5262,7 @@ QUERIES: dict[str, object] = {
     "schema_drift": q_schema_drift,
     "tokenizer_vocab_coverage": q_tokenizer_vocab_coverage,
     "media_probe_dims": q_media_probe_dims,
+    "interval_union_coverage": q_interval_union_coverage,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -5393,6 +5457,7 @@ ORACLES: dict[str, str] = {
     "schema_drift": ORACLE_SCHEMA_DRIFT,
     "tokenizer_vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "media_probe_dims": ORACLE_MEDIA_PROBE,
+    "interval_union_coverage": ORACLE_INTERVAL_UNION,
 }
 
 
