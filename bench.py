@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "tokenizer_vocab_coverage",
     "media_probe_dims",
     "interval_union_coverage",
+    "basket_pairs",
 ]
 
 

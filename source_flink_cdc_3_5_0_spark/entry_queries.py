@@ -5176,6 +5176,61 @@ FROM per_island GROUP BY user_id
 """
 
 
+def q_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence over lineitem: part pairs appearing in
+    the same order, with support counts and LIFT — the association-rule
+    primitive. The pair space is bounded by the per-order self-join
+    (items-per-order², never corpus²) on one orderkey shuffle; lift =
+    (n_orders · c_ab) / (c_a · c_b) is integer cross-multiplication with
+    ONE trailing IEEE division, so both engines agree. Brand-level keys
+    (partkey div 1000) keep pairs recurrent at sandbox scale; min
+    support 3 prunes the tail."""
+    li = load(spark, sf_dir, "lineitem")
+    items = (li.select("l_orderkey",
+                       F.expr("l_partkey div 1000").alias("item"))
+               .distinct())
+    n_orders = items.select("l_orderkey").distinct() \
+                    .agg(F.count(F.lit(1)).alias("n"))
+    singles = items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (items.alias("a").join(items.alias("b"), "l_orderkey")
+             .where(F.col("a.item") < F.col("b.item"))
+             .groupBy(F.col("a.item").alias("item_a"),
+                      F.col("b.item").alias("item_b"))
+             .agg(F.count(F.lit(1)).alias("c_ab"))
+             .where(F.col("c_ab") >= 3))
+    out = (pairs
+           .join(singles.select(F.col("item").alias("item_a"),
+                                F.col("c").alias("c_a")), "item_a")
+           .join(singles.select(F.col("item").alias("item_b"),
+                                F.col("c").alias("c_b")), "item_b")
+           .crossJoin(F.broadcast(n_orders)))
+    lift = (F.col("n").cast("double") * F.col("c_ab").cast("double")
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double")))
+    return out.select("item_a", "item_b", "c_ab", "c_a", "c_b",
+                      F.round(lift, 6).alias("lift"))
+
+
+ORACLE_BASKET_PAIRS = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey // 1000 AS item FROM lineitem),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+singles AS (SELECT item, COUNT(*) AS c FROM items GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS c_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= 3)
+SELECT item_a, item_b, c_ab, sa.c AS c_a, sb.c AS c_b,
+       round(CAST(n AS DOUBLE) * CAST(c_ab AS DOUBLE)
+             / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN singles sa ON pairs.item_a = sa.item
+JOIN singles sb ON pairs.item_b = sb.item
+CROSS JOIN n_orders
+"""
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -5263,6 +5318,7 @@ QUERIES: dict[str, object] = {
     "tokenizer_vocab_coverage": q_tokenizer_vocab_coverage,
     "media_probe_dims": q_media_probe_dims,
     "interval_union_coverage": q_interval_union_coverage,
+    "basket_pairs": q_basket_pairs,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -5458,6 +5514,7 @@ ORACLES: dict[str, str] = {
     "tokenizer_vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "media_probe_dims": ORACLE_MEDIA_PROBE,
     "interval_union_coverage": ORACLE_INTERVAL_UNION,
+    "basket_pairs": ORACLE_BASKET_PAIRS,
 }
 
 
