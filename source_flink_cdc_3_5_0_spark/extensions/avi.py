@@ -53,7 +53,10 @@ def _demux(d: bytes) -> tuple[int, list[bytes]] | None:
                 frames.append(d[body:body + size])
             i = body + size + (size & 1)          # chunks pad to even
 
-    walk(12, 8 + struct.unpack("<I", d[4:8])[0])
+    # clamp to the actual byte count: a truncated download keeps its
+    # chunk headers intact but the declared RIFF size overshoots — the
+    # overrun check must fire against reality, not the header's claim
+    walk(12, min(8 + struct.unpack("<I", d[4:8])[0], len(d)))
     if us_per_frame <= 0 or not frames:
         return None
     return us_per_frame, frames

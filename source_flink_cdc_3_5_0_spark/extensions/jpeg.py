@@ -182,9 +182,17 @@ class _BitReader:
         return v
 
     def align_restart(self):
-        """Consume a pending RSTn and realign to a byte boundary."""
+        """Consume a pending RSTn and realign to a byte boundary.  The
+        RST may be in either place: already swallowed into ``marker`` by
+        ``_fill``'s read-ahead, or still un-consumed at ``pos`` (when the
+        interval's entropy bytes exactly filled the accumulator) — handle
+        both, else the next interval decodes from zero-padding."""
         self.acc = 0
         self.nbits = 0
+        if self.marker is None and self.pos + 1 < len(self.data) \
+                and self.data[self.pos] == 0xFF \
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            self.pos += 2
         self.marker = None
 
 
@@ -222,6 +230,9 @@ def _decode_jpeg_inner(d: bytes) -> np.ndarray | None:
     while i + 4 <= len(d):
         if d[i] != 0xFF:
             return None
+        # legal 0xFF fill padding before a marker (T.81 B.1.1.2)
+        while i + 2 < len(d) and d[i + 1] == 0xFF:
+            i += 1
         marker = d[i + 1]
         if marker == 0xD9:      # EOI before SOS
             return None
@@ -404,8 +415,12 @@ def _cat(v: int) -> int:
     return t
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
-    """(h, w, 3) or (h, w) uint8 -> baseline JFIF bytes (4:4:4)."""
+def encode_jpeg(arr: np.ndarray, quality: int = 85,
+                restart_interval: int = 0) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> baseline JFIF bytes (4:4:4).
+    ``restart_interval`` > 0 writes a DRI segment and RSTn markers every
+    N MCUs (DC predictors reset, bitstream byte-aligned) — exercises the
+    decoder's restart path with real streams."""
     arr = np.asarray(arr)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -441,6 +456,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
         out += b"\xFF\xC4" + struct.pack(">H", 19 + len(values)) \
             + bytes([(0 if kind == "dc" else 0x10) | tid]) \
             + bytes(bits) + bytes(values)
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
     out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * nc, nc)
     for c in range(nc):
         out += bytes([c + 1, 0x00 if c == 0 else 0x11])
@@ -456,8 +473,16 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
         pp[h:, :w] = p[h - 1:h, :]
         pp[:, w:] = pp[:, w - 1:w]
         padded.append(pp)
+    mcu_idx = 0
+    rst = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                pred = [0] * nc
+            mcu_idx += 1
             for ci in range(nc):
                 q = qts[0] if ci == 0 else qts[1]
                 dct = enc_tables[("dc", 0 if ci == 0 else 1)]

@@ -240,6 +240,20 @@ def _encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             + _png_chunk(b"IEND", b""))
 
 
+def _decode_image(raw: bytes) -> np.ndarray | None:
+    """THE image decode dispatch (PPM → PNG → baseline JPEG by FFD8
+    magic) — one definition shared by feature extraction, resize and
+    perceptual hashing so a new format lands everywhere at once."""
+    raw = bytes(raw)
+    img = _decode_ppm(raw)
+    if img is None:
+        img = _decode_png(raw)
+    if img is None and raw[:2] == b"\xFF\xD8":
+        from .jpeg import decode_jpeg
+        img = decode_jpeg(raw)
+    return img
+
+
 def _decode_wav(payload: bytes) -> np.ndarray | None:
     """RIFF/WAV 16-bit PCM -> mono float64 samples in [-1, 1), or None if
     not a 16-bit PCM WAV (stdlib ``wave`` — no external audio lib)."""
@@ -293,12 +307,7 @@ def _real_decode_features(payload: bytes | None) -> list[float] | None:
     if payload is None:
         return None
     payload = bytes(payload)
-    img = _decode_ppm(payload)
-    if img is None:
-        img = _decode_png(payload)
-    if img is None and payload[:2] == b"\xFF\xD8":
-        from .jpeg import decode_jpeg
-        img = decode_jpeg(payload)
+    img = _decode_image(payload)
     if img is not None:
         return _image_features(img)
     audio = _decode_wav(payload)
@@ -391,12 +400,7 @@ def resize_images(df: DataFrame, target_w: int = 32, target_h: int = 32,
             raw = bytes(payload)
             was_png = raw.startswith(_PNG_SIG)
             was_jpeg = raw[:2] == b"\xFF\xD8"
-            img = _decode_ppm(raw)
-            if img is None:
-                img = _decode_png(raw)
-            if img is None and was_jpeg:
-                from .jpeg import decode_jpeg
-                img = decode_jpeg(raw)
+            img = _decode_image(raw)
             if img is not None:
                 h, w = img.shape[:2]
                 ys = (np.arange(target_h) * h // target_h)
@@ -635,12 +639,7 @@ def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                arr = _decode_ppm(bytes(payload))
-                if arr is None:
-                    arr = _decode_png(bytes(payload))
-                if arr is None and bytes(payload[:2]) == b"\xFF\xD8":
-                    from .jpeg import decode_jpeg
-                    arr = decode_jpeg(bytes(payload))
+                arr = _decode_image(payload)
                 if arr is None:
                     continue
                 h, w = arr.shape[:2]
@@ -685,7 +684,9 @@ def probe_format_and_dims(payload: bytes) -> tuple[str, int, int] | None:
     if d[:2] == b"P6":
         fields = []
         i = 2
-        while len(fields) < 2 and i < min(len(d), 64):
+        # header fields precede the raster but comments can push them
+        # well past the first bytes — bound the scan generously
+        while len(fields) < 2 and i < min(len(d), 4096):
             c = d[i:i + 1]
             if c == b"#":
                 j = d.find(b"\n", i)
@@ -713,6 +714,8 @@ def probe_format_and_dims(payload: bytes) -> tuple[str, int, int] | None:
         while i + 9 <= len(d):
             if d[i] != 0xFF:
                 return None
+            while i + 2 < len(d) and d[i + 1] == 0xFF:   # fill padding
+                i += 1
             marker = d[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2

@@ -122,15 +122,19 @@ def pairwise_correlation(df: DataFrame, cols: list[str],
         rows = rows.where(F.col(c).isNotNull())
     scaled = rows.select(*[
         F.round(F.col(c) * scale).cast("bigint").alias(c) for c in cols])
+    # cast the OPERANDS to decimal, not the product: a bigint×bigint
+    # product wraps silently in Spark before any cast could widen it
+    # (values ≥ ~3e9 cents would corrupt Σx² undetectably)
+    def dec(c):
+        return F.col(c).cast("decimal(38,0)")
+
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
-        aggs.append(F.sum(F.col(c).cast("decimal(38,0)")).alias(f"__s_{c}"))
-        aggs.append(F.sum((F.col(c) * F.col(c)).cast("decimal(38,0)"))
-                    .alias(f"__ss_{c}"))
+        aggs.append(F.sum(dec(c)).alias(f"__s_{c}"))
+        aggs.append(F.sum(dec(c) * dec(c)).alias(f"__ss_{c}"))
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     for a, b in pairs:
-        aggs.append(F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)"))
-                    .alias(f"__sp_{a}_{b}"))
+        aggs.append(F.sum(dec(a) * dec(b)).alias(f"__sp_{a}_{b}"))
     one = scaled.agg(*aggs)
 
     n = F.col("__n").cast("double")
@@ -160,13 +164,16 @@ def correlation_oracle_sql(table: str, cols: list[str],
     not_null = " AND ".join(f"{c} IS NOT NULL" for c in cols)
     scaled = ", ".join(
         f"CAST(round({c} * {scale}) AS BIGINT) AS {c}" for c in cols)
+    # HUGEINT operands: int128 products never wrap (the BIGINT product
+    # would raise in DuckDB — loud, but still a failure the operator
+    # shouldn't have)
     moments = ["count(*) AS n"]
     for c in cols:
-        moments.append(f"sum(CAST({c} AS DECIMAL(38,0))) AS s_{c}")
-        moments.append(f"sum(CAST({c} * {c} AS DECIMAL(38,0))) AS ss_{c}")
+        moments.append(f"sum(CAST({c} AS HUGEINT)) AS s_{c}")
+        moments.append(f"sum(CAST({c} AS HUGEINT) * CAST({c} AS HUGEINT)) AS ss_{c}")
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     for a, b in pairs:
-        moments.append(f"sum(CAST({a} * {b} AS DECIMAL(38,0))) AS sp_{a}_{b}")
+        moments.append(f"sum(CAST({a} AS HUGEINT) * CAST({b} AS HUGEINT)) AS sp_{a}_{b}")
     selects = []
     for a, b in pairs:
         num = (f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
@@ -228,9 +235,11 @@ def histogram_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
                       F.coalesce("cb", F.lit(0)).alias("cb")))
     tot = joined.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     diff = (joined.crossJoin(F.broadcast(tot))
-            .agg(F.sum(F.abs(F.col("ca") * F.col("nb")
-                             - F.col("cb") * F.col("na"))
-                       .cast("decimal(38,0)")).alias("d"),
+            .agg(F.sum(F.abs(F.col("ca").cast("decimal(38,0)")
+                             * F.col("nb").cast("decimal(38,0)")
+                             - F.col("cb").cast("decimal(38,0)")
+                             * F.col("na").cast("decimal(38,0)")))
+                 .alias("d"),
                  F.max("na").alias("n_a"), F.max("nb").alias("n_b")))
     tvd = (F.col("d").cast("double")
            / (2.0 * F.col("n_a").cast("double") * F.col("n_b").cast("double")))
@@ -271,7 +280,8 @@ cb AS (SELECT least({bins} - 1, CAST((v - mn) // width AS INTEGER)) AS bucket,
 j AS (SELECT COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
       FROM ca FULL OUTER JOIN cb USING (bucket)),
 tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM j),
-d AS (SELECT SUM(CAST(abs(ca * nb - cb * na) AS DECIMAL(38,0))) AS d,
+d AS (SELECT SUM(abs(CAST(ca AS HUGEINT) * CAST(nb AS HUGEINT)
+                     - CAST(cb AS HUGEINT) * CAST(na AS HUGEINT))) AS d,
              MAX(na) AS n_a, MAX(nb) AS n_b
       FROM j, tot)
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,

@@ -51,16 +51,18 @@ def canonical_url_sql(dialect: str, col: str = "url") -> str:
     keep_port = (f"CASE WHEN ({scheme} = 'http' AND {port} = ':80') "
                  f"OR ({scheme} = 'https' AND {port} = ':443') "
                  f"THEN '' ELSE {port} END")
+    # startswith, not LIKE: in LIKE 'utm_%' the '_' is a single-char
+    # wildcard, which would also drop legitimate params like 'utmost=5'
     if dialect == "spark":
         clean_path = f"regexp_replace({path}, '/$', '')"
         params = (f"filter(split(substr({query}, 2), '&'), "
-                  f"x -> x != '' AND NOT x LIKE 'utm_%')")
+                  f"x -> x != '' AND NOT startswith(x, 'utm_'))")
         clean_query = (f"CASE WHEN size({params}) > 0 "
                        f"THEN '?' || array_join({params}, '&') ELSE '' END")
     else:
         clean_path = f"regexp_replace({path}, '/$', '')"
         params = (f"list_filter(str_split({query}[2:], '&'), "
-                  f"x -> x != '' AND x NOT LIKE 'utm_%')")
+                  f"x -> x != '' AND NOT starts_with(x, 'utm_'))")
         clean_query = (f"CASE WHEN len({params}) > 0 "
                        f"THEN '?' || array_to_string({params}, '&') ELSE '' END")
     return (f"CASE WHEN {part(1)} = '' THEN NULL "

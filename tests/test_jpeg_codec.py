@@ -222,3 +222,58 @@ class TestHeaderProbe:
             probe_format_and_dims)
         for prefix in (b"", b"P6", b"\xFF\xD8", b"RIFF"):
             probe_format_and_dims(prefix + data)
+
+
+class TestReviewRegressions:
+    def test_bitreader_restart_alignment_unbuffered_marker(self):
+        """RST not yet swallowed by the read-ahead (interval length a
+        multiple of 4 bytes) must still be consumed by align_restart."""
+        from source_flink_cdc_3_5_0_spark.extensions.jpeg import _BitReader
+        r = _BitReader(b"\x11\x22\x33\x44\xFF\xD0\xBB\xCC", 0)
+        assert r.read_bits(32) == 0x11223344
+        r.align_restart()
+        assert r.read_bits(8) == 0xBB
+
+    def test_restart_marker_roundtrip(self):
+        """Real DRI/RSTn streams decode correctly (encoder now emits
+        them): every restart interval's DC chain restarts from 0."""
+        rng = np.random.RandomState(9)
+        img = rng.randint(0, 255, (24, 40, 3)).astype(np.uint8)
+        plain = decode_jpeg(encode_jpeg(img, 90))
+        for interval in (1, 2, 3, 7):
+            with_rst = decode_jpeg(encode_jpeg(img, 90,
+                                               restart_interval=interval))
+            assert with_rst is not None, interval
+            # same quantization -> bit-identical pixels either way
+            assert (with_rst == plain).all(), interval
+
+    def test_fill_bytes_before_marker(self):
+        """0xFF padding before a marker (T.81 B.1.1.2) must not derail
+        the segment walk — for decode OR the header-only dims probe."""
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import (
+            probe_format_and_dims)
+        img = np.full((8, 8, 3), 120, np.uint8)
+        j = encode_jpeg(img, 90)
+        dqt = j.find(b"\xFF\xDB")
+        padded = j[:dqt] + b"\xFF\xFF\xFF" + j[dqt:]
+        out = decode_jpeg(padded)
+        assert out is not None and (out == 120).all()
+        assert probe_format_and_dims(padded) == ("jpeg", 8, 8)
+
+    def test_truncated_avi_returns_none(self):
+        """Intact chunk headers + truncated body must not yield silently
+        short frame bytes."""
+        from source_flink_cdc_3_5_0_spark.extensions.avi import (
+            demux_avi_mjpeg, mux_avi_mjpeg)
+        frames = [encode_jpeg(np.full((8, 8, 3), 50, np.uint8), 85)
+                  for _ in range(3)]
+        payload = mux_avi_mjpeg(frames, fps=10)
+        cut = payload[:len(payload) - len(frames[-1]) // 2]
+        assert demux_avi_mjpeg(cut) is None
+
+    def test_ppm_probe_long_comment_header(self):
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import (
+            probe_format_and_dims)
+        banner = b"# " + b"x" * 100 + b"\n"
+        ppm = b"P6\n" + banner + b"640 480\n255\n" + b"\x00" * (640 * 480 * 3)
+        assert probe_format_and_dims(ppm) == ("ppm", 640, 480)

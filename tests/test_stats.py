@@ -182,3 +182,23 @@ class TestStreamingDriftMaintenance:
         t_stream = histogram_drift(rebuilt, other, "x").collect()[0].tvd
         t_batch = histogram_drift(whole.select("x"), other, "x").collect()[0].tvd
         assert t_stream == t_batch
+
+
+class TestCorrelationOverflowRegression:
+    def test_large_magnitudes_do_not_wrap(self, spark):
+        """Cents around 3e9 (v*v ~ 1e19 > int64) must still produce the
+        numpy-exact Pearson r — operands are widened BEFORE the multiply."""
+        import numpy as np
+
+        from source_flink_cdc_3_5_0_spark.extensions.stats import (
+            pairwise_correlation)
+        rng = np.random.RandomState(13)
+        xs = (3.1e7 + rng.rand(60) * 1e6)          # dollars -> ~3.1e9 cents
+        ys = 2.5 * xs + rng.rand(60) * 1e5
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(xs, ys)],
+            "x DOUBLE, y DOUBLE")
+        r = pairwise_correlation(df, ["x", "y"]).collect()[0].r
+        want = float(np.corrcoef(np.round(xs * 100), np.round(ys * 100))[0, 1])
+        assert abs(r - want) < 1e-6
+        assert 0.99 < r <= 1.0

@@ -91,3 +91,27 @@ class TestCrossSplitLeakage:
         rows = [(1, "alpha beta gamma delta epsilon zeta", "train"),
                 (2, "one two three four five six seven", "test")]
         assert self._run(spark, rows) == []
+
+
+class TestUrlReviewRegressions:
+    def test_utm_underscore_not_a_wildcard(self, spark):
+        """LIKE's '_' wildcard must not eat legitimate params that merely
+        start with 'utm' + one char (e.g. 'utmost')."""
+        got = _canon(spark, ["http://x.com/a?utmost=5",
+                             "http://x.com/a?utmost=6",
+                             "http://x.com/a?utm_term=z"])
+        assert got[0] == "http://x.com/a?utmost=5"
+        assert got[1] == "http://x.com/a?utmost=6"
+        assert got[0] != got[1]            # distinct resources stay distinct
+        assert got[2] == "http://x.com/a"  # real utm_ param still dropped
+        # dialects agree on the fix
+        import duckdb
+
+        from source_flink_cdc_3_5_0_spark.extensions.urls import (
+            canonical_url_sql)
+        for u in ["http://x.com/a?utmost=5", "http://x.com/a?utm_term=z"]:
+            d = duckdb.execute(
+                f"SELECT {canonical_url_sql('duckdb', 'u')} "
+                f"FROM (SELECT ?::VARCHAR AS u)", [u]).fetchone()[0]
+            s = _canon(spark, [u])[0]
+            assert s == d
