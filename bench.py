@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "media_probe_dims",
     "interval_union_coverage",
     "basket_pairs",
+    "reconcile_tables",
 ]
 
 

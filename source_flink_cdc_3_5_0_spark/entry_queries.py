@@ -5231,6 +5231,74 @@ CROSS JOIN n_orders
 """
 
 
+def q_reconcile_tables(spark, sf_dir):
+    """Source/replica reconciliation (the pt-table-checksum / Debezium
+    incremental-snapshot verification shape): after CDC has replicated a
+    table, prove the copy — full outer join on the PK with md5 row
+    digests, classifying every key as match / differs / missing_in_b /
+    missing_in_a, aggregated to counts. One PK shuffle, digests computed
+    scan-side (no row ships whole unless it differs — here counts only).
+    The replica is orders with deterministic divergence injected (every
+    97th row's price drifted, every 101st dropped, every 103rd inserted
+    fresh); the oracle replays the divergence and the classification."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_custkey", "o_orderstatus",
+                         "o_totalprice")
+    digest = F.md5(F.concat_ws("|",
+                               F.col("o_custkey").cast("string"),
+                               F.col("o_orderstatus"),
+                               F.format_string("%.2f", F.col("o_totalprice"))))
+    replica = (base
+               .where(F.col("o_orderkey") % 101 != 0)     # lost deletes
+               .withColumn("o_totalprice",
+                           F.when(F.col("o_orderkey") % 97 == 0,
+                                  F.col("o_totalprice") + 0.01)
+                            .otherwise(F.col("o_totalprice")))
+               .unionByName(base.where(F.col("o_orderkey") % 103 == 0)
+                            .withColumn("o_orderkey",
+                                        F.col("o_orderkey") + 5_000_000_000)))
+    a = base.select("o_orderkey", digest.alias("da"))
+    b = replica.select("o_orderkey", digest.alias("db"))
+    status = (F.when(F.col("db").isNull(), F.lit("missing_in_b"))
+               .when(F.col("da").isNull(), F.lit("missing_in_a"))
+               .when(F.col("da") != F.col("db"), F.lit("differs"))
+               .otherwise(F.lit("match")))
+    return (a.join(b, "o_orderkey", "full_outer")
+             .select(status.alias("status"))
+             .groupBy("status").agg(F.count(F.lit(1)).alias("n")))
+
+
+ORACLE_RECONCILE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+digest_a AS (
+  SELECT o_orderkey,
+         md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
+             || printf('%.2f', o_totalprice)) AS da
+  FROM base),
+replica AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 0.01
+              ELSE o_totalprice END AS o_totalprice
+  FROM base WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 5000000000, o_custkey, o_orderstatus, o_totalprice
+  FROM base WHERE o_orderkey % 103 = 0),
+digest_b AS (
+  SELECT o_orderkey,
+         md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
+             || printf('%.2f', o_totalprice)) AS db
+  FROM replica)
+SELECT CASE WHEN db IS NULL THEN 'missing_in_b'
+            WHEN da IS NULL THEN 'missing_in_a'
+            WHEN da <> db THEN 'differs'
+            ELSE 'match' END AS status,
+       COUNT(*) AS n
+FROM digest_a FULL OUTER JOIN digest_b USING (o_orderkey)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -5319,6 +5387,7 @@ QUERIES: dict[str, object] = {
     "media_probe_dims": q_media_probe_dims,
     "interval_union_coverage": q_interval_union_coverage,
     "basket_pairs": q_basket_pairs,
+    "reconcile_tables": q_reconcile_tables,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -5515,6 +5584,7 @@ ORACLES: dict[str, str] = {
     "media_probe_dims": ORACLE_MEDIA_PROBE,
     "interval_union_coverage": ORACLE_INTERVAL_UNION,
     "basket_pairs": ORACLE_BASKET_PAIRS,
+    "reconcile_tables": ORACLE_RECONCILE,
 }
 
 
