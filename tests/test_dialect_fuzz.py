@@ -71,6 +71,12 @@ def _normalize(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            # -0.0 == 0.0 numerically; DuckDB's abs() preserves the sign
+            # bit (abs(-0.0) -> -0.0) where Spark follows Java Math.abs
+            # and clears it — an oracle quirk, not a dialect divergence
+            # (found by this fuzzer on ABS(d * -3) at d = 0.0)
+            v = 0.0
         return f"{v:.10g}"
     return f"{float(v):.10g}" if isinstance(v, int) else str(v)
 
