@@ -5186,9 +5186,12 @@ def q_basket_pairs(spark, sf_dir):
     (partkey div 1000) keep pairs recurrent at sandbox scale; min
     support 3 prunes the tail."""
     li = load(spark, sf_dir, "lineitem")
+    # persisted: the distinct (order, item) frame feeds n_orders, singles
+    # AND both self-join sides — uncached, the scan+distinct would run
+    # four times (review finding)
     items = (li.select("l_orderkey",
                        F.expr("l_partkey div 1000").alias("item"))
-               .distinct())
+               .distinct().persist())
     n_orders = items.select("l_orderkey").distinct() \
                     .agg(F.count(F.lit(1)).alias("n"))
     singles = items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
@@ -5244,10 +5247,17 @@ def q_reconcile_tables(spark, sf_dir):
     orders = load(spark, sf_dir, "orders")
     base = orders.select("o_orderkey", "o_custkey", "o_orderstatus",
                          "o_totalprice")
-    digest = F.md5(F.concat_ws("|",
-                               F.col("o_custkey").cast("string"),
-                               F.col("o_orderstatus"),
-                               F.format_string("%.2f", F.col("o_totalprice"))))
+    # NULL-safe injective digest: a null bitmap prefixes the coalesced
+    # values — concat_ws alone SKIPS nulls, so rows differing only in
+    # which field is null would collide (and a raw || chain would go
+    # NULL-digest and misclassify as missing)
+    fields = [F.col("o_custkey").cast("string"),
+              F.col("o_orderstatus"),
+              F.format_string("%.2f", F.col("o_totalprice"))]
+    nullmap = F.concat(*[F.when(f.isNull(), F.lit("1")).otherwise(F.lit("0"))
+                         for f in fields])
+    digest = F.md5(F.concat_ws(
+        "|", nullmap, *[F.coalesce(f, F.lit("")) for f in fields]))
     replica = (base
                .where(F.col("o_orderkey") % 101 != 0)     # lost deletes
                .withColumn("o_totalprice",
@@ -5273,8 +5283,12 @@ WITH base AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
 digest_a AS (
   SELECT o_orderkey,
-         md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
-             || printf('%.2f', o_totalprice)) AS da
+         md5((CASE WHEN o_custkey IS NULL THEN '1' ELSE '0' END
+              || CASE WHEN o_orderstatus IS NULL THEN '1' ELSE '0' END
+              || CASE WHEN o_totalprice IS NULL THEN '1' ELSE '0' END)
+             || '|' || COALESCE(CAST(o_custkey AS VARCHAR), '')
+             || '|' || COALESCE(o_orderstatus, '')
+             || '|' || COALESCE(printf('%.2f', o_totalprice), '')) AS da
   FROM base),
 replica AS (
   SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -5286,8 +5300,12 @@ replica AS (
   FROM base WHERE o_orderkey % 103 = 0),
 digest_b AS (
   SELECT o_orderkey,
-         md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
-             || printf('%.2f', o_totalprice)) AS db
+         md5((CASE WHEN o_custkey IS NULL THEN '1' ELSE '0' END
+              || CASE WHEN o_orderstatus IS NULL THEN '1' ELSE '0' END
+              || CASE WHEN o_totalprice IS NULL THEN '1' ELSE '0' END)
+             || '|' || COALESCE(CAST(o_custkey AS VARCHAR), '')
+             || '|' || COALESCE(o_orderstatus, '')
+             || '|' || COALESCE(printf('%.2f', o_totalprice), '')) AS db
   FROM replica)
 SELECT CASE WHEN db IS NULL THEN 'missing_in_b'
             WHEN da IS NULL THEN 'missing_in_a'

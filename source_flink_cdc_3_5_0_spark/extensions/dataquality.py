@@ -202,10 +202,12 @@ def schema_drift(profile_old: DataFrame, profile_new: DataFrame,
 
     Pure profile-row arithmetic: a full outer join on col_name over two
     ≤k-row frames (broadcast both sides at any table size — profiles are
-    control-plane) and one projection.  Null rates compare by integer
-    cross-multiplication (n_null·n_rows' vs bounds) plus one IEEE
-    division for the reported delta.  Returns (col_name, status, detail)
-    with status ∈ added | removed | null_rate_jump | ok."""
+    control-plane) and one projection.  Null rates and their delta are
+    IEEE double divisions — the same fixed operation sequence in every
+    engine (deterministic, though not integer-exact; a rate exactly AT
+    the threshold is a knife-edge the caller shouldn't encode policy
+    on).  Returns (col_name, status, null_rate_delta) with status ∈
+    added | removed | null_rate_jump | ok."""
     o = profile_old.select(F.col("col_name"),
                            F.col("n_rows").alias("o_rows"),
                            F.col("n_null").alias("o_null"))

@@ -233,6 +233,8 @@ def _decode_jpeg_inner(d: bytes) -> np.ndarray | None:
         # legal 0xFF fill padding before a marker (T.81 B.1.1.2)
         while i + 2 < len(d) and d[i + 1] == 0xFF:
             i += 1
+        if i + 4 > len(d):            # the skip moved past the loop guard
+            return None
         marker = d[i + 1]
         if marker == 0xD9:      # EOI before SOS
             return None

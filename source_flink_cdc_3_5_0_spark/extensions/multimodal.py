@@ -673,6 +673,13 @@ _PROBE_SCHEMA = T.StructType([
 ])
 
 
+def _sane_dims(w: int, h: int) -> bool:
+    """Headers are untrusted: dimensions must be positive and fit the
+    probe schema's int32 — a crafted IHDR claiming width 4e9 must probe
+    as corrupt, not crash the Arrow batch."""
+    return 0 < w < 2 ** 31 and 0 < h < 2 ** 31
+
+
 def probe_format_and_dims(payload: bytes) -> tuple[str, int, int] | None:
     """Container format + pixel dimensions from HEADERS ONLY — no pixel
     decode, no decompression: curating 100 TB of media by size/aspect
@@ -703,12 +710,12 @@ def probe_format_and_dims(payload: bytes) -> tuple[str, int, int] | None:
                 i = j
             else:
                 return None
-        if len(fields) == 2:
+        if len(fields) == 2 and _sane_dims(fields[0], fields[1]):
             return ("ppm", fields[0], fields[1])
         return None
     if d[:8] == _PNG_SIG and len(d) >= 24 and d[12:16] == b"IHDR":
         w, h = struct.unpack(">II", d[16:24])
-        return ("png", w, h)
+        return ("png", w, h) if _sane_dims(w, h) else None
     if d[:2] == b"\xFF\xD8":
         i = 2
         while i + 9 <= len(d):
@@ -716,6 +723,8 @@ def probe_format_and_dims(payload: bytes) -> tuple[str, int, int] | None:
                 return None
             while i + 2 < len(d) and d[i + 1] == 0xFF:   # fill padding
                 i += 1
+            if i + 9 > len(d):       # the skip moved past the loop guard
+                return None
             marker = d[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
@@ -723,7 +732,7 @@ def probe_format_and_dims(payload: bytes) -> tuple[str, int, int] | None:
             seglen = struct.unpack(">H", d[i + 2:i + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack(">HH", d[i + 5:i + 9])
-                return ("jpeg", w, h)
+                return ("jpeg", w, h) if _sane_dims(w, h) else None
             if marker in (0xDA, 0xD9):
                 return None
             i += 2 + seglen

@@ -277,3 +277,45 @@ class TestReviewRegressions:
         banner = b"# " + b"x" * 100 + b"\n"
         ppm = b"P6\n" + banner + b"640 480\n255\n" + b"\x00" * (640 * 480 * 3)
         assert probe_format_and_dims(ppm) == ("ppm", 640, 480)
+
+
+class TestSecondReviewRegressions:
+    def test_probe_fill_run_and_truncated_sof_never_raise(self):
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import (
+            probe_format_and_dims)
+        assert probe_format_and_dims(b"\xFF\xD8" + b"\xFF" * 9) is None
+        assert probe_format_and_dims(
+            b"\xFF\xD8\xFF\xFF\xC0" + b"\x00" * 6) is None
+
+    def test_probe_insane_dims_rejected(self, spark):
+        """A crafted header claiming width 4e9 must probe as corrupt AND
+        must not crash the Arrow batch in probe_media (Int32 schema)."""
+        import struct as _s
+
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import (
+            MEDIA_SCHEMA, _PNG_SIG, probe_format_and_dims, probe_media)
+        ihdr = _s.pack(">II", 4_000_000_000, 5) + b"\x08\x02\x00\x00\x00"
+        bad_png = (_PNG_SIG + _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+                   + b"\x00" * 8)
+        assert probe_format_and_dims(bad_png) is None
+        assert probe_format_and_dims(b"P6 99999999999 5 255\n") is None
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(bad_png), "image/png", None, None, None)],
+            MEDIA_SCHEMA)
+        rows = probe_media(media).collect()
+        assert rows[0].format is None
+
+    def test_reconcile_null_fields_distinguished(self, spark):
+        """The digest must distinguish WHICH field is null (concat_ws
+        alone skips nulls and collides)."""
+        import pyspark.sql.functions as F
+        fields = [F.col("x"), F.col("y")]
+        nullmap = F.concat(*[F.when(f.isNull(), F.lit("1"))
+                             .otherwise(F.lit("0")) for f in fields])
+        digest = F.md5(F.concat_ws(
+            "|", nullmap, *[F.coalesce(f, F.lit("")) for f in fields]))
+        df = spark.createDataFrame(
+            [("a", None), (None, "a"), ("a", ""), ("", "a")],
+            "x STRING, y STRING")
+        got = [r[0] for r in df.select(digest).collect()]
+        assert len(set(got)) == 4

@@ -156,10 +156,9 @@ class TestStreamingDriftMaintenance:
              .write.mode("append").parquet(str(src)))
         other = whole.select((F.col("x") * 2.0 + 11).alias("x"))
 
-        # incremental side: fold each micro-batch's cents values into an
-        # accumulated bin-count dict using the SAME bucketing constants
-        mn = 0
-        width_src = whole.agg(F.max("x")).first()[0]
+        # incremental side: fold each micro-batch's exact cents counts;
+        # the final histogram_drift call derives its own shared range, so
+        # no bucketing constants need to survive between batches
         acc: dict = {}
 
         def fold(batch_df, batch_id):
