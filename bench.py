@@ -117,6 +117,26 @@ BENCH_QUERIES = [
     "interval_union_coverage",
     "basket_pairs",
     "reconcile_tables",
+    # remaining real-compute surface (scripted CDC fixtures and tiny
+    # plan-math queries stay excluded — they measure wire formats, not
+    # operator throughput)
+    "ann_ivf_topk",
+    "embedding_neardup",
+    "doc_length_percentiles",
+    "sketch_kmv_distinct",
+    "sketch_kmv_by_group",
+    "skew_salted_agg",
+    "text_lang_id",
+    "text_repetition",
+    "join_region_rollup",
+    "agg_cube_orders",
+    "window_running_total",
+    "distinct_order_attrs",
+    "agg_event_type_pivot",
+    "json_extract_props",
+    "text_ngram_top",
+    "sample_quota_per_lang",
+    "sample_hash_split",
 ]
 
 
