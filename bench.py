@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "interval_union_coverage",
     "basket_pairs",
     "reconcile_tables",
+    "text_cooccurrence",
     # remaining real-compute surface (scripted CDC fixtures and tiny
     # plan-math queries stay excluded — they measure wire formats, not
     # operator throughput)

@@ -5317,6 +5317,50 @@ GROUP BY 1
 """
 
 
+def q_text_cooccurrence(spark, sf_dir):
+    """Skip-gram co-occurrence counts (word2vec/GloVe training prep +
+    PMI association mining): ordered (w1, w2) pairs within a ±2 token
+    window, counted corpus-wide. ZERO joins — pairs come from zipping
+    each token array with its own offset slices (tokens materialized
+    once, the decontam lesson), then one partial-agg shuffle on the pair
+    key. Top pairs by a deterministic (count DESC, w1, w2) order, min
+    count 5."""
+    from .extensions.dedup import tokens_col
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(tokens_col("text").alias("t"))
+    pairs = None
+    for o in (1, 2):
+        p = toks.select(F.explode(F.arrays_zip(
+            F.expr(f"slice(t, 1, size(t) - {o})"),
+            F.expr(f"slice(t, {o + 1}, size(t) - {o})"))).alias("z")) \
+            .select(F.col("z.0").alias("w1"), F.col("z.1").alias("w2"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+                 .where(F.col("n") >= 5)
+                 .orderBy(F.col("n").desc(), "w1", "w2")
+                 .limit(200))
+
+
+ORACLE_COOCCURRENCE = r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+           AS t
+  FROM documents),
+pairs AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks
+        WHERE len(t) >= 2)
+  UNION ALL
+  SELECT t[i], t[i + 2]
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
+        WHERE len(t) >= 3))
+SELECT w1, w2, COUNT(*) AS n
+FROM pairs GROUP BY w1, w2 HAVING COUNT(*) >= 5
+ORDER BY n DESC, w1, w2 LIMIT 200
+"""
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -5406,6 +5450,7 @@ QUERIES: dict[str, object] = {
     "interval_union_coverage": q_interval_union_coverage,
     "basket_pairs": q_basket_pairs,
     "reconcile_tables": q_reconcile_tables,
+    "text_cooccurrence": q_text_cooccurrence,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -5603,6 +5648,7 @@ ORACLES: dict[str, str] = {
     "interval_union_coverage": ORACLE_INTERVAL_UNION,
     "basket_pairs": ORACLE_BASKET_PAIRS,
     "reconcile_tables": ORACLE_RECONCILE,
+    "text_cooccurrence": ORACLE_COOCCURRENCE,
 }
 
 
