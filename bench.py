@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "basket_pairs",
     "reconcile_tables",
     "text_cooccurrence",
+    "cdc_changelog_stats",
+    "agg_mode_per_group",
     # remaining real-compute surface (scripted CDC fixtures and tiny
     # plan-math queries stay excluded — they measure wire formats, not
     # operator throughput)

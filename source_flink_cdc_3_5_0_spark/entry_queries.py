@@ -5361,6 +5361,82 @@ ORDER BY n DESC, w1, w2 LIMIT 200
 """
 
 
+def q_cdc_changelog_stats(spark, sf_dir):
+    """Changelog observability: per-hour op-mix histogram of a CDC
+    stream — insert/update/delete counts, churn ratio (changes per
+    insert, cents-free integer cross-multiplication surfaced as one
+    division) and the hour's distinct touched keys. The first thing an
+    operator dashboards over a replication pipeline. events replayed as
+    the cdc_materialize_latest changelog; one (hour) partial-agg shuffle
+    plus an exact distinct per hour."""
+    ev = load(spark, sf_dir, "events")
+    op = (F.when(F.col("event_type") == "error", F.lit("-D"))
+           .when(F.col("event_id") % 3 == 0, F.lit("+I"))
+           .otherwise(F.lit("+U")))
+    ch = ev.select(F.date_trunc("hour", F.col("ts").cast("timestamp"))
+                    .alias("hour"),
+                   op.alias("op"), "user_id")
+    return (ch.groupBy("hour")
+              .agg(F.sum((F.col("op") == "+I").cast("long")).alias("n_ins"),
+                   F.sum((F.col("op") == "+U").cast("long")).alias("n_upd"),
+                   F.sum((F.col("op") == "-D").cast("long")).alias("n_del"),
+                   F.count_distinct("user_id").alias("touched_keys"))
+              .withColumn("churn",
+                          F.round((F.col("n_upd") + F.col("n_del"))
+                                  / F.greatest(F.col("n_ins"), F.lit(1)), 6)))
+
+
+ORACLE_CHANGELOG_STATS = """
+WITH ch AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CASE WHEN event_type = 'error' THEN '-D'
+              WHEN event_id % 3 = 0 THEN '+I' ELSE '+U' END AS op,
+         user_id
+  FROM events)
+SELECT hour,
+       CAST(SUM(CASE WHEN op = '+I' THEN 1 ELSE 0 END) AS BIGINT) AS n_ins,
+       CAST(SUM(CASE WHEN op = '+U' THEN 1 ELSE 0 END) AS BIGINT) AS n_upd,
+       CAST(SUM(CASE WHEN op = '-D' THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+       COUNT(DISTINCT user_id) AS touched_keys,
+       round(CAST(SUM(CASE WHEN op = '+U' THEN 1 ELSE 0 END)
+                  + SUM(CASE WHEN op = '-D' THEN 1 ELSE 0 END) AS DOUBLE)
+             / greatest(SUM(CASE WHEN op = '+I' THEN 1 ELSE 0 END), 1), 6)
+         AS churn
+FROM ch GROUP BY hour
+"""
+
+
+def q_agg_mode_per_group(spark, sf_dir):
+    """Deterministic MODE per group (the most frequent o_orderpriority
+    per order status): built-in mode() is tie-unspecified, so the mode
+    is derived under the total order (count DESC, value ASC) — one
+    group-pair partial-agg shuffle + a rank window over the tiny
+    (status, priority) domain."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    counts = (orders.groupBy("o_orderstatus", "o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = (Window.partitionBy("o_orderstatus")
+               .orderBy(F.col("n").desc(), F.col("o_orderpriority")))
+    return (counts.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") == 1)
+                  .select("o_orderstatus",
+                          F.col("o_orderpriority").alias("mode_priority"),
+                          F.col("n").alias("mode_count")))
+
+
+ORACLE_MODE_PER_GROUP = """
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+FROM (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict
@@ -5451,6 +5527,8 @@ QUERIES: dict[str, object] = {
     "basket_pairs": q_basket_pairs,
     "reconcile_tables": q_reconcile_tables,
     "text_cooccurrence": q_text_cooccurrence,
+    "cdc_changelog_stats": q_cdc_changelog_stats,
+    "agg_mode_per_group": q_agg_mode_per_group,
     # r02-only (not re-sampled in round 3)
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -5649,6 +5727,8 @@ ORACLES: dict[str, str] = {
     "basket_pairs": ORACLE_BASKET_PAIRS,
     "reconcile_tables": ORACLE_RECONCILE,
     "text_cooccurrence": ORACLE_COOCCURRENCE,
+    "cdc_changelog_stats": ORACLE_CHANGELOG_STATS,
+    "agg_mode_per_group": ORACLE_MODE_PER_GROUP,
 }
 
 
