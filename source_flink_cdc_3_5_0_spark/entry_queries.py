@@ -5329,13 +5329,16 @@ def q_text_cooccurrence(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(tokens_col("text").alias("t"))
-    pairs = None
-    for o in (1, 2):
-        p = toks.select(F.explode(F.arrays_zip(
-            F.expr(f"slice(t, 1, size(t) - {o})"),
-            F.expr(f"slice(t, {o + 1}, size(t) - {o})"))).alias("z")) \
-            .select(F.col("z.0").alias("w1"), F.col("z.1").alias("w2"))
-        pairs = p if pairs is None else pairs.unionByName(p)
+    # one scan: both offsets' zips concatenated in a single expression
+    # (a union of two selects would re-tokenize the corpus per branch);
+    # greatest(,0) guards docs shorter than the window — slice with a
+    # negative length is a runtime error, not an empty array
+    zips = [F.arrays_zip(
+                F.expr(f"slice(t, 1, greatest(size(t) - {o}, 0))"),
+                F.expr(f"slice(t, {o + 1}, greatest(size(t) - {o}, 0))"))
+            for o in (1, 2)]
+    pairs = (toks.select(F.explode(F.concat(*zips)).alias("z"))
+                 .select(F.col("z.0").alias("w1"), F.col("z.1").alias("w2")))
     return (pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
                  .where(F.col("n") >= 5)
                  .orderBy(F.col("n").desc(), "w1", "w2")
@@ -5363,12 +5366,13 @@ ORDER BY n DESC, w1, w2 LIMIT 200
 
 def q_cdc_changelog_stats(spark, sf_dir):
     """Changelog observability: per-hour op-mix histogram of a CDC
-    stream — insert/update/delete counts, churn ratio (changes per
-    insert, cents-free integer cross-multiplication surfaced as one
-    division) and the hour's distinct touched keys. The first thing an
-    operator dashboards over a replication pipeline. events replayed as
-    the cdc_materialize_latest changelog; one (hour) partial-agg shuffle
-    plus an exact distinct per hour."""
+    stream — insert/update/delete counts, churn ratio ((upd+del)/ins as
+    one IEEE division, identical sequence both engines) and the hour's
+    distinct touched keys. The first thing an operator dashboards over a
+    replication pipeline. Ops are synthesized deterministically from the
+    events fixture ('error' → delete, every 3rd id → insert, rest →
+    update); one (hour) partial-agg shuffle plus an exact distinct per
+    hour."""
     ev = load(spark, sf_dir, "events")
     op = (F.when(F.col("event_type") == "error", F.lit("-D"))
            .when(F.col("event_id") % 3 == 0, F.lit("+I"))
