@@ -1,0 +1,89 @@
+"""Registry/bench/docs drift gate (round-4 verdict item 9): the QUERIES
+dict is the single source of truth — every oracle, every benched name, and
+the driver-sample ordering contract are asserted against it so a rename or
+an added query that forgets one of the three surfaces fails CI instead of
+silently shipping a dangling name."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+import bench_scale
+from source_flink_cdc_3_5_0_spark import entry_queries as EQ
+
+
+def test_every_oracle_targets_a_registered_query():
+    dangling = set(EQ.ORACLES) - set(EQ.QUERIES)
+    assert not dangling, f"ORACLES without a QUERIES entry: {sorted(dangling)}"
+
+
+def test_every_query_has_an_oracle_or_is_documented_rows_only():
+    # Desired state (round-3): zero rows-only queries. If one is ever
+    # added deliberately (non-SQL-expressible op), list it here.
+    allowed_rows_only: set[str] = set()
+    rows_only = set(EQ.QUERIES) - set(EQ.ORACLES)
+    assert rows_only <= allowed_rows_only, (
+        f"queries without a DuckDB oracle: {sorted(rows_only)}")
+
+
+def test_bench_names_exist_in_registry():
+    missing = [q for q in bench.BENCH_QUERIES if q not in EQ.QUERIES]
+    assert not missing, f"bench.py times unknown queries: {missing}"
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES), \
+        "duplicate names in BENCH_QUERIES"
+
+
+def test_headline_subset_of_bench():
+    stray = [q for q in bench.HEADLINE_QUERIES
+             if q not in bench.BENCH_QUERIES]
+    assert not stray, f"HEADLINE_QUERIES not timed by bench: {stray}"
+
+
+def test_headline_summary_line_fits_tail_capture():
+    """The driver captures the LAST 2000 chars of bench stdout; the
+    printed summary must always fit (round-4 lesson: parsed=null)."""
+    import json
+
+    fake = {q: 99.999 for q in bench.BENCH_QUERIES}
+    out = {
+        "metric": "bench_total",
+        "value": round(sum(fake.values()), 3),
+        "unit": "sec",
+        "queries": {q: fake[q] for q in bench.HEADLINE_QUERIES},
+        "sf": 0.1,
+        "n_timed": len(fake),
+        "full": "BENCH_FULL.json",
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= 1900, f"summary line {len(line)} chars > 1900"
+
+
+def test_bench_scale_names_exist_in_registry():
+    missing = [q for q in bench_scale.SCALE_QUERIES if q not in EQ.QUERIES]
+    assert not missing, f"bench_scale.py uses unknown queries: {missing}"
+
+
+def test_driver_sample_prefix_has_weakest_evidence_first():
+    """The driver checks the FIRST 50 registry entries each round; the
+    never-driver-checked + new queries must sit inside that prefix."""
+    import json
+
+    covered = set()
+    for n in (1, 2, 3, 4):
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), f"CORRECTNESS_r0{n}.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            for k, v in json.load(f).items():
+                if v.get("rows_match") and v.get("err") is None:
+                    covered.add(k)
+    names = list(EQ.QUERIES)
+    uncovered = [n for n in names if n not in covered]
+    prefix = set(names[:50])
+    stray = [n for n in uncovered if n not in prefix]
+    assert not stray, (
+        f"queries without driver evidence outside the first-50 sample "
+        f"window: {stray}")
