@@ -303,13 +303,21 @@ class _LakeMetadataApplier(MetadataApplier):
 
 
 class SnapshotLakeSink(DataSink):
-    def __init__(self, root: str, num_buckets: int = 16, mode: str = "cow"):
+    def __init__(self, root: str, num_buckets: int = 16, mode: str = "cow",
+                 filelist_shard_span: int = 8):
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be cow|mor, got {mode!r}")
         self.root = root
         self.num_buckets = num_buckets
         self.mode = mode
+        # buckets per file-list shard (Iceberg manifest-file granularity):
+        # a commit rewrites only the shards whose bucket GROUP changed, so
+        # commit write amplification is O(touched buckets / span), never
+        # O(live files).  Purely a WRITE-side layout knob — readers merge
+        # whatever shards a snapshot references, so mixed spans coexist.
+        self.filelist_shard_span = max(1, int(filelist_shard_span))
         self._shard_cache: dict[tuple[str, str], dict] = {}
+        self._filelist_cache: dict[tuple[str, str], dict] = {}
 
     @classmethod
     def for_table(cls, root: str, table_id: TableId,
@@ -399,7 +407,10 @@ class SnapshotLakeSink(DataSink):
         return sorted(int(f[:-5]) for f in os.listdir(d)
                       if f.endswith(".json"))
 
-    def _manifest(self, tid: TableId, seq: int | None = None) -> dict:
+    def _manifest_raw(self, tid: TableId, seq: int | None = None) -> dict:
+        """The snapshot document as written (file-list SHARD REFS, not
+        materialized paths) — what _commit diffs against to carry
+        untouched shards forward by reference."""
         seqs = self.snapshots(tid)
         if not seqs:
             return {"seq": -1, "buckets": {}}
@@ -408,6 +419,52 @@ class SnapshotLakeSink(DataSink):
             raise ValueError(f"unknown snapshot {seq}; have {seqs}")
         with open(os.path.join(self._snap_dir(tid), f"{seq}.json")) as f:
             return json.load(f)
+
+    def _manifest(self, tid: TableId, seq: int | None = None) -> dict:
+        """The RESOLVED snapshot: ``buckets``/``deltas`` materialized by
+        merging the snapshot's file-list shards (immutable, cached per
+        sink instance).  Pre-shard snapshots carry the listing inline and
+        pass through unchanged — every reader sees the same shape either
+        way.  Callers must not mutate the inner file lists (they are
+        shared with the shard cache); every writer here builds new lists."""
+        doc = self._manifest_raw(tid, seq)
+        refs = doc.get("file_shards")
+        if refs is None:
+            return doc
+        buckets: dict[str, list[str]] = {}
+        deltas: dict[str, list[str]] = {}
+        for shard in refs.values():
+            content = self._load_filelist_shard(tid, shard)
+            buckets.update(content.get("buckets") or {})
+            deltas.update(content.get("deltas") or {})
+        doc["buckets"] = buckets
+        if deltas:
+            doc["deltas"] = deltas
+        return doc
+
+    def _filelist_dir(self, tid: TableId) -> str:
+        return os.path.join(self._table_dir(tid), "_filelists")
+
+    def _load_filelist_shard(self, tid: TableId, shard: str) -> dict:
+        """One immutable file-list shard (cached — shards never change
+        after commit, so the cache cannot go stale)."""
+        key = (tid.identifier(), shard)
+        cached = self._filelist_cache.get(key)
+        if cached is not None:
+            return cached
+        path = os.path.join(self._filelist_dir(tid), shard)
+        try:
+            with open(path) as f:
+                out = json.load(f)
+        except OSError:
+            # a referenced-but-missing shard means real data loss for the
+            # snapshot (unlike stats shards, which only lose pruning) —
+            # surface it instead of silently reading a partial table
+            raise ValueError(
+                f"{tid}: file-list shard {shard} referenced by a snapshot "
+                "is missing — was _filelists/ deleted out-of-band?")
+        self._filelist_cache[key] = out
+        return out
 
     def _commit(self, tid: TableId, buckets: dict[str, list[str]],
                 batch_id=None, deltas: dict[str, list[str]] | None = None) -> int:
@@ -419,10 +476,8 @@ class SnapshotLakeSink(DataSink):
         import time as _time
 
         doc = {"seq": seq, "batch_id": None if batch_id is None
-               else str(batch_id), "buckets": buckets,
-               "committed_at": _time.time()}
-        if deltas:
-            doc["deltas"] = deltas
+               else str(batch_id), "committed_at": _time.time()}
+        deltas = deltas or {}
         # stats only for BASE files: delta files are never pruned (see
         # scan_files) and read_changes selects them by manifest listing,
         # so delta stats would be dead weight copied forward every commit.
@@ -474,6 +529,74 @@ class SnapshotLakeSink(DataSink):
                 json.dump(new_entries, f)
             prev_shards = prev_shards + [shard]
         doc["stats_shards"] = prev_shards
+        # SHARDED LIVE-FILE LIST (Iceberg manifest files under the
+        # manifest list): buckets are grouped into spans of
+        # ``filelist_shard_span``; the commit writes ONE new shard per
+        # group whose content changed vs the previous snapshot and
+        # carries every untouched group forward BY REFERENCE — so the
+        # write amplification of a commit is O(touched buckets/span)
+        # shard files + one O(groups) snapshot doc, never O(live files).
+        # A rollback whose content equals an old snapshot re-uses that
+        # snapshot's shards wholesale (zero shard writes).
+        import uuid as _uuid
+
+        span = self.filelist_shard_span
+        prev_refs: dict[str, str] = dict(prev.get("file_shards") or {})
+        prev_b: dict[str, list] = prev.get("buckets") or {}
+        prev_d: dict[str, list] = prev.get("deltas") or {}
+
+        def _gid(b: str) -> str:
+            return str(int(b) // span)
+
+        groups: dict[str, dict] = {}
+        for kind, src in (("buckets", buckets), ("deltas", deltas)):
+            for b, files in src.items():
+                if files:
+                    g = groups.setdefault(_gid(b),
+                                          {"buckets": {}, "deltas": {}})
+                    g[kind][b] = list(files)
+        changed: set[str] = set()
+        for b in set(buckets) | set(prev_b):
+            if buckets.get(b) != prev_b.get(b):
+                changed.add(_gid(b))
+        for b in set(deltas) | set(prev_d):
+            if deltas.get(b) != prev_d.get(b):
+                changed.add(_gid(b))
+        if prev and not prev_refs:
+            # previous snapshot was pre-shard (inline listing): migrate
+            # everything into shards on this commit
+            changed = set(groups) | set(prev_refs)
+        refs: dict[str, str] = {}
+        fdir = self._filelist_dir(tid)
+        for g in set(groups) | set(prev_refs):
+            if g not in changed:
+                refs[g] = prev_refs[g]
+                continue
+            content = groups.get(g)
+            if not content:
+                continue  # group fully emptied: drop the reference
+            # CONTENT-ADDRESSED shard name: equal content → equal file, so
+            # (a) a rollback whose listing matches an old snapshot reuses
+            # that snapshot's shards without writing a byte, and (b) two
+            # racing writers producing the same shard are idempotent (same
+            # name implies same bytes — no clobber hazard)
+            import hashlib
+
+            blob = json.dumps(content, sort_keys=True).encode()
+            fname = f"f{hashlib.sha256(blob).hexdigest()[:24]}.json"
+            fpath = os.path.join(fdir, fname)
+            if os.path.exists(fpath):
+                # refresh the vacuum grace window: a dead-but-present
+                # shard being re-referenced must not be reaped mid-commit
+                os.utime(fpath)
+            else:
+                os.makedirs(fdir, exist_ok=True)
+                tmp_sh = f"{fpath}.{os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
+                with open(tmp_sh, "w") as f:
+                    f.write(blob.decode())
+                os.replace(tmp_sh, fpath)  # same-content race is benign
+            refs[g] = fname
+        doc["file_shards"] = refs
         with open(tmp, "w") as f:
             json.dump(doc, f)
         # optimistic concurrency: atomically CREATE (never overwrite) the
@@ -1081,25 +1204,30 @@ class SnapshotLakeSink(DataSink):
                         removed += 1
         for s in drop:
             os.remove(os.path.join(self._snap_dir(table_id), f"{s}.json"))
-        # stats shards referenced by NO retained manifest (incl. orphans
-        # from lost commit races) go with the expired snapshots
-        live_shards: set[str] = set()
+        # stats + file-list shards referenced by NO retained manifest
+        # (incl. orphans from lost commit races) go with the expired
+        # snapshots
+        live_stats: set[str] = set()
+        live_filelists: set[str] = set()
         for s in keep:
-            m = self._manifest(table_id, s)
-            live_shards.update(m.get("stats_shards") or [])
+            raw = self._manifest_raw(table_id, s)
+            live_stats.update(raw.get("stats_shards") or [])
+            live_filelists.update((raw.get("file_shards") or {}).values())
         import time as _time
 
-        sdir = self._stats_dir(table_id)
         now = _time.time()
-        for f in os.listdir(sdir) if os.path.isdir(sdir) else []:
-            full = os.path.join(sdir, f)
-            # age grace: an in-flight commit writes its shard BEFORE the
-            # atomic manifest link — a concurrent vacuum must not reap it
-            # as an orphan (Iceberg's orphan-file cleanup uses the same
-            # age-threshold discipline)
-            if (f.endswith(".json") and f not in live_shards
-                    and now - os.path.getmtime(full) > 3600):
-                os.remove(full)
+        for sdir, live_set in ((self._stats_dir(table_id), live_stats),
+                               (self._filelist_dir(table_id),
+                                live_filelists)):
+            for f in os.listdir(sdir) if os.path.isdir(sdir) else []:
+                full = os.path.join(sdir, f)
+                # age grace: an in-flight commit writes its shards BEFORE
+                # the atomic manifest link — a concurrent vacuum must not
+                # reap them as orphans (Iceberg's orphan-file cleanup uses
+                # the same age-threshold discipline)
+                if (f.endswith(".json") and f not in live_set
+                        and now - os.path.getmtime(full) > 3600):
+                    os.remove(full)
         return removed
 
     def compact(self, spark: SparkSession, table_id: TableId,

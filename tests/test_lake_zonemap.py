@@ -25,13 +25,13 @@ from source_flink_cdc_3_5_0_spark.sources.base import SEQ_COL, attach_envelope
 SF = "/root/testdata/sf0.001"
 
 
-def _mk(spark, tmp_path, mode="cow", num_buckets=4):
+def _mk(spark, tmp_path, mode="cow", num_buckets=4, **sink_kw):
     ev = (spark.read.parquet(os.path.join(SF, "events.parquet"))
           .select("event_id", "ts", "user_id", "event_type", "value"))
     tid = TableId.parse("lake.db.events")
     schema = Schema.from_struct_type(ev.schema, primary_keys=["event_id"])
     sink = SnapshotLakeSink(str(tmp_path / mode), num_buckets=num_buckets,
-                            mode=mode)
+                            mode=mode, **sink_kw)
     sink.metadata_applier().apply_schema_change(
         tid, CreateTableEvent(tid, schema), schema)
     sink.write(tid, attach_envelope(ev, "+I", seq=0), schema, batch_id=0)
@@ -117,6 +117,127 @@ class TestZoneMaps:
         assert set(os.listdir(sdir)) == live
         # pruning still works off the shards after vacuum
         sink._shard_cache.clear()
+        assert sink.read(spark, tid).count() == ev.count()
+
+    def test_commit_writes_only_touched_filelist_shards(
+            self, spark, tmp_path):
+        """The live-file LIST is sharded by bucket range like the stats
+        (Iceberg manifest files under the manifest list): a commit
+        confined to one bucket writes exactly ONE new file-list shard and
+        carries every other shard forward by reference — commit
+        control-plane is O(touched shards), never O(live files)."""
+        from source_flink_cdc_3_5_0_spark.operators.partitioning import \
+            portable_bucket_py
+
+        sink, tid, schema, ev = _mk(spark, tmp_path,
+                                    filelist_shard_span=1)
+        refs1 = dict(sink._manifest_raw(tid)["file_shards"])
+        fdir = sink._filelist_dir(tid)
+        n_files1 = len(os.listdir(fdir))
+        assert set(refs1.values()) <= set(os.listdir(fdir))
+        ids = [v for v in range(70000, 71000)
+               if portable_bucket_py(v, sink.num_buckets) == 0][:10]
+        fresh = (spark.createDataFrame([(v,) for v in ids], "event_id long")
+                 .crossJoin(ev.limit(1).drop("event_id"))
+                 .select(*ev.columns))
+        sink.write(tid, attach_envelope(fresh, "+I", seq=1), schema,
+                   batch_id=1)
+        refs2 = dict(sink._manifest_raw(tid)["file_shards"])
+        # exactly one group rewritten; all others carried by reference
+        assert refs2["0"] != refs1["0"]
+        for g in refs1:
+            if g != "0":
+                assert refs2[g] == refs1[g]
+        assert len(os.listdir(fdir)) == n_files1 + 1
+        # resolved manifest unchanged in shape: full listing materializes
+        m = sink._manifest(tid)
+        assert set(ids) <= {r["event_id"]
+                            for r in sink.read(spark, tid).collect()}
+        assert sum(len(fs) for fs in m["buckets"].values()) == \
+            len(set(p for fs in m["buckets"].values() for p in fs))
+
+    def test_mor_delta_commit_touches_only_its_shards(self, spark, tmp_path):
+        """A MoR churn batch confined to one bucket rewrites only that
+        bucket's file-list shard (the delta listing lives in the same
+        shard as its bucket's base files)."""
+        from source_flink_cdc_3_5_0_spark.operators.partitioning import \
+            portable_bucket_py
+
+        sink, tid, schema, ev = _mk(spark, tmp_path, mode="mor",
+                                    filelist_shard_span=1)
+        refs1 = dict(sink._manifest_raw(tid)["file_shards"])
+        one = ev.where(
+            F.col("event_id").isin([r["event_id"] for r in
+                                    ev.limit(50).collect()
+                                    if portable_bucket_py(
+                                        r["event_id"],
+                                        sink.num_buckets) == 2][:5]))
+        sink.write(tid, attach_envelope(one, "+U", seq=1), schema,
+                   batch_id=1)
+        refs2 = dict(sink._manifest_raw(tid)["file_shards"])
+        assert refs2["2"] != refs1.get("2")
+        for g in refs1:
+            if g != "2":
+                assert refs2[g] == refs1[g]
+
+    def test_rollback_reuses_old_snapshots_shards(self, spark, tmp_path):
+        """Rolling back to a snapshot whose content matches writes ZERO
+        new file-list shards — the new manifest references the old
+        snapshot's shards wholesale."""
+        sink, tid, schema, ev = _mk(spark, tmp_path, filelist_shard_span=1)
+        s0 = sink.snapshots(tid)[-1]
+        refs0 = dict(sink._manifest_raw(tid, s0)["file_shards"])
+        churn = (ev.limit(20).withColumn("value", F.col("value") + 1))
+        sink.write(tid, attach_envelope(churn, "+U", seq=1), schema,
+                   batch_id=1)
+        fdir = sink._filelist_dir(tid)
+        n_before = len(os.listdir(fdir))
+        sink.rollback(tid, s0)
+        assert len(os.listdir(fdir)) == n_before  # zero shard writes
+        assert dict(sink._manifest_raw(tid)["file_shards"]) == refs0
+        assert sink.read(spark, tid).count() == ev.count()
+
+    def test_vacuum_reclaims_dead_filelist_shards(self, spark, tmp_path):
+        import time
+
+        sink, tid, schema, ev = _mk(spark, tmp_path, filelist_shard_span=1)
+        sink.compact(spark, tid)  # full rewrite: all old shards dead
+        fdir = sink._filelist_dir(tid)
+        n_all = len(os.listdir(fdir))
+        sink.vacuum(tid, keep_last=1)
+        assert len(os.listdir(fdir)) == n_all  # grace window holds
+        for f in os.listdir(fdir):
+            old = time.time() - 7200
+            os.utime(os.path.join(fdir, f), (old, old))
+        sink.vacuum(tid, keep_last=1)
+        live = set(sink._manifest_raw(tid)["file_shards"].values())
+        assert set(os.listdir(fdir)) == live
+        sink._filelist_cache.clear()
+        assert sink.read(spark, tid).count() == ev.count()
+
+    def test_legacy_inline_manifest_reads_and_migrates(
+            self, spark, tmp_path):
+        """A pre-shard snapshot (inline buckets) still resolves, and the
+        next commit migrates the listing into shards."""
+        import json as _json
+
+        sink, tid, schema, ev = _mk(spark, tmp_path, filelist_shard_span=1)
+        seq = sink.snapshots(tid)[-1]
+        m = sink._manifest(tid)
+        # rewrite the snapshot doc as a legacy inline manifest
+        legacy = {k: v for k, v in m.items() if k != "file_shards"}
+        path = os.path.join(sink._snap_dir(tid), f"{seq}.json")
+        with open(path, "w") as f:
+            _json.dump(legacy, f)
+        sink._filelist_cache.clear()
+        assert sink._manifest(tid)["buckets"] == m["buckets"]
+        assert sink.read(spark, tid).count() == ev.count()
+        churn = ev.limit(10).withColumn("value", F.col("value") + 1)
+        sink.write(tid, attach_envelope(churn, "+U", seq=1), schema,
+                   batch_id=1)
+        raw = sink._manifest_raw(tid)
+        assert raw.get("file_shards")  # migrated
+        assert "buckets" not in raw
         assert sink.read(spark, tid).count() == ev.count()
 
     def test_unclustered_scan_keeps_everything(self, spark, tmp_path):
