@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import hashlib
 import io
+import os
+import shutil
 import struct
 import wave
 from typing import Iterator
@@ -440,6 +442,62 @@ _FRAMES_SCHEMA = T.StructType([
 ])
 
 
+_FFMPEG: str | None = None  # resolved lazily, once per process
+
+
+def _ffmpeg_path() -> str | None:
+    """Path of a system ``ffmpeg``, or None when absent.  Resolved once
+    per process (each Spark Python worker probes at most once).  Override
+    with ``SPARK_GRAFT_FFMPEG=/path/to/ffmpeg``; set it to the empty
+    string to force the no-ffmpeg path even where one is installed."""
+    global _FFMPEG
+    if _FFMPEG is None:
+        env = os.environ.get("SPARK_GRAFT_FFMPEG")
+        _FFMPEG = (env if env is not None else
+                   (shutil.which("ffmpeg") or ""))
+    return _FFMPEG or None
+
+
+def _decode_mp4_frames(payload: bytes, every_ms: int,
+                       max_frames: int) -> list[tuple[int, int, bytes]] | None:
+    """Real MP4 frame sampling through a DETECTED system ffmpeg: frames
+    at the requested stride come back as P6 PPM bytes (decodable by this
+    module's own codec).  Returns None — caller falls back / raises —
+    when the payload is not an ISO-BMFF container, no ffmpeg binary is
+    on PATH, or the decode fails.  One subprocess per video row: honest
+    for curation-scan rates; a production hot path would keep a resident
+    decoder per worker."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    ff = _ffmpeg_path()
+    if ff is None:
+        return None
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="mp4dec_") as td:
+        src = os.path.join(td, "in.mp4")
+        with open(src, "wb") as f:
+            f.write(payload)
+        pat = os.path.join(td, "f_%05d.ppm")
+        cmd = [ff, "-v", "error", "-i", src,
+               "-vf", f"fps=1000/{every_ms}",
+               "-frames:v", str(max_frames), "-start_number", "0", pat]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True,
+                           timeout=120)
+        except Exception:
+            return None
+        out = []
+        for i in range(max_frames):
+            p = os.path.join(td, f"f_{i:05d}.ppm")
+            if not os.path.exists(p):
+                break
+            with open(p, "rb") as f:
+                out.append((i, i * every_ms, f.read()))
+        return out or None
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 32,
                   use_fake_decoder: bool = True,
                   decoder: str | None = None) -> DataFrame:
@@ -455,10 +513,13 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 32,
     JPEG of the frame nearest each timestamp (decodable downstream by
     ``extensions/jpeg.py``), timing from the container's ``avih`` header
     — duration_ms metadata is ignored in favor of the container's own
-    clock. Non-AVI payloads raise under ``'real'`` and fall back to the
-    fake under ``'auto'``. The fake decoder (default — opaque driver
-    fixtures) emits the 16-byte md5 of (payload, frame_idx) per frame.
-    Other containers (MP4...) still need ffmpeg."""
+    clock. MP4 (ISO-BMFF) payloads decode for real through a DETECTED
+    system ffmpeg (``_ffmpeg_path``, auto-probed once per worker;
+    ``SPARK_GRAFT_FFMPEG`` overrides) — sampled frames come back as P6
+    PPM bytes. Payloads neither AVI nor ffmpeg-decodable raise under
+    ``'real'`` and fall back to the fake under ``'auto'``. The fake
+    decoder (default — opaque driver fixtures) emits the 16-byte md5 of
+    (payload, frame_idx) per frame."""
     mode = decoder or ("fake" if use_fake_decoder else "real")
     if mode not in ("fake", "real", "auto"):
         raise ValueError(f"decoder must be fake|real|auto, got {mode!r}")
@@ -476,12 +537,17 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 32,
     def real_rows(mid, payload, dur):
         demuxed = None if payload is None else demux_avi_mjpeg(bytes(payload))
         if demuxed is None:
+            mp4 = (None if payload is None else
+                   _decode_mp4_frames(bytes(payload), every_ms, max_frames))
+            if mp4 is not None:
+                return [(mid, i, ts, frame) for i, ts, frame in mp4]
             if mode == "auto":
                 return fake_rows(mid, payload, dur)
             raise NotImplementedError(
-                "payload is not an MJPEG AVI — other containers (MP4...) "
-                "need ffmpeg (not installed); use decoder='auto' to fall "
-                "back to the deterministic fake")
+                "payload is not an MJPEG AVI, and MP4 decode needs a "
+                "system ffmpeg (none detected on PATH; set "
+                "SPARK_GRAFT_FFMPEG to point at one) — use "
+                "decoder='auto' to fall back to the deterministic fake")
         us_per_frame, frames = demuxed
         frame_ms = us_per_frame / 1000.0
         total_ms = int(len(frames) * frame_ms)
