@@ -62,19 +62,28 @@ def build_scaled_dir(base: str, replicas: int) -> str:
         if fname not in ("documents.parquet", "embeddings.parquet"):
             os.symlink(os.path.join(base, fname), os.path.join(out, fname))
     con = duckdb.connect()
-    con.execute(f"""
-        COPY (SELECT doc_id + r * {ID_OFFSET} AS doc_id,
-                     text || CASE WHEN r = 0 THEN '' ELSE ' r' || r END
-                       AS text,
-                     lang, source, n_chars
-              FROM read_parquet('{base}/documents.parquet')
-              CROSS JOIN range({replicas}) t(r))
-        TO '{out}/documents.parquet' (FORMAT PARQUET)""")
-    con.execute(f"""
-        COPY (SELECT vec_id + r * {ID_OFFSET} AS vec_id, embedding, label
-              FROM read_parquet('{base}/embeddings.parquet')
-              CROSS JOIN range({replicas}) t(r))
-        TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+    # one FILE per replica (directory dataset): a single merged parquet
+    # would be one Spark scan split (files this small never cross
+    # maxPartitionBytes), serializing every zero-shuffle stage and
+    # measuring single-task starvation instead of operator scaling — a
+    # real 10x corpus lives in many files, so the scaled fixture should
+    # too (the base fixture keeps the driver's own single-file layout)
+    os.makedirs(os.path.join(out, "documents.parquet"))
+    os.makedirs(os.path.join(out, "embeddings.parquet"))
+    for r in range(replicas):
+        suffix = "" if r == 0 else f" r{r}"
+        con.execute(f"""
+            COPY (SELECT doc_id + {r * ID_OFFSET} AS doc_id,
+                         text || '{suffix}' AS text, lang, source, n_chars
+                  FROM read_parquet('{base}/documents.parquet'))
+            TO '{out}/documents.parquet/part-{r:03d}.parquet'
+            (FORMAT PARQUET)""")
+        con.execute(f"""
+            COPY (SELECT vec_id + {r * ID_OFFSET} AS vec_id, embedding,
+                         label
+                  FROM read_parquet('{base}/embeddings.parquet'))
+            TO '{out}/embeddings.parquet/part-{r:03d}.parquet'
+            (FORMAT PARQUET)""")
     con.close()
     return out
 
