@@ -420,20 +420,35 @@ class SnapshotLakeSink(DataSink):
         with open(os.path.join(self._snap_dir(tid), f"{seq}.json")) as f:
             return json.load(f)
 
-    def _manifest(self, tid: TableId, seq: int | None = None) -> dict:
+    def _manifest(self, tid: TableId, seq: int | None = None,
+                  buckets_needed=None) -> dict:
         """The RESOLVED snapshot: ``buckets``/``deltas`` materialized by
         merging the snapshot's file-list shards (immutable, cached per
         sink instance).  Pre-shard snapshots carry the listing inline and
         pass through unchanged — every reader sees the same shape either
         way.  Callers must not mutate the inner file lists (they are
-        shared with the shard cache); every writer here builds new lists."""
+        shared with the shard cache); every writer here builds new lists.
+
+        ``buckets_needed`` (a set of bucket ids) resolves ONLY the shard
+        groups owning those buckets — the PK point-lookup read path, whose
+        driver-side metadata cost is then O(touched shards) instead of
+        O(live files) (the commit's recorded ``filelist_span`` maps bucket
+        → group; every ref in a snapshot is guaranteed written under that
+        span).  The returned ``buckets``/``deltas`` are PARTIAL: callers
+        doing anything beyond reading those buckets must resolve fully."""
         doc = self._manifest_raw(tid, seq)
         refs = doc.get("file_shards")
         if refs is None:
             return doc
+        span = doc.get("filelist_span")
+        if buckets_needed is not None and span:
+            gids = {str(int(b) // span) for b in buckets_needed}
+            wanted = [s for g, s in refs.items() if g in gids]
+        else:
+            wanted = list(refs.values())
         buckets: dict[str, list[str]] = {}
         deltas: dict[str, list[str]] = {}
-        for shard in refs.values():
+        for shard in wanted:
             content = self._load_filelist_shard(tid, shard)
             buckets.update(content.get("buckets") or {})
             deltas.update(content.get("deltas") or {})
@@ -562,9 +577,12 @@ class SnapshotLakeSink(DataSink):
         for b in set(deltas) | set(prev_d):
             if deltas.get(b) != prev_d.get(b):
                 changed.add(_gid(b))
-        if prev and not prev_refs:
-            # previous snapshot was pre-shard (inline listing): migrate
-            # everything into shards on this commit
+        if prev and (not prev_refs or prev.get("filelist_span") != span):
+            # previous snapshot was pre-shard (inline listing) or written
+            # with a different shard span: re-shard everything under the
+            # current span this commit, so the recorded filelist_span is
+            # true for EVERY ref this snapshot carries (pruned point-
+            # lookup resolution depends on it)
             changed = set(groups) | set(prev_refs)
         refs: dict[str, str] = {}
         fdir = self._filelist_dir(tid)
@@ -597,6 +615,11 @@ class SnapshotLakeSink(DataSink):
                 os.replace(tmp_sh, fpath)  # same-content race is benign
             refs[g] = fname
         doc["file_shards"] = refs
+        # span + file count recorded so READERS can (a) resolve only the
+        # shard groups a point lookup touches and (b) report scan totals
+        # without materializing the full listing
+        doc["filelist_span"] = span
+        doc["n_files"] = sum(len(fs) for fs in buckets.values())
         with open(tmp, "w") as f:
             json.dump(doc, f)
         # optimistic concurrency: atomically CREATE (never overwrite) the
@@ -855,7 +878,11 @@ class SnapshotLakeSink(DataSink):
         self._ensure_meta(table_id, create=False)
         manifest = (_manifest if _manifest is not None
                     else self._manifest(table_id, snapshot))
-        total = sum(len(fs) for fs in manifest["buckets"].values())
+        # n_files is recorded at commit time so a shard-pruned (partial)
+        # manifest still reports the snapshot's true file total
+        total = manifest.get("n_files",
+                             sum(len(fs) for fs in
+                                 manifest["buckets"].values()))
         if not filters:
             return [p for fs in manifest["buckets"].values() for p in fs], \
                 total
@@ -878,14 +905,17 @@ class SnapshotLakeSink(DataSink):
         from the scan driver-side, then the predicate is applied for real
         (pruning is an optimization, never the filter itself)."""
         self._ensure_meta(table_id, create=False)
-        manifest = self._manifest(table_id, snapshot)
         # computed ONCE here (schema parse + bucket hash) and shared with
         # scan_files: a PK point lookup restricts BASE and DELTA files to
         # the owning bucket (both write paths bucket the final image by
         # PK); zone-map stats still never prune deltas (shadowing, see
-        # scan_files)
+        # scan_files).  The manifest itself is then resolved SHARD-PRUNED
+        # — only the file-list shards owning those buckets are read, so a
+        # point lookup's metadata cost is O(touched shards) driver-side.
         pk_allowed = (self._pk_point_buckets(table_id, filters)
                       if filters else None)
+        manifest = self._manifest(table_id, snapshot,
+                                  buckets_needed=pk_allowed)
         kept, _total = self.scan_files(table_id, snapshot, filters,
                                        _manifest=manifest,
                                        _pk_allowed=pk_allowed)

@@ -197,6 +197,50 @@ class TestZoneMaps:
         assert dict(sink._manifest_raw(tid)["file_shards"]) == refs0
         assert sink.read(spark, tid).count() == ev.count()
 
+    def test_point_lookup_resolves_only_owning_shard(self, spark, tmp_path):
+        """A PK point lookup reads ONLY the file-list shard group that
+        owns the key's bucket — metadata cost O(touched shards), never
+        O(live files) — and still returns exactly the right rows."""
+        from source_flink_cdc_3_5_0_spark.operators.partitioning import \
+            portable_bucket_py
+
+        sink, tid, schema, ev = _mk(spark, tmp_path, filelist_shard_span=1)
+        key = ev.limit(1).collect()[0]["event_id"]
+        sink._filelist_cache.clear()
+        rows = sink.read(spark, tid,
+                         filters=[("event_id", "=", key)]).collect()
+        assert len(rows) == 1 and rows[0]["event_id"] == key
+        owning = str(portable_bucket_py(key, sink.num_buckets))
+        refs = sink._manifest_raw(tid)["file_shards"]
+        loaded = {s for (_, s) in sink._filelist_cache}
+        assert loaded == {refs[owning]}, (loaded, refs)
+        # a full read afterwards still resolves everything
+        sink._filelist_cache.clear()
+        assert sink.read(spark, tid).count() == ev.count()
+
+    def test_span_change_reshards_on_next_commit(self, spark, tmp_path):
+        """Re-opening a table with a different filelist_shard_span forces
+        a full re-shard on the next commit, so the recorded span is true
+        for every ref the new snapshot carries (pruned lookups depend on
+        it)."""
+        from source_flink_cdc_3_5_0_spark.sinks.lakehouse import (
+            SnapshotLakeSink,
+        )
+
+        sink, tid, schema, ev = _mk(spark, tmp_path, filelist_shard_span=1)
+        assert sink._manifest_raw(tid)["filelist_span"] == 1
+        sink2 = SnapshotLakeSink(sink.root, num_buckets=sink.num_buckets,
+                                 mode=sink.mode, filelist_shard_span=4)
+        churn = ev.limit(5).withColumn("value", F.col("value") + 1)
+        sink2.write(tid, attach_envelope(churn, "+U", seq=1), schema,
+                    batch_id=1)
+        raw = sink2._manifest_raw(tid)
+        assert raw["filelist_span"] == 4
+        # every group id valid under the NEW span (num_buckets=4, span=4
+        # → single group "0")
+        assert set(raw["file_shards"]) == {"0"}
+        assert sink2.read(spark, tid).count() == ev.count()
+
     def test_vacuum_reclaims_dead_filelist_shards(self, spark, tmp_path):
         import time
 
