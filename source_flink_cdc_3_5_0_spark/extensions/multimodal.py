@@ -7,20 +7,21 @@ materializing whole partitions.
 
 Codecs that decode FOR REAL, pure numpy + stdlib, no external libs:
 PPM (P6) images, 16-bit PCM WAV audio, PNG, and baseline JPEG — the PNG
-path is a full spec decoder over stdlib ``zlib``
-(8-bit gray/gray+alpha/RGB/RGBA, all five scanline filters; palette /
-16-bit / interlaced return None) with exact-value unit tests in
-``tests/test_multimodal_codecs`` covering every filter path against a
-built-in encoder, and the JPEG path (``extensions/jpeg.py``) decodes
-baseline sequential DCT streams (gray + YCbCr, subsampling up to 2×2,
-restart markers; progressive/arithmetic return None) with a matching
-baseline encoder and PSNR round-trip tests. Remaining formats (MP4 and
-JPEG's progressive variants) need PIL/ffmpeg, which are NOT in this
-container — those payloads fall back to a deterministic md5-seeded fake
-under ``decoder='auto'`` (the default used by the driver queries, whose
-fixtures are opaque bytes), or raise under ``decoder='real'``. The
-Spark-side plumbing (schema, batching, partition sizing) is identical on
-every path.
+path is a full spec decoder over stdlib ``zlib`` (every color type at
+every spec bit depth — gray 1/2/4/8/16, gray+alpha, RGB/RGBA 8/16,
+palette 1/2/4/8 — all five scanline filters, null AND Adam7 interlace)
+with exact-value unit tests in ``tests/test_multimodal_codecs`` covering
+every filter path against a built-in encoder plus hand-built palette /
+16-bit / interlaced fixtures, and the JPEG path (``extensions/jpeg.py``)
+decodes baseline sequential DCT streams (gray + YCbCr, subsampling up to
+2×2, restart markers; progressive/arithmetic return None) with a
+matching baseline encoder and PSNR round-trip tests. MP4 decodes through
+an AUTO-DETECTED system ffmpeg (``SPARK_GRAFT_FFMPEG`` overrides);
+progressive JPEG payloads — and MP4 where no ffmpeg exists — fall back
+to a deterministic md5-seeded fake under ``decoder='auto'`` (the default
+used by the driver queries, whose fixtures are opaque bytes), or raise
+under ``decoder='real'``. The Spark-side plumbing (schema, batching,
+partition sizing) is identical on every path.
 """
 
 from __future__ import annotations
@@ -112,21 +113,88 @@ def _encode_ppm(arr: np.ndarray) -> bytes:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+def _png_unfilter(raw: bytes, pos: int, h: int, stride: int,
+                  bpp: int) -> tuple[np.ndarray, int] | None:
+    """Unfilter ``h`` scanlines of ``stride`` bytes starting at ``pos``
+    (each preceded by its filter byte), per the PNG spec with filter
+    unit ``bpp``.  Returns (rows, new_pos) or None on truncation / bad
+    filter.  The Sub/Average/Paeth loops are byte-sequential by
+    definition (each byte depends on the previous reconstructed byte);
+    fine for thumbnail-scale media — a production decoder vectorizes
+    Sub via cumsum and keeps Paeth in native code."""
+    if len(raw) - pos < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[pos]
+        cur = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        pos += stride + 1
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(bpp, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif f == 2:  # Up (uint8 addition wraps mod 256 — the spec)
+            cur += prev
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                q = a + b - c
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pr) & 0xFF
+        else:
+            return None
+        out[y] = cur
+        prev = cur
+    return out, pos
+
+
+def _png_samples(rows: np.ndarray, w: int, ch: int,
+                 depth: int) -> np.ndarray:
+    """Unfiltered scanline bytes -> (h, w, ch) uint8 samples.  16-bit
+    samples keep the high byte (the spec's 16→8 reduction); sub-byte
+    depths (1/2/4) unpack MSB-first and scale to full 8-bit range
+    (palette indices are scaled back by the caller)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(h, w, ch)
+    if depth == 16:
+        return rows.reshape(h, w, ch, 2)[:, :, :, 0]
+    bits = np.unpackbits(rows, axis=1)  # MSB first, per spec
+    vals = bits.reshape(h, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    samples = (vals.astype(np.uint16) * weights).sum(axis=2)
+    return samples[:, :w * ch].reshape(h, w, ch).astype(np.uint16)
+
+
+_ADAM7 = [  # (x_start, y_start, x_step, y_step) per pass
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def _decode_png(payload: bytes) -> np.ndarray | None:
-    """PNG -> (h, w, 3) uint8, pure stdlib zlib + numpy (no PIL):
-    non-interlaced 8-bit gray / gray+alpha / RGB / RGBA, all five
-    scanline filters (None/Sub/Up/Average/Paeth) unfiltered per spec.
-    Alpha is dropped, gray replicated to 3 channels.  Returns None for
-    anything else (palette, 16-bit, interlaced) — callers fall back or
-    raise per their decoder mode.  The Sub/Average/Paeth loops are
-    byte-sequential by definition (each byte depends on the previous
-    reconstructed byte); fine for thumbnail-scale media — a production
-    decoder vectorizes Sub via cumsum and keeps Paeth in native code."""
+    """PNG -> (h, w, 3) uint8, pure stdlib zlib + numpy (no PIL): every
+    spec color type (gray, gray+alpha, RGB, RGBA, PALETTE) at every spec
+    bit depth (1/2/4/8/16 where the spec allows it), all five scanline
+    filters, BOTH interlace methods (null and Adam7).  Alpha is dropped,
+    gray replicated to 3 channels, 16-bit reduced to the high byte,
+    sub-byte gray scaled to full range, palette indices resolved through
+    PLTE.  Returns None only for genuinely broken input (bad signature /
+    header / zlib stream / truncation)."""
     import zlib
 
     if not payload.startswith(_PNG_SIG):
         return None
-    pos, ihdr, idat = len(_PNG_SIG), None, b""
+    pos, ihdr, idat, plte = len(_PNG_SIG), None, b"", None
     while pos + 8 <= len(payload):
         ln = int.from_bytes(payload[pos:pos + 4], "big")
         typ = payload[pos + 4:pos + 8]
@@ -134,6 +202,8 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
         pos += 12 + ln
         if typ == b"IHDR":
             ihdr = data
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -143,49 +213,57 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, ctype, comp, filt, inter = ihdr[8:13]
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    if depth != 8 or comp != 0 or filt != 0 or inter != 0 or ch is None \
-            or w <= 0 or h <= 0:
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    allowed_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                      4: (8, 16), 6: (8, 16)}
+    if (ch is None or comp != 0 or filt != 0 or inter not in (0, 1)
+            or depth not in allowed_depths.get(ctype, ())
+            or w <= 0 or h <= 0):
+        return None
+    if ctype == 3 and (not plte or len(plte) % 3):
         return None
     try:
         raw = zlib.decompress(idat)
     except zlib.error:
         return None
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        return None
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    p = 0
-    for y in range(h):
-        f = raw[p]
-        cur = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
-        p += stride + 1
-        if f == 0:
-            pass
-        elif f == 1:  # Sub
-            for i in range(ch, stride):
-                cur[i] = (int(cur[i]) + int(cur[i - ch])) & 0xFF
-        elif f == 2:  # Up (uint8 addition wraps mod 256 — the spec)
-            cur += prev
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = int(cur[i - ch]) if i >= ch else 0
-                cur[i] = (int(cur[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = int(cur[i - ch]) if i >= ch else 0
-                b = int(prev[i])
-                c = int(prev[i - ch]) if i >= ch else 0
-                q = a + b - c
-                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (int(cur[i]) + pr) & 0xFF
-        else:
+    bpp = max(1, (ch * depth) // 8)
+
+    def stride_of(width: int) -> int:
+        return (width * ch * depth + 7) // 8
+
+    if inter == 0:
+        got = _png_unfilter(raw, 0, h, stride_of(w), bpp)
+        if got is None or got[1] != len(raw):
             return None
-        out[y] = cur
-        prev = cur
-    arr = out.reshape(h, w, ch)
+        samples = _png_samples(got[0], w, ch, depth)
+    else:  # Adam7
+        samples = np.zeros((h, w, ch),
+                           dtype=np.uint16 if depth < 8 else np.uint8)
+        p = 0
+        for (sx, sy, dx, dy) in _ADAM7:
+            wp = (w - sx + dx - 1) // dx
+            hp = (h - sy + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            got = _png_unfilter(raw, p, hp, stride_of(wp), bpp)
+            if got is None:
+                return None
+            rows, p = got
+            samples[sy::dy, sx::dx] = _png_samples(rows, wp, ch, depth)
+        if p != len(raw):
+            return None
+
+    if ctype == 3:
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = samples[:, :, 0].astype(np.int64)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            return None
+        return pal[idx]
+    if depth < 8:
+        # scale sub-byte gray to full 8-bit range (0..2^d-1 -> 0..255)
+        samples = (samples.astype(np.uint16) * 255
+                   // ((1 << depth) - 1)).astype(np.uint8)
+    arr = samples.astype(np.uint8, copy=False)
     if ch == 1:
         return np.repeat(arr, 3, axis=2)
     if ch == 2:

@@ -182,6 +182,133 @@ class TestPngCodec:
         good = _encode_png(self._img())
         assert _decode_png(good[:40] + b"\x00" * 20) is None
 
+    @staticmethod
+    def _build(raw, w, h, depth, ctype, interlace=0, plte=None):
+        import zlib
+
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import (
+            _PNG_SIG, _png_chunk)
+
+        ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([depth, ctype, 0, 0, interlace]))
+        out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += _png_chunk(b"PLTE", plte)
+        return (out + _png_chunk(b"IDAT", zlib.compress(raw))
+                + _png_chunk(b"IEND", b""))
+
+    def test_palette_8bit(self):
+        import numpy as np
+
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import \
+            _decode_png
+
+        pal = np.random.RandomState(7).randint(
+            0, 256, size=(5, 3), dtype="uint8")
+        idx = np.array([[0, 1, 2, 3], [4, 3, 2, 1], [1, 1, 0, 4]],
+                       dtype="uint8")
+        raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(3))
+        got = _decode_png(self._build(raw, 4, 3, 8, 3,
+                                      plte=pal.tobytes()))
+        assert got is not None and np.array_equal(got, pal[idx])
+        # out-of-range index -> broken input, None
+        bad = b"".join(b"\x00" + bytes([9] * 4) for _ in range(3))
+        assert _decode_png(self._build(bad, 4, 3, 8, 3,
+                                       plte=pal.tobytes())) is None
+
+    def test_palette_4bit_packed(self):
+        import numpy as np
+
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import \
+            _decode_png
+
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                       dtype="uint8")
+        idx = np.array([[0, 1, 2], [2, 1, 0]], dtype="uint8")
+        rows = []
+        for y in range(2):
+            # 3 4-bit indices -> 2 bytes, MSB-first, pad last nibble
+            b0 = (idx[y, 0] << 4) | idx[y, 1]
+            b1 = idx[y, 2] << 4
+            rows.append(b"\x00" + bytes([b0, b1]))
+        got = _decode_png(self._build(b"".join(rows), 3, 2, 4, 3,
+                                      plte=pal.tobytes()))
+        assert got is not None and np.array_equal(got, pal[idx])
+
+    def test_gray_1bit_scaled(self):
+        import numpy as np
+
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import \
+            _decode_png
+
+        # 10 pixels/row -> 2 bytes packed MSB-first
+        bits = np.array([[1, 0, 1, 1, 0, 0, 1, 0, 1, 1],
+                         [0, 1, 0, 0, 1, 1, 0, 1, 0, 0]], dtype="uint8")
+        raw = b"".join(
+            b"\x00" + np.packbits(bits[y]).tobytes() for y in range(2))
+        got = _decode_png(self._build(raw, 10, 2, 1, 0))
+        assert got is not None
+        assert np.array_equal(got[:, :, 0], bits * 255)
+
+    def test_rgb_16bit_high_byte(self):
+        import numpy as np
+
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import \
+            _decode_png
+
+        rs = np.random.RandomState(11)
+        img16 = rs.randint(0, 65536, size=(3, 4, 3), dtype="uint16")
+        raw = b"".join(
+            b"\x00" + img16[y].astype(">u2").tobytes() for y in range(3))
+        got = _decode_png(self._build(raw, 4, 3, 16, 2))
+        assert got is not None
+        assert np.array_equal(got, (img16 >> 8).astype("uint8"))
+
+    def test_adam7_interlaced_rgb(self):
+        import numpy as np
+
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import (
+            _ADAM7, _decode_png)
+
+        rs = np.random.RandomState(13)
+        for w, h in ((9, 10), (8, 8), (3, 2), (1, 1), (16, 5)):
+            img = rs.randint(0, 256, size=(h, w, 3), dtype="uint8")
+            passes = []
+            for (sx, sy, dx, dy) in _ADAM7:
+                sub = img[sy::dy, sx::dx]
+                if sub.size == 0:
+                    continue
+                for y in range(sub.shape[0]):
+                    passes.append(b"\x00" + sub[y].tobytes())
+            got = _decode_png(self._build(b"".join(passes), w, h, 8, 2,
+                                          interlace=1))
+            assert got is not None and np.array_equal(got, img), (w, h)
+
+    def test_adam7_interlaced_palette_2bit(self):
+        import numpy as np
+
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import (
+            _ADAM7, _decode_png)
+
+        pal = np.array([[10, 20, 30], [40, 50, 60], [70, 80, 90],
+                        [100, 110, 120]], dtype="uint8")
+        rs = np.random.RandomState(17)
+        idx = rs.randint(0, 4, size=(6, 7), dtype="uint8")
+        passes = []
+        for (sx, sy, dx, dy) in _ADAM7:
+            sub = idx[sy::dy, sx::dx]
+            if sub.size == 0:
+                continue
+            for y in range(sub.shape[0]):
+                # pack 2-bit indices MSB-first
+                row = sub[y]
+                bits = np.unpackbits(
+                    row.reshape(-1, 1), axis=1)[:, 6:8].reshape(-1)
+                passes.append(b"\x00" + np.packbits(bits).tobytes())
+        got = _decode_png(self._build(b"".join(passes), 7, 6, 2, 3,
+                                      interlace=1, plte=pal.tobytes()))
+        assert got is not None and np.array_equal(got, pal[idx])
+
     def test_features_and_resize_accept_png(self):
         import numpy as np
 
