@@ -1,17 +1,25 @@
-"""Baseline JPEG codec — pure numpy + stdlib, no libjpeg/PIL.
+"""JPEG codec — pure numpy + stdlib, no libjpeg/PIL.
 
 Completes the real-codec set (PPM, WAV, PNG in ``multimodal.py``): the
 container has no imaging libraries, so both directions are implemented
 from the spec (ITU-T T.81):
 
-- ``decode_jpeg``: baseline sequential DCT, 8-bit, grayscale or YCbCr
-  (4:4:4 / 4:2:0 / 4:2:2 and any h/v factor ≤ 2), restart markers,
-  multiple DHT/DQT segments.  Progressive, arithmetic-coded, 12-bit and
-  hierarchical streams return ``None`` honestly (re-encode as baseline).
+- ``decode_jpeg``: baseline sequential DCT (SOF0/1) AND progressive DCT
+  (SOF2) — 8-bit, grayscale or YCbCr (4:4:4 / 4:2:0 / 4:2:2 and any h/v
+  factor ≤ 2), restart markers, multiple DHT/DQT segments; progressive
+  covers spectral selection AND successive approximation for both DC and
+  AC (per-scan table redefinition, interleaved DC scans, EOB runs,
+  AC refinement correction bits — Annex G).  Arithmetic-coded, 12-bit
+  and hierarchical streams return ``None`` honestly.
 - ``encode_jpeg``: baseline encoder (quality-scaled Annex-K quantization
   tables, standard Annex-K Huffman tables, 4:4:4) used by the tests to
   produce real compressed streams to decode — decode∘encode round-trips
   are asserted by PSNR, plus DC-exactness on solid-color images.
+- ``encode_jpeg_progressive``: progressive encoder (DC + AC successive
+  approximation, spectral-selection scans, cross-block EOB runs) whose
+  streams must decode BIT-IDENTICALLY to the baseline encode of the same
+  image — the two paths reconstruct the same quantized coefficients, so
+  the tests assert exact array equality, not PSNR.
 
 Scale posture: identical to the PNG path — decode runs inside the Arrow
 ``mapInPandas`` batch; payload bytes never transit a shuffle.  The
@@ -260,7 +268,7 @@ def _decode_jpeg_inner(d: bytes) -> np.ndarray | None:
                 huff[("dc" if tc == 0 else "ac", th)] = \
                     _build_decode_table(bits, values)
                 j += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8 or nc not in (1, 3):
                 return None
@@ -268,15 +276,19 @@ def _decode_jpeg_inner(d: bytes) -> np.ndarray | None:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None         # progressive / arithmetic / hierarchical
+            return None         # lossless / arithmetic / hierarchical
         elif marker == 0xDD:    # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:    # SOS
             if frame is None:
                 return None
+            if frame["progressive"]:
+                return _decode_progressive(d, i, frame, qt, huff,
+                                           restart_interval)
             ns = seg[0]
             sel = {}
             for c in range(ns):
@@ -332,6 +344,10 @@ def _decode_scan(d, pos, frame, qt, huff, sel, restart_interval):
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
             mcu_count += 1
 
+    return _planes_to_rgb(planes, comps, hmax, vmax, h, w)
+
+
+def _planes_to_rgb(planes, comps, hmax, vmax, h, w):
     out = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -347,6 +363,286 @@ def _decode_scan(d, pos, frame, qt, huff, sel, restart_interval):
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive decoding (SOF2, Annex G) — coefficient accumulation over scans
+# ---------------------------------------------------------------------------
+
+def _decode_progressive(d, sos_at, frame, qt, huff, restart_interval):
+    """Decode a progressive frame starting at its FIRST SOS marker
+    (``sos_at`` points at the 0xFF).  Walks every scan to EOI,
+    accumulating quantized coefficients per block (zigzag order), honoring
+    between-scan DHT/DQT/DRI redefinition, then dequantizes + IDCTs once.
+    ``qt``/``huff`` arrive holding the tables defined before the first
+    scan and keep evolving."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2 or hmax < 1 or vmax < 1:
+        return None
+    h, w = frame["h"], frame["w"]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = []
+    for c in comps:
+        coefs.append(np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                              dtype=np.int32))
+    i = sos_at
+    while i + 4 <= len(d):
+        if d[i] != 0xFF:
+            return None
+        while i + 2 < len(d) and d[i + 1] == 0xFF:
+            i += 1
+        marker = d[i + 1]
+        if marker == 0xD9:      # EOI: all scans consumed
+            break
+        if i + 4 > len(d):
+            return None
+        seglen = struct.unpack(">H", d[i + 2:i + 4])[0]
+        seg = d[i + 4:i + 2 + seglen]
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                if pq != 0:
+                    return None
+                tbl = np.zeros(64)
+                tbl[_ZIGZAG] = np.frombuffer(seg[j + 1:j + 65], np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                bits = list(seg[j + 1:j + 17])
+                n = sum(bits)
+                values = list(seg[j + 17:j + 17 + n])
+                huff[("dc" if tc == 0 else "ac", th)] = \
+                    _build_decode_table(bits, values)
+                j += 17 + n
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                ci = next((k for k, cc in enumerate(comps)
+                           if cc["id"] == cs), None)
+                if ci is None:
+                    return None
+                scan_comps.append((ci, tt >> 4, tt & 15))
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            end = _decode_prog_scan(
+                d, i + 2 + seglen, frame, scan_comps, ss, se, ah, al,
+                huff, restart_interval, coefs, mcux, mcuy)
+            if end is None:
+                return None
+            i = end
+            continue
+        i += 2 + seglen
+
+    # reconstruct: dequantize + IDCT every block
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt.get(c["tq"])
+        if q is None:
+            return None
+        bv, bh = coefs[ci].shape[:2]
+        plane = np.zeros((bv * 8, bh * 8))
+        for by in range(bv):
+            for bx in range(bh):
+                mat = np.zeros(64)
+                mat[_ZIGZAG] = coefs[ci][by, bx]
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    _idct2(mat.reshape(8, 8) * q) + 128
+        planes.append(plane)
+    return _planes_to_rgb(planes, comps, hmax, vmax, h, w)
+
+
+def _next_marker(d, pos):
+    """First non-stuffing, non-RST marker position at/after ``pos``."""
+    while pos + 1 < len(d):
+        if d[pos] == 0xFF and d[pos + 1] != 0x00 \
+                and not (0xD0 <= d[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return len(d)
+
+
+def _decode_prog_scan(d, pos, frame, scan_comps, ss, se, ah, al, huff,
+                      restart_interval, coefs, mcux, mcuy):
+    """One progressive scan over the coefficient arrays; returns the
+    byte offset of the next marker, or None on a broken stream.  DC
+    scans (ss==0) may interleave components in MCU order; AC scans are
+    single-component in that component's own block raster (Annex G)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if ss == 0 and se != 0:
+        return None             # DC and AC never share a scan
+    if ss > 0 and len(scan_comps) != 1:
+        return None
+    reader = _BitReader(d, pos)
+    state = {"eobrun": 0, "pred": [0] * len(comps)}
+
+    def check_restart(unit_count):
+        if restart_interval and unit_count and \
+                unit_count % restart_interval == 0:
+            reader.align_restart()
+            state["pred"] = [0] * len(comps)
+            state["eobrun"] = 0
+
+    if ss == 0:                 # DC scan (possibly interleaved)
+        interleaved = len(scan_comps) > 1
+        n = 0
+        if interleaved:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    check_restart(n)
+                    n += 1
+                    for (ci, dc_t, _ac_t) in scan_comps:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = coefs[ci][my * c["v"] + by,
+                                                mx * c["h"] + bx]
+                                if not _dc_unit(reader, huff, dc_t, ah,
+                                                al, state, ci, blk):
+                                    return None
+        else:
+            (ci, dc_t, _ac_t) = scan_comps[0]
+            c = comps[ci]
+            # block grid of a NON-interleaved scan: ceil(comp_size/8)
+            cw = -(-frame["w"] * c["h"] // hmax)
+            chh = -(-frame["h"] * c["v"] // vmax)
+            bw, bh = -(-cw // 8), -(-chh // 8)
+            for by in range(bh):
+                for bx in range(bw):
+                    check_restart(n)
+                    n += 1
+                    blk = coefs[ci][by, bx]
+                    if not _dc_unit(reader, huff, dc_t, ah, al, state,
+                                    ci, blk):
+                        return None
+    else:                       # AC scan: single component, own raster
+        (ci, _dc_t, ac_t) = scan_comps[0]
+        c = comps[ci]
+        cw = -(-frame["w"] * c["h"] // hmax)
+        chh = -(-frame["h"] * c["v"] // vmax)
+        bw, bh = -(-cw // 8), -(-chh // 8)
+        table = huff.get(("ac", ac_t))
+        if table is None:
+            return None
+        n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                check_restart(n)
+                n += 1
+                blk = coefs[ci][by, bx]
+                ok = (_ac_first_unit(reader, table, ss, se, al, state, blk)
+                      if ah == 0 else
+                      _ac_refine_unit(reader, table, ss, se, al, state,
+                                      blk))
+                if not ok:
+                    return None
+    return _next_marker(d, reader.pos)
+
+
+def _dc_unit(reader, huff, dc_t, ah, al, state, ci, blk) -> bool:
+    if ah == 0:                 # first DC scan: diff << Al
+        table = huff.get(("dc", dc_t))
+        if table is None:
+            return False
+        t = _decode_huff(reader, table)
+        if t is None or t > 11:
+            return False
+        diff = _extend(reader.read_bits(t), t) if t else 0
+        state["pred"][ci] += diff
+        blk[0] = state["pred"][ci] << al
+    else:                       # refinement: one appended bit
+        if reader.read_bit():
+            blk[0] |= 1 << al
+    return True
+
+
+def _ac_first_unit(reader, table, ss, se, al, state, blk) -> bool:
+    """AC spectral-selection first scan (G.1.2.2, libjpeg AC_first)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return True
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, table)
+        if rs is None:
+            return False
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                state["eobrun"] = eobrun - 1    # current block included
+                return True
+            k += 16             # ZRL
+            continue
+        k += r
+        if k > se:
+            return False
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return True
+
+
+def _ac_refine_unit(reader, table, ss, se, al, state, blk) -> bool:
+    """AC successive-approximation refinement (G.1.2.3, libjpeg
+    AC_refine): correction bits for history-nonzero coefficients, new
+    ±1<<Al coefficients, EOB runs that still carry correction bits."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _decode_huff(reader, table)
+            if rs is None:
+                return False
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    state["eobrun"] = eobrun
+                    break       # tail below handles this block's band rest
+            elif s == 1:
+                newval = p1 if reader.read_bit() else m1
+            else:
+                return False
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit():
+                        if (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        if newval:
+                            blk[k] = newval
+                        break
+                    r -= 1
+                k += 1
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if reader.read_bit():
+                    if (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+    return True
 
 
 def _decode_block(reader, dc_table, ac_table):
@@ -379,6 +675,51 @@ def _decode_block(reader, dc_table, ac_table):
 # ---------------------------------------------------------------------------
 # encoder (baseline, 4:4:4) — produces real streams for the tests
 # ---------------------------------------------------------------------------
+
+class _SymbolCounter:
+    """Pass-1 sink for progressive scans: records which Huffman symbols
+    each table emits (bit payloads ignored)."""
+
+    def __init__(self):
+        self.symbols: dict[int, set[int]] = {}
+
+    def symbol(self, tbl: int, sym: int):
+        self.symbols.setdefault(tbl, set()).add(sym)
+
+    def bits(self, v: int, n: int):
+        pass
+
+
+class _ScanWriter:
+    """Pass-2 sink: emits real codes from the per-scan tables."""
+
+    def __init__(self, wtr: "_BitWriter", codes: dict[int, dict]):
+        self.wtr = wtr
+        self.codes = codes
+
+    def symbol(self, tbl: int, sym: int):
+        code, ln = self.codes[tbl][sym]
+        self.wtr.write(code, ln)
+
+    def bits(self, v: int, n: int):
+        if n:
+            self.wtr.write(v & ((1 << n) - 1), n)
+
+
+def _flat_huff_table(symbols: set[int]) -> tuple[list[int], list[int]]:
+    """A VALID (not optimal) DHT for exactly these symbols: all codes one
+    length L with 2^L > n, so the all-ones code stays unused (T.81
+    requires it).  Compression is irrelevant here — correctness of the
+    scan structure is what the tests exercise."""
+    vals = sorted(symbols)
+    n = max(1, len(vals))
+    length = 1
+    while (1 << length) <= n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = len(vals)
+    return bits, vals
+
 
 class _BitWriter:
     def __init__(self):
@@ -524,5 +865,243 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
                     wtr.write(code, ln)
     wtr.flush()
     out += wtr.out
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (SOF2) — real multi-scan streams for the tests
+# ---------------------------------------------------------------------------
+
+def _quantized_blocks(arr: np.ndarray, quality: int):
+    """Shared front half of both encoders: (planes -> per-component
+    quantized zigzag coefficient arrays, 4:4:4), plus the quant tables."""
+    arr = np.asarray(arr)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        a = arr.astype(np.float64)
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        planes = [y, cb, cr]
+    qy = _quality_scale(_QY.reshape(8, 8), quality)
+    qc = _quality_scale(_QC.reshape(8, 8), quality)
+    qts = [qy] if gray else [qy, qc]
+    bh, bw = -(-h // 8), -(-w // 8)
+    coefs = []
+    for ci, p in enumerate(planes):
+        pp = np.empty((bh * 8, bw * 8))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1:h, :]
+        pp[:, w:] = pp[:, w - 1:w]
+        q = qts[0] if ci == 0 else qts[1]
+        cc = np.zeros((bh, bw, 64), dtype=np.int32)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128
+                cc[by, bx] = np.round(
+                    _dct2(blk) / q).astype(int).reshape(-1)[_ZIGZAG]
+        coefs.append(cc)
+    return coefs, qts, h, w, bh, bw, gray
+
+
+def _prog_dc_first(sink, coefs, scan_cis, al, bh, bw):
+    pred = [0] * len(coefs)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in scan_cis:
+                tbl = 0 if ci == 0 else 1
+                v = int(coefs[ci][by, bx, 0]) >> al   # arithmetic shift
+                diff = v - pred[ci]
+                pred[ci] = v
+                t = _cat(diff)
+                sink.symbol(tbl, t)
+                if t:
+                    ev = diff if diff >= 0 else diff + (1 << t) - 1
+                    sink.bits(ev, t)
+
+
+def _prog_dc_refine(sink, coefs, scan_cis, al, bh, bw):
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in scan_cis:
+                sink.bits((int(coefs[ci][by, bx, 0]) >> al) & 1, 1)
+
+
+class _EobState:
+    def __init__(self):
+        self.run = 0
+        self.carried: list[int] = []
+
+    def flush(self, sink, tbl):
+        if self.run > 0:
+            nbits = 0
+            t = self.run
+            while t > 1:
+                t >>= 1
+                nbits += 1
+            sink.symbol(tbl, nbits << 4)
+            if nbits:
+                sink.bits(self.run, nbits)
+            self.run = 0
+        for b in self.carried:
+            sink.bits(b, 1)
+        self.carried = []
+
+
+def _prog_ac_first(sink, blocks, ss, se, al, tbl, eob):
+    """AC spectral-selection first scan over a component's blocks (raster
+    order); ``eob`` carries the cross-block EOB run."""
+    for blk in blocks:
+        r = 0
+        wrote = False
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            eob.flush(sink, tbl)
+            while r > 15:
+                sink.symbol(tbl, 0xF0)
+                r -= 16
+            s = _cat(t)
+            sink.symbol(tbl, (r << 4) | s)
+            sv = t if v >= 0 else -t
+            ev = sv if sv >= 0 else sv + (1 << s) - 1
+            sink.bits(ev, s)
+            r = 0
+            wrote = True
+        if r > 0 or not wrote:
+            eob.run += 1
+            if eob.run == 0x7FFF:
+                eob.flush(sink, tbl)
+
+
+def _prog_ac_refine(sink, blocks, ss, se, al, tbl, eob):
+    """AC successive-approximation refinement (libjpeg
+    encode_mcu_AC_refine shape): ±1<<Al for newly-nonzero coefficients,
+    buffered correction bits for history-nonzero ones, EOB runs carrying
+    the buffered bits."""
+    for blk in blocks:
+        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eobi = 0          # index AFTER the last newly-nonzero coef
+        for i, t in enumerate(absv):
+            if t == 1:
+                eobi = i + 1
+        r = 0
+        cur: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i < eobi:
+                eob.flush(sink, tbl)
+                sink.symbol(tbl, 0xF0)
+                r -= 16
+                for b in cur:
+                    sink.bits(b, 1)
+                cur = []
+            if t > 1:
+                cur.append(t & 1)
+                continue
+            eob.flush(sink, tbl)
+            sink.symbol(tbl, (r << 4) | 1)
+            sink.bits(1 if int(blk[ss + i]) >= 0 else 0, 1)
+            for b in cur:
+                sink.bits(b, 1)
+            cur = []
+            r = 0
+        if r > 0 or cur:
+            eob.run += 1
+            eob.carried.extend(cur)
+            if eob.run == 0x7FFF:
+                eob.flush(sink, tbl)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> PROGRESSIVE (SOF2) JFIF bytes, 4:4:4:
+    DC first at Al=1 (interleaved) + DC refinement, per-component AC
+    spectral-selection first scans at Al=1 (the luma band split in two)
+    + AC refinement scans to Al=0 — successive approximation on BOTH
+    coefficient classes with cross-block EOB runs, so every decoder path
+    of Annex G is exercised.  Decodes bit-identically to the baseline
+    encode of the same image (same quantized coefficients)."""
+    coefs, qts, h, w, bh, bw, gray = _quantized_blocks(arr, quality)
+    nc = 1 if gray else 3
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, q in enumerate(qts):
+        z = q.reshape(-1)[_ZIGZAG].astype(np.uint8)
+        out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tq]) + z.tobytes()
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for c in range(nc):
+        out += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+
+    if gray:
+        scans = [
+            ("dc_first", [0], 0, 0, 0, 1),
+            ("ac_first", [0], 1, 63, 0, 1),
+            ("dc_refine", [0], 0, 0, 1, 0),
+            ("ac_refine", [0], 1, 63, 1, 0),
+        ]
+    else:
+        scans = [
+            ("dc_first", [0, 1, 2], 0, 0, 0, 1),
+            ("ac_first", [0], 1, 5, 0, 1),
+            ("ac_first", [1], 1, 63, 0, 1),
+            ("ac_first", [2], 1, 63, 0, 1),
+            ("ac_first", [0], 6, 63, 0, 1),
+            ("dc_refine", [0, 1, 2], 0, 0, 1, 0),
+            ("ac_refine", [0], 1, 63, 1, 0),
+            ("ac_refine", [1], 1, 63, 1, 0),
+            ("ac_refine", [2], 1, 63, 1, 0),
+        ]
+
+    def run_scan(kind, cis, ss, se, ah, al, sink):
+        if kind == "dc_first":
+            _prog_dc_first(sink, coefs, cis, al, bh, bw)
+        elif kind == "dc_refine":
+            _prog_dc_refine(sink, coefs, cis, al, bh, bw)
+        else:
+            ci = cis[0]
+            tbl = 0 if ci == 0 else 1
+            blocks = [coefs[ci][by, bx]
+                      for by in range(bh) for bx in range(bw)]
+            eob = _EobState()
+            if kind == "ac_first":
+                _prog_ac_first(sink, blocks, ss, se, al, tbl, eob)
+            else:
+                _prog_ac_refine(sink, blocks, ss, se, al, tbl, eob)
+            eob.flush(sink, tbl)
+
+    for (kind, cis, ss, se, ah, al) in scans:
+        counter = _SymbolCounter()
+        run_scan(kind, cis, ss, se, ah, al, counter)
+        codes: dict[int, dict] = {}
+        is_dc = kind.startswith("dc")
+        for tbl, syms in sorted(counter.symbols.items()):
+            bits, vals = _flat_huff_table(syms)
+            codes[tbl] = _build_codes(bits, vals)
+            out += b"\xFF\xC4" + struct.pack(">H", 19 + len(vals)) \
+                + bytes([(0 if is_dc else 0x10) | tbl]) \
+                + bytes(bits) + bytes(vals)
+        out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * len(cis), len(cis))
+        for ci in cis:
+            tbl = 0 if ci == 0 else 1
+            td = tbl if is_dc else 0
+            ta = 0 if is_dc else tbl
+            out += bytes([ci + 1, (td << 4) | ta])
+        out += bytes([ss, se, (ah << 4) | al])
+        wtr = _BitWriter()
+        run_scan(kind, cis, ss, se, ah, al, _ScanWriter(wtr, codes))
+        wtr.flush()
+        out += wtr.out
     out += b"\xFF\xD9"
     return bytes(out)

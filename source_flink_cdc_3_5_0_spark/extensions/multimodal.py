@@ -13,14 +13,16 @@ palette 1/2/4/8 — all five scanline filters, null AND Adam7 interlace)
 with exact-value unit tests in ``tests/test_multimodal_codecs`` covering
 every filter path against a built-in encoder plus hand-built palette /
 16-bit / interlaced fixtures, and the JPEG path (``extensions/jpeg.py``)
-decodes baseline sequential DCT streams (gray + YCbCr, subsampling up to
-2×2, restart markers; progressive/arithmetic return None) with a
-matching baseline encoder and PSNR round-trip tests. MP4 decodes through
-an AUTO-DETECTED system ffmpeg (``SPARK_GRAFT_FFMPEG`` overrides);
-progressive JPEG payloads — and MP4 where no ffmpeg exists — fall back
-to a deterministic md5-seeded fake under ``decoder='auto'`` (the default
-used by the driver queries, whose fixtures are opaque bytes), or raise
-under ``decoder='real'``. The Spark-side plumbing (schema, batching,
+decodes BOTH baseline sequential and progressive (SOF2) DCT streams —
+gray + YCbCr, subsampling up to 2×2, restart markers, spectral selection
++ successive approximation, EOB runs (arithmetic-coded returns None) —
+with matching baseline AND progressive encoders; progressive streams
+are asserted to decode bit-identically to their baseline counterparts.
+MP4 decodes through an AUTO-DETECTED system ffmpeg
+(``SPARK_GRAFT_FFMPEG`` overrides); where no ffmpeg exists MP4 falls
+back to a deterministic md5-seeded fake under ``decoder='auto'`` (the
+default used by the driver queries, whose fixtures are opaque bytes), or
+raises under ``decoder='real'``. The Spark-side plumbing (schema, batching,
 partition sizing) is identical on every path.
 """
 
@@ -829,8 +831,8 @@ def probe_format_and_dims(payload: bytes) -> tuple[str, int, int] | None:
     decode, no decompression: curating 100 TB of media by size/aspect
     must not pay the decode. PPM reads the ASCII header, PNG the fixed
     IHDR offsets, JPEG walks markers to the first SOF (any DCT variant —
-    dims live in the frame header even for progressive streams we refuse
-    to fully decode), WAV reports (None, None) dims."""
+    dims live in the frame header for baseline and progressive alike),
+    WAV reports (None, None) dims."""
     d = bytes(payload)
     if d[:2] == b"P6":
         fields = []

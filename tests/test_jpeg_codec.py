@@ -319,3 +319,104 @@ class TestSecondReviewRegressions:
             "x STRING, y STRING")
         got = [r[0] for r in df.select(digest).collect()]
         assert len(set(got)) == 4
+
+
+class TestProgressive:
+    """Progressive (SOF2) decode — successive approximation on DC and AC,
+    spectral-selection scans, cross-block EOB runs.  The progressive
+    encoder produces the SAME quantized coefficients as the baseline
+    encoder, so decode(progressive) must equal decode(baseline) EXACTLY
+    (array equality, not PSNR)."""
+
+    def _both(self, img, quality=85):
+        from source_flink_cdc_3_5_0_spark.extensions.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        base = decode_jpeg(encode_jpeg(img, quality=quality))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
+        return base, prog
+
+    def test_bit_identical_to_baseline_color(self):
+        rs = np.random.RandomState(5)
+        for shape, q in [((24, 17, 3), 85), ((9, 31, 3), 95),
+                         ((8, 8, 3), 50), ((40, 40, 3), 30)]:
+            img = rs.randint(0, 256, size=shape, dtype="uint8")
+            base, prog = self._both(img, q)
+            assert prog is not None
+            assert np.array_equal(base, prog), (shape, q)
+
+    def test_bit_identical_grayscale(self):
+        rs = np.random.RandomState(6)
+        for shape in [(16, 16), (33, 21), (7, 50)]:
+            img = rs.randint(0, 256, size=shape, dtype="uint8")
+            base, prog = self._both(img)
+            assert np.array_equal(base, prog), shape
+
+    def test_solid_and_gradient_heavy_eob_runs(self):
+        """Smooth images quantize to almost-all-zero AC — maximal
+        cross-block EOB runs on both first and refinement scans."""
+        solid = np.full((48, 32, 3), 77, dtype="uint8")
+        base, prog = self._both(solid)
+        assert np.array_equal(base, prog)
+        x = np.linspace(0, 255, 64)
+        grad = np.repeat(x[None, :], 40, axis=0).astype("uint8")
+        base, prog = self._both(grad)
+        assert np.array_equal(base, prog)
+
+    def test_progressive_truncations_never_raise(self):
+        from source_flink_cdc_3_5_0_spark.extensions.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        img = np.random.RandomState(7).randint(
+            0, 256, size=(16, 16, 3), dtype="uint8")
+        full = encode_jpeg_progressive(img)
+        for cut in range(0, len(full), 97):
+            out = decode_jpeg(full[:cut])
+            assert out is None or out.shape == (16, 16, 3)
+
+    @settings(max_examples=40, deadline=None)
+    @given(pos=st.integers(0, 1000), val=st.integers(0, 255))
+    def test_progressive_corruption_never_raises(self, pos, val):
+        from source_flink_cdc_3_5_0_spark.extensions.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        img = np.arange(16 * 16 * 3, dtype="uint8").reshape(16, 16, 3)
+        full = bytearray(encode_jpeg_progressive(img))
+        full[pos % len(full)] = val
+        out = decode_jpeg(bytes(full))
+        assert out is None or (out.ndim == 3 and out.shape[2] == 3)
+
+    def test_probe_reads_sof2_dims(self):
+        from source_flink_cdc_3_5_0_spark.extensions.jpeg import (
+            encode_jpeg_progressive,
+        )
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import (
+            probe_format_and_dims,
+        )
+
+        img = np.zeros((12, 34, 3), dtype="uint8")
+        fmt, w, h = probe_format_and_dims(encode_jpeg_progressive(img))
+        assert (fmt, w, h) == ("jpeg", 34, 12)
+
+    def test_resize_accepts_progressive_payload(self, spark):
+        """The Spark resize path decodes progressive payloads like any
+        other JPEG (re-encoded baseline on the way out)."""
+        from source_flink_cdc_3_5_0_spark.extensions.jpeg import (
+            encode_jpeg_progressive,
+        )
+        from source_flink_cdc_3_5_0_spark.extensions.multimodal import (
+            MEDIA_SCHEMA, resize_images,
+        )
+
+        img = np.random.RandomState(8).randint(
+            0, 256, size=(32, 32, 3), dtype="uint8")
+        payload = bytearray(encode_jpeg_progressive(img))
+        media = spark.createDataFrame(
+            [(1, "image", payload, "image/jpeg", 32, 32, None)],
+            MEDIA_SCHEMA)
+        rows = resize_images(media, target_w=8, target_h=8,
+                             use_fake_decoder=False).collect()
+        assert len(rows) == 1 and rows[0].width == 8
