@@ -540,7 +540,8 @@ class PipelineComposer:
             live_opts = [k for k in ("fenodes", "jdbc-url", "load-url",
                                      "metastore.uris", "uri", "warehouse.s3",
                                      "hosts", "hostname", "endpoint",
-                                     "bootstrap.servers", "url")
+                                     "bootstrap.servers", "url",
+                                     "accessId", "accessKey")
                          if k in opts]
             if live_opts:
                 raise ValueError(
@@ -550,6 +551,15 @@ class PipelineComposer:
             path = opts.get("path") or opts.get("warehouse")
             if not path:
                 raise ValueError(f"{t} sink needs 'path' (or 'warehouse')")
+            if t == "maxcompute":
+                # Tunnel-upsert transactional tables: bucketed PK-upsert
+                # data plane + the reference's exact SchemaEvolutionUtils
+                # DDL text spooled per table (sinks/maxcompute.py);
+                # 'buckets-num' mirrors MaxComputeOptions
+                from ..sinks.maxcompute import MaxComputeSink
+
+                return MaxComputeSink(
+                    path, num_buckets=int(opts.get("buckets-num", 16)))
             if t == "fluss":
                 # fluss PRIMARY KEY tables ARE a log + kv pair: an
                 # append-only changelog (the log) merged per key on read

@@ -277,8 +277,120 @@ class PostgresDialect(SqlDialect):
                 for col, dt in event.type_mapping]
 
 
+class MaxComputeDialect(SqlDialect):
+    """MaxCompute (ODPS): statement text mirroring the reference's
+    SchemaEvolutionUtils.java — lowercase keywords, the full table name
+    backticked, COLUMN names bare, one ``add columns (…)`` statement for
+    a whole AddColumnEvent (:106-150), ``change column c c TYPE`` retype
+    (:153-187), ``drop columns a,b`` (:189-214), ``change column old
+    rename to new`` (:216-240).  Type names per TypeConvertUtils.java's
+    mapping table (CHAR/VARCHAR→STRING, BINARY, DECIMAL(p,s), TINYINT…
+    DOUBLE, DATE, TIMESTAMP_NTZ, instant→TIMESTAMP).  Added columns
+    carry the reference's ``comment '<type summary>'``.  Position hints
+    (FIRST/AFTER) append physically — the reference throws on non-LAST
+    positions; here the registry keeps the logical order, matching the
+    postgres dialect's treatment.  DML: the live writer streams through
+    Tunnel upsert sessions, not SQL — ``upsert_sql`` renders the
+    equivalent ``merge into`` a transactional table accepts, used only
+    by the sandbox state contract."""
+
+    name = "maxcompute"
+
+    def quote(self, ident: str) -> str:
+        return "`" + ident.replace("`", "``") + "`"
+
+    def type_name(self, dt: T.DataType) -> str:
+        if isinstance(dt, T.BooleanType):
+            return "BOOLEAN"
+        if isinstance(dt, T.ByteType):
+            return "TINYINT"
+        if isinstance(dt, T.ShortType):
+            return "SMALLINT"
+        if isinstance(dt, T.IntegerType):
+            return "INT"
+        if isinstance(dt, T.LongType):
+            return "BIGINT"
+        if isinstance(dt, T.FloatType):
+            return "FLOAT"
+        if isinstance(dt, T.DoubleType):
+            return "DOUBLE"
+        if isinstance(dt, T.DecimalType):
+            return f"DECIMAL({dt.precision},{dt.scale})"
+        if isinstance(dt, T.DateType):
+            return "DATE"
+        if isinstance(dt, T.TimestampNTZType):
+            return "TIMESTAMP_NTZ"
+        if isinstance(dt, T.TimestampType):
+            return "TIMESTAMP"
+        if isinstance(dt, T.BinaryType):
+            return "BINARY"
+        if isinstance(dt, T.ArrayType):
+            return f"ARRAY<{self.type_name(dt.elementType)}>"
+        if isinstance(dt, T.MapType):
+            return (f"MAP<{self.type_name(dt.keyType)},"
+                    f"{self.type_name(dt.valueType)}>")
+        return "STRING"
+
+    def upsert_sql(self, table: str, names: list[str], pks: list[str]) -> str:
+        t = self.quote(table)
+        src = ", ".join(f"? as {c}" for c in names)
+        on = " and ".join(f"t.{k} = s.{k}" for k in pks)
+        setlist = ", ".join(f"t.{c} = s.{c}" for c in names if c not in pks)
+        ins = ", ".join(f"s.{c}" for c in names)
+        stmt = f"merge into {t} as t using (select {src}) as s on {on}"
+        if setlist:
+            stmt += f" when matched then update set {setlist}"
+        return stmt + f" when not matched then insert values ({ins})"
+
+    def delete_sql(self, table: str, pks: list[str]) -> str:
+        return (f"delete from {self.quote(table)} where "
+                + " and ".join(f"{k} = ?" for k in pks))
+
+    def ddl_sql(self, table: str, event: SchemaChangeEvent,
+                evolved_schema: Schema) -> list[str]:
+        t = self.quote(table)
+        if isinstance(event, CreateTableEvent):
+            cols = ", ".join(
+                f"{c.name} {self.type_name(c.data_type)}"
+                for c in evolved_schema.columns)
+            pk = ""
+            props = ""
+            if evolved_schema.primary_keys:
+                pk = ", primary key (" + ", ".join(
+                    evolved_schema.primary_keys) + ")"
+                # PK tables are TRANSACTIONAL (the SDK tableCreator's
+                # transactionTable().withPrimaryKeys(...) path)
+                props = ' tblproperties ("transactional"="true")'
+            return [f"create table if not exists {t} ({cols}{pk}){props}"]
+        if isinstance(event, AddColumnEvent):
+            parts = ", ".join(
+                f"{cwp.column.name} {self.type_name(cwp.column.data_type)}"
+                f" comment '{self.type_name(cwp.column.data_type)}'"
+                for cwp in event.added_columns)
+            return [f"alter table {t} add columns ({parts})"]
+        if isinstance(event, DropColumnEvent):
+            return [f"alter table {t} drop columns "
+                    + ",".join(event.dropped_column_names)]
+        if isinstance(event, RenameColumnEvent):
+            return [f"alter table {t} change column {o} rename to {n}"
+                    for o, n in event.name_mapping]
+        if isinstance(event, AlterColumnTypeEvent):
+            return [f"alter table {t} change column {col} {col} "
+                    f"{self.type_name(dt)}"
+                    for col, dt in event.type_mapping]
+        if isinstance(event, TruncateTableEvent):
+            return [f"truncate table {t}"]
+        if isinstance(event, DropTableEvent):
+            return [f"drop table if exists {t}"]
+        raise TypeError(f"unknown schema-change event {type(event).__name__}")
+
+    def _alter_column_type(self, quoted_table, event, evolved_schema):
+        raise NotImplementedError  # ddl_sql is fully overridden
+
+
 DIALECTS: dict[str, SqlDialect] = {
-    d.name: d for d in (SqliteDialect(), MySqlDialect(), PostgresDialect())
+    d.name: d for d in (SqliteDialect(), MySqlDialect(), PostgresDialect(),
+                        MaxComputeDialect())
 }
 
 
