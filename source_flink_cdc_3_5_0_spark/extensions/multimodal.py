@@ -134,9 +134,17 @@ def _png_unfilter(raw: bytes, pos: int, h: int, stride: int,
         pos += stride + 1
         if f == 0:
             pass
-        elif f == 1:  # Sub
-            for i in range(bpp, stride):
-                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif f == 1:
+            # Sub = cumulative sum over filter units; accumulate promotes
+            # to uint64 and the final uint8 cast truncates mod 256, which
+            # commutes with addition — same result as per-byte wrapping
+            if stride % bpp == 0:
+                cur = np.add.accumulate(
+                    cur.reshape(-1, bpp), axis=0).astype(
+                        np.uint8).reshape(-1)
+            else:  # ragged tail (cannot occur for spec-valid strides)
+                for i in range(bpp, stride):
+                    cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
         elif f == 2:  # Up (uint8 addition wraps mod 256 — the spec)
             cur += prev
         elif f == 3:  # Average
