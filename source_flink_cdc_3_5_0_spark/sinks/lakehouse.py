@@ -1120,7 +1120,10 @@ class SnapshotLakeSink(DataSink):
             ts = ts.timestamp()
         best = None
         for s in self.snapshots(table_id):
-            at = self._manifest(table_id, s).get("committed_at")
+            # raw doc: committed_at lives in the snapshot doc itself, so
+            # the lookup must not materialize every snapshot's sharded
+            # file listing (O(snapshots × shards) for one float each)
+            at = self._manifest_raw(table_id, s).get("committed_at")
             if at is not None and at <= ts:
                 best = s
         if best is None:

@@ -22,16 +22,20 @@ MetadataApplier executes the 7-event DDL algebra as SQLTask statements
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from .base import DataSink, MetadataApplier
+from .ddl_spool import clear_replay_marker, spool_ddl
 from .dialects import MaxComputeDialect
 from .parquet_sink import ParquetUpsertSink
 
 
 class _MaxComputeMetadataApplier(MetadataApplier):
-    """Renders the DDL spool AND evolves the parquet stand-in."""
+    """Renders the DDL spool AND evolves the parquet stand-in.  The
+    data-plane apply is UNCONDITIONAL — only the spool append is
+    replay-gated (a replayed TRUNCATE on an already-truncated table is a
+    data-plane no-op anyway, while skipping it would drop a real event
+    that follows data writes)."""
 
     def __init__(self, sink: "MaxComputeSink"):
         self.sink = sink
@@ -40,23 +44,8 @@ class _MaxComputeMetadataApplier(MetadataApplier):
 
     def apply_schema_change(self, table_id, event, evolved_schema) -> None:
         tdir = os.path.join(self.sink.root, table_id.identifier())
-        os.makedirs(tdir, exist_ok=True)
-        stmts = self.sql.ddl_sql(table_id.identifier(), event,
-                                 evolved_schema)
-        # replay idempotence: same discipline as the Stream Load spool —
-        # a statement group identical to the LAST appended one is a
-        # restarted micro-batch's replay, never a legal distinct change
-        digest = hashlib.md5("\n".join(stmts).encode()).hexdigest()
-        marker = os.path.join(tdir, "_ddl_last")
-        if os.path.exists(marker):
-            with open(marker) as f:
-                if f.read().strip() == digest:
-                    return
-        with open(os.path.join(tdir, "ddl.sql"), "a") as f:
-            for s in stmts:
-                f.write(s + ";\n")
-        with open(marker, "w") as f:
-            f.write(digest)
+        spool_ddl(tdir, self.sql.ddl_sql(table_id.identifier(), event,
+                                         evolved_schema))
         self._inner.apply_schema_change(table_id, event, evolved_schema)
 
 
@@ -73,3 +62,10 @@ class MaxComputeSink(DataSink):
 
     def write(self, table_id, df, schema, batch_id) -> None:
         self._parquet.write(table_id, df, schema, batch_id)
+        # a data batch re-arms the DDL spool: the next identical DDL
+        # group is a real repeat (TRUNCATE → load → TRUNCATE), not a
+        # restarted micro-batch's replay
+        clear_replay_marker(self.sink_root(table_id))
+
+    def sink_root(self, table_id) -> str:
+        return os.path.join(self.root, table_id.identifier())

@@ -37,34 +37,22 @@ from .dialects import MySqlDialect
 class _StreamLoadMetadataApplier(MetadataApplier):
     """7-event algebra rendered as MySQL-dialect DDL text (Doris/StarRocks
     speak the MySQL protocol) and appended to the table's ddl.sql spool —
-    the statements a live SchemaChangeManager executes."""
+    the statements a live SchemaChangeManager executes.  Replay
+    idempotence lives in the shared :mod:`.ddl_spool` (a data batch
+    re-arms the spool, so TRUNCATE → load → TRUNCATE keeps both
+    statements)."""
 
     def __init__(self, sink: "_StreamLoadSink"):
         self.sink = sink
         self.sql = MySqlDialect()
 
     def apply_schema_change(self, table_id, event, evolved_schema) -> None:
-        import hashlib
+        from .ddl_spool import spool_ddl
 
         tdir = os.path.join(self.sink.output_dir, table_id.identifier())
-        os.makedirs(tdir, exist_ok=True)
-        stmts = self.sql.ddl_sql(table_id.identifier(), event, evolved_schema)
-        # replay idempotence (the DDL analog of the batch_<id> markers): a
-        # restarted micro-batch re-applies its schema events, so skip a
-        # statement group identical to the LAST one appended — consecutive
-        # identical DDL is always either a replay or a semantic no-op
-        # (e.g. TRUNCATE;TRUNCATE), never a legal distinct change
-        digest = hashlib.md5("\n".join(stmts).encode()).hexdigest()
-        marker = os.path.join(tdir, "_ddl_last")
-        if os.path.exists(marker):
-            with open(marker) as f:
-                if f.read().strip() == digest:
-                    return
-        with open(os.path.join(tdir, "ddl.sql"), "a") as f:
-            for s in stmts:
-                f.write(s + ";\n")
-        with open(marker, "w") as f:
-            f.write(digest)
+        spool_ddl(tdir,
+                  self.sql.ddl_sql(table_id.identifier(), event,
+                                   evolved_schema))
 
 
 class _StreamLoadSink(DataSink):
@@ -125,6 +113,13 @@ class _StreamLoadSink(DataSink):
         self.encode_stream_load(table_id, df, schema) \
             .write.mode("overwrite").text(tmp)
         os.rename(tmp, out)
+        from .ddl_spool import clear_replay_marker
+
+        # a data batch re-arms the DDL spool (TRUNCATE → load → TRUNCATE
+        # keeps both statements; only a restarted batch's replay is
+        # skipped)
+        clear_replay_marker(os.path.join(self.output_dir,
+                                         table_id.identifier()))
 
 
 class StarRocksStreamLoadSink(_StreamLoadSink):
