@@ -182,6 +182,7 @@ class PipelineExecution:
                 f"schema change {source_ev.event_type()} on {source_tid} "
                 f"refused (behavior=exception)")
         applier = self.sink.metadata_applier()
+        applier.batch_ctx = self._sink_batch_id()
         for sink_tid in self.router.route(source_tid):
             ev = type(source_ev)(sink_tid)
             if not applier.accepts(ev.event_type()):
@@ -233,6 +234,7 @@ class PipelineExecution:
             events = normalize_schema_change_events(
                 current, events, self.behavior, self.include_types, self.exclude_types)
         applier = self.sink.metadata_applier()
+        applier.batch_ctx = self._sink_batch_id()
         for ev in events:
             if not applier.accepts(ev.event_type()):
                 continue

@@ -22,6 +22,12 @@ from ..common.tableid import TableId
 class MetadataApplier(abc.ABC):
     """Applies schema changes to the external system (DDL executor)."""
 
+    #: replay-stable id of the (micro-)batch whose schema events are being
+    #: applied — set by the composer before use; None for direct API use.
+    #: Sinks that spool DDL for a live executor key their replay detection
+    #: on it (see sinks/ddl_spool.py).
+    batch_ctx = None
+
     def accepts(self, event_type: str) -> bool:
         """Fine-grained capability filter (MetadataApplier.
         acceptsSchemaEvolutionType); default: everything."""

@@ -1119,11 +1119,16 @@ class SnapshotLakeSink(DataSink):
         if isinstance(ts, _dt.datetime):
             ts = ts.timestamp()
         best = None
+        snap_dir = self._snap_dir(table_id)
+        # raw docs, listed once: committed_at lives in the snapshot doc
+        # itself, so the lookup must not materialize any sharded file
+        # listing (and must not re-list the snapshot dir per snapshot)
         for s in self.snapshots(table_id):
-            # raw doc: committed_at lives in the snapshot doc itself, so
-            # the lookup must not materialize every snapshot's sharded
-            # file listing (O(snapshots × shards) for one float each)
-            at = self._manifest_raw(table_id, s).get("committed_at")
+            try:
+                with open(os.path.join(snap_dir, f"{s}.json")) as f:
+                    at = json.load(f).get("committed_at")
+            except (OSError, ValueError):
+                continue
             if at is not None and at <= ts:
                 best = s
         if best is None:

@@ -25,17 +25,21 @@ from __future__ import annotations
 import os
 
 from .base import DataSink, MetadataApplier
-from .ddl_spool import clear_replay_marker, spool_ddl
+from .ddl_spool import DdlSpoolPosition, is_replay, spool_ddl
 from .dialects import MaxComputeDialect
 from .parquet_sink import ParquetUpsertSink
 
 
 class _MaxComputeMetadataApplier(MetadataApplier):
-    """Renders the DDL spool AND evolves the parquet stand-in.  The
-    data-plane apply is UNCONDITIONAL — only the spool append is
-    replay-gated (a replayed TRUNCATE on an already-truncated table is a
-    data-plane no-op anyway, while skipping it would drop a real event
-    that follows data writes)."""
+    """Renders the DDL spool AND evolves the parquet stand-in.  Replay
+    detection is the exact batch-scoped discipline of
+    :mod:`.ddl_spool`: a replayed group (same batch, same ordinal, same
+    digest) skips BOTH the spool and the data-plane apply — a replayed
+    TRUNCATE must not wipe rows the crashed run already landed after it —
+    while a genuine repeat (later batch, or a new group inside this one)
+    applies and spools normally.  The data-plane effect runs BEFORE the
+    spool append, so a crash between them replays into an idempotent
+    re-apply instead of a lost effect."""
 
     def __init__(self, sink: "MaxComputeSink"):
         self.sink = sink
@@ -43,10 +47,14 @@ class _MaxComputeMetadataApplier(MetadataApplier):
         self._inner = sink._parquet.metadata_applier()
 
     def apply_schema_change(self, table_id, event, evolved_schema) -> None:
-        tdir = os.path.join(self.sink.root, table_id.identifier())
-        spool_ddl(tdir, self.sql.ddl_sql(table_id.identifier(), event,
-                                         evolved_schema))
+        tdir = self.sink.sink_root(table_id)
+        stmts = self.sql.ddl_sql(table_id.identifier(), event,
+                                 evolved_schema)
+        ordinal = self.sink._ddl_pos.next_ordinal(tdir, self.batch_ctx)
+        if is_replay(tdir, self.batch_ctx, ordinal, stmts):
+            return
         self._inner.apply_schema_change(table_id, event, evolved_schema)
+        spool_ddl(tdir, stmts, self.batch_ctx, ordinal)
 
 
 class MaxComputeSink(DataSink):
@@ -56,16 +64,13 @@ class MaxComputeSink(DataSink):
     def __init__(self, path: str, num_buckets: int = 16):
         self.root = path
         self._parquet = ParquetUpsertSink(path, num_buckets=num_buckets)
+        self._ddl_pos = DdlSpoolPosition()
 
     def metadata_applier(self) -> MetadataApplier:
         return _MaxComputeMetadataApplier(self)
 
     def write(self, table_id, df, schema, batch_id) -> None:
         self._parquet.write(table_id, df, schema, batch_id)
-        # a data batch re-arms the DDL spool: the next identical DDL
-        # group is a real repeat (TRUNCATE → load → TRUNCATE), not a
-        # restarted micro-batch's replay
-        clear_replay_marker(self.sink_root(table_id))
 
     def sink_root(self, table_id) -> str:
         return os.path.join(self.root, table_id.identifier())

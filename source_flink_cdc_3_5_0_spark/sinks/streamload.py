@@ -31,6 +31,7 @@ from ..common.schema import Schema
 from ..common.tableid import TableId
 from ..sources.base import SEQ_COL
 from .base import DataSink, MetadataApplier
+from .ddl_spool import DdlSpoolPosition, is_replay, spool_ddl
 from .dialects import MySqlDialect
 
 
@@ -38,21 +39,21 @@ class _StreamLoadMetadataApplier(MetadataApplier):
     """7-event algebra rendered as MySQL-dialect DDL text (Doris/StarRocks
     speak the MySQL protocol) and appended to the table's ddl.sql spool —
     the statements a live SchemaChangeManager executes.  Replay
-    idempotence lives in the shared :mod:`.ddl_spool` (a data batch
-    re-arms the spool, so TRUNCATE → load → TRUNCATE keeps both
-    statements)."""
+    idempotence is the exact batch-scoped discipline of
+    :mod:`.ddl_spool`: only a crash-replayed group is skipped; genuine
+    repeats (TRUNCATE → load → TRUNCATE) keep every statement."""
 
     def __init__(self, sink: "_StreamLoadSink"):
         self.sink = sink
         self.sql = MySqlDialect()
 
     def apply_schema_change(self, table_id, event, evolved_schema) -> None:
-        from .ddl_spool import spool_ddl
-
         tdir = os.path.join(self.sink.output_dir, table_id.identifier())
-        spool_ddl(tdir,
-                  self.sql.ddl_sql(table_id.identifier(), event,
-                                   evolved_schema))
+        stmts = self.sql.ddl_sql(table_id.identifier(), event,
+                                 evolved_schema)
+        ordinal = self.sink._ddl_pos.next_ordinal(tdir, self.batch_ctx)
+        if not is_replay(tdir, self.batch_ctx, ordinal, stmts):
+            spool_ddl(tdir, stmts, self.batch_ctx, ordinal)
 
 
 class _StreamLoadSink(DataSink):
@@ -73,6 +74,7 @@ class _StreamLoadSink(DataSink):
         if not output_dir:
             raise ValueError("need output_dir (local spool) or frontend")
         self.output_dir = output_dir
+        self._ddl_pos = DdlSpoolPosition()
 
     def metadata_applier(self) -> MetadataApplier:
         return _StreamLoadMetadataApplier(self)
@@ -113,13 +115,6 @@ class _StreamLoadSink(DataSink):
         self.encode_stream_load(table_id, df, schema) \
             .write.mode("overwrite").text(tmp)
         os.rename(tmp, out)
-        from .ddl_spool import clear_replay_marker
-
-        # a data batch re-arms the DDL spool (TRUNCATE → load → TRUNCATE
-        # keeps both statements; only a restarted batch's replay is
-        # skipped)
-        clear_replay_marker(os.path.join(self.output_dir,
-                                         table_id.identifier()))
 
 
 class StarRocksStreamLoadSink(_StreamLoadSink):
