@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "text_chunk_windows",
     "text_redact_pii",
     "cdc_postgres_pipeline",
+    "cdc_mongo_changestream",
     "dedup_lines",
     "dedup_ngram_jaccard",
     "text_quality_filters",

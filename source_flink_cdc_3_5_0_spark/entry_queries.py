@@ -1884,6 +1884,90 @@ FROM base
 """
 
 
+def q_cdc_mongo_changestream(spark, sf_dir):
+    """MongoDB change-stream end-to-end (flink-connector-mongodb-cdc
+    surface): a scripted change-stream JSON log over ``orders`` decoded in
+    UPSERT mode (MongoDBConnectorDeserializationSchema.java:125-170 —
+    insert/update/replace/delete with key-only delete tombstones and no
+    before-images), run through `changelog_normalize` (Flink's
+    ChangelogNormalize analog — reconstructs the -U/before images and the
+    full deleted images MongoDB never ships) and then maintained as a
+    retract-stream aggregate per order status. The aggregate is EXACT only
+    if normalization reconstructed every before/delete image correctly —
+    that is the gate. Scripted churn: insert all, update every 3rd
+    (+$5), replace every 5th (+$100 on top), delete every 7th.
+
+    Scale shape: decode is pure from_json projection; normalize is ONE key
+    shuffle (lag window); the aggregate is ONE partial-agg shuffle with
+    state per GROUP, not per key."""
+    from .operators.retract import incremental_agg
+    from .sources.mongodb import decode_mongo_changestream
+    from .streaming.materialize import changelog_normalize
+
+    od = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    upd_cents = cents + 500
+    rep_cents = (F.when(F.col("o_orderkey") % 3 == 0, upd_cents)
+                 .otherwise(cents) + 10000)
+
+    payload = T.StructType([
+        T.StructField("_id", T.LongType(), True),
+        T.StructField("cust", T.LongType(), True),
+        T.StructField("status", T.StringType(), True),
+        T.StructField("total_cents", T.LongType(), True),
+    ])
+
+    def doc(c):
+        return F.struct(F.col("o_orderkey").alias("_id"),
+                        F.col("o_custkey").alias("cust"),
+                        F.col("o_orderstatus").alias("status"),
+                        c.cast("long").alias("total_cents"))
+
+    ns = F.struct(F.lit("shop").alias("db"), F.lit("orders").alias("coll"))
+    key = F.struct(F.col("o_orderkey").alias("_id"))
+
+    def rec(otype, full_doc, seq):
+        body = F.struct(
+            F.struct(F.conv(seq.cast("string"), 10, 16).alias("_data"))
+            .alias("_id"),
+            F.lit(otype).alias("operationType"),
+            *([full_doc.alias("fullDocument")] if full_doc is not None else []),
+            key.alias("documentKey"),
+            seq.cast("long").alias("clusterTime"),
+            ns.alias("ns"))
+        return F.to_json(body).alias("value"), seq.cast("long").alias("offset")
+
+    k = F.col("o_orderkey")
+    inserts = od.select(*rec("insert", doc(cents), k * 10))
+    updates = od.where(k % 3 == 0).select(*rec("update", doc(upd_cents),
+                                               k * 10 + 1))
+    replaces = od.where(k % 5 == 0).select(*rec("replace", doc(rep_cents),
+                                                k * 10 + 2))
+    deletes = od.where(k % 7 == 0).select(*rec("delete", None, k * 10 + 3))
+    raw = inserts.unionByName(updates).unionByName(replaces) \
+        .unionByName(deletes)
+
+    env = decode_mongo_changestream(raw, payload)
+    norm = changelog_normalize(env, ["_id"], SEQ_COL)
+    out = incremental_agg(norm, ["status"], F.col("total_cents"),
+                          before_value=F.col(f"{BEFORE_COL}.total_cents"))
+    return out.select("status", F.col("n_rows").cast("bigint"),
+                      F.col("sum_value").cast("bigint").alias("sum_cents"))
+
+
+ORACLE_MONGO_CHANGESTREAM = """
+WITH fin AS (
+  SELECT o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+         + CASE WHEN o_orderkey % 3 = 0 THEN 500 ELSE 0 END
+         + CASE WHEN o_orderkey % 5 = 0 THEN 10000 ELSE 0 END AS cents
+  FROM orders WHERE o_orderkey % 7 <> 0)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM fin GROUP BY status
+"""
+
+
 def q_skew_salted_agg(spark, sf_dir):
     """Two-phase salted aggregation (operators/skew.py) end-to-end:
     l_returnflag has 3 values over 600k rows — the textbook hot-key
@@ -5606,6 +5690,7 @@ QUERIES: dict[str, object] = {
     # 2. new in round 5
     "pipeline_cdc_to_lake": q_pipeline_cdc_to_lake,
     "text_tfidf_shuffle_join": q_text_tfidf_shuffle_join,
+    "cdc_mongo_changestream": q_cdc_mongo_changestream,
     # 3. last green row is r02
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -5817,6 +5902,7 @@ ORACLES: dict[str, str] = {
     "sketch_kmv_by_group": _oracle_kmv_by(),
     "cdc_truncate_drop": ORACLE_TRUNCATE_DROP,
     "cdc_postgres_pipeline": ORACLE_POSTGRES_PIPELINE,
+    "cdc_mongo_changestream": ORACLE_MONGO_CHANGESTREAM,
     "profile_orders": ORACLE_PROFILE_ORDERS,
     "validate_orders": ORACLE_VALIDATE_ORDERS,
     "text_lm_quality": _oracle_lm_quality(),

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..common.events import OP_COL
+from ..common.events import BEFORE_COL, META_COL, OP_COL
 
 
 def latest_image(df: DataFrame, pk_cols: list[str], seq_col: str | None = None,
@@ -42,6 +42,76 @@ def latest_image(df: DataFrame, pk_cols: list[str], seq_col: str | None = None,
     if OP_COL in df.columns and not keep_delete_marker:
         out = out.where(F.col(OP_COL) != "-D")
     return out
+
+
+def changelog_normalize(df: DataFrame, pk_cols: list[str], seq_col: str,
+                        emit_update_before: bool = False) -> DataFrame:
+    """Upsert changelog -> complete retraction changelog (Flink's
+    ChangelogNormalize analog).
+
+    Sources like the reference's MongoDB connector emit an UPSERT stream
+    (MongoDBConnectorDeserializationSchema.java:137-160): +I/+U rows carry
+    the full post-image but no before-image, -D rows carry only the
+    document key, and there are no -U events. Flink plants a
+    ChangelogNormalize operator (keyed last-image state) before any
+    consumer that needs retractions; this is the batch/micro-batch
+    equivalent — ONE key shuffle, a lag window instead of keyed state:
+
+    - upsert row with no visible predecessor (first event, or follows a
+      -D) -> ``+I``;
+    - upsert row with a visible predecessor -> ``+U`` with ``__before`` =
+      the predecessor's image (every upsert carries the FULL document, so
+      lag(1) IS the prior state — no running scan needed);
+    - -D with a visible predecessor -> ``-D`` whose payload columns are
+      REPLACED by the predecessor's image (restores the deleted image
+      MongoDB never shipped — key-only tombstone in, full tombstone out);
+    - -D with no visible predecessor -> dropped.
+
+    ``emit_update_before=True`` renders +U rows as Flink's two-row
+    -U(before)/+U(after) form instead of the engine's single-row
+    ``__before`` convention.
+    """
+    payload = [c for c in df.columns
+               if c not in (OP_COL, BEFORE_COL, META_COL, seq_col)]
+    img = F.struct(*[F.col(c) for c in payload])
+    w = Window.partitionBy(*[F.col(c) for c in pk_cols]) \
+        .orderBy(F.col(seq_col).asc())
+    prev_img = F.lag(img).over(w)
+    prev_op = F.lag(F.col(OP_COL)).over(w)
+    visible = prev_op.isNotNull() & (prev_op != "-D")
+    is_del = F.col(OP_COL) == "-D"
+    norm = df.select(
+        *payload,
+        F.col(OP_COL), F.col(seq_col),
+        *([F.col(META_COL)] if META_COL in df.columns else []),
+        prev_img.alias("__prev"), visible.alias("__vis"),
+    ).where(~(is_del & ~F.col("__vis")))
+    op_out = (F.when(is_del, F.lit("-D"))
+              .when(F.col("__vis"), F.lit("+U"))
+              .otherwise(F.lit("+I")))
+    out = norm.select(
+        *[F.when(is_del, F.col(f"__prev.{c}")).otherwise(F.col(c)).alias(c)
+          for c in payload],
+        op_out.alias(OP_COL),
+        F.when(F.col("__vis") & ~is_del, F.col("__prev"))
+         .alias(BEFORE_COL),
+        *([F.col(META_COL)] if META_COL in df.columns else []),
+        F.col(seq_col),
+    )
+    if not emit_update_before:
+        return out
+    upd = out.where(F.col(OP_COL) == "+U")
+    ub = upd.select(
+        *[F.col(f"{BEFORE_COL}.{c}").alias(c) for c in payload],
+        F.lit("-U").alias(OP_COL),
+        F.lit(None).cast(upd.schema[BEFORE_COL].dataType).alias(BEFORE_COL),
+        *([F.col(META_COL)] if META_COL in df.columns else []),
+        F.col(seq_col),
+    )
+    ua = upd.withColumn(BEFORE_COL, F.lit(None).cast(
+        upd.schema[BEFORE_COL].dataType))
+    rest = out.where(F.col(OP_COL) != "+U")
+    return rest.unionByName(ub).unionByName(ua)
 
 
 def materialize_changelog(df: DataFrame, pk_cols: list[str], seq_col: str) -> DataFrame:
