@@ -1955,6 +1955,89 @@ def q_cdc_mongo_changestream(spark, sf_dir):
                       F.col("sum_value").cast("bigint").alias("sum_cents"))
 
 
+def q_cdc_chunked_snapshot_stitch(spark, sf_dir):
+    """The incremental-snapshot chunk-consistency protocol (DBLog; reference
+    IncrementalSourceScanFetcher.pollWithBuffer:145-200 +
+    JdbcSourceFetchTaskContext.rewriteOutputBuffer:82-119) over ``orders``:
+    four PK-range chunks are snapshot-read at DIFFERENT instants while a
+    scripted log keeps moving (update A=+$5 on every 3rd key, deletes on
+    every 7th, update B=+$100 on every 5th), each bracketed by its own
+    (low, high] watermark pair. `consistent_chunk_image` must produce, per
+    chunk, exactly the state at that chunk's OWN high watermark — so the
+    same global update is visible in later-read chunks and invisible in
+    earlier-read ones, re-applied events are idempotent, and replayed
+    deletes of rows the snapshot never saw are no-ops. The oracle computes
+    the per-range cutoff states directly.
+
+    Scale shape: watermark table is O(chunks) broadcast; the only shuffle
+    is the final PK rank — the protocol costs nothing beyond the merge
+    exchange a sink needs anyway."""
+    from .sources.jdbc import ChunkRange
+    from .streaming.chunk_stitch import ChunkWatermarks, consistent_chunk_image
+
+    od = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    kmax = od.agg(F.max("o_orderkey")).collect()[0][0]
+    c1, c2, c3 = kmax // 4, kmax // 2, 3 * kmax // 4
+
+    base = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    a = F.when(k % 3 == 0, F.lit(500)).otherwise(F.lit(0))
+    b = F.when(k % 5 == 0, F.lit(10000)).otherwise(F.lit(0))
+
+    def img(total):
+        return od.select(k.alias("o_orderkey"),
+                         total.cast("long").alias("total_cents"))
+
+    # snapshot instants: chunk0 at seq 50M (inserts only), chunk1 at 150M
+    # (+update A), chunks 2/3 at 250M (+deletes) — B not yet anywhere
+    snap0 = img(base).where(k < c1)
+    snap1 = img(base + a).where((k >= c1) & (k < c2))
+    snap23 = img(base + a).where((k >= c2) & (k % 7 != 0))
+    snapshot = snap0.unionByName(snap1).unionByName(snap23)
+
+    # the log: insert@k, A@100M+k, delete@200M+k, B@300M+k
+    ins = img(base).select("*", F.lit("+I").alias(OP_COL),
+                           k.cast("long").alias(SEQ_COL))
+    upd_a = img(base + 500).where(k % 3 == 0).select(
+        "*", F.lit("+U").alias(OP_COL),
+        (k + 100_000_000).cast("long").alias(SEQ_COL))
+    dels = img(base + a).where(k % 7 == 0).select(
+        "*", F.lit("-D").alias(OP_COL),
+        (k + 200_000_000).cast("long").alias(SEQ_COL))
+    upd_b = img(base + a + 10000).where((k % 5 == 0) & (k % 7 != 0)).select(
+        "*", F.lit("+U").alias(OP_COL),
+        (k + 300_000_000).cast("long").alias(SEQ_COL))
+    log = ins.unionByName(upd_a).unionByName(dels).unionByName(upd_b)
+
+    marks = [
+        ChunkWatermarks(ChunkRange(None, c1), 0, 99_999_999),
+        ChunkWatermarks(ChunkRange(c1, c2), 0, 199_999_999),
+        ChunkWatermarks(ChunkRange(c2, c3), 0, 299_999_999),
+        ChunkWatermarks(ChunkRange(c3, None), 0, 399_999_999),
+    ]
+    return consistent_chunk_image(snapshot, log, ["o_orderkey"],
+                                  "o_orderkey", marks)
+
+
+ORACLE_CHUNKED_SNAPSHOT_STITCH = """
+WITH mx AS (
+  SELECT MAX(o_orderkey) // 4 AS c1, MAX(o_orderkey) // 2 AS c2,
+         (3 * MAX(o_orderkey)) // 4 AS c3
+  FROM orders),
+base AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderkey % 3 = 0 THEN 500 ELSE 0 END AS a,
+         CASE WHEN o_orderkey % 5 = 0 THEN 10000 ELSE 0 END AS b
+  FROM orders)
+SELECT k AS o_orderkey,
+       CAST(CASE WHEN k < c1 THEN cents
+                 WHEN k < c3 THEN cents + a
+                 ELSE cents + a + b END AS BIGINT) AS total_cents
+FROM base, mx
+WHERE k < c2 OR k % 7 <> 0
+"""
+
+
 ORACLE_MONGO_CHANGESTREAM = """
 WITH fin AS (
   SELECT o_orderstatus AS status,
@@ -5691,6 +5774,7 @@ QUERIES: dict[str, object] = {
     "pipeline_cdc_to_lake": q_pipeline_cdc_to_lake,
     "text_tfidf_shuffle_join": q_text_tfidf_shuffle_join,
     "cdc_mongo_changestream": q_cdc_mongo_changestream,
+    "cdc_chunked_snapshot_stitch": q_cdc_chunked_snapshot_stitch,
     # 3. last green row is r02
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -5903,6 +5987,7 @@ ORACLES: dict[str, str] = {
     "cdc_truncate_drop": ORACLE_TRUNCATE_DROP,
     "cdc_postgres_pipeline": ORACLE_POSTGRES_PIPELINE,
     "cdc_mongo_changestream": ORACLE_MONGO_CHANGESTREAM,
+    "cdc_chunked_snapshot_stitch": ORACLE_CHUNKED_SNAPSHOT_STITCH,
     "profile_orders": ORACLE_PROFILE_ORDERS,
     "validate_orders": ORACLE_VALIDATE_ORDERS,
     "text_lm_quality": _oracle_lm_quality(),
