@@ -311,3 +311,158 @@ def postgres_type_is_zoned(type_name: str) -> bool:
     """True for types that need the ``__tz_offset`` side-channel column."""
     n = type_name.strip().upper().removesuffix("[]").removeprefix("_")
     return n in _PG_ZONED_TYPES
+
+
+# --- Oracle / SQL Server / Db2 type-name mappings ----------------------------
+# Parity: the legacy incremental-snapshot connectors' Debezium-column
+# converters — OracleTypeUtils.java:44-90, SqlServerTypeUtils.java:47-84,
+# Db2TypeUtils.java:44-82 (each a switch on the JDBC type code; we key by
+# the type NAME the catalog/Debezium schema reports, like the MySQL and
+# Postgres maps above). Unmapped names raise, mirroring each converter's
+# UnsupportedOperationException default arm.
+
+def _decimal_or_clamp(precision: int | None, scale: int | None) -> T.DataType:
+    """DECIMAL(length, scale|0) with out-of-range precision clamped to the
+    lattice cap (the reference passes Debezium's raw length to
+    DataTypes.DECIMAL; lengths outside [1, 38] are not representable in
+    Spark, so they land on DECIMAL(38, s) like the Postgres PRECISE-mode
+    fallback)."""
+    p = precision if precision is not None else 0
+    s = scale if scale is not None else 0
+    if 0 < p <= MAX_DECIMAL_PRECISION:
+        return T.DecimalType(p, max(0, min(s, p)))
+    return T.DecimalType(MAX_DECIMAL_PRECISION, 0)
+
+
+_ORACLE_TYPE_MAP: dict[str, T.DataType] = {
+    # Types.CHAR/VARCHAR/NCHAR/NVARCHAR/STRUCT/CLOB -> STRING
+    "CHAR": STRING, "NCHAR": STRING, "VARCHAR": STRING, "VARCHAR2": STRING,
+    "NVARCHAR2": STRING, "CLOB": STRING, "NCLOB": STRING, "LONG": STRING,
+    "ROWID": STRING, "XMLTYPE": STRING,
+    "BLOB": BINARY, "RAW": BINARY, "LONG RAW": BINARY,
+    # Types.INTEGER/SMALLINT/TINYINT -> INT (Oracle reports these only for
+    # ANSI aliases; real NUMBER columns take the DECIMAL path below)
+    "INTEGER": INT, "INT": INT, "SMALLINT": INT, "TINYINT": INT,
+    "FLOAT": FLOAT, "REAL": FLOAT, "BINARY_FLOAT": FLOAT,
+    "DOUBLE": DOUBLE, "DOUBLE PRECISION": DOUBLE, "BINARY_DOUBLE": DOUBLE,
+    "DATE": DATE,
+    "BOOLEAN": BOOLEAN,
+    # TIMESTAMP / WITH TIME ZONE / WITH LOCAL TIME ZONE all land on
+    # TIMESTAMP(len) in the reference; Spark instants are TIMESTAMP_NTZ for
+    # the plain form and TIMESTAMP_LTZ for the zoned forms (engine
+    # convention, §1.5), zoned offsets via the __tz_offset side channel
+    "TIMESTAMP": TIMESTAMP_NTZ,
+    "TIMESTAMP WITH TIME ZONE": TIMESTAMP_LTZ,
+    "TIMESTAMP WITH LOCAL TIME ZONE": TIMESTAMP_LTZ,
+    # OracleTypes.INTERVALYM / INTERVALDS -> INTERVAL types (Spark has both)
+    "INTERVAL YEAR TO MONTH": T.YearMonthIntervalType(),
+    "INTERVAL DAY TO SECOND": T.DayTimeIntervalType(),
+}
+
+_ORACLE_ZONED_TYPES = {"TIMESTAMP WITH TIME ZONE"}
+
+
+def oracle_type_to_spark(type_name: str, precision: int | None = None,
+                         scale: int | None = None) -> T.DataType:
+    """Map an Oracle column type name to a Spark type
+    (OracleTypeUtils.convertFromColumn:44-90)."""
+    name = " ".join(type_name.strip().upper().split())
+    if name.startswith("TIMESTAMP(") or (
+            name.startswith("TIMESTAMP ") and "(" in name):
+        # strip the fractional-seconds precision: TIMESTAMP(6) WITH TIME ZONE
+        head, _, tail = name.partition("(")
+        name = (head.strip() + " " + tail.split(")", 1)[1].strip()).strip()
+    if name in ("NUMBER", "NUMERIC", "DECIMAL", "DEC"):
+        return _decimal_or_clamp(precision, scale)
+    if name in _ORACLE_TYPE_MAP:
+        return _ORACLE_TYPE_MAP[name]
+    raise ValueError(f"unmapped Oracle type: {type_name}")
+
+
+def oracle_type_is_zoned(type_name: str) -> bool:
+    n = " ".join(type_name.strip().upper().split())
+    if "(" in n:
+        head, _, tail = n.partition("(")
+        n = (head.strip() + " " + tail.split(")", 1)[1].strip()).strip()
+    return n in _ORACLE_ZONED_TYPES
+
+
+_SQLSERVER_TYPE_MAP: dict[str, T.DataType] = {
+    "CHAR": STRING, "NCHAR": STRING, "VARCHAR": STRING, "NVARCHAR": STRING,
+    "TEXT": STRING, "NTEXT": STRING, "XML": STRING,
+    "UNIQUEIDENTIFIER": STRING,
+    # Types.TINYINT/SMALLINT/INTEGER -> INT; BIGINT -> BIGINT
+    "TINYINT": INT, "SMALLINT": INT, "INT": INT, "INTEGER": INT,
+    "BIGINT": BIGINT,
+    "DATE": DATE,
+    "BIT": BOOLEAN,
+    # SqlServerTypeUtils.java:64-69 — FLOAT/REAL/DOUBLE take the DECIMAL
+    # path together with NUMERIC/DECIMAL (length, scale|0): the quirk that
+    # distinguishes this converter from every sibling
+    "TIME": STRING,  # no TIME type in Spark (same carry as MySQL/PG)
+    "DATETIME": TIMESTAMP_NTZ, "DATETIME2": TIMESTAMP_NTZ,
+    "SMALLDATETIME": TIMESTAMP_NTZ,
+    "DATETIMEOFFSET": TIMESTAMP_LTZ,  # Types.TIMESTAMP_WITH_TIMEZONE
+}
+
+_SQLSERVER_DECIMAL_NAMES = {"NUMERIC", "DECIMAL", "MONEY", "SMALLMONEY",
+                            "FLOAT", "REAL", "DOUBLE"}
+
+_SQLSERVER_ZONED_TYPES = {"DATETIMEOFFSET"}
+
+
+def sqlserver_type_to_spark(type_name: str, precision: int | None = None,
+                            scale: int | None = None) -> T.DataType:
+    """Map a SQL Server column type name to a Spark type
+    (SqlServerTypeUtils.convertFromColumn:47-84). MONEY/SMALLMONEY carry
+    their fixed (19,4)/(10,4) shapes when no explicit precision is given."""
+    name = " ".join(type_name.strip().upper().split())
+    if name in _SQLSERVER_DECIMAL_NAMES:
+        if precision is None:
+            if name == "MONEY":
+                return T.DecimalType(19, 4)
+            if name == "SMALLMONEY":
+                return T.DecimalType(10, 4)
+        return _decimal_or_clamp(precision, scale)
+    if name in ("BINARY", "VARBINARY", "IMAGE"):
+        return BINARY
+    if name in _SQLSERVER_TYPE_MAP:
+        return _SQLSERVER_TYPE_MAP[name]
+    raise ValueError(f"unmapped SQL Server type: {type_name}")
+
+
+def sqlserver_type_is_zoned(type_name: str) -> bool:
+    return " ".join(type_name.strip().upper().split()) in _SQLSERVER_ZONED_TYPES
+
+
+_DB2_TYPE_MAP: dict[str, T.DataType] = {
+    "CHAR": STRING, "CHARACTER": STRING, "VARCHAR": STRING,
+    "LONG VARCHAR": STRING, "CLOB": STRING, "DBCLOB": STRING,
+    "GRAPHIC": STRING, "VARGRAPHIC": STRING, "XML": STRING,
+    "BLOB": BINARY, "BINARY": BINARY, "VARBINARY": BINARY,
+    # Db2TypeUtils.java:55-58 — TINYINT/SMALLINT -> SMALLINT (not INT)
+    "TINYINT": SMALLINT, "SMALLINT": SMALLINT,
+    "INTEGER": INT, "INT": INT,
+    "BIGINT": BIGINT,
+    "FLOAT": FLOAT, "REAL": FLOAT,
+    "DOUBLE": DOUBLE, "DOUBLE PRECISION": DOUBLE,
+    "DATE": DATE,
+    "TIME": STRING,
+    "TIMESTAMP": TIMESTAMP_NTZ,
+}
+
+
+def db2_type_to_spark(type_name: str, precision: int | None = None,
+                      scale: int | None = None) -> T.DataType:
+    """Map a Db2 column type name to a Spark type
+    (Db2TypeUtils.convertFromColumn:44-82). DECFLOAT is carried as
+    DECIMAL(34, 0) — its wire precision — since Spark has no decfloat."""
+    name = " ".join(type_name.strip().upper().split())
+    if name in ("DECIMAL", "NUMERIC", "DEC", "NUM"):
+        return _decimal_or_clamp(precision, scale)
+    if name == "DECFLOAT":
+        return T.DecimalType(34, 0) if precision is None \
+            else _decimal_or_clamp(precision, scale)
+    if name in _DB2_TYPE_MAP:
+        return _DB2_TYPE_MAP[name]
+    raise ValueError(f"unmapped Db2 type: {type_name}")
