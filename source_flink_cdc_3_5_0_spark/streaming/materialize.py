@@ -9,7 +9,7 @@ a single shuffle on the key, no driver loop, skew handled by AQE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from ..common.events import BEFORE_COL, META_COL, OP_COL
 
@@ -44,8 +44,13 @@ def latest_image(df: DataFrame, pk_cols: list[str], seq_col: str | None = None,
     return out
 
 
+#: pseudo-sequence for carried-in state rows — sorts before any real event
+_STATE_SEQ = -(1 << 62)
+
+
 def changelog_normalize(df: DataFrame, pk_cols: list[str], seq_col: str,
-                        emit_update_before: bool = False) -> DataFrame:
+                        emit_update_before: bool = False,
+                        state_df: DataFrame | None = None) -> DataFrame:
     """Upsert changelog -> complete retraction changelog (Flink's
     ChangelogNormalize analog).
 
@@ -70,9 +75,28 @@ def changelog_normalize(df: DataFrame, pk_cols: list[str], seq_col: str,
     ``emit_update_before=True`` renders +U rows as Flink's two-row
     -U(before)/+U(after) form instead of the engine's single-row
     ``__before`` convention.
+
+    ``state_df`` is the micro-batch form's cross-batch state: the CURRENT
+    materialized table (plain payload rows — e.g. the sink's own latest
+    image, which IS Flink's ChangelogNormalize keyed state, persisted in
+    the sink instead of an operator store). Its rows enter as pseudo
+    upserts at a sentinel sequence that sorts before every real event, so
+    a batch's first upsert of a known key emits +U with the state image as
+    its before, and a first -D emits the full tombstone instead of being
+    dropped; the pseudo rows themselves are filtered from the output. One
+    extra scan of the state per batch, same single key shuffle.
     """
     payload = [c for c in df.columns
                if c not in (OP_COL, BEFORE_COL, META_COL, seq_col)]
+    if state_df is not None:
+        seed = state_df.select(
+            *[F.col(c) for c in payload],
+            F.lit("+I").alias(OP_COL),
+            *([F.lit(None).cast(T.MapType(T.StringType(), T.StringType()))
+               .alias(META_COL)] if META_COL in df.columns else []),
+            F.lit(_STATE_SEQ).cast("long").alias(seq_col))
+        df = df.drop(*([BEFORE_COL] if BEFORE_COL in df.columns else [])) \
+            .unionByName(seed, allowMissingColumns=True)
     img = F.struct(*[F.col(c) for c in payload])
     w = Window.partitionBy(*[F.col(c) for c in pk_cols]) \
         .orderBy(F.col(seq_col).asc())
@@ -98,6 +122,10 @@ def changelog_normalize(df: DataFrame, pk_cols: list[str], seq_col: str,
         *([F.col(META_COL)] if META_COL in df.columns else []),
         F.col(seq_col),
     )
+    if state_df is not None:
+        # the carried-in state rows seeded before-images; they are not
+        # themselves batch output
+        out = out.where(F.col(seq_col) != _STATE_SEQ)
     if not emit_update_before:
         return out
     upd = out.where(F.col(OP_COL) == "+U")

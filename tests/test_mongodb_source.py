@@ -247,3 +247,46 @@ def test_sampled_path_above_threshold(spark):
     # sampled cut points: balance within 3x of ideal
     ideal = n / len(chunks)
     assert all(c < 3 * ideal for c in counts)
+
+
+def test_changelog_normalize_with_state_across_batches(spark):
+    """Micro-batch form: normalizing batch N seeded with the materialized
+    state after batch N-1 must emit the same retraction stream as
+    normalizing the concatenated history in one pass."""
+    rng = random.Random(99)
+    hist = []
+    for seq in range(240):
+        key = rng.randrange(10)
+        op = rng.choice(["+U", "+U", "-D"])
+        hist.append((key, None if op == "-D" else rng.randrange(1000), op, seq))
+    schema = f"_id LONG, qty LONG, {OP_COL} STRING, {SEQ_COL} LONG"
+    whole = spark.createDataFrame(hist, schema)
+    one_pass = {(r["_id"], r[OP_COL], r["qty"],
+                 r[BEFORE_COL]["qty"] if r[BEFORE_COL] is not None else None,
+                 r[SEQ_COL])
+                for r in changelog_normalize(whole, ["_id"], SEQ_COL).collect()}
+
+    got = set()
+    state = None  # materialized table after prior batches
+    for lo in range(0, 240, 80):
+        batch = spark.createDataFrame(hist[lo:lo + 80], schema)
+        norm = changelog_normalize(batch, ["_id"], SEQ_COL, state_df=state)
+        got |= {(r["_id"], r[OP_COL], r["qty"],
+                 r[BEFORE_COL]["qty"] if r[BEFORE_COL] is not None else None,
+                 r[SEQ_COL]) for r in norm.collect()}
+        upto = spark.createDataFrame(hist[:lo + 80], schema)
+        state = latest_image(upto, ["_id"], SEQ_COL).select("_id", "qty")
+    assert got == one_pass
+
+
+def test_changelog_normalize_state_first_delete_carries_image(spark):
+    state = spark.createDataFrame([(1, 10), (2, 20)], "_id LONG, qty LONG")
+    batch = spark.createDataFrame(
+        [(1, None, "-D", 5), (2, 21, "+U", 6), (3, 30, "+U", 7)],
+        f"_id LONG, qty LONG, {OP_COL} STRING, {SEQ_COL} LONG")
+    rows = {r["_id"]: r for r in changelog_normalize(
+        batch, ["_id"], SEQ_COL, state_df=state).collect()}
+    assert rows[1][OP_COL] == "-D" and rows[1]["qty"] == 10
+    assert rows[2][OP_COL] == "+U" and rows[2][BEFORE_COL]["qty"] == 20
+    assert rows[3][OP_COL] == "+I"
+    assert set(rows) == {1, 2, 3}  # untouched state keys emit nothing
