@@ -392,7 +392,7 @@ class PipelineComposer:
         raise ValueError(f"unknown source type {t!r} (programmatic sources: pass source=)")
 
     # -- streaming YAML surface -------------------------------------------
-    STREAMING_SOURCE_TYPES = ("debezium-file", "kafka")
+    STREAMING_SOURCE_TYPES = ("debezium-file", "mongodb-file", "kafka")
 
     def is_streaming(self, pdef: PipelineDef) -> bool:
         return pdef.source.type.lower() in self.STREAMING_SOURCE_TYPES
@@ -433,11 +433,14 @@ class PipelineComposer:
             transforms=pdef.transforms, routes=pdef.routes,
             behavior=pdef.config.schema_change_behavior,
             parallelism=pdef.config.parallelism if pdef.config.parallelism > 1 else None,
-            serialization=opts.get("serialization", "debezium-json"),
+            serialization=opts.get(
+                "serialization",
+                "mongodb-json" if pdef.source.type.lower() == "mongodb-file"
+                else "debezium-json"),
             discover_tables=opts.get("discover-tables", "false").lower() == "true",
         )
         t = pdef.source.type.lower()
-        if t == "debezium-file":
+        if t in ("debezium-file", "mongodb-file"):
             raw = file_stream_source(self.spark, opts["path"])
         else:
             from ..sources.jdbc import StartupOptions

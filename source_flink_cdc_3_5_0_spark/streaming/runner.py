@@ -53,7 +53,7 @@ class StreamingPipeline:
     checkpoint_dir: str
     behavior: SchemaChangeBehavior = SchemaChangeBehavior.LENIENT
     parallelism: int | None = None
-    serialization: str = "debezium-json"  # or "canal-json"
+    serialization: str = "debezium-json"  # or "canal-json" / "mongodb-json"
     # Auto-register tables first seen mid-stream (full-database-sync parity:
     # a table created upstream after the pipeline started still syncs).
     # Payload schemas are inferred from the JSON after-images of the first
@@ -207,6 +207,10 @@ class StreamingPipeline:
                 F.get_json_object(F.col(value_col), "$.source.db"),
                 F.get_json_object(F.col(value_col), "$.source.schema"))
             src_tbl = F.get_json_object(F.col(value_col), "$.source.table")
+        elif serialization == "mongodb-json":
+            # change-stream envelope: ns.db / ns.coll (MongoDBEnvelope.java)
+            src_db = F.get_json_object(F.col(value_col), "$.ns.db")
+            src_tbl = F.get_json_object(F.col(value_col), "$.ns.coll")
         else:
             src_db = F.get_json_object(F.col(value_col), "$.database")
             src_tbl = F.get_json_object(F.col(value_col), "$.table")
@@ -290,6 +294,19 @@ class StreamingPipeline:
                 decode = (decode_debezium
                           if self.serialization == "debezium-json"
                           else decode_canal)
+                if self.serialization == "mongodb-json":
+                    # upsert-mode change streams: key-only -D tombstones and
+                    # +U without before-images — exactly what the keyed sink
+                    # merge consumes; changelog_normalize is available for
+                    # consumers that need retractions. documentKey fields =
+                    # the table's primary keys (MongoDB shard key / _id).
+                    from ..sources.mongodb import decode_mongo_changestream
+
+                    def decode(raw, struct_type, vc, _s=None):
+                        pks = tuple((_s or ()))
+                        return decode_mongo_changestream(
+                            raw, struct_type, key_fields=pks or ("_id",),
+                            value_col=vc)
                 data_df = batch_df.where(~F.col("__is_ddl"))
                 if self.discover_tables:
                     self._discover_new_tables(data_df, tables, value_col)
@@ -302,7 +319,12 @@ class StreamingPipeline:
                         (F.col("__src_tbl") == tid.table_name)
                         & (F.col("__src_db") == (tid.namespace or tid.schema_name))
                     ).drop("__src_db", "__src_tbl", "__is_ddl")
-                    decoded = decode(mine_raw, schema.struct_type(), value_col)
+                    if self.serialization == "mongodb-json":
+                        decoded = decode(mine_raw, schema.struct_type(),
+                                         value_col, _s=schema.primary_keys)
+                    else:
+                        decoded = decode(mine_raw, schema.struct_type(),
+                                         value_col)
                     wm = watermarks.get(tid_str)
                     if wm is not None:
                         # high-watermark stitch: drop records the snapshot

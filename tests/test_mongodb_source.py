@@ -290,3 +290,53 @@ def test_changelog_normalize_state_first_delete_carries_image(spark):
     assert rows[2][OP_COL] == "+U" and rows[2][BEFORE_COL]["qty"] == 20
     assert rows[3][OP_COL] == "+I"
     assert set(rows) == {1, 2, 3}  # untouched state keys emit nothing
+
+
+def test_yaml_mongodb_file_pipeline(spark, tmp_path):
+    """End-to-end YAML surface: `type: mongodb-file` streams change-stream
+    JSON through transform + route into the memory sink — upsert decode,
+    key-only delete, replace — like the reference's MongoDB table source
+    feeding a keyed sink."""
+    import os
+
+    from source_flink_cdc_3_5_0_spark.common.tableid import TableId
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline,
+    )
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+
+    src = str(tmp_path / "cs")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        f.write("\n".join([
+            _ev("insert", doc={"_id": 1, "name": "bolt", "qty": 5}, ct=1),
+            _ev("insert", doc={"_id": 2, "name": "nut", "qty": 6}, ct=2),
+            _ev("replace", doc={"_id": 2, "name": "bignut", "qty": 7},
+                key={"_id": 2}, ct=3),
+            _ev("delete", key={"_id": 1}, ct=4),
+            _ev("drop", ct=5),  # collection-level: ignored
+        ]))
+    yaml_text = f"""
+source:
+  type: mongodb-file
+  path: {src}
+  tables: '{{"shop.items": "_id BIGINT, name STRING, qty BIGINT"}}'
+  primary-keys: '{{"shop.items": ["_id"]}}'
+  checkpoint: {tmp_path}/ckpt
+sink: {{type: values}}
+transform:
+  - source-table: shop.\\.*
+    projection: "_id, UPPER(name) AS name_u, qty"
+route:
+  - source-table: shop.items
+    sink-table: out.db.items
+"""
+    pdef = parse_yaml_pipeline(yaml_text)
+    composer = PipelineComposer(spark)
+    assert composer.is_streaming(pdef)
+    sink = MemorySink()
+    pipe, raw, tables = composer.compose_streaming(pdef, sink=sink)
+    assert pipe.serialization == "mongodb-json"
+    q = pipe.start(raw, tables)
+    q.awaitTermination(120)
+    assert sink.snapshot(TableId.parse("out.db.items")) == ["2, BIGNUT, 7"]
