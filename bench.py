@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "text_redact_pii",
     "cdc_postgres_pipeline",
     "cdc_mongo_changestream",
+    "cdc_tidb_kv_decode",
     "cdc_chunked_snapshot_stitch",
     "dedup_lines",
     "dedup_ngram_jaccard",

@@ -2051,6 +2051,80 @@ FROM fin GROUP BY status
 """
 
 
+def q_cdc_tidb_kv_decode(spark, sf_dir):
+    """TiDB raw-KV CDC end-to-end (flink-connector-tidb-cdc surface — the
+    one legacy connector whose wire is NOT Debezium): a scripted changelog
+    over ``orders`` is ENCODED into wire-true TiKV region-CDC events
+    (19-byte record keys, row-format-v2 values, row-format-v1 old values —
+    comparable ints, Go varints, order-preserving floats, MySQL packed
+    dates), then DECODED back through the reference's op switch
+    (RowDataTiKVChangeEventDeserializationSchema.java:67-105: DELETE from
+    old_value, PUT +I/+U by old-value presence, handle PK from the row
+    key) and materialized to the latest image per handle. Every decoded
+    cell of every surviving row is value-hashed against the oracle — one
+    wrong varint, offset, or packed-date bit fails the gate. Scripted
+    churn: insert all, update every 3rd (+$5), delete every 7th.
+
+    Scale shape: encode/decode are Arrow-batched mapInPandas stages with
+    O(row-bytes) state; materialize is ONE key shuffle (window rank)."""
+    from .sources.tidb import TiTableInfo, decode_tidb_kv, encode_tidb_kv, \
+        ti_column
+    from .streaming.materialize import latest_image
+
+    od = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    table = TiTableInfo(table_id=77, columns=(
+        ti_column(1, "_id", T.LongType(), pk_handle=True),
+        ti_column(2, "cust", T.LongType()),
+        ti_column(3, "status", T.StringType()),
+        ti_column(4, "total_cents", T.LongType()),
+        ti_column(5, "price", T.DoubleType()),
+        ti_column(6, "odate", T.DateType()),
+    ))
+
+    def img(cents, price):
+        return F.struct(
+            k.alias("_id"), F.col("o_custkey").alias("cust"),
+            F.col("o_orderstatus").alias("status"),
+            cents.cast("long").alias("total_cents"),
+            price.cast("double").alias("price"),
+            F.to_date("o_orderdate").alias("odate"))
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = img(cents, F.col("o_totalprice"))
+    upd = img(cents + 500, F.col("o_totalprice") + 5.0)
+    fin = F.when(k % 3 == 0, upd).otherwise(base)
+    null_img = F.lit(None).cast(table.payload_schema())
+
+    def rec(op, after, before, seq):
+        return F.lit(op).alias("op_type"), after.alias("after"), \
+            before.alias("before"), seq.cast("long").alias("commit_ts")
+
+    script = (
+        od.select(*rec("PUT", base, null_img, k * 10))
+        .unionByName(od.where(k % 3 == 0)
+                     .select(*rec("PUT", upd, base, k * 10 + 1)))
+        .unionByName(od.where(k % 7 == 0)
+                     .select(*rec("DELETE", null_img, fin, k * 10 + 2))))
+
+    kv = encode_tidb_kv(script, table)
+    env = decode_tidb_kv(kv, table)
+    out = latest_image(env, ["_id"], seq_col=SEQ_COL)
+    return out.select("_id", "cust", "status", "total_cents", "price",
+                      "odate")
+
+
+ORACLE_TIDB_KV_DECODE = """
+SELECT o_orderkey AS _id, o_custkey AS cust, o_orderstatus AS status,
+       CAST(round(o_totalprice * 100) AS BIGINT)
+       + CASE WHEN o_orderkey % 3 = 0 THEN 500 ELSE 0 END AS total_cents,
+       o_totalprice
+       + CASE WHEN o_orderkey % 3 = 0 THEN 5.0 ELSE 0.0 END AS price,
+       CAST(o_orderdate AS DATE) AS odate
+FROM orders WHERE o_orderkey % 7 <> 0
+"""
+
+
 def q_skew_salted_agg(spark, sf_dir):
     """Two-phase salted aggregation (operators/skew.py) end-to-end:
     l_returnflag has 3 values over 600k rows — the textbook hot-key
@@ -5775,6 +5849,7 @@ QUERIES: dict[str, object] = {
     "text_tfidf_shuffle_join": q_text_tfidf_shuffle_join,
     "cdc_mongo_changestream": q_cdc_mongo_changestream,
     "cdc_chunked_snapshot_stitch": q_cdc_chunked_snapshot_stitch,
+    "cdc_tidb_kv_decode": q_cdc_tidb_kv_decode,
     # 3. last green row is r02
     "decontam_ngram_overlap": q_decontam_ngram_overlap,
     "sample_hash_split": q_sample_hash_split,
@@ -5988,6 +6063,7 @@ ORACLES: dict[str, str] = {
     "cdc_postgres_pipeline": ORACLE_POSTGRES_PIPELINE,
     "cdc_mongo_changestream": ORACLE_MONGO_CHANGESTREAM,
     "cdc_chunked_snapshot_stitch": ORACLE_CHUNKED_SNAPSHOT_STITCH,
+    "cdc_tidb_kv_decode": ORACLE_TIDB_KV_DECODE,
     "profile_orders": ORACLE_PROFILE_ORDERS,
     "validate_orders": ORACLE_VALIDATE_ORDERS,
     "text_lm_quality": _oracle_lm_quality(),

@@ -1,0 +1,320 @@
+"""TiKV/TiDB codec + raw-KV changelog decode (sources/tidb.py).
+
+Reference parity: flink-connector-tidb-cdc (RowDataTiKVChangeEvent
+DeserializationSchema.java op switch, TableKeyRangeUtils.java splits) with
+the byte formats from TiDB's public row-format RFC and codec.go.
+"""
+
+import datetime
+import struct
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F, types as T
+
+from source_flink_cdc_3_5_0_spark.common.events import BEFORE_COL, OP_COL
+from source_flink_cdc_3_5_0_spark.sources.base import SEQ_COL
+from source_flink_cdc_3_5_0_spark.sources.tidb import (
+    CODEC_VER, TIDB_KV_SCHEMA, TiTableInfo, decode_comparable_bytes,
+    decode_comparable_float, decode_comparable_int, decode_record_key,
+    decode_row, decode_row_v1, decode_row_v2, decode_tidb_kv,
+    decode_tidb_snapshot, decode_uvarint, decode_varint,
+    encode_comparable_bytes, encode_comparable_float, encode_comparable_int,
+    encode_record_key, encode_row_v1, encode_row_v2, encode_tidb_kv,
+    encode_uvarint, encode_varint, is_record_key, pack_mysql_time,
+    table_key_ranges, ti_column, unpack_mysql_time)
+
+I64 = st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1)
+
+
+def table():
+    return TiTableInfo(table_id=42, columns=(
+        ti_column(1, "id", T.LongType(), pk_handle=True),
+        ti_column(2, "name", T.StringType()),
+        ti_column(3, "score", T.DoubleType()),
+        ti_column(4, "n", T.IntegerType()),
+        ti_column(5, "blob", T.BinaryType()),
+        ti_column(6, "d", T.DateType()),
+        ti_column(7, "ts", T.TimestampNTZType()),
+        ti_column(260, "wide_id_col", T.LongType()),
+    ))
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+class TestPrimitives:
+    @given(I64)
+    @settings(max_examples=200, deadline=None)
+    def test_comparable_int_roundtrip(self, v):
+        assert decode_comparable_int(encode_comparable_int(v))[0] == v
+
+    def test_comparable_int_is_memcomparable(self):
+        vals = [-(1 << 63), -1000, -1, 0, 1, 7, 1 << 40, (1 << 63) - 1]
+        encs = [encode_comparable_int(v) for v in vals]
+        assert encs == sorted(encs)
+
+    @given(I64)
+    @settings(max_examples=200, deadline=None)
+    def test_varint_roundtrip(self, v):
+        buf = encode_varint(v)
+        got, pos = decode_varint(buf, 0)
+        assert (got, pos) == (v, len(buf))
+
+    @given(st.integers(min_value=0, max_value=(1 << 64) - 1))
+    @settings(max_examples=200, deadline=None)
+    def test_uvarint_roundtrip(self, v):
+        buf = encode_uvarint(v)
+        assert decode_uvarint(buf, 0) == (v, len(buf))
+
+    @given(st.binary(max_size=40))
+    @settings(max_examples=200, deadline=None)
+    def test_comparable_bytes_roundtrip(self, data):
+        buf = encode_comparable_bytes(data)
+        assert len(buf) % 9 == 0
+        got, pos = decode_comparable_bytes(buf, 0)
+        assert (got, pos) == (data, len(buf))
+
+    def test_comparable_bytes_group_shapes(self):
+        # 8-byte payload forces a trailing empty group with marker 0xF7
+        assert len(encode_comparable_bytes(b"12345678")) == 18
+        assert encode_comparable_bytes(b"")[-1] == 0xF7
+        assert encode_comparable_bytes(b"abc")[-1] == 0xFF - 5
+
+    def test_comparable_bytes_is_memcomparable(self):
+        vals = [b"", b"a", b"ab", b"abcdefgh", b"abcdefghi", b"b"]
+        encs = sorted(encode_comparable_bytes(v) for v in vals)
+        assert [decode_comparable_bytes(e, 0)[0] for e in encs] == sorted(vals)
+
+    @given(st.floats(allow_nan=False))
+    @settings(max_examples=200, deadline=None)
+    def test_comparable_float_roundtrip(self, f):
+        assert decode_comparable_float(encode_comparable_float(f))[0] == f
+
+    def test_comparable_float_ordering(self):
+        vals = [float("-inf"), -2.5, -1e-300, 0.0, 1e-300, 2.5, float("inf")]
+        encs = [encode_comparable_float(v) for v in vals]
+        assert encs == sorted(encs)
+
+    def test_packed_time(self):
+        p = pack_mysql_time(1997, 7, 27)
+        assert unpack_mysql_time(p) == (1997, 7, 27, 0, 0, 0, 0)
+        p = pack_mysql_time(2024, 12, 31, 23, 59, 58, 999999)
+        assert unpack_mysql_time(p) == (2024, 12, 31, 23, 59, 58, 999999)
+        # packed values preserve chronological order
+        assert pack_mysql_time(1999, 12, 31) < pack_mysql_time(2000, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# record keys + ranges
+# ---------------------------------------------------------------------------
+
+
+class TestRecordKeys:
+    def test_key_layout(self):
+        key = encode_record_key(42, -7)
+        assert len(key) == 19 and key[:1] == b"t" and key[9:11] == b"_r"
+        assert is_record_key(key)
+        assert decode_record_key(key) == (42, -7)
+
+    def test_key_ordering_by_handle(self):
+        keys = [encode_record_key(42, h) for h in (-(1 << 62), -1, 0, 5)]
+        assert keys == sorted(keys)
+
+    def test_non_record_key_rejected(self):
+        assert not is_record_key(b"t" + b"\0" * 8 + b"_i" + b"\0" * 8)
+        with pytest.raises(ValueError):
+            decode_record_key(b"m" + b"\0" * 18)
+
+    def test_table_key_ranges_match_reference_arithmetic(self):
+        # TableKeyRangeUtils.java:46-66: delta = (MAX - (MIN+1)) / num
+        num, tid = 4, 42
+        ranges = table_key_ranges(tid, num)
+        assert len(ranges) == num
+        prefix = b"t" + encode_comparable_int(tid)
+        assert ranges[0][0] == prefix + b"_r"           # createMin
+        assert ranges[-1][1] == prefix + b"_s"          # createBeyondMax
+        delta = ((1 << 63) - 1 - (-(1 << 63) + 1)) // num
+        for i in range(1, num):
+            bound = -(1 << 63) + delta * i
+            assert ranges[i][0] == encode_record_key(tid, bound)
+            assert ranges[i - 1][1] == ranges[i][0]
+
+    def test_single_range_and_bad_num(self):
+        (lo, hi), = table_key_ranges(7, 1)
+        assert lo.endswith(b"_r") and hi.endswith(b"_s")
+        with pytest.raises(ValueError):
+            table_key_ranges(7, 0)
+
+
+# ---------------------------------------------------------------------------
+# row formats
+# ---------------------------------------------------------------------------
+
+ROW = {"name": "tidb", "score": -2.75, "n": -300, "blob": b"\x00\xff",
+       "d": datetime.date(1997, 7, 27),
+       "ts": datetime.datetime(2024, 1, 2, 3, 4, 5, 60000),
+       "wide_id_col": 1 << 40}
+
+
+class TestRowFormats:
+    def test_v1_roundtrip(self):
+        t = table()
+        assert decode_row_v1(t, encode_row_v1(t, ROW)) == ROW
+
+    def test_v2_roundtrip(self):
+        t = table()
+        buf = encode_row_v2(t, ROW)
+        assert buf[0] == CODEC_VER
+        assert decode_row_v2(t, buf) == ROW
+
+    def test_nulls_roundtrip_both_formats(self):
+        t = table()
+        row = dict.fromkeys(ROW)
+        assert decode_row_v1(t, encode_row_v1(t, row)) == row
+        buf = encode_row_v2(t, row)
+        # all-null v2 row: zero not-null cells, 7 null ids
+        assert struct.unpack_from("<HH", buf, 2) == (0, 7)
+        assert decode_row_v2(t, buf) == row
+
+    def test_v2_big_flag_from_wide_column_id(self):
+        t = table()
+        buf = encode_row_v2(t, ROW)
+        assert buf[1] & 0x01  # col_id 260 > 255 forces the big layout
+        small = TiTableInfo(42, (ti_column(1, "id", T.LongType(),
+                                           pk_handle=True),
+                                 ti_column(2, "n", T.LongType())))
+        assert encode_row_v2(small, {"n": 5})[1] == 0x00
+
+    def test_v2_minimal_int_widths(self):
+        small = TiTableInfo(42, (ti_column(1, "id", T.LongType(),
+                                           pk_handle=True),
+                                 ti_column(2, "n", T.LongType())))
+        # header 6 + id 1 + offset 2 + cell
+        assert len(encode_row_v2(small, {"n": 5})) == 6 + 1 + 2 + 1
+        assert len(encode_row_v2(small, {"n": 1 << 20})) == 6 + 1 + 2 + 4
+        for v in (5, -5, 127, -128, 1 << 20, -(1 << 50), (1 << 63) - 1):
+            assert decode_row_v2(small, encode_row_v2(small, {"n": v})) == \
+                {"n": v}
+
+    def test_decode_row_sniffs_version_and_fills_handle(self):
+        t = table()
+        for buf in (encode_row_v1(t, ROW), encode_row_v2(t, ROW)):
+            row = decode_row(t, buf, handle=99)
+            assert row["id"] == 99 and row["name"] == "tidb"
+
+    def test_unknown_handle_columns_ignored(self):
+        # decoding with a narrower TableInfo skips unknown col ids
+        t = table()
+        narrow = TiTableInfo(42, (ti_column(1, "id", T.LongType(),
+                                            pk_handle=True),
+                                  ti_column(2, "name", T.StringType())))
+        for buf in (encode_row_v1(t, ROW), encode_row_v2(t, ROW)):
+            assert decode_row(narrow, buf, 7) == {"id": 7, "name": "tidb"}
+
+    def test_gated_kinds_raise(self):
+        with pytest.raises(NotImplementedError):
+            ti_column(9, "dec", T.DecimalType(10, 2))
+
+    @given(st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+           st.text(max_size=20),
+           st.floats(allow_nan=False),
+           st.one_of(st.none(), st.binary(max_size=16)))
+    @settings(max_examples=60, deadline=None)
+    def test_row_roundtrip_property(self, n, s, f, b):
+        t = TiTableInfo(1, (ti_column(1, "id", T.LongType(), pk_handle=True),
+                            ti_column(2, "n", T.LongType()),
+                            ti_column(3, "s", T.StringType()),
+                            ti_column(4, "f", T.DoubleType()),
+                            ti_column(5, "b", T.BinaryType())))
+        row = {"n": n, "s": s, "f": f, "b": b}
+        assert decode_row_v1(t, encode_row_v1(t, row)) == row
+        assert decode_row_v2(t, encode_row_v2(t, row)) == row
+
+
+# ---------------------------------------------------------------------------
+# Spark decode (the reference op switch)
+# ---------------------------------------------------------------------------
+
+
+def small_table():
+    return TiTableInfo(table_id=9, columns=(
+        ti_column(1, "id", T.LongType(), pk_handle=True),
+        ti_column(2, "v", T.LongType()),
+        ti_column(3, "s", T.StringType()),
+    ))
+
+
+def kv_df(spark, rows):
+    return spark.createDataFrame(rows, TIDB_KV_SCHEMA)
+
+
+class TestSparkDecode:
+    def test_op_switch(self, spark):
+        t = small_table()
+        v1 = encode_row_v2(t, {"v": 10, "s": "a"})
+        v2 = encode_row_v2(t, {"v": 11, "s": "b"})
+        rows = [
+            ("PUT", encode_record_key(9, 1), v1, None, 100),     # +I
+            ("PUT", encode_record_key(9, 1), v2, v1, 200),       # +U w/ old
+            ("DELETE", encode_record_key(9, 1), None, v2, 300),  # -D from old
+        ]
+        out = decode_tidb_kv(kv_df(spark, rows), t) \
+            .orderBy(SEQ_COL).collect()
+        assert [r[OP_COL] for r in out] == ["+I", "+U", "-D"]
+        assert [r["id"] for r in out] == [1, 1, 1]
+        assert [r["v"] for r in out] == [10, 11, 11]
+        assert out[0][BEFORE_COL] is None
+        assert out[1][BEFORE_COL]["v"] == 10 and out[1][BEFORE_COL]["id"] == 1
+        assert out[2][BEFORE_COL] is None
+        assert out[1]["__meta"]["handle"] == "1"
+        assert out[1]["__meta"]["commit_ts"] == "200"
+
+    def test_index_keys_skipped_and_mixed_versions(self, spark):
+        t = small_table()
+        idx_key = b"t" + encode_comparable_int(9) + b"_i" + b"\x00" * 8
+        rows = [
+            ("PUT", encode_record_key(9, 5),
+             encode_row_v1(t, {"v": 1, "s": "x"}), None, 10),
+            ("PUT", idx_key, encode_row_v2(t, {"v": 2, "s": "y"}), None, 11),
+        ]
+        out = decode_tidb_kv(kv_df(spark, rows), t).collect()
+        assert len(out) == 1 and out[0]["id"] == 5 and out[0]["s"] == "x"
+
+    def test_snapshot_decode(self, spark):
+        t = small_table()
+        kv = spark.createDataFrame(
+            [(encode_record_key(9, h), encode_row_v2(t, {"v": h * 2,
+                                                         "s": str(h)}))
+             for h in range(4)],
+            T.StructType([T.StructField("key", T.BinaryType()),
+                          T.StructField("value", T.BinaryType())]))
+        out = decode_tidb_snapshot(kv, t, snapshot_ts=777) \
+            .orderBy("id").collect()
+        assert [r[OP_COL] for r in out] == ["+I"] * 4
+        assert [(r["id"], r["v"]) for r in out] == [(h, h * 2)
+                                                    for h in range(4)]
+        assert {r[SEQ_COL] for r in out} == {777}
+
+    def test_encode_decode_spark_roundtrip(self, spark):
+        t = small_table()
+        payload = t.payload_schema()
+        script = spark.createDataFrame(
+            [("PUT", {"id": 1, "v": 7, "s": "a"}, None, 10),
+             ("PUT", {"id": 1, "v": 8, "s": "a"},
+              {"id": 1, "v": 7, "s": "a"}, 20),
+             ("DELETE", None, {"id": 1, "v": 8, "s": "a"}, 30),
+             ("PUT", {"id": 2, "v": 9, "s": None}, None, 40)],
+            T.StructType([T.StructField("op_type", T.StringType()),
+                          T.StructField("after", payload),
+                          T.StructField("before", payload),
+                          T.StructField("commit_ts", T.LongType())]))
+        env = decode_tidb_kv(encode_tidb_kv(script, t), t)
+        out = {(r["id"], r[SEQ_COL]): r for r in env.collect()}
+        assert out[(1, 10)][OP_COL] == "+I"
+        assert out[(1, 20)][OP_COL] == "+U"
+        assert out[(1, 20)][BEFORE_COL]["v"] == 7
+        assert out[(1, 30)][OP_COL] == "-D" and out[(1, 30)]["v"] == 8
+        assert out[(2, 40)]["s"] is None and out[(2, 40)]["v"] == 9
