@@ -19,6 +19,8 @@ Reference-type → Spark-type conventions (see SURVEY.md §1.5):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import types as T
 
 STRING = T.StringType()
@@ -331,7 +333,11 @@ def _decimal_or_clamp(precision: int | None, scale: int | None) -> T.DataType:
     s = scale if scale is not None else 0
     if 0 < p <= MAX_DECIMAL_PRECISION:
         return T.DecimalType(p, max(0, min(s, p)))
-    return T.DecimalType(MAX_DECIMAL_PRECISION, 0)
+    # keep the declared scale on clamp (fractional digits survive; the
+    # overflow risk moves to the integer digits, the lesser loss for
+    # money-like NUMBER(40,2) columns)
+    return T.DecimalType(MAX_DECIMAL_PRECISION,
+                         max(0, min(s, MAX_DECIMAL_PRECISION)))
 
 
 _ORACLE_TYPE_MAP: dict[str, T.DataType] = {
@@ -372,6 +378,12 @@ def oracle_type_to_spark(type_name: str, precision: int | None = None,
         # strip the fractional-seconds precision: TIMESTAMP(6) WITH TIME ZONE
         head, _, tail = name.partition("(")
         name = (head.strip() + " " + tail.split(")", 1)[1].strip()).strip()
+    if name.startswith("INTERVAL"):
+        # the catalog reports embedded precisions — INTERVAL DAY(2) TO
+        # SECOND(6) — but the reference switches on jdbcType (INTERVALYM/
+        # INTERVALDS, OracleTypeUtils.java:79-82), so precision never
+        # affects the mapping; strip it
+        name = " ".join(re.sub(r"\(\s*\d+\s*\)", "", name).split())
     if name in ("NUMBER", "NUMERIC", "DECIMAL", "DEC"):
         return _decimal_or_clamp(precision, scale)
     if name in _ORACLE_TYPE_MAP:

@@ -40,6 +40,13 @@ def is_replay(table_dir: str, batch_ctx, ordinal: int,
               stmts: list[str]) -> bool:
     """True iff this (batch, ordinal, statements) group was already
     durably spooled by a previous pass over the same batch."""
+    if batch_ctx is None:
+        # No batch identity (direct API use) -> replay cannot be told apart
+        # from a genuinely new identical group; always apply. The previous
+        # null==null comparison misclassified a fresh process's first
+        # identical group as a replay and silently skipped its data-plane
+        # effect.
+        return False
     marker = os.path.join(table_dir, _MARKER)
     if not os.path.exists(marker):
         return False
@@ -95,3 +102,12 @@ class DdlSpoolPosition:
         n = cur[1] if cur is not None and cur[0] == batch_ctx else 0
         self._pos[key] = (batch_ctx, n + 1)
         return n
+
+    def reset(self) -> None:
+        """Forget all positions. The streaming runner calls this at the
+        START of every micro-batch delivery: a same-process re-delivery of
+        a failed batch (query restarted without a process restart) must
+        restart its ordinals at 0 — the same place a fresh-process replay
+        starts — or replay detection compares the wrong positions and
+        re-applies destructive groups over marker-skipped data rewrites."""
+        self._pos.clear()

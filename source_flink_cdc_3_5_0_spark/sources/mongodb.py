@@ -207,9 +207,8 @@ def sample_bucket_chunks(df: DataFrame, key_col: str, *,
     for _, v in sorted((r["rn"], r["k"]) for r in cuts_df.collect()):
         if not bounds or bounds[-1] != v:
             bounds.append(v)
-    if len(bounds) < 2:
-        return [ChunkRange(None, bounds[0]), ChunkRange(bounds[0], None)] \
-            if bounds else [ChunkRange(None, None)]
+    if not bounds:
+        return [ChunkRange(None, None)]
     chunks = [ChunkRange(None, bounds[0])]
     chunks += [ChunkRange(bounds[i], bounds[i + 1])
                for i in range(len(bounds) - 1)]

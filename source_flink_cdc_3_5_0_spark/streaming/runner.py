@@ -150,12 +150,11 @@ class StreamingPipeline:
         schemas are inferred by Spark's JSON reader over that table's
         after-images only (one driver-side inference per NEW table, not per
         batch)."""
+        db_p, schema_p, tbl_p, payload_p = self._discovery_probes(value_col)
         pairs = (
-            data_df.select(
-                F.get_json_object(F.col(value_col), "$.source.db").alias("db"),
-                F.get_json_object(F.col(value_col), "$.source.schema").alias("schema"),
-                F.get_json_object(F.col(value_col), "$.source.table").alias("table"),
-            ).where(F.col("table").isNotNull()).distinct().collect()
+            data_df.select(db_p.alias("db"), schema_p.alias("schema"),
+                           tbl_p.alias("table"))
+            .where(F.col("table").isNotNull()).distinct().collect()
         )
         for r in pairs:
             # schema-less sources (MySQL-style Debezium) get 2-part ids
@@ -175,21 +174,53 @@ class StreamingPipeline:
                 tables[str(tid)] = known
                 continue
             mine = data_df.where(
-                (F.get_json_object(F.col(value_col), "$.source.table") == tid.table_name)
-                & (F.coalesce(F.get_json_object(F.col(value_col), "$.source.db"),
-                              F.get_json_object(F.col(value_col), "$.source.schema"))
+                (tbl_p == tid.table_name)
+                & (F.coalesce(db_p, schema_p)
                    == (tid.namespace or tid.schema_name))
             )
-            after_json = mine.select(
-                F.coalesce(
-                    F.get_json_object(F.col(value_col), "$.after"),
-                    F.get_json_object(F.col(value_col), "$.before"),
-                ).alias("payload")).where(F.col("payload").isNotNull())
+            after_json = mine.select(payload_p.alias("payload")) \
+                .where(F.col("payload").isNotNull())
             inferred = self.spark.read.json(
                 after_json.rdd.map(lambda row: row["payload"]))
             schema = Schema.from_struct_type(inferred.schema)
+            if self.serialization == "mongodb-json":
+                # documentKey names the shard key/_id fields — without
+                # them the discovered table has no PK, key-only deletes
+                # can't upsert-match, and the sink appends forever
+                key_row = mine.select(
+                    F.get_json_object(F.col(value_col), "$.documentKey")
+                    .alias("k")).where(F.col("k").isNotNull()).head(1)
+                pks = (tuple(self.spark.read.json(
+                    self.spark.sparkContext.parallelize(
+                        [key_row[0]["k"]])).schema.fieldNames())
+                    if key_row else ("_id",))
+                schema = schema.with_primary_keys(
+                    [p for p in pks if p in schema.column_names()]
+                    or [schema.column_names()[0]])
             self.register_table(tid, schema)
             tables[str(tid)] = schema
+
+    def _discovery_probes(self, value_col: str):
+        """(db, schema, table, payload) JSON probes per serialization —
+        discovery must read the same envelope fields `enrich_batch` routes
+        on, or non-Debezium formats silently discover nothing and their
+        undeclared tables' events are dropped."""
+        v = F.col(value_col)
+        null_s = F.lit(None).cast("string")
+        if self.serialization == "mongodb-json":
+            # MongoDBEnvelope: ns.db/ns.coll; fullDocument is the image
+            return (F.get_json_object(v, "$.ns.db"), null_s,
+                    F.get_json_object(v, "$.ns.coll"),
+                    F.get_json_object(v, "$.fullDocument"))
+        if self.serialization == "canal-json":
+            return (F.get_json_object(v, "$.database"), null_s,
+                    F.get_json_object(v, "$.table"),
+                    F.get_json_object(v, "$.data[0]"))
+        return (F.get_json_object(v, "$.source.db"),
+                F.get_json_object(v, "$.source.schema"),
+                F.get_json_object(v, "$.source.table"),
+                F.coalesce(F.get_json_object(v, "$.after"),
+                           F.get_json_object(v, "$.before")))
 
     # -- streaming loop ----------------------------------------------------
     @staticmethod
@@ -257,6 +288,13 @@ class StreamingPipeline:
             try:
                 exe = self._execution()
                 exe.batches_run = batch_id
+                # new delivery of this micro-batch: DDL ordinals restart at
+                # 0 so a same-process re-delivery (query restarted after a
+                # failure, sink object retained) compares against the spool
+                # marker exactly like a fresh-process replay would
+                ddl_pos = getattr(self.sink, "_ddl_pos", None)
+                if ddl_pos is not None:
+                    ddl_pos.reset()
                 # 1. in-stream DDL control records (Debezium schema-change
                 #    topic analog) — rare, collected to the driver, applied
                 #    FIRST so the whole batch decodes with the newest schema
@@ -346,6 +384,13 @@ class StreamingPipeline:
                         exe.batches_run = f"{base_bid}s{seg}"
                         seg += 1
                         exe._process_data(ChangeBatch(tid, [], df_seg))
+                        # segment ids scope the DATA idempotence markers
+                        # only; DDL applies must all share the PARENT batch
+                        # ctx or each segment's DDL would overwrite the
+                        # spool marker's batch and erase the group list a
+                        # replay needs (re-applying a replayed TRUNCATE
+                        # over marker-skipped data rewrites = row loss)
+                        exe.batches_run = base_bid
 
                     for ts, ev in destr:
                         if ts is not None:

@@ -29,9 +29,9 @@ PAYLOAD = T.StructType([
 ])
 
 
-def _ev(op, doc=None, key=None, before=None, ct=0, tok="t0"):
+def _ev(op, doc=None, key=None, before=None, ct=0, tok="t0", coll="items"):
     e = {"_id": {"_data": tok}, "operationType": op, "clusterTime": ct,
-         "ns": {"db": "shop", "coll": "items"}}
+         "ns": {"db": "shop", "coll": coll}}
     if doc is not None:
         e["fullDocument"] = doc
     if key is not None:
@@ -340,3 +340,48 @@ route:
     q = pipe.start(raw, tables)
     q.awaitTermination(120)
     assert sink.snapshot(TableId.parse("out.db.items")) == ["2, BIGNUT, 7"]
+
+
+def test_yaml_mongodb_discover_tables(spark, tmp_path):
+    """Review regression: `discover-tables: true` must read the
+    change-stream envelope's ns.db/ns.coll (and infer from fullDocument) —
+    the Debezium-only $.source.* probes silently discovered nothing and
+    dropped every event of an undeclared collection."""
+    import os
+
+    from source_flink_cdc_3_5_0_spark.common.tableid import TableId
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline,
+    )
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+
+    src = str(tmp_path / "cs")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        f.write("\n".join([
+            _ev("insert", doc={"_id": 1, "name": "bolt", "qty": 5}, ct=1),
+            # undeclared collection, appears only in the stream
+            _ev("insert", doc={"_id": 10, "label": "x"}, ct=2, coll="extra"),
+            _ev("insert", doc={"_id": 11, "label": "y"}, ct=3, coll="extra"),
+            _ev("delete", key={"_id": 10}, ct=4, coll="extra"),
+        ]))
+    yaml_text = f"""
+source:
+  type: mongodb-file
+  path: {src}
+  tables: '{{"shop.items": "_id BIGINT, name STRING, qty BIGINT"}}'
+  primary-keys: '{{"shop.items": ["_id"]}}'
+  discover-tables: 'true'
+  checkpoint: {tmp_path}/ckpt
+sink: {{type: values}}
+"""
+    sink = MemorySink()
+    pipe, raw, tables = PipelineComposer(spark).compose_streaming(
+        parse_yaml_pipeline(yaml_text), sink=sink)
+    q = pipe.start(raw, tables)
+    q.awaitTermination(120)
+    assert sink.snapshot(TableId.parse("shop.items")) == ["1, bolt, 5"]
+    # discovered mid-stream: schema inferred from fullDocument, the
+    # key-only delete then removes _id=10, leaving 11
+    got = sink.snapshot(TableId.parse("shop.extra"))
+    assert len(got) == 1 and got[0].startswith("11, ")

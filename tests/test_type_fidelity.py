@@ -112,7 +112,10 @@ def test_oracle_type_mapping():
     assert m("NUMBER", 10, 2) == T.DecimalType(10, 2)
     assert m("NUMBER", 10) == T.DecimalType(10, 0)
     assert m("NUMBER") == T.DecimalType(38, 0)          # undeclared precision
-    assert m("NUMBER", 77, 5) == T.DecimalType(38, 0)   # out-of-range clamp
+    # out-of-range precision clamps to 38 but KEEPS the declared scale
+    # (fractional digits survive; overflow risk moves to integer digits)
+    assert m("NUMBER", 77, 5) == T.DecimalType(38, 5)
+    assert m("NUMBER", 40, 2) == T.DecimalType(38, 2)
     assert m("BINARY_FLOAT") == T.FloatType()
     assert m("BINARY_DOUBLE") == T.DoubleType()
     # all three timestamp forms map to an instant; zoned flag on the TZ form
@@ -121,9 +124,14 @@ def test_oracle_type_mapping():
     assert m("TIMESTAMP WITH LOCAL TIME ZONE") == T.TimestampType()
     assert oracle_type_is_zoned("TIMESTAMP(3) WITH TIME ZONE")
     assert not oracle_type_is_zoned("TIMESTAMP WITH LOCAL TIME ZONE")
-    # INTERVALYM / INTERVALDS -> Spark's interval types
+    # INTERVALYM / INTERVALDS -> Spark's interval types; the catalog's
+    # embedded precisions must not affect the mapping (the reference
+    # switches on jdbcType, OracleTypeUtils.java:79-82)
     assert isinstance(m("INTERVAL YEAR TO MONTH"), T.YearMonthIntervalType)
     assert isinstance(m("INTERVAL DAY TO SECOND"), T.DayTimeIntervalType)
+    assert isinstance(m("INTERVAL YEAR(2) TO MONTH"), T.YearMonthIntervalType)
+    assert isinstance(m("INTERVAL DAY(2) TO SECOND(6)"),
+                      T.DayTimeIntervalType)
     import pytest as _pytest
     with _pytest.raises(ValueError):
         m("SDO_GEOMETRY")  # unsupported -> raise (reference default arm)
