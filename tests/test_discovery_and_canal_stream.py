@@ -70,3 +70,28 @@ def test_canal_stream_serialization(spark, tmp_path):
     q = pipe.start(file_stream_source(spark, src), {"s.products": SCHEMA})
     q.awaitTermination(120)
     assert sink.snapshot(tid) == ["2, nut2"]
+
+
+def test_canal_stream_discovers_new_table(spark, tmp_path):
+    """Review regression: discovery must probe canal's envelope
+    ($.database/$.table, image in $.data[0]) — the Debezium-only
+    $.source.* probes silently discovered nothing for canal streams."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        f.write("\n".join([
+            canal("products", "INSERT", [{"id": 1, "name": "bolt"}]),
+            # collection never registered up-front
+            canal("tags", "INSERT", [{"id": 7, "label": "sale"}]),
+            canal("tags", "INSERT", [{"id": 8, "label": "new"}]),
+        ]))
+    sink = MemorySink()
+    pipe = StreamingPipeline.create(spark, sink, str(tmp_path / "ckpt"),
+                                    serialization="canal-json",
+                                    discover_tables=True)
+    q = pipe.start(file_stream_source(spark, src), {"s.products": SCHEMA})
+    q.awaitTermination(120)
+    assert sink.snapshot(TableId.parse("s.products")) == ["1, bolt"]
+    new = TableId.parse("s.tags")
+    assert sorted(sink.schemas[new].column_names()) == ["id", "label"]
+    assert sink.row_count(new) == 2
