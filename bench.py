@@ -191,6 +191,9 @@ HEADLINE_QUERIES = [
     "graph_pagerank",
     "ann_ivf_topk",
     "pipeline_cdc_to_lake",
+    "cdc_mongo_changestream",
+    "cdc_chunked_snapshot_stitch",
+    "cdc_tidb_kv_decode",
 ]
 
 

@@ -2106,6 +2106,10 @@ def q_cdc_tidb_kv_decode(spark, sf_dir):
                      .select(*rec("PUT", upd, base, k * 10 + 1)))
         .unionByName(od.where(k % 7 == 0)
                      .select(*rec("DELETE", null_img, fin, k * 10 + 2))))
+    # the unions inherit the source's file-partitioning (3 files at sf0.1)
+    # — spread the Python codec stages over the full executor width; on a
+    # real TiKV feed the region-CDC stream is already many-partitioned
+    script = script.repartition(od.sparkSession.sparkContext.defaultParallelism)
 
     kv = encode_tidb_kv(script, table)
     env = decode_tidb_kv(kv, table)
