@@ -351,7 +351,11 @@ _ORACLE_TYPE_MAP: dict[str, T.DataType] = {
     "INTEGER": INT, "INT": INT, "SMALLINT": INT, "TINYINT": INT,
     "FLOAT": FLOAT, "REAL": FLOAT, "BINARY_FLOAT": FLOAT,
     "DOUBLE": DOUBLE, "DOUBLE PRECISION": DOUBLE, "BINARY_DOUBLE": DOUBLE,
-    "DATE": DATE,
+    # Oracle DATE stores date+time to the second; the JDBC driver reports
+    # such columns as Types.TIMESTAMP, so the reference's jdbcType switch
+    # lands them on TIMESTAMP — a DateType mapping would silently drop the
+    # time-of-day component
+    "DATE": TIMESTAMP_NTZ,
     "BOOLEAN": BOOLEAN,
     # TIMESTAMP / WITH TIME ZONE / WITH LOCAL TIME ZONE all land on
     # TIMESTAMP(len) in the reference; Spark instants are TIMESTAMP_NTZ for

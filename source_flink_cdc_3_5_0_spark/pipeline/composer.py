@@ -108,8 +108,19 @@ class PipelineExecution:
     # run() and restored after — see run() for the ownership rationale
     local_time_zone: str | None = None
 
+    # When set (streaming runner, for the span of one micro-batch), ALL DDL
+    # appliers use this ctx regardless of where the DDL is issued — data-time
+    # sink evolution inside a SEGMENTED _process_data would otherwise stamp
+    # the segment-scoped id and clobber the spool marker's parent-ctx group
+    # list that crash-replay detection depends on.
+    ddl_batch_ctx: object = None
+
     def _sink_batch_id(self) -> str | int:
         return f"{self.run_id}_{self.batches_run}" if self.run_id else self.batches_run
+
+    def _ddl_batch_ctx(self) -> object:
+        return (self.ddl_batch_ctx if self.ddl_batch_ctx is not None
+                else self._sink_batch_id())
 
     # -- schema inference -------------------------------------------------
     def _infer_output_schema(self, table_id: TableId, in_schema: Schema) -> Schema:
@@ -182,7 +193,7 @@ class PipelineExecution:
                 f"schema change {source_ev.event_type()} on {source_tid} "
                 f"refused (behavior=exception)")
         applier = self.sink.metadata_applier()
-        applier.batch_ctx = self._sink_batch_id()
+        applier.batch_ctx = self._ddl_batch_ctx()
         for sink_tid in self.router.route(source_tid):
             ev = type(source_ev)(sink_tid)
             if not applier.accepts(ev.event_type()):
@@ -234,7 +245,7 @@ class PipelineExecution:
             events = normalize_schema_change_events(
                 current, events, self.behavior, self.include_types, self.exclude_types)
         applier = self.sink.metadata_applier()
-        applier.batch_ctx = self._sink_batch_id()
+        applier.batch_ctx = self._ddl_batch_ctx()
         for ev in events:
             if not applier.accepts(ev.event_type()):
                 continue

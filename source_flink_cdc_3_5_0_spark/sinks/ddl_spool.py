@@ -55,7 +55,7 @@ def is_replay(table_dir: str, batch_ctx, ordinal: int,
             state = json.load(f)
     except (OSError, ValueError):
         return False
-    if state.get("batch") != (None if batch_ctx is None else str(batch_ctx)):
+    if state.get("batch") != str(batch_ctx):  # None ctx returned above
         return False
     groups = state.get("groups") or []
     return ordinal < len(groups) and groups[ordinal] == group_digest(stmts)

@@ -57,10 +57,12 @@ def mongo_changestream_schema(payload: T.StructType,
                               ) -> T.StructType:
     """Wire schema of one change-stream document (MongoDBEnvelope.java:47-85).
 
-    ``documentKey`` carries only the shard-key/_id fields; ``clusterTime``
-    is simplified to the BSON timestamp's epoch-seconds rendering (the
-    reference extracts the same instant from the resume token,
-    ResumeTokenUtils.decodeTimestamp).
+    ``documentKey`` carries only the shard-key/_id fields.  ``clusterTime``
+    is NOT in the typed schema: real change streams ship it as a BSON
+    Timestamp (extended JSON ``{"$timestamp": {"t": secs, "i": inc}}``)
+    while simplified fixtures use plain epoch-seconds — a single from_json
+    type can't hold both, so the decoder probes the raw string for either
+    form (`_cluster_time_cols`).
     """
     key_struct = T.StructType(
         [f for f in payload.fields if f.name in key_fields])
@@ -71,12 +73,28 @@ def mongo_changestream_schema(payload: T.StructType,
         T.StructField("fullDocument", payload, True),
         T.StructField("fullDocumentBeforeChange", payload, True),
         T.StructField("documentKey", key_struct, True),
-        T.StructField("clusterTime", T.LongType(), True),
         T.StructField("ns", T.StructType([
             T.StructField("db", T.StringType(), True),
             T.StructField("coll", T.StringType(), True),
         ]), True),
     ])
+
+
+def _cluster_time_cols(value: Column) -> tuple[Column, Column]:
+    """(epoch-seconds, BSON-Timestamp-long) from the raw document string.
+
+    Accepts BOTH wire forms: extended-JSON ``{"$timestamp":{"t":s,"i":n}}``
+    (what real change streams ship) and a bare epoch-seconds integer
+    (simplified fixtures).  The long form is ``(t << 32) | i`` — BSON
+    Timestamp's own 64-bit ordering, which keeps same-second events on one
+    document totally ordered by the server-assigned increment; a bare
+    seconds value shifts into the same scale with i = 0."""
+    t = F.get_json_object(value, "$.clusterTime['$timestamp'].t").cast("long")
+    i = F.get_json_object(value, "$.clusterTime['$timestamp'].i").cast("long")
+    plain = F.get_json_object(value, "$.clusterTime").cast("long")
+    secs = F.coalesce(t, plain)
+    return secs, (F.shiftleft(secs, 32)
+                  + F.coalesce(i, F.lit(0)).cast("long"))
 
 
 def decode_mongo_changestream(raw: DataFrame, payload_schema: T.StructType,
@@ -96,13 +114,19 @@ def decode_mongo_changestream(raw: DataFrame, payload_schema: T.StructType,
     ``__before`` struct and -D rows carry the full deleted image when the
     before image is present (reference FullChangelog variant).
 
-    Seq: the Kafka/file ``offset`` column when present, else ``clusterTime``
-    (the resume-token instant — ResumeTokenUtils.decodeTimestamp parity).
+    Seq: the Kafka/file ``offset`` column when present, else the BSON
+    Timestamp long ``(t << 32) | i`` (ResumeTokenUtils.decodeTimestamp
+    parity; the increment keeps same-second events on one document totally
+    ordered — plain epoch-seconds would tie a delete with a reinsert in the
+    same second and lose the reinsert to `latest_image`'s tie-break).
     """
     env = mongo_changestream_schema(payload_schema, key_fields)
     has_offset = "offset" in raw.columns
+    val = F.col(value_col).cast("string")
+    ct_secs, ct_long = _cluster_time_cols(val)
     parsed = raw.select(
-        F.from_json(F.col(value_col).cast("string"), env).alias("v"),
+        F.from_json(val, env).alias("v"),
+        ct_secs.alias("__ct_secs"), ct_long.alias("__ct_long"),
         *([F.col("offset")] if has_offset else []),
     )
     otype = F.col("v.operationType")
@@ -128,7 +152,7 @@ def decode_mongo_changestream(raw: DataFrame, payload_schema: T.StructType,
         F.when((op == "+U") & F.col("v.fullDocumentBeforeChange").isNotNull(),
                F.col("v.fullDocumentBeforeChange"))
         if full_changelog else F.lit(None).cast(payload_schema))
-    seq = F.col("offset") if has_offset else F.col("v.clusterTime")
+    seq = F.col("offset") if has_offset else F.col("__ct_long")
     out = parsed.select(
         image.alias("__row"),
         op.alias(OP_COL),
@@ -137,7 +161,7 @@ def decode_mongo_changestream(raw: DataFrame, payload_schema: T.StructType,
             F.array(F.lit("db"), F.lit("coll"), F.lit("ts_ms"),
                     F.lit("resume_token")),
             F.array(F.col("v.ns.db"), F.col("v.ns.coll"),
-                    (F.col("v.clusterTime") * 1000).cast("string"),
+                    (F.col("__ct_secs") * 1000).cast("string"),
                     F.col("v._id._data")),
         ).alias(META_COL),
         seq.cast("bigint").alias(SEQ_COL),
@@ -209,6 +233,10 @@ def sample_bucket_chunks(df: DataFrame, key_col: str, *,
             bounds.append(v)
     if not bounds:
         return [ChunkRange(None, None)]
+    # sentinel-edge splits on BOTH ends are reference parity: the strategy
+    # emits chunks.size()+2 splits (firstSplit [minSentinel, bucket0.min)
+    # and lastSplit [lastBucket.max, maxSentinel], :129-165) — under live
+    # writes the edge splits catch keys outside the sampled range
     chunks = [ChunkRange(None, bounds[0])]
     chunks += [ChunkRange(bounds[i], bounds[i + 1])
                for i in range(len(bounds) - 1)]

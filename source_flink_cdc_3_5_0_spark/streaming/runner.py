@@ -180,9 +180,17 @@ class StreamingPipeline:
             )
             after_json = mine.select(payload_p.alias("payload")) \
                 .where(F.col("payload").isNotNull())
+            if not after_json.head(1):
+                # first sighting carries no image (a MongoDB delete ships
+                # only documentKey): defer discovery to a later batch — a
+                # delete for a never-materialized key is a no-op, and
+                # registering an empty schema would poison-pill the stream
+                continue
             inferred = self.spark.read.json(
                 after_json.rdd.map(lambda row: row["payload"]))
             schema = Schema.from_struct_type(inferred.schema)
+            if not schema.column_names():
+                continue
             if self.serialization == "mongodb-json":
                 # documentKey names the shard key/_id fields — without
                 # them the discovered table has no PK, key-only deletes
@@ -288,6 +296,11 @@ class StreamingPipeline:
             try:
                 exe = self._execution()
                 exe.batches_run = batch_id
+                # Pin ONE DDL ctx for the whole micro-batch: data-time sink
+                # evolution inside a segmented _process_data would otherwise
+                # stamp the segment-scoped id and clobber the spool marker's
+                # parent-ctx group list that replay detection depends on
+                exe.ddl_batch_ctx = exe._sink_batch_id()
                 # new delivery of this micro-batch: DDL ordinals restart at
                 # 0 so a same-process re-delivery (query restarted after a
                 # failure, sink object retained) compares against the spool
@@ -381,15 +394,13 @@ class StreamingPipeline:
 
                     def emit(df_seg):
                         nonlocal seg
+                        # segment ids scope the DATA idempotence markers
+                        # only; every DDL apply — including data-time sink
+                        # evolution inside _process_data — uses the pinned
+                        # parent ddl_batch_ctx (set at batch start above)
                         exe.batches_run = f"{base_bid}s{seg}"
                         seg += 1
                         exe._process_data(ChangeBatch(tid, [], df_seg))
-                        # segment ids scope the DATA idempotence markers
-                        # only; DDL applies must all share the PARENT batch
-                        # ctx or each segment's DDL would overwrite the
-                        # spool marker's batch and erase the group list a
-                        # replay needs (re-applying a replayed TRUNCATE
-                        # over marker-skipped data rewrites = row loss)
                         exe.batches_run = base_bid
 
                     for ts, ev in destr:

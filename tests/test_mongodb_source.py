@@ -84,7 +84,9 @@ def test_decode_seq_falls_back_to_cluster_time(spark):
         [(_ev("insert", doc={"_id": 3, "name": "x", "qty": 1}, ct=777),)],
         "value STRING")
     out = decode_mongo_changestream(raw, PAYLOAD)
-    assert out.collect()[0][SEQ_COL] == 777
+    # seq rides the BSON Timestamp long scale: plain seconds shift up 32
+    # bits (i = 0) so they stay comparable with {"$timestamp":{t,i}} events
+    assert out.collect()[0][SEQ_COL] == 777 << 32
 
 
 def test_decode_full_changelog_mode(spark):
@@ -385,3 +387,95 @@ sink: {{type: values}}
     # key-only delete then removes _id=10, leaving 11
     got = sink.snapshot(TableId.parse("shop.extra"))
     assert len(got) == 1 and got[0].startswith("11, ")
+
+
+def test_bson_timestamp_cluster_time_orders_same_second(spark):
+    """Review regression: real change streams ship clusterTime as a BSON
+    Timestamp {"$timestamp":{"t":secs,"i":inc}}; seq must be its 64-bit
+    form (t<<32 | i) so a delete + reinsert inside ONE second stays
+    ordered — plain epoch-seconds tied them and latest_image's tie-break
+    resolved to the delete, silently dropping the reinserted row."""
+    import json as _json
+
+    from source_flink_cdc_3_5_0_spark.sources.mongodb import (
+        decode_mongo_changestream,
+    )
+    from source_flink_cdc_3_5_0_spark.streaming.materialize import latest_image
+
+    payload = T.StructType([
+        T.StructField("_id", T.LongType()), T.StructField("v", T.LongType())])
+
+    def bson_ev(op, i, doc=None, key=None):
+        e = {"_id": {"_data": f"r{i}"}, "operationType": op,
+             "clusterTime": {"$timestamp": {"t": 100, "i": i}},
+             "ns": {"db": "shop", "coll": "items"}}
+        if doc is not None:
+            e["fullDocument"] = doc
+        if key is not None:
+            e["documentKey"] = key
+        return _json.dumps(e)
+
+    raw = spark.createDataFrame([
+        (bson_ev("insert", 1, doc={"_id": 7, "v": 1}),),
+        (bson_ev("delete", 2, key={"_id": 7}),),
+        (bson_ev("insert", 3, doc={"_id": 7, "v": 2}),),   # same second!
+    ], "value STRING")
+    env = decode_mongo_changestream(raw, payload)
+    rows = {r[SEQ_COL]: r for r in env.collect()}
+    # seq is the BSON Timestamp long: (100<<32) | i
+    assert sorted(rows) == [(100 << 32) | 1, (100 << 32) | 2, (100 << 32) | 3]
+    # ts_ms metadata still renders the epoch-seconds instant
+    assert rows[(100 << 32) | 1]["__meta"]["ts_ms"] == "100000"
+    final = latest_image(env, ["_id"], SEQ_COL).collect()
+    assert [(r["_id"], r["v"]) for r in final] == [(7, 2)]  # reinsert wins
+
+    # plain-integer clusterTime fixtures keep working (scaled, ordered)
+    raw2 = spark.createDataFrame(
+        [('{"_id":{"_data":"x"},"operationType":"insert",'
+          '"clusterTime":5,"fullDocument":{"_id":1,"v":9},'
+          '"ns":{"db":"d","coll":"c"}}',)], "value STRING")
+    r2 = decode_mongo_changestream(raw2, payload).collect()[0]
+    assert r2[SEQ_COL] == 5 << 32 and r2["__meta"]["ts_ms"] == "5000"
+
+
+def test_discover_tables_delete_only_first_batch_defers(spark, tmp_path):
+    """Review regression: a collection FIRST seen via deletes (no
+    fullDocument to infer from) must defer discovery, not poison-pill the
+    stream with an empty schema; a later batch with images discovers it."""
+    import os
+
+    from source_flink_cdc_3_5_0_spark.common import Column, Schema, TableId
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+    from source_flink_cdc_3_5_0_spark.streaming.runner import (
+        StreamingPipeline, file_stream_source,
+    )
+
+    schema = Schema.of(Column("_id", T.LongType(), False),
+                       Column("name", T.StringType()),
+                       Column("qty", T.LongType()),
+                       primary_keys=["_id"])
+    src = str(tmp_path / "cs")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        f.write("\n".join([
+            _ev("insert", doc={"_id": 1, "name": "bolt", "qty": 5}, ct=1),
+            # undeclared collection, delete-only: no image to infer from
+            _ev("delete", key={"_id": 99}, ct=2, coll="ghost"),
+        ]))
+    sink = MemorySink()
+    pipe = StreamingPipeline.create(spark, sink, str(tmp_path / "ckpt"),
+                                    serialization="mongodb-json",
+                                    discover_tables=True)
+    q = pipe.start(file_stream_source(spark, src),
+                   {"shop.items": schema})
+    q.awaitTermination(120)
+    assert sink.snapshot(TableId.parse("shop.items")) == ["1, bolt, 5"]
+    assert TableId.parse("shop.ghost") not in sink.schemas  # deferred
+
+    # next batch ships an image -> discovered now
+    with open(os.path.join(src, "b.jsonl"), "w") as f:
+        f.write(_ev("insert", doc={"_id": 100, "v": 3}, ct=3, coll="ghost"))
+    q2 = pipe.start(file_stream_source(spark, src),
+                    {"shop.items": schema})
+    q2.awaitTermination(120)
+    assert sink.row_count(TableId.parse("shop.ghost")) == 1

@@ -118,6 +118,9 @@ def test_oracle_type_mapping():
     assert m("NUMBER", 40, 2) == T.DecimalType(38, 2)
     assert m("BINARY_FLOAT") == T.FloatType()
     assert m("BINARY_DOUBLE") == T.DoubleType()
+    # Oracle DATE carries time-of-day to the second; the JDBC driver reports
+    # it as Types.TIMESTAMP, so the reference (and we) map it to an instant
+    assert m("DATE") == T.TimestampNTZType()
     # all three timestamp forms map to an instant; zoned flag on the TZ form
     assert m("TIMESTAMP") == T.TimestampNTZType()
     assert m("TIMESTAMP(6) WITH TIME ZONE") == T.TimestampType()
