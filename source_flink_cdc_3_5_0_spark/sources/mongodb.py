@@ -88,11 +88,14 @@ def _cluster_time_cols(value: Column) -> tuple[Column, Column]:
     (simplified fixtures).  The long form is ``(t << 32) | i`` — BSON
     Timestamp's own 64-bit ordering, which keeps same-second events on one
     document totally ordered by the server-assigned increment; a bare
-    seconds value shifts into the same scale with i = 0."""
-    t = F.get_json_object(value, "$.clusterTime['$timestamp'].t").cast("long")
-    i = F.get_json_object(value, "$.clusterTime['$timestamp'].i").cast("long")
-    plain = F.get_json_object(value, "$.clusterTime").cast("long")
-    secs = F.coalesce(t, plain)
+    seconds value shifts into the same scale with i = 0.
+
+    One full-document parse extracts the raw ``clusterTime`` snippet; the
+    t/i probes then parse only that snippet (vs three full-doc parses)."""
+    raw = F.get_json_object(value, "$.clusterTime")
+    t = F.get_json_object(raw, "$['$timestamp'].t").cast("long")
+    i = F.get_json_object(raw, "$['$timestamp'].i").cast("long")
+    secs = F.coalesce(t, raw.cast("long"))
     return secs, (F.shiftleft(secs, 32)
                   + F.coalesce(i, F.lit(0)).cast("long"))
 
