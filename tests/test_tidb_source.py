@@ -318,3 +318,36 @@ class TestSparkDecode:
         assert out[(1, 20)][BEFORE_COL]["v"] == 7
         assert out[(1, 30)][OP_COL] == "-D" and out[(1, 30)]["v"] == 8
         assert out[(2, 40)]["s"] is None and out[(2, 40)]["v"] == 9
+
+
+class TestCorruptionRobustness:
+    """Truncated/corrupted wire bytes must raise cleanly (never hang,
+    never return a partial row silently misparsed as complete) — same
+    discipline as the JPEG codec's truncation fuzz."""
+
+    @given(st.data())
+    @settings(max_examples=80, deadline=None)
+    def test_truncated_rows_raise_or_decode(self, data):
+        t = table()
+        buf = encode_row_v2(t, ROW) if data.draw(st.booleans()) \
+            else encode_row_v1(t, ROW)
+        cut = data.draw(st.integers(min_value=1, max_value=len(buf) - 1))
+        try:
+            decode_row(t, buf[:cut], handle=1)
+        except (ValueError, IndexError, KeyError, NotImplementedError,
+                struct.error, UnicodeDecodeError, OverflowError):
+            pass  # clean structured failure
+
+    @given(st.data())
+    @settings(max_examples=80, deadline=None)
+    def test_bitflipped_rows_raise_or_decode(self, data):
+        t = table()
+        buf = bytearray(encode_row_v2(t, ROW))
+        pos = data.draw(st.integers(min_value=0, max_value=len(buf) - 1))
+        buf[pos] ^= 1 << data.draw(st.integers(min_value=0, max_value=7))
+        try:
+            out = decode_row(t, bytes(buf), handle=1)
+            assert isinstance(out, dict)  # survived -> still a row shape
+        except (ValueError, IndexError, KeyError, NotImplementedError,
+                struct.error, UnicodeDecodeError, OverflowError):
+            pass
