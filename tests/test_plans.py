@@ -433,3 +433,15 @@ def test_gapfill_single_shuffle(spark):
     import re
     p = plan_of(EQ.q_gapfill_forward(spark, SF))
     assert len(re.findall(r"\bExchange\b", p)) == 1, p
+
+
+def test_tidb_kv_decode_two_exchanges_arrow_python(spark):
+    """TiDB raw-KV pipeline shape: exactly TWO exchanges (the explicit
+    repartition spreading the Python codec stages to executor width + the
+    materialize key shuffle); the codec stages are Arrow mapInPandas, never
+    row-at-a-time Python; no BatchEvalPython anywhere."""
+    import re
+    p = plan_of(EQ.q_cdc_tidb_kv_decode(spark, SF))
+    assert len(re.findall(r"\bExchange\b", p)) == 2, p
+    assert p.count("MapInPandas") == 2, p   # encode + decode, Arrow-batched
+    assert "BatchEvalPython" not in p, p
