@@ -351,3 +351,32 @@ class TestCorruptionRobustness:
         except (ValueError, IndexError, KeyError, NotImplementedError,
                 struct.error, UnicodeDecodeError, OverflowError):
             pass
+
+
+def test_old_value_disabled_mode_normalizes(spark):
+    """TiKV without the old-value feature sends PUT with an EMPTY old_value
+    even for updates — decode then yields an UPSERT stream (+I per PUT,
+    like MongoDB's upsert mode), and `changelog_normalize` reconstructs the
+    retraction stream downstream consumers need."""
+    from source_flink_cdc_3_5_0_spark.streaming.materialize import (
+        changelog_normalize,
+    )
+
+    t = small_table()
+    rows = [
+        ("PUT", encode_record_key(9, 1),
+         encode_row_v2(t, {"v": 10, "s": "a"}), None, 100),
+        ("PUT", encode_record_key(9, 1),            # update, no old value
+         encode_row_v2(t, {"v": 11, "s": "a"}), None, 200),
+        ("DELETE", encode_record_key(9, 1), None,   # delete, no old image
+         None, 300),
+    ]
+    env = decode_tidb_kv(kv_df(spark, rows), t)
+    assert [r[OP_COL] for r in env.orderBy(SEQ_COL).collect()] \
+        == ["+I", "+I", "-D"]
+    norm = changelog_normalize(env.drop(BEFORE_COL, "__meta"),
+                               ["id"], SEQ_COL)
+    got = {r[SEQ_COL]: r for r in norm.collect()}
+    assert got[100][OP_COL] == "+I"
+    assert got[200][OP_COL] == "+U" and got[200][BEFORE_COL]["v"] == 10
+    assert got[300][OP_COL] == "-D" and got[300]["v"] == 11  # image restored
