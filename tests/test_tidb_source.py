@@ -461,3 +461,30 @@ def test_incremental_snapshot_stitch_over_tikv_chunks(spark):
                 expect[h] = (image["v"], image["s"])
     got = {r["id"]: (r["v"], r["s"]) for r in out.collect()}
     assert got == expect
+
+
+class TestKeyRangeProperties:
+    @given(st.integers(min_value=1, max_value=64),
+           st.integers(min_value=1, max_value=(1 << 48)))
+    @settings(max_examples=60, deadline=None)
+    def test_ranges_partition_key_space(self, num, tid):
+        """Ranges tile the record-key space: contiguous, non-overlapping,
+        first starts at the table's min record key, last ends beyond-max —
+        every possible record key falls in exactly one range."""
+        ranges = table_key_ranges(tid, num)
+        assert len(ranges) == num
+        prefix = b"t" + encode_comparable_int(tid)
+        assert ranges[0][0] == prefix + b"_r"
+        assert ranges[-1][1] == prefix + b"_s"
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 == lo2          # contiguous, no gap or overlap
+            assert lo1 < hi1           # non-empty, memcomparable order
+        assert ranges[-1][0] < ranges[-1][1]
+
+    @given(st.integers(min_value=2, max_value=64), I64)
+    @settings(max_examples=80, deadline=None)
+    def test_every_handle_lands_in_exactly_one_range(self, num, handle):
+        ranges = table_key_ranges(7, num)
+        key = encode_record_key(7, handle)
+        hits = [i for i, (lo, hi) in enumerate(ranges) if lo <= key < hi]
+        assert len(hits) == 1
