@@ -40,6 +40,13 @@ class MetadataApplier(abc.ABC):
 
 
 class DataSink(abc.ABC):
+    def begin_batch(self, batch_id) -> None:
+        """Called by the streaming runner at the START of each micro-batch
+        delivery — including a same-process re-delivery of a failed batch.
+        Default no-op; sinks holding per-delivery state (DDL spool
+        ordinals) reset it here so replay detection restarts at position 0
+        exactly like a fresh-process replay would."""
+
     @abc.abstractmethod
     def metadata_applier(self) -> MetadataApplier:
         ...

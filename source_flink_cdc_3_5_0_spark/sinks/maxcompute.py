@@ -66,6 +66,9 @@ class MaxComputeSink(DataSink):
         self._parquet = ParquetUpsertSink(path, num_buckets=num_buckets)
         self._ddl_pos = DdlSpoolPosition()
 
+    def begin_batch(self, batch_id) -> None:
+        self._ddl_pos.reset()
+
     def metadata_applier(self) -> MetadataApplier:
         return _MaxComputeMetadataApplier(self)
 

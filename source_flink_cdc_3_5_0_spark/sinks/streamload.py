@@ -76,6 +76,9 @@ class _StreamLoadSink(DataSink):
         self.output_dir = output_dir
         self._ddl_pos = DdlSpoolPosition()
 
+    def begin_batch(self, batch_id) -> None:
+        self._ddl_pos.reset()
+
     def metadata_applier(self) -> MetadataApplier:
         return _StreamLoadMetadataApplier(self)
 

@@ -150,7 +150,8 @@ class StreamingPipeline:
         schemas are inferred by Spark's JSON reader over that table's
         after-images only (one driver-side inference per NEW table, not per
         batch)."""
-        db_p, schema_p, tbl_p, payload_p = self._discovery_probes(value_col)
+        db_p, schema_p, tbl_p, payload_p = self._envelope_probes(
+            value_col, self.serialization)
         pairs = (
             data_df.select(db_p.alias("db"), schema_p.alias("schema"),
                            tbl_p.alias("table"))
@@ -195,40 +196,42 @@ class StreamingPipeline:
                 # documentKey names the shard key/_id fields — without
                 # them the discovered table has no PK, key-only deletes
                 # can't upsert-match, and the sink appends forever
+                import json as _json
+
                 key_row = mine.select(
                     F.get_json_object(F.col(value_col), "$.documentKey")
                     .alias("k")).where(F.col("k").isNotNull()).head(1)
-                pks = (tuple(self.spark.read.json(
-                    self.spark.sparkContext.parallelize(
-                        [key_row[0]["k"]])).schema.fieldNames())
-                    if key_row else ("_id",))
+                pks = (tuple(_json.loads(key_row[0]["k"]))
+                       if key_row else ("_id",))
                 schema = schema.with_primary_keys(
                     [p for p in pks if p in schema.column_names()]
                     or [schema.column_names()[0]])
             self.register_table(tid, schema)
             tables[str(tid)] = schema
 
-    def _discovery_probes(self, value_col: str):
-        """(db, schema, table, payload) JSON probes per serialization —
-        discovery must read the same envelope fields `enrich_batch` routes
-        on, or non-Debezium formats silently discover nothing and their
-        undeclared tables' events are dropped."""
+    @staticmethod
+    def _envelope_probes(value_col: str, serialization: str):
+        """(db, schema, table, payload) JSON probes per serialization — the
+        ONE place that knows each envelope's field layout; both the routing
+        projection (`enrich_batch`) and mid-stream discovery derive from it
+        (a probe mismatch between them silently drops events)."""
         v = F.col(value_col)
         null_s = F.lit(None).cast("string")
-        if self.serialization == "mongodb-json":
+        if serialization == "mongodb-json":
             # MongoDBEnvelope: ns.db/ns.coll; fullDocument is the image
             return (F.get_json_object(v, "$.ns.db"), null_s,
                     F.get_json_object(v, "$.ns.coll"),
                     F.get_json_object(v, "$.fullDocument"))
-        if self.serialization == "canal-json":
-            return (F.get_json_object(v, "$.database"), null_s,
-                    F.get_json_object(v, "$.table"),
-                    F.get_json_object(v, "$.data[0]"))
-        return (F.get_json_object(v, "$.source.db"),
-                F.get_json_object(v, "$.source.schema"),
-                F.get_json_object(v, "$.source.table"),
-                F.coalesce(F.get_json_object(v, "$.after"),
-                           F.get_json_object(v, "$.before")))
+        if serialization == "debezium-json":
+            return (F.get_json_object(v, "$.source.db"),
+                    F.get_json_object(v, "$.source.schema"),
+                    F.get_json_object(v, "$.source.table"),
+                    F.coalesce(F.get_json_object(v, "$.after"),
+                               F.get_json_object(v, "$.before")))
+        # canal-json
+        return (F.get_json_object(v, "$.database"), null_s,
+                F.get_json_object(v, "$.table"),
+                F.get_json_object(v, "$.data[0]"))
 
     # -- streaming loop ----------------------------------------------------
     @staticmethod
@@ -241,18 +244,10 @@ class StreamingPipeline:
         per-table slice are then column filters over the cached projection
         — a single pass over the raw batch instead of one scan for DDL plus
         re-extraction per registered table."""
-        if serialization == "debezium-json":
-            src_db = F.coalesce(
-                F.get_json_object(F.col(value_col), "$.source.db"),
-                F.get_json_object(F.col(value_col), "$.source.schema"))
-            src_tbl = F.get_json_object(F.col(value_col), "$.source.table")
-        elif serialization == "mongodb-json":
-            # change-stream envelope: ns.db / ns.coll (MongoDBEnvelope.java)
-            src_db = F.get_json_object(F.col(value_col), "$.ns.db")
-            src_tbl = F.get_json_object(F.col(value_col), "$.ns.coll")
-        else:
-            src_db = F.get_json_object(F.col(value_col), "$.database")
-            src_tbl = F.get_json_object(F.col(value_col), "$.table")
+        db_p, schema_p, tbl_p, _ = StreamingPipeline._envelope_probes(
+            value_col, serialization)
+        src_db = F.coalesce(db_p, schema_p)  # schema probe is null outside
+        src_tbl = tbl_p                      # debezium (schema-less -> db)
         is_ddl = F.get_json_object(F.col(value_col), "$.ddl").isNotNull()
         return (batch_df.withColumn("__is_ddl", is_ddl)
                 .withColumn("__src_db", src_db)
@@ -301,13 +296,11 @@ class StreamingPipeline:
                 # stamp the segment-scoped id and clobber the spool marker's
                 # parent-ctx group list that replay detection depends on
                 exe.ddl_batch_ctx = exe._sink_batch_id()
-                # new delivery of this micro-batch: DDL ordinals restart at
-                # 0 so a same-process re-delivery (query restarted after a
-                # failure, sink object retained) compares against the spool
-                # marker exactly like a fresh-process replay would
-                ddl_pos = getattr(self.sink, "_ddl_pos", None)
-                if ddl_pos is not None:
-                    ddl_pos.reset()
+                # new delivery of this micro-batch: sinks reset per-delivery
+                # state (DDL spool ordinals) so a same-process re-delivery
+                # compares against the spool marker exactly like a
+                # fresh-process replay would
+                self.sink.begin_batch(batch_id)
                 # 1. in-stream DDL control records (Debezium schema-change
                 #    topic analog) — rare, collected to the driver, applied
                 #    FIRST so the whole batch decodes with the newest schema
