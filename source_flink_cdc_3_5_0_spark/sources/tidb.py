@@ -360,6 +360,9 @@ def _decode_datum(buf: bytes, pos: int):
         return decode_comparable_float(buf, pos)
     if flag == _COMPACT_BYTES:
         n, pos = decode_varint(buf, pos)
+        if n < 0 or pos + n > len(buf):
+            raise ValueError("truncated compact-bytes datum: need %d bytes, "
+                             "have %d" % (n, len(buf) - pos))
         return bytes(buf[pos:pos + n]), pos + n
     if flag == _BYTES:
         return decode_comparable_bytes(buf, pos)
@@ -463,6 +466,11 @@ def decode_row_v2(table: TiTableInfo, buf: bytes) -> dict:
     big = buf[1] & 0x01
     n_notnull, n_null = struct.unpack_from("<HH", buf, 2)
     id_w, off_fmt, off_w = (4, "<I", 4) if big else (1, "<H", 2)
+    header_len = 6 + (n_notnull + n_null) * id_w + n_notnull * off_w
+    if len(buf) < header_len:
+        raise ValueError(
+            "truncated v2 row: %d-byte buffer, %d-byte header for "
+            "%d+%d columns" % (len(buf), header_len, n_notnull, n_null))
     pos = 6
     ids = [int.from_bytes(buf[pos + i * id_w:pos + (i + 1) * id_w], "little")
            for i in range(n_notnull)]
@@ -470,6 +478,12 @@ def decode_row_v2(table: TiTableInfo, buf: bytes) -> dict:
     offs = [struct.unpack_from(off_fmt, buf, pos + i * off_w)[0]
             for i in range(n_notnull)]
     pos += n_notnull * off_w
+    data_len = len(buf) - pos
+    if any(a > b for a, b in zip(offs, offs[1:])) or (
+            (offs[-1] if offs else 0) != data_len):
+        raise ValueError(
+            "corrupt v2 row: cell offsets %r do not tile the %d-byte data "
+            "section" % (offs, data_len))
     by_id = {c.col_id: c for c in table.value_columns}
     row = {c.name: None for c in table.value_columns}
     start = 0

@@ -201,8 +201,12 @@ class StreamingPipeline:
                 key_row = mine.select(
                     F.get_json_object(F.col(value_col), "$.documentKey")
                     .alias("k")).where(F.col("k").isNotNull()).head(1)
-                pks = (tuple(_json.loads(key_row[0]["k"]))
-                       if key_row else ("_id",))
+                try:
+                    parsed = _json.loads(key_row[0]["k"]) if key_row else None
+                except ValueError:
+                    parsed = None  # degenerate documentKey -> fallback PK
+                pks = tuple(parsed) if isinstance(parsed, (dict, list)) \
+                    else ("_id",)
                 schema = schema.with_primary_keys(
                     [p for p in pks if p in schema.column_names()]
                     or [schema.column_names()[0]])

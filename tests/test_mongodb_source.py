@@ -479,3 +479,39 @@ def test_discover_tables_delete_only_first_batch_defers(spark, tmp_path):
                     {"shop.items": schema})
     q2.awaitTermination(120)
     assert sink.row_count(TableId.parse("shop.ghost")) == 1
+
+
+def test_discover_tables_degenerate_document_key_falls_back(spark, tmp_path):
+    """Review regression: a hand-written fixture whose documentKey is a
+    bare scalar (not the change-stream object form) must degrade to the
+    `_id` PK fallback during discovery — not raise out of foreachBatch and
+    kill the whole streaming query."""
+    import os
+
+    from source_flink_cdc_3_5_0_spark.common import Column, Schema, TableId
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+    from source_flink_cdc_3_5_0_spark.streaming.runner import (
+        StreamingPipeline, file_stream_source,
+    )
+
+    schema = Schema.of(Column("_id", T.LongType(), False),
+                       Column("name", T.StringType()),
+                       primary_keys=["_id"])
+    src = str(tmp_path / "cs")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        f.write("\n".join([
+            _ev("insert", doc={"_id": 1, "name": "bolt"}, ct=1),
+            # undeclared collection whose documentKey is a bare string
+            _ev("insert", doc={"_id": 5, "v": 2}, key="not-an-object",
+                ct=2, coll="weird"),
+        ]))
+    sink = MemorySink()
+    pipe = StreamingPipeline.create(spark, sink, str(tmp_path / "ckpt"),
+                                    serialization="mongodb-json",
+                                    discover_tables=True)
+    q = pipe.start(file_stream_source(spark, src), {"shop.items": schema})
+    q.awaitTermination(120)
+    weird = TableId.parse("shop.weird")
+    assert sink.row_count(weird) == 1
+    assert list(sink.schemas[weird].primary_keys) == ["_id"]  # fallback PK

@@ -331,12 +331,19 @@ class TestCorruptionRobustness:
         t = table()
         buf = encode_row_v2(t, ROW) if data.draw(st.booleans()) \
             else encode_row_v1(t, ROW)
+        full = decode_row(t, buf, handle=1)
         cut = data.draw(st.integers(min_value=1, max_value=len(buf) - 1))
         try:
-            decode_row(t, buf[:cut], handle=1)
+            out = decode_row(t, buf[:cut], handle=1)
         except (ValueError, IndexError, KeyError, NotImplementedError,
                 struct.error, UnicodeDecodeError, OverflowError):
-            pass  # clean structured failure
+            return  # clean structured failure
+        # A decode that *succeeds* on truncated bytes must be prefix-
+        # consistent: every materialized cell equals the full-row value
+        # (v1 may legally stop at a datum boundary; it must never emit a
+        # corrupted cell, and v2's offset-tiling check must have fired).
+        for k, v in out.items():
+            assert v is None or v == full[k], (cut, k, v, full[k])
 
     @given(st.data())
     @settings(max_examples=80, deadline=None)
@@ -418,9 +425,7 @@ def test_incremental_snapshot_stitch_over_tikv_chunks(spark):
                              100 + h))
         if h % 7 == 0:
             log_rows.append(("DELETE", encode_record_key(9, h), None,
-                             encode_row_v1(t, img(h, 199) and
-                                           {k: v for k, v in img(h, 199).items()
-                                            if k != "id"}),
+                             encode_row_v1(t, img(h, 199)),
                              200 + h))
     log = decode_tidb_kv(kv_df(spark, log_rows), t)
 
