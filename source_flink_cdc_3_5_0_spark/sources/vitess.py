@@ -1,0 +1,538 @@
+"""Vitess VStream source: VGTID vector offsets, shard-range routing,
+reshard handling, and the VStream Debezium envelope.
+
+Parity targets (reference ``flink-cdc-connect/flink-cdc-source-connectors/
+flink-connector-vitess-cdc``):
+
+- **Builder surface + defaults** — `VitessSource.java:43-318`: port 15991,
+  decoding plugin ``decoderbufs``, connector name ``flink``, tablet type
+  RDONLY, gtid ``current``, ``stopOnReshard`` false, ``tombstonesOnDelete``
+  true, schema-name adjustment NONE; ``gtid`` must be set together with
+  ``shard`` (builder doc at :106-117). `VitessTableFactoryTest.java:146-171`
+  pins the table-factory variant (same defaults except schema adjustment
+  AVRO).
+- **Config enums** — `config/TabletType.java` (MASTER/REPLICA/RDONLY),
+  `config/SchemaAdjustmentMode.java` (AVRO/NONE).
+- **Wire behavior** the reference rides on (Debezium's public
+  ``io.debezium.connector.vitess``): VTGate's VStream gRPC delivers one
+  MySQL-style changelog PER SHARD; the resume position is a **VGTID — a
+  vector of per-shard GTID sets** serialized as a JSON array of
+  ``{keyspace, shard, gtid}``; each record's ``source`` block carries
+  ``keyspace``/``table``/``shard``/``vgtid`` (keyspace stands where other
+  connectors put ``db``). A *reshard* replaces a shard with children that
+  tile its keyspace-id range; ``stop_on_reshard`` decides whether the
+  stream halts at that boundary with a resumable VGTID or follows the new
+  shard set.
+
+Spark-first shape: the envelope decode is one ``from_json`` projection
+(JVM, codegen — no Python in the decode loop); shard routing over keyspace
+ids is a codegen'd CASE chain on binary comparisons; only the per-shard
+resume fold and reshard detection touch the driver, and both are O(shards)
+— control-plane, like the JDBC chunk metadata.
+
+Vindex note: Vitess's default ``hash`` vindex is a DES-based 64-bit block
+cipher; the stdlib has no DES, so that vindex is honestly gated
+(`NotImplementedError`).  ``binary`` and ``binary_md5`` — both public
+Vitess vindexes — are implemented for real and are what the tests route
+with.
+"""
+
+from __future__ import annotations
+
+import enum
+import hashlib
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from ..common.events import BEFORE_COL, META_COL, OP_COL
+from .base import SEQ_COL
+
+_VSTREAM_OPS = {"c": "+I", "r": "+I", "u": "+U", "d": "-D"}
+
+
+# ---------------------------------------------------------------------------
+# config surface (VitessSource.Builder / VitessTableFactory parity)
+# ---------------------------------------------------------------------------
+
+class TabletType(enum.Enum):
+    """config/TabletType.java — which tablet the VStream serves from."""
+
+    MASTER = "MASTER"
+    REPLICA = "REPLICA"
+    RDONLY = "RDONLY"
+
+
+class SchemaAdjustmentMode(enum.Enum):
+    """config/SchemaAdjustmentMode.java — schema-name sanitization."""
+
+    AVRO = "AVRO"
+    NONE = "NONE"
+
+
+@dataclass
+class VitessConfig:
+    """VitessSource.Builder parity (defaults pinned at VitessSource.java:
+    47-59; the table factory's only divergence is schema adjustment AVRO,
+    VitessTableFactoryTest.java:157)."""
+
+    hostname: str = None
+    keyspace: str = None
+    port: int = 15991
+    username: str | None = None
+    password: str | None = None
+    plugin_name: str = "decoderbufs"
+    name: str = "flink"
+    tablet_type: TabletType = TabletType.RDONLY
+    shard: str | None = None
+    gtid: str = "current"
+    stop_on_reshard: bool = False
+    tombstones_on_delete: bool = True
+    message_key_columns: tuple[str, ...] = ()
+    schema_name_adjustment: SchemaAdjustmentMode = SchemaAdjustmentMode.NONE
+    table_include_list: tuple[str, ...] = ()
+    table_exclude_list: tuple[str, ...] = ()
+    column_include_list: tuple[str, ...] = ()
+    column_exclude_list: tuple[str, ...] = ()
+    dbz_properties: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_options(cls, options: dict) -> "VitessConfig":
+        """Table-factory option spelling (VitessTableFactory): kebab-case
+        keys, ``debezium.*`` passthrough, schema adjustment defaults AVRO."""
+        dbz = {k[len("debezium."):]: v for k, v in options.items()
+               if k.startswith("debezium.")}
+        return cls(
+            hostname=options.get("hostname"),
+            keyspace=options.get("keyspace"),
+            port=int(options.get("port", 15991)),
+            username=options.get("username"),
+            password=options.get("password"),
+            plugin_name=options.get("decoding.plugin.name", "decoderbufs"),
+            name=options.get("name", "flink"),
+            tablet_type=TabletType(options.get("tablet-type", "RDONLY")),
+            shard=options.get("shard"),
+            gtid=options.get("gtid", "current"),
+            stop_on_reshard=str(options.get(
+                "stop-on-reshard", "false")).lower() == "true",
+            tombstones_on_delete=str(options.get(
+                "tombstones-on-delete", "true")).lower() == "true",
+            schema_name_adjustment=SchemaAdjustmentMode(
+                options.get("schema-name-adjustment", "AVRO")),
+            dbz_properties=dbz,
+        )
+
+    def validate(self) -> None:
+        """VitessValidator analog (delegating checks the connector would
+        reject: required endpoints, gtid/shard pairing, enum values)."""
+        if not self.hostname:
+            raise ValueError("hostname is required (VTGate VStream server)")
+        if not self.keyspace:
+            raise ValueError("keyspace is required")
+        if not (0 < int(self.port) < 65536):
+            raise ValueError("port out of range: %r" % (self.port,))
+        if self.gtid not in ("current", "") and self.shard is None:
+            # VitessSource.java:106-117 — a pinned GTID is per-shard
+            raise ValueError(
+                "gtid %r requires an explicit shard (a GTID position names "
+                "one shard's stream)" % self.gtid)
+        if self.plugin_name != "decoderbufs":
+            raise ValueError(
+                "unsupported decoding plugin %r (reference supports "
+                "decoderbufs)" % self.plugin_name)
+
+
+# ---------------------------------------------------------------------------
+# shard ranges over the keyspace-id space
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True, order=True)
+class ShardRange:
+    """One shard's keyspace-id range, named like ``-80`` / ``40-80`` /
+    ``c0-`` (hex bounds, left-aligned prefixes; ``-``/``0``/`` `` is the
+    single shard of an unsharded keyspace).
+
+    Bounds are prefix BYTES compared lexicographically — correct against
+    full-length keyspace ids because a strict prefix sorts before anything
+    it prefixes (b"\\x80" < b"\\x80\\x00...\\x00")."""
+
+    start: bytes  # inclusive; b"" = -inf
+    end: bytes    # exclusive; b"" = +inf
+
+    @classmethod
+    def parse(cls, shard: str) -> "ShardRange":
+        s = (shard or "").strip()
+        if s in ("", "-", "0"):
+            return cls(b"", b"")
+        if "-" not in s:
+            raise ValueError("not a range shard name: %r" % shard)
+        lo, hi = s.split("-", 1)
+        for part in (lo, hi):
+            if part and (len(part) % 2 or
+                         any(c not in "0123456789abcdefABCDEF" for c in part)):
+                raise ValueError("bad hex bound %r in shard %r" % (part, shard))
+        return cls(bytes.fromhex(lo), bytes.fromhex(hi))
+
+    @property
+    def name(self) -> str:
+        if not self.start and not self.end:
+            return "-"
+        return "%s-%s" % (self.start.hex(), self.end.hex())
+
+    def contains(self, keyspace_id: bytes) -> bool:
+        if self.start and keyspace_id < self.start:
+            return False
+        if self.end and keyspace_id >= self.end:
+            return False
+        return True
+
+    def covers(self, other: "ShardRange") -> bool:
+        lo_ok = not self.start or (other.start and other.start >= self.start)
+        hi_ok = not self.end or (other.end and other.end <= self.end)
+        return bool(lo_ok and hi_ok)
+
+
+def shards_tile(shards: list[str]) -> bool:
+    """True iff the shard set partitions the keyspace-id space — contiguous,
+    non-overlapping, from -inf to +inf (what a healthy keyspace serves)."""
+    ranges = sorted(ShardRange.parse(s) for s in shards)
+    if not ranges or ranges[0].start != b"" or ranges[-1].end != b"":
+        return False
+    return all(a.end == b.start and a.end != b""
+               for a, b in zip(ranges, ranges[1:]))
+
+
+def shard_for(keyspace_id: bytes, shards: list[str]) -> str:
+    """The one shard owning ``keyspace_id`` (raises if the set doesn't)."""
+    owners = [s for s in shards if ShardRange.parse(s).contains(keyspace_id)]
+    if len(owners) != 1:
+        raise ValueError("keyspace id %s owned by %d shards of %r"
+                         % (keyspace_id.hex(), len(owners), shards))
+    return owners[0]
+
+
+def detect_reshard(old_shards: list[str],
+                   new_shards: list[str]) -> dict[str, list[str]]:
+    """Shard transitions between two serving sets: ``{parent: [children]}``
+    for every old shard replaced by children that tile its range (a split;
+    a merge appears as one new 'parent' with old 'children' inverted by the
+    caller).  Returns {} when the sets are identical."""
+    old_set, new_set = set(old_shards), set(new_shards)
+    gone = [ShardRange.parse(s) for s in old_set - new_set]
+    added = [ShardRange.parse(s) for s in new_set - old_set]
+    out: dict[str, list[str]] = {}
+    for parent in gone:
+        children = sorted(c for c in added if parent.covers(c))
+        if not children:
+            continue
+        # children must tile the parent exactly
+        if (children[0].start != parent.start
+                or children[-1].end != parent.end
+                or any(a.end != b.start
+                       for a, b in zip(children, children[1:]))):
+            raise ValueError(
+                "shard set change is not a clean reshard: %r -> %r"
+                % (sorted(old_set), sorted(new_set)))
+        out[parent.name] = [c.name for c in children]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# vindexes (keyspace-id functions)
+# ---------------------------------------------------------------------------
+
+def keyspace_id(value, vindex: str = "binary_md5") -> bytes:
+    """Compute a row's keyspace id with a named Vitess vindex.
+
+    ``binary_md5`` (md5 digest of the key bytes) and ``binary`` (the key
+    bytes themselves) are implemented; the default ``hash`` vindex is a
+    DES-based 64-bit block cipher — no DES in the stdlib, honestly gated."""
+    raw = (value if isinstance(value, (bytes, bytearray))
+           else str(value).encode("utf-8"))
+    if vindex == "binary_md5":
+        return hashlib.md5(bytes(raw)).digest()
+    if vindex == "binary":
+        return bytes(raw)
+    if vindex == "hash":
+        raise NotImplementedError(
+            "the 'hash' vindex is 64-bit DES; no DES implementation is "
+            "available in this environment — use binary_md5/binary")
+    raise ValueError("unknown vindex %r" % vindex)
+
+
+def keyspace_id_col(key: Column, vindex: str = "binary_md5") -> Column:
+    """JVM-side `keyspace_id` (codegen'd md5/unhex — no Python)."""
+    raw = key.cast("binary")
+    if vindex == "binary_md5":
+        return F.unhex(F.md5(raw))
+    if vindex == "binary":
+        return raw
+    raise ValueError("vindex %r has no column form" % vindex)
+
+
+def shard_col(ksid: Column, shards: list[str]) -> Column:
+    """Route keyspace ids to shard names JVM-side: a CASE chain of binary
+    comparisons (Spark compares BinaryType lexicographically unsigned —
+    the same order the prefix bounds are defined in).  O(shards) whens,
+    codegen'd; at 100 TB the routing is pure whole-stage compute."""
+    expr = F.lit(None).cast("string")
+    for s in sorted(shards, key=lambda s: ShardRange.parse(s)):
+        r = ShardRange.parse(s)
+        cond = F.lit(True)
+        if r.start:
+            cond = cond & (ksid >= F.lit(r.start))
+        if r.end:
+            cond = cond & (ksid < F.lit(r.end))
+        expr = F.when(cond, F.lit(s)).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# VGTID — the vector offset
+# ---------------------------------------------------------------------------
+
+def _parse_gtid_set(gtid: str) -> dict[str, list[tuple[int, int]]]:
+    """MySQL GTID set ``uuid:1-100:200,uuid2:5`` -> {uuid: [(lo, hi)...]};
+    an optional ``MySQL56/`` flavor prefix (Vitess position spelling) is
+    stripped. ``current``/empty parse to {} (no position)."""
+    s = (gtid or "").strip()
+    if "/" in s:
+        s = s.split("/", 1)[1]
+    if s in ("", "current"):
+        return {}
+    out: dict[str, list[tuple[int, int]]] = {}
+    for part in s.split(","):
+        bits = part.strip().split(":")
+        uuid, intervals = bits[0], bits[1:]
+        if not intervals:
+            raise ValueError("GTID %r has no intervals" % part)
+        for iv in intervals:
+            lo, _, hi = iv.partition("-")
+            out.setdefault(uuid, []).append((int(lo), int(hi or lo)))
+    return {u: sorted(v) for u, v in out.items()}
+
+
+def gtid_covers(a: str, b: str) -> bool:
+    """True iff GTID set ``a`` contains every transaction of ``b``."""
+    sa, sb = _parse_gtid_set(a), _parse_gtid_set(b)
+    for uuid, ivs in sb.items():
+        mine = sa.get(uuid, [])
+        for lo, hi in ivs:
+            n = lo
+            for mlo, mhi in mine:
+                if mlo <= n and n <= mhi:
+                    n = mhi + 1
+                if n > hi:
+                    break
+            if n <= hi:
+                return False
+    return True
+
+
+@dataclass(frozen=True)
+class ShardGtid:
+    keyspace: str
+    shard: str
+    gtid: str
+
+
+@dataclass(frozen=True)
+class Vgtid:
+    """A VStream resume position: one GTID set per shard, serialized as the
+    JSON array Debezium stores in its offsets and stamps into
+    ``source.vgtid``."""
+
+    shard_gtids: tuple[ShardGtid, ...]
+
+    @classmethod
+    def from_json(cls, s: str) -> "Vgtid":
+        return cls(tuple(ShardGtid(d["keyspace"], d["shard"], d["gtid"])
+                         for d in json.loads(s)))
+
+    def to_json(self) -> str:
+        return json.dumps(
+            [{"keyspace": g.keyspace, "shard": g.shard, "gtid": g.gtid}
+             for g in self.shard_gtids], separators=(",", ":"))
+
+    @classmethod
+    def current(cls, keyspace: str, shards: list[str]) -> "Vgtid":
+        """gtid=``current`` startup: stream from each shard's present head."""
+        return cls(tuple(ShardGtid(keyspace, s, "current") for s in shards))
+
+    def shards(self) -> list[str]:
+        return [g.shard for g in self.shard_gtids]
+
+    def position(self, shard: str) -> str | None:
+        for g in self.shard_gtids:
+            if g.shard == shard:
+                return g.gtid
+        return None
+
+    def advance(self, keyspace: str, shard: str, gtid: str) -> "Vgtid":
+        """Replace (or add) one shard's position — what each decoded event's
+        ``source.vgtid`` does to the running offset."""
+        rest = tuple(g for g in self.shard_gtids if g.shard != shard)
+        return Vgtid(tuple(sorted(
+            rest + (ShardGtid(keyspace, shard, gtid),),
+            key=lambda g: (g.keyspace, g.shard))))
+
+    def covers(self, other: "Vgtid") -> bool:
+        """Per-shard GTID-set containment: this position has processed
+        everything ``other`` has (shard-for-shard)."""
+        return all(
+            self.position(g.shard) is not None
+            and gtid_covers(self.position(g.shard), g.gtid)
+            for g in other.shard_gtids)
+
+    def reshard(self, mapping: dict[str, list[str]]) -> "Vgtid":
+        """Apply a parent->children reshard: children start at their
+        parent's position (Vitess copies the GTID through the split)."""
+        out = []
+        for g in self.shard_gtids:
+            if g.shard in mapping:
+                out += [ShardGtid(g.keyspace, c, g.gtid)
+                        for c in mapping[g.shard]]
+            else:
+                out.append(g)
+        return Vgtid(tuple(sorted(out, key=lambda g: (g.keyspace, g.shard))))
+
+
+# ---------------------------------------------------------------------------
+# VStream envelope decode (Debezium vitess layout)
+# ---------------------------------------------------------------------------
+
+def vstream_value_schema(payload: T.StructType) -> T.StructType:
+    return T.StructType([
+        T.StructField("before", payload, True),
+        T.StructField("after", payload, True),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("source", T.StructType([
+            T.StructField("keyspace", T.StringType(), True),
+            T.StructField("table", T.StringType(), True),
+            T.StructField("shard", T.StringType(), True),
+            T.StructField("vgtid", T.StringType(), True),
+        ]), True),
+    ])
+
+
+def decode_vstream(raw: DataFrame, payload_schema: T.StructType,
+                   value_col: str = "value") -> DataFrame:
+    """VStream Debezium-JSON -> engine changelog envelope.
+
+    Same single-projection shape as `decode_debezium`; ``source`` carries
+    keyspace/shard/vgtid instead of db/schema (kept in ``__meta`` so the
+    per-shard resume fold and reshard policy can read them).  Tombstones
+    (the null-value record after a delete when ``tombstones_on_delete``)
+    parse to op-less rows and are dropped here — they exist for Kafka log
+    compaction, not for the changelog."""
+    env = vstream_value_schema(payload_schema)
+    has_offset = "offset" in raw.columns
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), env).alias("v"),
+        *([F.col("offset")] if has_offset else []),
+    )
+    parsed = parsed.where(F.col("v.op").isNotNull())  # tombstone drop
+    op = F.coalesce(
+        *[F.when(F.col("v.op") == k, F.lit(v))
+          for k, v in _VSTREAM_OPS.items()])
+    image = F.when(F.col("v.op") == "d",
+                   F.col("v.before")).otherwise(F.col("v.after"))
+    seq = F.col("offset") if has_offset else F.col("v.ts_ms")
+    out = parsed.select(
+        image.alias("__row"),
+        op.alias(OP_COL),
+        F.when(F.col("v.op") == "u", F.col("v.before")).alias(BEFORE_COL),
+        F.map_from_arrays(
+            F.array(F.lit("ts_ms"), F.lit("keyspace"), F.lit("table"),
+                    F.lit("shard"), F.lit("vgtid")),
+            F.array(F.col("v.ts_ms").cast("string"),
+                    F.col("v.source.keyspace"), F.col("v.source.table"),
+                    F.col("v.source.shard"), F.col("v.source.vgtid")),
+        ).alias(META_COL),
+        seq.cast("bigint").alias(SEQ_COL),
+    )
+    return out.select("__row.*", OP_COL, BEFORE_COL, META_COL, SEQ_COL)
+
+
+def batch_vgtid(decoded: DataFrame, start: Vgtid) -> Vgtid:
+    """Fold a decoded micro-batch into the resume VGTID: per shard, the
+    ``source.vgtid`` of that shard's LAST event (by ``__seq``) replaces the
+    shard's position.  One max_by aggregation, O(shards) rows collected —
+    the same control-plane class as Kafka offset commits."""
+    rows = (decoded
+            .where(F.col(META_COL)["shard"].isNotNull())
+            .groupBy(F.col(META_COL)["shard"].alias("shard"),
+                     F.col(META_COL)["keyspace"].alias("keyspace"))
+            .agg(F.max_by(F.col(META_COL)["vgtid"], F.col(SEQ_COL))
+                 .alias("vgtid"))
+            .collect())
+    out = start
+    for r in rows:
+        if r["vgtid"] is None:
+            continue
+        pos = Vgtid.from_json(r["vgtid"]).position(r["shard"])
+        if pos is not None:
+            out = out.advance(r["keyspace"], r["shard"], pos)
+    return out
+
+
+@dataclass
+class ReshardDecision:
+    """Outcome of `apply_reshard_policy` for one micro-batch."""
+
+    df: DataFrame                  # events to process this batch
+    shards: list[str]              # serving shard set after the batch
+    stopped: bool = False          # stop_on_reshard fired
+    resume_vgtid: Vgtid | None = None  # resumable position when stopped
+
+
+def apply_reshard_policy(decoded: DataFrame, known_shards: list[str],
+                         start: Vgtid, *,
+                         stop_on_reshard: bool = False) -> ReshardDecision:
+    """VitessSource's ``stopOnReshard`` semantics over a micro-batch.
+
+    Detects shard names outside ``known_shards`` (driver-side distinct over
+    O(shards) rows).  ``stop_on_reshard=True``: keep only known-shard
+    events, report ``stopped`` with the resume VGTID *at the boundary* —
+    restart streams the children from their parent's position
+    (`Vgtid.reshard`).  ``False`` (default): adopt the new serving set
+    (validated to tile the keyspace) and process everything."""
+    seen = [r["s"] for r in decoded
+            .select(F.col(META_COL)["shard"].alias("s"))
+            .where(F.col("s").isNotNull()).distinct().collect()]
+    new = sorted(set(seen) - set(known_shards))
+    if not new:
+        return ReshardDecision(df=decoded, shards=list(known_shards))
+    # which known shards did the new ones replace? a parent is any known
+    # shard exactly tiled by a subset of the new shards
+    added = [ShardRange.parse(s) for s in new]
+    mapping: dict[str, list[str]] = {}
+    claimed: set[str] = set()
+    for p in known_shards:
+        pr = ShardRange.parse(p)
+        children = sorted(c for c in added if pr.covers(c))
+        if (children and children[0].start == pr.start
+                and children[-1].end == pr.end
+                and all(a.end == b.start
+                        for a, b in zip(children, children[1:]))):
+            mapping[p] = [c.name for c in children]
+            claimed |= {c.name for c in children}
+    orphan = [s for s in new if ShardRange.parse(s).name not in claimed]
+    if orphan:
+        raise ValueError(
+            "shard(s) %r appeared without a clean parent split from %r"
+            % (orphan, sorted(known_shards)))
+    after = sorted((set(known_shards) - set(mapping)) | set(new))
+    if stop_on_reshard:
+        kept = decoded.where(
+            F.col(META_COL)["shard"].isin(*known_shards))
+        boundary = batch_vgtid(kept, start)
+        return ReshardDecision(
+            df=kept, shards=list(known_shards), stopped=True,
+            resume_vgtid=boundary.reshard(mapping))
+    if not shards_tile(after):
+        raise ValueError("post-reshard shard set %r does not tile the "
+                         "keyspace" % after)
+    return ReshardDecision(df=decoded, shards=after)

@@ -53,7 +53,7 @@ class StreamingPipeline:
     checkpoint_dir: str
     behavior: SchemaChangeBehavior = SchemaChangeBehavior.LENIENT
     parallelism: int | None = None
-    serialization: str = "debezium-json"  # or "canal-json" / "mongodb-json"
+    serialization: str = "debezium-json"  # or canal-/mongodb-/vitess-json
     # Auto-register tables first seen mid-stream (full-database-sync parity:
     # a table created upstream after the pipeline started still syncs).
     # Payload schemas are inferred from the JSON after-images of the first
@@ -232,6 +232,12 @@ class StreamingPipeline:
                     F.get_json_object(v, "$.source.table"),
                     F.coalesce(F.get_json_object(v, "$.after"),
                                F.get_json_object(v, "$.before")))
+        if serialization == "vitess-json":
+            # Debezium vitess: source.keyspace stands where others put db
+            return (F.get_json_object(v, "$.source.keyspace"), null_s,
+                    F.get_json_object(v, "$.source.table"),
+                    F.coalesce(F.get_json_object(v, "$.after"),
+                               F.get_json_object(v, "$.before")))
         # canal-json
         return (F.get_json_object(v, "$.database"), null_s,
                 F.get_json_object(v, "$.table"),
@@ -342,6 +348,8 @@ class StreamingPipeline:
                 decode = (decode_debezium
                           if self.serialization == "debezium-json"
                           else decode_canal)
+                if self.serialization == "vitess-json":
+                    from ..sources.vitess import decode_vstream as decode
                 if self.serialization == "mongodb-json":
                     # upsert-mode change streams: key-only -D tombstones and
                     # +U without before-images — exactly what the keyed sink
