@@ -152,8 +152,26 @@ class TestShardRanges:
         assert keyspace_id(b"k1") == hashlib.md5(b"k1").digest()
         assert keyspace_id("k1") == keyspace_id(b"k1")
         assert keyspace_id(b"\x01\x02", vindex="binary") == b"\x01\x02"
-        with pytest.raises(NotImplementedError):
-            keyspace_id(b"x", vindex="hash")  # DES honestly gated
+        with pytest.raises(TypeError):
+            keyspace_id(b"x", vindex="hash")  # integer keys only
+
+    def test_hash_vindex_des(self):
+        """The default Vitess `hash` vindex = null-key DES: pinned against
+        the classic zero-key DES known-answer AND the keyspace-id examples
+        from the public Vitess sharding docs."""
+        from source_flink_cdc_3_5_0_spark.functions.des_vindex import (
+            des_encrypt_zero_key,
+        )
+
+        assert des_encrypt_zero_key(b"\x00" * 8).hex() == "8ca64de9c1b123a7"
+        assert keyspace_id(1, vindex="hash").hex() == "166b40b44aba4bd6"
+        assert keyspace_id(2, vindex="hash").hex() == "06e7ea22ce92708f"
+        assert keyspace_id(3, vindex="hash").hex() == "4eb190c9a2fa169c"
+        # uint64 wraparound: negative keys hash as their two's complement
+        assert keyspace_id(-1, vindex="hash") \
+            == keyspace_id((1 << 64) - 1, vindex="hash")
+        with pytest.raises(ValueError):
+            des_encrypt_zero_key(b"\x00" * 7)
 
 
 def test_jvm_shard_router_matches_python(spark):
@@ -166,6 +184,19 @@ def test_jvm_shard_router_matches_python(spark):
     got = {r["k"]: r["shard"] for r in df.collect()}
     for (k,) in keys:
         assert got[k] == shard_for(keyspace_id(k), shards), k
+
+
+def test_hash_vindex_column_matches_python(spark):
+    """The pandas-UDF `hash` vindex column agrees with the scalar DES path
+    (and therefore with real Vitess `hash` routing)."""
+    shards = ["-80", "80-"]
+    df = spark.createDataFrame([(n,) for n in range(1, 33)], "n LONG")
+    out = df.select(
+        "n", shard_col(keyspace_id_col(F.col("n"), vindex="hash"),
+                       shards).alias("shard"))
+    for r in out.collect():
+        assert r["shard"] == shard_for(
+            keyspace_id(r["n"], vindex="hash"), shards), r["n"]
 
 
 # ---------------------------------------------------------------------------
