@@ -403,7 +403,8 @@ class PipelineComposer:
         raise ValueError(f"unknown source type {t!r} (programmatic sources: pass source=)")
 
     # -- streaming YAML surface -------------------------------------------
-    STREAMING_SOURCE_TYPES = ("debezium-file", "mongodb-file", "kafka")
+    STREAMING_SOURCE_TYPES = ("debezium-file", "mongodb-file",
+                              "vitess-file", "kafka")
 
     def is_streaming(self, pdef: PipelineDef) -> bool:
         return pdef.source.type.lower() in self.STREAMING_SOURCE_TYPES
@@ -446,12 +447,13 @@ class PipelineComposer:
             parallelism=pdef.config.parallelism if pdef.config.parallelism > 1 else None,
             serialization=opts.get(
                 "serialization",
-                "mongodb-json" if pdef.source.type.lower() == "mongodb-file"
-                else "debezium-json"),
+                {"mongodb-file": "mongodb-json",
+                 "vitess-file": "vitess-json"}.get(
+                    pdef.source.type.lower(), "debezium-json")),
             discover_tables=opts.get("discover-tables", "false").lower() == "true",
         )
         t = pdef.source.type.lower()
-        if t in ("debezium-file", "mongodb-file"):
+        if t in ("debezium-file", "mongodb-file", "vitess-file"):
             raw = file_stream_source(self.spark, opts["path"])
         else:
             from ..sources.jdbc import StartupOptions

@@ -399,3 +399,51 @@ def test_streaming_pipeline_vitess_json(spark, tmp_path):
     q.awaitTermination(120)
     assert sink.snapshot(TableId.parse("shop.items")) == ["1, bolt, 7"]
     assert sink.row_count(TableId.parse("shop.orders")) == 1
+
+
+def test_yaml_vitess_file_pipeline(spark, tmp_path):
+    """YAML surface: `type: vitess-file` streams VStream Debezium-JSON
+    through the full parse->compose->transform->route->sink path with
+    `serialization: vitess-json` defaulted from the source type."""
+    import os
+
+    from source_flink_cdc_3_5_0_spark.common import TableId
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline,
+    )
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+
+    src = str(tmp_path / "vstream")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        f.write("\n".join([
+            ev("c", "-80", "u1:1", after={"id": 1, "name": "bolt", "qty": 5},
+               ts=10),
+            ev("u", "-80", "u1:1-2",
+               after={"id": 1, "name": "bolt", "qty": 8},
+               before={"id": 1, "name": "bolt", "qty": 5}, ts=11),
+            ev("c", "80-", "u2:1", after={"id": 9, "name": "nut", "qty": 2},
+               ts=12),
+        ]))
+    yaml = """
+source:
+  type: vitess-file
+  path: %s
+  checkpoint: %s
+  tables: '{"shop.items": "id BIGINT, name STRING, qty BIGINT"}'
+  primary-keys: '{"shop.items": ["id"]}'
+sink: {type: values}
+route:
+  - source-table: shop.items
+    sink-table: out.shop_items
+""" % (src, tmp_path / "ckpt")
+    composer = PipelineComposer(spark)
+    pdef = parse_yaml_pipeline(yaml)
+    assert composer.is_streaming(pdef)
+    sink = MemorySink()
+    pipe, raw, tables = composer.compose_streaming(pdef, sink=sink)
+    assert pipe.serialization == "vitess-json"
+    q = pipe.start(raw, tables)
+    q.awaitTermination(120)
+    assert sink.snapshot(TableId.parse("out.shop_items")) \
+        == ["1, bolt, 8", "9, nut, 2"]
