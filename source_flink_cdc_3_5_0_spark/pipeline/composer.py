@@ -451,6 +451,10 @@ class PipelineComposer:
                  "vitess-file": "vitess-json"}.get(
                     pdef.source.type.lower(), "debezium-json")),
             discover_tables=opts.get("discover-tables", "false").lower() == "true",
+            # VitessSource stopOnReshard (default false) — only meaningful
+            # for vitess-json streams
+            stop_on_reshard=str(opts.get(
+                "stop-on-reshard", "false")).lower() == "true",
         )
         t = pdef.source.type.lower()
         if t in ("debezium-file", "mongodb-file", "vitess-file"):

@@ -47,14 +47,24 @@ def debezium_value_schema(payload: T.StructType) -> T.StructType:
     ])
 
 
-def decode_debezium(raw: DataFrame, payload_schema: T.StructType,
-                    value_col: str = "value") -> DataFrame:
-    """Kafka value JSON -> engine changelog envelope.
+def decode_dbz_envelope(raw: DataFrame, payload_schema: T.StructType,
+                        value_col: str, *, source_fields: list[str],
+                        meta_entries: list[tuple[str, str]],
+                        drop_opless: bool = False) -> DataFrame:
+    """Shared before/after/op/ts_ms/source envelope decode.
 
-    ``raw`` is a Kafka-shaped frame (``value`` binary/string, ``offset``
-    long optional). Update events arrive as single rows carrying both
-    images — exactly our envelope's ``__before`` convention. The Kafka
-    ``offset`` (or ``ts_ms`` fallback) provides the per-key ``__seq``.
+    One ``from_json`` projection (JVM, codegen) parameterized by the
+    connector's ``source`` block layout: ``source_fields`` are the string
+    fields inside ``source``; ``meta_entries`` maps ``__meta`` keys to
+    envelope paths relative to the parsed struct (``"ts_ms"`` or
+    ``"source.db"``).  Debezium-proper, the VStream (vitess) variant, and
+    any future source-block flavor decode through this one implementation,
+    so op mapping, seq fallback, and zoned-timestamp fidelity cannot
+    diverge between connectors.
+
+    ``drop_opless=True`` drops op-less rows (Kafka log-compaction
+    tombstones — the null-value record emitted after a delete when
+    ``tombstones.on.delete`` is set).
 
     Zoned (TIMESTAMP_TZ) columns arrive as ISO-8601 offset strings
     (io.debezium.time.ZonedTimestamp); each is split into the instant
@@ -64,11 +74,21 @@ def decode_debezium(raw: DataFrame, payload_schema: T.StructType,
     before-images render at UTC).
     """
     zoned = zoned_field_names(payload_schema)
-    env = debezium_value_schema(wire_schema(payload_schema))
+    env = T.StructType([
+        T.StructField("before", wire_schema(payload_schema), True),
+        T.StructField("after", wire_schema(payload_schema), True),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("source", T.StructType([
+            T.StructField(f, T.StringType(), True) for f in source_fields
+        ]), True),
+    ])
     parsed = raw.select(
         F.from_json(F.col(value_col).cast("string"), env).alias("v"),
         *([F.col("offset")] if "offset" in raw.columns else []),
     )
+    if drop_opless:
+        parsed = parsed.where(F.col("v.op").isNotNull())
     op = F.coalesce(
         *[F.when(F.col("v.op") == k, F.lit(v)) for k, v in _DEBEZIUM_OPS.items()]
     )
@@ -79,9 +99,9 @@ def decode_debezium(raw: DataFrame, payload_schema: T.StructType,
         op.alias(OP_COL),
         F.when(F.col("v.op") == "u", F.col("v.before")).alias(BEFORE_COL),
         F.map_from_arrays(
-            F.array(F.lit("ts_ms"), F.lit("db"), F.lit("table")),
-            F.array(F.col("v.ts_ms").cast("string"), F.col("v.source.db"),
-                    F.col("v.source.table")),
+            F.array(*[F.lit(k) for k, _ in meta_entries]),
+            F.array(*[F.col(f"v.{path}").cast("string")
+                      for _, path in meta_entries]),
         ).alias(META_COL),
         seq.cast("bigint").alias(SEQ_COL),
     )
@@ -103,6 +123,25 @@ def decode_debezium(raw: DataFrame, payload_schema: T.StructType,
             for f in payload_schema.fields]))
     return out.select(*cols, OP_COL, before.alias(BEFORE_COL), META_COL,
                       SEQ_COL)
+
+
+def decode_debezium(raw: DataFrame, payload_schema: T.StructType,
+                    value_col: str = "value") -> DataFrame:
+    """Kafka value JSON -> engine changelog envelope.
+
+    ``raw`` is a Kafka-shaped frame (``value`` binary/string, ``offset``
+    long optional). Update events arrive as single rows carrying both
+    images — exactly our envelope's ``__before`` convention. The Kafka
+    ``offset`` (or ``ts_ms`` fallback) provides the per-key ``__seq``.
+    Envelope mechanics (op map, seq, zoned-timestamp splitting) live in
+    `decode_dbz_envelope`.
+    """
+    return decode_dbz_envelope(
+        raw, payload_schema, value_col,
+        source_fields=["db", "schema", "table"],
+        meta_entries=[("ts_ms", "ts_ms"), ("db", "source.db"),
+                      ("table", "source.table")],
+    )
 
 
 def encode_debezium(df: DataFrame, table_id: TableId, schema: Schema,

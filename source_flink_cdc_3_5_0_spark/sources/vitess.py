@@ -49,10 +49,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
-from ..common.events import BEFORE_COL, META_COL, OP_COL
+from ..common.events import META_COL
 from .base import SEQ_COL
-
-_VSTREAM_OPS = {"c": "+I", "r": "+I", "u": "+U", "d": "-D"}
 
 
 # ---------------------------------------------------------------------------
@@ -215,29 +213,52 @@ def shard_for(keyspace_id: bytes, shards: list[str]) -> str:
     return owners[0]
 
 
+def _tiles(parent: ShardRange, children: list[ShardRange]) -> bool:
+    """True iff ``children`` (sorted) tile ``parent``'s range exactly."""
+    return bool(children
+                and children[0].start == parent.start
+                and children[-1].end == parent.end
+                and all(a.end == b.start
+                        for a, b in zip(children, children[1:])))
+
+
 def detect_reshard(old_shards: list[str],
                    new_shards: list[str]) -> dict[str, list[str]]:
-    """Shard transitions between two serving sets: ``{parent: [children]}``
-    for every old shard replaced by children that tile its range (a split;
-    a merge appears as one new 'parent' with old 'children' inverted by the
-    caller).  Returns {} when the sets are identical."""
+    """Shard transitions between two serving sets, ``{parent: [children]}``
+    where the parent's range equals the union of the children's ranges.
+    A SPLIT maps an old parent to new children; a MERGE maps a new parent
+    to old children (direction is recoverable from set membership).
+    Returns {} ONLY when the sets are identical; any disappearance or
+    appearance not explained by a clean transition raises — a silent {}
+    must never mean 'half the keyspace lost coverage'."""
     old_set, new_set = set(old_shards), set(new_shards)
-    gone = [ShardRange.parse(s) for s in old_set - new_set]
-    added = [ShardRange.parse(s) for s in new_set - old_set]
+    gone = sorted(ShardRange.parse(s) for s in old_set - new_set)
+    added = sorted(ShardRange.parse(s) for s in new_set - old_set)
     out: dict[str, list[str]] = {}
-    for parent in gone:
+    used_added: set[str] = set()
+    used_gone: set[str] = set()
+    for parent in gone:  # splits
         children = sorted(c for c in added if parent.covers(c))
-        if not children:
+        if _tiles(parent, children):
+            out[parent.name] = [c.name for c in children]
+            used_added |= {c.name for c in children}
+            used_gone.add(parent.name)
+    for parent in added:  # merges
+        if parent.name in used_added:
             continue
-        # children must tile the parent exactly
-        if (children[0].start != parent.start
-                or children[-1].end != parent.end
-                or any(a.end != b.start
-                       for a, b in zip(children, children[1:]))):
-            raise ValueError(
-                "shard set change is not a clean reshard: %r -> %r"
-                % (sorted(old_set), sorted(new_set)))
-        out[parent.name] = [c.name for c in children]
+        children = sorted(g for g in gone
+                          if g.name not in used_gone and parent.covers(g))
+        if _tiles(parent, children):
+            out[parent.name] = [c.name for c in children]
+            used_gone |= {c.name for c in children}
+            used_added.add(parent.name)
+    unexplained = ([g.name for g in gone if g.name not in used_gone]
+                   + [a.name for a in added if a.name not in used_added])
+    if unexplained:
+        raise ValueError(
+            "shard set change is not a clean reshard: %r -> %r "
+            "(unexplained: %r)"
+            % (sorted(old_set), sorted(new_set), sorted(unexplained)))
     return out
 
 
@@ -277,11 +298,15 @@ def keyspace_id_col(key: Column, vindex: str = "binary_md5") -> Column:
     if vindex == "hash":
         from ..functions.des_vindex import vitess_hash
 
+        # the key crosses into Python as a STRING: an Arrow int64 batch
+        # that contains any null becomes a float64 pandas Series, and
+        # float64 silently rounds keys >= 2^53 — string round-trip keeps
+        # 64-bit keys exact in every batch
         @F.pandas_udf("binary")
         def _vhash(s: pd.Series) -> pd.Series:
             return s.map(lambda n: None if pd.isna(n) else vitess_hash(int(n)))
 
-        return _vhash(key.cast("long"))
+        return _vhash(key.cast("long").cast("string"))
     raw = key.cast("binary")
     if vindex == "binary_md5":
         return F.unhex(F.md5(raw))
@@ -382,26 +407,33 @@ class Vgtid:
     def shards(self) -> list[str]:
         return [g.shard for g in self.shard_gtids]
 
-    def position(self, shard: str) -> str | None:
+    def position(self, shard: str, keyspace: str | None = None) -> str | None:
+        """This VGTID's position for ``shard`` (optionally pinned to one
+        keyspace — shard NAMES like ``-80`` repeat across keyspaces, so a
+        multi-keyspace VGTID must always pass ``keyspace``)."""
         for g in self.shard_gtids:
-            if g.shard == shard:
+            if g.shard == shard and (keyspace is None
+                                     or g.keyspace == keyspace):
                 return g.gtid
         return None
 
     def advance(self, keyspace: str, shard: str, gtid: str) -> "Vgtid":
-        """Replace (or add) one shard's position — what each decoded event's
-        ``source.vgtid`` does to the running offset."""
-        rest = tuple(g for g in self.shard_gtids if g.shard != shard)
+        """Replace (or add) one (keyspace, shard) position — what each
+        decoded event's ``source.vgtid`` does to the running offset.  Keyed
+        by BOTH fields: ``-80`` in ks1 and ``-80`` in ks2 are different
+        streams and must not clobber each other."""
+        rest = tuple(g for g in self.shard_gtids
+                     if not (g.keyspace == keyspace and g.shard == shard))
         return Vgtid(tuple(sorted(
             rest + (ShardGtid(keyspace, shard, gtid),),
             key=lambda g: (g.keyspace, g.shard))))
 
     def covers(self, other: "Vgtid") -> bool:
-        """Per-shard GTID-set containment: this position has processed
-        everything ``other`` has (shard-for-shard)."""
+        """Per-(keyspace, shard) GTID-set containment: this position has
+        processed everything ``other`` has."""
         return all(
-            self.position(g.shard) is not None
-            and gtid_covers(self.position(g.shard), g.gtid)
+            self.position(g.shard, g.keyspace) is not None
+            and gtid_covers(self.position(g.shard, g.keyspace), g.gtid)
             for g in other.shard_gtids)
 
     def reshard(self, mapping: dict[str, list[str]]) -> "Vgtid":
@@ -421,80 +453,128 @@ class Vgtid:
 # VStream envelope decode (Debezium vitess layout)
 # ---------------------------------------------------------------------------
 
-def vstream_value_schema(payload: T.StructType) -> T.StructType:
-    return T.StructType([
-        T.StructField("before", payload, True),
-        T.StructField("after", payload, True),
-        T.StructField("op", T.StringType(), True),
-        T.StructField("ts_ms", T.LongType(), True),
-        T.StructField("source", T.StructType([
-            T.StructField("keyspace", T.StringType(), True),
-            T.StructField("table", T.StringType(), True),
-            T.StructField("shard", T.StringType(), True),
-            T.StructField("vgtid", T.StringType(), True),
-        ]), True),
-    ])
-
-
 def decode_vstream(raw: DataFrame, payload_schema: T.StructType,
                    value_col: str = "value") -> DataFrame:
     """VStream Debezium-JSON -> engine changelog envelope.
 
-    Same single-projection shape as `decode_debezium`; ``source`` carries
-    keyspace/shard/vgtid instead of db/schema (kept in ``__meta`` so the
-    per-shard resume fold and reshard policy can read them).  Tombstones
-    (the null-value record after a delete when ``tombstones_on_delete``)
-    parse to op-less rows and are dropped here — they exist for Kafka log
-    compaction, not for the changelog."""
-    env = vstream_value_schema(payload_schema)
-    has_offset = "offset" in raw.columns
-    parsed = raw.select(
-        F.from_json(F.col(value_col).cast("string"), env).alias("v"),
-        *([F.col("offset")] if has_offset else []),
+    The envelope mechanics (single ``from_json`` projection, op map, seq
+    fallback, zoned-timestamp side channels) are shared with
+    `decode_debezium` via `decode_dbz_envelope` — only the ``source``
+    block differs: VStream carries keyspace/shard/vgtid instead of
+    db/schema (kept in ``__meta`` so the per-shard resume fold and reshard
+    policy can read them).  Tombstones (the null-value record after a
+    delete when ``tombstones_on_delete``) parse to op-less rows and are
+    dropped — they exist for Kafka log compaction, not the changelog."""
+    from .debezium import decode_dbz_envelope
+
+    return decode_dbz_envelope(
+        raw, payload_schema, value_col,
+        source_fields=["keyspace", "table", "shard", "vgtid"],
+        meta_entries=[("ts_ms", "ts_ms"), ("keyspace", "source.keyspace"),
+                      ("table", "source.table"), ("shard", "source.shard"),
+                      ("vgtid", "source.vgtid")],
+        drop_opless=True,
     )
-    parsed = parsed.where(F.col("v.op").isNotNull())  # tombstone drop
-    op = F.coalesce(
-        *[F.when(F.col("v.op") == k, F.lit(v))
-          for k, v in _VSTREAM_OPS.items()])
-    image = F.when(F.col("v.op") == "d",
-                   F.col("v.before")).otherwise(F.col("v.after"))
-    seq = F.col("offset") if has_offset else F.col("v.ts_ms")
-    out = parsed.select(
-        image.alias("__row"),
-        op.alias(OP_COL),
-        F.when(F.col("v.op") == "u", F.col("v.before")).alias(BEFORE_COL),
-        F.map_from_arrays(
-            F.array(F.lit("ts_ms"), F.lit("keyspace"), F.lit("table"),
-                    F.lit("shard"), F.lit("vgtid")),
-            F.array(F.col("v.ts_ms").cast("string"),
-                    F.col("v.source.keyspace"), F.col("v.source.table"),
-                    F.col("v.source.shard"), F.col("v.source.vgtid")),
-        ).alias(META_COL),
-        seq.cast("bigint").alias(SEQ_COL),
-    )
-    return out.select("__row.*", OP_COL, BEFORE_COL, META_COL, SEQ_COL)
 
 
-def batch_vgtid(decoded: DataFrame, start: Vgtid) -> Vgtid:
-    """Fold a decoded micro-batch into the resume VGTID: per shard, the
-    ``source.vgtid`` of that shard's LAST event (by ``__seq``) replaces the
-    shard's position.  One max_by aggregation, O(shards) rows collected —
-    the same control-plane class as Kafka offset commits."""
-    rows = (decoded
-            .where(F.col(META_COL)["shard"].isNotNull())
-            .groupBy(F.col(META_COL)["shard"].alias("shard"),
-                     F.col(META_COL)["keyspace"].alias("keyspace"))
-            .agg(F.max_by(F.col(META_COL)["vgtid"], F.col(SEQ_COL))
+def _positions_agg(df: DataFrame, shard: Column, keyspace: Column,
+                   vgtid: Column, seq: Column) -> list:
+    """The shared per-(shard, keyspace) last-position aggregation.  ``seq``
+    breaks ties with (length, lexicographic) on the vgtid string — a
+    shard's GTID set only grows, so on the file path (where ``seq`` is
+    millisecond ``ts_ms`` and same-ms ties are common) the longer/later
+    spelling is the later position; without this, max_by could regress the
+    resume point inside one millisecond.  O(shards) rows collected — the
+    same control-plane class as Kafka offset commits."""
+    return (df
+            .where(shard.isNotNull())
+            .groupBy(shard.alias("shard"), keyspace.alias("keyspace"))
+            .agg(F.max_by(vgtid, F.struct(seq, F.length(vgtid), vgtid))
                  .alias("vgtid"))
             .collect())
+
+
+def _shard_positions(decoded: DataFrame) -> list:
+    """`_positions_agg` over a DECODED micro-batch (``__meta`` map)."""
+    return _positions_agg(
+        decoded, F.col(META_COL)["shard"], F.col(META_COL)["keyspace"],
+        F.col(META_COL)["vgtid"], F.col(SEQ_COL))
+
+
+def _raw_shard_positions(raw: DataFrame, value_col: str) -> list:
+    """`_positions_agg` straight off RAW VStream JSON — the streaming
+    runner's offset fold, which must not depend on any table's payload
+    schema (one pass over the whole micro-batch covers every table)."""
+    v = F.col(value_col)
+    return _positions_agg(
+        raw,
+        F.get_json_object(v, "$.source.shard"),
+        F.get_json_object(v, "$.source.keyspace"),
+        F.get_json_object(v, "$.source.vgtid"),
+        F.get_json_object(v, "$.ts_ms").cast("long"))
+
+
+def _fold_positions(rows: list, start: Vgtid,
+                    only_shards: set[str] | None = None) -> Vgtid:
     out = start
     for r in rows:
         if r["vgtid"] is None:
             continue
-        pos = Vgtid.from_json(r["vgtid"]).position(r["shard"])
+        if only_shards is not None and r["shard"] not in only_shards:
+            continue
+        pos = Vgtid.from_json(r["vgtid"]).position(r["shard"], r["keyspace"])
         if pos is not None:
             out = out.advance(r["keyspace"], r["shard"], pos)
     return out
+
+
+def batch_vgtid(decoded: DataFrame, start: Vgtid) -> Vgtid:
+    """Fold a decoded micro-batch into the resume VGTID: per (keyspace,
+    shard), the ``source.vgtid`` of that shard's LAST event (by ``__seq``)
+    replaces the shard's position."""
+    return _fold_positions(_shard_positions(decoded), start)
+
+
+def _classify_new_shards(known_shards: list[str], new: list[str]):
+    """Classify never-seen shard names against the serving set.
+
+    Returns ``(splits, merged_children, claimed, still_pending)``:
+    ``splits`` maps a known parent to new children that tile it exactly;
+    ``merged_children`` are known shards replaced by a covering new merge
+    parent; ``claimed`` is every new shard explained (split child or merge
+    parent); ``still_pending`` are split children whose quiet siblings
+    haven't emitted yet (NOT an error — micro-batch boundaries give no
+    same-batch guarantee).  Anything unexplained raises."""
+    added = [ShardRange.parse(s) for s in new]
+    splits: dict[str, list[str]] = {}
+    claimed: set[str] = set()
+    still_pending: set[str] = set()
+    for p in known_shards:
+        pr = ShardRange.parse(p)
+        children = sorted(c for c in added if pr.covers(c))
+        if not children:
+            continue
+        if _tiles(pr, children):
+            splits[p] = [c.name for c in children]
+            claimed |= {c.name for c in children}
+        else:  # quiet siblings — defer adoption, don't crash the stream
+            still_pending |= {c.name for c in children}
+    merged_children: set[str] = set()
+    for c in added:
+        if c.name in claimed or c.name in still_pending:
+            continue
+        parts = sorted(pr for pr in (ShardRange.parse(k)
+                                     for k in known_shards)
+                       if c.covers(pr))
+        if _tiles(c, parts):
+            merged_children |= {p.name for p in parts}
+            claimed.add(c.name)
+    orphan = sorted(set(new) - claimed - still_pending)
+    if orphan:
+        raise ValueError(
+            "shard(s) %r appeared without a clean parent split or merge "
+            "from %r" % (orphan, sorted(known_shards)))
+    return splits, merged_children, claimed, still_pending
 
 
 @dataclass
@@ -505,53 +585,158 @@ class ReshardDecision:
     shards: list[str]              # serving shard set after the batch
     stopped: bool = False          # stop_on_reshard fired
     resume_vgtid: Vgtid | None = None  # resumable position when stopped
+    pending: tuple[str, ...] = ()  # split children whose siblings are quiet
 
 
 def apply_reshard_policy(decoded: DataFrame, known_shards: list[str],
-                         start: Vgtid, *,
-                         stop_on_reshard: bool = False) -> ReshardDecision:
+                         start: Vgtid, *, stop_on_reshard: bool = False,
+                         pending: tuple[str, ...] = ()) -> ReshardDecision:
     """VitessSource's ``stopOnReshard`` semantics over a micro-batch.
 
-    Detects shard names outside ``known_shards`` (driver-side distinct over
-    O(shards) rows).  ``stop_on_reshard=True``: keep only known-shard
-    events, report ``stopped`` with the resume VGTID *at the boundary* —
-    restart streams the children from their parent's position
-    (`Vgtid.reshard`).  ``False`` (default): adopt the new serving set
-    (validated to tile the keyspace) and process everything."""
-    seen = [r["s"] for r in decoded
-            .select(F.col(META_COL)["shard"].alias("s"))
-            .where(F.col("s").isNotNull()).distinct().collect()]
-    new = sorted(set(seen) - set(known_shards))
+    One aggregation pass (`_shard_positions`) yields both the shard names
+    seen and each shard's last position — the micro-batch JSON is parsed
+    once here, not once for the distinct and again for the fold.
+
+    New shard names are classified against ``known_shards``:
+
+    - **split children** — new shards covered by one known parent; adopted
+      when they tile the parent exactly.  Micro-batch boundaries give no
+      guarantee every child emits in the same batch, so children whose
+      siblings are quiet are NOT an error: they come back in ``pending``
+      and the caller feeds them into the next batch's call until the
+      tiling completes (the serving set is unchanged meanwhile).
+    - **merge parents** — a new shard that ≥1 known shards tile exactly;
+      the known children leave the serving set.
+    - anything else raises (a shard set that neither splits nor merges
+      cleanly means the stream and the topology disagree).
+
+    ``stop_on_reshard=True``: keep only known-shard events, report
+    ``stopped`` with the resume VGTID *at the boundary* — completed split
+    children resume from their parent's position (`Vgtid.reshard`); merge
+    and partial-split parents keep their own positions (VStream resolves
+    old-shard positions across a reshard transition).  ``False``
+    (default): adopt the new serving set (validated to tile) and process
+    everything."""
+    rows = _shard_positions(decoded)
+    seen = sorted({r["shard"] for r in rows})
+    new = sorted((set(seen) | set(pending)) - set(known_shards))
     if not new:
         return ReshardDecision(df=decoded, shards=list(known_shards))
-    # which known shards did the new ones replace? a parent is any known
-    # shard exactly tiled by a subset of the new shards
-    added = [ShardRange.parse(s) for s in new]
-    mapping: dict[str, list[str]] = {}
-    claimed: set[str] = set()
-    for p in known_shards:
-        pr = ShardRange.parse(p)
-        children = sorted(c for c in added if pr.covers(c))
-        if (children and children[0].start == pr.start
-                and children[-1].end == pr.end
-                and all(a.end == b.start
-                        for a, b in zip(children, children[1:]))):
-            mapping[p] = [c.name for c in children]
-            claimed |= {c.name for c in children}
-    orphan = [s for s in new if ShardRange.parse(s).name not in claimed]
-    if orphan:
-        raise ValueError(
-            "shard(s) %r appeared without a clean parent split from %r"
-            % (orphan, sorted(known_shards)))
-    after = sorted((set(known_shards) - set(mapping)) | set(new))
+    splits, merged_children, claimed, still_pending = _classify_new_shards(
+        known_shards, new)
     if stop_on_reshard:
         kept = decoded.where(
             F.col(META_COL)["shard"].isin(*known_shards))
-        boundary = batch_vgtid(kept, start)
+        boundary = _fold_positions(rows, start,
+                                   only_shards=set(known_shards))
         return ReshardDecision(
             df=kept, shards=list(known_shards), stopped=True,
-            resume_vgtid=boundary.reshard(mapping))
+            resume_vgtid=boundary.reshard(splits),
+            pending=tuple(sorted(still_pending)))
+    after = sorted((set(known_shards) - set(splits) - merged_children)
+                   | claimed)
     if not shards_tile(after):
         raise ValueError("post-reshard shard set %r does not tile the "
                          "keyspace" % after)
-    return ReshardDecision(df=decoded, shards=after)
+    return ReshardDecision(df=decoded, shards=after,
+                           pending=tuple(sorted(still_pending)))
+
+
+# ---------------------------------------------------------------------------
+# streaming-runner integration: persisted VGTID offset + stopOnReshard
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class VitessStreamState:
+    """The connector state the streaming runner persists per checkpoint —
+    the analog of the reference's Debezium offset store entry (one VGTID)
+    plus the serving shard set and any in-flight partial split.
+
+    ``stopped=True`` marks a halted ``stop_on_reshard`` stream: the VGTID
+    is the resumable boundary; further micro-batches must not be processed
+    under the old topology (the operator restarts the pipeline, which
+    clears the flag and adopts ``shards``)."""
+
+    vgtid: Vgtid = Vgtid(())
+    shards: tuple[str, ...] = ()
+    pending: tuple[str, ...] = ()
+    stopped: bool = False
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "vgtid": json.loads(self.vgtid.to_json()),
+            "shards": list(self.shards), "pending": list(self.pending),
+            "stopped": self.stopped}, separators=(",", ":"))
+
+    @classmethod
+    def from_json(cls, s: str) -> "VitessStreamState":
+        d = json.loads(s)
+        return cls(vgtid=Vgtid.from_json(json.dumps(d.get("vgtid", []))),
+                   shards=tuple(d.get("shards", ())),
+                   pending=tuple(d.get("pending", ())),
+                   stopped=bool(d.get("stopped", False)))
+
+
+def fold_vstream_batch(raw: DataFrame, value_col: str,
+                       state: VitessStreamState, *,
+                       stop_on_reshard: bool = False,
+                       ) -> tuple[VitessStreamState, bool]:
+    """Advance the persisted Vitess stream state over one RAW micro-batch.
+
+    Returns ``(new_state, keep_known_only)``.  ``keep_known_only=True``
+    tells the caller to process only events whose ``source.shard`` is in
+    the OLD ``state.shards`` this batch (the stop-at-reshard boundary);
+    the returned state carries ``stopped=True`` with the resumable VGTID.
+
+    One raw-JSON aggregation per batch (`_raw_shard_positions`) — no
+    payload schema needed, so the fold covers every table in the batch in
+    a single pass and runs BEFORE per-table decode.  First batch with no
+    prior state adopts the seen serving set as the baseline (gtid
+    ``current`` startup has no shard list until the stream speaks)."""
+    rows = _raw_shard_positions(raw, value_col)
+    if not rows:
+        return state, False
+    seen = sorted({r["shard"] for r in rows})
+    if not state.shards:  # first contact: adopt the serving set
+        return VitessStreamState(
+            vgtid=_fold_positions(rows, state.vgtid),
+            shards=tuple(seen)), False
+    known = list(state.shards)
+    new = sorted((set(seen) | set(state.pending)) - set(known))
+    if not new:
+        return VitessStreamState(
+            vgtid=_fold_positions(rows, state.vgtid),
+            shards=state.shards), False
+    splits, merged_children, claimed, still_pending = _classify_new_shards(
+        known, new)
+    if stop_on_reshard:
+        boundary = _fold_positions(rows, state.vgtid,
+                                   only_shards=set(known))
+        return VitessStreamState(
+            vgtid=boundary.reshard(splits), shards=state.shards,
+            pending=tuple(sorted(still_pending)), stopped=True), True
+    after = sorted((set(known) - set(splits) - merged_children) | claimed)
+    if not shards_tile(after):
+        raise ValueError("post-reshard shard set %r does not tile the "
+                         "keyspace" % after)
+    folded = _fold_positions(rows, state.vgtid)
+    # completed split: quiet children inherit the parent's position (a
+    # child that already spoke keeps its own), parent entry retires;
+    # merge: the old children's entries retire (the merge parent's entry
+    # was folded from its own events)
+    entries = {(g.keyspace, g.shard): g.gtid for g in folded.shard_gtids}
+    for parent, children in splits.items():
+        for (ks, sh), gt in list(entries.items()):
+            if sh == parent:
+                for c in children:
+                    entries.setdefault((ks, c), gt)
+                del entries[(ks, sh)]
+    for (ks, sh) in list(entries):
+        if sh in merged_children:
+            del entries[(ks, sh)]
+    folded = Vgtid(tuple(sorted(
+        (ShardGtid(ks, sh, gt) for (ks, sh), gt in entries.items()),
+        key=lambda g: (g.keyspace, g.shard))))
+    return VitessStreamState(
+        vgtid=folded, shards=tuple(after),
+        pending=tuple(sorted(still_pending))), False

@@ -60,6 +60,10 @@ class StreamingPipeline:
     # batch that mentions the table — the parallel-metadata path of
     # DataSource.isParallelMetadataSource (SURVEY.md §2.1 P8).
     discover_tables: bool = False
+    # vitess-json only: halt at a reshard boundary with a resumable VGTID
+    # instead of adopting the new serving set (VitessSource stopOnReshard,
+    # default false — VitessSource.java:47-59)
+    stop_on_reshard: bool = False
 
     @staticmethod
     def create(spark: SparkSession, sink: DataSink, checkpoint_dir: str,
@@ -67,7 +71,8 @@ class StreamingPipeline:
                behavior: SchemaChangeBehavior = SchemaChangeBehavior.LENIENT,
                parallelism: int | None = None,
                serialization: str = "debezium-json",
-               discover_tables: bool = False) -> "StreamingPipeline":
+               discover_tables: bool = False,
+               stop_on_reshard: bool = False) -> "StreamingPipeline":
         return StreamingPipeline(
             spark=spark, sink=sink,
             post=PostTransform(list(transforms or [])),
@@ -79,7 +84,27 @@ class StreamingPipeline:
             parallelism=parallelism,
             serialization=serialization,
             discover_tables=discover_tables,
+            stop_on_reshard=stop_on_reshard,
         )
+
+    # -- vitess-json connector state (VGTID offset + reshard posture) ------
+    def _vitess_state_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "vitess_vgtid.json")
+
+    def _load_vitess_state(self):
+        from ..sources.vitess import VitessStreamState
+
+        if os.path.exists(self._vitess_state_path()):
+            with open(self._vitess_state_path()) as f:
+                return VitessStreamState.from_json(f.read())
+        return VitessStreamState()
+
+    def _save_vitess_state(self, state) -> None:
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        tmp = self._vitess_state_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(state.to_json())
+        os.replace(tmp, self._vitess_state_path())
 
     # -- shared control plane (delegates to the batch execution) ----------
     def _execution(self) -> PipelineExecution:
@@ -291,10 +316,34 @@ class StreamingPipeline:
             with open(self._watermarks_path()) as f:
                 watermarks = {k: int(v) for k, v in _json.load(f).items()}
 
+        if self.serialization == "vitess-json":
+            vs = self._load_vitess_state()
+            if vs.stopped:
+                # restarting the pipeline IS the operator action after a
+                # stopOnReshard halt (reference: the Flink job restarts
+                # from the stored offset): adopt the resume VGTID's shard
+                # set (children inherited their parents' positions at the
+                # boundary) and clear the halt flag
+                from ..sources.vitess import VitessStreamState
+
+                resumed = tuple(sorted(
+                    {g.shard for g in vs.vgtid.shard_gtids})) or vs.shards
+                self._save_vitess_state(VitessStreamState(
+                    vgtid=vs.vgtid, shards=resumed, pending=vs.pending))
+
         def process(batch_df: DataFrame, batch_id: int) -> None:
             from ..common.events_json import schema_events_from_json
             from ..sources.base import ChangeBatch
 
+            vstate = None
+            if self.serialization == "vitess-json":
+                vstate = self._load_vitess_state()
+                if vstate.stopped:
+                    # halted at a reshard boundary: nothing in this or any
+                    # later batch may be processed under the old topology —
+                    # a restart re-reads the state, adopts the children,
+                    # and clears the flag
+                    return
             batch_df = self.enrich_batch(batch_df, value_col,
                                          self.serialization)
             batch_df.persist()
@@ -364,6 +413,23 @@ class StreamingPipeline:
                             raw, struct_type, key_fields=pks or ("_id",),
                             value_col=vc)
                 data_df = batch_df.where(~F.col("__is_ddl"))
+                if vstate is not None:
+                    # VGTID offset fold + stopOnReshard (VitessSource.java
+                    # stopOnReshard / Debezium offset-store parity): one
+                    # raw-JSON pass advances the persisted vector offset;
+                    # at a reshard boundary with stop_on_reshard the batch
+                    # keeps only old-serving-set events and the state file
+                    # records the resumable child VGTID
+                    from ..sources.vitess import fold_vstream_batch
+
+                    vstate, keep_known_only = fold_vstream_batch(
+                        data_df, value_col, vstate,
+                        stop_on_reshard=self.stop_on_reshard)
+                    if keep_known_only:
+                        shard_p = F.get_json_object(
+                            F.col(value_col), "$.source.shard")
+                        data_df = data_df.where(
+                            shard_p.isin(*vstate.shards))
                 if self.discover_tables:
                     self._discover_new_tables(data_df, tables, value_col)
                 for tid_str in tables:
@@ -430,6 +496,10 @@ class StreamingPipeline:
                     for _, ev in evs:
                         exe._handle_schema_events(ChangeBatch(ev.table_id, [ev], None))
                 self.registry.checkpoint(registry_ckpt)
+                if vstate is not None:
+                    # offset commit AFTER the data lands (at-least-once,
+                    # same discipline as the snapshot watermarks)
+                    self._save_vitess_state(vstate)
             finally:
                 batch_df.unpersist()
 

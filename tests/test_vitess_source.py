@@ -141,11 +141,22 @@ class TestShardRanges:
     def test_detect_reshard_split_and_merge(self):
         m = detect_reshard(["-80", "80-"], ["-40", "40-80", "80-"])
         assert m == {"-80": ["-40", "40-80"]}
-        # merge detected by swapping the argument order at the call site
+        # merge: parent is the NEW shard, children the old ones it replaces
         assert detect_reshard(["-40", "40-80", "80-"],
-                              ["-80", "80-"]) == {}
+                              ["-80", "80-"]) == {"-80": ["-40", "40-80"]}
+        # identical sets are the ONLY silent-{} case
+        assert detect_reshard(["-80", "80-"], ["80-", "-80"]) == {}
         with pytest.raises(ValueError, match="not a clean reshard"):
             detect_reshard(["-80", "80-"], ["-40", "50-80", "80-"])
+        # coverage loss / unexplained overlap must raise, never return {}
+        with pytest.raises(ValueError, match="not a clean reshard"):
+            detect_reshard(["-80", "80-"], ["-80"])
+        with pytest.raises(ValueError, match="not a clean reshard"):
+            detect_reshard(["-80", "80-"], ["-80", "80-", "c0-"])
+        # simultaneous split + merge in one transition
+        both = detect_reshard(["-40", "40-80", "80-"],
+                              ["-80", "80-c0", "c0-"])
+        assert both == {"-80": ["-40", "40-80"], "80-": ["80-c0", "c0-"]}
 
     def test_vindexes(self):
         import hashlib
@@ -197,6 +208,20 @@ def test_hash_vindex_column_matches_python(spark):
     for r in out.collect():
         assert r["shard"] == shard_for(
             keyspace_id(r["n"], vindex="hash"), shards), r["n"]
+
+
+def test_hash_vindex_column_exact_above_2_53_with_nulls(spark):
+    """A null in the Arrow batch used to flip the int64 series to float64,
+    silently rounding keys >= 2^53 to the wrong keyspace id. Keys now cross
+    as strings, so >2^53 keys route identically with and without a null
+    neighbor."""
+    big = [(1 << 60) + 1, (1 << 63) - 1, (1 << 53) + 1]
+    df = spark.createDataFrame([(n,) for n in big] + [(None,)], "n LONG")
+    got = {r["n"]: r["k"] for r in df.select(
+        "n", keyspace_id_col(F.col("n"), vindex="hash").alias("k")).collect()}
+    assert got[None] is None
+    for n in big:
+        assert got[n] == keyspace_id(n, vindex="hash"), n
 
 
 # ---------------------------------------------------------------------------
@@ -331,13 +356,122 @@ def test_stop_on_reshard_false_adopts_new_serving_set(spark):
 
 
 def test_reshard_rejects_orphan_shard(spark):
+    # "70-90" straddles the -80/80- boundary: no known parent covers it and
+    # it tiles no known subset — genuinely alien, must raise
     start = Vgtid.current("shop", ["-80", "80-"])
-    rows = [(ev("c", "90-a0", "u5:1", after={"id": 4, "name": "e", "qty": 1},
+    rows = [(ev("c", "70-90", "u5:1", after={"id": 4, "name": "e", "qty": 1},
                 ts=1), 0)]
     decoded = decode_vstream(
         spark.createDataFrame(rows, "value STRING, offset LONG"), PAYLOAD)
-    with pytest.raises(ValueError, match="clean parent split"):
+    with pytest.raises(ValueError, match="clean parent split or merge"):
         apply_reshard_policy(decoded, ["-80", "80-"], start)
+
+
+def test_reshard_partial_split_defers_instead_of_crashing(spark):
+    """A micro-batch that sees only ONE child of a split (sibling quiet)
+    must not kill the stream: the child is reported ``pending`` and the
+    serving set is unchanged; when the sibling shows up in a later batch
+    the split completes via the carried ``pending``."""
+    start = Vgtid.current("shop", ["-80", "80-"])
+    rows1 = [(ev("c", "-40", "u3:1-2", after={"id": 2, "name": "c", "qty": 3},
+                 ts=20), 0)]
+    d1 = apply_reshard_policy(
+        decode_vstream(spark.createDataFrame(
+            rows1, "value STRING, offset LONG"), PAYLOAD),
+        ["-80", "80-"], start)
+    assert not d1.stopped
+    assert d1.shards == ["-80", "80-"]          # not adopted yet
+    assert d1.pending == ("-40",)
+    assert d1.df.count() == 1                   # event still processed
+    rows2 = [(ev("c", "40-80", "u4:1-5",
+                 after={"id": 3, "name": "d", "qty": 4}, ts=21), 0)]
+    d2 = apply_reshard_policy(
+        decode_vstream(spark.createDataFrame(
+            rows2, "value STRING, offset LONG"), PAYLOAD),
+        d1.shards, start, pending=d1.pending)
+    assert d2.shards == ["-40", "40-80", "80-"]  # split completed
+    assert d2.pending == ()
+
+
+def test_reshard_merge_adopted_and_stop_mode_survives(spark):
+    """A shard MERGE (children replaced by one covering parent) is adopted
+    under the default policy and stops cleanly — not a crash — under
+    stop_on_reshard=True, with the old shards' positions kept resumable."""
+    start = (Vgtid.current("shop", ["-40", "40-80", "80-"])
+             .advance("shop", "-40", "u1:1-5")
+             .advance("shop", "40-80", "u2:1-7"))
+    rows = [
+        (ev("c", "-80", "u9:1-2", after={"id": 5, "name": "m", "qty": 1},
+            ts=30), 0),
+        (ev("c", "80-", "u3:1-9", after={"id": 6, "name": "n", "qty": 2},
+            ts=31), 1),
+    ]
+    decoded = decode_vstream(
+        spark.createDataFrame(rows, "value STRING, offset LONG"), PAYLOAD)
+    d = apply_reshard_policy(decoded, ["-40", "40-80", "80-"], start)
+    assert not d.stopped
+    assert d.shards == ["-80", "80-"]           # merge adopted
+    d2 = apply_reshard_policy(decoded, ["-40", "40-80", "80-"], start,
+                              stop_on_reshard=True)
+    assert d2.stopped and d2.shards == ["-40", "40-80", "80-"]
+    assert sorted(r["id"] for r in d2.df.collect()) == [6]  # known only
+    # merge parents keep their own (old-shard) resumable positions
+    assert d2.resume_vgtid.position("-40") == "u1:1-5"
+    assert d2.resume_vgtid.position("40-80") == "u2:1-7"
+
+
+def test_batch_vgtid_same_millisecond_tiebreak(spark):
+    """File-path ``__seq`` is millisecond ts_ms; two positions in the same
+    ms must fold to the LATER GTID (length+lex tiebreak on the vgtid), not
+    an arbitrary max_by pick — including across a digit-count boundary
+    (1-9 -> 1-10)."""
+    rows = [(ev("c", "-80", "u1:1-9", after={"id": 1, "name": "a", "qty": 1},
+                ts=77),),
+            (ev("c", "-80", "u1:1-10", after={"id": 2, "name": "b", "qty": 2},
+                ts=77),),
+            (ev("c", "-80", "u1:1-5", after={"id": 3, "name": "c", "qty": 3},
+                ts=77),)]
+    raw = spark.createDataFrame(rows, "value STRING")  # no offset column
+    start = Vgtid.current("shop", ["-80", "80-"])
+    folded = batch_vgtid(decode_vstream(raw, PAYLOAD), start)
+    assert folded.position("-80", "shop") == "u1:1-10"
+
+
+def test_decode_vstream_zoned_timestamp_side_channel(spark):
+    """Zoned (TIMESTAMP_TZ) fidelity is shared with decode_debezium via
+    decode_dbz_envelope: a zoned payload field decodes to instant +
+    ``__tz_offset`` side channel — the vitess path must not silently
+    drop the original offset."""
+    payload = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("created", T.TimestampType(), True,
+                      {"zoned": True}),
+    ])
+    rec = json.dumps({
+        "before": None,
+        "after": {"id": 1, "created": "2024-03-01T10:15:30.123+05:30"},
+        "op": "c", "ts_ms": 5,
+        "source": {"keyspace": "shop", "table": "items", "shard": "-80",
+                   "vgtid": vgtid_json([("-80", "u1:1")])},
+    })
+    out = decode_vstream(
+        spark.createDataFrame([(rec,)], "value STRING"), payload)
+    row = out.collect()[0]
+    assert row["created__tz_offset"] == "+05:30"
+    assert row["created"] is not None
+
+
+def test_vgtid_keyspace_isolation():
+    """Same-named shards in different keyspaces must not clobber each
+    other's resume positions (advance/position/covers key on BOTH)."""
+    v = (Vgtid(()).advance("ks1", "-80", "u1:1-5")
+         .advance("ks2", "-80", "u2:1-9"))
+    v = v.advance("ks1", "-80", "u1:1-6")
+    assert v.position("-80", "ks1") == "u1:1-6"
+    assert v.position("-80", "ks2") == "u2:1-9"
+    assert len(v.shard_gtids) == 2
+    assert v.covers(Vgtid(()).advance("ks2", "-80", "u2:1-9"))
+    assert not v.covers(Vgtid(()).advance("ks2", "-80", "u1:1-6"))
 
 
 def test_no_reshard_is_passthrough(spark):
@@ -399,6 +533,170 @@ def test_streaming_pipeline_vitess_json(spark, tmp_path):
     q.awaitTermination(120)
     assert sink.snapshot(TableId.parse("shop.items")) == ["1, bolt, 7"]
     assert sink.row_count(TableId.parse("shop.orders")) == 1
+
+
+def _mk_pipe(spark, sink, ckpt, **kw):
+    from source_flink_cdc_3_5_0_spark.streaming.runner import StreamingPipeline
+
+    return StreamingPipeline.create(spark, sink, str(ckpt),
+                                    serialization="vitess-json", **kw)
+
+
+def _run(pipe, spark, src, tables):
+    from source_flink_cdc_3_5_0_spark.streaming.runner import file_stream_source
+
+    q = pipe.start(file_stream_source(spark, src), dict(tables))
+    q.awaitTermination(120)
+
+
+def test_streaming_vgtid_offset_persisted_across_runs(spark, tmp_path):
+    """The runner maintains the connector offset (VGTID) in the checkpoint
+    dir — the Debezium offset-store analog — folding each micro-batch's
+    last per-shard position."""
+    import os
+
+    from source_flink_cdc_3_5_0_spark.common import Column, Schema
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+    from source_flink_cdc_3_5_0_spark.sources.vitess import VitessStreamState
+
+    schema = Schema.of(Column("id", T.LongType(), False),
+                       Column("name", T.StringType()),
+                       Column("qty", T.LongType()), primary_keys=["id"])
+    src = str(tmp_path / "vstream")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        f.write("\n".join([
+            ev("c", "-80", "u1:1", after={"id": 1, "name": "a", "qty": 1},
+               ts=10),
+            ev("c", "80-", "u2:1-3", after={"id": 9, "name": "b", "qty": 2},
+               ts=11),
+        ]))
+    sink = MemorySink()
+    ckpt = tmp_path / "ckpt"
+    _run(_mk_pipe(spark, sink, ckpt), spark, src, {"shop.items": schema})
+    with open(ckpt / "vitess_vgtid.json") as f:
+        st = VitessStreamState.from_json(f.read())
+    assert st.shards == ("-80", "80-") and not st.stopped
+    assert st.vgtid.position("-80", "shop") == "u1:1"
+    assert st.vgtid.position("80-", "shop") == "u2:1-3"
+    # second run advances, doesn't reset
+    with open(os.path.join(src, "b.jsonl"), "w") as f:
+        f.write(ev("u", "-80", "u1:1-5",
+                   after={"id": 1, "name": "a", "qty": 4},
+                   before={"id": 1, "name": "a", "qty": 1}, ts=20))
+    _run(_mk_pipe(spark, sink, ckpt), spark, src, {"shop.items": schema})
+    with open(ckpt / "vitess_vgtid.json") as f:
+        st2 = VitessStreamState.from_json(f.read())
+    assert st2.vgtid.position("-80", "shop") == "u1:1-5"
+    assert st2.vgtid.position("80-", "shop") == "u2:1-3"  # untouched
+
+
+def test_streaming_reshard_adopt_updates_serving_set(spark, tmp_path):
+    """Default stopOnReshard=false: a split observed mid-stream swaps the
+    persisted serving set to the children and retires the parent's VGTID
+    entry; all events (old and new shards) process."""
+    import os
+
+    from source_flink_cdc_3_5_0_spark.common import Column, Schema, TableId
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+    from source_flink_cdc_3_5_0_spark.sources.vitess import VitessStreamState
+
+    schema = Schema.of(Column("id", T.LongType(), False),
+                       Column("name", T.StringType()),
+                       Column("qty", T.LongType()), primary_keys=["id"])
+    src = str(tmp_path / "vstream")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        f.write("\n".join([
+            ev("c", "-80", "u1:1", after={"id": 1, "name": "a", "qty": 1},
+               ts=10),
+            ev("c", "80-", "u2:1", after={"id": 9, "name": "b", "qty": 2},
+               ts=11),
+        ]))
+    sink = MemorySink()
+    ckpt = tmp_path / "ckpt"
+    _run(_mk_pipe(spark, sink, ckpt), spark, src, {"shop.items": schema})
+    with open(os.path.join(src, "b.jsonl"), "w") as f:
+        f.write("\n".join([
+            ev("c", "-40", "u3:1", after={"id": 2, "name": "c", "qty": 3},
+               ts=20),
+            ev("c", "40-80", "u4:1", after={"id": 3, "name": "d", "qty": 4},
+               ts=21),
+        ]))
+    _run(_mk_pipe(spark, sink, ckpt), spark, src, {"shop.items": schema})
+    assert sink.row_count(TableId.parse("shop.items")) == 4
+    with open(ckpt / "vitess_vgtid.json") as f:
+        st = VitessStreamState.from_json(f.read())
+    assert st.shards == ("-40", "40-80", "80-") and not st.stopped
+    assert st.vgtid.position("-80", "shop") is None  # parent retired
+    assert st.vgtid.position("-40", "shop") == "u3:1"
+    assert st.vgtid.position("40-80", "shop") == "u4:1"
+
+
+def test_streaming_stop_on_reshard_halts_then_restart_resumes(
+        spark, tmp_path):
+    """stopOnReshard=true: the batch at the reshard boundary processes only
+    old-serving-set events and persists stopped=true with a resumable VGTID
+    (children inherit parent positions); while stopped, further batches are
+    no-ops; a pipeline RESTART adopts the children and streams on."""
+    import os
+
+    from source_flink_cdc_3_5_0_spark.common import Column, Schema, TableId
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+    from source_flink_cdc_3_5_0_spark.sources.vitess import VitessStreamState
+
+    schema = Schema.of(Column("id", T.LongType(), False),
+                       Column("name", T.StringType()),
+                       Column("qty", T.LongType()), primary_keys=["id"])
+    src = str(tmp_path / "vstream")
+    os.makedirs(src)
+    tid = TableId.parse("shop.items")
+    ckpt = tmp_path / "ckpt"
+    sink = MemorySink()
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        f.write("\n".join([
+            ev("c", "-80", "u1:1-7", after={"id": 1, "name": "a", "qty": 1},
+               ts=10),
+            ev("c", "80-", "u2:1", after={"id": 9, "name": "b", "qty": 2},
+               ts=11),
+        ]))
+    _run(_mk_pipe(spark, sink, ckpt, stop_on_reshard=True), spark, src,
+         {"shop.items": schema})
+    # boundary batch: split children appear alongside one more 80- event
+    with open(os.path.join(src, "b.jsonl"), "w") as f:
+        f.write("\n".join([
+            ev("c", "-40", "u3:1", after={"id": 2, "name": "c", "qty": 3},
+               ts=20),
+            ev("c", "40-80", "u4:1", after={"id": 3, "name": "d", "qty": 4},
+               ts=21),
+            ev("c", "80-", "u2:1-2", after={"id": 8, "name": "e", "qty": 5},
+               ts=22),
+        ]))
+    _run(_mk_pipe(spark, sink, ckpt, stop_on_reshard=True), spark, src,
+         {"shop.items": schema})
+    # known-shard event processed, child events held back
+    assert sink.row_count(tid) == 3  # ids 1, 9, 8
+    with open(ckpt / "vitess_vgtid.json") as f:
+        st = VitessStreamState.from_json(f.read())
+    assert st.stopped
+    assert st.vgtid.position("-40", "shop") == "u1:1-7"    # parent pos
+    assert st.vgtid.position("40-80", "shop") == "u1:1-7"
+    assert st.vgtid.position("80-", "shop") == "u2:1-2"
+    # while stopped: a further batch is NOT processed
+    with open(os.path.join(src, "c.jsonl"), "w") as f:
+        f.write(ev("c", "-40", "u3:1-2",
+                   after={"id": 4, "name": "f", "qty": 6}, ts=30))
+    pipe_stopped = _mk_pipe(spark, sink, ckpt, stop_on_reshard=True)
+    # simulate still-halted state by NOT restarting: process() sees stopped
+    # (start() itself clears the flag — that IS the restart action), so
+    # check the flag-clearing restart path end to end instead:
+    _run(pipe_stopped, spark, src, {"shop.items": schema})
+    assert sink.row_count(tid) == 4  # id 4 landed after the restart
+    with open(ckpt / "vitess_vgtid.json") as f:
+        st2 = VitessStreamState.from_json(f.read())
+    assert not st2.stopped
+    assert st2.shards == ("-40", "40-80", "80-")
+    assert st2.vgtid.position("-40", "shop") == "u3:1-2"
 
 
 def test_yaml_vitess_file_pipeline(spark, tmp_path):
