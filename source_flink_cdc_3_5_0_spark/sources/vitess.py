@@ -690,10 +690,21 @@ def fold_vstream_batch(raw: DataFrame, value_col: str,
 
     One raw-JSON aggregation per batch (`_raw_shard_positions`) — no
     payload schema needed, so the fold covers every table in the batch in
-    a single pass and runs BEFORE per-table decode.  First batch with no
+    a single pass and runs BEFORE per-table decode.  The state transition
+    itself is the pure `advance_stream_state` (property-tested without
+    Spark)."""
+    return advance_stream_state(_raw_shard_positions(raw, value_col),
+                                state, stop_on_reshard=stop_on_reshard)
+
+
+def advance_stream_state(rows: list, state: VitessStreamState, *,
+                         stop_on_reshard: bool = False,
+                         ) -> tuple[VitessStreamState, bool]:
+    """The pure state transition behind `fold_vstream_batch`: ``rows`` are
+    per-(shard, keyspace) last-position mappings (anything supporting
+    ``r["shard"]``/``r["keyspace"]``/``r["vgtid"]``).  First batch with no
     prior state adopts the seen serving set as the baseline (gtid
     ``current`` startup has no shard list until the stream speaks)."""
-    rows = _raw_shard_positions(raw, value_col)
     if not rows:
         return state, False
     seen = sorted({r["shard"] for r in rows})
