@@ -479,8 +479,14 @@ def decode_row_v2(table: TiTableInfo, buf: bytes) -> dict:
             for i in range(n_notnull)]
     pos += n_notnull * off_w
     data_len = len(buf) - pos
+    # flag bit 0x08 marks a row-level checksum suffix after the value
+    # section (TiDB >= 6.x with tidb_enable_row_level_checksum=ON): cells
+    # then tile a PREFIX of the data section and the trailing checksum
+    # bytes are ignored; without the flag the offsets must tile exactly
+    has_checksum = bool(buf[1] & 0x08)
+    last = offs[-1] if offs else 0
     if any(a > b for a, b in zip(offs, offs[1:])) or (
-            (offs[-1] if offs else 0) != data_len):
+            last > data_len if has_checksum else last != data_len):
         raise ValueError(
             "corrupt v2 row: cell offsets %r do not tile the %d-byte data "
             "section" % (offs, data_len))

@@ -193,6 +193,12 @@ class ShardRange:
         hi_ok = not self.end or (other.end and other.end <= self.end)
         return bool(lo_ok and hi_ok)
 
+    def overlaps(self, other: "ShardRange") -> bool:
+        """True iff the two ranges share any keyspace id."""
+        lo_clear = bool(self.end and other.start and self.end <= other.start)
+        hi_clear = bool(other.end and self.start and other.end <= self.start)
+        return not (lo_clear or hi_clear)
+
 
 def shards_tile(shards: list[str]) -> bool:
     """True iff the shard set partitions the keyspace-id space — contiguous,
@@ -436,14 +442,22 @@ class Vgtid:
             and gtid_covers(self.position(g.shard, g.keyspace), g.gtid)
             for g in other.shard_gtids)
 
-    def reshard(self, mapping: dict[str, list[str]]) -> "Vgtid":
+    def reshard(self, mapping: dict[str, list[str]],
+                keyspace: str | None = None) -> "Vgtid":
         """Apply a parent->children reshard: children start at their
-        parent's position (Vitess copies the GTID through the split)."""
+        parent's position (Vitess copies the GTID through the split).
+        ``keyspace`` scopes the mapping — shard names repeat across
+        keyspaces, so a multi-keyspace VGTID must always pass it; a child
+        that already has its own entry keeps it (never clobbered by the
+        parent copy)."""
+        existing = {(g.keyspace, g.shard) for g in self.shard_gtids}
         out = []
         for g in self.shard_gtids:
-            if g.shard in mapping:
+            if g.shard in mapping and (keyspace is None
+                                       or g.keyspace == keyspace):
                 out += [ShardGtid(g.keyspace, c, g.gtid)
-                        for c in mapping[g.shard]]
+                        for c in mapping[g.shard]
+                        if (g.keyspace, c) not in existing]
             else:
                 out.append(g)
         return Vgtid(tuple(sorted(out, key=lambda g: (g.keyspace, g.shard))))
@@ -516,6 +530,14 @@ def _raw_shard_positions(raw: DataFrame, value_col: str) -> list:
 
 def _fold_positions(rows: list, start: Vgtid,
                     only_shards: set[str] | None = None) -> Vgtid:
+    """Fold per-shard last positions into ``start`` — MONOTONE: a shard's
+    entry only advances when the incoming GTID set is not already covered
+    by the current one.  The in-batch max_by tie-break is a heuristic
+    ((length, lex) of the spelling — a gap-fill like ``1-5:7 -> 1-7`` can
+    shorten it), so the clamp here is what guarantees the persisted resume
+    point never moves backwards; a heuristic mis-pick inside one batch
+    costs at most re-delivery of the gap transactions (at-least-once,
+    absorbed by the keyed sinks)."""
     out = start
     for r in rows:
         if r["vgtid"] is None:
@@ -523,8 +545,12 @@ def _fold_positions(rows: list, start: Vgtid,
         if only_shards is not None and r["shard"] not in only_shards:
             continue
         pos = Vgtid.from_json(r["vgtid"]).position(r["shard"], r["keyspace"])
-        if pos is not None:
-            out = out.advance(r["keyspace"], r["shard"], pos)
+        if pos is None:
+            continue
+        cur = out.position(r["shard"], r["keyspace"])
+        if cur is not None and gtid_covers(cur, pos):
+            continue  # never regress below the running state
+        out = out.advance(r["keyspace"], r["shard"], pos)
     return out
 
 
@@ -538,13 +564,17 @@ def batch_vgtid(decoded: DataFrame, start: Vgtid) -> Vgtid:
 def _classify_new_shards(known_shards: list[str], new: list[str]):
     """Classify never-seen shard names against the serving set.
 
-    Returns ``(splits, merged_children, claimed, still_pending)``:
-    ``splits`` maps a known parent to new children that tile it exactly;
-    ``merged_children`` are known shards replaced by a covering new merge
-    parent; ``claimed`` is every new shard explained (split child or merge
-    parent); ``still_pending`` are split children whose quiet siblings
-    haven't emitted yet (NOT an error — micro-batch boundaries give no
-    same-batch guarantee).  Anything unexplained raises."""
+    Returns ``(splits, merged_children, claimed, still_pending,
+    discovered)``: ``splits`` maps a known parent to new children that
+    tile it exactly; ``merged_children`` are known shards replaced by a
+    covering new merge parent; ``claimed`` is every new shard explained as
+    split child or merge parent; ``still_pending`` are split children
+    whose quiet siblings haven't emitted yet (NOT an error — micro-batch
+    boundaries give no same-batch guarantee); ``discovered`` are new
+    shards overlapping NO known shard — late first contact (a shard with
+    no traffic when the stream attached), adopted directly.  Only a shard
+    that overlaps the known set without a clean split/merge explanation
+    raises."""
     added = [ShardRange.parse(s) for s in new]
     splits: dict[str, list[str]] = {}
     claimed: set[str] = set()
@@ -560,21 +590,23 @@ def _classify_new_shards(known_shards: list[str], new: list[str]):
         else:  # quiet siblings — defer adoption, don't crash the stream
             still_pending |= {c.name for c in children}
     merged_children: set[str] = set()
+    discovered: set[str] = set()
+    known_ranges = [ShardRange.parse(k) for k in known_shards]
     for c in added:
         if c.name in claimed or c.name in still_pending:
             continue
-        parts = sorted(pr for pr in (ShardRange.parse(k)
-                                     for k in known_shards)
-                       if c.covers(pr))
+        parts = sorted(pr for pr in known_ranges if c.covers(pr))
         if _tiles(c, parts):
             merged_children |= {p.name for p in parts}
             claimed.add(c.name)
-    orphan = sorted(set(new) - claimed - still_pending)
+        elif not any(c.overlaps(kr) for kr in known_ranges):
+            discovered.add(c.name)
+    orphan = sorted(set(new) - claimed - still_pending - discovered)
     if orphan:
         raise ValueError(
             "shard(s) %r appeared without a clean parent split or merge "
             "from %r" % (orphan, sorted(known_shards)))
-    return splits, merged_children, claimed, still_pending
+    return splits, merged_children, claimed, still_pending, discovered
 
 
 @dataclass
@@ -590,91 +622,113 @@ class ReshardDecision:
 
 def apply_reshard_policy(decoded: DataFrame, known_shards: list[str],
                          start: Vgtid, *, stop_on_reshard: bool = False,
-                         pending: tuple[str, ...] = ()) -> ReshardDecision:
-    """VitessSource's ``stopOnReshard`` semantics over a micro-batch.
+                         pending: tuple[str, ...] = (),
+                         keyspace: str | None = None) -> ReshardDecision:
+    """VitessSource's ``stopOnReshard`` semantics over one decoded
+    micro-batch — the single-keyspace DataFrame wrapper around the same
+    `advance_stream_state` transition the streaming runner persists
+    (one implementation; this API only adds the DataFrame plumbing).
 
-    One aggregation pass (`_shard_positions`) yields both the shard names
-    seen and each shard's last position — the micro-batch JSON is parsed
-    once here, not once for the distinct and again for the fold.
-
-    New shard names are classified against ``known_shards``:
-
-    - **split children** — new shards covered by one known parent; adopted
-      when they tile the parent exactly.  Micro-batch boundaries give no
-      guarantee every child emits in the same batch, so children whose
-      siblings are quiet are NOT an error: they come back in ``pending``
-      and the caller feeds them into the next batch's call until the
-      tiling completes (the serving set is unchanged meanwhile).
-    - **merge parents** — a new shard that ≥1 known shards tile exactly;
-      the known children leave the serving set.
-    - anything else raises (a shard set that neither splits nor merges
-      cleanly means the stream and the topology disagree).
-
-    ``stop_on_reshard=True``: keep only known-shard events, report
-    ``stopped`` with the resume VGTID *at the boundary* — completed split
-    children resume from their parent's position (`Vgtid.reshard`); merge
-    and partial-split parents keep their own positions (VStream resolves
-    old-shard positions across a reshard transition).  ``False``
-    (default): adopt the new serving set (validated to tile) and process
+    ``stop_on_reshard=True`` HALTS: the returned ``df`` is EMPTY — nothing
+    from the boundary batch is processed, so the resumable VGTID is the
+    last COMMITTED position with completed-split children inheriting their
+    parent's entry; the caller re-delivers the whole batch after the
+    restart that adopts the children (replay-idempotent sinks absorb any
+    overlap).  ``False`` (default) adopts the new serving set — split
+    children (with quiet siblings deferring via ``pending``), merge
+    parents, and late-discovered non-overlapping shards — and processes
     everything."""
     rows = _shard_positions(decoded)
-    seen = sorted({r["shard"] for r in rows})
-    new = sorted((set(seen) | set(pending)) - set(known_shards))
-    if not new:
-        return ReshardDecision(df=decoded, shards=list(known_shards))
-    splits, merged_children, claimed, still_pending = _classify_new_shards(
-        known_shards, new)
-    if stop_on_reshard:
-        kept = decoded.where(
-            F.col(META_COL)["shard"].isin(*known_shards))
-        boundary = _fold_positions(rows, start,
-                                   only_shards=set(known_shards))
+    if keyspace is None:
+        kss = sorted({r["keyspace"] for r in rows if r["keyspace"]})
+        if len(kss) > 1:
+            raise ValueError(
+                "batch spans keyspaces %r: pass keyspace= to scope "
+                "known_shards" % kss)
+        keyspace = kss[0] if kss else ""
+    state = VitessStreamState(
+        vgtid=start,
+        serving=((keyspace, tuple(known_shards)),),
+        pending=tuple((keyspace, s) for s in pending))
+    res, halt = advance_stream_state(rows, state,
+                                     stop_on_reshard=stop_on_reshard)
+    out_pending = tuple(sorted(s for ks, s in res.pending
+                               if ks == keyspace))
+    if halt:
         return ReshardDecision(
-            df=kept, shards=list(known_shards), stopped=True,
-            resume_vgtid=boundary.reshard(splits),
-            pending=tuple(sorted(still_pending)))
-    after = sorted((set(known_shards) - set(splits) - merged_children)
-                   | claimed)
-    if not shards_tile(after):
-        raise ValueError("post-reshard shard set %r does not tile the "
-                         "keyspace" % after)
-    return ReshardDecision(df=decoded, shards=after,
-                           pending=tuple(sorted(still_pending)))
+            df=decoded.limit(0), shards=list(known_shards), stopped=True,
+            resume_vgtid=res.vgtid, pending=out_pending)
+    return ReshardDecision(
+        df=decoded, shards=list(res.serving_map().get(keyspace, ())),
+        resume_vgtid=None, pending=out_pending)
 
 
 # ---------------------------------------------------------------------------
 # streaming-runner integration: persisted VGTID offset + stopOnReshard
 # ---------------------------------------------------------------------------
 
+class StopOnReshardHalt(RuntimeError):
+    """Raised by the streaming runner when ``stop_on_reshard`` fires.
+
+    Raising (instead of returning) FAILS the micro-batch before any sink
+    write, so Spark does NOT commit the epoch: the boundary batch
+    re-delivers in full after the operator restarts the pipeline (the
+    restart adopts the children) — no event of the boundary batch is ever
+    lost, and nothing was written under the old topology to duplicate."""
+
+
+def _validate_disjoint(shards, what: str) -> None:
+    rs = sorted(ShardRange.parse(s) for s in shards)
+    for a, b in zip(rs, rs[1:]):
+        if a.overlaps(b):
+            raise ValueError("%s has overlapping shards %r / %r"
+                             % (what, a.name, b.name))
+
+
 @dataclass(frozen=True)
 class VitessStreamState:
     """The connector state the streaming runner persists per checkpoint —
-    the analog of the reference's Debezium offset store entry (one VGTID)
-    plus the serving shard set and any in-flight partial split.
+    the analog of the reference's Debezium offset-store entry (one VGTID)
+    plus per-KEYSPACE serving shard sets and any in-flight partial split
+    (shard names repeat across keyspaces, so serving/pending are
+    keyspace-scoped — same reason `Vgtid` keys on both).
 
     ``stopped=True`` marks a halted ``stop_on_reshard`` stream: the VGTID
-    is the resumable boundary; further micro-batches must not be processed
-    under the old topology (the operator restarts the pipeline, which
-    clears the flag and adopts ``shards``)."""
+    is the last committed position (completed-split children inherit the
+    parent entry); the boundary batch was NOT processed and will
+    re-deliver after the operator restart clears the flag and adopts the
+    children."""
 
     vgtid: Vgtid = Vgtid(())
-    shards: tuple[str, ...] = ()
-    pending: tuple[str, ...] = ()
+    serving: tuple = ()   # ((keyspace, (shard, ...)), ...)
+    pending: tuple = ()   # ((keyspace, shard), ...)
     stopped: bool = False
+
+    @property
+    def shards(self) -> tuple:
+        """Union of serving shard names across keyspaces (the convenient
+        single-keyspace view — the common connector config)."""
+        return tuple(sorted({s for _, shs in self.serving for s in shs}))
+
+    def serving_map(self) -> dict:
+        return {ks: tuple(shs) for ks, shs in self.serving}
 
     def to_json(self) -> str:
         return json.dumps({
             "vgtid": json.loads(self.vgtid.to_json()),
-            "shards": list(self.shards), "pending": list(self.pending),
-            "stopped": self.stopped}, separators=(",", ":"))
+            "serving": {ks: list(shs) for ks, shs in self.serving},
+            "pending": [list(p) for p in self.pending],
+            "stopped": self.stopped}, separators=(",", ":"), sort_keys=True)
 
     @classmethod
     def from_json(cls, s: str) -> "VitessStreamState":
         d = json.loads(s)
-        return cls(vgtid=Vgtid.from_json(json.dumps(d.get("vgtid", []))),
-                   shards=tuple(d.get("shards", ())),
-                   pending=tuple(d.get("pending", ())),
-                   stopped=bool(d.get("stopped", False)))
+        return cls(
+            vgtid=Vgtid.from_json(json.dumps(d.get("vgtid", []))),
+            serving=tuple(sorted((ks, tuple(shs))
+                                 for ks, shs in d.get("serving", {}).items())),
+            pending=tuple(sorted((ks, sh) for ks, sh in d.get("pending", ()))),
+            stopped=bool(d.get("stopped", False)))
 
 
 def fold_vstream_batch(raw: DataFrame, value_col: str,
@@ -683,10 +737,13 @@ def fold_vstream_batch(raw: DataFrame, value_col: str,
                        ) -> tuple[VitessStreamState, bool]:
     """Advance the persisted Vitess stream state over one RAW micro-batch.
 
-    Returns ``(new_state, keep_known_only)``.  ``keep_known_only=True``
-    tells the caller to process only events whose ``source.shard`` is in
-    the OLD ``state.shards`` this batch (the stop-at-reshard boundary);
-    the returned state carries ``stopped=True`` with the resumable VGTID.
+    Returns ``(new_state, halt)``.  ``halt=True`` is the stop-at-reshard
+    boundary: the caller must NOT process ANY of this batch (persist the
+    returned ``stopped`` state, then fail the batch so its epoch is not
+    committed — `StopOnReshardHalt`); the state's VGTID stays at the last
+    committed position with completed-split children inheriting their
+    parent's entry, so the re-delivered batch replays in full after the
+    restart.
 
     One raw-JSON aggregation per batch (`_raw_shard_positions`) — no
     payload schema needed, so the fold covers every table in the batch in
@@ -702,52 +759,95 @@ def advance_stream_state(rows: list, state: VitessStreamState, *,
                          ) -> tuple[VitessStreamState, bool]:
     """The pure state transition behind `fold_vstream_batch`: ``rows`` are
     per-(shard, keyspace) last-position mappings (anything supporting
-    ``r["shard"]``/``r["keyspace"]``/``r["vgtid"]``).  First batch with no
-    prior state adopts the seen serving set as the baseline (gtid
-    ``current`` startup has no shard list until the stream speaks)."""
+    ``r["shard"]``/``r["keyspace"]``/``r["vgtid"]``), processed
+    per-keyspace.
+
+    First contact with a keyspace adopts the shards actually seen as the
+    baseline — WITHOUT requiring them to tile (gtid ``current`` startup
+    has no shard list until the stream speaks, and a shard with no
+    traffic in the first window must not poison the stream): late
+    arrivals that overlap nothing are adopted as ``discovered``; only an
+    overlapping-but-unexplained shard set raises.  The serving-set
+    invariant maintained here is pairwise DISJOINTNESS; full tiling holds
+    once every live shard has spoken."""
     if not rows:
         return state, False
-    seen = sorted({r["shard"] for r in rows})
-    if not state.shards:  # first contact: adopt the serving set
+    serving = state.serving_map()
+    pending: dict = {}
+    for ks, sh in state.pending:
+        pending.setdefault(ks, set()).add(sh)
+    by_ks: dict = {}
+    for r in rows:
+        by_ks.setdefault(r["keyspace"], []).append(r)
+    # pass 1: classify every keyspace BEFORE any fold — a halt must leave
+    # the persisted position untouched (the batch will not be processed)
+    plans: dict = {}
+    resharding = False
+    for ks, krows in sorted(by_ks.items()):
+        seen = sorted({r["shard"] for r in krows})
+        known = serving.get(ks)
+        if known is None:
+            _validate_disjoint(seen, "first-contact serving set")
+            plans[ks] = ("bootstrap", seen)
+            continue
+        new = sorted((set(seen) | pending.get(ks, set())) - set(known))
+        if not new:
+            plans[ks] = ("steady", None)
+            continue
+        plans[ks] = ("reshard", _classify_new_shards(list(known), new))
+        resharding = True
+    if stop_on_reshard and resharding:
+        vg = state.vgtid
+        new_pending = {ks: set(v) for ks, v in pending.items()}
+        for ks, (kind, payload) in plans.items():
+            if kind != "reshard":
+                continue
+            splits, _merged, _claimed, still_pending, _disc = payload
+            # children inherit the parent's last COMMITTED entry — the
+            # boundary batch's own positions are NOT folded
+            vg = vg.reshard(splits, keyspace=ks)
+            new_pending[ks] = set(still_pending)
         return VitessStreamState(
-            vgtid=_fold_positions(rows, state.vgtid),
-            shards=tuple(seen)), False
-    known = list(state.shards)
-    new = sorted((set(seen) | set(state.pending)) - set(known))
-    if not new:
-        return VitessStreamState(
-            vgtid=_fold_positions(rows, state.vgtid),
-            shards=state.shards), False
-    splits, merged_children, claimed, still_pending = _classify_new_shards(
-        known, new)
-    if stop_on_reshard:
-        boundary = _fold_positions(rows, state.vgtid,
-                                   only_shards=set(known))
-        return VitessStreamState(
-            vgtid=boundary.reshard(splits), shards=state.shards,
-            pending=tuple(sorted(still_pending)), stopped=True), True
-    after = sorted((set(known) - set(splits) - merged_children) | claimed)
-    if not shards_tile(after):
-        raise ValueError("post-reshard shard set %r does not tile the "
-                         "keyspace" % after)
-    folded = _fold_positions(rows, state.vgtid)
-    # completed split: quiet children inherit the parent's position (a
-    # child that already spoke keeps its own), parent entry retires;
-    # merge: the old children's entries retire (the merge parent's entry
-    # was folded from its own events)
-    entries = {(g.keyspace, g.shard): g.gtid for g in folded.shard_gtids}
-    for parent, children in splits.items():
-        for (ks, sh), gt in list(entries.items()):
-            if sh == parent:
+            vgtid=vg, serving=state.serving,
+            pending=tuple(sorted((ks, s) for ks, v in new_pending.items()
+                                 for s in v)),
+            stopped=True), True
+    vg = _fold_positions(rows, state.vgtid)
+    new_serving = dict(serving)
+    # pending for keyspaces silent this batch carries over untouched
+    new_pending = {ks: set(v) for ks, v in pending.items()
+                   if ks not in by_ks}
+    for ks, (kind, payload) in plans.items():
+        if kind == "bootstrap":
+            new_serving[ks] = tuple(payload)
+            continue
+        if kind == "steady":
+            continue
+        splits, merged_children, claimed, still_pending, discovered = payload
+        after = sorted((set(new_serving[ks]) - set(splits) - merged_children)
+                       | claimed | discovered)
+        _validate_disjoint(after, "post-reshard serving set")
+        # completed split: quiet children inherit the parent's position (a
+        # child that already spoke keeps its own), parent entry retires;
+        # merge: the old children's entries retire (the merge parent's
+        # entry was folded from its own events) — all scoped to this ks
+        entries = {(g.keyspace, g.shard): g.gtid for g in vg.shard_gtids}
+        for parent, children in splits.items():
+            gt = entries.pop((ks, parent), None)
+            if gt is not None:
                 for c in children:
                     entries.setdefault((ks, c), gt)
-                del entries[(ks, sh)]
-    for (ks, sh) in list(entries):
-        if sh in merged_children:
-            del entries[(ks, sh)]
-    folded = Vgtid(tuple(sorted(
-        (ShardGtid(ks, sh, gt) for (ks, sh), gt in entries.items()),
-        key=lambda g: (g.keyspace, g.shard))))
+        for sh in merged_children:
+            entries.pop((ks, sh), None)
+        vg = Vgtid(tuple(sorted(
+            (ShardGtid(k, s, g) for (k, s), g in entries.items()),
+            key=lambda g: (g.keyspace, g.shard))))
+        new_serving[ks] = tuple(after)
+        if still_pending:
+            new_pending[ks] = set(still_pending)
     return VitessStreamState(
-        vgtid=folded, shards=tuple(after),
-        pending=tuple(sorted(still_pending))), False
+        vgtid=vg,
+        serving=tuple(sorted((ks, tuple(sorted(shs)))
+                             for ks, shs in new_serving.items())),
+        pending=tuple(sorted((ks, s) for ks, v in new_pending.items()
+                             for s in v))), False

@@ -321,15 +321,22 @@ class StreamingPipeline:
             if vs.stopped:
                 # restarting the pipeline IS the operator action after a
                 # stopOnReshard halt (reference: the Flink job restarts
-                # from the stored offset): adopt the resume VGTID's shard
-                # set (children inherited their parents' positions at the
-                # boundary) and clear the halt flag
+                # from the stored offset): adopt the resume VGTID's
+                # per-keyspace shard sets (completed-split children
+                # inherited their parents' entries at the boundary; a
+                # partial split keeps the parent, its seen children stay
+                # pending) and clear the halt flag — the failed boundary
+                # batch then re-delivers under the new topology
                 from ..sources.vitess import VitessStreamState
 
+                by_ks: dict[str, set] = {}
+                for g in vs.vgtid.shard_gtids:
+                    by_ks.setdefault(g.keyspace, set()).add(g.shard)
                 resumed = tuple(sorted(
-                    {g.shard for g in vs.vgtid.shard_gtids})) or vs.shards
+                    (ks, tuple(sorted(shs)))
+                    for ks, shs in by_ks.items())) or vs.serving
                 self._save_vitess_state(VitessStreamState(
-                    vgtid=vs.vgtid, shards=resumed, pending=vs.pending))
+                    vgtid=vs.vgtid, serving=resumed, pending=vs.pending))
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             from ..common.events_json import schema_events_from_json
@@ -337,13 +344,19 @@ class StreamingPipeline:
 
             vstate = None
             if self.serialization == "vitess-json":
+                from ..sources.vitess import StopOnReshardHalt
+
                 vstate = self._load_vitess_state()
                 if vstate.stopped:
-                    # halted at a reshard boundary: nothing in this or any
-                    # later batch may be processed under the old topology —
-                    # a restart re-reads the state, adopts the children,
-                    # and clears the flag
-                    return
+                    # halted at a reshard boundary: nothing may be
+                    # processed under the old topology, and the epoch must
+                    # NOT commit (a silent return would mark the batch
+                    # consumed and lose it) — a restart re-reads the
+                    # state, adopts the children, and clears the flag
+                    raise StopOnReshardHalt(
+                        "vitess stream is halted at a reshard boundary "
+                        "(stop-on-reshard); restart the pipeline to adopt "
+                        "the new shard set and resume")
             batch_df = self.enrich_batch(batch_df, value_col,
                                          self.serialization)
             batch_df.persist()
@@ -416,20 +429,28 @@ class StreamingPipeline:
                 if vstate is not None:
                     # VGTID offset fold + stopOnReshard (VitessSource.java
                     # stopOnReshard / Debezium offset-store parity): one
-                    # raw-JSON pass advances the persisted vector offset;
-                    # at a reshard boundary with stop_on_reshard the batch
-                    # keeps only old-serving-set events and the state file
-                    # records the resumable child VGTID
-                    from ..sources.vitess import fold_vstream_batch
+                    # raw-JSON pass advances the persisted vector offset.
+                    # At a reshard boundary with stop_on_reshard: persist
+                    # the halted state (VGTID stays at the last committed
+                    # position, completed-split children inherit the
+                    # parent entry) and FAIL the batch before any write —
+                    # the uncommitted epoch re-delivers in full after the
+                    # operator restarts and adopts the children, so no
+                    # boundary event is lost or written twice
+                    from ..sources.vitess import (
+                        StopOnReshardHalt, fold_vstream_batch,
+                    )
 
-                    vstate, keep_known_only = fold_vstream_batch(
+                    vstate, halt = fold_vstream_batch(
                         data_df, value_col, vstate,
                         stop_on_reshard=self.stop_on_reshard)
-                    if keep_known_only:
-                        shard_p = F.get_json_object(
-                            F.col(value_col), "$.source.shard")
-                        data_df = data_df.where(
-                            shard_p.isin(*vstate.shards))
+                    if halt:
+                        self._save_vitess_state(vstate)
+                        raise StopOnReshardHalt(
+                            "reshard boundary reached (stop-on-reshard); "
+                            "resume VGTID persisted — restart the "
+                            "pipeline to adopt the new shard set and "
+                            "re-deliver this batch")
                 if self.discover_tables:
                     self._discover_new_tables(data_df, tables, value_col)
                 for tid_str in tables:

@@ -199,6 +199,21 @@ class TestRowFormats:
             assert decode_row_v2(small, encode_row_v2(small, {"n": v})) == \
                 {"n": v}
 
+    def test_v2_checksum_suffix_rows_decode(self):
+        """TiDB >= 6.x with tidb_enable_row_level_checksum=ON appends
+        checksum bytes after the value section and sets flag bit 0x08 —
+        the bounds check must treat the offsets as tiling a PREFIX then,
+        not reject a well-formed row; without the flag, trailing garbage
+        is still rejected."""
+        t = table()
+        buf = bytearray(encode_row_v2(t, ROW))
+        buf[1] |= 0x08
+        buf += b"\x01\xde\xad\xbe\xef"  # checksum header + crc32 stand-in
+        assert decode_row_v2(t, bytes(buf)) == ROW
+        plain = encode_row_v2(t, ROW) + b"\xde\xad"
+        with pytest.raises(ValueError, match="corrupt v2 row"):
+            decode_row_v2(t, plain)
+
     def test_decode_row_sniffs_version_and_fills_handle(self):
         t = table()
         for buf in (encode_row_v1(t, ROW), encode_row_v2(t, ROW)):

@@ -87,7 +87,7 @@ def test_reshard_state_machine_random_lifecycle(data):
             counters[left.name] = counters[right.name] = pc
             first, second = data.draw(st.permutations([left, right]))
             emit([first])  # partial visibility: sibling quiet
-            assert first.name in state.pending
+            assert (KS, first.name) in state.pending
             assert parent.name in state.shards  # not adopted yet
             if data.draw(st.booleans()):
                 emit([first])  # sibling quiet for another batch
@@ -115,11 +115,12 @@ def test_reshard_state_machine_random_lifecycle(data):
 
 @settings(max_examples=30, deadline=None)
 @given(st.integers(1, 254), st.integers(1, 20), st.booleans())
-def test_stop_on_reshard_boundary_from_known_shards_only(cut, n, full):
-    """stopOnReshard: the halt state folds the boundary from KNOWN-shard
-    events only; a COMPLETE split maps children onto the parent's boundary
-    position, a PARTIAL split keeps the parent entry and holds the seen
-    child ``pending`` — never a fabricated child position."""
+def test_stop_on_reshard_halts_at_committed_position(cut, n, full):
+    """stopOnReshard HALT: the boundary batch is NOT processed, so the
+    halted state's VGTID stays at the last COMMITTED position — a COMPLETE
+    split maps children onto the parent's committed entry, a PARTIAL split
+    keeps the parent entry and holds the seen child ``pending``; nothing
+    from the boundary batch's own positions leaks in."""
     state, _ = advance_stream_state([row("-", "u1:1-%d" % n)],
                                     VitessStreamState())
     left = ShardRange(b"", bytes([cut]))
@@ -128,15 +129,65 @@ def test_stop_on_reshard_boundary_from_known_shards_only(cut, n, full):
             row(left.name, "u1:1-%d" % (n + 2))]
     if full:
         rows.append(row(right.name, "u1:1-%d" % (n + 2)))
-    st2, keep = advance_stream_state(rows, state, stop_on_reshard=True)
-    assert keep and st2.stopped and st2.shards == ("-",)
+    st2, halt = advance_stream_state(rows, state, stop_on_reshard=True)
+    assert halt and st2.stopped and st2.shards == ("-",)
     if full:
-        # children resume from the parent's folded boundary position
-        assert st2.vgtid.position(left.name, KS) == "u1:1-%d" % (n + 1)
-        assert st2.vgtid.position(right.name, KS) == "u1:1-%d" % (n + 1)
+        # children resume from the parent's committed position (n, not
+        # n+1 — the boundary batch re-delivers after restart)
+        assert st2.vgtid.position(left.name, KS) == "u1:1-%d" % n
+        assert st2.vgtid.position(right.name, KS) == "u1:1-%d" % n
         assert st2.vgtid.position("-", KS) is None
         assert st2.pending == ()
     else:
-        assert st2.vgtid.position("-", KS) == "u1:1-%d" % (n + 1)
+        assert st2.vgtid.position("-", KS) == "u1:1-%d" % n
         assert st2.vgtid.position(left.name, KS) is None
-        assert st2.pending == (left.name,)
+        assert st2.pending == ((KS, left.name),)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 254))
+def test_first_contact_partial_then_late_discovery(cut):
+    """A shard quiet in the first batch must not poison the stream: first
+    contact adopts only the seen shards; the late shard is adopted as a
+    discovery; an overlapping alien shard still raises."""
+    import pytest
+
+    left = ShardRange(b"", bytes([cut]))
+    right = ShardRange(bytes([cut]), b"")
+    state, _ = advance_stream_state([row(left.name, "u1:1")],
+                                    VitessStreamState())
+    assert state.shards == (left.name,)
+    state, _ = advance_stream_state([row(right.name, "u2:1")], state)
+    assert state.shards == tuple(sorted([left.name, right.name]))
+    assert shards_tile(list(state.shards))
+    # an alien shard overlapping the known set is still rejected
+    if 2 <= cut <= 253:
+        alien = ShardRange(bytes([cut - 1]), bytes([cut + 1]))
+        with pytest.raises(ValueError, match="split or merge"):
+            advance_stream_state([row(alien.name, "u3:1")], state)
+
+
+def test_multi_keyspace_serving_sets_do_not_interfere():
+    """Same shard names in two keyspaces: serving sets, reshards, and
+    VGTID entries stay keyspace-scoped (a ks1 split must not touch ks2's
+    '-80' entry or serving set)."""
+    def krow(ks, shard, gtid):
+        return {"shard": shard, "keyspace": ks,
+                "vgtid": json.dumps([{"keyspace": ks, "shard": shard,
+                                      "gtid": gtid}])}
+
+    state = VitessStreamState()
+    state, _ = advance_stream_state(
+        [krow("ks1", "-80", "u1:1-5"), krow("ks1", "80-", "u2:1"),
+         krow("ks2", "-80", "u3:1-9"), krow("ks2", "80-", "u4:1")], state)
+    assert state.serving_map() == {"ks1": ("-80", "80-"),
+                                   "ks2": ("-80", "80-")}
+    # ks1 splits -80; ks2 steady
+    state, halt = advance_stream_state(
+        [krow("ks1", "-40", "u5:1"), krow("ks1", "40-80", "u6:1")], state)
+    assert not halt
+    assert state.serving_map()["ks1"] == ("-40", "40-80", "80-")
+    assert state.serving_map()["ks2"] == ("-80", "80-")  # untouched
+    assert state.vgtid.position("-80", "ks2") == "u3:1-9"  # not clobbered
+    assert state.vgtid.position("-80", "ks1") is None      # retired
+    assert state.vgtid.position("-40", "ks1") == "u5:1"

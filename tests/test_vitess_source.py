@@ -331,19 +331,24 @@ def _reshard_batch(spark):
     return spark.createDataFrame(pre + post, "value STRING, offset LONG")
 
 
-def test_stop_on_reshard_true_stops_with_resumable_vgtid(spark):
-    start = Vgtid.current("shop", ["-80", "80-"])
+def test_stop_on_reshard_true_halts_with_resumable_vgtid(spark):
+    """Halt semantics: NOTHING of the boundary batch is processed (the
+    caller re-delivers it after the restart that adopts the children), so
+    the resume vector is the last COMMITTED position — children inherit
+    the parent's pre-boundary entry, not anything folded from the
+    unprocessed batch."""
+    start = (Vgtid.current("shop", ["-80", "80-"])
+             .advance("shop", "-80", "u1:1-9")
+             .advance("shop", "80-", "u2:1-19"))
     decoded = decode_vstream(_reshard_batch(spark), PAYLOAD)
     d = apply_reshard_policy(decoded, ["-80", "80-"], start,
                              stop_on_reshard=True)
     assert d.stopped and d.shards == ["-80", "80-"]
-    # only pre-split events processed
-    assert sorted(r["id"] for r in d.df.collect()) == [1, 9]
-    # resume vector: children carry the parent's boundary position
+    assert d.df.count() == 0  # boundary batch held for re-delivery
     assert d.resume_vgtid.shards() == ["-40", "40-80", "80-"]
-    assert d.resume_vgtid.position("-40") == "u1:1-10"
-    assert d.resume_vgtid.position("40-80") == "u1:1-10"
-    assert d.resume_vgtid.position("80-") == "u2:1-20"
+    assert d.resume_vgtid.position("-40") == "u1:1-9"
+    assert d.resume_vgtid.position("40-80") == "u1:1-9"
+    assert d.resume_vgtid.position("80-") == "u2:1-19"
 
 
 def test_stop_on_reshard_false_adopts_new_serving_set(spark):
@@ -414,8 +419,8 @@ def test_reshard_merge_adopted_and_stop_mode_survives(spark):
     d2 = apply_reshard_policy(decoded, ["-40", "40-80", "80-"], start,
                               stop_on_reshard=True)
     assert d2.stopped and d2.shards == ["-40", "40-80", "80-"]
-    assert sorted(r["id"] for r in d2.df.collect()) == [6]  # known only
-    # merge parents keep their own (old-shard) resumable positions
+    assert d2.df.count() == 0  # batch held for post-restart re-delivery
+    # merge children keep their own (old-shard) resumable positions
     assert d2.resume_vgtid.position("-40") == "u1:1-5"
     assert d2.resume_vgtid.position("40-80") == "u2:1-7"
 
@@ -459,6 +464,18 @@ def test_decode_vstream_zoned_timestamp_side_channel(spark):
     row = out.collect()[0]
     assert row["created__tz_offset"] == "+05:30"
     assert row["created"] is not None
+
+
+def test_batch_vgtid_fold_never_regresses_on_gap_fill(spark):
+    """A gap-fill can SHORTEN the GTID spelling ('u1:1-5:7' -> 'u1:1-7'),
+    defeating the (length, lex) in-batch tie-break — the fold's monotone
+    clamp must still refuse to move the running position backwards."""
+    start = Vgtid(()).advance("shop", "-80", "u1:1-7")
+    rows = [(ev("c", "-80", "u1:1-5:7",
+                after={"id": 1, "name": "a", "qty": 1}, ts=77),)]
+    raw = spark.createDataFrame(rows, "value STRING")
+    folded = batch_vgtid(decode_vstream(raw, PAYLOAD), start)
+    assert folded.position("-80", "shop") == "u1:1-7"  # clamp held
 
 
 def test_vgtid_keyspace_isolation():
@@ -635,11 +652,15 @@ def test_streaming_reshard_adopt_updates_serving_set(spark, tmp_path):
 
 def test_streaming_stop_on_reshard_halts_then_restart_resumes(
         spark, tmp_path):
-    """stopOnReshard=true: the batch at the reshard boundary processes only
-    old-serving-set events and persists stopped=true with a resumable VGTID
-    (children inherit parent positions); while stopped, further batches are
-    no-ops; a pipeline RESTART adopts the children and streams on."""
+    """stopOnReshard=true: the boundary batch FAILS before any write (the
+    Spark epoch is not committed, so nothing is lost), stopped=true is
+    persisted with children inheriting the parents' committed positions;
+    the RESTART adopts the children and the re-delivered boundary batch
+    processes in full under the new topology."""
     import os
+
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
 
     from source_flink_cdc_3_5_0_spark.common import Column, Schema, TableId
     from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
@@ -662,6 +683,7 @@ def test_streaming_stop_on_reshard_halts_then_restart_resumes(
         ]))
     _run(_mk_pipe(spark, sink, ckpt, stop_on_reshard=True), spark, src,
          {"shop.items": schema})
+    assert sink.row_count(tid) == 2
     # boundary batch: split children appear alongside one more 80- event
     with open(os.path.join(src, "b.jsonl"), "w") as f:
         f.write("\n".join([
@@ -672,31 +694,70 @@ def test_streaming_stop_on_reshard_halts_then_restart_resumes(
             ev("c", "80-", "u2:1-2", after={"id": 8, "name": "e", "qty": 5},
                ts=22),
         ]))
-    _run(_mk_pipe(spark, sink, ckpt, stop_on_reshard=True), spark, src,
-         {"shop.items": schema})
-    # known-shard event processed, child events held back
-    assert sink.row_count(tid) == 3  # ids 1, 9, 8
+    with _pytest.raises(StreamingQueryException,
+                        match="stop-on-reshard"):
+        _run(_mk_pipe(spark, sink, ckpt, stop_on_reshard=True), spark, src,
+             {"shop.items": schema})
+    # nothing of the boundary batch landed — no loss, no partial write
+    assert sink.row_count(tid) == 2
     with open(ckpt / "vitess_vgtid.json") as f:
         st = VitessStreamState.from_json(f.read())
     assert st.stopped
-    assert st.vgtid.position("-40", "shop") == "u1:1-7"    # parent pos
+    # children inherit the parent's last COMMITTED position (u1:1-7, not
+    # anything from the unprocessed boundary batch)
+    assert st.vgtid.position("-40", "shop") == "u1:1-7"
     assert st.vgtid.position("40-80", "shop") == "u1:1-7"
-    assert st.vgtid.position("80-", "shop") == "u2:1-2"
-    # while stopped: a further batch is NOT processed
+    assert st.vgtid.position("80-", "shop") == "u2:1"
+    # restart = operator action: adopts children, clears the flag, and the
+    # uncommitted boundary batch re-delivers in full — plus a new file
     with open(os.path.join(src, "c.jsonl"), "w") as f:
         f.write(ev("c", "-40", "u3:1-2",
                    after={"id": 4, "name": "f", "qty": 6}, ts=30))
-    pipe_stopped = _mk_pipe(spark, sink, ckpt, stop_on_reshard=True)
-    # simulate still-halted state by NOT restarting: process() sees stopped
-    # (start() itself clears the flag — that IS the restart action), so
-    # check the flag-clearing restart path end to end instead:
-    _run(pipe_stopped, spark, src, {"shop.items": schema})
-    assert sink.row_count(tid) == 4  # id 4 landed after the restart
+    _run(_mk_pipe(spark, sink, ckpt, stop_on_reshard=True), spark, src,
+         {"shop.items": schema})
+    assert sink.row_count(tid) == 6  # ids 1,9 + re-delivered 2,3,8 + 4
     with open(ckpt / "vitess_vgtid.json") as f:
         st2 = VitessStreamState.from_json(f.read())
     assert not st2.stopped
     assert st2.shards == ("-40", "40-80", "80-")
     assert st2.vgtid.position("-40", "shop") == "u3:1-2"
+    assert st2.vgtid.position("80-", "shop") == "u2:1-2"
+
+
+def test_streaming_first_contact_partial_then_late_shard(spark, tmp_path):
+    """A shard with no traffic in the first window must not poison the
+    stream: first contact adopts only the shards actually seen; the late
+    shard is adopted on arrival (discovery), not rejected as an orphan."""
+    import os
+
+    from source_flink_cdc_3_5_0_spark.common import Column, Schema, TableId
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+    from source_flink_cdc_3_5_0_spark.sources.vitess import VitessStreamState
+
+    schema = Schema.of(Column("id", T.LongType(), False),
+                       Column("name", T.StringType()),
+                       Column("qty", T.LongType()), primary_keys=["id"])
+    src = str(tmp_path / "vstream")
+    os.makedirs(src)
+    ckpt = tmp_path / "ckpt"
+    sink = MemorySink()
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        f.write(ev("c", "-80", "u1:1", after={"id": 1, "name": "a",
+                                              "qty": 1}, ts=10))
+    _run(_mk_pipe(spark, sink, ckpt), spark, src, {"shop.items": schema})
+    with open(ckpt / "vitess_vgtid.json") as f:
+        st = VitessStreamState.from_json(f.read())
+    assert st.shards == ("-80",)  # only what actually spoke
+    with open(os.path.join(src, "b.jsonl"), "w") as f:
+        f.write(ev("c", "80-", "u2:1", after={"id": 9, "name": "b",
+                                              "qty": 2}, ts=20))
+    _run(_mk_pipe(spark, sink, ckpt), spark, src, {"shop.items": schema})
+    tid = TableId.parse("shop.items")
+    assert sink.row_count(tid) == 2  # late shard's event processed
+    with open(ckpt / "vitess_vgtid.json") as f:
+        st2 = VitessStreamState.from_json(f.read())
+    assert st2.shards == ("-80", "80-")
+    assert st2.vgtid.position("80-", "shop") == "u2:1"
 
 
 def test_yaml_vitess_file_pipeline(spark, tmp_path):
