@@ -502,7 +502,11 @@ def _positions_agg(df: DataFrame, shard: Column, keyspace: Column,
     same control-plane class as Kafka offset commits."""
     return (df
             .where(shard.isNotNull())
-            .groupBy(shard.alias("shard"), keyspace.alias("keyspace"))
+            .groupBy(shard.alias("shard"),
+                     # a missing source.keyspace must not fork a None group
+                     # alongside the real keyspaces (unsortable state keys,
+                     # bypassed reshard policy) — normalize to ""
+                     F.coalesce(keyspace, F.lit("")).alias("keyspace"))
             .agg(F.max_by(vgtid, F.struct(seq, F.length(vgtid), vgtid))
                  .alias("vgtid"))
             .collect())
@@ -529,7 +533,7 @@ def _raw_shard_positions(raw: DataFrame, value_col: str) -> list:
 
 
 def _fold_positions(rows: list, start: Vgtid,
-                    only_shards: set[str] | None = None) -> Vgtid:
+                    skip: set | None = None) -> Vgtid:
     """Fold per-shard last positions into ``start`` — MONOTONE: a shard's
     entry only advances when the incoming GTID set is not already covered
     by the current one.  The in-batch max_by tie-break is a heuristic
@@ -537,20 +541,26 @@ def _fold_positions(rows: list, start: Vgtid,
     shorten it), so the clamp here is what guarantees the persisted resume
     point never moves backwards; a heuristic mis-pick inside one batch
     costs at most re-delivery of the gap transactions (at-least-once,
-    absorbed by the keyed sinks)."""
+    absorbed by the keyed sinks).
+
+    ``skip``: (keyspace, shard) pairs to ignore — recently RETIRED shards,
+    whose straggler positions must not resurrect entries the topology
+    surgery already removed."""
     out = start
     for r in rows:
         if r["vgtid"] is None:
             continue
-        if only_shards is not None and r["shard"] not in only_shards:
+        ks = r["keyspace"] or ""  # None-keyspace rows group under ""
+        if skip and (ks, r["shard"]) in skip:
             continue
-        pos = Vgtid.from_json(r["vgtid"]).position(r["shard"], r["keyspace"])
+        wire = Vgtid.from_json(r["vgtid"])
+        pos = wire.position(r["shard"], ks) or wire.position(r["shard"])
         if pos is None:
             continue
-        cur = out.position(r["shard"], r["keyspace"])
+        cur = out.position(r["shard"], ks)
         if cur is not None and gtid_covers(cur, pos):
             continue  # never regress below the running state
-        out = out.advance(r["keyspace"], r["shard"], pos)
+        out = out.advance(ks, r["shard"], pos)
     return out
 
 
@@ -655,9 +665,17 @@ def apply_reshard_policy(decoded: DataFrame, known_shards: list[str],
     out_pending = tuple(sorted(s for ks, s in res.pending
                                if ks == keyspace))
     if halt:
+        # informational resume vector: completed-split children inherit
+        # the parent's COMMITTED entry (the state itself stays untouched —
+        # the caller re-delivers the batch after restart, and the adopt
+        # path performs the real surgery then)
+        seen = sorted({r["shard"] for r in rows})
+        new = sorted((set(seen) | set(pending)) - set(known_shards))
+        splits = _classify_new_shards(list(known_shards), new)[0]
         return ReshardDecision(
             df=decoded.limit(0), shards=list(known_shards), stopped=True,
-            resume_vgtid=res.vgtid, pending=out_pending)
+            resume_vgtid=start.reshard(splits, keyspace=keyspace),
+            pending=out_pending)
     return ReshardDecision(
         df=decoded, shards=list(res.serving_map().get(keyspace, ())),
         resume_vgtid=None, pending=out_pending)
@@ -672,9 +690,23 @@ class StopOnReshardHalt(RuntimeError):
 
     Raising (instead of returning) FAILS the micro-batch before any sink
     write, so Spark does NOT commit the epoch: the boundary batch
-    re-delivers in full after the operator restarts the pipeline (the
-    restart adopts the children) — no event of the boundary batch is ever
-    lost, and nothing was written under the old topology to duplicate."""
+    re-delivers in full after the operator restarts the pipeline — no
+    event of the boundary batch is ever lost, and nothing was written
+    under the old topology to duplicate.  The restart arms ``resuming``:
+    the re-delivered batch (and any cascade until the stream steadies)
+    is ADOPTED rather than re-halted, so the halt fires exactly once per
+    reshard instead of livelocking on its own re-delivery."""
+
+
+#: How many micro-batches a retired shard (split parent / merged child)
+#: stays remembered.  Within the window its straggler events are ignored
+#: by the control plane (no merge-misclassification, no entry
+#: resurrection — cutover stragglers arrive within seconds); after the
+#: window the name is forgotten so a later reshard may legitimately
+#: REVIVE it (ping-pong reshards recreate shard names).  A reshard
+#: reverted within the window is indistinguishable from stragglers by
+#: name alone — the operator waits out the window (documented ambiguity).
+RETIRE_WINDOW = 8
 
 
 def _validate_disjoint(shards, what: str) -> None:
@@ -689,20 +721,25 @@ def _validate_disjoint(shards, what: str) -> None:
 class VitessStreamState:
     """The connector state the streaming runner persists per checkpoint —
     the analog of the reference's Debezium offset-store entry (one VGTID)
-    plus per-KEYSPACE serving shard sets and any in-flight partial split
-    (shard names repeat across keyspaces, so serving/pending are
-    keyspace-scoped — same reason `Vgtid` keys on both).
+    plus per-KEYSPACE serving shard sets, in-flight partial splits, and a
+    short memory of recently retired shards (shard names repeat across
+    keyspaces, so everything is keyspace-scoped — same reason `Vgtid`
+    keys on both).
 
-    ``stopped=True`` marks a halted ``stop_on_reshard`` stream: the VGTID
-    is the last committed position (completed-split children inherit the
-    parent entry); the boundary batch was NOT processed and will
-    re-deliver after the operator restart clears the flag and adopts the
-    children."""
+    ``stopped=True`` marks a halted ``stop_on_reshard`` stream: the state
+    is otherwise UNTOUCHED (the boundary batch was not processed, so
+    nothing may advance); the operator restart clears the flag and sets
+    ``resuming``, under which the re-delivered batch adopts the reshard.
+    ``batches`` counts folded micro-batches — the clock for the
+    `RETIRE_WINDOW` straggler memory."""
 
     vgtid: Vgtid = Vgtid(())
     serving: tuple = ()   # ((keyspace, (shard, ...)), ...)
     pending: tuple = ()   # ((keyspace, shard), ...)
+    retired: tuple = ()   # ((keyspace, shard, retired_at_batch), ...)
+    batches: int = 0
     stopped: bool = False
+    resuming: bool = False
 
     @property
     def shards(self) -> tuple:
@@ -718,17 +755,32 @@ class VitessStreamState:
             "vgtid": json.loads(self.vgtid.to_json()),
             "serving": {ks: list(shs) for ks, shs in self.serving},
             "pending": [list(p) for p in self.pending],
-            "stopped": self.stopped}, separators=(",", ":"), sort_keys=True)
+            "retired": [list(r) for r in self.retired],
+            "batches": self.batches,
+            "stopped": self.stopped,
+            "resuming": self.resuming}, separators=(",", ":"),
+            sort_keys=True)
 
     @classmethod
     def from_json(cls, s: str) -> "VitessStreamState":
         d = json.loads(s)
+        # tolerate the earlier flat-shard-list format: entries that don't
+        # fit the keyspace-scoped shape are dropped and the serving
+        # baseline re-bootstraps from the next batch (one-way upgrade)
+        pending = tuple(sorted(
+            (p[0], p[1]) for p in d.get("pending", ())
+            if isinstance(p, (list, tuple)) and len(p) == 2))
+        retired = tuple(sorted(
+            (r[0], r[1], int(r[2])) for r in d.get("retired", ())
+            if isinstance(r, (list, tuple)) and len(r) == 3))
         return cls(
             vgtid=Vgtid.from_json(json.dumps(d.get("vgtid", []))),
             serving=tuple(sorted((ks, tuple(shs))
                                  for ks, shs in d.get("serving", {}).items())),
-            pending=tuple(sorted((ks, sh) for ks, sh in d.get("pending", ()))),
-            stopped=bool(d.get("stopped", False)))
+            pending=pending, retired=retired,
+            batches=int(d.get("batches", 0)),
+            stopped=bool(d.get("stopped", False)),
+            resuming=bool(d.get("resuming", False)))
 
 
 def fold_vstream_batch(raw: DataFrame, value_col: str,
@@ -738,12 +790,12 @@ def fold_vstream_batch(raw: DataFrame, value_col: str,
     """Advance the persisted Vitess stream state over one RAW micro-batch.
 
     Returns ``(new_state, halt)``.  ``halt=True`` is the stop-at-reshard
-    boundary: the caller must NOT process ANY of this batch (persist the
-    returned ``stopped`` state, then fail the batch so its epoch is not
-    committed — `StopOnReshardHalt`); the state's VGTID stays at the last
-    committed position with completed-split children inheriting their
-    parent's entry, so the re-delivered batch replays in full after the
-    restart.
+    boundary: the caller must NOT process ANY of this batch — persist the
+    returned ``stopped`` state (otherwise identical: nothing advanced),
+    then fail the batch so its epoch is not committed
+    (`StopOnReshardHalt`); after the operator restart (which arms
+    ``resuming``) the re-delivered batch adopts the reshard and replays
+    in full.
 
     One raw-JSON aggregation per batch (`_raw_shard_positions`) — no
     payload schema needed, so the fold covers every table in the batch in
@@ -766,57 +818,69 @@ def advance_stream_state(rows: list, state: VitessStreamState, *,
     baseline — WITHOUT requiring them to tile (gtid ``current`` startup
     has no shard list until the stream speaks, and a shard with no
     traffic in the first window must not poison the stream): late
-    arrivals that overlap nothing are adopted as ``discovered``; only an
-    overlapping-but-unexplained shard set raises.  The serving-set
-    invariant maintained here is pairwise DISJOINTNESS; full tiling holds
-    once every live shard has spoken."""
+    arrivals that overlap nothing are adopted as ``discovered`` and never
+    trigger a halt; only an overlapping-but-unexplained shard set raises.
+    The serving-set invariant maintained here is pairwise DISJOINTNESS;
+    full tiling holds once every live shard has spoken.
+
+    Shards retired by a completed transition (split parents, merged
+    children) are remembered for `RETIRE_WINDOW` batches: their straggler
+    events are ignored by the control plane — without this, a late
+    parent event after an adopted split reclassifies as a MERGE and
+    flip-flops the serving set backwards.  After the window the name may
+    be revived by a later reshard.
+
+    ``stop_on_reshard=True`` halts (state unchanged + ``stopped``) when a
+    split or merge is detected — unless ``state.resuming`` (armed by the
+    operator restart after a halt), under which the transition is
+    adopted; ``resuming`` disarms once a batch is steady."""
     if not rows:
         return state, False
+    n = state.batches + 1
+    active_retired = {(ks, sh) for ks, sh, at in state.retired
+                      if n - at <= RETIRE_WINDOW}
     serving = state.serving_map()
     pending: dict = {}
     for ks, sh in state.pending:
         pending.setdefault(ks, set()).add(sh)
     by_ks: dict = {}
     for r in rows:
-        by_ks.setdefault(r["keyspace"], []).append(r)
+        by_ks.setdefault(r["keyspace"] or "", []).append(r)
     # pass 1: classify every keyspace BEFORE any fold — a halt must leave
     # the persisted position untouched (the batch will not be processed)
     plans: dict = {}
     resharding = False
     for ks, krows in sorted(by_ks.items()):
-        seen = sorted({r["shard"] for r in krows})
+        seen = sorted({r["shard"] for r in krows
+                       if (ks, r["shard"]) not in active_retired})
         known = serving.get(ks)
         if known is None:
-            _validate_disjoint(seen, "first-contact serving set")
-            plans[ks] = ("bootstrap", seen)
+            if seen:
+                _validate_disjoint(seen, "first-contact serving set")
+                plans[ks] = ("bootstrap", seen)
             continue
         new = sorted((set(seen) | pending.get(ks, set())) - set(known))
         if not new:
             plans[ks] = ("steady", None)
             continue
-        plans[ks] = ("reshard", _classify_new_shards(list(known), new))
-        resharding = True
-    if stop_on_reshard and resharding:
-        vg = state.vgtid
-        new_pending = {ks: set(v) for ks, v in pending.items()}
-        for ks, (kind, payload) in plans.items():
-            if kind != "reshard":
-                continue
-            splits, _merged, _claimed, still_pending, _disc = payload
-            # children inherit the parent's last COMMITTED entry — the
-            # boundary batch's own positions are NOT folded
-            vg = vg.reshard(splits, keyspace=ks)
-            new_pending[ks] = set(still_pending)
+        payload = _classify_new_shards(list(known), new)
+        plans[ks] = ("reshard", payload)
+        splits, merged_children, _claimed, still_pending, _disc = payload
+        if splits or merged_children or still_pending:
+            resharding = True  # discovery alone is not a reshard
+    if stop_on_reshard and resharding and not state.resuming:
+        # halt: nothing advances — the re-delivered batch (post-restart,
+        # resuming armed) performs the adoption below
         return VitessStreamState(
-            vgtid=vg, serving=state.serving,
-            pending=tuple(sorted((ks, s) for ks, v in new_pending.items()
-                                 for s in v)),
-            stopped=True), True
-    vg = _fold_positions(rows, state.vgtid)
+            vgtid=state.vgtid, serving=state.serving,
+            pending=state.pending, retired=state.retired,
+            batches=state.batches, stopped=True), True
+    vg = _fold_positions(rows, state.vgtid, skip=active_retired)
     new_serving = dict(serving)
     # pending for keyspaces silent this batch carries over untouched
     new_pending = {ks: set(v) for ks, v in pending.items()
                    if ks not in by_ks}
+    retire_now: list = []
     for ks, (kind, payload) in plans.items():
         if kind == "bootstrap":
             new_serving[ks] = tuple(payload)
@@ -837,17 +901,26 @@ def advance_stream_state(rows: list, state: VitessStreamState, *,
             if gt is not None:
                 for c in children:
                     entries.setdefault((ks, c), gt)
+            retire_now.append((ks, parent))
         for sh in merged_children:
             entries.pop((ks, sh), None)
+            retire_now.append((ks, sh))
         vg = Vgtid(tuple(sorted(
             (ShardGtid(k, s, g) for (k, s), g in entries.items()),
             key=lambda g: (g.keyspace, g.shard))))
         new_serving[ks] = tuple(after)
         if still_pending:
             new_pending[ks] = set(still_pending)
+    retired = tuple(sorted(
+        [(ks, sh, at) for ks, sh, at in state.retired
+         if (ks, sh) in active_retired]
+        + [(ks, sh, n) for ks, sh in retire_now]))
+    pending_flat = tuple(sorted((ks, s) for ks, v in new_pending.items()
+                                for s in v))
+    still_resuming = state.resuming and (resharding or bool(pending_flat))
     return VitessStreamState(
         vgtid=vg,
         serving=tuple(sorted((ks, tuple(sorted(shs)))
                              for ks, shs in new_serving.items())),
-        pending=tuple(sorted((ks, s) for ks, v in new_pending.items()
-                             for s in v))), False
+        pending=pending_flat, retired=retired, batches=n,
+        resuming=still_resuming), False

@@ -321,22 +321,15 @@ class StreamingPipeline:
             if vs.stopped:
                 # restarting the pipeline IS the operator action after a
                 # stopOnReshard halt (reference: the Flink job restarts
-                # from the stored offset): adopt the resume VGTID's
-                # per-keyspace shard sets (completed-split children
-                # inherited their parents' entries at the boundary; a
-                # partial split keeps the parent, its seen children stay
-                # pending) and clear the halt flag — the failed boundary
-                # batch then re-delivers under the new topology
-                from ..sources.vitess import VitessStreamState
+                # from the stored offset): clear the halt flag and arm
+                # ``resuming`` — the failed (uncommitted) boundary batch
+                # re-delivers and is ADOPTED (splits/merges/pending all
+                # handled by the normal adopt path) instead of re-halting,
+                # so the halt fires exactly once per reshard
+                from dataclasses import replace as _dc_replace
 
-                by_ks: dict[str, set] = {}
-                for g in vs.vgtid.shard_gtids:
-                    by_ks.setdefault(g.keyspace, set()).add(g.shard)
-                resumed = tuple(sorted(
-                    (ks, tuple(sorted(shs)))
-                    for ks, shs in by_ks.items())) or vs.serving
-                self._save_vitess_state(VitessStreamState(
-                    vgtid=vs.vgtid, serving=resumed, pending=vs.pending))
+                self._save_vitess_state(_dc_replace(
+                    vs, stopped=False, resuming=True))
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
             from ..common.events_json import schema_events_from_json

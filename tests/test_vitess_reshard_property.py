@@ -14,8 +14,12 @@ Invariants after every transition:
   (`gtid_covers(new, old)`);
 - once a reshard quiesces, the state's serving set equals the model's and
   retired parents'/merged children's entries are gone;
-- `stop_on_reshard` halts with the boundary folded from known shards only,
-  partial children held ``pending``, no fabricated child positions.
+- straggler events from retired shards are ignored (no serving flip-flop,
+  no entry resurrection) while names age out of `RETIRE_WINDOW` and can
+  then be legitimately revived by a later reshard (ping-pong);
+- `stop_on_reshard` halts with the state UNTOUCHED (the boundary batch is
+  re-delivered after restart), and the ``resuming`` arm adopts the
+  transition exactly once instead of re-halting on its own re-delivery.
 
 No Spark in this file — pure control-plane logic.
 """
@@ -25,8 +29,8 @@ import json
 from hypothesis import given, settings, strategies as st
 
 from source_flink_cdc_3_5_0_spark.sources.vitess import (
-    ShardRange, VitessStreamState, advance_stream_state, gtid_covers,
-    shards_tile,
+    RETIRE_WINDOW, ShardRange, VitessStreamState, advance_stream_state,
+    gtid_covers, shards_tile,
 )
 
 KS = "shop"
@@ -65,6 +69,16 @@ def test_reshard_state_machine_random_lifecycle(data):
                 assert gtid_covers(g.gtid, old), (g, old)
             last_pos[(g.keyspace, g.shard)] = g.gtid
 
+    retired_model: dict = {}  # name -> state.batches at retirement
+
+    def age_out(names):
+        # a reshard may not recreate a name still inside RETIRE_WINDOW
+        # (the machine would treat its events as stragglers) — run steady
+        # batches until the name ages out, as an operator would wait
+        while any(state.batches + 1 - retired_model.get(nm, -10**9)
+                  <= RETIRE_WINDOW for nm in names):
+            emit(true)
+
     emit(true)  # first contact adopts the baseline serving set
     assert state.shards == tuple(sorted(r.name for r in true))
 
@@ -82,6 +96,7 @@ def test_reshard_state_machine_random_lifecycle(data):
             cut = data.draw(st.integers(lo + 1, hi - 1))
             left = ShardRange(parent.start, bytes([cut]))
             right = ShardRange(bytes([cut]), parent.end)
+            age_out([left.name, right.name])
             true = sorted([r for r in true if r != parent] + [left, right])
             pc = counters[parent.name]
             counters[left.name] = counters[right.name] = pc
@@ -95,18 +110,34 @@ def test_reshard_state_machine_random_lifecycle(data):
             assert state.shards == tuple(sorted(r.name for r in true))
             assert state.pending == ()
             assert state.vgtid.position(parent.name, KS) is None
+            retired_model[parent.name] = state.batches
+            if data.draw(st.booleans()):
+                # cutover straggler from the retired parent: the control
+                # plane must ignore it — no serving flip-flop back to the
+                # parent (merge misclassification), no entry resurrection
+                before = (state.serving, state.vgtid)
+                emit([parent])
+                assert state.serving == before[0]
+                assert state.vgtid == before[1]
         else:  # merge two adjacent shards
             if len(true) < 2:
                 continue
             i = data.draw(st.integers(0, len(true) - 2))
             a, b = true[i], true[i + 1]
             merged = ShardRange(a.start, b.end)
+            age_out([merged.name])
             true = sorted([r for r in true if r not in (a, b)] + [merged])
             counters[merged.name] = max(counters[a.name], counters[b.name])
             emit([merged])
             assert state.shards == tuple(sorted(r.name for r in true))
             assert state.vgtid.position(a.name, KS) is None
             assert state.vgtid.position(b.name, KS) is None
+            retired_model[a.name] = retired_model[b.name] = state.batches
+            if data.draw(st.booleans()):
+                before = (state.serving, state.vgtid)
+                emit([a])  # straggler from a merged-away child
+                assert state.serving == before[0]
+                assert state.vgtid == before[1]
 
     emit(true)  # quiesce: every serving shard speaks
     assert set(state.shards) == {r.name for r in true}
@@ -115,12 +146,15 @@ def test_reshard_state_machine_random_lifecycle(data):
 
 @settings(max_examples=30, deadline=None)
 @given(st.integers(1, 254), st.integers(1, 20), st.booleans())
-def test_stop_on_reshard_halts_at_committed_position(cut, n, full):
-    """stopOnReshard HALT: the boundary batch is NOT processed, so the
-    halted state's VGTID stays at the last COMMITTED position — a COMPLETE
-    split maps children onto the parent's committed entry, a PARTIAL split
-    keeps the parent entry and holds the seen child ``pending``; nothing
-    from the boundary batch's own positions leaks in."""
+def test_stop_on_reshard_halt_then_resume_adopts_once(cut, n, full):
+    """stopOnReshard HALT: the state is UNTOUCHED except ``stopped`` (the
+    boundary batch is not processed and re-delivers after restart) —
+    nothing from the boundary batch's own positions leaks in.  The
+    operator restart arms ``resuming``: the SAME rows then ADOPT the
+    transition instead of re-halting (no livelock on re-delivery), and
+    the arm disarms once the stream steadies."""
+    from dataclasses import replace
+
     state, _ = advance_stream_state([row("-", "u1:1-%d" % n)],
                                     VitessStreamState())
     left = ShardRange(b"", bytes([cut]))
@@ -130,18 +164,40 @@ def test_stop_on_reshard_halts_at_committed_position(cut, n, full):
     if full:
         rows.append(row(right.name, "u1:1-%d" % (n + 2)))
     st2, halt = advance_stream_state(rows, state, stop_on_reshard=True)
-    assert halt and st2.stopped and st2.shards == ("-",)
+    assert halt and st2.stopped
+    assert st2.vgtid == state.vgtid          # nothing advanced
+    assert st2.serving == state.serving
+    assert st2.pending == state.pending == ()
+    # restart: clear the flag, arm resuming — re-delivery adopts
+    st3, halt3 = advance_stream_state(
+        rows, replace(st2, stopped=False, resuming=True),
+        stop_on_reshard=True)
+    assert not halt3 and not st3.stopped
     if full:
-        # children resume from the parent's committed position (n, not
-        # n+1 — the boundary batch re-delivers after restart)
-        assert st2.vgtid.position(left.name, KS) == "u1:1-%d" % n
-        assert st2.vgtid.position(right.name, KS) == "u1:1-%d" % n
-        assert st2.vgtid.position("-", KS) is None
-        assert st2.pending == ()
+        assert st3.shards == tuple(sorted([left.name, right.name]))
+        assert st3.vgtid.position("-", KS) is None  # parent retired
+        assert st3.vgtid.position(left.name, KS) == "u1:1-%d" % (n + 2)
+        # steady batch disarms the resuming grace
+        st4, _ = advance_stream_state(
+            [row(left.name, "u1:1-%d" % (n + 3))], st3,
+            stop_on_reshard=True)
+        assert not st4.resuming
+        # ...and a LATER, separate reshard halts again (re-armed)
+        sub = ShardRange(b"", bytes([1])) if cut > 1 else None
+        if sub is not None:
+            st5, halt5 = advance_stream_state(
+                [row(sub.name, "u9:1")], st4, stop_on_reshard=True)
+            assert halt5 and st5.stopped
     else:
-        assert st2.vgtid.position("-", KS) == "u1:1-%d" % n
-        assert st2.vgtid.position(left.name, KS) is None
-        assert st2.pending == ((KS, left.name),)
+        # partial split: the seen child goes pending under resuming; the
+        # sibling completing later must not re-halt while still resuming
+        assert (KS, left.name) in st3.pending
+        assert st3.resuming
+        st4, halt4 = advance_stream_state(
+            [row(right.name, "u1:1-%d" % (n + 2))], st3,
+            stop_on_reshard=True)
+        assert not halt4
+        assert st4.shards == tuple(sorted([left.name, right.name]))
 
 
 @settings(max_examples=30, deadline=None)
@@ -165,6 +221,25 @@ def test_first_contact_partial_then_late_discovery(cut):
         alien = ShardRange(bytes([cut - 1]), bytes([cut + 1]))
         with pytest.raises(ValueError, match="split or merge"):
             advance_stream_state([row(alien.name, "u3:1")], state)
+
+
+def test_state_json_roundtrip_and_legacy_tolerance():
+    """State files round-trip exactly; a legacy flat-shard-list file (the
+    pre-keyspace-scoped format) loads without crashing — unrecognizable
+    entries drop and the serving baseline re-bootstraps on the next
+    batch instead of raising at startup."""
+    state, _ = advance_stream_state([row("-80", "u1:1-5")],
+                                    VitessStreamState())
+    assert VitessStreamState.from_json(state.to_json()) == state
+    legacy = ('{"vgtid":[{"keyspace":"shop","shard":"-80","gtid":"u1:1"}],'
+              '"shards":["-80"],"pending":["-40"],"stopped":true}')
+    st = VitessStreamState.from_json(legacy)
+    assert st.serving == () and st.pending == () and st.stopped
+    assert st.vgtid.position("-80", "shop") == "u1:1"
+    # and it advances fine from there (re-bootstrap)
+    st2, _ = advance_stream_state([row("-80", "u1:1-2")],
+                                  VitessStreamState(vgtid=st.vgtid))
+    assert st2.shards == ("-80",)
 
 
 def test_multi_keyspace_serving_sets_do_not_interfere():

@@ -703,13 +703,15 @@ def test_streaming_stop_on_reshard_halts_then_restart_resumes(
     with open(ckpt / "vitess_vgtid.json") as f:
         st = VitessStreamState.from_json(f.read())
     assert st.stopped
-    # children inherit the parent's last COMMITTED position (u1:1-7, not
-    # anything from the unprocessed boundary batch)
-    assert st.vgtid.position("-40", "shop") == "u1:1-7"
-    assert st.vgtid.position("40-80", "shop") == "u1:1-7"
+    # halt leaves the state otherwise UNTOUCHED: the committed positions
+    # only, no children entries fabricated from the unprocessed batch
+    assert st.vgtid.position("-80", "shop") == "u1:1-7"
+    assert st.vgtid.position("-40", "shop") is None
     assert st.vgtid.position("80-", "shop") == "u2:1"
-    # restart = operator action: adopts children, clears the flag, and the
-    # uncommitted boundary batch re-delivers in full — plus a new file
+    assert st.shards == ("-80", "80-")
+    # restart = operator action: clears the flag, arms resuming; the
+    # uncommitted boundary batch re-delivers and is ADOPTED in full —
+    # plus a new file streams on afterwards
     with open(os.path.join(src, "c.jsonl"), "w") as f:
         f.write(ev("c", "-40", "u3:1-2",
                    after={"id": 4, "name": "f", "qty": 6}, ts=30))
@@ -718,10 +720,12 @@ def test_streaming_stop_on_reshard_halts_then_restart_resumes(
     assert sink.row_count(tid) == 6  # ids 1,9 + re-delivered 2,3,8 + 4
     with open(ckpt / "vitess_vgtid.json") as f:
         st2 = VitessStreamState.from_json(f.read())
-    assert not st2.stopped
+    assert not st2.stopped and not st2.resuming  # disarmed once steady
     assert st2.shards == ("-40", "40-80", "80-")
     assert st2.vgtid.position("-40", "shop") == "u3:1-2"
     assert st2.vgtid.position("80-", "shop") == "u2:1-2"
+    assert st2.vgtid.position("-80", "shop") is None  # parent retired
+    assert ("shop", "-80") in {(ks, sh) for ks, sh, _ in st2.retired}
 
 
 def test_streaming_first_contact_partial_then_late_shard(spark, tmp_path):
