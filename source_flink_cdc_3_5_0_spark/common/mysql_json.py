@@ -1,0 +1,264 @@
+"""MySQL binary JSON (the JSONB-like on-disk/binlog format) codec.
+
+A MySQL ``JSON`` column arrives in binlog ROW events as a length-prefixed
+*binary JSON* document — the format defined publicly in the MySQL server
+sources (`sql/json_binary.h`, Apache-2.0 header documentation) and consumed
+by the reference's stack via Debezium's ``JsonBinary`` reader (the
+`mysql-binlog-connector-java` jar the reference's MySQL connector shades;
+see `flink-connector-mysql-cdc`). Re-implemented here from the public spec:
+
+- doc = [type byte][payload];
+- types: 0x00/0x01 small/large object, 0x02/0x03 small/large array,
+  0x04 literal (null/true/false), 0x05..0x0a int16/uint16/int32/uint32/
+  int64/uint64, 0x0b double, 0x0c utf8 string (7-bit varlen length);
+- containers hold [element-count][byte-size] then key entries
+  (offset + u16 length, objects only), value entries (type byte + offset,
+  with small scalars INLINED in the offset field: literal/int16/uint16 in
+  the small format, plus int32/uint32 in the large format), then key bytes
+  and non-inlined values; offsets are relative to the container payload;
+- objects keep keys sorted by (length, bytes) — the server's binary-search
+  order — which this encoder reproduces.
+
+Both directions ship (encoder = fixture path, decoder = wire path), so
+every shape round-trips in tests without a mysqld.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_SMALL_OBJECT = 0x00
+_LARGE_OBJECT = 0x01
+_SMALL_ARRAY = 0x02
+_LARGE_ARRAY = 0x03
+_LITERAL = 0x04
+_INT16 = 0x05
+_UINT16 = 0x06
+_INT32 = 0x07
+_UINT32 = 0x08
+_INT64 = 0x09
+_UINT64 = 0x0A
+_DOUBLE = 0x0B
+_STRING = 0x0C
+
+_LIT_NULL, _LIT_TRUE, _LIT_FALSE = 0x00, 0x01, 0x02
+
+
+# ---------------------------------------------------------------------------
+# varlen (string length): 7 bits per byte, high bit = continuation
+# ---------------------------------------------------------------------------
+
+
+def _write_varlen(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varlen(buf: bytes, pos: int) -> tuple[int, int]:
+    n = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def decode_json(doc: bytes):
+    """Binary JSON document -> python value."""
+    if not doc:
+        return None
+    return _decode_value(doc[0], doc, 1)[0]
+
+
+def _decode_value(type_byte: int, buf: bytes, pos: int):
+    t = type_byte
+    if t == _LITERAL:
+        lit = buf[pos]
+        return {_LIT_NULL: None, _LIT_TRUE: True, _LIT_FALSE: False}[lit], pos + 1
+    if t == _INT16:
+        return struct.unpack_from("<h", buf, pos)[0], pos + 2
+    if t == _UINT16:
+        return struct.unpack_from("<H", buf, pos)[0], pos + 2
+    if t == _INT32:
+        return struct.unpack_from("<i", buf, pos)[0], pos + 4
+    if t == _UINT32:
+        return struct.unpack_from("<I", buf, pos)[0], pos + 4
+    if t == _INT64:
+        return struct.unpack_from("<q", buf, pos)[0], pos + 8
+    if t == _UINT64:
+        return struct.unpack_from("<Q", buf, pos)[0], pos + 8
+    if t == _DOUBLE:
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if t == _STRING:
+        n, pos = _read_varlen(buf, pos)
+        return buf[pos:pos + n].decode("utf-8"), pos + n
+    if t in (_SMALL_OBJECT, _LARGE_OBJECT, _SMALL_ARRAY, _LARGE_ARRAY):
+        return _decode_container(t, buf, pos)
+    raise NotImplementedError(
+        "binary JSON type 0x%02x gated (opaque/decimal-in-json values are "
+        "out of the fixture surface)" % t)
+
+
+def _decode_container(t: int, buf: bytes, pos: int):
+    large = t in (_LARGE_OBJECT, _LARGE_ARRAY)
+    is_obj = t in (_SMALL_OBJECT, _LARGE_OBJECT)
+    w, fmt = (4, "<I") if large else (2, "<H")
+    base = pos  # offsets are relative to the container payload start
+    count = struct.unpack_from(fmt, buf, pos)[0]
+    size = struct.unpack_from(fmt, buf, pos + w)[0]
+    header = 2 * w + count * ((w + 2) if is_obj else 0) + count * (1 + w)
+    if base + size > len(buf) or header > size:
+        raise ValueError("binary JSON container overruns the document "
+                         "(count %d / size %d at offset %d, doc %d bytes)"
+                         % (count, size, base, len(buf)))
+    p = pos + 2 * w
+    keys = []
+    if is_obj:
+        for _ in range(count):
+            koff = struct.unpack_from(fmt, buf, p)[0]
+            klen = struct.unpack_from("<H", buf, p + w)[0]
+            keys.append(buf[base + koff:base + koff + klen].decode("utf-8"))
+            p += w + 2
+    values = []
+    inlined_types = ((_LITERAL, _INT16, _UINT16, _INT32, _UINT32) if large
+                     else (_LITERAL, _INT16, _UINT16))
+    for _ in range(count):
+        vt = buf[p]
+        if vt in inlined_types:
+            field = buf[p + 1:p + 1 + w]
+            if vt == _LITERAL:
+                v = {_LIT_NULL: None, _LIT_TRUE: True,
+                     _LIT_FALSE: False}[field[0]]
+            elif vt == _INT16:
+                v = struct.unpack_from("<h", field)[0]
+            elif vt == _UINT16:
+                v = struct.unpack_from("<H", field)[0]
+            elif vt == _INT32:
+                v = struct.unpack_from("<i", field)[0]
+            else:
+                v = struct.unpack_from("<I", field)[0]
+            values.append(v)
+        else:
+            voff = struct.unpack_from(fmt, buf, p + 1)[0]
+            v, _ = _decode_value(vt, buf, base + voff)
+            values.append(v)
+        p += 1 + w
+    end = base + size
+    if is_obj:
+        return dict(zip(keys, values)), end
+    return values, end
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+
+def encode_json(value) -> bytes:
+    """Python value -> binary JSON document (type byte + payload)."""
+    t, payload = _encode_value(value)
+    return bytes([t]) + payload
+
+
+def _scalar(value) -> tuple[int, bytes] | None:
+    if value is None:
+        return _LITERAL, bytes([_LIT_NULL])
+    if value is True:
+        return _LITERAL, bytes([_LIT_TRUE])
+    if value is False:
+        return _LITERAL, bytes([_LIT_FALSE])
+    if isinstance(value, int):
+        if -(1 << 15) <= value < 1 << 15:
+            return _INT16, struct.pack("<h", value)
+        if -(1 << 31) <= value < 1 << 31:
+            return _INT32, struct.pack("<i", value)
+        if -(1 << 63) <= value < 1 << 63:
+            return _INT64, struct.pack("<q", value)
+        if value < 1 << 64:
+            return _UINT64, struct.pack("<Q", value)
+        raise ValueError("integer out of MySQL JSON range: %d" % value)
+    if isinstance(value, float):
+        return _DOUBLE, struct.pack("<d", value)
+    if isinstance(value, str):
+        data = value.encode("utf-8")
+        return _STRING, _write_varlen(len(data)) + data
+    return None
+
+
+def _encode_value(value) -> tuple[int, bytes]:
+    s = _scalar(value)
+    if s is not None:
+        return s
+    if isinstance(value, dict):
+        return _encode_container(value, is_obj=True)
+    if isinstance(value, (list, tuple)):
+        return _encode_container(list(value), is_obj=False)
+    raise TypeError("cannot encode %r as MySQL JSON" % type(value).__name__)
+
+
+def _encode_container(value, *, is_obj: bool) -> tuple[int, bytes]:
+    if is_obj:
+        # server key order: length, then bytes (json_binary.cc comparator)
+        items = sorted(value.items(),
+                       key=lambda kv: (len(kv[0].encode()), kv[0].encode()))
+        keys = [k.encode("utf-8") for k, _ in items]
+        vals = [v for _, v in items]
+    else:
+        keys, vals = [], value
+    encoded = [_encode_value(v) for v in vals]
+
+    for large in (False, True):
+        w, fmt = (4, "<I") if large else (2, "<H")
+        inlined_types = ((_LITERAL, _INT16, _UINT16, _INT32, _UINT32) if large
+                         else (_LITERAL, _INT16, _UINT16))
+        header = 2 * w + (len(keys) * (w + 2) if is_obj else 0) \
+            + len(vals) * (1 + w)
+        key_bytes = b"".join(keys)
+        # lay out non-inlined values after header + keys
+        off = header + len(key_bytes)
+        ventries = bytearray()
+        vblob = bytearray()
+        ok = True
+        for t, payload in encoded:
+            if t in inlined_types:
+                ventries.append(t)
+                ventries += payload.ljust(w, b"\x00")
+            else:
+                if off + len(vblob) >= 1 << (8 * w):
+                    ok = False
+                    break
+                ventries.append(t)
+                ventries += struct.pack(fmt, off + len(vblob))
+                vblob += payload
+        if not ok:
+            continue
+        size = header + len(key_bytes) + len(vblob)
+        if size >= 1 << (8 * w) or len(vals) >= 1 << (8 * w):
+            continue
+        kentries = bytearray()
+        koff = header
+        for k in keys:
+            if len(k) >= 1 << 16:
+                raise ValueError("JSON object key longer than 65535 bytes")
+            kentries += struct.pack(fmt, koff) + struct.pack("<H", len(k))
+            koff += len(k)
+        out = struct.pack(fmt, len(vals)) + struct.pack(fmt, size) \
+            + bytes(kentries) + bytes(ventries) + key_bytes + bytes(vblob)
+        t = (_LARGE_OBJECT if large else _SMALL_OBJECT) if is_obj else \
+            (_LARGE_ARRAY if large else _SMALL_ARRAY)
+        return t, out
+    raise ValueError("JSON document too large for the large container format")

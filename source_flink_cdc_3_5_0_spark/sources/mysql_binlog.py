@@ -1,0 +1,1298 @@
+"""MySQL binlog source: ROW-format wire codec + changelog decode.
+
+Parity targets (reference `flink-cdc-connect/flink-cdc-source-connectors/
+flink-connector-mysql-cdc`). The reference's MySQL connector consumes the
+server's replication stream through the `mysql-binlog-connector-java` jar
+(shaded under `com.github.shyiko`/`com.zendesk`), emitting
+`WRITE/UPDATE/DELETE_ROWS` events that `MySqlRecordEmitter.java` maps onto
+the +I/-U/+U/-D changelog, positions tracked by
+`source/offset/BinlogOffset.java:46-53` (offset map keys file/pos/event/
+row/gtids/ts_sec/server_id/kind) with comparison semantics at
+`BinlogOffset.java#compareTo`. The jar's byte-level binlog parsing is
+re-implemented here FROM THE PUBLIC FORMAT DOCS — the MySQL binary-log
+event layout is documented in the MySQL Internals manual
+("Binlog Event header", "ROWS_EVENT", "TABLE_MAP_EVENT") and in the server
+sources (`libbinlogevents/include/rows_event.h`, `sql/log_event.cc`,
+`strings/decimal.c` for the NEWDECIMAL wire format, `sql-common/my_time.c`
+for the packed temporal formats):
+
+- binlog file = 4-byte magic ``\\xfe bin`` + a stream of events;
+- event header v4 (19 bytes): timestamp u32le, type u8, server_id u32le,
+  event_size u32le, log_pos u32le (END position), flags u16le;
+- FORMAT_DESCRIPTION (type 15) carries binlog version 4, the server
+  version, per-type post-header lengths and the checksum algorithm byte;
+  with CRC32 on, EVERY event gains a 4-byte little-endian CRC32 trailer
+  computed over header+body;
+- TABLE_MAP (19): 6-byte table id, schema/table names, column type bytes,
+  per-type metadata, null bitmap, and (MySQL 8 binlog_row_metadata)
+  optional TLV metadata — SIGNEDNESS / COLUMN_NAME / SIMPLE_PRIMARY_KEY
+  are decoded here because row cells are signless on the wire;
+- WRITE/UPDATE/DELETE_ROWS v2 (30/31/32): 6-byte table id, flags,
+  extra-data, column-present bitmap(s), then per row a null bitmap and the
+  present non-null cells; UPDATE rows come as (before, after) pairs —
+  exactly the reference's -U/+U pair source (`MySqlRecordEmitter` via
+  Debezium's `RelationalChangeRecordEmitter`);
+- GTID (33), QUERY (2; DDL arrives here), XID (16; transaction commit),
+  ROTATE (4; next-file handoff), PREVIOUS_GTIDS (35).
+
+Cell codecs cover the ROW-image column types: integer family (signedness
+from the SIGNEDNESS TLV), FLOAT/DOUBLE, NEWDECIMAL (base-10^9 big-endian
+groups with compressed leading digits, sign carried by flipping — pinned
+against the classic ``DECIMAL(14,4) 1234567890.1234 = 810DFB38D204D2``
+known answer), VARCHAR/STRING/ENUM/SET/BLOB/TEXT, BIT, YEAR, DATE,
+DATETIME2/TIMESTAMP2/TIME2 with fractional-second payloads, and JSON
+(MySQL binary JSON, :mod:`..common.mysql_json`).
+
+Both an encoder and a decoder ship so every format round-trips in tests
+(the PNG/JPEG/TiDB approach); the encoder is also how scripted fixtures
+produce wire-true binlog files without a mysqld. Scale posture: decode is
+an Arrow-batched ``mapInPandas`` stage over ``binaryFile`` reads — one
+binlog file is one task (files are sequential by construction; parallelism
+comes from the file set, the same unit the reference's single binlog
+reader consumes), per-row state is one event's bytes; offsets are O(1)
+driver metadata. Live socket replication is environment-gated out — this
+sandbox decodes captured or scripted binlog files.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Iterator
+
+from .vitess import gtid_covers, _parse_gtid_set  # MySQL GTID-set algebra
+
+# ---------------------------------------------------------------------------
+# constants (MySQL Internals: binlog event types / column types)
+# ---------------------------------------------------------------------------
+
+BINLOG_MAGIC = b"\xfebin"
+
+QUERY_EVENT = 2
+ROTATE_EVENT = 4
+FORMAT_DESCRIPTION_EVENT = 15
+XID_EVENT = 16
+TABLE_MAP_EVENT = 19
+WRITE_ROWS_EVENT = 30
+UPDATE_ROWS_EVENT = 31
+DELETE_ROWS_EVENT = 32
+GTID_EVENT = 33
+PREVIOUS_GTIDS_EVENT = 35
+
+_ROWS_EVENTS = (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT)
+
+# column type bytes (include/field_types.h)
+MYSQL_TYPE_TINY = 1
+MYSQL_TYPE_SHORT = 2
+MYSQL_TYPE_LONG = 3
+MYSQL_TYPE_FLOAT = 4
+MYSQL_TYPE_DOUBLE = 5
+MYSQL_TYPE_NULL = 6
+MYSQL_TYPE_TIMESTAMP = 7
+MYSQL_TYPE_LONGLONG = 8
+MYSQL_TYPE_INT24 = 9
+MYSQL_TYPE_DATE = 10
+MYSQL_TYPE_YEAR = 13
+MYSQL_TYPE_VARCHAR = 15
+MYSQL_TYPE_BIT = 16
+MYSQL_TYPE_TIMESTAMP2 = 17
+MYSQL_TYPE_DATETIME2 = 18
+MYSQL_TYPE_TIME2 = 19
+MYSQL_TYPE_JSON = 245
+MYSQL_TYPE_NEWDECIMAL = 246
+MYSQL_TYPE_ENUM = 247   # real type inside STRING metadata
+MYSQL_TYPE_SET = 248    # real type inside STRING metadata
+MYSQL_TYPE_BLOB = 252
+MYSQL_TYPE_VAR_STRING = 253
+MYSQL_TYPE_STRING = 254
+
+#: optional TABLE_MAP metadata TLV types (libbinlogevents rows_event.h
+#: Optional_metadata_field_type)
+_META_SIGNEDNESS = 1
+_META_COLUMN_NAME = 4
+_META_SET_STR_VALUE = 5
+_META_ENUM_STR_VALUE = 6
+_META_SIMPLE_PRIMARY_KEY = 8
+
+_INT_WIDTHS = {MYSQL_TYPE_TINY: 1, MYSQL_TYPE_SHORT: 2, MYSQL_TYPE_INT24: 3,
+               MYSQL_TYPE_LONG: 4, MYSQL_TYPE_LONGLONG: 8}
+
+CHECKSUM_CRC32 = 1
+
+
+# ---------------------------------------------------------------------------
+# little primitives
+# ---------------------------------------------------------------------------
+
+
+def _read_lenc(buf: bytes, pos: int) -> tuple[int, int]:
+    """MySQL length-encoded integer."""
+    b = buf[pos]
+    if b < 0xFB:
+        return b, pos + 1
+    if b == 0xFC:
+        return struct.unpack_from("<H", buf, pos + 1)[0], pos + 3
+    if b == 0xFD:
+        return int.from_bytes(buf[pos + 1:pos + 4], "little"), pos + 4
+    if b == 0xFE:
+        return struct.unpack_from("<Q", buf, pos + 1)[0], pos + 9
+    raise ValueError("invalid length-encoded integer lead byte 0x%02x" % b)
+
+
+def _write_lenc(v: int) -> bytes:
+    if v < 0xFB:
+        return bytes([v])
+    if v < 1 << 16:
+        return b"\xfc" + struct.pack("<H", v)
+    if v < 1 << 24:
+        return b"\xfd" + v.to_bytes(3, "little")
+    return b"\xfe" + struct.pack("<Q", v)
+
+
+def _bitmap_get(bitmap: bytes, i: int) -> bool:
+    return bool(bitmap[i // 8] >> (i % 8) & 1)
+
+
+def _bitmap(bits: list[bool]) -> bytes:
+    out = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        if b:
+            out[i // 8] |= 1 << (i % 8)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# NEWDECIMAL wire codec (strings/decimal.c decimal2bin/bin2decimal)
+# ---------------------------------------------------------------------------
+
+#: bytes needed for N leading decimal digits (0..8), the "compressed" group
+_DIG2BYTES = (0, 1, 1, 2, 2, 3, 3, 4, 4)
+
+
+def decimal_bin_size(precision: int, scale: int) -> int:
+    """Size of a NEWDECIMAL(p,s) cell on the wire."""
+    intg, frac = precision - scale, scale
+    return (intg // 9 * 4 + _DIG2BYTES[intg % 9]
+            + frac // 9 * 4 + _DIG2BYTES[frac % 9])
+
+
+def encode_newdecimal(text: str, precision: int, scale: int) -> bytes:
+    """Decimal string -> MySQL NEWDECIMAL bytes.
+
+    Digits are split into base-10^9 groups stored as big-endian ints (4
+    bytes full groups; leading partial groups use `_DIG2BYTES` widths); the
+    first byte's sign bit is flipped; a negative number inverts every byte.
+    Pinned known answer: DECIMAL(14,4) 1234567890.1234 = 810DFB38D204D2.
+    """
+    s = text.strip()
+    neg = s.startswith("-")
+    s = s.lstrip("+-")
+    intpart, _, fracpart = s.partition(".")
+    intg, frac = precision - scale, scale
+    intpart = (intpart or "0").rjust(intg, "0")[-intg:] if intg else ""
+    fracpart = (fracpart or "").ljust(frac, "0")[:frac]
+    if len(intpart.lstrip("0") or "") > intg:
+        raise ValueError("decimal overflow for DECIMAL(%d,%d): %r"
+                         % (precision, scale, text))
+
+    out = bytearray()
+    lead = intg % 9
+    if lead:
+        out += int(intpart[:lead] or "0").to_bytes(_DIG2BYTES[lead], "big")
+        intpart = intpart[lead:]
+    for i in range(0, len(intpart), 9):
+        out += struct.pack(">I", int(intpart[i:i + 9] or "0"))
+    full_frac = frac // 9 * 9
+    for i in range(0, full_frac, 9):
+        out += struct.pack(">I", int(fracpart[i:i + 9]))
+    tail = frac % 9
+    if tail:
+        out += int(fracpart[full_frac:]).to_bytes(_DIG2BYTES[tail], "big")
+
+    if not out:
+        out = bytearray(1)
+    if neg:
+        out = bytearray(~b & 0xFF for b in out)
+    out[0] ^= 0x80
+    return bytes(out)
+
+
+def decode_newdecimal(buf: bytes, precision: int, scale: int) -> str:
+    size = decimal_bin_size(precision, scale)
+    if len(buf) < size:
+        raise ValueError("truncated NEWDECIMAL(%d,%d): need %d bytes, have %d"
+                         % (precision, scale, size, len(buf)))
+    raw = bytearray(buf[:size])
+    neg = not (raw[0] & 0x80)
+    raw[0] ^= 0x80
+    if neg:
+        raw = bytearray(~b & 0xFF for b in raw)
+
+    intg, frac = precision - scale, scale
+    pos = 0
+    digits = []
+    lead = intg % 9
+    if lead:
+        w = _DIG2BYTES[lead]
+        digits.append(str(int.from_bytes(raw[pos:pos + w], "big")).rjust(lead, "0"))
+        pos += w
+    for _ in range(intg // 9):
+        digits.append(str(struct.unpack_from(">I", raw, pos)[0]).rjust(9, "0"))
+        pos += 4
+    intpart = "".join(digits).lstrip("0") or "0"
+
+    digits = []
+    for _ in range(frac // 9):
+        digits.append(str(struct.unpack_from(">I", raw, pos)[0]).rjust(9, "0"))
+        pos += 4
+    tail = frac % 9
+    if tail:
+        w = _DIG2BYTES[tail]
+        digits.append(str(int.from_bytes(raw[pos:pos + w], "big")).rjust(tail, "0"))
+    fracpart = "".join(digits)
+    text = intpart + ("." + fracpart if fracpart else "")
+    return ("-" if neg and text.strip("0.") else "") + text
+
+
+# ---------------------------------------------------------------------------
+# packed temporal codecs (sql-common/my_time.c TIME_to_longlong_*_packed)
+# ---------------------------------------------------------------------------
+
+
+def _frac_bytes(fsp: int) -> int:
+    return (fsp + 1) // 2
+
+
+def _encode_frac(us: int, fsp: int) -> bytes:
+    n = _frac_bytes(fsp)
+    if n == 0:
+        return b""
+    return (us // 10 ** (6 - 2 * n)).to_bytes(n, "big")
+
+
+def _decode_frac(buf: bytes, pos: int, fsp: int) -> tuple[int, int]:
+    n = _frac_bytes(fsp)
+    if n == 0:
+        return 0, pos
+    v = int.from_bytes(buf[pos:pos + n], "big")
+    return v * 10 ** (6 - 2 * n), pos + n
+
+
+def encode_datetime2(dt, fsp: int = 0) -> bytes:
+    ym = dt.year * 13 + dt.month
+    packed = (ym << 22) | (dt.day << 17) | (dt.hour << 12) | (dt.minute << 6) | dt.second
+    return ((1 << 39) | packed).to_bytes(5, "big") + _encode_frac(dt.microsecond, fsp)
+
+
+def decode_datetime2(buf: bytes, pos: int, fsp: int):
+    import datetime
+    v = int.from_bytes(buf[pos:pos + 5], "big") & ((1 << 39) - 1)
+    pos += 5
+    us, pos = _decode_frac(buf, pos, fsp)
+    sec = v & 0x3F
+    minute = (v >> 6) & 0x3F
+    hour = (v >> 12) & 0x1F
+    day = (v >> 17) & 0x1F
+    ym = v >> 22
+    return datetime.datetime(ym // 13, ym % 13, day, hour, minute, sec, us), pos
+
+
+def encode_timestamp2(epoch_sec: int, us: int, fsp: int = 0) -> bytes:
+    return struct.pack(">I", epoch_sec) + _encode_frac(us, fsp)
+
+
+def decode_timestamp2(buf: bytes, pos: int, fsp: int):
+    sec = struct.unpack_from(">I", buf, pos)[0]
+    pos += 4
+    us, pos = _decode_frac(buf, pos, fsp)
+    return (sec, us), pos
+
+
+def encode_time2(hours: int, minutes: int, seconds: int, us: int = 0,
+                 negative: bool = False, fsp: int = 0) -> bytes:
+    if negative and fsp:
+        raise NotImplementedError(
+            "negative TIME with fractional seconds is gated (two's-"
+            "complement joint int+frac encoding; fixtures use fsp=0)")
+    packed = (hours << 12) | (minutes << 6) | seconds
+    stored = (1 << 23) + (-packed if negative else packed)
+    return stored.to_bytes(3, "big") + _encode_frac(us, fsp)
+
+
+def decode_time2(buf: bytes, pos: int, fsp: int):
+    v = int.from_bytes(buf[pos:pos + 3], "big") - (1 << 23)
+    pos += 3
+    us, pos = _decode_frac(buf, pos, fsp)
+    neg = v < 0
+    v = -v if neg else v
+    return (neg, (v >> 12) & 0x3FF, (v >> 6) & 0x3F, v & 0x3F, us), pos
+
+
+def encode_date(d) -> bytes:
+    return ((d.year << 9) | (d.month << 5) | d.day).to_bytes(3, "little")
+
+
+def decode_date(buf: bytes, pos: int):
+    import datetime
+    v = int.from_bytes(buf[pos:pos + 3], "little")
+    if v == 0:
+        return None, pos + 3  # zero-date
+    return datetime.date(v >> 9, (v >> 5) & 0x0F, v & 0x1F), pos + 3
+
+
+# ---------------------------------------------------------------------------
+# table map: column descriptors
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class BinlogColumn:
+    """One column as the TABLE_MAP event describes it."""
+
+    name: str
+    type_byte: int
+    meta: tuple = ()          # per-type metadata values
+    unsigned: bool = False    # from the SIGNEDNESS optional TLV
+    nullable: bool = True
+    #: ENUM/SET literal list from the ENUM/SET_STR_VALUE optional TLVs
+    #: (binlog_row_metadata=FULL) — lets ordinals decode to strings, the
+    #: schema-aware mapping MySqlTypeUtils.java applies (ENUM -> STRING)
+    str_values: tuple[str, ...] = ()
+
+    @property
+    def real_type(self) -> int:
+        if self.type_byte == MYSQL_TYPE_STRING and self.meta:
+            return self.meta[0]
+        return self.type_byte
+
+
+@dataclass(frozen=True)
+class BinlogTableMap:
+    table_id: int
+    database: str
+    table: str
+    columns: tuple[BinlogColumn, ...]
+    pk_indexes: tuple[int, ...] = ()
+
+    @property
+    def qualified(self) -> str:
+        return f"{self.database}.{self.table}"
+
+
+def _meta_bytes(col: BinlogColumn) -> bytes:
+    """Per-type metadata block bytes for one column (TABLE_MAP layout)."""
+    t, m = col.type_byte, col.meta
+    if t in (MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE):
+        return bytes([4 if t == MYSQL_TYPE_FLOAT else 8])
+    if t == MYSQL_TYPE_VARCHAR:
+        return struct.pack("<H", m[0])
+    if t == MYSQL_TYPE_BIT:
+        bits = m[0]
+        return bytes([bits % 8, bits // 8])
+    if t == MYSQL_TYPE_NEWDECIMAL:
+        return bytes([m[0], m[1]])
+    if t in (MYSQL_TYPE_BLOB, MYSQL_TYPE_JSON):
+        return bytes([m[0] if m else 4])
+    if t == MYSQL_TYPE_STRING:
+        # meta = (real_type, length): ENUM/SET/CHAR share the STRING slot
+        real, length = (m + (MYSQL_TYPE_STRING, 0))[:2] if m else (MYSQL_TYPE_STRING, 0)
+        return bytes([real, length])
+    if t in (MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIME2):
+        return bytes([m[0] if m else 0])
+    return b""
+
+
+def _parse_meta(type_byte: int, buf: bytes, pos: int) -> tuple[tuple, int]:
+    t = type_byte
+    if t in (MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE):
+        return (buf[pos],), pos + 1
+    if t == MYSQL_TYPE_VARCHAR:
+        return (struct.unpack_from("<H", buf, pos)[0],), pos + 2
+    if t == MYSQL_TYPE_BIT:
+        return (buf[pos] + buf[pos + 1] * 8,), pos + 2
+    if t == MYSQL_TYPE_NEWDECIMAL:
+        return (buf[pos], buf[pos + 1]), pos + 2
+    if t in (MYSQL_TYPE_BLOB, MYSQL_TYPE_JSON):
+        return (buf[pos],), pos + 1
+    if t == MYSQL_TYPE_STRING:
+        return (buf[pos], buf[pos + 1]), pos + 2
+    if t in (MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIME2):
+        return (buf[pos],), pos + 1
+    return (), pos
+
+
+# ---------------------------------------------------------------------------
+# cell codecs (ROW image values)
+# ---------------------------------------------------------------------------
+
+
+def _encode_cell(col: BinlogColumn, v) -> bytes:
+    t = col.type_byte
+    if t in _INT_WIDTHS:
+        w = _INT_WIDTHS[t]
+        return int(v).to_bytes(w, "little", signed=not col.unsigned)
+    if t == MYSQL_TYPE_FLOAT:
+        return struct.pack("<f", v)
+    if t == MYSQL_TYPE_DOUBLE:
+        return struct.pack("<d", v)
+    if t == MYSQL_TYPE_YEAR:
+        return bytes([0 if v == 0 else int(v) - 1900])
+    if t == MYSQL_TYPE_DATE:
+        return encode_date(v)
+    if t == MYSQL_TYPE_DATETIME2:
+        return encode_datetime2(v, col.meta[0] if col.meta else 0)
+    if t == MYSQL_TYPE_TIMESTAMP2:
+        sec, us = v if isinstance(v, tuple) else (int(v), 0)
+        return encode_timestamp2(sec, us, col.meta[0] if col.meta else 0)
+    if t == MYSQL_TYPE_TIME2:
+        neg, h, m, s, us = v
+        return encode_time2(h, m, s, us, neg, col.meta[0] if col.meta else 0)
+    if t == MYSQL_TYPE_VARCHAR:
+        data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        if col.meta[0] < 256:
+            return bytes([len(data)]) + data
+        return struct.pack("<H", len(data)) + data
+    if t == MYSQL_TYPE_BLOB:
+        data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        w = col.meta[0] if col.meta else 4
+        return len(data).to_bytes(w, "little") + data
+    if t == MYSQL_TYPE_JSON:
+        from ..common.mysql_json import encode_json
+        doc = encode_json(v)
+        w = col.meta[0] if col.meta else 4
+        return len(doc).to_bytes(w, "little") + doc
+    if t == MYSQL_TYPE_NEWDECIMAL:
+        p, s = col.meta
+        return encode_newdecimal(str(v), p, s)
+    if t == MYSQL_TYPE_BIT:
+        nbytes = (col.meta[0] + 7) // 8
+        return int(v).to_bytes(nbytes, "big")
+    if t == MYSQL_TYPE_STRING:
+        real, length = col.meta
+        if real == MYSQL_TYPE_ENUM:
+            if isinstance(v, str):
+                v = col.str_values.index(v) + 1  # ordinals are 1-based
+            return int(v).to_bytes(length, "little")
+        if real == MYSQL_TYPE_SET:
+            if isinstance(v, str):
+                members = [m for m in v.split(",") if m]
+                v = 0
+                for m in members:
+                    v |= 1 << col.str_values.index(m)
+            return int(v).to_bytes(length, "little")
+        data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        # CHAR(n) <= 255 bytes: 1-byte length prefix on the wire
+        if length > 255:
+            raise NotImplementedError(
+                "CHAR columns longer than 255 bytes are gated (the packed "
+                "2-bit length extension; fixtures use VARCHAR for those)")
+        return bytes([len(data)]) + data
+    raise NotImplementedError("binlog cell codec gated for column type %d" % t)
+
+
+def _decode_cell(col: BinlogColumn, buf: bytes, pos: int):
+    t = col.type_byte
+    if t in _INT_WIDTHS:
+        w = _INT_WIDTHS[t]
+        v = int.from_bytes(buf[pos:pos + w], "little", signed=not col.unsigned)
+        return v, pos + w
+    if t == MYSQL_TYPE_FLOAT:
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if t == MYSQL_TYPE_DOUBLE:
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if t == MYSQL_TYPE_YEAR:
+        b = buf[pos]
+        return (0 if b == 0 else b + 1900), pos + 1
+    if t == MYSQL_TYPE_DATE:
+        return decode_date(buf, pos)
+    if t == MYSQL_TYPE_DATETIME2:
+        return decode_datetime2(buf, pos, col.meta[0] if col.meta else 0)
+    if t == MYSQL_TYPE_TIMESTAMP2:
+        return decode_timestamp2(buf, pos, col.meta[0] if col.meta else 0)
+    if t == MYSQL_TYPE_TIME2:
+        return decode_time2(buf, pos, col.meta[0] if col.meta else 0)
+    if t == MYSQL_TYPE_VARCHAR:
+        if col.meta[0] < 256:
+            n = buf[pos]
+            pos += 1
+        else:
+            n = struct.unpack_from("<H", buf, pos)[0]
+            pos += 2
+        return buf[pos:pos + n].decode("utf-8"), pos + n
+    if t == MYSQL_TYPE_BLOB:
+        w = col.meta[0] if col.meta else 4
+        n = int.from_bytes(buf[pos:pos + w], "little")
+        pos += w
+        return bytes(buf[pos:pos + n]), pos + n
+    if t == MYSQL_TYPE_JSON:
+        from ..common.mysql_json import decode_json
+        w = col.meta[0] if col.meta else 4
+        n = int.from_bytes(buf[pos:pos + w], "little")
+        pos += w
+        return decode_json(bytes(buf[pos:pos + n])), pos + n
+    if t == MYSQL_TYPE_NEWDECIMAL:
+        p, s = col.meta
+        size = decimal_bin_size(p, s)
+        return decode_newdecimal(buf[pos:pos + size], p, s), pos + size
+    if t == MYSQL_TYPE_BIT:
+        nbytes = (col.meta[0] + 7) // 8
+        return int.from_bytes(buf[pos:pos + nbytes], "big"), pos + nbytes
+    if t == MYSQL_TYPE_STRING:
+        real, length = col.meta
+        if real in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET):
+            n = int.from_bytes(buf[pos:pos + length], "little")
+            pos += length
+            if not col.str_values:
+                return n, pos  # no FULL row metadata: ordinal/bitmask as-is
+            if real == MYSQL_TYPE_ENUM:
+                return (col.str_values[n - 1] if n else ""), pos
+            return ",".join(s for i, s in enumerate(col.str_values)
+                            if n >> i & 1), pos
+        n = buf[pos]
+        pos += 1
+        return buf[pos:pos + n].decode("utf-8"), pos + n
+    raise NotImplementedError("binlog cell codec gated for column type %d" % t)
+
+
+# ---------------------------------------------------------------------------
+# event-level encoder (scripted fixtures -> wire-true binlog bytes)
+# ---------------------------------------------------------------------------
+
+
+class BinlogWriter:
+    """Assemble a byte-true binlog file (v4, optional CRC32 checksums)."""
+
+    def __init__(self, server_id: int = 1, checksum: bool = True,
+                 server_version: str = "8.0.36-log"):
+        self.server_id = server_id
+        self.checksum = checksum
+        self.server_version = server_version
+        self._buf = bytearray(BINLOG_MAGIC)
+        self._ts = 1_700_000_000
+        self._write_fde()
+
+    def _emit(self, type_byte: int, body: bytes, flags: int = 0) -> None:
+        trailer = 4 if self.checksum else 0
+        size = 19 + len(body) + trailer
+        log_pos = len(self._buf) + size
+        header = struct.pack("<IBIIIH", self._ts, type_byte, self.server_id,
+                             size, log_pos, flags)
+        payload = header + body
+        if self.checksum:
+            payload += struct.pack("<I", zlib.crc32(payload) & 0xFFFFFFFF)
+        self._buf += payload
+
+    def _write_fde(self) -> None:
+        # post-header length table through type 38 (one byte per type >= 1)
+        n_types = 38
+        post = bytearray(n_types)
+        post[QUERY_EVENT - 1] = 13
+        post[ROTATE_EVENT - 1] = 8
+        post[FORMAT_DESCRIPTION_EVENT - 1] = 84
+        post[XID_EVENT - 1] = 0
+        post[TABLE_MAP_EVENT - 1] = 8
+        for t in _ROWS_EVENTS:
+            post[t - 1] = 10
+        post[GTID_EVENT - 1] = 42
+        body = struct.pack("<H", 4)
+        body += self.server_version.encode().ljust(50, b"\x00")[:50]
+        body += struct.pack("<I", self._ts)
+        body += bytes([19])  # common header length
+        body += bytes(post)
+        body += bytes([CHECKSUM_CRC32 if self.checksum else 0])
+        self._emit(FORMAT_DESCRIPTION_EVENT, body)
+
+    def tick(self, seconds: int = 1) -> None:
+        self._ts += seconds
+
+    def gtid(self, uuid: str, gno: int) -> None:
+        sid = bytes.fromhex(uuid.replace("-", ""))
+        body = bytes([1]) + sid + struct.pack("<q", gno)
+        # logical-clock block (5.7+): lt type byte + last_committed + seq_no
+        body += bytes([2]) + struct.pack("<qq", 0, 0)
+        self._emit(GTID_EVENT, body)
+
+    def query(self, sql: str, database: str = "") -> None:
+        db = database.encode()
+        body = struct.pack("<IIBHH", 1, 0, len(db), 0, 0)
+        body += db + b"\x00" + sql.encode()
+        self._emit(QUERY_EVENT, body)
+
+    def xid(self, xid: int) -> None:
+        self._emit(XID_EVENT, struct.pack("<Q", xid))
+
+    def rotate(self, next_file: str, position: int = 4) -> None:
+        self._emit(ROTATE_EVENT, struct.pack("<Q", position) + next_file.encode())
+
+    def table_map(self, tmap: BinlogTableMap) -> None:
+        cols = tmap.columns
+        body = tmap.table_id.to_bytes(6, "little") + struct.pack("<H", 1)
+        db, tbl = tmap.database.encode(), tmap.table.encode()
+        body += bytes([len(db)]) + db + b"\x00"
+        body += bytes([len(tbl)]) + tbl + b"\x00"
+        body += _write_lenc(len(cols))
+        body += bytes(c.type_byte for c in cols)
+        meta = b"".join(_meta_bytes(c) for c in cols)
+        body += _write_lenc(len(meta)) + meta
+        body += _bitmap([c.nullable for c in cols])
+        # optional metadata TLVs: SIGNEDNESS, COLUMN_NAME, SIMPLE_PRIMARY_KEY
+        numeric = [c for c in cols
+                   if c.type_byte in _INT_WIDTHS
+                   or c.type_byte in (MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE,
+                                      MYSQL_TYPE_NEWDECIMAL)]
+        if numeric:
+            # MSB-first bitmap over numeric columns only (rows_event.h)
+            bits = bytearray((len(numeric) + 7) // 8)
+            for i, c in enumerate(numeric):
+                if c.unsigned:
+                    bits[i // 8] |= 0x80 >> (i % 8)
+            body += bytes([_META_SIGNEDNESS]) + _write_lenc(len(bits)) + bytes(bits)
+        names = b"".join(_write_lenc(len(c.name.encode())) + c.name.encode()
+                         for c in cols)
+        body += bytes([_META_COLUMN_NAME]) + _write_lenc(len(names)) + names
+        for tlv, real in ((_META_ENUM_STR_VALUE, MYSQL_TYPE_ENUM),
+                          (_META_SET_STR_VALUE, MYSQL_TYPE_SET)):
+            typed = [c for c in cols if c.real_type == real]
+            if typed and any(c.str_values for c in typed):
+                blob = bytearray()
+                for c in typed:
+                    blob += _write_lenc(len(c.str_values))
+                    for s in c.str_values:
+                        e = s.encode("utf-8")
+                        blob += _write_lenc(len(e)) + e
+                body += bytes([tlv]) + _write_lenc(len(blob)) + bytes(blob)
+        if tmap.pk_indexes:
+            pk = b"".join(_write_lenc(i) for i in tmap.pk_indexes)
+            body += bytes([_META_SIMPLE_PRIMARY_KEY]) + _write_lenc(len(pk)) + pk
+        self._emit(TABLE_MAP_EVENT, body)
+
+    def _row_image(self, cols: tuple[BinlogColumn, ...], present: list[bool],
+                   row: dict) -> bytes:
+        live = [c for c, p in zip(cols, present) if p]
+        nulls = [row.get(c.name) is None for c in live]
+        out = bytearray(_bitmap(nulls))
+        for c, is_null in zip(live, nulls):
+            if not is_null:
+                out += _encode_cell(c, row[c.name])
+        return bytes(out)
+
+    def rows(self, tmap: BinlogTableMap, kind: int,
+             rows: list[dict] | list[tuple[dict, dict]]) -> None:
+        """One WRITE/UPDATE/DELETE_ROWS v2 event.
+
+        ``rows`` holds after-images for WRITE, before-images for DELETE and
+        (before, after) pairs for UPDATE — the wire pairs the reference's
+        `RelationalChangeRecordEmitter` splits into -U/+U.
+        """
+        cols = tmap.columns
+        present = [True] * len(cols)
+        body = tmap.table_id.to_bytes(6, "little") + struct.pack("<H", 0)
+        body += struct.pack("<H", 2)  # extra-data length (none)
+        body += _write_lenc(len(cols))
+        body += _bitmap(present)
+        if kind == UPDATE_ROWS_EVENT:
+            body += _bitmap(present)  # columns present, after image
+            for before, after in rows:  # type: ignore[misc]
+                body += self._row_image(cols, present, before)
+                body += self._row_image(cols, present, after)
+        else:
+            for row in rows:  # type: ignore[assignment]
+                body += self._row_image(cols, present, row)
+        self._emit(kind, body)
+
+    def getvalue(self) -> bytes:
+        return bytes(self._buf)
+
+
+# ---------------------------------------------------------------------------
+# event-level decoder
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BinlogEvent:
+    type_byte: int
+    timestamp: int
+    server_id: int
+    log_pos: int          # END position of this event
+    start_pos: int        # offset of the event header in the file
+    body: bytes
+    fields: dict = field(default_factory=dict)
+
+
+class BinlogReader:
+    """Parse one binlog file's bytes into decoded events.
+
+    Verifies the magic, reads the FDE to learn the checksum algorithm,
+    validates every CRC32 trailer, and keeps the TABLE_MAP registry that
+    rows events resolve against (table ids are per-file ephemeral, exactly
+    the jar's behavior).
+    """
+
+    def __init__(self, data: bytes, *, verify_checksums: bool = True):
+        if data[:4] != BINLOG_MAGIC:
+            raise ValueError("not a binlog file (bad magic %r)" % data[:4])
+        self.data = data
+        self.verify_checksums = verify_checksums
+        self.checksum = False
+        self.table_maps: dict[int, BinlogTableMap] = {}
+
+    # -- low level ----------------------------------------------------------
+
+    def _events_raw(self) -> Iterator[BinlogEvent]:
+        data, pos = self.data, 4
+        while pos < len(data):
+            if pos + 19 > len(data):
+                raise ValueError("truncated event header at offset %d" % pos)
+            ts, t, sid, size, log_pos, _flags = struct.unpack_from(
+                "<IBIIIH", data, pos)
+            if size < 19 or pos + size > len(data):
+                raise ValueError("truncated event (type %d) at offset %d: "
+                                 "size %d overruns the file" % (t, pos, size))
+            body = data[pos + 19:pos + size]
+            if t == FORMAT_DESCRIPTION_EVENT:
+                # FDE body ends [..., alg] without checksums and
+                # [..., alg, crc32le] with them. Probe deterministically:
+                # checksum is on iff the alg byte at -5 says CRC32 AND the
+                # last 4 bytes actually check out as the event's CRC32.
+                crc_ok = (len(body) >= 5 and body[-5] == CHECKSUM_CRC32
+                          and struct.unpack_from("<I", body, len(body) - 4)[0]
+                          == zlib.crc32(data[pos:pos + size - 4]) & 0xFFFFFFFF)
+                self.checksum = crc_ok
+            if self.checksum:
+                if self.verify_checksums:
+                    want = struct.unpack_from("<I", data, pos + size - 4)[0]
+                    got = zlib.crc32(data[pos:pos + size - 4]) & 0xFFFFFFFF
+                    if want != got:
+                        raise ValueError(
+                            "CRC32 mismatch on event type %d at offset %d"
+                            % (t, pos))
+                body = body[:-4]
+            yield BinlogEvent(t, ts, sid, log_pos, pos, body)
+            pos += size
+
+    # -- per-type body decode -------------------------------------------------
+
+    def _decode_table_map(self, ev: BinlogEvent) -> BinlogTableMap:
+        b = ev.body
+        table_id = int.from_bytes(b[:6], "little")
+        pos = 8  # skip flags
+        n = b[pos]
+        db = b[pos + 1:pos + 1 + n].decode()
+        pos += 1 + n + 1
+        n = b[pos]
+        tbl = b[pos + 1:pos + 1 + n].decode()
+        pos += 1 + n + 1
+        ncols, pos = _read_lenc(b, pos)
+        types = list(b[pos:pos + ncols])
+        pos += ncols
+        meta_len, pos = _read_lenc(b, pos)
+        metas, mp = [], pos
+        for t in types:
+            m, mp = _parse_meta(t, b, mp)
+            metas.append(m)
+        if mp != pos + meta_len:
+            raise ValueError("TABLE_MAP metadata block mis-sized: consumed "
+                             "%d of %d bytes" % (mp - pos, meta_len))
+        pos += meta_len
+        nullable = [(b[pos + i // 8] >> (i % 8)) & 1 == 1 for i in range(ncols)]
+        pos += (ncols + 7) // 8
+        # optional metadata TLVs
+        names = [f"col_{i}" for i in range(ncols)]
+        unsigned = [False] * ncols
+        str_values: dict[int, tuple[str, ...]] = {}
+        pks: tuple[int, ...] = ()
+        numeric_idx = [i for i, t in enumerate(types)
+                       if t in _INT_WIDTHS
+                       or t in (MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE,
+                                MYSQL_TYPE_NEWDECIMAL)]
+        while pos < len(b):
+            tlv_type = b[pos]
+            tlv_len, pos = _read_lenc(b, pos + 1)
+            val = b[pos:pos + tlv_len]
+            pos += tlv_len
+            if tlv_type == _META_SIGNEDNESS:
+                for j, ci in enumerate(numeric_idx):
+                    if j // 8 < len(val) and val[j // 8] & (0x80 >> (j % 8)):
+                        unsigned[ci] = True
+            elif tlv_type == _META_COLUMN_NAME:
+                names, vp, i = names[:], 0, 0
+                while vp < len(val) and i < ncols:
+                    ln, vp = _read_lenc(val, vp)
+                    names[i] = val[vp:vp + ln].decode()
+                    vp += ln
+                    i += 1
+            elif tlv_type in (_META_ENUM_STR_VALUE, _META_SET_STR_VALUE):
+                real = (MYSQL_TYPE_ENUM if tlv_type == _META_ENUM_STR_VALUE
+                        else MYSQL_TYPE_SET)
+                targets = [i for i, t in enumerate(types)
+                           if t == MYSQL_TYPE_STRING and metas[i]
+                           and metas[i][0] == real]
+                vp = 0
+                for ci in targets:
+                    if vp >= len(val):
+                        break
+                    cnt, vp = _read_lenc(val, vp)
+                    lits = []
+                    for _ in range(cnt):
+                        ln, vp = _read_lenc(val, vp)
+                        lits.append(val[vp:vp + ln].decode("utf-8"))
+                        vp += ln
+                    str_values[ci] = tuple(lits)
+            elif tlv_type == _META_SIMPLE_PRIMARY_KEY:
+                out, vp = [], 0
+                while vp < len(val):
+                    ix, vp = _read_lenc(val, vp)
+                    out.append(ix)
+                pks = tuple(out)
+        cols = tuple(BinlogColumn(names[i], types[i], metas[i],
+                                  unsigned[i], nullable[i],
+                                  str_values.get(i, ()))
+                     for i in range(ncols))
+        return BinlogTableMap(table_id, db, tbl, cols, pks)
+
+    def _decode_row_image(self, cols, present: list[bool],
+                          b: bytes, pos: int) -> tuple[dict, int]:
+        live = [c for c, p in zip(cols, present) if p]
+        nbytes = (len(live) + 7) // 8
+        nulls = b[pos:pos + nbytes]
+        pos += nbytes
+        row = {}
+        for i, c in enumerate(live):
+            if _bitmap_get(nulls, i):
+                row[c.name] = None
+            else:
+                row[c.name], pos = _decode_cell(c, b, pos)
+        return row, pos
+
+    def _decode_rows(self, ev: BinlogEvent) -> dict:
+        b = ev.body
+        table_id = int.from_bytes(b[:6], "little")
+        tmap = self.table_maps.get(table_id)
+        if tmap is None:
+            raise ValueError("ROWS event for unmapped table id %d "
+                             "(missing TABLE_MAP)" % table_id)
+        extra_len = struct.unpack_from("<H", b, 8)[0]
+        pos = 8 + 2 + (extra_len - 2)
+        ncols, pos = _read_lenc(b, pos)
+        if ncols != len(tmap.columns):
+            raise ValueError("ROWS event column count %d != TABLE_MAP %d"
+                             % (ncols, len(tmap.columns)))
+        nb = (ncols + 7) // 8
+        present = [_bitmap_get(b[pos:pos + nb], i) for i in range(ncols)]
+        pos += nb
+        present2 = present
+        if ev.type_byte == UPDATE_ROWS_EVENT:
+            present2 = [_bitmap_get(b[pos:pos + nb], i) for i in range(ncols)]
+            pos += nb
+        rows = []
+        while pos < len(b):
+            img1, pos = self._decode_row_image(tmap.columns, present, b, pos)
+            if ev.type_byte == UPDATE_ROWS_EVENT:
+                img2, pos = self._decode_row_image(tmap.columns, present2, b, pos)
+                rows.append((img1, img2))
+            else:
+                rows.append(img1)
+        return {"table": tmap, "rows": rows}
+
+    # -- public --------------------------------------------------------------
+
+    def events(self) -> Iterator[BinlogEvent]:
+        """Decoded events; TABLE_MAPs are also registered on the reader."""
+        for ev in self._events_raw():
+            t = ev.type_byte
+            if t == TABLE_MAP_EVENT:
+                tmap = self._decode_table_map(ev)
+                self.table_maps[tmap.table_id] = tmap
+                ev.fields = {"table": tmap}
+            elif t in _ROWS_EVENTS:
+                ev.fields = self._decode_rows(ev)
+            elif t == GTID_EVENT:
+                sid = ev.body[1:17]
+                gno = struct.unpack_from("<q", ev.body, 17)[0]
+                uuid = sid.hex()
+                uuid = "-".join((uuid[:8], uuid[8:12], uuid[12:16],
+                                 uuid[16:20], uuid[20:]))
+                ev.fields = {"uuid": uuid, "gno": gno}
+            elif t == QUERY_EVENT:
+                _tid, _exec, dblen, _err, svlen = struct.unpack_from(
+                    "<IIBHH", ev.body, 0)
+                p = 13 + svlen
+                db = ev.body[p:p + dblen].decode()
+                sql = ev.body[p + dblen + 1:].decode()
+                ev.fields = {"database": db, "sql": sql}
+            elif t == XID_EVENT:
+                ev.fields = {"xid": struct.unpack_from("<Q", ev.body, 0)[0]}
+            elif t == ROTATE_EVENT:
+                ev.fields = {"position": struct.unpack_from("<Q", ev.body)[0],
+                             "next_file": ev.body[8:].decode()}
+            elif t == FORMAT_DESCRIPTION_EVENT:
+                ver = ev.body[2:52].rstrip(b"\x00").decode()
+                ev.fields = {"binlog_version":
+                             struct.unpack_from("<H", ev.body)[0],
+                             "server_version": ver,
+                             "checksum": self.checksum}
+            yield ev
+
+
+# ---------------------------------------------------------------------------
+# changelog extraction (MySqlRecordEmitter.java analog)
+# ---------------------------------------------------------------------------
+
+
+def binlog_changes(data: bytes, filename: str = "") -> list[dict]:
+    """One binlog file -> flat change records with full position metadata.
+
+    The +I/-U/+U/-D mapping is the reference's emitter contract
+    (`MySqlRecordEmitter.java` via Debezium): WRITE rows -> +I, DELETE rows
+    -> -D, UPDATE rows -> a (-U, +U) pair per wire row pair. Each record
+    carries the `BinlogOffset.java:46-53` coordinates: file, pos (event END
+    position, what the jar reports), ts_sec, server_id, gtid (when a GTID
+    event preceded the transaction), plus the DDL stream from QUERY events
+    (routed to the engine's DDL parser upstream).
+    """
+    reader = BinlogReader(data)
+    out: list[dict] = []
+    gtid = None
+    running: dict[str, str] = {}
+
+    def _pos(ev: BinlogEvent) -> dict:
+        return {"file": filename, "pos": ev.log_pos, "ts_sec": ev.timestamp,
+                "server_id": ev.server_id,
+                "gtids": _gtid_set_str(running) or None}
+
+    for ev in reader.events():
+        t = ev.type_byte
+        if t == GTID_EVENT:
+            gtid = (ev.fields["uuid"], ev.fields["gno"])
+        elif t == QUERY_EVENT:
+            sql = ev.fields["sql"].strip()
+            if sql.upper() != "BEGIN":
+                out.append({"kind": "ddl", "database": ev.fields["database"],
+                            "sql": sql, **_pos(ev)})
+        elif t in _ROWS_EVENTS:
+            tmap: BinlogTableMap = ev.fields["table"]
+            base = {"kind": "change", "database": tmap.database,
+                    "table": tmap.table, **_pos(ev)}
+            for i, r in enumerate(ev.fields["rows"]):
+                if t == WRITE_ROWS_EVENT:
+                    out.append({**base, "op": "+I", "after": r,
+                                "before": None, "row": i})
+                elif t == DELETE_ROWS_EVENT:
+                    out.append({**base, "op": "-D", "after": None,
+                                "before": r, "row": i})
+                else:
+                    before, after = r
+                    out.append({**base, "op": "-U", "after": None,
+                                "before": before, "row": i})
+                    out.append({**base, "op": "+U", "after": after,
+                                "before": before, "row": i})
+        elif t == XID_EVENT:
+            if gtid is not None:
+                _advance(running, *gtid)
+                gtid = None
+        elif t == ROTATE_EVENT and ev.timestamp != 0:
+            pass  # mid-stream rotate: next file carries on
+    return out
+
+
+def _advance(running: dict[str, str], uuid: str, gno: int) -> None:
+    cur = running.get(uuid)
+    if cur is None:
+        running[uuid] = f"{gno}-{gno}" if gno else str(gno)
+        return
+    lo, _, hi = cur.partition("-")
+    hi = int(hi or lo)
+    if gno == hi + 1:
+        running[uuid] = f"{lo}-{gno}"
+    elif gno > hi:
+        running[uuid] = f"{lo}-{gno}"  # gap-tolerant upper bound
+    # gno <= hi: already covered
+
+
+def _gtid_set_str(running: dict[str, str]) -> str:
+    return ",".join(f"{u}:{iv}" for u, iv in sorted(running.items()))
+
+
+# ---------------------------------------------------------------------------
+# BinlogOffset (source/offset/BinlogOffset.java parity)
+# ---------------------------------------------------------------------------
+
+_KIND_EARLIEST = "EARLIEST"
+_KIND_LATEST = "LATEST"
+_KIND_TIMESTAMP = "TIMESTAMP"
+_KIND_NON_STOPPING = "NON_STOPPING"
+_KIND_SPECIFIC = "SPECIFIC"
+
+
+@dataclass(frozen=True)
+class BinlogOffset:
+    """The reference's offset map, keys pinned to `BinlogOffset.java:46-53`."""
+
+    offset: tuple  # sorted (key, value) pairs — hashable map
+
+    KEYS = ("file", "pos", "event", "row", "gtids", "ts_sec",
+            "server_id", "kind")
+
+    @classmethod
+    def of(cls, **kv) -> "BinlogOffset":
+        bad = set(kv) - set(cls.KEYS)
+        if bad:
+            raise ValueError("unknown binlog offset keys %s" % sorted(bad))
+        return cls(tuple(sorted((k, str(v)) for k, v in kv.items()
+                                if v is not None)))
+
+    @classmethod
+    def of_file_position(cls, filename: str, position: int) -> "BinlogOffset":
+        return cls.of(file=filename, pos=position)
+
+    @classmethod
+    def of_gtid_set(cls, gtid_set: str) -> "BinlogOffset":
+        return cls.of(file="", pos=0, gtids=gtid_set)
+
+    @classmethod
+    def of_earliest(cls) -> "BinlogOffset":
+        return cls.of(kind=_KIND_EARLIEST)
+
+    @classmethod
+    def of_latest(cls) -> "BinlogOffset":
+        return cls.of(kind=_KIND_LATEST)
+
+    @classmethod
+    def of_timestamp_sec(cls, ts: int) -> "BinlogOffset":
+        return cls.of(kind=_KIND_TIMESTAMP, ts_sec=ts)
+
+    @classmethod
+    def of_non_stopping(cls) -> "BinlogOffset":
+        return cls.of(kind=_KIND_NON_STOPPING)
+
+    def _map(self) -> dict:
+        return dict(self.offset)
+
+    def get(self, key: str, default=None):
+        return self._map().get(key, default)
+
+    def _long(self, key: str) -> int:
+        v = self._map().get(key)
+        return int(v) if v not in (None, "") else 0
+
+    @property
+    def filename(self) -> str | None:
+        return self._map().get("file")
+
+    @property
+    def position(self) -> int:
+        return self._long("pos")
+
+    @property
+    def gtid_set(self) -> str | None:
+        return self._map().get("gtids")
+
+    @property
+    def kind(self) -> str | None:
+        return self._map().get("kind")
+
+    def compare(self, that: "BinlogOffset") -> int:
+        """`BinlogOffset.java#compareTo`, branch for branch."""
+        if self.kind == _KIND_NON_STOPPING and that.kind == _KIND_NON_STOPPING:
+            return 0
+        if self.kind == _KIND_NON_STOPPING:
+            return 1
+        if that.kind == _KIND_NON_STOPPING:
+            return -1
+        g, tg = self.gtid_set or "", that.gtid_set or ""
+        if tg:
+            if g:
+                if _parse_gtid_set(g) == _parse_gtid_set(tg):
+                    return _cmp(self._long("event"), that._long("event"))
+                return -1 if gtid_covers(tg, g) else 1
+            return -1
+        if g:
+            return 1
+        if self._long("server_id") != that._long("server_id"):
+            ts, tts = self._long("ts_sec"), that._long("ts_sec")
+            if ts and tts:
+                return _cmp(ts, tts)
+        f, tf = (self.filename or "").lower(), (that.filename or "").lower()
+        if self.filename is not None and that.filename is not None and f != tf:
+            return _cmp(f, tf)
+        if self.position != that.position:
+            return _cmp(self.position, that.position)
+        if self._long("event") != that._long("event"):
+            return _cmp(self._long("event"), that._long("event"))
+        return _cmp(self._long("row"), that._long("row"))
+
+    def is_at_or_before(self, that: "BinlogOffset") -> bool:
+        return self.compare(that) <= 0
+
+    def is_before(self, that: "BinlogOffset") -> bool:
+        return self.compare(that) < 0
+
+    def to_json(self) -> str:
+        import json
+        return json.dumps(self._map(), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "BinlogOffset":
+        import json
+        return cls.of(**json.loads(s))
+
+
+def _cmp(a, b) -> int:
+    return (a > b) - (a < b)
+
+
+# ---------------------------------------------------------------------------
+# Spark integration (the data plane)
+# ---------------------------------------------------------------------------
+
+
+def _file_ordinal(filename: str) -> int:
+    """mysql-bin.000007 -> 7 (binlog names order lexically; the numeric
+    suffix is the rotation ordinal)."""
+    tail = filename.rsplit(".", 1)[-1]
+    return int(tail) if tail.isdigit() else 0
+
+
+def record_seq(filename: str, pos: int, row: int, op: str) -> int:
+    """Monotone per-key ``__seq``: (file ordinal, event end-pos, row in
+    event, -U before +U). Binlog files cap at 1 GiB so pos < 2^30; row
+    index is capped into 14 bits (an update pair shares one wire row)."""
+    op_bit = 0 if op == "-U" else 1
+    return (((_file_ordinal(filename) << 30 | pos) << 14
+             | min(row, (1 << 14) - 1)) << 1) | op_bit
+
+
+def _to_spark_value(ftype, v):
+    """Wire cell -> the payload-schema field's Python value."""
+    import datetime
+    import decimal
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    if v is None:
+        return None
+    if isinstance(ftype, T.DecimalType):
+        return decimal.Decimal(v) if isinstance(v, str) else decimal.Decimal(str(v))
+    if isinstance(ftype, T.TimestampType) and isinstance(v, tuple):
+        sec, us = v
+        return (datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(seconds=int(sec), microseconds=int(us)))
+    if isinstance(ftype, (T.TimestampType, T.TimestampNTZType)):
+        return v
+    if isinstance(ftype, T.StringType):
+        if isinstance(v, tuple) and len(v) == 5:  # TIME2
+            neg, h, m, s, us = v
+            txt = "%s%02d:%02d:%02d" % ("-" if neg else "", h, m, s)
+            return txt + (".%06d" % us if us else "")
+        if isinstance(v, (dict, list, bool)):
+            return _json.dumps(v, separators=(",", ":"))
+        if isinstance(v, bytes):
+            return v.decode("utf-8")
+        return str(v) if not isinstance(v, str) else v
+    if isinstance(ftype, T.BooleanType):
+        return bool(v)
+    return v
+
+
+def decode_binlog(files: "DataFrame", database: str, table: str,
+                  payload_schema: "T.StructType",
+                  start_offset: BinlogOffset | None = None) -> "DataFrame":
+    """``binaryFile``-read binlog files -> engine changelog envelope.
+
+    One binlog file is one Arrow batch task (files are sequential streams —
+    the same unit the reference's single binlog reader consumes; read
+    parallelism comes from the file set). Emits the reference emitter's
+    +I/-U/+U/-D mapping with ``__before`` populated from the wire's update
+    before-images, ``__meta`` carrying the `BinlogOffset.java` coordinates
+    (file/pos/ts_sec/server_id/gtids + op_ts), and ``__seq`` monotone in
+    (file, pos, row) order. ``start_offset`` drops records at or before the
+    given offset — the snapshot/stream stitch filter (the reference's
+    binlog-split high-watermark skip in `MySqlBinlogSplit`/
+    `BinlogOffsetUtils`).
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..common.events import BEFORE_COL, META_COL, OP_COL
+    from .base import SEQ_COL
+
+    schema = T.StructType(list(payload_schema.fields) + [
+        T.StructField(OP_COL, T.StringType(), False),
+        T.StructField(BEFORE_COL, payload_schema, True),
+        T.StructField(META_COL,
+                      T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField(SEQ_COL, T.LongType(), True),
+    ])
+    names = [f.name for f in schema.fields]
+    ftypes = {f.name: f.dataType for f in payload_schema.fields}
+    payload_cols = list(ftypes)
+
+    def _image(img: dict | None):
+        if img is None:
+            return None
+        return {c: _to_spark_value(ftypes[c], img.get(c))
+                for c in payload_cols}
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            recs: list[dict] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                fname = str(path).rsplit("/", 1)[-1]
+                for c in binlog_changes(bytes(content), fname):
+                    if c["kind"] != "change":
+                        continue
+                    if c["database"] != database or c["table"] != table:
+                        continue
+                    if start_offset is not None:
+                        here = BinlogOffset.of(
+                            file=c["file"], pos=c["pos"], row=c["row"])
+                        if here.is_at_or_before(start_offset):
+                            continue
+                    after = _image(c["after"]) or _image(c["before"])
+                    rec = dict(after or {})
+                    rec[OP_COL] = c["op"]
+                    rec[BEFORE_COL] = _image(c["before"]) \
+                        if c["op"] in ("-U", "+U") else None
+                    rec[META_COL] = {
+                        "file": c["file"], "pos": str(c["pos"]),
+                        "row": str(c["row"]),
+                        "ts_sec": str(c["ts_sec"]),
+                        "server_id": str(c["server_id"]),
+                        "op_ts": str(c["ts_sec"]),
+                        **({"gtids": c["gtids"]} if c["gtids"] else {}),
+                    }
+                    rec[SEQ_COL] = record_seq(c["file"], c["pos"],
+                                              c["row"], c["op"])
+                    recs.append(rec)
+            yield pd.DataFrame(
+                {n: pd.Series([r.get(n) for r in recs], dtype=object)
+                 for n in names})
+
+    return files.select("path", "content").mapInPandas(run, schema=schema)
+
+
+def read_binlog_files(spark, path: str) -> "DataFrame":
+    """Directory/glob of binlog files -> (path, content) DataFrame."""
+    return spark.read.format("binaryFile").load(path)
+
+
+def binlog_schema_events(paths: list[str]) -> list[dict]:
+    """Driver-side DDL extraction: binlog QUERY events in commit order.
+
+    DDL is rare control-plane data (the reference routes it through the
+    SchemaRegistry on the coordinator, never the data plane) — records are
+    {database, sql, file, pos, ts_sec, gtids} ready for the engine's
+    `common/ddl_parser`.
+    """
+    out: list[dict] = []
+    for p in sorted(paths, key=lambda s: _file_ordinal(s.rsplit("/", 1)[-1])):
+        with open(p, "rb") as fh:
+            data = fh.read()
+        fname = p.rsplit("/", 1)[-1]
+        out.extend(c for c in binlog_changes(data, fname)
+                   if c["kind"] == "ddl")
+    return out

@@ -1,0 +1,445 @@
+"""MySQL binlog wire codec + changelog decode tests.
+
+Round-trips every ROW-image column type through the in-repo encoder/decoder
+(the PNG/JPEG/TiDB approach — no mysqld needed), pins public known answers
+(the classic NEWDECIMAL example from strings/decimal.c documentation), and
+checks `BinlogOffset.java#compareTo` parity branch by branch.
+"""
+
+import datetime
+import decimal
+import struct
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from source_flink_cdc_3_5_0_spark.common.mysql_json import (
+    decode_json, encode_json)
+from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+    BINLOG_MAGIC, BinlogColumn, BinlogOffset, BinlogReader, BinlogTableMap,
+    BinlogWriter, DELETE_ROWS_EVENT, FORMAT_DESCRIPTION_EVENT, GTID_EVENT,
+    MYSQL_TYPE_BIT, MYSQL_TYPE_BLOB, MYSQL_TYPE_DATE, MYSQL_TYPE_DATETIME2,
+    MYSQL_TYPE_DOUBLE, MYSQL_TYPE_ENUM, MYSQL_TYPE_FLOAT, MYSQL_TYPE_JSON,
+    MYSQL_TYPE_LONG, MYSQL_TYPE_LONGLONG, MYSQL_TYPE_NEWDECIMAL,
+    MYSQL_TYPE_SET, MYSQL_TYPE_SHORT, MYSQL_TYPE_STRING, MYSQL_TYPE_TIME2,
+    MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_TINY, MYSQL_TYPE_VARCHAR,
+    MYSQL_TYPE_YEAR, TABLE_MAP_EVENT, UPDATE_ROWS_EVENT, WRITE_ROWS_EVENT,
+    binlog_changes, binlog_schema_events, decimal_bin_size,
+    decode_binlog, decode_newdecimal, decode_time2, encode_newdecimal,
+    encode_time2, read_binlog_files, record_seq, _read_lenc, _write_lenc)
+
+UUID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(min_value=0, max_value=(1 << 64) - 1))
+def test_lenc_roundtrip(v):
+    buf = _write_lenc(v) + b"tail"
+    got, pos = _read_lenc(buf, 0)
+    assert got == v and buf[pos:] == b"tail"
+
+
+def test_newdecimal_known_answer():
+    # strings/decimal.c documentation example: DECIMAL(14,4)
+    assert encode_newdecimal("1234567890.1234", 14, 4).hex() == "810dfb38d204d2"
+    assert decode_newdecimal(bytes.fromhex("810dfb38d204d2"), 14, 4) \
+        == "1234567890.1234"
+    # negated: every byte inverted
+    assert encode_newdecimal("-1234567890.1234", 14, 4).hex() == "7ef204c72dfb2d"
+
+
+@given(st.integers(min_value=1, max_value=30), st.data())
+@settings(max_examples=150)
+def test_newdecimal_roundtrip(precision, data):
+    scale = data.draw(st.integers(min_value=0, max_value=precision))
+    digits = data.draw(st.integers(
+        min_value=-(10 ** precision - 1), max_value=10 ** precision - 1))
+    value = decimal.Decimal(digits).scaleb(-scale)
+    text = format(value, "f")
+    enc = encode_newdecimal(text, precision, scale)
+    assert len(enc) == decimal_bin_size(precision, scale)
+    assert decimal.Decimal(decode_newdecimal(enc, precision, scale)) == value
+
+
+def test_newdecimal_truncated_rejected():
+    with pytest.raises(ValueError, match="truncated"):
+        decode_newdecimal(b"\x81", 14, 4)
+
+
+def test_time2_negative_and_frac():
+    enc = encode_time2(5, 4, 3, negative=True)
+    (neg, h, m, s, us), _ = decode_time2(enc, 0, 0)
+    assert (neg, h, m, s, us) == (True, 5, 4, 3, 0)
+    enc = encode_time2(838, 59, 59, us=123456, fsp=6)
+    (neg, h, m, s, us), _ = decode_time2(enc, 0, 6)
+    assert (neg, h, m, s, us) == (False, 838, 59, 59, 123456)
+    with pytest.raises(NotImplementedError):
+        encode_time2(1, 0, 0, us=5, negative=True, fsp=6)
+
+
+# ---------------------------------------------------------------------------
+# binary JSON
+# ---------------------------------------------------------------------------
+
+_JSON_SCALARS = st.one_of(
+    st.none(), st.booleans(),
+    st.integers(min_value=-(1 << 63), max_value=(1 << 64) - 1),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=40))
+
+
+@given(st.recursive(
+    _JSON_SCALARS,
+    lambda kids: st.one_of(
+        st.lists(kids, max_size=6),
+        st.dictionaries(st.text(min_size=1, max_size=12), kids, max_size=6)),
+    max_leaves=25))
+@settings(max_examples=200)
+def test_binary_json_roundtrip(doc):
+    assert decode_json(encode_json(doc)) == doc
+
+
+def test_binary_json_large_format():
+    # >65535 bytes forces the large container format both ways
+    doc = {"k%04d" % i: "v" * 40 for i in range(2000)}
+    blob = encode_json(doc)
+    assert blob[0] == 0x01  # large object
+    assert decode_json(blob) == doc
+    arr = list(range(40000))
+    blob = encode_json(arr)
+    assert blob[0] == 0x03  # large array
+    assert decode_json(blob) == arr
+
+
+def test_binary_json_gated_type():
+    with pytest.raises(NotImplementedError):
+        decode_json(bytes([0x0F]) + b"xx")  # opaque
+
+
+def test_binary_json_corrupt_size():
+    blob = bytearray(encode_json({"a": 1}))
+    blob[2] = 0xFF  # container size overruns the document
+    with pytest.raises(ValueError, match="overruns"):
+        decode_json(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# full-file round trip
+# ---------------------------------------------------------------------------
+
+
+def _wide_table():
+    cols = (
+        BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),
+        BinlogColumn("uid", MYSQL_TYPE_LONG, (), True),
+        BinlogColumn("tiny", MYSQL_TYPE_TINY, ()),
+        BinlogColumn("small", MYSQL_TYPE_SHORT, (), True),
+        BinlogColumn("big", MYSQL_TYPE_LONGLONG, (), True),
+        BinlogColumn("name", MYSQL_TYPE_VARCHAR, (255,)),
+        BinlogColumn("bio", MYSQL_TYPE_VARCHAR, (1024,)),
+        BinlogColumn("wt", MYSQL_TYPE_FLOAT, (4,)),
+        BinlogColumn("score", MYSQL_TYPE_DOUBLE, (8,)),
+        BinlogColumn("price", MYSQL_TYPE_NEWDECIMAL, (12, 2)),
+        BinlogColumn("born", MYSQL_TYPE_DATE, ()),
+        BinlogColumn("at6", MYSQL_TYPE_DATETIME2, (6,)),
+        BinlogColumn("ts3", MYSQL_TYPE_TIMESTAMP2, (3,)),
+        BinlogColumn("dur", MYSQL_TYPE_TIME2, (0,)),
+        BinlogColumn("yr", MYSQL_TYPE_YEAR, ()),
+        BinlogColumn("flags", MYSQL_TYPE_BIT, (12,)),
+        BinlogColumn("payload", MYSQL_TYPE_BLOB, (2,)),
+        BinlogColumn("doc", MYSQL_TYPE_JSON, (4,)),
+        BinlogColumn("kind", MYSQL_TYPE_STRING, (MYSQL_TYPE_ENUM, 1),
+                     str_values=("alpha", "beta", "gamma")),
+        BinlogColumn("tags", MYSQL_TYPE_STRING, (MYSQL_TYPE_SET, 8),
+                     str_values=("x", "y", "z")),
+        BinlogColumn("code", MYSQL_TYPE_STRING, (MYSQL_TYPE_STRING, 8)),
+    )
+    return BinlogTableMap(108, "shop", "users", cols, (0,))
+
+
+_ROW1 = dict(id=1, uid=4_000_000_000, tiny=-5, small=65000,
+             big=(1 << 63) + 77, name="amy", bio="x" * 500, wt=1.5,
+             score=2.25, price="1234.56", born=datetime.date(2020, 2, 29),
+             at6=datetime.datetime(2023, 7, 4, 12, 30, 45, 123456),
+             ts3=(1_700_000_000, 123000), dur=(False, 101, 2, 3, 0),
+             yr=2024, flags=0b101010101010, payload=b"\x00\x01binary",
+             doc={"a": [1, 2, None], "b": {"c": True}}, kind="beta",
+             tags="x,z", code="AB")
+_ROW2 = dict(id=2, uid=None, tiny=None, small=None, big=0, name="bob",
+             bio=None, wt=None, score=-1.0, price="-0.01", born=None,
+             at6=None, ts3=None, dur=(True, 5, 0, 1, 0), yr=0, flags=0,
+             payload=b"", doc=[], kind="alpha", tags="", code="Z")
+
+
+def _script(checksum=True):
+    tmap = _wide_table()
+    w = BinlogWriter(server_id=7, checksum=checksum)
+    w.gtid(UUID, 1)
+    w.query("BEGIN", "shop")
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [_ROW1, _ROW2])
+    w.rows(tmap, UPDATE_ROWS_EVENT,
+           [(_ROW1, dict(_ROW1, name="amy2", price="1300.00"))])
+    w.rows(tmap, DELETE_ROWS_EVENT, [_ROW2])
+    w.xid(42)
+    w.tick()
+    w.gtid(UUID, 2)
+    w.query("ALTER TABLE users ADD COLUMN email VARCHAR(64)", "shop")
+    w.rotate("mysql-bin.000002")
+    return w.getvalue()
+
+
+@pytest.mark.parametrize("checksum", [True, False])
+def test_full_file_roundtrip(checksum):
+    changes = binlog_changes(_script(checksum), "mysql-bin.000001")
+    ops = [c.get("op") for c in changes]
+    assert ops == ["+I", "+I", "-U", "+U", "-D", None]
+    after = changes[0]["after"]
+    for k, v in _ROW1.items():
+        got = after[k]
+        if isinstance(v, float):
+            assert abs(got - v) < 1e-6, k
+        else:
+            assert got == v, k
+    # nulls and edge values on row 2
+    assert changes[1]["after"]["uid"] is None
+    assert changes[1]["after"]["dur"] == (True, 5, 0, 1, 0)
+    assert changes[1]["after"]["yr"] == 0
+    # the update pair shares one wire row: before image intact
+    assert changes[2]["before"]["name"] == "amy"
+    assert changes[3]["after"]["price"] == "1300.00"
+    # delete carries the before image
+    assert changes[4]["op"] == "-D" and changes[4]["before"]["id"] == 2
+    # DDL after the first committed transaction sees gtid :1-1
+    ddl = changes[5]
+    assert ddl["kind"] == "ddl" and "ALTER" in ddl["sql"]
+    assert ddl["gtids"] == f"{UUID}:1-1"
+    # offsets: pos is the event END position, strictly increasing
+    positions = [c["pos"] for c in changes]
+    assert positions == sorted(positions)
+    assert all(c["server_id"] == 7 for c in changes)
+
+
+def test_table_map_metadata_decode():
+    """Optional TLVs: names, signedness, enum/set literals, simple PK."""
+    data = _script()
+    reader = BinlogReader(data)
+    tmaps = [ev.fields["table"] for ev in reader.events()
+             if ev.type_byte == TABLE_MAP_EVENT]
+    tm = tmaps[0]
+    assert tm.qualified == "shop.users"
+    assert tm.pk_indexes == (0,)
+    by_name = {c.name: c for c in tm.columns}
+    assert by_name["uid"].unsigned and by_name["big"].unsigned
+    assert not by_name["id"].unsigned and not by_name["tiny"].unsigned
+    assert by_name["kind"].str_values == ("alpha", "beta", "gamma")
+    assert by_name["tags"].str_values == ("x", "y", "z")
+    assert by_name["price"].meta == (12, 2)
+    assert not by_name["id"].nullable and by_name["name"].nullable
+
+
+def test_crc32_validation():
+    data = bytearray(_script(checksum=True))
+    data[-30] ^= 0xFF  # flip a byte inside the last event's body
+    with pytest.raises(ValueError, match="CRC32 mismatch"):
+        binlog_changes(bytes(data), "f")
+
+
+def test_truncation_rejected():
+    data = _script()
+    with pytest.raises(ValueError, match="truncated"):
+        binlog_changes(data[:len(data) - 3], "f")
+    with pytest.raises(ValueError, match="magic"):
+        binlog_changes(b"nope" + data[4:], "f")
+
+
+def test_rows_event_without_table_map():
+    tmap = _wide_table()
+    w = BinlogWriter()
+    w.rows(tmap, WRITE_ROWS_EVENT, [_ROW2])
+    with pytest.raises(ValueError, match="unmapped table id"):
+        binlog_changes(w.getvalue(), "f")
+
+
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000),
+                          st.booleans()), min_size=1, max_size=12))
+@settings(max_examples=40, deadline=None)
+def test_rows_fuzz_roundtrip(script):
+    """Randomized churn encodes to wire bytes and decodes value-exact."""
+    cols = (BinlogColumn("k", MYSQL_TYPE_LONG, (), False, False),
+            BinlogColumn("v", MYSQL_TYPE_VARCHAR, (255,)),
+            BinlogColumn("n", MYSQL_TYPE_LONG, ()))
+    tmap = BinlogTableMap(5, "d", "t", cols, (0,))
+    w = BinlogWriter()
+    w.table_map(tmap)
+    want = []
+    for kind, n, nullit in script:
+        row = {"k": n, "v": "s%d" % n, "n": None if nullit else -n}
+        if kind == 0:
+            w.rows(tmap, WRITE_ROWS_EVENT, [row])
+            want.append(("+I", row))
+        elif kind == 1:
+            new = dict(row, v="u%d" % n)
+            w.rows(tmap, UPDATE_ROWS_EVENT, [(row, new)])
+            want.append(("-U", row))
+            want.append(("+U", new))
+        else:
+            w.rows(tmap, DELETE_ROWS_EVENT, [row])
+            want.append(("-D", row))
+    got = binlog_changes(w.getvalue(), "f")
+    assert [(c["op"], c["after"] or c["before"]) for c in got] == want
+
+
+# ---------------------------------------------------------------------------
+# BinlogOffset compareTo parity (BinlogOffset.java)
+# ---------------------------------------------------------------------------
+
+
+def test_offset_non_stopping_is_max():
+    ns, fp = BinlogOffset.of_non_stopping(), \
+        BinlogOffset.of_file_position("mysql-bin.000009", 10 ** 9)
+    assert ns.compare(ns) == 0
+    assert ns.compare(fp) == 1
+    assert fp.compare(ns) == -1
+
+
+def test_offset_gtid_comparison():
+    a = BinlogOffset.of_gtid_set(f"{UUID}:1-5")
+    b = BinlogOffset.of_gtid_set(f"{UUID}:1-9")
+    assert a.compare(b) == -1 and b.compare(a) == 1
+    # equal sets fall through to events-to-skip
+    a2 = BinlogOffset.of(file="", pos=0, gtids=f"{UUID}:1-5", event=2)
+    a3 = BinlogOffset.of(file="", pos=0, gtids=f"{UUID}:1-5", event=7)
+    assert a2.compare(a3) == -1
+    # this has gtids, target does not -> this is AFTER (reference semantics)
+    fp = BinlogOffset.of_file_position("mysql-bin.000001", 4)
+    assert a.compare(fp) == 1 and fp.compare(a) == -1
+
+
+def test_offset_file_position_comparison():
+    a = BinlogOffset.of_file_position("mysql-bin.000001", 100)
+    b = BinlogOffset.of_file_position("MYSQL-BIN.000001", 200)  # case-insensitive
+    c = BinlogOffset.of_file_position("mysql-bin.000002", 4)
+    assert a.compare(b) == -1 and b.compare(c) == -1 and a.compare(a) == 0
+    # different server ids with both timestamps -> timestamp decides
+    x = BinlogOffset.of(file="a.1", pos=500, server_id=1, ts_sec=100)
+    y = BinlogOffset.of(file="a.1", pos=10, server_id=2, ts_sec=200)
+    assert x.compare(y) == -1
+    # row/event tie-breaks
+    e1 = BinlogOffset.of(file="a.1", pos=10, event=1, row=2)
+    e2 = BinlogOffset.of(file="a.1", pos=10, event=1, row=5)
+    assert e1.compare(e2) == -1 and e1.is_before(e2) and e1.is_at_or_before(e1)
+
+
+def test_offset_json_roundtrip():
+    o = BinlogOffset.of(file="mysql-bin.000003", pos=77, gtids=f"{UUID}:1-3",
+                        ts_sec=123, server_id=9)
+    assert BinlogOffset.from_json(o.to_json()) == o
+    with pytest.raises(ValueError, match="unknown binlog offset keys"):
+        BinlogOffset.of(bogus=1)
+
+
+def test_record_seq_monotone():
+    seqs = [record_seq("mysql-bin.000001", 100, 0, "+I"),
+            record_seq("mysql-bin.000001", 100, 1, "+I"),
+            record_seq("mysql-bin.000001", 200, 0, "-U"),
+            record_seq("mysql-bin.000001", 200, 0, "+U"),
+            record_seq("mysql-bin.000002", 4, 0, "+I")]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+
+
+# ---------------------------------------------------------------------------
+# Spark data plane
+# ---------------------------------------------------------------------------
+
+
+def _payload_schema():
+    from pyspark.sql import types as T
+    return T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("uid", T.LongType()),
+        T.StructField("tiny", T.IntegerType()),
+        T.StructField("small", T.IntegerType()),
+        T.StructField("big", T.DecimalType(20, 0)),
+        T.StructField("name", T.StringType()),
+        T.StructField("bio", T.StringType()),
+        T.StructField("wt", T.FloatType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("price", T.DecimalType(12, 2)),
+        T.StructField("born", T.DateType()),
+        T.StructField("at6", T.TimestampNTZType()),
+        T.StructField("ts3", T.TimestampType()),
+        T.StructField("dur", T.StringType()),
+        T.StructField("yr", T.IntegerType()),
+        T.StructField("flags", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("doc", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("tags", T.StringType()),
+        T.StructField("code", T.StringType()),
+    ])
+
+
+def test_decode_binlog_spark(spark, tmp_path):
+    (tmp_path / "mysql-bin.000001").write_bytes(_script())
+    df = decode_binlog(read_binlog_files(spark, str(tmp_path)),
+                       "shop", "users", _payload_schema())
+    rows = df.orderBy("__seq").collect()
+    assert [r["__op"] for r in rows] == ["+I", "+I", "-U", "+U", "-D"]
+    r1 = rows[0]
+    assert r1["price"] == decimal.Decimal("1234.56")
+    assert r1["big"] == decimal.Decimal((1 << 63) + 77)
+    assert r1["at6"] == datetime.datetime(2023, 7, 4, 12, 30, 45, 123456)
+    assert r1["ts3"] == datetime.datetime(1970, 1, 1) + datetime.timedelta(
+        seconds=1_700_000_000, microseconds=123000)
+    assert r1["dur"] == "101:02:03"
+    assert r1["doc"] == '{"a":[1,2,null],"b":{"c":true}}'
+    assert r1["kind"] == "beta" and r1["tags"] == "x,z"
+    assert r1["payload"] == b"\x00\x01binary"
+    # nulls survive
+    assert rows[1]["uid"] is None and rows[1]["dur"] == "-05:00:01"
+    # before image on the update pair
+    assert rows[3]["__before"]["name"] == "amy"
+    assert rows[3]["name"] == "amy2"
+    # meta carries BinlogOffset coordinates
+    m = dict(rows[0]["__meta"])
+    assert m["file"] == "mysql-bin.000001" and int(m["pos"]) > 0
+    assert m["server_id"] == "7"
+
+
+def test_decode_binlog_start_offset_stitch(spark, tmp_path):
+    """The snapshot/stream high-watermark skip: records at or before the
+    offset are dropped (BinlogOffsetUtils / binlog-split stitch)."""
+    (tmp_path / "mysql-bin.000001").write_bytes(_script())
+    all_rows = decode_binlog(read_binlog_files(spark, str(tmp_path)),
+                             "shop", "users", _payload_schema()) \
+        .orderBy("__seq").collect()
+    # cut right after the first event: use the first row's position
+    cut = BinlogOffset.of(file="mysql-bin.000001",
+                          pos=int(dict(all_rows[1]["__meta"])["pos"]),
+                          row=int(dict(all_rows[1]["__meta"])["row"]))
+    rest = decode_binlog(read_binlog_files(spark, str(tmp_path)),
+                         "shop", "users", _payload_schema(),
+                         start_offset=cut).orderBy("__seq").collect()
+    assert [r["__op"] for r in rest] == ["-U", "+U", "-D"]
+
+
+def test_binlog_schema_events_across_rotation(tmp_path):
+    tmap = _wide_table()
+    w1 = BinlogWriter()
+    w1.query("CREATE TABLE users (id INT PRIMARY KEY)", "shop")
+    w1.rotate("mysql-bin.000002")
+    w2 = BinlogWriter()
+    w2.query("ALTER TABLE users ADD COLUMN email VARCHAR(64)", "shop")
+    # write out of lexical order to prove ordinal sorting
+    (tmp_path / "mysql-bin.000002").write_bytes(w2.getvalue())
+    (tmp_path / "mysql-bin.000001").write_bytes(w1.getvalue())
+    ddl = binlog_schema_events([str(tmp_path / "mysql-bin.000002"),
+                                str(tmp_path / "mysql-bin.000001")])
+    assert [d["sql"].split()[0] for d in ddl] == ["CREATE", "ALTER"]
+    assert ddl[0]["file"] == "mysql-bin.000001"
+    assert tmap.table_id == 108  # keep flake8 happy about the import
