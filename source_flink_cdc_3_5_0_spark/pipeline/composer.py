@@ -404,7 +404,7 @@ class PipelineComposer:
 
     # -- streaming YAML surface -------------------------------------------
     STREAMING_SOURCE_TYPES = ("debezium-file", "mongodb-file",
-                              "vitess-file", "kafka")
+                              "vitess-file", "mysql-binlog-file", "kafka")
 
     def is_streaming(self, pdef: PipelineDef) -> bool:
         return pdef.source.type.lower() in self.STREAMING_SOURCE_TYPES
@@ -457,7 +457,17 @@ class PipelineComposer:
                 "stop-on-reshard", "false")).lower() == "true",
         )
         t = pdef.source.type.lower()
-        if t in ("debezium-file", "mongodb-file", "vitess-file"):
+        if t == "mysql-binlog-file":
+            # real binlog wire bytes: decode to debezium-json records ONCE
+            # (an Arrow-batched narrow stage, one file per task) and reuse
+            # the entire debezium-json streaming path — the bridge Debezium
+            # itself performs between the binlog and its change topic
+            from ..sources.mysql_binlog import (
+                binlog_stream_source, binlog_to_debezium_json)
+
+            raw = binlog_to_debezium_json(
+                binlog_stream_source(self.spark, opts["path"]))
+        elif t in ("debezium-file", "mongodb-file", "vitess-file"):
             raw = file_stream_source(self.spark, opts["path"])
         else:
             from ..sources.jdbc import StartupOptions

@@ -1280,6 +1280,114 @@ def read_binlog_files(spark, path: str) -> "DataFrame":
     return spark.read.format("binaryFile").load(path)
 
 
+def binlog_stream_source(spark, path: str) -> "DataFrame":
+    """Streaming variant: new binlog files appearing under ``path`` become
+    micro-batches (Structured Streaming's file tracking is the offset store
+    — consumed files never re-deliver across restarts)."""
+    return (spark.readStream.format("binaryFile")
+            .schema("path string, modificationTime timestamp, "
+                    "length long, content binary")
+            .load(path))
+
+
+def _json_safe(v):
+    """Wire cell -> a JSON value Spark's from_json casts to the payload
+    type: decimal strings stay strings, temporals go ISO-8601, bytes go
+    base64 (the JSON datasource's BinaryType convention), TIME2 tuples
+    render as MySQL TIME literals, decoded JSON docs re-serialize."""
+    import base64
+    import datetime
+    import json as _json
+
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return base64.b64encode(v).decode("ascii")
+    if isinstance(v, tuple):
+        if len(v) == 2:  # TIMESTAMP2 (epoch sec, us)
+            sec, us = v
+            return (datetime.datetime(1970, 1, 1)
+                    + datetime.timedelta(seconds=int(sec),
+                                         microseconds=int(us))).isoformat()
+        neg, h, m, s, us = v  # TIME2
+        txt = "%s%02d:%02d:%02d" % ("-" if neg else "", h, m, s)
+        return txt + (".%06d" % us if us else "")
+    if isinstance(v, (dict, list)):
+        return _json.dumps(v, separators=(",", ":"))
+    return v
+
+
+def binlog_to_debezium_json(files: "DataFrame") -> "DataFrame":
+    """Binlog binary files -> debezium-json records (value, offset).
+
+    The bridge Debezium itself performs: one Arrow-batched pass turns the
+    wire bytes into the exact envelope the engine's existing streaming
+    decode consumes — data rows as ``{"before","after","op","ts_ms",
+    "source":{db,table,file,pos,server_id,gtids}}`` (updates are ONE "u"
+    record carrying both images, the -U/+U pair re-splits downstream) and
+    QUERY-event DDL as the schema-change-topic form ``{"databaseName",
+    "ddl", "ts_ms"}`` that `schema_events_from_json` already parses through
+    the MySQL DDL parser. ``offset`` is the monotone (file, pos, row) seq —
+    `decode_debezium` picks it up as ``__seq``. Works identically on batch
+    and streaming inputs (a narrow mapInPandas stage, one file per task).
+    """
+    import json as _json
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("value", T.StringType(), False),
+        T.StructField("offset", T.LongType(), False),
+    ])
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            values, offsets = [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                fname = str(path).rsplit("/", 1)[-1]
+                for c in binlog_changes(bytes(content), fname):
+                    seq = record_seq(c["file"], c["pos"], c.get("row", 0),
+                                     c.get("op") or "+I")
+                    if c["kind"] == "ddl":
+                        rec = {"databaseName": c["database"],
+                               "ddl": c["sql"],
+                               "ts_ms": c["ts_sec"] * 1000}
+                    else:
+                        if c["op"] == "-U":
+                            continue  # the +U record carries both images
+                        op = {"+I": "c", "+U": "u", "-D": "d"}[c["op"]]
+                        image = (c["before"] if c["op"] == "-D"
+                                 else c["after"])
+                        rec = {
+                            "before": ({k: _json_safe(v) for k, v
+                                        in c["before"].items()}
+                                       if c["op"] in ("+U", "-D") else None),
+                            "after": ({k: _json_safe(v) for k, v
+                                       in image.items()}
+                                      if c["op"] != "-D" else None),
+                            "op": op,
+                            "ts_ms": c["ts_sec"] * 1000,
+                            "source": {
+                                "db": c["database"], "schema": None,
+                                "table": c["table"], "file": c["file"],
+                                "pos": str(c["pos"]),
+                                "server_id": str(c["server_id"]),
+                                **({"gtids": c["gtids"]}
+                                   if c["gtids"] else {}),
+                            },
+                        }
+                    values.append(_json.dumps(rec, separators=(",", ":")))
+                    offsets.append(seq)
+            yield pd.DataFrame({"value": pd.Series(values, dtype=object),
+                                "offset": pd.Series(offsets, dtype="int64")})
+
+    return files.select("path", "content").mapInPandas(run, schema=out_schema)
+
+
 def binlog_schema_events(paths: list[str]) -> list[dict]:
     """Driver-side DDL extraction: binlog QUERY events in commit order.
 

@@ -428,6 +428,85 @@ def test_decode_binlog_start_offset_stitch(spark, tmp_path):
     assert [r["__op"] for r in rest] == ["-U", "+U", "-D"]
 
 
+def test_yaml_mysql_binlog_stream_e2e(spark, tmp_path):
+    """YAML surface: `type: mysql-binlog-file` streams REAL binlog wire
+    bytes through the bridge into the debezium-json path — transforms,
+    updates, deletes and mid-stream DDL (ADD COLUMN backfill) all land in
+    the sink, across a file rotation."""
+    import json
+
+    from source_flink_cdc_3_5_0_spark.common import TableId
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline)
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+
+    cols = (BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),
+            BinlogColumn("name", MYSQL_TYPE_VARCHAR, (255,)),
+            BinlogColumn("price", MYSQL_TYPE_NEWDECIMAL, (10, 2)))
+    tmap = BinlogTableMap(20, "shop", "items", cols, (0,))
+    src = tmp_path / "binlog"
+    src.mkdir()
+
+    w = BinlogWriter(server_id=3)
+    w.gtid(UUID, 1)
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [
+        dict(id=1, name="bolt", price="1.10"),
+        dict(id=2, name="nut", price="0.20"),
+        dict(id=3, name="gear", price="9.99")])
+    w.xid(1)
+    w.rotate("mysql-bin.000002")
+    (src / "mysql-bin.000001").write_bytes(w.getvalue())
+
+    w2 = BinlogWriter(server_id=3)
+    w2.gtid(UUID, 2)
+    w2.table_map(tmap)
+    w2.rows(tmap, UPDATE_ROWS_EVENT, [
+        (dict(id=2, name="nut", price="0.20"),
+         dict(id=2, name="nut-xl", price="0.35"))])
+    w2.rows(tmap, DELETE_ROWS_EVENT, [dict(id=3, name="gear", price="9.99")])
+    w2.xid(2)
+    w2.gtid(UUID, 3)
+    w2.query("ALTER TABLE items ADD COLUMN origin VARCHAR(32)", "shop")
+    cols3 = cols + (BinlogColumn("origin", MYSQL_TYPE_VARCHAR, (64,)),)
+    tmap3 = BinlogTableMap(21, "shop", "items", cols3, (0,))
+    w2.gtid(UUID, 4)
+    w2.table_map(tmap3)
+    w2.rows(tmap3, WRITE_ROWS_EVENT,
+            [dict(id=4, name="cam", price="5.00", origin="DE")])
+    w2.xid(3)
+    (src / "mysql-bin.000002").write_bytes(w2.getvalue())
+
+    yaml_text = f"""
+source:
+  type: mysql-binlog-file
+  path: {src}
+  tables: '{json.dumps({"shop.items": "id INT, name STRING, price DECIMAL(10,2)"})}'
+  primary-keys: '{{"shop.items": ["id"]}}'
+  checkpoint: {tmp_path}/ckpt
+sink: {{type: values}}
+transform:
+  - source-table: shop.\\.*
+    projection: "\\\\*, UPPER(name) AS name_u"
+"""
+    pdef = parse_yaml_pipeline(yaml_text)
+    composer = PipelineComposer(spark)
+    assert composer.is_streaming(pdef)
+    sink = MemorySink()
+    pipe, raw, tables = composer.compose_streaming(pdef, sink=sink)
+    q = pipe.start(raw, tables)
+    q.awaitTermination(180)
+    tid = TableId.parse("shop.items")
+    snap = sink.snapshot(tid)
+    # id=1 untouched, id=2 updated, id=3 deleted, id=4 inserted post-DDL
+    # with the new column; pre-DDL rows null-fill it
+    assert snap == [
+        "1, bolt, 1.10, BOLT, null",
+        "2, nut-xl, 0.35, NUT-XL, null",
+        "4, cam, 5.00, CAM, DE",
+    ]
+
+
 def test_binlog_schema_events_across_rotation(tmp_path):
     tmap = _wide_table()
     w1 = BinlogWriter()
