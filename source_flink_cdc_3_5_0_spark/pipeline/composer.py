@@ -455,18 +455,25 @@ class PipelineComposer:
             # for vitess-json streams
             stop_on_reshard=str(opts.get(
                 "stop-on-reshard", "false")).lower() == "true",
+            # mysql-binlog-file: persist the operator-visible BinlogOffset
+            track_binlog_offset=pdef.source.type.lower() == "mysql-binlog-file",
         )
         t = pdef.source.type.lower()
         if t == "mysql-binlog-file":
             # real binlog wire bytes: decode to debezium-json records ONCE
             # (an Arrow-batched narrow stage, one file per task) and reuse
             # the entire debezium-json streaming path — the bridge Debezium
-            # itself performs between the binlog and its change topic
+            # itself performs between the binlog and its change topic.
+            # scan.startup.* options use the reference's exact names
+            # (MySqlDataSourceOptions.java:123-171)
             from ..sources.mysql_binlog import (
-                binlog_stream_source, binlog_to_debezium_json)
+                binlog_stream_source, binlog_to_debezium_json,
+                effective_start_offset)
 
+            start, ts_ms = effective_start_offset(opts, opts["path"])
             raw = binlog_to_debezium_json(
-                binlog_stream_source(self.spark, opts["path"]))
+                binlog_stream_source(self.spark, opts["path"]),
+                start_offset=start, start_timestamp_ms=ts_ms)
         elif t in ("debezium-file", "mongodb-file", "vitess-file"):
             raw = file_stream_source(self.spark, opts["path"])
         else:

@@ -190,11 +190,11 @@ def encode_newdecimal(text: str, precision: int, scale: int) -> bytes:
     s = s.lstrip("+-")
     intpart, _, fracpart = s.partition(".")
     intg, frac = precision - scale, scale
-    intpart = (intpart or "0").rjust(intg, "0")[-intg:] if intg else ""
-    fracpart = (fracpart or "").ljust(frac, "0")[:frac]
-    if len(intpart.lstrip("0") or "") > intg:
+    if len((intpart or "").lstrip("0")) > intg:
         raise ValueError("decimal overflow for DECIMAL(%d,%d): %r"
                          % (precision, scale, text))
+    intpart = (intpart or "0").rjust(intg, "0")[-intg:] if intg else ""
+    fracpart = (fracpart or "").ljust(frac, "0")[:frac]
 
     out = bytearray()
     lead = intg % 9
@@ -564,13 +564,16 @@ class BinlogWriter:
     """Assemble a byte-true binlog file (v4, optional CRC32 checksums)."""
 
     def __init__(self, server_id: int = 1, checksum: bool = True,
-                 server_version: str = "8.0.36-log"):
+                 server_version: str = "8.0.36-log",
+                 previous_gtids: str | None = None):
         self.server_id = server_id
         self.checksum = checksum
         self.server_version = server_version
         self._buf = bytearray(BINLOG_MAGIC)
         self._ts = 1_700_000_000
         self._write_fde()
+        if previous_gtids is not None:
+            self.previous_gtids(previous_gtids)
 
     def _emit(self, type_byte: int, body: bytes, flags: int = 0) -> None:
         trailer = 4 if self.checksum else 0
@@ -612,6 +615,20 @@ class BinlogWriter:
         # logical-clock block (5.7+): lt type byte + last_committed + seq_no
         body += bytes([2]) + struct.pack("<qq", 0, 0)
         self._emit(GTID_EVENT, body)
+
+    def previous_gtids(self, gtid_set: str) -> None:
+        """PREVIOUS_GTIDS (35): the executed set at file start — what makes
+        each rotated file self-describing. Wire format: u64le sid count,
+        then per sid 16 bytes + u64le interval count + (start, end+1)
+        u64le pairs (libbinlogevents Gtid_set encoding)."""
+        parsed = _parse_gtid_set(gtid_set)
+        body = struct.pack("<Q", len(parsed))
+        for uuid, ivs in sorted(parsed.items()):
+            body += bytes.fromhex(uuid.replace("-", ""))
+            body += struct.pack("<Q", len(ivs))
+            for lo, hi in ivs:
+                body += struct.pack("<QQ", lo, hi + 1)
+        self._emit(PREVIOUS_GTIDS_EVENT, body)
 
     def query(self, sql: str, database: str = "") -> None:
         db = database.encode()
@@ -927,6 +944,23 @@ class BinlogReader:
             elif t == ROTATE_EVENT:
                 ev.fields = {"position": struct.unpack_from("<Q", ev.body)[0],
                              "next_file": ev.body[8:].decode()}
+            elif t == PREVIOUS_GTIDS_EVENT:
+                gtid_set: dict[str, list[tuple[int, int]]] = {}
+                n_sids = struct.unpack_from("<Q", ev.body, 0)[0]
+                p = 8
+                for _ in range(n_sids):
+                    sid = ev.body[p:p + 16].hex()
+                    uuid = "-".join((sid[:8], sid[8:12], sid[12:16],
+                                     sid[16:20], sid[20:]))
+                    n_iv = struct.unpack_from("<Q", ev.body, p + 16)[0]
+                    p += 24
+                    ivs = []
+                    for _ in range(n_iv):
+                        lo, end = struct.unpack_from("<QQ", ev.body, p)
+                        ivs.append((lo, end - 1))
+                        p += 16
+                    gtid_set[uuid] = ivs
+                ev.fields = {"gtid_set": gtid_set}
             elif t == FORMAT_DESCRIPTION_EVENT:
                 ver = ev.body[2:52].rstrip(b"\x00").decode()
                 ev.fields = {"binlog_version":
@@ -948,29 +982,41 @@ def binlog_changes(data: bytes, filename: str = "") -> list[dict]:
     (`MySqlRecordEmitter.java` via Debezium): WRITE rows -> +I, DELETE rows
     -> -D, UPDATE rows -> a (-U, +U) pair per wire row pair. Each record
     carries the `BinlogOffset.java:46-53` coordinates: file, pos (event END
-    position, what the jar reports), ts_sec, server_id, gtid (when a GTID
-    event preceded the transaction), plus the DDL stream from QUERY events
+    position, what the jar reports), ts_sec, server_id, gtids (the
+    executed-GTID set committed BEFORE the record — seeded across file
+    rotations by the PREVIOUS_GTIDS event, advanced at XID commits and at
+    auto-committed DDL statements), plus the DDL stream from QUERY events
     (routed to the engine's DDL parser upstream).
     """
     reader = BinlogReader(data)
     out: list[dict] = []
     gtid = None
-    running: dict[str, str] = {}
+    running: dict[str, list[tuple[int, int]]] = {}
 
     def _pos(ev: BinlogEvent) -> dict:
         return {"file": filename, "pos": ev.log_pos, "ts_sec": ev.timestamp,
                 "server_id": ev.server_id,
-                "gtids": _gtid_set_str(running) or None}
+                "gtids": _gtid_set_str(running) or None,
+                "txn_gtid": (f"{gtid[0]}:{gtid[1]}" if gtid else None)}
 
     for ev in reader.events():
         t = ev.type_byte
-        if t == GTID_EVENT:
+        if t == PREVIOUS_GTIDS_EVENT:
+            # file-initial executed-GTID set: the continuity anchor after
+            # a rotation (each binlog file is self-describing)
+            for uuid, ivs in ev.fields["gtid_set"].items():
+                running[uuid] = sorted(ivs)
+        elif t == GTID_EVENT:
             gtid = (ev.fields["uuid"], ev.fields["gno"])
         elif t == QUERY_EVENT:
             sql = ev.fields["sql"].strip()
             if sql.upper() != "BEGIN":
                 out.append({"kind": "ddl", "database": ev.fields["database"],
                             "sql": sql, **_pos(ev)})
+                if gtid is not None:
+                    # DDL statements auto-commit their GTID (no XID event)
+                    _advance(running, *gtid)
+                    gtid = None
         elif t in _ROWS_EVENTS:
             tmap: BinlogTableMap = ev.fields["table"]
             base = {"kind": "change", "database": tmap.database,
@@ -997,22 +1043,26 @@ def binlog_changes(data: bytes, filename: str = "") -> list[dict]:
     return out
 
 
-def _advance(running: dict[str, str], uuid: str, gno: int) -> None:
-    cur = running.get(uuid)
-    if cur is None:
-        running[uuid] = f"{gno}-{gno}" if gno else str(gno)
-        return
-    lo, _, hi = cur.partition("-")
-    hi = int(hi or lo)
-    if gno == hi + 1:
-        running[uuid] = f"{lo}-{gno}"
-    elif gno > hi:
-        running[uuid] = f"{lo}-{gno}"  # gap-tolerant upper bound
-    # gno <= hi: already covered
+def _advance(running: dict[str, list[tuple[int, int]]],
+             uuid: str, gno: int) -> None:
+    """Add one transaction to the executed set, merging adjacent intervals
+    (GtidSet.add semantics)."""
+    ivs = running.setdefault(uuid, [])
+    ivs.append((gno, gno))
+    ivs.sort()
+    merged: list[tuple[int, int]] = []
+    for lo, hi in ivs:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    running[uuid] = merged
 
 
-def _gtid_set_str(running: dict[str, str]) -> str:
-    return ",".join(f"{u}:{iv}" for u, iv in sorted(running.items()))
+def _gtid_set_str(running: dict[str, list[tuple[int, int]]]) -> str:
+    return ",".join(
+        u + "".join(f":{lo}-{hi}" for lo, hi in ivs)
+        for u, ivs in sorted(running.items()) if ivs)
 
 
 # ---------------------------------------------------------------------------
@@ -1247,11 +1297,8 @@ def decode_binlog(files: "DataFrame", database: str, table: str,
                         continue
                     if c["database"] != database or c["table"] != table:
                         continue
-                    if start_offset is not None:
-                        here = BinlogOffset.of(
-                            file=c["file"], pos=c["pos"], row=c["row"])
-                        if here.is_at_or_before(start_offset):
-                            continue
+                    if not _keep_record(c, start_offset, None):
+                        continue
                     after = _image(c["after"]) or _image(c["before"])
                     rec = dict(after or {})
                     rec[OP_COL] = c["op"]
@@ -1319,7 +1366,91 @@ def _json_safe(v):
     return v
 
 
-def binlog_to_debezium_json(files: "DataFrame") -> "DataFrame":
+def effective_start_offset(options: dict, path: str | None = None
+                           ) -> tuple[BinlogOffset | None, int | None]:
+    """`scan.startup.*` options -> (start offset filter, timestamp_ms).
+
+    Option names are the reference's `MySqlDataSourceOptions.java:123-171`
+    surface; the kind translation is `BinlogOffsetUtils.
+    initializeEffectiveOffset`: earliest-offset reads everything,
+    specific-offset filters by (file, pos[, rows-to-skip]) or GTID set,
+    timestamp skips events before the millisecond (the
+    `SeekBinlogToTimestampFilter` behavior), latest-offset resolves the
+    CURRENT end of the captured file set (driver-side scan of ``path``) so
+    only later events deliver.
+    """
+    mode = (options.get("scan.startup.mode") or "earliest-offset").lower()
+    if mode in ("earliest-offset", "initial", "snapshot"):
+        # initial/snapshot = snapshot backfill + full log replay; the
+        # snapshot side is the runner's initial_load path
+        return None, None
+    if mode == "timestamp":
+        return None, int(options["scan.startup.timestamp-millis"])
+    if mode == "specific-offset":
+        if options.get("scan.startup.specific-offset.skip-events"):
+            raise NotImplementedError(
+                "scan.startup.specific-offset.skip-events needs the jar's "
+                "events-since-position numbering; use .pos/.skip-rows")
+        gtids = options.get("scan.startup.specific-offset.gtid-set")
+        if gtids:
+            return BinlogOffset.of_gtid_set(gtids), None
+        skip_rows = options.get("scan.startup.specific-offset.skip-rows")
+        return BinlogOffset.of(
+            file=options["scan.startup.specific-offset.file"],
+            pos=int(options["scan.startup.specific-offset.pos"]),
+            **({"row": int(skip_rows)} if skip_rows is not None else {}),
+        ), None
+    if mode == "latest-offset":
+        import glob as _glob
+        import os as _os
+
+        if not path:
+            raise ValueError("latest-offset needs the source path")
+        files = sorted(
+            (p for p in _glob.glob(_os.path.join(path, "*"))
+             if _os.path.isfile(p)),
+            key=lambda p: _file_ordinal(p.rsplit("/", 1)[-1]))
+        if not files:
+            return None, None
+        last = files[-1]
+        with open(last, "rb") as fh:
+            data = fh.read()
+        end = max((ev.log_pos for ev in BinlogReader(data)._events_raw()),
+                  default=4)
+        return BinlogOffset.of(file=last.rsplit("/", 1)[-1], pos=end), None
+    raise ValueError("unknown scan.startup.mode %r" % mode)
+
+
+def _keep_record(c: dict, start_offset: BinlogOffset | None,
+                 start_timestamp_ms: int | None) -> bool:
+    """Startup filter. (file, pos) means "consumed through end-position
+    pos"; a ``row`` key on the offset is the reference's rows-to-skip —
+    the COUNT of rows already processed at that position (partial-event
+    restart), so rows with a smaller index are dropped."""
+    if start_timestamp_ms is not None and \
+            c["ts_sec"] * 1000 < start_timestamp_ms:
+        return False
+    if start_offset is None:
+        return True
+    if start_offset.gtid_set:
+        # GTID filtering (Debezium semantics): skip transactions whose
+        # GTID the startup set already covers; GTID-less records pass
+        txn = c.get("txn_gtid")
+        return not (txn and gtid_covers(start_offset.gtid_set, txn))
+    f, sf = c["file"].lower(), (start_offset.filename or "").lower()
+    if f != sf:
+        return f > sf
+    if c["pos"] != start_offset.position:
+        return c["pos"] > start_offset.position
+    if start_offset.get("row") is None:
+        return False  # whole position consumed
+    return c.get("row", 0) >= start_offset._long("row")
+
+
+def binlog_to_debezium_json(files: "DataFrame",
+                            start_offset: BinlogOffset | None = None,
+                            start_timestamp_ms: int | None = None
+                            ) -> "DataFrame":
     """Binlog binary files -> debezium-json records (value, offset).
 
     The bridge Debezium itself performs: one Arrow-batched pass turns the
@@ -1350,6 +1481,8 @@ def binlog_to_debezium_json(files: "DataFrame") -> "DataFrame":
             for path, content in zip(pdf["path"], pdf["content"]):
                 fname = str(path).rsplit("/", 1)[-1]
                 for c in binlog_changes(bytes(content), fname):
+                    if not _keep_record(c, start_offset, start_timestamp_ms):
+                        continue
                     seq = record_seq(c["file"], c["pos"], c.get("row", 0),
                                      c.get("op") or "+I")
                     if c["kind"] == "ddl":

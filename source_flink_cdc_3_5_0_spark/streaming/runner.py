@@ -64,6 +64,11 @@ class StreamingPipeline:
     # instead of adopting the new serving set (VitessSource stopOnReshard,
     # default false — VitessSource.java:47-59)
     stop_on_reshard: bool = False
+    # mysql-binlog-file only: persist the max (file, pos, gtids) seen per
+    # committed batch as an operator-visible BinlogOffset (the reference's
+    # BinlogOffset checkpoint state; Structured Streaming's file tracking
+    # remains the actual exactly-once offset store)
+    track_binlog_offset: bool = False
 
     @staticmethod
     def create(spark: SparkSession, sink: DataSink, checkpoint_dir: str,
@@ -72,7 +77,8 @@ class StreamingPipeline:
                parallelism: int | None = None,
                serialization: str = "debezium-json",
                discover_tables: bool = False,
-               stop_on_reshard: bool = False) -> "StreamingPipeline":
+               stop_on_reshard: bool = False,
+               track_binlog_offset: bool = False) -> "StreamingPipeline":
         return StreamingPipeline(
             spark=spark, sink=sink,
             post=PostTransform(list(transforms or [])),
@@ -85,6 +91,7 @@ class StreamingPipeline:
             serialization=serialization,
             discover_tables=discover_tables,
             stop_on_reshard=stop_on_reshard,
+            track_binlog_offset=track_binlog_offset,
         )
 
     # -- vitess-json connector state (VGTID offset + reshard posture) ------
@@ -105,6 +112,50 @@ class StreamingPipeline:
         with open(tmp, "w") as f:
             f.write(state.to_json())
         os.replace(tmp, self._vitess_state_path())
+
+    # -- mysql-binlog connector state (BinlogOffset checkpoint) ------------
+    def _binlog_offset_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "mysql_binlog_offset.json")
+
+    def binlog_offset(self):
+        """The last committed BinlogOffset (None before the first commit)."""
+        from ..sources.mysql_binlog import BinlogOffset
+
+        if os.path.exists(self._binlog_offset_path()):
+            with open(self._binlog_offset_path()) as f:
+                return BinlogOffset.from_json(f.read())
+        return None
+
+    def _fold_binlog_offset(self, data_df: DataFrame, value_col: str) -> None:
+        """Advance the persisted offset to the batch's max position: one
+        partial agg + a 1-row collect, committed AFTER the data lands (the
+        at-least-once discipline the snapshot watermarks use). Monotone —
+        a replayed batch can never regress the stored position."""
+        from ..sources.mysql_binlog import BinlogOffset
+
+        v = F.col(value_col)
+        row = data_df.select(
+            F.get_json_object(v, "$.source.file").alias("file"),
+            F.get_json_object(v, "$.source.pos").cast("long").alias("pos"),
+            F.get_json_object(v, "$.source.gtids").alias("gtids"),
+            F.get_json_object(v, "$.source.server_id").alias("server_id"),
+            F.col("offset"),
+        ).where(F.col("file").isNotNull()).agg(
+            F.max_by(F.struct("file", "pos", "gtids", "server_id"),
+                     F.col("offset")).alias("m")).collect()
+        m = row[0]["m"] if row else None
+        if m is None or m["file"] is None:
+            return
+        new = BinlogOffset.of(file=m["file"], pos=m["pos"],
+                              gtids=m["gtids"], server_id=m["server_id"])
+        cur = self.binlog_offset()
+        if cur is not None and new.compare(cur) <= 0:
+            return
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        tmp = self._binlog_offset_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(new.to_json())
+        os.replace(tmp, self._binlog_offset_path())
 
     # -- shared control plane (delegates to the batch execution) ----------
     def _execution(self) -> PipelineExecution:
@@ -514,6 +565,8 @@ class StreamingPipeline:
                     # offset commit AFTER the data lands (at-least-once,
                     # same discipline as the snapshot watermarks)
                     self._save_vitess_state(vstate)
+                if self.track_binlog_offset:
+                    self._fold_binlog_offset(data_df, value_col)
             finally:
                 batch_df.unpersist()
 

@@ -58,11 +58,13 @@ def test_newdecimal_roundtrip(precision, data):
     scale = data.draw(st.integers(min_value=0, max_value=precision))
     digits = data.draw(st.integers(
         min_value=-(10 ** precision - 1), max_value=10 ** precision - 1))
-    value = decimal.Decimal(digits).scaleb(-scale)
-    text = format(value, "f")
-    enc = encode_newdecimal(text, precision, scale)
-    assert len(enc) == decimal_bin_size(precision, scale)
-    assert decimal.Decimal(decode_newdecimal(enc, precision, scale)) == value
+    with decimal.localcontext() as ctx:
+        ctx.prec = 65  # avoid context rounding at high precisions
+        value = decimal.Decimal(digits).scaleb(-scale)
+        text = format(value, "f")
+        enc = encode_newdecimal(text, precision, scale)
+        assert len(enc) == decimal_bin_size(precision, scale)
+        assert decimal.Decimal(decode_newdecimal(enc, precision, scale)) == value
 
 
 def test_newdecimal_truncated_rejected():
@@ -418,10 +420,9 @@ def test_decode_binlog_start_offset_stitch(spark, tmp_path):
     all_rows = decode_binlog(read_binlog_files(spark, str(tmp_path)),
                              "shop", "users", _payload_schema()) \
         .orderBy("__seq").collect()
-    # cut right after the first event: use the first row's position
+    # cut right after the first event: its end position, fully consumed
     cut = BinlogOffset.of(file="mysql-bin.000001",
-                          pos=int(dict(all_rows[1]["__meta"])["pos"]),
-                          row=int(dict(all_rows[1]["__meta"])["row"]))
+                          pos=int(dict(all_rows[1]["__meta"])["pos"]))
     rest = decode_binlog(read_binlog_files(spark, str(tmp_path)),
                          "shop", "users", _payload_schema(),
                          start_offset=cut).orderBy("__seq").collect()
@@ -458,7 +459,7 @@ def test_yaml_mysql_binlog_stream_e2e(spark, tmp_path):
     w.rotate("mysql-bin.000002")
     (src / "mysql-bin.000001").write_bytes(w.getvalue())
 
-    w2 = BinlogWriter(server_id=3)
+    w2 = BinlogWriter(server_id=3, previous_gtids=f"{UUID}:1")
     w2.gtid(UUID, 2)
     w2.table_map(tmap)
     w2.rows(tmap, UPDATE_ROWS_EVENT, [
@@ -505,6 +506,129 @@ transform:
         "2, nut-xl, 0.35, NUT-XL, null",
         "4, cam, 5.00, CAM, DE",
     ]
+    # the operator-visible BinlogOffset advanced to the last committed
+    # position in the second file, carrying the accumulated GTID set
+    off = pipe.binlog_offset()
+    assert off is not None and off.filename == "mysql-bin.000002"
+    assert off.position > 4 and off.get("server_id") == "3"
+    assert off.gtid_set == f"{UUID}:1-3"
+
+
+def test_previous_gtids_continuity():
+    """PREVIOUS_GTIDS seeds the executed set after rotation; XID commits
+    and auto-committed DDL both advance it, with interval merging."""
+    cols = (BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),)
+    tmap = BinlogTableMap(7, "d", "t", cols, (0,))
+    other = "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"
+    w = BinlogWriter(previous_gtids=f"{UUID}:1-3:7,{other}:5")
+    w.gtid(UUID, 4)
+    w.query("ALTER TABLE t ADD COLUMN x INT", "d")  # auto-commit: merges 1-4
+    w.gtid(UUID, 7)  # already covered: no change
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=1)])
+    w.xid(1)
+    w.gtid(UUID, 5)
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=2)])
+    w.xid(2)
+    changes = binlog_changes(w.getvalue(), "mysql-bin.000002")
+    ddl, ins1, ins2 = changes
+    # sets render sid-sorted; UUID (3e…) sorts before other (aa…)
+    assert ddl["gtids"] == f"{UUID}:1-3:7-7,{other}:5-5"
+    assert ins1["gtids"] == f"{UUID}:1-4:7-7,{other}:5-5"
+    # committing :7's txn (already-covered gno) leaves the set unchanged;
+    # :5 (which would bridge 1-4 and 7) commits only after ins2's record
+    assert ins2["gtids"] == f"{UUID}:1-4:7-7,{other}:5-5"
+
+
+def _two_txn_file():
+    """Txn 1 (gtid :1) inserts ids 1-2 at ts T; txn 2 (gtid :2) inserts
+    id 3 at ts T+5."""
+    cols = (BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),)
+    tmap = BinlogTableMap(7, "d", "t", cols, (0,))
+    w = BinlogWriter()
+    w.gtid(UUID, 1)
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=1), dict(id=2)])
+    w.xid(1)
+    w.tick(5)
+    w.gtid(UUID, 2)
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=3)])
+    w.xid(2)
+    return w.getvalue()
+
+
+def test_startup_specific_offset_and_timestamp(spark, tmp_path):
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        binlog_to_debezium_json, effective_start_offset)
+
+    (tmp_path / "mysql-bin.000001").write_bytes(_two_txn_file())
+    files = read_binlog_files(spark, str(tmp_path))
+
+    def ids(**kw):
+        import json
+        vals = binlog_to_debezium_json(files, **kw).collect()
+        return sorted(json.loads(r["value"])["after"]["id"] for r in vals)
+
+    assert ids() == [1, 2, 3]
+    # specific-offset by (file, pos): cut after the first ROWS event
+    import json
+    all_vals = binlog_to_debezium_json(files).orderBy("offset").collect()
+    first_pos = int(json.loads(all_vals[0]["value"])["source"]["pos"])
+    start, ts = effective_start_offset({
+        "scan.startup.mode": "specific-offset",
+        "scan.startup.specific-offset.file": "mysql-bin.000001",
+        "scan.startup.specific-offset.pos": first_pos})
+    assert ts is None
+    assert ids(start_offset=start) == [3]
+    # skip-rows = rows already processed at that position: 1 -> the second
+    # row of the first event still delivers
+    start, _ = effective_start_offset({
+        "scan.startup.mode": "specific-offset",
+        "scan.startup.specific-offset.file": "mysql-bin.000001",
+        "scan.startup.specific-offset.pos": first_pos,
+        "scan.startup.specific-offset.skip-rows": 1})
+    assert ids(start_offset=start) == [2, 3]
+    # GTID set: txn :1 covered -> only txn :2 delivers
+    start, _ = effective_start_offset({
+        "scan.startup.mode": "specific-offset",
+        "scan.startup.specific-offset.gtid-set": f"{UUID}:1"})
+    assert ids(start_offset=start) == [3]
+    # timestamp: events before the millisecond are skipped
+    _, ts = effective_start_offset({
+        "scan.startup.mode": "timestamp",
+        "scan.startup.timestamp-millis": 1_700_000_001_000})
+    assert ids(start_timestamp_ms=ts) == [3]
+    # skip-events is honestly gated
+    with pytest.raises(NotImplementedError):
+        effective_start_offset({
+            "scan.startup.mode": "specific-offset",
+            "scan.startup.specific-offset.file": "f",
+            "scan.startup.specific-offset.pos": 4,
+            "scan.startup.specific-offset.skip-events": 2})
+
+
+def test_startup_latest_offset(spark, tmp_path):
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        binlog_to_debezium_json, effective_start_offset)
+
+    (tmp_path / "mysql-bin.000001").write_bytes(_two_txn_file())
+    start, _ = effective_start_offset(
+        {"scan.startup.mode": "latest-offset"}, str(tmp_path))
+    assert start.filename == "mysql-bin.000001" and start.position > 4
+    # everything current is skipped...
+    files = read_binlog_files(spark, str(tmp_path))
+    assert binlog_to_debezium_json(files, start_offset=start).count() == 0
+    # ...but a later rotation delivers
+    cols = (BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),)
+    tmap = BinlogTableMap(7, "d", "t", cols, (0,))
+    w = BinlogWriter()
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=9)])
+    (tmp_path / "mysql-bin.000002").write_bytes(w.getvalue())
+    files = read_binlog_files(spark, str(tmp_path))
+    assert binlog_to_debezium_json(files, start_offset=start).count() == 1
 
 
 def test_binlog_schema_events_across_rotation(tmp_path):
