@@ -404,7 +404,8 @@ class PipelineComposer:
 
     # -- streaming YAML surface -------------------------------------------
     STREAMING_SOURCE_TYPES = ("debezium-file", "mongodb-file",
-                              "vitess-file", "mysql-binlog-file", "kafka")
+                              "vitess-file", "mysql-binlog-file",
+                              "pgoutput-file", "kafka")
 
     def is_streaming(self, pdef: PipelineDef) -> bool:
         return pdef.source.type.lower() in self.STREAMING_SOURCE_TYPES
@@ -455,8 +456,11 @@ class PipelineComposer:
             # for vitess-json streams
             stop_on_reshard=str(opts.get(
                 "stop-on-reshard", "false")).lower() == "true",
-            # mysql-binlog-file: persist the operator-visible BinlogOffset
-            track_binlog_offset=pdef.source.type.lower() == "mysql-binlog-file",
+            # wire sources: persist the operator-visible connector offset
+            # (BinlogOffset / PostgresOffset)
+            connector_offset={"mysql-binlog-file": "mysql-binlog",
+                              "pgoutput-file": "pgoutput"}.get(
+                pdef.source.type.lower()),
         )
         t = pdef.source.type.lower()
         if t == "mysql-binlog-file":
@@ -474,6 +478,18 @@ class PipelineComposer:
             raw = binlog_to_debezium_json(
                 binlog_stream_source(self.spark, opts["path"]),
                 start_offset=start, start_timestamp_ms=ts_ms)
+        elif t == "pgoutput-file":
+            # byte-true pgoutput logical-replication captures; same bridge
+            # pattern (the reference's default decoding.plugin.name —
+            # PostgresDataSourceOptions.java:68-73). `start-lsn` mirrors
+            # the slot's confirmed_flush position
+            from ..sources.pgoutput import (
+                pgoutput_stream_source, pgoutput_to_debezium_json)
+
+            start_lsn = opts.get("start-lsn")
+            raw = pgoutput_to_debezium_json(
+                pgoutput_stream_source(self.spark, opts["path"]),
+                start_lsn=int(start_lsn) if start_lsn is not None else None)
         elif t in ("debezium-file", "mongodb-file", "vitess-file"):
             raw = file_stream_source(self.spark, opts["path"])
         else:

@@ -1488,7 +1488,9 @@ def binlog_to_debezium_json(files: "DataFrame",
                     if c["kind"] == "ddl":
                         rec = {"databaseName": c["database"],
                                "ddl": c["sql"],
-                               "ts_ms": c["ts_sec"] * 1000}
+                               "ts_ms": c["ts_sec"] * 1000,
+                               # destructive-DDL ordering vs data __seq
+                               "seq": seq}
                     else:
                         if c["op"] == "-U":
                             continue  # the +U record carries both images

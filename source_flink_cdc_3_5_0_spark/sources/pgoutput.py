@@ -1,0 +1,595 @@
+"""Postgres CDC source: pgoutput logical-replication wire codec + decode.
+
+Parity targets (reference `flink-cdc-connect/flink-cdc-pipeline-connectors/
+flink-cdc-pipeline-connector-postgres` + `flink-cdc-source-connectors/
+flink-connector-postgres-cdc`). The reference's Postgres connector consumes
+the server's logical replication slot with ``decoding.plugin.name``
+defaulting to **pgoutput** (`PostgresDataSourceOptions.java:68-73`),
+positions tracked by `source/offset/PostgresOffset.java:40-98` — an offset
+map {lsn, txId, ts_usec} ordered by LSN. The plugin's byte-level message
+formats are re-implemented here FROM THE PUBLIC SPEC — the PostgreSQL
+documentation chapter "Logical Streaming Replication Protocol » Logical
+Replication Message Formats" (protocol.sgml):
+
+- one-letter message tags: **B**egin (final LSN u64, commit ts µs-since-
+  2000, xid u32), **C**ommit (flags, commit/end LSN, ts), **R**elation
+  (oid, namespace, name, replica identity, typed columns with key flags),
+  **I**nsert ('N' + tuple), **U**pdate (optional 'K'/'O' old tuple + 'N'
+  new tuple), **D**elete ('K' or 'O' tuple), **T**runcate, **O**rigin,
+  **Y** (type), **M**essage;
+- TupleData: u16 column count, then per column 'n' (null), 'u' (unchanged
+  TOAST), or 't'/'b' (u32 length + text/binary value);
+- replica identity decides the old-tuple shape: DEFAULT ships key columns
+  ('K'), FULL ships the whole old row ('O') — both decoded.
+
+Unlike MySQL, logical replication carries **no DDL**: the Relation message
+re-describes a table whenever its shape changes. This decoder diffs each
+Relation against the previous one for that oid and synthesizes the engine's
+structured schema-change records (ADD/DROP/ALTER TYPE), which is exactly
+the signal a live consumer has to work from.
+
+Both an encoder (`PgOutputWriter`, the fixture path — also the capture
+format: length-framed byte-true pgoutput messages with their WAL LSNs) and
+a decoder ship, so everything round-trips without a postgres server. Scale
+posture mirrors the binlog source: an Arrow-batched ``mapInPandas`` bridge
+turns captured files into debezium-json records one file per task, and the
+whole existing streaming path runs unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import Iterator
+
+_PG_EPOCH_US = 946_684_800_000_000  # 2000-01-01 in unix µs
+
+# ---------------------------------------------------------------------------
+# type OIDs (pg_type.dat) — the Relation message types columns by OID
+# ---------------------------------------------------------------------------
+
+OID_BOOL = 16
+OID_BYTEA = 17
+OID_INT8 = 20
+OID_INT2 = 21
+OID_INT4 = 23
+OID_TEXT = 25
+OID_JSON = 114
+OID_FLOAT4 = 700
+OID_FLOAT8 = 701
+OID_VARCHAR = 1043
+OID_DATE = 1082
+OID_TIME = 1083
+OID_TIMESTAMP = 1114
+OID_TIMESTAMPTZ = 1184
+OID_NUMERIC = 1700
+OID_UUID = 2950
+OID_JSONB = 3802
+
+#: OID -> Spark DDL type string (PostgresTypeUtils.java analog; numeric
+#: modifiers refine DECIMAL below)
+_OID_SPARK = {
+    OID_BOOL: "boolean", OID_BYTEA: "binary", OID_INT8: "bigint",
+    OID_INT2: "smallint", OID_INT4: "int", OID_TEXT: "string",
+    OID_JSON: "string", OID_FLOAT4: "float", OID_FLOAT8: "double",
+    OID_VARCHAR: "string", OID_DATE: "date", OID_TIME: "string",
+    OID_TIMESTAMP: "timestamp_ntz", OID_TIMESTAMPTZ: "timestamp",
+    OID_NUMERIC: "decimal(38,18)", OID_UUID: "string",
+    OID_JSONB: "string",
+}
+
+
+def oid_to_spark_ddl(oid: int, type_mod: int = -1) -> str:
+    if oid == OID_NUMERIC and type_mod >= 4:
+        mod = type_mod - 4  # VARHDRSZ
+        return "decimal(%d,%d)" % (mod >> 16, mod & 0xFFFF)
+    return _OID_SPARK.get(oid, "string")
+
+
+# ---------------------------------------------------------------------------
+# relation registry
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PgColumn:
+    name: str
+    type_oid: int
+    type_mod: int = -1
+    key: bool = False
+
+
+@dataclass(frozen=True)
+class PgRelation:
+    oid: int
+    namespace: str
+    name: str
+    replica_identity: str  # 'd'efault | 'f'ull | 'n'othing | 'i'ndex
+    columns: tuple[PgColumn, ...]
+
+    @property
+    def qualified(self) -> str:
+        return f"{self.namespace}.{self.name}"
+
+    @property
+    def key_names(self) -> tuple[str, ...]:
+        return tuple(c.name for c in self.columns if c.key)
+
+
+# ---------------------------------------------------------------------------
+# text-format value rendering (what pgoutput ships for each OID)
+# ---------------------------------------------------------------------------
+
+
+def _render_text(oid: int, v) -> str:
+    """Python value -> the column's Postgres text representation."""
+    import datetime
+
+    if oid == OID_BOOL:
+        return "t" if v else "f"
+    if oid == OID_BYTEA:
+        return "\\x" + bytes(v).hex()
+    if oid in (OID_TIMESTAMP, OID_TIMESTAMPTZ) and isinstance(
+            v, datetime.datetime):
+        out = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            out += (".%06d" % v.microsecond).rstrip("0")
+        if oid == OID_TIMESTAMPTZ:
+            out += "+00"
+        return out
+    if oid == OID_DATE and isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _text_to_json_value(oid: int, text: str):
+    """Postgres text value -> a JSON value Spark's from_json casts to the
+    payload type (shared bridge conventions with the binlog source)."""
+    import base64
+
+    if oid == OID_BOOL:
+        return text == "t"
+    if oid in (OID_INT2, OID_INT4, OID_INT8):
+        return int(text)
+    if oid in (OID_FLOAT4, OID_FLOAT8):
+        return float(text)
+    if oid == OID_BYTEA:
+        if text.startswith("\\x"):
+            return base64.b64encode(bytes.fromhex(text[2:])).decode("ascii")
+        return base64.b64encode(text.encode("latin-1")).decode("ascii")
+    if oid in (OID_TIMESTAMP, OID_TIMESTAMPTZ):
+        t = text.replace(" ", "T")
+        # strip the numeric UTC offset ("+00"); fixtures capture in UTC
+        for sep in ("+", "Z"):
+            if sep in t[10:]:
+                t = t[:10] + t[10:].split(sep)[0]
+                break
+        return t
+    # numeric / date / time / uuid / text / json pass through as strings
+    return text
+
+
+# ---------------------------------------------------------------------------
+# message encoder (fixture/capture path)
+# ---------------------------------------------------------------------------
+
+
+def _cstr(s: str) -> bytes:
+    return s.encode("utf-8") + b"\x00"
+
+
+def _tuple_data(rel: PgRelation, row: dict | None,
+                columns: tuple[PgColumn, ...] | None = None) -> bytes:
+    cols = columns if columns is not None else rel.columns
+    out = struct.pack(">H", len(cols))
+    for c in cols:
+        v = (row or {}).get(c.name)
+        if v is None:
+            out += b"n"
+        else:
+            data = _render_text(c.type_oid, v).encode("utf-8")
+            out += b"t" + struct.pack(">I", len(data)) + data
+    return out
+
+
+class PgOutputWriter:
+    """Assemble a byte-true pgoutput capture file.
+
+    Frame format (the capture container, since the live protocol wraps
+    messages in XLogData): ``u64be WAL LSN + u32be length + message``.
+    Message bytes are exactly the protocol's logical replication messages.
+    """
+
+    def __init__(self):
+        self._buf = bytearray()
+        self._lsn = 1000
+        self._xid = 700
+        self._ts_us = _PG_EPOCH_US + 1_000_000  # 2000-01-01 00:00:01 UTC
+        self._known: set[int] = set()
+
+    def _frame(self, msg: bytes, advance: int = 8) -> int:
+        lsn = self._lsn
+        self._buf += struct.pack(">QI", lsn, len(msg)) + msg
+        self._lsn += advance
+        return lsn
+
+    def tick(self, seconds: int = 1) -> None:
+        self._ts_us += seconds * 1_000_000
+
+    def begin(self) -> int:
+        self._xid += 1
+        msg = b"B" + struct.pack(">QqI", self._lsn + 1000,
+                                 self._ts_us - _PG_EPOCH_US, self._xid)
+        return self._frame(msg)
+
+    def commit(self) -> int:
+        msg = b"C" + struct.pack(">BQQq", 0, self._lsn, self._lsn + 8,
+                                 self._ts_us - _PG_EPOCH_US)
+        return self._frame(msg)
+
+    def relation(self, rel: PgRelation) -> int:
+        msg = b"R" + struct.pack(">I", rel.oid)
+        msg += _cstr(rel.namespace) + _cstr(rel.name)
+        msg += rel.replica_identity.encode("ascii")
+        msg += struct.pack(">H", len(rel.columns))
+        for c in rel.columns:
+            msg += struct.pack(">B", 1 if c.key else 0)
+            msg += _cstr(c.name)
+            msg += struct.pack(">Ii", c.type_oid, c.type_mod)
+        self._known.add(rel.oid)
+        return self._frame(msg)
+
+    def insert(self, rel: PgRelation, row: dict) -> int:
+        msg = b"I" + struct.pack(">I", rel.oid) + b"N" + _tuple_data(rel, row)
+        return self._frame(msg)
+
+    def update(self, rel: PgRelation, before: dict | None,
+               after: dict) -> int:
+        msg = b"U" + struct.pack(">I", rel.oid)
+        if before is not None:
+            if rel.replica_identity == "f":
+                msg += b"O" + _tuple_data(rel, before)
+            else:
+                keys = tuple(c for c in rel.columns if c.key)
+                msg += b"K" + _tuple_data(rel, before, keys)
+        msg += b"N" + _tuple_data(rel, after)
+        return self._frame(msg)
+
+    def delete(self, rel: PgRelation, before: dict) -> int:
+        msg = b"D" + struct.pack(">I", rel.oid)
+        if rel.replica_identity == "f":
+            msg += b"O" + _tuple_data(rel, before)
+        else:
+            keys = tuple(c for c in rel.columns if c.key)
+            msg += b"K" + _tuple_data(rel, before, keys)
+        return self._frame(msg)
+
+    def truncate(self, *rels: PgRelation, cascade: bool = False,
+                 restart_identity: bool = False) -> int:
+        opt = (1 if cascade else 0) | (2 if restart_identity else 0)
+        msg = b"T" + struct.pack(">IB", len(rels), opt)
+        for r in rels:
+            msg += struct.pack(">I", r.oid)
+        return self._frame(msg)
+
+    def origin(self, name: str) -> int:
+        return self._frame(b"O" + struct.pack(">Q", self._lsn) + _cstr(name))
+
+    def getvalue(self) -> bytes:
+        return bytes(self._buf)
+
+
+# ---------------------------------------------------------------------------
+# message decoder
+# ---------------------------------------------------------------------------
+
+
+def _read_cstr(buf: bytes, pos: int) -> tuple[str, int]:
+    end = buf.index(0, pos)
+    return buf[pos:end].decode("utf-8"), end + 1
+
+
+def _read_tuple(buf: bytes, pos: int) -> tuple[list, int]:
+    """TupleData -> list of (kind, value) with kind in n/u/t/b."""
+    n = struct.unpack_from(">H", buf, pos)[0]
+    pos += 2
+    out = []
+    for _ in range(n):
+        kind = chr(buf[pos])
+        pos += 1
+        if kind in ("n", "u"):
+            out.append((kind, None))
+        elif kind in ("t", "b"):
+            ln = struct.unpack_from(">I", buf, pos)[0]
+            pos += 4
+            out.append((kind, bytes(buf[pos:pos + ln])))
+            pos += ln
+        else:
+            raise ValueError("bad TupleData column kind %r" % kind)
+    return out, pos
+
+
+def _tuple_to_row(rel: PgRelation, tup: list,
+                  columns: tuple[PgColumn, ...] | None = None) -> dict:
+    cols = columns if columns is not None else rel.columns
+    if len(tup) != len(cols):
+        raise ValueError("TupleData has %d columns, relation %s has %d"
+                         % (len(tup), rel.qualified, len(cols)))
+    row = {}
+    for c, (kind, raw) in zip(cols, tup):
+        if kind == "n":
+            row[c.name] = None
+        elif kind == "u":
+            pass  # unchanged TOAST: absent from the image
+        elif kind == "t":
+            row[c.name] = _text_to_json_value(c.type_oid,
+                                              raw.decode("utf-8"))
+        else:  # 'b' binary send format — fixtures use text mode
+            raise NotImplementedError(
+                "binary-format TupleData cells are gated (pgoutput "
+                "defaults to text send format; fixtures capture text)")
+    return row
+
+
+def _diff_relations(old: PgRelation, new: PgRelation) -> list[dict]:
+    """Relation re-description -> structured schema-change bodies (the
+    engine's events_json form). Logical replication has no DDL stream;
+    shape diffs are the only signal — adds, drops and type changes are
+    derivable, renames are indistinguishable from drop+add (documented)."""
+    out = []
+    old_by = {c.name: c for c in old.columns}
+    new_by = {c.name: c for c in new.columns}
+    tid = new.qualified
+    added = [c for c in new.columns if c.name not in old_by]
+    if added:
+        out.append({"type": "ADD_COLUMN", "table": tid, "columns": [
+            {"name": c.name, "type": oid_to_spark_ddl(c.type_oid, c.type_mod),
+             "nullable": True, "position": "LAST"} for c in added]})
+    dropped = [n for n in old_by if n not in new_by]
+    if dropped:
+        out.append({"type": "DROP_COLUMN", "table": tid, "names": dropped})
+    retyped = {n: oid_to_spark_ddl(c.type_oid, c.type_mod)
+               for n, c in new_by.items()
+               if n in old_by and (old_by[n].type_oid, old_by[n].type_mod)
+               != (c.type_oid, c.type_mod)}
+    if retyped:
+        out.append({"type": "ALTER_COLUMN_TYPE", "table": tid,
+                    "mapping": retyped})
+    return out
+
+
+def pgoutput_changes(data: bytes) -> list[dict]:
+    """One capture file -> flat change records (PostgresOffset coordinates).
+
+    Emits the reference emitter's op mapping (insert -> +I, update -> one
+    record with both images, delete -> -D), plus ``schema`` records from
+    Relation-message diffs and ``truncate`` records. Each carries
+    `PostgresOffset.java:49-59` coordinates: lsn, txId, ts_usec.
+    """
+    relations: dict[int, PgRelation] = {}
+    out: list[dict] = []
+    pos = 0
+    xid = None
+    ts_us = None
+
+    def base(lsn: int) -> dict:
+        return {"lsn": lsn, "txId": xid, "ts_usec": ts_us}
+
+    while pos < len(data):
+        if pos + 12 > len(data):
+            raise ValueError("truncated pgoutput frame header at %d" % pos)
+        lsn, ln = struct.unpack_from(">QI", data, pos)
+        pos += 12
+        if pos + ln > len(data):
+            raise ValueError("truncated pgoutput message at %d" % pos)
+        msg = data[pos:pos + ln]
+        pos += ln
+        if not msg:
+            raise ValueError("truncated pgoutput frame: empty message body")
+        tag = chr(msg[0])
+        if tag == "B":
+            _final, ts, xid = struct.unpack_from(">QqI", msg, 1)
+            ts_us = ts + _PG_EPOCH_US
+        elif tag == "C":
+            xid = None
+        elif tag == "R":
+            oid = struct.unpack_from(">I", msg, 1)[0]
+            p = 5
+            ns, p = _read_cstr(msg, p)
+            name, p = _read_cstr(msg, p)
+            ident = chr(msg[p])
+            p += 1
+            ncols = struct.unpack_from(">H", msg, p)[0]
+            p += 2
+            cols = []
+            for _ in range(ncols):
+                key = msg[p] & 1
+                p += 1
+                cname, p = _read_cstr(msg, p)
+                toid, tmod = struct.unpack_from(">Ii", msg, p)
+                p += 8
+                cols.append(PgColumn(cname, toid, tmod, bool(key)))
+            rel = PgRelation(oid, ns, name, ident, tuple(cols))
+            old = relations.get(oid)
+            relations[oid] = rel
+            if old is not None and old.columns != rel.columns:
+                for body in _diff_relations(old, rel):
+                    out.append({"kind": "schema", "ddl": body,
+                                "database": ns, "table": name, **base(lsn)})
+        elif tag in ("I", "U", "D"):
+            oid = struct.unpack_from(">I", msg, 1)[0]
+            rel = relations.get(oid)
+            if rel is None:
+                raise ValueError("tuple for unknown relation oid %d "
+                                 "(missing Relation message)" % oid)
+            p = 5
+            rec = {"kind": "change", "database": rel.namespace,
+                   "table": rel.name, "keys": rel.key_names, **base(lsn)}
+            if tag == "I":
+                assert chr(msg[p]) == "N"
+                tup, p = _read_tuple(msg, p + 1)
+                out.append({**rec, "op": "+I", "before": None,
+                            "after": _tuple_to_row(rel, tup)})
+            elif tag == "U":
+                before = None
+                marker = chr(msg[p])
+                if marker in ("K", "O"):
+                    tup, p = _read_tuple(msg, p + 1)
+                    cols = (tuple(c for c in rel.columns if c.key)
+                            if marker == "K" else None)
+                    before = _tuple_to_row(rel, tup, cols)
+                    marker = chr(msg[p])
+                assert marker == "N"
+                tup, p = _read_tuple(msg, p + 1)
+                out.append({**rec, "op": "+U", "before": before,
+                            "after": _tuple_to_row(rel, tup)})
+            else:
+                marker = chr(msg[p])
+                tup, p = _read_tuple(msg, p + 1)
+                cols = (tuple(c for c in rel.columns if c.key)
+                        if marker == "K" else None)
+                out.append({**rec, "op": "-D",
+                            "before": _tuple_to_row(rel, tup, cols),
+                            "after": None})
+        elif tag == "T":
+            nrels = struct.unpack_from(">I", msg, 1)[0]
+            p = 6  # skip the options byte
+            for _ in range(nrels):
+                oid = struct.unpack_from(">I", msg, p)[0]
+                p += 4
+                rel = relations.get(oid)
+                if rel is not None:
+                    out.append({"kind": "truncate",
+                                "database": rel.namespace,
+                                "table": rel.name, **base(lsn)})
+        # O (origin), Y (type), M (message): positional no-ops here
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PostgresOffset (source/offset/PostgresOffset.java parity)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PostgresOffset:
+    """Offset map {lsn, txId, ts_usec}, ordered by LSN alone
+    (`PostgresOffset.java:95-98`)."""
+
+    lsn: int
+    tx_id: int | None = None
+    ts_usec: int | None = None
+
+    NO_STOPPING_LSN = (1 << 64) - 2  # Lsn.NO_STOPPING_LSN
+
+    @classmethod
+    def initial(cls) -> "PostgresOffset":
+        return cls(0)
+
+    @classmethod
+    def no_stopping(cls) -> "PostgresOffset":
+        return cls(cls.NO_STOPPING_LSN)
+
+    def compare(self, other: "PostgresOffset") -> int:
+        return (self.lsn > other.lsn) - (self.lsn < other.lsn)
+
+    @property
+    def lsn_text(self) -> str:
+        """The X/Y spelling (pg_lsn)."""
+        return "%X/%X" % (self.lsn >> 32, self.lsn & 0xFFFFFFFF)
+
+    def to_json(self) -> str:
+        import json
+        d = {"lsn": str(self.lsn)}
+        if self.tx_id is not None:
+            d["txId"] = str(self.tx_id)
+        if self.ts_usec is not None:
+            d["ts_usec"] = str(self.ts_usec)
+        return json.dumps(d, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "PostgresOffset":
+        import json
+        d = json.loads(s)
+        return cls(int(d["lsn"]),
+                   int(d["txId"]) if "txId" in d else None,
+                   int(d["ts_usec"]) if "ts_usec" in d else None)
+
+
+# ---------------------------------------------------------------------------
+# Spark integration: pgoutput capture -> debezium-json records
+# ---------------------------------------------------------------------------
+
+
+def pgoutput_stream_source(spark, path: str):
+    """Streaming variant over capture files (binaryFile tracking)."""
+    return (spark.readStream.format("binaryFile")
+            .schema("path string, modificationTime timestamp, "
+                    "length long, content binary")
+            .load(path))
+
+
+def read_pgoutput_files(spark, path: str):
+    return spark.read.format("binaryFile").load(path)
+
+
+def pgoutput_to_debezium_json(files, start_lsn: int | None = None):
+    """pgoutput capture files -> debezium-json records (value, offset).
+
+    Same bridge shape as the binlog source: data records as the standard
+    envelope (``source`` carries schema/lsn/txId — Postgres is a
+    schema-qualified source, so ``source.schema`` is set and ``db`` is
+    null, producing 2-part table ids), Relation-diff schema changes as the
+    engine's structured ``{"ddl": {...}}`` records, TRUNCATE as the
+    structured TRUNCATE_TABLE event. ``offset`` = the WAL LSN.
+    ``start_lsn`` drops records at or below it (slot confirmed_flush
+    semantics — the snapshot/stream stitch).
+    """
+    import json as _json
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("value", T.StringType(), False),
+        T.StructField("offset", T.LongType(), False),
+    ])
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            values, offsets = [], []
+            for content in pdf["content"]:
+                for c in pgoutput_changes(bytes(content)):
+                    if start_lsn is not None and c["lsn"] <= start_lsn:
+                        continue
+                    ts_ms = (c["ts_usec"] or 0) // 1000
+                    if c["kind"] == "schema":
+                        rec = {"ddl": c["ddl"], "ts_ms": ts_ms,
+                               "seq": c["lsn"]}
+                    elif c["kind"] == "truncate":
+                        rec = {"ddl": {"type": "TRUNCATE_TABLE",
+                                       "table": f"{c['database']}."
+                                                f"{c['table']}"},
+                               "ts_ms": ts_ms, "seq": c["lsn"]}
+                    else:
+                        op = {"+I": "c", "+U": "u", "-D": "d"}[c["op"]]
+                        rec = {
+                            "before": c["before"],
+                            "after": c["after"],
+                            "op": op,
+                            "ts_ms": ts_ms,
+                            "source": {
+                                "db": None, "schema": c["database"],
+                                "table": c["table"],
+                                "lsn": str(c["lsn"]),
+                                **({"txId": str(c["txId"])}
+                                   if c["txId"] is not None else {}),
+                            },
+                        }
+                    values.append(_json.dumps(rec, separators=(",", ":")))
+                    offsets.append(c["lsn"])
+            yield pd.DataFrame({"value": pd.Series(values, dtype=object),
+                                "offset": pd.Series(offsets, dtype="int64")})
+
+    return files.select("path", "content").mapInPandas(run, schema=out_schema)

@@ -64,11 +64,12 @@ class StreamingPipeline:
     # instead of adopting the new serving set (VitessSource stopOnReshard,
     # default false — VitessSource.java:47-59)
     stop_on_reshard: bool = False
-    # mysql-binlog-file only: persist the max (file, pos, gtids) seen per
-    # committed batch as an operator-visible BinlogOffset (the reference's
-    # BinlogOffset checkpoint state; Structured Streaming's file tracking
-    # remains the actual exactly-once offset store)
-    track_binlog_offset: bool = False
+    # wire sources only ("mysql-binlog" | "pgoutput" | None): persist the
+    # max position seen per committed batch as an operator-visible offset
+    # (the reference's BinlogOffset / PostgresOffset checkpoint state;
+    # Structured Streaming's file tracking remains the actual exactly-once
+    # offset store)
+    connector_offset: str | None = None
 
     @staticmethod
     def create(spark: SparkSession, sink: DataSink, checkpoint_dir: str,
@@ -78,7 +79,7 @@ class StreamingPipeline:
                serialization: str = "debezium-json",
                discover_tables: bool = False,
                stop_on_reshard: bool = False,
-               track_binlog_offset: bool = False) -> "StreamingPipeline":
+               connector_offset: str | None = None) -> "StreamingPipeline":
         return StreamingPipeline(
             spark=spark, sink=sink,
             post=PostTransform(list(transforms or [])),
@@ -91,7 +92,7 @@ class StreamingPipeline:
             serialization=serialization,
             discover_tables=discover_tables,
             stop_on_reshard=stop_on_reshard,
-            track_binlog_offset=track_binlog_offset,
+            connector_offset=connector_offset,
         )
 
     # -- vitess-json connector state (VGTID offset + reshard posture) ------
@@ -113,49 +114,81 @@ class StreamingPipeline:
             f.write(state.to_json())
         os.replace(tmp, self._vitess_state_path())
 
-    # -- mysql-binlog connector state (BinlogOffset checkpoint) ------------
-    def _binlog_offset_path(self) -> str:
-        return os.path.join(self.checkpoint_dir, "mysql_binlog_offset.json")
+    # -- wire-source connector state (BinlogOffset / PostgresOffset) -------
+    def _connector_offset_path(self) -> str:
+        name = {"mysql-binlog": "mysql_binlog_offset.json",
+                "pgoutput": "postgres_offset.json"}[self.connector_offset]
+        return os.path.join(self.checkpoint_dir, name)
 
     def binlog_offset(self):
-        """The last committed BinlogOffset (None before the first commit)."""
+        """The last committed offset (None before the first commit):
+        a BinlogOffset for mysql-binlog streams, a PostgresOffset for
+        pgoutput streams."""
+        if not self.connector_offset or \
+                not os.path.exists(self._connector_offset_path()):
+            return None
+        with open(self._connector_offset_path()) as f:
+            text = f.read()
+        if self.connector_offset == "pgoutput":
+            from ..sources.pgoutput import PostgresOffset
+
+            return PostgresOffset.from_json(text)
         from ..sources.mysql_binlog import BinlogOffset
 
-        if os.path.exists(self._binlog_offset_path()):
-            with open(self._binlog_offset_path()) as f:
-                return BinlogOffset.from_json(f.read())
-        return None
+        return BinlogOffset.from_json(text)
 
-    def _fold_binlog_offset(self, data_df: DataFrame, value_col: str) -> None:
+    def _fold_connector_offset(self, data_df: DataFrame,
+                               value_col: str) -> None:
         """Advance the persisted offset to the batch's max position: one
         partial agg + a 1-row collect, committed AFTER the data lands (the
         at-least-once discipline the snapshot watermarks use). Monotone —
         a replayed batch can never regress the stored position."""
-        from ..sources.mysql_binlog import BinlogOffset
-
         v = F.col(value_col)
-        row = data_df.select(
-            F.get_json_object(v, "$.source.file").alias("file"),
-            F.get_json_object(v, "$.source.pos").cast("long").alias("pos"),
-            F.get_json_object(v, "$.source.gtids").alias("gtids"),
-            F.get_json_object(v, "$.source.server_id").alias("server_id"),
-            F.col("offset"),
-        ).where(F.col("file").isNotNull()).agg(
-            F.max_by(F.struct("file", "pos", "gtids", "server_id"),
-                     F.col("offset")).alias("m")).collect()
+        if self.connector_offset == "pgoutput":
+            fields = ["lsn", "tx", "ts_ms"]
+            probes = [
+                F.get_json_object(v, "$.source.lsn").cast("long").alias("lsn"),
+                F.get_json_object(v, "$.source.txId").cast("long").alias("tx"),
+                F.get_json_object(v, "$.ts_ms").cast("long").alias("ts_ms"),
+            ]
+            key = "lsn"
+        else:
+            fields = ["file", "pos", "gtids", "server_id"]
+            probes = [
+                F.get_json_object(v, "$.source.file").alias("file"),
+                F.get_json_object(v, "$.source.pos").cast("long").alias("pos"),
+                F.get_json_object(v, "$.source.gtids").alias("gtids"),
+                F.get_json_object(v, "$.source.server_id").alias("server_id"),
+            ]
+            key = "file"
+        row = (data_df.select(*probes, F.col("offset"))
+               .where(F.col(key).isNotNull())
+               .agg(F.max_by(F.struct(*[F.col(c) for c in fields]),
+                             F.col("offset")).alias("m")).collect())
         m = row[0]["m"] if row else None
-        if m is None or m["file"] is None:
+        if m is None or m[key] is None:
             return
-        new = BinlogOffset.of(file=m["file"], pos=m["pos"],
-                              gtids=m["gtids"], server_id=m["server_id"])
+        if self.connector_offset == "pgoutput":
+            from ..sources.pgoutput import PostgresOffset
+
+            new = PostgresOffset(int(m["lsn"]),
+                                 int(m["tx"]) if m["tx"] is not None else None,
+                                 int(m["ts_ms"]) * 1000
+                                 if m["ts_ms"] is not None else None)
+        else:
+            from ..sources.mysql_binlog import BinlogOffset
+
+            new = BinlogOffset.of(file=m["file"], pos=m["pos"],
+                                  gtids=m["gtids"],
+                                  server_id=m["server_id"])
         cur = self.binlog_offset()
         if cur is not None and new.compare(cur) <= 0:
             return
         os.makedirs(self.checkpoint_dir, exist_ok=True)
-        tmp = self._binlog_offset_path() + ".tmp"
+        tmp = self._connector_offset_path() + ".tmp"
         with open(tmp, "w") as f:
             f.write(new.to_json())
-        os.replace(tmp, self._binlog_offset_path())
+        os.replace(tmp, self._connector_offset_path())
 
     # -- shared control plane (delegates to the batch execution) ----------
     def _execution(self) -> PipelineExecution:
@@ -437,7 +470,12 @@ class StreamingPipeline:
                 destructive: dict[str, list] = {}
                 for r in ddl_raw:
                     rec = _json.loads(r[value_col])
-                    ts = rec.get("ts_ms")
+                    # destructive-DDL ordering coordinate: wire sources
+                    # (binlog/pgoutput bridges) stamp "seq" in the SAME
+                    # coordinate system as the data rows' __seq (position/
+                    # LSN); JSON fixtures fall back to ts_ms (the __seq
+                    # the ts-fallback decode path uses)
+                    ts = rec.get("seq", rec.get("ts_ms"))
                     for ev in schema_events_from_json(rec):
                         if isinstance(ev, (TruncateTableEvent, DropTableEvent)):
                             destructive.setdefault(str(ev.table_id), []).append((ts, ev))
@@ -565,8 +603,8 @@ class StreamingPipeline:
                     # offset commit AFTER the data lands (at-least-once,
                     # same discipline as the snapshot watermarks)
                     self._save_vitess_state(vstate)
-                if self.track_binlog_offset:
-                    self._fold_binlog_offset(data_df, value_col)
+                if self.connector_offset:
+                    self._fold_connector_offset(data_df, value_col)
             finally:
                 batch_df.unpersist()
 
