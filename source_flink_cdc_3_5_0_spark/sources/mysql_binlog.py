@@ -1214,6 +1214,17 @@ def record_seq(filename: str, pos: int, row: int, op: str) -> int:
              | min(row, (1 << 14) - 1)) << 1) | op_bit
 
 
+def watermark_seq(offset: BinlogOffset) -> int:
+    """``__seq`` high watermark for a snapshot captured at ``offset``:
+    stream records with seq at or below it are already reflected in the
+    snapshot (the whole event at the offset's end-position counts as
+    consumed). Feed to `StreamingPipeline.initial_load(stream_watermarks=)`
+    — the reference's snapshot-split high watermark
+    (`HybridSplitAssigner.java:53-110`) for the binlog stream."""
+    return record_seq(offset.filename or "", offset.position,
+                      (1 << 14) - 1, "+I")
+
+
 def _to_spark_value(ftype, v):
     """Wire cell -> the payload-schema field's Python value."""
     import datetime
