@@ -770,13 +770,25 @@ class BinlogReader:
             body = data[pos + 19:pos + size]
             if t == FORMAT_DESCRIPTION_EVENT:
                 # FDE body ends [..., alg] without checksums and
-                # [..., alg, crc32le] with them. Probe deterministically:
-                # checksum is on iff the alg byte at -5 says CRC32 AND the
-                # last 4 bytes actually check out as the event's CRC32.
-                crc_ok = (len(body) >= 5 and body[-5] == CHECKSUM_CRC32
-                          and struct.unpack_from("<I", body, len(body) - 4)[0]
-                          == zlib.crc32(data[pos:pos + size - 4]) & 0xFFFFFFFF)
-                self.checksum = crc_ok
+                # [..., alg, crc32le] with them. Probe deterministically,
+                # and treat an inconsistent FDE as corruption — silently
+                # guessing wrong would shift every later event's trailer
+                # into its body.
+                if len(body) >= 5 and body[-5] == CHECKSUM_CRC32:
+                    want = struct.unpack_from("<I", body, len(body) - 4)[0]
+                    got = zlib.crc32(data[pos:pos + size - 4]) & 0xFFFFFFFF
+                    if self.verify_checksums and want != got:
+                        raise ValueError(
+                            "CRC32 mismatch on the format-description "
+                            "event (corrupt binlog header)")
+                    self.checksum = True
+                elif body and body[-1] == 0:
+                    self.checksum = False
+                else:
+                    raise ValueError(
+                        "cannot determine the binlog checksum algorithm "
+                        "(FDE trailer byte 0x%02x)" % (body[-1] if body
+                                                       else 0xFF))
             if self.checksum:
                 if self.verify_checksums:
                     want = struct.unpack_from("<I", data, pos + size - 4)[0]
@@ -916,58 +928,73 @@ class BinlogReader:
     # -- public --------------------------------------------------------------
 
     def events(self) -> Iterator[BinlogEvent]:
-        """Decoded events; TABLE_MAPs are also registered on the reader."""
+        """Decoded events; TABLE_MAPs are also registered on the reader.
+
+        Low-level decode failures surface as ValueError with the event
+        coordinates — corrupt bytes must never leak a bare IndexError or
+        pass silently (the CRC trailers catch virtually everything first;
+        this is the second fence for checksum-less files)."""
         for ev in self._events_raw():
             t = ev.type_byte
-            if t == TABLE_MAP_EVENT:
-                tmap = self._decode_table_map(ev)
-                self.table_maps[tmap.table_id] = tmap
-                ev.fields = {"table": tmap}
-            elif t in _ROWS_EVENTS:
-                ev.fields = self._decode_rows(ev)
-            elif t == GTID_EVENT:
-                sid = ev.body[1:17]
-                gno = struct.unpack_from("<q", ev.body, 17)[0]
-                uuid = sid.hex()
-                uuid = "-".join((uuid[:8], uuid[8:12], uuid[12:16],
-                                 uuid[16:20], uuid[20:]))
-                ev.fields = {"uuid": uuid, "gno": gno}
-            elif t == QUERY_EVENT:
-                _tid, _exec, dblen, _err, svlen = struct.unpack_from(
-                    "<IIBHH", ev.body, 0)
-                p = 13 + svlen
-                db = ev.body[p:p + dblen].decode()
-                sql = ev.body[p + dblen + 1:].decode()
-                ev.fields = {"database": db, "sql": sql}
-            elif t == XID_EVENT:
-                ev.fields = {"xid": struct.unpack_from("<Q", ev.body, 0)[0]}
-            elif t == ROTATE_EVENT:
-                ev.fields = {"position": struct.unpack_from("<Q", ev.body)[0],
-                             "next_file": ev.body[8:].decode()}
-            elif t == PREVIOUS_GTIDS_EVENT:
-                gtid_set: dict[str, list[tuple[int, int]]] = {}
-                n_sids = struct.unpack_from("<Q", ev.body, 0)[0]
-                p = 8
-                for _ in range(n_sids):
-                    sid = ev.body[p:p + 16].hex()
-                    uuid = "-".join((sid[:8], sid[8:12], sid[12:16],
-                                     sid[16:20], sid[20:]))
-                    n_iv = struct.unpack_from("<Q", ev.body, p + 16)[0]
-                    p += 24
-                    ivs = []
-                    for _ in range(n_iv):
-                        lo, end = struct.unpack_from("<QQ", ev.body, p)
-                        ivs.append((lo, end - 1))
-                        p += 16
-                    gtid_set[uuid] = ivs
-                ev.fields = {"gtid_set": gtid_set}
-            elif t == FORMAT_DESCRIPTION_EVENT:
-                ver = ev.body[2:52].rstrip(b"\x00").decode()
-                ev.fields = {"binlog_version":
-                             struct.unpack_from("<H", ev.body)[0],
-                             "server_version": ver,
-                             "checksum": self.checksum}
-            yield ev
+            try:
+                yield self._decode_event(ev)
+            except (IndexError, struct.error, UnicodeDecodeError,
+                    OverflowError) as e:
+                raise ValueError(
+                    "corrupt binlog event (type %d at offset %d): %s"
+                    % (t, ev.start_pos, e)) from e
+
+    def _decode_event(self, ev: BinlogEvent) -> BinlogEvent:
+        t = ev.type_byte
+        if t == TABLE_MAP_EVENT:
+            tmap = self._decode_table_map(ev)
+            self.table_maps[tmap.table_id] = tmap
+            ev.fields = {"table": tmap}
+        elif t in _ROWS_EVENTS:
+            ev.fields = self._decode_rows(ev)
+        elif t == GTID_EVENT:
+            sid = ev.body[1:17]
+            gno = struct.unpack_from("<q", ev.body, 17)[0]
+            uuid = sid.hex()
+            uuid = "-".join((uuid[:8], uuid[8:12], uuid[12:16],
+                             uuid[16:20], uuid[20:]))
+            ev.fields = {"uuid": uuid, "gno": gno}
+        elif t == QUERY_EVENT:
+            _tid, _exec, dblen, _err, svlen = struct.unpack_from(
+                "<IIBHH", ev.body, 0)
+            p = 13 + svlen
+            db = ev.body[p:p + dblen].decode()
+            sql = ev.body[p + dblen + 1:].decode()
+            ev.fields = {"database": db, "sql": sql}
+        elif t == XID_EVENT:
+            ev.fields = {"xid": struct.unpack_from("<Q", ev.body, 0)[0]}
+        elif t == ROTATE_EVENT:
+            ev.fields = {"position": struct.unpack_from("<Q", ev.body)[0],
+                         "next_file": ev.body[8:].decode()}
+        elif t == PREVIOUS_GTIDS_EVENT:
+            gtid_set: dict[str, list[tuple[int, int]]] = {}
+            n_sids = struct.unpack_from("<Q", ev.body, 0)[0]
+            p = 8
+            for _ in range(n_sids):
+                sid = ev.body[p:p + 16].hex()
+                uuid = "-".join((sid[:8], sid[8:12], sid[12:16],
+                                 sid[16:20], sid[20:]))
+                n_iv = struct.unpack_from("<Q", ev.body, p + 16)[0]
+                p += 24
+                ivs = []
+                for _ in range(n_iv):
+                    lo, end = struct.unpack_from("<QQ", ev.body, p)
+                    ivs.append((lo, end - 1))
+                    p += 16
+                gtid_set[uuid] = ivs
+            ev.fields = {"gtid_set": gtid_set}
+        elif t == FORMAT_DESCRIPTION_EVENT:
+            ver = ev.body[2:52].rstrip(b"\x00").decode()
+            ev.fields = {"binlog_version":
+                         struct.unpack_from("<H", ev.body)[0],
+                         "server_version": ver,
+                         "checksum": self.checksum}
+        return ev
 
 
 # ---------------------------------------------------------------------------
