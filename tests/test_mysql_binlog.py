@@ -687,6 +687,48 @@ sink: {{type: values}}
     assert rows == [(1, "a"), (2, "b"), (3, "c")]  # overlap not duplicated
 
 
+def test_binlog_truncate_order_within_batch(spark, tmp_path):
+    """A TRUNCATE in the binlog applies in POSITION order: rows before it
+    vanish, rows after it survive — the destructive-DDL segmentation keyed
+    on the bridge's "seq" coordinate (same unit as the data __seq)."""
+    import json
+
+    from source_flink_cdc_3_5_0_spark.common import TableId
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline)
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+
+    cols = (BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),
+            BinlogColumn("name", MYSQL_TYPE_VARCHAR, (255,)))
+    tmap = BinlogTableMap(33, "shop", "carts", cols, (0,))
+    src = tmp_path / "binlog"
+    src.mkdir()
+    w = BinlogWriter()
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=1, name="old1"),
+                                    dict(id=2, name="old2")])
+    w.query("TRUNCATE TABLE carts", "shop")
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=3, name="new3")])
+    (src / "mysql-bin.000001").write_bytes(w.getvalue())
+
+    yaml_text = f"""
+source:
+  type: mysql-binlog-file
+  path: {src}
+  tables: '{json.dumps({"shop.carts": "id INT, name STRING"})}'
+  primary-keys: '{{"shop.carts": ["id"]}}'
+  checkpoint: {tmp_path}/ckpt
+sink: {{type: values}}
+"""
+    sink = MemorySink()
+    pipe, raw, tables = PipelineComposer(spark).compose_streaming(
+        parse_yaml_pipeline(yaml_text), sink=sink)
+    q = pipe.start(raw, tables)
+    q.awaitTermination(120)
+    assert sink.snapshot(TableId.parse("shop.carts")) == ["3, new3"]
+
+
 def test_binlog_schema_events_across_rotation(tmp_path):
     tmap = _wide_table()
     w1 = BinlogWriter()

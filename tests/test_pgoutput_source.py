@@ -185,6 +185,52 @@ def test_bridge_start_lsn(spark, tmp_path):
     assert ids == [2] and rest[0]["offset"] == lsn2
 
 
+def test_pgoutput_truncate_order_within_batch(spark, tmp_path):
+    """TRUNCATE applies in LSN order inside one micro-batch: earlier rows
+    vanish, later rows survive (seq-coordinate segmentation)."""
+    import json as _json
+
+    from source_flink_cdc_3_5_0_spark.common import TableId
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline)
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+
+    rel = PgRelation(55, "public", "carts", "d", (
+        PgColumn("id", OID_INT4, key=True),
+        PgColumn("name", OID_VARCHAR, 68)))
+    src = tmp_path / "wal"
+    src.mkdir()
+    w = PgOutputWriter()
+    w.relation(rel)
+    w.begin()
+    w.insert(rel, dict(id=1, name="old1"))
+    w.insert(rel, dict(id=2, name="old2"))
+    w.commit()
+    w.begin()
+    w.truncate(rel)
+    w.commit()
+    w.begin()
+    w.insert(rel, dict(id=3, name="new3"))
+    w.commit()
+    (src / "c1.pgout").write_bytes(w.getvalue())
+
+    yaml_text = f"""
+source:
+  type: pgoutput-file
+  path: {src}
+  tables: '{_json.dumps({"public.carts": "id INT, name STRING"})}'
+  primary-keys: '{{"public.carts": ["id"]}}'
+  checkpoint: {tmp_path}/ckpt
+sink: {{type: values}}
+"""
+    sink = MemorySink()
+    pipe, raw, tables = PipelineComposer(spark).compose_streaming(
+        parse_yaml_pipeline(yaml_text), sink=sink)
+    q = pipe.start(raw, tables)
+    q.awaitTermination(120)
+    assert sink.snapshot(TableId.parse("public.carts")) == ["3, new3"]
+
+
 def test_yaml_pgoutput_stream_e2e(spark, tmp_path):
     """YAML `type: pgoutput-file`: inserts/update/delete, a Relation-diff
     ADD COLUMN, and a TRUNCATE all land through the standard path; the
