@@ -695,24 +695,40 @@ class BinlogWriter:
         return bytes(out)
 
     def rows(self, tmap: BinlogTableMap, kind: int,
-             rows: list[dict] | list[tuple[dict, dict]]) -> None:
+             rows: list[dict] | list[tuple[dict, dict]],
+             columns_present: list[str] | None = None,
+             columns_present_after: list[str] | None = None) -> None:
         """One WRITE/UPDATE/DELETE_ROWS v2 event.
 
         ``rows`` holds after-images for WRITE, before-images for DELETE and
         (before, after) pairs for UPDATE — the wire pairs the reference's
         `RelationalChangeRecordEmitter` splits into -U/+U.
+
+        ``columns_present`` (and, for UPDATE, ``columns_present_after``)
+        restrict the shipped columns — ``binlog_row_image=MINIMAL``, where
+        before-images carry only the PK and after-images only changed
+        columns + PK. Default is the FULL image.
         """
         cols = tmap.columns
-        present = [True] * len(cols)
+
+        def pres(names):
+            if names is None:
+                return [True] * len(cols)
+            return [c.name in names for c in cols]
+
+        present = pres(columns_present)
+        present2 = pres(columns_present_after
+                        if columns_present_after is not None
+                        else columns_present)
         body = tmap.table_id.to_bytes(6, "little") + struct.pack("<H", 0)
         body += struct.pack("<H", 2)  # extra-data length (none)
         body += _write_lenc(len(cols))
         body += _bitmap(present)
         if kind == UPDATE_ROWS_EVENT:
-            body += _bitmap(present)  # columns present, after image
+            body += _bitmap(present2)  # columns present, after image
             for before, after in rows:  # type: ignore[misc]
                 body += self._row_image(cols, present, before)
-                body += self._row_image(cols, present, after)
+                body += self._row_image(cols, present2, after)
         else:
             for row in rows:  # type: ignore[assignment]
                 body += self._row_image(cols, present, row)

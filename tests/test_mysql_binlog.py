@@ -631,6 +631,26 @@ def test_startup_latest_offset(spark, tmp_path):
     assert binlog_to_debezium_json(files, start_offset=start).count() == 1
 
 
+def test_minimal_row_image():
+    """binlog_row_image=MINIMAL: before-images ship only the PK, after-
+    images only changed columns + PK — decoded via the per-image
+    columns-present bitmaps (absent columns simply don't appear)."""
+    cols = (BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),
+            BinlogColumn("name", MYSQL_TYPE_VARCHAR, (255,)),
+            BinlogColumn("qty", MYSQL_TYPE_LONG, ()))
+    tmap = BinlogTableMap(77, "d", "t", cols, (0,))
+    w = BinlogWriter()
+    w.table_map(tmap)
+    w.rows(tmap, UPDATE_ROWS_EVENT, [(dict(id=1), dict(id=1, qty=9))],
+           columns_present=["id"], columns_present_after=["id", "qty"])
+    w.rows(tmap, DELETE_ROWS_EVENT, [dict(id=2)], columns_present=["id"])
+    changes = binlog_changes(w.getvalue(), "f")
+    assert [c["op"] for c in changes] == ["-U", "+U", "-D"]
+    assert changes[0]["before"] == {"id": 1}          # PK only
+    assert changes[1]["after"] == {"id": 1, "qty": 9}  # changed + PK
+    assert changes[2]["before"] == {"id": 2}
+
+
 def test_snapshot_binlog_stitch_no_duplicates(spark, tmp_path):
     """The reference's 'initial' startup: snapshot backfill + binlog tail,
     stitched by the snapshot's high-watermark BinlogOffset so overlap
