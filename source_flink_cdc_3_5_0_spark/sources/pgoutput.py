@@ -228,7 +228,7 @@ class PgOutputWriter:
         return self._frame(msg)
 
     def relation(self, rel: PgRelation) -> int:
-        msg = b"R" + struct.pack(">I", rel.oid)
+        msg = b"R" + self._dml_prefix() + struct.pack(">I", rel.oid)
         msg += _cstr(rel.namespace) + _cstr(rel.name)
         msg += rel.replica_identity.encode("ascii")
         msg += struct.pack(">H", len(rel.columns))
@@ -240,12 +240,13 @@ class PgOutputWriter:
         return self._frame(msg)
 
     def insert(self, rel: PgRelation, row: dict) -> int:
-        msg = b"I" + struct.pack(">I", rel.oid) + b"N" + _tuple_data(rel, row)
+        msg = (b"I" + self._dml_prefix() + struct.pack(">I", rel.oid)
+               + b"N" + _tuple_data(rel, row))
         return self._frame(msg)
 
     def update(self, rel: PgRelation, before: dict | None,
                after: dict) -> int:
-        msg = b"U" + struct.pack(">I", rel.oid)
+        msg = b"U" + self._dml_prefix() + struct.pack(">I", rel.oid)
         if before is not None:
             if rel.replica_identity == "f":
                 msg += b"O" + _tuple_data(rel, before)
@@ -256,7 +257,7 @@ class PgOutputWriter:
         return self._frame(msg)
 
     def delete(self, rel: PgRelation, before: dict) -> int:
-        msg = b"D" + struct.pack(">I", rel.oid)
+        msg = b"D" + self._dml_prefix() + struct.pack(">I", rel.oid)
         if rel.replica_identity == "f":
             msg += b"O" + _tuple_data(rel, before)
         else:
@@ -267,13 +268,40 @@ class PgOutputWriter:
     def truncate(self, *rels: PgRelation, cascade: bool = False,
                  restart_identity: bool = False) -> int:
         opt = (1 if cascade else 0) | (2 if restart_identity else 0)
-        msg = b"T" + struct.pack(">IB", len(rels), opt)
+        msg = b"T" + self._dml_prefix() + struct.pack(">IB", len(rels), opt)
         for r in rels:
             msg += struct.pack(">I", r.oid)
         return self._frame(msg)
 
     def origin(self, name: str) -> int:
         return self._frame(b"O" + struct.pack(">Q", self._lsn) + _cstr(name))
+
+    # -- protocol v2: streamed in-progress transactions ---------------------
+
+    def stream_start(self, xid: int, first_segment: bool = True) -> int:
+        """'S': a large in-progress transaction starts streaming. Messages
+        until Stream Stop belong to ``xid`` (and carry it on the wire)."""
+        self._streaming = xid
+        return self._frame(b"S" + struct.pack(">IB", xid,
+                                              1 if first_segment else 0))
+
+    def stream_stop(self) -> int:
+        self._streaming = None
+        return self._frame(b"E")
+
+    def stream_commit(self, xid: int) -> int:
+        msg = b"c" + struct.pack(">IBQQq", xid, 0, self._lsn, self._lsn + 8,
+                                 self._ts_us - _PG_EPOCH_US)
+        return self._frame(msg)
+
+    def stream_abort(self, xid: int, subxid: int | None = None) -> int:
+        return self._frame(b"A" + struct.pack(">II", xid, subxid or xid))
+
+    def _dml_prefix(self) -> bytes:
+        """v2: DML inside a streamed block carries the xid after the tag."""
+        if getattr(self, "_streaming", None) is not None:
+            return struct.pack(">I", self._streaming)
+        return b""
 
     def getvalue(self) -> bytes:
         return bytes(self._buf)
@@ -365,15 +393,33 @@ def pgoutput_changes(data: bytes) -> list[dict]:
     record with both images, delete -> -D), plus ``schema`` records from
     Relation-message diffs and ``truncate`` records. Each carries
     `PostgresOffset.java:49-59` coordinates: lsn, txId, ts_usec.
+
+    Protocol v2 streamed transactions are handled: DML between Stream
+    Start/Stop ('S'/'E') is buffered per xid and emitted — in commit
+    order, stamped with the commit timestamp — at Stream Commit ('c');
+    Stream Abort ('A') discards the transaction (a large rolled-back
+    transaction must produce NOTHING downstream). Relation messages inside
+    a stream update the decode registry immediately (catalog state), and
+    their synthesized schema records emit immediately too.
     """
     relations: dict[int, PgRelation] = {}
     out: list[dict] = []
     pos = 0
     xid = None
     ts_us = None
+    cur_stream: int | None = None            # inside S..E of this xid
+    stream_bufs: dict[int, list[dict]] = {}  # xid -> buffered records
 
     def base(lsn: int) -> dict:
+        if cur_stream is not None:
+            return {"lsn": lsn, "txId": cur_stream, "ts_usec": None}
         return {"lsn": lsn, "txId": xid, "ts_usec": ts_us}
+
+    def emit(rec: dict) -> None:
+        if cur_stream is not None:
+            stream_bufs.setdefault(cur_stream, []).append(rec)
+        else:
+            out.append(rec)
 
     while pos < len(data):
         if pos + 12 > len(data):
@@ -387,14 +433,36 @@ def pgoutput_changes(data: bytes) -> list[dict]:
         if not msg:
             raise ValueError("truncated pgoutput frame: empty message body")
         tag = chr(msg[0])
+        # v2: DML/Relation/Truncate inside a streamed block carry the xid
+        # right after the tag
+        voff = 4 if (cur_stream is not None and tag in "RIUDT") else 0
         if tag == "B":
             _final, ts, xid = struct.unpack_from(">QqI", msg, 1)
             ts_us = ts + _PG_EPOCH_US
         elif tag == "C":
             xid = None
+        elif tag == "S":
+            sxid, _first = struct.unpack_from(">IB", msg, 1)
+            cur_stream = sxid
+            stream_bufs.setdefault(sxid, [])
+        elif tag == "E":
+            cur_stream = None
+        elif tag == "c":
+            cxid, _flags, _clsn, _elsn, cts = struct.unpack_from(
+                ">IBQQq", msg, 1)
+            for rec in stream_bufs.pop(cxid, []):
+                rec["ts_usec"] = cts + _PG_EPOCH_US
+                out.append(rec)
+        elif tag == "A":
+            axid, subxid = struct.unpack_from(">II", msg, 1)
+            if subxid != axid:
+                raise NotImplementedError(
+                    "pgoutput subtransaction aborts are gated (only "
+                    "whole-transaction Stream Abort is decoded)")
+            stream_bufs.pop(axid, None)
         elif tag == "R":
-            oid = struct.unpack_from(">I", msg, 1)[0]
-            p = 5
+            oid = struct.unpack_from(">I", msg, 1 + voff)[0]
+            p = 5 + voff
             ns, p = _read_cstr(msg, p)
             name, p = _read_cstr(msg, p)
             ident = chr(msg[p])
@@ -417,19 +485,19 @@ def pgoutput_changes(data: bytes) -> list[dict]:
                     out.append({"kind": "schema", "ddl": body,
                                 "database": ns, "table": name, **base(lsn)})
         elif tag in ("I", "U", "D"):
-            oid = struct.unpack_from(">I", msg, 1)[0]
+            oid = struct.unpack_from(">I", msg, 1 + voff)[0]
             rel = relations.get(oid)
             if rel is None:
                 raise ValueError("tuple for unknown relation oid %d "
                                  "(missing Relation message)" % oid)
-            p = 5
+            p = 5 + voff
             rec = {"kind": "change", "database": rel.namespace,
                    "table": rel.name, "keys": rel.key_names, **base(lsn)}
             if tag == "I":
                 assert chr(msg[p]) == "N"
                 tup, p = _read_tuple(msg, p + 1)
-                out.append({**rec, "op": "+I", "before": None,
-                            "after": _tuple_to_row(rel, tup)})
+                emit({**rec, "op": "+I", "before": None,
+                      "after": _tuple_to_row(rel, tup)})
             elif tag == "U":
                 before = None
                 marker = chr(msg[p])
@@ -441,27 +509,27 @@ def pgoutput_changes(data: bytes) -> list[dict]:
                     marker = chr(msg[p])
                 assert marker == "N"
                 tup, p = _read_tuple(msg, p + 1)
-                out.append({**rec, "op": "+U", "before": before,
-                            "after": _tuple_to_row(rel, tup)})
+                emit({**rec, "op": "+U", "before": before,
+                      "after": _tuple_to_row(rel, tup)})
             else:
                 marker = chr(msg[p])
                 tup, p = _read_tuple(msg, p + 1)
                 cols = (tuple(c for c in rel.columns if c.key)
                         if marker == "K" else None)
-                out.append({**rec, "op": "-D",
-                            "before": _tuple_to_row(rel, tup, cols),
-                            "after": None})
+                emit({**rec, "op": "-D",
+                      "before": _tuple_to_row(rel, tup, cols),
+                      "after": None})
         elif tag == "T":
-            nrels = struct.unpack_from(">I", msg, 1)[0]
-            p = 6  # skip the options byte
+            nrels = struct.unpack_from(">I", msg, 1 + voff)[0]
+            p = 6 + voff  # skip the options byte
             for _ in range(nrels):
                 oid = struct.unpack_from(">I", msg, p)[0]
                 p += 4
                 rel = relations.get(oid)
                 if rel is not None:
-                    out.append({"kind": "truncate",
-                                "database": rel.namespace,
-                                "table": rel.name, **base(lsn)})
+                    emit({"kind": "truncate",
+                          "database": rel.namespace,
+                          "table": rel.name, **base(lsn)})
         # O (origin), Y (type), M (message): positional no-ops here
     return out
 

@@ -156,6 +156,54 @@ def test_truncated_frames_rejected():
         pgoutput_changes(data + b"\x00" * 13)
 
 
+def test_streamed_transactions_v2():
+    """Protocol v2: a large in-progress transaction streams in segments;
+    its records surface only at Stream Commit (in commit order, stamped
+    with the commit timestamp) and an aborted stream yields nothing."""
+    rel = PgRelation(80, "public", "big", "d", (
+        PgColumn("id", OID_INT4, key=True), PgColumn("v", OID_TEXT)))
+    w = PgOutputWriter()
+    w.relation(rel)
+    # a small normal transaction first
+    w.begin()
+    w.insert(rel, dict(id=1, v="committed-early"))
+    w.commit()
+    # streamed xid 900: two segments, interleaved with a normal txn
+    w.stream_start(900)
+    w.insert(rel, dict(id=2, v="streamed-a"))
+    w.stream_stop()
+    w.begin()
+    w.insert(rel, dict(id=3, v="normal-between"))
+    w.commit()
+    w.stream_start(900, first_segment=False)
+    w.update(rel, dict(id=2), dict(id=2, v="streamed-b"))
+    w.stream_stop()
+    w.tick(7)
+    w.stream_commit(900)
+    # streamed xid 901 aborts: nothing may surface
+    w.stream_start(901)
+    w.insert(rel, dict(id=99, v="rolled-back"))
+    w.stream_stop()
+    w.stream_abort(901)
+    changes = pgoutput_changes(w.getvalue())
+    assert [(c["op"], (c["after"] or c["before"])["id"]) for c in changes] \
+        == [("+I", 1), ("+I", 3), ("+I", 2), ("+U", 2)]
+    # streamed records carry their xid and the COMMIT timestamp
+    streamed = [c for c in changes if c["txId"] == 900]
+    assert len(streamed) == 2
+    assert all(c["ts_usec"] == changes[0]["ts_usec"] + 7_000_000
+               for c in streamed)
+    # subtransaction aborts are honestly gated
+    w2 = PgOutputWriter()
+    w2.relation(rel)
+    w2.stream_start(910)
+    w2.insert(rel, dict(id=5, v="x"))
+    w2.stream_stop()
+    w2.stream_abort(910, subxid=911)
+    with pytest.raises(NotImplementedError, match="subtransaction"):
+        pgoutput_changes(w2.getvalue())
+
+
 def test_postgres_offset_parity():
     a, b = PostgresOffset(100, 5), PostgresOffset(200)
     assert a.compare(b) == -1 and b.compare(a) == 1
