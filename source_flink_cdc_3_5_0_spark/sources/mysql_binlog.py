@@ -77,6 +77,7 @@ TABLE_MAP_EVENT = 19
 WRITE_ROWS_EVENT = 30
 UPDATE_ROWS_EVENT = 31
 DELETE_ROWS_EVENT = 32
+ROWS_QUERY_EVENT = 29
 GTID_EVENT = 33
 PREVIOUS_GTIDS_EVENT = 35
 
@@ -639,6 +640,13 @@ class BinlogWriter:
     def xid(self, xid: int) -> None:
         self._emit(XID_EVENT, struct.pack("<Q", xid))
 
+    def rows_query(self, sql: str) -> None:
+        """ROWS_QUERY (29): the original statement, logged before its rows
+        events when ``binlog_rows_query_log_events=ON`` (1-byte truncated
+        length + text; readers take the rest of the body as the query)."""
+        data = sql.encode("utf-8")
+        self._emit(ROWS_QUERY_EVENT, bytes([min(len(data), 255)]) + data)
+
     def rotate(self, next_file: str, position: int = 4) -> None:
         self._emit(ROTATE_EVENT, struct.pack("<Q", position) + next_file.encode())
 
@@ -984,6 +992,8 @@ class BinlogReader:
             ev.fields = {"database": db, "sql": sql}
         elif t == XID_EVENT:
             ev.fields = {"xid": struct.unpack_from("<Q", ev.body, 0)[0]}
+        elif t == ROWS_QUERY_EVENT:
+            ev.fields = {"query": ev.body[1:].decode("utf-8")}
         elif t == ROTATE_EVENT:
             ev.fields = {"position": struct.unpack_from("<Q", ev.body)[0],
                          "next_file": ev.body[8:].decode()}
@@ -1034,6 +1044,7 @@ def binlog_changes(data: bytes, filename: str = "") -> list[dict]:
     reader = BinlogReader(data)
     out: list[dict] = []
     gtid = None
+    rows_query = None  # ROWS_QUERY statement text, reset at commit
     running: dict[str, list[tuple[int, int]]] = {}
 
     def _pos(ev: BinlogEvent) -> dict:
@@ -1060,10 +1071,13 @@ def binlog_changes(data: bytes, filename: str = "") -> list[dict]:
                     # DDL statements auto-commit their GTID (no XID event)
                     _advance(running, *gtid)
                     gtid = None
+        elif t == ROWS_QUERY_EVENT:
+            rows_query = ev.fields["query"]
         elif t in _ROWS_EVENTS:
             tmap: BinlogTableMap = ev.fields["table"]
             base = {"kind": "change", "database": tmap.database,
-                    "table": tmap.table, **_pos(ev)}
+                    "table": tmap.table, **_pos(ev),
+                    **({"query": rows_query} if rows_query else {})}
             for i, r in enumerate(ev.fields["rows"]):
                 if t == WRITE_ROWS_EVENT:
                     out.append({**base, "op": "+I", "after": r,
@@ -1081,6 +1095,7 @@ def binlog_changes(data: bytes, filename: str = "") -> list[dict]:
             if gtid is not None:
                 _advance(running, *gtid)
                 gtid = None
+            rows_query = None
         elif t == ROTATE_EVENT and ev.timestamp != 0:
             pass  # mid-stream rotate: next file carries on
     return out
@@ -1567,6 +1582,8 @@ def binlog_to_debezium_json(files: "DataFrame",
                                 "server_id": str(c["server_id"]),
                                 **({"gtids": c["gtids"]}
                                    if c["gtids"] else {}),
+                                **({"query": c["query"]}
+                                   if c.get("query") else {}),
                             },
                         }
                     values.append(_json.dumps(rec, separators=(",", ":")))

@@ -631,6 +631,24 @@ def test_startup_latest_offset(spark, tmp_path):
     assert binlog_to_debezium_json(files, start_offset=start).count() == 1
 
 
+def test_rows_query_event_attached():
+    """binlog_rows_query_log_events=ON: the original statement logs as a
+    ROWS_QUERY event and attaches to that transaction's change records
+    (Debezium's include.query analog), resetting at commit."""
+    cols = (BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),)
+    tmap = BinlogTableMap(88, "d", "t", cols, (0,))
+    w = BinlogWriter()
+    w.table_map(tmap)
+    w.rows_query("INSERT INTO t SELECT * FROM staging")
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=1)])
+    w.xid(1)
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=2)])  # no query logged
+    changes = binlog_changes(w.getvalue(), "f")
+    assert changes[0]["query"] == "INSERT INTO t SELECT * FROM staging"
+    assert "query" not in changes[1]
+
+
 def test_minimal_row_image():
     """binlog_row_image=MINIMAL: before-images ship only the PK, after-
     images only changed columns + PK — decoded via the per-image
