@@ -188,7 +188,7 @@ def _scalar(value) -> tuple[int, bytes] | None:
             return _INT32, struct.pack("<i", value)
         if -(1 << 63) <= value < 1 << 63:
             return _INT64, struct.pack("<q", value)
-        if value < 1 << 64:
+        if (1 << 63) <= value < 1 << 64:
             return _UINT64, struct.pack("<Q", value)
         raise ValueError("integer out of MySQL JSON range: %d" % value)
     if isinstance(value, float):

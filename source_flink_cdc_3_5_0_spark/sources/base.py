@@ -81,3 +81,21 @@ def attach_envelope(df: DataFrame, op: str = "+I", seq: int = 0) -> DataFrame:
 
 def strip_envelope(df: DataFrame) -> DataFrame:
     return df.drop(*[c for c in ENVELOPE if c in df.columns])
+
+
+_BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "
+                       "length long, content binary")
+
+
+def binary_file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming reader over opaque capture files (binlog / pgoutput):
+    new files under ``path`` become micro-batches; Structured Streaming's
+    file tracking is the offset store (consumed files never re-deliver
+    across restarts)."""
+    return (spark.readStream.format("binaryFile")
+            .schema(_BINARY_FILE_SCHEMA).load(path))
+
+
+def binary_files(spark: SparkSession, path: str) -> DataFrame:
+    """Batch variant of :func:`binary_file_stream`."""
+    return spark.read.format("binaryFile").load(path)

@@ -312,22 +312,29 @@ def decode_timestamp2(buf: bytes, pos: int, fsp: int):
 
 def encode_time2(hours: int, minutes: int, seconds: int, us: int = 0,
                  negative: bool = False, fsp: int = 0) -> bytes:
-    if negative and fsp:
-        raise NotImplementedError(
-            "negative TIME with fractional seconds is gated (two's-"
-            "complement joint int+frac encoding; fixtures use fsp=0)")
-    packed = (hours << 12) | (minutes << 6) | seconds
-    stored = (1 << 23) + (-packed if negative else packed)
-    return stored.to_bytes(3, "big") + _encode_frac(us, fsp)
+    """TIME2 is ONE joint offset-binary big-endian number over
+    (3 + frac_bytes) bytes: magnitude = hms_bitfield * 2^(8*fb) +
+    frac_units, negated for negative times, plus the sign-bit offset
+    2^(23 + 8*fb) (my_time.c my_time_packed_to_binary — the joint store
+    is what keeps negative fractional times memcomparable)."""
+    fb = _frac_bytes(fsp)
+    frac_units = us // 10 ** (6 - 2 * fb) if fb else 0
+    magnitude = ((hours << 12) | (minutes << 6) | seconds) << (8 * fb)
+    magnitude += frac_units
+    stored = (1 << (23 + 8 * fb)) + (-magnitude if negative else magnitude)
+    return stored.to_bytes(3 + fb, "big")
 
 
 def decode_time2(buf: bytes, pos: int, fsp: int):
-    v = int.from_bytes(buf[pos:pos + 3], "big") - (1 << 23)
-    pos += 3
-    us, pos = _decode_frac(buf, pos, fsp)
+    fb = _frac_bytes(fsp)
+    v = int.from_bytes(buf[pos:pos + 3 + fb], "big") - (1 << (23 + 8 * fb))
+    pos += 3 + fb
     neg = v < 0
     v = -v if neg else v
-    return (neg, (v >> 12) & 0x3FF, (v >> 6) & 0x3F, v & 0x3F, us), pos
+    frac_units = v & ((1 << (8 * fb)) - 1) if fb else 0
+    us = frac_units * 10 ** (6 - 2 * fb) if fb else 0
+    hms = v >> (8 * fb)
+    return (neg, (hms >> 12) & 0x3FF, (hms >> 6) & 0x3F, hms & 0x3F, us), pos
 
 
 def encode_date(d) -> bytes:
@@ -1096,8 +1103,8 @@ def binlog_changes(data: bytes, filename: str = "") -> list[dict]:
                 _advance(running, *gtid)
                 gtid = None
             rows_query = None
-        elif t == ROTATE_EVENT and ev.timestamp != 0:
-            pass  # mid-stream rotate: next file carries on
+        # ROTATE needs no action here: the next file re-anchors itself
+        # (PREVIOUS_GTIDS) and positions restart per file
     return out
 
 
@@ -1224,7 +1231,7 @@ class BinlogOffset:
                 return _cmp(ts, tts)
         f, tf = (self.filename or "").lower(), (that.filename or "").lower()
         if self.filename is not None and that.filename is not None and f != tf:
-            return _cmp(f, tf)
+            return _cmp(_file_sort_key(f), _file_sort_key(tf))
         if self.position != that.position:
             return _cmp(self.position, that.position)
         if self._long("event") != that._long("event"):
@@ -1251,6 +1258,17 @@ def _cmp(a, b) -> int:
     return (a > b) - (a < b)
 
 
+def _file_sort_key(name: str):
+    """Binlog filename ordering key: numeric-suffix aware, so
+    mysql-bin.1000000 sorts AFTER mysql-bin.999999 (pure lexical
+    comparison — what the jar does — inverts at the 6-to-7-digit
+    rollover and would freeze a monotone offset clamp there)."""
+    stem, _, tail = name.lower().rpartition(".")
+    if tail.isdigit():
+        return (stem, int(tail), "")
+    return (name.lower(), -1, name.lower())
+
+
 # ---------------------------------------------------------------------------
 # Spark integration (the data plane)
 # ---------------------------------------------------------------------------
@@ -1265,11 +1283,20 @@ def _file_ordinal(filename: str) -> int:
 
 def record_seq(filename: str, pos: int, row: int, op: str) -> int:
     """Monotone per-key ``__seq``: (file ordinal, event end-pos, row in
-    event, -U before +U). Binlog files cap at 1 GiB so pos < 2^30; row
-    index is capped into 14 bits (an update pair shares one wire row)."""
+    event, -U before +U). Bit budget fills a signed int64 exactly:
+    ordinal 20 bits (MySQL rotates through .999999 < 2^20), pos 30 bits
+    (binlog files cap at 1 GiB), row 12 bits (saturating — an update pair
+    shares one wire row), op 1 bit."""
+    ordinal = _file_ordinal(filename)
+    if ordinal >= 1 << 20:
+        raise ValueError(
+            "binlog file ordinal %d does not fit the 20-bit seq budget "
+            "(MySQL's own names stop at .999999)" % ordinal)
+    if pos >= 1 << 30:
+        raise ValueError("binlog position %d exceeds the 1 GiB cap" % pos)
     op_bit = 0 if op == "-U" else 1
-    return (((_file_ordinal(filename) << 30 | pos) << 14
-             | min(row, (1 << 14) - 1)) << 1) | op_bit
+    return (((ordinal << 30 | pos) << 12
+             | min(row, (1 << 12) - 1)) << 1) | op_bit
 
 
 def watermark_seq(offset: BinlogOffset) -> int:
@@ -1280,7 +1307,7 @@ def watermark_seq(offset: BinlogOffset) -> int:
     — the reference's snapshot-split high watermark
     (`HybridSplitAssigner.java:53-110`) for the binlog stream."""
     return record_seq(offset.filename or "", offset.position,
-                      (1 << 14) - 1, "+I")
+                      (1 << 12) - 1, "+I")
 
 
 def _to_spark_value(ftype, v):
@@ -1393,17 +1420,16 @@ def decode_binlog(files: "DataFrame", database: str, table: str,
 
 def read_binlog_files(spark, path: str) -> "DataFrame":
     """Directory/glob of binlog files -> (path, content) DataFrame."""
-    return spark.read.format("binaryFile").load(path)
+    from .base import binary_files
+
+    return binary_files(spark, path)
 
 
 def binlog_stream_source(spark, path: str) -> "DataFrame":
-    """Streaming variant: new binlog files appearing under ``path`` become
-    micro-batches (Structured Streaming's file tracking is the offset store
-    — consumed files never re-deliver across restarts)."""
-    return (spark.readStream.format("binaryFile")
-            .schema("path string, modificationTime timestamp, "
-                    "length long, content binary")
-            .load(path))
+    """Streaming variant over :func:`..sources.base.binary_file_stream`."""
+    from .base import binary_file_stream
+
+    return binary_file_stream(spark, path)
 
 
 def _json_safe(v):
@@ -1508,7 +1534,7 @@ def _keep_record(c: dict, start_offset: BinlogOffset | None,
         return not (txn and gtid_covers(start_offset.gtid_set, txn))
     f, sf = c["file"].lower(), (start_offset.filename or "").lower()
     if f != sf:
-        return f > sf
+        return _file_sort_key(f) > _file_sort_key(sf)
     if c["pos"] != start_offset.position:
         return c["pos"] > start_offset.position
     if start_offset.get("row") is None:

@@ -186,6 +186,8 @@ def _tuple_data(rel: PgRelation, row: dict | None,
         v = (row or {}).get(c.name)
         if v is None:
             out += b"n"
+        elif v is UNCHANGED_TOAST:
+            out += b"u"
         else:
             data = _render_text(c.type_oid, v).encode("utf-8")
             out += b"t" + struct.pack(">I", len(data)) + data
@@ -337,6 +339,14 @@ def _read_tuple(buf: bytes, pos: int) -> tuple[list, int]:
     return out, pos
 
 
+#: sentinel for 'u' TupleData cells (unchanged TOASTed value not shipped);
+#: resolved against the old image when replica identity FULL provides it,
+#: else surfaced as Debezium's unavailable-value placeholder — NEVER
+#: silently null (a null would overwrite real data at the keyed sink)
+UNCHANGED_TOAST = object()
+UNAVAILABLE_VALUE = "__debezium_unavailable_value"
+
+
 def _tuple_to_row(rel: PgRelation, tup: list,
                   columns: tuple[PgColumn, ...] | None = None) -> dict:
     cols = columns if columns is not None else rel.columns
@@ -348,7 +358,7 @@ def _tuple_to_row(rel: PgRelation, tup: list,
         if kind == "n":
             row[c.name] = None
         elif kind == "u":
-            pass  # unchanged TOAST: absent from the image
+            row[c.name] = UNCHANGED_TOAST
         elif kind == "t":
             row[c.name] = _text_to_json_value(c.type_oid,
                                               raw.decode("utf-8"))
@@ -357,6 +367,24 @@ def _tuple_to_row(rel: PgRelation, tup: list,
                 "binary-format TupleData cells are gated (pgoutput "
                 "defaults to text send format; fixtures capture text)")
     return row
+
+
+def _resolve_toast(after: dict, before: dict | None) -> dict:
+    """Fill 'u' cells from the old image (replica identity FULL ships it);
+    without one, emit the Debezium unavailable-value placeholder so the
+    loss is VISIBLE downstream instead of a silent null overwrite (the
+    documented cure is REPLICA IDENTITY FULL, same as Debezium's)."""
+    out = {}
+    for k, v in after.items():
+        if v is UNCHANGED_TOAST:
+            if before is not None and k in before \
+                    and before[k] is not UNCHANGED_TOAST:
+                out[k] = before[k]
+            else:
+                out[k] = UNAVAILABLE_VALUE
+        else:
+            out[k] = v
+    return out
 
 
 def _diff_relations(old: PgRelation, new: PgRelation) -> list[dict]:
@@ -409,6 +437,7 @@ def pgoutput_changes(data: bytes) -> list[dict]:
     ts_us = None
     cur_stream: int | None = None            # inside S..E of this xid
     stream_bufs: dict[int, list[dict]] = {}  # xid -> buffered records
+    txn_buf: list[dict] = []                 # current NORMAL txn's records
 
     def base(lsn: int) -> dict:
         if cur_stream is not None:
@@ -416,9 +445,25 @@ def pgoutput_changes(data: bytes) -> list[dict]:
         return {"lsn": lsn, "txId": xid, "ts_usec": ts_us}
 
     def emit(rec: dict) -> None:
+        # data records buffer until their COMMIT and take the commit
+        # frame's LSN as the ordering coordinate ("commit_lsn") — the only
+        # coordinate that respects commit order when a v2 streamed
+        # transaction interleaves with smaller ones (per-message LSNs of a
+        # streamed txn predate commits that happened before it)
         if cur_stream is not None:
             stream_bufs.setdefault(cur_stream, []).append(rec)
+        elif xid is not None:
+            txn_buf.append(rec)
         else:
+            rec["commit_lsn"] = rec["lsn"]
+            out.append(rec)
+
+    def flush(records: list[dict], commit_lsn: int,
+              commit_ts_us: int | None) -> None:
+        for rec in records:
+            rec["commit_lsn"] = commit_lsn
+            if commit_ts_us is not None:
+                rec["ts_usec"] = commit_ts_us
             out.append(rec)
 
     while pos < len(data):
@@ -439,7 +484,10 @@ def pgoutput_changes(data: bytes) -> list[dict]:
         if tag == "B":
             _final, ts, xid = struct.unpack_from(">QqI", msg, 1)
             ts_us = ts + _PG_EPOCH_US
+            txn_buf = []
         elif tag == "C":
+            flush(txn_buf, lsn, None)
+            txn_buf = []
             xid = None
         elif tag == "S":
             sxid, _first = struct.unpack_from(">IB", msg, 1)
@@ -450,9 +498,7 @@ def pgoutput_changes(data: bytes) -> list[dict]:
         elif tag == "c":
             cxid, _flags, _clsn, _elsn, cts = struct.unpack_from(
                 ">IBQQq", msg, 1)
-            for rec in stream_bufs.pop(cxid, []):
-                rec["ts_usec"] = cts + _PG_EPOCH_US
-                out.append(rec)
+            flush(stream_bufs.pop(cxid, []), lsn, cts + _PG_EPOCH_US)
         elif tag == "A":
             axid, subxid = struct.unpack_from(">II", msg, 1)
             if subxid != axid:
@@ -483,7 +529,8 @@ def pgoutput_changes(data: bytes) -> list[dict]:
             if old is not None and old.columns != rel.columns:
                 for body in _diff_relations(old, rel):
                     out.append({"kind": "schema", "ddl": body,
-                                "database": ns, "table": name, **base(lsn)})
+                                "database": ns, "table": name,
+                                "commit_lsn": lsn, **base(lsn)})
         elif tag in ("I", "U", "D"):
             oid = struct.unpack_from(">I", msg, 1 + voff)[0]
             rel = relations.get(oid)
@@ -497,7 +544,8 @@ def pgoutput_changes(data: bytes) -> list[dict]:
                 assert chr(msg[p]) == "N"
                 tup, p = _read_tuple(msg, p + 1)
                 emit({**rec, "op": "+I", "before": None,
-                      "after": _tuple_to_row(rel, tup)})
+                      "after": _resolve_toast(_tuple_to_row(rel, tup),
+                                              None)})
             elif tag == "U":
                 before = None
                 marker = chr(msg[p])
@@ -510,7 +558,8 @@ def pgoutput_changes(data: bytes) -> list[dict]:
                 assert marker == "N"
                 tup, p = _read_tuple(msg, p + 1)
                 emit({**rec, "op": "+U", "before": before,
-                      "after": _tuple_to_row(rel, tup)})
+                      "after": _resolve_toast(_tuple_to_row(rel, tup),
+                                              before)})
             else:
                 marker = chr(msg[p])
                 tup, p = _read_tuple(msg, p + 1)
@@ -531,6 +580,13 @@ def pgoutput_changes(data: bytes) -> list[dict]:
                           "database": rel.namespace,
                           "table": rel.name, **base(lsn)})
         # O (origin), Y (type), M (message): positional no-ops here
+    # tie-break index within one commit group (records sharing commit_lsn
+    # keep their intra-transaction order downstream)
+    prev_lsn, idx = None, 0
+    for rec in out:
+        idx = idx + 1 if rec["commit_lsn"] == prev_lsn else 0
+        rec["idx"] = idx
+        prev_lsn = rec["commit_lsn"]
     return out
 
 
@@ -590,15 +646,26 @@ class PostgresOffset:
 
 
 def pgoutput_stream_source(spark, path: str):
-    """Streaming variant over capture files (binaryFile tracking)."""
-    return (spark.readStream.format("binaryFile")
-            .schema("path string, modificationTime timestamp, "
-                    "length long, content binary")
-            .load(path))
+    """Streaming variant over :func:`..sources.base.binary_file_stream`."""
+    from .base import binary_file_stream
+
+    return binary_file_stream(spark, path)
 
 
 def read_pgoutput_files(spark, path: str):
-    return spark.read.format("binaryFile").load(path)
+    from .base import binary_files
+
+    return binary_files(spark, path)
+
+
+def pgoutput_seq(commit_lsn: int, idx: int = 0) -> int:
+    """The bridge's ``__seq``: commit LSN (commit order is the only sound
+    ordering when v2 streamed transactions interleave) with a 15-bit
+    intra-transaction tie-break. WAL LSNs stay far below 2^48 (256 TB of
+    WAL), bounded here so the shift can never overflow int64."""
+    if commit_lsn >= 1 << 48:
+        raise ValueError("LSN %d exceeds the 48-bit seq budget" % commit_lsn)
+    return (commit_lsn << 15) | min(idx, (1 << 15) - 1)
 
 
 def pgoutput_to_debezium_json(files, start_lsn: int | None = None):
@@ -629,17 +696,18 @@ def pgoutput_to_debezium_json(files, start_lsn: int | None = None):
             values, offsets = [], []
             for content in pdf["content"]:
                 for c in pgoutput_changes(bytes(content)):
-                    if start_lsn is not None and c["lsn"] <= start_lsn:
+                    if start_lsn is not None and \
+                            c["commit_lsn"] <= start_lsn:
                         continue
+                    seq = pgoutput_seq(c["commit_lsn"], c["idx"])
                     ts_ms = (c["ts_usec"] or 0) // 1000
                     if c["kind"] == "schema":
-                        rec = {"ddl": c["ddl"], "ts_ms": ts_ms,
-                               "seq": c["lsn"]}
+                        rec = {"ddl": c["ddl"], "ts_ms": ts_ms, "seq": seq}
                     elif c["kind"] == "truncate":
                         rec = {"ddl": {"type": "TRUNCATE_TABLE",
                                        "table": f"{c['database']}."
                                                 f"{c['table']}"},
-                               "ts_ms": ts_ms, "seq": c["lsn"]}
+                               "ts_ms": ts_ms, "seq": seq}
                     else:
                         op = {"+I": "c", "+U": "u", "-D": "d"}[c["op"]]
                         rec = {
@@ -650,13 +718,13 @@ def pgoutput_to_debezium_json(files, start_lsn: int | None = None):
                             "source": {
                                 "db": None, "schema": c["database"],
                                 "table": c["table"],
-                                "lsn": str(c["lsn"]),
+                                "lsn": str(c["commit_lsn"]),
                                 **({"txId": str(c["txId"])}
                                    if c["txId"] is not None else {}),
                             },
                         }
                     values.append(_json.dumps(rec, separators=(",", ":")))
-                    offsets.append(c["lsn"])
+                    offsets.append(seq)
             yield pd.DataFrame({"value": pd.Series(values, dtype=object),
                                 "offset": pd.Series(offsets, dtype="int64")})
 

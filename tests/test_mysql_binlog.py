@@ -79,8 +79,16 @@ def test_time2_negative_and_frac():
     enc = encode_time2(838, 59, 59, us=123456, fsp=6)
     (neg, h, m, s, us), _ = decode_time2(enc, 0, 6)
     assert (neg, h, m, s, us) == (False, 838, 59, 59, 123456)
-    with pytest.raises(NotImplementedError):
-        encode_time2(1, 0, 0, us=5, negative=True, fsp=6)
+    # negative fractional times: ONE joint offset-binary number, so the
+    # byte order stays memcomparable and the round-trip is exact
+    for fsp, us in ((2, 500000), (4, 123400), (6, 1)):
+        enc = encode_time2(0, 0, 0, us=us, negative=True, fsp=fsp)
+        (neg, h, m, s, got_us), _ = decode_time2(enc, 0, fsp)
+        assert (neg, h, m, s, got_us) == (True, 0, 0, 0, us)
+    # memcomparability straddling zero: -00:00:00.5 < +00:00:00.5
+    lo = encode_time2(0, 0, 0, us=500000, negative=True, fsp=2)
+    hi = encode_time2(0, 0, 0, us=500000, negative=False, fsp=2)
+    assert lo < hi
 
 
 # ---------------------------------------------------------------------------
@@ -350,8 +358,34 @@ def test_record_seq_monotone():
             record_seq("mysql-bin.000001", 100, 1, "+I"),
             record_seq("mysql-bin.000001", 200, 0, "-U"),
             record_seq("mysql-bin.000001", 200, 0, "+U"),
-            record_seq("mysql-bin.000002", 4, 0, "+I")]
+            record_seq("mysql-bin.000002", 4, 0, "+I"),
+            # the 6-to-7-digit ordinal rollover stays monotone
+            record_seq("mysql-bin.999999", 4, 0, "+I"),
+            record_seq("mysql-bin.1000000", 4, 0, "+I")]
     assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+    # the whole budget fits a signed int64
+    assert record_seq("mysql-bin.1048575", (1 << 30) - 1,
+                      1 << 20, "+I") < 1 << 63
+    with pytest.raises(ValueError, match="20-bit"):
+        record_seq("mysql-bin.1048576", 4, 0, "+I")
+    with pytest.raises(ValueError, match="1 GiB"):
+        record_seq("mysql-bin.000001", 1 << 30, 0, "+I")
+
+
+def test_offset_filename_ordinal_rollover():
+    """mysql-bin.1000000 follows mysql-bin.999999 (numeric-suffix-aware
+    comparison — pure lexical order inverts here and would freeze the
+    persisted offset's monotone clamp)."""
+    a = BinlogOffset.of_file_position("mysql-bin.999999", 500)
+    b = BinlogOffset.of_file_position("mysql-bin.1000000", 4)
+    assert a.compare(b) == -1 and b.compare(a) == 1
+
+
+def test_mysql_json_int_range_error():
+    with pytest.raises(ValueError, match="out of MySQL JSON range"):
+        encode_json(-(1 << 63) - 1)
+    with pytest.raises(ValueError, match="out of MySQL JSON range"):
+        encode_json(1 << 64)
 
 
 # ---------------------------------------------------------------------------

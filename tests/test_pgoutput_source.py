@@ -156,6 +156,36 @@ def test_truncated_frames_rejected():
         pgoutput_changes(data + b"\x00" * 13)
 
 
+def test_unchanged_toast_never_null():
+    """'u' TupleData cells (unchanged TOASTed values, not shipped): with
+    replica identity FULL the value is recovered from the old image; with
+    DEFAULT it surfaces as the explicit unavailable-value placeholder —
+    NEVER a silent null that would overwrite real data at a keyed sink."""
+    from source_flink_cdc_3_5_0_spark.sources.pgoutput import (
+        UNAVAILABLE_VALUE, UNCHANGED_TOAST)
+
+    full = PgRelation(81, "public", "t", "f", (
+        PgColumn("id", OID_INT4, key=True), PgColumn("body", OID_TEXT)))
+    w = PgOutputWriter()
+    w.relation(full)
+    w.begin()
+    w.update(full, dict(id=1, body="big-toasted-value"),
+             dict(id=1, body=UNCHANGED_TOAST))
+    w.commit()
+    [upd] = pgoutput_changes(w.getvalue())
+    assert upd["after"]["body"] == "big-toasted-value"  # recovered
+
+    dflt = PgRelation(82, "public", "t", "d", (
+        PgColumn("id", OID_INT4, key=True), PgColumn("body", OID_TEXT)))
+    w = PgOutputWriter()
+    w.relation(dflt)
+    w.begin()
+    w.update(dflt, dict(id=1), dict(id=1, body=UNCHANGED_TOAST))
+    w.commit()
+    [upd] = pgoutput_changes(w.getvalue())
+    assert upd["after"]["body"] == UNAVAILABLE_VALUE  # visible, not null
+
+
 def test_streamed_transactions_v2():
     """Protocol v2: a large in-progress transaction streams in segments;
     its records surface only at Stream Commit (in commit order, stamped
@@ -215,22 +245,30 @@ def test_postgres_offset_parity():
 
 
 def test_bridge_start_lsn(spark, tmp_path):
+    from source_flink_cdc_3_5_0_spark.sources.pgoutput import pgoutput_seq
+
     w = PgOutputWriter()
     w.relation(REL)
     w.begin()
-    lsn1 = w.insert(REL, ROW)
-    lsn2 = w.insert(REL, dict(ROW, id=2))
-    w.commit()
+    w.insert(REL, ROW)
+    commit1 = w.commit()
+    w.begin()
+    w.insert(REL, dict(ROW, id=2))
+    commit2 = w.commit()
     (tmp_path / "capture.pgout").write_bytes(w.getvalue())
     files = read_pgoutput_files(spark, str(tmp_path))
     vals = pgoutput_to_debezium_json(files).collect()
     ids = sorted(json.loads(r["value"])["after"]["id"] for r in vals
                  if "after" in json.loads(r["value"]))
     assert ids == [1, 2]
-    rest = pgoutput_to_debezium_json(files, start_lsn=lsn1).collect()
+    # records order and filter by their COMMIT LSN (slot confirmed_flush
+    # semantics): cutting at txn 1's commit leaves only txn 2
+    rest = pgoutput_to_debezium_json(files, start_lsn=commit1).collect()
     ids = [json.loads(r["value"])["after"]["id"] for r in rest
            if "after" in json.loads(r["value"])]
-    assert ids == [2] and rest[0]["offset"] == lsn2
+    assert ids == [2] and rest[0]["offset"] == pgoutput_seq(commit2)
+    with pytest.raises(ValueError, match="48-bit"):
+        pgoutput_seq(1 << 48)
 
 
 def test_pgoutput_truncate_order_within_batch(spark, tmp_path):
