@@ -434,6 +434,29 @@ class PipelineComposer:
         self._register_udfs(pdef)
         self._register_models(pdef)
 
+        t_lower = pdef.source.type.lower()
+        if "tables" not in opts and t_lower in ("mysql-binlog-file",
+                                                "pgoutput-file"):
+            # wire-native discovery: the capture files carry typed schemas
+            # (TABLE_MAP optional metadata / Relation messages) — infer
+            # the tables and primary keys instead of requiring DDL in the
+            # YAML (bounded driver-side scan of the current file set)
+            import glob as _glob
+            import os as _os
+
+            files = [p for p in _glob.glob(_os.path.join(opts["path"], "*"))
+                     if _os.path.isfile(p)]
+            if t_lower == "mysql-binlog-file":
+                from ..sources.mysql_binlog import binlog_infer_tables
+
+                inferred, ipks = binlog_infer_tables(files)
+            else:
+                from ..sources.pgoutput import pgoutput_infer_tables
+
+                inferred, ipks = pgoutput_infer_tables(files)
+            opts["tables"] = json.dumps(inferred)
+            opts.setdefault("primary-keys", json.dumps(ipks))
+
         pks = json.loads(opts.get("primary-keys", "{}"))
         tables: dict[str, Schema] = {}
         for tid, ddl in json.loads(opts.get("tables", "{}")).items():

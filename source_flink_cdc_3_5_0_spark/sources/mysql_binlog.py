@@ -1620,6 +1620,70 @@ def binlog_to_debezium_json(files: "DataFrame",
     return files.select("path", "content").mapInPandas(run, schema=out_schema)
 
 
+#: wire type byte -> Spark DDL type (signedness widens one step, the
+#: MySqlTypeUtils.java:132+ unsigned-widening rule)
+_SPARK_DDL_BY_TYPE = {
+    MYSQL_TYPE_TINY: ("tinyint", "smallint"),
+    MYSQL_TYPE_SHORT: ("smallint", "int"),
+    MYSQL_TYPE_INT24: ("int", "int"),
+    MYSQL_TYPE_LONG: ("int", "bigint"),
+    MYSQL_TYPE_LONGLONG: ("bigint", "decimal(20,0)"),
+    MYSQL_TYPE_FLOAT: ("float", "float"),
+    MYSQL_TYPE_DOUBLE: ("double", "double"),
+    MYSQL_TYPE_YEAR: ("int", "int"),
+    MYSQL_TYPE_DATE: ("date", "date"),
+    MYSQL_TYPE_DATETIME2: ("timestamp_ntz", "timestamp_ntz"),
+    MYSQL_TYPE_TIMESTAMP2: ("timestamp", "timestamp"),
+    MYSQL_TYPE_TIME2: ("string", "string"),
+    MYSQL_TYPE_VARCHAR: ("string", "string"),
+    MYSQL_TYPE_BLOB: ("binary", "binary"),
+    MYSQL_TYPE_JSON: ("string", "string"),
+    MYSQL_TYPE_BIT: ("long", "long"),
+}
+
+
+def binlog_column_spark_ddl(col: BinlogColumn) -> str:
+    """One TABLE_MAP column -> its Spark DDL type (MySqlTypeUtils parity:
+    unsigned integers widen one step; ENUM/SET/JSON -> STRING)."""
+    t = col.real_type
+    if t == MYSQL_TYPE_NEWDECIMAL:
+        p, s = col.meta
+        return "decimal(%d,%d)" % (p, s) if p <= 38 else "string"
+    if t in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET):
+        return "string"
+    if t == MYSQL_TYPE_STRING:
+        return "string"
+    pair = _SPARK_DDL_BY_TYPE.get(col.type_byte)
+    if pair is None:
+        return "string"
+    return pair[1 if col.unsigned else 0]
+
+
+def binlog_infer_tables(paths: list[str]
+                        ) -> tuple[dict[str, str], dict[str, list[str]]]:
+    """Driver-side schema discovery straight from the wire: scan the
+    files' TABLE_MAP events (MySQL 8 binlog_row_metadata=FULL carries
+    column names, signedness and the simple PK) and return the YAML
+    surface's ``tables`` (table-id -> Spark DDL string) and
+    ``primary-keys`` maps. Later TABLE_MAPs win (schema evolution)."""
+    tables: dict[str, str] = {}
+    pks: dict[str, list[str]] = {}
+    for p in sorted(paths, key=lambda s: _file_ordinal(s.rsplit("/", 1)[-1])):
+        with open(p, "rb") as fh:
+            reader = BinlogReader(fh.read())
+        for ev in reader.events():
+            if ev.type_byte != TABLE_MAP_EVENT:
+                continue
+            tmap: BinlogTableMap = ev.fields["table"]
+            ddl = ", ".join("%s %s" % (c.name, binlog_column_spark_ddl(c))
+                            for c in tmap.columns)
+            tables[tmap.qualified] = ddl
+            if tmap.pk_indexes:
+                pks[tmap.qualified] = [tmap.columns[i].name
+                                       for i in tmap.pk_indexes]
+    return tables, pks
+
+
 def binlog_schema_events(paths: list[str]) -> list[dict]:
     """Driver-side DDL extraction: binlog QUERY events in commit order.
 

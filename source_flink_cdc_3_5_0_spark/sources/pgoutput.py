@@ -658,6 +658,51 @@ def read_pgoutput_files(spark, path: str):
     return binary_files(spark, path)
 
 
+def pgoutput_infer_tables(paths: list[str]
+                          ) -> tuple[dict[str, str], dict[str, list[str]]]:
+    """Driver-side schema discovery from Relation messages: returns the
+    YAML surface's ``tables`` (table-id -> Spark DDL) and ``primary-keys``
+    maps. Later Relation re-descriptions win (schema evolution)."""
+    tables: dict[str, str] = {}
+    pks: dict[str, list[str]] = {}
+    for p in sorted(paths):
+        with open(p, "rb") as fh:
+            data = fh.read()
+        pos = 0
+        # reuse the full decoder for relation registry behavior: walk the
+        # frames but only look at what Relation messages left behind
+        rels: dict[int, PgRelation] = {}
+        while pos < len(data):
+            lsn, ln = struct.unpack_from(">QI", data, pos)
+            pos += 12
+            msg = data[pos:pos + ln]
+            pos += ln
+            if msg[:1] != b"R":
+                continue
+            # xid-prefixed (streamed) Relations aren't distinguishable
+            # without stream context; capture tools emit them unprefixed
+            oid = struct.unpack_from(">I", msg, 1)[0]
+            p2 = 5
+            ns, p2 = _read_cstr(msg, p2)
+            name, p2 = _read_cstr(msg, p2)
+            ident = chr(msg[p2]); p2 += 1
+            ncols = struct.unpack_from(">H", msg, p2)[0]; p2 += 2
+            cols = []
+            for _ in range(ncols):
+                key = msg[p2] & 1; p2 += 1
+                cname, p2 = _read_cstr(msg, p2)
+                toid, tmod = struct.unpack_from(">Ii", msg, p2); p2 += 8
+                cols.append(PgColumn(cname, toid, tmod, bool(key)))
+            rels[oid] = PgRelation(oid, ns, name, ident, tuple(cols))
+        for rel in rels.values():
+            tables[rel.qualified] = ", ".join(
+                "%s %s" % (c.name, oid_to_spark_ddl(c.type_oid, c.type_mod))
+                for c in rel.columns)
+            if rel.key_names:
+                pks[rel.qualified] = list(rel.key_names)
+    return tables, pks
+
+
 def pgoutput_seq(commit_lsn: int, idx: int = 0) -> int:
     """The bridge's ``__seq``: commit LSN (commit order is the only sound
     ordering when v2 streamed transactions interleave) with a 15-bit

@@ -801,6 +801,53 @@ sink: {{type: values}}
     assert sink.snapshot(TableId.parse("shop.carts")) == ["3, new3"]
 
 
+def test_wire_native_table_inference(spark, tmp_path):
+    """Omitting `tables` in the YAML infers typed schemas and PKs straight
+    from the wire (TABLE_MAP optional metadata) — no hand-written DDL."""
+    import json
+
+    from source_flink_cdc_3_5_0_spark.common import TableId
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline)
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        binlog_infer_tables)
+
+    cols = (BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),
+            BinlogColumn("uid", MYSQL_TYPE_LONG, (), True),
+            BinlogColumn("price", MYSQL_TYPE_NEWDECIMAL, (10, 2)),
+            BinlogColumn("name", MYSQL_TYPE_VARCHAR, (255,)))
+    tmap = BinlogTableMap(40, "shop", "skus", cols, (0,))
+    src = tmp_path / "binlog"
+    src.mkdir()
+    w = BinlogWriter()
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT,
+           [dict(id=1, uid=4_000_000_000, price="9.99", name="a")])
+    (src / "mysql-bin.000001").write_bytes(w.getvalue())
+
+    tables, pks = binlog_infer_tables([str(src / "mysql-bin.000001")])
+    assert tables == {"shop.skus":
+                      "id int, uid bigint, price decimal(10,2), name string"}
+    assert pks == {"shop.skus": ["id"]}
+
+    yaml_text = f"""
+source:
+  type: mysql-binlog-file
+  path: {src}
+  checkpoint: {tmp_path}/ckpt
+sink: {{type: values}}
+"""
+    sink = MemorySink()
+    pipe, raw, tables = PipelineComposer(spark).compose_streaming(
+        parse_yaml_pipeline(yaml_text), sink=sink)
+    q = pipe.start(raw, tables)
+    q.awaitTermination(120)
+    assert sink.snapshot(TableId.parse("shop.skus")) \
+        == ["1, 4000000000, 9.99, a"]
+    assert json.dumps is not None
+
+
 def test_binlog_schema_events_across_rotation(tmp_path):
     tmap = _wide_table()
     w1 = BinlogWriter()

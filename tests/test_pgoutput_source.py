@@ -156,6 +156,48 @@ def test_truncated_frames_rejected():
         pgoutput_changes(data + b"\x00" * 13)
 
 
+def test_wire_native_table_inference(spark, tmp_path):
+    """Omitting `tables` infers typed schemas and PKs from Relation
+    messages."""
+    from source_flink_cdc_3_5_0_spark.common import TableId
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline)
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+    from source_flink_cdc_3_5_0_spark.sources.pgoutput import (
+        pgoutput_infer_tables)
+
+    rel = PgRelation(91, "public", "skus", "d", (
+        PgColumn("id", OID_INT4, key=True),
+        PgColumn("price", OID_NUMERIC, (10 << 16 | 2) + 4),
+        PgColumn("name", OID_VARCHAR, 68)))
+    src = tmp_path / "wal"
+    src.mkdir()
+    w = PgOutputWriter()
+    w.relation(rel)
+    w.begin()
+    w.insert(rel, dict(id=1, price="9.99", name="a"))
+    w.commit()
+    (src / "c1.pgout").write_bytes(w.getvalue())
+
+    tables, pks = pgoutput_infer_tables([str(src / "c1.pgout")])
+    assert tables == {"public.skus": "id int, price decimal(10,2), name string"}
+    assert pks == {"public.skus": ["id"]}
+
+    yaml_text = f"""
+source:
+  type: pgoutput-file
+  path: {src}
+  checkpoint: {tmp_path}/ckpt
+sink: {{type: values}}
+"""
+    sink = MemorySink()
+    pipe, raw, tables = PipelineComposer(spark).compose_streaming(
+        parse_yaml_pipeline(yaml_text), sink=sink)
+    q = pipe.start(raw, tables)
+    q.awaitTermination(120)
+    assert sink.snapshot(TableId.parse("public.skus")) == ["1, 9.99, a"]
+
+
 def test_unchanged_toast_never_null():
     """'u' TupleData cells (unchanged TOASTed values, not shipped): with
     replica identity FULL the value is recovered from the old image; with
