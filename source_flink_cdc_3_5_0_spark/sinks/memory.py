@@ -100,7 +100,10 @@ class MemorySink(DataSink):
         sel = cols + [c for c in (OP_COL, SEQ_COL) if c in df.columns]
         rows = df.select(*sel).collect()
         if SEQ_COL in df.columns:
-            rows.sort(key=lambda r: r[SEQ_COL])
+            # null seqs keep arrival order and sort before sequenced rows
+            rows.sort(key=lambda r: (r[SEQ_COL] is not None,
+                                     r[SEQ_COL] if r[SEQ_COL] is not None
+                                     else 0))
         for r in rows:
             d = {c: r[c] for c in cols}
             full = {n: d.get(n) for n in names}

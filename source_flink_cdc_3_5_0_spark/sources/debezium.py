@@ -182,13 +182,28 @@ def encode_debezium(df: DataFrame, table_id: TableId, schema: Schema,
     )
     after = F.when(op != "-D", row).otherwise(F.lit(None))
     source = F.struct(
-        F.lit(table_id.namespace).alias("db"),
-        F.lit(table_id.schema_name).alias("schema"),
+        # empty id parts serialize as ABSENT (null), not "": a 2-part
+        # table id (db.table) must re-ingest with the db probe falling
+        # through to the schema field — an empty string would defeat the
+        # coalesce and silently drop every record on the loop back
+        F.lit(table_id.namespace or None).cast("string").alias("db"),
+        F.lit(table_id.schema_name or None).cast("string").alias("schema"),
         F.lit(table_id.table_name).alias("table"),
     )
+    # ts_ms carries the envelope's ordering coordinate: the upstream
+    # ``__seq`` when the frame has one (a re-ingested spool then preserves
+    # the EXACT original order — decode's seq fallback reads ts_ms), else
+    # the connector op_ts from __meta in millis
+    if SEQ_COL in df.columns:
+        ts_ms = F.col(SEQ_COL)
+    elif META_COL in df.columns:
+        ts_ms = (F.element_at(F.col(META_COL), "op_ts").cast("long")
+                 * F.lit(1000))
+    else:
+        ts_ms = F.lit(None).cast("long")
     value = F.to_json(F.struct(
         before.alias("before"), after.alias("after"),
-        dbz_op.alias("op"), source.alias("source"),
+        dbz_op.alias("op"), ts_ms.alias("ts_ms"), source.alias("source"),
     ))
     pks = [k for k in schema.primary_keys if k in df.columns] or phys
     key = (key_col if key_col is not None
