@@ -1036,6 +1036,13 @@ class BinlogReader:
 
 
 def binlog_changes(data: bytes, filename: str = "") -> list[dict]:
+    """Materialized form of :func:`iter_binlog_changes` (tests/small files;
+    the Spark bridge consumes the generator so a 1 GiB file never holds
+    all its records in memory at once)."""
+    return list(iter_binlog_changes(data, filename))
+
+
+def iter_binlog_changes(data: bytes, filename: str = "") -> Iterator[dict]:
     """One binlog file -> flat change records with full position metadata.
 
     The +I/-U/+U/-D mapping is the reference's emitter contract
@@ -1046,10 +1053,10 @@ def binlog_changes(data: bytes, filename: str = "") -> list[dict]:
     executed-GTID set committed BEFORE the record — seeded across file
     rotations by the PREVIOUS_GTIDS event, advanced at XID commits and at
     auto-committed DDL statements), plus the DDL stream from QUERY events
-    (routed to the engine's DDL parser upstream).
+    (routed to the engine's DDL parser upstream). Lazily yielded — held
+    state is one event's rows plus the GTID set.
     """
     reader = BinlogReader(data)
-    out: list[dict] = []
     gtid = None
     rows_query = None  # ROWS_QUERY statement text, reset at commit
     running: dict[str, list[tuple[int, int]]] = {}
@@ -1072,8 +1079,8 @@ def binlog_changes(data: bytes, filename: str = "") -> list[dict]:
         elif t == QUERY_EVENT:
             sql = ev.fields["sql"].strip()
             if sql.upper() != "BEGIN":
-                out.append({"kind": "ddl", "database": ev.fields["database"],
-                            "sql": sql, **_pos(ev)})
+                yield {"kind": "ddl", "database": ev.fields["database"],
+                       "sql": sql, **_pos(ev)}
                 if gtid is not None:
                     # DDL statements auto-commit their GTID (no XID event)
                     _advance(running, *gtid)
@@ -1087,17 +1094,17 @@ def binlog_changes(data: bytes, filename: str = "") -> list[dict]:
                     **({"query": rows_query} if rows_query else {})}
             for i, r in enumerate(ev.fields["rows"]):
                 if t == WRITE_ROWS_EVENT:
-                    out.append({**base, "op": "+I", "after": r,
-                                "before": None, "row": i})
+                    yield {**base, "op": "+I", "after": r,
+                           "before": None, "row": i}
                 elif t == DELETE_ROWS_EVENT:
-                    out.append({**base, "op": "-D", "after": None,
-                                "before": r, "row": i})
+                    yield {**base, "op": "-D", "after": None,
+                           "before": r, "row": i}
                 else:
                     before, after = r
-                    out.append({**base, "op": "-U", "after": None,
-                                "before": before, "row": i})
-                    out.append({**base, "op": "+U", "after": after,
-                                "before": before, "row": i})
+                    yield {**base, "op": "-U", "after": None,
+                           "before": before, "row": i}
+                    yield {**base, "op": "+U", "after": after,
+                           "before": before, "row": i}
         elif t == XID_EVENT:
             if gtid is not None:
                 _advance(running, *gtid)
@@ -1105,7 +1112,6 @@ def binlog_changes(data: bytes, filename: str = "") -> list[dict]:
             rows_query = None
         # ROTATE needs no action here: the next file re-anchors itself
         # (PREVIOUS_GTIDS) and positions restart per file
-    return out
 
 
 def _advance(running: dict[str, list[tuple[int, int]]],
@@ -1570,12 +1576,15 @@ def binlog_to_debezium_json(files: "DataFrame",
         T.StructField("offset", T.LongType(), False),
     ])
 
+    CHUNK = 10_000  # bound worker memory: a 1 GiB binlog file streams
+    # through in 10k-record Arrow batches instead of materializing
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             values, offsets = [], []
             for path, content in zip(pdf["path"], pdf["content"]):
                 fname = str(path).rsplit("/", 1)[-1]
-                for c in binlog_changes(bytes(content), fname):
+                for c in iter_binlog_changes(bytes(content), fname):
                     if not _keep_record(c, start_offset, start_timestamp_ms):
                         continue
                     seq = record_seq(c["file"], c["pos"], c.get("row", 0),
@@ -1614,6 +1623,11 @@ def binlog_to_debezium_json(files: "DataFrame",
                         }
                     values.append(_json.dumps(rec, separators=(",", ":")))
                     offsets.append(seq)
+                    if len(values) >= CHUNK:
+                        yield pd.DataFrame(
+                            {"value": pd.Series(values, dtype=object),
+                             "offset": pd.Series(offsets, dtype="int64")})
+                        values, offsets = [], []
             yield pd.DataFrame({"value": pd.Series(values, dtype=object),
                                 "offset": pd.Series(offsets, dtype="int64")})
 

@@ -415,6 +415,13 @@ def _diff_relations(old: PgRelation, new: PgRelation) -> list[dict]:
 
 
 def pgoutput_changes(data: bytes) -> list[dict]:
+    """Materialized form of :func:`iter_pgoutput_changes` (tests/small
+    files; the Spark bridge consumes the generator so bounded memory holds
+    only in-flight transactions, never the whole file's records)."""
+    return list(iter_pgoutput_changes(data))
+
+
+def iter_pgoutput_changes(data: bytes) -> "Iterator[dict]":
     """One capture file -> flat change records (PostgresOffset coordinates).
 
     Emits the reference emitter's op mapping (insert -> +I, update -> one
@@ -431,7 +438,8 @@ def pgoutput_changes(data: bytes) -> list[dict]:
     their synthesized schema records emit immediately too.
     """
     relations: dict[int, PgRelation] = {}
-    out: list[dict] = []
+    out: list[dict] = []  # drained (with idx assigned) after every frame
+    drain_state = [None, 0]  # prev commit_lsn, running idx
     pos = 0
     xid = None
     ts_us = None
@@ -580,14 +588,16 @@ def pgoutput_changes(data: bytes) -> list[dict]:
                           "database": rel.namespace,
                           "table": rel.name, **base(lsn)})
         # O (origin), Y (type), M (message): positional no-ops here
-    # tie-break index within one commit group (records sharing commit_lsn
-    # keep their intra-transaction order downstream)
-    prev_lsn, idx = None, 0
-    for rec in out:
-        idx = idx + 1 if rec["commit_lsn"] == prev_lsn else 0
-        rec["idx"] = idx
-        prev_lsn = rec["commit_lsn"]
-    return out
+        # drain committed records, assigning the tie-break index within
+        # each commit group (records sharing commit_lsn keep their
+        # intra-transaction order downstream)
+        for rec in out:
+            drain_state[1] = (drain_state[1] + 1
+                              if rec["commit_lsn"] == drain_state[0] else 0)
+            drain_state[0] = rec["commit_lsn"]
+            rec["idx"] = drain_state[1]
+            yield rec
+        out.clear()
 
 
 # ---------------------------------------------------------------------------
@@ -736,11 +746,13 @@ def pgoutput_to_debezium_json(files, start_lsn: int | None = None):
         T.StructField("offset", T.LongType(), False),
     ])
 
+    CHUNK = 10_000  # bound worker memory on huge capture files
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             values, offsets = [], []
             for content in pdf["content"]:
-                for c in pgoutput_changes(bytes(content)):
+                for c in iter_pgoutput_changes(bytes(content)):
                     if start_lsn is not None and \
                             c["commit_lsn"] <= start_lsn:
                         continue
@@ -770,6 +782,11 @@ def pgoutput_to_debezium_json(files, start_lsn: int | None = None):
                         }
                     values.append(_json.dumps(rec, separators=(",", ":")))
                     offsets.append(seq)
+                    if len(values) >= CHUNK:
+                        yield pd.DataFrame(
+                            {"value": pd.Series(values, dtype=object),
+                             "offset": pd.Series(offsets, dtype="int64")})
+                        values, offsets = [], []
             yield pd.DataFrame({"value": pd.Series(values, dtype=object),
                                 "offset": pd.Series(offsets, dtype="int64")})
 
