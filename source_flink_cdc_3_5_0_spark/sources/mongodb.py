@@ -258,3 +258,64 @@ def chunk_filter(key: Column, chunk: ChunkRange) -> Column:
     if chunk.end is not None:
         cond = cond & (key < F.lit(chunk.end))
     return cond
+
+
+# ---------------------------------------------------------------------------
+# ChangeStreamOffset (source/offset/ChangeStreamOffset.java parity)
+# ---------------------------------------------------------------------------
+
+
+def decode_resume_token_timestamp(token) -> int:
+    """Resume token -> the BsonTimestamp long it encodes.
+
+    A change-stream resume token's ``_data`` is a hex KeyString whose
+    first byte is the timestamp kind marker (130) followed by the 8-byte
+    big-endian BsonTimestamp value ``(seconds << 32) | increment`` — the
+    public layout `ResumeTokens.decodeTimestamp` reads (mongo driver /
+    mongo-kafka, Apache-2.0 docs). Accepts the token document
+    ``{"_data": "hex"}`` or the bare hex string.
+    """
+    data = token.get("_id", token).get("_data") if isinstance(token, dict) \
+        else token
+    if isinstance(data, dict):  # {"_data": ...} nested once more
+        data = data.get("_data")
+    raw = bytes.fromhex(data)
+    if len(raw) < 9 or raw[0] != 130:
+        raise ValueError("not a change-stream resume token (lead byte "
+                         "0x%02x)" % (raw[0] if raw else 0xFF))
+    return int.from_bytes(raw[1:9], "big")
+
+
+class ChangeStreamOffset:
+    """`ChangeStreamOffset.java` parity: offset map {timestamp,
+    resumeToken}, ordered by the BsonTimestamp; NO_STOPPING carries the
+    maximum timestamp."""
+
+    _MAX_TS = ((1 << 32) - 1) << 32 | ((1 << 32) - 1)
+
+    def __init__(self, timestamp: int, resume_token_json: str | None = None):
+        self.timestamp = timestamp
+        self.resume_token_json = resume_token_json
+
+    @classmethod
+    def of_resume_token(cls, token: dict) -> "ChangeStreamOffset":
+        import json
+
+        return cls(decode_resume_token_timestamp(token),
+                   json.dumps(token, separators=(",", ":")))
+
+    @classmethod
+    def no_stopping(cls) -> "ChangeStreamOffset":
+        return cls(cls._MAX_TS)
+
+    def offset_map(self) -> dict:
+        return {"timestamp": str(self.timestamp),
+                "resumeToken": self.resume_token_json}
+
+    def compare(self, that: "ChangeStreamOffset") -> int:
+        return (self.timestamp > that.timestamp) \
+            - (self.timestamp < that.timestamp)
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, ChangeStreamOffset) \
+            and self.offset_map() == other.offset_map()

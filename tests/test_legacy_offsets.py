@@ -52,3 +52,24 @@ def test_redo_log_offset_compare():
     assert ns.compare(b) == 1 and b.compare(ns) == -1 and ns.compare(ns) == 0
     assert RedoLogOffset.initial().compare(a) == -1
     assert RedoLogOffset(5, 4, "pos").offset_map()["lcr_position"] == "pos"
+
+
+def test_change_stream_offset():
+    from source_flink_cdc_3_5_0_spark.sources.mongodb import (
+        ChangeStreamOffset, decode_resume_token_timestamp)
+
+    # craft a token: kind byte 130 + (secs=1700000000, inc=7) + tail bytes
+    ts = (1_700_000_000 << 32) | 7
+    data = bytes([130]) + ts.to_bytes(8, "big") + b"\x01\x02"
+    token = {"_data": data.hex()}
+    assert decode_resume_token_timestamp(token) == ts
+    assert decode_resume_token_timestamp(data.hex()) == ts
+    a = ChangeStreamOffset.of_resume_token(token)
+    assert a.timestamp == ts and "_data" in a.offset_map()["resumeToken"]
+    later = ChangeStreamOffset(((1_700_000_001 << 32) | 0))
+    assert a.compare(later) == -1 and later.compare(a) == 1
+    ns = ChangeStreamOffset.no_stopping()
+    assert a.compare(ns) == -1 and ns.compare(ns) == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="resume token"):
+        decode_resume_token_timestamp({"_data": "ff00"})
