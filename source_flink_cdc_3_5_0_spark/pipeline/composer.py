@@ -482,7 +482,8 @@ class PipelineComposer:
             # wire sources: persist the operator-visible connector offset
             # (BinlogOffset / PostgresOffset)
             connector_offset={"mysql-binlog-file": "mysql-binlog",
-                              "pgoutput-file": "pgoutput"}.get(
+                              "pgoutput-file": "pgoutput",
+                              "mongodb-file": "mongodb"}.get(
                 pdef.source.type.lower()),
         )
         t = pdef.source.type.lower()

@@ -117,7 +117,8 @@ class StreamingPipeline:
     # -- wire-source connector state (BinlogOffset / PostgresOffset) -------
     def _connector_offset_path(self) -> str:
         name = {"mysql-binlog": "mysql_binlog_offset.json",
-                "pgoutput": "postgres_offset.json"}[self.connector_offset]
+                "pgoutput": "postgres_offset.json",
+                "mongodb": "mongodb_resume_token.json"}[self.connector_offset]
         return os.path.join(self.checkpoint_dir, name)
 
     def binlog_offset(self):
@@ -133,6 +134,13 @@ class StreamingPipeline:
             from ..sources.pgoutput import PostgresOffset
 
             return PostgresOffset.from_json(text)
+        if self.connector_offset == "mongodb":
+            import json as _j
+
+            from ..sources.mongodb import ChangeStreamOffset
+
+            d = _j.loads(text)
+            return ChangeStreamOffset(int(d["timestamp"]), d["resumeToken"])
         from ..sources.mysql_binlog import BinlogOffset
 
         return BinlogOffset.from_json(text)
@@ -144,14 +152,22 @@ class StreamingPipeline:
         at-least-once discipline the snapshot watermarks use). Monotone —
         a replayed batch can never regress the stored position."""
         v = F.col(value_col)
-        if self.connector_offset == "pgoutput":
+        if self.connector_offset == "mongodb":
+            from ..sources.mongodb import _cluster_time_cols
+
+            _, ts64 = _cluster_time_cols(v)
+            fields = ["token", "ts64"]
+            probes = [F.get_json_object(v, "$._id._data").alias("token"),
+                      ts64.alias("ts64")]
+            key, order = "token", "ts64"
+        elif self.connector_offset == "pgoutput":
             fields = ["lsn", "tx", "ts_ms"]
             probes = [
                 F.get_json_object(v, "$.source.lsn").cast("long").alias("lsn"),
                 F.get_json_object(v, "$.source.txId").cast("long").alias("tx"),
                 F.get_json_object(v, "$.ts_ms").cast("long").alias("ts_ms"),
             ]
-            key = "lsn"
+            key, order = "lsn", "offset"
         else:
             fields = ["file", "pos", "gtids", "server_id"]
             probes = [
@@ -160,15 +176,25 @@ class StreamingPipeline:
                 F.get_json_object(v, "$.source.gtids").alias("gtids"),
                 F.get_json_object(v, "$.source.server_id").alias("server_id"),
             ]
-            key = "file"
-        row = (data_df.select(*probes, F.col("offset"))
-               .where(F.col(key).isNotNull())
+            key, order = "file", "offset"
+        sel = data_df.select(*probes, *(
+            [F.col("offset")] if order == "offset"
+            and "offset" in data_df.columns else []))
+        row = (sel.where(F.col(key).isNotNull())
                .agg(F.max_by(F.struct(*[F.col(c) for c in fields]),
-                             F.col("offset")).alias("m")).collect())
+                             F.col(order)).alias("m")).collect())
         m = row[0]["m"] if row else None
         if m is None or m[key] is None:
             return
-        if self.connector_offset == "pgoutput":
+        if self.connector_offset == "mongodb":
+            import json as _j
+
+            from ..sources.mongodb import ChangeStreamOffset
+
+            new = ChangeStreamOffset(
+                int(m["ts64"]),
+                _j.dumps({"_data": m["token"]}, separators=(",", ":")))
+        elif self.connector_offset == "pgoutput":
             from ..sources.pgoutput import PostgresOffset
 
             new = PostgresOffset(int(m["lsn"]),
@@ -183,6 +209,18 @@ class StreamingPipeline:
                                   server_id=m["server_id"])
         cur = self.binlog_offset()
         if cur is not None and new.compare(cur) <= 0:
+            return
+        if self.connector_offset == "mongodb":
+            import json as _j
+
+            payload = _j.dumps({"timestamp": str(new.timestamp),
+                                "resumeToken": new.resume_token_json},
+                               separators=(",", ":"))
+            os.makedirs(self.checkpoint_dir, exist_ok=True)
+            tmp = self._connector_offset_path() + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, self._connector_offset_path())
             return
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         tmp = self._connector_offset_path() + ".tmp"

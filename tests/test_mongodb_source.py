@@ -342,6 +342,11 @@ route:
     q = pipe.start(raw, tables)
     q.awaitTermination(120)
     assert sink.snapshot(TableId.parse("out.db.items")) == ["2, BIGNUT, 7"]
+    # the ChangeStreamOffset advanced to the last committed event: the
+    # max clusterTime (shifted into BsonTimestamp scale) and its token
+    off = pipe.binlog_offset()
+    assert off is not None and off.timestamp == 5 << 32
+    assert '"_data"' in off.resume_token_json
 
 
 def test_yaml_mongodb_discover_tables(spark, tmp_path):
