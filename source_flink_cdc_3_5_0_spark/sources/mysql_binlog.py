@@ -1394,7 +1394,7 @@ def decode_binlog(files: "DataFrame", database: str, table: str,
             recs: list[dict] = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 fname = str(path).rsplit("/", 1)[-1]
-                for c in binlog_changes(bytes(content), fname):
+                for c in iter_binlog_changes(bytes(content), fname):
                     if c["kind"] != "change":
                         continue
                     if c["database"] != database or c["table"] != table:
