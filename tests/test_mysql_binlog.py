@@ -923,6 +923,63 @@ sink: {{type: values}}
     assert looped.snapshot(tid) == direct.snapshot(tid)
 
 
+def test_binlog_stream_restart_resumes(spark, tmp_path):
+    """Stop/restart with the same checkpoint: already-consumed binlog
+    files never re-deliver, new files do, and the persisted BinlogOffset
+    only advances."""
+    import json
+
+    from source_flink_cdc_3_5_0_spark.common import TableId
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline)
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+
+    cols = (BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),
+            BinlogColumn("v", MYSQL_TYPE_VARCHAR, (255,)))
+    tmap = BinlogTableMap(3, "d", "t", cols, (0,))
+    src = tmp_path / "binlog"
+    src.mkdir()
+    w = BinlogWriter()
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=1, v="a")])
+    w.rotate("mysql-bin.000002")
+    (src / "mysql-bin.000001").write_bytes(w.getvalue())
+
+    yaml_text = f"""
+source:
+  type: mysql-binlog-file
+  path: {src}
+  tables: '{json.dumps({"d.t": "id INT, v STRING"})}'
+  primary-keys: '{{"d.t": ["id"]}}'
+  checkpoint: {tmp_path}/ckpt
+sink: {{type: values}}
+"""
+    # run 1
+    sink = MemorySink()
+    pipe, raw, tables = PipelineComposer(spark).compose_streaming(
+        parse_yaml_pipeline(yaml_text), sink=sink)
+    pipe.start(raw, tables).awaitTermination(120)
+    tid = TableId.parse("d.t")
+    assert sink.snapshot(tid) == ["1, a"]
+    off1 = pipe.binlog_offset()
+    assert off1.filename == "mysql-bin.000001"
+
+    # new file lands; restart with the SAME checkpoint and a FRESH sink —
+    # if file 1 re-delivered, id=1 would reappear in the fresh sink
+    w2 = BinlogWriter()
+    w2.table_map(tmap)
+    w2.rows(tmap, WRITE_ROWS_EVENT, [dict(id=2, v="b")])
+    (src / "mysql-bin.000002").write_bytes(w2.getvalue())
+    sink2 = MemorySink()
+    pipe2, raw2, tables2 = PipelineComposer(spark).compose_streaming(
+        parse_yaml_pipeline(yaml_text), sink=sink2)
+    pipe2.start(raw2, tables2).awaitTermination(120)
+    assert sink2.snapshot(tid) == ["2, b"]  # only the NEW file's data
+    off2 = pipe2.binlog_offset()
+    assert off2.filename == "mysql-bin.000002"
+    assert off1.compare(off2) == -1  # the persisted offset advanced
+
+
 def test_binlog_schema_events_across_rotation(tmp_path):
     tmap = _wide_table()
     w1 = BinlogWriter()
