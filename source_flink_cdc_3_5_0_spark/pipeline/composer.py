@@ -454,6 +454,13 @@ class PipelineComposer:
                 from ..sources.pgoutput import pgoutput_infer_tables
 
                 inferred, ipks = pgoutput_infer_tables(files)
+            if not inferred and not (
+                    opts.get("discover-tables", "false").lower() == "true"):
+                raise ValueError(
+                    "wire-native table inference found no tables under "
+                    f"{opts['path']!r} — declare `tables` in the YAML, "
+                    "start after the first capture file lands, or set "
+                    "discover-tables: true")
             opts["tables"] = json.dumps(inferred)
             opts.setdefault("primary-keys", json.dumps(ipks))
 

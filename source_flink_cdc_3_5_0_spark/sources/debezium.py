@@ -79,6 +79,7 @@ def decode_dbz_envelope(raw: DataFrame, payload_schema: T.StructType,
         T.StructField("after", wire_schema(payload_schema), True),
         T.StructField("op", T.StringType(), True),
         T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("seq", T.LongType(), True),
         T.StructField("source", T.StructType([
             T.StructField(f, T.StringType(), True) for f in source_fields
         ]), True),
@@ -93,7 +94,10 @@ def decode_dbz_envelope(raw: DataFrame, payload_schema: T.StructType,
         *[F.when(F.col("v.op") == k, F.lit(v)) for k, v in _DEBEZIUM_OPS.items()]
     )
     image = F.when(F.col("v.op") == "d", F.col("v.before")).otherwise(F.col("v.after"))
-    seq = F.col("offset") if "offset" in raw.columns else F.col("v.ts_ms")
+    # per-key ordering: the transport offset, else the envelope's explicit
+    # seq (spooled streams carry the upstream __seq there), else ts_ms
+    seq = (F.col("offset") if "offset" in raw.columns
+           else F.coalesce(F.col("v.seq"), F.col("v.ts_ms")))
     out = parsed.select(
         image.alias("__row"),
         op.alias(OP_COL),
@@ -190,20 +194,21 @@ def encode_debezium(df: DataFrame, table_id: TableId, schema: Schema,
         F.lit(table_id.schema_name or None).cast("string").alias("schema"),
         F.lit(table_id.table_name).alias("table"),
     )
-    # ts_ms carries the envelope's ordering coordinate: the upstream
-    # ``__seq`` when the frame has one (a re-ingested spool then preserves
-    # the EXACT original order — decode's seq fallback reads ts_ms), else
-    # the connector op_ts from __meta in millis
-    if SEQ_COL in df.columns:
-        ts_ms = F.col(SEQ_COL)
-    elif META_COL in df.columns:
+    # ts_ms keeps its debezium TIMESTAMP semantics (connector op_ts in
+    # millis — external consumers read it as a date); the upstream __seq
+    # rides a DEDICATED seq field so a re-ingested spool preserves the
+    # exact original order without corrupting op_ts projections
+    if META_COL in df.columns:
         ts_ms = (F.element_at(F.col(META_COL), "op_ts").cast("long")
                  * F.lit(1000))
     else:
         ts_ms = F.lit(None).cast("long")
+    seq_field = ([F.col(SEQ_COL).alias("seq")]
+                 if SEQ_COL in df.columns else [])
     value = F.to_json(F.struct(
         before.alias("before"), after.alias("after"),
-        dbz_op.alias("op"), ts_ms.alias("ts_ms"), source.alias("source"),
+        dbz_op.alias("op"), ts_ms.alias("ts_ms"), *seq_field,
+        source.alias("source"),
     ))
     pks = [k for k in schema.primary_keys if k in df.columns] or phys
     key = (key_col if key_col is not None

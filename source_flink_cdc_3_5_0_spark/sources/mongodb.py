@@ -275,11 +275,18 @@ def decode_resume_token_timestamp(token) -> int:
     mongo-kafka, Apache-2.0 docs). Accepts the token document
     ``{"_data": "hex"}`` or the bare hex string.
     """
-    data = token.get("_id", token).get("_data") if isinstance(token, dict) \
-        else token
-    if isinstance(data, dict):  # {"_data": ...} nested once more
+    data = token
+    if isinstance(data, dict):
+        data = data.get("_id", data)
+    if isinstance(data, dict):  # {"_data": ...} (possibly nested in _id)
         data = data.get("_data")
-    raw = bytes.fromhex(data)
+    if not isinstance(data, str):
+        raise ValueError("not a change-stream resume token shape: %r"
+                         % type(token).__name__)
+    try:
+        raw = bytes.fromhex(data)
+    except ValueError:
+        raise ValueError("resume token _data is not hex: %r" % data[:40])
     if len(raw) < 9 or raw[0] != 130:
         raise ValueError("not a change-stream resume token (lead byte "
                          "0x%02x)" % (raw[0] if raw else 0xFF))
@@ -311,6 +318,18 @@ class ChangeStreamOffset:
     def offset_map(self) -> dict:
         return {"timestamp": str(self.timestamp),
                 "resumeToken": self.resume_token_json}
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(self.offset_map(), separators=(",", ":"))
+
+    @classmethod
+    def from_json(cls, s: str) -> "ChangeStreamOffset":
+        import json
+
+        d = json.loads(s)
+        return cls(int(d["timestamp"]), d.get("resumeToken"))
 
     def compare(self, that: "ChangeStreamOffset") -> int:
         return (self.timestamp > that.timestamp) \

@@ -1685,11 +1685,15 @@ def binlog_infer_tables(paths: list[str]
     for p in sorted(paths, key=lambda s: _file_ordinal(s.rsplit("/", 1)[-1])):
         with open(p, "rb") as fh:
             reader = BinlogReader(fh.read())
-        for ev in reader.events():
+        # scan ONLY the TABLE_MAP events — row payloads are never decoded,
+        # so a multi-GiB file costs one framing pass on the driver, not a
+        # full cell decode
+        for ev in reader._events_raw():
             if ev.type_byte != TABLE_MAP_EVENT:
                 continue
-            tmap: BinlogTableMap = ev.fields["table"]
-            ddl = ", ".join("%s %s" % (c.name, binlog_column_spark_ddl(c))
+            tmap = reader._decode_table_map(ev)
+            ddl = ", ".join("`%s` %s" % (c.name.replace("`", "``"),
+                                         binlog_column_spark_ddl(c))
                             for c in tmap.columns)
             tables[tmap.qualified] = ddl
             if tmap.pk_indexes:

@@ -671,28 +671,39 @@ def read_pgoutput_files(spark, path: str):
 def pgoutput_infer_tables(paths: list[str]
                           ) -> tuple[dict[str, str], dict[str, list[str]]]:
     """Driver-side schema discovery from Relation messages: returns the
-    YAML surface's ``tables`` (table-id -> Spark DDL) and ``primary-keys``
-    maps. Later Relation re-descriptions win (schema evolution)."""
+    YAML surface's ``tables`` (table-id -> Spark DDL, identifiers
+    backtick-quoted) and ``primary-keys`` maps. Later Relation
+    re-descriptions win (schema evolution), with files walked in the
+    numeric-suffix-aware order the stream consumes them; streamed-block
+    (v2 xid-prefixed) Relations parse correctly by tracking Stream
+    Start/Stop context — same as the full decoder."""
+    from .mysql_binlog import _file_sort_key
+
     tables: dict[str, str] = {}
     pks: dict[str, list[str]] = {}
-    for p in sorted(paths):
+    for p in sorted(paths, key=lambda q: _file_sort_key(q.rsplit("/", 1)[-1])):
         with open(p, "rb") as fh:
             data = fh.read()
         pos = 0
-        # reuse the full decoder for relation registry behavior: walk the
-        # frames but only look at what Relation messages left behind
+        in_stream = False
         rels: dict[int, PgRelation] = {}
         while pos < len(data):
             lsn, ln = struct.unpack_from(">QI", data, pos)
             pos += 12
             msg = data[pos:pos + ln]
             pos += ln
-            if msg[:1] != b"R":
+            tag = msg[:1]
+            if tag == b"S":
+                in_stream = True
                 continue
-            # xid-prefixed (streamed) Relations aren't distinguishable
-            # without stream context; capture tools emit them unprefixed
-            oid = struct.unpack_from(">I", msg, 1)[0]
-            p2 = 5
+            if tag == b"E":
+                in_stream = False
+                continue
+            if tag != b"R":
+                continue
+            voff = 4 if in_stream else 0  # v2 xid prefix inside streams
+            oid = struct.unpack_from(">I", msg, 1 + voff)[0]
+            p2 = 5 + voff
             ns, p2 = _read_cstr(msg, p2)
             name, p2 = _read_cstr(msg, p2)
             ident = chr(msg[p2]); p2 += 1
@@ -706,7 +717,8 @@ def pgoutput_infer_tables(paths: list[str]
             rels[oid] = PgRelation(oid, ns, name, ident, tuple(cols))
         for rel in rels.values():
             tables[rel.qualified] = ", ".join(
-                "%s %s" % (c.name, oid_to_spark_ddl(c.type_oid, c.type_mod))
+                "`%s` %s" % (c.name.replace("`", "``"),
+                             oid_to_spark_ddl(c.type_oid, c.type_mod))
                 for c in rel.columns)
             if rel.key_names:
                 pks[rel.qualified] = list(rel.key_names)

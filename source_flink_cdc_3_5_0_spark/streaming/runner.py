@@ -135,12 +135,9 @@ class StreamingPipeline:
 
             return PostgresOffset.from_json(text)
         if self.connector_offset == "mongodb":
-            import json as _j
-
             from ..sources.mongodb import ChangeStreamOffset
 
-            d = _j.loads(text)
-            return ChangeStreamOffset(int(d["timestamp"]), d["resumeToken"])
+            return ChangeStreamOffset.from_json(text)
         from ..sources.mysql_binlog import BinlogOffset
 
         return BinlogOffset.from_json(text)
@@ -194,6 +191,7 @@ class StreamingPipeline:
             new = ChangeStreamOffset(
                 int(m["ts64"]),
                 _j.dumps({"_data": m["token"]}, separators=(",", ":")))
+            # falls through to the shared monotone-clamp + atomic persist
         elif self.connector_offset == "pgoutput":
             from ..sources.pgoutput import PostgresOffset
 
@@ -209,18 +207,6 @@ class StreamingPipeline:
                                   server_id=m["server_id"])
         cur = self.binlog_offset()
         if cur is not None and new.compare(cur) <= 0:
-            return
-        if self.connector_offset == "mongodb":
-            import json as _j
-
-            payload = _j.dumps({"timestamp": str(new.timestamp),
-                                "resumeToken": new.resume_token_json},
-                               separators=(",", ":"))
-            os.makedirs(self.checkpoint_dir, exist_ok=True)
-            tmp = self._connector_offset_path() + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(payload)
-            os.replace(tmp, self._connector_offset_path())
             return
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         tmp = self._connector_offset_path() + ".tmp"

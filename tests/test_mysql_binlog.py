@@ -827,8 +827,8 @@ def test_wire_native_table_inference(spark, tmp_path):
     (src / "mysql-bin.000001").write_bytes(w.getvalue())
 
     tables, pks = binlog_infer_tables([str(src / "mysql-bin.000001")])
-    assert tables == {"shop.skus":
-                      "id int, uid bigint, price decimal(10,2), name string"}
+    assert tables == {"shop.skus": "`id` int, `uid` bigint, "
+                      "`price` decimal(10,2), `name` string"}
     assert pks == {"shop.skus": ["id"]}
 
     yaml_text = f"""

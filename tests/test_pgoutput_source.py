@@ -180,7 +180,8 @@ def test_wire_native_table_inference(spark, tmp_path):
     (src / "c1.pgout").write_bytes(w.getvalue())
 
     tables, pks = pgoutput_infer_tables([str(src / "c1.pgout")])
-    assert tables == {"public.skus": "id int, price decimal(10,2), name string"}
+    assert tables == {"public.skus":
+                      "`id` int, `price` decimal(10,2), `name` string"}
     assert pks == {"public.skus": ["id"]}
 
     yaml_text = f"""
@@ -196,6 +197,44 @@ sink: {{type: values}}
     q = pipe.start(raw, tables)
     q.awaitTermination(120)
     assert sink.snapshot(TableId.parse("public.skus")) == ["1, 9.99, a"]
+
+
+def test_inference_streamed_relation_and_empty_dir(spark, tmp_path):
+    """Inference parses v2 xid-prefixed Relations inside streamed blocks,
+    and an empty capture dir fails loudly instead of composing a pipeline
+    that silently drops everything."""
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline)
+    from source_flink_cdc_3_5_0_spark.sources.pgoutput import (
+        pgoutput_infer_tables)
+
+    rel = PgRelation(93, "public", "streamed", "d", (
+        PgColumn("id", OID_INT4, key=True), PgColumn("v", OID_TEXT)))
+    src = tmp_path / "wal"
+    src.mkdir()
+    w = PgOutputWriter()
+    w.stream_start(950)
+    w.relation(rel)  # xid-prefixed on the wire
+    w.insert(rel, dict(id=1, v="x"))
+    w.stream_stop()
+    w.stream_commit(950)
+    (src / "c1.pgout").write_bytes(w.getvalue())
+    tables, pks = pgoutput_infer_tables([str(src / "c1.pgout")])
+    assert tables == {"public.streamed": "`id` int, `v` string"}
+    assert pks == {"public.streamed": ["id"]}
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    yaml_text = f"""
+source:
+  type: pgoutput-file
+  path: {empty}
+  checkpoint: {tmp_path}/ckpt2
+sink: {{type: values}}
+"""
+    with pytest.raises(ValueError, match="found no tables"):
+        PipelineComposer(spark).compose_streaming(
+            parse_yaml_pipeline(yaml_text))
 
 
 def test_unchanged_toast_never_null():
