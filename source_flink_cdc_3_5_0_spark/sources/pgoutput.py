@@ -278,6 +278,21 @@ class PgOutputWriter:
     def origin(self, name: str) -> int:
         return self._frame(b"O" + struct.pack(">Q", self._lsn) + _cstr(name))
 
+    def message(self, prefix: str, content: bytes,
+                transactional: bool = True) -> int:
+        """'M': pg_logical_emit_message — flags u8 (1 = transactional),
+        message LSN u64, prefix cstring, u32 length + content."""
+        msg = b"M" + self._dml_prefix()
+        msg += struct.pack(">BQ", 1 if transactional else 0, self._lsn)
+        msg += _cstr(prefix) + struct.pack(">I", len(content)) + content
+        return self._frame(msg)
+
+    def type_message(self, oid: int, namespace: str, name: str) -> int:
+        """'Y': declares a user-defined type's oid -> (namespace, name)."""
+        return self._frame(b"Y" + self._dml_prefix()
+                           + struct.pack(">I", oid)
+                           + _cstr(namespace) + _cstr(name))
+
     # -- protocol v2: streamed in-progress transactions ---------------------
 
     def stream_start(self, xid: int, first_segment: bool = True) -> int:
@@ -587,7 +602,23 @@ def iter_pgoutput_changes(data: bytes) -> "Iterator[dict]":
                     emit({"kind": "truncate",
                           "database": rel.namespace,
                           "table": rel.name, **base(lsn)})
-        # O (origin), Y (type), M (message): positional no-ops here
+        elif tag == "M":
+            voff2 = 4 if cur_stream is not None else 0
+            p2 = 1 + voff2
+            transactional = bool(msg[p2])
+            mlsn = struct.unpack_from(">Q", msg, p2 + 1)[0]
+            prefix, p2 = _read_cstr(msg, p2 + 9)
+            clen = struct.unpack_from(">I", msg, p2)[0]
+            content = bytes(msg[p2 + 4:p2 + 4 + clen])
+            rec = {"kind": "message", "prefix": prefix, "content": content,
+                   "transactional": transactional, **base(mlsn)}
+            if transactional:
+                emit(rec)  # surfaces only if the txn commits
+            else:
+                rec["commit_lsn"] = mlsn
+                out.append(rec)
+        # O (origin), Y (type): positional no-ops here ('Y' merely names
+        # custom type oids — unknown oids already decode as strings)
         # drain committed records, assigning the tie-break index within
         # each commit group (records sharing commit_lsn keep their
         # intra-transaction order downstream)
@@ -770,6 +801,12 @@ def pgoutput_to_debezium_json(files, start_lsn: int | None = None):
                         continue
                     seq = pgoutput_seq(c["commit_lsn"], c["idx"])
                     ts_ms = (c["ts_usec"] or 0) // 1000
+                    if c["kind"] == "message":
+                        # pg_logical_emit_message: application signal, not
+                        # table data — no table to route it to (Debezium
+                        # ships these on a side topic); skipped here,
+                        # available via iter_pgoutput_changes
+                        continue
                     if c["kind"] == "schema":
                         rec = {"ddl": c["ddl"], "ts_ms": ts_ms, "seq": seq}
                     elif c["kind"] == "truncate":

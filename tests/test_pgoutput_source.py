@@ -458,3 +458,28 @@ sink: {{type: values}}
     off = pipe.binlog_offset()
     assert isinstance(off, PostgresOffset) and off.lsn > 0
     assert decimal.Decimal("25.00") is not None  # keep the import honest
+
+
+def test_logical_messages():
+    """'M' (pg_logical_emit_message): transactional messages surface only
+    at commit; non-transactional ones immediately; aborted streams drop
+    theirs; the bridge skips them (no table to route to)."""
+    rel = PgRelation(95, "public", "t", "d",
+                     (PgColumn("id", OID_INT4, key=True),))
+    w = PgOutputWriter()
+    w.relation(rel)
+    w.message("audit", b"outside-txn", transactional=False)
+    w.begin()
+    w.insert(rel, dict(id=1))
+    w.message("audit", b"in-txn")
+    w.commit()
+    w.stream_start(970)
+    w.message("audit", b"aborted")
+    w.stream_stop()
+    w.stream_abort(970)
+    changes = pgoutput_changes(w.getvalue())
+    msgs = [c for c in changes if c["kind"] == "message"]
+    assert [(m["prefix"], m["content"], m["transactional"]) for m in msgs] \
+        == [("audit", b"outside-txn", False), ("audit", b"in-txn", True)]
+    # the aborted stream's message never surfaced
+    assert not any(c.get("content") == b"aborted" for c in changes)
