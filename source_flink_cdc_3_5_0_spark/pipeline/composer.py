@@ -405,7 +405,8 @@ class PipelineComposer:
     # -- streaming YAML surface -------------------------------------------
     STREAMING_SOURCE_TYPES = ("debezium-file", "mongodb-file",
                               "vitess-file", "mysql-binlog-file",
-                              "pgoutput-file", "kafka")
+                              "pgoutput-file", "sqlserver-cdc-file",
+                              "kafka")
 
     def is_streaming(self, pdef: PipelineDef) -> bool:
         return pdef.source.type.lower() in self.STREAMING_SOURCE_TYPES
@@ -479,7 +480,8 @@ class PipelineComposer:
             serialization=opts.get(
                 "serialization",
                 {"mongodb-file": "mongodb-json",
-                 "vitess-file": "vitess-json"}.get(
+                 "vitess-file": "vitess-json",
+                 "sqlserver-cdc-file": "sqlserver-cdc-json"}.get(
                     pdef.source.type.lower(), "debezium-json")),
             discover_tables=opts.get("discover-tables", "false").lower() == "true",
             # VitessSource stopOnReshard (default false) — only meaningful
@@ -490,7 +492,8 @@ class PipelineComposer:
             # (BinlogOffset / PostgresOffset)
             connector_offset={"mysql-binlog-file": "mysql-binlog",
                               "pgoutput-file": "pgoutput",
-                              "mongodb-file": "mongodb"}.get(
+                              "mongodb-file": "mongodb",
+                              "sqlserver-cdc-file": "sqlserver"}.get(
                 pdef.source.type.lower()),
         )
         t = pdef.source.type.lower()
@@ -521,7 +524,8 @@ class PipelineComposer:
             raw = pgoutput_to_debezium_json(
                 pgoutput_stream_source(self.spark, opts["path"]),
                 start_lsn=int(start_lsn) if start_lsn is not None else None)
-        elif t in ("debezium-file", "mongodb-file", "vitess-file"):
+        elif t in ("debezium-file", "mongodb-file", "vitess-file",
+                   "sqlserver-cdc-file"):
             raw = file_stream_source(self.spark, opts["path"])
         else:
             from ..sources.jdbc import StartupOptions

@@ -102,6 +102,22 @@ class LsnOffset:
             out["event_serial_no"] = str(self.event_serial_no)
         return out
 
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(self.offset_map(), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "LsnOffset":
+        import json
+
+        d = json.loads(s)
+        return cls(Lsn.valueOf(d.get("change_lsn")),
+                   Lsn.valueOf(d.get("commit_lsn"))
+                   if "commit_lsn" in d else None,
+                   int(d["event_serial_no"])
+                   if "event_serial_no" in d else None)
+
     def compare(self, that: "LsnOffset") -> int:
         ns = LsnOffset.no_stopping()
         if self == ns and that == ns:

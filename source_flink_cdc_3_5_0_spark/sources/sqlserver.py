@@ -1,0 +1,202 @@
+"""SQL Server CDC source: change-table decode (the real capture path).
+
+Parity target: the reference vendors Debezium's
+`io.debezium.connector.sqlserver.SqlServerStreamingChangeEventSource`
+(`flink-cdc-connect/flink-cdc-source-connectors/flink-connector-sqlserver-
+cdc/src/main/java/io/debezium/connector/sqlserver/
+SqlServerStreamingChangeEventSource.java`): SQL Server CDC works by the
+agent materializing every change into a per-table CHANGE TABLE, polled via
+``cdc.fn_cdc_get_all_changes_<capture_instance>`` between LSNs. Each polled
+row carries:
+
+- ``__$start_lsn`` — the transaction's commit LSN (10 bytes, rendered as
+  fixed-width hex; lexical order IS numeric order);
+- ``__$seqval`` — the row's sequence value within the transaction
+  (an UPDATE's before and after rows SHARE one seqval);
+- ``__$operation`` — 1 DELETE, 2 INSERT, 3 UPDATE_BEFORE, 4 UPDATE_AFTER
+  (`SqlServerChangeRecordEmitter.OP_*`, consumed at
+  `SqlServerStreamingChangeEventSource.java:391-440` where the paired
+  3-then-4 rows become one update);
+- ``__$update_mask`` — a bitmask of captured columns that changed.
+
+This module decodes captured/scripted change-table rows (JSON lines:
+``{"db","schema","table","row":{…}}`` — the honest capture of a polled
+relational table) into the engine changelog envelope with a SINGLE
+``from_json`` + window plan — pure Catalyst codegen, no Python in the data
+path, unlike the binary wire sources. The update before-image attaches via
+a lag window over (lsn, seqval). DDL never flows in-band (SQL Server
+requires a new capture instance for schema changes — reference behavior),
+so there is no schema-event stream here.
+
+Offsets are the 10-byte LSNs already modeled in
+:mod:`.legacy_offsets` (`LsnOffset.java` parity); the YAML surface is
+``type: sqlserver-cdc-file`` and the max commit LSN persists per committed
+batch through the runner's shared connector-offset hook.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+
+from ..common.events import BEFORE_COL, META_COL, OP_COL
+from .base import SEQ_COL
+
+#: change-table metadata columns (sys.sp_cdc_enable_table output shape)
+LSN_COL = "__$start_lsn"
+SEQVAL_COL = "__$seqval"
+OPERATION_COL = "__$operation"
+UPDATE_MASK_COL = "__$update_mask"
+
+_OPS = {1: "-D", 2: "+I", 3: "-U", 4: "+U"}
+
+
+def _wire_row_schema(payload: T.StructType) -> T.StructType:
+    return T.StructType(list(payload.fields) + [
+        T.StructField(LSN_COL, T.StringType(), False),
+        T.StructField(SEQVAL_COL, T.StringType(), False),
+        T.StructField(OPERATION_COL, T.IntegerType(), False),
+        T.StructField(UPDATE_MASK_COL, T.StringType(), True),
+    ])
+
+
+def sqlserver_cdc_seq(lsn: Column, seqval: Column, operation: Column) -> Column:
+    """Monotone int64 ``__seq`` from (commit LSN, seqval, op).
+
+    Budget: the LSN's low 44 bits (11 hex chars — ~16 TB of log address
+    space before the truncated window wraps; full fixed-width-hex lexical
+    order is preserved in ``__meta`` for audits), seqval's low 18 bits
+    (262k rows per transaction before in-transaction truncation), and the
+    -U-before-+U bit. 44+18+1 = 63.
+    """
+    lsn_part = F.conv(F.substring(lsn, -11, 11), 16, 10).cast("long")
+    seq_part = F.conv(F.substring(seqval, -5, 5), 16, 10).cast("long") \
+        .bitwiseAND(F.lit((1 << 18) - 1))
+    op_bit = F.when(operation == 3, F.lit(0)).otherwise(F.lit(1))
+    return (F.shiftleft(lsn_part, 19)
+            + F.shiftleft(seq_part, 1) + op_bit).cast("long")
+
+
+def changed_columns(mask: Column, payload: T.StructType) -> Column:
+    """``__$update_mask`` hex -> csv of changed captured-column names.
+
+    Bit i (LSB-first) marks the i-th captured column. Masks wider than 64
+    bits (tables >64 captured columns) keep only the low 64 — documented
+    truncation; the mask is advisory metadata, never load-bearing.
+    """
+    bits = F.conv(F.substring(mask, -16, 16), 16, 10).cast("long")
+    names = [F.when(bits.bitwiseAND(F.lit(1 << i)) != 0, F.lit(f.name))
+             for i, f in enumerate(payload.fields[:64])]
+    return F.concat_ws(",", *names)
+
+
+def decode_sqlserver_cdc(raw: DataFrame, payload_schema: T.StructType,
+                         value_col: str = "value") -> DataFrame:
+    """Captured change-table JSON lines -> engine changelog envelope.
+
+    ONE ``from_json`` projection + ONE (lsn, seqval) window: the paired
+    UPDATE rows (op 3 then 4, same seqval) become -U and +U with the
+    before-image attached to +U via ``lag`` — entirely JVM codegen, the
+    per-key state is one row. ``__meta`` carries lsn/seqval/operation plus
+    the decoded changed-column list.
+    """
+    env = T.StructType([
+        T.StructField("db", T.StringType(), True),
+        T.StructField("schema", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("row", _wire_row_schema(payload_schema), True),
+    ])
+    v = F.from_json(F.col(value_col).cast("string"), env)
+    parsed = raw.select(v.alias("v")).select("v.*").where(
+        F.col("row").isNotNull())
+    payload_cols = [f.name for f in payload_schema.fields]
+    image = F.struct(*[F.col(f"row.{c}").alias(c) for c in payload_cols])
+    op_num = F.col(f"row.{OPERATION_COL}")
+    op = F.coalesce(*[F.when(op_num == k, F.lit(t))
+                      for k, t in _OPS.items()])
+    w = (Window.partitionBy(F.col(f"row.{LSN_COL}"),
+                            F.col(f"row.{SEQVAL_COL}"))
+         .orderBy(op_num))
+    prev_op = F.lag(op_num).over(w)
+    prev_img = F.lag(image).over(w)
+    before = F.when((op_num == 4) & (prev_op == 3), prev_img)
+    meta = F.map_from_arrays(
+        F.array(F.lit("lsn"), F.lit("seqval"), F.lit("operation"),
+                F.lit("updated_columns"), F.lit("db"), F.lit("table")),
+        F.array(F.col(f"row.{LSN_COL}"), F.col(f"row.{SEQVAL_COL}"),
+                op_num.cast("string"),
+                changed_columns(F.col(f"row.{UPDATE_MASK_COL}"),
+                                payload_schema),
+                F.col("db"), F.col("table")))
+    out = parsed.select(
+        image.alias("__row"),
+        op.alias(OP_COL),
+        before.alias(BEFORE_COL),
+        meta.alias(META_COL),
+        sqlserver_cdc_seq(F.col(f"row.{LSN_COL}"),
+                          F.col(f"row.{SEQVAL_COL}"), op_num)
+        .alias(SEQ_COL),
+    )
+    return out.select("__row.*", OP_COL, BEFORE_COL, META_COL, SEQ_COL)
+
+
+# ---------------------------------------------------------------------------
+# fixture writer (the capture path's stand-in, like the other wire writers)
+# ---------------------------------------------------------------------------
+
+
+def render_lsn(n: int) -> str:
+    """int -> the 10-byte LSN's fixed-width 20-char hex rendering."""
+    return "%020X" % n
+
+
+class SqlServerCdcWriter:
+    """Produce capture lines exactly as a change-table poll would return
+    them: one JSON object per row with the ``__$`` metadata columns.
+    UPDATE emits the paired op-3/op-4 rows sharing one seqval."""
+
+    def __init__(self, db: str = "testdb", schema: str = "dbo"):
+        self.db, self.schema = db, schema
+        self._lsn = 0x1000
+        self._seq = 0
+        self.lines: list[str] = []
+
+    def begin_txn(self) -> str:
+        """New commit LSN; rows until the next begin share it."""
+        self._lsn += 0x10
+        self._seq = 0
+        return render_lsn(self._lsn)
+
+    def _emit(self, table: str, op: int, row: dict, mask: int) -> None:
+        import json
+
+        self._seq += 1
+        rec = {"db": self.db, "schema": self.schema, "table": table,
+               "row": {**row, LSN_COL: render_lsn(self._lsn),
+                       SEQVAL_COL: render_lsn(self._seq),
+                       OPERATION_COL: op,
+                       UPDATE_MASK_COL: "%X" % mask}}
+        self.lines.append(json.dumps(rec, separators=(",", ":")))
+
+    def insert(self, table: str, row: dict, n_cols: int | None = None) -> None:
+        self._emit(table, 2, row, (1 << (n_cols or len(row))) - 1)
+
+    def delete(self, table: str, row: dict, n_cols: int | None = None) -> None:
+        self._emit(table, 1, row, (1 << (n_cols or len(row))) - 1)
+
+    def update(self, table: str, before: dict, after: dict,
+               changed_mask: int) -> None:
+        # the pair shares ONE seqval (wire behavior)
+        self._seq += 1
+        seq = self._seq
+        import json
+
+        for op, row in ((3, before), (4, after)):
+            rec = {"db": self.db, "schema": self.schema, "table": table,
+                   "row": {**row, LSN_COL: render_lsn(self._lsn),
+                           SEQVAL_COL: render_lsn(seq),
+                           OPERATION_COL: op,
+                           UPDATE_MASK_COL: "%X" % changed_mask}}
+            self.lines.append(json.dumps(rec, separators=(",", ":")))
+
+    def getvalue(self) -> str:
+        return "\n".join(self.lines)

@@ -118,7 +118,8 @@ class StreamingPipeline:
     def _connector_offset_path(self) -> str:
         name = {"mysql-binlog": "mysql_binlog_offset.json",
                 "pgoutput": "postgres_offset.json",
-                "mongodb": "mongodb_resume_token.json"}[self.connector_offset]
+                "mongodb": "mongodb_resume_token.json",
+                "sqlserver": "sqlserver_lsn_offset.json"}[self.connector_offset]
         return os.path.join(self.checkpoint_dir, name)
 
     def binlog_offset(self):
@@ -138,6 +139,10 @@ class StreamingPipeline:
             from ..sources.mongodb import ChangeStreamOffset
 
             return ChangeStreamOffset.from_json(text)
+        if self.connector_offset == "sqlserver":
+            from ..sources.legacy_offsets import LsnOffset
+
+            return LsnOffset.from_json(text)
         from ..sources.mysql_binlog import BinlogOffset
 
         return BinlogOffset.from_json(text)
@@ -149,7 +154,13 @@ class StreamingPipeline:
         at-least-once discipline the snapshot watermarks use). Monotone —
         a replayed batch can never regress the stored position."""
         v = F.col(value_col)
-        if self.connector_offset == "mongodb":
+        if self.connector_offset == "sqlserver":
+            # fixed-width hex: lexical max IS the numeric max
+            fields = ["lsn"]
+            probes = [F.get_json_object(v, "$.row['__$start_lsn']")
+                      .alias("lsn")]
+            key, order = "lsn", "lsn"
+        elif self.connector_offset == "mongodb":
             from ..sources.mongodb import _cluster_time_cols
 
             _, ts64 = _cluster_time_cols(v)
@@ -183,7 +194,12 @@ class StreamingPipeline:
         m = row[0]["m"] if row else None
         if m is None or m[key] is None:
             return
-        if self.connector_offset == "mongodb":
+        if self.connector_offset == "sqlserver":
+            from ..sources.legacy_offsets import Lsn, LsnOffset
+
+            new = LsnOffset(Lsn.valueOf(None),
+                            Lsn(bytes.fromhex(m["lsn"])))
+        elif self.connector_offset == "mongodb":
             import json as _j
 
             from ..sources.mongodb import ChangeStreamOffset
@@ -365,6 +381,12 @@ class StreamingPipeline:
                     F.get_json_object(v, "$.source.table"),
                     F.coalesce(F.get_json_object(v, "$.after"),
                                F.get_json_object(v, "$.before")))
+        if serialization == "sqlserver-cdc-json":
+            # change-table capture lines: {"db","schema","table","row"}
+            return (F.get_json_object(v, "$.db"),
+                    F.get_json_object(v, "$.schema"),
+                    F.get_json_object(v, "$.table"),
+                    F.get_json_object(v, "$.row"))
         if serialization == "vitess-json":
             # Debezium vitess: source.keyspace stands where others put db
             return (F.get_json_object(v, "$.source.keyspace"), null_s,
@@ -516,6 +538,11 @@ class StreamingPipeline:
                 decode = (decode_debezium
                           if self.serialization == "debezium-json"
                           else decode_canal)
+                if self.serialization == "sqlserver-cdc-json":
+                    from ..sources.sqlserver import decode_sqlserver_cdc
+
+                    def decode(raw, struct_type, vc, _s=None):
+                        return decode_sqlserver_cdc(raw, struct_type, vc)
                 if self.serialization == "vitess-json":
                     from ..sources.vitess import decode_vstream as decode
                 if self.serialization == "mongodb-json":
