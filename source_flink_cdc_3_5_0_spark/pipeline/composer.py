@@ -406,7 +406,7 @@ class PipelineComposer:
     STREAMING_SOURCE_TYPES = ("debezium-file", "mongodb-file",
                               "vitess-file", "mysql-binlog-file",
                               "pgoutput-file", "sqlserver-cdc-file",
-                              "kafka")
+                              "db2-cdc-file", "kafka")
 
     def is_streaming(self, pdef: PipelineDef) -> bool:
         return pdef.source.type.lower() in self.STREAMING_SOURCE_TYPES
@@ -481,7 +481,8 @@ class PipelineComposer:
                 "serialization",
                 {"mongodb-file": "mongodb-json",
                  "vitess-file": "vitess-json",
-                 "sqlserver-cdc-file": "sqlserver-cdc-json"}.get(
+                 "sqlserver-cdc-file": "sqlserver-cdc-json",
+                 "db2-cdc-file": "db2-cdc-json"}.get(
                     pdef.source.type.lower(), "debezium-json")),
             discover_tables=opts.get("discover-tables", "false").lower() == "true",
             # VitessSource stopOnReshard (default false) — only meaningful
@@ -493,7 +494,8 @@ class PipelineComposer:
             connector_offset={"mysql-binlog-file": "mysql-binlog",
                               "pgoutput-file": "pgoutput",
                               "mongodb-file": "mongodb",
-                              "sqlserver-cdc-file": "sqlserver"}.get(
+                              "sqlserver-cdc-file": "sqlserver",
+                              "db2-cdc-file": "db2"}.get(
                 pdef.source.type.lower()),
         )
         t = pdef.source.type.lower()
@@ -525,7 +527,7 @@ class PipelineComposer:
                 pgoutput_stream_source(self.spark, opts["path"]),
                 start_lsn=int(start_lsn) if start_lsn is not None else None)
         elif t in ("debezium-file", "mongodb-file", "vitess-file",
-                   "sqlserver-cdc-file"):
+                   "sqlserver-cdc-file", "db2-cdc-file"):
             raw = file_stream_source(self.spark, opts["path"])
         else:
             from ..sources.jdbc import StartupOptions

@@ -1,0 +1,158 @@
+"""Db2 CDC source: ASN capture-table decode.
+
+Parity target: the reference vendors Debezium's Db2 connector
+(`flink-cdc-connect/flink-cdc-source-connectors/flink-connector-db2-cdc/
+src/main/java/io/debezium/connector/db2/Db2Connection.java:62-73`): Db2's
+SQL-Replication capture (ASNCDC) materializes changes into CD tables whose
+rows carry ``IBMSNAP_COMMITSEQ`` (commit sequence, 16-byte hex),
+``IBMSNAP_INTENTSEQ`` (statement sequence within the transaction) and a
+RAW ``IBMSNAP_OPERATION`` of just 'D' or 'I' — an UPDATE appears as a
+delete row immediately followed by an insert row. The reference's poll
+query classifies them with a LEAD/LAG CASE::
+
+    WHEN OP='D' AND LEAD(OP) OVER (PARTITION BY COMMITSEQ
+                                   ORDER BY INTENTSEQ)='I' THEN 3
+    WHEN OP='I' AND LAG(OP)  OVER (...)='D'                THEN 4
+    WHEN OP='D' THEN 1
+    WHEN OP='I' THEN 2
+
+reproduced here as the SAME window expressions in Catalyst (including its
+documented heuristic: a delete adjacent to an unrelated insert inside one
+transaction classifies as an update pair — wire-faithful, not "fixed").
+Downstream the 1/2/3/4 codes map to -D/+I/-U/+U exactly like the SQL
+Server sibling (`Db2StreamingChangeEventSource.java:294-338`), with the
+before-image attached to +U. Offsets are the same `LsnOffset` family.
+
+Capture lines: ``{"db","schema","table","row":{IBMSNAP_* + data cols}}``
+(the honest capture of a polled CD table); YAML ``type: db2-cdc-file``.
+No in-band DDL (SQL Replication re-registers tables for schema changes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+
+from ..common.events import BEFORE_COL, META_COL, OP_COL
+from .base import SEQ_COL
+
+COMMITSEQ_COL = "IBMSNAP_COMMITSEQ"
+INTENTSEQ_COL = "IBMSNAP_INTENTSEQ"
+OPERATION_COL = "IBMSNAP_OPERATION"
+
+_OPS = {1: "-D", 2: "+I", 3: "-U", 4: "+U"}
+
+
+def _wire_row_schema(payload: T.StructType) -> T.StructType:
+    return T.StructType(list(payload.fields) + [
+        T.StructField(COMMITSEQ_COL, T.StringType(), False),
+        T.StructField(INTENTSEQ_COL, T.StringType(), False),
+        T.StructField(OPERATION_COL, T.StringType(), False),
+    ])
+
+
+def db2_cdc_seq(commitseq: Column, intentseq: Column,
+                opcode: Column) -> Column:
+    """Monotone int64 ``__seq``: low 44 bits of the commit sequence, low
+    18 of the intent sequence, -U-before-+U bit (same budget discipline as
+    the SQL Server sibling; full hex order stays in ``__meta``)."""
+    c = F.conv(F.substring(commitseq, -11, 11), 16, 10).cast("long")
+    i = F.conv(F.substring(intentseq, -5, 5), 16, 10).cast("long") \
+        .bitwiseAND(F.lit((1 << 18) - 1))
+    op_bit = F.when(opcode == 3, F.lit(0)).otherwise(F.lit(1))
+    return (F.shiftleft(c, 19) + F.shiftleft(i, 1) + op_bit).cast("long")
+
+
+def decode_db2_cdc(raw: DataFrame, payload_schema: T.StructType,
+                   value_col: str = "value") -> DataFrame:
+    """Captured CD-table JSON lines -> engine changelog envelope.
+
+    ONE ``from_json`` + the reference poll query's LEAD/LAG opcode CASE +
+    a lag for the +U before-image — all Catalyst codegen.
+    """
+    env = T.StructType([
+        T.StructField("db", T.StringType(), True),
+        T.StructField("schema", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("row", _wire_row_schema(payload_schema), True),
+    ])
+    v = F.from_json(F.col(value_col).cast("string"), env)
+    parsed = raw.select(v.alias("v")).select("v.*").where(
+        F.col("row").isNotNull())
+    payload_cols = [f.name for f in payload_schema.fields]
+    image = F.struct(*[F.col(f"row.{c}").alias(c) for c in payload_cols])
+    raw_op = F.col(f"row.{OPERATION_COL}")
+    w = (Window.partitionBy(F.col(f"row.{COMMITSEQ_COL}"))
+         .orderBy(F.col(f"row.{INTENTSEQ_COL}")))
+    # the reference's exact classification (Db2Connection.java:64-69)
+    lead_op = F.lead(raw_op, 1, "X").over(w)
+    lag_op = F.lag(raw_op, 1, "X").over(w)
+    opcode = (F.when((raw_op == "D") & (lead_op == "I"), F.lit(3))
+              .when((raw_op == "I") & (lag_op == "D"), F.lit(4))
+              .when(raw_op == "D", F.lit(1))
+              .when(raw_op == "I", F.lit(2)))
+    op = F.coalesce(*[F.when(opcode == k, F.lit(t)) for k, t in _OPS.items()])
+    before = F.when(opcode == 4, F.lag(image).over(w))
+    meta = F.map_from_arrays(
+        F.array(F.lit("commitseq"), F.lit("intentseq"), F.lit("operation"),
+                F.lit("db"), F.lit("table")),
+        F.array(F.col(f"row.{COMMITSEQ_COL}"), F.col(f"row.{INTENTSEQ_COL}"),
+                opcode.cast("string"), F.col("db"), F.col("table")))
+    out = parsed.select(
+        image.alias("__row"),
+        op.alias(OP_COL),
+        before.alias(BEFORE_COL),
+        meta.alias(META_COL),
+        db2_cdc_seq(F.col(f"row.{COMMITSEQ_COL}"),
+                    F.col(f"row.{INTENTSEQ_COL}"), opcode).alias(SEQ_COL),
+    )
+    return out.select("__row.*", OP_COL, BEFORE_COL, META_COL, SEQ_COL)
+
+
+# ---------------------------------------------------------------------------
+# fixture writer
+# ---------------------------------------------------------------------------
+
+
+def _seq_hex(n: int) -> str:
+    """16-byte IBMSNAP sequence rendered as fixed-width 32-char hex."""
+    return "%032X" % n
+
+
+class Db2CdcWriter:
+    """Capture lines exactly as a CD-table poll returns them: RAW
+    'D'/'I' operations — an update is the D row then the I row, adjacent
+    by intent sequence within one commit sequence."""
+
+    def __init__(self, db: str = "testdb", schema: str = "DB2INST1"):
+        self.db, self.schema = db, schema
+        self._commit = 0x1000
+        self._intent = 0
+        self.lines: list[str] = []
+
+    def begin_txn(self) -> str:
+        self._commit += 0x10
+        self._intent = 0
+        return _seq_hex(self._commit)
+
+    def _emit(self, table: str, op: str, row: dict) -> None:
+        import json
+
+        self._intent += 1
+        rec = {"db": self.db, "schema": self.schema, "table": table,
+               "row": {**row, COMMITSEQ_COL: _seq_hex(self._commit),
+                       INTENTSEQ_COL: _seq_hex(self._intent),
+                       OPERATION_COL: op}}
+        self.lines.append(json.dumps(rec, separators=(",", ":")))
+
+    def insert(self, table: str, row: dict) -> None:
+        self._emit(table, "I", row)
+
+    def delete(self, table: str, row: dict) -> None:
+        self._emit(table, "D", row)
+
+    def update(self, table: str, before: dict, after: dict) -> None:
+        self._emit(table, "D", before)
+        self._emit(table, "I", after)
+
+    def getvalue(self) -> str:
+        return "\n".join(self.lines)

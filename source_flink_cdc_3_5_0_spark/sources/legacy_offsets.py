@@ -48,10 +48,15 @@ class Lsn:
         s = str(value).strip()
         if not s or s.upper() == cls.NULL_STRING:
             return cls(None)
-        groups = s.split(":")
-        if len(groups) != 3 or [len(g) for g in groups] != [8, 8, 4]:
+        if ":" in s:
+            groups = s.split(":")
+            if len(groups) != 3 or [len(g) for g in groups] != [8, 8, 4]:
+                raise ValueError("not a SQL Server LSN string: %r" % s)
+            return cls(bytes.fromhex("".join(groups)))
+        # Db2's 16-byte IBMSNAP sequences render as plain fixed-width hex
+        if len(s) % 2 or not all(c in "0123456789abcdefABCDEF" for c in s):
             raise ValueError("not a SQL Server LSN string: %r" % s)
-        return cls(bytes.fromhex("".join(groups)))
+        return cls(bytes.fromhex(s))
 
     @property
     def available(self) -> bool:
@@ -60,15 +65,17 @@ class Lsn:
     def __str__(self) -> str:
         if self.data is None:
             return self.NULL_STRING
+        if len(self.data) > 10:  # Db2 IBMSNAP: plain fixed-width hex
+            return self.data.hex().upper()
         h = self.data.hex().upper().rjust(20, "0")
         return f"{h[:8]}:{h[8:16]}:{h[16:20]}"
 
     def compare(self, other: "Lsn") -> int:
         if self.data is None or other.data is None:
             return _cmp(self.data is not None, other.data is not None)
-        a = self.data.rjust(10, b"\x00")
-        b = other.data.rjust(10, b"\x00")
-        return _cmp(a, b)
+        width = max(len(self.data), len(other.data), 10)
+        return _cmp(self.data.rjust(width, b"\x00"),
+                    other.data.rjust(width, b"\x00"))
 
 
 @dataclass(frozen=True)

@@ -119,7 +119,8 @@ class StreamingPipeline:
         name = {"mysql-binlog": "mysql_binlog_offset.json",
                 "pgoutput": "postgres_offset.json",
                 "mongodb": "mongodb_resume_token.json",
-                "sqlserver": "sqlserver_lsn_offset.json"}[self.connector_offset]
+                "sqlserver": "sqlserver_lsn_offset.json",
+                "db2": "db2_lsn_offset.json"}[self.connector_offset]
         return os.path.join(self.checkpoint_dir, name)
 
     def binlog_offset(self):
@@ -139,7 +140,7 @@ class StreamingPipeline:
             from ..sources.mongodb import ChangeStreamOffset
 
             return ChangeStreamOffset.from_json(text)
-        if self.connector_offset == "sqlserver":
+        if self.connector_offset in ("sqlserver", "db2"):
             from ..sources.legacy_offsets import LsnOffset
 
             return LsnOffset.from_json(text)
@@ -154,11 +155,13 @@ class StreamingPipeline:
         at-least-once discipline the snapshot watermarks use). Monotone —
         a replayed batch can never regress the stored position."""
         v = F.col(value_col)
-        if self.connector_offset == "sqlserver":
+        if self.connector_offset in ("sqlserver", "db2"):
             # fixed-width hex: lexical max IS the numeric max
+            path = ("$.row['__$start_lsn']"
+                    if self.connector_offset == "sqlserver"
+                    else "$.row.IBMSNAP_COMMITSEQ")
             fields = ["lsn"]
-            probes = [F.get_json_object(v, "$.row['__$start_lsn']")
-                      .alias("lsn")]
+            probes = [F.get_json_object(v, path).alias("lsn")]
             key, order = "lsn", "lsn"
         elif self.connector_offset == "mongodb":
             from ..sources.mongodb import _cluster_time_cols
@@ -194,7 +197,7 @@ class StreamingPipeline:
         m = row[0]["m"] if row else None
         if m is None or m[key] is None:
             return
-        if self.connector_offset == "sqlserver":
+        if self.connector_offset in ("sqlserver", "db2"):
             from ..sources.legacy_offsets import Lsn, LsnOffset
 
             new = LsnOffset(Lsn.valueOf(None),
@@ -381,7 +384,7 @@ class StreamingPipeline:
                     F.get_json_object(v, "$.source.table"),
                     F.coalesce(F.get_json_object(v, "$.after"),
                                F.get_json_object(v, "$.before")))
-        if serialization == "sqlserver-cdc-json":
+        if serialization in ("sqlserver-cdc-json", "db2-cdc-json"):
             # change-table capture lines: {"db","schema","table","row"}
             return (F.get_json_object(v, "$.db"),
                     F.get_json_object(v, "$.schema"),
@@ -543,6 +546,11 @@ class StreamingPipeline:
 
                     def decode(raw, struct_type, vc, _s=None):
                         return decode_sqlserver_cdc(raw, struct_type, vc)
+                if self.serialization == "db2-cdc-json":
+                    from ..sources.db2 import decode_db2_cdc
+
+                    def decode(raw, struct_type, vc, _s=None):
+                        return decode_db2_cdc(raw, struct_type, vc)
                 if self.serialization == "vitess-json":
                     from ..sources.vitess import decode_vstream as decode
                 if self.serialization == "mongodb-json":
