@@ -406,7 +406,8 @@ class PipelineComposer:
     STREAMING_SOURCE_TYPES = ("debezium-file", "mongodb-file",
                               "vitess-file", "mysql-binlog-file",
                               "pgoutput-file", "sqlserver-cdc-file",
-                              "db2-cdc-file", "kafka")
+                              "db2-cdc-file", "oracle-logminer-file",
+                              "kafka")
 
     def is_streaming(self, pdef: PipelineDef) -> bool:
         return pdef.source.type.lower() in self.STREAMING_SOURCE_TYPES
@@ -495,7 +496,8 @@ class PipelineComposer:
                               "pgoutput-file": "pgoutput",
                               "mongodb-file": "mongodb",
                               "sqlserver-cdc-file": "sqlserver",
-                              "db2-cdc-file": "db2"}.get(
+                              "db2-cdc-file": "db2",
+                              "oracle-logminer-file": "oracle"}.get(
                 pdef.source.type.lower()),
         )
         t = pdef.source.type.lower()
@@ -514,6 +516,17 @@ class PipelineComposer:
             raw = binlog_to_debezium_json(
                 binlog_stream_source(self.spark, opts["path"]),
                 start_offset=start, start_timestamp_ms=ts_ms)
+        elif t == "oracle-logminer-file":
+            # polled V$LOGMNR_CONTENTS rows with SQL_REDO statements; the
+            # DML parser re-implements Debezium's LogMinerDmlParser and
+            # bridges to debezium-json (`start-scn` = resume position)
+            from ..sources.base import binary_file_stream
+            from ..sources.oracle import logminer_to_debezium_json
+
+            start_scn = opts.get("start-scn")
+            raw = logminer_to_debezium_json(
+                binary_file_stream(self.spark, opts["path"]),
+                start_scn=int(start_scn) if start_scn is not None else None)
         elif t == "pgoutput-file":
             # byte-true pgoutput logical-replication captures; same bridge
             # pattern (the reference's default decoding.plugin.name —

@@ -172,6 +172,19 @@ class RedoLogOffset:
         return {"scn": str(self.scn), "commit_scn": str(self.commit_scn),
                 "lcr_position": self.lcr_position}
 
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(self.offset_map(), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "RedoLogOffset":
+        import json
+
+        d = json.loads(s)
+        return cls(int(d["scn"]), int(d.get("commit_scn", 0) or 0),
+                   d.get("lcr_position"))
+
     def compare(self, that: "RedoLogOffset") -> int:
         ns = self._NO_STOPPING_SCN
         if self.scn == ns and that.scn == ns:

@@ -120,7 +120,8 @@ class StreamingPipeline:
                 "pgoutput": "postgres_offset.json",
                 "mongodb": "mongodb_resume_token.json",
                 "sqlserver": "sqlserver_lsn_offset.json",
-                "db2": "db2_lsn_offset.json"}[self.connector_offset]
+                "db2": "db2_lsn_offset.json",
+                "oracle": "oracle_scn_offset.json"}[self.connector_offset]
         return os.path.join(self.checkpoint_dir, name)
 
     def binlog_offset(self):
@@ -144,6 +145,10 @@ class StreamingPipeline:
             from ..sources.legacy_offsets import LsnOffset
 
             return LsnOffset.from_json(text)
+        if self.connector_offset == "oracle":
+            from ..sources.legacy_offsets import RedoLogOffset
+
+            return RedoLogOffset.from_json(text)
         from ..sources.mysql_binlog import BinlogOffset
 
         return BinlogOffset.from_json(text)
@@ -155,7 +160,12 @@ class StreamingPipeline:
         at-least-once discipline the snapshot watermarks use). Monotone —
         a replayed batch can never regress the stored position."""
         v = F.col(value_col)
-        if self.connector_offset in ("sqlserver", "db2"):
+        if self.connector_offset == "oracle":
+            fields = ["scn"]
+            probes = [F.get_json_object(v, "$.source.scn")
+                      .cast("long").alias("scn")]
+            key, order = "scn", "offset"
+        elif self.connector_offset in ("sqlserver", "db2"):
             # fixed-width hex: lexical max IS the numeric max
             path = ("$.row['__$start_lsn']"
                     if self.connector_offset == "sqlserver"
@@ -197,7 +207,11 @@ class StreamingPipeline:
         m = row[0]["m"] if row else None
         if m is None or m[key] is None:
             return
-        if self.connector_offset in ("sqlserver", "db2"):
+        if self.connector_offset == "oracle":
+            from ..sources.legacy_offsets import RedoLogOffset
+
+            new = RedoLogOffset(int(m["scn"]), int(m["scn"]))
+        elif self.connector_offset in ("sqlserver", "db2"):
             from ..sources.legacy_offsets import Lsn, LsnOffset
 
             new = LsnOffset(Lsn.valueOf(None),

@@ -1,0 +1,123 @@
+"""Oracle LogMiner redo-SQL decode + YAML surface tests."""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from source_flink_cdc_3_5_0_spark.sources.legacy_offsets import RedoLogOffset
+from source_flink_cdc_3_5_0_spark.sources.oracle import (
+    LogMinerWriter, parse_redo_sql)
+
+
+def test_parse_insert():
+    op, owner, table, before, after = parse_redo_sql(
+        'insert into "INV"."ORDERS"("ID","NAME","NOTE") '
+        "values (7, 'o''brien', NULL);")
+    assert (op, owner, table) == ("INSERT", "INV", "ORDERS")
+    assert before is None
+    assert after == {"ID": 7, "NAME": "o'brien", "NOTE": None}
+
+
+def test_parse_update_overlay():
+    op, owner, table, before, after = parse_redo_sql(
+        'update "INV"."ORDERS" set "NAME" = \'x\', "NOTE" = NULL '
+        'where "ID" = 7 and "NAME" = \'o\'\'brien\' and "NOTE" IS NULL;')
+    assert op == "UPDATE"
+    assert before == {"ID": 7, "NAME": "o'brien", "NOTE": None}
+    # after = before overlaid with the set assignments
+    assert after == {"ID": 7, "NAME": "x", "NOTE": None}
+
+
+def test_parse_delete_and_wrapped_functions():
+    op, _, _, before, after = parse_redo_sql(
+        'delete from "INV"."ORDERS" where "ID" = 7 and '
+        '"AT" = TO_TIMESTAMP(\'2023-07-04 12:30:45.123456\') and '
+        '"BORN" = TO_DATE(\'2020-02-29\', \'YYYY-MM-DD\');')
+    assert op == "DELETE" and after is None
+    assert before["AT"] == "2023-07-04 12:30:45.123456"
+    assert before["BORN"] == "2020-02-29"  # format arg dropped
+    with pytest.raises(ValueError, match="unsupported redo"):
+        parse_redo_sql("merge into t using ...")
+
+
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 5),
+                          st.text(alphabet="ab'x ", max_size=8)),
+                min_size=1, max_size=15))
+@settings(max_examples=50, deadline=None)
+def test_redo_roundtrip_model(script):
+    """Scripted churn rendered to redo SQL and parsed back replays to the
+    model state (quote doubling, NULLs, numeric ids)."""
+    w = LogMinerWriter()
+    state: dict[int, dict] = {}
+    for op, key, text in script:
+        row = {"ID": key, "NAME": text or None}
+        if op == 0 and key not in state:
+            w.insert("T", row)
+            state[key] = row
+        elif op == 1 and key in state:
+            w.update("T", state[key], {"NAME": (text + "!") or "!"})
+            state[key] = {**state[key], "NAME": (text + "!") or "!"}
+        elif op == 2 and key in state:
+            w.delete("T", state.pop(key))
+    import json
+
+    got: dict = {}
+    for line in w.lines:
+        rec = json.loads(line)
+        kind, _, _, before, after = parse_redo_sql(rec["sql_redo"])
+        if kind in ("INSERT", "UPDATE"):
+            got[int(after["ID"])] = after["NAME"]
+        else:
+            got.pop(int(before["ID"]), None)
+    want = {k: v["NAME"] for k, v in state.items()}
+    assert got == want
+
+
+def test_yaml_oracle_logminer_e2e(spark, tmp_path):
+    """YAML `type: oracle-logminer-file`: redo statements stream through
+    the standard path; the max SCN persists as a RedoLogOffset and
+    `start-scn` resumes past it."""
+    import json
+
+    from source_flink_cdc_3_5_0_spark.common import TableId
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline)
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+
+    src = tmp_path / "redo"
+    src.mkdir()
+    w = LogMinerWriter(owner="INV")
+    w.insert("ORDERS", dict(ID=1, NAME="a"))
+    scn2 = w.insert("ORDERS", dict(ID=2, NAME="b"))
+    w.update("ORDERS", dict(ID=2, NAME="b"), dict(NAME="b2"))
+    w.delete("ORDERS", dict(ID=1, NAME="a"))
+    (src / "mine-0001.jsonl").write_bytes(w.getvalue().encode())
+
+    yaml_text = f"""
+source:
+  type: oracle-logminer-file
+  path: {src}
+  tables: '{json.dumps({"INV.ORDERS": "ID INT, NAME STRING"})}'
+  primary-keys: '{{"INV.ORDERS": ["ID"]}}'
+  checkpoint: {tmp_path}/ckpt
+sink: {{type: values}}
+"""
+    pdef = parse_yaml_pipeline(yaml_text)
+    sink = MemorySink()
+    pipe, raw, tables = PipelineComposer(spark).compose_streaming(
+        pdef, sink=sink)
+    q = pipe.start(raw, tables)
+    q.awaitTermination(120)
+    assert sink.snapshot(TableId.parse("INV.ORDERS")) == ["2, b2"]
+    off = pipe.binlog_offset()
+    assert isinstance(off, RedoLogOffset) and off.scn == scn2 + 2
+    assert RedoLogOffset.from_json(off.to_json()) == off
+
+    # start-scn resumes past the first two inserts
+    yaml2 = yaml_text.replace("sink:", "  start-scn: %d\nsink:" % scn2)
+    sink2 = MemorySink()
+    pipe2, raw2, tables2 = PipelineComposer(spark).compose_streaming(
+        parse_yaml_pipeline(yaml2.replace("/ckpt", "/ckpt2")), sink=sink2)
+    pipe2.start(raw2, tables2).awaitTermination(120)
+    # only the update (+U with before) and the delete delivered: id=2
+    # materializes from the update's after image, id=1's delete is a no-op
+    assert sink2.snapshot(TableId.parse("INV.ORDERS")) == ["2, b2"]
