@@ -471,6 +471,19 @@ class PipelineComposer:
         for tid, ddl in json.loads(opts.get("tables", "{}")).items():
             st = T.StructType.fromDDL(ddl)
             tables[tid] = Schema.from_struct_type(st, primary_keys=pks.get(tid, ()))
+        discover = opts.get("discover-tables", "false").lower() == "true"
+        if not tables and not discover:
+            raise ValueError(
+                "streaming source %r has no tables: declare `tables` in "
+                "the YAML or set discover-tables: true — an empty table "
+                "map would silently drop every record" % pdef.source.type)
+        if discover and pdef.source.type.lower() in (
+                "sqlserver-cdc-file", "db2-cdc-file"):
+            raise ValueError(
+                "discover-tables is not supported for change-table "
+                "sources: JSON inference over the raw rows would register "
+                "the __$/IBMSNAP metadata columns as data — declare "
+                "`tables` instead")
 
         pipe = StreamingPipeline.create(
             self.spark, snk,

@@ -99,3 +99,18 @@ def binary_file_stream(spark: SparkSession, path: str) -> DataFrame:
 def binary_files(spark: SparkSession, path: str) -> DataFrame:
     """Batch variant of :func:`binary_file_stream`."""
     return spark.read.format("binaryFile").load(path)
+
+
+def hex_pair_seq(commit_hex, intra_hex, opcode, *, before_code: int):
+    """Monotone int64 ``__seq`` from fixed-width-hex (commit, intra-txn)
+    positions plus an update-before bit: low 44 bits of the commit
+    position (11 hex chars), low 18 of the intra-transaction sequence,
+    and 0 for the before-image opcode so -U orders before +U. Shared by
+    the SQL Server and Db2 change-table decodes."""
+    from pyspark.sql import functions as F
+
+    c = F.conv(F.substring(commit_hex, -11, 11), 16, 10).cast("long")
+    i = F.conv(F.substring(intra_hex, -5, 5), 16, 10).cast("long") \
+        .bitwiseAND(F.lit((1 << 18) - 1))
+    op_bit = F.when(opcode == before_code, F.lit(0)).otherwise(F.lit(1))
+    return (F.shiftleft(c, 19) + F.shiftleft(i, 1) + op_bit).cast("long")

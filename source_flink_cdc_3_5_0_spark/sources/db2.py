@@ -52,14 +52,11 @@ def _wire_row_schema(payload: T.StructType) -> T.StructType:
 
 def db2_cdc_seq(commitseq: Column, intentseq: Column,
                 opcode: Column) -> Column:
-    """Monotone int64 ``__seq``: low 44 bits of the commit sequence, low
-    18 of the intent sequence, -U-before-+U bit (same budget discipline as
-    the SQL Server sibling; full hex order stays in ``__meta``)."""
-    c = F.conv(F.substring(commitseq, -11, 11), 16, 10).cast("long")
-    i = F.conv(F.substring(intentseq, -5, 5), 16, 10).cast("long") \
-        .bitwiseAND(F.lit((1 << 18) - 1))
-    op_bit = F.when(opcode == 3, F.lit(0)).otherwise(F.lit(1))
-    return (F.shiftleft(c, 19) + F.shiftleft(i, 1) + op_bit).cast("long")
+    """Monotone int64 ``__seq`` — the shared 44+18+1-bit hex budget
+    (`sources.base.hex_pair_seq`); full hex order stays in ``__meta``."""
+    from .base import hex_pair_seq
+
+    return hex_pair_seq(commitseq, intentseq, opcode, before_code=3)
 
 
 def decode_db2_cdc(raw: DataFrame, payload_schema: T.StructType,
@@ -81,7 +78,11 @@ def decode_db2_cdc(raw: DataFrame, payload_schema: T.StructType,
     payload_cols = [f.name for f in payload_schema.fields]
     image = F.struct(*[F.col(f"row.{c}").alias(c) for c in payload_cols])
     raw_op = F.col(f"row.{OPERATION_COL}")
-    w = (Window.partitionBy(F.col(f"row.{COMMITSEQ_COL}"))
+    # per-TABLE windows, like the reference's per-CD-table poll query —
+    # a commit touching several tables must not pair a delete from one
+    # with an insert into another
+    w = (Window.partitionBy(F.col("db"), F.col("schema"), F.col("table"),
+                            F.col(f"row.{COMMITSEQ_COL}"))
          .orderBy(F.col(f"row.{INTENTSEQ_COL}")))
     # the reference's exact classification (Db2Connection.java:64-69)
     lead_op = F.lead(raw_op, 1, "X").over(w)

@@ -193,10 +193,12 @@ def parse_redo_sql(sql: str) -> tuple[str, str, str, dict | None, dict | None]:
         while True:
             name, pos = _read_ident(s, pos)
             pos = _skip_ws(s, pos)
-            assert s[pos] == "="
+            if pos >= len(s) or s[pos] != "=":
+                raise ValueError("cannot parse redo SET clause at %r"
+                                 % s[pos:pos + 30])
             assigns[name], pos = _read_value(s, pos + 1)
             pos = _skip_ws(s, pos)
-            if s[pos] == ",":
+            if pos < len(s) and s[pos] == ",":
                 pos += 1
                 continue
             break
@@ -249,7 +251,11 @@ def logminer_to_debezium_json(files, start_scn: int | None = None):
                         continue
                     row = _json.loads(line)
                     scn = int(row["scn"])
-                    if start_scn is not None and scn <= start_scn:
+                    # at-least-once resume: rows AT the boundary SCN
+                    # re-deliver (several redo rows can share one SCN —
+                    # dropping <= would lose never-delivered siblings of
+                    # the persisted position; keyed sinks absorb replays)
+                    if start_scn is not None and scn < start_scn:
                         continue
                     op_code = int(row["operation"])
                     kind, owner, table, before, after = parse_redo_sql(

@@ -60,20 +60,12 @@ def _wire_row_schema(payload: T.StructType) -> T.StructType:
 
 
 def sqlserver_cdc_seq(lsn: Column, seqval: Column, operation: Column) -> Column:
-    """Monotone int64 ``__seq`` from (commit LSN, seqval, op).
+    """Monotone int64 ``__seq`` from (commit LSN, seqval, op) — the shared
+    44+18+1-bit hex budget (`sources.base.hex_pair_seq`); full
+    fixed-width-hex lexical order stays in ``__meta`` for audits."""
+    from .base import hex_pair_seq
 
-    Budget: the LSN's low 44 bits (11 hex chars — ~16 TB of log address
-    space before the truncated window wraps; full fixed-width-hex lexical
-    order is preserved in ``__meta`` for audits), seqval's low 18 bits
-    (262k rows per transaction before in-transaction truncation), and the
-    -U-before-+U bit. 44+18+1 = 63.
-    """
-    lsn_part = F.conv(F.substring(lsn, -11, 11), 16, 10).cast("long")
-    seq_part = F.conv(F.substring(seqval, -5, 5), 16, 10).cast("long") \
-        .bitwiseAND(F.lit((1 << 18) - 1))
-    op_bit = F.when(operation == 3, F.lit(0)).otherwise(F.lit(1))
-    return (F.shiftleft(lsn_part, 19)
-            + F.shiftleft(seq_part, 1) + op_bit).cast("long")
+    return hex_pair_seq(lsn, seqval, operation, before_code=3)
 
 
 def changed_columns(mask: Column, payload: T.StructType) -> Column:
@@ -84,7 +76,9 @@ def changed_columns(mask: Column, payload: T.StructType) -> Column:
     truncation; the mask is advisory metadata, never load-bearing.
     """
     bits = F.conv(F.substring(mask, -16, 16), 16, 10).cast("long")
-    names = [F.when(bits.bitwiseAND(F.lit(1 << i)) != 0, F.lit(f.name))
+    # shiftright instead of lit(1 << i): 1 << 63 overflows a JVM long
+    names = [F.when(F.shiftright(bits, i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(f.name))
              for i, f in enumerate(payload.fields[:64])]
     return F.concat_ws(",", *names)
 
@@ -166,13 +160,16 @@ class SqlServerCdcWriter:
         self._seq = 0
         return render_lsn(self._lsn)
 
-    def _emit(self, table: str, op: int, row: dict, mask: int) -> None:
+    def _emit(self, table: str, op: int, row: dict, mask: int,
+              seqval: int | None = None) -> None:
         import json
 
-        self._seq += 1
+        if seqval is None:
+            self._seq += 1
+            seqval = self._seq
         rec = {"db": self.db, "schema": self.schema, "table": table,
                "row": {**row, LSN_COL: render_lsn(self._lsn),
-                       SEQVAL_COL: render_lsn(self._seq),
+                       SEQVAL_COL: render_lsn(seqval),
                        OPERATION_COL: op,
                        UPDATE_MASK_COL: "%X" % mask}}
         self.lines.append(json.dumps(rec, separators=(",", ":")))
@@ -188,15 +185,8 @@ class SqlServerCdcWriter:
         # the pair shares ONE seqval (wire behavior)
         self._seq += 1
         seq = self._seq
-        import json
-
         for op, row in ((3, before), (4, after)):
-            rec = {"db": self.db, "schema": self.schema, "table": table,
-                   "row": {**row, LSN_COL: render_lsn(self._lsn),
-                           SEQVAL_COL: render_lsn(seq),
-                           OPERATION_COL: op,
-                           UPDATE_MASK_COL: "%X" % changed_mask}}
-            self.lines.append(json.dumps(rec, separators=(",", ":")))
+            self._emit(table, op, row, changed_mask, seqval=seq)
 
     def getvalue(self) -> str:
         return "\n".join(self.lines)
