@@ -246,10 +246,21 @@ def logminer_to_debezium_json(files, start_scn: int | None = None):
         for pdf in batches:
             values, offsets = [], []
             for content in pdf["content"]:
+                pending_sql = ""  # CSF continuation accumulator
                 for line in bytes(content).decode("utf-8").splitlines():
                     if not line.strip():
                         continue
                     row = _json.loads(line)
+                    # CSF=1: LogMiner splits SQL_REDO at 4000 chars across
+                    # consecutive rows sharing the position; concatenate
+                    # until the CSF=0 terminator row
+                    if int(row.get("csf", 0) or 0) == 1:
+                        pending_sql += row["sql_redo"]
+                        continue
+                    if pending_sql:
+                        row = {**row,
+                               "sql_redo": pending_sql + row["sql_redo"]}
+                        pending_sql = ""
                     scn = int(row["scn"])
                     # at-least-once resume: rows AT the boundary SCN
                     # re-deliver (several redo rows can share one SCN —
@@ -327,16 +338,25 @@ class LogMinerWriter:
         self._ts = 1_700_000_000_000
         self.lines: list[str] = []
 
+    #: LogMiner splits SQL_REDO at this many chars (CSF continuation)
+    CSF_SPLIT = 4000
+
     def _emit(self, op_code: int, table: str, sql: str) -> int:
         import json
 
         self._scn += 1
-        self.lines.append(json.dumps(
-            {"scn": self._scn, "operation": op_code,
-             "seg_owner": self.owner, "table": table,
-             "xid": "%x" % (self._scn // 4), "row_id": "AAA%05d" % self._scn,
-             "ts_ms": self._ts, "sql_redo": sql},
-            separators=(",", ":")))
+        chunks = [sql[i:i + self.CSF_SPLIT]
+                  for i in range(0, len(sql), self.CSF_SPLIT)] or [sql]
+        for i, chunk in enumerate(chunks):
+            self.lines.append(json.dumps(
+                {"scn": self._scn, "operation": op_code,
+                 "seg_owner": self.owner, "table": table,
+                 "xid": "%x" % (self._scn // 4),
+                 "row_id": "AAA%05d" % self._scn,
+                 "ts_ms": self._ts,
+                 "csf": 1 if i < len(chunks) - 1 else 0,
+                 "sql_redo": chunk},
+                separators=(",", ":")))
         return self._scn
 
     def insert(self, table: str, row: dict) -> int:

@@ -121,3 +121,24 @@ sink: {{type: values}}
     # only the update (+U with before) and the delete delivered: id=2
     # materializes from the update's after image, id=1's delete is a no-op
     assert sink2.snapshot(TableId.parse("INV.ORDERS")) == ["2, b2"]
+
+
+def test_csf_continuation_rows(spark, tmp_path):
+    """LogMiner splits long SQL_REDO at 4000 chars into CSF=1 continuation
+    rows; the bridge reassembles them before parsing."""
+    import json
+
+    from source_flink_cdc_3_5_0_spark.sources.oracle import (
+        LogMinerWriter, logminer_to_debezium_json)
+
+    w = LogMinerWriter(owner="INV")
+    big = "x" * 9000  # forces 3 CSF chunks
+    w.insert("DOCS", dict(ID=1, BODY=big))
+    src = tmp_path / "redo"
+    src.mkdir()
+    (src / "m1.jsonl").write_bytes(w.getvalue().encode())
+    assert len(w.lines) == 3 and json.loads(w.lines[0])["csf"] == 1
+    files = spark.read.format("binaryFile").load(str(src))
+    [rec] = [json.loads(r["value"])
+             for r in logminer_to_debezium_json(files).collect()]
+    assert rec["after"]["ID"] == 1 and rec["after"]["BODY"] == big
