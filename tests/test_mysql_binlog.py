@@ -995,3 +995,19 @@ def test_binlog_schema_events_across_rotation(tmp_path):
     assert [d["sql"].split()[0] for d in ddl] == ["CREATE", "ALTER"]
     assert ddl[0]["file"] == "mysql-bin.000001"
     assert tmap.table_id == 108  # keep flake8 happy about the import
+
+
+def test_unknown_event_types_tolerated():
+    """Event types the decoder doesn't model (HEARTBEAT=27, INTVAR=5, ...)
+    frame and checksum correctly and are skipped — a server feature we
+    don't decode must never break the stream."""
+    cols = (BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),)
+    tmap = BinlogTableMap(99, "d", "t", cols, (0,))
+    w = BinlogWriter()
+    w._emit(27, b"")                     # HEARTBEAT
+    w.table_map(tmap)
+    w._emit(5, struct.pack("<BQ", 2, 42))  # INTVAR (statement-era)
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=1)])
+    w._emit(27, b"")
+    changes = binlog_changes(w.getvalue(), "f")
+    assert [(c["op"], c["after"]["id"]) for c in changes] == [("+I", 1)]
