@@ -199,8 +199,13 @@ def encode_debezium(df: DataFrame, table_id: TableId, schema: Schema,
     # rides a DEDICATED seq field so a re-ingested spool preserves the
     # exact original order without corrupting op_ts projections
     if META_COL in df.columns:
-        ts_ms = (F.element_at(F.col(META_COL), "op_ts").cast("long")
-                 * F.lit(1000))
+        # every decode path stores __meta['ts_ms'] in epoch-millis (the
+        # single engine-wide meta time convention); legacy spools that
+        # carried a seconds-unit 'op_ts' key still re-encode correctly
+        ts_ms = F.coalesce(
+            F.element_at(F.col(META_COL), "ts_ms").cast("long"),
+            F.element_at(F.col(META_COL), "op_ts").cast("long")
+            * F.lit(1000))
     else:
         ts_ms = F.lit(None).cast("long")
     seq_field = ([F.col(SEQ_COL).alias("seq")]

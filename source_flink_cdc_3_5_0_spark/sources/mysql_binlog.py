@@ -1411,7 +1411,11 @@ def decode_binlog(files: "DataFrame", database: str, table: str,
                         "row": str(c["row"]),
                         "ts_sec": str(c["ts_sec"]),
                         "server_id": str(c["server_id"]),
-                        "op_ts": str(c["ts_sec"]),
+                        # ONE meta time convention engine-wide: ts_ms in
+                        # millis (what transform.py's op_ts metadata column
+                        # and encode_debezium read) — a seconds-unit op_ts
+                        # key here used to leave both consumers null/wrong
+                        "ts_ms": str(c["ts_sec"] * 1000),
                         **({"gtids": c["gtids"]} if c["gtids"] else {}),
                     }
                     rec[SEQ_COL] = record_seq(c["file"], c["pos"],

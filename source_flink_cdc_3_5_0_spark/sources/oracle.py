@@ -247,20 +247,33 @@ def logminer_to_debezium_json(files, start_scn: int | None = None):
             values, offsets = [], []
             for content in pdf["content"]:
                 pending_sql = ""  # CSF continuation accumulator
+                pending_at = None  # (scn, row_id) of the open CSF chain
                 for line in bytes(content).decode("utf-8").splitlines():
                     if not line.strip():
                         continue
                     row = _json.loads(line)
+                    at = (row.get("scn"), row.get("row_id"))
+                    # CSF continuation rows share the chain's position; a
+                    # mismatched scn/row_id means a capture line went
+                    # missing and two statements would splice — surface it
+                    if pending_sql and at != pending_at:
+                        raise ValueError(
+                            "CSF continuation at scn=%s row_id=%s does not "
+                            "match the open chain at scn=%s row_id=%s "
+                            "(missing capture line?)"
+                            % (at[0], at[1], pending_at[0], pending_at[1]))
                     # CSF=1: LogMiner splits SQL_REDO at 4000 chars across
                     # consecutive rows sharing the position; concatenate
                     # until the CSF=0 terminator row
                     if int(row.get("csf", 0) or 0) == 1:
                         pending_sql += row["sql_redo"]
+                        pending_at = at
                         continue
                     if pending_sql:
                         row = {**row,
                                "sql_redo": pending_sql + row["sql_redo"]}
                         pending_sql = ""
+                        pending_at = None
                     scn = int(row["scn"])
                     # at-least-once resume: rows AT the boundary SCN
                     # re-deliver (several redo rows can share one SCN —
@@ -298,6 +311,15 @@ def logminer_to_debezium_json(files, start_scn: int | None = None):
                     }
                     values.append(_json.dumps(rec, separators=(",", ":")))
                     offsets.append(scn)
+                # never-silently-drop: a file ending on a CSF=1 row holds a
+                # statement with no terminator — its tail is in the next
+                # file and would splice onto an unrelated statement there
+                if pending_sql:
+                    raise ValueError(
+                        "LogMiner capture file ends inside a CSF "
+                        "continuation chain (scn=%s row_id=%s): capture "
+                        "files must roll on statement boundaries"
+                        % (pending_at[0], pending_at[1]))
             yield pd.DataFrame({"value": pd.Series(values, dtype=object),
                                 "offset": pd.Series(offsets, dtype="int64")})
 

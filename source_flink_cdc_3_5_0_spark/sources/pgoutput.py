@@ -629,6 +629,23 @@ def iter_pgoutput_changes(data: bytes) -> "Iterator[dict]":
             rec["idx"] = drain_state[1]
             yield rec
         out.clear()
+    # never-silently-drop: a capture file must roll on commit boundaries.
+    # Buffered records at EOF mean a transaction's Begin/Stream Start is in
+    # this file but its Commit is not — emitting the continuation rows from
+    # the next file would lose these and misorder those (txId=None,
+    # per-message LSN ordering), so surface it instead.
+    if txn_buf:
+        raise ValueError(
+            "pgoutput capture file ends inside an uncommitted transaction "
+            "(txId=%s, %d buffered records): capture files must roll on "
+            "commit boundaries" % (xid, len(txn_buf)))
+    if any(stream_bufs.values()):
+        open_xids = sorted(x for x, b in stream_bufs.items() if b)
+        raise ValueError(
+            "pgoutput capture file ends with open streamed transactions "
+            "%s (%d buffered records): capture files must roll on "
+            "Stream Commit/Abort boundaries"
+            % (open_xids, sum(len(b) for b in stream_bufs.values())))
 
 
 # ---------------------------------------------------------------------------

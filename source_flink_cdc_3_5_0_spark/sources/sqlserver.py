@@ -74,11 +74,18 @@ def changed_columns(mask: Column, payload: T.StructType) -> Column:
     Bit i (LSB-first) marks the i-th captured column. Masks wider than 64
     bits (tables >64 captured columns) keep only the low 64 — documented
     truncation; the mask is advisory metadata, never load-bearing.
+
+    The 64-bit word splits into two 32-bit halves decoded separately:
+    ``conv(hex, 16, 10)`` of a full 16-hex-char mask with bit 63 set
+    yields an unsigned decimal above Long.MAX whose ``cast('long')`` is
+    null — each half stays within 32 bits and casts exactly.
     """
-    bits = F.conv(F.substring(mask, -16, 16), 16, 10).cast("long")
+    padded = F.lpad(F.right(mask, F.lit(16)), 16, "0")
+    hi = F.conv(F.substring(padded, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(padded, 9, 8), 16, 10).cast("long")
     # shiftright instead of lit(1 << i): 1 << 63 overflows a JVM long
-    names = [F.when(F.shiftright(bits, i).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(f.name))
+    names = [F.when(F.shiftright(lo if i < 32 else hi, i % 32)
+                    .bitwiseAND(F.lit(1)) == 1, F.lit(f.name))
              for i, f in enumerate(payload.fields[:64])]
     return F.concat_ws(",", *names)
 
@@ -112,7 +119,18 @@ def decode_sqlserver_cdc(raw: DataFrame, payload_schema: T.StructType,
          .orderBy(op_num))
     prev_op = F.lag(op_num).over(w)
     prev_img = F.lag(image).over(w)
-    before = F.when((op_num == 4) & (prev_op == 3), prev_img)
+    # capture contract: an UPDATE's op-3/op-4 pair shares one (lsn, seqval)
+    # and a capture file never splits mid-transaction, so the pair is
+    # always co-batched. An op-4 row with no adjacent op-3 means a capture
+    # file violated that — surface it rather than emitting a +U with a
+    # silently-null before-image (never-silently-drop posture).
+    before = (F.when((op_num == 4) & (prev_op == 3), prev_img)
+              .when(op_num == 4, F.raise_error(F.format_string(
+                  "sqlserver-cdc: UPDATE after-image (op 4) at lsn=%s "
+                  "seqval=%s has no paired op-3 before-image in this "
+                  "batch; update pairs must not split across capture "
+                  "files", F.col(f"row.{LSN_COL}"),
+                  F.col(f"row.{SEQVAL_COL}")))))
     meta = F.map_from_arrays(
         F.array(F.lit("lsn"), F.lit("seqval"), F.lit("operation"),
                 F.lit("updated_columns"), F.lit("db"), F.lit("table")),
