@@ -59,7 +59,6 @@ BENCH_QUERIES = [
     # line)
     "route_merge_union",
     "dedup_simhash",
-    "text_chunk_windows",
     "text_redact_pii",
     "cdc_postgres_pipeline",
     "cdc_mongo_changestream",
@@ -81,7 +80,6 @@ BENCH_QUERIES = [
     "fuzzy_join_names",
     "text_chunk_sliding",
     "cdc_incremental_agg",
-    "agg_session_window",
     "scd2_enrich_events",
     "curriculum_order",
     "sample_negatives",
@@ -156,7 +154,59 @@ BENCH_QUERIES = [
     # round-5 surface
     "pipeline_cdc_to_lake",
     "text_tfidf_shuffle_join",
+    # round-6 wire-decoder oracle gates (scripted over sf tables — encode
+    # + decode IS the measured operator; codec throughput trend lines)
+    "cdc_mysql_binlog_decode",
+    "cdc_pgoutput_decode",
+    "cdc_sqlserver_changetable",
+    "cdc_db2_asn",
+    "cdc_oracle_logminer",
+    "cdc_vitess_vstream",
+    # round-6 bench-gap closure (verdict r5 item 4): every sf-data-driven
+    # registry query gets a trend line
+    "transform_predicates",
+    "transform_conditional",
+    "transform_casting",
+    "transform_metadata_cols",
+    "transform_op_ts_metadata",
+    "transform_soft_delete",
+    "transform_udf",
+    "transform_ai_functions",
+    "array_functions",
+    "join_anti_customers_no_orders",
+    "join_semi_customers_with_orders",
+    "codec_debezium_roundtrip",
+    "codec_canal_roundtrip",
+    "zoned_timestamp_roundtrip",
+    "sink_lake_time_travel",
 ]
+
+# Registry queries DELIBERATELY not timed, with the reason — asserted
+# complete by tests/test_registry_consistency.py so a future registry
+# addition must either get a trend line or a documented exclusion.
+EXCLUDED_QUERIES = {
+    "multimodal_frame_sample": "scripted 12-frame AVI fixture — measures "
+                               "codec semantics, not data-path throughput",
+    "multimodal_features": "scripted synthetic-media fixture (tiny)",
+    "cdc_schema_evolution_lenient": "scripted 6-event DDL fixture — "
+                                    "semantics gate, nothing to scale",
+    "cdc_schema_evolution_ignore": "scripted DDL-behavior fixture (tiny)",
+    "cdc_ddl_sql_evolution": "scripted DDL-parse fixture (tiny)",
+    "cdc_truncate_drop": "scripted destructive-DDL fixture (tiny)",
+    "jdbc_chunk_plan": "chunk-split plan math over table metadata — "
+                       "O(chunks) driver work, no data path to time",
+    "jdbc_chunk_plan_uneven": "same as jdbc_chunk_plan (uneven walk)",
+}
+
+# Sink-lifecycle / GC-sensitive queries whose wall time is IO-variance
+# bound (full sink write + compaction before the measured scan): timed as
+# median-of-3 with max/min spread recorded in BENCH_FULL (verdict r5 #3).
+VARIANCE_QUERIES = {
+    "sink_lake_file_skipping",
+    "sink_lake_mor",
+    "sink_upsert_merge",
+    "dedup_ngram_jaccard",
+}
 
 # Headline subset for the printed one-line summary: the 14 BASELINE (r01)
 # queries + the round-3 shared set + marquee scale operators.  Kept small
@@ -231,16 +281,32 @@ def main() -> None:
      .write.format("noop").mode("overwrite").save())
 
     times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = EQ.QUERIES[name]
-        # two runs, report the faster: first run pays one-time JVM JIT +
-        # codegen compilation that a long-lived cluster amortizes away.
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+        if name in VARIANCE_QUERIES:
+            # sink-lifecycle / GC-sensitive queries: median of 3 with the
+            # spread recorded (round-5 lesson: min-of-2 let a 1.88 s query
+            # read as 5.68 s in one record and nobody could tell why)
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop") \
+                    .mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            times[name] = round(runs[1], 3)
+            spreads[name] = round(runs[-1] / runs[0], 2)
+        else:
+            # two runs, report the faster: first run pays one-time JVM
+            # JIT + codegen compilation a long-lived cluster amortizes.
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop") \
+                    .mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best, 3)
         # drop cached/persisted state between queries: some operators
         # localCheckpoint/persist internally, and 70 queries of accrued
         # blocks turn into GC pressure that charges LATER queries (a 2x
@@ -254,6 +320,15 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(times.values()), 3)
 
+    # provenance (verdict r5 item 2): BENCH_FULL records used to fight
+    # over one fixed path with no way to tell a builder record from a
+    # driver run or a judge re-run after an overwrite — stamp every
+    # record, and let callers redirect the output entirely.
+    import platform
+
+    run_id = "%s-%d" % (time.strftime("%Y%m%dT%H%M%SZ", time.gmtime()),
+                        os.getpid())
+
     # Complete per-query record (all timed queries) — written to a file
     # because it cannot fit the driver's 2000-char stdout tail capture.
     full = {
@@ -261,10 +336,18 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "spread": spreads,
         "sf": sf_val,
+        "run_id": run_id,
+        "host": platform.node(),
+        "cpus": CPUS,
+        "who": os.environ.get("SPARK_GRAFT_BENCH_WHO", "unspecified"),
     }
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_FULL.json")
+    full_path = (sys.argv[1] if len(sys.argv) > 1
+                 else os.environ.get(
+                     "SPARK_GRAFT_BENCH_OUT",
+                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "BENCH_FULL.json")))
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -281,7 +364,8 @@ def main() -> None:
             "queries": {q: times[q] for q in headline},
             "sf": sf_val,
             "n_timed": len(times),
-            "full": "BENCH_FULL.json",
+            "full": os.path.basename(full_path),
+            "run_id": run_id,
         }
         line = json.dumps(out, separators=(",", ":"))
         if len(line) <= 1900:

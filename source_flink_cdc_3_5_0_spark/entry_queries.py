@@ -311,48 +311,6 @@ def q_cdc_incremental_agg(spark, sf_dir):
                       F.col("sum_value").cast("bigint").alias("sum_cents"))
 
 
-def q_agg_session_window(spark, sf_dir):
-    """Spark's NATIVE session_window aggregation (the gap-based session
-    operator Structured Streaming uses in both batch and stream mode) —
-    30-minute inactivity gap per user. Complements `sessionize_events`
-    (the manual lag/gap-and-islands form): same semantics, different
-    engine surface; a session window spans [first event, last event +
-    gap). One shuffle on the session key."""
-    ev = load(spark, sf_dir, "events")
-    return (ev.groupBy("user_id",
-                       F.session_window("ts", "30 minutes").alias("w"))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
-                 F.sum(F.col("value").cast("decimal(18,2)"))
-                 .cast("decimal(38,2)").cast("double").alias("total_value"))
-            .select("user_id",
-                    F.col("w.start").alias("session_start"),
-                    F.col("w.end").alias("session_end"),
-                    "n_events", "total_value"))
-
-
-ORACLE_SESSION_WINDOW = """
-WITH flagged AS (
-  SELECT user_id, ts, value,
-         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
-              THEN 1 ELSE 0 END AS new_sess
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-), numbered AS (
-  SELECT user_id, ts, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS sid
-  FROM flagged)
-SELECT user_id,
-       min(ts) AS session_start,
-       max(ts) + INTERVAL 30 MINUTE AS session_end,
-       CAST(count(*) AS BIGINT) AS n_events,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
-         AS total_value
-FROM numbered GROUP BY user_id, sid
-"""
-
-
 def q_scd2_enrich_events(spark, sf_dir):
     """Slowly-changing-dimension (SCD2) enrichment: events joined to the
     dimension version valid AT EVENT TIME — the streaming dim-join every
@@ -2129,6 +2087,532 @@ FROM orders WHERE o_orderkey % 7 <> 0
 """
 
 
+# ---------------------------------------------------------------------------
+# wire-decoder oracle gates (round-6): each round-5 wire codec, end-to-end.
+# Pattern (the cdc_tidb_kv_decode / cdc_mongo_changestream template): a
+# scripted changelog over a testdata table is ENCODED into wire-true bytes
+# (distributed, one capture file per partition — the unit a real capture
+# process rolls), DECODED back through the same code the YAML surface uses,
+# materialized to the latest image per key, and value-hashed against a
+# DuckDB oracle computing the final state directly. One wrong wire byte,
+# pairing window, or seq coordinate fails the gate.
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_mysql_binlog_decode(spark, sf_dir):
+    """MySQL binlog ROW-format wire codec end-to-end (the reference's
+    `BinlogOffset.java:46-53` coordinates and
+    `RelationalChangeRecordEmitter` +I/-U/+U/-D mapping): a scripted
+    changelog over ``customer`` is encoded into byte-true binlog v4 files
+    (FDE, TABLE_MAP with optional metadata TLVs, WRITE/UPDATE/DELETE_ROWS
+    v2 events, CRC32 trailers, NEWDECIMAL cells — negative balances
+    included) with ONE file per partition, then decoded by
+    `decode_binlog` and materialized per PK. Scripted churn: insert all,
+    update every 3rd (name suffix + $5.00), delete every 7th.
+
+    Scale shape: encode/decode are Arrow-batched mapInPandas stages, one
+    sequential file per task (the exact unit a binlog reader consumes);
+    materialize is ONE key shuffle (window rank)."""
+    import pandas as pd
+
+    from .sources.mysql_binlog import (
+        DELETE_ROWS_EVENT, MYSQL_TYPE_LONG, MYSQL_TYPE_LONGLONG,
+        MYSQL_TYPE_NEWDECIMAL, MYSQL_TYPE_VARCHAR, UPDATE_ROWS_EVENT,
+        WRITE_ROWS_EVENT, BinlogColumn, BinlogTableMap, BinlogWriter,
+        decode_binlog)
+
+    cu = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    upd = k % 3 == 0
+
+    base = cu.select(
+        k.alias("key"), F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        cents.alias("cents"), F.col("c_mktsegment").alias("mkt"))
+    nul_s, nul_l = F.lit(None).cast("string"), F.lit(None).cast("long")
+    ins = base.select(F.lit(1).alias("step"), "*",
+                      nul_s.alias("name2"), nul_l.alias("cents2"))
+    ups = base.where(upd).select(
+        F.lit(2).alias("step"), "*",
+        F.concat("name", F.lit("*")).alias("name2"),
+        (F.col("cents") + 500).alias("cents2"))
+    fin_name = F.when(F.col("key") % 3 == 0,
+                      F.concat("name", F.lit("*"))).otherwise(F.col("name"))
+    fin_cents = F.when(F.col("key") % 3 == 0,
+                       F.col("cents") + 500).otherwise(F.col("cents"))
+    dels = base.where(k % 7 == 0).select(
+        F.lit(3).alias("step"), "key", fin_name.alias("name"), "nation",
+        fin_cents.alias("cents"), "mkt", nul_s.alias("name2"),
+        nul_l.alias("cents2"))
+    script = (ins.unionByName(ups).unionByName(dels)
+              .repartition(spark.sparkContext.defaultParallelism, "key")
+              .sortWithinPartitions("key", "step"))
+
+    tmap = BinlogTableMap(21, "shop", "customer", (
+        BinlogColumn("c_custkey", MYSQL_TYPE_LONGLONG, (), False),
+        BinlogColumn("c_name", MYSQL_TYPE_VARCHAR, (255,)),
+        BinlogColumn("c_nationkey", MYSQL_TYPE_LONG, ()),
+        BinlogColumn("c_acctbal", MYSQL_TYPE_NEWDECIMAL, (12, 2)),
+        BinlogColumn("c_mktsegment", MYSQL_TYPE_VARCHAR, (255,))), (0,))
+
+    def decstr(c):
+        c = int(c)
+        return "%s%d.%02d" % ("-" if c < 0 else "", abs(c) // 100,
+                              abs(c) % 100)
+
+    def enc(batches):
+        from pyspark import TaskContext
+
+        w = BinlogWriter(server_id=1)
+        w.table_map(tmap)
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                img = {"c_custkey": int(r.key), "c_name": r.name,
+                       "c_nationkey": int(r.nation),
+                       "c_acctbal": decstr(r.cents), "c_mktsegment": r.mkt}
+                if r.step == 1:
+                    w.rows(tmap, WRITE_ROWS_EVENT, [img])
+                elif r.step == 2:
+                    after = dict(img, c_name=r.name2,
+                                 c_acctbal=decstr(r.cents2))
+                    w.rows(tmap, UPDATE_ROWS_EVENT, [(img, after)])
+                else:
+                    w.rows(tmap, DELETE_ROWS_EVENT, [img])
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame({"path": ["mysql-bin.%06d" % (pid + 1)],
+                            "content": [w.getvalue()]})
+
+    files = script.mapInPandas(enc, "path STRING, content BINARY")
+    payload = T.StructType([
+        T.StructField("c_custkey", T.LongType(), False),
+        T.StructField("c_name", T.StringType(), True),
+        T.StructField("c_nationkey", T.LongType(), True),
+        T.StructField("c_acctbal", T.DecimalType(12, 2), True),
+        T.StructField("c_mktsegment", T.StringType(), True)])
+    env = decode_binlog(files, "shop", "customer", payload)
+    out = latest_image(env, ["c_custkey"], seq_col=SEQ_COL)
+    return out.select(
+        "c_custkey", "c_name", "c_nationkey",
+        (F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        "c_mktsegment")
+
+
+ORACLE_MYSQL_BINLOG_DECODE = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CASE WHEN c_custkey % 3 = 0 THEN c_name || '*' ELSE c_name END
+         AS c_name,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(round(c_acctbal * 100)
+            + CASE WHEN c_custkey % 3 = 0 THEN 500 ELSE 0 END AS BIGINT)
+         AS acctbal_cents,
+       c_mktsegment
+FROM customer WHERE c_custkey % 7 <> 0
+"""
+
+
+def q_cdc_pgoutput_decode(spark, sf_dir):
+    """Postgres pgoutput wire codec end-to-end (logical-replication
+    protocol v1 messages; reference PostgresDataSource surface with
+    `PostgresOffset.java:49-59` coordinates): a scripted changelog over
+    ``part`` is encoded into byte-true pgoutput capture files (Relation
+    message, Begin/Insert/Update/Delete/Commit frames, DEFAULT replica
+    identity — update/delete before-images carry the key columns only)
+    with ONE commit-aligned file per partition, bridged to debezium-json
+    by `pgoutput_to_debezium_json` (commit-order seq = commit_lsn<<15|idx)
+    and materialized per PK. Transactions batch ~200 ops so the
+    intra-transaction idx tie-break is exercised, not just commit order.
+    Scripted churn: insert all, update every 4th (+$1.50), delete every
+    9th."""
+    import pandas as pd
+
+    from .sources.debezium import decode_debezium
+    from .sources.pgoutput import (
+        PgColumn, PgOutputWriter, PgRelation, pgoutput_to_debezium_json)
+
+    OID_INT8, OID_TEXT, OID_FLOAT8 = 20, 25, 701
+    rel = PgRelation(16421, "public", "part", "d", (
+        PgColumn("p_partkey", OID_INT8, key=True),
+        PgColumn("p_name", OID_TEXT), PgColumn("p_brand", OID_TEXT),
+        PgColumn("p_retailprice", OID_FLOAT8)))
+
+    pt = load(spark, sf_dir, "part")
+    k = F.col("p_partkey").cast("long")
+    base = pt.select(k.alias("key"), F.col("p_name").alias("name"),
+                     F.col("p_brand").alias("brand"),
+                     F.col("p_retailprice").alias("price"))
+    ins = base.select(F.lit(1).alias("step"), "*")
+    ups = base.where(k % 4 == 0).select(
+        F.lit(2).alias("step"), "key", "name", "brand",
+        (F.col("price") + 1.5).alias("price"))
+    fin_price = F.when(F.col("key") % 4 == 0, F.col("price") + 1.5) \
+        .otherwise(F.col("price"))
+    dels = base.where(k % 9 == 0).select(
+        F.lit(3).alias("step"), "key", "name", "brand",
+        fin_price.alias("price"))
+    script = (ins.unionByName(ups).unionByName(dels)
+              .repartition(spark.sparkContext.defaultParallelism, "key")
+              .sortWithinPartitions("key", "step"))
+
+    def enc(batches):
+        from pyspark import TaskContext
+
+        w = PgOutputWriter()
+        w.relation(rel)
+        in_txn = 0
+        w.begin()
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                if in_txn == 200:
+                    w.commit()
+                    w.begin()
+                    in_txn = 0
+                row = {"p_partkey": int(r.key), "p_name": r.name,
+                       "p_brand": r.brand, "p_retailprice": float(r.price)}
+                if r.step == 1:
+                    w.insert(rel, row)
+                elif r.step == 2:
+                    w.update(rel, {"p_partkey": int(r.key)}, row)
+                else:
+                    w.delete(rel, {"p_partkey": int(r.key)})
+                in_txn += 1
+        w.commit()
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame({"path": ["pg.%06d" % (pid + 1)],
+                            "content": [w.getvalue()]})
+
+    files = script.mapInPandas(enc, "path STRING, content BINARY")
+    payload = T.StructType([
+        T.StructField("p_partkey", T.LongType(), False),
+        T.StructField("p_name", T.StringType(), True),
+        T.StructField("p_brand", T.StringType(), True),
+        T.StructField("p_retailprice", T.DoubleType(), True)])
+    raw = pgoutput_to_debezium_json(files)
+    env = decode_debezium(raw, payload)
+    out = latest_image(env, ["p_partkey"], seq_col=SEQ_COL)
+    return out.select(
+        "p_partkey", "p_name", "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("long")
+        .alias("price_cents"))
+
+
+ORACLE_PGOUTPUT_DECODE = """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name, p_brand,
+       CAST(round((p_retailprice
+                   + CASE WHEN p_partkey % 4 = 0 THEN 1.5 ELSE 0.0 END)
+                  * 100) AS BIGINT) AS price_cents
+FROM part WHERE p_partkey % 9 <> 0
+"""
+
+
+def q_cdc_sqlserver_changetable(spark, sf_dir):
+    """SQL Server change-table decode end-to-end
+    (`SqlServerStreamingChangeEventSource.java:391-440`: op 1/2/3/4 rows
+    polled between LSNs, an UPDATE's op-3/op-4 pair sharing one seqval):
+    a scripted changelog over ``events`` renders the polled capture rows
+    — fixed-width-hex ``__$start_lsn``/``__$seqval``, ``__$operation``,
+    ``__$update_mask`` bitmask — entirely in Catalyst (`to_json`), then
+    `decode_sqlserver_cdc` (ONE from_json + ONE lag window, no Python)
+    pairs the update rows and decodes the changed-column mask; the final
+    image per key plus its decoded ``updated_columns`` csv is the gate.
+    Scripted churn: insert all, update every 3rd (value +$10, mask = the
+    val_cents bit only), delete every 7th."""
+    from .common.events import META_COL
+    from .sources.sqlserver import decode_sqlserver_cdc
+
+    ev = load(spark, sf_dir, "events")
+    k = F.col("event_id").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def lsn_hex(expr):
+        return F.lpad(F.conv(expr.cast("string"), 10, 16), 20, "0")
+
+    seq1 = F.lpad(F.lit("1"), 20, "0")
+
+    def img(val):
+        return [k.alias("event_id"),
+                F.col("user_id").cast("long").alias("user_id"),
+                F.col("event_type"), val.cast("long").alias("val_cents")]
+
+    def wire(op, val, lsn, mask):
+        row = F.struct(*img(val), lsn_hex(lsn).alias("__$start_lsn"),
+                       seq1.alias("__$seqval"),
+                       F.lit(op).alias("__$operation"),
+                       F.lit(mask).alias("__$update_mask"))
+        return F.to_json(F.struct(
+            F.lit("testdb").alias("db"), F.lit("dbo").alias("schema"),
+            F.lit("events").alias("table"), row.alias("row"))).alias("value")
+
+    ins = ev.select(wire(2, cents, k * 4, "F"))
+    up_before = ev.where(k % 3 == 0).select(wire(3, cents, k * 4 + 1, "8"))
+    up_after = ev.where(k % 3 == 0).select(
+        wire(4, cents + 1000, k * 4 + 1, "8"))
+    fin = F.when(k % 3 == 0, cents + 1000).otherwise(cents)
+    dels = ev.where(k % 7 == 0).select(wire(1, fin, k * 4 + 2, "F"))
+    raw = ins.unionByName(up_before).unionByName(up_after).unionByName(dels)
+
+    payload = T.StructType([
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("val_cents", T.LongType(), True)])
+    env = decode_sqlserver_cdc(raw, payload)
+    out = latest_image(env, ["event_id"], seq_col=SEQ_COL)
+    return out.select(
+        "event_id", "event_type", "val_cents",
+        F.element_at(F.col(META_COL), "updated_columns").alias("upd_cols"))
+
+
+ORACLE_SQLSERVER_CHANGETABLE = """
+SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+       CAST(round(value * 100)
+            + CASE WHEN event_id % 3 = 0 THEN 1000 ELSE 0 END AS BIGINT)
+         AS val_cents,
+       CASE WHEN event_id % 3 = 0 THEN 'val_cents'
+            ELSE 'event_id,user_id,event_type,val_cents' END AS upd_cols
+FROM events WHERE event_id % 7 <> 0
+"""
+
+
+def q_cdc_db2_asn(spark, sf_dir):
+    """Db2 ASN CD-table decode end-to-end (the reference's poll-query
+    classification, `Db2Connection.java:64-69`: raw 'D'/'I' rows where an
+    UPDATE is the D row then the I row adjacent by IBMSNAP_INTENTSEQ
+    within one IBMSNAP_COMMITSEQ): a scripted changelog over ``lineitem``
+    — COMPOSITE primary key (l_orderkey, l_linenumber) — renders the CD
+    rows in Catalyst, and `decode_db2_cdc` re-classifies them with the
+    LEAD/LAG CASE into -D/+I/-U/+U with the +U before-image attached.
+    Scripted churn keyed by k = l_orderkey*8 + l_linenumber: insert all,
+    update every 6th (qty +1), delete every 11th; each phase is its own
+    transaction (commitseq 3k/3k+1/3k+2), so the window state stays
+    O(rows-per-txn) and spreads across thousands of groups."""
+    from .sources.db2 import decode_db2_cdc
+
+    # the synthetic lineitem repeats (l_orderkey, l_linenumber) pairs —
+    # reduce to one deterministic image per composite key first
+    li = (load(spark, sf_dir, "lineitem")
+          .groupBy("l_orderkey", "l_linenumber")
+          .agg(F.round(F.sum("l_quantity")).cast("long").alias("qty0"),
+               F.max("l_returnflag").alias("l_returnflag")))
+    ok = F.col("l_orderkey").cast("long")
+    ln = F.col("l_linenumber").cast("long")
+    k = ok * 8 + ln
+    qty = F.col("qty0")
+
+    def seq_hex(expr):
+        return F.lpad(F.conv(expr.cast("string"), 10, 16), 32, "0")
+
+    def wire(op, q, commit, intent):
+        row = F.struct(ok.alias("l_orderkey"), ln.alias("l_linenumber"),
+                       q.cast("long").alias("qty"), F.col("l_returnflag"),
+                       seq_hex(commit).alias("IBMSNAP_COMMITSEQ"),
+                       seq_hex(intent).alias("IBMSNAP_INTENTSEQ"),
+                       F.lit(op).alias("IBMSNAP_OPERATION"))
+        return F.to_json(F.struct(
+            F.lit("testdb").alias("db"), F.lit("DB2INST1").alias("schema"),
+            F.lit("lineitem").alias("table"),
+            row.alias("row"))).alias("value")
+
+    ins = li.select(wire("I", qty, k * 3, F.lit(1)))
+    up_d = li.where(k % 6 == 0).select(wire("D", qty, k * 3 + 1, F.lit(1)))
+    up_i = li.where(k % 6 == 0).select(
+        wire("I", qty + 1, k * 3 + 1, F.lit(2)))
+    fin = F.when(k % 6 == 0, qty + 1).otherwise(qty)
+    dels = li.where(k % 11 == 0).select(wire("D", fin, k * 3 + 2, F.lit(1)))
+    raw = ins.unionByName(up_d).unionByName(up_i).unionByName(dels)
+
+    payload = T.StructType([
+        T.StructField("l_orderkey", T.LongType(), False),
+        T.StructField("l_linenumber", T.LongType(), False),
+        T.StructField("qty", T.LongType(), True),
+        T.StructField("l_returnflag", T.StringType(), True)])
+    env = decode_db2_cdc(raw, payload)
+    out = latest_image(env, ["l_orderkey", "l_linenumber"], seq_col=SEQ_COL)
+    return out.select("l_orderkey", "l_linenumber", "qty", "l_returnflag")
+
+
+ORACLE_DB2_ASN = """
+WITH uniq AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(SUM(l_quantity)) AS BIGINT) AS qty0,
+         MAX(l_returnflag) AS l_returnflag
+  FROM lineitem GROUP BY l_orderkey, l_linenumber)
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(qty0 + CASE WHEN (l_orderkey * 8 + l_linenumber) % 6 = 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS qty,
+       l_returnflag
+FROM uniq WHERE (l_orderkey * 8 + l_linenumber) % 11 <> 0
+"""
+
+
+def q_cdc_oracle_logminer(spark, sf_dir):
+    """Oracle LogMiner redo-SQL decode end-to-end (the reference's
+    LogMinerDmlParser analog over polled V$LOGMNR_CONTENTS rows): a
+    scripted changelog over ``orders`` (every 4th key) renders SQL_REDO
+    statements exactly as LogMiner does — quoted identifiers, full-image
+    WHERE predicates on UPDATE/DELETE — in Catalyst `format_string`, the
+    capture lines pack into per-task segment files, and
+    `logminer_to_debezium_json` parses each statement back (op-code
+    cross-check, SCN offsets) for the shared debezium-json decode.
+    Scripted churn: update every 3rd scripted key (+$5), delete every
+    5th."""
+    import pandas as pd
+
+    from .sources.debezium import decode_debezium
+    from .sources.oracle import logminer_to_debezium_json
+
+    od = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 4 == 0)
+    k = F.col("o_orderkey").cast("long")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    odate = F.date_format("o_orderdate", "yyyy-MM-dd")
+
+    ins_sql = F.format_string(
+        'insert into "INV"."ORDERS"("o_orderkey","o_custkey","status",'
+        '"total_cents","odate") values (%d,%d,\'%s\',%d,\'%s\');',
+        k, F.col("o_custkey").cast("long"), F.col("o_orderstatus"),
+        cents, odate)
+    where_sql = F.format_string(
+        '"o_orderkey" = %d and "o_custkey" = %d and "status" = \'%s\' '
+        'and "total_cents" = %d and "odate" = \'%s\'',
+        k, F.col("o_custkey").cast("long"), F.col("o_orderstatus"),
+        cents, odate)
+    upd_sql = F.format_string(
+        'update "INV"."ORDERS" set "total_cents" = %d where %s;',
+        cents + 500, where_sql)
+    fin_cents = F.when(k % 12 == 0, cents + 500).otherwise(cents)
+    del_where = F.format_string(
+        '"o_orderkey" = %d and "o_custkey" = %d and "status" = \'%s\' '
+        'and "total_cents" = %d and "odate" = \'%s\'',
+        k, F.col("o_custkey").cast("long"), F.col("o_orderstatus"),
+        fin_cents, odate)
+    del_sql = F.format_string('delete from "INV"."ORDERS" where %s;',
+                              del_where)
+
+    def capline(op_code, sql, scn):
+        return F.to_json(F.struct(
+            scn.cast("long").alias("scn"),
+            F.lit(op_code).alias("operation"),
+            F.lit("INV").alias("seg_owner"),
+            F.lit("ORDERS").alias("table"),
+            F.conv(scn.cast("string"), 10, 16).alias("xid"),
+            F.format_string("AAA%d", scn).alias("row_id"),
+            (scn * 1000).cast("long").alias("ts_ms"),
+            F.lit(0).alias("csf"), sql.alias("sql_redo"))).alias("value")
+
+    ins = od.select(capline(1, ins_sql, k * 4))
+    ups = od.where(k % 12 == 0).select(capline(3, upd_sql, k * 4 + 1))
+    dels = od.where(k % 20 == 0).select(capline(2, del_sql, k * 4 + 2))
+    lines = ins.unionByName(ups).unionByName(dels)
+
+    def pack(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            yield pd.DataFrame(
+                {"path": ["seg-%05d-%05d.jsonl" % (pid, i)],
+                 "content": ["\n".join(pdf["value"]).encode("utf-8")]})
+
+    files = lines.mapInPandas(pack, "path STRING, content BINARY")
+    payload = T.StructType([
+        T.StructField("o_orderkey", T.LongType(), False),
+        T.StructField("o_custkey", T.LongType(), True),
+        T.StructField("status", T.StringType(), True),
+        T.StructField("total_cents", T.LongType(), True),
+        T.StructField("odate", T.StringType(), True)])
+    raw = logminer_to_debezium_json(files)
+    env = decode_debezium(raw, payload)
+    out = latest_image(env, ["o_orderkey"], seq_col=SEQ_COL)
+    return out.select("o_orderkey", "o_custkey", "status", "total_cents",
+                      "odate")
+
+
+ORACLE_ORACLE_LOGMINER = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       o_orderstatus AS status,
+       CAST(round(o_totalprice * 100)
+            + CASE WHEN o_orderkey % 12 = 0 THEN 500 ELSE 0 END AS BIGINT)
+         AS total_cents,
+       strftime(o_orderdate, '%Y-%m-%d') AS odate
+FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 20 <> 0
+"""
+
+
+def q_cdc_vitess_vstream(spark, sf_dir):
+    """Vitess VStream decode end-to-end (the reference's
+    `VitessSource.java:23-25` surface; Debezium-vitess envelope with
+    keyspace/shard/vgtid source coordinates): a scripted changelog over
+    ``events`` routes each key to one of four shards and carries a
+    per-record VGTID (the shard's GTID set AFTER that event — the
+    per-shard resume coordinate `fold_vstream_batch` persists), decoded
+    by `decode_vstream` and materialized per key with its shard. The
+    shard column survives only if the source-block fields parse into
+    ``__meta`` correctly. Scripted churn: insert all, update every 3rd
+    (+$1), delete every 7th."""
+    from .common.events import META_COL
+    from .sources.vitess import decode_vstream
+
+    ev = load(spark, sf_dir, "events")
+    k = F.col("event_id").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    shard = F.element_at(
+        F.array(F.lit("-40"), F.lit("40-80"), F.lit("80-c0"), F.lit("c0-")),
+        (F.col("user_id") % 4 + 1).cast("int"))
+
+    def img(val):
+        return F.struct(k.alias("event_id"),
+                        F.col("user_id").cast("long").alias("user_id"),
+                        F.col("event_type"),
+                        val.cast("long").alias("val_cents"))
+
+    null_img = F.lit(None).cast(
+        "struct<event_id:bigint,user_id:bigint,event_type:string,"
+        "val_cents:bigint>")
+    vgtid = F.format_string(
+        '[{"keyspace":"ks","shard":"%s","gtid":'
+        '"MySQL56/16b1039f-22b6-11ed-b765-0a43f95f28a3:1-%d"}]',
+        shard, k * 10 + 9)
+
+    def rec(op, before, after, seq):
+        return F.to_json(F.struct(
+            before.alias("before"), after.alias("after"),
+            F.lit(op).alias("op"), seq.cast("long").alias("ts_ms"),
+            F.struct(F.lit("ks").alias("keyspace"),
+                     F.lit("events").alias("table"), shard.alias("shard"),
+                     vgtid.alias("vgtid")).alias("source"))).alias("value")
+
+    ins = ev.select(rec("c", null_img, img(cents), k * 10))
+    ups = ev.where(k % 3 == 0).select(
+        rec("u", img(cents), img(cents + 100), k * 10 + 1))
+    fin = F.when(k % 3 == 0, cents + 100).otherwise(cents)
+    dels = ev.where(k % 7 == 0).select(
+        rec("d", img(fin), null_img, k * 10 + 2))
+    raw = ins.unionByName(ups).unionByName(dels)
+
+    payload = T.StructType([
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("val_cents", T.LongType(), True)])
+    env = decode_vstream(raw, payload)
+    out = latest_image(env, ["event_id"], seq_col=SEQ_COL)
+    return out.select(
+        "event_id", "event_type", "val_cents",
+        F.element_at(F.col(META_COL), "shard").alias("shard"))
+
+
+ORACLE_VITESS_VSTREAM = """
+SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+       CAST(round(value * 100)
+            + CASE WHEN event_id % 3 = 0 THEN 100 ELSE 0 END AS BIGINT)
+         AS val_cents,
+       ['-40','40-80','80-c0','c0-'][(user_id % 4)::INT + 1] AS shard
+FROM events WHERE event_id % 7 <> 0
+"""
+
+
 def q_skew_salted_agg(spark, sf_dir):
     """Two-phase salted aggregation (operators/skew.py) end-to-end:
     l_returnflag has 3 values over 600k rows — the textbook hot-key
@@ -3713,16 +4197,6 @@ WHERE cum <= CASE lang {cases} ELSE 0 END
 """
 
 
-def q_text_chunk_windows(spark, sf_dir):
-    """Context-window chunking (extensions/text.chunk_windows): split each
-    document into consecutive 64-token chunks — the training-window
-    preprocessing step. No shuffle, no Python: tokens materialized once,
-    posexplode over window indices, slice+join per chunk."""
-    from .extensions.text import chunk_windows
-
-    return chunk_windows(load(spark, sf_dir, "documents"), window_tokens=64)
-
-
 def q_text_sentences(spark, sf_dir):
     """Sentence segmentation (extensions/text.sentences_sql — the step
     upstream of sentence-level chunking/embedding): maximal runs of
@@ -3757,23 +4231,6 @@ SELECT doc_id, CAST(i - 1 AS INTEGER) AS sent_idx,
        sents[i] AS sentence,
        CAST({token_count_sql("duckdb", "sents[i]")} AS INTEGER) AS n_words
 FROM e
-"""
-
-
-ORACLE_CHUNK_WINDOWS = r"""
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-  FROM documents),
-w AS (
-  SELECT doc_id, t,
-         unnest(range(0, CAST(ceil(len(t) / 64.0) AS INT))) AS wi
-  FROM toks WHERE len(t) > 0)
-SELECT doc_id,
-       CAST(wi AS INTEGER) AS window_idx,
-       CAST(least(64, len(t) - wi * 64) AS INTEGER) AS n_tokens,
-       array_to_string(t[wi * 64 + 1 : wi * 64 + 64], ' ') AS chunk
-FROM w
 """
 
 
@@ -5809,16 +6266,23 @@ WHERE rn = 1
 
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
-    # The correctness driver samples the FIRST 50 entries of this dict
-    # (confirmed again: CORRECTNESS_r04 keys == dict-order prefix).
-    # Round-5 first-50 = weakest driver evidence first:
-    #   1. the 29 round-4 queries never driver-checked (verdict item 1)
-    #   2. the 2 new round-5 queries
-    #   3. the 5 queries whose last green row is r02
-    #   4. the earliest r03 greens filling the remaining slots
-    # With this order, r03 ∪ r04 ∪ r05 driver rows jointly cover the
-    # ENTIRE registry (136/136).
-    # 1. never driver-checked (round-4 additions)
+    # The correctness driver samples the FIRST 50 entries of this dict.
+    # Round-6 first-50 = weakest driver evidence first:
+    #   1. the 6 NEW wire-decoder oracle gates (round-6; the round-5
+    #      codecs' first driver rows — verdict r5 item 1)
+    #   2. the round-4 queries whose only green row is r05
+    #   3. the earliest-green rows filling the remaining slots
+    # r03 ∪ r04 ∪ r05 driver rows jointly cover the entire round-5
+    # registry; the six new entries are the only never-driver-checked
+    # queries and all sit inside the first-50 window.
+    # 1. new in round 6: wire-decoder oracle gates
+    "cdc_mysql_binlog_decode": q_cdc_mysql_binlog_decode,
+    "cdc_pgoutput_decode": q_cdc_pgoutput_decode,
+    "cdc_sqlserver_changetable": q_cdc_sqlserver_changetable,
+    "cdc_db2_asn": q_cdc_db2_asn,
+    "cdc_oracle_logminer": q_cdc_oracle_logminer,
+    "cdc_vitess_vstream": q_cdc_vitess_vstream,
+    # 2. round-4 additions whose only green row is r05
     "funnel_conversion": q_funnel_conversion,
     "window_rolling_revenue": q_window_rolling_revenue,
     "json_schema_infer": q_json_schema_infer,
@@ -5907,7 +6371,6 @@ QUERIES: dict[str, object] = {
     "transform_op_ts_metadata": q_transform_op_ts_metadata,
     "text_ngram_top": q_text_ngram_top,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
-    "text_chunk_windows": q_text_chunk_windows,
     "text_redact_pii": q_text_redact_pii,
     "sessionize_events": q_sessionize_events,
     "doc_length_percentiles": q_doc_length_percentiles,
@@ -5939,7 +6402,6 @@ QUERIES: dict[str, object] = {
     "fuzzy_join_names": q_fuzzy_join_names,
     "text_chunk_sliding": q_text_chunk_sliding,
     "cdc_incremental_agg": q_cdc_incremental_agg,
-    "agg_session_window": q_agg_session_window,
     "scd2_enrich_events": q_scd2_enrich_events,
     "curriculum_order": q_curriculum_order,
     "sample_negatives": q_sample_negatives,
@@ -5965,6 +6427,12 @@ QUERIES: dict[str, object] = {
 }
 
 ORACLES: dict[str, str] = {
+    "cdc_mysql_binlog_decode": ORACLE_MYSQL_BINLOG_DECODE,
+    "cdc_pgoutput_decode": ORACLE_PGOUTPUT_DECODE,
+    "cdc_sqlserver_changetable": ORACLE_SQLSERVER_CHANGETABLE,
+    "cdc_db2_asn": ORACLE_DB2_ASN,
+    "cdc_oracle_logminer": ORACLE_ORACLE_LOGMINER,
+    "cdc_vitess_vstream": ORACLE_VITESS_VSTREAM,
     "transform_projection_arith": ORACLE_PROJECTION_ARITH,
     "transform_predicates": ORACLE_PREDICATES,
     "transform_string_funcs": ORACLE_STRING_FUNCS,
@@ -6010,7 +6478,6 @@ ORACLES: dict[str, str] = {
     "array_functions": ORACLE_ARRAY_FUNCS,
     "text_ngram_top": ORACLE_TEXT_NGRAM_TOP,
     "text_tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
-    "text_chunk_windows": ORACLE_CHUNK_WINDOWS,
     "text_redact_pii": ORACLE_REDACT_PII,
     "dedup_lines": ORACLE_DEDUP_LINES,
     "sample_token_budget": _oracle_token_budget(),
@@ -6021,7 +6488,6 @@ ORACLES: dict[str, str] = {
     "fuzzy_join_names": ORACLE_FUZZY_JOIN,
     "text_chunk_sliding": ORACLE_CHUNK_SLIDING,
     "cdc_incremental_agg": ORACLE_INCREMENTAL_AGG,
-    "agg_session_window": ORACLE_SESSION_WINDOW,
     "scd2_enrich_events": ORACLE_SCD2,
     "curriculum_order": _oracle_curriculum(),
     "sample_negatives": ORACLE_NEGATIVES,

@@ -445,3 +445,38 @@ def test_tidb_kv_decode_two_exchanges_arrow_python(spark):
     assert len(re.findall(r"\bExchange\b", p)) == 2, p
     assert p.count("MapInPandas") == 2, p   # encode + decode, Arrow-batched
     assert "BatchEvalPython" not in p, p
+
+
+def test_wire_decoder_plan_shapes(spark):
+    """Round-6 wire-decoder oracle gates, 100 TB posture pinned:
+
+    - binlog / pgoutput: TWO exchanges (the explicit repartition spreading
+      the Python encode to executor width + the materialize key shuffle),
+      TWO Arrow MapInPandas stages (encode + decode/bridge) — one capture
+      file per task, the unit a real reader consumes;
+    - sqlserver / vitess: PURE Catalyst (zero Python stages) — from_json
+      decode + window pairing/materialize;
+    - logminer: ONE exchange (materialize) around two Arrow stages (line
+      pack + redo-SQL parse bridge);
+    - db2: zero Python; its 6 exchanges are 4 fixture-prep aggregations
+      (the script derives a unique composite-key image 4x) + the decode
+      window + materialize — the DECODE path itself is 2.
+    Never a row-at-a-time BatchEvalPython or a cartesian product.
+    """
+    import re
+
+    shapes = {
+        # name -> (exchanges, map_in_pandas)
+        "cdc_mysql_binlog_decode": (2, 2),
+        "cdc_pgoutput_decode": (2, 2),
+        "cdc_sqlserver_changetable": (1, 0),
+        "cdc_db2_asn": (6, 0),
+        "cdc_oracle_logminer": (1, 2),
+        "cdc_vitess_vstream": (1, 0),
+    }
+    for name, (n_exchange, n_arrow) in shapes.items():
+        p = plan_of(EQ.QUERIES[name](spark, SF))
+        assert len(re.findall(r"\bExchange\b", p)) == n_exchange, (name, p)
+        assert p.count("MapInPandas") == n_arrow, (name, p)
+        assert "BatchEvalPython" not in p, (name, p)
+        assert "Cartesian" not in p, (name, p)

@@ -55,9 +55,28 @@ def test_headline_summary_line_fits_tail_capture():
         "sf": 0.1,
         "n_timed": len(fake),
         "full": "BENCH_FULL.json",
+        "run_id": "20990101T235959Z-1234567",
     }
     line = json.dumps(out, separators=(",", ":"))
     assert len(line) <= 1900, f"summary line {len(line)} chars > 1900"
+
+
+def test_every_query_timed_or_exclusion_documented():
+    """Round-6 (verdict r5 item 4): a registry query either has a bench
+    trend line or a one-line documented exclusion — never silently
+    untimed."""
+    timed = set(bench.BENCH_QUERIES)
+    excluded = set(bench.EXCLUDED_QUERIES)
+    overlap = timed & excluded
+    assert not overlap, f"both timed and excluded: {sorted(overlap)}"
+    missing = set(EQ.QUERIES) - timed - excluded
+    assert not missing, (
+        f"registry queries neither timed nor documented-excluded: "
+        f"{sorted(missing)}")
+    stale = excluded - set(EQ.QUERIES)
+    assert not stale, f"EXCLUDED_QUERIES names unknown queries: {sorted(stale)}"
+    for name, reason in bench.EXCLUDED_QUERIES.items():
+        assert reason.strip(), f"empty exclusion reason for {name}"
 
 
 def test_bench_scale_names_exist_in_registry():
@@ -70,12 +89,11 @@ def test_driver_sample_prefix_has_weakest_evidence_first():
     never-driver-checked + new queries must sit inside that prefix."""
     import json
 
+    import glob
+
     covered = set()
-    for n in (1, 2, 3, 4):
-        path = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), f"CORRECTNESS_r0{n}.json")
-        if not os.path.exists(path):
-            continue
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         with open(path) as f:
             for k, v in json.load(f).items():
                 if v.get("rows_match") and v.get("err") is None:
