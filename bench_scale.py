@@ -132,15 +132,102 @@ def main() -> None:
         rows.append(row)
         print(json.dumps(row))
 
+    codec_rows = run_codec_scale(spark, EQ)
+    for row in codec_rows:
+        print(json.dumps(row))
+
     print(json.dumps({
         "metric": "bench_scale",
         "replicas": REPLICAS,
         "sf_dir": SF_DIR,
         "max_ratio": max(r["ratio"] for r in rows),
         "ops": len(rows),
+        "max_codec_ratio": max(r["ratio"] for r in codec_rows),
+        "codecs": len(codec_rows),
     }))
     shutil.rmtree(scaled, ignore_errors=True)
     spark.stop()
+
+
+# ---------------------------------------------------------------------------
+# codec throughput scaling (round-6, verdict r5 item 5): decode-side rows/s
+# for the three binary wire codecs at 1x and REPLICASx fixture sizes.  The
+# fixture is materialized to disk FIRST (untimed — encode is fixture prep),
+# then the decode stage alone is timed over a binary-file read, exactly the
+# shape the YAML streaming source executes.  `ratio` compares per-row cost
+# (µs/row) at the two sizes: linear-scaling codecs stay ~1.0.
+# ---------------------------------------------------------------------------
+
+
+def _materialize_files(files_df, out_dir: str) -> None:
+    for r in files_df.collect():  # O(#partitions) small control-plane rows
+        with open(os.path.join(out_dir, r["path"]), "wb") as f:
+            f.write(bytes(r["content"]))
+
+
+def run_codec_scale(spark, EQ) -> list[dict]:
+    from pyspark.sql import functions as F
+
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        binlog_to_debezium_json, decode_binlog, read_binlog_files)
+    from source_flink_cdc_3_5_0_spark.sources.pgoutput import (
+        pgoutput_to_debezium_json, read_pgoutput_files)
+    from source_flink_cdc_3_5_0_spark.sources.tidb import decode_tidb_kv
+
+    def timed_decode(build_df) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            build_df().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def binlog_fixture(replicas):
+        d = tempfile.mkdtemp(prefix="codec_binlog_")
+        _materialize_files(
+            EQ.binlog_capture_files(spark, SF_DIR, replicas), d)
+        decode = lambda: decode_binlog(  # noqa: E731
+            read_binlog_files(spark, d), "shop", "customer",
+            EQ.BINLOG_CUSTOMER_PAYLOAD)
+        n = binlog_to_debezium_json(read_binlog_files(spark, d)).count()
+        return d, n, decode
+
+    def pgoutput_fixture(replicas):
+        d = tempfile.mkdtemp(prefix="codec_pgoutput_")
+        _materialize_files(
+            EQ.pgoutput_capture_files(spark, SF_DIR, replicas), d)
+        decode = lambda: pgoutput_to_debezium_json(  # noqa: E731
+            read_pgoutput_files(spark, d))
+        n = decode().count()
+        return d, n, decode
+
+    def tidb_fixture(replicas):
+        d = tempfile.mkdtemp(prefix="codec_tidb_")
+        kv, table = EQ.tidb_kv_frames(spark, SF_DIR, replicas)
+        kv.write.mode("overwrite").parquet(d)
+        stored = spark.read.parquet(d)
+        decode = lambda: decode_tidb_kv(stored, table)  # noqa: E731
+        n = stored.count()
+        return d, n, decode
+
+    out = []
+    for name, fixture in (("binlog_decode", binlog_fixture),
+                          ("pgoutput_decode", pgoutput_fixture),
+                          ("tidb_kv_decode", tidb_fixture)):
+        d1, n1, dec1 = fixture(1)
+        t1 = timed_decode(dec1)
+        dn, nn, decn = fixture(REPLICAS)
+        tn = timed_decode(decn)
+        us1 = t1 / n1 * 1e6
+        usn = tn / nn * 1e6
+        out.append({"op": f"codec_{name}", "rows_base": n1,
+                    "rows_scaled": nn,
+                    "us_per_row_base": round(us1, 2),
+                    "us_per_row_scaled": round(usn, 2),
+                    "ratio": round(usn / us1, 2)})
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(dn, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":

@@ -2009,27 +2009,15 @@ FROM fin GROUP BY status
 """
 
 
-def q_cdc_tidb_kv_decode(spark, sf_dir):
-    """TiDB raw-KV CDC end-to-end (flink-connector-tidb-cdc surface — the
-    one legacy connector whose wire is NOT Debezium): a scripted changelog
-    over ``orders`` is ENCODED into wire-true TiKV region-CDC events
-    (19-byte record keys, row-format-v2 values, row-format-v1 old values —
-    comparable ints, Go varints, order-preserving floats, MySQL packed
-    dates), then DECODED back through the reference's op switch
-    (RowDataTiKVChangeEventDeserializationSchema.java:67-105: DELETE from
-    old_value, PUT +I/+U by old-value presence, handle PK from the row
-    key) and materialized to the latest image per handle. Every decoded
-    cell of every surviving row is value-hashed against the oracle — one
-    wrong varint, offset, or packed-date bit fails the gate. Scripted
-    churn: insert all, update every 3rd (+$5), delete every 7th.
+def tidb_kv_frames(spark, sf_dir, replicas: int = 1):
+    """Scripted churn over ``orders`` encoded to wire-true TiKV region-CDC
+    events: returns (kv DataFrame, TiTableInfo). Shared by the
+    `cdc_tidb_kv_decode` oracle gate and bench_scale's codec-throughput
+    rows."""
+    from .sources.tidb import TiTableInfo, encode_tidb_kv, ti_column
 
-    Scale shape: encode/decode are Arrow-batched mapInPandas stages with
-    O(row-bytes) state; materialize is ONE key shuffle (window rank)."""
-    from .sources.tidb import TiTableInfo, decode_tidb_kv, encode_tidb_kv, \
-        ti_column
-    from .streaming.materialize import latest_image
-
-    od = load(spark, sf_dir, "orders")
+    od = _replicate_keys(load(spark, sf_dir, "orders"), "o_orderkey",
+                         replicas, 100_000_000)
     k = F.col("o_orderkey")
     table = TiTableInfo(table_id=77, columns=(
         ti_column(1, "_id", T.LongType(), pk_handle=True),
@@ -2069,7 +2057,29 @@ def q_cdc_tidb_kv_decode(spark, sf_dir):
     # real TiKV feed the region-CDC stream is already many-partitioned
     script = script.repartition(od.sparkSession.sparkContext.defaultParallelism)
 
-    kv = encode_tidb_kv(script, table)
+    return encode_tidb_kv(script, table), table
+
+
+def q_cdc_tidb_kv_decode(spark, sf_dir):
+    """TiDB raw-KV CDC end-to-end (flink-connector-tidb-cdc surface — the
+    one legacy connector whose wire is NOT Debezium): a scripted changelog
+    over ``orders`` is ENCODED into wire-true TiKV region-CDC events
+    (19-byte record keys, row-format-v2 values, row-format-v1 old values —
+    comparable ints, Go varints, order-preserving floats, MySQL packed
+    dates), then DECODED back through the reference's op switch
+    (RowDataTiKVChangeEventDeserializationSchema.java:67-105: DELETE from
+    old_value, PUT +I/+U by old-value presence, handle PK from the row
+    key) and materialized to the latest image per handle. Every decoded
+    cell of every surviving row is value-hashed against the oracle — one
+    wrong varint, offset, or packed-date bit fails the gate. Scripted
+    churn: insert all, update every 3rd (+$5), delete every 7th.
+
+    Scale shape: encode/decode are Arrow-batched mapInPandas stages with
+    O(row-bytes) state; materialize is ONE key shuffle (window rank)."""
+    from .sources.tidb import decode_tidb_kv
+    from .streaming.materialize import latest_image
+
+    kv, table = tidb_kv_frames(spark, sf_dir)
     env = decode_tidb_kv(kv, table)
     out = latest_image(env, ["_id"], seq_col=SEQ_COL)
     return out.select("_id", "cust", "status", "total_cents", "price",
@@ -2099,29 +2109,43 @@ FROM orders WHERE o_orderkey % 7 <> 0
 # ---------------------------------------------------------------------------
 
 
-def q_cdc_mysql_binlog_decode(spark, sf_dir):
-    """MySQL binlog ROW-format wire codec end-to-end (the reference's
-    `BinlogOffset.java:46-53` coordinates and
-    `RelationalChangeRecordEmitter` +I/-U/+U/-D mapping): a scripted
-    changelog over ``customer`` is encoded into byte-true binlog v4 files
-    (FDE, TABLE_MAP with optional metadata TLVs, WRITE/UPDATE/DELETE_ROWS
-    v2 events, CRC32 trailers, NEWDECIMAL cells — negative balances
-    included) with ONE file per partition, then decoded by
-    `decode_binlog` and materialized per PK. Scripted churn: insert all,
-    update every 3rd (name suffix + $5.00), delete every 7th.
+#: the binlog gate's decode payload schema (also used by bench_scale's
+#: codec-throughput rows)
+BINLOG_CUSTOMER_PAYLOAD = T.StructType([
+    T.StructField("c_custkey", T.LongType(), False),
+    T.StructField("c_name", T.StringType(), True),
+    T.StructField("c_nationkey", T.LongType(), True),
+    T.StructField("c_acctbal", T.DecimalType(12, 2), True),
+    T.StructField("c_mktsegment", T.StringType(), True)])
 
-    Scale shape: encode/decode are Arrow-batched mapInPandas stages, one
-    sequential file per task (the exact unit a binlog reader consumes);
-    materialize is ONE key shuffle (window rank)."""
+
+def _replicate_keys(df, key_col: str, replicas: int, offset: int):
+    """Replicate every row ``replicas``× with offset keys (codec scale
+    fixtures — same trick as bench_scale's document replication)."""
+    if replicas <= 1:
+        return df
+    return (df.withColumn("__rep", F.explode(
+                F.sequence(F.lit(0), F.lit(replicas - 1))))
+            .withColumn(key_col,
+                        F.col(key_col) + F.col("__rep") * F.lit(offset))
+            .drop("__rep"))
+
+
+def binlog_capture_files(spark, sf_dir, replicas: int = 1):
+    """Scripted churn over ``customer`` encoded to byte-true binlog v4
+    files: (path, content) DataFrame, ONE file per partition. Shared by
+    the `cdc_mysql_binlog_decode` oracle gate and bench_scale's
+    codec-throughput rows (``replicas`` scales the fixture with offset
+    keys)."""
     import pandas as pd
 
     from .sources.mysql_binlog import (
         DELETE_ROWS_EVENT, MYSQL_TYPE_LONG, MYSQL_TYPE_LONGLONG,
         MYSQL_TYPE_NEWDECIMAL, MYSQL_TYPE_VARCHAR, UPDATE_ROWS_EVENT,
-        WRITE_ROWS_EVENT, BinlogColumn, BinlogTableMap, BinlogWriter,
-        decode_binlog)
+        WRITE_ROWS_EVENT, BinlogColumn, BinlogTableMap, BinlogWriter)
 
-    cu = load(spark, sf_dir, "customer")
+    cu = _replicate_keys(load(spark, sf_dir, "customer"), "c_custkey",
+                         replicas, 100_000_000)
     k = F.col("c_custkey").cast("long")
     cents = F.round(F.col("c_acctbal") * 100).cast("long")
     upd = k % 3 == 0
@@ -2183,14 +2207,27 @@ def q_cdc_mysql_binlog_decode(spark, sf_dir):
         yield pd.DataFrame({"path": ["mysql-bin.%06d" % (pid + 1)],
                             "content": [w.getvalue()]})
 
-    files = script.mapInPandas(enc, "path STRING, content BINARY")
-    payload = T.StructType([
-        T.StructField("c_custkey", T.LongType(), False),
-        T.StructField("c_name", T.StringType(), True),
-        T.StructField("c_nationkey", T.LongType(), True),
-        T.StructField("c_acctbal", T.DecimalType(12, 2), True),
-        T.StructField("c_mktsegment", T.StringType(), True)])
-    env = decode_binlog(files, "shop", "customer", payload)
+    return script.mapInPandas(enc, "path STRING, content BINARY")
+
+
+def q_cdc_mysql_binlog_decode(spark, sf_dir):
+    """MySQL binlog ROW-format wire codec end-to-end (the reference's
+    `BinlogOffset.java:46-53` coordinates and
+    `RelationalChangeRecordEmitter` +I/-U/+U/-D mapping): a scripted
+    changelog over ``customer`` is encoded into byte-true binlog v4 files
+    (FDE, TABLE_MAP with optional metadata TLVs, WRITE/UPDATE/DELETE_ROWS
+    v2 events, CRC32 trailers, NEWDECIMAL cells — negative balances
+    included) with ONE file per partition, then decoded by
+    `decode_binlog` and materialized per PK. Scripted churn: insert all,
+    update every 3rd (name suffix + $5.00), delete every 7th.
+
+    Scale shape: encode/decode are Arrow-batched mapInPandas stages, one
+    sequential file per task (the exact unit a binlog reader consumes);
+    materialize is ONE key shuffle (window rank)."""
+    from .sources.mysql_binlog import decode_binlog
+
+    files = binlog_capture_files(spark, sf_dir)
+    env = decode_binlog(files, "shop", "customer", BINLOG_CUSTOMER_PAYLOAD)
     out = latest_image(env, ["c_custkey"], seq_col=SEQ_COL)
     return out.select(
         "c_custkey", "c_name", "c_nationkey",
@@ -2211,24 +2248,22 @@ FROM customer WHERE c_custkey % 7 <> 0
 """
 
 
-def q_cdc_pgoutput_decode(spark, sf_dir):
-    """Postgres pgoutput wire codec end-to-end (logical-replication
-    protocol v1 messages; reference PostgresDataSource surface with
-    `PostgresOffset.java:49-59` coordinates): a scripted changelog over
-    ``part`` is encoded into byte-true pgoutput capture files (Relation
-    message, Begin/Insert/Update/Delete/Commit frames, DEFAULT replica
-    identity — update/delete before-images carry the key columns only)
-    with ONE commit-aligned file per partition, bridged to debezium-json
-    by `pgoutput_to_debezium_json` (commit-order seq = commit_lsn<<15|idx)
-    and materialized per PK. Transactions batch ~200 ops so the
-    intra-transaction idx tie-break is exercised, not just commit order.
-    Scripted churn: insert all, update every 4th (+$1.50), delete every
-    9th."""
+#: the pgoutput gate's decode payload schema (also used by bench_scale)
+PGOUTPUT_PART_PAYLOAD = T.StructType([
+    T.StructField("p_partkey", T.LongType(), False),
+    T.StructField("p_name", T.StringType(), True),
+    T.StructField("p_brand", T.StringType(), True),
+    T.StructField("p_retailprice", T.DoubleType(), True)])
+
+
+def pgoutput_capture_files(spark, sf_dir, replicas: int = 1):
+    """Scripted churn over ``part`` encoded to byte-true pgoutput capture
+    files: (path, content) DataFrame, ONE commit-aligned file per
+    partition. Shared by the `cdc_pgoutput_decode` oracle gate and
+    bench_scale's codec-throughput rows."""
     import pandas as pd
 
-    from .sources.debezium import decode_debezium
-    from .sources.pgoutput import (
-        PgColumn, PgOutputWriter, PgRelation, pgoutput_to_debezium_json)
+    from .sources.pgoutput import PgColumn, PgOutputWriter, PgRelation
 
     OID_INT8, OID_TEXT, OID_FLOAT8 = 20, 25, 701
     rel = PgRelation(16421, "public", "part", "d", (
@@ -2236,7 +2271,8 @@ def q_cdc_pgoutput_decode(spark, sf_dir):
         PgColumn("p_name", OID_TEXT), PgColumn("p_brand", OID_TEXT),
         PgColumn("p_retailprice", OID_FLOAT8)))
 
-    pt = load(spark, sf_dir, "part")
+    pt = _replicate_keys(load(spark, sf_dir, "part"), "p_partkey",
+                         replicas, 100_000_000)
     k = F.col("p_partkey").cast("long")
     base = pt.select(k.alias("key"), F.col("p_name").alias("name"),
                      F.col("p_brand").alias("brand"),
@@ -2281,14 +2317,28 @@ def q_cdc_pgoutput_decode(spark, sf_dir):
         yield pd.DataFrame({"path": ["pg.%06d" % (pid + 1)],
                             "content": [w.getvalue()]})
 
-    files = script.mapInPandas(enc, "path STRING, content BINARY")
-    payload = T.StructType([
-        T.StructField("p_partkey", T.LongType(), False),
-        T.StructField("p_name", T.StringType(), True),
-        T.StructField("p_brand", T.StringType(), True),
-        T.StructField("p_retailprice", T.DoubleType(), True)])
+    return script.mapInPandas(enc, "path STRING, content BINARY")
+
+
+def q_cdc_pgoutput_decode(spark, sf_dir):
+    """Postgres pgoutput wire codec end-to-end (logical-replication
+    protocol v1 messages; reference PostgresDataSource surface with
+    `PostgresOffset.java:49-59` coordinates): a scripted changelog over
+    ``part`` is encoded into byte-true pgoutput capture files (Relation
+    message, Begin/Insert/Update/Delete/Commit frames, DEFAULT replica
+    identity — update/delete before-images carry the key columns only)
+    with ONE commit-aligned file per partition, bridged to debezium-json
+    by `pgoutput_to_debezium_json` (commit-order seq = commit_lsn<<15|idx)
+    and materialized per PK. Transactions batch ~200 ops so the
+    intra-transaction idx tie-break is exercised, not just commit order.
+    Scripted churn: insert all, update every 4th (+$1.50), delete every
+    9th."""
+    from .sources.debezium import decode_debezium
+    from .sources.pgoutput import pgoutput_to_debezium_json
+
+    files = pgoutput_capture_files(spark, sf_dir)
     raw = pgoutput_to_debezium_json(files)
-    env = decode_debezium(raw, payload)
+    env = decode_debezium(raw, PGOUTPUT_PART_PAYLOAD)
     out = latest_image(env, ["p_partkey"], seq_col=SEQ_COL)
     return out.select(
         "p_partkey", "p_name", "p_brand",
