@@ -437,6 +437,21 @@ class PipelineComposer:
         self._register_models(pdef)
 
         t_lower = pdef.source.type.lower()
+        if t_lower == "mysql-binlog-file" and "host" in opts:
+            # TCP transport (toy replication server, binlog_socket.py):
+            # fetch the served files into a local spool, then compose the
+            # byte-identical file pipeline on the spool — the fetch step
+            # is the BinaryLogClient analog, everything downstream never
+            # knows the transport existed
+            import os as _os
+
+            from ..sources.binlog_socket import fetch_binlog_files
+
+            spool = opts.get("spool") or _os.path.join(
+                opts.get("checkpoint", ".cdc_checkpoint"), "binlog_spool")
+            fetch_binlog_files(opts["host"], int(opts.get("port", 3306)),
+                               spool)
+            opts["path"] = spool
         if "tables" not in opts and t_lower in ("mysql-binlog-file",
                                                 "pgoutput-file"):
             # wire-native discovery: the capture files carry typed schemas
