@@ -5,13 +5,21 @@ The reference's writer streams batches through Tunnel UPSERT sessions
 into TRANSACTIONAL (primary-key, bucketed) tables
 (MaxComputeEventWriter.java, MaxComputeHashFunctionProvider.java) and its
 MetadataApplier executes the 7-event DDL algebra as SQLTask statements
-(SchemaEvolutionUtils.java:63-240).  Here:
+(SchemaEvolutionUtils.java:63-240).  This module is a DOCUMENTED ANALOG
+(same status as the lake sink): the public transactional-table semantics
+are pinned by tests, with the one divergence named below.
 
-- **data plane**: the bucketed copy-on-write parquet PK-upsert stand-in
-  (the same changelog contract — keyed upsert/delete, idempotent batch
-  replay, bucket count = the table's ``write.bucket.num``); a live
-  Tunnel endpoint (``accessId``/``endpoint``/``project`` options) is
-  refused as environment-gated rather than silently redirected.
+- **data plane**: bucketed copy-on-write parquet PK-upsert with the
+  transactional-table layout invariants pinned in
+  tests/test_sink_conformance (bucket count = the table's
+  ``write.bucket.num``; routing a pure function of the PRIMARY KEY;
+  per-bucket rewrites — the Tunnel per-bucket session shape; keyed
+  upsert/delete with idempotent batch replay).  Documented divergence:
+  the bucket hash is the engine's portable bucket hash, not ODPS's
+  non-public basis hash — the invariants are what a live Tunnel
+  executor slots into.  A live Tunnel endpoint
+  (``accessId``/``endpoint``/``project`` options) is refused as
+  environment-gated rather than silently redirected.
 - **metadata plane**: every schema event is ALSO rendered as the exact
   MaxCompute SQL text the reference's SchemaEvolutionUtils would run
   (``sinks/dialects.MaxComputeDialect``, statements pinned in
