@@ -2150,26 +2150,28 @@ def binlog_capture_files(spark, sf_dir, replicas: int = 1):
     cents = F.round(F.col("c_acctbal") * 100).cast("long")
     upd = k % 3 == 0
 
-    base = cu.select(
-        k.alias("key"), F.col("c_name").alias("name"),
-        F.col("c_nationkey").cast("long").alias("nation"),
-        cents.alias("cents"), F.col("c_mktsegment").alias("mkt"))
     nul_s, nul_l = F.lit(None).cast("string"), F.lit(None).cast("long")
-    ins = base.select(F.lit(1).alias("step"), "*",
-                      nul_s.alias("name2"), nul_l.alias("cents2"))
-    ups = base.where(upd).select(
-        F.lit(2).alias("step"), "*",
-        F.concat("name", F.lit("*")).alias("name2"),
-        (F.col("cents") + 500).alias("cents2"))
-    fin_name = F.when(F.col("key") % 3 == 0,
-                      F.concat("name", F.lit("*"))).otherwise(F.col("name"))
-    fin_cents = F.when(F.col("key") % 3 == 0,
-                       F.col("cents") + 500).otherwise(F.col("cents"))
-    dels = base.where(k % 7 == 0).select(
-        F.lit(3).alias("step"), "key", fin_name.alias("name"), "nation",
-        fin_cents.alias("cents"), "mkt", nul_s.alias("name2"),
-        nul_l.alias("cents2"))
-    script = (ins.unionByName(ups).unionByName(dels)
+    name, nation = F.col("c_name"), F.col("c_nationkey").cast("long")
+    mkt = F.col("c_mktsegment")
+    fin_name = F.when(upd, F.concat(name, F.lit("*"))).otherwise(name)
+    fin_cents = F.when(upd, cents + 500).otherwise(cents)
+
+    def srow(step, nm, ct, nm2, ct2):
+        return F.struct(F.lit(step).alias("step"), k.alias("key"),
+                        nm.alias("name"), nation.alias("nation"),
+                        ct.alias("cents"), mkt.alias("mkt"),
+                        nm2.alias("name2"), ct2.cast("long").alias("cents2"))
+
+    # one scan: per key, insert + conditional update/delete script rows
+    # via a single explode (a 3-branch union scans the table 3x)
+    script = (cu.select(F.explode(F.array(
+                srow(1, name, cents, nul_s, nul_l),
+                F.when(upd, srow(2, name, cents,
+                                 F.concat(name, F.lit("*")), cents + 500)),
+                F.when(k % 7 == 0, srow(3, fin_name, fin_cents,
+                                        nul_s, nul_l)),
+              )).alias("w"))
+              .where(F.col("w").isNotNull()).select("w.*")
               .repartition(spark.sparkContext.defaultParallelism, "key")
               .sortWithinPartitions("key", "step"))
 
@@ -2274,19 +2276,23 @@ def pgoutput_capture_files(spark, sf_dir, replicas: int = 1):
     pt = _replicate_keys(load(spark, sf_dir, "part"), "p_partkey",
                          replicas, 100_000_000)
     k = F.col("p_partkey").cast("long")
-    base = pt.select(k.alias("key"), F.col("p_name").alias("name"),
-                     F.col("p_brand").alias("brand"),
-                     F.col("p_retailprice").alias("price"))
-    ins = base.select(F.lit(1).alias("step"), "*")
-    ups = base.where(k % 4 == 0).select(
-        F.lit(2).alias("step"), "key", "name", "brand",
-        (F.col("price") + 1.5).alias("price"))
-    fin_price = F.when(F.col("key") % 4 == 0, F.col("price") + 1.5) \
-        .otherwise(F.col("price"))
-    dels = base.where(k % 9 == 0).select(
-        F.lit(3).alias("step"), "key", "name", "brand",
-        fin_price.alias("price"))
-    script = (ins.unionByName(ups).unionByName(dels)
+    name, brand, price = (F.col("p_name"), F.col("p_brand"),
+                          F.col("p_retailprice"))
+    fin_price = F.when(k % 4 == 0, price + 1.5).otherwise(price)
+
+    def srow(step, pr):
+        return F.struct(F.lit(step).alias("step"), k.alias("key"),
+                        name.alias("name"), brand.alias("brand"),
+                        pr.alias("price"))
+
+    # one scan: per key, insert + conditional update/delete script rows
+    # via a single explode (a 3-branch union scans the table 3x)
+    script = (pt.select(F.explode(F.array(
+                srow(1, price),
+                F.when(k % 4 == 0, srow(2, price + 1.5)),
+                F.when(k % 9 == 0, srow(3, fin_price)),
+              )).alias("w"))
+              .where(F.col("w").isNotNull()).select("w.*")
               .repartition(spark.sparkContext.defaultParallelism, "key")
               .sortWithinPartitions("key", "step"))
 
@@ -2389,17 +2395,21 @@ def q_cdc_sqlserver_changetable(spark, sf_dir):
                        seq1.alias("__$seqval"),
                        F.lit(op).alias("__$operation"),
                        F.lit(mask).alias("__$update_mask"))
-        return F.to_json(F.struct(
+        return F.struct(
             F.lit("testdb").alias("db"), F.lit("dbo").alias("schema"),
-            F.lit("events").alias("table"), row.alias("row"))).alias("value")
+            F.lit("events").alias("table"), row.alias("row"))
 
-    ins = ev.select(wire(2, cents, k * 4, "F"))
-    up_before = ev.where(k % 3 == 0).select(wire(3, cents, k * 4 + 1, "8"))
-    up_after = ev.where(k % 3 == 0).select(
-        wire(4, cents + 1000, k * 4 + 1, "8"))
+    # one scan: per key, insert + conditional update-pair/delete rows via
+    # a single explode (a 4-branch union scans the table 4x)
     fin = F.when(k % 3 == 0, cents + 1000).otherwise(cents)
-    dels = ev.where(k % 7 == 0).select(wire(1, fin, k * 4 + 2, "F"))
-    raw = ins.unionByName(up_before).unionByName(up_after).unionByName(dels)
+    raw = (ev.select(F.explode(F.array(
+            wire(2, cents, k * 4, "F"),
+            F.when(k % 3 == 0, wire(3, cents, k * 4 + 1, "8")),
+            F.when(k % 3 == 0, wire(4, cents + 1000, k * 4 + 1, "8")),
+            F.when(k % 7 == 0, wire(1, fin, k * 4 + 2, "F")),
+        )).alias("w"))
+        .where(F.col("w").isNotNull())
+        .select(F.to_json("w").alias("value")))
 
     payload = T.StructType([
         T.StructField("event_id", T.LongType(), False),
@@ -2458,18 +2468,23 @@ def q_cdc_db2_asn(spark, sf_dir):
                        seq_hex(commit).alias("IBMSNAP_COMMITSEQ"),
                        seq_hex(intent).alias("IBMSNAP_INTENTSEQ"),
                        F.lit(op).alias("IBMSNAP_OPERATION"))
-        return F.to_json(F.struct(
+        return F.struct(
             F.lit("testdb").alias("db"), F.lit("DB2INST1").alias("schema"),
-            F.lit("lineitem").alias("table"),
-            row.alias("row"))).alias("value")
+            F.lit("lineitem").alias("table"), row.alias("row"))
 
-    ins = li.select(wire("I", qty, k * 3, F.lit(1)))
-    up_d = li.where(k % 6 == 0).select(wire("D", qty, k * 3 + 1, F.lit(1)))
-    up_i = li.where(k % 6 == 0).select(
-        wire("I", qty + 1, k * 3 + 1, F.lit(2)))
+    # one pass over the (already aggregated) unique image: per key, emit
+    # the insert + conditional update-pair/delete wire rows via a single
+    # explode — a 4-branch union would recompute the dedup aggregation
+    # once per branch
     fin = F.when(k % 6 == 0, qty + 1).otherwise(qty)
-    dels = li.where(k % 11 == 0).select(wire("D", fin, k * 3 + 2, F.lit(1)))
-    raw = ins.unionByName(up_d).unionByName(up_i).unionByName(dels)
+    raw = (li.select(F.explode(F.array(
+            wire("I", qty, k * 3, F.lit(1)),
+            F.when(k % 6 == 0, wire("D", qty, k * 3 + 1, F.lit(1))),
+            F.when(k % 6 == 0, wire("I", qty + 1, k * 3 + 1, F.lit(2))),
+            F.when(k % 11 == 0, wire("D", fin, k * 3 + 2, F.lit(1))),
+        )).alias("w"))
+        .where(F.col("w").isNotNull())
+        .select(F.to_json("w").alias("value")))
 
     payload = T.StructType([
         T.StructField("l_orderkey", T.LongType(), False),
@@ -2540,7 +2555,7 @@ def q_cdc_oracle_logminer(spark, sf_dir):
                               del_where)
 
     def capline(op_code, sql, scn):
-        return F.to_json(F.struct(
+        return F.struct(
             scn.cast("long").alias("scn"),
             F.lit(op_code).alias("operation"),
             F.lit("INV").alias("seg_owner"),
@@ -2548,12 +2563,17 @@ def q_cdc_oracle_logminer(spark, sf_dir):
             F.conv(scn.cast("string"), 10, 16).alias("xid"),
             F.format_string("AAA%d", scn).alias("row_id"),
             (scn * 1000).cast("long").alias("ts_ms"),
-            F.lit(0).alias("csf"), sql.alias("sql_redo"))).alias("value")
+            F.lit(0).alias("csf"), sql.alias("sql_redo"))
 
-    ins = od.select(capline(1, ins_sql, k * 4))
-    ups = od.where(k % 12 == 0).select(capline(3, upd_sql, k * 4 + 1))
-    dels = od.where(k % 20 == 0).select(capline(2, del_sql, k * 4 + 2))
-    lines = ins.unionByName(ups).unionByName(dels)
+    # one scan: insert + conditional update/delete capture lines via a
+    # single explode (a 3-branch union scans the table 3x)
+    lines = (od.select(F.explode(F.array(
+            capline(1, ins_sql, k * 4),
+            F.when(k % 12 == 0, capline(3, upd_sql, k * 4 + 1)),
+            F.when(k % 20 == 0, capline(2, del_sql, k * 4 + 2)),
+        )).alias("w"))
+        .where(F.col("w").isNotNull())
+        .select(F.to_json("w").alias("value")))
 
     def pack(batches):
         from pyspark import TaskContext
@@ -2626,20 +2646,24 @@ def q_cdc_vitess_vstream(spark, sf_dir):
         shard, k * 10 + 9)
 
     def rec(op, before, after, seq):
-        return F.to_json(F.struct(
+        return F.struct(
             before.alias("before"), after.alias("after"),
             F.lit(op).alias("op"), seq.cast("long").alias("ts_ms"),
             F.struct(F.lit("ks").alias("keyspace"),
                      F.lit("events").alias("table"), shard.alias("shard"),
-                     vgtid.alias("vgtid")).alias("source"))).alias("value")
+                     vgtid.alias("vgtid")).alias("source"))
 
-    ins = ev.select(rec("c", null_img, img(cents), k * 10))
-    ups = ev.where(k % 3 == 0).select(
-        rec("u", img(cents), img(cents + 100), k * 10 + 1))
+    # one scan: insert + conditional update/delete records via a single
+    # explode (a 3-branch union scans the table 3x)
     fin = F.when(k % 3 == 0, cents + 100).otherwise(cents)
-    dels = ev.where(k % 7 == 0).select(
-        rec("d", img(fin), null_img, k * 10 + 2))
-    raw = ins.unionByName(ups).unionByName(dels)
+    raw = (ev.select(F.explode(F.array(
+            rec("c", null_img, img(cents), k * 10),
+            F.when(k % 3 == 0,
+                   rec("u", img(cents), img(cents + 100), k * 10 + 1)),
+            F.when(k % 7 == 0, rec("d", img(fin), null_img, k * 10 + 2)),
+        )).alias("w"))
+        .where(F.col("w").isNotNull())
+        .select(F.to_json("w").alias("value")))
 
     payload = T.StructType([
         T.StructField("event_id", T.LongType(), False),

@@ -434,10 +434,11 @@ def extract_features(df: DataFrame, use_fake_decoder: bool = True,
         if mode == "auto":
             return _fake_decode_features(payload)
         raise NotImplementedError(
-            "payload is not decodable: PPM/PNG/WAV decode for real "
-            "(palette/16-bit/interlaced PNGs are intentionally declined - "
-            "re-encode to 8-bit non-interlaced); other formats need "
-            "PIL/ffmpeg (not installed) — use decoder='auto' to fall back")
+            "payload is not decodable: PPM, WAV, every spec PNG shape "
+            "(all color types/bit depths/filters, null + Adam7 interlace) "
+            "and baseline/progressive JPEG decode for real; other formats "
+            "need PIL/ffmpeg (not installed) — use decoder='auto' to "
+            "fall back")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -458,9 +458,11 @@ def test_wire_decoder_plan_shapes(spark):
       decode + window pairing/materialize;
     - logminer: ONE exchange (materialize) around two Arrow stages (line
       pack + redo-SQL parse bridge);
-    - db2: zero Python; its 6 exchanges are 4 fixture-prep aggregations
-      (the script derives a unique composite-key image 4x) + the decode
-      window + materialize — the DECODE path itself is 2.
+    - db2: zero Python; 3 exchanges = the composite-key dedup aggregation
+      (fixture prep, done ONCE — the script derives all wire rows from a
+      single explode pass) + the decode window + materialize.
+    Every fixture script is a SINGLE table scan (explode over conditional
+    wire rows, not an N-branch union re-scanning the table N times).
     Never a row-at-a-time BatchEvalPython or a cartesian product.
     """
     import re
@@ -470,7 +472,7 @@ def test_wire_decoder_plan_shapes(spark):
         "cdc_mysql_binlog_decode": (2, 2),
         "cdc_pgoutput_decode": (2, 2),
         "cdc_sqlserver_changetable": (1, 0),
-        "cdc_db2_asn": (6, 0),
+        "cdc_db2_asn": (3, 0),
         "cdc_oracle_logminer": (1, 2),
         "cdc_vitess_vstream": (1, 0),
     }
