@@ -437,20 +437,23 @@ class PipelineComposer:
         self._register_models(pdef)
 
         t_lower = pdef.source.type.lower()
-        if t_lower == "mysql-binlog-file" and "host" in opts:
+        if t_lower in ("mysql-binlog-file", "pgoutput-file") \
+                and "host" in opts:
             # TCP transport (toy replication server, binlog_socket.py):
-            # fetch the served files into a local spool, then compose the
-            # byte-identical file pipeline on the spool — the fetch step
-            # is the BinaryLogClient analog, everything downstream never
-            # knows the transport existed
+            # fetch the served capture files into a local spool, then
+            # compose the byte-identical file pipeline on the spool — the
+            # fetch step is the BinaryLogClient / replication-slot-client
+            # analog, everything downstream never knows the transport
+            # existed
             import os as _os
 
             from ..sources.binlog_socket import fetch_binlog_files
 
+            default_port = 3306 if t_lower == "mysql-binlog-file" else 5432
             spool = opts.get("spool") or _os.path.join(
-                opts.get("checkpoint", ".cdc_checkpoint"), "binlog_spool")
-            fetch_binlog_files(opts["host"], int(opts.get("port", 3306)),
-                               spool)
+                opts.get("checkpoint", ".cdc_checkpoint"), "wire_spool")
+            fetch_binlog_files(opts["host"],
+                               int(opts.get("port", default_port)), spool)
             opts["path"] = spool
         if "tables" not in opts and t_lower in ("mysql-binlog-file",
                                                 "pgoutput-file"):

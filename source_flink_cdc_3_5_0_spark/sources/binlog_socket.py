@@ -27,9 +27,12 @@ without a mysqld:
   spool as the server rotates files; one fetch per call is enough to
   prove the codec never depended on the filesystem as a transport.
 
-The YAML surface: ``type: mysql-binlog-file`` with ``host``/``port``
-instead of ``path`` (composer fetches into a spool under the checkpoint
-dir, then composes the normal file pipeline on the spool).
+The YAML surface: ``type: mysql-binlog-file`` OR ``type: pgoutput-file``
+with ``host``/``port`` instead of ``path`` (composer fetches into a spool
+under the checkpoint dir, then composes the normal file pipeline on the
+spool). The transport is format-agnostic — it ships whole capture files
+in numeric-suffix order — so the same server/client pair stands in for
+both a mysqld replication socket and a Postgres replication slot.
 """
 
 from __future__ import annotations

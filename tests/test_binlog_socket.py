@@ -111,3 +111,49 @@ sink: {{type: values}}
     assert sink.snapshot(TableId.parse("db.t")) == ["1, x", "2, y2"]
     off = pipe.binlog_offset()
     assert off is not None and off.filename == "mysql-bin.000002"
+
+
+def test_yaml_pgoutput_over_tcp_e2e(spark, tmp_path):
+    """The same TCP transport serves pgoutput captures: YAML
+    `type: pgoutput-file` with host/port spools over the socket and the
+    wire-native pipeline (Relation inference, bridge, sink, persisted
+    PostgresOffset) runs green."""
+    from source_flink_cdc_3_5_0_spark.common import TableId
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline)
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+    from source_flink_cdc_3_5_0_spark.sources.pgoutput import (
+        PgColumn, PgOutputWriter, PgRelation)
+
+    rel = PgRelation(900, "public", "pt", "d", (
+        PgColumn("id", 20, key=True), PgColumn("s", 25)))
+    w = PgOutputWriter()
+    w.relation(rel)
+    w.begin()
+    w.insert(rel, {"id": 1, "s": "a"})
+    w.insert(rel, {"id": 2, "s": "b"})
+    w.commit()
+    w.begin()
+    w.update(rel, {"id": 1}, {"id": 1, "s": "a2"})
+    w.commit()
+    src = tmp_path / "served"
+    src.mkdir()
+    (src / "pg.000001").write_bytes(w.getvalue())
+
+    with BinlogTcpServer(str(src)) as srv:
+        yaml_text = f"""
+source:
+  type: pgoutput-file
+  host: {srv.host}
+  port: {srv.port}
+  checkpoint: {tmp_path}/ckpt
+sink: {{type: values}}
+"""
+        pdef = parse_yaml_pipeline(yaml_text)
+        composer = PipelineComposer(spark)
+        sink = MemorySink()
+        pipe, raw, tables = composer.compose_streaming(pdef, sink=sink)
+        q = pipe.start(raw, tables)
+        q.awaitTermination(120)
+    assert sink.snapshot(TableId.parse("public.pt")) == ["1, a2", "2, b"]
+    assert pipe.binlog_offset() is not None
