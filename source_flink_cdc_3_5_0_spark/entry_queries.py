@@ -1783,22 +1783,26 @@ def q_cdc_postgres_pipeline(spark, sf_dir):
         return F.to_json(F.struct(
             before.alias("before"), after.alias("after"),
             F.lit(op).alias("op"), seq.cast("long").alias("ts_ms"),
-            src.alias("source"))).alias("value")
+            src.alias("source")))
 
-    inserts = ev.select(rec("c", null_img, img(F.col("value")),
-                            F.col("event_id") * 10))
-    updates = ev.where(F.col("event_id") % 5 == 0).select(
-        rec("u", img(F.col("value")), img(F.col("value") + 100),
-            F.col("event_id") * 10 + 1))
-    del_val = F.when(F.col("event_id") % 5 == 0,
-                     F.col("value") + 100).otherwise(F.col("value"))
-    deletes = ev.where(F.col("event_id") % 7 == 0).select(
-        rec("d", img(del_val), null_img, F.col("event_id") * 10 + 2))
+    # one scan: insert + conditional update/delete records via a single
+    # explode (a 3-branch union scans events 3x)
+    kk = F.col("event_id")
+    del_val = F.when(kk % 5 == 0, F.col("value") + 100) \
+        .otherwise(F.col("value"))
+    lines = (ev.select(F.explode(F.array(
+            rec("c", null_img, img(F.col("value")), kk * 10),
+            F.when(kk % 5 == 0, rec("u", img(F.col("value")),
+                                    img(F.col("value") + 100),
+                                    kk * 10 + 1)),
+            F.when(kk % 7 == 0, rec("d", img(del_val), null_img,
+                                    kk * 10 + 2)),
+        )).alias("value"))
+        .where(F.col("value").isNotNull()))
 
     tmp = tempfile.mkdtemp(prefix="cdc_pg_")
     src_dir = os.path.join(tmp, "in")
-    inserts.unionAll(updates).unionAll(deletes).coalesce(4) \
-        .write.mode("overwrite").text(src_dir)
+    lines.coalesce(4).write.mode("overwrite").text(src_dir)
 
     sink = MemorySink()
     pipe = StreamingPipeline.create(
@@ -1893,17 +1897,19 @@ def q_cdc_mongo_changestream(spark, sf_dir):
             key.alias("documentKey"),
             seq.cast("long").alias("clusterTime"),
             ns.alias("ns"))
-        return F.to_json(body).alias("value"), seq.cast("long").alias("offset")
+        return F.struct(F.to_json(body).alias("value"),
+                        seq.cast("long").alias("offset"))
 
+    # one scan: insert + conditional update/replace/delete events via a
+    # single explode (a 4-branch union scans orders 4x)
     k = F.col("o_orderkey")
-    inserts = od.select(*rec("insert", doc(cents), k * 10))
-    updates = od.where(k % 3 == 0).select(*rec("update", doc(upd_cents),
-                                               k * 10 + 1))
-    replaces = od.where(k % 5 == 0).select(*rec("replace", doc(rep_cents),
-                                                k * 10 + 2))
-    deletes = od.where(k % 7 == 0).select(*rec("delete", None, k * 10 + 3))
-    raw = inserts.unionByName(updates).unionByName(replaces) \
-        .unionByName(deletes)
+    raw = (od.select(F.explode(F.array(
+            rec("insert", doc(cents), k * 10),
+            F.when(k % 3 == 0, rec("update", doc(upd_cents), k * 10 + 1)),
+            F.when(k % 5 == 0, rec("replace", doc(rep_cents), k * 10 + 2)),
+            F.when(k % 7 == 0, rec("delete", None, k * 10 + 3)),
+        )).alias("w"))
+        .where(F.col("w").isNotNull()).select("w.*"))
 
     env = decode_mongo_changestream(raw, payload)
     norm = changelog_normalize(env, ["_id"], SEQ_COL)
@@ -1942,30 +1948,30 @@ def q_cdc_chunked_snapshot_stitch(spark, sf_dir):
     a = F.when(k % 3 == 0, F.lit(500)).otherwise(F.lit(0))
     b = F.when(k % 5 == 0, F.lit(10000)).otherwise(F.lit(0))
 
-    def img(total):
-        return od.select(k.alias("o_orderkey"),
-                         total.cast("long").alias("total_cents"))
-
     # snapshot instants: chunk0 at seq 50M (inserts only), chunk1 at 150M
-    # (+update A), chunks 2/3 at 250M (+deletes) — B not yet anywhere
-    snap0 = img(base).where(k < c1)
-    snap1 = img(base + a).where((k >= c1) & (k < c2))
-    snap23 = img(base + a).where((k >= c2) & (k % 7 != 0))
-    snapshot = snap0.unionByName(snap1).unionByName(snap23)
+    # (+update A), chunks 2/3 at 250M (+deletes) — B not yet anywhere.
+    # One scan: the per-range snapshot image is a CASE, not 3 unions.
+    snap_total = F.when(k < c1, base).otherwise(base + a)
+    snapshot = (od.where((k < c2) | (k % 7 != 0))
+                .select(k.alias("o_orderkey"),
+                        snap_total.cast("long").alias("total_cents")))
 
-    # the log: insert@k, A@100M+k, delete@200M+k, B@300M+k
-    ins = img(base).select("*", F.lit("+I").alias(OP_COL),
-                           k.cast("long").alias(SEQ_COL))
-    upd_a = img(base + 500).where(k % 3 == 0).select(
-        "*", F.lit("+U").alias(OP_COL),
-        (k + 100_000_000).cast("long").alias(SEQ_COL))
-    dels = img(base + a).where(k % 7 == 0).select(
-        "*", F.lit("-D").alias(OP_COL),
-        (k + 200_000_000).cast("long").alias(SEQ_COL))
-    upd_b = img(base + a + 10000).where((k % 5 == 0) & (k % 7 != 0)).select(
-        "*", F.lit("+U").alias(OP_COL),
-        (k + 300_000_000).cast("long").alias(SEQ_COL))
-    log = ins.unionByName(upd_a).unionByName(dels).unionByName(upd_b)
+    # the log: insert@k, A@100M+k, delete@200M+k, B@300M+k — one scan,
+    # conditional rows via a single explode (4-branch union = 4 scans)
+    def logrow(total, op, seq):
+        return F.struct(k.alias("o_orderkey"),
+                        total.cast("long").alias("total_cents"),
+                        F.lit(op).alias(OP_COL),
+                        seq.cast("long").alias(SEQ_COL))
+
+    log = (od.select(F.explode(F.array(
+            logrow(base, "+I", k),
+            F.when(k % 3 == 0, logrow(base + 500, "+U", k + 100_000_000)),
+            F.when(k % 7 == 0, logrow(base + a, "-D", k + 200_000_000)),
+            F.when((k % 5 == 0) & (k % 7 != 0),
+                   logrow(base + a + 10000, "+U", k + 300_000_000)),
+        )).alias("w"))
+        .where(F.col("w").isNotNull()).select("w.*"))
 
     marks = [
         ChunkWatermarks(ChunkRange(None, c1), 0, 99_999_999),
@@ -2043,18 +2049,22 @@ def tidb_kv_frames(spark, sf_dir, replicas: int = 1):
     null_img = F.lit(None).cast(table.payload_schema())
 
     def rec(op, after, before, seq):
-        return F.lit(op).alias("op_type"), after.alias("after"), \
-            before.alias("before"), seq.cast("long").alias("commit_ts")
+        return F.struct(F.lit(op).alias("op_type"), after.alias("after"),
+                        before.alias("before"),
+                        seq.cast("long").alias("commit_ts"))
 
-    script = (
-        od.select(*rec("PUT", base, null_img, k * 10))
-        .unionByName(od.where(k % 3 == 0)
-                     .select(*rec("PUT", upd, base, k * 10 + 1)))
-        .unionByName(od.where(k % 7 == 0)
-                     .select(*rec("DELETE", null_img, fin, k * 10 + 2))))
-    # the unions inherit the source's file-partitioning (3 files at sf0.1)
-    # — spread the Python codec stages over the full executor width; on a
-    # real TiKV feed the region-CDC stream is already many-partitioned
+    # one scan: per key, PUT + conditional update-PUT/DELETE via a single
+    # explode (a 3-branch union scans orders 3x)
+    script = (od.select(F.explode(F.array(
+            rec("PUT", base, null_img, k * 10),
+            F.when(k % 3 == 0, rec("PUT", upd, base, k * 10 + 1)),
+            F.when(k % 7 == 0, rec("DELETE", null_img, fin, k * 10 + 2)),
+        )).alias("w"))
+        .where(F.col("w").isNotNull()).select("w.*"))
+    # the explode inherits the source's file-partitioning (3 files at
+    # sf0.1) — spread the Python codec stages over the full executor
+    # width; on a real TiKV feed the region-CDC stream is already
+    # many-partitioned
     script = script.repartition(od.sparkSession.sparkContext.defaultParallelism)
 
     return encode_tidb_kv(script, table), table
