@@ -160,7 +160,10 @@ def main() -> None:
 
 
 def _materialize_files(files_df, out_dir: str) -> None:
-    for r in files_df.collect():  # O(#partitions) small control-plane rows
+    # one row per partition, but each row carries a whole capture FILE —
+    # stream them through the driver one at a time (toLocalIterator)
+    # instead of collecting the full scaled binary fixture at once
+    for r in files_df.toLocalIterator():
         with open(os.path.join(out_dir, r["path"]), "wb") as f:
             f.write(bytes(r["content"]))
 
@@ -169,7 +172,7 @@ def run_codec_scale(spark, EQ) -> list[dict]:
     from pyspark.sql import functions as F
 
     from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
-        binlog_to_debezium_json, decode_binlog, read_binlog_files)
+        decode_binlog, read_binlog_files)
     from source_flink_cdc_3_5_0_spark.sources.pgoutput import (
         pgoutput_to_debezium_json, read_pgoutput_files)
     from source_flink_cdc_3_5_0_spark.sources.tidb import decode_tidb_kv
@@ -189,7 +192,9 @@ def run_codec_scale(spark, EQ) -> list[dict]:
         decode = lambda: decode_binlog(  # noqa: E731
             read_binlog_files(spark, d), "shop", "customer",
             EQ.BINLOG_CUSTOMER_PAYLOAD)
-        n = binlog_to_debezium_json(read_binlog_files(spark, d)).count()
+        # count through the SAME decode being timed so the µs/row
+        # denominator can never diverge from the measured operator
+        n = decode().count()
         return d, n, decode
 
     def pgoutput_fixture(replicas):

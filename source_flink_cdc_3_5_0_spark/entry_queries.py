@@ -2547,22 +2547,21 @@ def q_cdc_oracle_logminer(spark, sf_dir):
         '"total_cents","odate") values (%d,%d,\'%s\',%d,\'%s\');',
         k, F.col("o_custkey").cast("long"), F.col("o_orderstatus"),
         cents, odate)
-    where_sql = F.format_string(
-        '"o_orderkey" = %d and "o_custkey" = %d and "status" = \'%s\' '
-        'and "total_cents" = %d and "odate" = \'%s\'',
-        k, F.col("o_custkey").cast("long"), F.col("o_orderstatus"),
-        cents, odate)
+    def mk_where(cents_expr):
+        """Full-image WHERE exactly as LogMiner renders it — one template
+        for UPDATE and DELETE so the parse fixtures can't desynchronize."""
+        return F.format_string(
+            '"o_orderkey" = %d and "o_custkey" = %d and "status" = \'%s\' '
+            'and "total_cents" = %d and "odate" = \'%s\'',
+            k, F.col("o_custkey").cast("long"), F.col("o_orderstatus"),
+            cents_expr, odate)
+
     upd_sql = F.format_string(
         'update "INV"."ORDERS" set "total_cents" = %d where %s;',
-        cents + 500, where_sql)
+        cents + 500, mk_where(cents))
     fin_cents = F.when(k % 12 == 0, cents + 500).otherwise(cents)
-    del_where = F.format_string(
-        '"o_orderkey" = %d and "o_custkey" = %d and "status" = \'%s\' '
-        'and "total_cents" = %d and "odate" = \'%s\'',
-        k, F.col("o_custkey").cast("long"), F.col("o_orderstatus"),
-        fin_cents, odate)
     del_sql = F.format_string('delete from "INV"."ORDERS" where %s;',
-                              del_where)
+                              mk_where(fin_cents))
 
     def capline(op_code, sql, scn):
         return F.struct(

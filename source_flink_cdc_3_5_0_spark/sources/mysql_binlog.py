@@ -1359,7 +1359,7 @@ def decode_binlog(files: "DataFrame", database: str, table: str,
     parallelism comes from the file set). Emits the reference emitter's
     +I/-U/+U/-D mapping with ``__before`` populated from the wire's update
     before-images, ``__meta`` carrying the `BinlogOffset.java` coordinates
-    (file/pos/ts_sec/server_id/gtids + op_ts), and ``__seq`` monotone in
+    (file/pos/ts_sec/server_id/gtids + ts_ms in epoch-millis), and ``__seq`` monotone in
     (file, pos, row) order. ``start_offset`` drops records at or before the
     given offset — the snapshot/stream stitch filter (the reference's
     binlog-split high-watermark skip in `MySqlBinlogSplit`/
