@@ -40,13 +40,18 @@ from .events import (
 )
 from .schema import Column, Schema
 from .tableid import TableId
-from .types import mysql_type_to_spark
+from .types import mysql_type_to_spark, oracle_type_to_spark
 
 _TOKEN_RE = re.compile(
     r"'(?:[^'\\]|\\.)*'"
+    # qualified name (`db`.`tbl` / "db"."tbl" / db.tbl) as ONE token;
+    # split by _table_id — ordered BEFORE the double-quoted-string rule so
+    # Oracle's quote-qualified names don't split at the dot (a lone
+    # "string" token, dots inside the quotes or not, still falls through
+    # to the string rule: the dot here must sit BETWEEN quoted parts)
+    r"|(?:`[^`]*`|\"[^\"]*\"|[A-Za-z_][\w$]*)"
+    r"(?:\.(?:`[^`]*`|\"[^\"]*\"|[A-Za-z_][\w$]*))+"
     r'|"(?:[^"\\]|\\.)*"'
-    # qualified name (`db`.`tbl` / db.tbl) as ONE token; split by _table_id
-    r"|(?:`[^`]*`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]*`|[A-Za-z_][\w$]*))+"
     r"|`[^`]*`"
     r"|\(|\)|,"
     r"|[^\s(),`]+",
@@ -58,7 +63,9 @@ def _tokens(sql: str) -> list[str]:
 
 
 def _ident(tok: str) -> str:
-    return tok[1:-1] if tok.startswith("`") else tok
+    # `mysql` backticks and "oracle" double quotes both mark identifiers
+    # where an identifier is expected
+    return tok[1:-1] if tok[:1] in ('`', '"') else tok
 
 
 class _Cursor:
@@ -107,12 +114,16 @@ _CONSTRAINT_STARTERS = {"PRIMARY", "UNIQUE", "KEY", "INDEX", "CONSTRAINT",
                         "FOREIGN", "FULLTEXT", "SPATIAL", "CHECK"}
 
 
-def _parse_type(cur: _Cursor):
-    """TYPE [(p[,s])] [UNSIGNED] [ZEROFILL] [CHARACTER SET …] [COLLATE …]"""
+def _parse_type(cur: _Cursor, dialect: str = "mysql"):
+    """TYPE [(p[,s])] [UNSIGNED] [ZEROFILL] [CHARACTER SET …] [COLLATE …];
+    oracle: NUMBER(p[,s]) / NUMBER(*[,s]), VARCHAR2(n [BYTE|CHAR]),
+    TIMESTAMP[(fsp)] [WITH [LOCAL] TIME ZONE]."""
     name = cur.next().upper()
-    # two-word types: DOUBLE PRECISION
+    # two-word types: DOUBLE PRECISION / LONG RAW
     if name == "DOUBLE" and cur.accept("PRECISION"):
         pass
+    if dialect == "oracle" and name == "LONG" and cur.accept("RAW"):
+        name = "LONG RAW"
     precision = scale = None
     if cur.peek() == "(":
         cur.next()
@@ -126,10 +137,22 @@ def _parse_type(cur: _Cursor):
                 depth += t == "("
                 depth -= t == ")"
         else:
-            precision = int(first)
+            # oracle NUMBER(*, s): '*' means maximum precision
+            precision = None if first == "*" else int(first)
             if cur.accept(","):
                 scale = int(cur.next())
+            # oracle length qualifier: VARCHAR2(20 BYTE) / (20 CHAR)
+            if dialect == "oracle":
+                cur.accept("BYTE", "CHAR")
             cur.expect(")")
+    if dialect == "oracle" and name == "TIMESTAMP" \
+            and (cur.peek() or "").upper() == "WITH":
+        cur.next()  # WITH
+        local = cur.accept("LOCAL")
+        cur.expect("TIME")
+        cur.expect("ZONE")
+        name = ("TIMESTAMP WITH LOCAL TIME ZONE" if local
+                else "TIMESTAMP WITH TIME ZONE")
     unsigned = cur.accept("UNSIGNED")
     cur.accept("ZEROFILL")
     while True:
@@ -143,13 +166,16 @@ def _parse_type(cur: _Cursor):
             cur.next(); cur.next()
         else:
             break
+    if dialect == "oracle":
+        return oracle_type_to_spark(name, precision, scale)
     lookup = f"{name} UNSIGNED" if unsigned else name
     return mysql_type_to_spark(lookup, precision, scale)
 
 
-def _parse_column_def(cur: _Cursor) -> tuple[Column, ColumnPosition, str | None]:
+def _parse_column_def(cur: _Cursor, dialect: str = "mysql"
+                      ) -> tuple[Column, ColumnPosition, str | None]:
     name = _ident(cur.next())
-    dt = _parse_type(cur)
+    dt = _parse_type(cur, dialect)
     nullable = True
     default_expr = None
     comment = None
@@ -212,7 +238,8 @@ def _parse_column_def(cur: _Cursor) -> tuple[Column, ColumnPosition, str | None]
                    default_expr=default_expr), position, anchor)
 
 
-def _parse_create(cur: _Cursor, database: str | None) -> CreateTableEvent:
+def _parse_create(cur: _Cursor, database: str | None,
+                  dialect: str = "mysql") -> CreateTableEvent:
     cur.expect("TABLE")
     if cur.accept("IF"):
         cur.expect("NOT"); cur.expect("EXISTS")
@@ -248,7 +275,7 @@ def _parse_create(cur: _Cursor, database: str | None) -> CreateTableEvent:
                     depth += t == "("
                     depth -= t == ")"
         else:
-            col, _, _ = _parse_column_def(cur)
+            col, _, _ = _parse_column_def(cur, dialect)
             cols.append(col)
         if cur.accept(","):
             continue
@@ -280,7 +307,8 @@ def _skip_action(cur: _Cursor) -> None:
         depth -= t == ")"
 
 
-def _parse_alter(cur: _Cursor, database: str | None) -> list[SchemaChangeEvent]:
+def _parse_alter(cur: _Cursor, database: str | None,
+                 dialect: str = "mysql") -> list[SchemaChangeEvent]:
     cur.expect("TABLE")
     tid = _table_id(cur.next(), database)
     events: list[SchemaChangeEvent] = []
@@ -291,17 +319,25 @@ def _parse_alter(cur: _Cursor, database: str | None) -> list[SchemaChangeEvent]:
             adds: list[ColumnWithPosition] = []
             if cur.accept("("):
                 while not cur.accept(")"):
-                    col, pos, anchor = _parse_column_def(cur)
+                    col, pos, anchor = _parse_column_def(cur, dialect)
                     adds.append(ColumnWithPosition(col, pos, anchor))
                     cur.accept(",")
             else:
-                col, pos, anchor = _parse_column_def(cur)
+                col, pos, anchor = _parse_column_def(cur, dialect)
                 adds.append(ColumnWithPosition(col, pos, anchor))
             # in-order: DROP c, ADD c must replay as drop THEN add
             events.append(AddColumnEvent(tid, tuple(adds)))
         elif kw == "DROP" and (cur.peek() or "").upper() not in _NON_COLUMN_TARGETS:
             cur.accept("COLUMN")
-            events.append(DropColumnEvent(tid, (_ident(cur.next()),)))
+            if cur.accept("("):  # oracle multi-column form: DROP (a, b)
+                names: list[str] = []
+                while not cur.accept(")"):
+                    t = cur.next()
+                    if t != ",":
+                        names.append(_ident(t))
+                events.append(DropColumnEvent(tid, tuple(names)))
+            else:
+                events.append(DropColumnEvent(tid, (_ident(cur.next()),)))
         elif kw == "RENAME" and (cur.peek() or "").upper() == "COLUMN":
             cur.next()
             old = _ident(cur.next())
@@ -312,16 +348,33 @@ def _parse_alter(cur: _Cursor, database: str | None) -> list[SchemaChangeEvent]:
             cur.accept("COLUMN")
             old = _ident(cur.next())
             new = _ident(cur.next())
-            dt = _parse_type(cur)
+            dt = _parse_type(cur, dialect)
             # reference listener decomposition: rename and/or retype
             if old != new:
                 events.append(RenameColumnEvent(tid, ((old, new),)))
             events.append(AlterColumnTypeEvent(tid, ((new, dt),)))
         elif kw == "MODIFY":
             cur.accept("COLUMN")
-            name = _ident(cur.next())
-            dt = _parse_type(cur)
-            events.append(AlterColumnTypeEvent(tid, ((name, dt),)))
+            if cur.accept("("):  # oracle multi-column form: MODIFY (a T, …)
+                changes: list[tuple[str, object]] = []
+                while not cur.accept(")"):
+                    nm = _ident(cur.next())
+                    changes.append((nm, _parse_type(cur, dialect)))
+                    # tolerate NOT NULL / NULL / DEFAULT tails per column
+                    depth = 0
+                    while True:
+                        t = cur.peek()
+                        if t is None or (depth == 0 and t in (",", ")")):
+                            break
+                        t = cur.next()
+                        depth += t == "("
+                        depth -= t == ")"
+                    cur.accept(",")
+                events.append(AlterColumnTypeEvent(tid, tuple(changes)))
+            else:
+                name = _ident(cur.next())
+                dt = _parse_type(cur, dialect)
+                events.append(AlterColumnTypeEvent(tid, ((name, dt),)))
         elif kw == ",":
             continue
         else:
@@ -334,18 +387,26 @@ def _parse_alter(cur: _Cursor, database: str | None) -> list[SchemaChangeEvent]:
     return events
 
 
-def parse_mysql_ddl(sql: str, database: str | None = None) -> list[SchemaChangeEvent]:
-    """Parse one MySQL DDL statement into schema-change events.
+def parse_ddl(sql: str, database: str | None = None,
+              dialect: str = "mysql") -> list[SchemaChangeEvent]:
+    """Parse one DDL statement into schema-change events.
 
     ``database``: default database for unqualified table names (Debezium's
-    ``databaseName`` field on schema-change records).
+    ``databaseName`` field on schema-change records). ``dialect``:
+    ``mysql`` (binlog/schema-change-topic statements, the
+    CustomMySqlAntlrDdlParser surface) or ``oracle`` (LogMiner-captured
+    statements — quote-qualified names, NUMBER/VARCHAR2 types, the
+    parenthesized multi-column ADD/DROP/MODIFY forms; the reference path
+    is Debezium's OracleDdlParser feeding the same event algebra).
     """
+    if dialect not in ("mysql", "oracle"):
+        raise ValueError(f"unknown DDL dialect {dialect!r}")
     cur = _Cursor(_tokens(sql))
     head = cur.next().upper()
     if head == "CREATE":
-        return [_parse_create(cur, database)]
+        return [_parse_create(cur, database, dialect)]
     if head == "ALTER":
-        return _parse_alter(cur, database)
+        return _parse_alter(cur, database, dialect)
     if head == "TRUNCATE":
         cur.accept("TABLE")
         return [TruncateTableEvent(_table_id(cur.next(), database))]
@@ -355,3 +416,9 @@ def parse_mysql_ddl(sql: str, database: str | None = None) -> list[SchemaChangeE
             cur.expect("EXISTS")
         return [DropTableEvent(_table_id(cur.next(), database))]
     raise ValueError(f"unsupported DDL statement: {sql[:60]!r}")
+
+
+def parse_mysql_ddl(sql: str, database: str | None = None
+                    ) -> list[SchemaChangeEvent]:
+    """MySQL-dialect alias of :func:`parse_ddl` (the original surface)."""
+    return parse_ddl(sql, database, "mysql")

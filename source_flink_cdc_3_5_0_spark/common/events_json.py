@@ -115,10 +115,13 @@ def schema_events_from_json(s: str | dict) -> list[SchemaChangeEvent]:
     CHANGE = rename + retype)."""
     d = json.loads(s) if isinstance(s, str) else s
     if isinstance(d.get("ddl"), str):
-        from .ddl_parser import parse_mysql_ddl
+        from .ddl_parser import parse_ddl
 
         try:
-            return parse_mysql_ddl(d["ddl"], d.get("databaseName"))
+            # 'dialect' on the record selects the statement grammar
+            # (LogMiner-captured Oracle DDL vs the MySQL default)
+            return parse_ddl(d["ddl"], d.get("databaseName"),
+                             d.get("dialect", "mysql"))
         except ValueError:
             # Debezium forwards EVERY statement (CREATE INDEX, GRANT, …);
             # the reference's ANTLR listener only reacts to column-schema

@@ -220,8 +220,13 @@ def parse_redo_sql(sql: str) -> tuple[str, str, str, dict | None, dict | None]:
 # Spark integration: LogMiner capture lines -> debezium-json records
 # ---------------------------------------------------------------------------
 
-#: V$LOGMNR_CONTENTS OPERATION_CODE values (1/2/3 per the reference)
+#: V$LOGMNR_CONTENTS OPERATION_CODE values (Oracle's public reference for
+#: the view; the reference's event switch is
+#: AbstractLogMinerEventProcessor.processRow:294-326 — INSERT/UPDATE/
+#: DELETE as data, DDL via handleSchemaChange, START/COMMIT as
+#: transaction markers, ROLLBACK discarding the transaction)
 OP_INSERT, OP_DELETE, OP_UPDATE = 1, 2, 3
+OP_DDL, OP_START, OP_COMMIT, OP_ROLLBACK = 5, 6, 7, 36
 
 
 def logminer_to_debezium_json(files, start_scn: int | None = None):
@@ -282,6 +287,36 @@ def logminer_to_debezium_json(files, start_scn: int | None = None):
                     if start_scn is not None and scn < start_scn:
                         continue
                     op_code = int(row["operation"])
+                    if op_code in (OP_START, OP_COMMIT):
+                        # transaction markers: data rows already carry
+                        # scn/xid, and the capture contract is
+                        # COMMITTED_DATA_ONLY (the reference's mining
+                        # mode), so the markers are positional no-ops
+                        continue
+                    if op_code == OP_ROLLBACK:
+                        raise ValueError(
+                            "ROLLBACK row at scn=%s: the capture contract "
+                            "is COMMITTED_DATA_ONLY — rolled-back "
+                            "transactions must not reach the capture file"
+                            % row.get("scn"))
+                    if op_code == OP_DDL:
+                        # DDL flows in-band (handleSchemaChange analog):
+                        # emit the schema-change-topic form; 'dialect'
+                        # routes it through the Oracle statement grammar.
+                        # LogMiner reports TRUNCATE as a DDL event too.
+                        rec = {"ddl": row["sql_redo"].rstrip().rstrip(";"),
+                               "dialect": "oracle",
+                               "ts_ms": row.get("ts_ms"),
+                               "seq": scn}
+                        values.append(
+                            _json.dumps(rec, separators=(",", ":")))
+                        offsets.append(scn)
+                        continue
+                    if op_code not in (OP_INSERT, OP_DELETE, OP_UPDATE):
+                        raise ValueError(
+                            "unsupported V$LOGMNR_CONTENTS OPERATION_CODE "
+                            "%d at scn=%s (never silently dropped)"
+                            % (op_code, row.get("scn")))
                     kind, owner, table, before, after = parse_redo_sql(
                         row["sql_redo"])
                     want = {OP_INSERT: "INSERT", OP_DELETE: "DELETE",
@@ -387,6 +422,19 @@ class LogMinerWriter:
         return self._emit(OP_INSERT, table,
                           'insert into "%s"."%s"(%s) values (%s);'
                           % (self.owner, table, cols, vals))
+
+    def ddl(self, table: str, sql: str) -> int:
+        """OPERATION_CODE 5: the raw DDL statement text (LogMiner ships
+        it in SQL_REDO like any other operation)."""
+        return self._emit(OP_DDL, table, sql)
+
+    def start_txn(self, table: str = "") -> int:
+        """OPERATION_CODE 6 (START) marker row."""
+        return self._emit(OP_START, table, "set transaction read write;")
+
+    def commit_txn(self, table: str = "") -> int:
+        """OPERATION_CODE 7 (COMMIT) marker row."""
+        return self._emit(OP_COMMIT, table, "commit;")
 
     def update(self, table: str, before: dict, assigns: dict) -> int:
         sets = ", ".join('"%s" = %s' % (k, _render_value(v))

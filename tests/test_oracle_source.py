@@ -142,3 +142,123 @@ def test_csf_continuation_rows(spark, tmp_path):
     [rec] = [json.loads(r["value"])
              for r in logminer_to_debezium_json(files).collect()]
     assert rec["after"]["ID"] == 1 and rec["after"]["BODY"] == big
+
+
+def test_oracle_ddl_dialect_parses():
+    """Oracle-dialect DDL statements map to the event algebra: quote-
+    qualified names, NUMBER/VARCHAR2 types, parenthesized multi-column
+    ADD/DROP/MODIFY, BYTE/CHAR length qualifiers, zoned TIMESTAMP."""
+    from pyspark.sql import types as T
+
+    from source_flink_cdc_3_5_0_spark.common.ddl_parser import parse_ddl
+    from source_flink_cdc_3_5_0_spark.common.events import (
+        AddColumnEvent, AlterColumnTypeEvent, DropColumnEvent,
+        TruncateTableEvent)
+
+    [ev] = parse_ddl('ALTER TABLE "INV"."ORDERS" ADD '
+                     '("TOTAL" NUMBER(12,2), "NOTE" VARCHAR2(40 BYTE))',
+                     dialect="oracle")
+    assert isinstance(ev, AddColumnEvent)
+    assert ev.table_id.identifier() == "INV.ORDERS"
+    cols = {c.column.name: c.column.data_type for c in ev.added_columns}
+    assert cols == {"TOTAL": T.DecimalType(12, 2), "NOTE": T.StringType()}
+
+    [ev] = parse_ddl('ALTER TABLE "INV"."ORDERS" DROP ("A", "B")',
+                     dialect="oracle")
+    assert isinstance(ev, DropColumnEvent)
+    assert ev.dropped_column_names == ("A", "B")
+
+    [ev] = parse_ddl('ALTER TABLE "INV"."ORDERS" MODIFY '
+                     '("STATUS" VARCHAR2(20), "QTY" NUMBER(*,0))',
+                     dialect="oracle")
+    assert isinstance(ev, AlterColumnTypeEvent)
+    assert dict(ev.type_mapping) == {"STATUS": T.StringType(),
+                                     "QTY": T.DecimalType(38, 0)}
+
+    [ev] = parse_ddl('TRUNCATE TABLE "INV"."ORDERS"', dialect="oracle")
+    assert isinstance(ev, TruncateTableEvent)
+
+    with pytest.raises(ValueError, match="unknown DDL dialect"):
+        parse_ddl("ALTER TABLE t ADD c INT", dialect="postgres")
+
+
+def test_bridge_operation_code_surface(spark):
+    """OPERATION_CODE handling beyond DML (the reference's processRow
+    switch): START/COMMIT markers are positional no-ops, DDL emits a
+    schema record with the oracle dialect tag, ROLLBACK and unknown
+    codes raise (committed-only capture contract / never-silent)."""
+    import json
+
+    from source_flink_cdc_3_5_0_spark.sources.oracle import (
+        logminer_to_debezium_json)
+
+    def run(lines):
+        df = spark.createDataFrame(
+            [("f", bytearray("\n".join(lines).encode()))],
+            "path STRING, content BINARY")
+        return logminer_to_debezium_json(df).collect()
+
+    def line(op, sql, scn):
+        return json.dumps({"scn": scn, "operation": op, "seg_owner": "INV",
+                           "table": "ORDERS", "ts_ms": scn, "csf": 0,
+                           "sql_redo": sql})
+
+    recs = run([
+        line(6, "set transaction read write;", 10),
+        line(1, 'insert into "INV"."ORDERS"("ID") values (1);', 11),
+        line(5, 'ALTER TABLE "INV"."ORDERS" ADD ("V" VARCHAR2(10))', 12),
+        line(7, "commit;", 13),
+    ])
+    assert len(recs) == 2  # markers dropped, data + ddl kept
+    vals = [json.loads(r["value"]) for r in recs]
+    assert vals[0]["op"] == "c"
+    assert vals[1]["dialect"] == "oracle" and "ALTER TABLE" in vals[1]["ddl"]
+    assert recs[1]["offset"] == 12
+
+    with pytest.raises(Exception, match="COMMITTED_DATA_ONLY"):
+        run([line(36, "rollback;", 20)])
+    with pytest.raises(Exception, match="OPERATION_CODE 9"):
+        run([line(9, "whatever", 21)])
+
+
+def test_yaml_oracle_ddl_evolution_e2e(spark, tmp_path):
+    """In-band LogMiner DDL through the YAML surface: a mid-stream ADD
+    COLUMN evolves the sink schema and later inserts carry the new
+    column (handleSchemaChange analog, end to end)."""
+    import json
+
+    from source_flink_cdc_3_5_0_spark.common import TableId
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline)
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+
+    src = tmp_path / "redo"
+    src.mkdir()
+    w = LogMinerWriter(owner="INV")
+    w.start_txn("ORDERS")
+    w.insert("ORDERS", dict(ID=1, NAME="a"))
+    w.commit_txn("ORDERS")
+    w.ddl("ORDERS", 'ALTER TABLE "INV"."ORDERS" ADD ("NOTE" VARCHAR2(20))')
+    w.start_txn("ORDERS")
+    w.insert("ORDERS", dict(ID=2, NAME="b", NOTE="hi"))
+    w.commit_txn("ORDERS")
+    (src / "mine-0001.jsonl").write_bytes(w.getvalue().encode())
+
+    yaml_text = f"""
+source:
+  type: oracle-logminer-file
+  path: {src}
+  tables: '{json.dumps({"INV.ORDERS": "ID INT, NAME STRING"})}'
+  primary-keys: '{{"INV.ORDERS": ["ID"]}}'
+  checkpoint: {tmp_path}/ckpt
+sink: {{type: values}}
+"""
+    pdef = parse_yaml_pipeline(yaml_text)
+    sink = MemorySink()
+    pipe, raw, tables = PipelineComposer(spark).compose_streaming(
+        pdef, sink=sink)
+    q = pipe.start(raw, tables)
+    q.awaitTermination(120)
+    # row 1 pre-DDL (NOTE null-filled), row 2 post-DDL with the new column
+    assert sink.snapshot(TableId.parse("INV.ORDERS")) == \
+        ["1, a, null", "2, b, hi"]
