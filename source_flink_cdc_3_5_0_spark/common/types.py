@@ -217,8 +217,17 @@ _MYSQL_TYPE_MAP: dict[str, T.DataType] = {
     "ENUM": STRING,
     "SET": STRING,
     "JSON": STRING,
+    # the full spatial family -> STRING (MySqlTypeUtils.java:230-238;
+    # values render as GeoJSON-with-srid, functions/geo.py)
     "GEOMETRY": STRING,
     "POINT": STRING,
+    "LINESTRING": STRING,
+    "POLYGON": STRING,
+    "GEOMETRYCOLLECTION": STRING,
+    "GEOMCOLLECTION": STRING,
+    "MULTIPOINT": STRING,
+    "MULTILINESTRING": STRING,
+    "MULTIPOLYGON": STRING,
     "DECIMAL": None,  # handled below (precision-dependent)
     "NUMERIC": None,
 }

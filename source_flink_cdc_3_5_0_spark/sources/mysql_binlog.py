@@ -105,6 +105,7 @@ MYSQL_TYPE_NEWDECIMAL = 246
 MYSQL_TYPE_ENUM = 247   # real type inside STRING metadata
 MYSQL_TYPE_SET = 248    # real type inside STRING metadata
 MYSQL_TYPE_BLOB = 252
+MYSQL_TYPE_GEOMETRY = 255
 MYSQL_TYPE_VAR_STRING = 253
 MYSQL_TYPE_STRING = 254
 
@@ -400,7 +401,7 @@ def _meta_bytes(col: BinlogColumn) -> bytes:
         return bytes([bits % 8, bits // 8])
     if t == MYSQL_TYPE_NEWDECIMAL:
         return bytes([m[0], m[1]])
-    if t in (MYSQL_TYPE_BLOB, MYSQL_TYPE_JSON):
+    if t in (MYSQL_TYPE_BLOB, MYSQL_TYPE_JSON, MYSQL_TYPE_GEOMETRY):
         return bytes([m[0] if m else 4])
     if t == MYSQL_TYPE_STRING:
         # meta = (real_type, length): ENUM/SET/CHAR share the STRING slot
@@ -421,7 +422,7 @@ def _parse_meta(type_byte: int, buf: bytes, pos: int) -> tuple[tuple, int]:
         return (buf[pos] + buf[pos + 1] * 8,), pos + 2
     if t == MYSQL_TYPE_NEWDECIMAL:
         return (buf[pos], buf[pos + 1]), pos + 2
-    if t in (MYSQL_TYPE_BLOB, MYSQL_TYPE_JSON):
+    if t in (MYSQL_TYPE_BLOB, MYSQL_TYPE_JSON, MYSQL_TYPE_GEOMETRY):
         return (buf[pos],), pos + 1
     if t == MYSQL_TYPE_STRING:
         return (buf[pos], buf[pos + 1]), pos + 2
@@ -470,6 +471,15 @@ def _encode_cell(col: BinlogColumn, v) -> bytes:
         doc = encode_json(v)
         w = col.meta[0] if col.meta else 4
         return len(doc).to_bytes(w, "little") + doc
+    if t == MYSQL_TYPE_GEOMETRY:
+        # MySQL geometry value = uint32le SRID + OGC WKB; fixtures pass a
+        # GeoJSON(+srid) string/dict (the reference's STRING rendering) or
+        # raw value bytes
+        from ..functions.geo import geojson_to_mysql_geometry
+        data = (bytes(v) if isinstance(v, (bytes, bytearray))
+                else geojson_to_mysql_geometry(v))
+        w = col.meta[0] if col.meta else 4
+        return len(data).to_bytes(w, "little") + data
     if t == MYSQL_TYPE_NEWDECIMAL:
         p, s = col.meta
         return encode_newdecimal(str(v), p, s)
@@ -539,6 +549,14 @@ def _decode_cell(col: BinlogColumn, buf: bytes, pos: int):
         n = int.from_bytes(buf[pos:pos + w], "little")
         pos += w
         return decode_json(bytes(buf[pos:pos + n])), pos + n
+    if t == MYSQL_TYPE_GEOMETRY:
+        # render as the reference's GeoJSON-with-srid STRING form
+        # (MySqlEventDeserializer.convertToString:175-205)
+        from ..functions.geo import mysql_geometry_to_geojson
+        w = col.meta[0] if col.meta else 4
+        n = int.from_bytes(buf[pos:pos + w], "little")
+        pos += w
+        return mysql_geometry_to_geojson(bytes(buf[pos:pos + n])), pos + n
     if t == MYSQL_TYPE_NEWDECIMAL:
         p, s = col.meta
         size = decimal_bin_size(p, s)
