@@ -404,8 +404,19 @@ def _meta_bytes(col: BinlogColumn) -> bytes:
     if t in (MYSQL_TYPE_BLOB, MYSQL_TYPE_JSON, MYSQL_TYPE_GEOMETRY):
         return bytes([m[0] if m else 4])
     if t == MYSQL_TYPE_STRING:
-        # meta = (real_type, length): ENUM/SET/CHAR share the STRING slot
+        # meta = (real_type, length): ENUM/SET/CHAR share the STRING slot.
+        # CHAR byte lengths > 255 pack their two high bits INVERTED into
+        # the real-type byte's 0x30 bits (Field_string::
+        # do_save_field_metadata — every public reader undoes this with
+        # ``if (m0 & 0x30) != 0x30: len = ((m0 & 0x30) ^ 0x30) << 4 | m1``)
         real, length = (m + (MYSQL_TYPE_STRING, 0))[:2] if m else (MYSQL_TYPE_STRING, 0)
+        if length > 255:
+            if length > 1023:
+                raise ValueError(
+                    "CHAR byte length %d exceeds the wire's 10-bit budget"
+                    % length)
+            return bytes([(real & ~0x30) | ((((length >> 8) & 0x3) << 4)
+                                            ^ 0x30), length & 0xFF])
         return bytes([real, length])
     if t in (MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIME2):
         return bytes([m[0] if m else 0])
@@ -425,7 +436,12 @@ def _parse_meta(type_byte: int, buf: bytes, pos: int) -> tuple[tuple, int]:
     if t in (MYSQL_TYPE_BLOB, MYSQL_TYPE_JSON, MYSQL_TYPE_GEOMETRY):
         return (buf[pos],), pos + 1
     if t == MYSQL_TYPE_STRING:
-        return (buf[pos], buf[pos + 1]), pos + 2
+        m0, m1 = buf[pos], buf[pos + 1]
+        if (m0 & 0x30) != 0x30:
+            # packed CHAR>255 form: restore the real type byte and the
+            # 10-bit length (inverted high bits ride the 0x30 slot)
+            return (m0 | 0x30, (((m0 & 0x30) ^ 0x30) << 4) | m1), pos + 2
+        return (m0, m1), pos + 2
     if t in (MYSQL_TYPE_TIMESTAMP2, MYSQL_TYPE_DATETIME2, MYSQL_TYPE_TIME2):
         return (buf[pos],), pos + 1
     return (), pos
@@ -500,11 +516,14 @@ def _encode_cell(col: BinlogColumn, v) -> bytes:
                     v |= 1 << col.str_values.index(m)
             return int(v).to_bytes(length, "little")
         data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
-        # CHAR(n) <= 255 bytes: 1-byte length prefix on the wire
+        # CHAR values carry a 1-byte length prefix when the field's max
+        # byte length fits one byte, else 2 bytes LE (same rule VARCHAR
+        # uses; the >255 lengths come from the packed TABLE_MAP meta)
+        if len(data) > length:
+            raise ValueError("CHAR value longer than the declared %d bytes"
+                             % length)
         if length > 255:
-            raise NotImplementedError(
-                "CHAR columns longer than 255 bytes are gated (the packed "
-                "2-bit length extension; fixtures use VARCHAR for those)")
+            return struct.pack("<H", len(data)) + data
         return bytes([len(data)]) + data
     raise NotImplementedError("binlog cell codec gated for column type %d" % t)
 
@@ -575,8 +594,12 @@ def _decode_cell(col: BinlogColumn, buf: bytes, pos: int):
                 return (col.str_values[n - 1] if n else ""), pos
             return ",".join(s for i, s in enumerate(col.str_values)
                             if n >> i & 1), pos
-        n = buf[pos]
-        pos += 1
+        if length > 255:
+            n = struct.unpack_from("<H", buf, pos)[0]
+            pos += 2
+        else:
+            n = buf[pos]
+            pos += 1
         return buf[pos:pos + n].decode("utf-8"), pos + n
     raise NotImplementedError("binlog cell codec gated for column type %d" % t)
 

@@ -1011,3 +1011,36 @@ def test_unknown_event_types_tolerated():
     w._emit(27, b"")
     changes = binlog_changes(w.getvalue(), "f")
     assert [(c["op"], c["after"]["id"]) for c in changes] == [("+I", 1)]
+
+
+def test_char_over_255_bytes_packed_meta():
+    """CHAR columns whose byte length exceeds 255 (e.g. CHAR(100) utf8mb4
+    = 400 bytes) pack the two high length bits INVERTED into the
+    real-type byte's 0x30 slot (Field_string::do_save_field_metadata);
+    values switch to a 2-byte length prefix. Round-trip + the packed meta
+    survives a TABLE_MAP decode."""
+    tmap = BinlogTableMap(41, "d", "t", (
+        BinlogColumn("id", MYSQL_TYPE_LONG, (), False),
+        BinlogColumn("c", MYSQL_TYPE_STRING, (MYSQL_TYPE_STRING, 400))),
+        (0,))
+    long_val = "x" * 300  # > 255 bytes, within CHAR(100) utf8mb4's 400
+    w = BinlogWriter()
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=1, c=long_val),
+                                    dict(id=2, c="short")])
+    changes = [c for c in binlog_changes(w.getvalue(), "f")
+               if c.get("kind") == "change"]
+    assert changes[0]["after"]["c"] == long_val
+    assert changes[1]["after"]["c"] == "short"
+    # the decoded TABLE_MAP restored the real type byte and 10-bit length
+    reader = BinlogReader(w.getvalue())
+    tm = [ev.fields["table"] for ev in reader.events()
+          if ev.type_byte == TABLE_MAP_EVENT][0]
+    by_name = {c.name: c for c in tm.columns}
+    assert by_name["c"].meta == (MYSQL_TYPE_STRING, 400)
+
+    # oversized value refused at encode (never silently truncated)
+    w2 = BinlogWriter()
+    w2.table_map(tmap)
+    with pytest.raises(ValueError, match="longer than the declared"):
+        w2.rows(tmap, WRITE_ROWS_EVENT, [dict(id=3, c="y" * 401)])
