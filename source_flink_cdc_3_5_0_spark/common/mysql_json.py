@@ -40,6 +40,9 @@ _INT64 = 0x09
 _UINT64 = 0x0A
 _DOUBLE = 0x0B
 _STRING = 0x0C
+_OPAQUE = 0x0F
+
+_FT_NEWDECIMAL = 246  # field_types.h MYSQL_TYPE_NEWDECIMAL
 
 _LIT_NULL, _LIT_TRUE, _LIT_FALSE = 0x00, 0x01, 0x02
 
@@ -108,9 +111,30 @@ def _decode_value(type_byte: int, buf: bytes, pos: int):
         return buf[pos:pos + n].decode("utf-8"), pos + n
     if t in (_SMALL_OBJECT, _LARGE_OBJECT, _SMALL_ARRAY, _LARGE_ARRAY):
         return _decode_container(t, buf, pos)
+    if t == _OPAQUE:
+        # J_OPAQUE (json_binary.h): [field-type byte][varlen len][data].
+        # DECIMAL payloads (CAST(… AS DECIMAL) stored in JSON) carry
+        # [precision][scale][the NEWDECIMAL wire bytes] — decoded exactly
+        # through the shared decimal codec; Debezium's JsonBinary renders
+        # these as plain JSON numbers, `dumps_json` below does the same.
+        ftype = buf[pos]
+        n, pos = _read_varlen(buf, pos + 1)
+        data = bytes(buf[pos:pos + n])
+        if ftype == _FT_NEWDECIMAL:
+            import decimal
+
+            from ..sources.mysql_binlog import decode_newdecimal
+
+            if len(data) < 2:
+                raise ValueError("opaque DECIMAL payload too short")
+            return decimal.Decimal(
+                decode_newdecimal(data[2:], data[0], data[1])), pos + n
+        raise NotImplementedError(
+            "opaque JSON value of field type %d gated (DECIMAL opaque "
+            "values decode; temporal/other opaques are out of the fixture "
+            "surface)" % ftype)
     raise NotImplementedError(
-        "binary JSON type 0x%02x gated (opaque/decimal-in-json values are "
-        "out of the fixture surface)" % t)
+        "binary JSON type 0x%02x gated" % t)
 
 
 def _decode_container(t: int, buf: bytes, pos: int):
@@ -196,6 +220,17 @@ def _scalar(value) -> tuple[int, bytes] | None:
     if isinstance(value, str):
         data = value.encode("utf-8")
         return _STRING, _write_varlen(len(data)) + data
+    import decimal
+    if isinstance(value, decimal.Decimal):
+        from ..sources.mysql_binlog import encode_newdecimal
+
+        sign, digits, exp = value.as_tuple()
+        scale = max(0, -exp)
+        precision = max(len(digits) + max(0, exp), scale + 1)
+        data = (bytes([precision, scale])
+                + encode_newdecimal(str(value), precision, scale))
+        return _OPAQUE, (bytes([_FT_NEWDECIMAL])
+                         + _write_varlen(len(data)) + data)
     return None
 
 
@@ -262,3 +297,30 @@ def _encode_container(value, *, is_obj: bool) -> tuple[int, bytes]:
             (_LARGE_ARRAY if large else _SMALL_ARRAY)
         return t, out
     raise ValueError("JSON document too large for the large container format")
+
+
+def dumps_json(value) -> str:
+    """Compact JSON text with opaque DECIMAL values rendered as plain
+    numbers (Debezium's JsonBinary rendering) instead of quoted strings.
+    Manual walk because json.JSONEncoder.default() cannot emit raw
+    number tokens; binlog JSON cells are small documents."""
+    import decimal
+    import json
+
+    def render(v):
+        if isinstance(v, decimal.Decimal):
+            return str(v)
+        if v is None or v is True or v is False \
+                or isinstance(v, (int, float)):
+            return json.dumps(v)
+        if isinstance(v, str):
+            return json.dumps(v, ensure_ascii=False)
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(render(x) for x in v) + "]"
+        if isinstance(v, dict):
+            return "{" + ",".join(
+                json.dumps(k, ensure_ascii=False) + ":" + render(x)
+                for k, x in v.items()) + "}"
+        raise TypeError("cannot render %r as JSON" % type(v).__name__)
+
+    return render(value)

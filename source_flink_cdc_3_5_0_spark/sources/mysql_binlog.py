@@ -1361,7 +1361,6 @@ def _to_spark_value(ftype, v):
     """Wire cell -> the payload-schema field's Python value."""
     import datetime
     import decimal
-    import json as _json
 
     from pyspark.sql import types as T
 
@@ -1381,7 +1380,10 @@ def _to_spark_value(ftype, v):
             txt = "%s%02d:%02d:%02d" % ("-" if neg else "", h, m, s)
             return txt + (".%06d" % us if us else "")
         if isinstance(v, (dict, list, bool)):
-            return _json.dumps(v, separators=(",", ":"))
+            from ..common.mysql_json import dumps_json
+            return dumps_json(v)  # opaque DECIMALs render as numbers
+        if isinstance(v, decimal.Decimal):
+            return str(v)  # bare opaque-decimal JSON document
         if isinstance(v, bytes):
             return v.decode("utf-8")
         return str(v) if not isinstance(v, str) else v
@@ -1490,7 +1492,7 @@ def _json_safe(v):
     render as MySQL TIME literals, decoded JSON docs re-serialize."""
     import base64
     import datetime
-    import json as _json
+    import decimal
 
     if isinstance(v, datetime.datetime):
         return v.isoformat()
@@ -1508,7 +1510,10 @@ def _json_safe(v):
         txt = "%s%02d:%02d:%02d" % ("-" if neg else "", h, m, s)
         return txt + (".%06d" % us if us else "")
     if isinstance(v, (dict, list)):
-        return _json.dumps(v, separators=(",", ":"))
+        from ..common.mysql_json import dumps_json
+        return dumps_json(v)  # opaque DECIMALs render as numbers
+    if isinstance(v, decimal.Decimal):
+        return str(v)
     return v
 
 

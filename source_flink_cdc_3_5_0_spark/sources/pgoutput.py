@@ -299,11 +299,13 @@ class PgOutputWriter:
         """'S': a large in-progress transaction starts streaming. Messages
         until Stream Stop belong to ``xid`` (and carry it on the wire)."""
         self._streaming = xid
+        self._stream_subxid = None
         return self._frame(b"S" + struct.pack(">IB", xid,
                                               1 if first_segment else 0))
 
     def stream_stop(self) -> int:
         self._streaming = None
+        self._stream_subxid = None
         return self._frame(b"E")
 
     def stream_commit(self, xid: int) -> int:
@@ -314,10 +316,19 @@ class PgOutputWriter:
     def stream_abort(self, xid: int, subxid: int | None = None) -> int:
         return self._frame(b"A" + struct.pack(">II", xid, subxid or xid))
 
+    def subxact(self, subxid: int | None) -> None:
+        """Inside a streamed block: subsequent DML carries ``subxid`` (the
+        subtransaction that produced it — what a later Stream Abort with
+        that subxid discards). ``None`` returns to the top-level xid."""
+        self._stream_subxid = subxid
+
     def _dml_prefix(self) -> bytes:
-        """v2: DML inside a streamed block carries the xid after the tag."""
+        """v2: DML inside a streamed block carries the xid after the tag —
+        the producing (sub)transaction's."""
         if getattr(self, "_streaming", None) is not None:
-            return struct.pack(">I", self._streaming)
+            return struct.pack(
+                ">I", getattr(self, "_stream_subxid", None)
+                or self._streaming)
         return b""
 
     def getvalue(self) -> bytes:
@@ -458,12 +469,18 @@ def iter_pgoutput_changes(data: bytes) -> "Iterator[dict]":
     pos = 0
     xid = None
     ts_us = None
-    cur_stream: int | None = None            # inside S..E of this xid
-    stream_bufs: dict[int, list[dict]] = {}  # xid -> buffered records
-    txn_buf: list[dict] = []                 # current NORMAL txn's records
+    cur_stream: int | None = None  # inside S..E of this TOP-LEVEL xid
+    msg_xid: int | None = None     # the current frame's carried xid (v2)
+    # top-level xid -> buffered (carried_xid, record): changes made inside
+    # a subtransaction carry the SUBxact's xid on the wire, which is what
+    # Stream Abort(top, subxid) names when a savepoint rolls back
+    stream_bufs: dict[int, list[tuple[int, dict]]] = {}
+    txn_buf: list[dict] = []       # current NORMAL txn's records
 
     def base(lsn: int) -> dict:
         if cur_stream is not None:
+            # txId downstream is the TOP-LEVEL transaction (Debezium
+            # convention); the subxact id only scopes abort filtering
             return {"lsn": lsn, "txId": cur_stream, "ts_usec": None}
         return {"lsn": lsn, "txId": xid, "ts_usec": ts_us}
 
@@ -474,7 +491,8 @@ def iter_pgoutput_changes(data: bytes) -> "Iterator[dict]":
         # transaction interleaves with smaller ones (per-message LSNs of a
         # streamed txn predate commits that happened before it)
         if cur_stream is not None:
-            stream_bufs.setdefault(cur_stream, []).append(rec)
+            stream_bufs.setdefault(cur_stream, []).append(
+                (msg_xid if msg_xid is not None else cur_stream, rec))
         elif xid is not None:
             txn_buf.append(rec)
         else:
@@ -502,8 +520,11 @@ def iter_pgoutput_changes(data: bytes) -> "Iterator[dict]":
             raise ValueError("truncated pgoutput frame: empty message body")
         tag = chr(msg[0])
         # v2: DML/Relation/Truncate inside a streamed block carry the xid
-        # right after the tag
+        # right after the tag — the (sub)transaction that produced the
+        # change, read for abort scoping
         voff = 4 if (cur_stream is not None and tag in "RIUDT") else 0
+        msg_xid = (struct.unpack_from(">I", msg, 1)[0]
+                   if cur_stream is not None and tag in "RIUDTM" else None)
         if tag == "B":
             _final, ts, xid = struct.unpack_from(">QqI", msg, 1)
             ts_us = ts + _PG_EPOCH_US
@@ -521,14 +542,20 @@ def iter_pgoutput_changes(data: bytes) -> "Iterator[dict]":
         elif tag == "c":
             cxid, _flags, _clsn, _elsn, cts = struct.unpack_from(
                 ">IBQQq", msg, 1)
-            flush(stream_bufs.pop(cxid, []), lsn, cts + _PG_EPOCH_US)
+            flush([rec for _, rec in stream_bufs.pop(cxid, [])],
+                  lsn, cts + _PG_EPOCH_US)
         elif tag == "A":
             axid, subxid = struct.unpack_from(">II", msg, 1)
-            if subxid != axid:
-                raise NotImplementedError(
-                    "pgoutput subtransaction aborts are gated (only "
-                    "whole-transaction Stream Abort is decoded)")
-            stream_bufs.pop(axid, None)
+            if subxid == axid:
+                # whole-transaction abort: everything buffered vanishes
+                stream_bufs.pop(axid, None)
+            else:
+                # subtransaction abort (ROLLBACK TO SAVEPOINT): drop only
+                # the records whose carried xid is the aborted subxact —
+                # the server sends one Stream Abort per aborted subxid
+                stream_bufs[axid] = [
+                    (x, rec) for x, rec in stream_bufs.get(axid, [])
+                    if x != subxid]
         elif tag == "R":
             oid = struct.unpack_from(">I", msg, 1 + voff)[0]
             p = 5 + voff

@@ -1044,3 +1044,39 @@ def test_char_over_255_bytes_packed_meta():
     w2.table_map(tmap)
     with pytest.raises(ValueError, match="longer than the declared"):
         w2.rows(tmap, WRITE_ROWS_EVENT, [dict(id=3, c="y" * 401)])
+
+
+def test_json_opaque_decimal_cells():
+    """DECIMAL values inside a JSON column (J_OPAQUE, json_binary.h):
+    decode exactly through the shared NEWDECIMAL codec and render as
+    plain JSON numbers (Debezium JsonBinary rendering) all the way
+    through the binlog cell and the debezium-json bridge."""
+    import decimal
+    import json as js
+
+    from source_flink_cdc_3_5_0_spark.common.mysql_json import (
+        decode_json, dumps_json, encode_json)
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        binlog_changes)
+
+    doc = {"price": decimal.Decimal("1234.56"),
+           "fees": [decimal.Decimal("-0.01"), decimal.Decimal("7")],
+           "note": "x"}
+    assert decode_json(encode_json(doc)) == doc
+    assert js.loads(dumps_json(doc)) == {"price": 1234.56,
+                                         "fees": [-0.01, 7], "note": "x"}
+
+    tmap = BinlogTableMap(51, "d", "t", (
+        BinlogColumn("id", MYSQL_TYPE_LONG, (), False),
+        BinlogColumn("j", MYSQL_TYPE_JSON, (4,))), (0,))
+    w = BinlogWriter()
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=1, j=doc)])
+    [c] = [c for c in binlog_changes(w.getvalue(), "f")
+           if c.get("kind") == "change"]
+    assert c["after"]["j"]["price"] == decimal.Decimal("1234.56")
+
+    # and through the bridge: the JSON column serializes with number
+    # tokens for the decimals
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import _json_safe
+    assert js.loads(_json_safe(c["after"]["j"]))["price"] == 1234.56

@@ -304,15 +304,19 @@ def test_streamed_transactions_v2():
     assert len(streamed) == 2
     assert all(c["ts_usec"] == changes[0]["ts_usec"] + 7_000_000
                for c in streamed)
-    # subtransaction aborts are honestly gated
+    # a subtransaction abort naming a subxid that produced nothing leaves
+    # the top-level records intact (round 6: sub-aborts are decoded, no
+    # longer gated — see test_streamed_subtransaction_abort)
     w2 = PgOutputWriter()
     w2.relation(rel)
     w2.stream_start(910)
     w2.insert(rel, dict(id=5, v="x"))
     w2.stream_stop()
     w2.stream_abort(910, subxid=911)
-    with pytest.raises(NotImplementedError, match="subtransaction"):
-        pgoutput_changes(w2.getvalue())
+    w2.stream_commit(910)
+    survivors = [c for c in pgoutput_changes(w2.getvalue())
+                 if c["kind"] == "change"]
+    assert [(c["op"], c["after"]["id"]) for c in survivors] == [("+I", 5)]
 
 
 def test_postgres_offset_parity():
@@ -483,3 +487,54 @@ def test_logical_messages():
         == [("audit", b"outside-txn", False), ("audit", b"in-txn", True)]
     # the aborted stream's message never surfaced
     assert not any(c.get("content") == b"aborted" for c in changes)
+
+
+def test_streamed_subtransaction_abort():
+    """ROLLBACK TO SAVEPOINT inside a streamed transaction: Stream Abort
+    (top_xid, subxid) discards ONLY the records the aborted subxact
+    produced (they carry its xid on the wire); the surviving records
+    still emit at Stream Commit in order, stamped with the TOP-LEVEL
+    txId."""
+    rel = PgRelation(700, "public", "t", "d", (
+        PgColumn("id", 20, key=True), PgColumn("v", 25)))
+    w = PgOutputWriter()
+    w.relation(rel)
+    w.stream_start(500)
+    w.insert(rel, {"id": 1, "v": "keep1"})       # top xid 500
+    w.subxact(501)                               # SAVEPOINT sp1
+    w.insert(rel, {"id": 2, "v": "doomed"})
+    w.insert(rel, {"id": 3, "v": "doomed2"})
+    w.subxact(None)                              # back at top level
+    w.insert(rel, {"id": 4, "v": "keep2"})
+    w.subxact(502)                               # SAVEPOINT sp2 (survives)
+    w.insert(rel, {"id": 5, "v": "keep3"})
+    w.subxact(None)
+    w.stream_stop()
+    w.stream_abort(500, 501)                     # ROLLBACK TO sp1
+    w.stream_start(500, first_segment=False)
+    w.insert(rel, {"id": 6, "v": "keep4"})
+    w.stream_stop()
+    w.stream_commit(500)
+
+    recs = [c for c in pgoutput_changes(w.getvalue())
+            if c["kind"] == "change"]
+    assert [(r["after"]["id"], r["after"]["v"]) for r in recs] == [
+        (1, "keep1"), (4, "keep2"), (5, "keep3"), (6, "keep4")]
+    assert all(r["txId"] == 500 for r in recs)
+    # intra-commit order preserved by idx
+    assert [r["idx"] for r in recs] == [0, 1, 2, 3]
+
+
+def test_streamed_whole_txn_abort_still_discards_everything():
+    rel = PgRelation(701, "public", "t", "d", (
+        PgColumn("id", 20, key=True),))
+    w = PgOutputWriter()
+    w.relation(rel)
+    w.stream_start(600)
+    w.insert(rel, {"id": 1})
+    w.subxact(601)
+    w.insert(rel, {"id": 2})
+    w.stream_stop()
+    w.stream_abort(600)  # whole transaction
+    assert [c for c in pgoutput_changes(w.getvalue())
+            if c["kind"] == "change"] == []
