@@ -262,3 +262,40 @@ sink: {{type: values}}
     # row 1 pre-DDL (NOTE null-filled), row 2 post-DDL with the new column
     assert sink.snapshot(TableId.parse("INV.ORDERS")) == \
         ["1, a, null", "2, b, hi"]
+
+
+def test_yaml_oracle_truncate_as_ddl_e2e(spark, tmp_path):
+    """LogMiner reports TRUNCATE as a DDL event
+    (AbstractLogMinerEventProcessor.java:435 comment): a mid-stream
+    TRUNCATE TABLE redo row must wipe the sink state before later
+    inserts land."""
+    import json
+
+    from source_flink_cdc_3_5_0_spark.common import TableId
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline)
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+
+    src = tmp_path / "redo"
+    src.mkdir()
+    w = LogMinerWriter(owner="INV")
+    w.insert("ORDERS", dict(ID=1, NAME="gone"))
+    w.insert("ORDERS", dict(ID=2, NAME="gone2"))
+    w.ddl("ORDERS", 'TRUNCATE TABLE "INV"."ORDERS"')
+    w.insert("ORDERS", dict(ID=3, NAME="kept"))
+    (src / "mine-0001.jsonl").write_bytes(w.getvalue().encode())
+
+    yaml_text = f"""
+source:
+  type: oracle-logminer-file
+  path: {src}
+  tables: '{json.dumps({"INV.ORDERS": "ID INT, NAME STRING"})}'
+  primary-keys: '{{"INV.ORDERS": ["ID"]}}'
+  checkpoint: {tmp_path}/ckpt
+sink: {{type: values}}
+"""
+    sink = MemorySink()
+    pipe, raw, tables = PipelineComposer(spark).compose_streaming(
+        parse_yaml_pipeline(yaml_text), sink=sink)
+    pipe.start(raw, tables).awaitTermination(120)
+    assert sink.snapshot(TableId.parse("INV.ORDERS")) == ["3, kept"]
