@@ -299,3 +299,50 @@ sink: {{type: values}}
         parse_yaml_pipeline(yaml_text), sink=sink)
     pipe.start(raw, tables).awaitTermination(120)
     assert sink.snapshot(TableId.parse("INV.ORDERS")) == ["3, kept"]
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+_RESERVED = {"ADD", "DROP", "MODIFY", "RENAME", "NOT", "NULL", "DEFAULT",
+             "PRIMARY", "UNIQUE", "KEY", "CHECK", "BYTE", "CHAR", "TO",
+             "DATE", "NUMBER", "LONG", "RAW", "CLOB", "TIMESTAMP", "WITH",
+             "LOCAL", "TIME", "ZONE", "CONSTRAINT", "COLUMN", "ON"}
+_ora_ident = _st.from_regex(r"[A-Z][A-Z0-9_]{0,8}", fullmatch=True) \
+    .filter(lambda s: s not in _RESERVED)
+_ora_types = _st.sampled_from([
+    ("NUMBER(10)", "decimal(10,0)"),
+    ("NUMBER(12,2)", "decimal(12,2)"),
+    ("NUMBER(*,4)", "decimal(38,4)"),
+    ("VARCHAR2(40)", "string"),
+    ("VARCHAR2(100 BYTE)", "string"),
+    ("NVARCHAR2(20 CHAR)", "string"),
+    ("CLOB", "string"),
+    ("BINARY_DOUBLE", "double"),
+    ("DATE", "timestamp_ntz"),
+    ("TIMESTAMP(6)", "timestamp_ntz"),
+    ("TIMESTAMP(3) WITH TIME ZONE", "timestamp"),
+])
+
+
+@_given(_st.lists(_st.tuples(_ora_ident, _ora_types), min_size=1,
+                  max_size=5, unique_by=lambda t: t[0]),
+        _st.booleans(), _st.booleans())
+@_settings(max_examples=80, deadline=None)
+def test_oracle_ddl_fuzz_add_columns(cols, quote, paren):
+    """Randomized Oracle ALTER ... ADD statements (quoted/bare names,
+    single/paren multi-column form, the full supported type surface)
+    parse to exactly the expected AddColumnEvent."""
+    from source_flink_cdc_3_5_0_spark.common.ddl_parser import parse_ddl
+
+    def q(n):
+        return f'"{n}"' if quote else n
+
+    defs = ", ".join(f"{q(n)} {t[0]}" for n, t in cols)
+    body = f"({defs})" if paren or len(cols) > 1 else defs
+    sql = f'ALTER TABLE {q("INV")}.{q("T1")} ADD {body}'
+    [ev] = parse_ddl(sql, dialect="oracle")
+    assert ev.table_id.identifier() == "INV.T1"
+    got = {c.column.name: c.column.data_type.simpleString()
+           for c in ev.added_columns}
+    assert got == {n: t[1] for n, t in cols}
