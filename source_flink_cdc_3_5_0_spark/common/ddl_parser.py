@@ -49,8 +49,8 @@ _TOKEN_RE = re.compile(
     # Oracle's quote-qualified names don't split at the dot (a lone
     # "string" token, dots inside the quotes or not, still falls through
     # to the string rule: the dot here must sit BETWEEN quoted parts)
-    r"|(?:`[^`]*`|\"[^\"]*\"|[A-Za-z_][\w$]*)"
-    r"(?:\.(?:`[^`]*`|\"[^\"]*\"|[A-Za-z_][\w$]*))+"
+    r"|(?:`[^`]*`|\"(?:[^\"\\]|\\.)*\"|[A-Za-z_][\w$]*)"
+    r"(?:\.(?:`[^`]*`|\"(?:[^\"\\]|\\.)*\"|[A-Za-z_][\w$]*))+"
     r'|"(?:[^"\\]|\\.)*"'
     r"|`[^`]*`"
     r"|\(|\)|,"
@@ -62,10 +62,35 @@ def _tokens(sql: str) -> list[str]:
     return _TOKEN_RE.findall(sql.strip().rstrip(";"))
 
 
-def _ident(tok: str) -> str:
+def _ident(tok: str, dialect: str = "mysql") -> str:
     # `mysql` backticks and "oracle" double quotes both mark identifiers
     # where an identifier is expected
-    return tok[1:-1] if tok[:1] in ('`', '"') else tok
+    if tok[:1] in ('`', '"'):
+        return tok[1:-1]
+    # Oracle folds unquoted identifiers to UPPERCASE (same normalization
+    # Debezium's OracleDdlParser applies); MySQL preserves case
+    return tok.upper() if dialect == "oracle" else tok
+
+
+def _split_qualified(name_tok: str) -> list[str]:
+    """Split a qualified-name token on dots OUTSIDE quote pairs, so a
+    quoted part containing a dot ("ORD.ERS") stays one identifier."""
+    parts, cur, quote = [], [], None
+    for ch in name_tok:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in ('`', '"'):
+            quote = ch
+            cur.append(ch)
+        elif ch == ".":
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
 
 
 class _Cursor:
@@ -98,15 +123,22 @@ class _Cursor:
         return t
 
 
-def _table_id(name_tok: str, database: str | None) -> TableId:
-    parts = [_ident(p) for p in name_tok.split(".")]
-    if len(parts) == 2:
-        return TableId.parse(f"{parts[0]}.{parts[1]}")
+def _table_id(name_tok: str, database: str | None,
+              dialect: str = "mysql") -> TableId:
+    # direct construction, not TableId.parse: a quoted identifier may
+    # itself contain a dot ("ORD.ERS") that a string re-parse would split
+    parts = [_ident(p, dialect) for p in _split_qualified(name_tok)]
+    if len(parts) == 1 and database:
+        # databaseName may itself be dotted ("db.schema" on Debezium
+        # schema-change records) — it is a plain string, never quoted
+        parts = database.split(".") + parts
     if len(parts) == 1:
-        if database:
-            return TableId.parse(f"{database}.{parts[0]}")
-        return TableId.parse(parts[0])
-    return TableId.parse(".".join(parts))
+        return TableId("", "", parts[0])
+    if len(parts) == 2:
+        return TableId("", parts[0], parts[1])
+    if len(parts) == 3:
+        return TableId(parts[0], parts[1], parts[2])
+    raise ValueError("table name %r has more than 3 parts" % name_tok)
 
 
 _COL_TERMINATORS = {",", ")"}
@@ -124,6 +156,21 @@ def _parse_type(cur: _Cursor, dialect: str = "mysql"):
         pass
     if dialect == "oracle" and name == "LONG" and cur.accept("RAW"):
         name = "LONG RAW"
+    if dialect == "oracle" and name == "INTERVAL":
+        # INTERVAL YEAR[(p)] TO MONTH / INTERVAL DAY[(p)] TO SECOND[(p)]
+        # — embedded precisions are consumed here; the mapping ignores
+        # them (OracleTypeUtils switches on the jdbcType alone)
+        def unit() -> str:
+            u = cur.next().upper()
+            if cur.peek() == "(":
+                cur.next()
+                cur.next()
+                cur.expect(")")
+            return u
+        u1 = unit()
+        cur.expect("TO")
+        u2 = unit()
+        return oracle_type_to_spark(f"INTERVAL {u1} TO {u2}")
     precision = scale = None
     if cur.peek() == "(":
         cur.next()
@@ -174,7 +221,7 @@ def _parse_type(cur: _Cursor, dialect: str = "mysql"):
 
 def _parse_column_def(cur: _Cursor, dialect: str = "mysql"
                       ) -> tuple[Column, ColumnPosition, str | None]:
-    name = _ident(cur.next())
+    name = _ident(cur.next(), dialect)
     dt = _parse_type(cur, dialect)
     nullable = True
     default_expr = None
@@ -218,7 +265,7 @@ def _parse_column_def(cur: _Cursor, dialect: str = "mysql"
         elif up == "AFTER":
             cur.next()
             position = ColumnPosition.AFTER
-            anchor = _ident(cur.next())
+            anchor = _ident(cur.next(), dialect)
         elif up == "ON":  # ON UPDATE CURRENT_TIMESTAMP[(p)]
             cur.next(); cur.next(); cur.next()
             if cur.peek() == "(":
@@ -243,7 +290,7 @@ def _parse_create(cur: _Cursor, database: str | None,
     cur.expect("TABLE")
     if cur.accept("IF"):
         cur.expect("NOT"); cur.expect("EXISTS")
-    tid = _table_id(cur.next(), database)
+    tid = _table_id(cur.next(), database, dialect)
     cur.expect("(")
     cols: list[Column] = []
     pks: list[str] = []
@@ -260,7 +307,7 @@ def _parse_create(cur: _Cursor, database: str | None,
                     t = cur.next()
                     if t == ",":
                         continue
-                    pks.append(_ident(t))
+                    pks.append(_ident(t, dialect))
                     if cur.peek() == "(":  # index prefix length: name(10)
                         while cur.next() != ")":
                             pass
@@ -310,7 +357,7 @@ def _skip_action(cur: _Cursor) -> None:
 def _parse_alter(cur: _Cursor, database: str | None,
                  dialect: str = "mysql") -> list[SchemaChangeEvent]:
     cur.expect("TABLE")
-    tid = _table_id(cur.next(), database)
+    tid = _table_id(cur.next(), database, dialect)
     events: list[SchemaChangeEvent] = []
     while cur.peek() is not None:
         kw = cur.next().upper()
@@ -334,20 +381,21 @@ def _parse_alter(cur: _Cursor, database: str | None,
                 while not cur.accept(")"):
                     t = cur.next()
                     if t != ",":
-                        names.append(_ident(t))
+                        names.append(_ident(t, dialect))
                 events.append(DropColumnEvent(tid, tuple(names)))
             else:
-                events.append(DropColumnEvent(tid, (_ident(cur.next()),)))
+                events.append(DropColumnEvent(
+                    tid, (_ident(cur.next(), dialect),)))
         elif kw == "RENAME" and (cur.peek() or "").upper() == "COLUMN":
             cur.next()
-            old = _ident(cur.next())
+            old = _ident(cur.next(), dialect)
             cur.expect("TO")
-            new = _ident(cur.next())
+            new = _ident(cur.next(), dialect)
             events.append(RenameColumnEvent(tid, ((old, new),)))
         elif kw == "CHANGE":
             cur.accept("COLUMN")
-            old = _ident(cur.next())
-            new = _ident(cur.next())
+            old = _ident(cur.next(), dialect)
+            new = _ident(cur.next(), dialect)
             dt = _parse_type(cur, dialect)
             # reference listener decomposition: rename and/or retype
             if old != new:
@@ -358,7 +406,7 @@ def _parse_alter(cur: _Cursor, database: str | None,
             if cur.accept("("):  # oracle multi-column form: MODIFY (a T, …)
                 changes: list[tuple[str, object]] = []
                 while not cur.accept(")"):
-                    nm = _ident(cur.next())
+                    nm = _ident(cur.next(), dialect)
                     changes.append((nm, _parse_type(cur, dialect)))
                     # tolerate NOT NULL / NULL / DEFAULT tails per column
                     depth = 0
@@ -372,7 +420,7 @@ def _parse_alter(cur: _Cursor, database: str | None,
                     cur.accept(",")
                 events.append(AlterColumnTypeEvent(tid, tuple(changes)))
             else:
-                name = _ident(cur.next())
+                name = _ident(cur.next(), dialect)
                 dt = _parse_type(cur, dialect)
                 events.append(AlterColumnTypeEvent(tid, ((name, dt),)))
         elif kw == ",":
@@ -409,12 +457,12 @@ def parse_ddl(sql: str, database: str | None = None,
         return _parse_alter(cur, database, dialect)
     if head == "TRUNCATE":
         cur.accept("TABLE")
-        return [TruncateTableEvent(_table_id(cur.next(), database))]
+        return [TruncateTableEvent(_table_id(cur.next(), database, dialect))]
     if head == "DROP":
         cur.expect("TABLE")
         if cur.accept("IF"):
             cur.expect("EXISTS")
-        return [DropTableEvent(_table_id(cur.next(), database))]
+        return [DropTableEvent(_table_id(cur.next(), database, dialect))]
     raise ValueError(f"unsupported DDL statement: {sql[:60]!r}")
 
 

@@ -224,11 +224,14 @@ def _scalar(value) -> tuple[int, bytes] | None:
     if isinstance(value, decimal.Decimal):
         from ..sources.mysql_binlog import encode_newdecimal
 
+        # plain (non-scientific) rendering: str(Decimal('1E+3')) is
+        # '1E+3', which the wire codec rightly refuses
+        text = format(value, "f")
         sign, digits, exp = value.as_tuple()
         scale = max(0, -exp)
-        precision = max(len(digits) + max(0, exp), scale + 1)
+        precision = max(len(text.lstrip("-").replace(".", "")), scale + 1)
         data = (bytes([precision, scale])
-                + encode_newdecimal(str(value), precision, scale))
+                + encode_newdecimal(text, precision, scale))
         return _OPAQUE, (bytes([_FT_NEWDECIMAL])
                          + _write_varlen(len(data)) + data)
     return None
@@ -309,7 +312,7 @@ def dumps_json(value) -> str:
 
     def render(v):
         if isinstance(v, decimal.Decimal):
-            return str(v)
+            return format(v, "f")  # plain notation: 1E+3 is not JSON
         if v is None or v is True or v is False \
                 or isinstance(v, (int, float)):
             return json.dumps(v)

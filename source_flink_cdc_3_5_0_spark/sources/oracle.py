@@ -306,6 +306,10 @@ def logminer_to_debezium_json(files, start_scn: int | None = None):
                         # LogMiner reports TRUNCATE as a DDL event too.
                         rec = {"ddl": row["sql_redo"].rstrip().rstrip(";"),
                                "dialect": "oracle",
+                               # unqualified statements resolve against
+                               # the owning schema, matching the data
+                               # records' source.schema table ids
+                               "databaseName": row.get("seg_owner"),
                                "ts_ms": row.get("ts_ms"),
                                "seq": scn}
                         values.append(

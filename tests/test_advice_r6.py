@@ -181,3 +181,90 @@ def test_binlog_meta_ts_ms_feeds_op_ts_metadata_column(spark, tmp_path):
                        primary_keys=["id"])
     enc = encode_debezium(env, TableId.parse("d.t"), schema).collect()
     assert json.loads(enc[0]["value"])["ts_ms"] == 1_700_000_000_000
+
+
+# --- round-6 self-review regressions (oracle DDL dialect + JSON opaque) ---
+
+
+def test_oracle_ddl_unquoted_identifiers_fold_uppercase():
+    from source_flink_cdc_3_5_0_spark.common.ddl_parser import parse_ddl
+
+    [ev] = parse_ddl("alter table orders add (note varchar2(10))",
+                     database="INV", dialect="oracle")
+    assert ev.table_id.identifier() == "INV.ORDERS"
+    assert ev.added_columns[0].column.name == "NOTE"
+    # quoted identifiers keep their exact case
+    [ev2] = parse_ddl('alter table "inv"."Orders" add ("note" CLOB)',
+                      dialect="oracle")
+    assert ev2.table_id.identifier() == "inv.Orders"
+    assert ev2.added_columns[0].column.name == "note"
+
+
+def test_oracle_ddl_interval_types():
+    from pyspark.sql import types as T
+
+    from source_flink_cdc_3_5_0_spark.common.ddl_parser import parse_ddl
+
+    [ev] = parse_ddl('ALTER TABLE "INV"."T" ADD '
+                     '("SPAN" INTERVAL DAY(2) TO SECOND(6), '
+                     '"AGE" INTERVAL YEAR TO MONTH)', dialect="oracle")
+    got = {c.column.name: c.column.data_type for c in ev.added_columns}
+    assert got == {"SPAN": T.DayTimeIntervalType(),
+                   "AGE": T.YearMonthIntervalType()}
+
+
+def test_oracle_ddl_quoted_name_with_dot():
+    from source_flink_cdc_3_5_0_spark.common.ddl_parser import parse_ddl
+
+    [ev] = parse_ddl('TRUNCATE TABLE "INV"."ORD.ERS"', dialect="oracle")
+    assert (ev.table_id.schema_name, ev.table_id.table_name) == \
+        ("INV", "ORD.ERS")
+
+
+def test_mysql_comment_with_escaped_quote_and_dot():
+    """The qualified-name tokenizer rule must not split a MySQL string
+    literal containing an escaped quote followed by a dot."""
+    from source_flink_cdc_3_5_0_spark.common.ddl_parser import parse_ddl
+
+    [ev] = parse_ddl('ALTER TABLE t ADD c INT COMMENT "x\\".y\\"z"',
+                     database="db")
+    assert ev.added_columns[0].column.comment == 'x\\".y\\"z'
+
+
+def test_logminer_unqualified_ddl_resolves_to_seg_owner(spark):
+    """An unqualified DDL statement in a LogMiner row resolves against
+    SEG_OWNER, matching the data records' schema-qualified table ids."""
+    import json
+
+    from source_flink_cdc_3_5_0_spark.common.events_json import (
+        schema_events_from_json)
+    from source_flink_cdc_3_5_0_spark.sources.oracle import (
+        logminer_to_debezium_json)
+
+    line = json.dumps({"scn": 30, "operation": 5, "seg_owner": "INV",
+                       "table": "ORDERS", "ts_ms": 1, "csf": 0,
+                       "sql_redo": "truncate table orders"})
+    df = spark.createDataFrame([("f", bytearray(line.encode()))],
+                               "path STRING, content BINARY")
+    [rec] = logminer_to_debezium_json(df).collect()
+    [ev] = schema_events_from_json(rec["value"])
+    assert ev.table_id.identifier() == "INV.ORDERS"
+
+
+def test_json_opaque_decimal_scientific_notation():
+    """Decimals whose str() uses E-notation must encode (plain rendering)
+    and render as valid JSON number tokens."""
+    import decimal
+    import json as js
+
+    from source_flink_cdc_3_5_0_spark.common.mysql_json import (
+        decode_json, dumps_json, encode_json)
+
+    doc = {"a": decimal.Decimal("1E+3"), "b": decimal.Decimal("1E-7"),
+           "c": decimal.Decimal("2.5E+2")}
+    back = decode_json(encode_json(doc))
+    assert back["a"] == decimal.Decimal(1000)
+    assert back["b"] == decimal.Decimal("0.0000001")
+    assert back["c"] == decimal.Decimal(250)
+    rendered = js.loads(dumps_json(back))
+    assert rendered == {"a": 1000, "b": 1e-07, "c": 250}
