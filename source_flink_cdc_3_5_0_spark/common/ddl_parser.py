@@ -48,7 +48,11 @@ _TOKEN_RE = re.compile(
     # split by _table_id — ordered BEFORE the double-quoted-string rule so
     # Oracle's quote-qualified names don't split at the dot (a lone
     # "string" token, dots inside the quotes or not, still falls through
-    # to the string rule: the dot here must sit BETWEEN quoted parts)
+    # to the string rule: the dot here must sit BETWEEN quoted parts).
+    # Double-quoted parts accept backslash escapes because MySQL treats
+    # "..." as a STRING literal with backslash escapes (Oracle identifiers
+    # never backslash-escape, but the lone-string fallthrough shares the
+    # branch) — _split_qualified must mirror this escape rule
     r"|(?:`[^`]*`|\"(?:[^\"\\]|\\.)*\"|[A-Za-z_][\w$]*)"
     r"(?:\.(?:`[^`]*`|\"(?:[^\"\\]|\\.)*\"|[A-Za-z_][\w$]*))+"
     r'|"(?:[^"\\]|\\.)*"'
@@ -74,12 +78,21 @@ def _ident(tok: str, dialect: str = "mysql") -> str:
 
 def _split_qualified(name_tok: str) -> list[str]:
     """Split a qualified-name token on dots OUTSIDE quote pairs, so a
-    quoted part containing a dot ("ORD.ERS") stays one identifier."""
+    quoted part containing a dot ("ORD.ERS") stays one identifier.
+    Inside a double-quoted part, a backslash escapes the next character
+    (mirroring _TOKEN_RE's string-escape rule) so '"a\\"b".c' closes at
+    the real quote, not the escaped one; backticked parts take no
+    escapes (MySQL doubles backticks, never backslash-escapes)."""
     parts, cur, quote = [], [], None
-    for ch in name_tok:
+    it = iter(name_tok)
+    for ch in it:
         if quote:
             cur.append(ch)
-            if ch == quote:
+            if ch == "\\" and quote == '"':
+                nxt = next(it, None)
+                if nxt is not None:
+                    cur.append(nxt)
+            elif ch == quote:
                 quote = None
         elif ch in ('`', '"'):
             quote = ch

@@ -125,9 +125,12 @@ def fetch_binlog_files(host: str, port: int, spool_dir: str,
                        from_file: str | None = None,
                        timeout: float = 30.0) -> list[str]:
     """Request binlog files from a :class:`BinlogTcpServer` and spool them
-    locally. Returns the fetched file names (numeric order). Files already
-    present with the SAME size are skipped (a binlog file only ever grows,
-    and only the last one — re-fetching a rotated file is a no-op)."""
+    locally. Returns the names of files actually (re)written, in numeric
+    order — files already present with identical bytes are skipped and
+    are NOT in the return value (a binlog file only ever grows, and only
+    the last one — re-fetching a rotated file is a no-op). Same-size
+    files are content-compared, not trusted: a regenerated fixture with
+    an equal byte count must not serve stale bytes."""
     os.makedirs(spool_dir, exist_ok=True)
     fetched: list[str] = []
     with socket.create_connection((host, port), timeout=timeout) as sock:
@@ -145,7 +148,9 @@ def fetch_binlog_files(host: str, port: int, spool_dir: str,
             data = _read_exact(f, int(size))
             dest = os.path.join(spool_dir, name)
             if os.path.exists(dest) and os.path.getsize(dest) == len(data):
-                continue
+                with open(dest, "rb") as existing:
+                    if existing.read() == data:
+                        continue
             tmp = dest + ".part"
             with open(tmp, "wb") as out:
                 out.write(data)

@@ -261,7 +261,10 @@ def logminer_to_debezium_json(files, start_scn: int | None = None):
                     # CSF continuation rows share the chain's position; a
                     # mismatched scn/row_id means a capture line went
                     # missing and two statements would splice — surface it
-                    if pending_sql and at != pending_at:
+                    # key the guard on pending_at (not the accumulated
+                    # string): a CSF chain opened by an EMPTY sql_redo
+                    # fragment must still pin the chain position
+                    if pending_at is not None and at != pending_at:
                         raise ValueError(
                             "CSF continuation at scn=%s row_id=%s does not "
                             "match the open chain at scn=%s row_id=%s "
@@ -274,7 +277,7 @@ def logminer_to_debezium_json(files, start_scn: int | None = None):
                         pending_sql += row["sql_redo"]
                         pending_at = at
                         continue
-                    if pending_sql:
+                    if pending_at is not None:
                         row = {**row,
                                "sql_redo": pending_sql + row["sql_redo"]}
                         pending_sql = ""
@@ -353,7 +356,7 @@ def logminer_to_debezium_json(files, start_scn: int | None = None):
                 # never-silently-drop: a file ending on a CSF=1 row holds a
                 # statement with no terminator — its tail is in the next
                 # file and would splice onto an unrelated statement there
-                if pending_sql:
+                if pending_at is not None:
                     raise ValueError(
                         "LogMiner capture file ends inside a CSF "
                         "continuation chain (scn=%s row_id=%s): capture "
