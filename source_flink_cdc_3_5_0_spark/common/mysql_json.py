@@ -87,6 +87,15 @@ def decode_json(doc: bytes):
     return _decode_value(doc[0], doc, 1)[0]
 
 
+def decode_json_at(buf: bytes, pos: int):
+    """Decode a binary JSON document embedded at ``pos`` inside a larger
+    buffer; returns ``(value, end_pos)``.  The end position falls out of
+    the decode itself (containers carry their total size in the header) —
+    the analog of tikv-client's ``json.PeekBytesAsJSON``, which TiDB's v1
+    datum decoder needs because JSON datums are NOT length-prefixed."""
+    return _decode_value(buf[pos], buf, pos + 1)
+
+
 def _decode_value(type_byte: int, buf: bytes, pos: int):
     t = type_byte
     if t == _LITERAL:

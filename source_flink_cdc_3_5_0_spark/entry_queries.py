@@ -2032,7 +2032,26 @@ def tidb_kv_frames(spark, sf_dir, replicas: int = 1):
         ti_column(4, "total_cents", T.LongType()),
         ti_column(5, "price", T.DoubleType()),
         ti_column(6, "odate", T.DateType()),
+        # round-7: the formerly gated cell kinds, now on the wire in both
+        # row formats (v2 values, v1 old values)
+        ti_column(7, "amt_dec", T.DecimalType(18, 4)),
+        ti_column(8, "doc", T.StringType(), json=True),
+        ti_column(9, "dur", T.StringType(), duration=True),
     ))
+
+    # exact decimal: (cents - 27.5M) * 10^-4 — negative for cheap orders,
+    # four fractional digits, no float in the chain
+    def dec4(cents_col):
+        return (cents_col.cast("decimal(18,0)")
+                * F.expr("CAST(0.0001 AS DECIMAL(4,4))")
+                ).cast("decimal(18,4)")
+
+    doc = F.format_string('{"k":%d,"s":"%s"}', k, F.col("o_orderstatus"))
+    dur = F.concat(
+        F.when(k % 5 == 0, F.lit("-")).otherwise(F.lit("")),
+        F.format_string("%02d:%02d:%02d",
+                        k % 199 + 1, k % 60, (k * 7) % 60),
+        F.when(k % 2 == 1, F.lit(".654321")).otherwise(F.lit("")))
 
     def img(cents, price):
         return F.struct(
@@ -2040,7 +2059,9 @@ def tidb_kv_frames(spark, sf_dir, replicas: int = 1):
             F.col("o_orderstatus").alias("status"),
             cents.cast("long").alias("total_cents"),
             price.cast("double").alias("price"),
-            F.to_date("o_orderdate").alias("odate"))
+            F.to_date("o_orderdate").alias("odate"),
+            dec4(cents - 27_500_000).alias("amt_dec"),
+            doc.alias("doc"), dur.alias("dur"))
 
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     base = img(cents, F.col("o_totalprice"))
@@ -2084,6 +2105,12 @@ def q_cdc_tidb_kv_decode(spark, sf_dir):
     wrong varint, offset, or packed-date bit fails the gate. Scripted
     churn: insert all, update every 3rd (+$5), delete every 7th.
 
+    Round-7: the formerly gated DECIMAL / JSON / DURATION cells ride the
+    wire in both row formats (`codec.go` flags 6/7/10, rowcodec cells).
+    The decimal surfaces integer-exact as ``amt_ucents`` (value × 10^4 —
+    a single wrong packed-decimal byte shifts it); the JSON document and
+    duration surface as their canonical text renders.
+
     Scale shape: encode/decode are Arrow-batched mapInPandas stages with
     O(row-bytes) state; materialize is ONE key shuffle (window rank)."""
     from .sources.tidb import decode_tidb_kv
@@ -2092,8 +2119,10 @@ def q_cdc_tidb_kv_decode(spark, sf_dir):
     kv, table = tidb_kv_frames(spark, sf_dir)
     env = decode_tidb_kv(kv, table)
     out = latest_image(env, ["_id"], seq_col=SEQ_COL)
-    return out.select("_id", "cust", "status", "total_cents", "price",
-                      "odate")
+    return out.select(
+        "_id", "cust", "status", "total_cents", "price", "odate",
+        (F.col("amt_dec") * 10000).cast("long").alias("amt_ucents"),
+        "doc", "dur")
 
 
 ORACLE_TIDB_KV_DECODE = """
@@ -2102,7 +2131,16 @@ SELECT o_orderkey AS _id, o_custkey AS cust, o_orderstatus AS status,
        + CASE WHEN o_orderkey % 3 = 0 THEN 500 ELSE 0 END AS total_cents,
        o_totalprice
        + CASE WHEN o_orderkey % 3 = 0 THEN 5.0 ELSE 0.0 END AS price,
-       CAST(o_orderdate AS DATE) AS odate
+       CAST(o_orderdate AS DATE) AS odate,
+       CAST(round(o_totalprice * 100) AS BIGINT)
+       + CASE WHEN o_orderkey % 3 = 0 THEN 500 ELSE 0 END
+       - 27500000 AS amt_ucents,
+       '{"k":' || CAST(o_orderkey AS VARCHAR) || ',"s":"'
+       || o_orderstatus || '"}' AS doc,
+       CASE WHEN o_orderkey % 5 = 0 THEN '-' ELSE '' END
+       || printf('%02d:%02d:%02d', o_orderkey % 199 + 1,
+                 o_orderkey % 60, (o_orderkey * 7) % 60)
+       || CASE WHEN o_orderkey % 2 = 1 THEN '.654321' ELSE '' END AS dur
 FROM orders WHERE o_orderkey % 7 <> 0
 """
 

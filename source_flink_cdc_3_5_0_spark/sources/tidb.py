@@ -38,12 +38,25 @@ design RFC "Proposal: A new storage row format for efficient decoding"
   `tidb/types/time.go ToPackedUint`);
 - row format **v1** ("old row"): alternating (colID varint-datum,
   value datum) pairs, datum flags Nil=0 Bytes=1 CompactBytes=2 Int=3
-  Uint=4 Float=5 Varint=8 Uvarint=9;
+  Uint=4 Float=5 Decimal=6 Duration=7 Varint=8 Uvarint=9 Json=10;
 - row format **v2**: ``0x80`` version byte, flags (bit0 = big), u16le
   not-null/null counts, sorted column-id arrays, u16le end-offset array,
   then cells (ints little-endian minimal-width, floats order-preserving
-  8 B, strings raw).  DECIMAL / JSON / DURATION cells are honestly gated
-  (`NotImplementedError`) — fixtures use the widely-used kinds.
+  8 B, strings raw);
+- DECIMAL cells are ``[precision][frac]`` + the MySQL packed-decimal
+  bytes (`codec.go EncodeDecimal` / `mydecimal.go WriteBin` — byte-
+  identical to binlog NEWDECIMAL, so the codec is SHARED with
+  `sources/mysql_binlog.py`); v1 prepends flag 6;
+- JSON cells are the MySQL binary-JSON document (TypeCode + value,
+  `types/json` mirrors `json_binary.cc`) — shared with
+  `common/mysql_json.py`; v1 prepends flag 10 and sizes the datum by
+  decoding it (the `json.PeekBytesAsJSON` analog: JSON datums carry no
+  length prefix);
+- DURATION cells are the int64 NANOSECOND count (Go ``time.Duration``,
+  `codec.go` duration case): v1 flag 7 + memcomparable int64, v2 a
+  minimal-width little-endian signed int.  The engine surface renders
+  durations as ``[-]HH:MM:SS[.ffffff]`` strings (same convention the
+  binlog TIME2 path uses).
 
 Both an encoder and a decoder ship so every format round-trips in tests
 (same approach as the in-repo PNG/JPEG codecs); the encoder is also how
@@ -239,12 +252,25 @@ class TiColumn:
 
 
 def ti_column(col_id: int, name: str, spark_type: T.DataType, *,
-              unsigned: bool = False, pk_handle: bool = False) -> TiColumn:
-    kind = _KIND_BY_TYPE.get(type(spark_type))
+              unsigned: bool = False, pk_handle: bool = False,
+              json: bool = False, duration: bool = False) -> TiColumn:
+    if json or duration:
+        # both surface as STRING on the engine side (canonical JSON text /
+        # "[-]HH:MM:SS[.ffffff]"), so the TiDB kind must be chosen
+        # explicitly — StringType alone means a VARCHAR cell
+        if json and duration:
+            raise ValueError("a column is json OR duration, not both")
+        if not isinstance(spark_type, T.StringType):
+            raise ValueError("json/duration columns surface as StringType")
+        kind = "json" if json else "duration"
+        return TiColumn(col_id, name, spark_type, kind, False)
+    if isinstance(spark_type, T.DecimalType):
+        kind = "decimal"
+    else:
+        kind = _KIND_BY_TYPE.get(type(spark_type))
     if kind is None:
         raise NotImplementedError(
-            "TiDB cell codec gated for %s (DECIMAL/JSON/DURATION cells are "
-            "out of the fixture surface)" % spark_type)
+            "TiDB cell codec gated for %s" % spark_type)
     if unsigned:
         if kind != "int":
             raise ValueError("unsigned only applies to integer columns")
@@ -281,6 +307,37 @@ class TiTableInfo:
 # ---------------------------------------------------------------------------
 
 
+def duration_to_nanos(v) -> int:
+    """``[-]HH:MM:SS[.ffffff]`` text (or a timedelta / raw nanosecond
+    int) -> the signed int64 nanosecond count a DURATION datum stores."""
+    import datetime
+    import re as _re
+    if isinstance(v, datetime.timedelta):
+        return round(v.total_seconds() * 1_000_000) * 1000
+    if isinstance(v, int):
+        return v
+    m = _re.fullmatch(r"(-?)(\d+):(\d{1,2}):(\d{1,2})(?:\.(\d{1,6}))?",
+                      str(v))
+    if not m:
+        raise ValueError("not a duration literal: %r" % (v,))
+    sign, h, mi, s, frac = m.groups()
+    if int(mi) > 59 or int(s) > 59:
+        raise ValueError("not a duration literal: %r" % (v,))
+    us = int((frac or "").ljust(6, "0"))
+    n = ((int(h) * 3600 + int(mi) * 60 + int(s)) * 1_000_000 + us) * 1000
+    return -n if sign else n
+
+
+def nanos_to_duration(n: int) -> str:
+    """Nanoseconds -> ``[-]HH:MM:SS[.ffffff]`` (the binlog TIME2 render
+    convention: fractional part only when nonzero)."""
+    sign, n = ("-", -n) if n < 0 else ("", n)
+    us, n = (n // 1000) % 1_000_000, n // 1_000_000_000
+    h, mi, s = n // 3600, (n // 60) % 60, n % 60
+    txt = "%s%02d:%02d:%02d" % (sign, h, mi, s)
+    return txt + (".%06d" % us if us else "")
+
+
 def _to_datum(col: TiColumn, v):
     """Python value -> (kind, wire value) for either row format."""
     if v is None:
@@ -290,6 +347,14 @@ def _to_datum(col: TiColumn, v):
     if col.kind == "datetime":
         return "uint", pack_mysql_time(v.year, v.month, v.day, v.hour,
                                        v.minute, v.second, v.microsecond)
+    if col.kind == "decimal":
+        dt = col.spark_type
+        return "decimal", (dt.precision, dt.scale, str(v))
+    if col.kind == "json":
+        import json as _json
+        return "json", (_json.loads(v) if isinstance(v, str) else v)
+    if col.kind == "duration":
+        return "duration", duration_to_nanos(v)
     if col.kind == "string":
         return "string", str(v)
     if col.kind == "bytes":
@@ -302,6 +367,7 @@ def _to_datum(col: TiColumn, v):
 def _from_wire(col: TiColumn, kind: str, v):
     """Wire value (+ its wire kind) -> python value for `col`."""
     import datetime
+    import decimal
     if v is None:
         return None
     if col.kind in ("date", "datetime"):
@@ -309,6 +375,14 @@ def _from_wire(col: TiColumn, kind: str, v):
         if col.kind == "date":
             return datetime.date(y, mo, d)
         return datetime.datetime(y, mo, d, h, mi, s, us)
+    if col.kind == "decimal":
+        return decimal.Decimal(v) if not isinstance(v, decimal.Decimal) \
+            else v
+    if col.kind == "json":
+        from ..common.mysql_json import dumps_json
+        return dumps_json(v)
+    if col.kind == "duration":
+        return nanos_to_duration(int(v))
     if col.kind == "string":
         return v.decode("utf-8") if isinstance(v, bytes) else str(v)
     if col.kind == "bytes":
@@ -324,7 +398,9 @@ def _from_wire(col: TiColumn, kind: str, v):
 
 _NIL, _BYTES, _COMPACT_BYTES = 0x00, 0x01, 0x02
 _INT, _UINT, _FLOAT = 0x03, 0x04, 0x05
+_DECIMAL, _DURATION = 0x06, 0x07
 _VARINT, _UVARINT = 0x08, 0x09
+_JSON = 0x0A
 
 
 def _encode_datum(kind: str | None, v) -> bytes:
@@ -339,6 +415,20 @@ def _encode_datum(kind: str | None, v) -> bytes:
     if kind in ("string", "bytes"):
         data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
         return bytes([_COMPACT_BYTES]) + encode_varint(len(data)) + data
+    if kind == "decimal":
+        # codec.go EncodeDecimal: flag, precision, frac, WriteBin bytes
+        # (byte-identical to the binlog NEWDECIMAL codec)
+        from .mysql_binlog import encode_newdecimal
+        prec, scale, text = v
+        return (bytes([_DECIMAL, prec, scale])
+                + encode_newdecimal(text, prec, scale))
+    if kind == "duration":
+        # codec.go duration case: EncodeInt of time.Duration nanoseconds
+        return bytes([_DURATION]) + encode_comparable_int(v)
+    if kind == "json":
+        # codec.go json case: flag + TypeCode + binary value
+        from ..common.mysql_json import encode_json
+        return bytes([_JSON]) + encode_json(v)
     raise NotImplementedError("datum codec gated for kind %r" % kind)
 
 
@@ -366,8 +456,25 @@ def _decode_datum(buf: bytes, pos: int):
         return bytes(buf[pos:pos + n]), pos + n
     if flag == _BYTES:
         return decode_comparable_bytes(buf, pos)
-    raise NotImplementedError("datum flag 0x%02x gated (DECIMAL/JSON/"
-                              "DURATION)" % flag)
+    if flag == _DECIMAL:
+        import decimal
+        from .mysql_binlog import decimal_bin_size, decode_newdecimal
+        prec, scale = buf[pos], buf[pos + 1]
+        n = decimal_bin_size(prec, scale)
+        if pos + 2 + n > len(buf):
+            raise ValueError(
+                "truncated DECIMAL(%d,%d) datum: need %d bytes, have %d"
+                % (prec, scale, n, len(buf) - pos - 2))
+        text = decode_newdecimal(buf[pos + 2:pos + 2 + n], prec, scale)
+        return decimal.Decimal(text), pos + 2 + n
+    if flag == _DURATION:
+        return decode_comparable_int(buf, pos)
+    if flag == _JSON:
+        # JSON datums have no length prefix: the decode itself yields the
+        # end position (json.PeekBytesAsJSON analog)
+        from ..common.mysql_json import decode_json_at
+        return decode_json_at(buf, pos)
+    raise NotImplementedError("datum flag 0x%02x gated" % flag)
 
 
 def encode_row_v1(table: TiTableInfo, row: dict) -> bytes:
@@ -403,7 +510,9 @@ CODEC_VER = 0x80
 
 
 def _v2_cell(kind: str, v) -> bytes:
-    if kind == "int":
+    if kind in ("int", "duration"):
+        # rowcodec encodes Duration as its nanosecond int64 (same
+        # minimal-width little-endian layout as plain ints)
         for w in (1, 2, 4, 8):
             lo, hi = -(1 << (8 * w - 1)), (1 << (8 * w - 1)) - 1
             if lo <= v <= hi:
@@ -416,17 +525,42 @@ def _v2_cell(kind: str, v) -> bytes:
         return encode_comparable_float(v)
     if kind in ("string", "bytes"):
         return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+    if kind == "decimal":
+        # rowcodec stores codec.EncodeDecimal output (no flag byte):
+        # precision, frac, then the shared packed-decimal bytes
+        from .mysql_binlog import encode_newdecimal
+        prec, scale, text = v
+        return bytes([prec, scale]) + encode_newdecimal(text, prec, scale)
+    if kind == "json":
+        # rowcodec stores TypeCode + binary value = the whole document
+        from ..common.mysql_json import encode_json
+        return encode_json(v)
     raise NotImplementedError("v2 cell codec gated for kind %r" % kind)
 
 
 def _v2_uncell(col: TiColumn, cell: bytes):
     k = col.kind if col.kind not in ("date", "datetime") else "uint"
-    if k == "int":
-        return _from_wire(col, k, int.from_bytes(cell, "little", signed=True))
+    if k in ("int", "duration"):
+        return _from_wire(col, k,
+                          int.from_bytes(cell, "little", signed=True))
     if k == "uint":
         return _from_wire(col, k, int.from_bytes(cell, "little"))
     if k == "float":
         return decode_comparable_float(cell)[0]
+    if k == "decimal":
+        from .mysql_binlog import decimal_bin_size, decode_newdecimal
+        if len(cell) < 2:
+            raise ValueError("truncated DECIMAL cell: %r" % (bytes(cell),))
+        prec, scale = cell[0], cell[1]
+        n = decimal_bin_size(prec, scale)
+        if len(cell) != 2 + n:
+            raise ValueError(
+                "DECIMAL(%d,%d) cell is %d bytes, wire format needs %d"
+                % (prec, scale, len(cell), 2 + n))
+        return _from_wire(col, k, decode_newdecimal(cell[2:], prec, scale))
+    if k == "json":
+        from ..common.mysql_json import decode_json
+        return _from_wire(col, k, decode_json(bytes(cell)))
     return _from_wire(col, k, bytes(cell))
 
 

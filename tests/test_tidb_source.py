@@ -231,7 +231,11 @@ class TestRowFormats:
 
     def test_gated_kinds_raise(self):
         with pytest.raises(NotImplementedError):
-            ti_column(9, "dec", T.DecimalType(10, 2))
+            ti_column(9, "arr", T.ArrayType(T.LongType()))
+        with pytest.raises(ValueError):
+            ti_column(9, "j", T.LongType(), json=True)
+        with pytest.raises(ValueError):
+            ti_column(9, "x", T.StringType(), json=True, duration=True)
 
     @given(st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
            st.text(max_size=20),
@@ -508,3 +512,145 @@ class TestKeyRangeProperties:
         key = encode_record_key(7, handle)
         hits = [i for i, (lo, hi) in enumerate(ranges) if lo <= key < hi]
         assert len(hits) == 1
+
+
+# ---------------------------------------------------------------------------
+# DECIMAL / JSON / DURATION cells (round-7: the gates closed)
+# ---------------------------------------------------------------------------
+
+_JSON_SCALARS = st.one_of(
+    st.none(), st.booleans(),
+    st.integers(min_value=-(1 << 63), max_value=(1 << 64) - 1),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=24))
+_JSON_VALUES = st.recursive(
+    _JSON_SCALARS,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=8), children, max_size=4)),
+    max_leaves=12)
+
+
+def _rich_table():
+    return TiTableInfo(55, (
+        ti_column(1, "id", T.LongType(), pk_handle=True),
+        ti_column(2, "dec", T.DecimalType(20, 6)),
+        ti_column(3, "doc", T.StringType(), json=True),
+        ti_column(4, "dur", T.StringType(), duration=True),
+        ti_column(5, "tail", T.StringType()),
+    ))
+
+
+class TestRichCellKinds:
+    """The TiDB DECIMAL / JSON / DURATION wire codecs.
+
+    Reference decodes these via the tikv-client jar
+    (`RowDataTiKVChangeEventDeserializationSchema.java:59-105`); the byte
+    layouts here follow the public `tidb/util/codec/codec.go` (v1 datum
+    flags 6/7/10) and `tidb/util/rowcodec` (v2 cells).
+    """
+
+    def test_both_formats_roundtrip_with_trailing_column(self):
+        """`tail` sits AFTER the unprefixed-length JSON datum in v1, so a
+        wrong PeekBytesAsJSON-analog size would corrupt it."""
+        import decimal
+        t = _rich_table()
+        row = {"dec": decimal.Decimal("-1234567890.123456"),
+               "doc": '{"k": [1, null, "s"], "n": {"x": 2.5}}',
+               "dur": "-838:59:59.000001", "tail": "after-json"}
+        for enc, dec in ((encode_row_v1, decode_row_v1),
+                         (encode_row_v2, decode_row_v2)):
+            out = dec(t, enc(t, row))
+            assert out["dec"] == decimal.Decimal("-1234567890.123456")
+            assert out["doc"] == '{"k":[1,null,"s"],"n":{"x":2.5}}'
+            assert out["dur"] == "-838:59:59.000001"
+            assert out["tail"] == "after-json"
+
+    @given(st.decimals(min_value=-99999999999999, max_value=99999999999999,
+                       allow_nan=False, allow_infinity=False, places=6))
+    @settings(max_examples=120, deadline=None)
+    def test_decimal_roundtrip_property(self, d):
+        import decimal
+        t = _rich_table()
+        row = {"dec": d, "doc": None, "dur": None, "tail": None}
+        want = d.quantize(decimal.Decimal(1).scaleb(-6))
+        assert decode_row_v1(t, encode_row_v1(t, row))["dec"] == want
+        assert decode_row_v2(t, encode_row_v2(t, row))["dec"] == want
+
+    @given(_JSON_VALUES)
+    @settings(max_examples=100, deadline=None)
+    def test_json_roundtrip_property(self, v):
+        """encode -> decode -> parse returns the original python value
+        (canonical text form compared via json.loads: binary JSON stores
+        object keys sorted by length-then-bytes, not input order)."""
+        import json as _json
+        t = _rich_table()
+        row = {"dec": None, "doc": _json.dumps(v), "dur": None,
+               "tail": None}
+        for enc, dec in ((encode_row_v1, decode_row_v1),
+                         (encode_row_v2, decode_row_v2)):
+            got = dec(t, enc(t, row))["doc"]
+            if v is None:
+                assert got is None  # engine NULL (documented edge)
+            else:
+                assert _json.loads(got) == v
+
+    @given(st.integers(min_value=-(839 * 3600 * 10 ** 6),
+                       max_value=839 * 3600 * 10 ** 6))
+    @settings(max_examples=120, deadline=None)
+    def test_duration_roundtrip_property(self, micros):
+        from source_flink_cdc_3_5_0_spark.sources.tidb import (
+            duration_to_nanos, nanos_to_duration)
+        t = _rich_table()
+        text = nanos_to_duration(micros * 1000)
+        assert duration_to_nanos(text) == micros * 1000
+        row = {"dec": None, "doc": None, "dur": text, "tail": None}
+        assert decode_row_v1(t, encode_row_v1(t, row))["dur"] == text
+        assert decode_row_v2(t, encode_row_v2(t, row))["dur"] == text
+
+    def test_v1_decimal_flag_bytes_pinned(self):
+        """Known answer: flag 6, precision 14, frac 4, then the pinned
+        NEWDECIMAL bytes for 1234567890.1234 (strings/decimal.c example —
+        same pin as tests/test_mysql_binlog.py)."""
+        import decimal
+        t = TiTableInfo(1, (
+            ti_column(1, "id", T.LongType(), pk_handle=True),
+            ti_column(2, "d", T.DecimalType(14, 4))))
+        buf = encode_row_v1(t, {"d": decimal.Decimal("1234567890.1234")})
+        # colID datum (varint 2), then the decimal datum
+        assert buf.hex() == "08" + "04" + "060e04" + "810dfb38d204d2"
+        assert decode_row_v1(t, buf)["d"] == decimal.Decimal(
+            "1234567890.1234")
+
+    def test_v2_decimal_cell_size_validated(self):
+        """A well-formed v2 row whose cell bytes are not a DECIMAL(p,s)
+        of the advertised size must surface the size mismatch, not
+        mis-decode (offset tiling is fine here — only the content is
+        wrong)."""
+        dec_t = TiTableInfo(1, (
+            ti_column(1, "id", T.LongType(), pk_handle=True),
+            ti_column(2, "d", T.DecimalType(14, 4))))
+        raw_t = TiTableInfo(1, (
+            ti_column(1, "id", T.LongType(), pk_handle=True),
+            ti_column(2, "d", T.BinaryType())))
+        # 3-byte cell: [prec=14][frac=4] + ONE byte (wire needs 7)
+        buf = encode_row_v2(raw_t, {"d": bytes([14, 4, 0x81])})
+        with pytest.raises(ValueError, match="DECIMAL"):
+            decode_row_v2(dec_t, buf)
+        # truncating the value section still trips the offset check
+        good = encode_row_v2(dec_t, {"d": 7})
+        with pytest.raises(ValueError, match="tile|DECIMAL"):
+            decode_row_v2(dec_t, _truncate_last_cell(good))
+
+    def test_duration_parse_rejects_garbage(self):
+        from source_flink_cdc_3_5_0_spark.sources.tidb import (
+            duration_to_nanos)
+        for bad in ("1:2", "xx:yy:zz", "1:88:00", "", "1:2:3.1234567"):
+            with pytest.raises(ValueError):
+                duration_to_nanos(bad)
+
+
+def _truncate_last_cell(buf: bytes) -> bytes:
+    # chop one byte off the value section so the offsets no longer tile
+    # -> the decoder must surface it (offset check or DECIMAL size check)
+    return buf[:-1]
