@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     # + decode IS the measured operator; codec throughput trend lines)
     "cdc_mysql_binlog_decode",
     "cdc_pgoutput_decode",
+    "cdc_pgoutput_binary_decode",
     "cdc_sqlserver_changetable",
     "cdc_db2_asn",
     "cdc_oracle_logminer",

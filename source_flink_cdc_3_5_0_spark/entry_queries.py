@@ -2409,6 +2409,140 @@ FROM part WHERE p_partkey % 9 <> 0
 """
 
 
+def q_cdc_pgoutput_binary_decode(spark, sf_dir):
+    """pgoutput BINARY send format end-to-end (PG14+ publication created
+    WITH (binary = true), the `PostgresDataSourceOptions.java:68-73`
+    plugin surface): a scripted changelog over ``orders`` is encoded with
+    'b' TupleData cells — int8/int2/int4 big-endian, bool bytes, float8
+    IEEE, numeric_send base-10000 digit groups, date days-since-2000,
+    timestamp µs-since-2000, uuid raw 16 bytes, jsonb v1 — then decoded
+    through the same `pgoutput_to_debezium_json` bridge the text gate
+    uses and materialized per PK. Every decoded binary cell of every
+    surviving row is value-hashed against the oracle: one wrong sign
+    word, weight, or epoch offset fails the gate. Scripted churn: insert
+    all, update every 4th (total +$1.50), delete every 9th.
+
+    Scale shape: identical to the text gate — Arrow-batched encode +
+    decode stages, ONE key shuffle to materialize."""
+    import pandas as pd
+
+    from .sources.debezium import decode_debezium
+    from .sources.pgoutput import (PgColumn, PgOutputWriter, PgRelation,
+                                   pgoutput_to_debezium_json)
+    from .sources.pgoutput import (OID_BOOL, OID_INT2, OID_INT4, OID_INT8,
+                                   OID_FLOAT8, OID_JSONB, OID_NUMERIC,
+                                   OID_TEXT, OID_TIMESTAMP, OID_UUID)
+
+    rel = PgRelation(16430, "public", "orders_bin", "d", (
+        PgColumn("o_orderkey", OID_INT8, key=True),
+        PgColumn("flag", OID_BOOL), PgColumn("sm", OID_INT2),
+        PgColumn("cnt", OID_INT4), PgColumn("price", OID_FLOAT8),
+        PgColumn("status", OID_TEXT), PgColumn("total", OID_NUMERIC),
+        PgColumn("odate", OID_TIMESTAMP), PgColumn("u", OID_UUID),
+        PgColumn("jb", OID_JSONB)))
+
+    od = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def srow(step, c, pr):
+        return F.struct(
+            F.lit(step).alias("step"), k.alias("key"),
+            (k % 2 == 0).alias("flag"),
+            (k % 100 - 50).cast("int").alias("sm"),
+            (k * 3 % 2000000 - 1000000).cast("int").alias("cnt"),
+            pr.cast("double").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+            F.format_string("%d.%02d", (c / 100).cast("long"),
+                            c % 100).alias("total"),
+            F.col("o_orderdate").alias("odate"),
+            F.format_string("00000000-0000-4000-8000-%012d", k).alias("u"),
+            F.format_string('{"n":%d}', k).alias("jb"))
+
+    price = F.col("o_totalprice")
+    script = (od.select(F.explode(F.array(
+                srow(1, cents, price),
+                F.when(k % 4 == 0, srow(2, cents + 150, price + 1.5)),
+                F.when(k % 9 == 0, srow(3, cents, price)),
+              )).alias("w"))
+              .where(F.col("w").isNotNull()).select("w.*")
+              .repartition(spark.sparkContext.defaultParallelism, "key")
+              .sortWithinPartitions("key", "step"))
+
+    def enc(batches):
+        from pyspark import TaskContext
+
+        w = PgOutputWriter(binary=True)
+        w.relation(rel)
+        in_txn = 0
+        w.begin()
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                if in_txn == 200:
+                    w.commit()
+                    w.begin()
+                    in_txn = 0
+                row = {"o_orderkey": int(r.key), "flag": bool(r.flag),
+                       "sm": int(r.sm), "cnt": int(r.cnt),
+                       "price": float(r.price), "status": r.status,
+                       "total": r.total, "odate": r.odate.to_pydatetime(),
+                       "u": r.u, "jb": r.jb}
+                if r.step == 1:
+                    w.insert(rel, row)
+                elif r.step == 2:
+                    w.update(rel, {"o_orderkey": int(r.key)}, row)
+                else:
+                    w.delete(rel, {"o_orderkey": int(r.key)})
+                in_txn += 1
+        w.commit()
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame({"path": ["pgb.%06d" % (pid + 1)],
+                            "content": [w.getvalue()]})
+
+    files = script.mapInPandas(enc, "path STRING, content BINARY")
+    payload = T.StructType([
+        T.StructField("o_orderkey", T.LongType(), False),
+        T.StructField("flag", T.BooleanType(), True),
+        T.StructField("sm", T.IntegerType(), True),
+        T.StructField("cnt", T.IntegerType(), True),
+        T.StructField("price", T.DoubleType(), True),
+        T.StructField("status", T.StringType(), True),
+        # numeric bridges as text (decimal-exact); cast below
+        T.StructField("total", T.StringType(), True),
+        T.StructField("odate", T.TimestampNTZType(), True),
+        T.StructField("u", T.StringType(), True),
+        T.StructField("jb", T.StringType(), True)])
+    env = decode_debezium(pgoutput_to_debezium_json(files), payload)
+    out = latest_image(env, ["o_orderkey"], seq_col=SEQ_COL)
+    return out.select(
+        "o_orderkey", "flag", "sm", "cnt",
+        F.round(F.col("price") * 100).cast("long").alias("price_cents"),
+        "status",
+        (F.col("total").cast("decimal(14,2)") * 100).cast("long")
+        .alias("total_cents"),
+        "odate", "u", "jb")
+
+
+ORACLE_PGOUTPUT_BINARY_DECODE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       o_orderkey % 2 = 0 AS flag,
+       CAST(o_orderkey % 100 - 50 AS INTEGER) AS sm,
+       CAST(o_orderkey * 3 % 2000000 - 1000000 AS INTEGER) AS cnt,
+       CAST(round((o_totalprice
+                   + CASE WHEN o_orderkey % 4 = 0 THEN 1.5 ELSE 0.0 END)
+                  * 100) AS BIGINT) AS price_cents,
+       o_orderstatus AS status,
+       CAST(round(o_totalprice * 100)
+            + CASE WHEN o_orderkey % 4 = 0 THEN 150 ELSE 0 END AS BIGINT)
+         AS total_cents,
+       o_orderdate AS odate,
+       '00000000-0000-4000-8000-'
+       || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS u,
+       '{"n":' || CAST(o_orderkey AS VARCHAR) || '}' AS jb
+FROM orders WHERE o_orderkey % 9 <> 0
+"""
+
+
 def q_cdc_sqlserver_changetable(spark, sf_dir):
     """SQL Server change-table decode end-to-end
     (`SqlServerStreamingChangeEventSource.java:391-440`: op 1/2/3/4 rows
@@ -6399,6 +6533,7 @@ QUERIES: dict[str, object] = {
     # 1. new in round 6: wire-decoder oracle gates
     "cdc_mysql_binlog_decode": q_cdc_mysql_binlog_decode,
     "cdc_pgoutput_decode": q_cdc_pgoutput_decode,
+    "cdc_pgoutput_binary_decode": q_cdc_pgoutput_binary_decode,
     "cdc_sqlserver_changetable": q_cdc_sqlserver_changetable,
     "cdc_db2_asn": q_cdc_db2_asn,
     "cdc_oracle_logminer": q_cdc_oracle_logminer,
@@ -6550,6 +6685,7 @@ QUERIES: dict[str, object] = {
 ORACLES: dict[str, str] = {
     "cdc_mysql_binlog_decode": ORACLE_MYSQL_BINLOG_DECODE,
     "cdc_pgoutput_decode": ORACLE_PGOUTPUT_DECODE,
+    "cdc_pgoutput_binary_decode": ORACLE_PGOUTPUT_BINARY_DECODE,
     "cdc_sqlserver_changetable": ORACLE_SQLSERVER_CHANGETABLE,
     "cdc_db2_asn": ORACLE_DB2_ASN,
     "cdc_oracle_logminer": ORACLE_ORACLE_LOGMINER,

@@ -170,6 +170,162 @@ def _text_to_json_value(oid: int, text: str):
 
 
 # ---------------------------------------------------------------------------
+# binary send/recv formats (PG14+ publications created WITH (binary = true)
+# ship 'b' TupleData cells; per-type layouts are the public *_send/*_recv
+# wire formats in the PostgreSQL source's adt/*.c, summarized in the
+# "Binary Format" notes of the libpq / COPY BINARY documentation)
+# ---------------------------------------------------------------------------
+
+_PG_DATE_EPOCH_DAYS = 730_120  # date2j(2000, 1, 1) - date2j(1, 1, 1) + 1
+
+
+def _encode_pg_numeric(text) -> bytes:
+    """numeric_send: u16 ndigits, i16 weight (base-10000 exponent of the
+    first digit group), u16 sign (0 / 0x4000 neg / 0xC000 NaN), u16
+    dscale, then ndigits u16 base-10000 groups."""
+    import decimal
+    t = str(text).strip()
+    if t.lower() == "nan":
+        return struct.pack(">HhHH", 0, 0, 0xC000, 0)
+    t = format(decimal.Decimal(t), "f")  # no scientific notation
+    neg = t.startswith("-")
+    t = t.lstrip("+-")
+    intp, _, fracp = t.partition(".")
+    intp = intp or "0"
+    dscale = len(fracp)
+    ipad = -len(intp) % 4
+    alld = "0" * ipad + intp + fracp + "0" * (-len(fracp) % 4)
+    groups = [int(alld[i:i + 4]) for i in range(0, len(alld), 4)]
+    weight = (len(intp) + ipad) // 4 - 1
+    while groups and groups[0] == 0:
+        groups.pop(0)
+        weight -= 1
+    while groups and groups[-1] == 0:
+        groups.pop()
+    sign = 0x4000 if (neg and groups) else 0x0000
+    return struct.pack(">HhHH", len(groups), weight if groups else 0,
+                       sign, dscale) \
+        + struct.pack(">%dH" % len(groups), *groups)
+
+
+def _decode_pg_numeric(data: bytes) -> str:
+    nd, weight, sign, dscale = struct.unpack_from(">HhHH", data, 0)
+    if sign == 0xC000:
+        return "NaN"
+    digits = struct.unpack_from(">%dH" % nd, data, 8) if nd else ()
+    if weight >= 0:
+        parts = []
+        for i in range(weight + 1):
+            d = digits[i] if i < nd else 0
+            parts.append("%04d" % d if i else str(d))
+        intg = "".join(parts)
+        frac = "".join("%04d" % d for d in digits[weight + 1:])
+    else:
+        intg = "0"
+        frac = "0000" * (-weight - 1) + "".join("%04d" % d for d in digits)
+    frac = (frac + "0" * dscale)[:dscale]
+    return ("-" if sign == 0x4000 else "") + intg \
+        + ("." + frac if dscale else "")
+
+
+def _us_text(seconds_text: str, us: int) -> str:
+    return seconds_text + ((".%06d" % us).rstrip("0") if us else "")
+
+
+def _binary_send(oid: int, v) -> bytes:
+    """Python value -> the column's binary send bytes."""
+    import datetime
+    import uuid as _uuid
+
+    if oid == OID_BOOL:
+        return b"\x01" if v else b"\x00"
+    if oid == OID_INT2:
+        return struct.pack(">h", int(v))
+    if oid == OID_INT4:
+        return struct.pack(">i", int(v))
+    if oid == OID_INT8:
+        return struct.pack(">q", int(v))
+    if oid == OID_FLOAT4:
+        return struct.pack(">f", float(v))
+    if oid == OID_FLOAT8:
+        return struct.pack(">d", float(v))
+    if oid == OID_BYTEA:
+        return bytes(v)
+    if oid == OID_NUMERIC:
+        return _encode_pg_numeric(v)
+    if oid == OID_DATE:
+        if isinstance(v, str):
+            v = datetime.date.fromisoformat(v)
+        return struct.pack(">i", v.toordinal() - _PG_DATE_EPOCH_DAYS)
+    if oid in (OID_TIMESTAMP, OID_TIMESTAMPTZ):
+        if isinstance(v, str):
+            v = datetime.datetime.fromisoformat(v.replace(" ", "T"))
+        delta = v - datetime.datetime(2000, 1, 1, tzinfo=v.tzinfo)
+        us = delta // datetime.timedelta(microseconds=1)
+        return struct.pack(">q", us)
+    if oid == OID_TIME:
+        if isinstance(v, str):
+            v = datetime.time.fromisoformat(v)
+        us = ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000 \
+            + v.microsecond
+        return struct.pack(">q", us)
+    if oid == OID_UUID:
+        return _uuid.UUID(str(v)).bytes
+    if oid == OID_JSONB:
+        return b"\x01" + str(v).encode("utf-8")  # jsonb_send version 1
+    # text / varchar / json: the utf-8 text IS the binary format
+    return str(v).encode("utf-8")
+
+
+def _binary_to_json_value(oid: int, data: bytes):
+    """Binary recv -> the SAME JSON-bridge value `_text_to_json_value`
+    yields for the text format, so both send formats land on identical
+    debezium-json records."""
+    import base64
+    import datetime
+    import uuid as _uuid
+
+    if oid == OID_BOOL:
+        return data != b"\x00"
+    if oid == OID_INT2:
+        return struct.unpack(">h", data)[0]
+    if oid == OID_INT4:
+        return struct.unpack(">i", data)[0]
+    if oid == OID_INT8:
+        return struct.unpack(">q", data)[0]
+    if oid == OID_FLOAT4:
+        return struct.unpack(">f", data)[0]
+    if oid == OID_FLOAT8:
+        return struct.unpack(">d", data)[0]
+    if oid == OID_BYTEA:
+        return base64.b64encode(data).decode("ascii")
+    if oid == OID_NUMERIC:
+        return _decode_pg_numeric(data)
+    if oid == OID_DATE:
+        days = struct.unpack(">i", data)[0]
+        return datetime.date.fromordinal(
+            days + _PG_DATE_EPOCH_DAYS).isoformat()
+    if oid in (OID_TIMESTAMP, OID_TIMESTAMPTZ):
+        us = struct.unpack(">q", data)[0]
+        dt = (datetime.datetime(2000, 1, 1)
+              + datetime.timedelta(microseconds=us))
+        return _us_text(dt.strftime("%Y-%m-%dT%H:%M:%S"), dt.microsecond)
+    if oid == OID_TIME:
+        us = struct.unpack(">q", data)[0]
+        s, us = divmod(us, 1_000_000)
+        return _us_text("%02d:%02d:%02d" % (s // 3600, (s // 60) % 60,
+                                            s % 60), us)
+    if oid == OID_UUID:
+        return str(_uuid.UUID(bytes=data))
+    if oid == OID_JSONB:
+        if not data or data[0] != 1:
+            raise ValueError("jsonb binary value with unknown version "
+                             "%r" % data[:1])
+        return data[1:].decode("utf-8")
+    return data.decode("utf-8")
+
+
+# ---------------------------------------------------------------------------
 # message encoder (fixture/capture path)
 # ---------------------------------------------------------------------------
 
@@ -179,7 +335,8 @@ def _cstr(s: str) -> bytes:
 
 
 def _tuple_data(rel: PgRelation, row: dict | None,
-                columns: tuple[PgColumn, ...] | None = None) -> bytes:
+                columns: tuple[PgColumn, ...] | None = None,
+                binary: bool = False) -> bytes:
     cols = columns if columns is not None else rel.columns
     out = struct.pack(">H", len(cols))
     for c in cols:
@@ -188,6 +345,9 @@ def _tuple_data(rel: PgRelation, row: dict | None,
             out += b"n"
         elif v is UNCHANGED_TOAST:
             out += b"u"
+        elif binary:
+            data = _binary_send(c.type_oid, v)
+            out += b"b" + struct.pack(">I", len(data)) + data
         else:
             data = _render_text(c.type_oid, v).encode("utf-8")
             out += b"t" + struct.pack(">I", len(data)) + data
@@ -200,9 +360,14 @@ class PgOutputWriter:
     Frame format (the capture container, since the live protocol wraps
     messages in XLogData): ``u64be WAL LSN + u32be length + message``.
     Message bytes are exactly the protocol's logical replication messages.
+
+    ``binary=True`` mirrors a publication created WITH (binary = true)
+    (PG14+): TupleData cells ship as 'b' binary send formats instead of
+    't' text.
     """
 
-    def __init__(self):
+    def __init__(self, binary: bool = False):
+        self.binary = binary
         self._buf = bytearray()
         self._lsn = 1000
         self._xid = 700
@@ -243,7 +408,7 @@ class PgOutputWriter:
 
     def insert(self, rel: PgRelation, row: dict) -> int:
         msg = (b"I" + self._dml_prefix() + struct.pack(">I", rel.oid)
-               + b"N" + _tuple_data(rel, row))
+               + b"N" + _tuple_data(rel, row, binary=self.binary))
         return self._frame(msg)
 
     def update(self, rel: PgRelation, before: dict | None,
@@ -251,20 +416,22 @@ class PgOutputWriter:
         msg = b"U" + self._dml_prefix() + struct.pack(">I", rel.oid)
         if before is not None:
             if rel.replica_identity == "f":
-                msg += b"O" + _tuple_data(rel, before)
+                msg += b"O" + _tuple_data(rel, before, binary=self.binary)
             else:
                 keys = tuple(c for c in rel.columns if c.key)
-                msg += b"K" + _tuple_data(rel, before, keys)
-        msg += b"N" + _tuple_data(rel, after)
+                msg += b"K" + _tuple_data(rel, before, keys,
+                                          binary=self.binary)
+        msg += b"N" + _tuple_data(rel, after, binary=self.binary)
         return self._frame(msg)
 
     def delete(self, rel: PgRelation, before: dict) -> int:
         msg = b"D" + self._dml_prefix() + struct.pack(">I", rel.oid)
         if rel.replica_identity == "f":
-            msg += b"O" + _tuple_data(rel, before)
+            msg += b"O" + _tuple_data(rel, before, binary=self.binary)
         else:
             keys = tuple(c for c in rel.columns if c.key)
-            msg += b"K" + _tuple_data(rel, before, keys)
+            msg += b"K" + _tuple_data(rel, before, keys,
+                                      binary=self.binary)
         return self._frame(msg)
 
     def truncate(self, *rels: PgRelation, cascade: bool = False,
@@ -388,10 +555,8 @@ def _tuple_to_row(rel: PgRelation, tup: list,
         elif kind == "t":
             row[c.name] = _text_to_json_value(c.type_oid,
                                               raw.decode("utf-8"))
-        else:  # 'b' binary send format — fixtures use text mode
-            raise NotImplementedError(
-                "binary-format TupleData cells are gated (pgoutput "
-                "defaults to text send format; fixtures capture text)")
+        else:  # 'b': PG14+ publication WITH (binary = true)
+            row[c.name] = _binary_to_json_value(c.type_oid, raw)
     return row
 
 

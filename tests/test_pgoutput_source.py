@@ -538,3 +538,109 @@ def test_streamed_whole_txn_abort_still_discards_everything():
     w.stream_abort(600)  # whole transaction
     assert [c for c in pgoutput_changes(w.getvalue())
             if c["kind"] == "change"] == []
+
+
+# ---------------------------------------------------------------------------
+# binary send format (round-7: 'b' TupleData cells, PG14+ binary = true)
+# ---------------------------------------------------------------------------
+
+def _rich_rel():
+    from source_flink_cdc_3_5_0_spark.sources.pgoutput import (
+        OID_INT2, OID_TIME)
+    return PgRelation(16490, "public", "rich", "d", (
+        PgColumn("id", OID_INT8, key=True), PgColumn("b", OID_BOOL),
+        PgColumn("i2", OID_INT2), PgColumn("i4", OID_INT4),
+        PgColumn("f8", OID_FLOAT8), PgColumn("s", OID_TEXT),
+        PgColumn("num", OID_NUMERIC), PgColumn("d", OID_DATE),
+        PgColumn("t", OID_TIME), PgColumn("ts", OID_TIMESTAMP),
+        PgColumn("u", OID_UUID), PgColumn("jb", OID_JSONB),
+        PgColumn("by", OID_BYTEA)))
+
+
+def test_binary_capture_decodes_identically_to_text():
+    """WITH (binary = true) and text publications must land on the SAME
+    debezium-json bridge values — one decode path downstream."""
+    rel = _rich_rel()
+    row = {"id": 1, "b": True, "i2": -7, "i4": 123456, "f8": -2.5,
+           "s": "héllo", "num": "-1234.5600", "d": "1997-07-27",
+           "t": "23:59:58.12345",
+           "ts": datetime.datetime(2024, 1, 2, 3, 4, 5, 500000),
+           "u": "123e4567-e89b-12d3-a456-426614174000",
+           "jb": '{"a": 1}', "by": b"\x00\xff"}
+    outs = []
+    for binary in (False, True):
+        w = PgOutputWriter(binary=binary)
+        w.relation(rel)
+        w.begin()
+        w.insert(rel, row)
+        w.update(rel, {"id": 1}, {**row, "num": "0.0001", "f8": 3.25})
+        w.delete(rel, {"id": 1})
+        w.commit()
+        outs.append([c for c in pgoutput_changes(w.getvalue())
+                     if c["kind"] == "change"])
+    assert outs[0] == outs[1]
+
+
+def test_binary_cells_carry_b_kind_on_the_wire():
+    rel = PgRelation(16491, "public", "t1", "d", (
+        PgColumn("id", OID_INT8, key=True),))
+    w = PgOutputWriter(binary=True)
+    w.relation(rel)
+    w.begin()
+    w.insert(rel, {"id": 258})
+    w.commit()
+    # Insert frame: 'I' + xid-free prefix + oid u32 + 'N' + TupleData
+    # (u16 ncols, then 'b' + u32 len=8 + int8 big-endian)
+    assert b"N\x00\x01b\x00\x00\x00\x08\x00\x00\x00\x00\x00\x00\x01\x02" \
+        in w.getvalue()
+
+
+def test_pg_numeric_known_answer_and_roundtrip():
+    """numeric_send pin: 1234.5678 = ndigits 2, weight 0, sign 0,
+    dscale 4, digits [1234, 5678] (the documented base-10000 layout)."""
+    from source_flink_cdc_3_5_0_spark.sources.pgoutput import (
+        _decode_pg_numeric, _encode_pg_numeric)
+
+    assert _encode_pg_numeric("1234.5678").hex() == \
+        "0002" "0000" "0000" "0004" "04d2" "162e"
+    assert _encode_pg_numeric("NaN").hex() == "0000" "0000" "c000" "0000"
+    for t in ("0", "0.000", "-0.0001", "12.3400", "123456.789",
+              "10000", "-10000.0001", "99999999.99999999", "NaN",
+              "0.00000001", "-99999999999999999999.9999"):
+        assert _decode_pg_numeric(_encode_pg_numeric(t)) == t
+
+
+def test_binary_epoch_pins():
+    """Public epoch pins: date 2000-01-01 = 0 days; timestamp
+    2000-01-01T00:00:01 = 1_000_000 µs; bool true = 0x01."""
+    from source_flink_cdc_3_5_0_spark.sources.pgoutput import (
+        _binary_send, _binary_to_json_value)
+
+    assert _binary_send(OID_DATE, "2000-01-01") == b"\x00\x00\x00\x00"
+    assert _binary_send(OID_TIMESTAMP,
+                        datetime.datetime(2000, 1, 1, 0, 0, 1)
+                        ) == (1_000_000).to_bytes(8, "big")
+    assert _binary_send(OID_BOOL, True) == b"\x01"
+    assert _binary_to_json_value(
+        OID_DATE, b"\x00\x00\x00\x00") == "2000-01-01"
+    assert _binary_to_json_value(
+        OID_TIMESTAMP, (1_000_000).to_bytes(8, "big")
+        ) == "2000-01-01T00:00:01"
+    with pytest.raises(ValueError, match="jsonb"):
+        _binary_to_json_value(OID_JSONB, b"\x02{}")
+
+
+def test_pg_numeric_property_roundtrip():
+    from hypothesis import given, settings, strategies as st
+
+    from source_flink_cdc_3_5_0_spark.sources.pgoutput import (
+        _decode_pg_numeric, _encode_pg_numeric)
+
+    @given(st.decimals(min_value=-10 ** 20, max_value=10 ** 20,
+                       allow_nan=False, allow_infinity=False, places=8))
+    @settings(max_examples=200, deadline=None)
+    def check(d):
+        text = format(d, "f")
+        assert _decode_pg_numeric(_encode_pg_numeric(text)) == text
+
+    check()
