@@ -2271,12 +2271,45 @@ def q_cdc_mysql_binlog_decode(spark, sf_dir):
     `decode_binlog` and materialized per PK. Scripted churn: insert all,
     update every 3rd (name suffix + $5.00), delete every 7th.
 
-    Scale shape: encode/decode are Arrow-batched mapInPandas stages, one
-    sequential file per task (the exact unit a binlog reader consumes);
-    materialize is ONE key shuffle (window rank)."""
-    from .sources.mysql_binlog import decode_binlog
+    Round-7: the capture bytes travel the TCP replication transport
+    INSIDE the gate. The distributed encode job writes one binlog file
+    per task into a served directory (where a real mysqld's binlog dir
+    lives), a `BinlogTcpServer` serves them, and `fetch_binlog_files` —
+    the same client the YAML host/port surface uses
+    (`sources/binlog_socket.py`) — spools them before the decode half
+    reads the SPOOL. Transport + codec are both under the oracle.
 
-    files = binlog_capture_files(spark, sf_dir)
+    Scale shape: encode/decode are Arrow-batched mapInPandas stages, one
+    sequential file per task (the exact unit a binlog reader consumes) —
+    the encode runs as its own job (a real server materializes its
+    binlog before any client dumps it); materialize is ONE key shuffle
+    (window rank)."""
+    import os
+    import tempfile
+
+    from .sources.binlog_socket import BinlogTcpServer, fetch_binlog_files
+    from .sources.mysql_binlog import decode_binlog, read_binlog_files
+
+    served = tempfile.mkdtemp(prefix="binlog-served-")
+    spool = tempfile.mkdtemp(prefix="binlog-spool-")
+
+    def write_file(row):
+        # tasks and driver share a filesystem in local mode; on a real
+        # deployment the capture files live on the source server already
+        tmp = os.path.join(served, row.path + ".part")
+        with open(tmp, "wb") as f:
+            f.write(bytes(row.content))
+        os.replace(tmp, os.path.join(served, row.path))
+
+    binlog_capture_files(spark, sf_dir).foreach(write_file)
+    with BinlogTcpServer(served) as srv:
+        fetched = fetch_binlog_files(srv.host, srv.port, spool)
+    if not fetched:
+        raise ValueError("TCP transport fetched no binlog files")
+    import shutil
+    shutil.rmtree(served, ignore_errors=True)  # spooled; server side done
+
+    files = read_binlog_files(spark, spool)
     env = decode_binlog(files, "shop", "customer", BINLOG_CUSTOMER_PAYLOAD)
     out = latest_image(env, ["c_custkey"], seq_col=SEQ_COL)
     return out.select(

@@ -450,10 +450,16 @@ def test_tidb_kv_decode_two_exchanges_arrow_python(spark):
 def test_wire_decoder_plan_shapes(spark):
     """Round-6 wire-decoder oracle gates, 100 TB posture pinned:
 
-    - binlog / pgoutput: TWO exchanges (the explicit repartition spreading
-      the Python encode to executor width + the materialize key shuffle),
+    - pgoutput: TWO exchanges (the explicit repartition spreading the
+      Python encode to executor width + the materialize key shuffle),
       TWO Arrow MapInPandas stages (encode + decode/bridge) — one capture
       file per task, the unit a real reader consumes;
+    - binlog (round-7: TCP transport inside the gate): the returned plan
+      is the DECODE half — a binaryFile scan of the TCP-fetched spool,
+      ONE Arrow decode stage, ONE materialize exchange; the encode half
+      runs as its own job first (asserted below: one Arrow encode stage,
+      one spreading exchange) — two Arrow stages across the pipeline,
+      same as before, now with the transport between them;
     - sqlserver / vitess: PURE Catalyst (zero Python stages) — from_json
       decode + window pairing/materialize;
     - logminer: ONE exchange (materialize) around two Arrow stages (line
@@ -469,8 +475,9 @@ def test_wire_decoder_plan_shapes(spark):
 
     shapes = {
         # name -> (exchanges, map_in_pandas)
-        "cdc_mysql_binlog_decode": (2, 2),
+        "cdc_mysql_binlog_decode": (1, 1),  # decode half; encode below
         "cdc_pgoutput_decode": (2, 2),
+        "cdc_pgoutput_binary_decode": (2, 2),
         "cdc_sqlserver_changetable": (1, 0),
         "cdc_db2_asn": (3, 0),
         "cdc_oracle_logminer": (1, 2),
@@ -482,3 +489,12 @@ def test_wire_decoder_plan_shapes(spark):
         assert p.count("MapInPandas") == n_arrow, (name, p)
         assert "BatchEvalPython" not in p, (name, p)
         assert "Cartesian" not in p, (name, p)
+    # the binlog gate's decode half must scan the TCP-fetched spool...
+    p = plan_of(EQ.QUERIES["cdc_mysql_binlog_decode"](spark, SF))
+    assert "binaryFile" in p or "FileScan" in p, p
+    # ...and its encode half stays one Arrow stage over one spreading
+    # exchange (the capture-file job that feeds the TCP server)
+    pe = plan_of(EQ.binlog_capture_files(spark, SF))
+    assert pe.count("MapInPandas") == 1, pe
+    assert len(re.findall(r"\bExchange\b", pe)) == 1, pe
+    assert "BatchEvalPython" not in pe, pe
