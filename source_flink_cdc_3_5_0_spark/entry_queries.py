@@ -6555,80 +6555,22 @@ WHERE rn = 1
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict.
-    # Round-6 first-50 = weakest driver evidence first:
-    #   1. the 6 NEW wire-decoder oracle gates (round-6; the round-5
-    #      codecs' first driver rows — verdict r5 item 1)
-    #   2. the round-4 queries whose only green row is r05
-    #   3. the earliest-green rows filling the remaining slots
-    # r03 ∪ r04 ∪ r05 driver rows jointly cover the entire round-5
-    # registry; the six new entries are the only never-driver-checked
-    # queries and all sit inside the first-50 window.
-    # 1. new in round 6: wire-decoder oracle gates
-    "cdc_mysql_binlog_decode": q_cdc_mysql_binlog_decode,
-    "cdc_pgoutput_decode": q_cdc_pgoutput_decode,
+    # Round-7 ordering (verdict r6 item 4 — rotation hygiene): entries
+    # sorted by OLDEST last-green driver round first, so the window
+    # re-validates the stalest evidence each round:
+    #   1. never-driver-checked (new this round):
+    #      cdc_pgoutput_binary_decode
+    #   2. the r03-green cohort (38 queries, three rounds stale —
+    #      sink_upsert_merge, codec_*_roundtrip, transform_udf, ...)
+    #   3. r04-green, then r05, then r06 (freshest last).
+    # The r03∪r04∪r05∪r06 union covers the whole registry; this order
+    # is re-derived from CORRECTNESS_r*.json each round (the committed
+    # literal is the derivation's output, asserted fresh by
+    # test_registry_consistency).
     "cdc_pgoutput_binary_decode": q_cdc_pgoutput_binary_decode,
-    "cdc_sqlserver_changetable": q_cdc_sqlserver_changetable,
-    "cdc_db2_asn": q_cdc_db2_asn,
-    "cdc_oracle_logminer": q_cdc_oracle_logminer,
-    "cdc_vitess_vstream": q_cdc_vitess_vstream,
-    # 2. round-4 additions whose only green row is r05
-    "funnel_conversion": q_funnel_conversion,
-    "window_rolling_revenue": q_window_rolling_revenue,
-    "json_schema_infer": q_json_schema_infer,
-    "cdc_scd2_history": q_cdc_scd2_history,
-    "text_normalize": q_text_normalize,
-    "cohort_retention": q_cohort_retention,
-    "agg_grouping_sets": q_agg_grouping_sets,
-    "dedup_url": q_dedup_url,
-    "decontam_split_leakage": q_decontam_split_leakage,
-    "merge_corpora": q_merge_corpora,
-    "graph_pagerank": q_graph_pagerank,
-    "event_transitions": q_event_transitions,
-    "sample_interleave": q_sample_interleave,
-    "cdc_distinct_maintenance": q_cdc_distinct_maintenance,
-    "stats_correlation": q_stats_correlation,
-    "agg_correlated_subquery": q_agg_correlated_subquery,
-    "gapfill_forward": q_gapfill_forward,
-    "text_blocklist": q_text_blocklist,
-    "text_dedup_paragraphs": q_text_dedup_paragraphs,
-    "drift_histogram": q_drift_histogram,
-    "schema_drift": q_schema_drift,
-    "tokenizer_vocab_coverage": q_tokenizer_vocab_coverage,
-    "media_probe_dims": q_media_probe_dims,
-    "interval_union_coverage": q_interval_union_coverage,
-    "basket_pairs": q_basket_pairs,
-    "reconcile_tables": q_reconcile_tables,
-    "text_cooccurrence": q_text_cooccurrence,
-    "cdc_changelog_stats": q_cdc_changelog_stats,
-    "agg_mode_per_group": q_agg_mode_per_group,
-    # 2. new in round 5
-    "pipeline_cdc_to_lake": q_pipeline_cdc_to_lake,
-    "text_tfidf_shuffle_join": q_text_tfidf_shuffle_join,
-    "cdc_mongo_changestream": q_cdc_mongo_changestream,
-    "cdc_chunked_snapshot_stitch": q_cdc_chunked_snapshot_stitch,
-    "cdc_tidb_kv_decode": q_cdc_tidb_kv_decode,
-    # 3. last green row is r02
-    "decontam_ngram_overlap": q_decontam_ngram_overlap,
-    "sample_hash_split": q_sample_hash_split,
-    "multimodal_frame_sample": q_multimodal_frame_sample,
-    "jdbc_chunk_plan": q_jdbc_chunk_plan,
-    "transform_ai_functions": q_transform_ai_functions,
-    # 4. earliest round-3 greens (fill to 50)
-    "transform_projection_arith": q_transform_projection_arith,
-    "transform_predicates": q_transform_predicates,
-    "transform_string_funcs": q_transform_string_funcs,
-    "transform_conditional": q_transform_conditional,
-    "transform_casting": q_transform_casting,
-    "transform_temporal": q_transform_temporal,
-    "transform_metadata_cols": q_transform_metadata_cols,
-    "cdc_materialize_latest": q_cdc_materialize_latest,
-    "cdc_schema_evolution_lenient": q_cdc_schema_evolution_lenient,
-    "cdc_ddl_sql_evolution": q_cdc_ddl_sql_evolution,
-    "route_merge_union": q_route_merge_union,
     "pk_bucket_distribution": q_pk_bucket_distribution,
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_shipping_priority": q_join_shipping_priority,
-    # --- below the driver sample line: r03/r04 green rows -------------
     "join_region_rollup": q_join_region_rollup,
     "agg_cube_orders": q_agg_cube_orders,
     "window_top_orders": q_window_top_orders,
@@ -6713,6 +6655,62 @@ QUERIES: dict[str, object] = {
     "text_lm_quality": q_text_lm_quality,
     "audio_frame_energy": q_audio_frame_energy,
     "image_phash_dedup": q_image_phash_dedup,
+    "transform_temporal": q_transform_temporal,
+    "transform_metadata_cols": q_transform_metadata_cols,
+    "cdc_materialize_latest": q_cdc_materialize_latest,
+    "cdc_schema_evolution_lenient": q_cdc_schema_evolution_lenient,
+    "cdc_ddl_sql_evolution": q_cdc_ddl_sql_evolution,
+    "route_merge_union": q_route_merge_union,
+    "cdc_mysql_binlog_decode": q_cdc_mysql_binlog_decode,
+    "cdc_pgoutput_decode": q_cdc_pgoutput_decode,
+    "cdc_sqlserver_changetable": q_cdc_sqlserver_changetable,
+    "cdc_db2_asn": q_cdc_db2_asn,
+    "cdc_oracle_logminer": q_cdc_oracle_logminer,
+    "cdc_vitess_vstream": q_cdc_vitess_vstream,
+    "funnel_conversion": q_funnel_conversion,
+    "window_rolling_revenue": q_window_rolling_revenue,
+    "json_schema_infer": q_json_schema_infer,
+    "cdc_scd2_history": q_cdc_scd2_history,
+    "text_normalize": q_text_normalize,
+    "cohort_retention": q_cohort_retention,
+    "agg_grouping_sets": q_agg_grouping_sets,
+    "dedup_url": q_dedup_url,
+    "decontam_split_leakage": q_decontam_split_leakage,
+    "merge_corpora": q_merge_corpora,
+    "graph_pagerank": q_graph_pagerank,
+    "event_transitions": q_event_transitions,
+    "sample_interleave": q_sample_interleave,
+    "cdc_distinct_maintenance": q_cdc_distinct_maintenance,
+    "stats_correlation": q_stats_correlation,
+    "agg_correlated_subquery": q_agg_correlated_subquery,
+    "gapfill_forward": q_gapfill_forward,
+    "text_blocklist": q_text_blocklist,
+    "text_dedup_paragraphs": q_text_dedup_paragraphs,
+    "drift_histogram": q_drift_histogram,
+    "schema_drift": q_schema_drift,
+    "tokenizer_vocab_coverage": q_tokenizer_vocab_coverage,
+    "media_probe_dims": q_media_probe_dims,
+    "interval_union_coverage": q_interval_union_coverage,
+    "basket_pairs": q_basket_pairs,
+    "reconcile_tables": q_reconcile_tables,
+    "text_cooccurrence": q_text_cooccurrence,
+    "cdc_changelog_stats": q_cdc_changelog_stats,
+    "agg_mode_per_group": q_agg_mode_per_group,
+    "pipeline_cdc_to_lake": q_pipeline_cdc_to_lake,
+    "text_tfidf_shuffle_join": q_text_tfidf_shuffle_join,
+    "cdc_mongo_changestream": q_cdc_mongo_changestream,
+    "cdc_chunked_snapshot_stitch": q_cdc_chunked_snapshot_stitch,
+    "cdc_tidb_kv_decode": q_cdc_tidb_kv_decode,
+    "decontam_ngram_overlap": q_decontam_ngram_overlap,
+    "sample_hash_split": q_sample_hash_split,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "jdbc_chunk_plan": q_jdbc_chunk_plan,
+    "transform_ai_functions": q_transform_ai_functions,
+    "transform_projection_arith": q_transform_projection_arith,
+    "transform_predicates": q_transform_predicates,
+    "transform_string_funcs": q_transform_string_funcs,
+    "transform_conditional": q_transform_conditional,
+    "transform_casting": q_transform_casting,
 }
 
 ORACLES: dict[str, str] = {

@@ -85,23 +85,36 @@ def test_bench_scale_names_exist_in_registry():
 
 
 def test_driver_sample_prefix_has_weakest_evidence_first():
-    """The driver checks the FIRST 50 registry entries each round; the
-    never-driver-checked + new queries must sit inside that prefix."""
-    import json
-
+    """The driver checks the FIRST 50 registry entries each round.
+    Round-7 contract (verdict r6 item 4): the dict is ordered by OLDEST
+    last-green driver round first — never-checked queries lead, then
+    ascending last-green round — so every round's sample re-validates
+    the stalest evidence. Asserted against the committed CORRECTNESS
+    records, so a new query or a new driver round forces a re-derive."""
     import glob
+    import json
+    import re
 
-    covered = set()
+    last: dict[str, int] = {}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         with open(path) as f:
             for k, v in json.load(f).items():
-                if v.get("rows_match") and v.get("err") is None:
-                    covered.add(k)
+                if v.get("rows_match") and v.get("err") is None \
+                        and v.get("hash_match", True) \
+                        and v.get("schema_match", True):
+                    last[k] = max(last.get(k, 0), rnd)
     names = list(EQ.QUERIES)
-    uncovered = [n for n in names if n not in covered]
-    prefix = set(names[:50])
-    stray = [n for n in uncovered if n not in prefix]
+    rounds = [last.get(n, -1) for n in names]
+    assert rounds == sorted(rounds), (
+        "QUERIES is not ordered by oldest last-green round first; "
+        "re-derive the literal from CORRECTNESS_r*.json — first "
+        "out-of-order entry: %s" % next(
+            (names[i] for i in range(1, len(rounds))
+             if rounds[i] < rounds[i - 1]), None))
+    uncovered = [n for n in names if n not in last]
+    stray = [n for n in uncovered if n not in set(names[:50])]
     assert not stray, (
         f"queries without driver evidence outside the first-50 sample "
         f"window: {stray}")
