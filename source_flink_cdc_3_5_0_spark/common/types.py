@@ -246,6 +246,11 @@ def mysql_type_to_spark(type_name: str, precision: int | None = None, scale: int
         return T.DecimalType(p, s) if p <= MAX_DECIMAL_PRECISION else STRING
     if name == "BIT" and (precision or 1) > 1:
         return BINARY
+    if name == "TINYINT" and precision == 1:
+        # TINYINT(1) is MySQL's BOOLEAN spelling (MySqlTypeUtils.java:
+        # the precision==1 branch; Debezium's tinyInt1isBit default) —
+        # found by the round-7 render/parse round-trip fuzz
+        return BOOLEAN
     if name in _MYSQL_TYPE_MAP and _MYSQL_TYPE_MAP[name] is not None:
         return _MYSQL_TYPE_MAP[name]
     raise ValueError(f"unmapped MySQL type: {type_name}")

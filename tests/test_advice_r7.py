@@ -95,3 +95,76 @@ def test_csf_dangling_empty_fragment_at_eof_raises(spark):
     lines = [_redo_line(10, "AAA1", 1, "")]
     with pytest.raises(Exception, match="CSF continuation chain"):
         _logminer_lines_to_records(spark, lines)
+
+
+# ---------------------------------------------------------------------------
+# Known-answer vectors for the round-6 cell codecs (verdict r6 item 6):
+# public-documented byte strings pin the wire layouts so a SYMMETRIC
+# encoder/decoder misunderstanding cannot pass the round-trip tests.
+# ---------------------------------------------------------------------------
+
+def test_wkb_multipoint_known_answer():
+    """OGC 99-049 WKBMultiPoint: every member point carries its own
+    byte-order + type header. MULTIPOINT((1 2),(3 4)), NDR."""
+    import json
+
+    from source_flink_cdc_3_5_0_spark.functions.geo import wkb_to_geojson
+
+    wkb = bytes.fromhex(
+        "01" "04000000" "02000000"
+        "01" "01000000" "000000000000F03F" "0000000000000040"
+        "01" "01000000" "0000000000000840" "0000000000001040")
+    doc = json.loads(wkb_to_geojson(wkb, srid=0))
+    assert doc == {"type": "MultiPoint",
+                   "coordinates": [[1.0, 2.0], [3.0, 4.0]], "srid": 0}
+
+
+def test_wkb_geometrycollection_known_answer():
+    """The OGC/SFA doc example GEOMETRYCOLLECTION(POINT(4 6),
+    LINESTRING(4 6,7 10)), NDR."""
+    import json
+
+    from source_flink_cdc_3_5_0_spark.functions.geo import wkb_to_geojson
+
+    wkb = bytes.fromhex(
+        "01" "07000000" "02000000"
+        "01" "01000000" "0000000000001040" "0000000000001840"
+        "01" "02000000" "02000000"
+        "0000000000001040" "0000000000001840"
+        "0000000000001C40" "0000000000002440")
+    doc = json.loads(wkb_to_geojson(wkb, srid=4326))
+    assert doc["type"] == "GeometryCollection"
+    assert doc["geometries"] == [
+        {"type": "Point", "coordinates": [4.0, 6.0]},
+        {"type": "LineString", "coordinates": [[4.0, 6.0], [7.0, 10.0]]}]
+
+
+def test_char_gt255_table_map_metadata_known_answer():
+    """Field_string packed metadata (MySQL Internals manual / log_event.cc
+    layout): CHAR with byte length 300 packs the length's two high bits
+    INVERTED into the real-type byte's 0x30 slot — bytes EE 2C."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        MYSQL_TYPE_STRING, BinlogColumn, _meta_bytes, _parse_meta)
+
+    col = BinlogColumn("c", MYSQL_TYPE_STRING, (MYSQL_TYPE_STRING, 300))
+    assert _meta_bytes(col) == bytes([0xEE, 0x2C])
+    meta, _ = _parse_meta(MYSQL_TYPE_STRING, bytes([0xEE, 0x2C]), 0)
+    assert meta == (MYSQL_TYPE_STRING, 300)
+    # the short form stays unpacked: CHAR(80) = FE 50
+    col80 = BinlogColumn("c", MYSQL_TYPE_STRING, (MYSQL_TYPE_STRING, 80))
+    assert _meta_bytes(col80) == bytes([0xFE, 0x50])
+    assert _parse_meta(MYSQL_TYPE_STRING,
+                       bytes([0xFE, 0x50]), 0)[0] == (MYSQL_TYPE_STRING, 80)
+
+
+def test_json_opaque_decimal_known_answer():
+    """J_OPAQUE DECIMAL (json_binary.h opaque layout + the strings/
+    decimal.c pinned example): type 0x0F, field type 246, varlen 9,
+    [precision 14][scale 4] + NEWDECIMAL bytes 810DFB38D204D2
+    = DECIMAL(14,4) 1234567890.1234."""
+    import decimal
+
+    from source_flink_cdc_3_5_0_spark.common.mysql_json import decode_json
+
+    doc = bytes.fromhex("0F" "F6" "09" "0E04" "810DFB38D204D2")
+    assert decode_json(doc) == decimal.Decimal("1234567890.1234")
