@@ -286,9 +286,15 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = EQ.QUERIES[name]
         if name in VARIANCE_QUERIES:
-            # sink-lifecycle / GC-sensitive queries: median of 3 with the
-            # spread recorded (round-5 lesson: min-of-2 let a 1.88 s query
-            # read as 5.68 s in one record and nobody could tell why)
+            # sink-lifecycle / GC-sensitive queries: ONE untimed warm-up
+            # (round-7, verdict r6 item 5 — the first invocation pays the
+            # internal persist/compaction that later ones reuse, so
+            # without the warm-up the recorded spread measured cache
+            # priming, not run-to-run noise), then median of 3 with the
+            # spread recorded (round-5 lesson: min-of-2 let a 1.88 s
+            # query read as 5.68 s and nobody could tell why)
+            fn(spark, SF_DIR).write.format("noop") \
+                .mode("overwrite").save()
             runs = []
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -342,7 +348,10 @@ def main() -> None:
         "run_id": run_id,
         "host": platform.node(),
         "cpus": CPUS,
-        "who": os.environ.get("SPARK_GRAFT_BENCH_WHO", "unspecified"),
+        # never "unspecified" (verdict r6 item 5): callers that don't set
+        # SPARK_GRAFT_BENCH_WHO still get a distinguishable identity
+        "who": os.environ.get("SPARK_GRAFT_BENCH_WHO")
+        or "%s@%s" % (__import__("getpass").getuser(), platform.node()),
     }
     full_path = (sys.argv[1] if len(sys.argv) > 1
                  else os.environ.get(
