@@ -644,3 +644,49 @@ def test_pg_numeric_property_roundtrip():
         assert _decode_pg_numeric(_encode_pg_numeric(text)) == text
 
     check()
+
+
+def test_yaml_pgoutput_binary_capture_e2e(spark, tmp_path):
+    """A WITH (binary = true) capture runs the SAME YAML `pgoutput-file`
+    pipeline unchanged — 'b' cells land keyed rows through the bridge."""
+    import json as _json
+
+    from source_flink_cdc_3_5_0_spark.common import TableId
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline)
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+
+    rel = PgRelation(45, "public", "accts", "d", (
+        PgColumn("id", OID_INT4, key=True),
+        PgColumn("name", OID_VARCHAR, 68),
+        PgColumn("balance", OID_NUMERIC, (10 << 16 | 2) + 4)))
+    src = tmp_path / "wal"
+    src.mkdir()
+    w = PgOutputWriter(binary=True)
+    w.relation(rel)
+    w.begin()
+    w.insert(rel, dict(id=1, name="a", balance="10.00"))
+    w.insert(rel, dict(id=2, name="b", balance="20.00"))
+    w.commit()
+    w.begin()
+    w.update(rel, dict(id=2), dict(id=2, name="b2", balance="-25.50"))
+    w.delete(rel, dict(id=1))
+    w.commit()
+    (src / "capture-0001.pgout").write_bytes(w.getvalue())
+
+    yaml_text = f"""
+source:
+  type: pgoutput-file
+  path: {src}
+  tables: '{_json.dumps({"public.accts": "id INT, name STRING, balance DECIMAL(10,2)"})}'
+  primary-keys: '{{"public.accts": ["id"]}}'
+  checkpoint: {tmp_path}/ckpt
+sink: {{type: values}}
+"""
+    pdef = parse_yaml_pipeline(yaml_text)
+    sink = MemorySink()
+    pipe, raw, tables = PipelineComposer(spark).compose_streaming(
+        pdef, sink=sink)
+    pipe.start(raw, tables).awaitTermination(180)
+    assert sink.snapshot(TableId.parse("public.accts")) == \
+        ["2, b2, -25.50"]
