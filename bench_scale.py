@@ -30,6 +30,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+#: round-7 (verdict r6 item 8): a second, larger replica line for the
+#: three ops whose 10x ratio ran highest (3.47 max) — extrapolation-safe
+#: but unproven past 10x. 40x probes whether the banded-join trend bends;
+#: the knob that bounds pair growth if it does is the LSH band width
+#: (bands x rows-per-band in extensions/dedup.py — narrower bands shrink
+#: each bucket's candidate set at the cost of recall) and the hot-bucket
+#: cap. Set to 0 to skip the big line (memory-constrained hosts).
+REPLICAS_BIG = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS_BIG", "40"))
+BIG_SCALE_QUERIES = ["dedup_minhash_lsh", "dedup_simhash",
+                     "embedding_srp_neardup"]
 
 # Hash-shuffle ops (expected ratio ≲ data ratio) + near-dup family
 # (expected ratio tracks output growth, NOT R² pair space).
@@ -132,11 +142,27 @@ def main() -> None:
         rows.append(row)
         print(json.dumps(row))
 
+    # round-7 big-replica line: the three worst 10x ratios re-measured at
+    # REPLICAS_BIG to prove the banded joins stay sub-quadratic past the
+    # 10x extrapolation (base times reused from the 1x runs above)
+    big_rows = []
+    if REPLICAS_BIG > REPLICAS:
+        base_t = {r["op"]: r["t_base"] for r in rows}
+        scaled_big = build_scaled_dir(SF_DIR, REPLICAS_BIG)
+        for name in BIG_SCALE_QUERIES:
+            tn = timed(name, scaled_big)
+            row = {"op": name, "t_base": base_t[name], "t_scaled": tn,
+                   "ratio": round(tn / base_t[name], 2),
+                   "replicas": REPLICAS_BIG}
+            big_rows.append(row)
+            print(json.dumps(row))
+        shutil.rmtree(scaled_big, ignore_errors=True)
+
     codec_rows = run_codec_scale(spark, EQ)
     for row in codec_rows:
         print(json.dumps(row))
 
-    print(json.dumps({
+    summary = {
         "metric": "bench_scale",
         "replicas": REPLICAS,
         "sf_dir": SF_DIR,
@@ -144,7 +170,11 @@ def main() -> None:
         "ops": len(rows),
         "max_codec_ratio": max(r["ratio"] for r in codec_rows),
         "codecs": len(codec_rows),
-    }))
+    }
+    if big_rows:
+        summary["replicas_big"] = REPLICAS_BIG
+        summary["max_ratio_big"] = max(r["ratio"] for r in big_rows)
+    print(json.dumps(summary))
     shutil.rmtree(scaled, ignore_errors=True)
     spark.stop()
 
