@@ -690,3 +690,29 @@ sink: {{type: values}}
     pipe.start(raw, tables).awaitTermination(180)
     assert sink.snapshot(TableId.parse("public.accts")) == \
         ["2, b2, -25.50"]
+
+
+def test_binary_cells_inside_streamed_transactions():
+    """'b' cells compose with protocol-v2 streamed transactions: binary
+    tuples buffered per xid surface at Stream Commit with decoded
+    values; an aborted stream's binary tuples vanish."""
+    rel = PgRelation(16492, "public", "sb", "d", (
+        PgColumn("id", OID_INT8, key=True),
+        PgColumn("num", OID_NUMERIC)))
+    w = PgOutputWriter(binary=True)
+    w.relation(rel)
+    w.stream_start(910)
+    w.insert(rel, {"id": 1, "num": "12.34"})
+    w.stream_stop()
+    w.stream_start(911)
+    w.insert(rel, {"id": 9, "num": "99.99"})
+    w.stream_stop()
+    w.stream_abort(911)
+    w.stream_start(910, first_segment=False)
+    w.insert(rel, {"id": 2, "num": "-0.0001"})
+    w.stream_stop()
+    w.stream_commit(910)
+    recs = [c for c in pgoutput_changes(w.getvalue())
+            if c["kind"] == "change"]
+    assert [(r["after"]["id"], r["after"]["num"]) for r in recs] == \
+        [(1, "12.34"), (2, "-0.0001")]
