@@ -654,3 +654,20 @@ def _truncate_last_cell(buf: bytes) -> bytes:
     # chop one byte off the value section so the offsets no longer tile
     # -> the decoder must surface it (offset check or DECIMAL size check)
     return buf[:-1]
+
+
+def test_v2_row_header_known_answer():
+    """Hand-assembled v2 rows per the public row-format RFC: version
+    0x80, flags, u16le not-null/null counts, sorted id array, u16le
+    end-offset array, minimal-width little-endian int cells."""
+    t = TiTableInfo(1, (ti_column(1, "id", T.LongType(), pk_handle=True),
+                        ti_column(2, "n", T.LongType())))
+    assert encode_row_v2(t, {"n": 7}).hex() == \
+        "80" "00" "0100" "0000" "02" "0100" "07"
+    assert encode_row_v2(t, {"n": None}).hex() == \
+        "80" "00" "0000" "0100" "02"
+    # -300 needs two bytes: 0xFED4 little-endian
+    assert encode_row_v2(t, {"n": -300}).hex() == \
+        "80" "00" "0100" "0000" "02" "0200" "d4fe"
+    for row in ({"n": 7}, {"n": None}, {"n": -300}):
+        assert decode_row_v2(t, encode_row_v2(t, row)) == row
