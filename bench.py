@@ -286,15 +286,19 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = EQ.QUERIES[name]
         if name in VARIANCE_QUERIES:
-            # sink-lifecycle / GC-sensitive queries: ONE untimed warm-up
+            # sink-lifecycle / GC-sensitive queries: TWO untimed warm-ups
             # (round-7, verdict r6 item 5 — the first invocation pays the
-            # internal persist/compaction that later ones reuse, so
-            # without the warm-up the recorded spread measured cache
-            # priming, not run-to-run noise), then median of 3 with the
-            # spread recorded (round-5 lesson: min-of-2 let a 1.88 s
-            # query read as 5.68 s and nobody could tell why)
-            fn(spark, SF_DIR).write.format("noop") \
-                .mode("overwrite").save()
+            # internal persist/compaction later ones reuse, and the
+            # second still pays residual codegen JIT: measured on an idle
+            # machine, 8 consecutive jaccard runs went 1.61, 1.60, 1.41,
+            # 1.42, 1.46, 1.38, 1.24, 1.34 s — without warm-ups the
+            # recorded spread measures priming, not run-to-run noise),
+            # then median of 3 with the spread recorded (round-5 lesson:
+            # min-of-2 let a 1.88 s query read as 5.68 s and nobody
+            # could tell why)
+            for _ in range(2):
+                fn(spark, SF_DIR).write.format("noop") \
+                    .mode("overwrite").save()
             runs = []
             for _ in range(3):
                 t0 = time.perf_counter()

@@ -447,13 +447,28 @@ class PipelineComposer:
             # existed
             import os as _os
 
-            from ..sources.binlog_socket import fetch_binlog_files
-
             default_port = 3306 if t_lower == "mysql-binlog-file" else 5432
             spool = opts.get("spool") or _os.path.join(
                 opts.get("checkpoint", ".cdc_checkpoint"), "wire_spool")
-            fetch_binlog_files(opts["host"],
-                               int(opts.get("port", default_port)), spool)
+            if (t_lower == "mysql-binlog-file"
+                    and opts.get("protocol", "").lower() == "mysql"):
+                # round-7: the REAL MySQL replication protocol — packet
+                # framing, V10 handshake, mysql_native_password auth,
+                # COM_REGISTER_SLAVE + COM_BINLOG_DUMP, one packet per
+                # event (mysql_protocol.py); `username`/`password` mirror
+                # MySqlDataSourceOptions
+                from ..sources.mysql_protocol import dump_binlog_stream
+
+                dump_binlog_stream(
+                    opts["host"], int(opts.get("port", default_port)),
+                    spool, user=opts.get("username", "repl"),
+                    password=opts.get("password", "replpass"))
+            else:
+                from ..sources.binlog_socket import fetch_binlog_files
+
+                fetch_binlog_files(opts["host"],
+                                   int(opts.get("port", default_port)),
+                                   spool)
             opts["path"] = spool
         if "tables" not in opts and t_lower in ("mysql-binlog-file",
                                                 "pgoutput-file"):

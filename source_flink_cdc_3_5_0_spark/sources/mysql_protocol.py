@@ -1,0 +1,416 @@
+"""The real MySQL client/server replication protocol over localhost TCP.
+
+Round 7: `binlog_socket.py`'s toy ``DUMP`` protocol proved the codec is
+transport-independent; this module closes the remaining transport gap by
+speaking the ACTUAL MySQL wire protocol — the same frames a
+`BinaryLogClient` (Debezium / flink-connector-mysql-cdc, reference
+`MySqlStreamingChangeEventSource`) exchanges with a mysqld — so the
+engine's client would interoperate with a real server and the in-repo
+server with a real client, auth included.
+
+Everything here is the PUBLIC protocol (MySQL Internals manual,
+"Client/Server Protocol" + "Replication Protocol" chapters):
+
+- **Packet framing**: every payload travels in packets of
+  ``u24le length + u8 sequence-id + body``; bodies over 0xFFFFFF split.
+- **Handshake V10** (server -> client): protocol version 10, server
+  version cstring, u32 connection id, 8 auth-plugin-data bytes, filler,
+  capability flags (two halves), charset, status, 12 more auth bytes +
+  NUL, auth plugin name cstring.
+- **HandshakeResponse41** (client -> server): client capabilities u32,
+  max packet u32, charset u8, 23 reserved zero bytes, username cstring,
+  length-prefixed auth response, plugin name cstring.
+- **mysql_native_password** scramble:
+  ``SHA1(password) XOR SHA1(nonce + SHA1(SHA1(password)))`` — the
+  documented challenge/response (no plaintext on the wire).
+- **COM_REGISTER_SLAVE** (0x15) and **COM_BINLOG_DUMP** (0x12:
+  u32 binlog-pos, u16 flags, u32 server-id, binlog filename) — after
+  which the server streams each binlog EVENT as one packet whose body is
+  ``0x00 (network OK prefix) + the raw event bytes``, starting with a
+  synthetic ROTATE to name the first file, then that file's FDE, and a
+  real ROTATE between files; an EOF packet (0xFE) ends a
+  non-blocking dump (BINLOG_DUMP_NON_BLOCK, how this client asks).
+
+The client respools streamed events into self-describing binlog FILES
+(magic + the streamed FDE + events, split at ROTATE boundaries) so the
+entire existing pipeline — file streaming source, Arrow decode, offsets —
+runs byte-identically downstream of the socket.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import socket
+import socketserver
+import struct
+import threading
+
+from .mysql_binlog import _file_sort_key
+
+# capability flags (include/mysql_com.h — public constants)
+CLIENT_LONG_PASSWORD = 0x00000001
+CLIENT_PROTOCOL_41 = 0x00000200
+CLIENT_SECURE_CONNECTION = 0x00008000
+CLIENT_PLUGIN_AUTH = 0x00080000
+
+COM_QUIT = 0x01
+COM_REGISTER_SLAVE = 0x15
+COM_BINLOG_DUMP = 0x12
+BINLOG_DUMP_NON_BLOCK = 0x01
+
+_BINLOG_MAGIC = b"\xfebin"
+_ROTATE_EVENT = 0x04
+_FDE_EVENT = 0x0F
+
+_CAPS = (CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41
+         | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH)
+
+
+# ---------------------------------------------------------------------------
+# packet framing
+# ---------------------------------------------------------------------------
+
+
+def send_packet(wfile, seq: int, body: bytes) -> int:
+    """Write ``body`` as MySQL packets (u24le len + seq); returns the next
+    sequence id. Bodies of exactly n*0xFFFFFF need a trailing empty
+    packet (the documented continuation rule)."""
+    while True:
+        chunk, body = body[:0xFFFFFF], body[0xFFFFFF:]
+        wfile.write(struct.pack("<I", len(chunk))[:3] + bytes([seq & 0xFF])
+                    + chunk)
+        seq += 1
+        if len(chunk) < 0xFFFFFF:
+            return seq
+
+
+def read_packet(rfile) -> tuple[int, bytes]:
+    """Read one logical packet (reassembling 0xFFFFFF continuations)."""
+    out = bytearray()
+    while True:
+        header = rfile.read(4)
+        if len(header) < 4:
+            raise ValueError("connection closed mid-packet")
+        n = int.from_bytes(header[:3], "little")
+        seq = header[3]
+        chunk = b""
+        while len(chunk) < n:
+            more = rfile.read(n - len(chunk))
+            if not more:
+                raise ValueError("connection closed mid-packet")
+            chunk += more
+        out += chunk
+        if n < 0xFFFFFF:
+            return seq, bytes(out)
+
+
+def _cstr(b: bytes, pos: int) -> tuple[bytes, int]:
+    end = b.index(0, pos)
+    return b[pos:end], end + 1
+
+
+# ---------------------------------------------------------------------------
+# mysql_native_password
+# ---------------------------------------------------------------------------
+
+
+def native_password_scramble(password: str, nonce: bytes) -> bytes:
+    """``SHA1(pw) XOR SHA1(nonce + SHA1(SHA1(pw)))`` (empty pw -> b"")."""
+    if not password:
+        return b""
+    h1 = hashlib.sha1(password.encode("utf-8")).digest()
+    h2 = hashlib.sha1(h1).digest()
+    h3 = hashlib.sha1(nonce + h2).digest()
+    return bytes(a ^ b for a, b in zip(h1, h3))
+
+
+def verify_native_password(password: str, nonce: bytes,
+                           response: bytes) -> bool:
+    """Server side: recover SHA1(pw) from the response and check its hash
+    (the server stores only SHA1(SHA1(pw)) — the documented check)."""
+    stored2 = hashlib.sha1(
+        hashlib.sha1(password.encode("utf-8")).digest()).digest()
+    if not response:
+        return not password
+    h3 = hashlib.sha1(nonce + stored2).digest()
+    recovered_h1 = bytes(a ^ b for a, b in zip(response, h3))
+    return hashlib.sha1(recovered_h1).digest() == stored2
+
+
+# ---------------------------------------------------------------------------
+# handshake encode/decode (both directions, so each side is testable)
+# ---------------------------------------------------------------------------
+
+
+def encode_handshake_v10(nonce: bytes, connection_id: int = 1,
+                         server_version: str = "8.0.36-toy") -> bytes:
+    assert len(nonce) == 20
+    body = bytes([10]) + server_version.encode() + b"\x00"
+    body += struct.pack("<I", connection_id)
+    body += nonce[:8] + b"\x00"
+    body += struct.pack("<H", _CAPS & 0xFFFF)
+    body += bytes([0x21])                      # charset utf8_general_ci
+    body += struct.pack("<H", 0x0002)          # status: autocommit
+    body += struct.pack("<H", (_CAPS >> 16) & 0xFFFF)
+    body += bytes([21])                        # auth-plugin-data length
+    body += b"\x00" * 10                       # reserved
+    body += nonce[8:20] + b"\x00"
+    body += b"mysql_native_password\x00"
+    return body
+
+
+def decode_handshake_v10(body: bytes) -> dict:
+    if body[0] != 10:
+        raise ValueError("not a protocol-10 handshake (got %d)" % body[0])
+    ver, pos = _cstr(body, 1)
+    cid = struct.unpack_from("<I", body, pos)[0]
+    pos += 4
+    nonce1 = body[pos:pos + 8]
+    pos += 9                                    # + filler
+    caps = struct.unpack_from("<H", body, pos)[0]
+    pos += 2
+    pos += 3                                    # charset + status
+    caps |= struct.unpack_from("<H", body, pos)[0] << 16
+    pos += 2
+    auth_len = body[pos]
+    pos += 1 + 10                               # + reserved
+    n2 = max(13, auth_len - 8) - 1
+    nonce2 = body[pos:pos + n2]
+    pos += n2 + 1                               # + trailing NUL
+    plugin, _ = _cstr(body, pos)
+    return {"server_version": ver.decode(), "connection_id": cid,
+            "nonce": nonce1 + nonce2, "capabilities": caps,
+            "auth_plugin": plugin.decode()}
+
+
+def encode_handshake_response(user: str, password: str,
+                              nonce: bytes) -> bytes:
+    auth = native_password_scramble(password, nonce)
+    body = struct.pack("<I", _CAPS) + struct.pack("<I", 1 << 24)
+    body += bytes([0x21]) + b"\x00" * 23
+    body += user.encode("utf-8") + b"\x00"
+    body += bytes([len(auth)]) + auth
+    body += b"mysql_native_password\x00"
+    return body
+
+
+def decode_handshake_response(body: bytes) -> dict:
+    caps = struct.unpack_from("<I", body, 0)[0]
+    if not caps & CLIENT_PROTOCOL_41:
+        raise ValueError("client does not speak protocol 4.1")
+    pos = 4 + 4 + 1 + 23
+    user, pos = _cstr(body, pos)
+    alen = body[pos]
+    pos += 1
+    auth = body[pos:pos + alen]
+    pos += alen
+    plugin, _ = _cstr(body, pos) if pos < len(body) else (b"", pos)
+    return {"capabilities": caps, "user": user.decode(),
+            "auth_response": auth, "auth_plugin": plugin.decode()}
+
+
+def _ok_packet() -> bytes:
+    # OK: header 0x00, affected rows 0, last insert id 0, status, warnings
+    return b"\x00\x00\x00" + struct.pack("<HH", 0x0002, 0)
+
+
+def _err_packet(code: int, msg: str) -> bytes:
+    return b"\xff" + struct.pack("<H", code) + b"#HY000" + msg.encode()
+
+
+# ---------------------------------------------------------------------------
+# replication event framing
+# ---------------------------------------------------------------------------
+
+
+def _rotate_event(next_file: str, pos: int, server_id: int = 1) -> bytes:
+    """A synthetic ROTATE (timestamp 0, the convention for the fake
+    rotate a dump starts with): header + u64 position + file name.
+    next_event_pos 0 and no checksum, like a fake rotate."""
+    body = struct.pack("<Q", pos) + next_file.encode("ascii")
+    header = struct.pack("<IBIIIH", 0, _ROTATE_EVENT, server_id,
+                         19 + len(body), 0, 0x20)
+    return header + body
+
+
+def iter_file_events(data: bytes):
+    """Split one self-describing binlog file into raw event byte strings
+    (header says its own length; no decode needed for transport)."""
+    if data[:4] != _BINLOG_MAGIC:
+        raise ValueError("not a binlog file")
+    pos = 4
+    while pos < len(data):
+        if pos + 19 > len(data):
+            raise ValueError("trailing garbage after last event")
+        ev_len = struct.unpack_from("<I", data, pos + 9)[0]
+        yield data[pos:pos + ev_len]
+        pos += ev_len
+
+
+class MysqldToyServer:
+    """Serve a directory of binlog files over the REAL replication
+    protocol: handshake V10, mysql_native_password auth,
+    COM_REGISTER_SLAVE/COM_BINLOG_DUMP, then one packet per event with
+    the 0x00 network prefix, fake-ROTATE file naming, and a final EOF
+    packet (non-blocking dump)."""
+
+    def __init__(self, directory: str, user: str = "repl",
+                 password: str = "replpass", host: str = "127.0.0.1",
+                 port: int = 0):
+        self.directory = directory
+        self.user, self.password = user, password
+        outer = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self) -> None:  # pragma: no cover - via client
+                outer._session(self.rfile, self.wfile)
+
+        class Srv(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._srv = Srv((host, port), Handler)
+        self.host, self.port = self._srv.server_address[:2]
+        self._thread = threading.Thread(target=self._srv.serve_forever,
+                                        daemon=True)
+
+    # -- session ------------------------------------------------------------
+    def _session(self, rfile, wfile) -> None:
+        nonce = hashlib.sha1(os.urandom(20)).digest()  # 20 bytes
+        seq = send_packet(wfile, 0, encode_handshake_v10(nonce))
+        seq, body = read_packet(rfile)
+        resp = decode_handshake_response(body)
+        if resp["user"] != self.user or not verify_native_password(
+                self.password, nonce, resp["auth_response"]):
+            send_packet(wfile, seq + 1, _err_packet(1045, "Access denied"))
+            return
+        send_packet(wfile, seq + 1, _ok_packet())
+        while True:
+            try:
+                _, cmd = read_packet(rfile)
+            except ValueError:
+                return
+            if not cmd or cmd[0] == COM_QUIT:
+                return
+            if cmd[0] == COM_REGISTER_SLAVE:
+                send_packet(wfile, 1, _ok_packet())
+                continue
+            if cmd[0] == COM_BINLOG_DUMP:
+                pos, flags, _sid = struct.unpack_from("<IHI", cmd, 1)
+                from_file = cmd[11:].decode("ascii") or "*"
+                self._stream(wfile, from_file, pos, flags)
+                if not flags & BINLOG_DUMP_NON_BLOCK:
+                    return  # blocking dump: hold forever (toy: close)
+                continue
+            send_packet(wfile, 1, _err_packet(1047, "Unknown command"))
+
+    def _files_from(self, from_file: str) -> list[str]:
+        names = sorted((n for n in os.listdir(self.directory)
+                        if os.path.isfile(os.path.join(self.directory, n))),
+                       key=_file_sort_key)
+        if from_file != "*":
+            names = [n for n in names
+                     if _file_sort_key(n) >= _file_sort_key(from_file)]
+        return names
+
+    def _stream(self, wfile, from_file: str, pos: int, flags: int) -> None:
+        seq = 1
+        for name in self._files_from(from_file):
+            with open(os.path.join(self.directory, name), "rb") as f:
+                data = f.read()
+            # fake ROTATE names the file the following events belong to
+            seq = send_packet(wfile, seq,
+                              b"\x00" + _rotate_event(name, 4))
+            for ev in iter_file_events(data):
+                seq = send_packet(wfile, seq, b"\x00" + ev)
+        seq = send_packet(wfile, seq, b"\xfe\x00\x00\x02\x00")  # EOF
+
+    # -- lifecycle ----------------------------------------------------------
+    def start(self) -> "MysqldToyServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+
+    def __enter__(self) -> "MysqldToyServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+
+def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
+                       user: str = "repl", password: str = "replpass",
+                       from_file: str | None = None, server_id: int = 2,
+                       timeout: float = 30.0) -> list[str]:
+    """BinaryLogClient analog over the REAL protocol: handshake + auth +
+    COM_REGISTER_SLAVE + COM_BINLOG_DUMP(non-blocking), respooling the
+    event stream into self-describing binlog files (magic + events,
+    split at ROTATE boundaries; the synthetic timestamp-0 rotates name
+    the files and are not written into them). Returns the file names
+    written, numeric order."""
+    os.makedirs(spool_dir, exist_ok=True)
+    written: list[str] = []
+    with socket.create_connection((host, port), timeout=timeout) as sock:
+        rfile = sock.makefile("rb")
+        wfile = sock.makefile("wb", buffering=0)
+        _, hello = read_packet(rfile)
+        if hello[:1] == b"\xff":
+            raise ValueError("server refused connection")
+        hs = decode_handshake_v10(hello)
+        if hs["auth_plugin"] != "mysql_native_password":
+            raise ValueError("unsupported auth plugin %r" % hs["auth_plugin"])
+        send_packet(wfile, 1, encode_handshake_response(
+            user, password, hs["nonce"]))
+        _, reply = read_packet(rfile)
+        if reply[:1] != b"\x00":
+            raise ValueError("auth failed: %r" % reply[:40])
+        # register as a replica, then ask for the stream
+        send_packet(wfile, 0, bytes([COM_REGISTER_SLAVE])
+                    + struct.pack("<I", server_id) + b"\x00" * 18)
+        _, reply = read_packet(rfile)
+        if reply[:1] != b"\x00":
+            raise ValueError("COM_REGISTER_SLAVE refused: %r" % reply[:40])
+        dump = (bytes([COM_BINLOG_DUMP]) + struct.pack("<I", 4)
+                + struct.pack("<H", BINLOG_DUMP_NON_BLOCK)
+                + struct.pack("<I", server_id)
+                + (from_file or "").encode("ascii"))
+        send_packet(wfile, 0, dump)
+
+        current: bytearray | None = None
+        name: str | None = None
+
+        def flush():
+            if name is not None and current is not None:
+                dest = os.path.join(spool_dir, name)
+                tmp = dest + ".part"
+                with open(tmp, "wb") as out:
+                    out.write(bytes(current))
+                os.replace(tmp, dest)
+                written.append(name)
+
+        while True:
+            _, pkt = read_packet(rfile)
+            if pkt[:1] == b"\xfe" and len(pkt) < 9:
+                break
+            if pkt[:1] == b"\xff":
+                raise ValueError("server error mid-stream: %r" % pkt[:40])
+            if pkt[:1] != b"\x00":
+                raise ValueError("unexpected packet prefix %r" % pkt[:1])
+            ev = pkt[1:]
+            ts, etype = struct.unpack_from("<IB", ev, 0)
+            if etype == _ROTATE_EVENT and ts == 0:
+                flush()  # synthetic rotate: next file begins
+                name = ev[27:].decode("ascii")
+                current = bytearray(_BINLOG_MAGIC)
+            elif current is not None:
+                current += ev
+        flush()
+        try:
+            send_packet(wfile, 0, bytes([COM_QUIT]))
+        except OSError:  # pragma: no cover - server already gone
+            pass
+    return sorted(written, key=_file_sort_key)
