@@ -42,28 +42,37 @@ from .schema import Column, Schema
 from .tableid import TableId
 from .types import mysql_type_to_spark, oracle_type_to_spark
 
-_TOKEN_RE = re.compile(
-    r"'(?:[^'\\]|\\.)*'"
+def _token_re(dq_escapes: bool) -> "re.Pattern[str]":
     # qualified name (`db`.`tbl` / "db"."tbl" / db.tbl) as ONE token;
     # split by _table_id — ordered BEFORE the double-quoted-string rule so
     # Oracle's quote-qualified names don't split at the dot (a lone
     # "string" token, dots inside the quotes or not, still falls through
     # to the string rule: the dot here must sit BETWEEN quoted parts).
-    # Double-quoted parts accept backslash escapes because MySQL treats
-    # "..." as a STRING literal with backslash escapes (Oracle identifiers
-    # never backslash-escape, but the lone-string fallthrough shares the
-    # branch) — _split_qualified must mirror this escape rule
-    r"|(?:`[^`]*`|\"(?:[^\"\\]|\\.)*\"|[A-Za-z_][\w$]*)"
-    r"(?:\.(?:`[^`]*`|\"(?:[^\"\\]|\\.)*\"|[A-Za-z_][\w$]*))+"
-    r'|"(?:[^"\\]|\\.)*"'
-    r"|`[^`]*`"
-    r"|\(|\)|,"
-    r"|[^\s(),`]+",
-    re.S)
+    # Double-quoted parts take backslash escapes ONLY in the MySQL
+    # dialect, where "..." is a STRING literal with backslash escapes; in
+    # Oracle "..." is an IDENTIFIER that never backslash-escapes — an
+    # identifier ending in a backslash ("A\") must close at its real
+    # quote, so the Oracle tokenizer uses the no-escape variant
+    # (_split_qualified mirrors the same per-dialect rule).
+    dq = r"\"(?:[^\"\\]|\\.)*\"" if dq_escapes else r"\"[^\"]*\""
+    return re.compile(
+        r"'(?:[^'\\]|\\.)*'"
+        r"|(?:`[^`]*`|" + dq + r"|[A-Za-z_][\w$]*)"
+        r"(?:\.(?:`[^`]*`|" + dq + r"|[A-Za-z_][\w$]*))+"
+        r"|" + dq +
+        r"|`[^`]*`"
+        r"|\(|\)|,"
+        r"|[^\s(),`]+",
+        re.S)
 
 
-def _tokens(sql: str) -> list[str]:
-    return _TOKEN_RE.findall(sql.strip().rstrip(";"))
+_TOKEN_RE_MYSQL = _token_re(dq_escapes=True)
+_TOKEN_RE_ORACLE = _token_re(dq_escapes=False)
+
+
+def _tokens(sql: str, dialect: str = "mysql") -> list[str]:
+    pat = _TOKEN_RE_ORACLE if dialect == "oracle" else _TOKEN_RE_MYSQL
+    return pat.findall(sql.strip().rstrip(";"))
 
 
 def _ident(tok: str, dialect: str = "mysql") -> str:
@@ -76,19 +85,22 @@ def _ident(tok: str, dialect: str = "mysql") -> str:
     return tok.upper() if dialect == "oracle" else tok
 
 
-def _split_qualified(name_tok: str) -> list[str]:
+def _split_qualified(name_tok: str, dialect: str = "mysql") -> list[str]:
     """Split a qualified-name token on dots OUTSIDE quote pairs, so a
     quoted part containing a dot ("ORD.ERS") stays one identifier.
-    Inside a double-quoted part, a backslash escapes the next character
-    (mirroring _TOKEN_RE's string-escape rule) so '"a\\"b".c' closes at
-    the real quote, not the escaped one; backticked parts take no
-    escapes (MySQL doubles backticks, never backslash-escapes)."""
+    Per-dialect escape rule, mirroring the tokenizer: in MySQL a
+    backslash inside a double-quoted part escapes the next character
+    (so '"a\\"b".c' closes at the real quote); in Oracle double quotes
+    mark identifiers with NO backslash escapes (so '"A\\".C' — an
+    identifier ending in a backslash — splits at the dot). Backticked
+    parts never take escapes (MySQL doubles backticks)."""
+    dq_escapes = dialect != "oracle"
     parts, cur, quote = [], [], None
     it = iter(name_tok)
     for ch in it:
         if quote:
             cur.append(ch)
-            if ch == "\\" and quote == '"':
+            if dq_escapes and ch == "\\" and quote == '"':
                 nxt = next(it, None)
                 if nxt is not None:
                     cur.append(nxt)
@@ -140,7 +152,8 @@ def _table_id(name_tok: str, database: str | None,
               dialect: str = "mysql") -> TableId:
     # direct construction, not TableId.parse: a quoted identifier may
     # itself contain a dot ("ORD.ERS") that a string re-parse would split
-    parts = [_ident(p, dialect) for p in _split_qualified(name_tok)]
+    parts = [_ident(p, dialect)
+             for p in _split_qualified(name_tok, dialect)]
     if len(parts) == 1 and database:
         # databaseName may itself be dotted ("db.schema" on Debezium
         # schema-change records) — it is a plain string, never quoted
@@ -462,7 +475,7 @@ def parse_ddl(sql: str, database: str | None = None,
     """
     if dialect not in ("mysql", "oracle"):
         raise ValueError(f"unknown DDL dialect {dialect!r}")
-    cur = _Cursor(_tokens(sql))
+    cur = _Cursor(_tokens(sql, dialect))
     head = cur.next().upper()
     if head == "CREATE":
         return [_parse_create(cur, database, dialect)]

@@ -496,3 +496,20 @@ def db2_type_to_spark(type_name: str, precision: int | None = None,
     if name in _DB2_TYPE_MAP:
         return _DB2_TYPE_MAP[name]
     raise ValueError(f"unmapped Db2 type: {type_name}")
+
+
+def hms_text(negative: bool, hours: int, minutes: int, seconds: int,
+             microseconds: int = 0, *, strip_zeros: bool = False) -> str:
+    """The engine-wide time-of-day / duration render convention:
+    ``[-]HH:MM:SS`` plus a ``.ffffff`` suffix only when the fractional
+    part is nonzero. Shared by the binlog TIME2 bridge, the pgoutput
+    binary TIME decode, and the TiDB DURATION cells — one place to keep
+    the three wire sources from drifting. ``strip_zeros`` drops trailing
+    fractional zeros (PostgreSQL's timeout convention: ``.12345``, not
+    ``.123450``); the MySQL-family renders keep the full six digits."""
+    txt = "%s%02d:%02d:%02d" % ("-" if negative else "",
+                                hours, minutes, seconds)
+    if not microseconds:
+        return txt
+    frac = ".%06d" % microseconds
+    return txt + (frac.rstrip("0") if strip_zeros else frac)

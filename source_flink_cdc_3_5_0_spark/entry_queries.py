@@ -2284,14 +2284,20 @@ def q_cdc_mysql_binlog_decode(spark, sf_dir):
     the encode runs as its own job (a real server materializes its
     binlog before any client dumps it); materialize is ONE key shuffle
     (window rank)."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from .sources.binlog_socket import BinlogTcpServer, fetch_binlog_files
     from .sources.mysql_binlog import decode_binlog, read_binlog_files
 
     served = tempfile.mkdtemp(prefix="binlog-served-")
+    # the spool backs the returned LAZY DataFrame, so it must outlive this
+    # call — reclaimed at interpreter exit (bench/driver runs invoke this
+    # several times; each leaves one SF-sized spool until then)
     spool = tempfile.mkdtemp(prefix="binlog-spool-")
+    atexit.register(shutil.rmtree, spool, ignore_errors=True)
 
     def write_file(row):
         # tasks and driver share a filesystem in local mode; on a real
@@ -2301,13 +2307,14 @@ def q_cdc_mysql_binlog_decode(spark, sf_dir):
             f.write(bytes(row.content))
         os.replace(tmp, os.path.join(served, row.path))
 
-    binlog_capture_files(spark, sf_dir).foreach(write_file)
-    with BinlogTcpServer(served) as srv:
-        fetched = fetch_binlog_files(srv.host, srv.port, spool)
+    try:
+        binlog_capture_files(spark, sf_dir).foreach(write_file)
+        with BinlogTcpServer(served) as srv:
+            fetched = fetch_binlog_files(srv.host, srv.port, spool)
+    finally:
+        shutil.rmtree(served, ignore_errors=True)  # spooled or failed
     if not fetched:
         raise ValueError("TCP transport fetched no binlog files")
-    import shutil
-    shutil.rmtree(served, ignore_errors=True)  # spooled; server side done
 
     files = read_binlog_files(spark, spool)
     env = decode_binlog(files, "shop", "customer", BINLOG_CUSTOMER_PAYLOAD)

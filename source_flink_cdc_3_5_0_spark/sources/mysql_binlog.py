@@ -1376,9 +1376,9 @@ def _to_spark_value(ftype, v):
         return v
     if isinstance(ftype, T.StringType):
         if isinstance(v, tuple) and len(v) == 5:  # TIME2
+            from ..common.types import hms_text
             neg, h, m, s, us = v
-            txt = "%s%02d:%02d:%02d" % ("-" if neg else "", h, m, s)
-            return txt + (".%06d" % us if us else "")
+            return hms_text(neg, h, m, s, us)
         if isinstance(v, (dict, list, bool)):
             from ..common.mysql_json import dumps_json
             return dumps_json(v)  # opaque DECIMALs render as numbers

@@ -244,6 +244,12 @@ def iter_file_events(data: bytes):
         if pos + 19 > len(data):
             raise ValueError("trailing garbage after last event")
         ev_len = struct.unpack_from("<I", data, pos + 9)[0]
+        if ev_len < 19 or pos + ev_len > len(data):
+            # a zero/short length would never advance (infinite loop in
+            # the serving thread); a long one overruns the file
+            raise ValueError(
+                "corrupt binlog event at offset %d: length %d"
+                % (pos, ev_len))
         yield data[pos:pos + ev_len]
         pos += ev_len
 
@@ -276,8 +282,17 @@ class MysqldToyServer:
                                         daemon=True)
 
     # -- session ------------------------------------------------------------
+    @staticmethod
+    def _make_nonce() -> bytes:
+        """20 bytes of printable non-NUL ASCII: real clients parse the
+        auth-plugin-data halves as NUL-terminated strings, so a raw hash
+        byte string would intermittently truncate at an embedded 0x00
+        (mysqld restricts its scramble the same way)."""
+        alphabet = bytes(range(0x21, 0x7F))
+        return bytes(alphabet[b % len(alphabet)] for b in os.urandom(20))
+
     def _session(self, rfile, wfile) -> None:
-        nonce = hashlib.sha1(os.urandom(20)).digest()  # 20 bytes
+        nonce = self._make_nonce()
         seq = send_packet(wfile, 0, encode_handshake_v10(nonce))
         seq, body = read_packet(rfile)
         resp = decode_handshake_response(body)

@@ -294,7 +294,15 @@ def _binary_to_json_value(oid: int, data: bytes):
     if oid == OID_INT8:
         return struct.unpack(">q", data)[0]
     if oid == OID_FLOAT4:
-        return struct.unpack(">f", data)[0]
+        # shortest double that still round-trips to the same float32 —
+        # what PG's float4out prints, so the binary bridge value equals
+        # the text one (raw unpack would widen 0.1f to 0.10000000149...)
+        f32 = struct.unpack(">f", data)[0]
+        for prec in range(1, 10):
+            s = "%.*g" % (prec, f32)
+            if struct.unpack(">f", struct.pack(">f", float(s)))[0] == f32:
+                return float(s)
+        return f32
     if oid == OID_FLOAT8:
         return struct.unpack(">d", data)[0]
     if oid == OID_BYTEA:
@@ -311,10 +319,11 @@ def _binary_to_json_value(oid: int, data: bytes):
               + datetime.timedelta(microseconds=us))
         return _us_text(dt.strftime("%Y-%m-%dT%H:%M:%S"), dt.microsecond)
     if oid == OID_TIME:
+        from ..common.types import hms_text
         us = struct.unpack(">q", data)[0]
         s, us = divmod(us, 1_000_000)
-        return _us_text("%02d:%02d:%02d" % (s // 3600, (s // 60) % 60,
-                                            s % 60), us)
+        return hms_text(False, s // 3600, (s // 60) % 60, s % 60, us,
+                        strip_zeros=True)  # PG strips trailing zeros
     if oid == OID_UUID:
         return str(_uuid.UUID(bytes=data))
     if oid == OID_JSONB:

@@ -329,13 +329,12 @@ def duration_to_nanos(v) -> int:
 
 
 def nanos_to_duration(n: int) -> str:
-    """Nanoseconds -> ``[-]HH:MM:SS[.ffffff]`` (the binlog TIME2 render
-    convention: fractional part only when nonzero)."""
-    sign, n = ("-", -n) if n < 0 else ("", n)
+    """Nanoseconds -> the shared ``[-]HH:MM:SS[.ffffff]`` render
+    (common.types.hms_text — same convention as the binlog TIME2 path)."""
+    from ..common.types import hms_text
+    neg, n = (True, -n) if n < 0 else (False, n)
     us, n = (n // 1000) % 1_000_000, n // 1_000_000_000
-    h, mi, s = n // 3600, (n // 60) % 60, n % 60
-    txt = "%s%02d:%02d:%02d" % (sign, h, mi, s)
-    return txt + (".%06d" % us if us else "")
+    return hms_text(neg, n // 3600, (n // 60) % 60, n % 60, us)
 
 
 def _to_datum(col: TiColumn, v):

@@ -62,13 +62,21 @@ def test_fetch_skips_identical_file_and_omits_from_return(tmp_path):
 
 # ---------------------------------------------------------------- DDL parser
 
-def test_oracle_quoted_part_with_escaped_quote_before_dot():
+def test_quoted_part_escapes_are_dialect_scoped():
     from source_flink_cdc_3_5_0_spark.common.ddl_parser import (
-        _split_qualified)
+        _split_qualified, parse_ddl)
 
-    # the escaped quote must not close the part: split at the REAL dot
-    assert _split_qualified('"a\\"b".c') == ['"a\\"b"', "c"]
-    # backticked parts take no escapes (MySQL doubles backticks)
+    # MySQL: "..." is a string form with backslash escapes — the escaped
+    # quote must not close the part; split at the REAL dot
+    assert _split_qualified('"a\\"b".c', "mysql") == ['"a\\"b"', "c"]
+    # Oracle: "..." is an IDENTIFIER, no backslash escapes — an
+    # identifier ending in a backslash still closes at its real quote
+    # (the escape rule would swallow it and lose the schema split)
+    assert _split_qualified('"A\\".C', "oracle") == ['"A\\"', "C"]
+    [ev] = parse_ddl('TRUNCATE TABLE "INV"."A\\"', dialect="oracle")
+    assert (ev.table_id.schema_name, ev.table_id.table_name) == \
+        ("INV", "A\\")
+    # backticked parts take no escapes in any dialect
     assert _split_qualified("`a.b`.c") == ["`a.b`", "c"]
 
 

@@ -716,3 +716,21 @@ def test_binary_cells_inside_streamed_transactions():
             if c["kind"] == "change"]
     assert [(r["after"]["id"], r["after"]["num"]) for r in recs] == \
         [(1, "12.34"), (2, "-0.0001")]
+
+
+def test_binary_float4_matches_text_bridge_value():
+    """float4 'b' cells decode to the shortest double that round-trips
+    the float32 (PG's float4out convention) — 0.1 stays 0.1, not
+    0.10000000149011612, so binary and text captures hash-identically."""
+    from source_flink_cdc_3_5_0_spark.sources.pgoutput import (
+        OID_FLOAT4, _binary_send, _binary_to_json_value)
+
+    for v in (0.1, -2.5, 3.14, 0.0, 1e30, -7.25e-12):
+        got = _binary_to_json_value(OID_FLOAT4, _binary_send(OID_FLOAT4, v))
+        import struct as _s
+        f32 = _s.unpack(">f", _s.pack(">f", v))[0]
+        # same float32, and the textual form a float4 column would ship
+        assert _s.unpack(">f", _s.pack(">f", got))[0] == f32
+        assert got == float("%.9g" % got)  # no widening noise digits
+    assert _binary_to_json_value(
+        OID_FLOAT4, _binary_send(OID_FLOAT4, 0.1)) == 0.1
