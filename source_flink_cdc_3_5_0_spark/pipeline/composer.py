@@ -463,6 +463,23 @@ class PipelineComposer:
                     opts["host"], int(opts.get("port", default_port)),
                     spool, user=opts.get("username", "repl"),
                     password=opts.get("password", "replpass"))
+            elif (t_lower == "pgoutput-file"
+                    and opts.get("protocol", "").lower() == "postgres"):
+                # round-7: the REAL PostgreSQL v3 protocol with a logical
+                # replication slot — startup, MD5 auth, START_REPLICATION
+                # into CopyBoth XLogData frames, standby status updates
+                # (pg_replication.py); `slot.name`/`username`/`password`
+                # mirror PostgresDataSourceOptions
+                from ..sources.pg_replication import (
+                    start_replication_stream)
+
+                start_replication_stream(
+                    opts["host"], int(opts.get("port", default_port)),
+                    spool, user=opts.get("username", "repl"),
+                    password=opts.get("password", "replpass"),
+                    database=opts.get("database", "d"),
+                    slot=opts.get("slot.name", "cdc_slot"),
+                    publication=opts.get("publication.name", "pub"))
             else:
                 from ..sources.binlog_socket import fetch_binlog_files
 
