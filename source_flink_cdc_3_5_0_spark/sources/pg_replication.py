@@ -16,9 +16,18 @@ Protocol" + "Streaming Replication Protocol" chapters):
   key/value pairs (``user``, ``database``, ``replication=database`` for
   a logical walsender session) + NUL. All later messages are
   ``u8 type + u32 length(incl itself) + payload``.
-- **MD5 auth**: AuthenticationMD5Password ('R', code 5, 4-byte salt);
-  the response is ``'md5' + md5(md5(password + user) + salt)`` in a
-  PasswordMessage ('p') — the documented double-MD5.
+- **SCRAM-SHA-256** (the default since PG10, mandatory-practice on the
+  PG14+ servers whose ``binary = true`` publications this engine
+  decodes): AuthenticationSASL ('R' code 10) advertising the mechanism,
+  SASLInitialResponse with the gs2 header ``n,,`` (no channel binding
+  on plain TCP), AuthenticationSASLContinue carrying
+  ``r=nonce,s=salt,i=iterations``, the client proof
+  ``ClientKey XOR HMAC(StoredKey, AuthMessage)``, and
+  AuthenticationSASLFinal returning the server signature the client
+  VERIFIES (mutual auth — a server that doesn't know the password is
+  rejected). Pinned against the RFC 7677 test vector. **MD5 auth**
+  (``'md5' + md5(md5(password + user) + salt)``) remains for pre-SCRAM
+  servers (``auth="md5"``).
 - **Session setup**: ParameterStatus ('S') pairs, BackendKeyData ('K'),
   ReadyForQuery ('Z').
 - **START_REPLICATION** (simple Query 'Q'):
@@ -44,7 +53,9 @@ invariants a real consumer also maintains:
 
 from __future__ import annotations
 
+import base64
 import hashlib
+import hmac as _hmac
 import os
 import socket
 import socketserver
@@ -53,6 +64,7 @@ import threading
 
 _PROTO_V3 = 196608  # 3 << 16
 _MD5_AUTH = 5
+_SASL, _SASL_CONTINUE, _SASL_FINAL = 10, 11, 12
 
 
 # ---------------------------------------------------------------------------
@@ -83,6 +95,55 @@ def md5_password(user: str, password: str, salt: bytes) -> str:
     """The documented double-MD5: 'md5' + md5(md5(password+user)+salt)."""
     inner = hashlib.md5((password + user).encode("utf-8")).hexdigest()
     return "md5" + hashlib.md5(inner.encode("ascii") + salt).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# SCRAM-SHA-256 (RFC 5802/7677 — PostgreSQL's default auth since v14,
+# which is also the version whose `binary = true` publications the
+# pgoutput decoder supports; ASCII passwords only, SASLprep is a no-op
+# for them). Both halves live here so each is testable against the
+# other AND against the RFC 7677 test vector.
+# ---------------------------------------------------------------------------
+
+
+def scram_salted_password(password: str, salt: bytes,
+                          iterations: int) -> bytes:
+    """Hi() = PBKDF2-HMAC-SHA-256(password, salt, i)."""
+    return hashlib.pbkdf2_hmac("sha256", password.encode("utf-8"),
+                               salt, iterations)
+
+
+def scram_client_proof(password: str, salt: bytes, iterations: int,
+                       auth_message: str) -> tuple[bytes, bytes]:
+    """(ClientProof, ServerSignature) for one exchange."""
+    salted = scram_salted_password(password, salt, iterations)
+    client_key = _hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+    stored_key = hashlib.sha256(client_key).digest()
+    client_sig = _hmac.new(stored_key, auth_message.encode("utf-8"),
+                           hashlib.sha256).digest()
+    proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+    server_key = _hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+    server_sig = _hmac.new(server_key, auth_message.encode("utf-8"),
+                           hashlib.sha256).digest()
+    return proof, server_sig
+
+
+def scram_verify_proof(password: str, salt: bytes, iterations: int,
+                       auth_message: str, proof: bytes) -> bool:
+    """Server side: recover ClientKey = proof XOR ClientSignature and
+    check SHA-256(ClientKey) == StoredKey (the server never needs the
+    cleartext ClientKey on file — the documented verification)."""
+    salted = scram_salted_password(password, salt, iterations)
+    client_key = _hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+    stored_key = hashlib.sha256(client_key).digest()
+    client_sig = _hmac.new(stored_key, auth_message.encode("utf-8"),
+                           hashlib.sha256).digest()
+    recovered = bytes(a ^ b for a, b in zip(proof, client_sig))
+    return hashlib.sha256(recovered).digest() == stored_key
+
+
+def _scram_attrs(msg: str) -> dict[str, str]:
+    return dict(part.split("=", 1) for part in msg.split(","))
 
 
 def encode_startup(user: str, database: str,
@@ -120,9 +181,13 @@ class PgWalToyServer:
 
     def __init__(self, directory: str, user: str = "repl",
                  password: str = "replpass", database: str = "d",
+                 auth: str = "scram-sha-256",
                  host: str = "127.0.0.1", port: int = 0):
+        if auth not in ("scram-sha-256", "md5"):
+            raise ValueError("auth must be scram-sha-256 or md5")
         self.directory = directory
         self.user, self.password, self.database = user, password, database
+        self.auth = auth
         outer = self
 
         class Handler(socketserver.StreamRequestHandler):
@@ -142,16 +207,65 @@ class PgWalToyServer:
         write_msg(wfile, b"E", b"SFATAL\x00C28P01\x00M" + _cstr(msg)
                   + b"\x00")
 
+    def _authenticate(self, rfile, wfile, params: dict) -> bool:
+        if params.get("user") != self.user:
+            return False
+        if self.auth == "md5":
+            salt = os.urandom(4)
+            write_msg(wfile, b"R", struct.pack(">I", _MD5_AUTH) + salt)
+            mtype, payload = read_msg(rfile)
+            return mtype == b"p" and \
+                payload.rstrip(b"\x00").decode("ascii") == \
+                md5_password(self.user, self.password, salt)
+        # SCRAM-SHA-256: AuthenticationSASL advertises the mechanism
+        write_msg(wfile, b"R", struct.pack(">I", _SASL)
+                  + _cstr("SCRAM-SHA-256") + b"\x00")
+        mtype, payload = read_msg(rfile)
+        if mtype != b"p":
+            return False
+        mech_end = payload.index(0)
+        if payload[:mech_end].decode("ascii") != "SCRAM-SHA-256":
+            return False
+        ln = struct.unpack_from(">i", payload, mech_end + 1)[0]
+        client_first = payload[mech_end + 5:mech_end + 5 + ln].decode()
+        if not client_first.startswith("n,,"):
+            return False  # no channel binding on plain TCP
+        client_first_bare = client_first[3:]
+        client_nonce = _scram_attrs(client_first_bare)["r"]
+        salt = os.urandom(16)
+        iterations = 4096
+        server_nonce = client_nonce + base64.b64encode(
+            os.urandom(12)).decode("ascii")
+        server_first = "r=%s,s=%s,i=%d" % (
+            server_nonce, base64.b64encode(salt).decode("ascii"),
+            iterations)
+        write_msg(wfile, b"R", struct.pack(">I", _SASL_CONTINUE)
+                  + server_first.encode("ascii"))
+        mtype, payload = read_msg(rfile)
+        if mtype != b"p":
+            return False
+        client_final = payload.decode("utf-8")
+        attrs = _scram_attrs(client_final)
+        if attrs.get("r") != server_nonce or attrs.get("c") != "biws":
+            return False  # nonce splice / channel-binding mismatch
+        without_proof = client_final[:client_final.rindex(",p=")]
+        auth_message = "%s,%s,%s" % (client_first_bare, server_first,
+                                     without_proof)
+        proof = base64.b64decode(attrs["p"])
+        if not scram_verify_proof(self.password, salt, iterations,
+                                  auth_message, proof):
+            return False
+        _, server_sig = scram_client_proof(self.password, salt,
+                                           iterations, auth_message)
+        write_msg(wfile, b"R", struct.pack(">I", _SASL_FINAL)
+                  + b"v=" + base64.b64encode(server_sig))
+        return True
+
     def _session(self, rfile, wfile) -> None:
         head = rfile.read(4)
         n = struct.unpack(">I", head)[0]
         params = decode_startup(rfile.read(n - 4))
-        salt = os.urandom(4)
-        write_msg(wfile, b"R", struct.pack(">I", _MD5_AUTH) + salt)
-        mtype, payload = read_msg(rfile)
-        if mtype != b"p" or payload.rstrip(b"\x00").decode("ascii") != \
-                md5_password(params.get("user", ""), self.password, salt) \
-                or params.get("user") != self.user:
+        if not self._authenticate(rfile, wfile, params):
             self._err(wfile, "password authentication failed")
             return
         write_msg(wfile, b"R", struct.pack(">I", 0))  # AuthenticationOk
@@ -274,11 +388,56 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
         mtype, payload = read_msg(rfile)
         if mtype == b"E":
             raise ValueError("server refused startup: %r" % payload[:80])
-        if mtype != b"R" or struct.unpack(">I", payload[:4])[0] != _MD5_AUTH:
-            raise ValueError("expected MD5 auth request, got %r" % mtype)
-        salt = payload[4:8]
-        write_msg(wfile, b"p",
-                  _cstr(md5_password(user, password, salt)))
+        if mtype != b"R":
+            raise ValueError("expected auth request, got %r" % mtype)
+        code = struct.unpack(">I", payload[:4])[0]
+        if code == _MD5_AUTH:
+            write_msg(wfile, b"p",
+                      _cstr(md5_password(user, password, payload[4:8])))
+        elif code == _SASL:
+            mechs = payload[4:].split(b"\x00")
+            if b"SCRAM-SHA-256" not in mechs:
+                raise ValueError("server offers no supported SASL "
+                                 "mechanism: %r" % mechs)
+            client_nonce = base64.b64encode(os.urandom(18)).decode()
+            client_first_bare = "n=,r=" + client_nonce
+            cf = ("n,," + client_first_bare).encode("utf-8")
+            write_msg(wfile, b"p", _cstr("SCRAM-SHA-256")
+                      + struct.pack(">i", len(cf)) + cf)
+            mtype, payload = read_msg(rfile)
+            if mtype != b"R" or struct.unpack(
+                    ">I", payload[:4])[0] != _SASL_CONTINUE:
+                raise ValueError("authentication failed: %r %r"
+                                 % (mtype, payload[:80]))
+            server_first = payload[4:].decode("utf-8")
+            attrs = _scram_attrs(server_first)
+            if not attrs["r"].startswith(client_nonce):
+                raise ValueError("server nonce does not extend ours "
+                                 "(splice attempt?)")
+            salt = base64.b64decode(attrs["s"])
+            iterations = int(attrs["i"])
+            without_proof = "c=biws,r=" + attrs["r"]
+            auth_message = "%s,%s,%s" % (client_first_bare, server_first,
+                                         without_proof)
+            proof, want_sig = scram_client_proof(
+                password, salt, iterations, auth_message)
+            write_msg(wfile, b"p", (without_proof + ",p="
+                      + base64.b64encode(proof).decode("ascii"))
+                      .encode("utf-8"))
+            mtype, payload = read_msg(rfile)
+            if mtype == b"E":
+                raise ValueError("authentication failed: %r"
+                                 % payload[:80])
+            if mtype != b"R" or struct.unpack(
+                    ">I", payload[:4])[0] != _SASL_FINAL:
+                raise ValueError("expected SASL final, got %r" % mtype)
+            got_sig = base64.b64decode(
+                _scram_attrs(payload[4:].decode())["v"])
+            if got_sig != want_sig:
+                raise ValueError("server signature mismatch — the "
+                                 "server does not know the password")
+        else:
+            raise ValueError("unsupported auth request code %d" % code)
         mtype, payload = read_msg(rfile)
         if mtype != b"R" or struct.unpack(">I", payload[:4])[0] != 0:
             raise ValueError("authentication failed: %r %r"

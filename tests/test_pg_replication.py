@@ -123,3 +123,40 @@ sink: {{type: values}}
         pipe.start(raw, tables).awaitTermination(120)
     assert sink.snapshot(TableId.parse("public.t")) == \
         ["0, v0", "1, v1", "2, v2"]
+
+
+def test_scram_rfc7677_known_answer():
+    """The RFC 7677 SCRAM-SHA-256 test vector (user/pencil): proof and
+    server signature pinned against the published exchange."""
+    import base64
+
+    from source_flink_cdc_3_5_0_spark.sources.pg_replication import (
+        scram_client_proof, scram_verify_proof)
+
+    client_first_bare = "n=user,r=rOprNGfwEbeRWgbNEkqO"
+    server_first = ("r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+                    "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096")
+    without_proof = ("c=biws,"
+                     "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0")
+    auth_message = ",".join([client_first_bare, server_first,
+                             without_proof])
+    salt = base64.b64decode("W22ZaJ0SNY7soEsUEjb6gQ==")
+    proof, server_sig = scram_client_proof("pencil", salt, 4096,
+                                           auth_message)
+    assert base64.b64encode(proof).decode() == \
+        "dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+    assert base64.b64encode(server_sig).decode() == \
+        "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
+    assert scram_verify_proof("pencil", salt, 4096, auth_message, proof)
+    assert not scram_verify_proof("pencil2", salt, 4096, auth_message,
+                                  proof)
+
+
+def test_md5_auth_mode_still_works(tmp_path):
+    src = _capture(tmp_path, n_txns=2)
+    spool = tmp_path / "spool"
+    with PgWalToyServer(str(src), auth="md5") as srv:
+        written = start_replication_stream(srv.host, srv.port, str(spool))
+    recs = [c for n in written for c in pgoutput_changes(
+        (spool / n).read_bytes()) if c["kind"] == "change"]
+    assert len(recs) == 2
