@@ -139,12 +139,48 @@ def verify_native_password(password: str, nonce: bytes,
 
 
 # ---------------------------------------------------------------------------
+# caching_sha2_password (MySQL 8's DEFAULT plugin; the same
+# challenge/response shape with SHA-256 and the server's in-memory
+# credential cache — the fast path a warmed-up replica client always
+# takes; the full-auth fallback needs TLS/RSA, which the sandbox gates)
+# ---------------------------------------------------------------------------
+
+
+def caching_sha2_scramble(password: str, nonce: bytes) -> bytes:
+    """``SHA256(pw) XOR SHA256(SHA256(SHA256(pw)) + nonce)``
+    (empty pw -> b"")."""
+    if not password:
+        return b""
+    h1 = hashlib.sha256(password.encode("utf-8")).digest()
+    h2 = hashlib.sha256(h1).digest()
+    h3 = hashlib.sha256(h2 + nonce).digest()
+    return bytes(a ^ b for a, b in zip(h1, h3))
+
+
+def verify_caching_sha2(password: str, nonce: bytes,
+                        response: bytes) -> bool:
+    """Fast-path check against the cache entry SHA256(SHA256(pw)):
+    recover SHA256(pw) = response XOR SHA256(cache + nonce) and compare
+    its hash (the toy server's cache is pre-seeded, standing in for a
+    prior full authentication)."""
+    cache = hashlib.sha256(
+        hashlib.sha256(password.encode("utf-8")).digest()).digest()
+    if not response:
+        return not password
+    h3 = hashlib.sha256(cache + nonce).digest()
+    recovered = bytes(a ^ b for a, b in zip(response, h3))
+    return hashlib.sha256(recovered).digest() == cache
+
+
+# ---------------------------------------------------------------------------
 # handshake encode/decode (both directions, so each side is testable)
 # ---------------------------------------------------------------------------
 
 
 def encode_handshake_v10(nonce: bytes, connection_id: int = 1,
-                         server_version: str = "8.0.36-toy") -> bytes:
+                         server_version: str = "8.0.36-toy",
+                         auth_plugin: str = "mysql_native_password"
+                         ) -> bytes:
     assert len(nonce) == 20
     body = bytes([10]) + server_version.encode() + b"\x00"
     body += struct.pack("<I", connection_id)
@@ -156,7 +192,7 @@ def encode_handshake_v10(nonce: bytes, connection_id: int = 1,
     body += bytes([21])                        # auth-plugin-data length
     body += b"\x00" * 10                       # reserved
     body += nonce[8:20] + b"\x00"
-    body += b"mysql_native_password\x00"
+    body += auth_plugin.encode("ascii") + b"\x00"
     return body
 
 
@@ -184,14 +220,20 @@ def decode_handshake_v10(body: bytes) -> dict:
             "auth_plugin": plugin.decode()}
 
 
-def encode_handshake_response(user: str, password: str,
-                              nonce: bytes) -> bytes:
-    auth = native_password_scramble(password, nonce)
+def encode_handshake_response(user: str, password: str, nonce: bytes,
+                              auth_plugin: str = "mysql_native_password"
+                              ) -> bytes:
+    if auth_plugin == "caching_sha2_password":
+        auth = caching_sha2_scramble(password, nonce)
+    elif auth_plugin == "mysql_native_password":
+        auth = native_password_scramble(password, nonce)
+    else:
+        raise ValueError("unsupported auth plugin %r" % auth_plugin)
     body = struct.pack("<I", _CAPS) + struct.pack("<I", 1 << 24)
     body += bytes([0x21]) + b"\x00" * 23
     body += user.encode("utf-8") + b"\x00"
     body += bytes([len(auth)]) + auth
-    body += b"mysql_native_password\x00"
+    body += auth_plugin.encode("ascii") + b"\x00"
     return body
 
 
@@ -262,10 +304,15 @@ class MysqldToyServer:
     packet (non-blocking dump)."""
 
     def __init__(self, directory: str, user: str = "repl",
-                 password: str = "replpass", host: str = "127.0.0.1",
-                 port: int = 0):
+                 password: str = "replpass",
+                 auth_plugin: str = "caching_sha2_password",
+                 host: str = "127.0.0.1", port: int = 0):
+        if auth_plugin not in ("caching_sha2_password",
+                               "mysql_native_password"):
+            raise ValueError("unsupported auth plugin %r" % auth_plugin)
         self.directory = directory
         self.user, self.password = user, password
+        self.auth_plugin = auth_plugin
         outer = self
 
         class Handler(socketserver.StreamRequestHandler):
@@ -291,15 +338,34 @@ class MysqldToyServer:
         alphabet = bytes(range(0x21, 0x7F))
         return bytes(alphabet[b % len(alphabet)] for b in os.urandom(20))
 
+    def _verify(self, plugin: str, nonce: bytes, response: bytes) -> bool:
+        if plugin == "caching_sha2_password":
+            return verify_caching_sha2(self.password, nonce, response)
+        return verify_native_password(self.password, nonce, response)
+
     def _session(self, rfile, wfile) -> None:
         nonce = self._make_nonce()
-        seq = send_packet(wfile, 0, encode_handshake_v10(nonce))
+        seq = send_packet(wfile, 0, encode_handshake_v10(
+            nonce, auth_plugin=self.auth_plugin))
         seq, body = read_packet(rfile)
         resp = decode_handshake_response(body)
-        if resp["user"] != self.user or not verify_native_password(
-                self.password, nonce, resp["auth_response"]):
+        auth, plugin = resp["auth_response"], resp["auth_plugin"]
+        if plugin != self.auth_plugin:
+            # AuthSwitchRequest (0xFE + plugin cstring + nonce + NUL):
+            # how a real server moves a client onto its plugin
+            seq = send_packet(wfile, seq + 1,
+                              b"\xfe" + self.auth_plugin.encode("ascii")
+                              + b"\x00" + nonce + b"\x00")
+            seq, auth = read_packet(rfile)
+            plugin = self.auth_plugin
+        if resp["user"] != self.user or not self._verify(
+                plugin, nonce, bytes(auth)):
             send_packet(wfile, seq + 1, _err_packet(1045, "Access denied"))
             return
+        if plugin == "caching_sha2_password":
+            # AuthMoreData "fast auth success" precedes the OK (the
+            # cache-hit path a warmed-up replica client always takes)
+            seq = send_packet(wfile, seq + 1, b"\x01\x03")
         send_packet(wfile, seq + 1, _ok_packet())
         while True:
             try:
@@ -376,13 +442,40 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
         if hello[:1] == b"\xff":
             raise ValueError("server refused connection")
         hs = decode_handshake_v10(hello)
-        if hs["auth_plugin"] != "mysql_native_password":
-            raise ValueError("unsupported auth plugin %r" % hs["auth_plugin"])
+        plugin, nonce = hs["auth_plugin"], hs["nonce"]
+        if plugin not in ("caching_sha2_password", "mysql_native_password"):
+            raise ValueError("unsupported auth plugin %r" % plugin)
         send_packet(wfile, 1, encode_handshake_response(
-            user, password, hs["nonce"]))
-        _, reply = read_packet(rfile)
-        if reply[:1] != b"\x00":
-            raise ValueError("auth failed: %r" % reply[:40])
+            user, password, nonce, auth_plugin=plugin))
+        seq = 2
+        while True:
+            seq, reply = read_packet(rfile)
+            seq += 1
+            if reply[:1] == b"\x00":        # OK — authenticated
+                break
+            if reply[:1] == b"\xff":
+                raise ValueError("auth failed: %r" % reply[:40])
+            if reply[:1] == b"\x01":        # AuthMoreData
+                if reply[1:2] == b"\x03":   # fast auth success; OK next
+                    continue
+                raise ValueError(
+                    "caching_sha2 full authentication requested — the "
+                    "RSA/TLS path is environment-gated; warm the "
+                    "server-side cache (toy server pre-seeds it)")
+            if reply[:1] == b"\xfe":        # AuthSwitchRequest
+                p_end = reply.index(0, 1)
+                plugin = reply[1:p_end].decode("ascii")
+                nonce = reply[p_end + 1:].rstrip(b"\x00")
+                if plugin == "caching_sha2_password":
+                    scr = caching_sha2_scramble(password, nonce)
+                elif plugin == "mysql_native_password":
+                    scr = native_password_scramble(password, nonce)
+                else:
+                    raise ValueError("switch to unsupported plugin %r"
+                                     % plugin)
+                send_packet(wfile, seq, scr)
+                continue
+            raise ValueError("unexpected auth packet %r" % reply[:10])
         # register as a replica, then ask for the stream
         send_packet(wfile, 0, bytes([COM_REGISTER_SLAVE])
                     + struct.pack("<I", server_id) + b"\x00" * 18)

@@ -182,3 +182,100 @@ sink: {{type: values}}
             pdef, sink=sink)
         pipe.start(raw, tables).awaitTermination(120)
     assert sink.snapshot(TableId.parse("db.t")) == ["1, a", "2, b"]
+
+
+# ---------------------------------------------------------------------------
+# caching_sha2_password (MySQL 8 default; round-7 second wave)
+# ---------------------------------------------------------------------------
+
+def test_caching_sha2_scramble_property():
+    from hypothesis import given, settings, strategies as st
+
+    from source_flink_cdc_3_5_0_spark.sources.mysql_protocol import (
+        caching_sha2_scramble, verify_caching_sha2)
+
+    @given(st.text(max_size=12), st.binary(min_size=20, max_size=20))
+    @settings(max_examples=80, deadline=None)
+    def check(pw, nonce):
+        assert verify_caching_sha2(pw, nonce,
+                                   caching_sha2_scramble(pw, nonce))
+        if pw:
+            assert not verify_caching_sha2(pw + "x", nonce,
+                                           caching_sha2_scramble(pw, nonce))
+
+    check()
+
+
+def test_caching_sha2_known_answer():
+    """Independent hashlib recomputation of the documented fast-path
+    formula SHA256(pw) XOR SHA256(SHA256(SHA256(pw)) + nonce)."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_protocol import (
+        caching_sha2_scramble)
+
+    pw, nonce = "replpass", bytes(range(20))
+    h1 = hashlib.sha256(b"replpass").digest()
+    h3 = hashlib.sha256(hashlib.sha256(h1).digest() + nonce).digest()
+    assert caching_sha2_scramble(pw, nonce) == \
+        bytes(a ^ b for a, b in zip(h1, h3))
+
+
+def test_dump_over_caching_sha2_default(tmp_path):
+    """The server now defaults to MySQL 8's caching_sha2_password: the
+    client reads the plugin from the handshake, scrambles with SHA-256,
+    and consumes the fast-auth-success AuthMoreData before the OK."""
+    src, original = _fixture_file(tmp_path)
+    spool = tmp_path / "spool"
+    with MysqldToyServer(str(src)) as srv:
+        written = dump_binlog_stream(srv.host, srv.port, str(spool))
+    assert written == ["mysql-bin.000001"]
+    assert (spool / "mysql-bin.000001").read_bytes() == original
+
+
+def test_dump_native_password_mode_still_works(tmp_path):
+    src, original = _fixture_file(tmp_path)
+    spool = tmp_path / "spool"
+    with MysqldToyServer(str(src),
+                         auth_plugin="mysql_native_password") as srv:
+        written = dump_binlog_stream(srv.host, srv.port, str(spool))
+    assert (spool / written[0]).read_bytes() == original
+
+
+def test_caching_sha2_wrong_password_rejected(tmp_path):
+    src, _ = _fixture_file(tmp_path)
+    with MysqldToyServer(str(src)) as srv:
+        with pytest.raises(ValueError, match="auth failed"):
+            dump_binlog_stream(srv.host, srv.port, str(tmp_path / "s2"),
+                               password="wrong")
+
+
+def test_auth_switch_request_moves_client_onto_server_plugin(tmp_path):
+    """A client that answers the handshake with the WRONG plugin gets an
+    AuthSwitchRequest (0xFE + plugin + nonce) and re-scrambles — the real
+    server behavior for plugin-mismatched clients."""
+    import socket
+
+    from source_flink_cdc_3_5_0_spark.sources.mysql_protocol import (
+        caching_sha2_scramble)
+
+    src, _ = _fixture_file(tmp_path)
+    with MysqldToyServer(str(src)) as srv:  # caching_sha2 default
+        with socket.create_connection((srv.host, srv.port), 10) as sock:
+            rfile = sock.makefile("rb")
+            wfile = sock.makefile("wb", buffering=0)
+            _, hello = read_packet(rfile)
+            hs = decode_handshake_v10(hello)
+            assert hs["auth_plugin"] == "caching_sha2_password"
+            # deliberately respond with the OTHER plugin
+            send_packet(wfile, 1, encode_handshake_response(
+                "repl", "replpass", hs["nonce"],
+                auth_plugin="mysql_native_password"))
+            _, pkt = read_packet(rfile)
+            assert pkt[:1] == b"\xfe"
+            p_end = pkt.index(0, 1)
+            assert pkt[1:p_end] == b"caching_sha2_password"
+            nonce = pkt[p_end + 1:].rstrip(b"\x00")
+            send_packet(wfile, 3, caching_sha2_scramble("replpass", nonce))
+            _, more = read_packet(rfile)
+            assert more == b"\x01\x03"      # fast auth success
+            _, ok = read_packet(rfile)
+            assert ok[:1] == b"\x00"        # authenticated
