@@ -279,3 +279,37 @@ def test_auth_switch_request_moves_client_onto_server_plugin(tmp_path):
             assert more == b"\x01\x03"      # fast auth success
             _, ok = read_packet(rfile)
             assert ok[:1] == b"\x00"        # authenticated
+
+
+def test_dump_multi_file_and_resume_position(tmp_path):
+    """Three served files stream in numeric order with a fake ROTATE
+    naming each; a dump from file 2 skips file 1 (the resume shape a
+    restarted client uses)."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        MYSQL_TYPE_LONG, WRITE_ROWS_EVENT, BinlogColumn, BinlogTableMap,
+        BinlogWriter)
+
+    tmap = BinlogTableMap(1, "db", "t", (
+        BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),), (0,))
+    src = tmp_path / "served"
+    src.mkdir()
+    originals = {}
+    for i in (1, 2, 3):
+        w = BinlogWriter()
+        w.table_map(tmap)
+        w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=i)])
+        name = "mysql-bin.%06d" % i
+        (src / name).write_bytes(w.getvalue())
+        originals[name] = w.getvalue()
+
+    with MysqldToyServer(str(src)) as srv:
+        all_files = dump_binlog_stream(srv.host, srv.port,
+                                       str(tmp_path / "s_all"))
+        resumed = dump_binlog_stream(srv.host, srv.port,
+                                     str(tmp_path / "s_resume"),
+                                     from_file="mysql-bin.000002")
+    assert all_files == sorted(originals)
+    assert resumed == ["mysql-bin.000002", "mysql-bin.000003"]
+    for name in resumed:
+        assert (tmp_path / "s_resume" / name).read_bytes() == \
+            originals[name]
