@@ -2271,13 +2271,16 @@ def q_cdc_mysql_binlog_decode(spark, sf_dir):
     `decode_binlog` and materialized per PK. Scripted churn: insert all,
     update every 3rd (name suffix + $5.00), delete every 7th.
 
-    Round-7: the capture bytes travel the TCP replication transport
-    INSIDE the gate. The distributed encode job writes one binlog file
-    per task into a served directory (where a real mysqld's binlog dir
-    lives), a `BinlogTcpServer` serves them, and `fetch_binlog_files` —
-    the same client the YAML host/port surface uses
-    (`sources/binlog_socket.py`) — spools them before the decode half
-    reads the SPOOL. Transport + codec are both under the oracle.
+    Round-7: the capture bytes travel the REAL MySQL replication
+    protocol INSIDE the gate. The distributed encode job writes one
+    binlog file per task into a served directory (where a real mysqld's
+    binlog dir lives); `MysqldToyServer` serves them over the actual
+    wire protocol — V10 handshake, caching_sha2_password fast-path auth,
+    COM_REGISTER_SLAVE, COM_BINLOG_DUMP with one 0x00-prefixed packet
+    per event — and `dump_binlog_stream` (the same client the YAML
+    `protocol: mysql` surface uses, `sources/mysql_protocol.py`)
+    respools the event stream before the decode half reads the SPOOL.
+    Transport + auth + codec are all under the oracle.
 
     Scale shape: encode/decode are Arrow-batched mapInPandas stages, one
     sequential file per task (the exact unit a binlog reader consumes) —
@@ -2289,8 +2292,8 @@ def q_cdc_mysql_binlog_decode(spark, sf_dir):
     import shutil
     import tempfile
 
-    from .sources.binlog_socket import BinlogTcpServer, fetch_binlog_files
     from .sources.mysql_binlog import decode_binlog, read_binlog_files
+    from .sources.mysql_protocol import MysqldToyServer, dump_binlog_stream
 
     served = tempfile.mkdtemp(prefix="binlog-served-")
     # the spool backs the returned LAZY DataFrame, so it must outlive this
@@ -2309,12 +2312,12 @@ def q_cdc_mysql_binlog_decode(spark, sf_dir):
 
     try:
         binlog_capture_files(spark, sf_dir).foreach(write_file)
-        with BinlogTcpServer(served) as srv:
-            fetched = fetch_binlog_files(srv.host, srv.port, spool)
+        with MysqldToyServer(served) as srv:
+            fetched = dump_binlog_stream(srv.host, srv.port, spool)
     finally:
         shutil.rmtree(served, ignore_errors=True)  # spooled or failed
     if not fetched:
-        raise ValueError("TCP transport fetched no binlog files")
+        raise ValueError("replication transport fetched no binlog files")
 
     files = read_binlog_files(spark, spool)
     env = decode_binlog(files, "shop", "customer", BINLOG_CUSTOMER_PAYLOAD)

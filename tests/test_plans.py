@@ -455,7 +455,8 @@ def test_wire_decoder_plan_shapes(spark):
       TWO Arrow MapInPandas stages (encode + decode/bridge) — one capture
       file per task, the unit a real reader consumes;
     - binlog (round-7: TCP transport inside the gate): the returned plan
-      is the DECODE half — a binaryFile scan of the TCP-fetched spool,
+      is the DECODE half — a binaryFile scan of the spool fetched over
+      the real MySQL replication protocol (handshake + auth + dump),
       ONE Arrow decode stage, ONE materialize exchange; the encode half
       runs as its own job first (asserted below: one Arrow encode stage,
       one spreading exchange) — two Arrow stages across the pipeline,
@@ -489,7 +490,7 @@ def test_wire_decoder_plan_shapes(spark):
         assert p.count("MapInPandas") == n_arrow, (name, p)
         assert "BatchEvalPython" not in p, (name, p)
         assert "Cartesian" not in p, (name, p)
-    # the binlog gate's decode half must scan the TCP-fetched spool...
+    # the binlog gate's decode half must scan the protocol-fetched spool...
     p = plan_of(EQ.QUERIES["cdc_mysql_binlog_decode"](spark, SF))
     assert "binaryFile" in p or "FileScan" in p, p
     # ...and its encode half stays one Arrow stage over one spreading
