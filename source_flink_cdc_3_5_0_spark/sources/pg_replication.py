@@ -290,9 +290,22 @@ class PgWalToyServer:
                 write_msg(wfile, b"C", _cstr("COPY 0"))
                 write_msg(wfile, b"Z", b"I")
             elif q.upper() == "IDENTIFY_SYSTEM":
-                # minimal RowDescription-free reply is not protocol-legal;
-                # the toy answers with an empty command completion, which
-                # the in-repo client does not need anyway
+                # proper simple-query result: RowDescription ('T') for
+                # (systemid, timeline, xlogpos, dbname), one DataRow
+                # ('D'), CommandComplete, ReadyForQuery
+                cols = [("systemid", 25), ("timeline", 23),
+                        ("xlogpos", 25), ("dbname", 25)]
+                desc = struct.pack(">H", len(cols))
+                for cname, coid in cols:
+                    desc += _cstr(cname) + struct.pack(
+                        ">IHIhih", 0, 0, coid, -1, -1, 0)
+                write_msg(wfile, b"T", desc)
+                vals = [b"7000000000000000042", b"1", b"0/0",
+                        self.database.encode("utf-8")]
+                row = struct.pack(">H", len(vals))
+                for vb in vals:
+                    row += struct.pack(">i", len(vb)) + vb
+                write_msg(wfile, b"D", row)
                 write_msg(wfile, b"C", _cstr("IDENTIFY_SYSTEM"))
                 write_msg(wfile, b"Z", b"I")
             else:

@@ -260,7 +260,12 @@ def _binary_send(oid: int, v) -> bytes:
     if oid in (OID_TIMESTAMP, OID_TIMESTAMPTZ):
         if isinstance(v, str):
             v = datetime.datetime.fromisoformat(v.replace(" ", "T"))
-        delta = v - datetime.datetime(2000, 1, 1, tzinfo=v.tzinfo)
+        if v.tzinfo is not None:
+            # timestamptz stores µs since 2000-01-01 UTC: normalize the
+            # aware instant first (subtracting an epoch stamped with the
+            # VALUE's offset would shift non-UTC zones by their offset)
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        delta = v - datetime.datetime(2000, 1, 1)
         us = delta // datetime.timedelta(microseconds=1)
         return struct.pack(">q", us)
     if oid == OID_TIME:

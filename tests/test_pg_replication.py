@@ -160,3 +160,55 @@ def test_md5_auth_mode_still_works(tmp_path):
     recs = [c for n in written for c in pgoutput_changes(
         (spool / n).read_bytes()) if c["kind"] == "change"]
     assert len(recs) == 2
+
+
+def test_identify_system_is_a_legal_simple_query_result(tmp_path):
+    """IDENTIFY_SYSTEM answers with RowDescription + DataRow +
+    CommandComplete + ReadyForQuery (a real client parses this before
+    START_REPLICATION)."""
+    import base64
+    import socket
+
+    from source_flink_cdc_3_5_0_spark.sources.pg_replication import (
+        _scram_attrs, read_msg, scram_client_proof, write_msg)
+
+    src = _capture(tmp_path, n_txns=1)
+    with PgWalToyServer(str(src)) as srv:
+        with socket.create_connection((srv.host, srv.port), 10) as sock:
+            rfile = sock.makefile("rb")
+            wfile = sock.makefile("wb", buffering=0)
+            wfile.write(encode_startup("repl", "d"))
+            # SCRAM exchange (server default)
+            _, payload = read_msg(rfile)
+            cn = base64.b64encode(b"x" * 18).decode()
+            cfb = "n=,r=" + cn
+            cf = ("n,," + cfb).encode()
+            write_msg(wfile, b"p", b"SCRAM-SHA-256\x00"
+                      + struct.pack(">i", len(cf)) + cf)
+            _, payload = read_msg(rfile)
+            server_first = payload[4:].decode()
+            attrs = _scram_attrs(server_first)
+            wp = "c=biws,r=" + attrs["r"]
+            am = ",".join([cfb, server_first, wp])
+            proof, _sig = scram_client_proof(
+                "replpass", base64.b64decode(attrs["s"]),
+                int(attrs["i"]), am)
+            write_msg(wfile, b"p", (wp + ",p="
+                      + base64.b64encode(proof).decode()).encode())
+            while True:  # SASL final, auth ok, params, key, ready
+                mtype, _ = read_msg(rfile)
+                if mtype == b"Z":
+                    break
+            write_msg(wfile, b"Q", b"IDENTIFY_SYSTEM\x00")
+            mtype, payload = read_msg(rfile)
+            assert mtype == b"T"
+            assert struct.unpack(">H", payload[:2])[0] == 4
+            mtype, payload = read_msg(rfile)
+            assert mtype == b"D"
+            nvals = struct.unpack(">H", payload[:2])[0]
+            assert nvals == 4
+            mtype, _ = read_msg(rfile)
+            assert mtype == b"C"
+            mtype, _ = read_msg(rfile)
+            assert mtype == b"Z"
+            write_msg(wfile, b"X", b"")

@@ -734,3 +734,21 @@ def test_binary_float4_matches_text_bridge_value():
         assert got == float("%.9g" % got)  # no widening noise digits
     assert _binary_to_json_value(
         OID_FLOAT4, _binary_send(OID_FLOAT4, 0.1)) == 0.1
+
+
+def test_binary_timestamptz_normalizes_aware_offsets():
+    """An aware timestamptz at +05:30 must land on the same µs-since-
+    2000-UTC as its UTC equivalent (subtracting an epoch stamped with
+    the value's own offset used to shift non-UTC zones)."""
+    from source_flink_cdc_3_5_0_spark.sources.pgoutput import (
+        _binary_send, _binary_to_json_value)
+
+    ist = datetime.timezone(datetime.timedelta(hours=5, minutes=30))
+    aware = datetime.datetime(2024, 1, 2, 9, 0, 0, tzinfo=ist)
+    utc = datetime.datetime(2024, 1, 2, 3, 30, 0,
+                            tzinfo=datetime.timezone.utc)
+    assert _binary_send(OID_TIMESTAMPTZ, aware) == \
+        _binary_send(OID_TIMESTAMPTZ, utc)
+    assert _binary_to_json_value(
+        OID_TIMESTAMPTZ, _binary_send(OID_TIMESTAMPTZ, aware)) == \
+        "2024-01-02T03:30:00"
