@@ -362,11 +362,15 @@ class MysqldToyServer:
                 plugin, nonce, bytes(auth)):
             send_packet(wfile, seq + 1, _err_packet(1045, "Access denied"))
             return
+        seq += 1  # first reply packet follows the client's last one
         if plugin == "caching_sha2_password":
             # AuthMoreData "fast auth success" precedes the OK (the
-            # cache-hit path a warmed-up replica client always takes)
-            seq = send_packet(wfile, seq + 1, b"\x01\x03")
-        send_packet(wfile, seq + 1, _ok_packet())
+            # cache-hit path a warmed-up replica client always takes);
+            # send_packet RETURNS the next sequence id — adding 1 again
+            # gapped the sequence, which a real client rejects as
+            # "packets out of order"
+            seq = send_packet(wfile, seq, b"\x01\x03")
+        send_packet(wfile, seq, _ok_packet())
         while True:
             try:
                 _, cmd = read_packet(rfile)

@@ -252,19 +252,43 @@ class PgWalToyServer:
         auth_message = "%s,%s,%s" % (client_first_bare, server_first,
                                      without_proof)
         proof = base64.b64decode(attrs["p"])
-        if not scram_verify_proof(self.password, salt, iterations,
-                                  auth_message, proof):
+        # ONE key derivation serves both the proof check and the server
+        # signature (PBKDF2 at 4096 iterations is the expensive step —
+        # it used to run twice per connection)
+        salted = scram_salted_password(self.password, salt, iterations)
+        client_key = _hmac.new(salted, b"Client Key",
+                               hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        client_sig = _hmac.new(stored_key, auth_message.encode("utf-8"),
+                               hashlib.sha256).digest()
+        recovered = bytes(a ^ b for a, b in zip(proof, client_sig))
+        if hashlib.sha256(recovered).digest() != stored_key:
             return False
-        _, server_sig = scram_client_proof(self.password, salt,
-                                           iterations, auth_message)
+        server_key = _hmac.new(salted, b"Server Key",
+                               hashlib.sha256).digest()
+        server_sig = _hmac.new(server_key, auth_message.encode("utf-8"),
+                               hashlib.sha256).digest()
         write_msg(wfile, b"R", struct.pack(">I", _SASL_FINAL)
                   + b"v=" + base64.b64encode(server_sig))
         return True
 
     def _session(self, rfile, wfile) -> None:
         head = rfile.read(4)
+        if len(head) < 4:
+            return  # connection closed before startup
         n = struct.unpack(">I", head)[0]
-        params = decode_startup(rfile.read(n - 4))
+        body = rfile.read(n - 4)
+        if len(body) >= 4 and struct.unpack(">I", body[:4])[0] == 80877103:
+            # SSLRequest (libpq default sslmode=prefer sends it first):
+            # a plaintext server answers a single 'N' and the client
+            # retries in cleartext with a normal startup packet
+            wfile.write(b"N")
+            head = rfile.read(4)
+            if len(head) < 4:
+                return
+            n = struct.unpack(">I", head)[0]
+            body = rfile.read(n - 4)
+        params = decode_startup(body)
         if not self._authenticate(rfile, wfile, params):
             self._err(wfile, "password authentication failed")
             return
@@ -323,7 +347,19 @@ class PgWalToyServer:
                 data = f.read()
             pos = 0
             while pos < len(data):
+                # validate before slicing (the MySQL sibling's
+                # iter_file_events invariant): a truncated header or an
+                # overrunning length must fail HERE with coordinates,
+                # not stream a short message that mis-parses downstream
+                if pos + 12 > len(data):
+                    raise ValueError(
+                        "corrupt capture %s: truncated frame header at "
+                        "offset %d" % (name, pos))
                 lsn, ln = struct.unpack_from(">QI", data, pos)
+                if pos + 12 + ln > len(data):
+                    raise ValueError(
+                        "corrupt capture %s: frame at offset %d claims "
+                        "%d bytes past EOF" % (name, pos, ln))
                 msg = data[pos + 12:pos + 12 + ln]
                 pos += 12 + ln
                 xlog = (b"w" + struct.pack(">QQQ", lsn, lsn + ln, clock)
@@ -356,7 +392,8 @@ class PgWalToyServer:
 #: pgoutput message tags that open/affect decoder state and must be
 #: re-emitted when a spool file rolls (the file decoder is per-file)
 _CACHED_TAGS = (0x52, 0x59)  # 'R' Relation, 'Y' Type
-_COMMIT_TAGS = (0x43, 0x63, 0x41)  # 'C' Commit, 'c' StreamCommit, 'A' abort
+_COMMIT_TAGS = (0x43, 0x63)  # 'C' Commit, 'c' StreamCommit
+_STREAM_START, _STREAM_STOP, _STREAM_ABORT = 0x53, 0x45, 0x41
 
 
 def start_replication_stream(host: str, port: int, spool_dir: str, *,
@@ -367,15 +404,23 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
                              timeout: float = 30.0) -> list[str]:
     """Connect as a logical-replication client, START_REPLICATION, and
     respool the XLogData stream into capture files (u64 LSN + u32 length
-    frames). Files roll on COMMIT boundaries every ``commits_per_file``
-    commits, re-emitting cached Relation/Type messages at each roll so
-    every file decodes independently. Returns the file names written."""
+    frames). Files roll ONLY on commit boundaries with NO v2 streamed
+    transaction still open (every ``commits_per_file`` commits) —
+    splitting a streamed transaction's segments from its Stream Commit
+    would make the earlier file raise at decode and the later one drop
+    the rows. Cached Relation/Type messages re-emit at each roll so
+    every file decodes independently; a Relation captured INSIDE a
+    stream segment carries a 4-byte xid prefix that is stripped before
+    caching (the re-emit lands outside any segment). Returns the file
+    names written."""
     os.makedirs(spool_dir, exist_ok=True)
     written: list[str] = []
     relations: dict[tuple[int, int], bytes] = {}  # (tag, oid) -> frame
     buf = bytearray()
     commits = 0
     file_no = 1
+    in_segment = False          # between Stream Start and Stream Stop
+    open_streams: set[int] = set()  # xids streaming but not yet ended
 
     def flush() -> None:
         nonlocal buf, file_no
@@ -494,22 +539,45 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
             lsn, _end, _clock = struct.unpack_from(">QQQ", payload, 1)
             msg = payload[25:]
             tag = msg[0]
+            if tag == _STREAM_START:
+                in_segment = True
+                open_streams.add(struct.unpack_from(">I", msg, 1)[0])
+            elif tag == _STREAM_STOP:
+                in_segment = False
+            elif tag == 0x63:  # Stream Commit closes the xid
+                open_streams.discard(struct.unpack_from(">I", msg, 1)[0])
+            elif tag == _STREAM_ABORT:
+                xid, subxid = struct.unpack_from(">II", msg, 1)
+                if xid == subxid:  # whole-txn abort; subxact keeps going
+                    open_streams.discard(xid)
             if tag in _CACHED_TAGS:
-                oid = struct.unpack_from(">I", msg, 1)[0]
-                relations[(tag, oid)] = frame(lsn, msg)
+                # inside a stream segment the v2 protocol prefixes the
+                # 4-byte xid — strip it for the cache so a re-emit at a
+                # file start (always OUTSIDE any segment) parses; the
+                # oid then sits right after the tag either way
+                cached = (msg[0:1] + msg[5:]) if in_segment else msg
+                oid = struct.unpack_from(">I", cached, 1)[0]
+                relations[(tag, oid)] = frame(lsn, cached)
             if not buf and relations:
                 # a fresh file must re-declare every relation its rows
                 # may use (the per-file decoder has no session state);
                 # the cache already holds the CURRENT message if it is
-                # itself a Relation/Type, so emit the cache and move on
+                # itself an out-of-segment Relation/Type, so emit the
+                # cache and move on (an in-segment Relation still goes
+                # into the file below, xid intact)
                 for f in relations.values():
                     buf += f
-                if tag in _CACHED_TAGS:
+                if tag in _CACHED_TAGS and not in_segment:
                     continue
             buf += frame(lsn, msg)
-            if tag in _COMMIT_TAGS:
+            if tag in _COMMIT_TAGS or (
+                    tag == _STREAM_ABORT and not open_streams):
                 commits += 1
-                if commits >= commits_per_file:
+                # roll ONLY with no streamed transaction open and no
+                # segment in flight: a split stream would raise at the
+                # earlier file's EOF and lose rows at the later one
+                if commits >= commits_per_file and not open_streams \
+                        and not in_segment:
                     commits = 0
                     flush()
         # drain CommandComplete / ReadyForQuery, then terminate politely

@@ -275,10 +275,13 @@ def test_auth_switch_request_moves_client_onto_server_plugin(tmp_path):
             assert pkt[1:p_end] == b"caching_sha2_password"
             nonce = pkt[p_end + 1:].rstrip(b"\x00")
             send_packet(wfile, 3, caching_sha2_scramble("replpass", nonce))
-            _, more = read_packet(rfile)
+            s1, more = read_packet(rfile)
             assert more == b"\x01\x03"      # fast auth success
-            _, ok = read_packet(rfile)
+            s2, ok = read_packet(rfile)
             assert ok[:1] == b"\x00"        # authenticated
+            # contiguous sequence ids: real clients reject gaps as
+            # "packets out of order"
+            assert (s1, s2) == (4, 5)
 
 
 def test_dump_multi_file_and_resume_position(tmp_path):

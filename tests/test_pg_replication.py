@@ -212,3 +212,54 @@ def test_identify_system_is_a_legal_simple_query_result(tmp_path):
             mtype, _ = read_msg(rfile)
             assert mtype == b"Z"
             write_msg(wfile, b"X", b"")
+
+
+def test_rolls_never_split_streamed_transactions(tmp_path):
+    """A v2 streamed transaction interleaved with small commits must
+    never be split across spool files (the earlier file would raise at
+    decode and the later one would drop the rows), and a Relation
+    declared INSIDE a stream segment re-emits at file starts with its
+    xid prefix stripped. commits_per_file=1 forces the most aggressive
+    rolling."""
+    src = tmp_path / "wal"
+    src.mkdir()
+    w = PgOutputWriter()
+    w.relation(REL)
+    # open a streamed txn and declare a SECOND relation inside it
+    rel2 = PgRelation(701, "public", "t2", "d", (
+        PgColumn("id", OID_INT8, key=True),))
+    w.stream_start(900)
+    w.relation(rel2)
+    w.insert(rel2, {"id": 100})
+    w.stream_stop()
+    # small committed txns while the stream is open — every one is a
+    # roll candidate the guard must refuse
+    for i in range(3):
+        w.begin()
+        w.insert(REL, {"id": i, "v": "v%d" % i})
+        w.commit()
+    w.stream_start(900, first_segment=False)
+    w.insert(rel2, {"id": 101})
+    w.stream_stop()
+    w.stream_commit(900)
+    # one more small txn AFTER the stream closed (rolls freely; its file
+    # must re-declare rel2 from the xid-stripped cache)
+    w.begin()
+    w.insert(rel2, {"id": 102})
+    w.commit()
+    (src / "cap.000001").write_bytes(w.getvalue())
+
+    spool = tmp_path / "spool"
+    with PgWalToyServer(str(src)) as srv:
+        written = start_replication_stream(srv.host, srv.port, str(spool),
+                                           commits_per_file=1)
+    assert len(written) >= 2  # it did roll — just never mid-stream
+    all_changes = []
+    for n in written:
+        # every file decodes INDEPENDENTLY — no open-stream raise
+        all_changes += [c for c in pgoutput_changes(
+            (spool / n).read_bytes()) if c["kind"] == "change"]
+    got = sorted((c["table"], c["after"]["id"]) for c in all_changes)
+    assert got == sorted(
+        [("t", 0), ("t", 1), ("t", 2), ("t2", 100), ("t2", 101),
+         ("t2", 102)])
