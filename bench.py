@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "cdc_mysql_binlog_decode",
     "cdc_pgoutput_decode",
     "cdc_pgoutput_binary_decode",
+    "cdc_pgoutput_walsender_decode",
     "cdc_sqlserver_changetable",
     "cdc_db2_asn",
     "cdc_oracle_logminer",

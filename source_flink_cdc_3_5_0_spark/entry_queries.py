@@ -2452,6 +2452,64 @@ FROM part WHERE p_partkey % 9 <> 0
 """
 
 
+def q_cdc_pgoutput_walsender_decode(spark, sf_dir):
+    """pgoutput over the REAL PostgreSQL replication protocol, end-to-end
+    under the oracle (the walsender sibling of the binlog gate's
+    transport hop): the distributed encode job writes one pgoutput
+    capture file per task into a served directory, `PgWalToyServer`
+    serves them as a logical slot — v3 startup, SCRAM-SHA-256 mutual
+    auth, START_REPLICATION → CopyBoth, one XLogData frame per message,
+    standby status updates — and `start_replication_stream` (the same
+    client the YAML `protocol: postgres` surface uses,
+    `sources/pg_replication.py`) respools the stream on commit
+    boundaries with per-file Relation re-declaration before the decode
+    half reads the SPOOL. Transport + auth + codec all driver-signed;
+    values identical to `cdc_pgoutput_decode` (same churn, same oracle).
+
+    Scale shape: the decode half is the standard one Arrow bridge stage
+    + one materialize key shuffle over the respooled files; the encode
+    runs as its own job (a real server materializes its WAL before any
+    client streams it)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.debezium import decode_debezium
+    from .sources.pg_replication import (PgWalToyServer,
+                                         start_replication_stream)
+    from .sources.pgoutput import (pgoutput_to_debezium_json,
+                                   read_pgoutput_files)
+
+    served = tempfile.mkdtemp(prefix="pgwal-served-")
+    spool = tempfile.mkdtemp(prefix="pgwal-spool-")
+    atexit.register(shutil.rmtree, spool, ignore_errors=True)
+
+    def write_file(row):
+        tmp = os.path.join(served, row.path + ".part")
+        with open(tmp, "wb") as f:
+            f.write(bytes(row.content))
+        os.replace(tmp, os.path.join(served, row.path))
+
+    try:
+        pgoutput_capture_files(spark, sf_dir).foreach(write_file)
+        with PgWalToyServer(served) as srv:
+            fetched = start_replication_stream(srv.host, srv.port, spool)
+    finally:
+        shutil.rmtree(served, ignore_errors=True)
+    if not fetched:
+        raise ValueError("walsender transport fetched no capture files")
+
+    files = read_pgoutput_files(spark, spool)
+    raw = pgoutput_to_debezium_json(files)
+    env = decode_debezium(raw, PGOUTPUT_PART_PAYLOAD)
+    out = latest_image(env, ["p_partkey"], seq_col=SEQ_COL)
+    return out.select(
+        "p_partkey", "p_name", "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("long")
+        .alias("price_cents"))
+
+
 def q_cdc_pgoutput_binary_decode(spark, sf_dir):
     """pgoutput BINARY send format end-to-end (PG14+ publication created
     WITH (binary = true), the `PostgresDataSourceOptions.java:68-73`
@@ -6577,6 +6635,7 @@ QUERIES: dict[str, object] = {
     # is re-derived from CORRECTNESS_r*.json each round (the committed
     # literal is the derivation's output, asserted fresh by
     # test_registry_consistency).
+    "cdc_pgoutput_walsender_decode": q_cdc_pgoutput_walsender_decode,
     "cdc_pgoutput_binary_decode": q_cdc_pgoutput_binary_decode,
     "pk_bucket_distribution": q_pk_bucket_distribution,
     "agg_pricing_summary": q_agg_pricing_summary,
@@ -6726,6 +6785,7 @@ QUERIES: dict[str, object] = {
 ORACLES: dict[str, str] = {
     "cdc_mysql_binlog_decode": ORACLE_MYSQL_BINLOG_DECODE,
     "cdc_pgoutput_decode": ORACLE_PGOUTPUT_DECODE,
+    "cdc_pgoutput_walsender_decode": ORACLE_PGOUTPUT_DECODE,
     "cdc_pgoutput_binary_decode": ORACLE_PGOUTPUT_BINARY_DECODE,
     "cdc_sqlserver_changetable": ORACLE_SQLSERVER_CHANGETABLE,
     "cdc_db2_asn": ORACLE_DB2_ASN,

@@ -479,6 +479,9 @@ def test_wire_decoder_plan_shapes(spark):
         "cdc_mysql_binlog_decode": (1, 1),  # decode half; encode below
         "cdc_pgoutput_decode": (2, 2),
         "cdc_pgoutput_binary_decode": (2, 2),
+        # walsender-routed twin: decode half over the respooled files
+        # (one Arrow bridge + materialize exchange), encode in its own job
+        "cdc_pgoutput_walsender_decode": (1, 1),
         "cdc_sqlserver_changetable": (1, 0),
         "cdc_db2_asn": (3, 0),
         "cdc_oracle_logminer": (1, 2),
