@@ -1056,28 +1056,53 @@ def pgoutput_to_debezium_json(files, start_lsn: int | None = None):
                         continue
                     if c["kind"] == "schema":
                         rec = {"ddl": c["ddl"], "ts_ms": ts_ms, "seq": seq}
+                        values.append(_json.dumps(rec,
+                                                  separators=(",", ":")))
+                        offsets.append(seq)
                     elif c["kind"] == "truncate":
                         rec = {"ddl": {"type": "TRUNCATE_TABLE",
                                        "table": f"{c['database']}."
                                                 f"{c['table']}"},
                                "ts_ms": ts_ms, "seq": seq}
+                        values.append(_json.dumps(rec,
+                                                  separators=(",", ":")))
+                        offsets.append(seq)
                     else:
                         op = {"+I": "c", "+U": "u", "-D": "d"}[c["op"]]
-                        rec = {
-                            "before": c["before"],
-                            "after": c["after"],
-                            "op": op,
-                            "ts_ms": ts_ms,
-                            "source": {
-                                "db": None, "schema": c["database"],
-                                "table": c["table"],
-                                "lsn": str(c["commit_lsn"]),
-                                **({"txId": str(c["txId"])}
-                                   if c["txId"] is not None else {}),
-                            },
+                        source = {
+                            "db": None, "schema": c["database"],
+                            "table": c["table"],
+                            "lsn": str(c["commit_lsn"]),
+                            **({"txId": str(c["txId"])}
+                               if c["txId"] is not None else {}),
                         }
-                    values.append(_json.dumps(rec, separators=(",", ":")))
-                    offsets.append(seq)
+                        keys = c.get("keys") or ()
+                        if op == "u" and c["before"] is not None and any(
+                                k in c["before"]
+                                and c["before"][k] != c["after"].get(k)
+                                for k in keys):
+                            # Debezium parity: a primary-key-changing
+                            # UPDATE ships as a DELETE of the old key +
+                            # a CREATE under the new key (Debezium docs,
+                            # "update events ... with a changed key");
+                            # a single 'u' would leave the old key's
+                            # last image standing in any keyed consumer
+                            recs = [
+                                {"before": c["before"], "after": None,
+                                 "op": "d", "ts_ms": ts_ms,
+                                 "source": source},
+                                {"before": None, "after": c["after"],
+                                 "op": "c", "ts_ms": ts_ms,
+                                 "source": source},
+                            ]
+                        else:
+                            recs = [{"before": c["before"],
+                                     "after": c["after"], "op": op,
+                                     "ts_ms": ts_ms, "source": source}]
+                        for rec in recs:
+                            values.append(_json.dumps(
+                                rec, separators=(",", ":")))
+                            offsets.append(seq)
                     if len(values) >= CHUNK:
                         yield pd.DataFrame(
                             {"value": pd.Series(values, dtype=object),
