@@ -198,6 +198,11 @@ EXCLUDED_QUERIES = {
     "jdbc_chunk_plan": "chunk-split plan math over table metadata — "
                        "O(chunks) driver work, no data path to time",
     "jdbc_chunk_plan_uneven": "same as jdbc_chunk_plan (uneven walk)",
+    "cdc_pgoutput_real_server_decode":
+        "real-PostgreSQL interop gate — wall time is initdb + cluster "
+        "startup + server-side churn (control-plane), not data-path "
+        "throughput; the decode path it shares is timed by "
+        "cdc_pgoutput_decode / cdc_pgoutput_walsender_decode",
 }
 
 # Sink-lifecycle / GC-sensitive queries whose wall time is IO-variance
@@ -349,6 +354,12 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "spread": spreads,
+        # measurement-protocol stamp (ADVICE r7): VARIANCE_QUERIES gained
+        # two untimed warm-ups in round 7 — records before that were
+        # taken cold, so trend readers must not conflate the protocol
+        # change with real drift. First stamped record: round 8.
+        "warmups": {"variance_queries": 2, "other_queries": 0,
+                    "protocol_since": "r7"},
         "sf": sf_val,
         "run_id": run_id,
         "host": platform.node(),

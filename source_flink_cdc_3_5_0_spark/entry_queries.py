@@ -6733,69 +6733,18 @@ WHERE rn = 1
 QUERIES: dict[str, object] = {
     # --- Driver-coverage ordering -------------------------------------
     # The correctness driver samples the FIRST 50 entries of this dict.
-    # Round-7 ordering (verdict r6 item 4 — rotation hygiene): entries
-    # sorted by OLDEST last-green driver round first, so the window
-    # re-validates the stalest evidence each round:
+    # Rotation contract (verdict r6 item 4): entries sorted by OLDEST
+    # last-green driver round first, so every round's sample
+    # re-validates the stalest evidence. Round-8 derivation
+    # (CORRECTNESS_r01..r07):
     #   1. never-driver-checked (new this round):
-    #      cdc_pgoutput_binary_decode
-    #   2. the r03-green cohort (38 queries, three rounds stale —
-    #      sink_upsert_merge, codec_*_roundtrip, transform_udf, ...)
-    #   3. r04-green, then r05, then r06 (freshest last).
-    # The r03∪r04∪r05∪r06 union covers the whole registry; this order
-    # is re-derived from CORRECTNESS_r*.json each round (the committed
+    #      cdc_pgoutput_real_server_decode
+    #   2. the r04-green cohort (39 queries, four rounds stale)
+    #   3. r05 (6), then r06 (50), then r07 (50, freshest last).
+    # The r04∪...∪r07 union covers the whole previous registry; this
     # literal is the derivation's output, asserted fresh by
-    # test_registry_consistency).
+    # test_registry_consistency.
     "cdc_pgoutput_real_server_decode": q_cdc_pgoutput_real_server_decode,
-    "cdc_pgoutput_walsender_decode": q_cdc_pgoutput_walsender_decode,
-    "cdc_pgoutput_binary_decode": q_cdc_pgoutput_binary_decode,
-    "pk_bucket_distribution": q_pk_bucket_distribution,
-    "agg_pricing_summary": q_agg_pricing_summary,
-    "join_shipping_priority": q_join_shipping_priority,
-    "join_region_rollup": q_join_region_rollup,
-    "agg_cube_orders": q_agg_cube_orders,
-    "window_top_orders": q_window_top_orders,
-    "join_anti_customers_no_orders": q_join_anti_customers_no_orders,
-    "join_semi_customers_with_orders": q_join_semi_customers_with_orders,
-    "distinct_order_attrs": q_distinct_order_attrs,
-    "text_token_stats": q_text_token_stats,
-    "text_lang_id": q_text_lang_id,
-    "dedup_exact": q_dedup_exact,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "embedding_neardup": q_embedding_neardup,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_components": q_dedup_components,
-    "dedup_simhash": q_dedup_simhash,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "multimodal_features": q_multimodal_features,
-    "asof_join_events": q_asof_join_events,
-    "interval_join_events": q_interval_join_events,
-    "window_running_total": q_window_running_total,
-    "array_functions": q_array_functions,
-    "transform_udf": q_transform_udf,
-    "transform_soft_delete": q_transform_soft_delete,
-    "codec_debezium_roundtrip": q_codec_debezium_roundtrip,
-    "codec_canal_roundtrip": q_codec_canal_roundtrip,
-    "zoned_timestamp_roundtrip": q_zoned_timestamp_roundtrip,
-    "stream_windowed_counts": q_stream_windowed_counts,
-    "sink_upsert_merge": q_sink_upsert_merge,
-    "sink_jdbc_upsert": q_sink_jdbc_upsert,
-    "transform_op_ts_metadata": q_transform_op_ts_metadata,
-    "text_ngram_top": q_text_ngram_top,
-    "text_tfidf_top_terms": q_text_tfidf_top_terms,
-    "text_redact_pii": q_text_redact_pii,
-    "sessionize_events": q_sessionize_events,
-    "doc_length_percentiles": q_doc_length_percentiles,
-    "agg_event_type_pivot": q_agg_event_type_pivot,
-    "sample_quota_per_lang": q_sample_quota_per_lang,
-    "jdbc_chunk_plan_uneven": q_jdbc_chunk_plan_uneven,
-    "cdc_schema_evolution_ignore": q_cdc_schema_evolution_ignore,
-    "skew_salted_agg": q_skew_salted_agg,
-    "json_extract_props": q_json_extract_props,
-    "text_repetition": q_text_repetition,
-    "sketch_kmv_distinct": q_sketch_kmv_distinct,
-    "sketch_kmv_by_group": q_sketch_kmv_by_group,
-    "cdc_truncate_drop": q_cdc_truncate_drop,
-    "cdc_postgres_pipeline": q_cdc_postgres_pipeline,
     "dedup_lines": q_dedup_lines,
     "sample_token_budget": q_sample_token_budget,
     "text_quality_filters": q_text_quality_filters,
@@ -6891,6 +6840,56 @@ QUERIES: dict[str, object] = {
     "transform_string_funcs": q_transform_string_funcs,
     "transform_conditional": q_transform_conditional,
     "transform_casting": q_transform_casting,
+    "cdc_pgoutput_walsender_decode": q_cdc_pgoutput_walsender_decode,
+    "cdc_pgoutput_binary_decode": q_cdc_pgoutput_binary_decode,
+    "pk_bucket_distribution": q_pk_bucket_distribution,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "join_shipping_priority": q_join_shipping_priority,
+    "join_region_rollup": q_join_region_rollup,
+    "agg_cube_orders": q_agg_cube_orders,
+    "window_top_orders": q_window_top_orders,
+    "join_anti_customers_no_orders": q_join_anti_customers_no_orders,
+    "join_semi_customers_with_orders": q_join_semi_customers_with_orders,
+    "distinct_order_attrs": q_distinct_order_attrs,
+    "text_token_stats": q_text_token_stats,
+    "text_lang_id": q_text_lang_id,
+    "dedup_exact": q_dedup_exact,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_components": q_dedup_components,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "multimodal_features": q_multimodal_features,
+    "asof_join_events": q_asof_join_events,
+    "interval_join_events": q_interval_join_events,
+    "window_running_total": q_window_running_total,
+    "array_functions": q_array_functions,
+    "transform_udf": q_transform_udf,
+    "transform_soft_delete": q_transform_soft_delete,
+    "codec_debezium_roundtrip": q_codec_debezium_roundtrip,
+    "codec_canal_roundtrip": q_codec_canal_roundtrip,
+    "zoned_timestamp_roundtrip": q_zoned_timestamp_roundtrip,
+    "stream_windowed_counts": q_stream_windowed_counts,
+    "sink_upsert_merge": q_sink_upsert_merge,
+    "sink_jdbc_upsert": q_sink_jdbc_upsert,
+    "transform_op_ts_metadata": q_transform_op_ts_metadata,
+    "text_ngram_top": q_text_ngram_top,
+    "text_tfidf_top_terms": q_text_tfidf_top_terms,
+    "text_redact_pii": q_text_redact_pii,
+    "sessionize_events": q_sessionize_events,
+    "doc_length_percentiles": q_doc_length_percentiles,
+    "agg_event_type_pivot": q_agg_event_type_pivot,
+    "sample_quota_per_lang": q_sample_quota_per_lang,
+    "jdbc_chunk_plan_uneven": q_jdbc_chunk_plan_uneven,
+    "cdc_schema_evolution_ignore": q_cdc_schema_evolution_ignore,
+    "skew_salted_agg": q_skew_salted_agg,
+    "json_extract_props": q_json_extract_props,
+    "text_repetition": q_text_repetition,
+    "sketch_kmv_distinct": q_sketch_kmv_distinct,
+    "sketch_kmv_by_group": q_sketch_kmv_by_group,
+    "cdc_truncate_drop": q_cdc_truncate_drop,
+    "cdc_postgres_pipeline": q_cdc_postgres_pipeline,
 }
 
 ORACLES: dict[str, str] = {

@@ -50,14 +50,19 @@ from .mysql_binlog import _file_sort_key
 
 # capability flags (include/mysql_com.h — public constants)
 CLIENT_LONG_PASSWORD = 0x00000001
+CLIENT_CONNECT_WITH_DB = 0x00000008
 CLIENT_PROTOCOL_41 = 0x00000200
 CLIENT_SECURE_CONNECTION = 0x00008000
 CLIENT_PLUGIN_AUTH = 0x00080000
+CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA = 0x00200000
 
 COM_QUIT = 0x01
+COM_QUERY = 0x03
 COM_REGISTER_SLAVE = 0x15
 COM_BINLOG_DUMP = 0x12
 BINLOG_DUMP_NON_BLOCK = 0x01
+_FORMAT_DESCRIPTION_EVENT = 0x0F
+_CHECKSUM_CRC32 = 1
 
 _BINLOG_MAGIC = b"\xfebin"
 _ROTATE_EVENT = 0x04
@@ -237,19 +242,50 @@ def encode_handshake_response(user: str, password: str, nonce: bytes,
     return body
 
 
+def _lenenc_int(body: bytes, pos: int) -> tuple[int, int]:
+    """MySQL length-encoded integer -> (value, next_pos)."""
+    first = body[pos]
+    if first < 0xFB:
+        return first, pos + 1
+    if first == 0xFC:
+        return struct.unpack_from("<H", body, pos + 1)[0], pos + 3
+    if first == 0xFD:
+        return int.from_bytes(body[pos + 1:pos + 4], "little"), pos + 4
+    if first == 0xFE:
+        return struct.unpack_from("<Q", body, pos + 1)[0], pos + 9
+    raise ValueError("invalid length-encoded integer prefix 0x%02x"
+                     % first)
+
+
 def decode_handshake_response(body: bytes) -> dict:
     caps = struct.unpack_from("<I", body, 0)[0]
     if not caps & CLIENT_PROTOCOL_41:
         raise ValueError("client does not speak protocol 4.1")
     pos = 4 + 4 + 1 + 23
     user, pos = _cstr(body, pos)
-    alen = body[pos]
-    pos += 1
+    # auth-response length: lenenc when the client announced
+    # CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA, else the 1-byte form
+    # (ADVICE r7: ignoring the bit misparsed real clients)
+    if caps & CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA:
+        alen, pos = _lenenc_int(body, pos)
+    else:
+        alen = body[pos]
+        pos += 1
     auth = body[pos:pos + alen]
     pos += alen
-    plugin, _ = _cstr(body, pos) if pos < len(body) else (b"", pos)
+    database = None
+    if caps & CLIENT_CONNECT_WITH_DB and pos < len(body):
+        # the database cstring sits BETWEEN the auth response and the
+        # plugin name (ADVICE r7: it used to be misread as the plugin,
+        # forcing a spurious auth switch)
+        db, pos = _cstr(body, pos)
+        database = db.decode()
+    plugin = b""
+    if caps & CLIENT_PLUGIN_AUTH and pos < len(body):
+        plugin, pos = _cstr(body, pos)
     return {"capabilities": caps, "user": user.decode(),
-            "auth_response": auth, "auth_plugin": plugin.decode()}
+            "auth_response": auth, "database": database,
+            "auth_plugin": plugin.decode()}
 
 
 def _ok_packet() -> bytes:
@@ -306,13 +342,17 @@ class MysqldToyServer:
     def __init__(self, directory: str, user: str = "repl",
                  password: str = "replpass",
                  auth_plugin: str = "caching_sha2_password",
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0,
+                 force_full_auth: bool = False):
         if auth_plugin not in ("caching_sha2_password",
                                "mysql_native_password"):
             raise ValueError("unsupported auth plugin %r" % auth_plugin)
         self.directory = directory
         self.user, self.password = user, password
         self.auth_plugin = auth_plugin
+        #: mimic a cold caching_sha2 cache: request FULL authentication
+        #: (AuthMoreData 0x04) — the client's documented refusal path
+        self.force_full_auth = force_full_auth
         outer = self
 
         class Handler(socketserver.StreamRequestHandler):
@@ -363,6 +403,11 @@ class MysqldToyServer:
             send_packet(wfile, seq + 1, _err_packet(1045, "Access denied"))
             return
         seq += 1  # first reply packet follows the client's last one
+        if plugin == "caching_sha2_password" and self.force_full_auth:
+            # cold cache: perform_full_authentication — the plain-TCP
+            # client refuses (RSA/TLS path is environment-gated)
+            send_packet(wfile, seq, b"\x01\x04")
+            return
         if plugin == "caching_sha2_password":
             # AuthMoreData "fast auth success" precedes the OK (the
             # cache-hit path a warmed-up replica client always takes);
@@ -378,6 +423,11 @@ class MysqldToyServer:
                 return
             if not cmd or cmd[0] == COM_QUIT:
                 return
+            if cmd[0] == COM_QUERY:
+                # session SETs (checksum announcement etc.): OK reply,
+                # like mysqld answers a resultset-free statement
+                send_packet(wfile, 1, _ok_packet())
+                continue
             if cmd[0] == COM_REGISTER_SLAVE:
                 send_packet(wfile, 1, _ok_packet())
                 continue
@@ -399,14 +449,32 @@ class MysqldToyServer:
                      if _file_sort_key(n) >= _file_sort_key(from_file)]
         return names
 
+    @staticmethod
+    def _declares_crc32(data: bytes) -> bool:
+        """Does the file's FDE (first event after the magic) declare
+        CRC32? Real mysqld checksums its ARTIFICIAL rotate events too
+        when the client announced checksum awareness — the toy mirrors
+        that so the client's trailer stripping faces real shapes."""
+        if len(data) < 4 + 19:
+            return False
+        ln = struct.unpack_from("<I", data, 4 + 9)[0]
+        fde = data[4:4 + ln]
+        return (len(fde) >= 24 and fde[4] == _FORMAT_DESCRIPTION_EVENT
+                and fde[-5] == _CHECKSUM_CRC32)
+
     def _stream(self, wfile, from_file: str, pos: int, flags: int) -> None:
+        import zlib
+
         seq = 1
         for name in self._files_from(from_file):
             with open(os.path.join(self.directory, name), "rb") as f:
                 data = f.read()
-            # fake ROTATE names the file the following events belong to
-            seq = send_packet(wfile, seq,
-                              b"\x00" + _rotate_event(name, 4))
+            # fake ROTATE names the file the following events belong to;
+            # CRC32-checksummed like the served file (real-server shape)
+            rot = _rotate_event(name, 4)
+            if self._declares_crc32(data):
+                rot += struct.pack("<I", zlib.crc32(rot))
+            seq = send_packet(wfile, seq, b"\x00" + rot)
             for ev in iter_file_events(data):
                 seq = send_packet(wfile, seq, b"\x00" + ev)
         seq = send_packet(wfile, seq, b"\xfe\x00\x00\x02\x00")  # EOF
@@ -430,13 +498,23 @@ class MysqldToyServer:
 def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
                        user: str = "repl", password: str = "replpass",
                        from_file: str | None = None, server_id: int = 2,
-                       timeout: float = 30.0) -> list[str]:
+                       timeout: float = 30.0,
+                       stop_at: tuple[str, int] | None = None
+                       ) -> list[str]:
     """BinaryLogClient analog over the REAL protocol: handshake + auth +
-    COM_REGISTER_SLAVE + COM_BINLOG_DUMP(non-blocking), respooling the
+    ``SET @master_binlog_checksum`` announcement (a real mysqld with
+    binlog_checksum=CRC32 refuses the dump to a client that has not
+    announced checksum awareness — same as mysql-binlog-connector-java)
+    + COM_REGISTER_SLAVE + COM_BINLOG_DUMP(non-blocking), respooling the
     event stream into self-describing binlog files (magic + events,
     split at ROTATE boundaries; the synthetic timestamp-0 rotates name
     the files and are not written into them). Returns the file names
-    written, numeric order."""
+    written, numeric order.
+
+    ``stop_at`` = (file, position): bounded stop for BLOCKING dump
+    sessions (a real mysqld without NON_BLOCK streams forever, the
+    walsender-termination lesson of round 8) — the client stops cleanly
+    once the named file reaches end_log_pos >= position."""
     os.makedirs(spool_dir, exist_ok=True)
     written: list[str] = []
     with socket.create_connection((host, port), timeout=timeout) as sock:
@@ -480,6 +558,16 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
                 send_packet(wfile, seq, scr)
                 continue
             raise ValueError("unexpected auth packet %r" % reply[:10])
+        # announce checksum awareness (mysql-binlog-connector-java's
+        # first statement): without it a CRC32-checksumming mysqld
+        # refuses the dump outright
+        send_packet(wfile, 0, bytes([COM_QUERY])
+                    + b"SET @master_binlog_checksum= "
+                      b"@@global.binlog_checksum")
+        _, reply = read_packet(rfile)
+        if reply[:1] == b"\xff":
+            raise ValueError("checksum announcement refused: %r"
+                             % reply[:40])
         # register as a replica, then ask for the stream
         send_packet(wfile, 0, bytes([COM_REGISTER_SLAVE])
                     + struct.pack("<I", server_id) + b"\x00" * 18)
@@ -504,6 +592,29 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
                 os.replace(tmp, dest)
                 written.append(name)
 
+        # checksum state: None until the first FDE declares the
+        # stream's algorithm (5.6.1+ FDEs always carry the alg byte
+        # before their own 4-byte trailer). An artificial ROTATE's file
+        # name must drop the CRC32 trailer (ADVICE r7) — and the dump's
+        # FIRST rotate precedes the FDE, so its name resolves LAZILY
+        # once the algorithm is known (ascii heuristic only in the
+        # no-FDE-at-all corner).
+        crc32: bool | None = None
+        raw_name: bytes | None = None
+
+        def resolve_name() -> str | None:
+            if raw_name is None:
+                return None
+            raw = raw_name
+            if crc32:
+                raw = raw[:-4]
+            elif crc32 is None:
+                try:
+                    raw.decode("ascii")
+                except UnicodeDecodeError:
+                    raw = raw[:-4]
+            return raw.decode("ascii")
+
         while True:
             _, pkt = read_packet(rfile)
             if pkt[:1] == b"\xfe" and len(pkt) < 9:
@@ -514,12 +625,22 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
                 raise ValueError("unexpected packet prefix %r" % pkt[:1])
             ev = pkt[1:]
             ts, etype = struct.unpack_from("<IB", ev, 0)
+            if etype == _FORMAT_DESCRIPTION_EVENT and crc32 is None:
+                crc32 = len(ev) >= 24 and ev[-5] == _CHECKSUM_CRC32
+                name = resolve_name()
             if etype == _ROTATE_EVENT and ts == 0:
                 flush()  # synthetic rotate: next file begins
-                name = ev[27:].decode("ascii")
+                raw_name = ev[27:]
+                name = resolve_name()
                 current = bytearray(_BINLOG_MAGIC)
-            elif current is not None:
+                continue
+            if current is not None:
                 current += ev
+                if stop_at is not None and name == stop_at[0]:
+                    end_log_pos = struct.unpack_from("<I", ev, 13)[0]
+                    if end_log_pos >= stop_at[1]:
+                        break  # bounded stop: blocking dumps end here
+        name = resolve_name()  # no-FDE corner: resolve before flushing
         flush()
         try:
             send_packet(wfile, 0, bytes([COM_QUIT]))

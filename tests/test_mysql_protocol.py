@@ -316,3 +316,137 @@ def test_dump_multi_file_and_resume_position(tmp_path):
     for name in resumed:
         assert (tmp_path / "s_resume" / name).read_bytes() == \
             originals[name]
+
+
+# ---------------------------------------------------------------------------
+# round-8 ADVICE + transport-contract regressions
+# ---------------------------------------------------------------------------
+
+
+def test_handshake_response_with_db_and_lenenc_auth():
+    """ADVICE r7: a real client setting CLIENT_CONNECT_WITH_DB sends a
+    database cstring between the auth response and the plugin name, and
+    CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA switches the auth-response
+    length to lenenc. The old parser read the database as the plugin
+    name, forcing a spurious auth switch."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_protocol import (
+        CLIENT_CONNECT_WITH_DB, CLIENT_PLUGIN_AUTH,
+        CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA, CLIENT_PROTOCOL_41)
+
+    caps = (CLIENT_PROTOCOL_41 | CLIENT_CONNECT_WITH_DB
+            | CLIENT_PLUGIN_AUTH | CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA)
+    auth = bytes(range(32))
+    body = (struct.pack("<I", caps) + struct.pack("<I", 1 << 24)
+            + bytes([0x21]) + b"\x00" * 23
+            + b"repl\x00"
+            + bytes([len(auth)]) + auth      # lenenc (short form)
+            + b"shop\x00"                    # database
+            + b"mysql_native_password\x00")
+    resp = decode_handshake_response(body)
+    assert resp["user"] == "repl"
+    assert resp["auth_response"] == auth
+    assert resp["database"] == "shop"
+    assert resp["auth_plugin"] == "mysql_native_password"
+
+
+def test_handshake_response_lenenc_two_byte_length():
+    from source_flink_cdc_3_5_0_spark.sources.mysql_protocol import (
+        CLIENT_PLUGIN_AUTH, CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA,
+        CLIENT_PROTOCOL_41)
+
+    caps = (CLIENT_PROTOCOL_41 | CLIENT_PLUGIN_AUTH
+            | CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA)
+    auth = b"\xaa" * 300                     # needs the 0xFC 2-byte form
+    body = (struct.pack("<I", caps) + struct.pack("<I", 1 << 24)
+            + bytes([0x21]) + b"\x00" * 23 + b"u\x00"
+            + b"\xfc" + struct.pack("<H", 300) + auth
+            + b"caching_sha2_password\x00")
+    resp = decode_handshake_response(body)
+    assert resp["auth_response"] == auth
+    assert resp["database"] is None
+
+
+def test_caching_sha2_full_auth_refused_with_named_error(tmp_path):
+    """A cold-cache server requesting perform_full_authentication (the
+    RSA/TLS path, environment-gated here) gets a NAMED refusal, not a
+    hang or a mis-parse."""
+    src = tmp_path / "b"
+    src.mkdir()
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        BinlogColumn, BinlogTableMap, BinlogWriter, MYSQL_TYPE_LONG,
+        WRITE_ROWS_EVENT)
+
+    tmap = BinlogTableMap(1, "d", "t", (
+        BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),), (0,))
+    w = BinlogWriter()
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=1)])
+    (src / "mysql-bin.000001").write_bytes(w.getvalue())
+    with MysqldToyServer(str(src), force_full_auth=True) as srv:
+        with pytest.raises(ValueError, match="full authentication"):
+            dump_binlog_stream(srv.host, srv.port, str(tmp_path / "s"))
+
+
+def test_bounded_stop_at_file_position(tmp_path):
+    """stop_at=(file, pos): the blocking-dump bounded stop — the client
+    ends cleanly once the named file reaches the target end_log_pos,
+    never spooling later files."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        BinlogColumn, BinlogTableMap, BinlogWriter, MYSQL_TYPE_LONG,
+        WRITE_ROWS_EVENT)
+
+    src = tmp_path / "b"
+    src.mkdir()
+    tmap = BinlogTableMap(1, "d", "t", (
+        BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),), (0,))
+    for i in (1, 2):
+        w = BinlogWriter()
+        w.table_map(tmap)
+        w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=i)])
+        (src / ("mysql-bin.%06d" % i)).write_bytes(w.getvalue())
+    size1 = len((src / "mysql-bin.000001").read_bytes())
+    with MysqldToyServer(str(src)) as srv:
+        written = dump_binlog_stream(
+            srv.host, srv.port, str(tmp_path / "s"),
+            stop_at=("mysql-bin.000001", size1))
+    assert written == ["mysql-bin.000001"]
+    # the bounded file is complete and decodable
+    data = (tmp_path / "s" / "mysql-bin.000001").read_bytes()
+    assert data == (src / "mysql-bin.000001").read_bytes()
+
+
+def test_rotate_names_strip_crc32_trailers(tmp_path):
+    """ADVICE r7: a mysqld with binlog_checksum=CRC32 appends 4 CRC
+    bytes to artificial ROTATE bodies. Before the FDE declares the
+    algorithm the client strips a non-ascii tail defensively; after it,
+    unconditionally (even an accidentally-ascii CRC)."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_protocol import (
+        _BINLOG_MAGIC,)
+
+    class ChecksummedToy(MysqldToyServer):
+        def _stream(self, wfile, from_file, pos, flags):
+            def ev(etype, body, flags_=0):
+                return struct.pack("<IBIIIH", 0, etype, 1,
+                                   19 + len(body), 0, flags_) + body
+
+            seq = 1
+            # artificial rotate BEFORE the FDE, CRC trailer non-ascii
+            rot1 = ev(0x04, struct.pack("<Q", 4) + b"mysql-bin.000007"
+                      + b"\xde\xad\xbe\xef", 0x20)
+            seq = send_packet(wfile, seq, b"\x00" + rot1)
+            # FDE declaring CRC32 (alg byte before its own trailer)
+            fde = ev(0x0F, struct.pack("<H", 4) + b"x" * 50
+                     + struct.pack("<I", 0) + bytes([19]) + bytes(40)
+                     + bytes([1]) + b"\x00" * 4)
+            seq = send_packet(wfile, seq, b"\x00" + fde)
+            # post-FDE rotate whose CRC happens to BE ascii
+            rot2 = ev(0x04, struct.pack("<Q", 4) + b"mysql-bin.000008"
+                      + b"abcd", 0x20)
+            seq = send_packet(wfile, seq, b"\x00" + rot2)
+            send_packet(wfile, seq, b"\xfe\x00\x00\x02\x00")
+
+    with ChecksummedToy(str(tmp_path / "empty-dir-unused")) as srv:
+        (tmp_path / "empty-dir-unused").mkdir(exist_ok=True)
+        written = dump_binlog_stream(srv.host, srv.port,
+                                     str(tmp_path / "s"))
+    assert written == ["mysql-bin.000007", "mysql-bin.000008"]
