@@ -139,6 +139,10 @@ class RealPostgresServer:
                 # frequent keepalives: the client's --endpos check rides
                 # them, and a 4 s sender timeout bounds test wall-clock
                 "wal_sender_timeout = 4s\n"
+                # the GUC minimum: transactions over 64 kB of decoded
+                # change stream as v2 Stream Start/Stop segments when
+                # the client requests streaming 'true'
+                "logical_decoding_work_mem = 64kB\n"
                 "fsync = off\nsynchronous_commit = off\n"
                 "logging_collector = off\n" % (self.port, self.scratch))
         hba = os.path.join(self.datadir, "pg_hba.conf")

@@ -459,6 +459,7 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
                              end_lsn: int | None = None,
                              idle_timeout: float | None = None,
                              binary: bool = False,
+                             streaming: bool = False,
                              stop_message_prefix: str | None = None
                              ) -> list[str]:
     """Connect as a logical-replication client, START_REPLICATION, and
@@ -628,6 +629,11 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
             # 'b' binary send formats (the decoder's _binary_to_json
             # path) instead of 't' text
             opts += ", binary 'true'"
+        if streaming:
+            # v2 in-progress transaction streaming: transactions larger
+            # than the server's logical_decoding_work_mem arrive as
+            # Stream Start/Stop segments the spool roll logic respects
+            opts += ", streaming 'true'"
         if stop_message_prefix is not None:
             # logical decoding messages ride the stream only on request
             opts += ", messages 'true'"

@@ -216,3 +216,109 @@ def test_slot_replays_after_unacked_crash(tmp_path):
                 time.sleep(1)
     assert _ops(tmp_path / "spool", written) == EXPECT_OPS
 
+
+
+def test_streamed_transaction_toast_and_full_identity(tmp_path):
+    """Three more symmetric-blind-spot closures against the real wire:
+
+    - v2 STREAMED transactions (the server's logical_decoding_work_mem
+      is pinned to 64 kB, the txn decodes to ~220 kB): Stream Start/
+      Stop segments with a subtransaction ROLLBACK TO SAVEPOINT — the
+      aborted rows must vanish, the rest commit in order;
+    - unchanged-TOAST 'u' cells from a REAL out-of-line value (identity
+      DEFAULT ships no old image, so the bridge must surface Debezium's
+      unavailable-value placeholder, never a silent null);
+    - REPLICA IDENTITY FULL: real 'O' full-width old images on UPDATE
+      and DELETE."""
+    import struct
+
+    from source_flink_cdc_3_5_0_spark.sources.pgoutput import \
+        UNAVAILABLE_VALUE
+
+    with RealPostgresServer(str(tmp_path / "srv")) as pg:
+        pg.sql("CREATE TABLE public.t "
+               "(id bigint PRIMARY KEY, v text, w text)")
+        pg.sql("CREATE PUBLICATION pub FOR TABLE public.t")
+        pg.create_slot("s1")
+        pg.sql("""
+BEGIN;
+INSERT INTO t SELECT g, repeat('x', 200), 'w'||g
+  FROM generate_series(1,1000) g;
+SAVEPOINT sp;
+INSERT INTO t SELECT g, 'aborted', 'a' FROM generate_series(5001,6000) g;
+ROLLBACK TO sp;
+INSERT INTO t VALUES (9001, 'after-sp', 'z');
+COMMIT;
+""")
+        pg.sql("INSERT INTO t VALUES (7777, (SELECT string_agg("
+               "md5(g::text), '') FROM generate_series(1,300) g), "
+               "'small')")
+        pg.sql("UPDATE t SET w = 'changed' WHERE id = 7777")
+        pg.sql("ALTER TABLE t REPLICA IDENTITY FULL")
+        pg.sql("UPDATE t SET w = 'full-upd' WHERE id = 9001")
+        pg.sql("DELETE FROM t WHERE id = 9001")
+        pg.sql("SELECT pg_logical_emit_message(false, '__stop__', '')")
+        written = _consume(pg, tmp_path / "spool", "s1", streaming=True)
+    raw = b"".join((tmp_path / "spool" / n).read_bytes()
+                   for n in written)
+    # the big txn really rode the v2 streaming path: Stream Start
+    # frames ('S' tag) exist in the spool
+    tags = set()
+    pos = 0
+    while pos < len(raw):
+        _lsn, ln = struct.unpack_from(">QI", raw, pos)
+        tags.add(raw[pos + 12:pos + 13])
+        pos += 12 + ln
+    assert b"S" in tags and b"E" in tags, "txn did not stream (v2)"
+    recs = [c for n in written for c in pgoutput_changes(
+        (tmp_path / "spool" / n).read_bytes()) if c["kind"] == "change"]
+    ins_ids = [c["after"]["id"] for c in recs if c["op"] == "+I"]
+    assert sum(1 for i in ins_ids if i <= 1000) == 1000
+    assert not any(5000 < i <= 6000 for i in ins_ids), \
+        "ROLLBACK TO SAVEPOINT rows leaked"
+    assert 9001 in ins_ids
+    toast = next(c for c in recs
+                 if c["op"] == "+U" and c["after"]["id"] == 7777)
+    assert toast["after"]["v"] == UNAVAILABLE_VALUE
+    assert toast["after"]["w"] == "changed"
+    full_upd = next(c for c in recs
+                    if c["op"] == "+U" and c["after"]["id"] == 9001)
+    assert full_upd["before"] == {"id": 9001, "v": "after-sp", "w": "z"}
+    full_del = next(c for c in recs
+                    if c["op"] == "-D" and c["before"]["id"] == 9001)
+    assert full_del["before"]["w"] == "full-upd"
+
+
+def test_relation_rediff_schema_changes_from_real_server(tmp_path):
+    """Logical replication carries no DDL; mid-stream ALTERs surface as
+    re-described Relation messages the decoder DIFFS into structured
+    schema-change events. Verified against real ALTER TABLE ADD/DROP
+    COLUMN and a type change."""
+    with RealPostgresServer(str(tmp_path / "srv")) as pg:
+        pg.sql("CREATE TABLE public.t (id bigint PRIMARY KEY, v text)")
+        pg.sql("CREATE PUBLICATION pub FOR TABLE public.t")
+        pg.create_slot("s1")
+        pg.sql("INSERT INTO t VALUES (1, 'a')")
+        pg.sql("ALTER TABLE t ADD COLUMN added double precision")
+        pg.sql("INSERT INTO t VALUES (2, 'b', 1.5)")
+        pg.sql("ALTER TABLE t ALTER COLUMN v TYPE varchar(32)")
+        pg.sql("INSERT INTO t VALUES (3, 'c', 2.5)")
+        pg.sql("ALTER TABLE t DROP COLUMN v")
+        pg.sql("INSERT INTO t VALUES (4, 3.5)")
+        pg.sql("SELECT pg_logical_emit_message(false, '__stop__', '')")
+        written = _consume(pg, tmp_path / "spool", "s1")
+    recs = [c for n in written for c in pgoutput_changes(
+        (tmp_path / "spool" / n).read_bytes())]
+    schema = [c["ddl"] for c in recs if c["kind"] == "schema"]
+    assert [s["type"] for s in schema] == [
+        "ADD_COLUMN", "ALTER_COLUMN_TYPE", "DROP_COLUMN"]
+    assert schema[0]["columns"][0]["name"] == "added"
+    assert schema[0]["columns"][0]["type"] == "double"
+    assert schema[1]["mapping"] == {"v": "string"}  # text->varchar:
+    # both map to Spark string; the diff still fires on the OID change
+    assert schema[2]["names"] == ["v"]
+    # data decodes against each era's shape
+    changes = [c for c in recs if c["kind"] == "change"]
+    assert changes[0]["after"] == {"id": 1, "v": "a"}
+    assert changes[1]["after"] == {"id": 2, "v": "b", "added": 1.5}
+    assert changes[3]["after"] == {"id": 4, "added": 3.5}
