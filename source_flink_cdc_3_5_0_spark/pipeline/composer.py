@@ -473,13 +473,27 @@ class PipelineComposer:
                 from ..sources.pg_replication import (
                     start_replication_stream)
 
+                # round-8 (real-server validated): trust/cleartext/MD5/
+                # SCRAM auth, binary publications, v2 streaming, and
+                # REAL-SESSION termination — a genuine walsender never
+                # sends CopyDone, so callers bound the session with
+                # `stop.message.prefix` (in-band sentinel emitted via
+                # pg_logical_emit_message) and/or `idle.timeout.seconds`
+                # (data-idle fallback)
+                idle = opts.get("idle.timeout.seconds")
                 start_replication_stream(
                     opts["host"], int(opts.get("port", default_port)),
                     spool, user=opts.get("username", "repl"),
                     password=opts.get("password", "replpass"),
                     database=opts.get("database", "d"),
                     slot=opts.get("slot.name", "cdc_slot"),
-                    publication=opts.get("publication.name", "pub"))
+                    publication=opts.get("publication.name", "pub"),
+                    binary=str(opts.get("binary", "")).lower() == "true",
+                    streaming=str(opts.get("streaming", "")).lower()
+                    == "true",
+                    stop_message_prefix=opts.get("stop.message.prefix"),
+                    idle_timeout=float(idle) if idle is not None
+                    else None)
             else:
                 from ..sources.binlog_socket import fetch_binlog_files
 
