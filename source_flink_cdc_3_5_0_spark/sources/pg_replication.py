@@ -760,11 +760,10 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
                     commits = 0
                     flush()
                     send_status()  # advance the slot to what is durable
-            if end_lsn is not None and lsn >= end_lsn:
-                # pg_recvlogical --endpos semantics: data records compare
-                # their START LSN (cur_record_lsn >= endpos); only
-                # keepalives compare wal_end
-                done = True
+            # deliberately NO data-record endpos check here: XLogData
+            # LSNs can exceed a pre-measured pg_current_wal_lsn() inside
+            # the final transaction (see the docstring) — the keepalive
+            # branch above is the only endpos exit
         # end the CopyBoth stream the documented way: the frontend
         # sends its own CopyDone (whether the stop came from endpos,
         # idle fallback, or the server's CopyDone), drains to
