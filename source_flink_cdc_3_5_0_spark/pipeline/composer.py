@@ -493,7 +493,9 @@ class PipelineComposer:
                     == "true",
                     stop_message_prefix=opts.get("stop.message.prefix"),
                     idle_timeout=float(idle) if idle is not None
-                    else None)
+                    else None,
+                    tls=str(opts.get("tls", "")).lower() == "true",
+                    tls_root_cert=opts.get("tls.root.cert"))
             else:
                 from ..sources.binlog_socket import fetch_binlog_files
 

@@ -76,7 +76,7 @@ class RealPostgresServer:
     REPL_PASSWORD = "cdc-scram-pw"
 
     def __init__(self, scratch_dir: str | None = None,
-                 port: int | None = None):
+                 port: int | None = None, tls: bool = False):
         if not self.available():
             raise NotImplementedError(
                 "no PostgreSQL server binaries on this host (need "
@@ -96,6 +96,14 @@ class RealPostgresServer:
         self._initdb = _find("initdb")
         self._pg_ctl = _find("pg_ctl")
         self._psql = _find("psql")
+        #: tls=True: generate a self-signed server cert, ssl=on, and an
+        #: `hostssl`-ONLY pg_hba rule for the replication role — plain
+        #: TCP as that role is REJECTED, so a passing TLS test proves
+        #: the client really negotiated TLS
+        self.tls = tls
+        if tls and not _find("openssl"):
+            raise NotImplementedError(
+                "tls=True needs the openssl binary for cert generation")
         self._run_as: list[str] = []
         self._owner: str | None = None
         if os.geteuid() == 0:
@@ -145,17 +153,36 @@ class RealPostgresServer:
                 "logical_decoding_work_mem = 64kB\n"
                 "fsync = off\nsynchronous_commit = off\n"
                 "logging_collector = off\n" % (self.port, self.scratch))
+        chown_extra = []
+        self.server_cert: str | None = None
+        if self.tls:
+            crt = os.path.join(self.scratch, "server.crt")
+            key = os.path.join(self.scratch, "server.key")
+            self.server_cert = crt
+            subprocess.run(
+                [_find("openssl"), "req", "-x509", "-newkey", "rsa:2048",
+                 "-nodes", "-keyout", key, "-out", crt, "-days", "2",
+                 "-subj", "/CN=127.0.0.1"],
+                check=True, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL)
+            os.chmod(key, 0o600)
+            with open(conf, "a") as f:
+                f.write("ssl = on\nssl_cert_file = '%s'\n"
+                        "ssl_key_file = '%s'\n" % (crt, key))
+            chown_extra = [crt, key]
         hba = os.path.join(self.datadir, "pg_hba.conf")
         with open(hba, "w") as f:
             # the interop role authenticates with REAL SCRAM-SHA-256;
-            # the admin role is trust-on-loopback (test plumbing only)
-            f.write("host all %s 127.0.0.1/32 scram-sha-256\n"
+            # the admin role is trust-on-loopback (test plumbing only).
+            # Under tls the repl role is hostssl-ONLY: plain TCP rejects.
+            kind = "hostssl" if self.tls else "host"
+            f.write("%s all %s 127.0.0.1/32 scram-sha-256\n"
                     "host all postgres 127.0.0.1/32 trust\n"
-                    "local all all trust\n" % self.REPL_USER)
+                    "local all all trust\n" % (kind, self.REPL_USER))
         if self._owner:
             u = pwd.getpwnam(self._owner)
-            os.chown(conf, u.pw_uid, u.pw_gid)
-            os.chown(hba, u.pw_uid, u.pw_gid)
+            for p in [conf, hba] + chown_extra:
+                os.chown(p, u.pw_uid, u.pw_gid)
         self._server_cmd([self._pg_ctl, "-D", self.datadir, "-w",
                           "-t", "60",
                           "-l", os.path.join(self.scratch, "pg.log"),

@@ -460,7 +460,9 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
                              idle_timeout: float | None = None,
                              binary: bool = False,
                              streaming: bool = False,
-                             stop_message_prefix: str | None = None
+                             stop_message_prefix: str | None = None,
+                             tls: bool = False,
+                             tls_root_cert: str | None = None
                              ) -> list[str]:
     """Connect as a logical-replication client, START_REPLICATION, and
     respool the XLogData stream into capture files (u64 LSN + u32 length
@@ -549,7 +551,35 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
     def frame(lsn: int, msg: bytes) -> bytes:
         return struct.pack(">QI", lsn, len(msg)) + msg
 
-    with socket.create_connection((host, port), timeout=timeout) as sock:
+    import contextlib
+
+    with contextlib.ExitStack() as stack:
+        sock = stack.enter_context(
+            socket.create_connection((host, port), timeout=timeout))
+        if tls:
+            # libpq sslmode=require: SSLRequest (u32 8 + magic
+            # 80877103), server answers one byte — 'S' upgrades the
+            # SAME connection to TLS, 'N' means no TLS support.
+            # tls_root_cert verifies the server (sslmode=verify-ca);
+            # without it the channel is encrypted but unauthenticated,
+            # exactly libpq's `require` posture.
+            import ssl
+
+            sock.sendall(struct.pack(">II", 8, 80877103))
+            answer = sock.recv(1)
+            if answer != b"S":
+                raise ValueError(
+                    "server refused TLS (SSLRequest answered %r)"
+                    % answer)
+            if tls_root_cert:
+                ctx = ssl.create_default_context(cafile=tls_root_cert)
+                # verify-ca posture: trust chain yes, CN/IP match no
+                ctx.check_hostname = False
+            else:
+                ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+                ctx.check_hostname = False
+                ctx.verify_mode = ssl.CERT_NONE
+            sock = stack.enter_context(ctx.wrap_socket(sock))
         rfile = sock.makefile("rb")
         wfile = sock.makefile("wb", buffering=0)
         wfile.write(encode_startup(user, database))

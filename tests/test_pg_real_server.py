@@ -362,3 +362,20 @@ sink: {{type: values}}
     # CHURN final state: truncate wiped 1/7/4, then 5 was inserted
     assert sink.snapshot(TableId.parse("public.part")) == \
         ["5, omega, 0.10"]
+
+
+def test_tls_scram_session_against_real_server(tmp_path):
+    """TLS interop (closes the round-7 'PG TLS path' gap): the server
+    runs ssl=on with a generated cert and an hostssl-ONLY hba rule for
+    the replication role, so a plain-TCP session as that role is
+    REJECTED — proof the passing session really negotiated TLS. The
+    client then does SSLRequest -> TLS upgrade -> SCRAM-SHA-256 over
+    the encrypted channel, verifying the server cert (verify-ca)."""
+    with RealPostgresServer(str(tmp_path / "srv"), tls=True) as pg:
+        _setup(pg)
+        with pytest.raises(ValueError,
+                           match="refused startup|authentication"):
+            _consume(pg, tmp_path / "plain", "s_pgout")
+        written = _consume(pg, tmp_path / "spool", "s_pgout",
+                           tls=True, tls_root_cert=pg.server_cert)
+    assert _ops(tmp_path / "spool", written) == EXPECT_OPS
