@@ -46,7 +46,7 @@ import socketserver
 import struct
 import threading
 
-from .mysql_binlog import _file_sort_key
+from .mysql_binlog import _file_sort_key, _read_lenc
 
 # capability flags (include/mysql_com.h — public constants)
 CLIENT_LONG_PASSWORD = 0x00000001
@@ -242,21 +242,6 @@ def encode_handshake_response(user: str, password: str, nonce: bytes,
     return body
 
 
-def _lenenc_int(body: bytes, pos: int) -> tuple[int, int]:
-    """MySQL length-encoded integer -> (value, next_pos)."""
-    first = body[pos]
-    if first < 0xFB:
-        return first, pos + 1
-    if first == 0xFC:
-        return struct.unpack_from("<H", body, pos + 1)[0], pos + 3
-    if first == 0xFD:
-        return int.from_bytes(body[pos + 1:pos + 4], "little"), pos + 4
-    if first == 0xFE:
-        return struct.unpack_from("<Q", body, pos + 1)[0], pos + 9
-    raise ValueError("invalid length-encoded integer prefix 0x%02x"
-                     % first)
-
-
 def decode_handshake_response(body: bytes) -> dict:
     caps = struct.unpack_from("<I", body, 0)[0]
     if not caps & CLIENT_PROTOCOL_41:
@@ -267,7 +252,7 @@ def decode_handshake_response(body: bytes) -> dict:
     # CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA, else the 1-byte form
     # (ADVICE r7: ignoring the bit misparsed real clients)
     if caps & CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA:
-        alen, pos = _lenenc_int(body, pos)
+        alen, pos = _read_lenc(body, pos)
     else:
         alen = body[pos]
         pos += 1

@@ -130,6 +130,16 @@ class RealPostgresServer:
                        cwd=self.scratch)
 
     def start(self) -> "RealPostgresServer":
+        # a failure anywhere below must not leak a running postmaster
+        # or the scratch tree: __exit__ never runs when __enter__
+        # raises, so clean up and re-raise here
+        try:
+            return self._start()
+        except BaseException:
+            self.stop()
+            raise
+
+    def _start(self) -> "RealPostgresServer":
         os.makedirs(self.scratch, exist_ok=True)
         if self._owner:
             u = pwd.getpwnam(self._owner)
@@ -183,11 +193,13 @@ class RealPostgresServer:
             u = pwd.getpwnam(self._owner)
             for p in [conf, hba] + chown_extra:
                 os.chown(p, u.pw_uid, u.pw_gid)
+        # mark started BEFORE pg_ctl: a -w timeout can leave a live
+        # postmaster behind, and stop()'s pg_ctl stop is check=False
+        self._started = True
         self._server_cmd([self._pg_ctl, "-D", self.datadir, "-w",
                           "-t", "60",
                           "-l", os.path.join(self.scratch, "pg.log"),
                           "start"])
-        self._started = True
         # password_encryption defaults to scram-sha-256 on PG15
         self.sql("CREATE ROLE %s LOGIN REPLICATION PASSWORD '%s'"
                  % (self.REPL_USER, self.REPL_PASSWORD))

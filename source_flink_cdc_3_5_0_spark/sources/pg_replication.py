@@ -77,10 +77,13 @@ def write_msg(wfile, mtype: bytes, payload: bytes) -> None:
     wfile.write(mtype + struct.pack(">I", len(payload) + 4) + payload)
 
 
-#: hard cap on a single protocol message body (a real row can be TOAST-
-#: large but never this large in one frame; a corrupt/hostile length
-#: field must not drive an unbounded allocation)
-_MAX_MSG = 1 << 26  # 64 MiB
+#: hard cap on a single protocol message body: PostgreSQL's per-value
+#: limit is 1 GB and an Insert/Update frame carries whole rows, so a
+#: legitimate frame can be large — the cap only rejects length fields
+#: no real server produces (a corrupt/hostile length must not drive an
+#: unbounded allocation). Module-level so operators with multi-GB rows
+#: can raise it.
+_MAX_MSG = (1 << 30) + (1 << 20)  # 1 GiB + header slack
 
 
 def read_msg(rfile) -> tuple[bytes, bytes]:
@@ -594,7 +597,15 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
             #       server under the default local config sends exactly
             #       this, and round 7 wrongly rejected it
         elif code == 3:
-            # AuthenticationCleartextPassword (password HBA)
+            # AuthenticationCleartextPassword (password HBA): answering
+            # on an unencrypted off-host connection would hand the
+            # credential to any MITM that downgrades a SCRAM server's
+            # challenge — allow only under TLS or on loopback
+            if not tls and host not in ("127.0.0.1", "::1", "localhost"):
+                raise ValueError(
+                    "refusing cleartext password on a non-TLS, "
+                    "non-loopback connection (tls=True or use md5/"
+                    "scram-sha-256 HBA)")
             write_msg(wfile, b"p", _cstr(password))
         elif code == _MD5_AUTH:
             write_msg(wfile, b"p",
@@ -695,9 +706,6 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
                 if idle_timeout is None:
                     raise
                 break            # no traffic at all: end of stream
-            if idle_timeout is not None and \
-                    _time.monotonic() - last_data >= idle_timeout:
-                break            # keepalives flow forever; DATA went idle
             if mtype == b"c":        # CopyDone: bounded toy dump over
                 break
             if mtype == b"E":
@@ -712,6 +720,12 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
                 received_lsn = max(received_lsn, wal_end)
                 if want_reply:
                     send_status()
+                if idle_timeout is not None and \
+                        _time.monotonic() - last_data >= idle_timeout:
+                    # data-idleness is judged HERE, on keepalives — a
+                    # data frame arriving after a long quiet spell must
+                    # never be discarded by a pre-classification check
+                    break
                 if end_lsn is not None and wal_end >= end_lsn:
                     # pg_recvlogical --endpos: every txn whose commit
                     # record lies below the decoder's read position has
@@ -728,11 +742,12 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
             msg = payload[25:]
             if stop_message_prefix is not None and msg[0:1] == b"M":
                 # the in-band sentinel: a logical decoding message with
-                # our prefix marks the end of the WAL window of interest
-                # (non-transactional messages carry no xid prefix even
-                # on a v2 stream — flags byte sits right after the tag)
-                moff = 1 + (4 if msg[1:2] not in (b"\x00", b"\x01")
-                            else 0)
+                # our prefix marks the end of the WAL window of interest.
+                # v2 frames carry a 4-byte xid ONLY inside Stream
+                # Start/Stop segments — the loop's own in_segment state
+                # is the discriminator (a byte-value guess misreads any
+                # xid whose first byte is 0x00/0x01, i.e. most of them)
+                moff = 1 + (4 if in_segment else 0)
                 try:
                     pfx_end = msg.index(b"\x00", moff + 9)
                     pfx = msg[moff + 9:pfx_end].decode("utf-8")

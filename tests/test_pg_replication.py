@@ -309,8 +309,10 @@ def test_read_msg_rejects_hostile_lengths():
 
     with pytest.raises(ValueError, match="invalid message length"):
         read_msg(io.BytesIO(b"X" + struct.pack(">I", 3)))
+    # the cap sits ABOVE PostgreSQL's 1 GB per-value limit (real frames
+    # carry whole rows), rejecting only lengths no server produces
     with pytest.raises(ValueError, match="exceeds the"):
-        read_msg(io.BytesIO(b"X" + struct.pack(">I", 1 << 30)))
+        read_msg(io.BytesIO(b"X" + struct.pack(">I", 0xFFFFFFFF)))
 
 
 def test_status_updates_never_ack_beyond_durable_spool(tmp_path):
