@@ -613,6 +613,16 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
             if etype == _FORMAT_DESCRIPTION_EVENT and crc32 is None:
                 crc32 = len(ev) >= 24 and ev[-5] == _CHECKSUM_CRC32
                 name = resolve_name()
+            if crc32 and len(ev) >= 23:
+                # the announced-checksum contract cuts both ways:
+                # verify every trailer so transport corruption fails
+                # HERE with coordinates, not as a mis-decode downstream
+                import zlib
+                want = struct.unpack_from("<I", ev, len(ev) - 4)[0]
+                if zlib.crc32(ev[:-4]) & 0xFFFFFFFF != want:
+                    raise ValueError(
+                        "binlog event CRC32 mismatch (type %d, file %s)"
+                        % (etype, name))
             if etype == _ROTATE_EVENT and ts == 0:
                 flush()  # synthetic rotate: next file begins
                 raw_name = ev[27:]

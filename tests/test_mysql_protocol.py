@@ -423,25 +423,30 @@ def test_rotate_names_strip_crc32_trailers(tmp_path):
     from source_flink_cdc_3_5_0_spark.sources.mysql_protocol import (
         _BINLOG_MAGIC,)
 
+    import zlib
+
     class ChecksummedToy(MysqldToyServer):
         def _stream(self, wfile, from_file, pos, flags):
-            def ev(etype, body, flags_=0):
-                return struct.pack("<IBIIIH", 0, etype, 1,
-                                   19 + len(body), 0, flags_) + body
+            def ev(etype, body, flags_=0, crc=True):
+                raw = struct.pack("<IBIIIH", 0, etype, 1,
+                                  19 + len(body) + (4 if crc else 0),
+                                  0, flags_) + body
+                return raw + (struct.pack("<I", zlib.crc32(raw))
+                              if crc else b"")
 
             seq = 1
-            # artificial rotate BEFORE the FDE, CRC trailer non-ascii
-            rot1 = ev(0x04, struct.pack("<Q", 4) + b"mysql-bin.000007"
-                      + b"\xde\xad\xbe\xef", 0x20)
+            # artificial rotate BEFORE the FDE, real CRC trailer
+            rot1 = ev(0x04, struct.pack("<Q", 4) + b"mysql-bin.000007",
+                      0x20)
             seq = send_packet(wfile, seq, b"\x00" + rot1)
             # FDE declaring CRC32 (alg byte before its own trailer)
             fde = ev(0x0F, struct.pack("<H", 4) + b"x" * 50
                      + struct.pack("<I", 0) + bytes([19]) + bytes(40)
-                     + bytes([1]) + b"\x00" * 4)
+                     + bytes([1]))
             seq = send_packet(wfile, seq, b"\x00" + fde)
-            # post-FDE rotate whose CRC happens to BE ascii
-            rot2 = ev(0x04, struct.pack("<Q", 4) + b"mysql-bin.000008"
-                      + b"abcd", 0x20)
+            # post-FDE rotate: stripped AND verified
+            rot2 = ev(0x04, struct.pack("<Q", 4) + b"mysql-bin.000008",
+                      0x20)
             seq = send_packet(wfile, seq, b"\x00" + rot2)
             send_packet(wfile, seq, b"\xfe\x00\x00\x02\x00")
 
@@ -450,3 +455,35 @@ def test_rotate_names_strip_crc32_trailers(tmp_path):
         written = dump_binlog_stream(srv.host, srv.port,
                                      str(tmp_path / "s"))
     assert written == ["mysql-bin.000007", "mysql-bin.000008"]
+
+
+def test_dump_verifies_crc32_trailers(tmp_path):
+    """With CRC32 announced and declared, every event's trailer is
+    VERIFIED during the dump — a flipped bit fails at the transport
+    with coordinates instead of mis-decoding downstream."""
+    import zlib
+
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        BinlogColumn, BinlogTableMap, BinlogWriter, MYSQL_TYPE_LONG,
+        WRITE_ROWS_EVENT)
+
+    src = tmp_path / "b"
+    src.mkdir()
+    tmap = BinlogTableMap(1, "d", "t", (
+        BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),), (0,))
+    w = BinlogWriter()
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=1)])
+    data = bytearray(w.getvalue())
+    (src / "mysql-bin.000001").write_bytes(bytes(data))
+    # sanity: the honest file dumps clean (its CRCs verify)
+    with MysqldToyServer(str(src)) as srv:
+        assert dump_binlog_stream(srv.host, srv.port,
+                                  str(tmp_path / "ok"))
+    # now flip one payload bit in the LAST event (past the FDE)
+    data[-6] ^= 0x01
+    (src / "mysql-bin.000001").write_bytes(bytes(data))
+    with MysqldToyServer(str(src)) as srv:
+        with pytest.raises(ValueError, match="CRC32 mismatch"):
+            dump_binlog_stream(srv.host, srv.port,
+                               str(tmp_path / "bad"))
