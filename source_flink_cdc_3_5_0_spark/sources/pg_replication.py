@@ -612,13 +612,43 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
                       _cstr(md5_password(user, password, payload[4:8])))
         elif code == _SASL:
             mechs = payload[4:].split(b"\x00")
-            if b"SCRAM-SHA-256" not in mechs:
+            if tls and b"SCRAM-SHA-256-PLUS" in mechs:
+                # channel binding (RFC 5802 §6 + RFC 5929
+                # tls-server-end-point, the only type PostgreSQL
+                # implements): bind the SCRAM exchange to THIS TLS
+                # session's server certificate — a MITM terminating TLS
+                # with its own cert cannot replay the proof. cbind-data
+                # = hash of the DER cert using the cert's own signature
+                # hash (SHA-1/MD5 upgrade to SHA-256 per the RFC; our
+                # minimal sniff covers the sha384/512WithRSAEncryption
+                # and ecdsa-with-SHA384/512 OIDs, else SHA-256).
+                der = sock.getpeercert(binary_form=True)
+                if (b"\x2a\x86\x48\x86\xf7\x0d\x01\x01\x0c" in der[-80:]
+                        or b"\x2a\x86\x48\xce\x3d\x04\x03\x03"
+                        in der[-80:]):
+                    cbind_data = hashlib.sha384(der).digest()
+                elif (b"\x2a\x86\x48\x86\xf7\x0d\x01\x01\x0d"
+                        in der[-80:]
+                        or b"\x2a\x86\x48\xce\x3d\x04\x03\x04"
+                        in der[-80:]):
+                    cbind_data = hashlib.sha512(der).digest()
+                else:
+                    cbind_data = hashlib.sha256(der).digest()
+                gs2 = "p=tls-server-end-point,,"
+                cbind_b64 = base64.b64encode(
+                    gs2.encode("utf-8") + cbind_data).decode("ascii")
+                mech = "SCRAM-SHA-256-PLUS"
+            elif b"SCRAM-SHA-256" in mechs:
+                gs2 = "n,,"
+                cbind_b64 = "biws"  # base64("n,,")
+                mech = "SCRAM-SHA-256"
+            else:
                 raise ValueError("server offers no supported SASL "
                                  "mechanism: %r" % mechs)
             client_nonce = base64.b64encode(os.urandom(18)).decode()
             client_first_bare = "n=,r=" + client_nonce
-            cf = ("n,," + client_first_bare).encode("utf-8")
-            write_msg(wfile, b"p", _cstr("SCRAM-SHA-256")
+            cf = (gs2 + client_first_bare).encode("utf-8")
+            write_msg(wfile, b"p", _cstr(mech)
                       + struct.pack(">i", len(cf)) + cf)
             mtype, payload = read_msg(rfile)
             if mtype != b"R" or struct.unpack(
@@ -632,7 +662,7 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
                                  "(splice attempt?)")
             salt = base64.b64decode(attrs["s"])
             iterations = int(attrs["i"])
-            without_proof = "c=biws,r=" + attrs["r"]
+            without_proof = "c=%s,r=%s" % (cbind_b64, attrs["r"])
             auth_message = "%s,%s,%s" % (client_first_bare, server_first,
                                          without_proof)
             proof, want_sig = scram_client_proof(

@@ -369,8 +369,12 @@ def test_tls_scram_session_against_real_server(tmp_path):
     runs ssl=on with a generated cert and an hostssl-ONLY hba rule for
     the replication role, so a plain-TCP session as that role is
     REJECTED — proof the passing session really negotiated TLS. The
-    client then does SSLRequest -> TLS upgrade -> SCRAM-SHA-256 over
-    the encrypted channel, verifying the server cert (verify-ca)."""
+    client then does SSLRequest -> TLS upgrade -> SCRAM over the
+    encrypted channel, verifying the server cert (verify-ca). Over TLS
+    PostgreSQL advertises SCRAM-SHA-256-PLUS first (probed live) and
+    the client selects it, so this passing also proves the
+    tls-server-end-point CHANNEL BINDING math — the server rejects any
+    wrong cbind proof."""
     with RealPostgresServer(str(tmp_path / "srv"), tls=True) as pg:
         _setup(pg)
         with pytest.raises(ValueError,
