@@ -383,3 +383,41 @@ def test_tls_scram_session_against_real_server(tmp_path):
         written = _consume(pg, tmp_path / "spool", "s_pgout",
                            tls=True, tls_root_cert=pg.server_cert)
     assert _ops(tmp_path / "spool", written) == EXPECT_OPS
+
+
+def test_yaml_pipeline_tls_options(spark, tmp_path):
+    """The YAML surface's tls / tls.root.cert options reach the client:
+    same pipeline as the flagship e2e but over TLS with verify-ca
+    against the hostssl-only server."""
+    from source_flink_cdc_3_5_0_spark.common import TableId
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline)
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+
+    with RealPostgresServer(str(tmp_path / "srv"), tls=True) as pg:
+        _setup(pg)
+        yaml_text = f"""
+source:
+  type: pgoutput-file
+  protocol: postgres
+  host: {pg.host}
+  port: {pg.port}
+  username: {pg.REPL_USER}
+  password: {pg.REPL_PASSWORD}
+  database: postgres
+  slot.name: s_pgout
+  publication.name: pub
+  stop.message.prefix: __stop__
+  idle.timeout.seconds: 15
+  tls: "true"
+  tls.root.cert: {pg.server_cert}
+  checkpoint: {tmp_path}/ckpt
+sink: {{type: values}}
+"""
+        pdef = parse_yaml_pipeline(yaml_text)
+        sink = MemorySink()
+        pipe, raw, tables = PipelineComposer(spark).compose_streaming(
+            pdef, sink=sink)
+        pipe.start(raw, tables).awaitTermination(180)
+    assert sink.snapshot(TableId.parse("public.part")) == \
+        ["5, omega, 0.10"]
