@@ -45,6 +45,7 @@ import socket
 import socketserver
 import struct
 import threading
+import zlib
 
 from .mysql_binlog import _file_sort_key, _read_lenc
 
@@ -448,8 +449,6 @@ class MysqldToyServer:
                 and fde[-5] == _CHECKSUM_CRC32)
 
     def _stream(self, wfile, from_file: str, pos: int, flags: int) -> None:
-        import zlib
-
         seq = 1
         for name in self._files_from(from_file):
             with open(os.path.join(self.directory, name), "rb") as f:
@@ -610,14 +609,17 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
                 raise ValueError("unexpected packet prefix %r" % pkt[:1])
             ev = pkt[1:]
             ts, etype = struct.unpack_from("<IB", ev, 0)
-            if etype == _FORMAT_DESCRIPTION_EVENT and crc32 is None:
+            if etype == _FORMAT_DESCRIPTION_EVENT:
+                # EVERY file's FDE re-declares the algorithm: a latch
+                # on the first FDE alone turns a mid-stream
+                # SET GLOBAL binlog_checksum change into spurious
+                # mismatch errors (or unverified events) in later files
                 crc32 = len(ev) >= 24 and ev[-5] == _CHECKSUM_CRC32
                 name = resolve_name()
             if crc32 and len(ev) >= 23:
                 # the announced-checksum contract cuts both ways:
                 # verify every trailer so transport corruption fails
                 # HERE with coordinates, not as a mis-decode downstream
-                import zlib
                 want = struct.unpack_from("<I", ev, len(ev) - 4)[0]
                 if zlib.crc32(ev[:-4]) & 0xFFFFFFFF != want:
                     raise ValueError(

@@ -82,6 +82,12 @@ class RealPostgresServer:
                 "no PostgreSQL server binaries on this host (need "
                 "initdb + pg_ctl + postgres + psql); the real-server "
                 "interop gate cannot run")
+        #: tls availability must fail BEFORE mkdtemp: __exit__/stop()
+        #: never runs when __init__ raises, and an early raise after
+        #: mkdtemp would orphan the directory
+        if tls and not _find("openssl"):
+            raise NotImplementedError(
+                "tls=True needs the openssl binary for cert generation")
         # the cluster gets its OWN directory directly under the system
         # temp root, NOT the caller's scratch: the server runs as a
         # different user, and a caller path like pytest's
@@ -101,9 +107,6 @@ class RealPostgresServer:
         #: TCP as that role is REJECTED, so a passing TLS test proves
         #: the client really negotiated TLS
         self.tls = tls
-        if tls and not _find("openssl"):
-            raise NotImplementedError(
-                "tls=True needs the openssl binary for cert generation")
         self._run_as: list[str] = []
         self._owner: str | None = None
         if os.geteuid() == 0:

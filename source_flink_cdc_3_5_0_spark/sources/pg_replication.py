@@ -623,14 +623,22 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
                 # minimal sniff covers the sha384/512WithRSAEncryption
                 # and ecdsa-with-SHA384/512 OIDs, else SHA-256).
                 der = sock.getpeercert(binary_form=True)
-                if (b"\x2a\x86\x48\x86\xf7\x0d\x01\x01\x0c" in der[-80:]
-                        or b"\x2a\x86\x48\xce\x3d\x04\x03\x03"
-                        in der[-80:]):
+                # the signatureAlgorithm OID appears twice in a cert
+                # (tbsCertificate.signature + the outer field), always
+                # as a full 06-len-OID TLV — search the whole DER (a
+                # tail window misses it: the last ~272 bytes are the
+                # signature BIT STRING, review-verified)
+                _SHA384_OIDS = (b"\x06\x09\x2a\x86\x48\x86\xf7\x0d"
+                                b"\x01\x01\x0c",   # sha384WithRSA
+                                b"\x06\x08\x2a\x86\x48\xce\x3d"
+                                b"\x04\x03\x03")   # ecdsa-with-SHA384
+                _SHA512_OIDS = (b"\x06\x09\x2a\x86\x48\x86\xf7\x0d"
+                                b"\x01\x01\x0d",   # sha512WithRSA
+                                b"\x06\x08\x2a\x86\x48\xce\x3d"
+                                b"\x04\x03\x04")   # ecdsa-with-SHA512
+                if any(o in der for o in _SHA384_OIDS):
                     cbind_data = hashlib.sha384(der).digest()
-                elif (b"\x2a\x86\x48\x86\xf7\x0d\x01\x01\x0d"
-                        in der[-80:]
-                        or b"\x2a\x86\x48\xce\x3d\x04\x03\x04"
-                        in der[-80:]):
+                elif any(o in der for o in _SHA512_OIDS):
                     cbind_data = hashlib.sha512(der).digest()
                 else:
                     cbind_data = hashlib.sha256(der).digest()
@@ -639,8 +647,18 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
                     gs2.encode("utf-8") + cbind_data).decode("ascii")
                 mech = "SCRAM-SHA-256-PLUS"
             elif b"SCRAM-SHA-256" in mechs:
-                gs2 = "n,,"
-                cbind_b64 = "biws"  # base64("n,,")
+                if tls:
+                    # RFC 5802 downgrade detection (libpq parity): 'y'
+                    # = "I support channel binding but you did not
+                    # offer it" — a PLUS-capable server MUST reject
+                    # this, so a MITM stripping PLUS from the
+                    # advertisement is exposed instead of silently
+                    # accepted
+                    gs2 = "y,,"
+                    cbind_b64 = "eSws"  # base64("y,,")
+                else:
+                    gs2 = "n,,"
+                    cbind_b64 = "biws"  # base64("n,,")
                 mech = "SCRAM-SHA-256"
             else:
                 raise ValueError("server offers no supported SASL "

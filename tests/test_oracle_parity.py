@@ -45,10 +45,13 @@ def test_oracle_parity(spark, name):
     try:
         sdf = _QUERIES[name](spark, SF_DIR)
     except NotImplementedError as e:
-        # environment-gated gates (e.g. cdc_pgoutput_real_server_decode
-        # needs PostgreSQL server binaries) skip on hosts without the
-        # dependency instead of failing a clean checkout
-        pytest.skip(str(e))
+        # skip ONLY the named environment gates (a clean checkout
+        # without PostgreSQL binaries must not fail) — any other
+        # NotImplementedError reaching a parity query is a real defect
+        # this suite exists to catch, so it stays red
+        if "real-server interop gate" in str(e):
+            pytest.skip(str(e))
+        raise
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
