@@ -609,11 +609,20 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
                 raise ValueError("unexpected packet prefix %r" % pkt[:1])
             ev = pkt[1:]
             ts, etype = struct.unpack_from("<IB", ev, 0)
+            if etype == _ROTATE_EVENT and ts == 0:
+                # synthetic rotate: next file begins. Its name resolves
+                # at THAT file's FDE (which re-declares the checksum
+                # algorithm and arrives right behind it), never under
+                # the previous file's latch — a mid-stream
+                # SET GLOBAL binlog_checksum change would otherwise
+                # mis-strip the name or spuriously CRC-fail the rotate
+                # itself, in either transition direction
+                flush()
+                raw_name = ev[27:]
+                name = None
+                current = bytearray(_BINLOG_MAGIC)
+                continue
             if etype == _FORMAT_DESCRIPTION_EVENT:
-                # EVERY file's FDE re-declares the algorithm: a latch
-                # on the first FDE alone turns a mid-stream
-                # SET GLOBAL binlog_checksum change into spurious
-                # mismatch errors (or unverified events) in later files
                 crc32 = len(ev) >= 24 and ev[-5] == _CHECKSUM_CRC32
                 name = resolve_name()
             if crc32 and len(ev) >= 23:
@@ -625,12 +634,6 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
                     raise ValueError(
                         "binlog event CRC32 mismatch (type %d, file %s)"
                         % (etype, name))
-            if etype == _ROTATE_EVENT and ts == 0:
-                flush()  # synthetic rotate: next file begins
-                raw_name = ev[27:]
-                name = resolve_name()
-                current = bytearray(_BINLOG_MAGIC)
-                continue
             if current is not None:
                 current += ev
                 if stop_at is not None and name == stop_at[0]:

@@ -94,9 +94,10 @@ class RealPostgresServer:
         # /tmp/pytest-of-root/... sits behind 0700 ancestors that user
         # cannot traverse. scratch_dir is accepted for call-site
         # symmetry (clients spool there) but never hosts the cluster.
-        import tempfile
-        self.scratch = tempfile.mkdtemp(prefix="pg-cluster-")
-        self.datadir = os.path.join(self.scratch, "data")
+        # Allocated in _start(), not here — a constructed-but-never-
+        # started instance must not orphan a directory.
+        self.scratch: str | None = None
+        self.datadir: str | None = None
         self.port = port or _free_port()
         self.host = "127.0.0.1"
         self._initdb = _find("initdb")
@@ -127,10 +128,16 @@ class RealPostgresServer:
     # -- lifecycle ----------------------------------------------------------
 
     def _server_cmd(self, argv: list[str]) -> None:
-        subprocess.run(self._run_as + argv, check=True,
-                       stdout=subprocess.DEVNULL,
-                       stderr=subprocess.STDOUT,
-                       cwd=self.scratch)
+        res = subprocess.run(self._run_as + argv, capture_output=True,
+                             cwd=self.scratch)
+        if res.returncode != 0:
+            # surface the tool's own words — a bare CalledProcessError
+            # ('exit status 1') leaves bad-locale / missing-user /
+            # read-only-tmp failures undiagnosable
+            raise RuntimeError("%s failed (%d):\n%s" % (
+                argv[0], res.returncode,
+                (res.stderr + res.stdout).decode("utf-8", "replace")
+                [-2000:]))
 
     def start(self) -> "RealPostgresServer":
         # a failure anywhere below must not leak a running postmaster
@@ -143,7 +150,9 @@ class RealPostgresServer:
             raise
 
     def _start(self) -> "RealPostgresServer":
-        os.makedirs(self.scratch, exist_ok=True)
+        import tempfile
+        self.scratch = tempfile.mkdtemp(prefix="pg-cluster-")
+        self.datadir = os.path.join(self.scratch, "data")
         if self._owner:
             u = pwd.getpwnam(self._owner)
             os.chown(self.scratch, u.pw_uid, u.pw_gid)
@@ -216,7 +225,8 @@ class RealPostgresServer:
                                 "-m", "immediate", "stop"],
                 check=False, stdout=subprocess.DEVNULL,
                 stderr=subprocess.STDOUT, cwd=self.scratch)
-        shutil.rmtree(self.scratch, ignore_errors=True)
+        if self.scratch:
+            shutil.rmtree(self.scratch, ignore_errors=True)
 
     def __enter__(self) -> "RealPostgresServer":
         return self.start()

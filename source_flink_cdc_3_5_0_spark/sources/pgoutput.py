@@ -593,9 +593,15 @@ def _key_tuple_to_row(rel: PgRelation, tup: list) -> dict:
     columns. Rounds 1-7 assumed key-only width here, symmetrically
     with the writer; the judge's real-server probe proved that wrong
     (the first real DELETE raised 'TupleData has 3 columns, relation
-    has 1')."""
+    has 1'). Capture files persisted by the PRE-fix writer encoded
+    only the key columns — decode that narrower width too, so stored
+    spools stay replayable across the upgrade (when key count equals
+    column count the two layouts coincide)."""
+    keys = tuple(c for c in rel.columns if c.key)
+    if len(tup) == len(keys) != len(rel.columns):
+        return _tuple_to_row(rel, tup, keys)  # legacy capture layout
     full = _tuple_to_row(rel, tup)
-    return {c.name: full[c.name] for c in rel.columns if c.key}
+    return {c.name: full[c.name] for c in keys}
 
 
 def _resolve_toast(after: dict, before: dict | None) -> dict:

@@ -487,3 +487,32 @@ def test_dump_verifies_crc32_trailers(tmp_path):
         with pytest.raises(ValueError, match="CRC32 mismatch"):
             dump_binlog_stream(srv.host, srv.port,
                                str(tmp_path / "bad"))
+
+
+@pytest.mark.parametrize("order", [("crc", "plain"), ("plain", "crc")])
+def test_checksum_transition_between_files(tmp_path, order):
+    """SET GLOBAL binlog_checksum mid-stream: each file's FDE
+    re-declares the algorithm, and the artificial ROTATE for a file is
+    name-resolved (and never CRC-checked) under THAT file's algorithm,
+    not the previous file's latch — both transition directions dump
+    cleanly."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        BinlogColumn, BinlogTableMap, BinlogWriter, MYSQL_TYPE_LONG,
+        WRITE_ROWS_EVENT)
+
+    src = tmp_path / "b"
+    src.mkdir()
+    tmap = BinlogTableMap(1, "d", "t", (
+        BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),), (0,))
+    for i, kind in enumerate(order, start=1):
+        w = BinlogWriter(checksum=(kind == "crc"))
+        w.table_map(tmap)
+        w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=i)])
+        (src / ("mysql-bin.%06d" % i)).write_bytes(w.getvalue())
+    with MysqldToyServer(str(src)) as srv:
+        written = dump_binlog_stream(srv.host, srv.port,
+                                     str(tmp_path / "s"))
+    assert written == ["mysql-bin.000001", "mysql-bin.000002"]
+    for i, name in enumerate(written, start=1):
+        assert (tmp_path / "s" / name).read_bytes() == \
+            (src / name).read_bytes()

@@ -905,3 +905,27 @@ def test_real_server_fixture_known_answer(name):
     assert lsns == sorted(lsns)
     # txn boundaries: the 3-row insert shares one commit_lsn
     assert lsns[0] == lsns[1] == lsns[2] and lsns[2] < lsns[3]
+
+
+def test_legacy_key_only_width_captures_still_decode():
+    """Capture files persisted by the pre-round-8 writer encoded 'K'
+    old tuples with ONLY the key columns; stored spools must stay
+    replayable after the wire-true fix (real files are full width —
+    both layouts decode to the same key-subset before-image)."""
+    import struct as _struct
+
+    rel = PgRelation(9004, "public", "t", "d", (
+        PgColumn("id", OID_INT4, key=True),
+        PgColumn("a", OID_TEXT), PgColumn("b", OID_FLOAT8)))
+    w = PgOutputWriter()
+    w.relation(rel)
+    w.begin()
+    # hand-assemble a legacy-width DELETE: 'D' + oid + 'K' + 1-col tuple
+    key_cell = b"t" + _struct.pack(">I", 1) + b"7"
+    msg = (b"D" + _struct.pack(">I", rel.oid) + b"K"
+           + _struct.pack(">H", 1) + key_cell)
+    w._frame(msg)
+    w.commit()
+    (dele,) = [c for c in pgoutput_changes(w.getvalue())
+               if c["kind"] == "change"]
+    assert dele["op"] == "-D" and dele["before"] == {"id": 7}
