@@ -530,6 +530,12 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
     committed_lsn = 0           # LSN of that commit (durable once flushed)
     durable_lsn = 0             # last LSN persisted via os.replace
     received_lsn = 0            # last wal position seen on the wire
+    sentinel_lsn = 0            # consumed stop-message LSN (ackable: every
+    #                             txn COMMITTED below it is already flushed,
+    #                             and an open txn replays whole by its
+    #                             commit LSN — without this ack a reconnect
+    #                             re-delivers the old sentinel and stops
+    #                             before any new data)
 
     def flush() -> None:
         """Persist buf's COMMITTED prefix durably; an uncommitted tail
@@ -737,11 +743,13 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
 
         def send_status() -> None:
             # Standby Status Update: written = receive position,
-            # flushed/applied = last DURABLY spooled LSN. Reporting
+            # flushed/applied = last DURABLY spooled LSN (plus a
+            # consumed stop sentinel, see sentinel_lsn). Reporting
             # wal_end as flushed (the round-7 behavior) advanced real
             # slots past in-memory-only WAL — confirmed data loss.
+            ack = max(durable_lsn, sentinel_lsn)
             write_msg(wfile, b"d", b"r" + struct.pack(
-                ">QQQQB", received_lsn, durable_lsn, durable_lsn, 0, 0))
+                ">QQQQB", received_lsn, ack, ack, 0, 0))
 
         done = False             # endpos / sentinel / idle: stop cleanly
         last_data = _time.monotonic()
@@ -802,6 +810,7 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
                 except ValueError:
                     pfx = None
                 if pfx == stop_message_prefix:
+                    sentinel_lsn = max(lsn, wal_end)
                     done = True
                     continue  # the sentinel itself is not data
             tag = msg[0]
