@@ -523,7 +523,14 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
     relations: dict[tuple[int, int], bytes] = {}  # (tag, oid) -> frame
     buf = bytearray()
     commits = 0
-    file_no = 1
+    # the spool is APPEND-ONLY across sessions: a reconnect resumes the
+    # numbering after the files already present — restarting at 000001
+    # would clobber spooled (and acked!) data under names a file-based
+    # checkpoint has already processed, silently losing the new batch
+    file_no = 1 + max(
+        (int(n.rsplit(".", 1)[1]) for n in os.listdir(spool_dir)
+         if n.startswith("pgwal.") and n.rsplit(".", 1)[1].isdigit()),
+        default=0)
     in_segment = False          # between Stream Start and Stream Stop
     open_streams: set[int] = set()  # xids streaming but not yet ended
     committed_len = 0           # bytes of buf through the last safe commit

@@ -460,3 +460,33 @@ def test_slot_resume_no_duplicates_no_loss_across_reconnects(tmp_path):
     assert ids1 == [1, 2, 3, 4, 5, 6]
     assert ids2 == [101, 102, 103], \
         "acked batch-1 rows replayed or batch-2 rows lost"
+
+
+def test_spool_is_append_only_across_sessions(tmp_path):
+    """A reconnect into the SAME spool directory continues the file
+    numbering — restarting at pgwal.000001 would overwrite acked data
+    under names a file-based checkpoint already processed."""
+    spool = tmp_path / "spool"
+    with RealPostgresServer(str(tmp_path / "srv")) as pg:
+        pg.sql("CREATE TABLE public.t (id bigint PRIMARY KEY)")
+        pg.sql("CREATE PUBLICATION pub FOR TABLE public.t")
+        pg.create_slot("s1")
+        pg.sql("INSERT INTO t VALUES (1)")
+        pg.sql("SELECT pg_logical_emit_message(false, '__stop__', '')")
+        w1 = start_replication_stream(
+            pg.host, pg.port, str(spool),
+            user=pg.REPL_USER, password=pg.REPL_PASSWORD,
+            database="postgres", slot="s1", publication="pub",
+            stop_message_prefix="__stop__", idle_timeout=15.0)
+        pg.sql("INSERT INTO t VALUES (2)")
+        pg.sql("SELECT pg_logical_emit_message(false, '__stop__', '')")
+        w2 = start_replication_stream(
+            pg.host, pg.port, str(spool),
+            user=pg.REPL_USER, password=pg.REPL_PASSWORD,
+            database="postgres", slot="s1", publication="pub",
+            stop_message_prefix="__stop__", idle_timeout=15.0)
+    assert w1 == ["pgwal.000001"]
+    assert w2 == ["pgwal.000002"]
+    ids = [c["after"]["id"] for n in w1 + w2 for c in pgoutput_changes(
+        (spool / n).read_bytes()) if c["kind"] == "change"]
+    assert ids == [1, 2]
