@@ -481,6 +481,16 @@ class PipelineComposer:
                 # pg_logical_emit_message) and/or `idle.timeout.seconds`
                 # (data-idle fallback)
                 idle = opts.get("idle.timeout.seconds")
+                if str(opts.get("spool.prune", "")).lower() == "true":
+                    # bound the append-only spool: files already fetched
+                    # were durably acked (the slot never resends them)
+                    # and the file checkpoint has processed them — an
+                    # operator relying on sink state can drop the raw
+                    # history. The .pgwal.next sidecar keeps numbering
+                    # monotonic so new files never reuse processed names.
+                    import glob as _g
+                    for p in _g.glob(_os.path.join(spool, "pgwal.*")):
+                        _os.unlink(p)
                 start_replication_stream(
                     opts["host"], int(opts.get("port", default_port)),
                     spool, user=opts.get("username", "repl"),

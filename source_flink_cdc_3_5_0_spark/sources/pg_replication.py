@@ -526,23 +526,33 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
     # the spool is APPEND-ONLY across sessions: a reconnect resumes the
     # numbering after the files already present — restarting at 000001
     # would clobber spooled (and acked!) data under names a file-based
-    # checkpoint has already processed, silently losing the new batch
-    file_no = 1 + max(
+    # checkpoint has already processed, silently losing the new batch.
+    # The `.pgwal.next` sidecar keeps numbering monotonic even when an
+    # operator PRUNES processed files to bound the spool.
+    seq_path = os.path.join(spool_dir, ".pgwal.next")
+    try:
+        with open(seq_path) as f:
+            sidecar_next = int(f.read().strip() or 1)
+    except (FileNotFoundError, ValueError):
+        sidecar_next = 1
+    file_no = max(sidecar_next, 1 + max(
         (int(n.rsplit(".", 1)[1]) for n in os.listdir(spool_dir)
          if n.startswith("pgwal.") and n.rsplit(".", 1)[1].isdigit()),
-        default=0)
+        default=0))
     in_segment = False          # between Stream Start and Stream Stop
     open_streams: set[int] = set()  # xids streaming but not yet ended
     committed_len = 0           # bytes of buf through the last safe commit
     committed_lsn = 0           # LSN of that commit (durable once flushed)
     durable_lsn = 0             # last LSN persisted via os.replace
     received_lsn = 0            # last wal position seen on the wire
-    sentinel_lsn = 0            # consumed stop-message LSN (ackable: every
-    #                             txn COMMITTED below it is already flushed,
-    #                             and an open txn replays whole by its
-    #                             commit LSN — without this ack a reconnect
-    #                             re-delivers the old sentinel and stops
-    #                             before any new data)
+    sentinel_lsn = 0            # consumed stop-message LSN — ackable ONLY
+    #                             when nothing was dropped: commits and
+    #                             non-transactional messages deliver in WAL
+    #                             order, so every txn committed below the
+    #                             sentinel arrived first AND (tail-guard in
+    #                             the teardown) was durably spooled. Without
+    #                             this ack a reconnect re-delivers the old
+    #                             sentinel and stops before any new data.
 
     def flush() -> None:
         """Persist buf's COMMITTED prefix durably; an uncommitted tail
@@ -559,6 +569,10 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
         with open(tmp, "wb") as out:
             out.write(bytes(buf[:committed_len]))
         os.replace(tmp, dest)
+        tmp2 = seq_path + ".part"
+        with open(tmp2, "w") as out:
+            out.write(str(file_no))
+        os.replace(tmp2, seq_path)
         written.append(name)
         buf = bytearray(buf[committed_len:])
         committed_len = 0
@@ -817,7 +831,11 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
                 except ValueError:
                     pfx = None
                 if pfx == stop_message_prefix:
-                    sentinel_lsn = max(lsn, wal_end)
+                    # ack the sentinel RECORD's lsn only — wal_end is
+                    # the server's WAL end at send time and can cover
+                    # committed transactions not yet delivered (acking
+                    # it would skip them on the next session)
+                    sentinel_lsn = lsn
                     done = True
                     continue  # the sentinel itself is not data
             tag = msg[0]
@@ -881,6 +899,13 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
         try:
             sock.settimeout(min(5.0, timeout))
             flush()
+            if buf:
+                # bytes were dropped past the last safe boundary — under
+                # v2 streaming that tail can hold a COMMITTED small txn
+                # interleaved between an open stream's segments, so the
+                # sentinel must NOT be acked (the unacked slot replays
+                # everything dropped; no-loss beats fast-forward)
+                sentinel_lsn = 0
             send_status()        # final ack: the durably spooled LSN
             write_msg(wfile, b"c", b"")
             while True:

@@ -542,3 +542,33 @@ sink: {{type: values}}
         pipe.start(raw, tables).awaitTermination(180)
     assert sink.snapshot(TableId.parse("public.t")) == \
         ["1, a2", "3, c"]
+
+
+def test_spool_prune_keeps_numbering_monotonic(tmp_path):
+    """Operators may prune processed spool files to bound disk; the
+    .pgwal.next sidecar keeps numbering monotonic so a new session
+    never reuses a name the file checkpoint already processed."""
+    import os
+
+    spool = tmp_path / "spool"
+    with RealPostgresServer(str(tmp_path / "srv")) as pg:
+        pg.sql("CREATE TABLE public.t (id bigint PRIMARY KEY)")
+        pg.sql("CREATE PUBLICATION pub FOR TABLE public.t")
+        pg.create_slot("s1")
+        pg.sql("INSERT INTO t VALUES (1)")
+        pg.sql("SELECT pg_logical_emit_message(false, '__stop__', '')")
+        w1 = start_replication_stream(
+            pg.host, pg.port, str(spool),
+            user=pg.REPL_USER, password=pg.REPL_PASSWORD,
+            database="postgres", slot="s1", publication="pub",
+            stop_message_prefix="__stop__", idle_timeout=15.0)
+        assert w1 == ["pgwal.000001"]
+        os.unlink(spool / "pgwal.000001")  # operator prunes
+        pg.sql("INSERT INTO t VALUES (2)")
+        pg.sql("SELECT pg_logical_emit_message(false, '__stop__', '')")
+        w2 = start_replication_stream(
+            pg.host, pg.port, str(spool),
+            user=pg.REPL_USER, password=pg.REPL_PASSWORD,
+            database="postgres", slot="s1", publication="pub",
+            stop_message_prefix="__stop__", idle_timeout=15.0)
+    assert w2 == ["pgwal.000002"], "numbering reused a processed name"
