@@ -459,10 +459,16 @@ class PipelineComposer:
                 # MySqlDataSourceOptions
                 from ..sources.mysql_protocol import dump_binlog_stream
 
+                # GTID startup mode bounds the FETCH too: the server
+                # picks the start file from PREVIOUS_GTIDS headers
+                # (COM_BINLOG_DUMP_GTID) and the decode-side filter
+                # drops the covered transactions within it
                 dump_binlog_stream(
                     opts["host"], int(opts.get("port", default_port)),
                     spool, user=opts.get("username", "repl"),
-                    password=opts.get("password", "replpass"))
+                    password=opts.get("password", "replpass"),
+                    gtid_set=opts.get(
+                        "scan.startup.specific-offset.gtid-set"))
             elif (t_lower == "pgoutput-file"
                     and opts.get("protocol", "").lower() == "postgres"):
                 # round-7: the REAL PostgreSQL v3 protocol with a logical

@@ -48,6 +48,7 @@ import threading
 import zlib
 
 from .mysql_binlog import _file_sort_key, _read_lenc
+from .vitess import _parse_gtid_set, gtid_covers  # MySQL GTID algebra
 
 # capability flags (include/mysql_com.h — public constants)
 CLIENT_LONG_PASSWORD = 0x00000001
@@ -61,8 +62,11 @@ COM_QUIT = 0x01
 COM_QUERY = 0x03
 COM_REGISTER_SLAVE = 0x15
 COM_BINLOG_DUMP = 0x12
+COM_BINLOG_DUMP_GTID = 0x1E
 BINLOG_DUMP_NON_BLOCK = 0x01
+BINLOG_THROUGH_GTID = 0x04
 _FORMAT_DESCRIPTION_EVENT = 0x0F
+_PREVIOUS_GTIDS_EVENT = 0x23
 _CHECKSUM_CRC32 = 1
 
 _BINLOG_MAGIC = b"\xfebin"
@@ -274,6 +278,59 @@ def decode_handshake_response(body: bytes) -> dict:
             "auth_plugin": plugin.decode()}
 
 
+def encode_gtid_set(gtid_set: str) -> bytes:
+    """libbinlogevents Gtid_set wire encoding (the COM_BINLOG_DUMP_GTID
+    data block and the PREVIOUS_GTIDS body share it): u64le sid count,
+    per sid 16 raw uuid bytes + u64le interval count + (start, end+1)
+    u64le pairs."""
+    parsed = _parse_gtid_set(gtid_set) if gtid_set else {}
+    out = struct.pack("<Q", len(parsed))
+    for uuid, ivs in sorted(parsed.items()):
+        out += bytes.fromhex(uuid.replace("-", ""))
+        out += struct.pack("<Q", len(ivs))
+        for lo, hi in ivs:
+            out += struct.pack("<QQ", lo, hi + 1)
+    return out
+
+
+def decode_gtid_set(blob: bytes, pos: int = 0) -> str:
+    """Inverse of encode_gtid_set -> canonical 'uuid:lo-hi,...' string."""
+    n_sids = struct.unpack_from("<Q", blob, pos)[0]
+    pos += 8
+    parts = []
+    for _ in range(n_sids):
+        sid = blob[pos:pos + 16].hex()
+        uuid = "-".join((sid[:8], sid[8:12], sid[12:16], sid[16:20],
+                         sid[20:]))
+        n_iv = struct.unpack_from("<Q", blob, pos + 16)[0]
+        pos += 24
+        ivs = []
+        for _ in range(n_iv):
+            lo, end = struct.unpack_from("<QQ", blob, pos)
+            pos += 16
+            ivs.append("%d-%d" % (lo, end - 1) if end - 1 > lo
+                       else str(lo))
+        parts.append("%s:%s" % (uuid, ":".join(ivs)))
+    return ",".join(parts)
+
+
+def file_previous_gtids(data: bytes) -> str | None:
+    """Extract a binlog file's PREVIOUS_GTIDS set (the executed set at
+    file start — what makes each rotated file self-describing and what
+    COM_BINLOG_DUMP_GTID start-file selection keys on). None when the
+    file carries no such event (pre-GTID server)."""
+    for ev in iter_file_events(data):
+        if ev[4] == _PREVIOUS_GTIDS_EVENT:
+            body = ev[19:]
+            # a checksummed trailer does not disturb the parse: the
+            # encoding is length-driven from the front
+            return decode_gtid_set(body)
+        if ev[4] not in (_FORMAT_DESCRIPTION_EVENT,):
+            # PREVIOUS_GTIDS sits immediately after the FDE when present
+            return None
+    return None
+
+
 def _ok_packet() -> bytes:
     # OK: header 0x00, affected rows 0, last insert id 0, status, warnings
     return b"\x00\x00\x00" + struct.pack("<HH", 0x0002, 0)
@@ -424,7 +481,46 @@ class MysqldToyServer:
                 if not flags & BINLOG_DUMP_NON_BLOCK:
                     return  # blocking dump: hold forever (toy: close)
                 continue
+            if cmd[0] == COM_BINLOG_DUMP_GTID:
+                flags, _sid, name_len = struct.unpack_from("<HII",
+                                                           cmd, 1)
+                p = 11 + name_len + 8  # skip name + pos
+                data_len = struct.unpack_from("<I", cmd, p)[0]
+                client_set = (decode_gtid_set(cmd[p + 4:p + 4
+                                                  + data_len])
+                              if data_len >= 8 else "")
+                start = self._gtid_start_file(client_set)
+                if start is None:
+                    # mysqld's ER_MASTER_FATAL_ERROR_READING_BINLOG:
+                    # the client's executed set misses transactions
+                    # that were purged with the missing files
+                    send_packet(wfile, 1, _err_packet(
+                        1236, "Cannot replicate because the source "
+                        "purged required binary logs"))
+                    return
+                self._stream(wfile, start, 4, flags)
+                if not flags & BINLOG_DUMP_NON_BLOCK:
+                    return
+                continue
             send_packet(wfile, 1, _err_packet(1047, "Unknown command"))
+
+    def _gtid_start_file(self, client_set: str) -> str | None:
+        """mysqld's COM_BINLOG_DUMP_GTID start-file selection: the
+        NEWEST file whose PREVIOUS_GTIDS is contained in the client's
+        executed set (everything before it is already applied). None
+        when even the oldest file starts past the client — required
+        transactions were purged."""
+        names = self._files_from("*")
+        chosen = None
+        for name in names:
+            with open(os.path.join(self.directory, name), "rb") as f:
+                data = f.read()
+            prev = file_previous_gtids(data) or ""
+            if gtid_covers(client_set or "", prev):
+                chosen = name  # keep scanning: newest covered wins
+            else:
+                break          # files only grow their executed set
+        return chosen
 
     def _files_from(self, from_file: str) -> list[str]:
         names = sorted((n for n in os.listdir(self.directory)
@@ -483,8 +579,8 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
                        user: str = "repl", password: str = "replpass",
                        from_file: str | None = None, server_id: int = 2,
                        timeout: float = 30.0,
-                       stop_at: tuple[str, int] | None = None
-                       ) -> list[str]:
+                       stop_at: tuple[str, int] | None = None,
+                       gtid_set: str | None = None) -> list[str]:
     """BinaryLogClient analog over the REAL protocol: handshake + auth +
     ``SET @master_binlog_checksum`` announcement (a real mysqld with
     binlog_checksum=CRC32 refuses the dump to a client that has not
@@ -498,7 +594,15 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
     ``stop_at`` = (file, position): bounded stop for BLOCKING dump
     sessions (a real mysqld without NON_BLOCK streams forever, the
     walsender-termination lesson of round 8) — the client stops cleanly
-    once the named file reaches end_log_pos >= position."""
+    once the named file reaches end_log_pos >= position.
+
+    ``gtid_set``: resume by executed-GTID set via COM_BINLOG_DUMP_GTID
+    (the reference's GTID startup mode, BinaryLogClient's
+    `gtidSet` path) — the server picks the starting FILE from each
+    file's PREVIOUS_GTIDS header and answers error 1236 when required
+    transactions were purged; transactions the set already covers are
+    dropped downstream by the decode-side offset filter
+    (`scan.startup.specific-offset.gtid-set`)."""
     os.makedirs(spool_dir, exist_ok=True)
     written: list[str] = []
     with socket.create_connection((host, port), timeout=timeout) as sock:
@@ -558,10 +662,21 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
         _, reply = read_packet(rfile)
         if reply[:1] != b"\x00":
             raise ValueError("COM_REGISTER_SLAVE refused: %r" % reply[:40])
-        dump = (bytes([COM_BINLOG_DUMP]) + struct.pack("<I", 4)
-                + struct.pack("<H", BINLOG_DUMP_NON_BLOCK)
-                + struct.pack("<I", server_id)
-                + (from_file or "").encode("ascii"))
+        if gtid_set is not None:
+            blob = encode_gtid_set(gtid_set)
+            name = (from_file or "").encode("ascii")
+            dump = (bytes([COM_BINLOG_DUMP_GTID])
+                    + struct.pack("<H", BINLOG_DUMP_NON_BLOCK
+                                  | BINLOG_THROUGH_GTID)
+                    + struct.pack("<I", server_id)
+                    + struct.pack("<I", len(name)) + name
+                    + struct.pack("<Q", 4)
+                    + struct.pack("<I", len(blob)) + blob)
+        else:
+            dump = (bytes([COM_BINLOG_DUMP]) + struct.pack("<I", 4)
+                    + struct.pack("<H", BINLOG_DUMP_NON_BLOCK)
+                    + struct.pack("<I", server_id)
+                    + (from_file or "").encode("ascii"))
         send_packet(wfile, 0, dump)
 
         current: bytearray | None = None
@@ -604,7 +719,14 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
             if pkt[:1] == b"\xfe" and len(pkt) < 9:
                 break
             if pkt[:1] == b"\xff":
-                raise ValueError("server error mid-stream: %r" % pkt[:40])
+                # ERR packet: u16 code [+ '#' + 5-byte sqlstate] + text —
+                # surface the server's words (e.g. 1236 'Cannot
+                # replicate because the source purged required binary
+                # logs'), not a truncated byte repr
+                err_code = struct.unpack_from("<H", pkt, 1)[0]
+                text = (pkt[9:] if pkt[3:4] == b"#" else pkt[3:])
+                raise ValueError("server error %d mid-stream: %s" % (
+                    err_code, text.decode("utf-8", "replace")))
             if pkt[:1] != b"\x00":
                 raise ValueError("unexpected packet prefix %r" % pkt[:1])
             ev = pkt[1:]

@@ -516,3 +516,80 @@ def test_checksum_transition_between_files(tmp_path, order):
     for i, name in enumerate(written, start=1):
         assert (tmp_path / "s" / name).read_bytes() == \
             (src / name).read_bytes()
+
+
+# ---------------------------------------------------------------------------
+# COM_BINLOG_DUMP_GTID — GTID-set resume at the transport
+# ---------------------------------------------------------------------------
+
+_SID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+
+
+def _gtid_fixture(tmp_path):
+    """Three binlog files whose PREVIOUS_GTIDS headers grow: file N
+    starts with the executed set of everything before it."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        BinlogColumn, BinlogTableMap, BinlogWriter, MYSQL_TYPE_LONG,
+        WRITE_ROWS_EVENT)
+
+    src = tmp_path / "b"
+    src.mkdir()
+    tmap = BinlogTableMap(1, "d", "t", (
+        BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),), (0,))
+    prevs = [None, "%s:1-2" % _SID, "%s:1-4" % _SID]
+    for i, prev in enumerate(prevs, start=1):
+        w = BinlogWriter(previous_gtids=prev)
+        w.table_map(tmap)
+        w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=i)])
+        (src / ("mysql-bin.%06d" % i)).write_bytes(w.getvalue())
+    return src
+
+
+def test_gtid_set_roundtrip_and_file_header():
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import \
+        BinlogWriter
+    from source_flink_cdc_3_5_0_spark.sources.mysql_protocol import (
+        decode_gtid_set, encode_gtid_set, file_previous_gtids)
+
+    s = "%s:1-5:7,%s:3" % (_SID, _SID.replace("3e", "4e"))
+    assert decode_gtid_set(encode_gtid_set(s)) == \
+        decode_gtid_set(encode_gtid_set(decode_gtid_set(
+            encode_gtid_set(s))))  # canonical fixpoint
+    w = BinlogWriter(previous_gtids="%s:1-4" % _SID)
+    assert file_previous_gtids(w.getvalue()) == "%s:1-4" % _SID
+    w2 = BinlogWriter()
+    assert file_previous_gtids(w2.getvalue()) is None
+
+
+@pytest.mark.parametrize("client_set,expect", [
+    ("", ["mysql-bin.000001", "mysql-bin.000002", "mysql-bin.000003"]),
+    ("%s:1-2" % _SID, ["mysql-bin.000002", "mysql-bin.000003"]),
+    ("%s:1-3" % _SID, ["mysql-bin.000002", "mysql-bin.000003"]),
+    ("%s:1-4" % _SID, ["mysql-bin.000003"]),
+    ("%s:1-9" % _SID, ["mysql-bin.000003"]),
+])
+def test_dump_gtid_starts_at_the_right_file(tmp_path, client_set,
+                                            expect):
+    """mysqld start-file selection: the newest file whose
+    PREVIOUS_GTIDS the client's executed set covers (a mid-file set
+    like 1-3 still starts at that file — the decode-side offset filter
+    drops the covered transactions)."""
+    src = _gtid_fixture(tmp_path)
+    with MysqldToyServer(str(src)) as srv:
+        written = dump_binlog_stream(
+            srv.host, srv.port, str(tmp_path / ("s" + str(len(expect)))),
+            gtid_set=client_set)
+    assert written == expect
+
+
+def test_dump_gtid_purged_logs_error(tmp_path):
+    """A client whose executed set predates the oldest retained file
+    gets mysqld's error 1236, not a silent partial stream."""
+    import os
+
+    src = _gtid_fixture(tmp_path)
+    os.unlink(src / "mysql-bin.000001")
+    with MysqldToyServer(str(src)) as srv:
+        with pytest.raises(ValueError, match="purged"):
+            dump_binlog_stream(srv.host, srv.port,
+                               str(tmp_path / "s"), gtid_set="")
