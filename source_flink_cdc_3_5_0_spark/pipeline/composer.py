@@ -459,16 +459,25 @@ class PipelineComposer:
                 # MySqlDataSourceOptions
                 from ..sources.mysql_protocol import dump_binlog_stream
 
-                # GTID startup mode bounds the FETCH too: the server
-                # picks the start file from PREVIOUS_GTIDS headers
+                # GTID startup bounds the FETCH too: the server picks
+                # the start file from PREVIOUS_GTIDS headers
                 # (COM_BINLOG_DUMP_GTID) and the decode-side filter
-                # drops the covered transactions within it
+                # drops the covered transactions within it. Honored
+                # ONLY under scan.startup.mode=specific-offset and a
+                # non-empty set — the same gating the decode side
+                # applies (mysql_binlog.resolve_startup_offset), so a
+                # leftover option under earliest-offset cannot silently
+                # skip history at the transport.
+                gtids = None
+                if (opts.get("scan.startup.mode")
+                        or "earliest-offset").lower() == "specific-offset":
+                    gtids = opts.get(
+                        "scan.startup.specific-offset.gtid-set") or None
                 dump_binlog_stream(
                     opts["host"], int(opts.get("port", default_port)),
                     spool, user=opts.get("username", "repl"),
                     password=opts.get("password", "replpass"),
-                    gtid_set=opts.get(
-                        "scan.startup.specific-offset.gtid-set"))
+                    gtid_set=gtids)
             elif (t_lower == "pgoutput-file"
                     and opts.get("protocol", "").lower() == "postgres"):
                 # round-7: the REAL PostgreSQL v3 protocol with a logical

@@ -128,6 +128,21 @@ CHECKSUM_CRC32 = 1
 # ---------------------------------------------------------------------------
 
 
+def encode_gtid_set(gtid_set: str) -> bytes:
+    """libbinlogevents Gtid_set encoding — shared by the writer's
+    PREVIOUS_GTIDS body and the COM_BINLOG_DUMP_GTID data block: u64le
+    sid count, per sid 16 raw uuid bytes + u64le interval count +
+    (start, end+1) u64le pairs."""
+    parsed = _parse_gtid_set(gtid_set) if gtid_set else {}
+    out = struct.pack("<Q", len(parsed))
+    for uuid, ivs in sorted(parsed.items()):
+        out += bytes.fromhex(uuid.replace("-", ""))
+        out += struct.pack("<Q", len(ivs))
+        for lo, hi in ivs:
+            out += struct.pack("<QQ", lo, hi + 1)
+    return out
+
+
 def _read_lenc(buf: bytes, pos: int) -> tuple[int, int]:
     """MySQL length-encoded integer."""
     b = buf[pos]
@@ -670,14 +685,7 @@ class BinlogWriter:
         each rotated file self-describing. Wire format: u64le sid count,
         then per sid 16 bytes + u64le interval count + (start, end+1)
         u64le pairs (libbinlogevents Gtid_set encoding)."""
-        parsed = _parse_gtid_set(gtid_set)
-        body = struct.pack("<Q", len(parsed))
-        for uuid, ivs in sorted(parsed.items()):
-            body += bytes.fromhex(uuid.replace("-", ""))
-            body += struct.pack("<Q", len(ivs))
-            for lo, hi in ivs:
-                body += struct.pack("<QQ", lo, hi + 1)
-        self._emit(PREVIOUS_GTIDS_EVENT, body)
+        self._emit(PREVIOUS_GTIDS_EVENT, encode_gtid_set(gtid_set))
 
     def query(self, sql: str, database: str = "") -> None:
         db = database.encode()

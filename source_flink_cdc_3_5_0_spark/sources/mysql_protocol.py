@@ -47,8 +47,8 @@ import struct
 import threading
 import zlib
 
-from .mysql_binlog import _file_sort_key, _read_lenc
-from .vitess import _parse_gtid_set, gtid_covers  # MySQL GTID algebra
+from .mysql_binlog import _file_sort_key, _read_lenc, encode_gtid_set
+from .vitess import gtid_covers  # MySQL GTID-set algebra
 
 # capability flags (include/mysql_com.h — public constants)
 CLIENT_LONG_PASSWORD = 0x00000001
@@ -278,21 +278,6 @@ def decode_handshake_response(body: bytes) -> dict:
             "auth_plugin": plugin.decode()}
 
 
-def encode_gtid_set(gtid_set: str) -> bytes:
-    """libbinlogevents Gtid_set wire encoding (the COM_BINLOG_DUMP_GTID
-    data block and the PREVIOUS_GTIDS body share it): u64le sid count,
-    per sid 16 raw uuid bytes + u64le interval count + (start, end+1)
-    u64le pairs."""
-    parsed = _parse_gtid_set(gtid_set) if gtid_set else {}
-    out = struct.pack("<Q", len(parsed))
-    for uuid, ivs in sorted(parsed.items()):
-        out += bytes.fromhex(uuid.replace("-", ""))
-        out += struct.pack("<Q", len(ivs))
-        for lo, hi in ivs:
-            out += struct.pack("<QQ", lo, hi + 1)
-    return out
-
-
 def decode_gtid_set(blob: bytes, pos: int = 0) -> str:
     """Inverse of encode_gtid_set -> canonical 'uuid:lo-hi,...' string."""
     n_sids = struct.unpack_from("<Q", blob, pos)[0]
@@ -318,16 +303,25 @@ def file_previous_gtids(data: bytes) -> str | None:
     """Extract a binlog file's PREVIOUS_GTIDS set (the executed set at
     file start — what makes each rotated file self-describing and what
     COM_BINLOG_DUMP_GTID start-file selection keys on). None when the
-    file carries no such event (pre-GTID server)."""
-    for ev in iter_file_events(data):
+    file carries no such event (pre-GTID writer). Tolerates a PREFIX of
+    a file: the header events sit in the first bytes, so callers may
+    read a bounded slice instead of whole multi-GB files."""
+    if data[:4] != _BINLOG_MAGIC:
+        return None
+    pos = 4
+    while pos + 19 <= len(data):
+        ln = struct.unpack_from("<I", data, pos + 9)[0]
+        if ln < 19 or pos + ln > len(data):
+            return None  # truncated prefix past the header events
+        ev = data[pos:pos + ln]
         if ev[4] == _PREVIOUS_GTIDS_EVENT:
-            body = ev[19:]
-            # a checksummed trailer does not disturb the parse: the
-            # encoding is length-driven from the front
-            return decode_gtid_set(body)
-        if ev[4] not in (_FORMAT_DESCRIPTION_EVENT,):
+            # a CRC trailer does not disturb the parse: the encoding is
+            # length-driven from the front
+            return decode_gtid_set(ev[19:])
+        if ev[4] != _FORMAT_DESCRIPTION_EVENT:
             # PREVIOUS_GTIDS sits immediately after the FDE when present
             return None
+        pos += ln
     return None
 
 
@@ -482,13 +476,25 @@ class MysqldToyServer:
                     return  # blocking dump: hold forever (toy: close)
                 continue
             if cmd[0] == COM_BINLOG_DUMP_GTID:
-                flags, _sid, name_len = struct.unpack_from("<HII",
-                                                           cmd, 1)
-                p = 11 + name_len + 8  # skip name + pos
-                data_len = struct.unpack_from("<I", cmd, p)[0]
-                client_set = (decode_gtid_set(cmd[p + 4:p + 4
-                                                  + data_len])
-                              if data_len >= 8 else "")
+                # client-supplied lengths are untrusted: a hostile or
+                # truncated name_len/data_len must answer an ERR packet,
+                # not kill the handler thread with struct.error
+                try:
+                    flags, _sid, name_len = struct.unpack_from(
+                        "<HII", cmd, 1)
+                    p = 11 + name_len + 8  # skip name + pos
+                    if p + 4 > len(cmd):
+                        raise ValueError("lengths overrun the packet")
+                    data_len = struct.unpack_from("<I", cmd, p)[0]
+                    if p + 4 + data_len > len(cmd):
+                        raise ValueError("lengths overrun the packet")
+                    client_set = (decode_gtid_set(
+                        cmd[p + 4:p + 4 + data_len])
+                        if data_len >= 8 else "")
+                except (struct.error, ValueError, IndexError):
+                    send_packet(wfile, 1, _err_packet(
+                        1064, "Malformed COM_BINLOG_DUMP_GTID"))
+                    return
                 start = self._gtid_start_file(client_set)
                 if start is None:
                     # mysqld's ER_MASTER_FATAL_ERROR_READING_BINLOG:
@@ -509,13 +515,20 @@ class MysqldToyServer:
         NEWEST file whose PREVIOUS_GTIDS is contained in the client's
         executed set (everything before it is already applied). None
         when even the oldest file starts past the client — required
-        transactions were purged."""
-        names = self._files_from("*")
+        transactions were purged. A file WITHOUT the header (pre-GTID
+        writer) has unknown coverage: it never advances the choice past
+        itself — treating it as covered silently dropped every earlier
+        file's rows (review-confirmed data loss). Header parsing reads
+        a bounded prefix, not whole files."""
         chosen = None
-        for name in names:
+        for name in self._files_from("*"):
             with open(os.path.join(self.directory, name), "rb") as f:
-                data = f.read()
-            prev = file_previous_gtids(data) or ""
+                head = f.read(65536)
+            prev = file_previous_gtids(head)
+            if prev is None:
+                if chosen is None:
+                    chosen = name  # oldest file: the only safe start
+                break
             if gtid_covers(client_set or "", prev):
                 chosen = name  # keep scanning: newest covered wins
             else:

@@ -536,7 +536,9 @@ def _gtid_fixture(tmp_path):
     src.mkdir()
     tmap = BinlogTableMap(1, "d", "t", (
         BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),), (0,))
-    prevs = [None, "%s:1-2" % _SID, "%s:1-4" % _SID]
+    # a GTID-mode server writes the header on EVERY file — the first
+    # file's executed-set is simply empty
+    prevs = ["", "%s:1-2" % _SID, "%s:1-4" % _SID]
     for i, prev in enumerate(prevs, start=1):
         w = BinlogWriter(previous_gtids=prev)
         w.table_map(tmap)
@@ -593,3 +595,59 @@ def test_dump_gtid_purged_logs_error(tmp_path):
         with pytest.raises(ValueError, match="purged"):
             dump_binlog_stream(srv.host, srv.port,
                                str(tmp_path / "s"), gtid_set="")
+
+
+def test_dump_gtid_pre_gtid_files_serve_everything(tmp_path):
+    """Files WITHOUT a PREVIOUS_GTIDS header have unknown coverage: the
+    selection must start at the OLDEST such file, never skip to the
+    newest (review-confirmed data loss: all earlier rows vanished)."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        BinlogColumn, BinlogTableMap, BinlogWriter, MYSQL_TYPE_LONG,
+        WRITE_ROWS_EVENT)
+
+    src = tmp_path / "b"
+    src.mkdir()
+    tmap = BinlogTableMap(1, "d", "t", (
+        BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),), (0,))
+    for i in (1, 2, 3):
+        w = BinlogWriter()  # no previous_gtids header
+        w.table_map(tmap)
+        w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=i)])
+        (src / ("mysql-bin.%06d" % i)).write_bytes(w.getvalue())
+    with MysqldToyServer(str(src)) as srv:
+        written = dump_binlog_stream(srv.host, srv.port,
+                                     str(tmp_path / "s"), gtid_set="")
+    assert written == ["mysql-bin.000001", "mysql-bin.000002",
+                       "mysql-bin.000003"]
+
+
+def test_dump_gtid_malformed_command_gets_err_packet(tmp_path):
+    """Hostile name_len/data_len answer an ERR packet, not a dead
+    socket (the handler must not die on struct.error)."""
+    import socket
+    import struct as _s
+
+    from source_flink_cdc_3_5_0_spark.sources.mysql_protocol import (
+        COM_BINLOG_DUMP_GTID, decode_handshake_v10,
+        encode_handshake_response)
+
+    src = tmp_path / "b"
+    src.mkdir()
+    with MysqldToyServer(str(src),
+                         auth_plugin="mysql_native_password") as srv:
+        with socket.create_connection((srv.host, srv.port),
+                                      timeout=10) as sock:
+            rf = sock.makefile("rb")
+            wf = sock.makefile("wb", buffering=0)
+            _, hello = read_packet(rf)
+            hs = decode_handshake_v10(hello)
+            send_packet(wf, 1, encode_handshake_response(
+                "repl", "replpass", hs["nonce"],
+                auth_plugin="mysql_native_password"))
+            _, reply = read_packet(rf)
+            assert reply[:1] == b"\x00"
+            # name_len = 0xFFFFFFFF: lengths overrun the packet
+            send_packet(wf, 0, bytes([COM_BINLOG_DUMP_GTID])
+                        + _s.pack("<HII", 5, 2, 0xFFFFFFFF))
+            _, err = read_packet(rf)
+            assert err[:1] == b"\xff" and b"Malformed" in err
