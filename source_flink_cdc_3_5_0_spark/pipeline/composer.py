@@ -497,15 +497,30 @@ class PipelineComposer:
                 # (data-idle fallback)
                 idle = opts.get("idle.timeout.seconds")
                 if str(opts.get("spool.prune", "")).lower() == "true":
-                    # bound the append-only spool: files already fetched
-                    # were durably acked (the slot never resends them)
-                    # and the file checkpoint has processed them — an
-                    # operator relying on sink state can drop the raw
-                    # history. The .pgwal.next sidecar keeps numbering
-                    # monotonic so new files never reuse processed names.
-                    import glob as _g
-                    for p in _g.glob(_os.path.join(spool, "pgwal.*")):
-                        _os.unlink(p)
+                    # bound the append-only spool — but prune ONLY files
+                    # the checkpoint PROVES processed (advice r8,
+                    # medium): fetched files were durably acked (the
+                    # slot never resends them), so if a prior run
+                    # crashed between fetch and the downstream file
+                    # pipeline, the spool is the only copy of that WAL.
+                    # A file is provably processed when its max frame
+                    # LSN <= the committed PostgresOffset (records take
+                    # their commit frame's LSN; the offset persists only
+                    # after the batch lands). No checkpoint -> no prune.
+                    # The .pgwal.next sidecar keeps numbering monotonic
+                    # so new files never reuse pruned names.
+                    from ..sources.pg_replication import (
+                        prune_processed_spool)
+
+                    off_path = _os.path.join(
+                        opts.get("checkpoint", ".cdc_checkpoint"),
+                        "postgres_offset.json")
+                    if _os.path.exists(off_path):
+                        from ..sources.pgoutput import PostgresOffset
+
+                        with open(off_path) as _f:
+                            _done = PostgresOffset.from_json(_f.read())
+                        prune_processed_spool(spool, _done.lsn)
                 start_replication_stream(
                     opts["host"], int(opts.get("port", default_port)),
                     spool, user=opts.get("username", "repl"),

@@ -696,13 +696,29 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
         name: str | None = None
 
         def flush():
-            if name is not None and current is not None:
-                dest = os.path.join(spool_dir, name)
-                tmp = dest + ".part"
-                with open(tmp, "wb") as out:
-                    out.write(bytes(current))
-                os.replace(tmp, dest)
-                written.append(name)
+            nonlocal name
+            if current is None:
+                return
+            if name is None:
+                # a non-final file arrived without its FDE, so the
+                # lazy checksum latch never resolved the name: fall
+                # back to the ascii heuristic instead of silently
+                # dropping the whole buffered file (ADVICE r8 — only
+                # the LAST file got the post-loop fallback before)
+                name = resolve_name()
+            if name is None:
+                if len(current) > len(_BINLOG_MAGIC):
+                    raise ValueError(
+                        "binlog stream buffered %d bytes with no file "
+                        "name (no ROTATE name, no FDE) — refusing to "
+                        "drop them" % len(current))
+                return  # empty magic-only buffer: nothing to lose
+            dest = os.path.join(spool_dir, name)
+            tmp = dest + ".part"
+            with open(tmp, "wb") as out:
+                out.write(bytes(current))
+            os.replace(tmp, dest)
+            written.append(name)
 
         # checksum state: None until the first FDE declares the
         # stream's algorithm (5.6.1+ FDEs always carry the alg byte

@@ -86,8 +86,16 @@ def write_msg(wfile, mtype: bytes, payload: bytes) -> None:
 _MAX_MSG = (1 << 30) + (1 << 20)  # 1 GiB + header slack
 
 
-def read_msg(rfile) -> tuple[bytes, bytes]:
+def read_msg(rfile, frame_state: list | None = None) -> tuple[bytes, bytes]:
+    """Read one framed message. ``frame_state`` (a 1-element list, out
+    param) reports how many bytes of the CURRENT frame were consumed
+    before any exception — a timeout with a non-zero count is a
+    mid-frame stall (truncated message), not idleness (ADVICE r8)."""
+    if frame_state is not None:
+        frame_state[0] = 0
     head = rfile.read(5)
+    if frame_state is not None:
+        frame_state[0] = len(head)
     if len(head) < 5:
         raise ValueError("connection closed mid-message")
     n = struct.unpack(">I", head[1:])[0]
@@ -776,12 +784,25 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
         last_data = _time.monotonic()
         if idle_timeout is not None:
             sock.settimeout(idle_timeout)
+        frame_state = [0]
         while not done:
             try:
-                mtype, payload = read_msg(rfile)
+                mtype, payload = read_msg(rfile, frame_state)
             except TimeoutError:
                 if idle_timeout is None:
                     raise
+                if frame_state[0]:
+                    # the header landed but the body stalled: a
+                    # transient mid-frame hang is NOT idleness — ending
+                    # the session "cleanly" here would report a
+                    # truncated stream as success (ADVICE r8). Nothing
+                    # durable is lost (unacked WAL replays on
+                    # reconnect), but the caller must know.
+                    raise ValueError(
+                        "stream stalled mid-frame (%d header bytes "
+                        "read, body never arrived) — transient network "
+                        "stall, not end-of-stream; reconnect to resume"
+                        % frame_state[0]) from None
                 break            # no traffic at all: end of stream
             if mtype == b"c":        # CopyDone: bounded toy dump over
                 break
@@ -917,3 +938,52 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
             pass
     flush()
     return written
+
+
+def spool_file_max_lsn(path: str) -> int:
+    """Max frame LSN in one capture file (u64 LSN + u32 len frames).
+
+    Records decoded from a file take their COMMIT frame's LSN as the
+    downstream ``source.lsn`` coordinate and files roll only at commit
+    boundaries, so this bound dominates every record the file can ever
+    produce. Truncated/garbage tails stop the scan conservatively (the
+    bytes seen so far still bound the frames they framed)."""
+    hi = 0
+    with open(path, "rb") as f:
+        data = f.read()
+    pos = 0
+    while pos + 12 <= len(data):
+        lsn, ln = struct.unpack_from(">QI", data, pos)
+        if pos + 12 + ln > len(data):
+            break
+        hi = max(hi, lsn)
+        pos += 12 + ln
+    return hi
+
+
+def prune_processed_spool(spool_dir: str, processed_lsn: int) -> list[str]:
+    """Delete spool files the checkpoint PROVES processed: every frame
+    LSN <= ``processed_lsn`` (the committed PostgresOffset position,
+    persisted only after the batch landed in the sink).
+
+    This is the safe form of ``spool.prune`` (advice r8, medium): files
+    were durably ACKED at fetch time — the slot's confirmed_flush
+    already advanced past them and a real server never resends — so a
+    crash between fetch and the downstream file pipeline leaves
+    acked-but-unprocessed files as the ONLY copy of that WAL.
+    Unconditional pruning destroyed them; this prunes nothing until the
+    checkpoint has recorded the data as folded."""
+    pruned: list[str] = []
+    for name in sorted(os.listdir(spool_dir)):
+        if not (name.startswith("pgwal.")
+                and name.rsplit(".", 1)[1].isdigit()):
+            continue
+        path = os.path.join(spool_dir, name)
+        try:
+            hi = spool_file_max_lsn(path)
+        except OSError:
+            continue
+        if hi <= processed_lsn:
+            os.unlink(path)
+            pruned.append(name)
+    return pruned

@@ -1009,14 +1009,20 @@ def pgoutput_infer_tables(paths: list[str]
     return tables, pks
 
 
-def pgoutput_seq(commit_lsn: int, idx: int = 0) -> int:
+def pgoutput_seq(commit_lsn: int, idx: int = 0, half: int = 0) -> int:
     """The bridge's ``__seq``: commit LSN (commit order is the only sound
-    ordering when v2 streamed transactions interleave) with a 15-bit
-    intra-transaction tie-break. WAL LSNs stay far below 2^48 (256 TB of
-    WAL), bounded here so the shift can never overflow int64."""
+    ordering when v2 streamed transactions interleave) with a 14-bit
+    intra-transaction tie-break and a 1-bit sub-sequence for the
+    PK-changing-update split (``half``: 0 = the synthesized DELETE,
+    1 = the CREATE) so offsets stay UNIQUE and strictly increasing even
+    when one wire UPDATE fans out to two records (ADVICE r8 — consumers
+    doing offset-keyed dedup/exactly-once bookkeeping would otherwise
+    double-apply or drop half the pair). WAL LSNs stay far below 2^48
+    (256 TB of WAL), bounded here so the shift can never overflow
+    int64."""
     if commit_lsn >= 1 << 48:
         raise ValueError("LSN %d exceeds the 48-bit seq budget" % commit_lsn)
-    return (commit_lsn << 15) | min(idx, (1 << 15) - 1)
+    return (commit_lsn << 15) | (min(idx, (1 << 14) - 1) << 1) | (half & 1)
 
 
 def pgoutput_to_debezium_json(files, start_lsn: int | None = None):
@@ -1105,10 +1111,14 @@ def pgoutput_to_debezium_json(files, start_lsn: int | None = None):
                             recs = [{"before": c["before"],
                                      "after": c["after"], "op": op,
                                      "ts_ms": ts_ms, "source": source}]
-                        for rec in recs:
+                        for half, rec in enumerate(recs):
                             values.append(_json.dumps(
                                 rec, separators=(",", ":")))
-                            offsets.append(seq)
+                            # the PK-split pair gets sub-sequenced
+                            # offsets (delete < create) — never two
+                            # records under one offset
+                            offsets.append(pgoutput_seq(
+                                c["commit_lsn"], c["idx"], half))
                     if len(values) >= CHUNK:
                         yield pd.DataFrame(
                             {"value": pd.Series(values, dtype=object),

@@ -651,3 +651,38 @@ def test_dump_gtid_malformed_command_gets_err_packet(tmp_path):
                         + _s.pack("<HII", 5, 2, 0xFFFFFFFF))
             _, err = read_packet(rf)
             assert err[:1] == b"\xff" and b"Malformed" in err
+
+
+def test_mid_stream_file_without_fde_is_flushed_not_dropped(tmp_path):
+    """ADVICE r8: a non-final file whose FDE never arrived used to be
+    silently dropped at the next rotate (its name latch was still
+    None). The flush now falls back to the ascii name heuristic, so the
+    buffered events land under the rotate-announced name."""
+    class NoFdeToy(MysqldToyServer):
+        def _stream(self, wfile, from_file, pos, flags):
+            def ev(etype, body, flags_=0):
+                return struct.pack("<IBIIIH", 0, etype, 1,
+                                   19 + len(body), 0, flags_) + body
+
+            seq = 1
+            rot1 = ev(0x04, struct.pack("<Q", 4) + b"mysql-bin.000003",
+                      0x20)
+            seq = send_packet(wfile, seq, b"\x00" + rot1)
+            # an event arrives but the file's FDE never does
+            seq = send_packet(wfile, seq, b"\x00" + ev(0x02, b"q" * 16))
+            rot2 = ev(0x04, struct.pack("<Q", 4) + b"mysql-bin.000004",
+                      0x20)
+            seq = send_packet(wfile, seq, b"\x00" + rot2)
+            fde = ev(0x0F, struct.pack("<H", 4) + b"x" * 50
+                     + struct.pack("<I", 0) + bytes([19]) + bytes(40)
+                     + bytes([0]))
+            seq = send_packet(wfile, seq, b"\x00" + fde)
+            send_packet(wfile, seq, b"\xfe\x00\x00\x02\x00")
+
+    (tmp_path / "unused").mkdir()
+    with NoFdeToy(str(tmp_path / "unused")) as srv:
+        written = dump_binlog_stream(srv.host, srv.port,
+                                     str(tmp_path / "s"))
+    assert written == ["mysql-bin.000003", "mysql-bin.000004"]
+    f1 = (tmp_path / "s" / "mysql-bin.000003").read_bytes()
+    assert len(f1) > 4  # magic + the buffered event, not empty

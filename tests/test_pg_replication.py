@@ -446,3 +446,145 @@ def test_idle_timeout_ends_a_live_walsender_session(tmp_path):
     recs = [c for n in written for c in pgoutput_changes(
         (spool / n).read_bytes()) if c["kind"] == "change"]
     assert [r["after"]["id"] for r in recs] == [0, 1, 2]
+
+
+def test_spool_file_max_lsn_scans_frames(tmp_path):
+    from source_flink_cdc_3_5_0_spark.sources.pg_replication import (
+        spool_file_max_lsn)
+
+    p = tmp_path / "pgwal.000001"
+    frames = b"".join(struct.pack(">QI", lsn, 1) + b"x"
+                      for lsn in (5, 42, 7))
+    p.write_bytes(frames)
+    assert spool_file_max_lsn(str(p)) == 42
+    # a truncated tail stops the scan without crashing
+    p.write_bytes(frames + struct.pack(">QI", 99, 100) + b"short")
+    assert spool_file_max_lsn(str(p)) == 42
+
+
+def test_prune_processed_spool_keeps_unprocessed_files(tmp_path):
+    """Advice r8 (medium): spool files are durably ACKED at fetch time
+    (the slot never resends them), so pruning may only remove files the
+    checkpoint PROVES processed — a file with any frame past the
+    committed offset is the only copy of that WAL and must survive."""
+    from source_flink_cdc_3_5_0_spark.sources.pg_replication import (
+        prune_processed_spool)
+
+    def mk(name, lsns):
+        (tmp_path / name).write_bytes(b"".join(
+            struct.pack(">QI", lsn, 1) + b"x" for lsn in lsns))
+
+    mk("pgwal.000001", [10, 20])        # fully below the checkpoint
+    mk("pgwal.000002", [30, 50])        # straddles: must survive
+    mk("pgwal.000003", [60])            # fully above: must survive
+    (tmp_path / ".pgwal.next").write_text("4")
+    pruned = prune_processed_spool(str(tmp_path), 40)
+    assert pruned == ["pgwal.000001"]
+    assert sorted(p.name for p in tmp_path.glob("pgwal.*")) == \
+        ["pgwal.000002", "pgwal.000003"]
+    # no checkpoint evidence (lsn 0) -> nothing is ever pruned
+    assert prune_processed_spool(str(tmp_path), 0) == []
+
+
+def test_yaml_spool_prune_never_drops_acked_unprocessed_wal(
+        spark, tmp_path):
+    """The crash the advice names: a prior run fetched (and therefore
+    ACKED) a spool file, then died before the file pipeline folded it.
+    `spool.prune: true` must process that file, not delete it — and a
+    later run WITH a checkpoint past it may then prune it."""
+    import json as _json
+
+    from source_flink_cdc_3_5_0_spark.common import TableId
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline)
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+    from source_flink_cdc_3_5_0_spark.sources.pgoutput import (
+        PostgresOffset)
+
+    src = _capture(tmp_path, n_txns=2)
+
+    def yaml_for(srv):
+        return f"""
+source:
+  type: pgoutput-file
+  protocol: postgres
+  host: {srv.host}
+  port: {srv.port}
+  spool.prune: 'true'
+  tables: '{_json.dumps({"public.t": "id BIGINT, v STRING"})}'
+  primary-keys: '{{"public.t": ["id"]}}'
+  checkpoint: {tmp_path}/ckpt
+sink: {{type: values}}
+"""
+
+    sink = MemorySink()
+    with PgWalToyServer(str(src)) as srv:
+        pdef = parse_yaml_pipeline(yaml_for(srv))
+        pipe, raw, tables = PipelineComposer(spark).compose_streaming(
+            pdef, sink=sink)
+        pipe.start(raw, tables).awaitTermination(120)
+    assert sink.snapshot(TableId.parse("public.t")) == ["0, v0", "1, v1"]
+    spool = tmp_path / "ckpt" / "wire_spool"
+    fetched = sorted(p.name for p in spool.glob("pgwal.*"))
+    assert fetched  # run 1 spooled something
+
+    # crash simulation: a file landed (acked!) with WAL PAST the
+    # checkpoint, but the pipeline died before processing it
+    w = PgOutputWriter()
+    w._lsn = 10 ** 9
+    w.relation(REL)
+    w.begin()
+    w.insert(REL, {"id": 100, "v": "recovered"})
+    w.commit()
+    crash_no = 1 + max(int(n.rsplit(".", 1)[1]) for n in fetched)
+    (spool / ("pgwal.%06d" % crash_no)).write_bytes(w.getvalue())
+    (spool / ".pgwal.next").write_text(str(crash_no + 1))
+
+    with PgWalToyServer(str(src)) as srv:
+        pdef = parse_yaml_pipeline(yaml_for(srv))
+        pipe, raw, tables = PipelineComposer(spark).compose_streaming(
+            pdef, sink=sink)
+        pipe.start(raw, tables).awaitTermination(120)
+    # the acked-but-unprocessed row SURVIVED the prune and was folded
+    assert "100, recovered" in sink.snapshot(TableId.parse("public.t"))
+    # ... while the files the checkpoint had proven processed are gone
+    remaining = sorted(p.name for p in spool.glob("pgwal.*"))
+    assert fetched[0] not in remaining
+
+    # and once the checkpoint records the crash file as folded, a third
+    # composition prunes it too
+    off = PostgresOffset.from_json(
+        (tmp_path / "ckpt" / "postgres_offset.json").read_text())
+    assert off.lsn >= 10 ** 9
+    with PgWalToyServer(str(src)) as srv:
+        pdef = parse_yaml_pipeline(yaml_for(srv))
+        pipe, raw, tables = PipelineComposer(spark).compose_streaming(
+            pdef, sink=sink)
+        pipe.start(raw, tables).awaitTermination(120)
+    assert ("pgwal.%06d" % crash_no) not in sorted(
+        p.name for p in spool.glob("pgwal.*"))
+
+
+def test_mid_frame_stall_raises_instead_of_clean_idle_stop(tmp_path):
+    """ADVICE r8: a server that stalls after a partial message header
+    must NOT be reported as a successful idle-bounded session — that
+    masks a transient network stall as end-of-stream. Genuine idleness
+    (no bytes at all) still ends cleanly (test above)."""
+    import struct as _s
+    import time as _t
+
+    class StallingToy(PgWalToyServer):
+        def _stream(self, wfile):
+            super()._stream(wfile)          # the real frames first
+            # then a CopyData header claiming a 96-byte body... and
+            # silence: the body never comes
+            wfile.write(b"d" + _s.pack(">I", 100))
+            wfile.flush()
+            _t.sleep(4.0)
+
+    src = _capture(tmp_path, n_txns=2)
+    with StallingToy(str(src), send_copy_done=False) as srv:
+        with pytest.raises(ValueError, match="stalled mid-frame"):
+            start_replication_stream(srv.host, srv.port,
+                                     str(tmp_path / "spool"),
+                                     idle_timeout=1.0)

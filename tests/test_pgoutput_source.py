@@ -837,11 +837,17 @@ def test_pk_changing_update_splits_into_delete_plus_create(spark,
     w.commit()
     (tmp_path / "cap.pgout").write_bytes(w.getvalue())
     files = read_pgoutput_files(spark, str(tmp_path))
-    recs = [json.loads(r["value"])
-            for r in pgoutput_to_debezium_json(files)
-            .orderBy("offset").collect()]
+    rows = (pgoutput_to_debezium_json(files)
+            .orderBy("offset").collect())
+    recs = [json.loads(r["value"]) for r in rows]
     ops = [r["op"] for r in recs]
     assert ops == ["c", "u", "d", "c"]
+    # ADVICE r8: the split pair is SUB-SEQUENCED — offsets stay unique
+    # and strictly increasing (offset-keyed dedup/exactly-once
+    # bookkeeping would otherwise double-apply or drop half the pair)
+    offs = [r["offset"] for r in rows]
+    assert offs == sorted(set(offs)), f"offsets not unique/increasing: {offs}"
+    assert offs[3] == offs[2] + 1  # delete half < create half
     assert recs[2]["before"] == {"id": 1} and recs[2]["after"] is None
     assert recs[3]["before"] is None and recs[3]["after"] == \
         {"id": 9, "v": "b"}
