@@ -254,6 +254,42 @@ HEADLINE_QUERIES = [
 ]
 
 
+def _host_noise_probe() -> dict:
+    """One reading of the host-contention counters a KVM guest can see:
+    cumulative steal jiffies + total jiffies from /proc/stat, and the
+    1-minute loadavg. Deltas between two probes adjudicate whether a
+    slow number was code or host (verdict r8 item 2: three same-day
+    full runs spread 158-181 s on unchanged code with no stamp to
+    prove the steal)."""
+    out = {"steal": None, "total": None, "load1": None}
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()  # "cpu  user nice sys idle ..."
+        vals = [int(x) for x in parts[1:]]
+        out["total"] = sum(vals)
+        out["steal"] = vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        pass
+    try:
+        with open("/proc/loadavg") as f:
+            out["load1"] = float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        pass
+    return out
+
+
+def _noise_stamp(before: dict, after: dict) -> dict:
+    stamp = {"loadavg_start": before["load1"],
+             "loadavg_end": after["load1"]}
+    if before["steal"] is not None and after["steal"] is not None:
+        dsteal = after["steal"] - before["steal"]
+        dtotal = after["total"] - before["total"]
+        stamp["steal_ticks"] = dsteal
+        stamp["steal_pct"] = (round(100.0 * dsteal / dtotal, 2)
+                              if dtotal else None)
+    return stamp
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -289,7 +325,10 @@ def main() -> None:
 
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    steal_by_query: dict[str, int] = {}
+    run_noise_start = _host_noise_probe()
     for name in BENCH_QUERIES:
+        probe_before = _host_noise_probe()
         fn = EQ.QUERIES[name]
         if name in VARIANCE_QUERIES:
             # sink-lifecycle / GC-sensitive queries: TWO untimed warm-ups
@@ -324,6 +363,12 @@ def main() -> None:
                     .mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             times[name] = round(best, 3)
+        probe_after = _host_noise_probe()
+        if probe_before["steal"] is not None and \
+                probe_after["steal"] is not None:
+            d = probe_after["steal"] - probe_before["steal"]
+            if d:  # only contended queries get a line — zero is implied
+                steal_by_query[name] = d
         # drop cached/persisted state between queries: some operators
         # localCheckpoint/persist internally, and 70 queries of accrued
         # blocks turn into GC pressure that charges LATER queries (a 2x
@@ -360,6 +405,13 @@ def main() -> None:
         # change with real drift. First stamped record: round 8.
         "warmups": {"variance_queries": 2, "other_queries": 0,
                     "protocol_since": "r7"},
+        # host-noise adjudication (verdict r8 item 2): run-level steal
+        # delta + loadavg, and per-query steal ticks (queries absent
+        # from the map saw zero steal). A mover with steal on its line
+        # is host, not code; `python bench_retime.py <names>` records
+        # the isolated authoritative number under "retimes".
+        "host_noise": _noise_stamp(run_noise_start, _host_noise_probe()),
+        "steal_ticks_by_query": steal_by_query,
         "sf": sf_val,
         "run_id": run_id,
         "host": platform.node(),
