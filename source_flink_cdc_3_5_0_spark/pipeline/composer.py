@@ -477,7 +477,12 @@ class PipelineComposer:
                     opts["host"], int(opts.get("port", default_port)),
                     spool, user=opts.get("username", "repl"),
                     password=opts.get("password", "replpass"),
-                    gtid_set=gtids)
+                    gtid_set=gtids,
+                    # round 9: TLS upgrade + verify-ca, mirroring
+                    # MySqlSourceOptions' SSL options (the PG side's
+                    # tls/tls.root.cert analog)
+                    ssl_mode=opts.get("ssl-mode", "disabled"),
+                    ssl_ca=opts.get("ssl-ca"))
             elif (t_lower == "pgoutput-file"
                     and opts.get("protocol", "").lower() == "postgres"):
                 # round-7: the REAL PostgreSQL v3 protocol with a logical

@@ -54,6 +54,7 @@ from .vitess import gtid_covers  # MySQL GTID-set algebra
 CLIENT_LONG_PASSWORD = 0x00000001
 CLIENT_CONNECT_WITH_DB = 0x00000008
 CLIENT_PROTOCOL_41 = 0x00000200
+CLIENT_SSL = 0x00000800
 CLIENT_SECURE_CONNECTION = 0x00008000
 CLIENT_PLUGIN_AUTH = 0x00080000
 CLIENT_PLUGIN_AUTH_LENENC_CLIENT_DATA = 0x00200000
@@ -183,22 +184,181 @@ def verify_caching_sha2(password: str, nonce: bytes,
 
 
 # ---------------------------------------------------------------------------
+# caching_sha2_password FULL authentication (round 9 — the cold-cache
+# path a real client hits on its first connection over a non-TLS link):
+# server sends AuthMoreData 0x04 (perform_full_authentication); the
+# client either ships the cleartext password over TLS, or requests the
+# server's RSA public key (0x02), XORs ``password + NUL`` with the
+# 20-byte handshake nonce (repeating), and RSA-OAEP(SHA-1)-encrypts the
+# result — the documented libmysql/BinaryLogClient behaviour (MySQL 8
+# caching_sha2_password uses RSA_PKCS1_OAEP_PADDING; the older
+# sha256_password plugin used PKCS#1 v1.5). OAEP per RFC 8017 §7.1 in
+# plain Python so the toy server and known-answer tests need no crypto
+# library.
+# ---------------------------------------------------------------------------
+
+
+def xor_password_scramble(password: str, nonce: bytes) -> bytes:
+    """``(password + NUL) XOR nonce-repeated`` — the pre-encryption
+    obfuscation both full-auth transports share (the NUL keeps an empty
+    password distinguishable and terminates the server-side decode)."""
+    pw = password.encode("utf-8") + b"\x00"
+    return bytes(b ^ nonce[i % len(nonce)] for i, b in enumerate(pw))
+
+
+def _mgf1_sha1(seed: bytes, length: int) -> bytes:
+    out = bytearray()
+    for counter in range((length + 19) // 20):
+        out += hashlib.sha1(seed + struct.pack(">I", counter)).digest()
+    return bytes(out[:length])
+
+
+def rsa_oaep_encrypt(message: bytes, n: int, e: int,
+                     seed: bytes | None = None) -> bytes:
+    """RSAES-OAEP (RFC 8017 §7.1.1) with SHA-1/MGF1-SHA-1 and an empty
+    label — OpenSSL's RSA_PKCS1_OAEP_PADDING defaults, i.e. what mysqld
+    decrypts. ``seed`` pins the (normally random) 20-byte OAEP seed for
+    known-answer tests."""
+    k = (n.bit_length() + 7) // 8
+    h_len = 20
+    if len(message) > k - 2 * h_len - 2:
+        raise ValueError("message too long for RSA-OAEP (%d > %d)"
+                         % (len(message), k - 2 * h_len - 2))
+    l_hash = hashlib.sha1(b"").digest()
+    ps = b"\x00" * (k - len(message) - 2 * h_len - 2)
+    db = l_hash + ps + b"\x01" + message
+    seed = seed if seed is not None else os.urandom(h_len)
+    if len(seed) != h_len:
+        raise ValueError("OAEP seed must be %d bytes" % h_len)
+    masked_db = bytes(a ^ b for a, b in
+                      zip(db, _mgf1_sha1(seed, k - h_len - 1)))
+    masked_seed = bytes(a ^ b for a, b in
+                        zip(seed, _mgf1_sha1(masked_db, h_len)))
+    em = b"\x00" + masked_seed + masked_db
+    c = pow(int.from_bytes(em, "big"), e, n)
+    return c.to_bytes(k, "big")
+
+
+def rsa_oaep_decrypt(cipher: bytes, n: int, d: int) -> bytes:
+    """RSAES-OAEP decrypt (RFC 8017 §7.1.2), same parameters. Raises
+    ValueError on any padding inconsistency (a toy server aborting the
+    auth is the right behaviour; no oracle concern on loopback tests)."""
+    k = (n.bit_length() + 7) // 8
+    h_len = 20
+    if len(cipher) != k:
+        raise ValueError("ciphertext length %d != modulus %d"
+                         % (len(cipher), k))
+    em = pow(int.from_bytes(cipher, "big"), d, n).to_bytes(k, "big")
+    if em[0] != 0:
+        raise ValueError("OAEP: leading byte not zero")
+    masked_seed, masked_db = em[1:1 + h_len], em[1 + h_len:]
+    seed = bytes(a ^ b for a, b in
+                 zip(masked_seed, _mgf1_sha1(masked_db, h_len)))
+    db = bytes(a ^ b for a, b in
+               zip(masked_db, _mgf1_sha1(seed, k - h_len - 1)))
+    if db[:h_len] != hashlib.sha1(b"").digest():
+        raise ValueError("OAEP: label hash mismatch")
+    sep = db.find(b"\x01", h_len)
+    if sep < 0 or any(db[h_len:sep]):
+        raise ValueError("OAEP: malformed padding")
+    return db[sep + 1:]
+
+
+def parse_rsa_public_pem(pem: bytes | str) -> tuple[int, int]:
+    """(n, e) from a PEM ``SubjectPublicKeyInfo`` RSA key — the exact
+    blob a mysqld answers the 0x02 public-key request with. Minimal DER
+    walk (SEQUENCE { AlgorithmIdentifier, BIT STRING { SEQUENCE { n, e
+    } } }); no crypto library needed."""
+    import base64 as _b64
+
+    text = pem.decode("ascii") if isinstance(pem, bytes) else pem
+    b64 = "".join(ln for ln in text.strip().splitlines()
+                  if "-----" not in ln)
+    der = _b64.b64decode(b64)
+
+    def tlv(buf: bytes, pos: int) -> tuple[int, int, int]:
+        tag = buf[pos]
+        ln = buf[pos + 1]
+        pos += 2
+        if ln & 0x80:
+            n_bytes = ln & 0x7F
+            ln = int.from_bytes(buf[pos:pos + n_bytes], "big")
+            pos += n_bytes
+        return tag, ln, pos
+
+    tag, _, pos = tlv(der, 0)                      # outer SEQUENCE
+    if tag != 0x30:
+        raise ValueError("not a DER SEQUENCE")
+    tag, alg_len, pos = tlv(der, pos)              # AlgorithmIdentifier
+    pos += alg_len
+    tag, _, pos = tlv(der, pos)                    # BIT STRING
+    if tag != 0x03 or der[pos] != 0:
+        raise ValueError("expected 0-unused-bits BIT STRING")
+    pos += 1
+    tag, _, pos = tlv(der, pos)                    # RSAPublicKey SEQUENCE
+    tag, n_len, pos = tlv(der, pos)                # INTEGER n
+    if tag != 0x02:
+        raise ValueError("expected INTEGER modulus")
+    n = int.from_bytes(der[pos:pos + n_len], "big")
+    pos += n_len
+    tag, e_len, pos = tlv(der, pos)                # INTEGER e
+    e = int.from_bytes(der[pos:pos + e_len], "big")
+    return n, e
+
+
+#: The toy server's FIXED 2048-bit RSA keypair (generated once for this
+#: repo, TEST-ONLY — a real deployment's key lives in the server). A
+#: fixed key is what makes the full-auth exchange known-answer testable
+#: offline (verdict r8 item 3).
+TOY_RSA_E = 65537
+TOY_RSA_N = int(
+    "ad560cd69ad1a75a28e84b72421747e290bcf80a9d42eda026129960d2ce4e66"
+    "0c561f21c9e99be0297b1b97581ed4e72c2c66ffeb77780170c0b9b422ca33ab"
+    "5073e8e95369e11ed7d429f64a2c6e4db67612a5c63a45cf87808075145d023d"
+    "b94e55106a4e3177d47f6a4b9cffc6d574be0b08ee942ae99d1ccf44b37aa03e"
+    "e8bcd05f70908bfdcfb51218af35dd85da27a41d6ccd40f8ea2c9d6fbdb382be"
+    "90ce84e587f94390bf2aac8e5b009e7da7912f159b6286e12b4f6f9e4bf7be0c"
+    "2371eeb152d04db8ed6588910d90896c267b14bc912cc8f13266e5d4e887de48"
+    "8b597aad4242c9e8db91b11b1cbd0f1314bbedf0284ffa474b6278d08334de69", 16)
+TOY_RSA_D = int(
+    "1a71fe37f0bb6b57b555898b375ba36f44eb5bc18cd034fe61c8a527714a220a"
+    "6e37e67c8a786e7c72ffb20c3358d2dd292f6610860d7e5ce3e5b77f6cee6217"
+    "314959dfdd46d25e9909a8d447694373ee5251d2826d8a10994908f033e8e3ca"
+    "647ef7b9ef2a1a6080a666e27de3c5237471f92f85eccba6443eecbd7bcf89ea"
+    "8661fdc0d122191b3cfb774eafe1281e2c54778dc3609e0f702888098188c3fa"
+    "6abe4f4b24ecb4dd737e8be00fea89d3c68a882eaef20e4596b6d7f4a931d8b2"
+    "185695c378546d2eefaf74844dff5e1154a191a8b23fba397cae28c6f8c98df2"
+    "6500a63b3828a4e82235e8c3555615d019ed88166c575e329272dabde813a44d", 16)
+TOY_RSA_PUB_PEM = b"""-----BEGIN PUBLIC KEY-----
+MIIBIjANBgkqhkiG9w0BAQEFAAOCAQ8AMIIBCgKCAQEArVYM1prRp1oo6EtyQhdH
+4pC8+AqdQu2gJhKZYNLOTmYMVh8hyemb4Cl7G5dYHtTnLCxm/+t3eAFwwLm0Isoz
+q1Bz6OlTaeEe19Qp9kosbk22dhKlxjpFz4eAgHUUXQI9uU5VEGpOMXfUf2pLnP/G
+1XS+CwjulCrpnRzPRLN6oD7ovNBfcJCL/c+1EhivNd2F2iekHWzNQPjqLJ1vvbOC
+vpDOhOWH+UOQvyqsjlsAnn2nkS8Vm2KG4StPb55L974MI3HusVLQTbjtZYiRDZCJ
+bCZ7FLyRLMjxMmbl1OiH3kiLWXqtQkLJ6NuRsRscvQ8TFLvt8ChP+kdLYnjQgzTe
+aQIDAQAB
+-----END PUBLIC KEY-----
+"""
+
+
+# ---------------------------------------------------------------------------
 # handshake encode/decode (both directions, so each side is testable)
 # ---------------------------------------------------------------------------
 
 
 def encode_handshake_v10(nonce: bytes, connection_id: int = 1,
                          server_version: str = "8.0.36-toy",
-                         auth_plugin: str = "mysql_native_password"
-                         ) -> bytes:
+                         auth_plugin: str = "mysql_native_password",
+                         extra_caps: int = 0) -> bytes:
     assert len(nonce) == 20
+    caps = _CAPS | extra_caps
     body = bytes([10]) + server_version.encode() + b"\x00"
     body += struct.pack("<I", connection_id)
     body += nonce[:8] + b"\x00"
-    body += struct.pack("<H", _CAPS & 0xFFFF)
+    body += struct.pack("<H", caps & 0xFFFF)
     body += bytes([0x21])                      # charset utf8_general_ci
     body += struct.pack("<H", 0x0002)          # status: autocommit
-    body += struct.pack("<H", (_CAPS >> 16) & 0xFFFF)
+    body += struct.pack("<H", (caps >> 16) & 0xFFFF)
     body += bytes([21])                        # auth-plugin-data length
     body += b"\x00" * 10                       # reserved
     body += nonce[8:20] + b"\x00"
@@ -230,16 +390,25 @@ def decode_handshake_v10(body: bytes) -> dict:
             "auth_plugin": plugin.decode()}
 
 
+def encode_ssl_request(extra_caps: int = 0) -> bytes:
+    """The short (32-byte) SSL Request Packet: the HandshakeResponse41
+    prefix with CLIENT_SSL set, after which the SAME connection upgrades
+    to TLS and the full response follows encrypted (MySQL Internals,
+    'Protocol::SSLRequest')."""
+    return (struct.pack("<I", _CAPS | CLIENT_SSL | extra_caps)
+            + struct.pack("<I", 1 << 24) + bytes([0x21]) + b"\x00" * 23)
+
+
 def encode_handshake_response(user: str, password: str, nonce: bytes,
-                              auth_plugin: str = "mysql_native_password"
-                              ) -> bytes:
+                              auth_plugin: str = "mysql_native_password",
+                              extra_caps: int = 0) -> bytes:
     if auth_plugin == "caching_sha2_password":
         auth = caching_sha2_scramble(password, nonce)
     elif auth_plugin == "mysql_native_password":
         auth = native_password_scramble(password, nonce)
     else:
         raise ValueError("unsupported auth plugin %r" % auth_plugin)
-    body = struct.pack("<I", _CAPS) + struct.pack("<I", 1 << 24)
+    body = struct.pack("<I", _CAPS | extra_caps) + struct.pack("<I", 1 << 24)
     body += bytes([0x21]) + b"\x00" * 23
     body += user.encode("utf-8") + b"\x00"
     body += bytes([len(auth)]) + auth
@@ -380,7 +549,8 @@ class MysqldToyServer:
                  password: str = "replpass",
                  auth_plugin: str = "caching_sha2_password",
                  host: str = "127.0.0.1", port: int = 0,
-                 force_full_auth: bool = False):
+                 force_full_auth: bool = False,
+                 tls: bool = False):
         if auth_plugin not in ("caching_sha2_password",
                                "mysql_native_password"):
             raise ValueError("unsupported auth plugin %r" % auth_plugin)
@@ -388,13 +558,39 @@ class MysqldToyServer:
         self.user, self.password = user, password
         self.auth_plugin = auth_plugin
         #: mimic a cold caching_sha2 cache: request FULL authentication
-        #: (AuthMoreData 0x04) — the client's documented refusal path
+        #: (AuthMoreData 0x04) — round 9: answered for real (RSA public
+        #: key exchange on plain TCP, cleartext password over TLS), no
+        #: longer a client refusal
         self.force_full_auth = force_full_auth
+        #: advertise CLIENT_SSL and serve a one-shot self-signed cert
+        #: (openssl, like the PG harness); `ca_cert` is the path a
+        #: verify-ca client pins
+        self.tls = tls
+        self.ca_cert: str | None = None
+        self._ssl_ctx = None
+        if tls:
+            import ssl as _ssl
+            import subprocess
+            import tempfile
+
+            d = tempfile.mkdtemp(prefix="mysqld-toy-tls-")
+            crt = os.path.join(d, "server.crt")
+            key = os.path.join(d, "server.key")
+            subprocess.run(
+                ["openssl", "req", "-x509", "-newkey", "rsa:2048",
+                 "-nodes", "-keyout", key, "-out", crt, "-days", "2",
+                 "-subj", "/CN=127.0.0.1"],
+                check=True, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL)
+            os.chmod(key, 0o600)
+            self.ca_cert = crt
+            self._ssl_ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+            self._ssl_ctx.load_cert_chain(crt, key)
         outer = self
 
         class Handler(socketserver.StreamRequestHandler):
             def handle(self) -> None:  # pragma: no cover - via client
-                outer._session(self.rfile, self.wfile)
+                outer._session(self.rfile, self.wfile, self.connection)
 
         class Srv(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -420,11 +616,23 @@ class MysqldToyServer:
             return verify_caching_sha2(self.password, nonce, response)
         return verify_native_password(self.password, nonce, response)
 
-    def _session(self, rfile, wfile) -> None:
+    def _session(self, rfile, wfile, sock=None) -> None:
         nonce = self._make_nonce()
         seq = send_packet(wfile, 0, encode_handshake_v10(
-            nonce, auth_plugin=self.auth_plugin))
+            nonce, auth_plugin=self.auth_plugin,
+            extra_caps=CLIENT_SSL if self.tls else 0))
         seq, body = read_packet(rfile)
+        tls_active = False
+        if (self.tls and sock is not None and len(body) == 32
+                and struct.unpack_from("<I", body, 0)[0] & CLIENT_SSL):
+            # Protocol::SSLRequest — the 32-byte HandshakeResponse41
+            # prefix; the SAME connection upgrades and the full
+            # response follows encrypted
+            sock = self._ssl_ctx.wrap_socket(sock, server_side=True)
+            rfile = sock.makefile("rb")
+            wfile = sock.makefile("wb", buffering=0)
+            tls_active = True
+            seq, body = read_packet(rfile)
         resp = decode_handshake_response(body)
         auth, plugin = resp["auth_response"], resp["auth_plugin"]
         if plugin != self.auth_plugin:
@@ -435,16 +643,45 @@ class MysqldToyServer:
                               + b"\x00" + nonce + b"\x00")
             seq, auth = read_packet(rfile)
             plugin = self.auth_plugin
-        if resp["user"] != self.user or not self._verify(
-                plugin, nonce, bytes(auth)):
+        if resp["user"] != self.user:
+            send_packet(wfile, seq + 1, _err_packet(1045, "Access denied"))
+            return
+        if plugin == "caching_sha2_password" and self.force_full_auth:
+            # cold cache: a real server CANNOT check the fast response
+            # (it has no cached SHA256(SHA256(pw))) — it requests full
+            # authentication instead of verifying
+            seq = send_packet(wfile, seq + 1, b"\x01\x04")
+            seq, reply = read_packet(rfile)
+            if reply == b"\x02" and not tls_active:
+                # public-key request: answer with the toy's fixed PEM,
+                # then decrypt the OAEP blob and un-XOR the nonce
+                seq = send_packet(wfile, seq + 1,
+                                  b"\x01" + TOY_RSA_PUB_PEM)
+                seq, blob = read_packet(rfile)
+                try:
+                    scr = rsa_oaep_decrypt(bytes(blob),
+                                           TOY_RSA_N, TOY_RSA_D)
+                except ValueError:
+                    send_packet(wfile, seq + 1,
+                                _err_packet(1045, "Access denied"))
+                    return
+                pw = bytes(b ^ nonce[i % len(nonce)]
+                           for i, b in enumerate(scr))
+            else:
+                # over TLS the client ships the password in the clear
+                # (NUL-terminated) — the channel is the protection
+                pw = bytes(reply)
+            if pw != self.password.encode("utf-8") + b"\x00":
+                send_packet(wfile, seq + 1,
+                            _err_packet(1045, "Access denied"))
+                return
+            send_packet(wfile, seq + 1, _ok_packet())
+            self._command_loop(rfile, wfile)
+            return
+        if not self._verify(plugin, nonce, bytes(auth)):
             send_packet(wfile, seq + 1, _err_packet(1045, "Access denied"))
             return
         seq += 1  # first reply packet follows the client's last one
-        if plugin == "caching_sha2_password" and self.force_full_auth:
-            # cold cache: perform_full_authentication — the plain-TCP
-            # client refuses (RSA/TLS path is environment-gated)
-            send_packet(wfile, seq, b"\x01\x04")
-            return
         if plugin == "caching_sha2_password":
             # AuthMoreData "fast auth success" precedes the OK (the
             # cache-hit path a warmed-up replica client always takes);
@@ -453,6 +690,9 @@ class MysqldToyServer:
             # "packets out of order"
             seq = send_packet(wfile, seq, b"\x01\x03")
         send_packet(wfile, seq, _ok_packet())
+        self._command_loop(rfile, wfile)
+
+    def _command_loop(self, rfile, wfile) -> None:
         while True:
             try:
                 _, cmd = read_packet(rfile)
@@ -593,7 +833,9 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
                        from_file: str | None = None, server_id: int = 2,
                        timeout: float = 30.0,
                        stop_at: tuple[str, int] | None = None,
-                       gtid_set: str | None = None) -> list[str]:
+                       gtid_set: str | None = None,
+                       ssl_mode: str = "disabled",
+                       ssl_ca: str | None = None) -> list[str]:
     """BinaryLogClient analog over the REAL protocol: handshake + auth +
     ``SET @master_binlog_checksum`` announcement (a real mysqld with
     binlog_checksum=CRC32 refuses the dump to a client that has not
@@ -618,7 +860,14 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
     (`scan.startup.specific-offset.gtid-set`)."""
     os.makedirs(spool_dir, exist_ok=True)
     written: list[str] = []
-    with socket.create_connection((host, port), timeout=timeout) as sock:
+    if ssl_mode not in ("disabled", "required", "verify-ca"):
+        raise ValueError("ssl_mode must be disabled, required or "
+                         "verify-ca (got %r)" % ssl_mode)
+    import contextlib
+
+    with contextlib.ExitStack() as stack:
+        sock = stack.enter_context(
+            socket.create_connection((host, port), timeout=timeout))
         rfile = sock.makefile("rb")
         wfile = sock.makefile("wb", buffering=0)
         _, hello = read_packet(rfile)
@@ -628,9 +877,41 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
         plugin, nonce = hs["auth_plugin"], hs["nonce"]
         if plugin not in ("caching_sha2_password", "mysql_native_password"):
             raise ValueError("unsupported auth plugin %r" % plugin)
-        send_packet(wfile, 1, encode_handshake_response(
-            user, password, nonce, auth_plugin=plugin))
-        seq = 2
+        tls_active = False
+        extra_caps = 0
+        if ssl_mode != "disabled":
+            # MySQL's TLS upgrade: the 32-byte SSLRequest prefix rides
+            # plaintext, the SAME connection upgrades, and the full
+            # HandshakeResponse41 follows encrypted (seq continues).
+            # verify-ca pins the server cert to ssl_ca (no hostname
+            # check, matching mysql --ssl-mode=VERIFY_CA); required is
+            # encrypted-but-unauthenticated, like the PG `tls` posture.
+            import ssl as _ssl
+
+            if not hs["capabilities"] & CLIENT_SSL:
+                raise ValueError(
+                    "ssl-mode=%s but the server does not advertise "
+                    "CLIENT_SSL" % ssl_mode)
+            if ssl_mode == "verify-ca":
+                if not ssl_ca:
+                    raise ValueError("ssl-mode=verify-ca needs ssl_ca")
+                ctx = _ssl.create_default_context(cafile=ssl_ca)
+                ctx.check_hostname = False
+            else:
+                ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+                ctx.check_hostname = False
+                ctx.verify_mode = _ssl.CERT_NONE
+            send_packet(wfile, 1, encode_ssl_request())
+            sock = stack.enter_context(ctx.wrap_socket(sock))
+            rfile = sock.makefile("rb")
+            wfile = sock.makefile("wb", buffering=0)
+            tls_active = True
+            extra_caps = CLIENT_SSL
+        send_packet(wfile, 2 if tls_active else 1,
+                    encode_handshake_response(
+                        user, password, nonce, auth_plugin=plugin,
+                        extra_caps=extra_caps))
+        seq = 3 if tls_active else 2
         while True:
             seq, reply = read_packet(rfile)
             seq += 1
@@ -641,10 +922,32 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
             if reply[:1] == b"\x01":        # AuthMoreData
                 if reply[1:2] == b"\x03":   # fast auth success; OK next
                     continue
-                raise ValueError(
-                    "caching_sha2 full authentication requested — the "
-                    "RSA/TLS path is environment-gated; warm the "
-                    "server-side cache (toy server pre-seeds it)")
+                if reply[1:2] == b"\x04":   # perform_full_authentication
+                    # round 9 (was a named refusal): over TLS the
+                    # password ships in the clear on the protected
+                    # channel; over plain TCP, request the server's RSA
+                    # public key (0x02), XOR-scramble the password with
+                    # the handshake nonce, and RSA-OAEP-encrypt it —
+                    # libmysql/BinaryLogClient's documented cold-cache
+                    # behaviour
+                    if tls_active:
+                        send_packet(wfile, seq,
+                                    password.encode("utf-8") + b"\x00")
+                        continue
+                    send_packet(wfile, seq, b"\x02")
+                    seq, more = read_packet(rfile)
+                    seq += 1
+                    if more[:1] != b"\x01":
+                        raise ValueError(
+                            "expected the RSA public key, got %r"
+                            % more[:10])
+                    n_pub, e_pub = parse_rsa_public_pem(bytes(more[1:]))
+                    send_packet(wfile, seq, rsa_oaep_encrypt(
+                        xor_password_scramble(password, nonce),
+                        n_pub, e_pub))
+                    continue
+                raise ValueError("unexpected AuthMoreData %r"
+                                 % reply[:4])
             if reply[:1] == b"\xfe":        # AuthSwitchRequest
                 p_end = reply.index(0, 1)
                 plugin = reply[1:p_end].decode("ascii")
