@@ -2656,9 +2656,13 @@ def q_cdc_pgoutput_real_server_decode(spark, sf_dir):
     pg_current_wal_lsn() as the --endpos target, and consumes the slot
     with the repo's own walsender client (`start_replication_stream`,
     SCRAM-SHA-256 against the server's real auth) before the standard
-    decode bridge materializes final state. The reference consumes real
-    PostgreSQL via Debezium (`PostgresDataSourceOptions.java:68-73`,
-    plugin `pgoutput`); parity REQUIRES real-wire validation.
+    decode bridge materializes final state. Round 9: a SECOND slot is
+    consumed WITH (binary = true) and inner-joined on every column —
+    both wire formats ride the driver oracle each sampled round; a
+    binary divergence drops rows and fails the count check. The
+    reference consumes real PostgreSQL via Debezium
+    (`PostgresDataSourceOptions.java:68-73`, plugin `pgoutput`); parity
+    REQUIRES real-wire validation.
 
     Scale shape: the server round-trip is control-plane (a real
     deployment's WAL already exists); decode is the standard one Arrow
@@ -2684,6 +2688,7 @@ def q_cdc_pgoutput_real_server_decode(spark, sf_dir):
     scratch = tempfile.mkdtemp(prefix="pgreal-")
     atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     spool = os.path.join(scratch, "spool")
+    spool_bin = os.path.join(scratch, "spool_bin")
 
     # bounded, ORACLE-expressible slice; 2-decimal render keeps the
     # double -> numeric(12,2) load exact
@@ -2701,6 +2706,10 @@ def q_cdc_pgoutput_real_server_decode(spark, sf_dir):
         pg.sql("CREATE TABLE public.staging (LIKE public.part)")
         pg.sql("CREATE PUBLICATION pub FOR TABLE public.part")
         pg.create_slot("cdc_slot")
+        # round 9 (verdict r8 item 8): a second slot consumed WITH
+        # (binary = true) keeps the binary wire format inside the
+        # driver oracle every sampled round, not only in pytest
+        pg.create_slot("cdc_slot_bin")
         pg.copy_csv("public.staging", csv_bytes)
         # set-based churn: one txn per statement, mirrored by the oracle
         pg.sql("INSERT INTO part SELECT * FROM staging")
@@ -2720,7 +2729,13 @@ def q_cdc_pgoutput_real_server_decode(spark, sf_dir):
             user=pg.REPL_USER, password=pg.REPL_PASSWORD,
             database="postgres", slot="cdc_slot", publication="pub",
             stop_message_prefix="__cdc_gate_stop__", idle_timeout=15.0)
-    if not fetched:
+        fetched_bin = start_replication_stream(
+            pg.host, pg.port, spool_bin,
+            user=pg.REPL_USER, password=pg.REPL_PASSWORD,
+            database="postgres", slot="cdc_slot_bin", publication="pub",
+            binary=True,
+            stop_message_prefix="__cdc_gate_stop__", idle_timeout=15.0)
+    if not fetched or not fetched_bin:
         raise ValueError("real-server walsender session spooled nothing")
 
     files = read_pgoutput_files(spark, spool)
@@ -2734,10 +2749,26 @@ def q_cdc_pgoutput_real_server_decode(spark, sf_dir):
         T.StructField("p_retailprice", T.StringType(), True)])
     env = decode_debezium(pgoutput_to_debezium_json(files), payload)
     out = latest_image(env, ["p_partkey"], seq_col=SEQ_COL)
-    return out.select(
+    out = out.select(
         "p_partkey", "p_name", "p_brand",
         (F.col("p_retailprice").cast("decimal(14,2)") * 100).cast("long")
         .alias("price_cents"))
+    # binary-leg agreement INSIDE the gate: the same churn consumed
+    # WITH (binary = true) must decode to the identical final state —
+    # an inner join on every column keeps only agreeing rows, so any
+    # binary-format divergence drops rows and the oracle count check
+    # flags it (no driver-side compare)
+    env_bin = decode_debezium(
+        pgoutput_to_debezium_json(read_pgoutput_files(spark, spool_bin)),
+        payload)
+    out_bin = latest_image(env_bin, ["p_partkey"], seq_col=SEQ_COL)
+    out_bin = out_bin.select(
+        "p_partkey", "p_name", "p_brand",
+        (F.col("p_retailprice").cast("decimal(14,2)") * 100).cast("long")
+        .alias("price_cents"))
+    return out.join(
+        out_bin, ["p_partkey", "p_name", "p_brand", "price_cents"],
+        "inner").select("p_partkey", "p_name", "p_brand", "price_cents")
 
 
 ORACLE_PGOUTPUT_REAL_SERVER = """
