@@ -198,6 +198,10 @@ def main() -> None:
     for row in codec_rows:
         print(json.dumps(row))
 
+    lake_rows = run_lake_scale(spark, EQ)
+    for row in lake_rows:
+        print(json.dumps(row))
+
     summary = {
         "metric": "bench_scale",
         "replicas": REPLICAS,
@@ -206,6 +210,9 @@ def main() -> None:
         "ops": len(rows),
         "max_codec_ratio": max(r["ratio"] for r in codec_rows),
         "codecs": len(codec_rows),
+        # O(batch)-commit evidence: the fixed-churn ratios at 10x table
+        "lake_commit_table10x_ratio": lake_rows[0]["ratio"],
+        "lake_meta_table10x_ratio": lake_rows[0]["meta_ratio"],
     }
     if big_rows:
         summary["replicas_big"] = REPLICAS_BIG
@@ -305,3 +312,105 @@ def run_codec_scale(spark, EQ) -> list[dict]:
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# lake churn-commit scaling (round-9, verdict r8 item 6): the lake sink's
+# O(batch)-commit and O(touched-shards) metadata claims, MEASURED.  Three
+# lines:
+#   lake_commit_table10x  — SAME churn batch against a 1x vs 10x TABLE:
+#                           commit wall time and metadata bytes must stay
+#                           ~flat (cost tracks the batch, not the table);
+#   lake_commit_batch10x  — 1x vs 10x CHURN against the same 1x table:
+#                           cost may grow ~linearly (it IS the batch);
+#   lake_read_changes_table10x — incremental read of the same churn delta
+#                           at both table sizes: ~flat (O(changes)).
+# Metadata bytes = delta of .json bytes under the table dir across the
+# churn commit (snapshot docs + file-list/stats shards).
+# ---------------------------------------------------------------------------
+
+
+def _json_bytes(root: str) -> int:
+    total = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".json"):
+                total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
+def run_lake_scale(spark, EQ) -> list[dict]:
+    from pyspark.sql import functions as F
+
+    from source_flink_cdc_3_5_0_spark.common.events import CreateTableEvent
+    from source_flink_cdc_3_5_0_spark.common.schema import Schema
+    from source_flink_cdc_3_5_0_spark.common.tableid import TableId
+    from source_flink_cdc_3_5_0_spark.sinks.lakehouse import SnapshotLakeSink
+    from source_flink_cdc_3_5_0_spark.sources.base import attach_envelope
+
+    cust = EQ.load(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+
+    def snapshot_df(table_mult: int):
+        if table_mult == 1:
+            return cust
+        # replicate with offset keys — a 10x table whose base key range
+        # is untouched, so the SAME churn batch applies to both sizes
+        return (cust.select(
+            "*", F.explode(F.sequence(
+                F.lit(0), F.lit(table_mult - 1))).alias("r"))
+            .select((F.col("c_custkey") + F.col("r") * ID_OFFSET)
+                    .alias("c_custkey"), "c_name", "c_acctbal"))
+
+    def probe(table_mult: int, churn_mod: int):
+        """Returns (commit_sec, meta_bytes, read_changes_sec) for one
+        snapshot + one churn commit of keys % churn_mod == 0 (base key
+        range only). Setup (snapshot load) is untimed."""
+        root = tempfile.mkdtemp(prefix="lake_scale_")
+        tid = TableId.parse("out.db.customer")
+        schema = Schema.from_struct_type(cust.schema,
+                                         primary_keys=["c_custkey"])
+        sink = SnapshotLakeSink(root, mode="mor")
+        sink.metadata_applier().apply_schema_change(
+            tid, CreateTableEvent(tid, schema), schema)
+        sink.write(tid, attach_envelope(snapshot_df(table_mult), "+I",
+                                        seq=0), schema, batch_id=0)
+        churn = (cust.where(F.col("c_custkey") % churn_mod == 0)
+                 .withColumn("c_acctbal", F.col("c_acctbal") + 1)
+                 .select("*", F.lit("+U").alias("__op"),
+                         F.lit(1).cast("bigint").alias("__seq")))
+        meta0 = _json_bytes(root)
+        t0 = time.perf_counter()
+        sink.write(tid, churn, schema, batch_id=1)
+        commit_sec = time.perf_counter() - t0
+        meta_bytes = _json_bytes(root) - meta0
+        snaps = sink.snapshots(tid)
+        t0 = time.perf_counter()
+        sink.read_changes(spark, tid, snaps[-2], snaps[-1]) \
+            .write.format("noop").mode("overwrite").save()
+        read_sec = time.perf_counter() - t0
+        shutil.rmtree(root, ignore_errors=True)
+        return round(commit_sec, 3), meta_bytes, round(read_sec, 3)
+
+    # min-of-2 on each cell: commit timing is IO-variance bound
+    def best(table_mult, churn_mod):
+        a = probe(table_mult, churn_mod)
+        b = probe(table_mult, churn_mod)
+        return tuple(min(x, y) for x, y in zip(a, b))
+
+    c1, m1, r1 = best(1, 10)                 # 1x table, 10% churn
+    c10, m10, r10 = best(REPLICAS, 10)       # 10x table, SAME churn
+    cb, mb, _rb = best(1, 1)                 # 1x table, 10x churn
+    rows = [
+        {"op": "lake_commit_table10x", "t_base": c1, "t_scaled": c10,
+         "ratio": round(c10 / c1, 2),
+         "meta_base": m1, "meta_scaled": m10,
+         "meta_ratio": round(m10 / m1, 2)},
+        {"op": "lake_commit_batch10x", "t_base": c1, "t_scaled": cb,
+         "ratio": round(cb / c1, 2),
+         "meta_base": m1, "meta_scaled": mb,
+         "meta_ratio": round(mb / m1, 2)},
+        {"op": "lake_read_changes_table10x", "t_base": r1,
+         "t_scaled": r10, "ratio": round(r10 / r1, 2)},
+    ]
+    return rows
