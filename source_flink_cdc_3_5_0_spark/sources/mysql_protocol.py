@@ -616,13 +616,38 @@ class MysqldToyServer:
             return verify_caching_sha2(self.password, nonce, response)
         return verify_native_password(self.password, nonce, response)
 
+    @staticmethod
+    def _read_packet_exact(sock) -> tuple[int, bytes]:
+        """One packet read with EXACT-size recvs straight off the
+        socket — used only for the first client packet of a
+        TLS-capable session. MySQL's SSLRequest has no server ack (the
+        client sends its ClientHello immediately after), so a BUFFERED
+        read here could swallow TLS bytes that arrived coalesced and
+        break the handshake; exact reads can't over-consume."""
+        def recv_exact(n: int) -> bytes:
+            out = bytearray()
+            while len(out) < n:
+                chunk = sock.recv(n - len(out))
+                if not chunk:
+                    raise ValueError("connection closed mid-packet")
+                out += chunk
+            return bytes(out)
+
+        head = recv_exact(4)
+        ln = head[0] | (head[1] << 8) | (head[2] << 16)
+        return head[3], recv_exact(ln)
+
     def _session(self, rfile, wfile, sock=None) -> None:
         nonce = self._make_nonce()
         seq = send_packet(wfile, 0, encode_handshake_v10(
             nonce, auth_plugin=self.auth_plugin,
             extra_caps=CLIENT_SSL if self.tls else 0))
-        seq, body = read_packet(rfile)
         tls_active = False
+        if self.tls and sock is not None:
+            # first client packet read unbuffered (see _read_packet_exact)
+            seq, body = self._read_packet_exact(sock)
+        else:
+            seq, body = read_packet(rfile)
         if (self.tls and sock is not None and len(body) == 32
                 and struct.unpack_from("<I", body, 0)[0] & CLIENT_SSL):
             # Protocol::SSLRequest — the 32-byte HandshakeResponse41
