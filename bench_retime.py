@@ -94,7 +94,8 @@ def main() -> None:
             "queries", {})
         cur_q = json.load(open(full_path))["queries"]
         names = sorted(
-            q for q in cur_q if q in prev_q and prev_q[q] > 0
+            q for q in cur_q
+            if q in prev_q and prev_q[q] > 0 and cur_q[q] > 0
             and (cur_q[q] / prev_q[q] > MOVER_RATIO
                  or prev_q[q] / cur_q[q] > MOVER_RATIO))
         if not names:

@@ -310,8 +310,6 @@ def run_codec_scale(spark, EQ) -> list[dict]:
     return out
 
 
-if __name__ == "__main__":
-    main()
 
 
 # ---------------------------------------------------------------------------
@@ -414,3 +412,6 @@ def run_lake_scale(spark, EQ) -> list[dict]:
          "t_scaled": r10, "ratio": round(r10 / r1, 2)},
     ]
     return rows
+
+if __name__ == "__main__":
+    main()

@@ -2754,10 +2754,13 @@ def q_cdc_pgoutput_real_server_decode(spark, sf_dir):
         (F.col("p_retailprice").cast("decimal(14,2)") * 100).cast("long")
         .alias("price_cents"))
     # binary-leg agreement INSIDE the gate: the same churn consumed
-    # WITH (binary = true) must decode to the identical final state —
-    # an inner join on every column keeps only agreeing rows, so any
-    # binary-format divergence drops rows and the oracle count check
-    # flags it (no driver-side compare)
+    # WITH (binary = true) must decode to the identical final state.
+    # SYMMETRIC check (review pass: an inner join missed binary-side
+    # EXTRA rows): the multiset difference in BOTH directions is
+    # appended to the text-leg result — identical legs append nothing,
+    # a binary-side missing/changed row appends the text row again
+    # (duplicate -> count/hash mismatch), a binary-side phantom row
+    # appends a row the oracle lacks. No driver-side compare.
     env_bin = decode_debezium(
         pgoutput_to_debezium_json(read_pgoutput_files(spark, spool_bin)),
         payload)
@@ -2766,9 +2769,9 @@ def q_cdc_pgoutput_real_server_decode(spark, sf_dir):
         "p_partkey", "p_name", "p_brand",
         (F.col("p_retailprice").cast("decimal(14,2)") * 100).cast("long")
         .alias("price_cents"))
-    return out.join(
-        out_bin, ["p_partkey", "p_name", "p_brand", "price_cents"],
-        "inner").select("p_partkey", "p_name", "p_brand", "price_cents")
+    divergence = (out.exceptAll(out_bin)
+                  .unionByName(out_bin.exceptAll(out)))
+    return out.unionByName(divergence)
 
 
 ORACLE_PGOUTPUT_REAL_SERVER = """

@@ -568,12 +568,14 @@ class MysqldToyServer:
         self.tls = tls
         self.ca_cert: str | None = None
         self._ssl_ctx = None
+        self._tls_dir: str | None = None
         if tls:
             import ssl as _ssl
             import subprocess
             import tempfile
 
             d = tempfile.mkdtemp(prefix="mysqld-toy-tls-")
+            self._tls_dir = d
             crt = os.path.join(d, "server.crt")
             key = os.path.join(d, "server.key")
             subprocess.run(
@@ -677,9 +679,14 @@ class MysqldToyServer:
             # authentication instead of verifying
             seq = send_packet(wfile, seq + 1, b"\x01\x04")
             seq, reply = read_packet(rfile)
-            if reply == b"\x02" and not tls_active:
-                # public-key request: answer with the toy's fixed PEM,
-                # then decrypt the OAEP blob and un-XOR the nonce
+            if reply == b"\x02":
+                # public-key request — a real mysqld serves the key on
+                # EITHER transport (the in-repo client sends cleartext
+                # over TLS, but an external client may request the key
+                # there too; unambiguous vs a cleartext password, which
+                # is always NUL-terminated). Answer with the toy's
+                # fixed PEM, then decrypt the OAEP blob and un-XOR the
+                # nonce.
                 seq = send_packet(wfile, seq + 1,
                                   b"\x01" + TOY_RSA_PUB_PEM)
                 seq, blob = read_packet(rfile)
@@ -845,6 +852,13 @@ class MysqldToyServer:
     def stop(self) -> None:
         self._srv.shutdown()
         self._srv.server_close()
+        if self._tls_dir is not None:
+            # the one-shot cert/key tempdir dies with the server (the
+            # 0600 private key must not accumulate in $TMPDIR)
+            import shutil
+
+            shutil.rmtree(self._tls_dir, ignore_errors=True)
+            self._tls_dir = None
 
     def __enter__(self) -> "MysqldToyServer":
         return self.start()

@@ -90,12 +90,25 @@ def read_msg(rfile, frame_state: list | None = None) -> tuple[bytes, bytes]:
     """Read one framed message. ``frame_state`` (a 1-element list, out
     param) reports how many bytes of the CURRENT frame were consumed
     before any exception — a timeout with a non-zero count is a
-    mid-frame stall (truncated message), not idleness (ADVICE r8)."""
+    mid-frame stall (truncated message), not idleness (ADVICE r8).
+
+    When tracking, the header is read type-byte-first: a timeout on the
+    1-byte type read consumed nothing (genuine idleness), while any
+    later stall — inside the 4 length bytes or the body — already has
+    frame_state >= 1 and is flagged. (A single buffered read(5) could
+    swallow a 2-of-5-byte partial header and misreport the stall as
+    idle — the review-pass refinement of the r8 fix.)"""
     if frame_state is not None:
         frame_state[0] = 0
-    head = rfile.read(5)
-    if frame_state is not None:
-        frame_state[0] = len(head)
+        mtype = rfile.read(1)
+        if not mtype:
+            raise ValueError("connection closed mid-message")
+        frame_state[0] = 1
+        head = mtype + rfile.read(4)
+    else:
+        head = rfile.read(5)
+    if frame_state is not None and len(head) == 5:
+        frame_state[0] = 5
     if len(head) < 5:
         raise ValueError("connection closed mid-message")
     n = struct.unpack(">I", head[1:])[0]
@@ -799,10 +812,10 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
                     # durable is lost (unacked WAL replays on
                     # reconnect), but the caller must know.
                     raise ValueError(
-                        "stream stalled mid-frame (%d header bytes "
-                        "read, body never arrived) — transient network "
-                        "stall, not end-of-stream; reconnect to resume"
-                        % frame_state[0]) from None
+                        "stream stalled mid-frame (%d bytes of the "
+                        "message consumed, rest never arrived) — "
+                        "transient network stall, not end-of-stream; "
+                        "reconnect to resume" % frame_state[0]) from None
                 break            # no traffic at all: end of stream
             if mtype == b"c":        # CopyDone: bounded toy dump over
                 break

@@ -1009,20 +1009,22 @@ def pgoutput_infer_tables(paths: list[str]
     return tables, pks
 
 
-def pgoutput_seq(commit_lsn: int, idx: int = 0, half: int = 0) -> int:
+def pgoutput_seq(commit_lsn: int, idx: int = 0) -> int:
     """The bridge's ``__seq``: commit LSN (commit order is the only sound
-    ordering when v2 streamed transactions interleave) with a 14-bit
-    intra-transaction tie-break and a 1-bit sub-sequence for the
-    PK-changing-update split (``half``: 0 = the synthesized DELETE,
-    1 = the CREATE) so offsets stay UNIQUE and strictly increasing even
-    when one wire UPDATE fans out to two records (ADVICE r8 — consumers
-    doing offset-keyed dedup/exactly-once bookkeeping would otherwise
-    double-apply or drop half the pair). WAL LSNs stay far below 2^48
+    ordering when v2 streamed transactions interleave) with a 15-bit
+    intra-transaction tie-break. ``idx`` is the bridge's OUTPUT index —
+    it counts emitted records, so a PK-changing UPDATE that fans out to
+    DELETE+CREATE consumes two slots and offsets stay UNIQUE and
+    strictly increasing (ADVICE r8; the review pass restored the full
+    15-bit budget — a half-bit scheme silently halved the per-txn
+    uniqueness window to 16383). Transactions beyond 32767 emitted
+    records clamp (ties share the final slot — at-least-once consumers
+    absorb it; documented, not silent). WAL LSNs stay far below 2^48
     (256 TB of WAL), bounded here so the shift can never overflow
     int64."""
     if commit_lsn >= 1 << 48:
         raise ValueError("LSN %d exceeds the 48-bit seq budget" % commit_lsn)
-    return (commit_lsn << 15) | (min(idx, (1 << 14) - 1) << 1) | (half & 1)
+    return (commit_lsn << 15) | min(idx, (1 << 15) - 1)
 
 
 def pgoutput_to_debezium_json(files, start_lsn: int | None = None):
@@ -1054,11 +1056,20 @@ def pgoutput_to_debezium_json(files, start_lsn: int | None = None):
         for pdf in batches:
             values, offsets = [], []
             for content in pdf["content"]:
+                # OUTPUT index per commit: counts EMITTED records (a
+                # PK-split pair consumes two slots), so offsets stay
+                # unique under fan-out with the full 15-bit budget.
+                # Deterministic from the bytes — a replayed file yields
+                # identical offsets, which is what offset-keyed dedup
+                # needs.
+                cur_commit, out_idx = None, 0
                 for c in iter_pgoutput_changes(bytes(content)):
                     if start_lsn is not None and \
                             c["commit_lsn"] <= start_lsn:
                         continue
-                    seq = pgoutput_seq(c["commit_lsn"], c["idx"])
+                    if c["commit_lsn"] != cur_commit:
+                        cur_commit, out_idx = c["commit_lsn"], 0
+                    seq = pgoutput_seq(c["commit_lsn"], out_idx)
                     ts_ms = (c["ts_usec"] or 0) // 1000
                     if c["kind"] == "message":
                         # pg_logical_emit_message: application signal, not
@@ -1071,6 +1082,7 @@ def pgoutput_to_debezium_json(files, start_lsn: int | None = None):
                         values.append(_json.dumps(rec,
                                                   separators=(",", ":")))
                         offsets.append(seq)
+                        out_idx += 1
                     elif c["kind"] == "truncate":
                         rec = {"ddl": {"type": "TRUNCATE_TABLE",
                                        "table": f"{c['database']}."
@@ -1079,6 +1091,7 @@ def pgoutput_to_debezium_json(files, start_lsn: int | None = None):
                         values.append(_json.dumps(rec,
                                                   separators=(",", ":")))
                         offsets.append(seq)
+                        out_idx += 1
                     else:
                         op = {"+I": "c", "+U": "u", "-D": "d"}[c["op"]]
                         source = {
@@ -1111,14 +1124,15 @@ def pgoutput_to_debezium_json(files, start_lsn: int | None = None):
                             recs = [{"before": c["before"],
                                      "after": c["after"], "op": op,
                                      "ts_ms": ts_ms, "source": source}]
-                        for half, rec in enumerate(recs):
+                        for rec in recs:
                             values.append(_json.dumps(
                                 rec, separators=(",", ":")))
-                            # the PK-split pair gets sub-sequenced
-                            # offsets (delete < create) — never two
-                            # records under one offset
+                            # each emitted record (incl. both halves of
+                            # a PK-split pair) consumes its own output
+                            # slot — never two records under one offset
                             offsets.append(pgoutput_seq(
-                                c["commit_lsn"], c["idx"], half))
+                                c["commit_lsn"], out_idx))
+                            out_idx += 1
                     if len(values) >= CHUNK:
                         yield pd.DataFrame(
                             {"value": pd.Series(values, dtype=object),

@@ -588,3 +588,26 @@ def test_mid_frame_stall_raises_instead_of_clean_idle_stop(tmp_path):
             start_replication_stream(srv.host, srv.port,
                                      str(tmp_path / "spool"),
                                      idle_timeout=1.0)
+
+
+def test_partial_header_stall_also_raises(tmp_path):
+    """Review-pass refinement: a stall INSIDE the 5-byte header (only
+    the type byte arrived) must also raise, not read as idleness — the
+    type-byte-first read makes header stalls detectable at 1-byte
+    granularity."""
+    import struct as _s
+    import time as _t
+
+    class HeaderStallToy(PgWalToyServer):
+        def _stream(self, wfile):
+            super()._stream(wfile)
+            wfile.write(b"d")            # type byte only, then silence
+            wfile.flush()
+            _t.sleep(4.0)
+
+    src = _capture(tmp_path, n_txns=1)
+    with HeaderStallToy(str(src), send_copy_done=False) as srv:
+        with pytest.raises(ValueError, match="stalled mid-frame"):
+            start_replication_stream(srv.host, srv.port,
+                                     str(tmp_path / "spool"),
+                                     idle_timeout=1.0)
