@@ -611,3 +611,45 @@ def test_partial_header_stall_also_raises(tmp_path):
             start_replication_stream(srv.host, srv.port,
                                      str(tmp_path / "spool"),
                                      idle_timeout=1.0)
+
+
+def test_stall_then_reconnect_loses_nothing(tmp_path):
+    """The operational contract behind the mid-frame stall error: the
+    stalled session acked only durably-spooled WAL, so a reconnect
+    replays everything unacked — the combined spool decodes the full
+    history with no loss (and the file checkpoint's offset filter
+    absorbs any overlap)."""
+    import struct as _s
+    import time as _t
+
+    class StallOnceToy(PgWalToyServer):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self._stalled = False
+
+        def _stream(self, wfile):
+            super()._stream(wfile)
+            if not self._stalled:
+                self._stalled = True
+                wfile.write(b"d" + _s.pack(">I", 100))  # partial frame
+                wfile.flush()
+                _t.sleep(4.0)
+
+    src = _capture(tmp_path, n_txns=3)
+    spool = tmp_path / "spool"
+    with StallOnceToy(str(src), send_copy_done=False) as srv:
+        with pytest.raises(ValueError, match="stalled mid-frame"):
+            start_replication_stream(srv.host, srv.port, str(spool),
+                                     idle_timeout=1.0)
+        spooled_first = sorted(p.name for p in spool.glob("pgwal.*"))
+        written2 = start_replication_stream(srv.host, srv.port,
+                                            str(spool), idle_timeout=1.0)
+    # append-only spool: the reconnect never clobbered session-1 files
+    assert sorted(p.name for p in spool.glob("pgwal.*")) == sorted(
+        set(spooled_first) | set(written2))
+    # the full history decodes from the combined spool, no loss
+    ids = [c["after"]["id"]
+           for n in sorted(p.name for p in spool.glob("pgwal.*"))
+           for c in pgoutput_changes((spool / n).read_bytes())
+           if c["kind"] == "change"]
+    assert set(ids) == {0, 1, 2}
