@@ -663,3 +663,101 @@ def test_awkward_values_decode_contract(tmp_path):
     assert r1["j"] == '{"k": [1, "two"]}'
     assert r2["b"] is None and r2["u"] is None
     assert r2["j"] == "null"  # jsonb null LITERAL, not SQL NULL
+
+
+def test_partitioned_table_publishes_leaves_by_default(tmp_path):
+    """A partitioned table's churn arrives under the LEAF relations by
+    default: each leaf gets its own Relation message and the decoder
+    routes rows to the leaf table ids — no crash, no mixed schemas."""
+    with RealPostgresServer(str(tmp_path / "srv")) as pg:
+        pg.sql("CREATE TABLE public.meas (id bigint, region text NOT "
+               "NULL, v numeric(10,2), PRIMARY KEY (id, region)) "
+               "PARTITION BY LIST (region)")
+        pg.sql("CREATE TABLE public.meas_eu PARTITION OF meas "
+               "FOR VALUES IN ('eu')")
+        pg.sql("CREATE TABLE public.meas_us PARTITION OF meas "
+               "FOR VALUES IN ('us')")
+        pg.sql("CREATE PUBLICATION pub FOR TABLE meas_eu, meas_us")
+        pg.create_slot("s1")
+        pg.sql("INSERT INTO meas VALUES (1,'eu',1.00),(2,'us',2.00),"
+               "(3,'eu',3.00)")
+        pg.sql("UPDATE meas SET v = 9.99 WHERE id = 1")
+        pg.sql("DELETE FROM meas WHERE id = 2")
+        pg.sql("SELECT pg_logical_emit_message(false, '__stop__', '')")
+        written = _consume(pg, tmp_path / "spool", "s1")
+    recs = [c for n in written for c in pgoutput_changes(
+        (tmp_path / "spool" / n).read_bytes()) if c["kind"] == "change"]
+    by_table = sorted((c["table"], c["op"],
+                       (c["after"] or c["before"])["id"]) for c in recs)
+    assert by_table == [("meas_eu", "+I", 1), ("meas_eu", "+I", 3),
+                        ("meas_eu", "+U", 1), ("meas_us", "+I", 2),
+                        ("meas_us", "-D", 2)]
+
+
+def test_partitioned_table_publish_via_partition_root(tmp_path):
+    """`publish_via_partition_root = true`: every leaf's churn arrives
+    under ONE Relation — the ROOT table — so downstream sees a single
+    logical table (the shape a CDC user of partitioned tables wants)."""
+    with RealPostgresServer(str(tmp_path / "srv")) as pg:
+        pg.sql("CREATE TABLE public.meas (id bigint, region text NOT "
+               "NULL, v numeric(10,2), PRIMARY KEY (id, region)) "
+               "PARTITION BY LIST (region)")
+        pg.sql("CREATE TABLE public.meas_eu PARTITION OF meas "
+               "FOR VALUES IN ('eu')")
+        pg.sql("CREATE TABLE public.meas_us PARTITION OF meas "
+               "FOR VALUES IN ('us')")
+        pg.sql("CREATE PUBLICATION pub FOR TABLE meas "
+               "WITH (publish_via_partition_root = true)")
+        pg.create_slot("s1")
+        pg.sql("INSERT INTO meas VALUES (1,'eu',1.00),(2,'us',2.00)")
+        pg.sql("UPDATE meas SET v = 9.99 WHERE id = 1")
+        pg.sql("DELETE FROM meas WHERE id = 2")
+        pg.sql("SELECT pg_logical_emit_message(false, '__stop__', '')")
+        written = _consume(pg, tmp_path / "spool", "s1")
+    recs = [c for n in written for c in pgoutput_changes(
+        (tmp_path / "spool" / n).read_bytes()) if c["kind"] == "change"]
+    assert {c["table"] for c in recs} == {"meas"}
+    assert [(c["op"], (c["after"] or c["before"])["id"])
+            for c in recs] == [
+        ("+I", 1), ("+I", 2), ("+U", 1), ("-D", 2)]
+    dele = next(c for c in recs if c["op"] == "-D")
+    assert dele["before"] == {"id": 2, "region": "us"}  # composite PK key
+
+
+def test_replica_identity_using_index(tmp_path):
+    """REPLICA IDENTITY USING INDEX: old tuples arrive as 'K' images
+    carrying the INDEX columns (not the PK) — the key flags in the
+    Relation message follow the chosen index, and DELETE images decode
+    to exactly those columns."""
+    with RealPostgresServer(str(tmp_path / "srv")) as pg:
+        pg.sql("CREATE TABLE public.t (id bigint PRIMARY KEY, "
+               "sku text NOT NULL, v numeric(10,2))")
+        pg.sql("CREATE UNIQUE INDEX t_sku_uq ON t (sku)")
+        pg.sql("ALTER TABLE t REPLICA IDENTITY USING INDEX t_sku_uq")
+        pg.sql("CREATE PUBLICATION pub FOR TABLE t")
+        pg.create_slot("s1")
+        pg.sql("INSERT INTO t VALUES (1,'A',1.00),(2,'B',2.00)")
+        pg.sql("UPDATE t SET v = 9.99 WHERE id = 1")   # identity unchanged
+        pg.sql("UPDATE t SET sku = 'C' WHERE id = 2")  # identity CHANGES
+        pg.sql("DELETE FROM t WHERE id = 1")
+        pg.sql("SELECT pg_logical_emit_message(false, '__stop__', '')")
+        written = _consume(pg, tmp_path / "spool", "s1")
+    recs = [c for n in written for c in pgoutput_changes(
+        (tmp_path / "spool" / n).read_bytes()) if c["kind"] == "change"]
+    ops = [c["op"] for c in recs]
+    assert ops == ["+I", "+I", "+U", "+U", "-D"]
+    # identity-unchanged update ships no old image
+    assert recs[2]["before"] is None
+    # identity-changing update ships the OLD INDEX key ('B'), not the PK
+    assert recs[3]["before"] == {"sku": "B"}
+    assert recs[3]["after"]["sku"] == "C"
+    # DELETE key = the index column
+    dele = recs[4]
+    assert dele["before"] == {"sku": "A"}
+    # and the inferred PK follows the replica identity, not the PK
+    from source_flink_cdc_3_5_0_spark.sources.pgoutput import \
+        pgoutput_infer_tables
+
+    _tables, pks = pgoutput_infer_tables(
+        [str(tmp_path / "spool" / n) for n in written])
+    assert pks["public.t"] == ["sku"]
