@@ -653,3 +653,42 @@ def test_stall_then_reconnect_loses_nothing(tmp_path):
            for c in pgoutput_changes((spool / n).read_bytes())
            if c["kind"] == "change"]
     assert set(ids) == {0, 1, 2}
+
+
+def test_prune_property_never_removes_unprocessed_frames(tmp_path):
+    """Property (hypothesis): for ANY set of spool files and ANY
+    checkpoint LSN, pruning removes a file only if EVERY frame it holds
+    is <= the checkpoint — no unprocessed frame is ever deleted, and
+    files are never partially touched."""
+    from hypothesis import given, settings, strategies as st
+
+    from source_flink_cdc_3_5_0_spark.sources.pg_replication import (
+        prune_processed_spool)
+
+    @given(st.lists(st.lists(st.integers(1, 50), min_size=1,
+                             max_size=6), min_size=1, max_size=5),
+           st.integers(0, 55))
+    @settings(max_examples=60, deadline=None)
+    def check(files, ckpt):
+        import os
+        import shutil
+        import struct as _s
+
+        d = tmp_path / "p"
+        shutil.rmtree(d, ignore_errors=True)
+        d.mkdir()
+        for i, lsns in enumerate(files):
+            (d / ("pgwal.%06d" % (i + 1))).write_bytes(b"".join(
+                _s.pack(">QI", lsn, 1) + b"x" for lsn in lsns))
+        pruned = prune_processed_spool(str(d), ckpt)
+        kept = sorted(p.name for p in d.glob("pgwal.*"))
+        for i, lsns in enumerate(files):
+            name = "pgwal.%06d" % (i + 1)
+            if max(lsns) <= ckpt:
+                assert name in pruned and name not in kept
+            else:
+                assert name in kept and name not in pruned
+                # untouched byte-for-byte
+                assert os.path.getsize(d / name) == 13 * len(lsns)
+
+    check()

@@ -935,3 +935,61 @@ def test_legacy_key_only_width_captures_still_decode():
     (dele,) = [c for c in pgoutput_changes(w.getvalue())
                if c["kind"] == "change"]
     assert dele["op"] == "-D" and dele["before"] == {"id": 7}
+
+
+def test_bridge_offsets_unique_and_monotone_under_random_churn(
+        spark, tmp_path):
+    """Property (seeded-random churn incl. PK-changing updates, which
+    fan out to two records): bridge offsets are UNIQUE and strictly
+    increasing within a capture — the round-9 output-index contract.
+    Covers multi-commit files and multi-record transactions."""
+    import random
+
+    rng = random.Random(90)
+    rel = PgRelation(9009, "public", "t", "d", (
+        PgColumn("id", OID_INT4, key=True), PgColumn("v", OID_TEXT)))
+    w = PgOutputWriter()
+    w.relation(rel)
+    live = {}
+    next_id = 1
+    for _txn in range(12):
+        w.begin()
+        for _ in range(rng.randint(1, 8)):
+            roll = rng.random()
+            if roll < 0.4 or not live:
+                live[next_id] = "v%d" % next_id
+                w.insert(rel, dict(id=next_id, v=live[next_id]))
+                next_id += 1
+            elif roll < 0.6:
+                k = rng.choice(list(live))
+                old = dict(id=k, v=live[k])
+                live[k] = live[k] + "u"
+                w.update(rel, old, dict(id=k, v=live[k]))
+            elif roll < 0.8:
+                k = rng.choice(list(live))
+                old = dict(id=k, v=live[k])
+                live[next_id] = live.pop(k)
+                w.update(rel, old, dict(id=next_id, v=live[next_id]))
+                next_id += 1  # KEY CHANGE -> bridge splits to D+C
+            else:
+                k = rng.choice(list(live))
+                w.delete(rel, dict(id=k, v=live.pop(k)))
+        w.commit()
+    (tmp_path / "cap.pgout").write_bytes(w.getvalue())
+    files = read_pgoutput_files(spark, str(tmp_path))
+    offs = [r["offset"] for r in pgoutput_to_debezium_json(files)
+            .orderBy("offset").collect()]
+    assert len(offs) == len(set(offs)), "duplicate offsets"
+    assert offs == sorted(offs)
+    # and materializing through those offsets yields the live state
+    from source_flink_cdc_3_5_0_spark.sources.debezium import \
+        decode_debezium
+    from source_flink_cdc_3_5_0_spark.streaming.materialize import \
+        latest_image
+    import pyspark.sql.types as T
+    payload = T.StructType([T.StructField("id", T.IntegerType()),
+                            T.StructField("v", T.StringType())])
+    env = decode_debezium(pgoutput_to_debezium_json(files), payload)
+    out = latest_image(env, ["id"], seq_col="__seq")
+    got = {(r["id"], r["v"]) for r in out.collect()}
+    assert got == {(k, v) for k, v in live.items()}
