@@ -761,3 +761,60 @@ def test_replica_identity_using_index(tmp_path):
     _tables, pks = pgoutput_infer_tables(
         [str(tmp_path / "spool" / n) for n in written])
     assert pks["public.t"] == ["sku"]
+
+
+def test_multi_table_transaction_decodes_in_order(tmp_path):
+    """One transaction touching several published tables: rows arrive
+    interleaved under their own Relations, all stamped with the single
+    commit — order within the txn preserved, both tables' keys intact
+    (the shape an app-level transaction across parent/child tables
+    produces)."""
+    with RealPostgresServer(str(tmp_path / "srv")) as pg:
+        pg.sql("CREATE TABLE public.orders (id bigint PRIMARY KEY, "
+               "total numeric(10,2))")
+        pg.sql("CREATE TABLE public.lines (id bigint PRIMARY KEY, "
+               "order_id bigint, qty int)")
+        pg.sql("CREATE PUBLICATION pub FOR TABLE orders, lines")
+        pg.create_slot("s1")
+        pg.sql("BEGIN; "
+               "INSERT INTO orders VALUES (1, 10.00); "
+               "INSERT INTO lines VALUES (11, 1, 2), (12, 1, 3); "
+               "UPDATE orders SET total = 25.00 WHERE id = 1; "
+               "DELETE FROM lines WHERE id = 11; "
+               "COMMIT")
+        pg.sql("SELECT pg_logical_emit_message(false, '__stop__', '')")
+        written = _consume(pg, tmp_path / "spool", "s1")
+    recs = [c for n in written for c in pgoutput_changes(
+        (tmp_path / "spool" / n).read_bytes()) if c["kind"] == "change"]
+    assert [(c["table"], c["op"], (c["after"] or c["before"])["id"])
+            for c in recs] == [
+        ("orders", "+I", 1), ("lines", "+I", 11), ("lines", "+I", 12),
+        ("orders", "+U", 1), ("lines", "-D", 11)]
+    # one transaction: a single commit coordinate across both tables
+    assert len({c["commit_lsn"] for c in recs}) == 1
+    assert len({c["txId"] for c in recs}) == 1
+
+
+def test_rename_column_rediff_on_real_server(tmp_path):
+    """ALTER TABLE ... RENAME COLUMN mid-stream: logical replication
+    carries no DDL, so the decoder sees a re-described Relation and
+    diffs it — a rename is indistinguishable from DROP+ADD on the wire
+    (documented contract), and rows after the rename decode under the
+    new name with no loss."""
+    with RealPostgresServer(str(tmp_path / "srv")) as pg:
+        pg.sql("CREATE TABLE public.t (id bigint PRIMARY KEY, v text)")
+        pg.sql("CREATE PUBLICATION pub FOR TABLE t")
+        pg.create_slot("s1")
+        pg.sql("INSERT INTO t VALUES (1, 'before')")
+        pg.sql("ALTER TABLE t RENAME COLUMN v TO w")
+        pg.sql("INSERT INTO t VALUES (2, 'after')")
+        pg.sql("SELECT pg_logical_emit_message(false, '__stop__', '')")
+        written = _consume(pg, tmp_path / "spool", "s1")
+    recs = [c for n in written for c in pgoutput_changes(
+        (tmp_path / "spool" / n).read_bytes())]
+    schema = [c for c in recs if c["kind"] == "schema"]
+    kinds = sorted(s["ddl"]["type"] for s in schema)
+    assert kinds == ["ADD_COLUMN", "DROP_COLUMN"], schema
+    changes = [c for c in recs if c["kind"] == "change"]
+    assert changes[0]["after"] == {"id": 1, "v": "before"}
+    assert changes[1]["after"] == {"id": 2, "w": "after"}
