@@ -151,7 +151,13 @@ def fetch_binlog_files(host: str, port: int, spool_dir: str,
                 with open(dest, "rb") as existing:
                     if existing.read() == data:
                         continue
-            tmp = dest + ".part"
+            tmp = os.path.join(os.path.dirname(dest),
+                               "." + os.path.basename(dest)
+                               + ".part")  # dot-prefixed: a
+            # crash-leftover temp must stay INVISIBLE to the
+            # Spark binaryFile source and table inference
+            # (round-9 review: a truncated bare .part file
+            # permanently failed every retry)
             with open(tmp, "wb") as out:
                 out.write(data)
             os.replace(tmp, dest)  # readers never see a partial file

@@ -1056,7 +1056,13 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
                         "drop them" % len(current))
                 return  # empty magic-only buffer: nothing to lose
             dest = os.path.join(spool_dir, name)
-            tmp = dest + ".part"
+            tmp = os.path.join(os.path.dirname(dest),
+                               "." + os.path.basename(dest)
+                               + ".part")  # dot-prefixed: a
+            # crash-leftover temp must stay INVISIBLE to the
+            # Spark binaryFile source and table inference
+            # (round-9 review: a truncated bare .part file
+            # permanently failed every retry)
             with open(tmp, "wb") as out:
                 out.write(bytes(current))
             os.replace(tmp, dest)

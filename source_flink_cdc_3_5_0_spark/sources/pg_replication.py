@@ -338,6 +338,11 @@ class PgWalToyServer:
         if len(head) < 4:
             return  # connection closed before startup
         n = struct.unpack(">I", head)[0]
+        if not 8 <= n <= 65536:
+            return  # hostile/corrupt startup length (round-9 review:
+            #         n<4 became a slurp-to-EOF read, a huge n an
+            #         unbounded allocation — the read_msg hardening,
+            #         applied to the startup packet too)
         body = rfile.read(n - 4)
         if len(body) >= 4 and struct.unpack(">I", body[:4])[0] == 80877103:
             # SSLRequest (libpq default sslmode=prefer sends it first):
@@ -348,6 +353,8 @@ class PgWalToyServer:
             if len(head) < 4:
                 return
             n = struct.unpack(">I", head)[0]
+            if not 8 <= n <= 65536:
+                return
             body = rfile.read(n - 4)
         params = decode_startup(body)
         if not self._authenticate(rfile, wfile, params):
@@ -372,6 +379,16 @@ class PgWalToyServer:
                 if mtype == b"d" and payload[:1] == b"r":
                     self.status_updates.append(tuple(
                         struct.unpack_from(">QQQ", payload, 1)))
+                if mtype == b"c" and not self.send_copy_done:
+                    # quiet-walsender mode: the COPY ends when the
+                    # FRONTEND ends it — answer with our CopyDone +
+                    # CommandComplete + ReadyForQuery (round-9 review:
+                    # sending C/Z right after the dump made every
+                    # teardown drain time out and the quiet-server
+                    # scenario was never truly exercised)
+                    write_msg(wfile, b"c", b"")
+                    write_msg(wfile, b"C", _cstr("COPY 0"))
+                    write_msg(wfile, b"Z", b"I")
                 continue
             if mtype != b"Q":
                 self._err(wfile, "only simple queries are supported")
@@ -379,8 +396,12 @@ class PgWalToyServer:
             q = payload.rstrip(b"\x00").decode("utf-8")
             if q.upper().startswith("START_REPLICATION"):
                 self._stream(wfile)
-                write_msg(wfile, b"C", _cstr("COPY 0"))
-                write_msg(wfile, b"Z", b"I")
+                if self.send_copy_done:
+                    write_msg(wfile, b"C", _cstr("COPY 0"))
+                    write_msg(wfile, b"Z", b"I")
+                # else: the session simply goes quiet, like a real
+                # walsender — completion only follows the frontend's
+                # own CopyDone (handled above)
             elif q.upper() == "IDENTIFY_SYSTEM":
                 # proper simple-query result: RowDescription ('T') for
                 # (systemid, timeline, xlogpos, dbname), one DataRow
@@ -586,7 +607,13 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
         name = "pgwal.%06d" % file_no
         file_no += 1
         dest = os.path.join(spool_dir, name)
-        tmp = dest + ".part"
+        tmp = os.path.join(os.path.dirname(dest),
+                           "." + os.path.basename(dest)
+                           + ".part")  # dot-prefixed: a
+        # crash-leftover temp must stay INVISIBLE to the
+        # Spark binaryFile source and table inference
+        # (round-9 review: a truncated bare .part file
+        # permanently failed every retry)
         with open(tmp, "wb") as out:
             out.write(bytes(buf[:committed_len]))
         os.replace(tmp, dest)
@@ -797,13 +824,32 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
         last_data = _time.monotonic()
         if idle_timeout is not None:
             sock.settimeout(idle_timeout)
+        else:
+            # round-9 review: the CONNECT timeout must not double as
+            # the read patience — a healthy walsender can be silent for
+            # ~wal_sender_timeout/2 (default ~30 s) between keepalives,
+            # racing a 30 s connect timeout and killing sentinel- or
+            # endpos-bounded sessions mid-wait. 90 s comfortably
+            # exceeds the default cadence; a dead peer still fails,
+            # loudly and with the real cause.
+            sock.settimeout(max(timeout, 90.0))
         frame_state = [0]
         while not done:
             try:
                 mtype, payload = read_msg(rfile, frame_state)
             except TimeoutError:
                 if idle_timeout is None:
-                    raise
+                    if frame_state[0]:
+                        raise ValueError(
+                            "stream stalled mid-frame (%d bytes of the "
+                            "message consumed) — transient network "
+                            "stall; reconnect to resume"
+                            % frame_state[0]) from None
+                    raise ValueError(
+                        "no traffic (not even keepalives) for %.0f s — "
+                        "the server looks dead; set "
+                        "idle.timeout.seconds to bound quiet sessions "
+                        "instead" % max(timeout, 90.0)) from None
                 if frame_state[0]:
                     # the header landed but the body stalled: a
                     # transient mid-frame hang is NOT idleness — ending

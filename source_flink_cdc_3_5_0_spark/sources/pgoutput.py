@@ -131,6 +131,11 @@ def _render_text(oid: int, v) -> str:
         return "\\x" + bytes(v).hex()
     if oid in (OID_TIMESTAMP, OID_TIMESTAMPTZ) and isinstance(
             v, datetime.datetime):
+        if oid == OID_TIMESTAMPTZ and v.tzinfo is not None:
+            # normalize aware values to UTC before rendering — the
+            # binary encoder already did; a local-wall-clock + "+00"
+            # render shifted the instant (round-9 review)
+            v = v.astimezone(datetime.timezone.utc)
         out = v.strftime("%Y-%m-%d %H:%M:%S")
         if v.microsecond:
             out += (".%06d" % v.microsecond).rstrip("0")
@@ -159,11 +164,29 @@ def _text_to_json_value(oid: int, text: str):
         return base64.b64encode(text.encode("latin-1")).decode("ascii")
     if oid in (OID_TIMESTAMP, OID_TIMESTAMPTZ):
         t = text.replace(" ", "T")
-        # strip the numeric UTC offset ("+00"); fixtures capture in UTC
-        for sep in ("+", "Z"):
-            if sep in t[10:]:
-                t = t[:10] + t[10:].split(sep)[0]
-                break
+        if oid == OID_TIMESTAMPTZ and t not in ("infinity", "-infinity"):
+            # a walsender renders timestamptz in ITS session TimeZone
+            # with a numeric offset (+05:30 / -04 / +00). CONVERT to
+            # the UTC instant — round-9 review: merely stripping "+00"
+            # shifted every non-UTC-server instant and never handled
+            # negative offsets at all (the binary path was already
+            # correct; both must bridge the same instant).
+            import datetime as _dt
+
+            tail = t[10:]
+            has_offset = ("+" in tail or "-" in tail
+                          or tail.endswith("Z"))
+            if has_offset:
+                try:
+                    d = _dt.datetime.fromisoformat(
+                        t[:-1] + "+00:00" if t.endswith("Z") else t)
+                    d = d.astimezone(_dt.timezone.utc)
+                    out = d.strftime("%Y-%m-%dT%H:%M:%S")
+                    if d.microsecond:
+                        out += (".%06d" % d.microsecond).rstrip("0")
+                    return out
+                except ValueError:
+                    pass  # BC dates etc.: fall through verbatim
         return t
     # numeric / date / time / uuid / text / json pass through as strings
     return text
@@ -669,8 +692,12 @@ def iter_pgoutput_changes(data: bytes) -> "Iterator[dict]":
     order, stamped with the commit timestamp — at Stream Commit ('c');
     Stream Abort ('A') discards the transaction (a large rolled-back
     transaction must produce NOTHING downstream). Relation messages inside
-    a stream update the decode registry immediately (catalog state), and
-    their synthesized schema records emit immediately too.
+    a stream update the decode registry immediately (the rows that follow
+    in the SAME stream need the new shape) but their synthesized schema
+    records follow the transaction's fate — buffered with the DML,
+    surfaced at Stream Commit, dropped on abort, with the registry
+    RESTORED from an undo log so an aborted ALTER leaves no phantom DDL
+    downstream and no stale catalog state behind (round-9 review).
     """
     relations: dict[int, PgRelation] = {}
     out: list[dict] = []  # drained (with idx assigned) after every frame
@@ -684,6 +711,10 @@ def iter_pgoutput_changes(data: bytes) -> "Iterator[dict]":
     # a subtransaction carry the SUBxact's xid on the wire, which is what
     # Stream Abort(top, subxid) names when a savepoint rolls back
     stream_bufs: dict[int, list[tuple[int, dict]]] = {}
+    #: top-level xid -> [(carried subxid, oid, prior PgRelation|None)]:
+    #: the registry UNDO log for catalog changes made inside a still-
+    #: uncommitted streamed txn (restored on Stream Abort)
+    rel_undo: dict[int, list[tuple[int, int, "PgRelation | None"]]] = {}
     txn_buf: list[dict] = []       # current NORMAL txn's records
 
     def base(lsn: int) -> dict:
@@ -753,11 +784,21 @@ def iter_pgoutput_changes(data: bytes) -> "Iterator[dict]":
                 ">IBQQq", msg, 1)
             flush([rec for _, rec in stream_bufs.pop(cxid, [])],
                   lsn, cts + _PG_EPOCH_US)
+            rel_undo.pop(cxid, None)  # catalog changes are now committed
         elif tag == "A":
             axid, subxid = struct.unpack_from(">II", msg, 1)
             if subxid == axid:
-                # whole-transaction abort: everything buffered vanishes
+                # whole-transaction abort: everything buffered vanishes,
+                # and catalog changes the stream made ROLL BACK too —
+                # restore the registry (round-9 review: the synthesized
+                # DDL used to emit immediately, so an aborted ALTER
+                # still dropped columns downstream)
                 stream_bufs.pop(axid, None)
+                for _cx, oid2, old_rel in reversed(rel_undo.pop(axid, [])):
+                    if old_rel is None:
+                        relations.pop(oid2, None)
+                    else:
+                        relations[oid2] = old_rel
             else:
                 # subtransaction abort (ROLLBACK TO SAVEPOINT): drop only
                 # the records whose carried xid is the aborted subxact —
@@ -765,31 +806,40 @@ def iter_pgoutput_changes(data: bytes) -> "Iterator[dict]":
                 stream_bufs[axid] = [
                     (x, rec) for x, rec in stream_bufs.get(axid, [])
                     if x != subxid]
+                undo = rel_undo.get(axid, [])
+                for cx, oid2, old_rel in reversed(
+                        [e for e in undo if e[0] == subxid]):
+                    if old_rel is None:
+                        relations.pop(oid2, None)
+                    else:
+                        relations[oid2] = old_rel
+                rel_undo[axid] = [e for e in undo if e[0] != subxid]
         elif tag == "R":
-            oid = struct.unpack_from(">I", msg, 1 + voff)[0]
-            p = 5 + voff
-            ns, p = _read_cstr(msg, p)
-            name, p = _read_cstr(msg, p)
-            ident = chr(msg[p])
-            p += 1
-            ncols = struct.unpack_from(">H", msg, p)[0]
-            p += 2
-            cols = []
-            for _ in range(ncols):
-                key = msg[p] & 1
-                p += 1
-                cname, p = _read_cstr(msg, p)
-                toid, tmod = struct.unpack_from(">Ii", msg, p)
-                p += 8
-                cols.append(PgColumn(cname, toid, tmod, bool(key)))
-            rel = PgRelation(oid, ns, name, ident, tuple(cols))
+            rel = _parse_relation(msg, voff)
+            oid = rel.oid
+            ns, name = rel.namespace, rel.name
             old = relations.get(oid)
             relations[oid] = rel
+            if cur_stream is not None:
+                # an uncommitted streamed txn changed the catalog:
+                # remember the prior shape so Stream Abort restores it
+                rel_undo.setdefault(cur_stream, []).append(
+                    (msg_xid if msg_xid is not None else cur_stream,
+                     oid, old))
             if old is not None and old.columns != rel.columns:
                 for body in _diff_relations(old, rel):
-                    out.append({"kind": "schema", "ddl": body,
-                                "database": ns, "table": name,
-                                "commit_lsn": lsn, **base(lsn)})
+                    rec = {"kind": "schema", "ddl": body,
+                           "database": ns, "table": name,
+                           "commit_lsn": lsn, **base(lsn)}
+                    if cur_stream is not None:
+                        # DDL from an in-progress streamed txn follows
+                        # the txn's fate: surfaces at Stream Commit,
+                        # vanishes on abort — like the DML
+                        stream_bufs.setdefault(cur_stream, []).append(
+                            (msg_xid if msg_xid is not None
+                             else cur_stream, rec))
+                    else:
+                        out.append(rec)
         elif tag in ("I", "U", "D"):
             oid = struct.unpack_from(">I", msg, 1 + voff)[0]
             rel = relations.get(oid)
@@ -800,7 +850,13 @@ def iter_pgoutput_changes(data: bytes) -> "Iterator[dict]":
             rec = {"kind": "change", "database": rel.namespace,
                    "table": rel.name, "keys": rel.key_names, **base(lsn)}
             if tag == "I":
-                assert chr(msg[p]) == "N"
+                if chr(msg[p]) != "N":
+                    # never assert in the decode path: `python -O`
+                    # strips asserts and a corrupt marker would misparse
+                    # silently (round-9 review)
+                    raise ValueError(
+                        "Insert: expected 'N' new-tuple marker, got %r "
+                        "(oid %d)" % (chr(msg[p]), oid))
                 tup, p = _read_tuple(msg, p + 1)
                 emit({**rec, "op": "+I", "before": None,
                       "after": _resolve_toast(_tuple_to_row(rel, tup),
@@ -814,7 +870,10 @@ def iter_pgoutput_changes(data: bytes) -> "Iterator[dict]":
                               if marker == "K"
                               else _tuple_to_row(rel, tup))
                     marker = chr(msg[p])
-                assert marker == "N"
+                if marker != "N":
+                    raise ValueError(
+                        "Update: expected 'N' new-tuple marker, got %r "
+                        "(oid %d)" % (marker, oid))
                 tup, p = _read_tuple(msg, p + 1)
                 emit({**rec, "op": "+U", "before": before,
                       "after": _resolve_toast(_tuple_to_row(rel, tup),
@@ -986,19 +1045,8 @@ def pgoutput_infer_tables(paths: list[str]
             if tag != b"R":
                 continue
             voff = 4 if in_stream else 0  # v2 xid prefix inside streams
-            oid = struct.unpack_from(">I", msg, 1 + voff)[0]
-            p2 = 5 + voff
-            ns, p2 = _read_cstr(msg, p2)
-            name, p2 = _read_cstr(msg, p2)
-            ident = chr(msg[p2]); p2 += 1
-            ncols = struct.unpack_from(">H", msg, p2)[0]; p2 += 2
-            cols = []
-            for _ in range(ncols):
-                key = msg[p2] & 1; p2 += 1
-                cname, p2 = _read_cstr(msg, p2)
-                toid, tmod = struct.unpack_from(">Ii", msg, p2); p2 += 8
-                cols.append(PgColumn(cname, toid, tmod, bool(key)))
-            rels[oid] = PgRelation(oid, ns, name, ident, tuple(cols))
+            rel = _parse_relation(msg, voff)
+            rels[rel.oid] = rel
         for rel in rels.values():
             tables[rel.qualified] = ", ".join(
                 "`%s` %s" % (c.name.replace("`", "``"),
@@ -1006,7 +1054,38 @@ def pgoutput_infer_tables(paths: list[str]
                 for c in rel.columns)
             if rel.key_names:
                 pks[rel.qualified] = list(rel.key_names)
+            else:
+                # a re-description may DROP the key columns (PK drop /
+                # REPLICA IDENTITY NOTHING): a stale earlier entry must
+                # not leave the pipeline upserting on a column the wire
+                # no longer guarantees unique (round-9 review)
+                pks.pop(rel.qualified, None)
     return tables, pks
+
+
+def _parse_relation(msg: bytes, voff: int) -> PgRelation:
+    """One 'R' Relation message body -> PgRelation (``voff`` = 4 inside
+    a v2 stream segment, where a xid prefixes the payload). SHARED by
+    the decoder and pgoutput_infer_tables — round-9 review: two
+    hand-kept copies of the wire layout had already each grown the voff
+    logic independently."""
+    oid = struct.unpack_from(">I", msg, 1 + voff)[0]
+    p = 5 + voff
+    ns, p = _read_cstr(msg, p)
+    name, p = _read_cstr(msg, p)
+    ident = chr(msg[p])
+    p += 1
+    ncols = struct.unpack_from(">H", msg, p)[0]
+    p += 2
+    cols = []
+    for _ in range(ncols):
+        key = msg[p] & 1
+        p += 1
+        cname, p = _read_cstr(msg, p)
+        toid, tmod = struct.unpack_from(">Ii", msg, p)
+        p += 8
+        cols.append(PgColumn(cname, toid, tmod, bool(key)))
+    return PgRelation(oid, ns, name, ident, tuple(cols))
 
 
 def pgoutput_seq(commit_lsn: int, idx: int = 0) -> int:

@@ -818,3 +818,30 @@ def test_rename_column_rediff_on_real_server(tmp_path):
     changes = [c for c in recs if c["kind"] == "change"]
     assert changes[0]["after"] == {"id": 1, "v": "before"}
     assert changes[1]["after"] == {"id": 2, "w": "after"}
+
+
+def test_non_utc_server_timezone_bridges_the_utc_instant(tmp_path):
+    """Round-9 review: a walsender renders timestamptz in its session
+    TimeZone — '+05:30', '-04', not always '+00'. The bridge must
+    convert to the UTC instant (the old code stripped '+00' only, so a
+    Kolkata-rendered value shifted 5.5 h and a New-York one failed the
+    downstream cast). The database default TimeZone governs the
+    replication session here."""
+    with RealPostgresServer(str(tmp_path / "srv")) as pg:
+        pg.sql("ALTER DATABASE postgres SET TimeZone = 'Asia/Kolkata'")
+        pg.sql("CREATE TABLE public.t (id bigint PRIMARY KEY, "
+               "ts timestamptz)")
+        pg.sql("CREATE PUBLICATION pub FOR TABLE t")
+        pg.create_slot("s1")
+        pg.sql("INSERT INTO t VALUES "
+               "(1, '2024-06-01 10:00:00+00'), "     # known UTC instant
+               "(2, '2024-06-01 15:30:00+05:30')")   # same instant
+        pg.sql("SELECT pg_logical_emit_message(false, '__stop__', '')")
+        written = _consume(pg, tmp_path / "spool", "s1")
+    rows = {c["after"]["id"]: c["after"]["ts"]
+            for n in written for c in pgoutput_changes(
+                (tmp_path / "spool" / n).read_bytes())
+            if c["kind"] == "change"}
+    # both rows are the SAME instant; the wire rendered them at +05:30
+    assert rows[1] == "2024-06-01T10:00:00", rows
+    assert rows[2] == "2024-06-01T10:00:00", rows

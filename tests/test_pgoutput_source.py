@@ -993,3 +993,104 @@ def test_bridge_offsets_unique_and_monotone_under_random_churn(
     out = latest_image(env, ["id"], seq_col="__seq")
     got = {(r["id"], r["v"]) for r in out.collect()}
     assert got == {(k, v) for k, v in live.items()}
+
+
+def test_aborted_stream_relation_diff_leaves_no_phantom_ddl():
+    """Round-9 review: an ALTER inside a streamed txn that later ABORTS
+    must yield NO schema records (the catalog change rolled back — the
+    old behavior emitted the DROP_COLUMN immediately and a sink
+    destroyed the column's data for a change that never committed), and
+    the decode registry must revert so the post-abort corrective
+    Relation produces no spurious reverse-diff either."""
+    rel_v1 = PgRelation(7007, "public", "t", "d", (
+        PgColumn("id", OID_INT4, key=True), PgColumn("c", OID_TEXT)))
+    rel_v2 = PgRelation(7007, "public", "t", "d", (
+        PgColumn("id", OID_INT4, key=True),))  # ALTER ... DROP COLUMN c
+    w = PgOutputWriter()
+    w.relation(rel_v1)
+    w.begin()
+    w.insert(rel_v1, dict(id=1, c="keep"))
+    w.commit()
+    # large txn streams: re-describes the relation (DROP c), writes
+    # rows in the new shape, then the whole thing ROLLS BACK
+    w.stream_start(990)
+    w.relation(rel_v2)
+    w.insert(rel_v2, dict(id=2))
+    w.stream_stop()
+    w.stream_abort(990)
+    # the server re-describes with the (restored) catalog shape before
+    # the next committed rows
+    w.relation(rel_v1)
+    w.begin()
+    w.insert(rel_v1, dict(id=3, c="after"))
+    w.commit()
+    recs = pgoutput_changes(w.getvalue())
+    schema = [c for c in recs if c["kind"] == "schema"]
+    assert schema == [], schema  # no phantom DDL in either direction
+    changes = [c for c in recs if c["kind"] == "change"]
+    assert [(c["op"], c["after"]["id"]) for c in changes] == \
+        [("+I", 1), ("+I", 3)]
+    assert changes[1]["after"] == {"id": 3, "c": "after"}
+
+
+def test_committed_stream_relation_diff_surfaces_at_commit():
+    """The flip side: the SAME in-stream ALTER surfaces exactly once at
+    Stream Commit (with the txn's commit coordinates), ordered with the
+    stream's own DML."""
+    rel_v1 = PgRelation(7008, "public", "t", "d", (
+        PgColumn("id", OID_INT4, key=True), PgColumn("c", OID_TEXT)))
+    rel_v2 = PgRelation(7008, "public", "t", "d", (
+        PgColumn("id", OID_INT4, key=True),))
+    w = PgOutputWriter()
+    w.relation(rel_v1)
+    w.begin()
+    w.insert(rel_v1, dict(id=1, c="x"))
+    w.commit()
+    w.stream_start(991)
+    w.relation(rel_v2)
+    w.insert(rel_v2, dict(id=2))
+    w.stream_stop()
+    w.stream_commit(991)
+    recs = pgoutput_changes(w.getvalue())
+    schema = [c for c in recs if c["kind"] == "schema"]
+    assert [s["ddl"]["type"] for s in schema] == ["DROP_COLUMN"]
+    # the DDL carries the stream's COMMIT coordinate like its DML
+    stream_rows = [c for c in recs if c["kind"] == "change"
+                   and c["txId"] == 991]
+    assert schema[0]["commit_lsn"] == stream_rows[0]["commit_lsn"]
+    # and orders BEFORE the row written under the new shape
+    assert recs.index(schema[0]) < recs.index(stream_rows[0])
+
+
+def test_subxact_abort_reverts_only_its_relation_change():
+    """ROLLBACK TO SAVEPOINT inside a streamed txn: the subxact's
+    Relation change (and its rows) vanish, the rest of the stream —
+    including catalog changes made OUTSIDE the savepoint — commits."""
+    rel_v1 = PgRelation(7009, "public", "t", "d", (
+        PgColumn("id", OID_INT4, key=True), PgColumn("c", OID_TEXT)))
+    rel_v2 = PgRelation(7009, "public", "t", "d", (
+        PgColumn("id", OID_INT4, key=True),))
+    w = PgOutputWriter()
+    w.relation(rel_v1)
+    w.begin()
+    w.insert(rel_v1, dict(id=1, c="x"))
+    w.commit()
+    w.stream_start(992)
+    w.insert(rel_v1, dict(id=2, c="top"))   # top-level: survives
+    w.subxact(4001)                          # SAVEPOINT
+    w.relation(rel_v2)                       # subxact ALTER: rolls back
+    w.insert(rel_v2, dict(id=3))
+    w.stream_stop()
+    w.stream_start(992, first_segment=False)
+    w.stream_abort(992, 4001)               # ROLLBACK TO SAVEPOINT
+    w.subxact(None)
+    w.relation(rel_v1)                       # server re-describes
+    w.insert(rel_v1, dict(id=4, c="alive"))
+    w.stream_stop()
+    w.stream_commit(992)
+    recs = pgoutput_changes(w.getvalue())
+    assert [c for c in recs if c["kind"] == "schema"] == []
+    changes = [(c["op"], c["after"].get("id"), c["after"].get("c"))
+               for c in recs if c["kind"] == "change"]
+    assert changes == [("+I", 1, "x"), ("+I", 2, "top"),
+                       ("+I", 4, "alive")]
