@@ -143,6 +143,45 @@ def encode_gtid_set(gtid_set: str) -> bytes:
     return out
 
 
+def format_uuid(sid: bytes) -> str:
+    """16 raw server-uuid bytes -> the canonical dashed form."""
+    h = sid.hex()
+    return "-".join((h[:8], h[8:12], h[12:16], h[16:20], h[20:]))
+
+
+def decode_gtid_intervals(blob: bytes, pos: int = 0
+                          ) -> dict[str, list[tuple[int, int]]]:
+    """Inverse of encode_gtid_set -> {uuid: [(lo, hi)]} (hi inclusive).
+    ONE implementation for the three consumers that each hand-rolled
+    the sid/interval walk before (round-9 review): the PREVIOUS_GTIDS
+    event decode, the GTID-event uuid formatting, and the transport's
+    COM_BINLOG_DUMP_GTID parser."""
+    n_sids = struct.unpack_from("<Q", blob, pos)[0]
+    pos += 8
+    out: dict[str, list[tuple[int, int]]] = {}
+    for _ in range(n_sids):
+        uuid = format_uuid(blob[pos:pos + 16])
+        n_iv = struct.unpack_from("<Q", blob, pos + 16)[0]
+        pos += 24
+        ivs = []
+        for _ in range(n_iv):
+            lo, end = struct.unpack_from("<QQ", blob, pos)
+            pos += 16
+            ivs.append((lo, end - 1))
+        out[uuid] = ivs
+    return out
+
+
+def decode_gtid_set(blob: bytes, pos: int = 0) -> str:
+    """Inverse of encode_gtid_set -> canonical 'uuid:lo-hi,...' string."""
+    parts = []
+    for uuid, ivs in decode_gtid_intervals(blob, pos).items():
+        spans = [("%d-%d" % iv if iv[1] > iv[0] else str(iv[0]))
+                 for iv in ivs]
+        parts.append("%s:%s" % (uuid, ":".join(spans)))
+    return ",".join(parts)
+
+
 def _read_lenc(buf: bytes, pos: int) -> tuple[int, int]:
     """MySQL length-encoded integer."""
     b = buf[pos]
@@ -312,6 +351,12 @@ def decode_datetime2(buf: bytes, pos: int, fsp: int):
     hour = (v >> 12) & 0x1F
     day = (v >> 17) & 0x1F
     ym = v >> 22
+    if ym // 13 == 0 or ym % 13 == 0 or day == 0:
+        # '0000-00-00 00:00:00' and month/day-zero variants (legal
+        # under non-strict sql_mode) -> NULL, like decode_date —
+        # datetime.datetime(0, 0, 0, ...) raised and killed the whole
+        # decode task (round-9 review)
+        return None, pos
     return datetime.datetime(ym // 13, ym % 13, day, hour, minute, sec, us), pos
 
 
@@ -360,8 +405,8 @@ def encode_date(d) -> bytes:
 def decode_date(buf: bytes, pos: int):
     import datetime
     v = int.from_bytes(buf[pos:pos + 3], "little")
-    if v == 0:
-        return None, pos + 3  # zero-date
+    if v >> 9 == 0 or (v >> 5) & 0x0F == 0 or v & 0x1F == 0:
+        return None, pos + 3  # zero-date (incl. month/day-zero forms)
     return datetime.date(v >> 9, (v >> 5) & 0x0F, v & 0x1F), pos + 3
 
 
@@ -1033,12 +1078,8 @@ class BinlogReader:
         elif t in _ROWS_EVENTS:
             ev.fields = self._decode_rows(ev)
         elif t == GTID_EVENT:
-            sid = ev.body[1:17]
             gno = struct.unpack_from("<q", ev.body, 17)[0]
-            uuid = sid.hex()
-            uuid = "-".join((uuid[:8], uuid[8:12], uuid[12:16],
-                             uuid[16:20], uuid[20:]))
-            ev.fields = {"uuid": uuid, "gno": gno}
+            ev.fields = {"uuid": format_uuid(ev.body[1:17]), "gno": gno}
         elif t == QUERY_EVENT:
             _tid, _exec, dblen, _err, svlen = struct.unpack_from(
                 "<IIBHH", ev.body, 0)
@@ -1054,22 +1095,7 @@ class BinlogReader:
             ev.fields = {"position": struct.unpack_from("<Q", ev.body)[0],
                          "next_file": ev.body[8:].decode()}
         elif t == PREVIOUS_GTIDS_EVENT:
-            gtid_set: dict[str, list[tuple[int, int]]] = {}
-            n_sids = struct.unpack_from("<Q", ev.body, 0)[0]
-            p = 8
-            for _ in range(n_sids):
-                sid = ev.body[p:p + 16].hex()
-                uuid = "-".join((sid[:8], sid[8:12], sid[12:16],
-                                 sid[16:20], sid[20:]))
-                n_iv = struct.unpack_from("<Q", ev.body, p + 16)[0]
-                p += 24
-                ivs = []
-                for _ in range(n_iv):
-                    lo, end = struct.unpack_from("<QQ", ev.body, p)
-                    ivs.append((lo, end - 1))
-                    p += 16
-                gtid_set[uuid] = ivs
-            ev.fields = {"gtid_set": gtid_set}
+            ev.fields = {"gtid_set": decode_gtid_intervals(ev.body)}
         elif t == FORMAT_DESCRIPTION_EVENT:
             ver = ev.body[2:52].rstrip(b"\x00").decode()
             ev.fields = {"binlog_version":
@@ -1127,9 +1153,23 @@ def iter_binlog_changes(data: bytes, filename: str = "") -> Iterator[dict]:
             gtid = (ev.fields["uuid"], ev.fields["gno"])
         elif t == QUERY_EVENT:
             sql = ev.fields["sql"].strip()
-            if sql.upper() != "BEGIN":
+            up = sql.upper()
+            if up == "BEGIN":
+                pass
+            elif up in ("COMMIT", "ROLLBACK"):
+                # non-transactional (e.g. MyISAM) txns commit via QUERY
+                # 'COMMIT' instead of XID — a statement boundary, NOT
+                # DDL (round-9 review: it used to ride the schema-change
+                # topic and choke the DDL parser); the statement text
+                # latch resets here like at XID
+                if up == "COMMIT" and gtid is not None:
+                    _advance(running, *gtid)
+                    gtid = None
+                rows_query = None
+            else:
                 yield {"kind": "ddl", "database": ev.fields["database"],
                        "sql": sql, **_pos(ev)}
+                rows_query = None  # a DDL auto-commit is a boundary too
                 if gtid is not None:
                     # DDL statements auto-commit their GTID (no XID event)
                     _advance(running, *gtid)
@@ -1238,7 +1278,15 @@ class BinlogOffset:
         return cls.of(kind=_KIND_NON_STOPPING)
 
     def _map(self) -> dict:
-        return dict(self.offset)
+        # cached: compare()/_keep_record() call the accessors on the
+        # per-record hot path — rebuilding a dict per access was pure
+        # allocation churn (round-9 review). Frozen dataclasses still
+        # carry __dict__, so object.__setattr__ is the sanctioned way.
+        m = self.__dict__.get("_map_cache")
+        if m is None:
+            m = dict(self.offset)
+            object.__setattr__(self, "_map_cache", m)
+        return m
 
     def get(self, key: str, default=None):
         return self._map().get(key, default)
@@ -1339,19 +1387,24 @@ def _file_ordinal(filename: str) -> int:
 def record_seq(filename: str, pos: int, row: int, op: str) -> int:
     """Monotone per-key ``__seq``: (file ordinal, event end-pos, row in
     event, -U before +U). Bit budget fills a signed int64 exactly:
-    ordinal 20 bits (MySQL rotates through .999999 < 2^20), pos 30 bits
-    (binlog files cap at 1 GiB), row 12 bits (saturating — an update pair
-    shares one wire row), op 1 bit."""
+    ordinal 20 bits (MySQL rotates through .999999 < 2^20), pos 32 bits
+    (log_pos is a full u32 — a single huge transaction legally pushes a
+    file past max_binlog_size, so the earlier 1 GiB cap rejected
+    well-formed files; round-9 review), row 10 bits (saturating — an
+    update pair shares one wire row, and rows past 1023 in ONE event
+    share the last slot, ambiguous only if one key appears twice there),
+    op 1 bit."""
     ordinal = _file_ordinal(filename)
     if ordinal >= 1 << 20:
         raise ValueError(
             "binlog file ordinal %d does not fit the 20-bit seq budget "
             "(MySQL's own names stop at .999999)" % ordinal)
-    if pos >= 1 << 30:
-        raise ValueError("binlog position %d exceeds the 1 GiB cap" % pos)
+    if pos >= 1 << 32:
+        raise ValueError("binlog position %d exceeds u32 (corrupt "
+                         "header?)" % pos)
     op_bit = 0 if op == "-U" else 1
-    return (((ordinal << 30 | pos) << 12
-             | min(row, (1 << 12) - 1)) << 1) | op_bit
+    return (((ordinal << 32 | pos) << 10
+             | min(row, (1 << 10) - 1)) << 1) | op_bit
 
 
 def watermark_seq(offset: BinlogOffset) -> int:
@@ -1362,7 +1415,7 @@ def watermark_seq(offset: BinlogOffset) -> int:
     — the reference's snapshot-split high watermark
     (`HybridSplitAssigner.java:53-110`) for the binlog stream."""
     return record_seq(offset.filename or "", offset.position,
-                      (1 << 12) - 1, "+I")
+                      (1 << 10) - 1, "+I")
 
 
 def _to_spark_value(ftype, v):

@@ -47,7 +47,8 @@ import struct
 import threading
 import zlib
 
-from .mysql_binlog import _file_sort_key, _read_lenc, encode_gtid_set
+from .mysql_binlog import (_file_sort_key, _read_lenc,
+                           decode_gtid_set, encode_gtid_set)
 from .vitess import gtid_covers  # MySQL GTID-set algebra
 
 # capability flags (include/mysql_com.h — public constants)
@@ -447,27 +448,6 @@ def decode_handshake_response(body: bytes) -> dict:
             "auth_plugin": plugin.decode()}
 
 
-def decode_gtid_set(blob: bytes, pos: int = 0) -> str:
-    """Inverse of encode_gtid_set -> canonical 'uuid:lo-hi,...' string."""
-    n_sids = struct.unpack_from("<Q", blob, pos)[0]
-    pos += 8
-    parts = []
-    for _ in range(n_sids):
-        sid = blob[pos:pos + 16].hex()
-        uuid = "-".join((sid[:8], sid[8:12], sid[12:16], sid[16:20],
-                         sid[20:]))
-        n_iv = struct.unpack_from("<Q", blob, pos + 16)[0]
-        pos += 24
-        ivs = []
-        for _ in range(n_iv):
-            lo, end = struct.unpack_from("<QQ", blob, pos)
-            pos += 16
-            ivs.append("%d-%d" % (lo, end - 1) if end - 1 > lo
-                       else str(lo))
-        parts.append("%s:%s" % (uuid, ":".join(ivs)))
-    return ",".join(parts)
-
-
 def file_previous_gtids(data: bytes) -> str | None:
     """Extract a binlog file's PREVIOUS_GTIDS set (the executed set at
     file start — what makes each rotated file self-describing and what
@@ -733,6 +713,16 @@ class MysqldToyServer:
             if not cmd or cmd[0] == COM_QUIT:
                 return
             if cmd[0] == COM_QUERY:
+                q = cmd[1:].decode("utf-8", "replace").strip()
+                up = q.upper()
+                if up.startswith("SHOW GLOBAL VARIABLES") or \
+                        up.startswith("SHOW VARIABLES"):
+                    # real replication clients (BinaryLogClient) probe
+                    # variables with resultset queries during setup — a
+                    # bare OK aborts them (round-9 review): answer with
+                    # a proper protocol-41 text resultset
+                    self._send_variables_resultset(wfile, q)
+                    continue
                 # session SETs (checksum announcement etc.): OK reply,
                 # like mysqld answers a resultset-free statement
                 send_packet(wfile, 1, _ok_packet())
@@ -807,6 +797,53 @@ class MysqldToyServer:
                 break          # files only grow their executed set
         return chosen
 
+    #: what SHOW [GLOBAL] VARIABLES answers; subclasses/tests may extend
+    VARIABLES = {"server_id": "1", "version": "8.0.36-toy",
+                 "gtid_mode": "ON", "binlog_format": "ROW",
+                 "binlog_row_image": "FULL"}
+
+    def _send_variables_resultset(self, wfile, query: str) -> None:
+        """Protocol-41 text resultset for SHOW [GLOBAL] VARIABLES
+        [LIKE 'pat']: column count, 2 ColumnDefinition41s, EOF, one row
+        per matching variable, EOF (classic-EOF form — the toy never
+        announces CLIENT_DEPRECATE_EOF)."""
+        import fnmatch
+        import re as _re
+
+        from .mysql_binlog import _write_lenc
+
+        def lenc_str(s: str) -> bytes:
+            b = s.encode("utf-8")
+            return _write_lenc(len(b)) + b
+
+        def coldef(name: str) -> bytes:
+            return (lenc_str("def") + lenc_str("") + lenc_str("")
+                    + lenc_str("") + lenc_str(name) + lenc_str(name)
+                    + b"\x0c" + struct.pack("<HIBHB", 0x21, 255, 0xFD,
+                                             0, 0) + b"\x00\x00")
+
+        variables = dict(self.VARIABLES)
+        # binlog_checksum reflects what the served files declare
+        crc = any(self._declares_crc32(
+            open(os.path.join(self.directory, n), "rb").read(256))
+            for n in self._files_from("*"))
+        variables["binlog_checksum"] = "CRC32" if crc else "NONE"
+        m = _re.search(r"LIKE\s+'([^']*)'", query, _re.IGNORECASE)
+        if m:
+            pat = m.group(1).replace("%", "*").replace("_", "?")
+            rows = sorted((k, v) for k, v in variables.items()
+                          if fnmatch.fnmatch(k, pat))
+        else:
+            rows = sorted(variables.items())
+        seq = send_packet(wfile, 1, b"\x02")  # column count
+        seq = send_packet(wfile, seq, coldef("Variable_name"))
+        seq = send_packet(wfile, seq, coldef("Value"))
+        eof = b"\xfe" + struct.pack("<HH", 0, 0x0002)
+        seq = send_packet(wfile, seq, eof)
+        for k, v in rows:
+            seq = send_packet(wfile, seq, lenc_str(k) + lenc_str(v))
+        send_packet(wfile, seq, eof)
+
     def _files_from(self, from_file: str) -> list[str]:
         names = sorted((n for n in os.listdir(self.directory)
                         if os.path.isfile(os.path.join(self.directory, n))),
@@ -831,17 +868,30 @@ class MysqldToyServer:
 
     def _stream(self, wfile, from_file: str, pos: int, flags: int) -> None:
         seq = 1
+        first = True
         for name in self._files_from(from_file):
             with open(os.path.join(self.directory, name), "rb") as f:
                 data = f.read()
             # fake ROTATE names the file the following events belong to;
             # CRC32-checksummed like the served file (real-server shape)
-            rot = _rotate_event(name, 4)
+            rot = _rotate_event(name, max(pos, 4) if first else 4)
             if self._declares_crc32(data):
                 rot += struct.pack("<I", zlib.crc32(rot))
             seq = send_packet(wfile, seq, b"\x00" + rot)
+            offset = 4  # running byte offset inside the served file
             for ev in iter_file_events(data):
+                start = offset
+                offset += len(ev)
+                if first and start < pos and ev[4] not in (
+                        _FDE_EVENT, _PREVIOUS_GTIDS_EVENT):
+                    # resume semantics (round-9 review: the pos
+                    # parameter was parsed and IGNORED, re-delivering
+                    # every event as a duplicate): a real mysqld seeks
+                    # to pos and streams from there, always after the
+                    # file's FDE (and its PREVIOUS_GTIDS anchor)
+                    continue
                 seq = send_packet(wfile, seq, b"\x00" + ev)
+            first = False
         seq = send_packet(wfile, seq, b"\xfe\x00\x00\x02\x00")  # EOF
 
     # -- lifecycle ----------------------------------------------------------
@@ -1123,7 +1173,10 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
                 continue
             if etype == _FORMAT_DESCRIPTION_EVENT:
                 crc32 = len(ev) >= 24 and ev[-5] == _CHECKSUM_CRC32
-                name = resolve_name()
+                # keep an eagerly-resolved name (real-rotate path);
+                # resolve_name() only answers for pending synthetic
+                # rotates (raw_name set)
+                name = resolve_name() or name
             if crc32 and len(ev) >= 23:
                 # the announced-checksum contract cuts both ways:
                 # verify every trailer so transport corruption fails
@@ -1133,13 +1186,36 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
                     raise ValueError(
                         "binlog event CRC32 mismatch (type %d, file %s)"
                         % (etype, name))
+            if etype == _ROTATE_EVENT:
+                # REAL rotation (nonzero timestamp): a mysqld switching
+                # files mid-stream sends the rotate WRITTEN IN the
+                # current file (its last event, naming the next file) —
+                # and no second synthetic one. Round-9 review: only the
+                # ts==0 form split files before, so a real multi-file
+                # dump concatenated file 2 under file 1's name (two
+                # FDEs, restarting log_pos — silent offset corruption).
+                # The rotate belongs to the CURRENT file's bytes; its
+                # trailer was checksummed under the CURRENT latch
+                # (known right now), so the NEXT file's name resolves
+                # EAGERLY here — the lazy-at-FDE path exists only for
+                # synthetic rotates that precede their file's FDE.
+                if current is not None:
+                    current += ev
+                    flush()  # resolves a still-None name itself
+                raw_name = ev[27:]
+                name = resolve_name()
+                raw_name = None
+                current = bytearray(_BINLOG_MAGIC)
+                continue
             if current is not None:
                 current += ev
                 if stop_at is not None and name == stop_at[0]:
                     end_log_pos = struct.unpack_from("<I", ev, 13)[0]
                     if end_log_pos >= stop_at[1]:
                         break  # bounded stop: blocking dumps end here
-        name = resolve_name()  # no-FDE corner: resolve before flushing
+        # no-FDE corner: resolve a pending synthetic-rotate name before
+        # flushing (an eagerly-resolved real-rotate name is kept)
+        name = resolve_name() or name
         flush()
         try:
             send_packet(wfile, 0, bytes([COM_QUIT]))

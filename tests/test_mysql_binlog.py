@@ -364,12 +364,17 @@ def test_record_seq_monotone():
             record_seq("mysql-bin.1000000", 4, 0, "+I")]
     assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
     # the whole budget fits a signed int64
-    assert record_seq("mysql-bin.1048575", (1 << 30) - 1,
+    assert record_seq("mysql-bin.1048575", (1 << 32) - 1,
                       1 << 20, "+I") < 1 << 63
+    # positions past 1 GiB are LEGAL (one huge txn is never split
+    # across files, so log_pos legitimately exceeds max_binlog_size —
+    # the old 30-bit cap rejected well-formed files); full u32 accepted
+    big = record_seq("mysql-bin.000001", (1 << 32) - 1, 0, "+I")
+    assert big < record_seq("mysql-bin.000002", 4, 0, "+I")
     with pytest.raises(ValueError, match="20-bit"):
         record_seq("mysql-bin.1048576", 4, 0, "+I")
-    with pytest.raises(ValueError, match="1 GiB"):
-        record_seq("mysql-bin.000001", 1 << 30, 0, "+I")
+    with pytest.raises(ValueError, match="u32"):
+        record_seq("mysql-bin.000001", 1 << 32, 0, "+I")
 
 
 def test_offset_filename_ordinal_rollover():
@@ -1080,3 +1085,53 @@ def test_json_opaque_decimal_cells():
     # tokens for the decimals
     from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import _json_safe
     assert js.loads(_json_safe(c["after"]["j"]))["price"] == 1234.56
+
+
+def test_zero_dates_decode_to_null():
+    """Round-9 review: '0000-00-00'/'0000-00-00 00:00:00' (legal under
+    non-strict sql_mode, common in legacy data) must decode to NULL like
+    decode_date already did — datetime.datetime(0, 0, 0, ...) raised and
+    killed the whole file's decode task."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        decode_date, decode_datetime2)
+
+    # zero DATETIME2: sign bit only (the wire form of all-zero fields)
+    packed = (1 << 39).to_bytes(5, "big")
+    v, _pos = decode_datetime2(packed, 0, 0)
+    assert v is None
+    # month-zero and day-zero variants -> NULL too
+    ym = 2024 * 13 + 0  # month 0
+    packed = ((1 << 39) | (ym << 22) | (1 << 17)).to_bytes(5, "big")
+    assert decode_datetime2(packed, 0, 0)[0] is None
+    assert decode_date(b"\x00\x00\x00", 0)[0] is None
+    assert decode_date(((2024 << 9) | (0 << 5) | 1)
+                       .to_bytes(3, "little"), 0)[0] is None
+
+
+def test_query_commit_is_a_boundary_not_ddl():
+    """Round-9 review: non-transactional (MyISAM) transactions commit
+    via QUERY 'COMMIT' instead of XID — it must act as a statement
+    boundary (GTID advance, statement-text latch reset), NEVER ride the
+    schema-change topic as DDL; ROLLBACK likewise filtered. A DDL
+    auto-commit also resets the ROWS_QUERY latch so the old statement
+    can't leak onto later transactions."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        MYSQL_TYPE_LONG, WRITE_ROWS_EVENT, BinlogColumn, BinlogTableMap,
+        BinlogWriter, iter_binlog_changes)
+
+    tmap = BinlogTableMap(1, "d", "t", (
+        BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),), (0,))
+    w = BinlogWriter()
+    w.query("BEGIN", "d")
+    w.rows_query("INSERT INTO t SELECT 1")
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=1)])
+    w.query("COMMIT", "d")                      # MyISAM-style commit
+    w.query("rollback", "d")                    # filtered too
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=2)])  # no ROWS_QUERY of its own
+    recs = list(iter_binlog_changes(w.getvalue(), "mysql-bin.000001"))
+    assert [r["kind"] for r in recs] == ["change", "change"]
+    assert recs[0].get("query") == "INSERT INTO t SELECT 1"
+    # the latch reset at QUERY-COMMIT: no leak onto the next txn's rows
+    assert "query" not in recs[1]

@@ -831,3 +831,180 @@ sink: {{type: values}}
             pdef, sink=sink)
         pipe.start(raw, tables).awaitTermination(120)
     assert sink.snapshot(TableId.parse("db.t")) == ["1, a", "2, b"]
+
+
+def test_real_mid_stream_rotate_splits_files(tmp_path):
+    """Round-9 review: a real mysqld switching files mid-dump sends the
+    rotate WRITTEN IN the current file (nonzero timestamp, naming the
+    next file) and NO second synthetic rotate — the old client only
+    split on ts==0 rotates, so file 2 was concatenated under file 1's
+    name (two FDEs, restarting log_pos). Files must split at real
+    rotates too, with the rotate kept as the current file's last event
+    (exactly how an on-disk binlog ends)."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        MYSQL_TYPE_LONG, WRITE_ROWS_EVENT, BinlogColumn, BinlogTableMap,
+        BinlogWriter)
+
+    def mkfile(row_id):
+        tmap = BinlogTableMap(1, "d", "t", (
+            BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),), (0,))
+        w = BinlogWriter()
+        w.table_map(tmap)
+        w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=row_id)])
+        return w.getvalue()
+
+    f1, f2 = mkfile(1), mkfile(2)
+
+    import zlib as _zlib
+
+    def ev_rotate(name, ts):
+        # CRC32-trailed like the fixture's own events (the FDE declares
+        # the algorithm, so every rotate must carry a real trailer)
+        body = struct.pack("<Q", 4) + name
+        raw = struct.pack("<IBIIIH", ts, 0x04, 1, 19 + len(body) + 4,
+                          0, 0x20) + body
+        return raw + struct.pack("<I", _zlib.crc32(raw))
+
+    class RealRotateToy(MysqldToyServer):
+        def _stream(self, wfile, from_file, pos, flags):
+            seq = 1
+            # dump start: the usual synthetic (ts==0) rotate
+            seq = send_packet(wfile, seq, b"\x00"
+                              + ev_rotate(b"mysql-bin.000011", 0))
+            for evb in iter_file_events(f1):
+                seq = send_packet(wfile, seq, b"\x00" + evb)
+            # REAL mid-stream rotation: in-file rotate, nonzero ts,
+            # then the next file's own events — no synthetic rotate
+            rot = ev_rotate(b"mysql-bin.000012", 1234)
+            seq = send_packet(wfile, seq, b"\x00" + rot)
+            for evb in iter_file_events(f2):
+                seq = send_packet(wfile, seq, b"\x00" + evb)
+            send_packet(wfile, seq, b"\xfe\x00\x00\x02\x00")
+            self._real_rot = rot
+
+    (tmp_path / "unused").mkdir()
+    with RealRotateToy(str(tmp_path / "unused")) as srv:
+        written = dump_binlog_stream(srv.host, srv.port,
+                                     str(tmp_path / "s"))
+        rot = srv._real_rot
+    assert written == ["mysql-bin.000011", "mysql-bin.000012"]
+    got1 = (tmp_path / "s" / "mysql-bin.000011").read_bytes()
+    got2 = (tmp_path / "s" / "mysql-bin.000012").read_bytes()
+    # file 1 = its own bytes + the real rotate (its on-disk last event)
+    assert got1 == f1 + rot
+    # file 2 = exactly its own bytes (fresh magic + FDE), never merged
+    assert got2 == f2
+    # and both decode independently with the right rows
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        iter_binlog_changes)
+
+    ids1 = [c["after"]["id"] for c in iter_binlog_changes(
+        got1, "mysql-bin.000011") if c["kind"] == "change"]
+    ids2 = [c["after"]["id"] for c in iter_binlog_changes(
+        got2, "mysql-bin.000012") if c["kind"] == "change"]
+    assert (ids1, ids2) == ([1], [2])
+
+
+def _raw_mysql_session(srv):
+    """Minimal raw client: handshake + native-password auth; returns
+    (sock, rfile, wfile) ready for commands."""
+    import socket as _socket
+
+    from source_flink_cdc_3_5_0_spark.sources.mysql_protocol import (
+        decode_handshake_v10, encode_handshake_response)
+
+    sock = _socket.create_connection((srv.host, srv.port), 10)
+    rfile = sock.makefile("rb")
+    wfile = sock.makefile("wb", buffering=0)
+    _, hello = read_packet(rfile)
+    hs = decode_handshake_v10(hello)
+    send_packet(wfile, 1, encode_handshake_response(
+        srv.user, srv.password, hs["nonce"],
+        auth_plugin=hs["auth_plugin"]))
+    _, reply = read_packet(rfile)
+    assert reply[:1] == b"\x00", reply
+    return sock, rfile, wfile
+
+
+def test_toy_answers_show_variables_with_a_resultset(tmp_path):
+    """Round-9 review: real replication clients probe variables with
+    resultset queries during setup (BinaryLogClient's
+    \"show global variables like 'binlog_checksum'\") — a bare OK packet
+    aborts them. The toy now answers a proper protocol-41 text
+    resultset: column count, 2 column definitions, EOF, rows, EOF."""
+    src, _ = _fixture_file(tmp_path)
+    with MysqldToyServer(str(src),
+                         auth_plugin="mysql_native_password") as srv:
+        sock, rfile, wfile = _raw_mysql_session(srv)
+        send_packet(wfile, 0, bytes([0x03]) + b"show global variables "
+                    b"like 'binlog_checksum'")
+        _, ncols = read_packet(rfile)
+        assert ncols == b"\x02"
+        _, col1 = read_packet(rfile)
+        assert b"Variable_name" in col1
+        _, col2 = read_packet(rfile)
+        assert b"Value" in col2
+        _, eof1 = read_packet(rfile)
+        assert eof1[:1] == b"\xfe"
+        _, row = read_packet(rfile)
+        assert b"binlog_checksum" in row
+        # the fixture files carry CRC32-declaring FDEs
+        assert b"CRC32" in row
+        _, eof2 = read_packet(rfile)
+        assert eof2[:1] == b"\xfe"
+        sock.close()
+
+
+def test_toy_honors_binlog_dump_start_position(tmp_path):
+    """Round-9 review: COM_BINLOG_DUMP's pos parameter was parsed and
+    ignored — every dump replayed from byte 4 and a real resuming
+    client double-applied everything. The toy now seeks: events ending
+    at or before pos are skipped (the FDE always ships)."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        MYSQL_TYPE_LONG, WRITE_ROWS_EVENT, BinlogColumn, BinlogTableMap,
+        BinlogWriter)
+
+    tmap = BinlogTableMap(1, "d", "t", (
+        BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),), (0,))
+    w = BinlogWriter()
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=1)])
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=2)])
+    data = w.getvalue()
+    src = tmp_path / "served"
+    src.mkdir()
+    (src / "mysql-bin.000001").write_bytes(data)
+    # byte offset right after the FIRST rows event
+    evs = list(iter_file_events(data))
+    offset = 4
+    resume_pos = None
+    seen_rows = 0
+    for ev in evs:
+        offset += len(ev)
+        if ev[4] == WRITE_ROWS_EVENT:
+            seen_rows += 1
+            if seen_rows == 1:
+                resume_pos = offset
+    with MysqldToyServer(str(src),
+                         auth_plugin="mysql_native_password") as srv:
+        sock, rfile, wfile = _raw_mysql_session(srv)
+        send_packet(wfile, 0, bytes([0x12]) + struct.pack("<I", resume_pos)
+                    + struct.pack("<H", 0x01)         # NON_BLOCK
+                    + struct.pack("<I", 2)
+                    + b"mysql-bin.000001")
+        types = []
+        while True:
+            _, pkt = read_packet(rfile)
+            if pkt[:1] == b"\xfe" and len(pkt) < 9:
+                break
+            assert pkt[:1] == b"\x00"
+            types.append(pkt[5])
+        sock.close()
+    # the first TABLE_MAP+WRITE pair was skipped; the FDE still ships
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        TABLE_MAP_EVENT)
+
+    assert types.count(WRITE_ROWS_EVENT) == 1
+    assert types.count(TABLE_MAP_EVENT) == 1
+    assert 0x0F in types  # FDE always delivered
