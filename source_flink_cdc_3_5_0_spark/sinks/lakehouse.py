@@ -290,9 +290,39 @@ class _LakeMetadataApplier(MetadataApplier):
         import shutil
 
         if isinstance(event, DropTableEvent):
+            # replay-safe WITHOUT bookkeeping: dropping removes the
+            # table's data markers too, so a replayed batch that also
+            # recreated the table re-lands its writes and converges
             shutil.rmtree(self.sink._table_dir(table_id), ignore_errors=True)
             return
         if isinstance(event, TruncateTableEvent):
+            # round-9 review (data loss): data WRITES are replay-skipped
+            # by batch markers, so a replayed truncate must be too — an
+            # unconditional empty commit on re-delivery erased the
+            # post-truncate rows the first pass committed (their marker
+            # made the rewrite a no-op). Same contract as the DDL
+            # spool: per-delivery ordinal (reset by begin_batch) vs a
+            # durable per-batch applied-count.
+            ctx = self.batch_ctx
+            if ctx is not None:
+                key = (str(table_id), str(ctx))
+                n = self.sink._ddl_pass_state.get(key, 0)
+                self.sink._ddl_pass_state[key] = n + 1
+                spath = os.path.join(self.sink._table_dir(table_id),
+                                     "_truncate_state.json")
+                try:
+                    with open(spath) as f:
+                        st = json.load(f)
+                except (OSError, ValueError):
+                    st = {}
+                if st.get("batch") == str(ctx) and n < st.get("applied", 0):
+                    return  # this delivery replays an applied truncate
+                self.sink._commit(table_id, {})
+                tmp = spath + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"batch": str(ctx), "applied": n + 1}, f)
+                os.replace(tmp, spath)
+                return
             self.sink._commit(table_id, {})
             return
         self.sink._ensure_meta(table_id)
@@ -318,6 +348,10 @@ class SnapshotLakeSink(DataSink):
         self.filelist_shard_span = max(1, int(filelist_shard_span))
         self._shard_cache: dict[tuple[str, str], dict] = {}
         self._filelist_cache: dict[tuple[str, str], dict] = {}
+        #: per-DELIVERY truncate ordinals (reset by begin_batch) — the
+        #: applier objects are created fresh per call, so the counters
+        #: live on the sink (see _LakeMetadataApplier's truncate path)
+        self._ddl_pass_state: dict[tuple[str, str], int] = {}
 
     @classmethod
     def for_table(cls, root: str, table_id: TableId,
@@ -395,6 +429,11 @@ class SnapshotLakeSink(DataSink):
 
     def _delta_dir(self, tid: TableId) -> str:
         return os.path.join(self._table_dir(tid), "delta")
+
+    def begin_batch(self, batch_id) -> None:
+        # new delivery (incl. same-process re-delivery): truncate replay
+        # detection restarts at ordinal 0, like the DDL spool's reset
+        self._ddl_pass_state = {}
 
     def metadata_applier(self) -> MetadataApplier:
         return _LakeMetadataApplier(self)
@@ -506,10 +545,15 @@ class SnapshotLakeSink(DataSink):
         # a file listed in the PREVIOUS manifest is covered by its shard
         # chain BY CONSTRUCTION — deriving coverage from the bucket
         # listing (not by loading every shard) is what actually keeps the
-        # commit O(new files)
-        covered = {rel for fs in prev.get("buckets", {}).values()
-                   for rel in fs}
+        # commit O(new files). EXCEPT a pre-shard (inline-stats) previous
+        # manifest, which HAS no chain: its files must migrate into a
+        # shard once via the legacy dict below, or their zone-map stats
+        # silently vanish and pruning dies for them (round-9 review) —
+        # a one-time O(live files) dict-copy commit, no footer re-reads.
         legacy = prev.get("stats") or {}  # pre-shard manifests
+        covered = (set() if legacy and not prev.get("stats_shards")
+                   else {rel for fs in prev.get("buckets", {}).values()
+                         for rel in fs})
         new_entries: dict[str, dict] = {}
         live: set[str] = set()
         for files in buckets.values():
@@ -531,15 +575,15 @@ class SnapshotLakeSink(DataSink):
             # shard-ref growth is bounded by commits since the last full
             # compaction instead of table lifetime
             prev_shards = []
-        if new_entries:
-            import uuid
+        import uuid as _uuid
 
+        if new_entries:
             sdir = self._stats_dir(tid)
             os.makedirs(sdir, exist_ok=True)
             # per-writer unique shard name: racing committers must never
             # share a shard path (the loser's file would otherwise
             # overwrite content a winning manifest references)
-            shard = f"s{seq}_{os.getpid()}_{uuid.uuid4().hex[:8]}.json"
+            shard = f"s{seq}_{os.getpid()}_{_uuid.uuid4().hex[:8]}.json"
             with open(os.path.join(sdir, shard), "w") as f:
                 json.dump(new_entries, f)
             prev_shards = prev_shards + [shard]
@@ -553,8 +597,6 @@ class SnapshotLakeSink(DataSink):
         # shard files + one O(groups) snapshot doc, never O(live files).
         # A rollback whose content equals an old snapshot re-uses that
         # snapshot's shards wholesale (zero shard writes).
-        import uuid as _uuid
-
         span = self.filelist_shard_span
         prev_refs: dict[str, str] = dict(prev.get("file_shards") or {})
         prev_b: dict[str, list] = prev.get("buckets") or {}
@@ -723,6 +765,44 @@ class SnapshotLakeSink(DataSink):
         with open(self._schema_path(tid)) as f:
             return Schema.from_json(f.read())
 
+    def _staged_write(self, df: DataFrame,
+                      dest_dir: str) -> dict[str, list[str]]:
+        """Write a ``__bucket``-partitioned frame through a writer-unique
+        STAGING dir, then move each part file into ``dest_dir`` —
+        returning EXACTLY the files this writer added, per bucket.
+
+        Round-9 review: the old before/after directory-listing diff
+        absorbed a CONCURRENT writer's files into this commit's manifest
+        (the advertised retry-on-conflict multi-writer protocol then
+        duplicated every pre-existing row the loser had merged). Part
+        names carry Spark task UUIDs, so moves can't collide."""
+        import shutil
+        import uuid as _uuid
+
+        staging = "%s.stage-%d-%s" % (dest_dir.rstrip("/"), os.getpid(),
+                                      _uuid.uuid4().hex[:8])
+        # callers choose the partitioning/sort layout (bucket repartition
+        # for commits, range-clustering for compaction) — the helper only
+        # stages and moves
+        (df.write.mode("overwrite").partitionBy(_BUCKET_COL)
+         .parquet(staging))
+        added: dict[str, list[str]] = {}
+        try:
+            for b_dir in os.listdir(staging):
+                if not b_dir.startswith(f"{_BUCKET_COL}="):
+                    continue
+                b = b_dir.split("=", 1)[1]
+                os.makedirs(os.path.join(dest_dir, b_dir), exist_ok=True)
+                for f in os.listdir(os.path.join(staging, b_dir)):
+                    if not f.endswith(".parquet"):
+                        continue
+                    os.rename(os.path.join(staging, b_dir, f),
+                              os.path.join(dest_dir, b_dir, f))
+                    added.setdefault(b, []).append(f"{b_dir}/{f}")
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return {b: sorted(v) for b, v in added.items()}
+
     def write(self, table_id: TableId, df: DataFrame, schema: Schema,
               batch_id) -> None:
         from ..streaming.materialize import latest_image
@@ -781,13 +861,12 @@ class SnapshotLakeSink(DataSink):
                           .unionByName(upserts, allowMissingColumns=True))
             else:
                 merged = upserts
-            before = {b: self._bucket_files(table_id, b) for b in touched}
-            (merged.repartition(F.col(_BUCKET_COL))
-             .write.mode("append").partitionBy(_BUCKET_COL)
-             .parquet(self._data_dir(table_id)))
+            added_map = self._staged_write(
+                merged.repartition(F.col(_BUCKET_COL)),
+                self._data_dir(table_id))
             new_buckets = dict(prev_buckets)
             for b in touched:
-                added = sorted(self._bucket_files(table_id, b) - before[b])
+                added = added_map.get(str(b), [])
                 if added:
                     new_buckets[str(b)] = added  # bucket REPLACED by commit
                 else:
@@ -812,14 +891,12 @@ class SnapshotLakeSink(DataSink):
                 .withColumn(_COMMIT_SEQ, F.lit(seq).cast("bigint")))
         touched = sorted(r[0] for r in
                          final.select(_BUCKET_COL).distinct().collect())
-        before = {b: self._delta_files_on_disk(tid, b) for b in touched}
-        (rows.repartition(F.col(_BUCKET_COL))
-         .write.mode("append").partitionBy(_BUCKET_COL)
-         .parquet(self._delta_dir(tid)))
+        added_map = self._staged_write(
+            rows.repartition(F.col(_BUCKET_COL)), self._delta_dir(tid))
         deltas = {k: list(v) for k, v in
                   (manifest.get("deltas") or {}).items()}
         for b in touched:
-            added = sorted(self._delta_files_on_disk(tid, b) - before[b])
+            added = added_map.get(str(b), [])
             if added:
                 deltas[str(b)] = deltas.get(str(b), []) + added
         self._commit(tid, dict(manifest["buckets"]), batch_id, deltas=deltas)
@@ -1151,8 +1228,11 @@ class SnapshotLakeSink(DataSink):
             raise ValueError(f"unknown snapshot {seq}; have {seqs}")
         tags = self.tags(table_id)
         tags[name] = seq
-        with open(self._tags_path(table_id), "w") as f:
+        p = self._tags_path(table_id)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(tags, f)
+        os.replace(tmp, p)  # atomic like every other control file
         return seq
 
     def tags(self, table_id: TableId) -> dict[str, int]:
@@ -1217,6 +1297,11 @@ class SnapshotLakeSink(DataSink):
         deltas permanently (the same contract as Kafka retention); size
         keep_last to the slowest consumer's worst-case lag, or tag a
         snapshot the consumer has not passed to block expiration."""
+        if keep_last < 1:
+            # seqs[-0:] is the WHOLE list — keep_last=0 silently kept
+            # everything (round-9 review); at least the head must
+            # survive anyway (readers need a current snapshot)
+            raise ValueError("keep_last must be >= 1 (got %d)" % keep_last)
         seqs = self.snapshots(table_id)
         tagged = set(self.tags(table_id).values())
         keep = sorted(set(seqs[-keep_last:]) | (tagged & set(seqs)))
@@ -1229,16 +1314,39 @@ class SnapshotLakeSink(DataSink):
                 live.update(files)
             for files in (m.get("deltas") or {}).values():
                 live_delta.update(files)
+        # files referenced by the EXPIRED snapshots are reclaimable
+        # immediately (they were committed; the snapshots aged out);
+        # files referenced by NO snapshot at all may belong to an
+        # in-flight commit that wrote its parquet BEFORE the atomic
+        # manifest link — those get the same age grace the shard loop
+        # below applies (round-9 review: reaping them immediately left
+        # a racing winner's manifest referencing deleted files)
+        dropped: set[str] = set()
+        dropped_delta: set[str] = set()
+        for s in drop:
+            m = self._manifest(table_id, s)
+            for files in m["buckets"].values():
+                dropped.update(files)
+            for files in (m.get("deltas") or {}).values():
+                dropped_delta.update(files)
         removed = 0
-        for root, live_set in ((self._data_dir(table_id), live),
-                               (self._delta_dir(table_id), live_delta)):
+        import time as _time
+
+        now = _time.time()
+        for root, live_set, dropped_set in (
+                (self._data_dir(table_id), live, dropped),
+                (self._delta_dir(table_id), live_delta, dropped_delta)):
             for b_dir in os.listdir(root) if os.path.isdir(root) else []:
                 if not b_dir.startswith(f"{_BUCKET_COL}="):
                     continue
                 for f in os.listdir(os.path.join(root, b_dir)):
                     rel = f"{b_dir}/{f}"
-                    if f.endswith(".parquet") and rel not in live_set:
-                        os.remove(os.path.join(root, rel))
+                    full = os.path.join(root, rel)
+                    if not f.endswith(".parquet") or rel in live_set:
+                        continue
+                    if rel in dropped_set or \
+                            now - os.path.getmtime(full) > 3600:
+                        os.remove(full)
                         removed += 1
         for s in drop:
             os.remove(os.path.join(self._snap_dir(table_id), f"{s}.json"))
@@ -1251,9 +1359,6 @@ class SnapshotLakeSink(DataSink):
             raw = self._manifest_raw(table_id, s)
             live_stats.update(raw.get("stats_shards") or [])
             live_filelists.update((raw.get("file_shards") or {}).values())
-        import time as _time
-
-        now = _time.time()
         for sdir, live_set in ((self._stats_dir(table_id), live_stats),
                                (self._filelist_dir(table_id),
                                 live_filelists)):
@@ -1316,7 +1421,6 @@ class SnapshotLakeSink(DataSink):
                 zcol = _zvalue_col(df_all, zorder, zorder_bits)
         new_buckets: dict[str, list[str]] = {}
         for b, files in manifest["buckets"].items():
-            before = self._bucket_files(table_id, int(b))
             paths = [os.path.join(self._data_dir(table_id), p) for p in files]
             df = (spark.read.option("basePath", self._data_dir(table_id))
                   .option("mergeSchema", "true").parquet(*paths))
@@ -1331,10 +1435,8 @@ class SnapshotLakeSink(DataSink):
                       .sortWithinPartitions(*order_by))
             else:
                 df = df.coalesce(1)
-            (df.write.mode("append").partitionBy(_BUCKET_COL)
-             .parquet(self._data_dir(table_id)))
-            new_buckets[b] = sorted(
-                self._bucket_files(table_id, int(b)) - before)
+            added_map = self._staged_write(df, self._data_dir(table_id))
+            new_buckets[b] = added_map.get(str(b), [])
         self._commit(table_id, new_buckets)
 
     def _compact_mor(self, spark: SparkSession, tid: TableId,
@@ -1363,14 +1465,11 @@ class SnapshotLakeSink(DataSink):
         try:
             touched = sorted(r[0] for r in
                              rows.select(_BUCKET_COL).distinct().collect())
-            before = {b: self._bucket_files(tid, b) for b in touched}
-            (rows.repartition(F.col(_BUCKET_COL))
-             .write.mode("append").partitionBy(_BUCKET_COL)
-             .parquet(self._data_dir(tid)))
+            added_map = self._staged_write(
+                rows.repartition(F.col(_BUCKET_COL)), self._data_dir(tid))
             new_buckets = {
-                str(b): sorted(self._bucket_files(tid, b) - before[b])
-                for b in touched
-                if self._bucket_files(tid, b) - before[b]}
+                str(b): added_map[str(b)]
+                for b in touched if added_map.get(str(b))}
             self._commit(tid, new_buckets)
         finally:
             rows.unpersist()

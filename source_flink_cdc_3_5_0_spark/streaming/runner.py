@@ -198,9 +198,16 @@ class StreamingPipeline:
                 F.get_json_object(v, "$.source.server_id").alias("server_id"),
             ]
             key, order = "file", "offset"
+        if order == "offset" and "offset" not in data_df.columns:
+            # streams without a transport offset column (file sources):
+            # order by the connector's own monotone coordinate instead —
+            # the old guard dropped the column from the select but still
+            # ordered by it, wedging the batch on an unresolved column
+            # (round-9 review)
+            order = {"pgoutput": "lsn", "oracle": "scn"}.get(
+                self.connector_offset, "pos")
         sel = data_df.select(*probes, *(
-            [F.col("offset")] if order == "offset"
-            and "offset" in data_df.columns else []))
+            [F.col("offset")] if order == "offset" else []))
         row = (sel.where(F.col(key).isNotNull())
                .agg(F.max_by(F.struct(*[F.col(c) for c in fields]),
                              F.col(order)).alias("m")).collect())
@@ -342,8 +349,8 @@ class StreamingPipeline:
                 continue
             mine = data_df.where(
                 (tbl_p == tid.table_name)
-                & (F.coalesce(db_p, schema_p)
-                   == (tid.namespace or tid.schema_name))
+                & db_p.eqNullSafe(F.lit(r["db"]))
+                & schema_p.eqNullSafe(F.lit(r["schema"]))
             )
             after_json = mine.select(payload_p.alias("payload")) \
                 .where(F.col("payload").isNotNull())
@@ -428,12 +435,35 @@ class StreamingPipeline:
         re-extraction per registered table."""
         db_p, schema_p, tbl_p, _ = StreamingPipeline._envelope_probes(
             value_col, serialization)
-        src_db = F.coalesce(db_p, schema_p)  # schema probe is null outside
-        src_tbl = tbl_p                      # debezium (schema-less -> db)
         is_ddl = F.get_json_object(F.col(value_col), "$.ddl").isNotNull()
+        # BOTH namespace coordinates ride the projection (round-9 review:
+        # collapsing them with coalesce cross-contaminated two schemas
+        # that share a table name on real Debezium streams, where db AND
+        # schema are both set)
         return (batch_df.withColumn("__is_ddl", is_ddl)
-                .withColumn("__src_db", src_db)
-                .withColumn("__src_tbl", src_tbl))
+                .withColumn("__src_db", db_p)
+                .withColumn("__src_schema", schema_p)
+                .withColumn("__src_tbl", tbl_p))
+
+    @staticmethod
+    def _tid_match(tid: TableId):
+        """Routing predicate over the enriched (__src_db, __src_schema,
+        __src_tbl) columns for one registered table id. A 3-part id
+        requires all three coordinates; a 2-part id binds its first part
+        to whichever single namespace coordinate the source sets — and
+        when a source sets BOTH (Debezium postgres/sqlserver/oracle), to
+        the SCHEMA (TableId.parse puts a 2-part first element in
+        schema_name; the finer coordinate)."""
+        db = F.col("__src_db")
+        sc = F.col("__src_schema")
+        cond = F.col("__src_tbl") == tid.table_name
+        if tid.namespace:
+            return cond & (db == tid.namespace) & (sc == tid.schema_name)
+        s = tid.namespace or tid.schema_name
+        return cond & (
+            ((db == s) & sc.isNull())
+            | ((sc == s) & db.isNull())
+            | (db.isNotNull() & sc.isNotNull() & (sc == s)))
 
     def start(self, raw_stream: DataFrame, tables: dict[str, Schema],
               value_col: str = "value"):
@@ -531,14 +561,20 @@ class StreamingPipeline:
                 from ..common.events import DropTableEvent, TruncateTableEvent
 
                 destructive: dict[str, list] = {}
+                has_offset = "offset" in batch_df.columns
                 for r in ddl_raw:
                     rec = _json.loads(r[value_col])
-                    # destructive-DDL ordering coordinate: wire sources
-                    # (binlog/pgoutput bridges) stamp "seq" in the SAME
-                    # coordinate system as the data rows' __seq (position/
-                    # LSN); JSON fixtures fall back to ts_ms (the __seq
-                    # the ts-fallback decode path uses)
-                    ts = rec.get("seq", rec.get("ts_ms"))
+                    # destructive-DDL ordering coordinate: it must use
+                    # the SAME precedence decode_debezium gives the data
+                    # rows' __seq — transport offset first (round-9
+                    # review: with an offset column present the ts_ms
+                    # fallback compared epoch-millis against small
+                    # Kafka offsets and wiped post-truncate rows), then
+                    # the wire bridges' "seq", then ts_ms
+                    if has_offset and r["offset"] is not None:
+                        ts = r["offset"]
+                    else:
+                        ts = rec.get("seq", rec.get("ts_ms"))
                     for ev in schema_events_from_json(rec):
                         if isinstance(ev, (TruncateTableEvent, DropTableEvent)):
                             destructive.setdefault(str(ev.table_id), []).append((ts, ev))
@@ -614,9 +650,9 @@ class StreamingPipeline:
                     if schema is None:
                         continue  # dropped mid-stream
                     mine_raw = data_df.where(
-                        (F.col("__src_tbl") == tid.table_name)
-                        & (F.col("__src_db") == (tid.namespace or tid.schema_name))
-                    ).drop("__src_db", "__src_tbl", "__is_ddl")
+                        self._tid_match(tid)
+                    ).drop("__src_db", "__src_schema", "__src_tbl",
+                           "__is_ddl")
                     if self.serialization == "mongodb-json":
                         decoded = decode(mine_raw, schema.struct_type(),
                                          value_col, _s=schema.primary_keys)

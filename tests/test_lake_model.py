@@ -112,3 +112,90 @@ def test_random_lifecycle_matches_model(spark, tmp_path, seed, mode):
     for k in list(model)[:3]:
         rows = sink.read(spark, TID, filters=[("k", "=", k)]).collect()
         assert {r["k"]: r["v"] for r in rows} == {k: model[k]}
+
+
+def test_truncate_replay_does_not_wipe_post_truncate_rows(spark, tmp_path):
+    """Round-9 review (data loss): a redelivered micro-batch containing
+    TRUNCATE + later rows skipped the rows (batch markers) but re-ran
+    the truncate unconditionally — committing a fresh empty snapshot
+    that erased the tail the first delivery had landed. The truncate
+    now replays idempotently under the same batch_ctx contract the DDL
+    spool uses (per-delivery ordinal via begin_batch + durable
+    applied-count)."""
+    from source_flink_cdc_3_5_0_spark.common.events import \
+        TruncateTableEvent
+
+    sink = SnapshotLakeSink(str(tmp_path / "t"), num_buckets=2, mode="mor")
+    schema = Schema.from_struct_type(
+        spark.createDataFrame([], "k long, v long").schema,
+        primary_keys=["k"])
+    sink.metadata_applier().apply_schema_change(
+        TID, CreateTableEvent(TID, schema), schema)
+
+    def deliver():
+        """One delivery pass of micro-batch 7: pre-truncate segment,
+        the truncate, post-truncate segment — the runner's exact
+        order."""
+        sink.begin_batch(7)
+        _write_batch(spark, sink, schema, [(1, 10), (2, 20)], "7s0")
+        app = sink.metadata_applier()
+        app.batch_ctx = 7
+        app.apply_schema_change(TID, TruncateTableEvent(TID), schema)
+        _write_batch(spark, sink, schema, [(3, 30)], "7s1")
+
+    deliver()
+    want = {(3, 30)}
+    got = {(r["k"], r["v"]) for r in sink.read(spark, TID).collect()}
+    assert got == want
+    deliver()  # same-process re-delivery: everything must be a no-op
+    got = {(r["k"], r["v"]) for r in sink.read(spark, TID).collect()}
+    assert got == want, "replayed truncate wiped the post-truncate rows"
+    # two truncates in ONE batch still both apply on a fresh delivery
+    sink.begin_batch(8)
+    app = sink.metadata_applier()
+    app.batch_ctx = 8
+    _write_batch(spark, sink, schema, [(4, 40)], "8s0")
+    app.apply_schema_change(TID, TruncateTableEvent(TID), schema)
+    _write_batch(spark, sink, schema, [(5, 50)], "8s1")
+    app2 = sink.metadata_applier()
+    app2.batch_ctx = 8
+    app2.apply_schema_change(TID, TruncateTableEvent(TID), schema)
+    got = {(r["k"], r["v"]) for r in sink.read(spark, TID).collect()}
+    assert got == set(), got
+
+
+def test_concurrent_writer_files_never_absorbed(spark, tmp_path):
+    """Round-9 review: bucket bookkeeping used a before/after directory
+    diff, so a concurrent writer's part files landing between the list
+    and the re-list were absorbed into THIS commit's manifest
+    (duplicating rows). The staged-write protocol records exactly the
+    files this writer moved — a foreign file planted in the bucket dir
+    mid-commit must NOT appear in the new manifest."""
+    import os
+
+    sink = SnapshotLakeSink(str(tmp_path / "t"), num_buckets=2)
+    schema = Schema.from_struct_type(
+        spark.createDataFrame([], "k long, v long").schema,
+        primary_keys=["k"])
+    sink.metadata_applier().apply_schema_change(
+        TID, CreateTableEvent(TID, schema), schema)
+    _write_batch(spark, sink, schema, [(1, 10), (2, 20)], 0)
+    # plant a foreign parquet (another writer's in-flight file) into a
+    # bucket dir, then commit churn touching that bucket
+    from source_flink_cdc_3_5_0_spark.operators.partitioning import \
+        portable_bucket_py
+
+    b = portable_bucket_py(1, 2)
+    bdir = os.path.join(sink._data_dir(TID), f"__bucket={b}")
+    foreign = os.path.join(bdir, "part-foreign-XYZ.parquet")
+    spark.createDataFrame([(99, 990)], "k long, v long") \
+        .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "f"))
+    src_part = next(str(p) for p in (tmp_path / "f").glob("*.parquet"))
+    os.makedirs(bdir, exist_ok=True)
+    os.link(src_part, foreign)
+    _write_batch(spark, sink, schema, [(1, 11)], 1)
+    m = sink._manifest(TID)
+    all_files = [f for fs in m["buckets"].values() for f in fs]
+    assert "part-foreign-XYZ.parquet" not in " ".join(all_files)
+    got = {(r["k"], r["v"]) for r in sink.read(spark, TID).collect()}
+    assert got == {(1, 11), (2, 20)}  # no absorbed duplicate rows
