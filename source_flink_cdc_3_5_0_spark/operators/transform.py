@@ -212,14 +212,28 @@ class PostTransform:
         for i in items:
             if i.forwarded_column is not None and schema.get_column(i.forwarded_column):
                 src = schema.get_column(i.forwarded_column)
-                out_cols.append(Column(i.alias, src.data_type, src.nullable, src.comment, src.default_expr))
+                # carry the FULL column identity — dropping the zoned
+                # flag silently demoted TIMESTAMP_TZ columns to plain
+                # timestamps in the derived sink schema (round-9 review)
+                out_cols.append(Column(i.alias, src.data_type, src.nullable,
+                                       src.comment, src.default_expr,
+                                       zoned=src.zoned))
             else:
                 # type is inferred by Catalyst at runtime; schema-side we mark
                 # STRING placeholder lazily replaced after first batch planning
                 out_cols.append(Column(i.alias, STRING, True))
+        out_names = {c.name for c in out_cols}
+        pks = tuple(rule.primary_keys) or schema.primary_keys
+        if not rule.primary_keys:
+            # inherited PKs the projection dropped must not survive into
+            # the sink schema — a CREATE TABLE naming a ghost column
+            # fails on relational sinks and keyed semantics silently
+            # degrade (round-9 review); an EXPLICIT override is still
+            # validated downstream as the user's intent
+            pks = tuple(k for k in pks if k in out_names)
         out_schema = Schema(
             columns=tuple(out_cols),
-            primary_keys=tuple(rule.primary_keys) or schema.primary_keys,
+            primary_keys=pks,
             partition_keys=tuple(rule.partition_keys) or schema.partition_keys,
             options=tuple(rule.table_options) or schema.options,
         )
@@ -352,6 +366,19 @@ class PostTransform:
         if SEQ_COL in df.columns:
             # per-key ordering survives the transform (sink merges order on it)
             passthrough.append(F.col(SEQ_COL))
+        # zoned side channels: a FORWARDED zoned column keeps its
+        # original-offset column alive under its output alias (round-9
+        # review: any matching rule — even a pure filter — dropped the
+        # __tz_offset columns and the sink re-rendered at UTC)
+        from ..functions.zoned_time import offset_col_name
+
+        proj_aliases = {i.alias for i in ct.projection_cols}
+        for i in ct.projection_cols:
+            if i.forwarded_column is not None:
+                off = offset_col_name(i.forwarded_column)
+                out_off = offset_col_name(i.alias)
+                if off in df.columns and out_off not in proj_aliases:
+                    passthrough.append(F.col(off).alias(out_off))
 
         projected = df.select(*proj_exprs, *passthrough)
         if ct.filter_compiled is not None and apply_filter:

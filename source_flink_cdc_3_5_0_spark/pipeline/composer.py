@@ -52,6 +52,16 @@ from ..common.events import OP_COL, BEFORE_COL, META_COL
 from .definition import PipelineDef
 
 
+#: option keys that imply a LIVE external endpoint — one list so the
+#: two environment-gating checks in _create_sink cannot drift (round-9
+#: review: they already had — one copy omitted accessId/accessKey)
+_LIVE_ENDPOINT_OPTS = ("fenodes", "jdbc-url", "load-url",
+                       "metastore.uris", "uri", "warehouse.s3",
+                       "hosts", "hostname", "endpoint",
+                       "bootstrap.servers", "url",
+                       "accessId", "accessKey")
+
+
 def diff_schemas(table_id: TableId, old: Schema, new: Schema) -> list[SchemaChangeEvent]:
     """Structural diff old->new as DDL events (adds / drops / type changes).
 
@@ -198,6 +208,13 @@ class PipelineExecution:
             ev = type(source_ev)(sink_tid)
             if not applier.accepts(ev.event_type()):
                 continue
+            if self.registry.evolved_schema(sink_tid) is None:
+                # the sink table was never created (e.g. CREATE +
+                # TRUNCATE arrive in one batch, evolution runs after
+                # this loop): nothing exists to truncate/drop — skip
+                # instead of crashing on the unknown-table event
+                # (round-9 review)
+                continue
             from ..operators.schema_evolution import apply_schema_change_event
 
             tentative = apply_schema_change_event(
@@ -236,10 +253,20 @@ class PipelineExecution:
         else:
             if self.behavior == SchemaChangeBehavior.EXCEPTION:
                 # Parity: EXCEPTION refuses any sink-schema evolution
-                # (SchemaChangeBehavior.java:27-33 / coordinator failure path)
-                raise RuntimeError(
-                    f"schema change required on {sink_tid} (behavior=exception): "
-                    f"{current.pretty()} -> {required.pretty()}")
+                # (SchemaChangeBehavior.java:27-33 / coordinator failure
+                # path) — but only for events the include/exclude
+                # filters actually admit: the table-level path drops
+                # excluded events silently, and an all-excluded diff
+                # must behave the same here (round-9 review)
+                probe = diff_schemas(
+                    sink_tid, current,
+                    get_common_schema([current, required]))
+                if any(self._event_type_allowed(ev) for ev in probe):
+                    raise RuntimeError(
+                        f"schema change required on {sink_tid} "
+                        f"(behavior=exception): "
+                        f"{current.pretty()} -> {required.pretty()}")
+                return  # every required event is filtered out
             evolved = get_common_schema([current, required])
             events = diff_schemas(sink_tid, current, evolved)
             events = normalize_schema_change_events(
@@ -274,10 +301,22 @@ class PipelineExecution:
         if in_schema is None:
             raise ValueError(f"data for unknown table {table_id}")
         transformed = self.post.apply(batch.data, table_id, in_schema)
-        out_schema = self._infer_output_schema(table_id, in_schema)
+        # infer from the PRUNED schema like the schema-event path — the
+        # result is identical and the cache key matches (the unpruned
+        # key re-ran a full Catalyst analysis per table per version)
+        out_schema = self._infer_output_schema(
+            table_id, self.pre.pruned_schema(table_id, in_schema))
         for sink_tid in self.router.route(table_id):
             self._evolve_sink_table(sink_tid, out_schema)
             evolved = self.registry.evolved_schema(sink_tid)
+            if evolved is None:
+                # under TRY_EVOLVE a rejected CREATE TABLE leaves no
+                # schema to coerce to — fail with the real cause, not
+                # an AttributeError deep in coercion (round-9 review)
+                raise RuntimeError(
+                    f"sink table {sink_tid} was never created (the "
+                    "sink rejected create.table, tolerated under "
+                    "try-evolve) — no schema to write against")
             tz_extras = tuple(c for c in transformed.columns
                               if c.endswith(OFFSET_SUFFIX))
             coerced = coercion_select(
@@ -596,11 +635,22 @@ class PipelineComposer:
                 "the __$/IBMSNAP metadata columns as data — declare "
                 "`tables` instead")
 
+        udf_names = self._register_udfs(pdef)
+        udf_names |= self._register_models(pdef)
         pipe = StreamingPipeline.create(
             self.spark, snk,
             checkpoint_dir=opts.get("checkpoint", ".cdc_checkpoint"),
             transforms=pdef.transforms, routes=pdef.routes,
             behavior=pdef.config.schema_change_behavior,
+            # round-9 review: batch compose wired these, streaming
+            # silently dropped them (UDF transforms failed to compile;
+            # sink include/exclude filters were ignored)
+            udfs=udf_names,
+            include_types=set(
+                t.lower() for t in pdef.sink.include_schema_types) or None,
+            exclude_types=set(
+                t.lower() for t in pdef.sink.exclude_schema_types) or None,
+            local_time_zone=pdef.config.local_time_zone,
             parallelism=pdef.config.parallelism if pdef.config.parallelism > 1 else None,
             serialization=opts.get(
                 "serialization",
@@ -711,10 +761,7 @@ class PipelineComposer:
                     "debezium-json.include-schema.enabled", "false"))
                 .lower() == "true",
             )
-        _live_opts = [k for k in ("fenodes", "jdbc-url", "load-url",
-                                  "metastore.uris", "uri", "warehouse.s3",
-                                  "hosts", "hostname", "endpoint",
-                                  "bootstrap.servers", "url") if k in opts]
+        _live_opts = [k for k in _LIVE_ENDPOINT_OPTS if k in opts]
         if (t in ("jdbc", "sqlite") or (
                 t == "oceanbase"
                 and ("database" in opts or "db-path" in opts))):
@@ -766,12 +813,7 @@ class PipelineComposer:
             # delete, idempotent replay) represented by the bucketed
             # copy-on-write parquet sink; a live-endpoint option without the
             # external system is refused rather than silently redirected
-            live_opts = [k for k in ("fenodes", "jdbc-url", "load-url",
-                                     "metastore.uris", "uri", "warehouse.s3",
-                                     "hosts", "hostname", "endpoint",
-                                     "bootstrap.servers", "url",
-                                     "accessId", "accessKey")
-                         if k in opts]
+            live_opts = [k for k in _LIVE_ENDPOINT_OPTS if k in opts]
             if live_opts:
                 raise ValueError(
                     f"{t} sink: live endpoint options {live_opts} need the "

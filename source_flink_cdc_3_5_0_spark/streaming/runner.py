@@ -70,6 +70,11 @@ class StreamingPipeline:
     # Structured Streaming's file tracking remains the actual exactly-once
     # offset store)
     connector_offset: str | None = None
+    # sink schema-change filters + session tz — round-9 review: batch
+    # compose honored these, streaming silently dropped them
+    include_types: set | None = None
+    exclude_types: set | None = None
+    local_time_zone: str | None = None
 
     @staticmethod
     def create(spark: SparkSession, sink: DataSink, checkpoint_dir: str,
@@ -79,11 +84,15 @@ class StreamingPipeline:
                serialization: str = "debezium-json",
                discover_tables: bool = False,
                stop_on_reshard: bool = False,
-               connector_offset: str | None = None) -> "StreamingPipeline":
+               connector_offset: str | None = None,
+               udfs=None,
+               include_types: set | None = None,
+               exclude_types: set | None = None,
+               local_time_zone: str | None = None) -> "StreamingPipeline":
         return StreamingPipeline(
             spark=spark, sink=sink,
-            post=PostTransform(list(transforms or [])),
-            pre=PreTransform(list(transforms or [])),
+            post=PostTransform(list(transforms or []), udfs),
+            pre=PreTransform(list(transforms or []), udfs),
             router=TableIdRouter(list(routes or [])),
             registry=SchemaRegistry(),
             checkpoint_dir=checkpoint_dir,
@@ -93,6 +102,9 @@ class StreamingPipeline:
             discover_tables=discover_tables,
             stop_on_reshard=stop_on_reshard,
             connector_offset=connector_offset,
+            include_types=include_types,
+            exclude_types=exclude_types,
+            local_time_zone=local_time_zone,
         )
 
     # -- vitess-json connector state (VGTID offset + reshard posture) ------
@@ -264,6 +276,9 @@ class StreamingPipeline:
             spark=self.spark, source=None, sink=self.sink, pre=self.pre,
             post=self.post, router=self.router, registry=self.registry,
             behavior=self.behavior, parallelism=self.parallelism, run_id="",
+            include_types=self.include_types,
+            exclude_types=self.exclude_types,
+            local_time_zone=self.local_time_zone,
             schema_cache=self._schema_cache)
 
     def register_table(self, table_id: TableId, schema: Schema) -> None:

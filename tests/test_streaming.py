@@ -185,3 +185,42 @@ class TestMorLakeStreaming:
         rows2 = {(r["id"], r["name"], r["weight"])
                  for r in sink.read(spark, TID).collect()}
         assert rows2 == rows
+
+
+def test_two_schemas_same_table_name_do_not_cross_contaminate(
+        spark, tmp_path):
+    """Round-9 review: routing collapsed (db, schema) with coalesce, so
+    inventory.s1.products and inventory.s2.products each received BOTH
+    schemas' rows on a stream where db AND schema are set (real
+    Debezium postgres/sqlserver shape). Each table must get exactly its
+    own rows."""
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+    from source_flink_cdc_3_5_0_spark.streaming.runner import (
+        StreamingPipeline, file_stream_source)
+
+    src = tmp_path / "stream"
+    src.mkdir()
+
+    def rec(schema_name, k, v):
+        return json.dumps({
+            "op": "c", "ts_ms": k,
+            "source": {"db": "inventory", "schema": schema_name,
+                       "table": "products"},
+            "after": {"id": k, "v": v}})
+
+    (src / "b1.json").write_text("\n".join([
+        rec("s1", 1, "one-s1"), rec("s2", 2, "two-s2"),
+        rec("s1", 3, "three-s1")]))
+    sink = MemorySink()
+    pipe = StreamingPipeline.create(
+        spark, sink, checkpoint_dir=str(tmp_path / "ckpt"))
+    schema = Schema.of(Column("id", T.IntegerType(), False),
+                       Column("v", T.StringType()), primary_keys=["id"])
+    q = pipe.start(file_stream_source(spark, str(src)), {
+        "inventory.s1.products": schema,
+        "inventory.s2.products": schema})
+    q.awaitTermination(120)
+    assert sink.snapshot(TableId.parse("inventory.s1.products")) == \
+        ["1, one-s1", "3, three-s1"]
+    assert sink.snapshot(TableId.parse("inventory.s2.products")) == \
+        ["2, two-s2"]
