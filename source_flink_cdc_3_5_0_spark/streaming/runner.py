@@ -565,8 +565,10 @@ class StreamingPipeline:
                 #    rows null-fill the new columns). The collect is the
                 #    cache-fill action: the enriched projection materializes
                 #    here once; later slices are cached-column filters.
+                has_offset = "offset" in batch_df.columns
                 ddl_raw = batch_df.where(F.col("__is_ddl")) \
-                    .select(value_col).collect()
+                    .select(value_col, *(
+                        ["offset"] if has_offset else [])).collect()
                 # Destructive table-level DDL (TRUNCATE/DROP) must respect
                 # intra-batch ORDER: rows before the statement belong to the
                 # old table state. Column DDL stays apply-first (sound under
@@ -576,7 +578,6 @@ class StreamingPipeline:
                 from ..common.events import DropTableEvent, TruncateTableEvent
 
                 destructive: dict[str, list] = {}
-                has_offset = "offset" in batch_df.columns
                 for r in ddl_raw:
                     rec = _json.loads(r[value_col])
                     # destructive-DDL ordering coordinate: it must use
