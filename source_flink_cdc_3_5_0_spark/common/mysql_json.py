@@ -311,6 +311,187 @@ def _encode_container(value, *, is_obj: bool) -> tuple[int, bytes]:
     raise ValueError("JSON document too large for the large container format")
 
 
+# ---------------------------------------------------------------------------
+# JSON diffs — binlog_row_value_options=PARTIAL_JSON (WL#2955)
+# ---------------------------------------------------------------------------
+#
+# A PARTIAL_UPDATE_ROWS_EVENT after-image may carry, for a JSON column,
+# a *diff vector* instead of the full document. Binary layout (public:
+# MySQL `sql/json_diff.cc` Json_diff_vector::write_binary, consumed by the
+# `mysql-binlog-connector-java` jar the reference shades): zero or more
+# diffs, each = operation (1 byte: 0 REPLACE / 1 INSERT / 2 REMOVE),
+# then net_field_length-prefixed path text (`$.a."b c"[3]`), then for
+# REPLACE/INSERT a net_field_length-prefixed full binary-JSON value.
+# An empty vector means "column unchanged".
+
+JSON_DIFF_REPLACE = 0
+JSON_DIFF_INSERT = 1
+JSON_DIFF_REMOVE = 2
+
+
+class JsonDiff:
+    """One partial-JSON operation. ``value`` is a decoded Python JSON
+    value (None for REMOVE)."""
+
+    __slots__ = ("op", "path", "value")
+
+    def __init__(self, op: int, path: str, value=None):
+        if op not in (JSON_DIFF_REPLACE, JSON_DIFF_INSERT, JSON_DIFF_REMOVE):
+            raise ValueError("unknown JSON diff operation %r" % (op,))
+        self.op = op
+        self.path = path
+        self.value = value
+
+    def __repr__(self):
+        name = {0: "REPLACE", 1: "INSERT", 2: "REMOVE"}[self.op]
+        return "JsonDiff(%s, %r, %r)" % (name, self.path, self.value)
+
+    def __eq__(self, other):
+        return (isinstance(other, JsonDiff) and self.op == other.op
+                and self.path == other.path and self.value == other.value)
+
+
+class JsonDiffVector(list):
+    """A decoded diff sequence for one partial JSON cell.
+
+    Deliberately a distinct type from ``list`` so row images can tell
+    "this cell is a diff vector" apart from "this cell is a JSON array":
+    the rows decoder reconstructs the full after-value by applying it to
+    the before-image, and the encoder serializes it as diffs."""
+
+
+def _lenc():
+    from ..sources.mysql_binlog import _read_lenc, _write_lenc
+    return _read_lenc, _write_lenc
+
+
+def encode_json_diffs(diffs) -> bytes:
+    _read, _write = _lenc()
+    out = bytearray()
+    for d in diffs:
+        out.append(d.op)
+        p = d.path.encode("utf-8")
+        out += _write(len(p)) + p
+        if d.op != JSON_DIFF_REMOVE:
+            v = encode_json(d.value)
+            out += _write(len(v)) + v
+    return bytes(out)
+
+
+def decode_json_diffs(buf: bytes) -> JsonDiffVector:
+    _read, _write = _lenc()
+    out = JsonDiffVector()
+    pos = 0
+    while pos < len(buf):
+        op = buf[pos]
+        pos += 1
+        if op not in (JSON_DIFF_REPLACE, JSON_DIFF_INSERT, JSON_DIFF_REMOVE):
+            raise ValueError(
+                "corrupt JSON diff vector: unknown operation byte 0x%02x "
+                "at offset %d" % (op, pos - 1))
+        n, pos = _read(buf, pos)
+        path = buf[pos:pos + n].decode("utf-8")
+        pos += n
+        value = None
+        if op != JSON_DIFF_REMOVE:
+            n, pos = _read(buf, pos)
+            value = decode_json(bytes(buf[pos:pos + n]))
+            pos += n
+        out.append(JsonDiff(op, path, value))
+    return out
+
+
+def parse_json_path(path: str) -> list:
+    """``$.a."quoted key"[3]`` -> ``['a', 'quoted key', 3]``.
+
+    The subset MySQL emits in diff paths: member legs (bare or
+    double-quoted with backslash escapes) and array-index legs. No
+    wildcards — diffs always address one element (json_path.cc)."""
+    s = path.strip()
+    if not s.startswith("$"):
+        raise ValueError("JSON path must start with '$': %r" % path)
+    legs: list = []
+    i = 1
+    while i < len(s):
+        c = s[i]
+        if c == ".":
+            i += 1
+            if i < len(s) and s[i] == '"':
+                i += 1
+                buf = []
+                while i < len(s) and s[i] != '"':
+                    if s[i] == "\\" and i + 1 < len(s):
+                        i += 1
+                    buf.append(s[i])
+                    i += 1
+                if i >= len(s):
+                    raise ValueError("unterminated quoted member in %r"
+                                     % path)
+                i += 1
+                legs.append("".join(buf))
+            else:
+                j = i
+                while j < len(s) and s[j] not in ".[":
+                    j += 1
+                if j == i:
+                    raise ValueError("empty member leg in JSON path %r"
+                                     % path)
+                legs.append(s[i:j])
+                i = j
+        elif c == "[":
+            j = s.index("]", i)
+            legs.append(int(s[i + 1:j]))
+            i = j + 1
+        else:
+            raise ValueError("unexpected %r in JSON path %r" % (c, path))
+    return legs
+
+
+def apply_json_diffs(doc, diffs):
+    """Apply a diff vector to a full JSON value -> the updated value.
+
+    REPLACE requires the path to exist; INSERT adds an object member or
+    splices into an array at the index; REMOVE deletes the addressed
+    element. The input document is not mutated."""
+    import copy
+
+    doc = copy.deepcopy(doc)
+    for d in diffs:
+        legs = parse_json_path(d.path)
+        if not legs:
+            if d.op == JSON_DIFF_REPLACE:
+                doc = d.value
+                continue
+            raise ValueError("cannot %s the document root"
+                             % ("INSERT at" if d.op == JSON_DIFF_INSERT
+                                else "REMOVE"))
+        parent = doc
+        for leg in legs[:-1]:
+            try:
+                parent = parent[leg]
+            except (KeyError, IndexError, TypeError):
+                raise ValueError("JSON diff path %r does not resolve "
+                                 "in the before-image" % d.path) from None
+        last = legs[-1]
+        try:
+            if d.op == JSON_DIFF_REPLACE:
+                parent[last]  # must exist (json_diff apply contract)
+                parent[last] = d.value
+            elif d.op == JSON_DIFF_INSERT:
+                if isinstance(parent, list) and isinstance(last, int):
+                    parent.insert(last, d.value)
+                elif isinstance(parent, dict):
+                    parent[last] = d.value
+                else:
+                    raise KeyError(last)
+            else:
+                del parent[last]
+        except (KeyError, IndexError, TypeError):
+            raise ValueError("JSON diff %r cannot apply to the "
+                             "before-image value" % (d,)) from None
+    return doc
+
+
 def dumps_json(value) -> str:
     """Compact JSON text with opaque DECIMAL values rendered as plain
     numbers (Debezium's JsonBinary rendering) instead of quoted strings.

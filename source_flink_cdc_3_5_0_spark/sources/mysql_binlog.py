@@ -74,14 +74,32 @@ ROTATE_EVENT = 4
 FORMAT_DESCRIPTION_EVENT = 15
 XID_EVENT = 16
 TABLE_MAP_EVENT = 19
+WRITE_ROWS_EVENT_V1 = 23   # MySQL 5.1.15–5.6 / MariaDB (no var-header)
+UPDATE_ROWS_EVENT_V1 = 24
+DELETE_ROWS_EVENT_V1 = 25
 WRITE_ROWS_EVENT = 30
 UPDATE_ROWS_EVENT = 31
 DELETE_ROWS_EVENT = 32
 ROWS_QUERY_EVENT = 29
 GTID_EVENT = 33
 PREVIOUS_GTIDS_EVENT = 35
+PARTIAL_UPDATE_ROWS_EVENT = 39   # binlog_row_value_options=PARTIAL_JSON
+TRANSACTION_PAYLOAD_EVENT = 40   # binlog_transaction_compression=ON
 
 _ROWS_EVENTS = (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT)
+_ROWS_EVENTS_V1 = (WRITE_ROWS_EVENT_V1, UPDATE_ROWS_EVENT_V1,
+                   DELETE_ROWS_EVENT_V1)
+
+# TRANSACTION_PAYLOAD header fields (libbinlogevents control_events.h,
+# mirrored by the jar's TransactionPayloadEventDataDeserializer)
+_OTW_HEADER_END = 0
+_OTW_PAYLOAD_SIZE = 1
+_OTW_COMPRESSION_TYPE = 2
+_OTW_UNCOMPRESSED_SIZE = 3
+_COMPRESSION_ZSTD = 0
+_COMPRESSION_NONE = 255
+
+_VALUE_OPTIONS_PARTIAL_JSON = 1  # rows_event.h enum_value_options bit 0
 
 # column type bytes (include/field_types.h)
 MYSQL_TYPE_TINY = 1
@@ -696,16 +714,17 @@ class BinlogWriter:
         self._buf += payload
 
     def _write_fde(self) -> None:
-        # post-header length table through type 38 (one byte per type >= 1)
-        n_types = 38
+        # post-header length table through type 40 (one byte per type >= 1)
+        n_types = 40
         post = bytearray(n_types)
         post[QUERY_EVENT - 1] = 13
         post[ROTATE_EVENT - 1] = 8
-        post[FORMAT_DESCRIPTION_EVENT - 1] = 84
+        post[FORMAT_DESCRIPTION_EVENT - 1] = 84 + (n_types - 38)
         post[XID_EVENT - 1] = 0
         post[TABLE_MAP_EVENT - 1] = 8
-        for t in _ROWS_EVENTS:
+        for t in _ROWS_EVENTS + (PARTIAL_UPDATE_ROWS_EVENT,):
             post[t - 1] = 10
+        post[TRANSACTION_PAYLOAD_EVENT - 1] = 0
         post[GTID_EVENT - 1] = 42
         body = struct.pack("<H", 4)
         body += self.server_version.encode().ljust(50, b"\x00")[:50]
@@ -793,15 +812,97 @@ class BinlogWriter:
             body += bytes([_META_SIMPLE_PRIMARY_KEY]) + _write_lenc(len(pk)) + pk
         self._emit(TABLE_MAP_EVENT, body)
 
+    @classmethod
+    def embedded(cls, server_id: int = 1) -> "BinlogWriter":
+        """A writer for the INSIDE of a TRANSACTION_PAYLOAD: no magic,
+        no FDE, no checksum trailers (the container's CRC32 covers the
+        payload bytes)."""
+        w = cls.__new__(cls)
+        w.server_id = server_id
+        w.checksum = False
+        w.server_version = "8.0.36-log"
+        w._buf = bytearray()
+        w._ts = 1_700_000_000
+        return w
+
+    def transaction_payload(self, inner: "BinlogWriter | bytes") -> None:
+        """TRANSACTION_PAYLOAD (40) wrapping ``inner``'s event stream,
+        compression NONE (255). ZSTD is deliberately not producible
+        here — no zstd codec in this environment; the decoder names
+        that refusal."""
+        payload = inner if isinstance(inner, bytes) else inner.getvalue()
+        size = _write_lenc(len(payload))
+        ctype = _write_lenc(_COMPRESSION_NONE)
+        body = (bytes([_OTW_COMPRESSION_TYPE]) + _write_lenc(len(ctype))
+                + ctype
+                + bytes([_OTW_UNCOMPRESSED_SIZE]) + _write_lenc(len(size))
+                + size
+                + bytes([_OTW_PAYLOAD_SIZE]) + _write_lenc(len(size)) + size
+                + bytes([_OTW_HEADER_END])
+                + payload)
+        self._emit(TRANSACTION_PAYLOAD_EVENT, body)
+
     def _row_image(self, cols: tuple[BinlogColumn, ...], present: list[bool],
-                   row: dict) -> bytes:
+                   row: dict, partial: set | None = None) -> bytes:
         live = [c for c, p in zip(cols, present) if p]
         nulls = [row.get(c.name) is None for c in live]
         out = bytearray(_bitmap(nulls))
         for c, is_null in zip(live, nulls):
-            if not is_null:
-                out += _encode_cell(c, row[c.name])
+            if is_null:
+                continue
+            v = row[c.name]
+            if partial and c.name in partial:
+                from ..common.mysql_json import encode_json_diffs
+                data = encode_json_diffs(v)
+                w = c.meta[0] if c.meta else 4
+                out += len(data).to_bytes(w, "little") + data
+            else:
+                out += _encode_cell(c, v)
         return bytes(out)
+
+    def partial_update_rows(self, tmap: BinlogTableMap,
+                            rows: list[tuple[dict, dict]],
+                            columns_present: list[str] | None = None,
+                            columns_present_after: list[str] | None = None,
+                            ) -> None:
+        """One PARTIAL_UPDATE_ROWS (39) event. After-image values of
+        type :class:`..common.mysql_json.JsonDiffVector` ship as diff
+        vectors (with the per-row value_options/partial_bits shared
+        image); plain values ship whole, exactly like UPDATE v2."""
+        from ..common.mysql_json import JsonDiffVector
+
+        cols = tmap.columns
+        json_cols = [c.name for c in cols
+                     if c.type_byte == MYSQL_TYPE_JSON]
+
+        def pres(names):
+            if names is None:
+                return [True] * len(cols)
+            return [c.name in names for c in cols]
+
+        present = pres(columns_present)
+        present2 = pres(columns_present_after
+                        if columns_present_after is not None
+                        else columns_present)
+        body = bytearray(tmap.table_id.to_bytes(6, "little")
+                         + struct.pack("<H", 0)
+                         + struct.pack("<H", 2)  # extra-data length (none)
+                         + _write_lenc(len(cols))
+                         + _bitmap(present) + _bitmap(present2))
+        for before, after in rows:
+            body += self._row_image(cols, present, before)
+            partial = {n for n, v in after.items()
+                       if isinstance(v, JsonDiffVector)}
+            bad = partial - set(json_cols)
+            if bad:
+                raise ValueError("JsonDiffVector on non-JSON column(s) %s"
+                                 % sorted(bad))
+            opts = _VALUE_OPTIONS_PARTIAL_JSON if partial else 0
+            body += _write_lenc(opts)
+            if opts:
+                body += _bitmap([n in partial for n in json_cols])
+            body += self._row_image(cols, present2, after, partial=partial)
+        self._emit(PARTIAL_UPDATE_ROWS_EVENT, bytes(body))
 
     def rows(self, tmap: BinlogTableMap, kind: int,
              rows: list[dict] | list[tuple[dict, dict]],
@@ -861,6 +962,33 @@ class BinlogEvent:
     start_pos: int        # offset of the event header in the file
     body: bytes
     fields: dict = field(default_factory=dict)
+
+
+def _reconstruct_partial_after(before: dict, after: dict,
+                               partial: set) -> dict:
+    """Materialize full after-image values for partial JSON cells.
+
+    MySQL ships a diff vector for a JSON column when the server has
+    `binlog_row_value_options=PARTIAL_JSON` and the update touched only
+    part of the document. With a FULL before-image (the default) the
+    complete after-value is `apply(before, diffs)` — reconstructed here
+    so downstream consumers see ordinary JSON values. With a MINIMAL
+    before-image the source document is absent; the cell then surfaces
+    as `{"__json_diff__": [...]}` (documented, visible — never silently
+    wrong) the way Debezium surfaces raw diffs it cannot resolve."""
+    from ..common.mysql_json import JsonDiffVector, apply_json_diffs
+
+    for name in partial:
+        diffs = after.get(name)
+        if not isinstance(diffs, JsonDiffVector):
+            continue  # NULL after-value: the null bit wins over the flag
+        if name in before:
+            after[name] = apply_json_diffs(before[name], diffs)
+        else:
+            after[name] = {"__json_diff__": [
+                {"op": d.op, "path": d.path, "value": d.value}
+                for d in diffs]}
+    return after
 
 
 class BinlogReader:
@@ -1007,7 +1135,8 @@ class BinlogReader:
         return BinlogTableMap(table_id, db, tbl, cols, pks)
 
     def _decode_row_image(self, cols, present: list[bool],
-                          b: bytes, pos: int) -> tuple[dict, int]:
+                          b: bytes, pos: int,
+                          partial: set | None = None) -> tuple[dict, int]:
         live = [c for c, p in zip(cols, present) if p]
         nbytes = (len(live) + 7) // 8
         nulls = b[pos:pos + nbytes]
@@ -1016,6 +1145,15 @@ class BinlogReader:
         for i, c in enumerate(live):
             if _bitmap_get(nulls, i):
                 row[c.name] = None
+            elif partial and c.name in partial:
+                # partial JSON cell: blob-length prefix, then a diff
+                # vector instead of a full binary-JSON document
+                from ..common.mysql_json import decode_json_diffs
+                w = c.meta[0] if c.meta else 4
+                n = int.from_bytes(b[pos:pos + w], "little")
+                pos += w
+                row[c.name] = decode_json_diffs(bytes(b[pos:pos + n]))
+                pos += n
             else:
                 row[c.name], pos = _decode_cell(c, b, pos)
         return row, pos
@@ -1037,14 +1175,36 @@ class BinlogReader:
         present = [_bitmap_get(b[pos:pos + nb], i) for i in range(ncols)]
         pos += nb
         present2 = present
-        if ev.type_byte == UPDATE_ROWS_EVENT:
+        is_update = ev.type_byte in (UPDATE_ROWS_EVENT,
+                                     PARTIAL_UPDATE_ROWS_EVENT)
+        if is_update:
             present2 = [_bitmap_get(b[pos:pos + nb], i) for i in range(ncols)]
             pos += nb
+        # partial_bits covers the table's JSON columns (rows_event.h:
+        # one bit per JSON column, little-endian bit order like null bits)
+        json_cols = [c.name for c in tmap.columns
+                     if c.type_byte == MYSQL_TYPE_JSON]
         rows = []
         while pos < len(b):
             img1, pos = self._decode_row_image(tmap.columns, present, b, pos)
-            if ev.type_byte == UPDATE_ROWS_EVENT:
-                img2, pos = self._decode_row_image(tmap.columns, present2, b, pos)
+            if ev.type_byte == PARTIAL_UPDATE_ROWS_EVENT:
+                # shared image: value_options (+ partial_bits) precedes
+                # each after-image (WL#2955 wire layout)
+                value_options, pos = _read_lenc(b, pos)
+                partial: set = set()
+                if value_options & _VALUE_OPTIONS_PARTIAL_JSON:
+                    nbj = (len(json_cols) + 7) // 8
+                    bits = b[pos:pos + nbj]
+                    pos += nbj
+                    partial = {n for i, n in enumerate(json_cols)
+                               if _bitmap_get(bits, i)}
+                img2, pos = self._decode_row_image(
+                    tmap.columns, present2, b, pos, partial=partial)
+                img2 = _reconstruct_partial_after(img1, img2, partial)
+                rows.append((img1, img2))
+            elif is_update:
+                img2, pos = self._decode_row_image(tmap.columns, present2,
+                                                   b, pos)
                 rows.append((img1, img2))
             else:
                 rows.append(img1)
@@ -1075,8 +1235,21 @@ class BinlogReader:
             tmap = self._decode_table_map(ev)
             self.table_maps[tmap.table_id] = tmap
             ev.fields = {"table": tmap}
-        elif t in _ROWS_EVENTS:
+        elif t in _ROWS_EVENTS or t == PARTIAL_UPDATE_ROWS_EVENT:
             ev.fields = self._decode_rows(ev)
+        elif t == TRANSACTION_PAYLOAD_EVENT:
+            ev.fields = self._decode_transaction_payload(ev)
+        elif t in _ROWS_EVENTS_V1:
+            # Row-bearing types this decoder does not model must NEVER
+            # pass silently — that would be total, quiet data loss.
+            # v1 rows events are pre-5.6 MySQL / current MariaDB; this
+            # decoder targets MySQL v2 (types 30-32). See COVERAGE.md
+            # "MariaDB binlog divergences".
+            raise ValueError(
+                "v1 rows event (type %d) at offset %d: MariaDB/MySQL<5.6 "
+                "row format is out of contract for this decoder (MySQL "
+                "5.6+ writes v2 events, types 30-32); refusing rather "
+                "than dropping change rows" % (t, ev.start_pos))
         elif t == GTID_EVENT:
             gno = struct.unpack_from("<q", ev.body, 17)[0]
             ev.fields = {"uuid": format_uuid(ev.body[1:17]), "gno": gno}
@@ -1103,6 +1276,87 @@ class BinlogReader:
                          "server_version": ver,
                          "checksum": self.checksum}
         return ev
+
+    def _decode_transaction_payload(self, ev: BinlogEvent) -> dict:
+        """TRANSACTION_PAYLOAD (40): `binlog_transaction_compression=ON`
+        wraps every transaction's events (BEGIN..XID, minus the GTID
+        event) in one container. Header = packed-integer TLV fields
+        (libbinlogevents control_events.h; the jar's
+        TransactionPayloadEventDataDeserializer reads the same): field
+        type, field length, value — until OTW_HEADER_END. Then the
+        payload: a raw stream of binlog events with 19-byte headers and
+        NO checksum trailers (the container's CRC32 already covered
+        them). ZSTD (compression type 0) is refused by name — no zstd
+        codec ships in this environment, and decoding garbage or
+        skipping the event would both silently lose every change row."""
+        b = ev.body
+        pos = 0
+        compression = _COMPRESSION_NONE
+        payload_size = None
+        uncompressed_size = None
+        while pos < len(b):
+            ftype, pos = _read_lenc(b, pos)
+            if ftype == _OTW_HEADER_END:
+                break
+            flen, pos = _read_lenc(b, pos)
+            if ftype == _OTW_PAYLOAD_SIZE:
+                payload_size, _ = _read_lenc(b, pos)
+            elif ftype == _OTW_COMPRESSION_TYPE:
+                compression, _ = _read_lenc(b, pos)
+            elif ftype == _OTW_UNCOMPRESSED_SIZE:
+                uncompressed_size, _ = _read_lenc(b, pos)
+            # unknown header fields are skipped by length (forward compat)
+            pos += flen
+        payload = bytes(b[pos:pos + payload_size]
+                        if payload_size is not None else b[pos:])
+        if compression == _COMPRESSION_ZSTD:
+            try:
+                import zstandard  # noqa: F401 — absent in this sandbox
+            except ImportError:
+                raise ValueError(
+                    "TRANSACTION_PAYLOAD event at offset %d is ZSTD-"
+                    "compressed (binlog_transaction_compression=ON with "
+                    "zstd) and no zstd codec is available in this "
+                    "environment; refusing rather than dropping the "
+                    "transaction's change rows. Install `zstandard` or "
+                    "set binlog_transaction_compression_level off/NONE "
+                    "on the server." % ev.start_pos) from None
+            payload = zstandard.ZstdDecompressor().decompress(
+                payload, max_output_size=uncompressed_size or 0)
+        elif compression != _COMPRESSION_NONE:
+            raise ValueError(
+                "TRANSACTION_PAYLOAD event at offset %d uses unknown "
+                "compression type %d" % (ev.start_pos, compression))
+        return {"compression": compression,
+                "uncompressed_size": uncompressed_size,
+                "events": list(self._decode_embedded(payload, ev))}
+
+    def _decode_embedded(self, payload: bytes,
+                         outer: BinlogEvent) -> Iterator[BinlogEvent]:
+        """Decode the event stream inside a TRANSACTION_PAYLOAD. Inner
+        events carry their own timestamps/server ids but positions are
+        container-relative, so each decoded inner event reports the
+        CONTAINER's log_pos/start_pos — exactly how the jar patches
+        nextPosition so resume offsets stay real file positions."""
+        pos = 0
+        while pos < len(payload):
+            if pos + 19 > len(payload):
+                raise ValueError("truncated embedded event header at "
+                                 "payload offset %d" % pos)
+            ts, t, sid, size, _log_pos, _flags = struct.unpack_from(
+                "<IBIIIH", payload, pos)
+            if size < 19 or pos + size > len(payload):
+                raise ValueError(
+                    "truncated embedded event (type %d) at payload offset "
+                    "%d: size %d overruns the payload" % (t, pos, size))
+            if t == TRANSACTION_PAYLOAD_EVENT:
+                raise ValueError("nested TRANSACTION_PAYLOAD event at "
+                                 "payload offset %d" % pos)
+            body = payload[pos + 19:pos + size]
+            iev = BinlogEvent(t, ts, sid, outer.log_pos, outer.start_pos,
+                              body)
+            yield self._decode_event(iev)
+            pos += size
 
 
 # ---------------------------------------------------------------------------
@@ -1142,13 +1396,20 @@ def iter_binlog_changes(data: bytes, filename: str = "") -> Iterator[dict]:
                 "gtids": _gtid_set_str(running) or None,
                 "txn_gtid": (f"{gtid[0]}:{gtid[1]}" if gtid else None)}
 
-    for ev in reader.events():
+    def handle(ev: BinlogEvent) -> Iterator[dict]:
+        nonlocal gtid, rows_query
         t = ev.type_byte
         if t == PREVIOUS_GTIDS_EVENT:
             # file-initial executed-GTID set: the continuity anchor after
             # a rotation (each binlog file is self-describing)
             for uuid, ivs in ev.fields["gtid_set"].items():
                 running[uuid] = sorted(ivs)
+        elif t == TRANSACTION_PAYLOAD_EVENT:
+            # compressed-transaction container: the embedded BEGIN..XID
+            # stream replays through the same state machine; every
+            # inner record reports the CONTAINER's file position
+            for inner in ev.fields["events"]:
+                yield from handle(inner)
         elif t == GTID_EVENT:
             gtid = (ev.fields["uuid"], ev.fields["gno"])
         elif t == QUERY_EVENT:
@@ -1176,7 +1437,7 @@ def iter_binlog_changes(data: bytes, filename: str = "") -> Iterator[dict]:
                     gtid = None
         elif t == ROWS_QUERY_EVENT:
             rows_query = ev.fields["query"]
-        elif t in _ROWS_EVENTS:
+        elif t in _ROWS_EVENTS or t == PARTIAL_UPDATE_ROWS_EVENT:
             tmap: BinlogTableMap = ev.fields["table"]
             base = {"kind": "change", "database": tmap.database,
                     "table": tmap.table, **_pos(ev),
@@ -1201,6 +1462,9 @@ def iter_binlog_changes(data: bytes, filename: str = "") -> Iterator[dict]:
             rows_query = None
         # ROTATE needs no action here: the next file re-anchors itself
         # (PREVIOUS_GTIDS) and positions restart per file
+
+    for ev in reader.events():
+        yield from handle(ev)
 
 
 def _advance(running: dict[str, list[tuple[int, int]]],
