@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     # round-6 wire-decoder oracle gates (scripted over sf tables — encode
     # + decode IS the measured operator; codec throughput trend lines)
     "cdc_mysql_binlog_decode",
+    "cdc_mysql_binlog_payload_decode",
     "cdc_pgoutput_decode",
     "cdc_pgoutput_binary_decode",
     "cdc_pgoutput_walsender_decode",

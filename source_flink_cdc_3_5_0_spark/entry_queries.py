@@ -2341,6 +2341,135 @@ FROM customer WHERE c_custkey % 7 <> 0
 """
 
 
+#: the payload/partial gate's decode schema (JSON doc rides as a string)
+BINLOG_ORDERS_PAYLOAD = T.StructType([
+    T.StructField("o_orderkey", T.LongType(), False),
+    T.StructField("o_orderstatus", T.StringType(), True),
+    T.StructField("total_cents", T.LongType(), True),
+    T.StructField("doc", T.StringType(), True)])
+
+
+def q_cdc_mysql_binlog_payload_decode(spark, sf_dir):
+    """MySQL 8 opt-in binlog features end-to-end (round 10): every
+    transaction rides a TRANSACTION_PAYLOAD container (type 40,
+    `binlog_transaction_compression=ON`, compression NONE) and JSON
+    updates arrive as PARTIAL_UPDATE_ROWS (type 39,
+    `binlog_row_value_options=PARTIAL_JSON`) diff vectors — including
+    type-39 INSIDE type-40, which is exactly what a server with both
+    options set emits. Scripted churn over ``orders`` (keys ≡ 0,1 mod
+    4): insert all with doc={"pri": priority, "n": 0}; for even keys a
+    partial update REPLACEs $.n and INSERTs $.u; every 11th key is
+    deleted. The decoder must recurse the containers, apply the diff
+    vectors to the FULL before-images, and keep container-level file
+    positions monotone for `latest_image`. Reference parity: the
+    `mysql-binlog-connector-java` jar's TransactionPayloadEventData /
+    partial-JSON deserializers (wire formats: libbinlogevents
+    control_events.h, rows_event.h, sql/json_diff.cc).
+
+    Scale shape: same as `cdc_mysql_binlog_decode` — Arrow-batched
+    mapInPandas encode, one capture file per task, one key shuffle to
+    materialize; the container adds zero extra shuffles (it's unwrapped
+    inside the per-file sequential decode)."""
+    import pandas as pd
+
+    from .sources.mysql_binlog import (
+        DELETE_ROWS_EVENT, MYSQL_TYPE_JSON, MYSQL_TYPE_LONGLONG,
+        MYSQL_TYPE_VARCHAR, WRITE_ROWS_EVENT, BinlogColumn,
+        BinlogTableMap, BinlogWriter, decode_binlog)
+
+    k = F.col("o_orderkey").cast("long")
+    od = (load(spark, sf_dir, "orders")
+          .where(k % 4 < 2)
+          .select(k.alias("key"), "o_orderstatus", "o_orderpriority",
+                  F.round(F.col("o_totalprice") * 100).cast("long")
+                   .alias("cents"))
+          .repartition(spark.sparkContext.defaultParallelism, "key")
+          .sortWithinPartitions("key"))
+
+    tmap = BinlogTableMap(31, "shop", "orders", (
+        BinlogColumn("o_orderkey", MYSQL_TYPE_LONGLONG, (), False),
+        BinlogColumn("o_orderstatus", MYSQL_TYPE_VARCHAR, (255,)),
+        BinlogColumn("total_cents", MYSQL_TYPE_LONGLONG, ()),
+        BinlogColumn("doc", MYSQL_TYPE_JSON, (4,))), (0,))
+
+    def enc(batches):
+        from pyspark import TaskContext
+
+        from .common.mysql_json import (JSON_DIFF_INSERT,
+                                        JSON_DIFF_REPLACE, JsonDiff,
+                                        JsonDiffVector)
+
+        w = BinlogWriter(server_id=1)
+        w.table_map(tmap)
+
+        def payload_txn(fill):
+            inner = BinlogWriter.embedded()
+            inner.query("BEGIN")
+            inner.table_map(tmap)
+            fill(inner)
+            inner.xid(1)
+            w.transaction_payload(inner)
+
+        for pdf in batches:
+            rows = list(pdf.itertuples(index=False))
+            for i in range(0, len(rows), 256):
+                chunk = rows[i:i + 256]
+                imgs = [{"o_orderkey": int(r.key),
+                         "o_orderstatus": r.o_orderstatus,
+                         "total_cents": int(r.cents),
+                         "doc": {"pri": r.o_orderpriority, "n": 0}}
+                        for r in chunk]
+                payload_txn(lambda inner: inner.rows(
+                    tmap, WRITE_ROWS_EVENT, imgs))
+                upd = [(img, dict(img, doc=JsonDiffVector([
+                           JsonDiff(JSON_DIFF_REPLACE, "$.n",
+                                    img["o_orderkey"] % 97),
+                           JsonDiff(JSON_DIFF_INSERT, "$.u",
+                                    img["o_orderkey"] % 5)])))
+                       for img in imgs if img["o_orderkey"] % 2 == 0]
+                if upd:
+                    payload_txn(lambda inner:
+                                inner.partial_update_rows(tmap, upd))
+                dels = []
+                for img in imgs:
+                    if img["o_orderkey"] % 11 == 0:
+                        after = dict(img)
+                        if img["o_orderkey"] % 2 == 0:
+                            after["doc"] = {
+                                "pri": after["doc"]["pri"],
+                                "n": img["o_orderkey"] % 97,
+                                "u": img["o_orderkey"] % 5}
+                        dels.append(after)
+                if dels:
+                    payload_txn(lambda inner: inner.rows(
+                        tmap, DELETE_ROWS_EVENT, dels))
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame({"path": ["mysql-bin.%06d" % (pid + 1)],
+                            "content": [w.getvalue()]})
+
+    files = od.mapInPandas(enc, "path STRING, content BINARY")
+    env = decode_binlog(files, "shop", "orders", BINLOG_ORDERS_PAYLOAD)
+    out = latest_image(env, ["o_orderkey"], seq_col=SEQ_COL)
+    return out.select(
+        "o_orderkey", "o_orderstatus", "total_cents",
+        F.get_json_object("doc", "$.pri").alias("pri"),
+        F.get_json_object("doc", "$.n").cast("long").alias("n_val"),
+        F.get_json_object("doc", "$.u").cast("long").alias("u_val"))
+
+
+ORACLE_MYSQL_BINLOG_PAYLOAD_DECODE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       o_orderstatus,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+       o_orderpriority AS pri,
+       CAST(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 97
+                 ELSE 0 END AS BIGINT) AS n_val,
+       CAST(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 5
+                 ELSE NULL END AS BIGINT) AS u_val
+FROM orders WHERE o_orderkey % 4 < 2 AND o_orderkey % 11 <> 0
+"""
+
+
 #: the pgoutput gate's decode payload schema (also used by bench_scale)
 PGOUTPUT_PART_PAYLOAD = T.StructType([
     T.StructField("p_partkey", T.LongType(), False),
@@ -6764,8 +6893,8 @@ WHERE rn = 1
 """
 
 
-QUERIES_ORDER_DERIVED_FROM_ROUND = 8
-# ^ The QUERIES ordering below was derived from CORRECTNESS_r01..r08.
+QUERIES_ORDER_DERIVED_FROM_ROUND = 9
+# ^ The QUERIES ordering below was derived from CORRECTNESS_r01..r09.
 #   test_registry_consistency scopes its re-derivation to records with
 #   round <= this stamp, so a fresh driver record written AFTER the
 #   literal was committed (always newer) can no longer flip the test
@@ -6776,163 +6905,170 @@ QUERIES: dict[str, object] = {
     # The correctness driver samples the FIRST 50 entries of this dict.
     # Rotation contract (verdict r6 item 4): entries sorted by OLDEST
     # last-green driver round first, so every round's sample
-    # re-validates the stalest evidence. Round-9 derivation
-    # (CORRECTNESS_r01..r08, stamped above):
-    #   1. the r06-green cohort (46 queries, three rounds stale)
-    #   2. r07 (50), then r08 (50, freshest last).
-    # The r06 U r07 U r08 union covers the whole registry; this literal
-    # is the derivation's output, asserted by test_registry_consistency
-    # against records <= the stamp.
-    "cdc_oracle_logminer": q_cdc_oracle_logminer,
-    "cdc_vitess_vstream": q_cdc_vitess_vstream,
-    "funnel_conversion": q_funnel_conversion,
-    "window_rolling_revenue": q_window_rolling_revenue,
-    "json_schema_infer": q_json_schema_infer,
-    "cdc_scd2_history": q_cdc_scd2_history,
-    "text_normalize": q_text_normalize,
-    "cohort_retention": q_cohort_retention,
-    "agg_grouping_sets": q_agg_grouping_sets,
-    "dedup_url": q_dedup_url,
-    "decontam_split_leakage": q_decontam_split_leakage,
-    "merge_corpora": q_merge_corpora,
-    "graph_pagerank": q_graph_pagerank,
-    "event_transitions": q_event_transitions,
-    "sample_interleave": q_sample_interleave,
-    "cdc_distinct_maintenance": q_cdc_distinct_maintenance,
-    "stats_correlation": q_stats_correlation,
-    "agg_correlated_subquery": q_agg_correlated_subquery,
-    "gapfill_forward": q_gapfill_forward,
-    "text_blocklist": q_text_blocklist,
-    "text_dedup_paragraphs": q_text_dedup_paragraphs,
-    "drift_histogram": q_drift_histogram,
-    "schema_drift": q_schema_drift,
-    "tokenizer_vocab_coverage": q_tokenizer_vocab_coverage,
-    "media_probe_dims": q_media_probe_dims,
-    "interval_union_coverage": q_interval_union_coverage,
-    "basket_pairs": q_basket_pairs,
-    "reconcile_tables": q_reconcile_tables,
-    "text_cooccurrence": q_text_cooccurrence,
-    "cdc_changelog_stats": q_cdc_changelog_stats,
-    "agg_mode_per_group": q_agg_mode_per_group,
-    "pipeline_cdc_to_lake": q_pipeline_cdc_to_lake,
-    "text_tfidf_shuffle_join": q_text_tfidf_shuffle_join,
-    "cdc_mongo_changestream": q_cdc_mongo_changestream,
-    "cdc_chunked_snapshot_stitch": q_cdc_chunked_snapshot_stitch,
-    "cdc_tidb_kv_decode": q_cdc_tidb_kv_decode,
-    "decontam_ngram_overlap": q_decontam_ngram_overlap,
-    "sample_hash_split": q_sample_hash_split,
-    "multimodal_frame_sample": q_multimodal_frame_sample,
-    "jdbc_chunk_plan": q_jdbc_chunk_plan,
-    "transform_ai_functions": q_transform_ai_functions,
-    "transform_projection_arith": q_transform_projection_arith,
-    "transform_predicates": q_transform_predicates,
-    "transform_string_funcs": q_transform_string_funcs,
-    "transform_conditional": q_transform_conditional,
-    "transform_casting": q_transform_casting,
-    "cdc_pgoutput_walsender_decode": q_cdc_pgoutput_walsender_decode,
-    "cdc_pgoutput_binary_decode": q_cdc_pgoutput_binary_decode,
-    "pk_bucket_distribution": q_pk_bucket_distribution,
-    "agg_pricing_summary": q_agg_pricing_summary,
-    "join_shipping_priority": q_join_shipping_priority,
-    "join_region_rollup": q_join_region_rollup,
+    # re-validates the stalest evidence. Round-10 derivation
+    # (CORRECTNESS_r01..r09, stamped above):
+    #   1. cdc_mysql_binlog_payload_decode (new this round, no evidence)
+    #   2. the r07-green cohort (46 queries, three rounds stale)
+    #   3. r08 (50), then r09 (50, freshest last).
+    # The literal is the derivation's output, asserted by
+    # test_registry_consistency against records <= the stamp.
+    # -- never driver-checked (new this round) -----------------------
+    "cdc_mysql_binlog_payload_decode": q_cdc_mysql_binlog_payload_decode,
+    # -- last green r07 ----------------------------------------------
     "agg_cube_orders": q_agg_cube_orders,
-    "window_top_orders": q_window_top_orders,
-    "join_anti_customers_no_orders": q_join_anti_customers_no_orders,
-    "join_semi_customers_with_orders": q_join_semi_customers_with_orders,
-    "distinct_order_attrs": q_distinct_order_attrs,
-    "text_token_stats": q_text_token_stats,
-    "text_lang_id": q_text_lang_id,
-    "dedup_exact": q_dedup_exact,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "embedding_neardup": q_embedding_neardup,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_components": q_dedup_components,
-    "dedup_simhash": q_dedup_simhash,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "multimodal_features": q_multimodal_features,
-    "asof_join_events": q_asof_join_events,
-    "interval_join_events": q_interval_join_events,
-    "window_running_total": q_window_running_total,
-    "array_functions": q_array_functions,
-    "transform_udf": q_transform_udf,
-    "transform_soft_delete": q_transform_soft_delete,
-    "codec_debezium_roundtrip": q_codec_debezium_roundtrip,
-    "codec_canal_roundtrip": q_codec_canal_roundtrip,
-    "zoned_timestamp_roundtrip": q_zoned_timestamp_roundtrip,
-    "stream_windowed_counts": q_stream_windowed_counts,
-    "sink_upsert_merge": q_sink_upsert_merge,
-    "sink_jdbc_upsert": q_sink_jdbc_upsert,
-    "transform_op_ts_metadata": q_transform_op_ts_metadata,
-    "text_ngram_top": q_text_ngram_top,
-    "text_tfidf_top_terms": q_text_tfidf_top_terms,
-    "text_redact_pii": q_text_redact_pii,
-    "sessionize_events": q_sessionize_events,
-    "doc_length_percentiles": q_doc_length_percentiles,
     "agg_event_type_pivot": q_agg_event_type_pivot,
-    "sample_quota_per_lang": q_sample_quota_per_lang,
-    "jdbc_chunk_plan_uneven": q_jdbc_chunk_plan_uneven,
-    "cdc_schema_evolution_ignore": q_cdc_schema_evolution_ignore,
-    "skew_salted_agg": q_skew_salted_agg,
-    "json_extract_props": q_json_extract_props,
-    "text_repetition": q_text_repetition,
-    "sketch_kmv_distinct": q_sketch_kmv_distinct,
-    "sketch_kmv_by_group": q_sketch_kmv_by_group,
-    "cdc_truncate_drop": q_cdc_truncate_drop,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "array_functions": q_array_functions,
+    "asof_join_events": q_asof_join_events,
     "cdc_postgres_pipeline": q_cdc_postgres_pipeline,
-    "cdc_pgoutput_real_server_decode": q_cdc_pgoutput_real_server_decode,
-    "dedup_lines": q_dedup_lines,
-    "sample_token_budget": q_sample_token_budget,
-    "text_quality_filters": q_text_quality_filters,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "sink_es_bulk": q_sink_es_bulk,
-    "embedding_quantize": q_embedding_quantize,
-    "sample_stratified_split": q_sample_stratified_split,
-    "pipeline_corpus_prep": q_pipeline_corpus_prep,
-    "multimodal_real_codecs": q_multimodal_real_codecs,
-    "sink_lake_time_travel": q_sink_lake_time_travel,
-    "pack_sequences": q_pack_sequences,
-    "global_row_ids": q_global_row_ids,
-    "sink_lake_mor": q_sink_lake_mor,
-    "sketch_histogram_quantiles": q_sketch_histogram_quantiles,
-    "fuzzy_join_names": q_fuzzy_join_names,
-    "text_chunk_sliding": q_text_chunk_sliding,
-    "cdc_incremental_agg": q_cdc_incremental_agg,
-    "scd2_enrich_events": q_scd2_enrich_events,
-    "curriculum_order": q_curriculum_order,
-    "sample_negatives": q_sample_negatives,
-    "dedup_prefix": q_dedup_prefix,
+    "cdc_schema_evolution_ignore": q_cdc_schema_evolution_ignore,
+    "cdc_truncate_drop": q_cdc_truncate_drop,
+    "codec_canal_roundtrip": q_codec_canal_roundtrip,
+    "codec_debezium_roundtrip": q_codec_debezium_roundtrip,
+    "dedup_components": q_dedup_components,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "distinct_order_attrs": q_distinct_order_attrs,
+    "doc_length_percentiles": q_doc_length_percentiles,
+    "embedding_neardup": q_embedding_neardup,
+    "interval_join_events": q_interval_join_events,
+    "jdbc_chunk_plan_uneven": q_jdbc_chunk_plan_uneven,
+    "join_anti_customers_no_orders": q_join_anti_customers_no_orders,
+    "join_region_rollup": q_join_region_rollup,
+    "join_semi_customers_with_orders": q_join_semi_customers_with_orders,
+    "join_shipping_priority": q_join_shipping_priority,
+    "json_extract_props": q_json_extract_props,
+    "multimodal_features": q_multimodal_features,
+    "sample_quota_per_lang": q_sample_quota_per_lang,
+    "sessionize_events": q_sessionize_events,
+    "sink_jdbc_upsert": q_sink_jdbc_upsert,
+    "sink_upsert_merge": q_sink_upsert_merge,
+    "sketch_kmv_by_group": q_sketch_kmv_by_group,
+    "sketch_kmv_distinct": q_sketch_kmv_distinct,
+    "skew_salted_agg": q_skew_salted_agg,
+    "stream_windowed_counts": q_stream_windowed_counts,
+    "text_lang_id": q_text_lang_id,
+    "text_ngram_top": q_text_ngram_top,
+    "text_redact_pii": q_text_redact_pii,
+    "text_repetition": q_text_repetition,
+    "text_tfidf_top_terms": q_text_tfidf_top_terms,
+    "text_token_stats": q_text_token_stats,
+    "transform_op_ts_metadata": q_transform_op_ts_metadata,
+    "transform_soft_delete": q_transform_soft_delete,
+    "transform_udf": q_transform_udf,
+    "window_running_total": q_window_running_total,
+    "window_top_orders": q_window_top_orders,
+    "zoned_timestamp_roundtrip": q_zoned_timestamp_roundtrip,
+    # -- last green r08 ----------------------------------------------
     "agg_zscore_outliers": q_agg_zscore_outliers,
-    "inference_batches": q_inference_batches,
-    "sink_lake_file_skipping": q_sink_lake_file_skipping,
-    "cdc_lake_incremental": q_cdc_lake_incremental,
-    "decontam_bloom": q_decontam_bloom,
-    "dedup_incremental": q_dedup_incremental,
-    "embedding_srp_neardup": q_embedding_srp_neardup,
-    "sample_temperature": q_sample_temperature,
-    "sample_repeat_epochs": q_sample_repeat_epochs,
-    "sink_lake_point_lookup": q_sink_lake_point_lookup,
-    "dedup_keep_best": q_dedup_keep_best,
-    "text_sentences": q_text_sentences,
-    "dedup_winnow": q_dedup_winnow,
-    "profile_orders": q_profile_orders,
-    "validate_orders": q_validate_orders,
-    "text_lm_quality": q_text_lm_quality,
     "audio_frame_energy": q_audio_frame_energy,
-    "image_phash_dedup": q_image_phash_dedup,
-    "transform_temporal": q_transform_temporal,
-    "transform_metadata_cols": q_transform_metadata_cols,
-    "cdc_materialize_latest": q_cdc_materialize_latest,
-    "cdc_schema_evolution_lenient": q_cdc_schema_evolution_lenient,
+    "cdc_db2_asn": q_cdc_db2_asn,
     "cdc_ddl_sql_evolution": q_cdc_ddl_sql_evolution,
-    "route_merge_union": q_route_merge_union,
+    "cdc_incremental_agg": q_cdc_incremental_agg,
+    "cdc_lake_incremental": q_cdc_lake_incremental,
+    "cdc_materialize_latest": q_cdc_materialize_latest,
     "cdc_mysql_binlog_decode": q_cdc_mysql_binlog_decode,
     "cdc_pgoutput_decode": q_cdc_pgoutput_decode,
+    "cdc_pgoutput_real_server_decode": q_cdc_pgoutput_real_server_decode,
+    "cdc_schema_evolution_lenient": q_cdc_schema_evolution_lenient,
     "cdc_sqlserver_changetable": q_cdc_sqlserver_changetable,
-    "cdc_db2_asn": q_cdc_db2_asn,
+    "curriculum_order": q_curriculum_order,
+    "decontam_bloom": q_decontam_bloom,
+    "dedup_incremental": q_dedup_incremental,
+    "dedup_keep_best": q_dedup_keep_best,
+    "dedup_lines": q_dedup_lines,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_prefix": q_dedup_prefix,
+    "dedup_winnow": q_dedup_winnow,
+    "embedding_quantize": q_embedding_quantize,
+    "embedding_srp_neardup": q_embedding_srp_neardup,
+    "fuzzy_join_names": q_fuzzy_join_names,
+    "global_row_ids": q_global_row_ids,
+    "image_phash_dedup": q_image_phash_dedup,
+    "inference_batches": q_inference_batches,
+    "multimodal_real_codecs": q_multimodal_real_codecs,
+    "pack_sequences": q_pack_sequences,
+    "pipeline_corpus_prep": q_pipeline_corpus_prep,
+    "profile_orders": q_profile_orders,
+    "route_merge_union": q_route_merge_union,
+    "sample_negatives": q_sample_negatives,
+    "sample_repeat_epochs": q_sample_repeat_epochs,
+    "sample_stratified_split": q_sample_stratified_split,
+    "sample_temperature": q_sample_temperature,
+    "sample_token_budget": q_sample_token_budget,
+    "scd2_enrich_events": q_scd2_enrich_events,
+    "sink_es_bulk": q_sink_es_bulk,
+    "sink_lake_file_skipping": q_sink_lake_file_skipping,
+    "sink_lake_mor": q_sink_lake_mor,
+    "sink_lake_point_lookup": q_sink_lake_point_lookup,
+    "sink_lake_time_travel": q_sink_lake_time_travel,
+    "sketch_histogram_quantiles": q_sketch_histogram_quantiles,
+    "text_chunk_sliding": q_text_chunk_sliding,
+    "text_lm_quality": q_text_lm_quality,
+    "text_quality_filters": q_text_quality_filters,
+    "text_sentences": q_text_sentences,
+    "transform_metadata_cols": q_transform_metadata_cols,
+    "transform_temporal": q_transform_temporal,
+    "validate_orders": q_validate_orders,
+    # -- last green r09 ----------------------------------------------
+    "agg_correlated_subquery": q_agg_correlated_subquery,
+    "agg_grouping_sets": q_agg_grouping_sets,
+    "agg_mode_per_group": q_agg_mode_per_group,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "basket_pairs": q_basket_pairs,
+    "cdc_changelog_stats": q_cdc_changelog_stats,
+    "cdc_chunked_snapshot_stitch": q_cdc_chunked_snapshot_stitch,
+    "cdc_distinct_maintenance": q_cdc_distinct_maintenance,
+    "cdc_mongo_changestream": q_cdc_mongo_changestream,
+    "cdc_oracle_logminer": q_cdc_oracle_logminer,
+    "cdc_pgoutput_binary_decode": q_cdc_pgoutput_binary_decode,
+    "cdc_pgoutput_walsender_decode": q_cdc_pgoutput_walsender_decode,
+    "cdc_scd2_history": q_cdc_scd2_history,
+    "cdc_tidb_kv_decode": q_cdc_tidb_kv_decode,
+    "cdc_vitess_vstream": q_cdc_vitess_vstream,
+    "cohort_retention": q_cohort_retention,
+    "decontam_ngram_overlap": q_decontam_ngram_overlap,
+    "decontam_split_leakage": q_decontam_split_leakage,
+    "dedup_url": q_dedup_url,
+    "drift_histogram": q_drift_histogram,
+    "event_transitions": q_event_transitions,
+    "funnel_conversion": q_funnel_conversion,
+    "gapfill_forward": q_gapfill_forward,
+    "graph_pagerank": q_graph_pagerank,
+    "interval_union_coverage": q_interval_union_coverage,
+    "jdbc_chunk_plan": q_jdbc_chunk_plan,
+    "json_schema_infer": q_json_schema_infer,
+    "media_probe_dims": q_media_probe_dims,
+    "merge_corpora": q_merge_corpora,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "pipeline_cdc_to_lake": q_pipeline_cdc_to_lake,
+    "pk_bucket_distribution": q_pk_bucket_distribution,
+    "reconcile_tables": q_reconcile_tables,
+    "sample_hash_split": q_sample_hash_split,
+    "sample_interleave": q_sample_interleave,
+    "schema_drift": q_schema_drift,
+    "stats_correlation": q_stats_correlation,
+    "text_blocklist": q_text_blocklist,
+    "text_cooccurrence": q_text_cooccurrence,
+    "text_dedup_paragraphs": q_text_dedup_paragraphs,
+    "text_normalize": q_text_normalize,
+    "text_tfidf_shuffle_join": q_text_tfidf_shuffle_join,
+    "tokenizer_vocab_coverage": q_tokenizer_vocab_coverage,
+    "transform_ai_functions": q_transform_ai_functions,
+    "transform_casting": q_transform_casting,
+    "transform_conditional": q_transform_conditional,
+    "transform_predicates": q_transform_predicates,
+    "transform_projection_arith": q_transform_projection_arith,
+    "transform_string_funcs": q_transform_string_funcs,
+    "window_rolling_revenue": q_window_rolling_revenue,
 }
 
 ORACLES: dict[str, str] = {
     "cdc_mysql_binlog_decode": ORACLE_MYSQL_BINLOG_DECODE,
+    "cdc_mysql_binlog_payload_decode":
+        ORACLE_MYSQL_BINLOG_PAYLOAD_DECODE,
     "cdc_pgoutput_decode": ORACLE_PGOUTPUT_DECODE,
     "cdc_pgoutput_walsender_decode": ORACLE_PGOUTPUT_DECODE,
     "cdc_pgoutput_binary_decode": ORACLE_PGOUTPUT_BINARY_DECODE,
