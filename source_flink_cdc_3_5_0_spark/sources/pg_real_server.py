@@ -173,6 +173,10 @@ class RealPostgresServer:
                 # change stream as v2 Stream Start/Stop segments when
                 # the client requests streaming 'true'
                 "logical_decoding_work_mem = 64kB\n"
+                # two-phase commit surface (round 10): prepared txns with
+                # two_phase OFF must arrive as one normal transaction at
+                # COMMIT PREPARED time
+                "max_prepared_transactions = 8\n"
                 "fsync = off\nsynchronous_commit = off\n"
                 "logging_collector = off\n" % (self.port, self.scratch))
         chown_extra = []
