@@ -291,6 +291,36 @@ def _noise_stamp(before: dict, after: dict) -> dict:
     return stamp
 
 
+def guard_retimed_record(full_path: str, new_record: dict) -> None:
+    """Refuse to clobber an ADJUDICATED record with a bare one (verdict
+    r9 'what's wrong #2': the end-of-round snapshot replaced a
+    158 s/1.55%-steal record carrying 14 isolated retimes with a noisy
+    retimes-free run, orphaning PERFORMANCE.md). A record that carries
+    `retimes` is the product of the commit protocol (`bench_retime.py
+    --auto`); overwriting it with a record that carries none loses the
+    adjudication. Redirect the fresh run elsewhere (argv[1] /
+    SPARK_GRAFT_BENCH_OUT), run bench_retime afterwards, or set
+    SPARK_GRAFT_BENCH_CLOBBER=1 to override deliberately."""
+    if new_record.get("retimes") or \
+            os.environ.get("SPARK_GRAFT_BENCH_CLOBBER") == "1":
+        return
+    try:
+        with open(full_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return
+    if prev.get("retimes"):
+        raise SystemExit(
+            "refusing to overwrite %s: the existing record (run_id %s) "
+            "carries %d adjudicated retimes and the new run carries "
+            "none. Write the fresh run to another path (argv[1] or "
+            "SPARK_GRAFT_BENCH_OUT), then merge isolated numbers with "
+            "`python bench_retime.py --auto`; set "
+            "SPARK_GRAFT_BENCH_CLOBBER=1 only to discard the "
+            "adjudication deliberately." % (
+                full_path, prev.get("run_id"), len(prev["retimes"])))
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -427,6 +457,7 @@ def main() -> None:
                      "SPARK_GRAFT_BENCH_OUT",
                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                   "BENCH_FULL.json")))
+    guard_retimed_record(full_path, full)
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
         f.write("\n")

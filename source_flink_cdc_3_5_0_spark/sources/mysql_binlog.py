@@ -964,6 +964,52 @@ class BinlogEvent:
     fields: dict = field(default_factory=dict)
 
 
+def _parse_payload_header(b: bytes, start_pos: int
+                          ) -> tuple[int, int | None, bytes]:
+    """TRANSACTION_PAYLOAD TLV header -> (compression, uncompressed_size,
+    decompressed payload bytes). ZSTD without a codec and unknown
+    compression types raise by name — the payload IS the transaction's
+    rows, so skipping would be silent total loss."""
+    pos = 0
+    compression = _COMPRESSION_NONE
+    payload_size = None
+    uncompressed_size = None
+    while pos < len(b):
+        ftype, pos = _read_lenc(b, pos)
+        if ftype == _OTW_HEADER_END:
+            break
+        flen, pos = _read_lenc(b, pos)
+        if ftype == _OTW_PAYLOAD_SIZE:
+            payload_size, _ = _read_lenc(b, pos)
+        elif ftype == _OTW_COMPRESSION_TYPE:
+            compression, _ = _read_lenc(b, pos)
+        elif ftype == _OTW_UNCOMPRESSED_SIZE:
+            uncompressed_size, _ = _read_lenc(b, pos)
+        # unknown header fields are skipped by length (forward compat)
+        pos += flen
+    payload = bytes(b[pos:pos + payload_size]
+                    if payload_size is not None else b[pos:])
+    if compression == _COMPRESSION_ZSTD:
+        try:
+            import zstandard  # noqa: F401 — absent in this sandbox
+        except ImportError:
+            raise ValueError(
+                "TRANSACTION_PAYLOAD event at offset %d is ZSTD-"
+                "compressed (binlog_transaction_compression=ON with "
+                "zstd) and no zstd codec is available in this "
+                "environment; refusing rather than dropping the "
+                "transaction's change rows. Install `zstandard` or "
+                "set binlog_transaction_compression_level off/NONE "
+                "on the server." % start_pos) from None
+        payload = zstandard.ZstdDecompressor().decompress(
+            payload, max_output_size=uncompressed_size or 0)
+    elif compression != _COMPRESSION_NONE:
+        raise ValueError(
+            "TRANSACTION_PAYLOAD event at offset %d uses unknown "
+            "compression type %d" % (start_pos, compression))
+    return compression, uncompressed_size, payload
+
+
 def _reconstruct_partial_after(before: dict, after: dict,
                                partial: set) -> dict:
     """Materialize full after-image values for partial JSON cells.
@@ -1289,44 +1335,8 @@ class BinlogReader:
         them). ZSTD (compression type 0) is refused by name — no zstd
         codec ships in this environment, and decoding garbage or
         skipping the event would both silently lose every change row."""
-        b = ev.body
-        pos = 0
-        compression = _COMPRESSION_NONE
-        payload_size = None
-        uncompressed_size = None
-        while pos < len(b):
-            ftype, pos = _read_lenc(b, pos)
-            if ftype == _OTW_HEADER_END:
-                break
-            flen, pos = _read_lenc(b, pos)
-            if ftype == _OTW_PAYLOAD_SIZE:
-                payload_size, _ = _read_lenc(b, pos)
-            elif ftype == _OTW_COMPRESSION_TYPE:
-                compression, _ = _read_lenc(b, pos)
-            elif ftype == _OTW_UNCOMPRESSED_SIZE:
-                uncompressed_size, _ = _read_lenc(b, pos)
-            # unknown header fields are skipped by length (forward compat)
-            pos += flen
-        payload = bytes(b[pos:pos + payload_size]
-                        if payload_size is not None else b[pos:])
-        if compression == _COMPRESSION_ZSTD:
-            try:
-                import zstandard  # noqa: F401 — absent in this sandbox
-            except ImportError:
-                raise ValueError(
-                    "TRANSACTION_PAYLOAD event at offset %d is ZSTD-"
-                    "compressed (binlog_transaction_compression=ON with "
-                    "zstd) and no zstd codec is available in this "
-                    "environment; refusing rather than dropping the "
-                    "transaction's change rows. Install `zstandard` or "
-                    "set binlog_transaction_compression_level off/NONE "
-                    "on the server." % ev.start_pos) from None
-            payload = zstandard.ZstdDecompressor().decompress(
-                payload, max_output_size=uncompressed_size or 0)
-        elif compression != _COMPRESSION_NONE:
-            raise ValueError(
-                "TRANSACTION_PAYLOAD event at offset %d uses unknown "
-                "compression type %d" % (ev.start_pos, compression))
+        compression, uncompressed_size, payload = _parse_payload_header(
+            ev.body, ev.start_pos)
         return {"compression": compression,
                 "uncompressed_size": uncompressed_size,
                 "events": list(self._decode_embedded(payload, ev))}
@@ -1396,7 +1406,7 @@ def iter_binlog_changes(data: bytes, filename: str = "") -> Iterator[dict]:
                 "gtids": _gtid_set_str(running) or None,
                 "txn_gtid": (f"{gtid[0]}:{gtid[1]}" if gtid else None)}
 
-    def handle(ev: BinlogEvent) -> Iterator[dict]:
+    def handle(ev: BinlogEvent, row_base: int = 0) -> Iterator[dict]:
         nonlocal gtid, rows_query
         t = ev.type_byte
         if t == PREVIOUS_GTIDS_EVENT:
@@ -1406,10 +1416,18 @@ def iter_binlog_changes(data: bytes, filename: str = "") -> Iterator[dict]:
                 running[uuid] = sorted(ivs)
         elif t == TRANSACTION_PAYLOAD_EVENT:
             # compressed-transaction container: the embedded BEGIN..XID
-            # stream replays through the same state machine; every
-            # inner record reports the CONTAINER's file position
+            # stream replays through the same state machine. Every inner
+            # record reports the CONTAINER's file position, so the row
+            # index must run CUMULATIVELY across the container's rows
+            # events — per-event indexes would collide in record_seq
+            # (same pos, same row) and let a later +U tie or sort under
+            # an earlier +I of the same key.
+            base = 0
             for inner in ev.fields["events"]:
-                yield from handle(inner)
+                yield from handle(inner, base)
+                if inner.type_byte in _ROWS_EVENTS \
+                        or inner.type_byte == PARTIAL_UPDATE_ROWS_EVENT:
+                    base += len(inner.fields["rows"])
         elif t == GTID_EVENT:
             gtid = (ev.fields["uuid"], ev.fields["gno"])
         elif t == QUERY_EVENT:
@@ -1442,7 +1460,7 @@ def iter_binlog_changes(data: bytes, filename: str = "") -> Iterator[dict]:
             base = {"kind": "change", "database": tmap.database,
                     "table": tmap.table, **_pos(ev),
                     **({"query": rows_query} if rows_query else {})}
-            for i, r in enumerate(ev.fields["rows"]):
+            for i, r in enumerate(ev.fields["rows"], start=row_base):
                 if t == WRITE_ROWS_EVENT:
                     yield {**base, "op": "+I", "after": r,
                            "before": None, "row": i}
@@ -2062,10 +2080,29 @@ def binlog_infer_tables(paths: list[str]
             reader = BinlogReader(fh.read())
         # scan ONLY the TABLE_MAP events — row payloads are never decoded,
         # so a multi-GiB file costs one framing pass on the driver, not a
-        # full cell decode
-        for ev in reader._events_raw():
-            if ev.type_byte != TABLE_MAP_EVENT:
-                continue
+        # full cell decode. TRANSACTION_PAYLOAD containers are unwrapped
+        # with the same framing-only pass (on a compression=ON server
+        # every TABLE_MAP lives inside one).
+        def table_maps(events):
+            for ev in events:
+                if ev.type_byte == TABLE_MAP_EVENT:
+                    yield ev
+                elif ev.type_byte == TRANSACTION_PAYLOAD_EVENT:
+                    _c, _u, payload = _parse_payload_header(
+                        ev.body, ev.start_pos)
+                    p = 0
+                    while p + 19 <= len(payload):
+                        ts, t, sid, size, _lp, _fl = struct.unpack_from(
+                            "<IBIIIH", payload, p)
+                        if size < 19 or p + size > len(payload):
+                            break  # decode path reports truncation
+                        if t == TABLE_MAP_EVENT:
+                            yield BinlogEvent(t, ts, sid, ev.log_pos,
+                                              ev.start_pos,
+                                              payload[p + 19:p + size])
+                        p += size
+
+        for ev in table_maps(reader._events_raw()):
             tmap = reader._decode_table_map(ev)
             ddl = ", ".join("`%s` %s" % (c.name.replace("`", "``"),
                                          binlog_column_spark_ddl(c))

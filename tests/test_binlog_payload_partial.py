@@ -325,3 +325,48 @@ def test_toy_server_streams_payload_and_partial_e2e(tmp_path):
         ("-U", None),
         ("+U", dict(id=1, doc={"a": 2}, v="x")),
     ]
+
+
+def test_infer_tables_from_payload_wrapped_file(tmp_path):
+    """Wire-native schema discovery must unwrap containers: on a
+    compression=ON server every TABLE_MAP lives inside a
+    TRANSACTION_PAYLOAD (framing-only pass, rows never decoded)."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import \
+        binlog_infer_tables
+
+    w = _payload_file()
+    p = tmp_path / "mysql-bin.000001"
+    p.write_bytes(w.getvalue())
+    tables, pks = binlog_infer_tables([str(p)])
+    assert "db.t" in tables, tables
+    assert pks["db.t"] == ["id"]
+    assert "`doc` STRING" in tables["db.t"] or "doc" in tables["db.t"]
+
+
+def test_container_rows_get_monotone_seqs_across_events():
+    """Inside one container every event shares the container's file
+    position — the row index must run cumulatively across the
+    container's rows events, or a later +U of the same key ties with
+    (or sorts under) its earlier +I in record_seq."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import \
+        record_seq
+
+    tmap = _table()
+    w = BinlogWriter()
+    inner = BinlogWriter.embedded()
+    inner.query("BEGIN")
+    inner.table_map(tmap)
+    row = dict(id=5, doc=None, v="v0")
+    inner.rows(tmap, WRITE_ROWS_EVENT, [row])                 # +I
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        DELETE_ROWS_EVENT, UPDATE_ROWS_EVENT)
+    inner.rows(tmap, UPDATE_ROWS_EVENT,
+               [(row, dict(row, v="v1"))])                    # -U/+U
+    inner.rows(tmap, DELETE_ROWS_EVENT, [dict(row, v="v1")])  # -D
+    inner.xid(3)
+    w.transaction_payload(inner)
+    ch = [c for c in binlog_changes(w.getvalue(), "mysql-bin.000001")
+          if c["kind"] == "change"]
+    assert [c["op"] for c in ch] == ["+I", "-U", "+U", "-D"]
+    seqs = [record_seq(c["file"], c["pos"], c["row"], c["op"]) for c in ch]
+    assert seqs == sorted(seqs) and len(set(seqs)) == 4, seqs

@@ -127,3 +127,33 @@ def test_driver_sample_prefix_has_weakest_evidence_first():
     assert not stray, (
         f"queries without driver evidence outside the first-50 sample "
         f"window: {stray}")
+
+
+def test_bench_guard_refuses_to_clobber_adjudicated_record(tmp_path,
+                                                           monkeypatch):
+    """Verdict r9 'what's wrong #2': a retimes-bearing BENCH_FULL must
+    not be silently replaced by a retimes-free run — the snapshot path
+    did exactly that and orphaned PERFORMANCE.md."""
+    import json
+
+    import pytest
+
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_CLOBBER", raising=False)
+    p = tmp_path / "BENCH_FULL.json"
+    p.write_text(json.dumps(
+        {"run_id": "adjudicated", "retimes": {"q1": {"min": 1.0}}}))
+    with pytest.raises(SystemExit, match="adjudicated retimes"):
+        bench.guard_retimed_record(str(p), {"run_id": "bare"})
+    # a new record that itself carries retimes may replace it
+    bench.guard_retimed_record(
+        str(p), {"run_id": "new", "retimes": {"q1": {"min": 1.0}}})
+    # a bare prior record may be replaced freely
+    p.write_text(json.dumps({"run_id": "bare-prev"}))
+    bench.guard_retimed_record(str(p), {"run_id": "bare"})
+    # missing / unparseable prior: no refusal
+    bench.guard_retimed_record(str(tmp_path / "absent.json"), {})
+    # deliberate override
+    p.write_text(json.dumps(
+        {"run_id": "adjudicated", "retimes": {"q1": {"min": 1.0}}}))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_CLOBBER", "1")
+    bench.guard_retimed_record(str(p), {"run_id": "bare"})
