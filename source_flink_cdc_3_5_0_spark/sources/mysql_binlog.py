@@ -825,19 +825,29 @@ class BinlogWriter:
         w._ts = 1_700_000_000
         return w
 
-    def transaction_payload(self, inner: "BinlogWriter | bytes") -> None:
-        """TRANSACTION_PAYLOAD (40) wrapping ``inner``'s event stream,
-        compression NONE (255). ZSTD is deliberately not producible
-        here — no zstd codec in this environment; the decoder names
-        that refusal."""
-        payload = inner if isinstance(inner, bytes) else inner.getvalue()
-        size = _write_lenc(len(payload))
-        ctype = _write_lenc(_COMPRESSION_NONE)
+    def transaction_payload(self, inner: "BinlogWriter | bytes",
+                            compression: str = "none") -> None:
+        """TRANSACTION_PAYLOAD (40) wrapping ``inner``'s event stream.
+        ``compression``: "none" (255) or "zstd" (0 — the server's only
+        real algorithm; needs libzstd, `common/zstd_binding`)."""
+        raw = inner if isinstance(inner, bytes) else inner.getvalue()
+        usize = _write_lenc(len(raw))
+        if compression == "zstd":
+            from ..common import zstd_binding
+            payload = zstd_binding.compress(raw)
+            ctype = _write_lenc(_COMPRESSION_ZSTD)
+        elif compression == "none":
+            payload = raw
+            ctype = _write_lenc(_COMPRESSION_NONE)
+        else:
+            raise ValueError("unknown payload compression %r" % compression)
+        psize = _write_lenc(len(payload))
         body = (bytes([_OTW_COMPRESSION_TYPE]) + _write_lenc(len(ctype))
                 + ctype
-                + bytes([_OTW_UNCOMPRESSED_SIZE]) + _write_lenc(len(size))
-                + size
-                + bytes([_OTW_PAYLOAD_SIZE]) + _write_lenc(len(size)) + size
+                + bytes([_OTW_UNCOMPRESSED_SIZE]) + _write_lenc(len(usize))
+                + usize
+                + bytes([_OTW_PAYLOAD_SIZE]) + _write_lenc(len(psize))
+                + psize
                 + bytes([_OTW_HEADER_END])
                 + payload)
         self._emit(TRANSACTION_PAYLOAD_EVENT, body)
@@ -990,19 +1000,22 @@ def _parse_payload_header(b: bytes, start_pos: int
     payload = bytes(b[pos:pos + payload_size]
                     if payload_size is not None else b[pos:])
     if compression == _COMPRESSION_ZSTD:
-        try:
-            import zstandard  # noqa: F401 — absent in this sandbox
-        except ImportError:
+        from ..common import zstd_binding
+        if not zstd_binding.available():
+            # a host with neither libzstd nor a Python zstd package
+            # gets the named refusal — the payload IS the transaction
             raise ValueError(
                 "TRANSACTION_PAYLOAD event at offset %d is ZSTD-"
-                "compressed (binlog_transaction_compression=ON with "
-                "zstd) and no zstd codec is available in this "
-                "environment; refusing rather than dropping the "
-                "transaction's change rows. Install `zstandard` or "
-                "set binlog_transaction_compression_level off/NONE "
-                "on the server." % start_pos) from None
-        payload = zstandard.ZstdDecompressor().decompress(
-            payload, max_output_size=uncompressed_size or 0)
+                "compressed (binlog_transaction_compression=ON) and no "
+                "zstd codec is available on this host (no libzstd, no "
+                "`zstandard` package); refusing rather than dropping "
+                "the transaction's change rows." % start_pos)
+        try:
+            payload = zstd_binding.decompress(payload, uncompressed_size)
+        except ValueError as e:
+            raise ValueError(
+                "TRANSACTION_PAYLOAD event at offset %d: %s"
+                % (start_pos, e)) from None
     elif compression != _COMPRESSION_NONE:
         raise ValueError(
             "TRANSACTION_PAYLOAD event at offset %d uses unknown "

@@ -231,14 +231,113 @@ def test_transaction_payload_gtid_advances_at_inner_xid():
     assert ch[-1]["txn_gtid"] == f"{UUID}:2"
 
 
-def test_transaction_payload_zstd_named_refusal():
-    """ZSTD payloads (compression type 0) raise by name instead of
-    dropping the transaction — no zstd codec ships in this sandbox."""
+def test_transaction_payload_zstd_roundtrip():
+    """ZSTD containers (the server's real algorithm) decode through the
+    ctypes libzstd binding — rows, positions and all."""
+    from source_flink_cdc_3_5_0_spark.common import zstd_binding
+
+    if not zstd_binding.available():
+        pytest.skip("no libzstd on this host")
+    tmap = _table()
+    w = BinlogWriter()
+    inner = BinlogWriter.embedded()
+    inner.query("BEGIN")
+    inner.table_map(tmap)
+    inner.rows(tmap, WRITE_ROWS_EVENT,
+               [dict(id=i, doc={"n": i}, v="zstd-row-%d" % i)
+                for i in range(1, 101)])
+    inner.xid(4)
+    w.transaction_payload(inner, compression="zstd")
+    # the wire really is compressed: payload event smaller than the raw
+    ev = [e for e in BinlogReader(w.getvalue()).events()
+          if e.type_byte == TRANSACTION_PAYLOAD_EVENT][0]
+    assert ev.fields["compression"] == 0
+    assert ev.fields["uncompressed_size"] == len(inner.getvalue())
+    rows = [c for c in binlog_changes(w.getvalue(), "f")
+            if c["kind"] == "change"]
+    assert [c["after"]["id"] for c in rows] == list(range(1, 101))
+    assert rows[41]["after"] == dict(id=42, doc={"n": 42}, v="zstd-row-42")
+
+
+def test_transaction_payload_zstd_cli_cross_validation(tmp_path):
+    """A frame produced by the INDEPENDENTLY-DRIVEN zstd CLI decodes
+    through the decoder's binding, and the writer's frame decodes
+    through the CLI — both directions of RFC 8878."""
+    import shutil
+    import struct as _s
+    import subprocess
+
+    from source_flink_cdc_3_5_0_spark.common import zstd_binding
+
+    cli = shutil.which("zstd")
+    if cli is None or not zstd_binding.available():
+        pytest.skip("no zstd CLI / libzstd on this host")
+    tmap = _table()
+    inner = BinlogWriter.embedded()
+    inner.table_map(tmap)
+    inner.rows(tmap, WRITE_ROWS_EVENT, [dict(id=7, doc=None, v="cli")])
+    raw = inner.getvalue()
+    frame = subprocess.run([cli, "-q", "-c"], input=raw,
+                           capture_output=True, check=True).stdout
+    # hand-assemble a payload event around the CLI's frame
+    usize, psize = len(raw), len(frame)
+    def lenc(v):
+        from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import \
+            _write_lenc
+        return _write_lenc(v)
+    body = (bytes([2]) + lenc(len(lenc(0))) + lenc(0)          # ZSTD
+            + bytes([3]) + lenc(len(lenc(usize))) + lenc(usize)
+            + bytes([1]) + lenc(len(lenc(psize))) + lenc(psize)
+            + bytes([0]) + frame)
+    w = BinlogWriter()
+    w._emit(TRANSACTION_PAYLOAD_EVENT, body)
+    rows = [c for c in binlog_changes(w.getvalue(), "f")
+            if c["kind"] == "change"]
+    assert rows[0]["after"] == dict(id=7, doc=None, v="cli")
+    # and the CLI decompresses the writer's frame
+    w2 = BinlogWriter()
+    w2.transaction_payload(inner, compression="zstd")
+    ev = [e for e in BinlogReader(w2.getvalue())._events_raw()
+          if e.type_byte == TRANSACTION_PAYLOAD_EVENT][0]
+    b = ev.body  # _events_raw already strips the CRC trailer
+    pos = 0
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import _read_lenc
+    while pos < len(b):
+        ftype, pos = _read_lenc(b, pos)
+        if ftype == 0:
+            break
+        flen, pos = _read_lenc(b, pos)
+        pos += flen
+    out = subprocess.run([cli, "-q", "-d", "-c"], input=bytes(b[pos:]),
+                         capture_output=True, check=True).stdout
+    assert out == raw
+    _ = _s  # keep the import honest if assertions above are edited
+
+
+def test_transaction_payload_zstd_named_refusal_without_libzstd(
+        monkeypatch):
+    """Hosts with no zstd codec at all refuse ZSTD containers by name —
+    never a silent skip."""
+    from source_flink_cdc_3_5_0_spark.common import zstd_binding
+
+    monkeypatch.setattr(zstd_binding, "available", lambda: False)
     w = BinlogWriter()
     ctype = bytes([2, 1, 0])  # field 2 (compression), len 1, ZSTD=0
     body = ctype + bytes([0]) + b"\x00" * 8  # header end + fake payload
     w._emit(TRANSACTION_PAYLOAD_EVENT, body)
-    with pytest.raises(ValueError, match="ZSTD.*zstd codec"):
+    with pytest.raises(ValueError, match="ZSTD.*no zstd codec"):
+        binlog_changes(w.getvalue(), "f")
+
+
+def test_transaction_payload_zstd_corrupt_frame_named():
+    from source_flink_cdc_3_5_0_spark.common import zstd_binding
+
+    if not zstd_binding.available():
+        pytest.skip("no libzstd on this host")
+    w = BinlogWriter()
+    body = bytes([2, 1, 0]) + bytes([0]) + b"\xde\xad\xbe\xef" * 4
+    w._emit(TRANSACTION_PAYLOAD_EVENT, body)
+    with pytest.raises(ValueError, match="TRANSACTION_PAYLOAD.*zstd"):
         binlog_changes(w.getvalue(), "f")
 
 
@@ -299,6 +398,8 @@ def test_toy_server_streams_payload_and_partial_e2e(tmp_path):
     from source_flink_cdc_3_5_0_spark.sources.mysql_protocol import (
         MysqldToyServer, dump_binlog_stream)
 
+    from source_flink_cdc_3_5_0_spark.common import zstd_binding
+
     tmap = _table()
     w = _payload_file()
     w.gtid(UUID, 2)
@@ -308,6 +409,15 @@ def test_toy_server_streams_payload_and_partial_e2e(tmp_path):
         id=1, doc=JsonDiffVector([JsonDiff(JSON_DIFF_REPLACE, "$.a", 2)]),
         v="x"))])
     w.xid(11)
+    zstd_ok = zstd_binding.available()
+    if zstd_ok:  # a ZSTD container rides the same wire session
+        w.gtid(UUID, 3)
+        inner = BinlogWriter.embedded()
+        inner.query("BEGIN")
+        inner.table_map(tmap)
+        inner.rows(tmap, WRITE_ROWS_EVENT, [dict(id=30, doc=None, v="z30")])
+        inner.xid(12)
+        w.transaction_payload(inner, compression="zstd")
     src = tmp_path / "served"
     src.mkdir()
     (src / "mysql-bin.000001").write_bytes(w.getvalue())
@@ -319,12 +429,15 @@ def test_toy_server_streams_payload_and_partial_e2e(tmp_path):
     assert data == w.getvalue()  # byte-true respool through the protocol
     ops = [(c["op"], c["after"]) for c in binlog_changes(data, written[0])
            if c["kind"] == "change"]
-    assert ops == [
+    expect = [
         ("+I", dict(id=1, doc={"a": 1}, v="x")),
         ("+I", dict(id=2, doc=None, v="y")),
         ("-U", None),
         ("+U", dict(id=1, doc={"a": 2}, v="x")),
     ]
+    if zstd_ok:
+        expect.append(("+I", dict(id=30, doc=None, v="z30")))
+    assert ops == expect
 
 
 def test_infer_tables_from_payload_wrapped_file(tmp_path):
