@@ -267,6 +267,8 @@ class RealPostgresServer:
         hi, lo = self.sql("SELECT pg_current_wal_lsn()").split("/")
         return (int(hi, 16) << 32) | int(lo, 16)
 
-    def create_slot(self, name: str, plugin: str = "pgoutput") -> None:
-        self.sql("SELECT pg_create_logical_replication_slot('%s', '%s')"
-                 % (name, plugin))
+    def create_slot(self, name: str, plugin: str = "pgoutput",
+                    two_phase: bool = False) -> None:
+        self.sql("SELECT pg_create_logical_replication_slot"
+                 "('%s', '%s', false, %s)"
+                 % (name, plugin, "true" if two_phase else "false"))

@@ -491,7 +491,8 @@ class PgWalToyServer:
 #: pgoutput message tags that open/affect decoder state and must be
 #: re-emitted when a spool file rolls (the file decoder is per-file)
 _CACHED_TAGS = (0x52, 0x59)  # 'R' Relation, 'Y' Type
-_COMMIT_TAGS = (0x43, 0x63)  # 'C' Commit, 'c' StreamCommit
+_COMMIT_TAGS = (0x43, 0x63,  # 'C' Commit, 'c' StreamCommit
+                0x4B, 0x72)  # 'K' CommitPrepared, 'r' RollbackPrepared
 _STREAM_START, _STREAM_STOP, _STREAM_ABORT = 0x53, 0x45, 0x41
 
 
@@ -505,6 +506,7 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
                              idle_timeout: float | None = None,
                              binary: bool = False,
                              streaming: bool = False,
+                             two_phase: bool = False,
                              stop_message_prefix: str | None = None,
                              tls: bool = False,
                              tls_root_cert: str | None = None
@@ -583,6 +585,7 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
         default=0))
     in_segment = False          # between Stream Start and Stream Stop
     open_streams: set[int] = set()  # xids streaming but not yet ended
+    open_prepared: set[str] = set()  # gids prepared but not yet decided
     committed_len = 0           # bytes of buf through the last safe commit
     committed_lsn = 0           # LSN of that commit (durable once flushed)
     durable_lsn = 0             # last LSN persisted via os.replace
@@ -787,7 +790,10 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
             mtype, payload = read_msg(rfile)
             if mtype == b"Z":
                 break
-        opts = "proto_version '2', publication_names '%s'" % publication
+        # two_phase needs protocol version 3 (PG15); stay at v2
+        # otherwise so pre-15 servers keep working
+        opts = "proto_version '%d', publication_names '%s'" % (
+            3 if two_phase else 2, publication)
         if binary:
             # PG14+ pgoutput plugin option: TupleData cells arrive as
             # 'b' binary send formats (the decoder's _binary_to_json
@@ -798,6 +804,11 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
             # than the server's logical_decoding_work_mem arrive as
             # Stream Start/Stop segments the spool roll logic respects
             opts += ", streaming 'true'"
+        if two_phase:
+            # prepared transactions arrive at PREPARE time ('b'..'P',
+            # then 'K'/'r'); the slot must have been created with
+            # TWO_PHASE (create_slot(..., two_phase=True))
+            opts += ", two_phase 'true'"
         if stop_message_prefix is not None:
             # logical decoding messages ride the stream only on request
             opts += ", messages 'true'"
@@ -930,6 +941,19 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
                 xid, subxid = struct.unpack_from(">II", msg, 1)
                 if xid == subxid:  # whole-txn abort; subxact keeps going
                     open_streams.discard(xid)
+            elif tag in (0x50, 0x70):  # 'P' Prepare / 'p' Stream Prepare
+                # a prepared-but-undecided txn blocks safe boundaries:
+                # splitting its block from its Commit/Rollback Prepared
+                # would strand parked records at the earlier file's EOF
+                gid = msg[30:msg.index(b"\x00", 30)].decode()
+                open_prepared.add(gid)
+                if tag == 0x70:  # the streamed txn is closed by prepare
+                    open_streams.discard(
+                        struct.unpack_from(">I", msg, 26)[0])
+            elif tag in (0x4B, 0x72):  # 'K' Commit / 'r' Rollback Prep.
+                off = 30 if tag == 0x4B else 38
+                gid = msg[off:msg.index(b"\x00", off)].decode()
+                open_prepared.discard(gid)
             if tag in _CACHED_TAGS:
                 # inside a stream segment the v2 protocol prefixes the
                 # 4-byte xid — strip it for the cache so a re-emit at a
@@ -953,17 +977,19 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
             if tag in _COMMIT_TAGS or (
                     tag == _STREAM_ABORT and not open_streams):
                 commits += 1
-                if not open_streams and not in_segment:
+                if not open_streams and not in_segment \
+                        and not open_prepared:
                     # a SAFE boundary: everything up to here decodes
                     # standalone — this is the most the spool may ever
                     # persist or the status updates ever acknowledge
                     committed_len = len(buf)
                     committed_lsn = max(committed_lsn, lsn)
-                # roll ONLY at a safe boundary: a split stream would
-                # raise at the earlier file's EOF and lose rows at the
-                # later one
+                # roll ONLY at a safe boundary: a split stream (or a
+                # prepared txn split from its Commit/Rollback Prepared)
+                # would raise at the earlier file's EOF and lose rows
+                # at the later one
                 if commits >= commits_per_file and not open_streams \
-                        and not in_segment:
+                        and not in_segment and not open_prepared:
                     commits = 0
                     flush()
                     send_status()  # advance the slot to what is durable

@@ -508,6 +508,42 @@ class PgOutputWriter:
                            + struct.pack(">I", oid)
                            + _cstr(namespace) + _cstr(name))
 
+    # -- two-phase commit (proto v3, slot created WITH two_phase) -----------
+
+    def begin_prepare(self, gid: str) -> int:
+        """'b': a prepared transaction's block starts (fields like
+        Begin plus the end LSN and gid)."""
+        self._xid += 1
+        msg = b"b" + struct.pack(">QQqI", self._lsn + 1000,
+                                 self._lsn + 1008,
+                                 self._ts_us - _PG_EPOCH_US, self._xid)
+        return self._frame(msg + _cstr(gid))
+
+    def prepare(self, gid: str) -> int:
+        msg = b"P" + struct.pack(">BQQqI", 0, self._lsn, self._lsn + 8,
+                                 self._ts_us - _PG_EPOCH_US, self._xid)
+        return self._frame(msg + _cstr(gid))
+
+    def commit_prepared(self, gid: str, xid: int | None = None) -> int:
+        msg = b"K" + struct.pack(">BQQqI", 0, self._lsn, self._lsn + 8,
+                                 self._ts_us - _PG_EPOCH_US,
+                                 xid or self._xid)
+        return self._frame(msg + _cstr(gid))
+
+    def rollback_prepared(self, gid: str, xid: int | None = None) -> int:
+        msg = b"r" + struct.pack(">BQQqqI", 0, self._lsn, self._lsn + 8,
+                                 self._ts_us - _PG_EPOCH_US,
+                                 self._ts_us - _PG_EPOCH_US,
+                                 xid or self._xid)
+        return self._frame(msg + _cstr(gid))
+
+    def stream_prepare(self, gid: str, xid: int) -> int:
+        """'p': a STREAMED transaction was prepared instead of
+        stream-committed."""
+        msg = b"p" + struct.pack(">BQQqI", 0, self._lsn, self._lsn + 8,
+                                 self._ts_us - _PG_EPOCH_US, xid)
+        return self._frame(msg + _cstr(gid))
+
     # -- protocol v2: streamed in-progress transactions ---------------------
 
     def stream_start(self, xid: int, first_segment: bool = True) -> int:
@@ -716,6 +752,16 @@ def iter_pgoutput_changes(data: bytes) -> "Iterator[dict]":
     #: uncommitted streamed txn (restored on Stream Abort)
     rel_undo: dict[int, list[tuple[int, int, "PgRelation | None"]]] = {}
     txn_buf: list[dict] = []       # current NORMAL txn's records
+    # two-phase (slot created with TWO_PHASE, `two_phase 'true'` +
+    # proto_version 3): a prepared transaction arrives in full at
+    # PREPARE time, before its fate is known. Records (and catalog
+    # undo) park under the gid until Commit Prepared surfaces them or
+    # Rollback Prepared drops them — committed-data-only, exactly the
+    # streamed-abort contract.
+    prepared: dict[str, list[dict]] = {}
+    prep_undo: dict[str, list[tuple[int, "PgRelation | None"]]] = {}
+    in_prepare = False             # between Begin Prepare and Prepare
+    cur_undo: list[tuple[int, "PgRelation | None"]] = []
 
     def base(lsn: int) -> dict:
         if cur_stream is not None:
@@ -773,6 +819,50 @@ def iter_pgoutput_changes(data: bytes) -> "Iterator[dict]":
             flush(txn_buf, lsn, None)
             txn_buf = []
             xid = None
+        elif tag == "b":
+            # Begin Prepare: prepare_lsn, end_lsn, ts, xid, gid —
+            # buffers exactly like Begin, surfaces only at 'K'
+            _plsn, _elsn, ts, xid = struct.unpack_from(">QQqI", msg, 1)
+            ts_us = ts + _PG_EPOCH_US
+            txn_buf = []
+            in_prepare = True
+            cur_undo = []
+        elif tag == "P":
+            # Prepare: flags, prepare_lsn, end_lsn, ts, xid, gid —
+            # park the records under the gid, fate unknown
+            gid, _ = _read_cstr(msg, 1 + 1 + 8 + 8 + 8 + 4)
+            prepared[gid] = txn_buf
+            prep_undo[gid] = cur_undo
+            txn_buf = []
+            cur_undo = []
+            in_prepare = False
+            xid = None
+        elif tag == "K":
+            # Commit Prepared: the parked records flush in commit
+            # order with the COMMIT PREPARED frame's coordinates
+            _flags = msg[1]
+            _clsn, _elsn, cts, _kxid = struct.unpack_from(">QQqI", msg, 2)
+            gid, _ = _read_cstr(msg, 1 + 1 + 8 + 8 + 8 + 4)
+            flush(prepared.pop(gid, []), lsn, cts + _PG_EPOCH_US)
+            prep_undo.pop(gid, None)
+        elif tag == "r":
+            # Rollback Prepared: drop the parked records, restore the
+            # relation registry (a prepared ALTER rolled back)
+            gid, _ = _read_cstr(msg, 1 + 1 + 8 + 8 + 8 + 8 + 4)
+            prepared.pop(gid, None)
+            for oid2, old_rel in reversed(prep_undo.pop(gid, [])):
+                if old_rel is None:
+                    relations.pop(oid2, None)
+                else:
+                    relations[oid2] = old_rel
+        elif tag == "p":
+            # Stream Prepare: a STREAMED prepared txn — its stream
+            # buffer parks under the gid like a plain Prepare
+            pxid = struct.unpack_from(">I", msg, 1 + 1 + 8 + 8 + 8)[0]
+            gid, _ = _read_cstr(msg, 1 + 1 + 8 + 8 + 8 + 4)
+            prepared[gid] = [rec for _, rec in stream_bufs.pop(pxid, [])]
+            prep_undo[gid] = [(o, r) for _cx, o, r
+                              in rel_undo.pop(pxid, [])]
         elif tag == "S":
             sxid, _first = struct.unpack_from(">IB", msg, 1)
             cur_stream = sxid
@@ -826,6 +916,10 @@ def iter_pgoutput_changes(data: bytes) -> "Iterator[dict]":
                 rel_undo.setdefault(cur_stream, []).append(
                     (msg_xid if msg_xid is not None else cur_stream,
                      oid, old))
+            elif in_prepare:
+                # same for a prepared-but-undecided txn (Rollback
+                # Prepared restores)
+                cur_undo.append((oid, old))
             if old is not None and old.columns != rel.columns:
                 for body in _diff_relations(old, rel):
                     rec = {"kind": "schema", "ddl": body,
@@ -838,6 +932,8 @@ def iter_pgoutput_changes(data: bytes) -> "Iterator[dict]":
                         stream_bufs.setdefault(cur_stream, []).append(
                             (msg_xid if msg_xid is not None
                              else cur_stream, rec))
+                    elif in_prepare:
+                        txn_buf.append(rec)
                     else:
                         out.append(rec)
         elif tag in ("I", "U", "D"):
@@ -941,6 +1037,11 @@ def iter_pgoutput_changes(data: bytes) -> "Iterator[dict]":
             "%s (%d buffered records): capture files must roll on "
             "Stream Commit/Abort boundaries"
             % (open_xids, sum(len(b) for b in stream_bufs.values())))
+    if any(prepared.values()):
+        raise ValueError(
+            "pgoutput capture file ends with prepared-but-undecided "
+            "transactions %s: capture files must roll only after their "
+            "Commit/Rollback Prepared" % sorted(prepared))
 
 
 # ---------------------------------------------------------------------------

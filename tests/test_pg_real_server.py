@@ -1011,3 +1011,80 @@ def test_prepared_transactions_with_two_phase_off(tmp_path):
         (tmp_path / "spool" / n).read_bytes())}
     assert "change" in kinds
     assert not any(k.startswith("prepare") for k in kinds), kinds
+
+
+def test_two_phase_on_delivers_at_prepare_time(tmp_path):
+    """Round-10 extension: with the slot created WITH two_phase and the
+    `two_phase 'true'` + proto_version 3 options, prepared transactions
+    arrive at PREPARE time ('b'..'P' blocks), surface at COMMIT
+    PREPARED in commit order, and ROLLBACK PREPARED drops them — all
+    against the real walsender."""
+    import struct as _s
+
+    with RealPostgresServer(str(tmp_path / "srv")) as pg:
+        pg.sql("CREATE TABLE public.t (id bigint PRIMARY KEY, v text)")
+        pg.sql("CREATE PUBLICATION pub FOR TABLE t")
+        pg.create_slot("s1", two_phase=True)
+        s = _PsqlSession(pg)
+        try:
+            s.run("BEGIN")
+            s.run("INSERT INTO t VALUES (1, 'keep')")
+            s.run("PREPARE TRANSACTION 'g1'")
+            s.run("BEGIN")
+            s.run("INSERT INTO t VALUES (2, 'drop')")
+            s.run("PREPARE TRANSACTION 'g2'")
+            s.run("INSERT INTO t VALUES (3, 'plain')")
+            s.run("COMMIT PREPARED 'g1'")
+            s.run("ROLLBACK PREPARED 'g2'")
+        finally:
+            s.close()
+        pg.sql("SELECT pg_logical_emit_message(false, '__stop__', '')")
+        written = _consume(pg, tmp_path / "spool", "s1", two_phase=True)
+    raw = b"".join((tmp_path / "spool" / n).read_bytes() for n in written)
+    tags, pos = [], 0
+    while pos < len(raw):
+        _lsn, ln = _s.unpack_from(">QI", raw, pos)
+        tags.append(raw[pos + 12:pos + 13])
+        pos += 12 + ln
+    # the wire really used the two-phase grammar
+    for t in (b"b", b"P", b"K", b"r"):
+        assert t in tags, (t, tags)
+    recs = [c for n in written for c in pgoutput_changes(
+        (tmp_path / "spool" / n).read_bytes()) if c["kind"] == "change"]
+    # delivery is COMMIT order: the plain txn committed before
+    # COMMIT PREPARED 'g1'; the rolled-back 'g2' delivers nothing
+    assert [(c["op"], c["after"]["id"]) for c in recs] == \
+        [("+I", 3), ("+I", 1)], recs
+    assert all(c["ts_usec"] is not None for c in recs)
+
+
+def test_two_phase_streamed_prepare_commit_and_rollback(tmp_path):
+    """Stream Prepare ('p'): a >64 kB prepared transaction streams in
+    segments, parks at 'p', and follows COMMIT/ROLLBACK PREPARED —
+    committed rows exact, rolled-back stream gone."""
+    with RealPostgresServer(str(tmp_path / "srv")) as pg:
+        pg.sql("CREATE TABLE public.t (id bigint PRIMARY KEY, v text)")
+        pg.sql("CREATE PUBLICATION pub FOR TABLE t")
+        pg.create_slot("s1", two_phase=True)
+        s = _PsqlSession(pg)
+        try:
+            s.run("BEGIN")
+            s.run("INSERT INTO t SELECT g, repeat('x', 200) "
+                  "FROM generate_series(1, 1000) g")
+            s.run("PREPARE TRANSACTION 'big-keep'")
+            s.run("BEGIN")
+            s.run("INSERT INTO t SELECT g, repeat('y', 200) "
+                  "FROM generate_series(5001, 6000) g")
+            s.run("PREPARE TRANSACTION 'big-drop'")
+            s.run("COMMIT PREPARED 'big-keep'")
+            s.run("ROLLBACK PREPARED 'big-drop'")
+        finally:
+            s.close()
+        pg.sql("SELECT pg_logical_emit_message(false, '__stop__', '')")
+        written = _consume(pg, tmp_path / "spool", "s1",
+                           two_phase=True, streaming=True)
+    ids = sorted(c["after"]["id"]
+                 for n in written for c in pgoutput_changes(
+                     (tmp_path / "spool" / n).read_bytes())
+                 if c["kind"] == "change" and c["op"] == "+I")
+    assert ids == list(range(1, 1001)), (len(ids), ids[:5], ids[-5:])

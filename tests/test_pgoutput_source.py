@@ -1094,3 +1094,127 @@ def test_subxact_abort_reverts_only_its_relation_change():
                for c in recs if c["kind"] == "change"]
     assert changes == [("+I", 1, "x"), ("+I", 2, "top"),
                        ("+I", 4, "alive")]
+
+
+# ---------------------------------------------------------------------------
+# two-phase commit (round 10): 'b'/'P'/'K'/'r'/'p' messages
+# ---------------------------------------------------------------------------
+
+
+def _tp_rel():
+    return PgRelation(16390, "public", "tp", "d", (
+        PgColumn("id", 20, -1, True), PgColumn("v", 25, -1, False)))
+
+
+def test_two_phase_commit_order_and_rollback():
+    """Prepared txns park at 'P' and flush at 'K' in COMMIT order (an
+    interleaved plain txn that commits first emits first); 'r' drops
+    the parked records entirely."""
+    rel = _tp_rel()
+    w = PgOutputWriter()
+    w.relation(rel)
+    w.begin_prepare("g-keep")
+    w.insert(rel, {"id": 1, "v": "keep"})
+    w.prepare("g-keep")
+    w.begin_prepare("g-drop")
+    w.insert(rel, {"id": 2, "v": "drop"})
+    w.prepare("g-drop")
+    w.begin()
+    w.insert(rel, {"id": 3, "v": "plain"})
+    w.commit()
+    klsn = w.commit_prepared("g-keep")
+    w.rollback_prepared("g-drop")
+    recs = [c for c in pgoutput_changes(w.getvalue())
+            if c["kind"] == "change"]
+    assert [(c["op"], c["after"]["id"]) for c in recs] == \
+        [("+I", 3), ("+I", 1)]
+    kept = recs[1]
+    assert kept["commit_lsn"] == klsn  # ordering coordinate = the 'K'
+    assert kept["ts_usec"] is not None
+
+
+def test_two_phase_stream_prepare_parks_the_stream():
+    """'p' closes a STREAMED txn into the prepared store; its fate then
+    follows 'K'/'r' like any prepared txn."""
+    rel = _tp_rel()
+    w = PgOutputWriter()
+    w.relation(rel)
+    w.stream_start(900)
+    w.insert(rel, {"id": 10, "v": "streamed"})
+    w.stream_stop()
+    w.stream_prepare("g-s", 900)
+    w.begin()
+    w.insert(rel, {"id": 11, "v": "gap"})
+    w.commit()
+    w.commit_prepared("g-s", xid=900)
+    recs = [c for c in pgoutput_changes(w.getvalue())
+            if c["kind"] == "change"]
+    assert [(c["op"], c["after"]["id"]) for c in recs] == \
+        [("+I", 11), ("+I", 10)]
+    # rollback leg
+    w2 = PgOutputWriter()
+    w2.relation(rel)
+    w2.stream_start(901)
+    w2.insert(rel, {"id": 20, "v": "gone"})
+    w2.stream_stop()
+    w2.stream_prepare("g-r", 901)
+    w2.rollback_prepared("g-r", xid=901)
+    assert [c for c in pgoutput_changes(w2.getvalue())
+            if c["kind"] == "change"] == []
+
+
+def test_two_phase_rollback_restores_relation_registry():
+    """A Relation re-description inside a prepared txn that later ROLLS
+    BACK must leave no phantom DDL and no stale catalog state."""
+    rel1 = _tp_rel()
+    rel2 = PgRelation(16390, "public", "tp", "d", (
+        PgColumn("id", 20, -1, True), PgColumn("v", 25, -1, False),
+        PgColumn("extra", 23, -1, False)))
+    w = PgOutputWriter()
+    w.relation(rel1)
+    w.begin()
+    w.insert(rel1, {"id": 1, "v": "a"})
+    w.commit()
+    w.begin_prepare("g-ddl")
+    w.relation(rel2)
+    w.insert(rel2, {"id": 2, "v": "b", "extra": 7})
+    w.prepare("g-ddl")
+    w.rollback_prepared("g-ddl")
+    w.begin()
+    w.insert(rel1, {"id": 3, "v": "c"})  # OLD shape must still decode
+    w.commit()
+    recs = pgoutput_changes(w.getvalue())
+    assert [c["kind"] for c in recs] == ["change", "change"]
+    assert [c["after"]["id"] for c in recs] == [1, 3]
+    assert all("extra" not in c["after"] for c in recs)
+
+
+def test_two_phase_committed_ddl_surfaces():
+    rel1 = _tp_rel()
+    rel2 = PgRelation(16390, "public", "tp", "d", (
+        PgColumn("id", 20, -1, True), PgColumn("v", 25, -1, False),
+        PgColumn("extra", 23, -1, False)))
+    w = PgOutputWriter()
+    w.relation(rel1)
+    w.begin_prepare("g")
+    w.relation(rel2)
+    w.insert(rel2, {"id": 1, "v": "a", "extra": 5})
+    w.prepare("g")
+    w.commit_prepared("g")
+    recs = pgoutput_changes(w.getvalue())
+    kinds = [c["kind"] for c in recs]
+    assert kinds == ["schema", "change"], kinds
+    assert recs[1]["after"]["extra"] == 5
+
+
+def test_two_phase_undecided_at_eof_raises():
+    """never-silently-drop: a capture file ending with a prepared-but-
+    undecided transaction must raise, not strand the parked records."""
+    rel = _tp_rel()
+    w = PgOutputWriter()
+    w.relation(rel)
+    w.begin_prepare("g-limbo")
+    w.insert(rel, {"id": 1, "v": "x"})
+    w.prepare("g-limbo")
+    with pytest.raises(ValueError, match="prepared-but-undecided.*g-limbo"):
+        pgoutput_changes(w.getvalue())
