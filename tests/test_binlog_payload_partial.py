@@ -483,3 +483,24 @@ def test_container_rows_get_monotone_seqs_across_events():
     assert [c["op"] for c in ch] == ["+I", "-U", "+U", "-D"]
     seqs = [record_seq(c["file"], c["pos"], c["row"], c["op"]) for c in ch]
     assert seqs == sorted(seqs) and len(set(seqs)) == 4, seqs
+
+
+def test_payload_file_renders_debezium_json(spark, tmp_path):
+    """The debezium-json bridge consumes container-wrapped captures the
+    same as plain ones (it rides iter_binlog_changes)."""
+    import json
+
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import \
+        binlog_to_debezium_json
+
+    w = _payload_file()
+    p = tmp_path / "mysql-bin.000001"
+    p.write_bytes(w.getvalue())
+    files = spark.createDataFrame(
+        [(str(p), w.getvalue())], "path STRING, content BINARY")
+    rows = binlog_to_debezium_json(files).collect()
+    docs = [json.loads(r.value) for r in rows]
+    assert [d["op"] for d in docs] == ["c", "c"]
+    assert docs[0]["after"]["id"] == 1
+    assert json.loads(docs[0]["after"]["doc"]) == {"a": 1}
+    assert docs[1]["after"]["doc"] is None

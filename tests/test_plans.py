@@ -477,6 +477,11 @@ def test_wire_decoder_plan_shapes(spark):
     shapes = {
         # name -> (exchanges, map_in_pandas)
         "cdc_mysql_binlog_decode": (1, 1),  # decode half; encode below
+        # round-10 payload/partial gate: all-in-one plan — encode Arrow
+        # stage + spreading exchange, decode Arrow stage + materialize
+        # exchange; the TRANSACTION_PAYLOAD unwrap happens inside the
+        # per-file sequential decode and adds NO shuffle
+        "cdc_mysql_binlog_payload_decode": (2, 2),
         "cdc_pgoutput_decode": (2, 2),
         "cdc_pgoutput_binary_decode": (2, 2),
         # walsender-routed twin: decode half over the respooled files
