@@ -272,6 +272,20 @@ def run_codec_scale(spark, EQ) -> list[dict]:
         n = decode().count()
         return d, n, decode
 
+    def binlog_payload_fixture(replicas):
+        # round 10: every txn inside a TRANSACTION_PAYLOAD container,
+        # JSON updates as partial diff vectors — the container unwrap +
+        # diff apply must scale like the plain codec (per-row work,
+        # no cross-file state)
+        d = tempfile.mkdtemp(prefix="codec_binlog_payload_")
+        _materialize_files(
+            EQ.binlog_payload_capture_files(spark, SF_DIR, replicas), d)
+        decode = lambda: decode_binlog(  # noqa: E731
+            read_binlog_files(spark, d), "shop", "orders",
+            EQ.BINLOG_ORDERS_PAYLOAD)
+        n = decode().count()
+        return d, n, decode
+
     def pgoutput_fixture(replicas):
         d = tempfile.mkdtemp(prefix="codec_pgoutput_")
         _materialize_files(
@@ -292,6 +306,7 @@ def run_codec_scale(spark, EQ) -> list[dict]:
 
     out = []
     for name, fixture in (("binlog_decode", binlog_fixture),
+                          ("binlog_payload_decode", binlog_payload_fixture),
                           ("pgoutput_decode", pgoutput_fixture),
                           ("tidb_kv_decode", tidb_fixture)):
         d1, n1, dec1 = fixture(1)

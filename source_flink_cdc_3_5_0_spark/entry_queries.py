@@ -2349,40 +2349,27 @@ BINLOG_ORDERS_PAYLOAD = T.StructType([
     T.StructField("doc", T.StringType(), True)])
 
 
-def q_cdc_mysql_binlog_payload_decode(spark, sf_dir):
-    """MySQL 8 opt-in binlog features end-to-end (round 10): every
-    transaction rides a TRANSACTION_PAYLOAD container (type 40,
-    `binlog_transaction_compression=ON`, compression NONE) and JSON
-    updates arrive as PARTIAL_UPDATE_ROWS (type 39,
-    `binlog_row_value_options=PARTIAL_JSON`) diff vectors — including
-    type-39 INSIDE type-40, which is exactly what a server with both
-    options set emits. Scripted churn over ``orders`` (keys ≡ 0,1 mod
-    4): insert all with doc={"pri": priority, "n": 0}; for even keys a
-    partial update REPLACEs $.n and INSERTs $.u; every 11th key is
-    deleted. The decoder must recurse the containers, apply the diff
-    vectors to the FULL before-images, and keep container-level file
-    positions monotone for `latest_image`. Reference parity: the
-    `mysql-binlog-connector-java` jar's TransactionPayloadEventData /
-    partial-JSON deserializers (wire formats: libbinlogevents
-    control_events.h, rows_event.h, sql/json_diff.cc).
-
-    Scale shape: same as `cdc_mysql_binlog_decode` — Arrow-batched
-    mapInPandas encode, one capture file per task, one key shuffle to
-    materialize; the container adds zero extra shuffles (it's unwrapped
-    inside the per-file sequential decode)."""
+def binlog_payload_capture_files(spark, sf_dir, replicas: int = 1):
+    """Scripted churn over ``orders`` where EVERY transaction rides a
+    TRANSACTION_PAYLOAD container and JSON updates ship as
+    PARTIAL_UPDATE_ROWS diff vectors: (path, content) DataFrame, one
+    capture file per partition. Shared by the
+    `cdc_mysql_binlog_payload_decode` oracle gate and bench_scale's
+    codec-throughput rows (``replicas`` scales with offset keys)."""
     import pandas as pd
 
     from .sources.mysql_binlog import (
         DELETE_ROWS_EVENT, MYSQL_TYPE_JSON, MYSQL_TYPE_LONGLONG,
         MYSQL_TYPE_VARCHAR, WRITE_ROWS_EVENT, BinlogColumn,
-        BinlogTableMap, BinlogWriter, decode_binlog)
+        BinlogTableMap, BinlogWriter)
 
     k = F.col("o_orderkey").cast("long")
     od = (load(spark, sf_dir, "orders")
           .where(k % 4 < 2)
           .select(k.alias("key"), "o_orderstatus", "o_orderpriority",
                   F.round(F.col("o_totalprice") * 100).cast("long")
-                   .alias("cents"))
+                   .alias("cents")))
+    od = (_replicate_keys(od, "key", replicas, 100_000_000)
           .repartition(spark.sparkContext.defaultParallelism, "key")
           .sortWithinPartitions("key"))
 
@@ -2447,7 +2434,34 @@ def q_cdc_mysql_binlog_payload_decode(spark, sf_dir):
         yield pd.DataFrame({"path": ["mysql-bin.%06d" % (pid + 1)],
                             "content": [w.getvalue()]})
 
-    files = od.mapInPandas(enc, "path STRING, content BINARY")
+    return od.mapInPandas(enc, "path STRING, content BINARY")
+
+
+def q_cdc_mysql_binlog_payload_decode(spark, sf_dir):
+    """MySQL 8 opt-in binlog features end-to-end (round 10): every
+    transaction rides a TRANSACTION_PAYLOAD container (type 40,
+    `binlog_transaction_compression=ON`, compression NONE) and JSON
+    updates arrive as PARTIAL_UPDATE_ROWS (type 39,
+    `binlog_row_value_options=PARTIAL_JSON`) diff vectors — including
+    type-39 INSIDE type-40, which is exactly what a server with both
+    options set emits. Scripted churn over ``orders`` (keys ≡ 0,1 mod
+    4): insert all with doc={"pri": priority, "n": 0}; for even keys a
+    partial update REPLACEs $.n and INSERTs $.u; every 11th key is
+    deleted. The decoder must recurse the containers, apply the diff
+    vectors to the FULL before-images, and keep container-level file
+    positions monotone for `latest_image`. Reference parity: the
+    `mysql-binlog-connector-java` jar's TransactionPayloadEventData /
+    partial-JSON deserializers (wire formats: libbinlogevents
+    control_events.h, rows_event.h, sql/json_diff.cc).
+
+    Scale shape: same as `cdc_mysql_binlog_decode` — Arrow-batched
+    mapInPandas encode (shared fixture `binlog_payload_capture_files`),
+    one capture file per task, one key shuffle to materialize; the
+    container adds zero extra shuffles (it's unwrapped inside the
+    per-file sequential decode)."""
+    from .sources.mysql_binlog import decode_binlog
+
+    files = binlog_payload_capture_files(spark, sf_dir)
     env = decode_binlog(files, "shop", "orders", BINLOG_ORDERS_PAYLOAD)
     out = latest_image(env, ["o_orderkey"], seq_col=SEQ_COL)
     return out.select(
