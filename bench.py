@@ -324,6 +324,17 @@ def guard_retimed_record(full_path: str, new_record: dict) -> None:
 def main() -> None:
     from pyspark.sql import SparkSession
 
+    # resolve the output path and run the clobber guard UP FRONT: a
+    # refusal after the full suite ran would discard the entire run
+    # (review r10 finding #2) — the fresh record can never carry
+    # retimes, so the guard's answer is already known here
+    full_path = (sys.argv[1] if len(sys.argv) > 1
+                 else os.environ.get(
+                     "SPARK_GRAFT_BENCH_OUT",
+                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "BENCH_FULL.json")))
+    guard_retimed_record(full_path, {})
+
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("cdc-engine-bench")
@@ -452,11 +463,8 @@ def main() -> None:
         "who": os.environ.get("SPARK_GRAFT_BENCH_WHO")
         or "%s@%s" % (__import__("getpass").getuser(), platform.node()),
     }
-    full_path = (sys.argv[1] if len(sys.argv) > 1
-                 else os.environ.get(
-                     "SPARK_GRAFT_BENCH_OUT",
-                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                  "BENCH_FULL.json")))
+    # second guard right before the write: belt-and-braces against a
+    # record that appeared mid-run
     guard_retimed_record(full_path, full)
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)

@@ -360,26 +360,45 @@ class JsonDiffVector(list):
     the before-image, and the encoder serializes it as diffs."""
 
 
-def _lenc():
-    from ..sources.mysql_binlog import _read_lenc, _write_lenc
-    return _read_lenc, _write_lenc
+def read_lenc(buf: bytes, pos: int) -> tuple[int, int]:
+    """MySQL length-encoded ("packed") integer — shared by the binlog
+    file/wire codecs, the replication transport, and the JSON diff
+    vectors (canonical home: common/, so sources/ depends downward)."""
+    b = buf[pos]
+    if b < 0xFB:
+        return b, pos + 1
+    if b == 0xFC:
+        return struct.unpack_from("<H", buf, pos + 1)[0], pos + 3
+    if b == 0xFD:
+        return int.from_bytes(buf[pos + 1:pos + 4], "little"), pos + 4
+    if b == 0xFE:
+        return struct.unpack_from("<Q", buf, pos + 1)[0], pos + 9
+    raise ValueError("invalid length-encoded integer lead byte 0x%02x" % b)
+
+
+def write_lenc(v: int) -> bytes:
+    if v < 0xFB:
+        return bytes([v])
+    if v < 1 << 16:
+        return b"\xfc" + struct.pack("<H", v)
+    if v < 1 << 24:
+        return b"\xfd" + v.to_bytes(3, "little")
+    return b"\xfe" + struct.pack("<Q", v)
 
 
 def encode_json_diffs(diffs) -> bytes:
-    _read, _write = _lenc()
     out = bytearray()
     for d in diffs:
         out.append(d.op)
         p = d.path.encode("utf-8")
-        out += _write(len(p)) + p
+        out += write_lenc(len(p)) + p
         if d.op != JSON_DIFF_REMOVE:
             v = encode_json(d.value)
-            out += _write(len(v)) + v
+            out += write_lenc(len(v)) + v
     return bytes(out)
 
 
 def decode_json_diffs(buf: bytes) -> JsonDiffVector:
-    _read, _write = _lenc()
     out = JsonDiffVector()
     pos = 0
     while pos < len(buf):
@@ -389,12 +408,12 @@ def decode_json_diffs(buf: bytes) -> JsonDiffVector:
             raise ValueError(
                 "corrupt JSON diff vector: unknown operation byte 0x%02x "
                 "at offset %d" % (op, pos - 1))
-        n, pos = _read(buf, pos)
+        n, pos = read_lenc(buf, pos)
         path = buf[pos:pos + n].decode("utf-8")
         pos += n
         value = None
         if op != JSON_DIFF_REMOVE:
-            n, pos = _read(buf, pos)
+            n, pos = read_lenc(buf, pos)
             value = decode_json(bytes(buf[pos:pos + n]))
             pos += n
         out.append(JsonDiff(op, path, value))

@@ -76,11 +76,21 @@ def available() -> bool:
     return _load() is not None
 
 
+#: zstd's worst-case expansion is bounded by the RLE block form: 3 bytes
+#: of input inflate to at most 128 KiB of output (~43691:1). Anything a
+#: corrupt size field declares beyond that cannot be a real frame, so
+#: the buffer allocation is rejected by NAME instead of dying on a
+#: multi-terabyte create_string_buffer (review r10 finding #4).
+_MAX_RATIO = 44_000
+
+
 def decompress(data: bytes, expected_size: int | None = None) -> bytes:
     """One zstd frame -> bytes. ``expected_size`` (the payload event's
     uncompressed-size field) sizes the buffer; otherwise the frame
     header's content size is used. Corrupt frames raise ValueError with
-    libzstd's own error name."""
+    libzstd's own error name; an implausible declared size (beyond
+    zstd's worst-case expansion of the input) is refused before any
+    allocation."""
     lib = _load()
     if lib is None:
         raise RuntimeError("no libzstd on this host")
@@ -92,6 +102,11 @@ def decompress(data: bytes, expected_size: int | None = None) -> bytes:
                 "zstd frame does not declare its content size and the "
                 "caller supplied none")
         size = got
+    if size > max(len(data), 1) * _MAX_RATIO:
+        raise ValueError(
+            "declared decompressed size %d exceeds zstd's maximum "
+            "expansion of the %d-byte frame (corrupt size field?)"
+            % (size, len(data)))
     buf = ctypes.create_string_buffer(size)
     n = lib.ZSTD_decompress(buf, size, data, len(data))
     if lib.ZSTD_isError(n):

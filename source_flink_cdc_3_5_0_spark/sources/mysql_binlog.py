@@ -58,6 +58,8 @@ from __future__ import annotations
 
 import struct
 import zlib
+
+from ..common.mysql_json import read_lenc, write_lenc
 from dataclasses import dataclass, field
 from typing import Iterator
 
@@ -200,28 +202,12 @@ def decode_gtid_set(blob: bytes, pos: int = 0) -> str:
     return ",".join(parts)
 
 
-def _read_lenc(buf: bytes, pos: int) -> tuple[int, int]:
-    """MySQL length-encoded integer."""
-    b = buf[pos]
-    if b < 0xFB:
-        return b, pos + 1
-    if b == 0xFC:
-        return struct.unpack_from("<H", buf, pos + 1)[0], pos + 3
-    if b == 0xFD:
-        return int.from_bytes(buf[pos + 1:pos + 4], "little"), pos + 4
-    if b == 0xFE:
-        return struct.unpack_from("<Q", buf, pos + 1)[0], pos + 9
-    raise ValueError("invalid length-encoded integer lead byte 0x%02x" % b)
-
-
-def _write_lenc(v: int) -> bytes:
-    if v < 0xFB:
-        return bytes([v])
-    if v < 1 << 16:
-        return b"\xfc" + struct.pack("<H", v)
-    if v < 1 << 24:
-        return b"\xfd" + v.to_bytes(3, "little")
-    return b"\xfe" + struct.pack("<Q", v)
+# length-encoded integers live in common/mysql_json (review r10
+# finding #3: common/ must not import upward from sources/); the private
+# aliases keep this module's many call sites and the protocol module's
+# cross-import working unchanged
+_read_lenc = read_lenc
+_write_lenc = write_lenc
 
 
 def _bitmap_get(bitmap: bytes, i: int) -> bool:
@@ -1419,7 +1405,8 @@ def iter_binlog_changes(data: bytes, filename: str = "") -> Iterator[dict]:
                 "gtids": _gtid_set_str(running) or None,
                 "txn_gtid": (f"{gtid[0]}:{gtid[1]}" if gtid else None)}
 
-    def handle(ev: BinlogEvent, row_base: int = 0) -> Iterator[dict]:
+    def handle(ev: BinlogEvent, row_base: int = 0,
+               container: "BinlogEvent | None" = None) -> Iterator[dict]:
         nonlocal gtid, rows_query
         t = ev.type_byte
         if t == PREVIOUS_GTIDS_EVENT:
@@ -1437,7 +1424,7 @@ def iter_binlog_changes(data: bytes, filename: str = "") -> Iterator[dict]:
             # an earlier +I of the same key.
             base = 0
             for inner in ev.fields["events"]:
-                yield from handle(inner, base)
+                yield from handle(inner, base, ev)
                 if inner.type_byte in _ROWS_EVENTS \
                         or inner.type_byte == PARTIAL_UPDATE_ROWS_EVENT:
                     base += len(inner.fields["rows"])
@@ -1473,18 +1460,38 @@ def iter_binlog_changes(data: bytes, filename: str = "") -> Iterator[dict]:
             base = {"kind": "change", "database": tmap.database,
                     "table": tmap.table, **_pos(ev),
                     **({"query": rows_query} if rows_query else {})}
+            span = (max(container.log_pos - container.start_pos - 2, 0)
+                    if container is not None else 0)
+
+            def seq_keys(i: int) -> dict:
+                # record_seq's row budget is 10 bits — a big compressed
+                # transaction easily exceeds 1023 records, and saturated
+                # same-key records would tie (review r10 finding #1).
+                # The byte range (start_pos, log_pos) of the container
+                # belongs to NO other event, so overflow spills into a
+                # pseudo-position inside it: capacity 1024 × container
+                # bytes, far above any real row count (zstd tops out
+                # near ~43000:1, and a row is ≥ a few payload bytes).
+                # The REAL pos/row stay on the record (resume
+                # coordinates); only __seq construction uses these.
+                if container is None:
+                    return {}
+                return {"seq_pos": (container.start_pos + 1
+                                    + min(i // 1024, span)),
+                        "seq_row": i % 1024}
+
             for i, r in enumerate(ev.fields["rows"], start=row_base):
                 if t == WRITE_ROWS_EVENT:
-                    yield {**base, "op": "+I", "after": r,
+                    yield {**base, **seq_keys(i), "op": "+I", "after": r,
                            "before": None, "row": i}
                 elif t == DELETE_ROWS_EVENT:
-                    yield {**base, "op": "-D", "after": None,
+                    yield {**base, **seq_keys(i), "op": "-D", "after": None,
                            "before": r, "row": i}
                 else:
                     before, after = r
-                    yield {**base, "op": "-U", "after": None,
+                    yield {**base, **seq_keys(i), "op": "-U", "after": None,
                            "before": before, "row": i}
-                    yield {**base, "op": "+U", "after": after,
+                    yield {**base, **seq_keys(i), "op": "+U", "after": after,
                            "before": before, "row": i}
         elif t == XID_EVENT:
             if gtid is not None:
@@ -1817,8 +1824,9 @@ def decode_binlog(files: "DataFrame", database: str, table: str,
                         "ts_ms": str(c["ts_sec"] * 1000),
                         **({"gtids": c["gtids"]} if c["gtids"] else {}),
                     }
-                    rec[SEQ_COL] = record_seq(c["file"], c["pos"],
-                                              c["row"], c["op"])
+                    rec[SEQ_COL] = record_seq(
+                        c["file"], c.get("seq_pos", c["pos"]),
+                        c.get("seq_row", c["row"]), c["op"])
                     recs.append(rec)
             yield pd.DataFrame(
                 {n: pd.Series([r.get(n) for r in recs], dtype=object)
@@ -1993,8 +2001,10 @@ def binlog_to_debezium_json(files: "DataFrame",
                 for c in iter_binlog_changes(bytes(content), fname):
                     if not _keep_record(c, start_offset, start_timestamp_ms):
                         continue
-                    seq = record_seq(c["file"], c["pos"], c.get("row", 0),
-                                     c.get("op") or "+I")
+                    seq = record_seq(
+                        c["file"], c.get("seq_pos", c["pos"]),
+                        c.get("seq_row", c.get("row", 0)),
+                        c.get("op") or "+I")
                     if c["kind"] == "ddl":
                         rec = {"databaseName": c["database"],
                                "ddl": c["sql"],

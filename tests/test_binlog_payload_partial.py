@@ -504,3 +504,67 @@ def test_payload_file_renders_debezium_json(spark, tmp_path):
     assert docs[0]["after"]["id"] == 1
     assert json.loads(docs[0]["after"]["doc"]) == {"a": 1}
     assert docs[1]["after"]["doc"] is None
+
+
+def test_container_seqs_stay_distinct_past_1024_records():
+    """Review r10 finding #1: past record_seq's 10-bit row budget,
+    same-key records inside one container used to saturate to identical
+    __seq (confirmed repro: +I row 1099 vs +U row 1100). Overflow now
+    spills into a pseudo-position inside the container's own byte span
+    — every record's seq stays distinct and strictly increasing in
+    wire order."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import \
+        record_seq
+
+    tmap = _table()
+    w = BinlogWriter()
+    inner = BinlogWriter.embedded()
+    inner.query("BEGIN")
+    inner.table_map(tmap)
+    rows = [dict(id=i, doc=None, v="r%d" % i) for i in range(1100)]
+    inner.rows(tmap, WRITE_ROWS_EVENT, rows)
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import \
+        UPDATE_ROWS_EVENT
+    inner.rows(tmap, UPDATE_ROWS_EVENT,
+               [(dict(id=1099, doc=None, v="r1099"),
+                 dict(id=1099, doc=None, v="UPDATED"))])
+    inner.xid(2)
+    w.transaction_payload(inner)
+    ch = [c for c in binlog_changes(w.getvalue(), "mysql-bin.000001")
+          if c["kind"] == "change"]
+    assert len(ch) == 1100 + 2
+    seqs = [record_seq(c["file"], c.get("seq_pos", c["pos"]),
+                       c.get("seq_row", c["row"]), c["op"]) for c in ch]
+    assert seqs == sorted(seqs)
+    assert len(set(seqs)) == len(seqs), "colliding seqs"
+    # the pseudo-positions stay strictly inside the container's span:
+    # below its end position, above its start
+    ev = [e for e in BinlogReader(w.getvalue()).events()
+          if e.type_byte == TRANSACTION_PAYLOAD_EVENT][0]
+    for c in ch:
+        assert ev.start_pos < c["seq_pos"] < ev.log_pos
+        assert c["pos"] == ev.log_pos  # resume coordinate untouched
+    # and a record AFTER the container still sorts above all of them
+    after = record_seq("mysql-bin.000001", ev.log_pos, 0, "+I")
+    assert all(s < after for s in seqs)
+
+
+def test_zstd_implausible_declared_size_refused_without_allocation():
+    """Review r10 finding #4: a corrupt uncompressed-size field must be
+    refused by name before the buffer allocation, not die on a
+    multi-terabyte MemoryError."""
+    from source_flink_cdc_3_5_0_spark.common import zstd_binding
+
+    if not zstd_binding.available():
+        pytest.skip("no libzstd on this host")
+    frame = zstd_binding.compress(b"x" * 100)
+    with pytest.raises(ValueError, match="maximum expansion"):
+        zstd_binding.decompress(frame, 1 << 45)
+    # and wired through the payload header path with event coordinates
+    w = BinlogWriter()
+    body = (bytes([2, 1, 0])                       # compression ZSTD
+            + bytes([3, 9]) + b"\xfe" + (1 << 45).to_bytes(8, "little")
+            + bytes([0]) + frame)                  # corrupt size + frame
+    w._emit(TRANSACTION_PAYLOAD_EVENT, body)
+    with pytest.raises(ValueError, match="TRANSACTION_PAYLOAD.*expansion"):
+        binlog_changes(w.getvalue(), "f")
