@@ -687,9 +687,18 @@ class PipelineComposer:
                 effective_start_offset)
 
             start, ts_ms = effective_start_offset(opts, opts["path"])
+            # declared column names, positionally applied to TABLE_MAPs
+            # that shipped none (binlog_row_metadata=MINIMAL — the
+            # server default; without this, name-mapped images would
+            # silently null every declared column)
+            names_by_table = {
+                tid.split(".", 1)[-1] if tid.count(".") == 2 else tid:
+                    [c.name for c in sch.columns]
+                for tid, sch in tables.items()}
             raw = binlog_to_debezium_json(
                 binlog_stream_source(self.spark, opts["path"]),
-                start_offset=start, start_timestamp_ms=ts_ms)
+                start_offset=start, start_timestamp_ms=ts_ms,
+                column_names=names_by_table)
         elif t == "oracle-logminer-file":
             # polled V$LOGMNR_CONTENTS rows with SQL_REDO statements; the
             # DML parser re-implements Debezium's LogMinerDmlParser and

@@ -447,6 +447,10 @@ class BinlogTableMap:
     table: str
     columns: tuple[BinlogColumn, ...]
     pk_indexes: tuple[int, ...] = ()
+    #: False when the TABLE_MAP carried no COLUMN_NAME TLV
+    #: (binlog_row_metadata=MINIMAL — the server DEFAULT): column names
+    #: are the col_<i> placeholders and consumers must map positionally
+    wire_names: bool = True
 
     @property
     def qualified(self) -> str:
@@ -779,6 +783,11 @@ class BinlogWriter:
                 if c.unsigned:
                     bits[i // 8] |= 0x80 >> (i % 8)
             body += bytes([_META_SIGNEDNESS]) + _write_lenc(len(bits)) + bytes(bits)
+        if not tmap.wire_names:
+            # binlog_row_metadata=MINIMAL (the server default): only the
+            # SIGNEDNESS TLV ships — no names, enum literals, or PK
+            self._emit(TABLE_MAP_EVENT, body)
+            return
         names = b"".join(_write_lenc(len(c.name.encode())) + c.name.encode()
                          for c in cols)
         body += bytes([_META_COLUMN_NAME]) + _write_lenc(len(names)) + names
@@ -1127,6 +1136,7 @@ class BinlogReader:
         pos += (ncols + 7) // 8
         # optional metadata TLVs
         names = [f"col_{i}" for i in range(ncols)]
+        have_names = False
         unsigned = [False] * ncols
         str_values: dict[int, tuple[str, ...]] = {}
         pks: tuple[int, ...] = ()
@@ -1144,6 +1154,7 @@ class BinlogReader:
                     if j // 8 < len(val) and val[j // 8] & (0x80 >> (j % 8)):
                         unsigned[ci] = True
             elif tlv_type == _META_COLUMN_NAME:
+                have_names = True
                 names, vp, i = names[:], 0, 0
                 while vp < len(val) and i < ncols:
                     ln, vp = _read_lenc(val, vp)
@@ -1177,7 +1188,8 @@ class BinlogReader:
                                   unsigned[i], nullable[i],
                                   str_values.get(i, ()))
                      for i in range(ncols))
-        return BinlogTableMap(table_id, db, tbl, cols, pks)
+        return BinlogTableMap(table_id, db, tbl, cols, pks,
+                              wire_names=have_names)
 
     def _decode_row_image(self, cols, present: list[bool],
                           b: bytes, pos: int,
@@ -1459,6 +1471,7 @@ def iter_binlog_changes(data: bytes, filename: str = "") -> Iterator[dict]:
             tmap: BinlogTableMap = ev.fields["table"]
             base = {"kind": "change", "database": tmap.database,
                     "table": tmap.table, **_pos(ev),
+                    **({} if tmap.wire_names else {"names_inferred": True}),
                     **({"query": rows_query} if rows_query else {})}
             span = (max(container.log_pos - container.start_pos - 2, 0)
                     if container is not None else 0)
@@ -1789,9 +1802,18 @@ def decode_binlog(files: "DataFrame", database: str, table: str,
     ftypes = {f.name: f.dataType for f in payload_schema.fields}
     payload_cols = list(ftypes)
 
-    def _image(img: dict | None):
+    def _image(img: dict | None, positional: bool = False):
         if img is None:
             return None
+        if positional:
+            # binlog_row_metadata=MINIMAL: the wire carried no column
+            # names (col_<i> placeholders) — the caller-declared payload
+            # schema maps by POSITION, the same contract Debezium gets
+            # from its schema snapshot. Mapping placeholders by name
+            # would silently null every column (review r10 follow-up).
+            img = {payload_cols[int(k[4:])]: v for k, v in img.items()
+                   if k.startswith("col_")
+                   and int(k[4:]) < len(payload_cols)}
         return {c: _to_spark_value(ftypes[c], img.get(c))
                 for c in payload_cols}
 
@@ -1807,10 +1829,12 @@ def decode_binlog(files: "DataFrame", database: str, table: str,
                         continue
                     if not _keep_record(c, start_offset, None):
                         continue
-                    after = _image(c["after"]) or _image(c["before"])
+                    pos_map = bool(c.get("names_inferred"))
+                    after = (_image(c["after"], pos_map)
+                             or _image(c["before"], pos_map))
                     rec = dict(after or {})
                     rec[OP_COL] = c["op"]
-                    rec[BEFORE_COL] = _image(c["before"]) \
+                    rec[BEFORE_COL] = _image(c["before"], pos_map) \
                         if c["op"] in ("-U", "+U") else None
                     rec[META_COL] = {
                         "file": c["file"], "pos": str(c["pos"]),
@@ -1964,8 +1988,9 @@ def _keep_record(c: dict, start_offset: BinlogOffset | None,
 
 def binlog_to_debezium_json(files: "DataFrame",
                             start_offset: BinlogOffset | None = None,
-                            start_timestamp_ms: int | None = None
-                            ) -> "DataFrame":
+                            start_timestamp_ms: int | None = None,
+                            column_names: dict[str, list[str]]
+                            | None = None) -> "DataFrame":
     """Binlog binary files -> debezium-json records (value, offset).
 
     The bridge Debezium itself performs: one Arrow-batched pass turns the
@@ -1978,6 +2003,13 @@ def binlog_to_debezium_json(files: "DataFrame",
     the MySQL DDL parser. ``offset`` is the monotone (file, pos, row) seq —
     `decode_debezium` picks it up as ``__seq``. Works identically on batch
     and streaming inputs (a narrow mapInPandas stage, one file per task).
+
+    ``column_names`` maps "db.table" -> the DECLARED ordered column
+    names: when a TABLE_MAP shipped no names
+    (binlog_row_metadata=MINIMAL, the server default) the wire's
+    col_<i> placeholders remap positionally — Debezium's
+    schema-snapshot contract. Without it such records keep placeholder
+    names (matching the wire-native inferred DDL).
     """
     import json as _json
 
@@ -2015,11 +2047,25 @@ def binlog_to_debezium_json(files: "DataFrame",
                         if c["op"] == "-U":
                             continue  # the +U record carries both images
                         op = {"+I": "c", "+U": "u", "-D": "d"}[c["op"]]
-                        image = (c["before"] if c["op"] == "-D"
-                                 else c["after"])
+                        declared = None
+                        if c.get("names_inferred") and column_names:
+                            declared = column_names.get(
+                                "%s.%s" % (c["database"], c["table"]))
+
+                        def named(img):
+                            if img is None or declared is None:
+                                return img
+                            return {declared[int(k[4:])]: v
+                                    for k, v in img.items()
+                                    if k.startswith("col_")
+                                    and int(k[4:]) < len(declared)}
+
+                        image = named(c["before"] if c["op"] == "-D"
+                                      else c["after"])
+                        before = named(c["before"])
                         rec = {
                             "before": ({k: _json_safe(v) for k, v
-                                        in c["before"].items()}
+                                        in before.items()}
                                        if c["op"] in ("+U", "-D") else None),
                             "after": ({k: _json_safe(v) for k, v
                                        in image.items()}

@@ -1135,3 +1135,86 @@ def test_query_commit_is_a_boundary_not_ddl():
     assert recs[0].get("query") == "INSERT INTO t SELECT 1"
     # the latch reset at QUERY-COMMIT: no leak onto the next txn's rows
     assert "query" not in recs[1]
+
+
+def test_minimal_row_metadata_positional_mapping(spark, tmp_path):
+    """binlog_row_metadata=MINIMAL (the server DEFAULT) ships no column
+    names in TABLE_MAP — placeholders used to map by name against the
+    declared payload schema and silently null every column. Declared
+    schemas now map by POSITION (Debezium's schema-snapshot contract),
+    at the decode_binlog surface AND through the YAML pipeline."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        MYSQL_TYPE_LONG, MYSQL_TYPE_VARCHAR, UPDATE_ROWS_EVENT,
+        WRITE_ROWS_EVENT, BinlogColumn, BinlogTableMap, BinlogWriter,
+        binlog_changes, decode_binlog)
+
+    cols = (BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),
+            BinlogColumn("v", MYSQL_TYPE_VARCHAR, (255,)))
+    tmap = BinlogTableMap(5, "db", "t", cols, (0,), wire_names=False)
+    w = BinlogWriter()
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=1, v="a"), dict(id=2, v="b")])
+    w.rows(tmap, UPDATE_ROWS_EVENT,
+           [(dict(id=2, v="b"), dict(id=2, v="b2"))])
+    data = w.getvalue()
+    # the wire really has NO names: raw changes use placeholders
+    ch = [c for c in binlog_changes(data, "f") if c["kind"] == "change"]
+    assert ch[0]["after"] == {"col_0": 1, "col_1": "a"}
+    assert all(c["names_inferred"] for c in ch)
+    # decode_binlog maps the declared schema positionally
+    import pyspark.sql.types as T
+
+    payload = T.StructType([T.StructField("id", T.LongType()),
+                            T.StructField("v", T.StringType())])
+    files = spark.createDataFrame([("f", data)], "path STRING, content BINARY")
+    rows = (decode_binlog(files, "db", "t", payload)
+            .orderBy("__seq").collect())
+    assert [(r["id"], r["v"], r["__op"]) for r in rows] == \
+        [(1, "a", "+I"), (2, "b", "+I"),
+         (2, "b", "-U"), (2, "b2", "+U")]
+    assert rows[2]["__before"].asDict() == {"id": 2, "v": "b"}
+    # and the full YAML surface with DECLARED tables
+    from source_flink_cdc_3_5_0_spark.common import TableId
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline)
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+
+    src = tmp_path / "bl"
+    src.mkdir()
+    (src / "mysql-bin.000001").write_bytes(data)
+    yaml_text = f"""
+source:
+  type: mysql-binlog-file
+  path: {src}
+  tables: '{{"db.t": "id BIGINT, v STRING"}}'
+  primary-keys: '{{"db.t": ["id"]}}'
+  checkpoint: {tmp_path}/ckpt
+sink: {{type: values}}
+"""
+    sink = MemorySink()
+    pipe, raw, tables = PipelineComposer(spark).compose_streaming(
+        parse_yaml_pipeline(yaml_text), sink=sink)
+    pipe.start(raw, tables).awaitTermination(120)
+    assert sink.snapshot(TableId.parse("db.t")) == ["1, a", "2, b2"]
+
+
+def test_minimal_metadata_without_declared_names_keeps_placeholders():
+    """No declared schema (wire-native inference): placeholder names
+    flow through consistently — inference, records, and the bridge all
+    say col_<i>, so nothing silently nulls."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        MYSQL_TYPE_LONG, BinlogColumn, BinlogTableMap, BinlogWriter,
+        WRITE_ROWS_EVENT, binlog_infer_tables)
+
+    cols = (BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),)
+    tmap = BinlogTableMap(5, "db", "t", cols, (0,), wire_names=False)
+    w = BinlogWriter()
+    w.table_map(tmap)
+    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=1)])
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "mysql-bin.000001")
+    open(p, "wb").write(w.getvalue())
+    tables, pks = binlog_infer_tables([p])
+    assert "col_0" in tables["db.t"]
+    assert pks == {}  # MINIMAL metadata ships no SIMPLE_PRIMARY_KEY
