@@ -132,10 +132,78 @@ MYSQL_TYPE_STRING = 254
 #: optional TABLE_MAP metadata TLV types (libbinlogevents rows_event.h
 #: Optional_metadata_field_type)
 _META_SIGNEDNESS = 1
+_META_DEFAULT_CHARSET = 2
+_META_COLUMN_CHARSET = 3
 _META_COLUMN_NAME = 4
 _META_SET_STR_VALUE = 5
 _META_ENUM_STR_VALUE = 6
 _META_SIMPLE_PRIMARY_KEY = 8
+
+# MySQL collation id -> Python codec (public mapping: the server's
+# INFORMATION_SCHEMA.COLLATIONS / Connector/J CharsetMapping). MySQL's
+# `latin1` is the cp1252 superset (Connector/J maps it to Cp1252), so
+# decode tries cp1252 first and falls back to iso-8859-1, which maps
+# all 256 bytes. 63 = `binary` (no codec: raw bytes). Unlisted ids
+# default to utf-8 — the pre-round-10 behavior.
+_COLLATION_CODECS: dict[int, str | None] = {63: None}
+for _ids, _codec in (
+        ((33, 76, 83, *range(192, 224), 245, 246), "utf-8"),   # utf8mb3
+        ((45, 46, *range(224, 244), *range(255, 324)), "utf-8"),  # utf8mb4
+        ((5, 8, 15, 31, 47, 48, 49, 94), "cp1252"),            # latin1
+        ((11, 65), "ascii"),
+        ((35, 90, *range(128, 152)), "utf-16-be"),             # ucs2
+        ((54, 55, *range(101, 125)), "utf-16-be"),             # utf16
+        ((56, 62), "utf-16-le"),                               # utf16le
+        ((60, 61, *range(160, 184)), "utf-32-be"),             # utf32
+        ((28, 87), "gbk"),
+        ((24, 86), "gb2312"),
+        ((248, 249, 250), "gb18030"),
+        ((1, 84), "big5"),
+        ((13, 88), "shift_jis"),                               # sjis
+        ((95, 96), "cp932"),
+        ((12, 91), "euc_jp"),                                  # ujis
+        ((97, 98), "euc_jp"),                                  # eucjpms
+        ((19, 85), "euc_kr"),
+        ((2, 9, 21, 27, 77), "iso8859-2"),                     # latin2
+        ((25, 70), "iso8859-7"),                               # greek
+        ((16, 71), "iso8859-8"),                               # hebrew
+        ((30, 78), "iso8859-9"),                               # latin5
+        ((20, 41, 42, 79), "iso8859-13"),                      # latin7
+        ((26, 34, 44, 66, 99), "cp1250"),
+        ((14, 23, 50, 51, 52), "cp1251"),
+        ((57, 67), "cp1256"),
+        ((29, 58, 59), "cp1257"),
+        ((4, 80), "cp850"),
+        ((40, 81), "cp852"),
+        ((36, 68), "cp866"),
+        ((7, 74), "koi8-r"),
+        ((22, 75), "koi8-u"),
+        ((18, 89), "tis-620"),
+        ((39, 53), "mac-roman"),
+):
+    for _cid in _ids:
+        _COLLATION_CODECS[_cid] = _codec
+
+
+def collation_codec(collation: int) -> str | None:
+    """Python codec for a MySQL collation id; None = binary (bytes);
+    unknown/unspecified ids decode as utf-8."""
+    if collation == 0:
+        return "utf-8"
+    return _COLLATION_CODECS.get(collation, "utf-8")
+
+
+def _decode_text(data: bytes, collation: int) -> str:
+    codec = collation_codec(collation) or "utf-8"
+    try:
+        return data.decode(codec)
+    except UnicodeDecodeError:
+        if codec == "cp1252":
+            # MySQL latin1 defines all 256 bytes; cp1252 leaves five
+            # holes — iso-8859-1 maps the stragglers
+            return data.decode("iso8859-1")
+        raise
+
 
 _INT_WIDTHS = {MYSQL_TYPE_TINY: 1, MYSQL_TYPE_SHORT: 2, MYSQL_TYPE_INT24: 3,
                MYSQL_TYPE_LONG: 4, MYSQL_TYPE_LONGLONG: 8}
@@ -432,6 +500,11 @@ class BinlogColumn:
     #: (binlog_row_metadata=FULL) — lets ordinals decode to strings, the
     #: schema-aware mapping MySqlTypeUtils.java applies (ENUM -> STRING)
     str_values: tuple[str, ...] = ()
+    #: MySQL collation id from the DEFAULT_CHARSET / COLUMN_CHARSET
+    #: optional TLVs (0 = unspecified -> utf-8, today's behavior). 63 is
+    #: the `binary` charset: a BLOB column; any other value on a
+    #: MYSQL_TYPE_BLOB marks a TEXT column (decoded to str)
+    collation: int = 0
 
     @property
     def real_type(self) -> int:
@@ -542,12 +615,14 @@ def _encode_cell(col: BinlogColumn, v) -> bytes:
         neg, h, m, s, us = v
         return encode_time2(h, m, s, us, neg, col.meta[0] if col.meta else 0)
     if t == MYSQL_TYPE_VARCHAR:
-        data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        data = (v.encode(collation_codec(col.collation) or "utf-8")
+                if isinstance(v, str) else bytes(v))
         if col.meta[0] < 256:
             return bytes([len(data)]) + data
         return struct.pack("<H", len(data)) + data
     if t == MYSQL_TYPE_BLOB:
-        data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        data = (v.encode(collation_codec(col.collation) or "utf-8")
+                if isinstance(v, str) else bytes(v))
         w = col.meta[0] if col.meta else 4
         return len(data).to_bytes(w, "little") + data
     if t == MYSQL_TYPE_JSON:
@@ -583,7 +658,8 @@ def _encode_cell(col: BinlogColumn, v) -> bytes:
                 for m in members:
                     v |= 1 << col.str_values.index(m)
             return int(v).to_bytes(length, "little")
-        data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        data = (v.encode(collation_codec(col.collation) or "utf-8")
+                if isinstance(v, str) else bytes(v))
         # CHAR values carry a 1-byte length prefix when the field's max
         # byte length fits one byte, else 2 bytes LE (same rule VARCHAR
         # uses; the >255 lengths come from the packed TABLE_MAP meta)
@@ -624,12 +700,18 @@ def _decode_cell(col: BinlogColumn, buf: bytes, pos: int):
         else:
             n = struct.unpack_from("<H", buf, pos)[0]
             pos += 2
-        return buf[pos:pos + n].decode("utf-8"), pos + n
+        return _decode_text(buf[pos:pos + n], col.collation), pos + n
     if t == MYSQL_TYPE_BLOB:
         w = col.meta[0] if col.meta else 4
         n = int.from_bytes(buf[pos:pos + w], "little")
         pos += w
-        return bytes(buf[pos:pos + n]), pos + n
+        data = bytes(buf[pos:pos + n])
+        if col.collation not in (0, 63):
+            # a TEXT column: BLOB wire type + a non-binary charset
+            # (MySqlTypeUtils: TEXT -> STRING). collation 0 (no charset
+            # TLV) stays bytes — the pre-charset-metadata behavior.
+            return _decode_text(data, col.collation), pos + n
+        return data, pos + n
     if t == MYSQL_TYPE_JSON:
         from ..common.mysql_json import decode_json
         w = col.meta[0] if col.meta else 4
@@ -668,7 +750,7 @@ def _decode_cell(col: BinlogColumn, buf: bytes, pos: int):
         else:
             n = buf[pos]
             pos += 1
-        return buf[pos:pos + n].decode("utf-8"), pos + n
+        return _decode_text(buf[pos:pos + n], col.collation), pos + n
     raise NotImplementedError("binlog cell codec gated for column type %d" % t)
 
 
@@ -783,9 +865,20 @@ class BinlogWriter:
                 if c.unsigned:
                     bits[i // 8] |= 0x80 >> (i % 8)
             body += bytes([_META_SIGNEDNESS]) + _write_lenc(len(bits)) + bytes(bits)
+        char_cols = [c for c in cols
+                     if c.type_byte in (MYSQL_TYPE_STRING,
+                                        MYSQL_TYPE_VARCHAR,
+                                        MYSQL_TYPE_BLOB)]
+        if any(c.collation for c in char_cols):
+            # COLUMN_CHARSET: one collation id per character column
+            # (part of MINIMAL metadata too — charsets always ship)
+            blob = b"".join(_write_lenc(c.collation or 0)
+                            for c in char_cols)
+            body += (bytes([_META_COLUMN_CHARSET])
+                     + _write_lenc(len(blob)) + blob)
         if not tmap.wire_names:
             # binlog_row_metadata=MINIMAL (the server default): only the
-            # SIGNEDNESS TLV ships — no names, enum literals, or PK
+            # SIGNEDNESS/charset TLVs ship — no names, enum literals, PK
             self._emit(TABLE_MAP_EVENT, body)
             return
         names = b"".join(_write_lenc(len(c.name.encode())) + c.name.encode()
@@ -1138,6 +1231,12 @@ class BinlogReader:
         names = [f"col_{i}" for i in range(ncols)]
         have_names = False
         unsigned = [False] * ncols
+        collations = [0] * ncols
+        # "character columns" (rows_event.h is_character_type): the ones
+        # DEFAULT_CHARSET / COLUMN_CHARSET cover, in table order
+        char_idx = [i for i, t in enumerate(types)
+                    if t in (MYSQL_TYPE_STRING, MYSQL_TYPE_VARCHAR,
+                             MYSQL_TYPE_BLOB)]
         str_values: dict[int, tuple[str, ...]] = {}
         pks: tuple[int, ...] = ()
         numeric_idx = [i for i, t in enumerate(types)
@@ -1153,6 +1252,25 @@ class BinlogReader:
                 for j, ci in enumerate(numeric_idx):
                     if j // 8 < len(val) and val[j // 8] & (0x80 >> (j % 8)):
                         unsigned[ci] = True
+            elif tlv_type == _META_DEFAULT_CHARSET:
+                # default collation id + (column index, collation) pairs
+                # for character columns that differ (rows_event.h)
+                vp = 0
+                dflt, vp = _read_lenc(val, vp)
+                override: dict[int, int] = {}
+                while vp < len(val):
+                    ci, vp = _read_lenc(val, vp)
+                    cl, vp = _read_lenc(val, vp)
+                    override[ci] = cl
+                for ci in char_idx:
+                    collations[ci] = override.get(ci, dflt)
+            elif tlv_type == _META_COLUMN_CHARSET:
+                # one collation id per character column, in order
+                vp = 0
+                for ci in char_idx:
+                    if vp >= len(val):
+                        break
+                    collations[ci], vp = _read_lenc(val, vp)
             elif tlv_type == _META_COLUMN_NAME:
                 have_names = True
                 names, vp, i = names[:], 0, 0
@@ -1186,7 +1304,8 @@ class BinlogReader:
                 pks = tuple(out)
         cols = tuple(BinlogColumn(names[i], types[i], metas[i],
                                   unsigned[i], nullable[i],
-                                  str_values.get(i, ()))
+                                  str_values.get(i, ()),
+                                  collation=collations[i])
                      for i in range(ncols))
         return BinlogTableMap(table_id, db, tbl, cols, pks,
                               wire_names=have_names)
@@ -2128,6 +2247,10 @@ def binlog_column_spark_ddl(col: BinlogColumn) -> str:
     if t in (MYSQL_TYPE_ENUM, MYSQL_TYPE_SET):
         return "string"
     if t == MYSQL_TYPE_STRING:
+        return "string"
+    if t == MYSQL_TYPE_BLOB and col.collation not in (0, 63):
+        # TEXT: BLOB wire type + a non-binary charset (MySqlTypeUtils
+        # TEXT -> STRING); collation 0/63 keeps BINARY
         return "string"
     pair = _SPARK_DDL_BY_TYPE.get(col.type_byte)
     if pair is None:

@@ -1218,3 +1218,73 @@ def test_minimal_metadata_without_declared_names_keeps_placeholders():
     tables, pks = binlog_infer_tables([p])
     assert "col_0" in tables["db.t"]
     assert pks == {}  # MINIMAL metadata ships no SIMPLE_PRIMARY_KEY
+
+
+def test_charset_metadata_text_columns_roundtrip():
+    """Round 10: DEFAULT_CHARSET/COLUMN_CHARSET TLVs (part of even
+    MINIMAL row metadata) drive text decode. latin1 (MySQL = cp1252
+    superset), gbk, and TEXT-vs-BLOB discrimination: a BLOB wire type
+    with a non-binary charset is a TEXT column and decodes to str;
+    collation 63 (`binary`) stays bytes."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        MYSQL_TYPE_BLOB, MYSQL_TYPE_LONG, MYSQL_TYPE_STRING,
+        MYSQL_TYPE_VARCHAR, BinlogColumn, BinlogReader, BinlogTableMap,
+        BinlogWriter, binlog_changes)
+
+    cols = (BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),
+            BinlogColumn("n1", MYSQL_TYPE_VARCHAR, (255,), collation=8),
+            BinlogColumn("ngbk", MYSQL_TYPE_VARCHAR, (255,), collation=28),
+            BinlogColumn("ch", MYSQL_TYPE_STRING,
+                         (MYSQL_TYPE_STRING, 20), collation=8),
+            BinlogColumn("txt", MYSQL_TYPE_BLOB, (2,), collation=8),
+            BinlogColumn("blob", MYSQL_TYPE_BLOB, (2,), collation=63))
+    tmap = BinlogTableMap(9, "db", "t", cols, (0,))
+    w = BinlogWriter()
+    w.table_map(tmap)
+    row = dict(id=1, n1="café °±", ngbk="中文名", ch="Øre",
+               txt="Grüße €", blob=b"\x00\xff\x01")
+    w.rows(tmap, WRITE_ROWS_EVENT, [row])
+    data = w.getvalue()
+    assert binlog_changes(data, "f")[0]["after"] == row
+    # the wire truly carries single-byte latin1 / multi-byte gbk
+    r = BinlogReader(data)
+    list(r.events())
+    by_name = {c.name: c for c in r.table_maps[9].columns}
+    assert by_name["ngbk"].collation == 28
+    assert by_name["blob"].collation == 63
+
+
+def test_default_charset_tlv_known_answer():
+    """The DEFAULT_CHARSET form (what real servers usually write): one
+    default collation + (column index, collation) overrides, covering
+    the table's character columns."""
+    import struct as _s
+
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        MYSQL_TYPE_BLOB, MYSQL_TYPE_LONG, MYSQL_TYPE_VARCHAR,
+        _META_DEFAULT_CHARSET, _write_lenc, BinlogColumn, BinlogReader,
+        BinlogTableMap, BinlogWriter, TABLE_MAP_EVENT, _bitmap,
+        _meta_bytes)
+
+    # hand-assemble a TABLE_MAP whose only optional TLV is
+    # DEFAULT_CHARSET: default latin1 (8), column 2 overridden to gbk
+    cols = (BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),
+            BinlogColumn("a", MYSQL_TYPE_VARCHAR, (255,)),
+            BinlogColumn("b", MYSQL_TYPE_VARCHAR, (255,)),
+            BinlogColumn("t", MYSQL_TYPE_BLOB, (2,)))
+    body = (7).to_bytes(6, "little") + _s.pack("<H", 1)
+    body += bytes([2]) + b"db" + b"\x00"
+    body += bytes([1]) + b"t" + b"\x00"
+    body += _write_lenc(len(cols)) + bytes(c.type_byte for c in cols)
+    meta = b"".join(_meta_bytes(c) for c in cols)
+    body += _write_lenc(len(meta)) + meta
+    body += _bitmap([c.nullable for c in cols])
+    tlv = _write_lenc(8) + _write_lenc(2) + _write_lenc(28)
+    body += bytes([_META_DEFAULT_CHARSET]) + _write_lenc(len(tlv)) + tlv
+    w = BinlogWriter()
+    w._emit(TABLE_MAP_EVENT, body)
+    r = BinlogReader(w.getvalue())
+    list(r.events())
+    tm = r.table_maps[7]
+    assert [c.collation for c in tm.columns] == [0, 8, 28, 8]
+    assert tm.wire_names is False  # no COLUMN_NAME TLV in this map
