@@ -14,8 +14,13 @@ map-side-combinable reduction every keyed sink here uses), then the bulk
 NDJSON renders entirely JVM-side (``to_json`` over structs — no Python),
 giving byte-exact ``_bulk`` request bodies. With ``hosts`` unset the
 batches spool to ``output_dir/<index>/batch_<id>.ndjson`` with
-atomic-rename replay markers (the sandbox path, same spool contract as the
-Kafka sink); posting to a live cluster is environment-gated.
+atomic-rename replay markers (the spool path, same contract as the
+Kafka sink). With ``hosts`` set the body POSTs to ``/_bulk`` over real
+HTTP (round 10) and the response's per-item results are CHECKED —
+``errors: true`` raises with the first item's error. No ES cluster
+ships in this sandbox, so :class:`ToyElasticsearchServer` below speaks
+the documented _bulk API over a real socket (the mysqld-toy pattern)
+and e2e tests assert the materialized store.
 """
 
 from __future__ import annotations
@@ -44,15 +49,10 @@ class ElasticsearchBulkSink(DataSink):
     def __init__(self, output_dir: str | None = None,
                  hosts: str | None = None,
                  shard_suffix_col: str | None = None):
-        if hosts:
-            raise NotImplementedError(
-                "elasticsearch sink: posting to a live cluster is "
-                "environment-gated (no server in this sandbox); the _bulk "
-                "bodies spooled via output_dir are the exact request "
-                "payloads a live writer POSTs")
-        if not output_dir:
+        if not output_dir and not hosts:
             raise ValueError("need output_dir (local _bulk spool) or hosts")
         self.output_dir = output_dir
+        self.hosts = [h.strip() for h in hosts.split(",")] if hosts else []
         self.shard_suffix_col = shard_suffix_col
 
     def metadata_applier(self) -> MetadataApplier:
@@ -99,6 +99,14 @@ class ElasticsearchBulkSink(DataSink):
 
     def write(self, table_id: TableId, df: DataFrame, schema: Schema,
               batch_id) -> None:
+        if self.hosts:
+            body = "\n".join(
+                r.lines for r in
+                self.encode_bulk(table_id, df, schema).collect()) + "\n"
+            # bounded driver-side collect: one final image per key, the
+            # same batch a live connector's bulk processor accumulates
+            post_bulk(self.hosts, body)
+            return
         out = os.path.join(self.output_dir, table_id.identifier(),
                            f"batch_{batch_id}")
         if os.path.exists(out):
@@ -106,3 +114,127 @@ class ElasticsearchBulkSink(DataSink):
         tmp = out + ".tmp"
         self.encode_bulk(table_id, df, schema).write.mode("overwrite").text(tmp)
         os.rename(tmp, out)
+
+
+def post_bulk(hosts: list[str], body: str) -> dict:
+    """POST NDJSON to ``/_bulk`` on the first reachable host and check
+    the response: HTTP errors and ``errors: true`` item results raise
+    by name (a silently dropped bulk item is lost data). Returns the
+    parsed response."""
+    import http.client
+    import json
+
+    last_err: Exception | None = None
+    for host in hosts:
+        h, _, port = host.partition(":")
+        try:
+            conn = http.client.HTTPConnection(h, int(port or 9200),
+                                              timeout=30)
+            conn.request("POST", "/_bulk", body.encode("utf-8"),
+                         {"Content-Type": "application/x-ndjson"})
+            resp = conn.getresponse()
+            data = resp.read()
+            if resp.status != 200:
+                raise ValueError("elasticsearch _bulk HTTP %d: %s"
+                                 % (resp.status, data[:300]))
+            out = json.loads(data)
+            if out.get("errors"):
+                bad = next((it for it in out.get("items", [])
+                            for op in it.values()
+                            if op.get("error")), None)
+                raise ValueError("elasticsearch _bulk item failed: %r"
+                                 % (bad,))
+            return out
+        except (OSError, http.client.HTTPException) as e:
+            last_err = e
+            continue
+    raise ValueError("no elasticsearch host reachable (%s): %s"
+                     % (",".join(hosts), last_err))
+
+
+class ToyElasticsearchServer:
+    """A real-socket ``/_bulk`` endpoint speaking the documented API
+    (index/delete action lines + per-item results), holding an
+    in-memory document store — the same in-repo toy-server pattern the
+    binlog transport uses. ``fail_ids`` simulates item-level failures
+    so the sink's error surfacing is testable."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 fail_ids: set[str] | None = None):
+        import http.server
+        import json
+        import threading
+
+        store: dict[str, dict[str, dict]] = {}
+        self.store = store
+        fail = fail_ids or set()
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                return
+
+            def do_POST(self):  # noqa: N802 (stdlib naming)
+                if self.path.rstrip("/").split("/")[-1] != "_bulk":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                lines = [ln for ln in
+                         self.rfile.read(n).decode("utf-8").splitlines()
+                         if ln]
+                items, errors = [], False
+                i = 0
+                while i < len(lines):
+                    action = json.loads(lines[i])
+                    i += 1
+                    kind, meta = next(iter(action.items()))
+                    idx, _id = meta["_index"], meta["_id"]
+                    if _id in fail:
+                        errors = True
+                        items.append({kind: {
+                            "_index": idx, "_id": _id, "status": 429,
+                            "error": {"type": "circuit_breaking_exception",
+                                      "reason": "simulated"}}})
+                        if kind == "index":
+                            i += 1  # skip the source line
+                        continue
+                    if kind == "index":
+                        store.setdefault(idx, {})[_id] =                             json.loads(lines[i])
+                        i += 1
+                        items.append({"index": {"_index": idx, "_id": _id,
+                                                "status": 201}})
+                    elif kind == "delete":
+                        existed = store.get(idx, {}).pop(_id, None)
+                        items.append({"delete": {
+                            "_index": idx, "_id": _id,
+                            "status": 200 if existed else 404}})
+                    else:
+                        errors = True
+                        items.append({kind: {"_index": idx, "_id": _id,
+                                             "status": 400,
+                                             "error": {"type":
+                                                       "illegal_argument"}}})
+                body = json.dumps({"took": 1, "errors": errors,
+                                   "items": items}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._srv = http.server.ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._srv.server_address
+        self._thread = threading.Thread(target=self._srv.serve_forever,
+                                        daemon=True)
+
+    @property
+    def endpoint(self) -> str:
+        return "%s:%d" % (self.host, self.port)
+
+    def __enter__(self) -> "ToyElasticsearchServer":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
