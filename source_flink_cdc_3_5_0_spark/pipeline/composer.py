@@ -798,8 +798,9 @@ class PipelineComposer:
             return JdbcUpsertSink(db, dialect=opts.get("dialect", "sqlite"))
         if t in ("doris", "starrocks") and ("output-dir" in opts
                                             or "frontend" in opts):
-            # real Stream Load wire-format sinks (spool mode; a live
-            # frontend is environment-gated inside the sink)
+            # real Stream Load wire-format sinks: spool mode, or a live
+            # `frontend` — HTTP PUT with deterministic labels (server
+            # label-dedup = replay idempotence)
             from ..sinks.streamload import (DorisStreamLoadSink,
                                             StarRocksStreamLoadSink)
 
@@ -808,8 +809,8 @@ class PipelineComposer:
             return cls(output_dir=opts.get("output-dir"),
                        frontend=opts.get("frontend"))
         if t == "elasticsearch" and ("output-dir" in opts or "hosts" in opts):
-            # real _bulk wire-format sink (spool mode; live hosts are
-            # environment-gated inside the sink)
+            # real _bulk wire-format sink: spool mode, or live `hosts`
+            # (HTTP POST, per-item results checked)
             from ..sinks.elasticsearch import ElasticsearchBulkSink
 
             return ElasticsearchBulkSink(

@@ -16,8 +16,15 @@ JSON-lines body renders entirely JVM-side (``to_json``), giving byte-exact
 Stream Load payloads. With no frontend endpoint configured the bodies
 spool to ``output_dir/<table>/batch_<id>`` with atomic-rename replay
 markers, and the DDL statements append to ``output_dir/<table>/ddl.sql``
-(MySQL dialect — what a live Doris/StarRocks applier executes); the HTTP
-PUT of a live Stream Load is environment-gated.
+(MySQL dialect — what a live Doris/StarRocks applier executes). With a
+``frontend`` configured (round 10) the body PUTs to the REAL Stream
+Load endpoint ``/api/{db}/{table}/_stream_load`` with a DETERMINISTIC
+``label`` — the server's label dedup then provides the same replay
+idempotence the spool gets from atomic renames ("Label Already Exists"
+is a clean no-op; any other non-Success status raises by name). No
+Doris/StarRocks ships in this sandbox, so :class:`ToyStreamLoadFrontend`
+speaks the documented API over a real socket (label dedup, per-row
+delete signs, an inspectable store) for the e2e tests.
 """
 
 from __future__ import annotations
@@ -66,20 +73,22 @@ class _StreamLoadSink(DataSink):
 
     def __init__(self, output_dir: str | None = None,
                  frontend: str | None = None):
-        if frontend:
-            raise NotImplementedError(
-                f"{type(self).__name__}: posting Stream Load to a live "
-                "frontend is environment-gated (no server in this "
-                "sandbox); the spooled bodies are the exact payloads")
-        if not output_dir:
+        if not output_dir and not frontend:
             raise ValueError("need output_dir (local spool) or frontend")
         self.output_dir = output_dir
+        self.frontend = frontend
         self._ddl_pos = DdlSpoolPosition()
 
     def begin_batch(self, batch_id) -> None:
         self._ddl_pos.reset()
 
     def metadata_applier(self) -> MetadataApplier:
+        if not self.output_dir:
+            raise ValueError(
+                f"{type(self).__name__}: schema changes need output_dir "
+                "(the ddl.sql spool a live SchemaChangeManager executes "
+                "over the MySQL protocol) — frontend covers the data "
+                "plane only")
         return _StreamLoadMetadataApplier(self)
 
     def encode_stream_load(self, table_id: TableId, df: DataFrame,
@@ -110,6 +119,17 @@ class _StreamLoadSink(DataSink):
 
     def write(self, table_id: TableId, df: DataFrame, schema: Schema,
               batch_id) -> None:
+        if self.frontend:
+            body = "\n".join(
+                r.lines for r in
+                self.encode_stream_load(table_id, df, schema).collect())
+            # deterministic label: the server's dedup makes a crash
+            # replay of the same batch a clean no-op — the live twin of
+            # the spool path's atomic-rename marker
+            label = "cdc-%s-%s" % (
+                table_id.identifier().replace(".", "_"), batch_id)
+            stream_load_put(self.frontend, table_id, body + "\n", label)
+            return
         out = os.path.join(self.output_dir, table_id.identifier(),
                            f"batch_{batch_id}")
         if os.path.exists(out):
@@ -118,6 +138,159 @@ class _StreamLoadSink(DataSink):
         self.encode_stream_load(table_id, df, schema) \
             .write.mode("overwrite").text(tmp)
         os.rename(tmp, out)
+
+
+def stream_load_put(frontend: str, table_id: TableId, body: str,
+                    label: str) -> dict:
+    """One Stream Load transaction: HTTP PUT
+    ``/api/{db}/{table}/_stream_load`` with the json-lines body.
+    Response handling per the public API: Status "Success" commits,
+    "Label Already Exists" is a replay no-op, anything else raises with
+    the server's own Message — a silently failed load is lost data."""
+    import http.client
+    import json
+
+    parts = table_id.identifier().split(".")
+    db, table = (parts[-2], parts[-1]) if len(parts) >= 2         else ("default", parts[-1])
+    h, _, port = frontend.partition(":")
+    conn = http.client.HTTPConnection(h, int(port or 8030), timeout=30)
+    path = "/api/%s/%s/_stream_load" % (db, table)
+    headers = {"label": label, "format": "json",
+               "read_json_by_line": "true",
+               "Content-Type": "application/json"}
+    conn.request("PUT", path, body.encode("utf-8"), headers)
+    resp = conn.getresponse()
+    data = resp.read()
+    if resp.status == 307:
+        # a real frontend redirects the PUT to a backend
+        loc = resp.getheader("Location") or ""
+        from urllib.parse import urlparse
+        u = urlparse(loc)
+        conn2 = http.client.HTTPConnection(u.hostname,
+                                           u.port or 8040, timeout=30)
+        conn2.request("PUT", u.path + (("?" + u.query) if u.query else ""),
+                      body.encode("utf-8"), headers)
+        resp = conn2.getresponse()
+        data = resp.read()
+    if resp.status != 200:
+        raise ValueError("stream load HTTP %d: %s"
+                         % (resp.status, data[:300]))
+    out = json.loads(data)
+    status = out.get("Status")
+    if status == "Label Already Exists":
+        return out  # replay: the earlier transaction already committed
+    if status != "Success":
+        raise ValueError("stream load %s: %s"
+                         % (status, out.get("Message", "")[:300]))
+    return out
+
+
+class ToyStreamLoadFrontend:
+    """A real-socket Stream Load endpoint speaking the documented API:
+    PUT ``/api/{db}/{table}/_stream_load``, label dedup ("Label Already
+    Exists" on repeats), json-lines rows applied to an in-memory store
+    keyed by the declared primary keys, honoring BOTH delete-sign
+    dialects (StarRocks ``__op`` 0/1, Doris ``__DORIS_DELETE_SIGN__``
+    "0"/"1"). ``redirect=True`` answers the first PUT with the 307
+    frontend→backend redirect a real FE issues; ``fail_labels``
+    simulates server-side load failures."""
+
+    def __init__(self, tables: dict[str, list[str]],
+                 host: str = "127.0.0.1", port: int = 0,
+                 redirect: bool = False,
+                 fail_labels: set[str] | None = None):
+        import http.server
+        import json
+        import threading
+
+        store: dict[str, dict[tuple, dict]] = {}
+        labels: set[str] = set()
+        self.store = store
+        self.labels = labels
+        fail = fail_labels or set()
+
+        def respond(handler, code, doc, extra=None):
+            body = json.dumps(doc).encode()
+            handler.send_response(code)
+            for k, v in (extra or {}).items():
+                handler.send_header(k, v)
+            handler.send_header("Content-Type", "application/json")
+            handler.send_header("Content-Length", str(len(body)))
+            handler.end_headers()
+            handler.wfile.write(body)
+
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                return
+
+            def do_PUT(self):  # noqa: N802 (stdlib naming)
+                seg = self.path.split("?")[0].strip("/").split("/")
+                if len(seg) != 4 or seg[0] != "api"                         or seg[3] != "_stream_load":
+                    respond(self, 404, {"Status": "Fail",
+                                        "Message": "bad path"})
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n)
+                if redirect and "be=1" not in self.path:
+                    respond(self, 307, {}, extra={
+                        "Location": "http://%s:%d%s?be=1"
+                        % (outer.host, outer.port, self.path)})
+                    return
+                label = self.headers.get("label", "")
+                if label in fail:
+                    respond(self, 200, {"Status": "Fail",
+                                        "Message": "simulated -235 "
+                                                   "too many versions"})
+                    return
+                if label in labels:
+                    respond(self, 200, {"Status": "Label Already Exists",
+                                        "Message": ""})
+                    return
+                key = "%s.%s" % (seg[1], seg[2])
+                pks = tables.get(key)
+                if pks is None:
+                    respond(self, 200, {"Status": "Fail",
+                                        "Message": "unknown table "
+                                                   + key})
+                    return
+                tbl = store.setdefault(key, {})
+                rows = 0
+                for line in raw.decode("utf-8").splitlines():
+                    if not line:
+                        continue
+                    row = json.loads(line)
+                    delete = (str(row.pop("__DORIS_DELETE_SIGN__", "0"))
+                              == "1"
+                              or row.pop("__op", 0) == 1)
+                    k = tuple(row[p] for p in pks)
+                    if delete:
+                        tbl.pop(k, None)
+                    else:
+                        tbl[k] = row
+                    rows += 1
+                labels.add(label)
+                respond(self, 200, {"Status": "Success",
+                                    "NumberLoadedRows": rows,
+                                    "Label": label})
+
+        self._srv = http.server.ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._srv.server_address
+        self._thread = threading.Thread(target=self._srv.serve_forever,
+                                        daemon=True)
+
+    @property
+    def endpoint(self) -> str:
+        return "%s:%d" % (self.host, self.port)
+
+    def __enter__(self) -> "ToyStreamLoadFrontend":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
 
 
 class StarRocksStreamLoadSink(_StreamLoadSink):
