@@ -1,0 +1,530 @@
+"""The real Kafka wire protocol — producer side, over TCP.
+
+Round 10 closes the Kafka sink's last gap the way the MySQL/PostgreSQL
+transports were closed: the byte frames here are the ACTUAL protocol a
+Kafka broker and producer exchange, so the client would interoperate
+with a real broker and the in-repo broker with a real client. No Kafka
+jars ship with this Spark build (``format("kafka")`` cannot work here),
+so this client IS the live path.
+
+Everything is the PUBLIC protocol (kafka.apache.org/protocol):
+
+- **Framing**: i32 size + request header (api_key i16, api_version
+  i16, correlation_id i32, client_id nullable STRING) + body; response
+  = i32 size + correlation_id i32 + body.
+- **Metadata** (key 3, v1): topics -> brokers (node, host, port, rack)
+  + per-topic partition leaders — how a producer finds where to send.
+- **Produce** (key 0, v3): transactional_id (nullable), acks, timeout,
+  [(topic, [(partition, record_set)])]; response carries per-partition
+  error codes and base offsets.
+- **RecordBatch v2** (magic 2): the modern record format — batch
+  header with a CRC32C over everything after the crc field, then
+  varint-encoded records (zigzag lengths/deltas, key/value/headers).
+- **murmur2** partitioning: Kafka's default partitioner is
+  ``murmur2(keyBytes) & 0x7fffffff % numPartitions`` — implemented
+  bit-exactly (seed 0x9747b28c) so hash-by-key routing matches what a
+  real producer would do.
+
+CRC32C (Castagnoli) is table-driven here (no stdlib impl); pinned
+against the RFC 3720 test vector in tests.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+
+API_PRODUCE = 0
+API_METADATA = 3
+
+_ERRORS = {
+    0: "NONE", 1: "OFFSET_OUT_OF_RANGE", 2: "CORRUPT_MESSAGE",
+    3: "UNKNOWN_TOPIC_OR_PARTITION", 5: "LEADER_NOT_AVAILABLE",
+    6: "NOT_LEADER_FOR_PARTITION", 7: "REQUEST_TIMED_OUT",
+    10: "MESSAGE_TOO_LARGE", 17: "INVALID_TOPIC",
+    37: "INVALID_PARTITIONS", 38: "INVALID_REPLICATION_FACTOR",
+}
+
+
+# ---------------------------------------------------------------------------
+# CRC32C (Castagnoli, reflected poly 0x82F63B78) — RecordBatch checksum
+# ---------------------------------------------------------------------------
+
+_CRC32C_TABLE = []
+for _n in range(256):
+    _c = _n
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    crc = ~crc & 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return ~crc & 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# murmur2 — Kafka's default partitioner hash (exact Java parity)
+# ---------------------------------------------------------------------------
+
+
+def murmur2(data: bytes) -> int:
+    length = len(data)
+    seed = 0x9747B28C
+    m = 0x5BD1E995
+    r = 24
+    h = (seed ^ length) & 0xFFFFFFFF
+    i = 0
+    while length - i >= 4:
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * m) & 0xFFFFFFFF
+        k ^= k >> r
+        k = (k * m) & 0xFFFFFFFF
+        h = (h * m) & 0xFFFFFFFF
+        h ^= k
+        i += 4
+    rest = length - i
+    if rest >= 3:
+        h ^= (data[i + 2] & 0xFF) << 16
+    if rest >= 2:
+        h ^= (data[i + 1] & 0xFF) << 8
+    if rest >= 1:
+        h ^= data[i] & 0xFF
+        h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h
+
+
+def partition_for_key(key: bytes | None, num_partitions: int) -> int:
+    """DefaultPartitioner: murmur2 & 0x7fffffff mod partitions; a
+    keyless record here goes to 0 (the sink always keys records)."""
+    if key is None:
+        return 0
+    return (murmur2(key) & 0x7FFFFFFF) % num_partitions
+
+
+# ---------------------------------------------------------------------------
+# varints (zigzag) + primitive readers/writers
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_varint(n: int) -> bytes:
+    v = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    v = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(v), pos
+        shift += 7
+
+
+def _str(s: str | None) -> bytes:
+    if s is None:
+        return struct.pack(">h", -1)
+    e = s.encode("utf-8")
+    return struct.pack(">h", len(e)) + e
+
+
+def _read_str(buf: bytes, pos: int) -> tuple[str | None, int]:
+    n = struct.unpack_from(">h", buf, pos)[0]
+    pos += 2
+    if n < 0:
+        return None, pos
+    return buf[pos:pos + n].decode("utf-8"), pos + n
+
+
+def _bytes32(b: bytes | None) -> bytes:
+    if b is None:
+        return struct.pack(">i", -1)
+    return struct.pack(">i", len(b)) + b
+
+
+# ---------------------------------------------------------------------------
+# RecordBatch v2 (magic 2)
+# ---------------------------------------------------------------------------
+
+
+def encode_record(offset_delta: int, timestamp_delta: int,
+                  key: bytes | None, value: bytes | None,
+                  headers: list[tuple[str, bytes]] = ()) -> bytes:
+    body = bytearray(b"\x00")  # attributes (unused)
+    body += write_varint(timestamp_delta)
+    body += write_varint(offset_delta)
+    for blob in (key, value):
+        if blob is None:
+            body += write_varint(-1)
+        else:
+            body += write_varint(len(blob)) + blob
+    body += write_varint(len(headers))
+    for hk, hv in headers:
+        e = hk.encode("utf-8")
+        body += write_varint(len(e)) + e
+        if hv is None:
+            body += write_varint(-1)
+        else:
+            body += write_varint(len(hv)) + hv
+    return write_varint(len(body)) + bytes(body)
+
+
+def encode_record_batch(records: list[tuple[bytes | None, bytes | None,
+                                            list[tuple[str, bytes]]]],
+                        base_offset: int = 0,
+                        first_timestamp: int = 0) -> bytes:
+    """records = [(key, value, headers)] -> one uncompressed v2 batch."""
+    recs = b"".join(
+        encode_record(i, 0, k, v, h)
+        for i, (k, v, h) in enumerate(records))
+    # everything after the crc field is covered by CRC32C
+    after_crc = (
+        struct.pack(">hiqqqhiI", 0,                 # attributes
+                    len(records) - 1,               # lastOffsetDelta
+                    first_timestamp, first_timestamp,
+                    -1, -1, -1,                      # producer id/epoch/seq
+                    len(records))
+        + recs)
+    crc = crc32c(after_crc)
+    head = struct.pack(">qiibI", base_offset,
+                       4 + 1 + 4 + len(after_crc),  # batchLength
+                       -1,                          # partitionLeaderEpoch
+                       2,                           # magic
+                       crc)
+    return head + after_crc
+
+
+def decode_record_batch(buf: bytes) -> list[tuple[bytes | None,
+                                                  bytes | None,
+                                                  list[tuple[str, bytes]]]]:
+    """One (or more, concatenated) v2 batches -> [(key, value, headers)].
+    The CRC32C is VERIFIED — corrupt bytes raise, never mis-parse."""
+    out = []
+    pos = 0
+    while pos < len(buf):
+        base_offset, batch_len = struct.unpack_from(">qi", buf, pos)
+        magic = buf[pos + 16]
+        if magic != 2:
+            raise ValueError("unsupported record batch magic %d" % magic)
+        crc = struct.unpack_from(">I", buf, pos + 17)[0]
+        body = buf[pos + 21:pos + 12 + batch_len]
+        if crc32c(body) != crc:
+            raise ValueError("record batch CRC32C mismatch")
+        (_attrs, _last_delta, _first_ts, _max_ts, _pid, _pepoch, _pseq,
+         count) = struct.unpack_from(">hiqqqhi i".replace(" ", ""), body, 0)
+        p = 2 + 4 + 8 + 8 + 8 + 2 + 4 + 4
+        for _ in range(count):
+            rec_len, p = read_varint(body, p)
+            end = p + rec_len
+            p += 1  # attributes
+            _ts_delta, p = read_varint(body, p)
+            _off_delta, p = read_varint(body, p)
+            klen, p = read_varint(body, p)
+            key = bytes(body[p:p + klen]) if klen >= 0 else None
+            p += max(klen, 0)
+            vlen, p = read_varint(body, p)
+            value = bytes(body[p:p + vlen]) if vlen >= 0 else None
+            p += max(vlen, 0)
+            nh, p = read_varint(body, p)
+            headers = []
+            for _ in range(nh):
+                hkl, p = read_varint(body, p)
+                hk = body[p:p + hkl].decode("utf-8")
+                p += hkl
+                hvl, p = read_varint(body, p)
+                hv = bytes(body[p:p + hvl]) if hvl >= 0 else None
+                p += max(hvl, 0)
+                headers.append((hk, hv))
+            out.append((key, value, headers))
+            p = end
+        pos += 12 + batch_len
+    return out
+
+
+# ---------------------------------------------------------------------------
+# request/response framing
+# ---------------------------------------------------------------------------
+
+
+def _send_request(sock: socket.socket, api_key: int, api_version: int,
+                  correlation_id: int, body: bytes,
+                  client_id: str = "cdc-engine") -> None:
+    msg = (struct.pack(">hhi", api_key, api_version, correlation_id)
+           + _str(client_id) + body)
+    sock.sendall(struct.pack(">i", len(msg)) + msg)
+
+
+def _recv_response(sock: socket.socket) -> tuple[int, bytes]:
+    head = _recv_exact(sock, 4)
+    n = struct.unpack(">i", head)[0]
+    payload = _recv_exact(sock, n)
+    corr = struct.unpack_from(">i", payload)[0]
+    return corr, payload[4:]
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    out = bytearray()
+    while len(out) < n:
+        chunk = sock.recv(n - len(out))
+        if not chunk:
+            raise ValueError("broker closed the connection mid-message")
+        out += chunk
+    return bytes(out)
+
+
+class KafkaWireProducer:
+    """Minimal real-protocol producer: Metadata v1 to find partition
+    leaders, Produce v3 (acks=-1) with v2 record batches; per-partition
+    error codes are CHECKED (a non-zero code raises with Kafka's own
+    error name — a silently failed produce is lost data)."""
+
+    def __init__(self, bootstrap: str, timeout: float = 30.0):
+        host, _, port = bootstrap.partition(":")
+        self.bootstrap = (host, int(port or 9092))
+        self.timeout = timeout
+        self._corr = 0
+
+    def _call(self, sock, api_key, api_version, body) -> bytes:
+        self._corr += 1
+        _send_request(sock, api_key, api_version, self._corr, body)
+        corr, payload = _recv_response(sock)
+        if corr != self._corr:
+            raise ValueError("correlation id mismatch (%d != %d)"
+                             % (corr, self._corr))
+        return payload
+
+    def metadata(self, topic: str) -> dict:
+        """-> {"brokers": {node: (host, port)}, "partitions": {pid: leader}}"""
+        body = struct.pack(">i", 1) + _str(topic)
+        with socket.create_connection(self.bootstrap, self.timeout) as s:
+            payload = self._call(s, API_METADATA, 1, body)
+        pos = 0
+        nb = struct.unpack_from(">i", payload, pos)[0]
+        pos += 4
+        brokers = {}
+        for _ in range(nb):
+            node = struct.unpack_from(">i", payload, pos)[0]
+            host, pos = _read_str(payload, pos + 4)
+            port = struct.unpack_from(">i", payload, pos)[0]
+            pos += 4
+            _rack, pos = _read_str(payload, pos)
+            brokers[node] = (host, port)
+        _controller = struct.unpack_from(">i", payload, pos)[0]
+        pos += 4
+        nt = struct.unpack_from(">i", payload, pos)[0]
+        pos += 4
+        partitions = {}
+        for _ in range(nt):
+            terr = struct.unpack_from(">h", payload, pos)[0]
+            _name, pos = _read_str(payload, pos + 2)
+            pos += 1  # is_internal
+            if terr:
+                raise ValueError("metadata error for %r: %s"
+                                 % (topic, _ERRORS.get(terr, terr)))
+            np = struct.unpack_from(">i", payload, pos)[0]
+            pos += 4
+            for _ in range(np):
+                perr, pid, leader = struct.unpack_from(">hii", payload, pos)
+                pos += 10
+                nr = struct.unpack_from(">i", payload, pos)[0]
+                pos += 4 + 4 * nr
+                ni = struct.unpack_from(">i", payload, pos)[0]
+                pos += 4 + 4 * ni
+                if perr:
+                    raise ValueError(
+                        "metadata error for %s/%d: %s"
+                        % (topic, pid, _ERRORS.get(perr, perr)))
+                partitions[pid] = leader
+        return {"brokers": brokers, "partitions": partitions}
+
+    def produce(self, topic: str,
+                records: list[tuple[bytes | None, bytes | None,
+                                    list[tuple[str, bytes]]]],
+                partition: int | None = None) -> dict[int, int]:
+        """Send records; ``partition=None`` routes each record by
+        murmur2(key) over the topic's partition count (the default
+        partitioner). Returns {partition: base_offset}."""
+        meta = self.metadata(topic)
+        nparts = max(len(meta["partitions"]), 1)
+        by_part: dict[int, list] = {}
+        for k, v, h in records:
+            pid = partition if partition is not None \
+                else partition_for_key(k, nparts)
+            by_part.setdefault(pid, []).append((k, v, h))
+        out: dict[int, int] = {}
+        for pid, recs in sorted(by_part.items()):
+            leader = meta["partitions"].get(pid)
+            if leader is None:
+                raise ValueError("no leader for %s/%d" % (topic, pid))
+            addr = meta["brokers"][leader]
+            batch = encode_record_batch(recs)
+            body = (_str(None)                      # transactional_id
+                    + struct.pack(">hi", -1, int(self.timeout * 1000))
+                    + struct.pack(">i", 1) + _str(topic)
+                    + struct.pack(">i", 1)
+                    + struct.pack(">i", pid) + _bytes32(batch))
+            with socket.create_connection(addr, self.timeout) as s:
+                payload = self._call(s, API_PRODUCE, 3, body)
+            pos = 4  # topic array count (1)
+            _name, pos = _read_str(payload, pos)
+            pos += 4  # partition array count (1)
+            rpid, err, base = struct.unpack_from(">ihq", payload, pos)
+            if err:
+                raise ValueError(
+                    "produce to %s/%d failed: %s"
+                    % (topic, rpid, _ERRORS.get(err, err)))
+            out[rpid] = base
+        return out
+
+
+# ---------------------------------------------------------------------------
+# toy broker
+# ---------------------------------------------------------------------------
+
+
+class ToyKafkaBroker:
+    """A real-socket single-node broker speaking Metadata v1 + Produce
+    v3: topics auto-create with ``num_partitions``; produced batches
+    CRC-verify and append to an inspectable in-memory log
+    (``log[topic][partition] = [(offset, key, value, headers)]``).
+    ``fail_topics`` answers Produce with NOT_LEADER_FOR_PARTITION so
+    client error surfacing is testable."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 num_partitions: int = 3,
+                 fail_topics: set[str] | None = None):
+        self.log: dict[str, dict[int, list]] = {}
+        self.num_partitions = num_partitions
+        self._fail = fail_topics or set()
+        outer = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                try:
+                    while True:
+                        head = self.rfile.read(4)
+                        if len(head) < 4:
+                            return
+                        n = struct.unpack(">i", head)[0]
+                        msg = self.rfile.read(n)
+                        api, ver, corr = struct.unpack_from(">hhi", msg)
+                        _cid, pos = _read_str(msg, 8)
+                        body = msg[pos:]
+                        if api == API_METADATA:
+                            resp = outer._metadata_response(body)
+                        elif api == API_PRODUCE:
+                            resp = outer._produce_response(body)
+                        else:
+                            return  # unsupported api: drop the session
+                        payload = struct.pack(">i", corr) + resp
+                        self.wfile.write(
+                            struct.pack(">i", len(payload)) + payload)
+                        self.wfile.flush()
+                except (ConnectionError, ValueError):
+                    return
+
+        class Srv(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._srv = Srv((host, port), Handler)
+        self.host, self.port = self._srv.server_address
+        self._thread = threading.Thread(target=self._srv.serve_forever,
+                                        daemon=True)
+
+    @property
+    def bootstrap(self) -> str:
+        return "%s:%d" % (self.host, self.port)
+
+    def _metadata_response(self, body: bytes) -> bytes:
+        nt = struct.unpack_from(">i", body)[0]
+        pos = 4
+        topics = []
+        for _ in range(nt):
+            t, pos = _read_str(body, pos)
+            topics.append(t)
+        out = struct.pack(">i", 1)                       # one broker
+        out += struct.pack(">i", 0) + _str(self.host)
+        out += struct.pack(">i", self.port) + _str(None)  # rack
+        out += struct.pack(">i", 0)                      # controller id
+        out += struct.pack(">i", len(topics))
+        for t in topics:
+            self.log.setdefault(t, {p: [] for p
+                                     in range(self.num_partitions)})
+            out += struct.pack(">h", 0) + _str(t) + b"\x00"
+            out += struct.pack(">i", self.num_partitions)
+            for pid in range(self.num_partitions):
+                out += struct.pack(">hii", 0, pid, 0)    # leader node 0
+                out += struct.pack(">ii", 1, 0)          # replicas [0]
+                out += struct.pack(">ii", 1, 0)          # isr [0]
+        return out
+
+    def _produce_response(self, body: bytes) -> bytes:
+        _txid, pos = _read_str(body, 0)
+        _acks, _timeout = struct.unpack_from(">hi", body, pos)
+        pos += 6
+        nt = struct.unpack_from(">i", body, pos)[0]
+        pos += 4
+        out_topics = []
+        for _ in range(nt):
+            t, pos = _read_str(body, pos)
+            np = struct.unpack_from(">i", body, pos)[0]
+            pos += 4
+            parts = []
+            for _ in range(np):
+                pid = struct.unpack_from(">i", body, pos)[0]
+                blen = struct.unpack_from(">i", body, pos + 4)[0]
+                batch = body[pos + 8:pos + 8 + max(blen, 0)]
+                pos += 8 + max(blen, 0)
+                if t in self._fail:
+                    parts.append((pid, 6, -1))  # NOT_LEADER_FOR_PARTITION
+                    continue
+                plog = self.log.setdefault(
+                    t, {p: [] for p in range(self.num_partitions)}
+                ).setdefault(pid, [])
+                base = len(plog)
+                for i, (k, v, h) in enumerate(
+                        decode_record_batch(batch)):
+                    plog.append((base + i, k, v, h))
+                parts.append((pid, 0, base))
+            out_topics.append((t, parts))
+        out = struct.pack(">i", len(out_topics))
+        for t, parts in out_topics:
+            out += _str(t) + struct.pack(">i", len(parts))
+            for pid, err, base in parts:
+                out += struct.pack(">ihqq", pid, err, base, -1)
+        out += struct.pack(">i", 0)  # throttle_time_ms
+        return out
+
+    def __enter__(self) -> "ToyKafkaBroker":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
