@@ -725,6 +725,22 @@ class PipelineComposer:
         elif t in ("debezium-file", "mongodb-file", "vitess-file",
                    "sqlserver-cdc-file", "db2-cdc-file"):
             raw = file_stream_source(self.spark, opts["path"])
+        elif opts.get("protocol", "").lower() == "wire":
+            # kafka over OUR wire client (round 10): drain the topic via
+            # real Metadata/Fetch into a json-lines spool, then the
+            # standard debezium-json file path — the same
+            # transport-then-spool pattern `protocol: mysql` uses. No
+            # Kafka jars ship with this Spark build, so this is the
+            # only runnable live path in-sandbox.
+            import os
+
+            from ..sinks.kafka_protocol import dump_kafka_topic
+
+            spool = os.path.join(opts["checkpoint"], "kafka-spool")
+            for topic in opts["topics"].split(","):
+                dump_kafka_topic(opts["bootstrap-servers"], topic.strip(),
+                                 spool)
+            raw = file_stream_source(self.spark, spool)
         else:
             from ..sources.jdbc import StartupOptions
 

@@ -17,6 +17,11 @@ Everything is the PUBLIC protocol (kafka.apache.org/protocol):
 - **Produce** (key 0, v3): transactional_id (nullable), acks, timeout,
   [(topic, [(partition, record_set)])]; response carries per-partition
   error codes and base offsets.
+- **Fetch** (key 1, v4 — the first version that serves magic-2
+  batches): replica_id, max_wait, min_bytes, max_bytes,
+  isolation_level, [(topic, [(partition, fetch_offset, max_bytes)])];
+  response carries high watermark, last stable offset, aborted txns
+  and the raw record set.
 - **RecordBatch v2** (magic 2): the modern record format — batch
   header with a CRC32C over everything after the crc field, then
   varint-encoded records (zigzag lengths/deltas, key/value/headers).
@@ -37,6 +42,7 @@ import struct
 import threading
 
 API_PRODUCE = 0
+API_FETCH = 1
 API_METADATA = 3
 
 _ERRORS = {
@@ -224,6 +230,14 @@ def decode_record_batch(buf: bytes) -> list[tuple[bytes | None,
                                                   list[tuple[str, bytes]]]]:
     """One (or more, concatenated) v2 batches -> [(key, value, headers)].
     The CRC32C is VERIFIED — corrupt bytes raise, never mis-parse."""
+    return [(k, v, h) for _o, k, v, h in decode_record_batches(buf)]
+
+
+def decode_record_batches(buf: bytes) -> list[tuple[int, bytes | None,
+                                                    bytes | None,
+                                                    list[tuple[str, bytes]]]]:
+    """v2 batches -> [(absolute offset, key, value, headers)] — the
+    consumer-side walk (offset = batch base + record offsetDelta)."""
     out = []
     pos = 0
     while pos < len(buf):
@@ -260,7 +274,7 @@ def decode_record_batch(buf: bytes) -> list[tuple[bytes | None,
                 hv = bytes(body[p:p + hvl]) if hvl >= 0 else None
                 p += max(hvl, 0)
                 headers.append((hk, hv))
-            out.append((key, value, headers))
+            out.append((base_offset + _off_delta, key, value, headers))
             p = end
         pos += 12 + batch_len
     return out
@@ -362,6 +376,54 @@ class KafkaWireProducer:
                 partitions[pid] = leader
         return {"brokers": brokers, "partitions": partitions}
 
+    def fetch(self, topic: str, partition: int, offset: int,
+              max_bytes: int = 1 << 20) -> tuple[int, list]:
+        """Fetch v4 from the partition leader ->
+        (high_watermark, [(offset, key, value, headers)])."""
+        meta = self.metadata(topic)
+        leader = meta["partitions"].get(partition)
+        if leader is None:
+            raise ValueError("no leader for %s/%d" % (topic, partition))
+        body = (struct.pack(">iiiib", -1, 500, 1, max_bytes, 0)
+                + struct.pack(">i", 1) + _str(topic)
+                + struct.pack(">i", 1)
+                + struct.pack(">iqi", partition, offset, max_bytes))
+        with socket.create_connection(meta["brokers"][leader],
+                                      self.timeout) as sock:
+            payload = self._call(sock, API_FETCH, 4, body)
+        pos = 4  # throttle_time_ms
+        pos += 4  # topic array count (1)
+        _name, pos = _read_str(payload, pos)
+        pos += 4  # partition array count (1)
+        pid, err, hw, _lso = struct.unpack_from(">ihqq", payload, pos)
+        pos += 22
+        nab = struct.unpack_from(">i", payload, pos)[0]
+        pos += 4 + max(nab, 0) * 16  # aborted txns (none)
+        blen = struct.unpack_from(">i", payload, pos)[0]
+        batches = payload[pos + 4:pos + 4 + max(blen, 0)]
+        if err:
+            raise ValueError("fetch %s/%d failed: %s"
+                             % (topic, pid, _ERRORS.get(err, err)))
+        recs = [r for r in decode_record_batches(batches)
+                if r[0] >= offset]
+        return hw, recs
+
+    def fetch_all(self, topic: str) -> dict[int, list]:
+        """Drain every partition from offset 0 ->
+        {partition: [(offset, key, value, headers)]} — the bounded
+        read a spool-dump consumer performs."""
+        meta = self.metadata(topic)
+        out = {}
+        for pid in sorted(meta["partitions"]):
+            recs, hw = [], 1
+            while len(recs) < hw:
+                hw, got = self.fetch(topic, pid, len(recs))
+                if not got:
+                    break
+                recs.extend(got)
+            out[pid] = recs
+        return out
+
     def produce(self, topic: str,
                 records: list[tuple[bytes | None, bytes | None,
                                     list[tuple[str, bytes]]]],
@@ -407,6 +469,38 @@ class KafkaWireProducer:
 # ---------------------------------------------------------------------------
 
 
+def dump_kafka_topic(bootstrap: str, topic: str, spool_dir: str) -> list[str]:
+    """Drain a topic over the real protocol into a json-lines spool —
+    the same respool pattern `dump_binlog_stream` uses for MySQL. One
+    file per partition, records in offset order (Kafka's own ordering
+    guarantee: total per partition, per-key under hash-by-key). The
+    file names embed the next fetch offset so re-dumps resume instead
+    of duplicating."""
+    import os
+
+    os.makedirs(spool_dir, exist_ok=True)
+    consumer = KafkaWireProducer(bootstrap)
+    written = []
+    for pid, recs in sorted(consumer.fetch_all(topic).items()):
+        # resume: skip offsets already spooled for this partition
+        have = 0
+        for n in os.listdir(spool_dir):
+            parts = n.split(".")
+            if n.startswith("part-%05d." % pid) and len(parts) == 3:
+                have = max(have, int(parts[1]))
+        fresh = [r for r in recs if r[0] >= have]
+        if not fresh:
+            continue
+        name = "part-%05d.%d.jsonl" % (pid, fresh[-1][0] + 1)
+        tmp = os.path.join(spool_dir, name + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for _off, _k, v, _h in fresh:
+                f.write((v or b"").decode("utf-8") + "\n")
+        os.replace(tmp, os.path.join(spool_dir, name))
+        written.append(name)
+    return written
+
+
 class ToyKafkaBroker:
     """A real-socket single-node broker speaking Metadata v1 + Produce
     v3: topics auto-create with ``num_partitions``; produced batches
@@ -419,6 +513,9 @@ class ToyKafkaBroker:
                  num_partitions: int = 3,
                  fail_topics: set[str] | None = None):
         self.log: dict[str, dict[int, list]] = {}
+        #: raw v2 batches as served to Fetch (base offsets rewritten to
+        #: the assigned log positions)
+        self.raw: dict[str, dict[int, list[bytes]]] = {}
         self.num_partitions = num_partitions
         self._fail = fail_topics or set()
         outer = self
@@ -439,6 +536,8 @@ class ToyKafkaBroker:
                             resp = outer._metadata_response(body)
                         elif api == API_PRODUCE:
                             resp = outer._produce_response(body)
+                        elif api == API_FETCH:
+                            resp = outer._fetch_response(body)
                         else:
                             return  # unsupported api: drop the session
                         payload = struct.pack(">i", corr) + resp
@@ -508,9 +607,13 @@ class ToyKafkaBroker:
                     t, {p: [] for p in range(self.num_partitions)}
                 ).setdefault(pid, [])
                 base = len(plog)
-                for i, (k, v, h) in enumerate(
-                        decode_record_batch(batch)):
+                decoded = decode_record_batch(batch)
+                for i, (k, v, h) in enumerate(decoded):
                     plog.append((base + i, k, v, h))
+                # re-frame at the ASSIGNED base offset so Fetch serves
+                # correct absolute offsets
+                self.raw.setdefault(t, {}).setdefault(pid, []).append(
+                    encode_record_batch(decoded, base_offset=base))
                 parts.append((pid, 0, base))
             out_topics.append((t, parts))
         out = struct.pack(">i", len(out_topics))
@@ -519,6 +622,47 @@ class ToyKafkaBroker:
             for pid, err, base in parts:
                 out += struct.pack(">ihqq", pid, err, base, -1)
         out += struct.pack(">i", 0)  # throttle_time_ms
+        return out
+
+    def _fetch_response(self, body: bytes) -> bytes:
+        (_replica, _max_wait, _min_bytes, _max_bytes,
+         _isolation) = struct.unpack_from(">iiiib", body)
+        pos = 17
+        nt = struct.unpack_from(">i", body, pos)[0]
+        pos += 4
+        out_topics = []
+        for _ in range(nt):
+            t, pos = _read_str(body, pos)
+            np = struct.unpack_from(">i", body, pos)[0]
+            pos += 4
+            parts = []
+            for _ in range(np):
+                pid, off, _pmax = struct.unpack_from(">iqi", body, pos)
+                pos += 16
+                plog = self.log.get(t, {}).get(pid)
+                if plog is None:
+                    parts.append((pid, 3, 0, b""))  # UNKNOWN_TOPIC...
+                    continue
+                hw = len(plog)
+                raw = self.raw.get(t, {}).get(pid, [])
+                # serve every batch whose LAST offset is >= the fetch
+                # offset (a real broker also returns the whole batch
+                # containing the offset; clients skip within it)
+                send = b"".join(
+                    b for b in raw
+                    # baseOffset (bytes 0-7) + lastOffsetDelta (23-26)
+                    if struct.unpack_from(">q", b)[0]
+                    + struct.unpack_from(">i", b, 23)[0] >= off)
+                parts.append((pid, 0, hw, send))
+            out_topics.append((t, parts))
+        out = struct.pack(">i", 0)  # throttle
+        out += struct.pack(">i", len(out_topics))
+        for t, parts in out_topics:
+            out += _str(t) + struct.pack(">i", len(parts))
+            for pid, err, hw, blob in parts:
+                out += struct.pack(">ihqq", pid, err, hw, hw)
+                out += struct.pack(">i", 0)  # aborted txns: empty array
+                out += _bytes32(blob)
         return out
 
     def __enter__(self) -> "ToyKafkaBroker":
