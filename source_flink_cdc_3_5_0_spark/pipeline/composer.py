@@ -575,6 +575,10 @@ class PipelineComposer:
                     binary=str(opts.get("binary", "")).lower() == "true",
                     streaming=str(opts.get("streaming", "")).lower()
                     == "true",
+                    # two-phase commit delivery (round 10): the slot
+                    # must have been created WITH two_phase
+                    two_phase=str(opts.get("two.phase", "")).lower()
+                    == "true",
                     stop_message_prefix=opts.get("stop.message.prefix"),
                     idle_timeout=float(idle) if idle is not None
                     else None,

@@ -1088,3 +1088,53 @@ def test_two_phase_streamed_prepare_commit_and_rollback(tmp_path):
                      (tmp_path / "spool" / n).read_bytes())
                  if c["kind"] == "change" and c["op"] == "+I")
     assert ids == list(range(1, 1001)), (len(ids), ids[:5], ids[-5:])
+
+
+def test_yaml_two_phase_option_against_real_server(spark, tmp_path):
+    """YAML `protocol: postgres` + `two.phase: true`: prepared txns ride
+    the full pipeline — committed-prepared rows land in the sink,
+    rolled-back ones don't."""
+    from source_flink_cdc_3_5_0_spark.common import TableId
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline)
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+
+    with RealPostgresServer(str(tmp_path / "srv")) as pg:
+        pg.sql("CREATE TABLE public.t (id bigint PRIMARY KEY, v text)")
+        pg.sql("CREATE PUBLICATION pub FOR TABLE t")
+        pg.create_slot("s1", two_phase=True)
+        s = _PsqlSession(pg)
+        try:
+            s.run("BEGIN")
+            s.run("INSERT INTO t VALUES (1, 'keep')")
+            s.run("PREPARE TRANSACTION 'g1'")
+            s.run("BEGIN")
+            s.run("INSERT INTO t VALUES (2, 'drop')")
+            s.run("PREPARE TRANSACTION 'g2'")
+            s.run("COMMIT PREPARED 'g1'")
+            s.run("ROLLBACK PREPARED 'g2'")
+        finally:
+            s.close()
+        pg.sql("SELECT pg_logical_emit_message(false, '__stop__', '')")
+        yaml_text = f"""
+source:
+  type: pgoutput-file
+  protocol: postgres
+  host: {pg.host}
+  port: {pg.port}
+  username: {pg.REPL_USER}
+  password: {pg.REPL_PASSWORD}
+  database: postgres
+  slot.name: s1
+  publication.name: pub
+  two.phase: "true"
+  stop.message.prefix: __stop__
+  idle.timeout.seconds: 15
+  checkpoint: {tmp_path}/ckpt
+sink: {{type: values}}
+"""
+        sink = MemorySink()
+        pipe, raw, tables = PipelineComposer(spark).compose_streaming(
+            parse_yaml_pipeline(yaml_text), sink=sink)
+        pipe.start(raw, tables).awaitTermination(120)
+    assert sink.snapshot(TableId.parse("public.t")) == ["1, keep"]
