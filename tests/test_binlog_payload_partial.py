@@ -568,3 +568,65 @@ def test_zstd_implausible_declared_size_refused_without_allocation():
     w._emit(TRANSACTION_PAYLOAD_EVENT, body)
     with pytest.raises(ValueError, match="TRANSACTION_PAYLOAD.*expansion"):
         binlog_changes(w.getvalue(), "f")
+
+
+def test_partial_json_property_random_mutations():
+    """Property: for a random document and a random mutation sequence,
+    the diff ops RECORDED WHILE MUTATING (the independent oracle — not
+    derived from the applier) reconstruct the mutated document through
+    apply_json_diffs AND through the full wire roundtrip."""
+    import copy
+
+    from hypothesis import given, settings, strategies as st
+
+    scalar = st.one_of(st.none(), st.booleans(),
+                       st.integers(-2**31, 2**31 - 1),
+                       st.text(max_size=8))
+    doc_s = st.dictionaries(
+        st.text(st.characters(min_codepoint=97, max_codepoint=122),
+                min_size=1, max_size=6),
+        st.one_of(scalar, st.lists(scalar, max_size=4),
+                  st.dictionaries(st.text(min_size=1, max_size=4), scalar,
+                                  max_size=3)),
+        min_size=1, max_size=6)
+
+    @given(doc_s, st.data())
+    @settings(max_examples=80, deadline=None)
+    def check(before, data):
+        after = copy.deepcopy(before)
+        diffs = JsonDiffVector()
+        for _ in range(data.draw(st.integers(1, 5))):
+            keys = sorted(after)
+            op = data.draw(st.sampled_from(["replace", "insert", "remove"]))
+            if op == "replace" and keys:
+                k = data.draw(st.sampled_from(keys))
+                v = data.draw(scalar)
+                after[k] = v
+                diffs.append(JsonDiff(JSON_DIFF_REPLACE, '$."%s"' % k, v))
+            elif op == "insert":
+                k = data.draw(st.text(
+                    st.characters(min_codepoint=97, max_codepoint=122),
+                    min_size=1, max_size=6).filter(
+                        lambda s: s not in after))
+                v = data.draw(scalar)
+                after[k] = v
+                diffs.append(JsonDiff(JSON_DIFF_INSERT, '$."%s"' % k, v))
+            elif keys:
+                k = data.draw(st.sampled_from(keys))
+                del after[k]
+                diffs.append(JsonDiff(JSON_DIFF_REMOVE, '$."%s"' % k))
+        assert apply_json_diffs(before, diffs) == after
+        # and through the wire: PARTIAL_UPDATE_ROWS inside a container
+        tmap = _table()
+        w = BinlogWriter()
+        inner = BinlogWriter.embedded()
+        inner.table_map(tmap)
+        inner.partial_update_rows(
+            tmap, [(dict(id=1, doc=before, v="x"),
+                    dict(id=1, doc=diffs, v="x"))])
+        w.transaction_payload(inner)
+        ch = [c for c in binlog_changes(w.getvalue(), "f")
+              if c["op"] == "+U"]
+        assert ch[0]["after"]["doc"] == after
+
+    check()
