@@ -90,7 +90,16 @@ def decode_db2_cdc(raw: DataFrame, payload_schema: T.StructType,
     opcode = (F.when((raw_op == "D") & (lead_op == "I"), F.lit(3))
               .when((raw_op == "I") & (lag_op == "D"), F.lit(4))
               .when(raw_op == "D", F.lit(1))
-              .when(raw_op == "I", F.lit(2)))
+              .when(raw_op == "I", F.lit(2))
+              .otherwise(F.raise_error(F.format_string(
+                  # never-silently-drop (round 10): an IBMSNAP_OPERATION
+                  # outside the D/I pairing contract (e.g. a capture
+                  # configured to write 'U' rows) must surface, not flow
+                  # through as a NULL op
+                  "db2-cdc: unmodeled IBMSNAP_OPERATION %s at "
+                  "commitseq=%s; row-bearing records are never silently "
+                  "dropped (this decoder speaks the D/I-pair contract)",
+                  raw_op, F.col(f"row.{COMMITSEQ_COL}")))))
     op = F.coalesce(*[F.when(opcode == k, F.lit(t)) for k, t in _OPS.items()])
     before = F.when(opcode == 4, F.lag(image).over(w))
     meta = F.map_from_arrays(

@@ -112,8 +112,17 @@ def decode_sqlserver_cdc(raw: DataFrame, payload_schema: T.StructType,
     payload_cols = [f.name for f in payload_schema.fields]
     image = F.struct(*[F.col(f"row.{c}").alias(c) for c in payload_cols])
     op_num = F.col(f"row.{OPERATION_COL}")
-    op = F.coalesce(*[F.when(op_num == k, F.lit(t))
-                      for k, t in _OPS.items()])
+    op = F.when(op_num == 1, F.lit("-D")) \
+        .when(op_num == 2, F.lit("+I")) \
+        .when(op_num == 3, F.lit("-U")) \
+        .when(op_num == 4, F.lit("+U")) \
+        .otherwise(F.raise_error(F.format_string(
+            # never-silently-drop (round 10, the binlog type-39/40
+            # lesson): an unmodeled __$operation is a row-bearing
+            # record — a NULL op would flow through downstream
+            "sqlserver-cdc: unknown __$operation %s at lsn=%s; "
+            "row-bearing records are never silently dropped",
+            op_num.cast("string"), F.col(f"row.{LSN_COL}"))))
     w = (Window.partitionBy(F.col(f"row.{LSN_COL}"),
                             F.col(f"row.{SEQVAL_COL}"))
          .orderBy(op_num))

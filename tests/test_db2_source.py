@@ -86,3 +86,25 @@ sink: {{type: values}}
     off = pipe.binlog_offset()
     assert isinstance(off, LsnOffset) and off.commit_lsn.available
     assert str(off.commit_lsn).endswith("1020")  # 16-byte plain hex
+
+
+def test_unmodeled_operation_raises(spark):
+    """Round 10: an IBMSNAP_OPERATION outside the D/I pairing contract
+    (e.g. 'U') raises by name instead of flowing through NULL."""
+    import json
+
+    import pytest
+
+    from source_flink_cdc_3_5_0_spark.sources.db2 import decode_db2_cdc
+
+    import pyspark.sql.types as T
+    payload = T.StructType([T.StructField("id", T.LongType()),
+                            T.StructField("v", T.StringType())])
+    line = json.dumps({"db": "d", "schema": "ASN", "table": "t",
+                       "row": {"IBMSNAP_COMMITSEQ": "00" * 10,
+                               "IBMSNAP_INTENTSEQ": "00" * 10,
+                               "IBMSNAP_OPERATION": "U",
+                               "id": 1, "v": "x"}})
+    df = spark.createDataFrame([(line,)], "value STRING")
+    with pytest.raises(Exception, match="unmodeled IBMSNAP_OPERATION U"):
+        decode_db2_cdc(df, payload).collect()

@@ -98,3 +98,28 @@ def test_lsn_render_roundtrip():
         Lsn.valueOf("00000000:00000000:002A").data
     with pytest.raises(ValueError):
         Lsn.valueOf("xx")
+
+
+def test_unknown_operation_code_raises(spark):
+    """Round 10 (the binlog type-39/40 lesson generalized): a
+    row-bearing record with an unmodeled __$operation must raise by
+    name, never flow through with a NULL op."""
+    import json
+
+    import pytest
+
+    from source_flink_cdc_3_5_0_spark.sources.sqlserver import (
+        decode_sqlserver_cdc)
+
+    line = json.dumps({"db": "d", "schema": "dbo", "table": "t",
+                       "row": {"__$start_lsn": "0" * 20,
+                               "__$seqval": "0" * 20,
+                               "__$operation": 7,
+                               "__$update_mask": "00",
+                               "id": 1, "v": "x"}})
+    import pyspark.sql.types as T
+    payload = T.StructType([T.StructField("id", T.LongType()),
+                            T.StructField("v", T.StringType())])
+    df = spark.createDataFrame([(line,)], "value STRING")
+    with pytest.raises(Exception, match="unknown __\\$operation 7"):
+        decode_sqlserver_cdc(df, payload).collect()
