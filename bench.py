@@ -291,6 +291,50 @@ def _noise_stamp(before: dict, after: dict) -> dict:
     return stamp
 
 
+def resolve_bench_output(argv: list, environ: dict,
+                         default_dir: str = None) -> str:
+    """Resolve where this run's full record lands, WITHOUT killing the run.
+
+    Round-10 lesson (verdict r10 'what's wrong #1'): the clobber guard
+    fired on a bare `python bench.py` — exactly what the driver runs every
+    round — so BENCH_r10.json was an rc=1 refusal with no numbers. The
+    guard's job is to protect the adjudicated record, not to stop
+    measurement: on a BARE invocation whose default target holds an
+    adjudicated (retimes-carrying) record, redirect the fresh run to
+    BENCH_LATEST.json beside it and keep going. An EXPLICIT path
+    (argv[1] / SPARK_GRAFT_BENCH_OUT) aimed at an adjudicated record
+    still refuses — the caller named the target on purpose, so silent
+    redirection would hide their mistake; SPARK_GRAFT_BENCH_CLOBBER=1
+    overrides either way."""
+    explicit = len(argv) > 1 or "SPARK_GRAFT_BENCH_OUT" in environ
+    if default_dir is None:
+        default_dir = os.path.dirname(os.path.abspath(__file__))
+    path = (argv[1] if len(argv) > 1
+            else environ.get("SPARK_GRAFT_BENCH_OUT",
+                             os.path.join(default_dir, "BENCH_FULL.json")))
+    if environ.get("SPARK_GRAFT_BENCH_CLOBBER") == "1":
+        return path
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return path
+    if not prev.get("retimes"):
+        return path
+    if explicit:
+        # fail BEFORE the suite runs: a refusal after 3 minutes of
+        # measurement would discard the entire run
+        raise SystemExit(
+            "refusing to overwrite %s: the existing record (run_id %s) "
+            "carries %d adjudicated retimes and a fresh run carries "
+            "none. Point argv[1]/SPARK_GRAFT_BENCH_OUT elsewhere, merge "
+            "isolated numbers with `python bench_retime.py --auto`, or "
+            "set SPARK_GRAFT_BENCH_CLOBBER=1 to discard the adjudication "
+            "deliberately." % (path, prev.get("run_id"),
+                               len(prev["retimes"])))
+    return os.path.join(os.path.dirname(path), "BENCH_LATEST.json")
+
+
 def guard_retimed_record(full_path: str, new_record: dict) -> None:
     """Refuse to clobber an ADJUDICATED record with a bare one (verdict
     r9 'what's wrong #2': the end-of-round snapshot replaced a
@@ -324,16 +368,12 @@ def guard_retimed_record(full_path: str, new_record: dict) -> None:
 def main() -> None:
     from pyspark.sql import SparkSession
 
-    # resolve the output path and run the clobber guard UP FRONT: a
-    # refusal after the full suite ran would discard the entire run
-    # (review r10 finding #2) — the fresh record can never carry
-    # retimes, so the guard's answer is already known here
-    full_path = (sys.argv[1] if len(sys.argv) > 1
-                 else os.environ.get(
-                     "SPARK_GRAFT_BENCH_OUT",
-                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                  "BENCH_FULL.json")))
-    guard_retimed_record(full_path, {})
+    # resolve the output path UP FRONT (redirect-or-refuse is decided
+    # before any measurement): bare invocations over an adjudicated
+    # record land in BENCH_LATEST.json and still report; only an
+    # explicit path aimed at the adjudicated record refuses (r10
+    # verdict item 1).
+    full_path = resolve_bench_output(sys.argv, os.environ)
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")

@@ -157,3 +157,63 @@ def test_bench_guard_refuses_to_clobber_adjudicated_record(tmp_path,
         {"run_id": "adjudicated", "retimes": {"q1": {"min": 1.0}}}))
     monkeypatch.setenv("SPARK_GRAFT_BENCH_CLOBBER", "1")
     bench.guard_retimed_record(str(p), {"run_id": "bare"})
+
+
+def test_bare_bench_redirects_instead_of_refusing(tmp_path, monkeypatch):
+    """Verdict r10 'what's wrong #1': the guard refused a bare
+    `python bench.py` — the exact invocation the driver makes — so the
+    round had no bench record at all. The run must never be refused on
+    the default path: an adjudicated BENCH_FULL redirects the fresh run
+    to BENCH_LATEST.json (record survives, numbers still land); only an
+    EXPLICITLY named adjudicated target refuses."""
+    import json
+
+    import pytest
+
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_CLOBBER", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_OUT", raising=False)
+    full = tmp_path / "BENCH_FULL.json"
+    adjudicated = {"run_id": "adjudicated", "retimes": {"q1": {"min": 1.0}}}
+    full.write_text(json.dumps(adjudicated))
+
+    # bare invocation: rc-0 path — redirected beside the record
+    out = bench.resolve_bench_output(["bench.py"], {},
+                                     default_dir=str(tmp_path))
+    assert out == str(tmp_path / "BENCH_LATEST.json")
+    assert json.loads(full.read_text()) == adjudicated  # untouched
+
+    # bare invocation over a NON-adjudicated record: write in place
+    full.write_text(json.dumps({"run_id": "plain"}))
+    assert bench.resolve_bench_output(["bench.py"], {},
+                                      default_dir=str(tmp_path)) == str(full)
+
+    # explicit path at an adjudicated record: refuse up-front
+    full.write_text(json.dumps(adjudicated))
+    with pytest.raises(SystemExit, match="adjudicated retimes"):
+        bench.resolve_bench_output(["bench.py", str(full)], {})
+    with pytest.raises(SystemExit, match="adjudicated retimes"):
+        bench.resolve_bench_output(
+            ["bench.py"], {"SPARK_GRAFT_BENCH_OUT": str(full)})
+    # explicit path elsewhere: honored verbatim
+    other = tmp_path / "BENCH_r11_probe.json"
+    assert bench.resolve_bench_output(
+        ["bench.py", str(other)], {}) == str(other)
+
+    # deliberate clobber override wins everywhere
+    env = {"SPARK_GRAFT_BENCH_CLOBBER": "1"}
+    assert bench.resolve_bench_output(
+        ["bench.py"], env, default_dir=str(tmp_path)) == str(full)
+    assert bench.resolve_bench_output(["bench.py", str(full)], env) == str(full)
+
+    # end-of-round snapshot simulation (verdict r10 item 6): a full
+    # bare-run cycle — resolve, write the fresh record at the resolved
+    # path — leaves the adjudicated record byte-identical on disk
+    resolved = bench.resolve_bench_output(["bench.py"], {},
+                                          default_dir=str(tmp_path))
+    fresh = {"run_id": "fresh-driver-run", "metric": "bench_total"}
+    bench.guard_retimed_record(resolved, fresh)  # belt-and-braces passes
+    with open(resolved, "w") as f:
+        json.dump(fresh, f)
+    assert json.loads(full.read_text()) == adjudicated
+    assert json.loads(
+        (tmp_path / "BENCH_LATEST.json").read_text()) == fresh
