@@ -740,10 +740,22 @@ class PipelineComposer:
 
             from ..sinks.kafka_protocol import dump_kafka_topic
 
-            spool = os.path.join(opts["checkpoint"], "kafka-spool")
+            # checkpoint is optional everywhere else (StreamingPipeline
+            # defaults it) — a bare KeyError on a YAML without one was
+            # advice r10; isolation-level mirrors the consumer setting
+            # (read_committed filters aborted transactional data via the
+            # Fetch response's aborted-txn index)
+            iso = opts.get("isolation-level", "read_uncommitted").lower()
+            if iso not in ("read_uncommitted", "read_committed"):
+                raise ValueError(
+                    "isolation-level must be read_uncommitted or "
+                    "read_committed, got %r" % iso)
+            spool = os.path.join(
+                opts.get("checkpoint", ".cdc_checkpoint"), "kafka-spool")
             for topic in opts["topics"].split(","):
-                dump_kafka_topic(opts["bootstrap-servers"], topic.strip(),
-                                 spool)
+                dump_kafka_topic(
+                    opts["bootstrap-servers"], topic.strip(), spool,
+                    isolation_level=1 if iso == "read_committed" else 0)
             raw = file_stream_source(self.spark, spool)
         else:
             from ..sources.jdbc import StartupOptions
@@ -789,6 +801,12 @@ class PipelineComposer:
                 include_schema=str(opts.get(
                     "debezium-json.include-schema.enabled", "false"))
                 .lower() == "true",
+                # properties.* forward to the producer (compression.type
+                # is honored on the wire; unsupported ones warn by name)
+                kafka_options={
+                    k[len("properties."):]: v for k, v in opts.items()
+                    if k.startswith("properties.")
+                    and k != "properties.bootstrap.servers"},
             )
         _live_opts = [k for k in _LIVE_ENDPOINT_OPTS if k in opts]
         if (t in ("jdbc", "sqlite") or (

@@ -209,8 +209,27 @@ class KafkaChangelogSink(DataSink):
                                   if "headers" in encoded.columns else [])]
                 records.append((r["key"].encode("utf-8"),
                                 r["value"].encode("utf-8"), hdrs))
-            KafkaWireProducer(self.bootstrap_servers.split(",")[0]) \
-                .produce(topic, records, partition=fixed)
+            # properties.* the wire client can honor: compression.type
+            # rides the batch attributes; anything else is surfaced, not
+            # silently dropped (advice r10: configured client options
+            # vanishing without a word is how acks/timeouts get "set"
+            # in YAML and never applied)
+            compression = self.kafka_options.get("compression.type",
+                                                 "none")
+            ignored = sorted(k for k in self.kafka_options
+                             if k not in ("compression.type",
+                                          "bootstrap.servers"))
+            if ignored:
+                import warnings
+
+                warnings.warn(
+                    "kafka wire producer ignores unsupported "
+                    "properties: %s" % ", ".join(ignored),
+                    stacklevel=2)
+            # full bootstrap list: the wire client walks it for failover
+            KafkaWireProducer(self.bootstrap_servers) \
+                .produce(topic, records, partition=fixed,
+                         compression=compression)
         else:
             out = os.path.join(self.output_dir, topic, f"batch_{batch_id}")
             if os.path.exists(out):
