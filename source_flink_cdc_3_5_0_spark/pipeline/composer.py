@@ -844,8 +844,13 @@ class PipelineComposer:
 
             cls = (DorisStreamLoadSink if t == "doris"
                    else StarRocksStreamLoadSink)
+            # labels salt on the pipeline checkpoint's lifetime so a
+            # checkpoint reset never collides with persisted labels
             return cls(output_dir=opts.get("output-dir"),
-                       frontend=opts.get("frontend"))
+                       frontend=opts.get("frontend"),
+                       salt_dir=pdef.source.options_dict()
+                       .get("checkpoint", ".cdc_checkpoint")
+                       if opts.get("frontend") else None)
         if t == "elasticsearch" and ("output-dir" in opts or "hosts" in opts):
             # real _bulk wire-format sink: spool mode, or live `hosts`
             # (HTTP POST, per-item results checked)

@@ -72,12 +72,46 @@ class _StreamLoadSink(DataSink):
         raise NotImplementedError
 
     def __init__(self, output_dir: str | None = None,
-                 frontend: str | None = None):
+                 frontend: str | None = None,
+                 label_salt: str | None = None,
+                 salt_dir: str | None = None):
         if not output_dir and not frontend:
             raise ValueError("need output_dir (local spool) or frontend")
         self.output_dir = output_dir
         self.frontend = frontend
+        # label salting (advice r10): Stream Load labels persist
+        # server-side, so a purely batch-id-deterministic label makes a
+        # CHECKPOINT RESET (batch ids restart at 0 with different data)
+        # collide with the old run's labels — "Label Already Exists"
+        # silently skips genuinely new batches. The salt is pinned to
+        # the checkpoint's lifetime: read-or-created under ``salt_dir``
+        # (the pipeline checkpoint dir), so crash replays of the SAME
+        # checkpoint reuse it (dedup works) while a fresh checkpoint
+        # mints a new one (no stale collision).
+        self._label_salt = label_salt
+        self._salt_dir = salt_dir
         self._ddl_pos = DdlSpoolPosition()
+
+    def _resolve_label_salt(self) -> str:
+        if self._label_salt is None:
+            if self._salt_dir is None:
+                self._label_salt = ""  # explicit legacy behavior
+            else:
+                import uuid
+
+                os.makedirs(self._salt_dir, exist_ok=True)
+                path = os.path.join(self._salt_dir, "streamload_run_id")
+                try:
+                    with open(path, encoding="ascii") as f:
+                        self._label_salt = f.read().strip()
+                except OSError:
+                    salt = uuid.uuid4().hex[:12]
+                    tmp = path + ".tmp"
+                    with open(tmp, "w", encoding="ascii") as f:
+                        f.write(salt + "\n")
+                    os.replace(tmp, path)
+                    self._label_salt = salt
+        return self._label_salt
 
     def begin_batch(self, batch_id) -> None:
         self._ddl_pos.reset()
@@ -123,11 +157,15 @@ class _StreamLoadSink(DataSink):
             body = "\n".join(
                 r.lines for r in
                 self.encode_stream_load(table_id, df, schema).collect())
-            # deterministic label: the server's dedup makes a crash
-            # replay of the same batch a clean no-op — the live twin of
-            # the spool path's atomic-rename marker
-            label = "cdc-%s-%s" % (
-                table_id.identifier().replace(".", "_"), batch_id)
+            # deterministic label WITHIN a checkpoint lifetime: the
+            # server's dedup makes a crash replay of the same batch a
+            # clean no-op — the live twin of the spool path's
+            # atomic-rename marker; the salt keeps fresh checkpoints
+            # from colliding with a previous run's labels
+            salt = self._resolve_label_salt()
+            label = "cdc-%s%s-%s" % (
+                table_id.identifier().replace(".", "_"),
+                "-" + salt if salt else "", batch_id)
             stream_load_put(self.frontend, table_id, body + "\n", label)
             return
         out = os.path.join(self.output_dir, table_id.identifier(),
