@@ -165,6 +165,9 @@ BENCH_QUERIES = [
     "cdc_db2_asn",
     "cdc_oracle_logminer",
     "cdc_vitess_vstream",
+    # round-11 wire gate: Produce/Fetch v2-batch codec both directions
+    # (gzip attribute decode) + spool re-ingest + materialize
+    "cdc_kafka_wire_roundtrip",
     # round-6 bench-gap closure (verdict r5 item 4): every sf-data-driven
     # registry query gets a trend line
     "transform_predicates",

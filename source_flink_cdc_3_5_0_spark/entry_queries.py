@@ -2484,6 +2484,104 @@ FROM orders WHERE o_orderkey % 4 < 2 AND o_orderkey % 11 <> 0
 """
 
 
+def q_cdc_kafka_wire_roundtrip(spark, sf_dir):
+    """Kafka transport wire-to-wire oracle gate (round 11, verdict r10
+    item 5): scripted churn over ``customer`` -> debezium-json ->
+    Produce v3 over a REAL socket (gzip-compressed v2 batches,
+    murmur2 hash-by-key partitioning) -> in-repo broker -> Fetch v4
+    (attribute decode inflates the gzip) -> offset-resumable spool ->
+    distributed decode + materialize. The same hard-evidence class as
+    the MySQL/PG transport gates: every byte between the sink and the
+    source is the public Kafka protocol
+    (kafka.apache.org/protocol; reference parity:
+    flink-cdc-pipeline-connector-kafka riding the real client).
+
+    Churn: +I all rows; keys ≡ 0 (mod 5) update name||'*' and
+    +777 cents; keys ≡ 0 (mod 9) delete. Per-key order rides the
+    envelope's dedicated ``seq`` field, so murmur2 partition routing
+    (which interleaves keys across 3 partitions) cannot reorder the
+    materialization.
+
+    Scale shape: the produce path is a bounded driver-side collect BY
+    DESIGN (the live-sink pattern shared with ES/Stream Load — one
+    socket client, not a distributed writer); the spool re-ingest,
+    JSON decode (one `from_json` projection, codegen) and key-shuffle
+    materialization are fully distributed. On a real deployment the
+    drain runs per-partition against the brokers; the decode plan is
+    identical."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .common.tableid import TableId
+    from .sinks.kafka import KafkaChangelogSink
+    from .sinks.kafka_protocol import ToyKafkaBroker, dump_kafka_topic
+    from .sources.debezium import decode_debezium
+
+    cust = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("long")
+    nk = F.col("c_nationkey").cast("long")
+    name = F.col("c_name")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    seg = F.col("c_mktsegment")
+
+    def srow(step, op, name_c, cents_c):
+        return F.struct(
+            F.lit(step).alias("step"), F.lit(op).alias("op"),
+            k.alias("c_custkey"), name_c.alias("c_name"),
+            nk.alias("c_nationkey"), cents_c.alias("acctbal_cents"),
+            seg.alias("c_mktsegment"))
+
+    up_name = F.concat(name, F.lit("*"))
+    fin_name = F.when(k % 5 == 0, up_name).otherwise(name)
+    fin_cents = F.when(k % 5 == 0, cents + 777).otherwise(cents)
+    script = (cust.select(F.explode(F.array(
+                  srow(1, "+I", name, cents),
+                  F.when(k % 5 == 0, srow(2, "+U", up_name, cents + 777)),
+                  F.when(k % 9 == 0, srow(3, "-D", fin_name, fin_cents)),
+              )).alias("w"))
+              .where(F.col("w").isNotNull()).select("w.*"))
+    env = script.select(
+        "c_custkey", "c_name", "c_nationkey", "acctbal_cents",
+        "c_mktsegment",
+        F.col("op").alias(OP_COL), F.col("step").cast("long").alias(SEQ_COL))
+    schema = Schema.from_struct_type(
+        env.drop(OP_COL, SEQ_COL).schema, primary_keys=["c_custkey"])
+    payload = schema.struct_type()
+
+    spool = tempfile.mkdtemp(prefix="kafka-wire-spool-")
+    atexit.register(shutil.rmtree, spool, ignore_errors=True)
+    tid = TableId.parse("tpch.customer")
+    with ToyKafkaBroker(num_partitions=3) as br:
+        KafkaChangelogSink(
+            bootstrap_servers=br.bootstrap, topic="cdc.customer",
+            partition_strategy="hash-by-key",
+            kafka_options={"compression.type": "gzip"}) \
+            .write(tid, env, schema, batch_id=0)
+        written = dump_kafka_topic(br.bootstrap, "cdc.customer", spool)
+    if not written:
+        raise ValueError("kafka wire drain spooled no records")
+
+    raw = spark.read.text(spool)
+    decoded = decode_debezium(raw, payload)
+    out = latest_image(decoded, ["c_custkey"], seq_col=SEQ_COL)
+    return out.select("c_custkey", "c_name", "c_nationkey",
+                      "acctbal_cents", "c_mktsegment")
+
+
+ORACLE_KAFKA_WIRE_ROUNDTRIP = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CASE WHEN c_custkey % 5 = 0 THEN c_name || '*' ELSE c_name END
+         AS c_name,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(round(c_acctbal * 100)
+            + CASE WHEN c_custkey % 5 = 0 THEN 777 ELSE 0 END AS BIGINT)
+         AS acctbal_cents,
+       c_mktsegment
+FROM customer WHERE c_custkey % 9 <> 0
+"""
+
+
 #: the pgoutput gate's decode payload schema (also used by bench_scale)
 PGOUTPUT_PART_PAYLOAD = T.StructType([
     T.StructField("p_partkey", T.LongType(), False),
@@ -6907,8 +7005,8 @@ WHERE rn = 1
 """
 
 
-QUERIES_ORDER_DERIVED_FROM_ROUND = 9
-# ^ The QUERIES ordering below was derived from CORRECTNESS_r01..r09.
+QUERIES_ORDER_DERIVED_FROM_ROUND = 10
+# ^ The QUERIES ordering below was derived from CORRECTNESS_r01..r10.
 #   test_registry_consistency scopes its re-derivation to records with
 #   round <= this stamp, so a fresh driver record written AFTER the
 #   literal was committed (always newer) can no longer flip the test
@@ -6919,66 +7017,16 @@ QUERIES: dict[str, object] = {
     # The correctness driver samples the FIRST 50 entries of this dict.
     # Rotation contract (verdict r6 item 4): entries sorted by OLDEST
     # last-green driver round first, so every round's sample
-    # re-validates the stalest evidence. Round-10 derivation
-    # (CORRECTNESS_r01..r09, stamped above):
-    #   1. cdc_mysql_binlog_payload_decode (new this round, no evidence)
-    #   2. the r07-green cohort (46 queries, three rounds stale)
-    #   3. r08 (50), then r09 (50, freshest last).
+    # re-validates the stalest evidence. Round-11 derivation
+    # (CORRECTNESS_r01..r10, stamped above):
+    #   1. cdc_kafka_wire_roundtrip (new this round, no evidence)
+    #   2. the r08-green cohort (47 queries, three rounds stale)
+    #   3. r09 (50), then r10 (50, freshest last).
     # The literal is the derivation's output, asserted by
     # test_registry_consistency against records <= the stamp.
     # -- never driver-checked (new this round) -----------------------
-    "cdc_mysql_binlog_payload_decode": q_cdc_mysql_binlog_payload_decode,
-    # -- last green r07 ----------------------------------------------
-    "agg_cube_orders": q_agg_cube_orders,
-    "agg_event_type_pivot": q_agg_event_type_pivot,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "array_functions": q_array_functions,
-    "asof_join_events": q_asof_join_events,
-    "cdc_postgres_pipeline": q_cdc_postgres_pipeline,
-    "cdc_schema_evolution_ignore": q_cdc_schema_evolution_ignore,
-    "cdc_truncate_drop": q_cdc_truncate_drop,
-    "codec_canal_roundtrip": q_codec_canal_roundtrip,
-    "codec_debezium_roundtrip": q_codec_debezium_roundtrip,
-    "dedup_components": q_dedup_components,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "distinct_order_attrs": q_distinct_order_attrs,
-    "doc_length_percentiles": q_doc_length_percentiles,
-    "embedding_neardup": q_embedding_neardup,
-    "interval_join_events": q_interval_join_events,
-    "jdbc_chunk_plan_uneven": q_jdbc_chunk_plan_uneven,
-    "join_anti_customers_no_orders": q_join_anti_customers_no_orders,
-    "join_region_rollup": q_join_region_rollup,
-    "join_semi_customers_with_orders": q_join_semi_customers_with_orders,
-    "join_shipping_priority": q_join_shipping_priority,
-    "json_extract_props": q_json_extract_props,
-    "multimodal_features": q_multimodal_features,
-    "sample_quota_per_lang": q_sample_quota_per_lang,
-    "sessionize_events": q_sessionize_events,
-    "sink_jdbc_upsert": q_sink_jdbc_upsert,
-    "sink_upsert_merge": q_sink_upsert_merge,
-    "sketch_kmv_by_group": q_sketch_kmv_by_group,
-    "sketch_kmv_distinct": q_sketch_kmv_distinct,
-    "skew_salted_agg": q_skew_salted_agg,
-    "stream_windowed_counts": q_stream_windowed_counts,
-    "text_lang_id": q_text_lang_id,
-    "text_ngram_top": q_text_ngram_top,
-    "text_redact_pii": q_text_redact_pii,
-    "text_repetition": q_text_repetition,
-    "text_tfidf_top_terms": q_text_tfidf_top_terms,
-    "text_token_stats": q_text_token_stats,
-    "transform_op_ts_metadata": q_transform_op_ts_metadata,
-    "transform_soft_delete": q_transform_soft_delete,
-    "transform_udf": q_transform_udf,
-    "window_running_total": q_window_running_total,
-    "window_top_orders": q_window_top_orders,
-    "zoned_timestamp_roundtrip": q_zoned_timestamp_roundtrip,
+    "cdc_kafka_wire_roundtrip": q_cdc_kafka_wire_roundtrip,
     # -- last green r08 ----------------------------------------------
-    "agg_zscore_outliers": q_agg_zscore_outliers,
-    "audio_frame_energy": q_audio_frame_energy,
-    "cdc_db2_asn": q_cdc_db2_asn,
     "cdc_ddl_sql_evolution": q_cdc_ddl_sql_evolution,
     "cdc_incremental_agg": q_cdc_incremental_agg,
     "cdc_lake_incremental": q_cdc_lake_incremental,
@@ -7077,12 +7125,64 @@ QUERIES: dict[str, object] = {
     "transform_projection_arith": q_transform_projection_arith,
     "transform_string_funcs": q_transform_string_funcs,
     "window_rolling_revenue": q_window_rolling_revenue,
+    # -- last green r10 ----------------------------------------------
+    "agg_cube_orders": q_agg_cube_orders,
+    "agg_event_type_pivot": q_agg_event_type_pivot,
+    "agg_zscore_outliers": q_agg_zscore_outliers,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "array_functions": q_array_functions,
+    "asof_join_events": q_asof_join_events,
+    "audio_frame_energy": q_audio_frame_energy,
+    "cdc_db2_asn": q_cdc_db2_asn,
+    "cdc_mysql_binlog_payload_decode": q_cdc_mysql_binlog_payload_decode,
+    "cdc_postgres_pipeline": q_cdc_postgres_pipeline,
+    "cdc_schema_evolution_ignore": q_cdc_schema_evolution_ignore,
+    "cdc_truncate_drop": q_cdc_truncate_drop,
+    "codec_canal_roundtrip": q_codec_canal_roundtrip,
+    "codec_debezium_roundtrip": q_codec_debezium_roundtrip,
+    "dedup_components": q_dedup_components,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "distinct_order_attrs": q_distinct_order_attrs,
+    "doc_length_percentiles": q_doc_length_percentiles,
+    "embedding_neardup": q_embedding_neardup,
+    "interval_join_events": q_interval_join_events,
+    "jdbc_chunk_plan_uneven": q_jdbc_chunk_plan_uneven,
+    "join_anti_customers_no_orders": q_join_anti_customers_no_orders,
+    "join_region_rollup": q_join_region_rollup,
+    "join_semi_customers_with_orders": q_join_semi_customers_with_orders,
+    "join_shipping_priority": q_join_shipping_priority,
+    "json_extract_props": q_json_extract_props,
+    "multimodal_features": q_multimodal_features,
+    "sample_quota_per_lang": q_sample_quota_per_lang,
+    "sessionize_events": q_sessionize_events,
+    "sink_jdbc_upsert": q_sink_jdbc_upsert,
+    "sink_upsert_merge": q_sink_upsert_merge,
+    "sketch_kmv_by_group": q_sketch_kmv_by_group,
+    "sketch_kmv_distinct": q_sketch_kmv_distinct,
+    "skew_salted_agg": q_skew_salted_agg,
+    "stream_windowed_counts": q_stream_windowed_counts,
+    "text_lang_id": q_text_lang_id,
+    "text_ngram_top": q_text_ngram_top,
+    "text_redact_pii": q_text_redact_pii,
+    "text_repetition": q_text_repetition,
+    "text_tfidf_top_terms": q_text_tfidf_top_terms,
+    "text_token_stats": q_text_token_stats,
+    "transform_op_ts_metadata": q_transform_op_ts_metadata,
+    "transform_soft_delete": q_transform_soft_delete,
+    "transform_udf": q_transform_udf,
+    "window_running_total": q_window_running_total,
+    "window_top_orders": q_window_top_orders,
+    "zoned_timestamp_roundtrip": q_zoned_timestamp_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
     "cdc_mysql_binlog_decode": ORACLE_MYSQL_BINLOG_DECODE,
     "cdc_mysql_binlog_payload_decode":
         ORACLE_MYSQL_BINLOG_PAYLOAD_DECODE,
+    "cdc_kafka_wire_roundtrip": ORACLE_KAFKA_WIRE_ROUNDTRIP,
     "cdc_pgoutput_decode": ORACLE_PGOUTPUT_DECODE,
     "cdc_pgoutput_walsender_decode": ORACLE_PGOUTPUT_DECODE,
     "cdc_pgoutput_binary_decode": ORACLE_PGOUTPUT_BINARY_DECODE,
