@@ -88,6 +88,15 @@ PREVIOUS_GTIDS_EVENT = 35
 PARTIAL_UPDATE_ROWS_EVENT = 39   # binlog_row_value_options=PARTIAL_JSON
 TRANSACTION_PAYLOAD_EVENT = 40   # binlog_transaction_compression=ON
 
+# MariaDB-specific event range (MariaDB KB "Replication Protocol" /
+# sql/log_event.h ENUM_MARIADB_EVENT, starts at 160)
+MARIADB_ANNOTATE_ROWS_EVENT = 160     # SQL text of the next rows events
+MARIADB_BINLOG_CHECKPOINT_EVENT = 161  # crash-safe binlog filename marker
+MARIADB_GTID_EVENT = 162              # one txn: domain-server-seq
+MARIADB_GTID_LIST_EVENT = 163         # file-initial gtid state (per domain)
+MARIADB_FL_STANDALONE = 0x01          # no terminating COMMIT (DDL etc.)
+MARIADB_FL_GROUP_COMMIT_ID = 0x02     # 8-byte commit_id follows
+
 _ROWS_EVENTS = (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT)
 _ROWS_EVENTS_V1 = (WRITE_ROWS_EVENT_V1, UPDATE_ROWS_EVENT_V1,
                    DELETE_ROWS_EVENT_V1)
@@ -279,6 +288,62 @@ def decode_gtid_set(blob: bytes, pos: int = 0) -> str:
                  for iv in ivs]
         parts.append("%s:%s" % (uuid, ":".join(spans)))
     return ",".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# MariaDB GTID algebra (public format: MariaDB KB "Global Transaction ID")
+# ---------------------------------------------------------------------------
+# A MariaDB GTID is `domain-server-seq`; a GTID *position* (gtid_slave_pos /
+# gtid_current_pos) holds AT MOST ONE entry per replication domain — the
+# last transaction applied in that domain. Ordering is per-domain on
+# seq_no alone (server_id identifies the origin, it does not order).
+
+
+def is_mariadb_gtid(s: str) -> bool:
+    """True for `domain-server-seq` (single GTID or comma-set) — the
+    shape that distinguishes MariaDB positions from MySQL
+    `uuid:interval` sets (which always carry a ':')."""
+    s = (s or "").strip()
+    if not s or ":" in s:
+        return False
+    return all(p.strip().count("-") == 2
+               and all(x.strip().isdigit() for x in p.strip().split("-"))
+               for p in s.split(","))
+
+
+def parse_mariadb_gtid_set(s: str) -> dict[int, tuple[int, int]]:
+    """'0-1-100,1-2-5' -> {domain: (server_id, seq_no)}. A domain listed
+    twice keeps the HIGHER seq (set union semantics)."""
+    out: dict[int, tuple[int, int]] = {}
+    for part in (s or "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        try:
+            d, sv, q = (int(x) for x in part.split("-"))
+        except ValueError:
+            raise ValueError(
+                "malformed MariaDB GTID %r (want domain-server-seq)"
+                % part) from None
+        if d not in out or q > out[d][1]:
+            out[d] = (sv, q)
+    return out
+
+
+def format_mariadb_gtid_set(state: dict[int, tuple[int, int]]) -> str:
+    return ",".join("%d-%d-%d" % (d, sv, q)
+                    for d, (sv, q) in sorted(state.items()))
+
+
+def mariadb_gtid_covers(covering: str, covered: str) -> bool:
+    """Position semantics (MASTER_GTID_WAIT parity): `covering` has
+    reached `covered` iff every domain in `covered` appears in
+    `covering` with seq_no >= — server_id never participates."""
+    a = parse_mariadb_gtid_set(covering)
+    for d, (_sv, q) in parse_mariadb_gtid_set(covered).items():
+        if d not in a or a[d][1] < q:
+            return False
+    return True
 
 
 # length-encoded integers live in common/mysql_json (review r10
@@ -840,6 +905,37 @@ class BinlogWriter:
         then per sid 16 bytes + u64le interval count + (start, end+1)
         u64le pairs (libbinlogevents Gtid_set encoding)."""
         self._emit(PREVIOUS_GTIDS_EVENT, encode_gtid_set(gtid_set))
+
+    def mariadb_gtid(self, domain_id: int, seq_no: int,
+                     standalone: bool = False,
+                     commit_id: int | None = None) -> None:
+        """MariaDB GTID_EVENT (162): seq u64le + domain u32le + flags2,
+        then commit_id u64le under FL_GROUP_COMMIT_ID else 6 zero pad
+        bytes (sql/log_event_server.cc Gtid_log_event::write); the
+        origin server_id rides the common header."""
+        flags2 = (MARIADB_FL_STANDALONE if standalone else 0) \
+            | (MARIADB_FL_GROUP_COMMIT_ID if commit_id is not None else 0)
+        body = struct.pack("<QIB", seq_no, domain_id, flags2)
+        body += (struct.pack("<Q", commit_id) if commit_id is not None
+                 else bytes(6))
+        self._emit(MARIADB_GTID_EVENT, body)
+
+    def mariadb_gtid_list(
+            self, entries: "list[tuple[int, int, int]]") -> None:
+        """MariaDB GTID_LIST_EVENT (163): u32le count (low 28 bits) then
+        (domain, server, seq) triples."""
+        body = struct.pack("<I", len(entries) & 0x0FFFFFFF)
+        for d, sv, q in entries:
+            body += struct.pack("<IIQ", d, sv, q)
+        self._emit(MARIADB_GTID_LIST_EVENT, body)
+
+    def mariadb_annotate_rows(self, query: str) -> None:
+        self._emit(MARIADB_ANNOTATE_ROWS_EVENT, query.encode("utf-8"))
+
+    def mariadb_binlog_checkpoint(self, filename: str) -> None:
+        fn = filename.encode()
+        self._emit(MARIADB_BINLOG_CHECKPOINT_EVENT,
+                   struct.pack("<I", len(fn)) + fn)
 
     def query(self, sql: str, database: str = "") -> None:
         db = database.encode()
@@ -1485,6 +1581,32 @@ class BinlogReader:
         elif t == GTID_EVENT:
             gno = struct.unpack_from("<q", ev.body, 17)[0]
             ev.fields = {"uuid": format_uuid(ev.body[1:17]), "gno": gno}
+        elif t == MARIADB_GTID_EVENT:
+            # sql/log_event_server.cc Gtid_log_event::write: seq_no u64le,
+            # domain_id u32le, flags2 u8, then commit_id u64le iff
+            # FL_GROUP_COMMIT_ID (else 6 zero pad bytes); server_id rides
+            # the common header
+            seq_no, domain_id = struct.unpack_from("<QI", ev.body, 0)
+            flags2 = ev.body[12]
+            commit_id = (struct.unpack_from("<Q", ev.body, 13)[0]
+                         if flags2 & MARIADB_FL_GROUP_COMMIT_ID else None)
+            ev.fields = {"domain_id": domain_id, "server_id": ev.server_id,
+                         "seq_no": seq_no, "flags2": flags2,
+                         "standalone": bool(flags2 & MARIADB_FL_STANDALONE),
+                         "commit_id": commit_id}
+        elif t == MARIADB_GTID_LIST_EVENT:
+            # u32le: count in the low 28 bits, flags in the top 4; then
+            # count x {domain u32le, server u32le, seq u64le}
+            packed = struct.unpack_from("<I", ev.body, 0)[0]
+            count, flags = packed & 0x0FFFFFFF, packed >> 28
+            entries = [struct.unpack_from("<IIQ", ev.body, 4 + 16 * i)
+                       for i in range(count)]
+            ev.fields = {"gtid_list": entries, "flags": flags}
+        elif t == MARIADB_BINLOG_CHECKPOINT_EVENT:
+            flen = struct.unpack_from("<I", ev.body, 0)[0]
+            ev.fields = {"filename": ev.body[4:4 + flen].decode()}
+        elif t == MARIADB_ANNOTATE_ROWS_EVENT:
+            ev.fields = {"query": ev.body.decode("utf-8", "replace")}
         elif t == QUERY_EVENT:
             _tid, _exec, dblen, _err, svlen = struct.unpack_from(
                 "<IIBHH", ev.body, 0)
@@ -1583,24 +1705,53 @@ def iter_binlog_changes(data: bytes, filename: str = "") -> Iterator[dict]:
     """
     reader = BinlogReader(data)
     gtid = None
+    maria_gtid = None  # (domain, server, seq) — MariaDB position algebra
     rows_query = None  # ROWS_QUERY statement text, reset at commit
     running: dict[str, list[tuple[int, int]]] = {}
+    maria_running: dict[int, tuple[int, int]] = {}
 
     def _pos(ev: BinlogEvent) -> dict:
         return {"file": filename, "pos": ev.log_pos, "ts_sec": ev.timestamp,
                 "server_id": ev.server_id,
-                "gtids": _gtid_set_str(running) or None,
-                "txn_gtid": (f"{gtid[0]}:{gtid[1]}" if gtid else None)}
+                "gtids": (_gtid_set_str(running)
+                          or format_mariadb_gtid_set(maria_running)
+                          or None),
+                "txn_gtid": (f"{gtid[0]}:{gtid[1]}" if gtid
+                             else "%d-%d-%d" % maria_gtid if maria_gtid
+                             else None)}
+
+    def _commit_pending() -> None:
+        nonlocal gtid, maria_gtid
+        if gtid is not None:
+            _advance(running, *gtid)
+            gtid = None
+        if maria_gtid is not None:
+            d, sv, q = maria_gtid
+            if d not in maria_running or q > maria_running[d][1]:
+                maria_running[d] = (sv, q)
+            maria_gtid = None
 
     def handle(ev: BinlogEvent, row_base: int = 0,
                container: "BinlogEvent | None" = None) -> Iterator[dict]:
-        nonlocal gtid, rows_query
+        nonlocal gtid, maria_gtid, rows_query
         t = ev.type_byte
         if t == PREVIOUS_GTIDS_EVENT:
             # file-initial executed-GTID set: the continuity anchor after
             # a rotation (each binlog file is self-describing)
             for uuid, ivs in ev.fields["gtid_set"].items():
                 running[uuid] = sorted(ivs)
+        elif t == MARIADB_GTID_LIST_EVENT:
+            # MariaDB's file-initial analog of PREVIOUS_GTIDS: the
+            # binlog state per replication domain at file start
+            for d, sv, q in ev.fields["gtid_list"]:
+                if d not in maria_running or q > maria_running[d][1]:
+                    maria_running[d] = (sv, q)
+        elif t == MARIADB_GTID_EVENT:
+            maria_gtid = (ev.fields["domain_id"], ev.fields["server_id"],
+                          ev.fields["seq_no"])
+        elif t == MARIADB_ANNOTATE_ROWS_EVENT:
+            # MariaDB's ROWS_QUERY analog (binlog_annotate_row_events)
+            rows_query = ev.fields["query"]
         elif t == TRANSACTION_PAYLOAD_EVENT:
             # compressed-transaction container: the embedded BEGIN..XID
             # stream replays through the same state machine. Every inner
@@ -1628,18 +1779,16 @@ def iter_binlog_changes(data: bytes, filename: str = "") -> Iterator[dict]:
                 # DDL (round-9 review: it used to ride the schema-change
                 # topic and choke the DDL parser); the statement text
                 # latch resets here like at XID
-                if up == "COMMIT" and gtid is not None:
-                    _advance(running, *gtid)
-                    gtid = None
+                if up == "COMMIT":
+                    _commit_pending()
                 rows_query = None
             else:
                 yield {"kind": "ddl", "database": ev.fields["database"],
                        "sql": sql, **_pos(ev)}
                 rows_query = None  # a DDL auto-commit is a boundary too
-                if gtid is not None:
-                    # DDL statements auto-commit their GTID (no XID event)
-                    _advance(running, *gtid)
-                    gtid = None
+                # DDL statements auto-commit their GTID (no XID event;
+                # MariaDB marks these FL_STANDALONE — same boundary)
+                _commit_pending()
         elif t == ROWS_QUERY_EVENT:
             rows_query = ev.fields["query"]
         elif t in _ROWS_EVENTS or t == PARTIAL_UPDATE_ROWS_EVENT:
@@ -1682,9 +1831,7 @@ def iter_binlog_changes(data: bytes, filename: str = "") -> Iterator[dict]:
                     yield {**rb, "op": "+U", "after": after,
                            "before": before, "row": i}
         elif t == XID_EVENT:
-            if gtid is not None:
-                _advance(running, *gtid)
-                gtid = None
+            _commit_pending()
             rows_query = None
         # ROTATE needs no action here: the next file re-anchors itself
         # (PREVIOUS_GTIDS) and positions restart per file
@@ -1812,6 +1959,24 @@ class BinlogOffset:
         g, tg = self.gtid_set or "", that.gtid_set or ""
         if tg:
             if g:
+                ma, mb = is_mariadb_gtid(g), is_mariadb_gtid(tg)
+                if ma != mb:
+                    raise ValueError(
+                        "cannot compare a MariaDB GTID position with a "
+                        "MySQL GTID set (%r vs %r) — offsets from the "
+                        "two server families do not interoperate"
+                        % (g, tg))
+                if ma:
+                    # equality on {domain: seq} only — server_id
+                    # identifies the origin, it never orders
+                    qa = {d: q for d, (_s, q)
+                          in parse_mariadb_gtid_set(g).items()}
+                    qb = {d: q for d, (_s, q)
+                          in parse_mariadb_gtid_set(tg).items()}
+                    if qa == qb:
+                        return _cmp(self._long("event"),
+                                    that._long("event"))
+                    return -1 if mariadb_gtid_covers(tg, g) else 1
                 if _parse_gtid_set(g) == _parse_gtid_set(tg):
                     return _cmp(self._long("event"), that._long("event"))
                 return -1 if gtid_covers(tg, g) else 1
@@ -2150,7 +2315,20 @@ def _keep_record(c: dict, start_offset: BinlogOffset | None,
         # GTID filtering (Debezium semantics): skip transactions whose
         # GTID the startup set already covers; GTID-less records pass
         txn = c.get("txn_gtid")
-        return not (txn and gtid_covers(start_offset.gtid_set, txn))
+        if not txn:
+            return True
+        set_maria = is_mariadb_gtid(start_offset.gtid_set)
+        if set_maria != is_mariadb_gtid(txn):
+            raise ValueError(
+                "GTID startup set %r is %s-format but the stream carries "
+                "%s GTIDs (%r) — a MySQL uuid:interval set cannot seek a "
+                "MariaDB stream or vice versa; use file/pos startup or a "
+                "matching-format set"
+                % (start_offset.gtid_set,
+                   "MariaDB" if set_maria else "MySQL",
+                   "MariaDB" if not set_maria else "MySQL", txn))
+        covers = mariadb_gtid_covers if set_maria else gtid_covers
+        return not covers(start_offset.gtid_set, txn)
     f, sf = c["file"].lower(), (start_offset.filename or "").lower()
     if f != sf:
         return _file_sort_key(f) > _file_sort_key(sf)

@@ -947,6 +947,21 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
     transactions were purged; transactions the set already covers are
     dropped downstream by the decode-side offset filter
     (`scan.startup.specific-offset.gtid-set`)."""
+    if gtid_set is not None:
+        from .mysql_binlog import is_mariadb_gtid
+
+        if is_mariadb_gtid(gtid_set):
+            # MariaDB GTID startup rides session registers
+            # (@slave_connect_state + @mariadb_slave_capability) before
+            # a plain COM_BINLOG_DUMP — a different handshake this
+            # client does not speak. Refuse by name BEFORE connecting
+            # rather than encoding domain-server-seq into a MySQL
+            # Gtid_set blob the server would misparse.
+            raise NotImplementedError(
+                "GTID startup set %r is MariaDB-format "
+                "(domain-server-seq): COM_BINLOG_DUMP_GTID carries "
+                "MySQL uuid:interval sets only; use file/pos startup "
+                "against MariaDB" % gtid_set)
     os.makedirs(spool_dir, exist_ok=True)
     written: list[str] = []
     if ssl_mode not in ("disabled", "required", "verify-ca"):
