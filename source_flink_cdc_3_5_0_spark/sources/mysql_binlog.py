@@ -100,6 +100,14 @@ MARIADB_FL_GROUP_COMMIT_ID = 0x02     # 8-byte commit_id follows
 _ROWS_EVENTS = (WRITE_ROWS_EVENT, UPDATE_ROWS_EVENT, DELETE_ROWS_EVENT)
 _ROWS_EVENTS_V1 = (WRITE_ROWS_EVENT_V1, UPDATE_ROWS_EVENT_V1,
                    DELETE_ROWS_EVENT_V1)
+# all row-bearing types and their +I / (-U,+U) / -D classification —
+# v1 (MariaDB / MySQL 5.1-5.6) and v2 share the body layout except the
+# v2 extra-data var-header
+_ROW_BEARING = _ROWS_EVENTS + _ROWS_EVENTS_V1 + (PARTIAL_UPDATE_ROWS_EVENT,)
+_WRITE_KINDS = (WRITE_ROWS_EVENT, WRITE_ROWS_EVENT_V1)
+_DELETE_KINDS = (DELETE_ROWS_EVENT, DELETE_ROWS_EVENT_V1)
+_UPDATE_KINDS = (UPDATE_ROWS_EVENT, UPDATE_ROWS_EVENT_V1,
+                 PARTIAL_UPDATE_ROWS_EVENT)
 
 # TRANSACTION_PAYLOAD header fields (libbinlogevents control_events.h,
 # mirrored by the jar's TransactionPayloadEventDataDeserializer)
@@ -879,6 +887,8 @@ class BinlogWriter:
         post[TABLE_MAP_EVENT - 1] = 8
         for t in _ROWS_EVENTS + (PARTIAL_UPDATE_ROWS_EVENT,):
             post[t - 1] = 10
+        for t in _ROWS_EVENTS_V1:
+            post[t - 1] = 8  # v1 post-header: table_id(6) + flags(2)
         post[TRANSACTION_PAYLOAD_EVENT - 1] = 0
         post[GTID_EVENT - 1] = 42
         body = struct.pack("<H", 4)
@@ -1156,10 +1166,11 @@ class BinlogWriter:
                         if columns_present_after is not None
                         else columns_present)
         body = tmap.table_id.to_bytes(6, "little") + struct.pack("<H", 0)
-        body += struct.pack("<H", 2)  # extra-data length (none)
+        if kind not in _ROWS_EVENTS_V1:
+            body += struct.pack("<H", 2)  # v2 extra-data length (none)
         body += _write_lenc(len(cols))
         body += _bitmap(present)
-        if kind == UPDATE_ROWS_EVENT:
+        if kind in (UPDATE_ROWS_EVENT, UPDATE_ROWS_EVENT_V1):
             body += _bitmap(present2)  # columns present, after image
             for before, after in rows:  # type: ignore[misc]
                 body += self._row_image(cols, present, before)
@@ -1493,8 +1504,11 @@ class BinlogReader:
         if tmap is None:
             raise ValueError("ROWS event for unmapped table id %d "
                              "(missing TABLE_MAP)" % table_id)
-        extra_len = struct.unpack_from("<H", b, 8)[0]
-        pos = 8 + 2 + (extra_len - 2)
+        if ev.type_byte in _ROWS_EVENTS_V1:
+            pos = 8  # v1: no extra-data var-header after table_id+flags
+        else:
+            extra_len = struct.unpack_from("<H", b, 8)[0]
+            pos = 8 + 2 + (extra_len - 2)
         ncols, pos = _read_lenc(b, pos)
         if ncols != len(tmap.columns):
             raise ValueError("ROWS event column count %d != TABLE_MAP %d"
@@ -1503,8 +1517,7 @@ class BinlogReader:
         present = [_bitmap_get(b[pos:pos + nb], i) for i in range(ncols)]
         pos += nb
         present2 = present
-        is_update = ev.type_byte in (UPDATE_ROWS_EVENT,
-                                     PARTIAL_UPDATE_ROWS_EVENT)
+        is_update = ev.type_byte in _UPDATE_KINDS
         if is_update:
             present2 = [_bitmap_get(b[pos:pos + nb], i) for i in range(ncols)]
             pos += nb
@@ -1563,21 +1576,13 @@ class BinlogReader:
             tmap = self._decode_table_map(ev)
             self.table_maps[tmap.table_id] = tmap
             ev.fields = {"table": tmap}
-        elif t in _ROWS_EVENTS or t == PARTIAL_UPDATE_ROWS_EVENT:
+        elif t in _ROW_BEARING:
+            # v1 (23-25, MariaDB / MySQL 5.1-5.6) decodes on the same
+            # path as v2 — the only wire difference is the v2 extra-data
+            # var-header (round 11; previously a named refusal)
             ev.fields = self._decode_rows(ev)
         elif t == TRANSACTION_PAYLOAD_EVENT:
             ev.fields = self._decode_transaction_payload(ev)
-        elif t in _ROWS_EVENTS_V1:
-            # Row-bearing types this decoder does not model must NEVER
-            # pass silently — that would be total, quiet data loss.
-            # v1 rows events are pre-5.6 MySQL / current MariaDB; this
-            # decoder targets MySQL v2 (types 30-32). See COVERAGE.md
-            # "MariaDB binlog divergences".
-            raise ValueError(
-                "v1 rows event (type %d) at offset %d: MariaDB/MySQL<5.6 "
-                "row format is out of contract for this decoder (MySQL "
-                "5.6+ writes v2 events, types 30-32); refusing rather "
-                "than dropping change rows" % (t, ev.start_pos))
         elif t == GTID_EVENT:
             gno = struct.unpack_from("<q", ev.body, 17)[0]
             ev.fields = {"uuid": format_uuid(ev.body[1:17]), "gno": gno}
@@ -1763,8 +1768,7 @@ def iter_binlog_changes(data: bytes, filename: str = "") -> Iterator[dict]:
             base = 0
             for inner in ev.fields["events"]:
                 yield from handle(inner, base, ev)
-                if inner.type_byte in _ROWS_EVENTS \
-                        or inner.type_byte == PARTIAL_UPDATE_ROWS_EVENT:
+                if inner.type_byte in _ROW_BEARING:
                     base += len(inner.fields["rows"])
         elif t == GTID_EVENT:
             gtid = (ev.fields["uuid"], ev.fields["gno"])
@@ -1791,7 +1795,7 @@ def iter_binlog_changes(data: bytes, filename: str = "") -> Iterator[dict]:
                 _commit_pending()
         elif t == ROWS_QUERY_EVENT:
             rows_query = ev.fields["query"]
-        elif t in _ROWS_EVENTS or t == PARTIAL_UPDATE_ROWS_EVENT:
+        elif t in _ROW_BEARING:
             tmap: BinlogTableMap = ev.fields["table"]
             base = {"kind": "change", "database": tmap.database,
                     "table": tmap.table, **_pos(ev),
@@ -1818,10 +1822,10 @@ def iter_binlog_changes(data: bytes, filename: str = "") -> Iterator[dict]:
                           "seq_row": i % 1024}
                 else:
                     rb = base
-                if t == WRITE_ROWS_EVENT:
+                if t in _WRITE_KINDS:
                     yield {**rb, "op": "+I", "after": r,
                            "before": None, "row": i}
-                elif t == DELETE_ROWS_EVENT:
+                elif t in _DELETE_KINDS:
                     yield {**rb, "op": "-D", "after": None,
                            "before": r, "row": i}
                 else:

@@ -368,25 +368,44 @@ def test_transaction_payload_truncated_inner_refused():
 
 
 # ---------------------------------------------------------------------------
-# named refusals: v1 rows events (MariaDB / MySQL < 5.6)
+# v1 rows events (MariaDB / MySQL 5.1-5.6): round 11 upgrades the named
+# refusal to a real decode — the v1 body IS the v2 body minus the
+# extra-data var-header (public layout: MySQL 5.5 docs / MariaDB KB
+# "Rows_event"), so every cell codec is shared
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("t", [WRITE_ROWS_EVENT_V1, UPDATE_ROWS_EVENT_V1,
-                               DELETE_ROWS_EVENT_V1])
-def test_v1_rows_events_refused_by_name(t):
-    """Row-bearing types the decoder does not model must raise, never
-    skip — silent fallthrough was total data loss (round-9 judge
-    finding)."""
+def test_v1_rows_events_decode_all_ops():
     tmap = _table()
     w = BinlogWriter()
     w.table_map(tmap)
-    # v1 body: table id(6) + flags(2) + lenc ncols + bitmap + rows
-    # (content irrelevant — the type byte alone must be refused)
-    body = tmap.table_id.to_bytes(6, "little") + struct.pack("<H", 0)
-    w._emit(t, body)
-    with pytest.raises(ValueError, match="v1 rows event.*MariaDB"):
-        binlog_changes(w.getvalue(), "f")
+    w.rows(tmap, WRITE_ROWS_EVENT_V1,
+           [dict(id=1, doc={"a": 1}, v="x"),
+            dict(id=2, doc=None, v="y")])
+    w.rows(tmap, UPDATE_ROWS_EVENT_V1,
+           [(dict(id=2, doc=None, v="y"), dict(id=2, doc=[5], v="Y"))])
+    w.rows(tmap, DELETE_ROWS_EVENT_V1, [dict(id=1, doc={"a": 1}, v="x")])
+    recs = [r for r in binlog_changes(w.getvalue(), "f")
+            if r["kind"] == "change"]
+    assert [r["op"] for r in recs] == ["+I", "+I", "-U", "+U", "-D"]
+    assert recs[0]["after"] == dict(id=1, doc={"a": 1}, v="x")
+    assert recs[3]["after"] == dict(id=2, doc=[5], v="Y")
+    assert recs[4]["before"] == dict(id=1, doc={"a": 1}, v="x")
+
+
+def test_v1_minimal_image_decodes():
+    """binlog_row_image=MINIMAL over v1: presence bitmaps work the same
+    as v2 (before = PK only, after = changed + PK)."""
+    tmap = _table()
+    w = BinlogWriter()
+    w.table_map(tmap)
+    w.rows(tmap, UPDATE_ROWS_EVENT_V1,
+           [(dict(id=3), dict(id=3, v="z"))],
+           columns_present=["id"], columns_present_after=["id", "v"])
+    recs = [r for r in binlog_changes(w.getvalue(), "f")
+            if r["kind"] == "change"]
+    assert recs[0]["before"] == dict(id=3)
+    assert recs[1]["after"] == dict(id=3, v="z")
 
 
 # ---------------------------------------------------------------------------

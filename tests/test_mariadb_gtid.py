@@ -115,8 +115,8 @@ def test_malformed_gtid_raises_named():
 
 
 # ---------------------------------------------------------------------------
-# stream offset tracking (DDL stream: MariaDB rows events are v1 and
-# refused by name — the GTID algebra still has to hold for offsets)
+# stream offset tracking over a DDL-only stream (row-bearing coverage
+# rides the v1-rows e2e below)
 # ---------------------------------------------------------------------------
 
 
@@ -184,8 +184,9 @@ def test_offset_compare_mixed_families_raises():
 
 
 # ---------------------------------------------------------------------------
-# full YAML pipeline: MariaDB GTID events riding a v2-rows stream track
-# the domain-server-seq position end-to-end (the offset contract is
+# full YAML pipeline over an AUTHENTIC MariaDB stream shape: v1 rows
+# events (what MariaDB actually writes) + GTID events, tracking the
+# domain-server-seq position end-to-end (the offset contract is
 # "committed BEFORE the record", same as the MySQL executed-set path)
 # ---------------------------------------------------------------------------
 
@@ -198,8 +199,8 @@ def test_pipeline_tracks_mariadb_position_e2e(spark, tmp_path):
         PipelineComposer, parse_yaml_pipeline)
     from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
     from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
-        MYSQL_TYPE_LONG, MYSQL_TYPE_VARCHAR, UPDATE_ROWS_EVENT,
-        WRITE_ROWS_EVENT, BinlogColumn, BinlogTableMap)
+        MYSQL_TYPE_LONG, MYSQL_TYPE_VARCHAR, UPDATE_ROWS_EVENT_V1,
+        WRITE_ROWS_EVENT_V1, BinlogColumn, BinlogTableMap)
 
     src = tmp_path / "binlog"
     src.mkdir()
@@ -213,11 +214,12 @@ def test_pipeline_tracks_mariadb_position_e2e(spark, tmp_path):
     w.mariadb_gtid(0, 11)
     w.query("BEGIN")
     w.mariadb_annotate_rows("INSERT INTO db.t VALUES (1,'a'),(2,'b')")
-    w.rows(tmap, WRITE_ROWS_EVENT, [dict(id=1, v="a"), dict(id=2, v="b")])
+    w.rows(tmap, WRITE_ROWS_EVENT_V1,
+           [dict(id=1, v="a"), dict(id=2, v="b")])
     w.xid(1)
     w.mariadb_gtid(0, 12)
     w.query("BEGIN")
-    w.rows(tmap, UPDATE_ROWS_EVENT,
+    w.rows(tmap, UPDATE_ROWS_EVENT_V1,
            [(dict(id=2, v="b"), dict(id=2, v="B"))])
     w.xid(2)
     (src / "mysql-bin.000001").write_bytes(w.getvalue())
