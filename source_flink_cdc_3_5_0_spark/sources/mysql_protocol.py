@@ -69,6 +69,8 @@ BINLOG_DUMP_NON_BLOCK = 0x01
 BINLOG_THROUGH_GTID = 0x04
 _FORMAT_DESCRIPTION_EVENT = 0x0F
 _PREVIOUS_GTIDS_EVENT = 0x23
+_MARIADB_BINLOG_CHECKPOINT_EVENT = 161
+_MARIADB_GTID_LIST_EVENT = 163
 _CHECKSUM_CRC32 = 1
 
 _BINLOG_MAGIC = b"\xfebin"
@@ -474,6 +476,40 @@ def file_previous_gtids(data: bytes) -> str | None:
     return None
 
 
+def file_mariadb_gtid_list(data: bytes) -> str | None:
+    """MariaDB analog of file_previous_gtids: the GTID_LIST event (163)
+    carries the binlog state per replication domain at file start —
+    what `@slave_connect_state` start-file selection keys on. Returns
+    the canonical `domain-server-seq,...` string, or None when the file
+    carries no such header. Tolerates a bounded prefix; skips the
+    BINLOG_CHECKPOINT marker that MariaDB interleaves with the header
+    events."""
+    if data[:4] != _BINLOG_MAGIC:
+        return None
+    pos = 4
+    while pos + 19 <= len(data):
+        ln = struct.unpack_from("<I", data, pos + 9)[0]
+        if ln < 19 or pos + ln > len(data):
+            return None
+        ev = data[pos:pos + ln]
+        if ev[4] == _MARIADB_GTID_LIST_EVENT:
+            from .mysql_binlog import format_mariadb_gtid_set
+
+            packed = struct.unpack_from("<I", ev, 19)[0]
+            count = packed & 0x0FFFFFFF
+            state: dict = {}
+            for i in range(count):
+                d, sv, q = struct.unpack_from("<IIQ", ev, 23 + 16 * i)
+                if d not in state or q > state[d][1]:
+                    state[d] = (sv, q)
+            return format_mariadb_gtid_set(state)
+        if ev[4] not in (_FORMAT_DESCRIPTION_EVENT,
+                         _MARIADB_BINLOG_CHECKPOINT_EVENT):
+            return None
+        pos += ln
+    return None
+
+
 def _ok_packet() -> bytes:
     # OK: header 0x00, affected rows 0, last insert id 0, status, warnings
     return b"\x00\x00\x00" + struct.pack("<HH", 0x0002, 0)
@@ -705,6 +741,7 @@ class MysqldToyServer:
         self._command_loop(rfile, wfile)
 
     def _command_loop(self, rfile, wfile) -> None:
+        slave_connect_state = None  # MariaDB GTID startup register
         while True:
             try:
                 _, cmd = read_packet(rfile)
@@ -723,8 +760,14 @@ class MysqldToyServer:
                     # a proper protocol-41 text resultset
                     self._send_variables_resultset(wfile, q)
                     continue
-                # session SETs (checksum announcement etc.): OK reply,
-                # like mysqld answers a resultset-free statement
+                if up.startswith("SET @SLAVE_CONNECT_STATE="):
+                    # MariaDB replica register: the GTID position the
+                    # following COM_BINLOG_DUMP starts from
+                    val = q.split("=", 1)[1].strip().strip("'\"")
+                    slave_connect_state = val
+                # session SETs (checksum announcement, the other
+                # MariaDB registers): OK reply, like mysqld answers a
+                # resultset-free statement
                 send_packet(wfile, 1, _ok_packet())
                 continue
             if cmd[0] == COM_REGISTER_SLAVE:
@@ -733,6 +776,17 @@ class MysqldToyServer:
             if cmd[0] == COM_BINLOG_DUMP:
                 pos, flags, _sid = struct.unpack_from("<IHI", cmd, 1)
                 from_file = cmd[11:].decode("ascii") or "*"
+                if slave_connect_state is not None:
+                    # MariaDB semantics: the register picks the start
+                    # file; the command's file/pos are ignored
+                    start = self._mariadb_gtid_start_file(
+                        slave_connect_state)
+                    if start is None:
+                        send_packet(wfile, 1, _err_packet(
+                            1236, "Cannot replicate because the source "
+                            "purged required binary logs"))
+                        return
+                    from_file, pos = start, 4
                 self._stream(wfile, from_file, pos, flags)
                 if not flags & BINLOG_DUMP_NON_BLOCK:
                     return  # blocking dump: hold forever (toy: close)
@@ -795,6 +849,27 @@ class MysqldToyServer:
                 chosen = name  # keep scanning: newest covered wins
             else:
                 break          # files only grow their executed set
+        return chosen
+
+    def _mariadb_gtid_start_file(self, client_state: str) -> str | None:
+        """MariaDB's @slave_connect_state start-file selection — same
+        shape as _gtid_start_file, keyed on each file's GTID_LIST
+        header and the per-domain seq_no coverage algebra."""
+        from .mysql_binlog import mariadb_gtid_covers
+
+        chosen = None
+        for name in self._files_from("*"):
+            with open(os.path.join(self.directory, name), "rb") as f:
+                head = f.read(65536)
+            state = file_mariadb_gtid_list(head)
+            if state is None:
+                if chosen is None:
+                    chosen = name  # oldest file: the only safe start
+                break
+            if mariadb_gtid_covers(client_state or "", state):
+                chosen = name  # keep scanning: newest covered wins
+            else:
+                break          # files only grow their binlog state
         return chosen
 
     #: what SHOW [GLOBAL] VARIABLES answers; subclasses/tests may extend
@@ -947,21 +1022,16 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
     transactions were purged; transactions the set already covers are
     dropped downstream by the decode-side offset filter
     (`scan.startup.specific-offset.gtid-set`)."""
-    if gtid_set is not None:
-        from .mysql_binlog import is_mariadb_gtid
+    from .mysql_binlog import is_mariadb_gtid
 
-        if is_mariadb_gtid(gtid_set):
-            # MariaDB GTID startup rides session registers
-            # (@slave_connect_state + @mariadb_slave_capability) before
-            # a plain COM_BINLOG_DUMP — a different handshake this
-            # client does not speak. Refuse by name BEFORE connecting
-            # rather than encoding domain-server-seq into a MySQL
-            # Gtid_set blob the server would misparse.
-            raise NotImplementedError(
-                "GTID startup set %r is MariaDB-format "
-                "(domain-server-seq): COM_BINLOG_DUMP_GTID carries "
-                "MySQL uuid:interval sets only; use file/pos startup "
-                "against MariaDB" % gtid_set)
+    # MariaDB GTID startup is a DIFFERENT handshake from MySQL's
+    # COM_BINLOG_DUMP_GTID: the position rides session registers
+    # (`SET @slave_connect_state=...` + @mariadb_slave_capability)
+    # before a PLAIN COM_BINLOG_DUMP with an empty filename — the
+    # server picks the start file from each file's GTID_LIST header
+    # (MariaDB KB "Using the replication protocol"). Round 11 speaks
+    # it instead of refusing.
+    maria_gtid_startup = gtid_set is not None and is_mariadb_gtid(gtid_set)
     os.makedirs(spool_dir, exist_ok=True)
     written: list[str] = []
     if ssl_mode not in ("disabled", "required", "verify-ca"):
@@ -1076,13 +1146,31 @@ def dump_binlog_stream(host: str, port: int, spool_dir: str, *,
         if reply[:1] == b"\xff":
             raise ValueError("checksum announcement refused: %r"
                              % reply[:40])
+        if maria_gtid_startup:
+            # the MariaDB replica register dance, one OK per statement
+            for stmt in ("SET @slave_connect_state='%s'" % gtid_set,
+                         "SET @slave_gtid_strict_mode=0",
+                         "SET @slave_gtid_ignore_duplicates=0",
+                         "SET @mariadb_slave_capability=4"):
+                send_packet(wfile, 0, bytes([COM_QUERY]) + stmt.encode())
+                _, reply = read_packet(rfile)
+                if reply[:1] == b"\xff":
+                    raise ValueError(
+                        "MariaDB GTID register %r refused: %r"
+                        % (stmt, reply[:60]))
         # register as a replica, then ask for the stream
         send_packet(wfile, 0, bytes([COM_REGISTER_SLAVE])
                     + struct.pack("<I", server_id) + b"\x00" * 18)
         _, reply = read_packet(rfile)
         if reply[:1] != b"\x00":
             raise ValueError("COM_REGISTER_SLAVE refused: %r" % reply[:40])
-        if gtid_set is not None:
+        if maria_gtid_startup:
+            # empty filename + pos 4: @slave_connect_state picks the
+            # start file server-side
+            dump = (bytes([COM_BINLOG_DUMP]) + struct.pack("<I", 4)
+                    + struct.pack("<H", BINLOG_DUMP_NON_BLOCK)
+                    + struct.pack("<I", server_id))
+        elif gtid_set is not None:
             blob = encode_gtid_set(gtid_set)
             name = (from_file or "").encode("ascii")
             dump = (bytes([COM_BINLOG_DUMP_GTID])

@@ -245,16 +245,113 @@ sink: {{type: values}}
 
 
 # ---------------------------------------------------------------------------
-# transport refusal
+# GTID startup over the REAL wire (round 11 upgrades the named refusal):
+# the MariaDB replica register dance — SET @slave_connect_state +
+# @mariadb_slave_capability, then a plain COM_BINLOG_DUMP with an empty
+# filename; the server picks the start file from GTID_LIST headers
 # ---------------------------------------------------------------------------
 
 
-def test_dump_stream_refuses_mariadb_gtid_by_name(tmp_path):
-    from source_flink_cdc_3_5_0_spark.sources.mysql_protocol import (
-        dump_binlog_stream)
+def _maria_two_file_dir(tmp_path):
+    from source_flink_cdc_3_5_0_spark.sources.mysql_binlog import (
+        MYSQL_TYPE_LONG, WRITE_ROWS_EVENT_V1, BinlogColumn,
+        BinlogTableMap)
 
-    with pytest.raises(NotImplementedError,
-                       match="MariaDB-format"):
-        # fails at entry, before any connection attempt
-        dump_binlog_stream("127.0.0.1", 1, str(tmp_path),
-                           gtid_set="0-1-100")
+    src = tmp_path / "binlog"
+    src.mkdir()
+    tmap = BinlogTableMap(1, "d", "t",
+                          (BinlogColumn("id", MYSQL_TYPE_LONG, (),
+                                        False, False),), (0,))
+    w1 = BinlogWriter(server_id=4)
+    w1.mariadb_gtid_list([])  # fresh server: empty state
+    w1.table_map(tmap)
+    for seq, rid in ((1, 1), (2, 2)):
+        w1.mariadb_gtid(0, seq)
+        w1.query("BEGIN")
+        w1.rows(tmap, WRITE_ROWS_EVENT_V1, [dict(id=rid)])
+        w1.xid(seq)
+    (src / "mysql-bin.000001").write_bytes(w1.getvalue())
+    w2 = BinlogWriter(server_id=4)
+    w2.mariadb_gtid_list([(0, 4, 2)])  # state after file 1
+    w2.table_map(tmap)
+    w2.mariadb_gtid(0, 3)
+    w2.query("BEGIN")
+    w2.rows(tmap, WRITE_ROWS_EVENT_V1, [dict(id=3)])
+    w2.xid(3)
+    (src / "mysql-bin.000002").write_bytes(w2.getvalue())
+    return src
+
+
+def test_gtid_startup_over_wire_picks_start_file(tmp_path):
+    from source_flink_cdc_3_5_0_spark.sources.mysql_protocol import (
+        MysqldToyServer, dump_binlog_stream)
+
+    src = _maria_two_file_dir(tmp_path)
+    spool = tmp_path / "spool"
+    with MysqldToyServer(str(src)) as srv:
+        files = dump_binlog_stream(srv.host, srv.port, str(spool),
+                                   user=srv.user, password=srv.password,
+                                   gtid_set="0-4-2")
+    # the register picked file 2 — file 1's already-applied txns never
+    # crossed the wire
+    assert files == ["mysql-bin.000002"]
+    recs = [r for r in iter_binlog_changes(
+        (spool / "mysql-bin.000002").read_bytes(), "mysql-bin.000002")
+        if r["kind"] == "change"]
+    assert [r["after"]["id"] for r in recs] == [3]
+    assert recs[0]["txn_gtid"] == "0-4-3"
+
+
+def test_yaml_gtid_startup_over_wire_e2e(spark, tmp_path):
+    """The complete user surface: YAML `protocol: mysql` +
+    `scan.startup.specific-offset.gtid-set: 0-4-2` against the toy
+    server — the register dance picks the start file, the decode-side
+    filter drops covered transactions, only txn 0-4-3 materializes."""
+    import json
+
+    from source_flink_cdc_3_5_0_spark.common.tableid import TableId
+    from source_flink_cdc_3_5_0_spark.pipeline import (
+        PipelineComposer, parse_yaml_pipeline)
+    from source_flink_cdc_3_5_0_spark.sinks.memory import MemorySink
+    from source_flink_cdc_3_5_0_spark.sources.mysql_protocol import (
+        MysqldToyServer)
+
+    src = _maria_two_file_dir(tmp_path)
+    with MysqldToyServer(str(src)) as srv:
+        yaml_text = f"""
+source:
+  type: mysql-binlog-file
+  protocol: mysql
+  host: {srv.host}
+  port: {srv.port}
+  username: {srv.user}
+  password: {srv.password}
+  tables: '{json.dumps({"d.t": "id INT"})}'
+  primary-keys: '{{"d.t": ["id"]}}'
+  checkpoint: {tmp_path}/ckpt
+  scan.startup.mode: specific-offset
+  scan.startup.specific-offset.gtid-set: 0-4-2
+sink: {{type: values}}
+"""
+        composer = PipelineComposer(spark)
+        sink = MemorySink()
+        pipe, raw, tables = composer.compose_streaming(
+            parse_yaml_pipeline(yaml_text), sink=sink)
+        q = pipe.start(raw, tables)
+        q.awaitTermination(180)
+    assert sink.snapshot(TableId.parse("d.t")) == ["3"]
+
+
+def test_gtid_startup_purged_history_errors(tmp_path):
+    from source_flink_cdc_3_5_0_spark.sources.mysql_protocol import (
+        MysqldToyServer, dump_binlog_stream)
+
+    src = _maria_two_file_dir(tmp_path)
+    # simulate purge: only file 2 remains, whose initial state (0-4-2)
+    # is AHEAD of a client asking for 0-4-1
+    (src / "mysql-bin.000001").unlink()
+    with MysqldToyServer(str(src)) as srv, \
+            pytest.raises(ValueError, match="purged"):
+        dump_binlog_stream(srv.host, srv.port, str(tmp_path / "s2"),
+                           user=srv.user, password=srv.password,
+                           gtid_set="0-4-1")
