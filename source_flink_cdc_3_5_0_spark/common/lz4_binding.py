@@ -121,6 +121,8 @@ def decompress(data: bytes) -> bytes:
         raise ValueError("lz4 context: %s"
                          % lib.LZ4F_getErrorName(err).decode())
     try:
+        if not data:
+            raise ValueError("empty input is not an lz4 frame")
         out = bytearray()
         src = ctypes.create_string_buffer(bytes(data), len(data))
         src_off = 0
