@@ -350,7 +350,8 @@ def split_record_batches(buf: bytes) -> list[bytes]:
     return out
 
 
-def iter_record_batches(buf: bytes) -> list[dict]:
+def iter_record_batches(buf: bytes,
+                        allow_trailing_partial: bool = False) -> list[dict]:
     """v2 batches -> per-batch dicts with the header fields a consumer
     must act on::
 
@@ -358,13 +359,31 @@ def iter_record_batches(buf: bytes) -> list[dict]:
          "is_transactional", "is_control", "producer_id",
          "records": [(absolute offset, key, value, headers)]}
 
-    Compressed record sections (gzip/zstd) are inflated here; snappy /
-    lz4 / unknown codec ids refuse by name BEFORE any record walk, and
-    the CRC is verified over the wire (compressed) bytes first."""
+    Compressed record sections are inflated here (all five registered
+    codecs); unknown codec ids refuse by name BEFORE any record walk,
+    and the CRC is verified over the wire (compressed) bytes first.
+
+    ``allow_trailing_partial``: a real broker may cut the LAST batch of
+    a Fetch response mid-bytes at ``fetch.max.bytes`` — the protocol
+    requires clients to ignore the partial tail (the next fetch re-reads
+    it whole). Only the Fetch path opts in; everywhere else (Produce
+    decode, spool segments) truncation stays an error — silently
+    dropping a produced batch would be data loss."""
     out = []
     pos = 0
     while pos < len(buf):
+        if pos + 17 > len(buf):
+            if allow_trailing_partial:
+                break
+            raise ValueError("truncated record batch header at offset %d"
+                             % pos)
         base_offset, batch_len = struct.unpack_from(">qi", buf, pos)
+        if pos + 12 + batch_len > len(buf):
+            if allow_trailing_partial:
+                break
+            raise ValueError(
+                "record batch at offset %d declares %d bytes but only "
+                "%d remain" % (pos, batch_len, len(buf) - pos - 12))
         magic = buf[pos + 16]
         if magic != 2:
             raise ValueError("unsupported record batch magic %d" % magic)
@@ -607,7 +626,9 @@ class KafkaWireProducer:
         if err:
             raise ValueError("fetch %s/%d failed: %s"
                              % (topic, pid, _ERRORS.get(err, err)))
-        parsed = iter_record_batches(batches)
+        # fetch.max.bytes semantics: the broker may cut the last batch
+        # mid-bytes; the partial tail re-reads whole on the next fetch
+        parsed = iter_record_batches(batches, allow_trailing_partial=True)
         if isolation_level == 1:
             parsed = filter_read_committed(parsed, aborted)
         else:
@@ -748,7 +769,14 @@ class ToyKafkaBroker:
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  num_partitions: int = 3,
-                 fail_topics: set[str] | None = None):
+                 fail_topics: set[str] | None = None,
+                 fetch_max_bytes: int | None = None):
+        #: cap on the batch bytes per Fetch partition response; like a
+        #: real broker's fetch.max.bytes handling, the FIRST batch is
+        #: always served whole (progress guarantee) and the cut lands
+        #: MID-BATCH — the partial tail is the protocol shape clients
+        #: must ignore and re-read whole next fetch
+        self.fetch_max_bytes = fetch_max_bytes
         self.log: dict[str, dict[int, list]] = {}
         #: raw v2 batches as served to Fetch (base offsets rewritten to
         #: the assigned log positions; compression/control/txn attribute
@@ -917,11 +945,24 @@ class ToyKafkaBroker:
                 # serve every batch whose LAST offset is >= the fetch
                 # offset (a real broker also returns the whole batch
                 # containing the offset; clients skip within it)
-                send = b"".join(
+                blobs = [
                     b for b in raw
                     # baseOffset (bytes 0-7) + lastOffsetDelta (23-26)
                     if struct.unpack_from(">q", b)[0]
-                    + struct.unpack_from(">i", b, 23)[0] >= off)
+                    + struct.unpack_from(">i", b, 23)[0] >= off]
+                cap = self.fetch_max_bytes
+                if cap is not None and blobs:
+                    kept = bytearray(blobs[0])  # first batch: whole
+                    for b in blobs[1:]:
+                        if len(kept) + len(b) <= cap:
+                            kept += b
+                        else:
+                            # cut MID-BATCH like a real broker
+                            kept += b[:max(cap - len(kept), 0)]
+                            break
+                    send = bytes(kept)
+                else:
+                    send = b"".join(blobs)
                 # READ_COMMITTED fetches carry the aborted-txn index the
                 # client filters with; READ_UNCOMMITTED gets an empty one
                 ab = (self.aborted.get(t, {}).get(pid, [])

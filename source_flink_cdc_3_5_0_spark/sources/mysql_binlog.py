@@ -1306,6 +1306,17 @@ class BinlogReader:
                 raise ValueError("truncated event (type %d) at offset %d: "
                                  "size %d overruns the file" % (t, pos, size))
             body = data[pos + 19:pos + size]
+            if pos == 4 and t != FORMAT_DESCRIPTION_EVENT:
+                # every binlog file opens with the FDE — it is the ONLY
+                # thing that establishes the checksum algorithm, so a
+                # corrupted-away FDE must not silently disable CRC
+                # verification and trailer stripping for the whole file
+                # (a single type-byte bitflip used to yield extra
+                # garbage rows decoded from CRC trailers)
+                raise ValueError(
+                    "binlog file must start with a format-description "
+                    "event (type 15) after the magic, found type %d — "
+                    "cannot establish the checksum algorithm" % t)
             if t == FORMAT_DESCRIPTION_EVENT:
                 # FDE body ends [..., alg] without checksums and
                 # [..., alg, crc32le] with them. Probe deterministically,
