@@ -491,6 +491,12 @@ def test_wire_decoder_plan_shapes(spark):
         "cdc_db2_asn": (3, 0),
         "cdc_oracle_logminer": (1, 2),
         "cdc_vitess_vstream": (1, 0),
+        # round-11 wire gate: the produce half is a bounded driver-side
+        # socket client (runs before the plan); the returned plan is the
+        # consume half — text scan over the spool, from_json decode
+        # (pure Catalyst, ZERO Python stages), one key-shuffle
+        # materialize window
+        "cdc_kafka_wire_roundtrip": (1, 0),
     }
     for name, (n_exchange, n_arrow) in shapes.items():
         p = plan_of(EQ.QUERIES[name](spark, SF))
