@@ -99,9 +99,15 @@ def decompress_raw(data: bytes) -> bytes:
             raise ValueError(
                 "snappy copy offset %d outside the %d bytes produced"
                 % (off, len(out)))
-        # overlapping copies are byte-serial by definition (RLE)
-        for _ in range(ln):
-            out.append(out[-off])
+        start = len(out) - off
+        if off >= ln:
+            out += out[start:start + ln]
+        else:
+            # overlapping copy: byte-serial semantics == the off-byte
+            # pattern repeated (RLE) — build it by repetition instead of
+            # a per-byte loop
+            pattern = bytes(out[start:])
+            out += (pattern * (ln // off + 1))[:ln]
     if len(out) != expect:
         raise ValueError("snappy block declared %d bytes but decoded %d"
                          % (expect, len(out)))
