@@ -322,7 +322,48 @@ def run_codec_scale(spark, EQ) -> list[dict]:
                     "ratio": round(usn / us1, 2)})
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(dn, ignore_errors=True)
+    out.append(_kafka_batch_codec_row())
     return out
+
+
+def _kafka_batch_codec_row() -> dict:
+    """Round-11: the Kafka v2 record-batch codec (CRC32C verify, varint
+    record walk, gzip inflate). It runs in the socket client — driver
+    side, not a Spark task — so its scale row measures pure per-record
+    cost: constant-or-falling µs/record at 10× is the amortization
+    evidence (the per-connection setup spreads over more batches)."""
+    from source_flink_cdc_3_5_0_spark.sinks.kafka_protocol import (
+        decode_record_batches, encode_record_batch)
+
+    def build(mult: int):
+        rows = [(b"key-%06d" % i,
+                 b'{"c_custkey":%d,"c_name":"Customer#%09d","seg":"B"}'
+                 % (i, i), []) for i in range(4000 * mult)]
+        blob = b"".join(
+            encode_record_batch(rows[i:i + 500], base_offset=i,
+                                compression="gzip")
+            for i in range(0, len(rows), 500))
+        return len(rows), blob
+
+    def timed(blob: bytes, n: int) -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            got = decode_record_batches(blob)
+            best = min(best, time.perf_counter() - t0)
+            assert len(got) == n
+        return best
+
+    n1, b1 = build(1)
+    t1 = timed(b1, n1)
+    nn, bn = build(REPLICAS)
+    tn = timed(bn, nn)
+    us1, usn = t1 / n1 * 1e6, tn / nn * 1e6
+    return {"op": "codec_kafka_batch", "rows_base": n1, "rows_scaled": nn,
+            "us_per_row_base": round(us1, 2),
+            "us_per_row_scaled": round(usn, 2),
+            "ratio": round(usn / us1, 2),
+            "protocol": "driver-side min-of-3 (socket-client codec)"}
 
 
 
