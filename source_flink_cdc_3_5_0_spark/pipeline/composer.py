@@ -752,10 +752,22 @@ class PipelineComposer:
                     "read_committed, got %r" % iso)
             spool = os.path.join(
                 opts.get("checkpoint", ".cdc_checkpoint"), "kafka-spool")
+            # security surface mirrors the real client's property names
+            # (sasl credentials inline rather than a JAAS string)
+            security = {
+                "security_protocol": opts.get(
+                    "properties.security.protocol", "plaintext").lower(),
+                "sasl_mechanism": opts.get(
+                    "properties.sasl.mechanism", "PLAIN"),
+                "sasl_username": opts.get("properties.sasl.username"),
+                "sasl_password": opts.get("properties.sasl.password"),
+                "ssl_cafile": opts.get("properties.ssl.ca.location"),
+            }
             for topic in opts["topics"].split(","):
                 dump_kafka_topic(
                     opts["bootstrap-servers"], topic.strip(), spool,
-                    isolation_level=1 if iso == "read_committed" else 0)
+                    isolation_level=1 if iso == "read_committed" else 0,
+                    security=security)
             raw = file_stream_source(self.spark, spool)
         else:
             from ..sources.jdbc import StartupOptions

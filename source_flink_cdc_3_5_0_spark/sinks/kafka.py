@@ -216,9 +216,12 @@ class KafkaChangelogSink(DataSink):
             # in YAML and never applied)
             compression = self.kafka_options.get("compression.type",
                                                  "none")
+            handled = ("compression.type", "bootstrap.servers",
+                       "security.protocol", "sasl.mechanism",
+                       "sasl.username", "sasl.password",
+                       "ssl.ca.location")
             ignored = sorted(k for k in self.kafka_options
-                             if k not in ("compression.type",
-                                          "bootstrap.servers"))
+                             if k not in handled)
             if ignored:
                 import warnings
 
@@ -227,7 +230,15 @@ class KafkaChangelogSink(DataSink):
                     "properties: %s" % ", ".join(ignored),
                     stacklevel=2)
             # full bootstrap list: the wire client walks it for failover
-            KafkaWireProducer(self.bootstrap_servers) \
+            KafkaWireProducer(
+                self.bootstrap_servers,
+                security_protocol=self.kafka_options.get(
+                    "security.protocol", "plaintext").lower(),
+                sasl_mechanism=self.kafka_options.get(
+                    "sasl.mechanism", "PLAIN"),
+                sasl_username=self.kafka_options.get("sasl.username"),
+                sasl_password=self.kafka_options.get("sasl.password"),
+                ssl_cafile=self.kafka_options.get("ssl.ca.location")) \
                 .produce(topic, records, partition=fixed,
                          compression=compression)
         else:

@@ -36,6 +36,7 @@ against the RFC 3720 test vector in tests.
 
 from __future__ import annotations
 
+import os
 import socket
 import socketserver
 import struct
@@ -44,13 +45,17 @@ import threading
 API_PRODUCE = 0
 API_FETCH = 1
 API_METADATA = 3
+API_SASL_HANDSHAKE = 17
+API_SASL_AUTHENTICATE = 36
 
 _ERRORS = {
     0: "NONE", 1: "OFFSET_OUT_OF_RANGE", 2: "CORRUPT_MESSAGE",
     3: "UNKNOWN_TOPIC_OR_PARTITION", 5: "LEADER_NOT_AVAILABLE",
     6: "NOT_LEADER_FOR_PARTITION", 7: "REQUEST_TIMED_OUT",
     10: "MESSAGE_TOO_LARGE", 17: "INVALID_TOPIC",
+    33: "UNSUPPORTED_SASL_MECHANISM", 34: "ILLEGAL_SASL_STATE",
     37: "INVALID_PARTITIONS", 38: "INVALID_REPLICATION_FACTOR",
+    58: "SASL_AUTHENTICATION_FAILED",
 }
 
 
@@ -508,7 +513,12 @@ class KafkaWireProducer:
     error codes are CHECKED (a non-zero code raises with Kafka's own
     error name — a silently failed produce is lost data)."""
 
-    def __init__(self, bootstrap: str, timeout: float = 30.0):
+    def __init__(self, bootstrap: str, timeout: float = 30.0,
+                 security_protocol: str = "plaintext",
+                 sasl_mechanism: str = "PLAIN",
+                 sasl_username: str | None = None,
+                 sasl_password: str | None = None,
+                 ssl_cafile: str | None = None):
         # comma-separated list, tried in order for the initial Metadata
         # call (advice r10: only ever contacting the first server means
         # no failover — a real client walks the bootstrap list)
@@ -524,6 +534,117 @@ class KafkaWireProducer:
         self.bootstrap = self.bootstrap_list[0]
         self.timeout = timeout
         self._corr = 0
+        # security.protocol / sasl.mechanism, the real client's names
+        if security_protocol not in ("plaintext", "ssl",
+                                     "sasl_plaintext", "sasl_ssl"):
+            raise ValueError(
+                "security_protocol must be plaintext, ssl, "
+                "sasl_plaintext or sasl_ssl (got %r)" % security_protocol)
+        if sasl_mechanism not in ("PLAIN", "SCRAM-SHA-256"):
+            raise ValueError(
+                "sasl_mechanism must be PLAIN or SCRAM-SHA-256 (got %r; "
+                "GSSAPI/OAUTHBEARER are not implemented in this client)"
+                % sasl_mechanism)
+        if security_protocol.startswith("sasl_") and (
+                sasl_username is None or sasl_password is None):
+            raise ValueError("%s needs sasl_username and sasl_password"
+                             % security_protocol)
+        self.security_protocol = security_protocol
+        self.sasl_mechanism = sasl_mechanism
+        self.sasl_username = sasl_username
+        self.sasl_password = sasl_password
+        self.ssl_cafile = ssl_cafile
+
+    def _connect(self, addr) -> socket.socket:
+        """TCP connect + the configured security layers: TLS wrap
+        (cafile pins the broker cert, verify-ca semantics like the
+        MySQL/PG transports) then the SASL exchange — every broker
+        connection authenticates independently, exactly like the real
+        client."""
+        sock = socket.create_connection(addr, self.timeout)
+        try:
+            if self.security_protocol in ("ssl", "sasl_ssl"):
+                import ssl as _ssl
+
+                if self.ssl_cafile:
+                    ctx = _ssl.create_default_context(
+                        cafile=self.ssl_cafile)
+                    ctx.check_hostname = False  # CA pin, not hostname
+                else:
+                    ctx = _ssl.create_default_context()
+                    ctx.check_hostname = False
+                sock = ctx.wrap_socket(sock)
+            if self.security_protocol.startswith("sasl_"):
+                self._sasl_authenticate(sock)
+            return sock
+        except BaseException:
+            sock.close()
+            raise
+
+    def _sasl_round(self, sock, auth_bytes: bytes) -> bytes:
+        """One SaslAuthenticate v1 round -> the server's auth bytes."""
+        payload = self._call(sock, API_SASL_AUTHENTICATE, 1,
+                             _bytes32(auth_bytes))
+        err = struct.unpack_from(">h", payload)[0]
+        msg, pos = _read_str(payload, 2)
+        if err:
+            raise ValueError(
+                "SASL authentication failed: %s%s"
+                % (_ERRORS.get(err, err), (" — %s" % msg) if msg else ""))
+        blen = struct.unpack_from(">i", payload, pos)[0]
+        return payload[pos + 4:pos + 4 + max(blen, 0)]
+
+    def _sasl_authenticate(self, sock) -> None:
+        """SaslHandshake v1 + SaslAuthenticate v1 (KIP-152 framing).
+        PLAIN = RFC 4616 NUL-joined authzid/user/password;
+        SCRAM-SHA-256 = the same RFC 5802 exchange the PG transport
+        speaks (shared primitives), server signature VERIFIED."""
+        payload = self._call(sock, API_SASL_HANDSHAKE, 1,
+                             _str(self.sasl_mechanism))
+        err = struct.unpack_from(">h", payload)[0]
+        if err:
+            nm = struct.unpack_from(">i", payload, 2)[0]
+            pos, mechs = 6, []
+            for _ in range(max(nm, 0)):
+                m, pos = _read_str(payload, pos)
+                mechs.append(m)
+            raise ValueError(
+                "SASL handshake refused (%s): broker offers %s"
+                % (_ERRORS.get(err, err), mechs))
+        if self.sasl_mechanism == "PLAIN":
+            self._sasl_round(
+                sock, b"\x00" + self.sasl_username.encode("utf-8")
+                + b"\x00" + self.sasl_password.encode("utf-8"))
+            return
+        # SCRAM-SHA-256
+        import base64
+        import os as _os
+
+        from ..sources.pg_replication import (
+            _scram_attrs, scram_client_proof)
+
+        cnonce = base64.b64encode(_os.urandom(18)).decode()
+        cfirst_bare = "n=%s,r=%s" % (self.sasl_username, cnonce)
+        sfirst = self._sasl_round(
+            sock, ("n,," + cfirst_bare).encode()).decode()
+        at = _scram_attrs(sfirst)
+        if not at["r"].startswith(cnonce):
+            raise ValueError("SCRAM server nonce does not extend ours")
+        salt = base64.b64decode(at["s"])
+        iters = int(at["i"])
+        cfinal_noproof = "c=biws,r=%s" % at["r"]
+        auth_message = ",".join((cfirst_bare, sfirst, cfinal_noproof))
+        proof, server_sig = scram_client_proof(
+            self.sasl_password, salt, iters, auth_message)
+        sfinal = self._sasl_round(
+            sock, ("%s,p=%s" % (cfinal_noproof,
+                                base64.b64encode(proof).decode())
+                   ).encode()).decode()
+        want = _scram_attrs(sfinal).get("v")
+        if want != base64.b64encode(server_sig).decode():
+            raise ValueError(
+                "SCRAM server signature mismatch — the broker does not "
+                "know the password (MITM or wrong credential store)")
 
     def _call(self, sock, api_key, api_version, body) -> bytes:
         self._corr += 1
@@ -541,7 +662,7 @@ class KafkaWireProducer:
         errors = []
         for addr in self.bootstrap_list:
             try:
-                with socket.create_connection(addr, self.timeout) as s:
+                with self._connect(addr) as s:
                     payload = self._call(s, API_METADATA, 1, body)
                 break
             except OSError as exc:
@@ -608,8 +729,7 @@ class KafkaWireProducer:
                 + struct.pack(">i", 1) + _str(topic)
                 + struct.pack(">i", 1)
                 + struct.pack(">iqi", partition, offset, max_bytes))
-        with socket.create_connection(meta["brokers"][leader],
-                                      self.timeout) as sock:
+        with self._connect(meta["brokers"][leader]) as sock:
             payload = self._call(sock, API_FETCH, 4, body)
         pos = 4  # throttle_time_ms
         pos += 4  # topic array count (1)
@@ -689,7 +809,7 @@ class KafkaWireProducer:
                     + struct.pack(">i", 1) + _str(topic)
                     + struct.pack(">i", 1)
                     + struct.pack(">i", pid) + _bytes32(batch))
-            with socket.create_connection(addr, self.timeout) as s:
+            with self._connect(addr) as s:
                 payload = self._call(s, API_PRODUCE, 3, body)
             pos = 4  # topic array count (1)
             _name, pos = _read_str(payload, pos)
@@ -709,7 +829,8 @@ class KafkaWireProducer:
 
 
 def dump_kafka_topic(bootstrap: str, topic: str, spool_dir: str,
-                     isolation_level: int = 0) -> list[str]:
+                     isolation_level: int = 0,
+                     security: dict | None = None) -> list[str]:
     """Drain a topic over the real protocol into a json-lines spool —
     the same respool pattern `dump_binlog_stream` uses for MySQL. One
     file per partition per dump, records in offset order (Kafka's own
@@ -727,7 +848,7 @@ def dump_kafka_topic(bootstrap: str, topic: str, spool_dir: str,
     import os
 
     os.makedirs(spool_dir, exist_ok=True)
-    consumer = KafkaWireProducer(bootstrap)
+    consumer = KafkaWireProducer(bootstrap, **(security or {}))
     written = []
     for pid, recs in sorted(
             consumer.fetch_all(topic, isolation_level=isolation_level)
@@ -770,7 +891,35 @@ class ToyKafkaBroker:
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  num_partitions: int = 3,
                  fail_topics: set[str] | None = None,
-                 fetch_max_bytes: int | None = None):
+                 fetch_max_bytes: int | None = None,
+                 sasl_users: "dict[str, str] | None" = None,
+                 tls: bool = False):
+        #: {username: password}; non-None gates every data API behind a
+        #: SaslHandshake + SaslAuthenticate exchange (PLAIN or
+        #: SCRAM-SHA-256) like a listener with sasl.enabled.mechanisms
+        self.sasl_users = sasl_users
+        #: serve a one-shot self-signed cert (openssl, like the MySQL/PG
+        #: toys); `ca_cert` is the path a verifying client pins
+        self.tls = tls
+        self.ca_cert: str | None = None
+        self._ssl_ctx = None
+        if tls:
+            import ssl as _ssl
+            import subprocess
+            import tempfile as _tempfile
+
+            d = _tempfile.mkdtemp(prefix="kafka-toy-tls-")
+            crt, key = os.path.join(d, "server.crt"), os.path.join(
+                d, "server.key")
+            subprocess.run(
+                ["openssl", "req", "-x509", "-newkey", "rsa:2048",
+                 "-nodes", "-keyout", key, "-out", crt, "-days", "2",
+                 "-subj", "/CN=127.0.0.1"],
+                check=True, capture_output=True)
+            ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(crt, key)
+            self._ssl_ctx = ctx
+            self.ca_cert = crt
         #: cap on the batch bytes per Fetch partition response; like a
         #: real broker's fetch.max.bytes handling, the FIRST batch is
         #: always served whole (progress guarantee) and the cut lands
@@ -797,6 +946,9 @@ class ToyKafkaBroker:
 
         class Handler(socketserver.StreamRequestHandler):
             def handle(self):
+                # per-connection SASL state, like a real listener
+                authed = outer.sasl_users is None
+                scram = {}  # server-side SCRAM exchange state
                 try:
                     while True:
                         head = self.rfile.read(4)
@@ -807,7 +959,18 @@ class ToyKafkaBroker:
                         api, ver, corr = struct.unpack_from(">hhi", msg)
                         _cid, pos = _read_str(msg, 8)
                         body = msg[pos:]
-                        if api == API_METADATA:
+                        if api == API_SASL_HANDSHAKE:
+                            resp = outer._sasl_handshake_response(
+                                body, scram)
+                        elif api == API_SASL_AUTHENTICATE:
+                            resp, authed = outer._sasl_auth_response(
+                                body, scram, authed)
+                        elif not authed:
+                            # a data API before authentication: drop the
+                            # session, like a broker's disconnect on
+                            # IllegalSaslState
+                            return
+                        elif api == API_METADATA:
                             resp = outer._metadata_response(body)
                         elif api == API_PRODUCE:
                             resp = outer._produce_response(body)
@@ -819,12 +982,19 @@ class ToyKafkaBroker:
                         self.wfile.write(
                             struct.pack(">i", len(payload)) + payload)
                         self.wfile.flush()
-                except (ConnectionError, ValueError):
+                except (ConnectionError, ValueError, OSError):
                     return
 
         class Srv(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
             daemon_threads = True
+
+            def get_request(self):
+                sock, addr = super().get_request()
+                if outer._ssl_ctx is not None:
+                    sock = outer._ssl_ctx.wrap_socket(sock,
+                                                      server_side=True)
+                return sock, addr
 
         self._srv = Srv((host, port), Handler)
         self.host, self.port = self._srv.server_address
@@ -834,6 +1004,104 @@ class ToyKafkaBroker:
     @property
     def bootstrap(self) -> str:
         return "%s:%d" % (self.host, self.port)
+
+    _SASL_MECHS = ("PLAIN", "SCRAM-SHA-256")
+
+    def _sasl_handshake_response(self, body: bytes, scram: dict) -> bytes:
+        mech, _pos = _read_str(body, 0)
+        mech_list = (struct.pack(">i", len(self._SASL_MECHS))
+                     + b"".join(_str(m) for m in self._SASL_MECHS))
+        if self.sasl_users is None or mech not in self._SASL_MECHS:
+            err = 33 if mech not in self._SASL_MECHS else 34
+            return struct.pack(">h", err) + mech_list
+        scram.clear()
+        scram["mech"] = mech
+        return struct.pack(">h", 0) + mech_list
+
+    @staticmethod
+    def _sasl_auth_err(msg: str) -> bytes:
+        return (struct.pack(">h", 58) + _str(msg) + _bytes32(b"")
+                + struct.pack(">q", 0))
+
+    @staticmethod
+    def _sasl_auth_ok(auth: bytes) -> bytes:
+        return (struct.pack(">h", 0) + _str(None) + _bytes32(auth)
+                + struct.pack(">q", 0))
+
+    def _sasl_auth_response(self, body: bytes, scram: dict,
+                            authed: bool) -> tuple[bytes, bool]:
+        import base64
+        import hashlib
+
+        from ..sources.pg_replication import (
+            _scram_attrs, scram_verify_proof)
+
+        blen = struct.unpack_from(">i", body)[0]
+        auth = body[4:4 + max(blen, 0)]
+        mech = scram.get("mech")
+        if mech is None:
+            return self._sasl_auth_err(
+                "SaslAuthenticate before SaslHandshake"), False
+        if mech == "PLAIN":
+            parts = auth.split(b"\x00")
+            if len(parts) != 3:
+                return self._sasl_auth_err("malformed PLAIN token"), False
+            user, pwd = parts[1].decode(), parts[2].decode()
+            if self.sasl_users.get(user) != pwd:
+                return self._sasl_auth_err(
+                    "Authentication failed: Invalid username or "
+                    "password"), False
+            return self._sasl_auth_ok(b""), True
+        # SCRAM-SHA-256, server side (shared RFC 5802 primitives)
+        if "sfirst" not in scram:
+            text = auth.decode()
+            if not text.startswith("n,,"):
+                return self._sasl_auth_err("bad gs2 header"), False
+            at = _scram_attrs(text[3:])
+            user = at.get("n", "")
+            if user not in self.sasl_users:
+                # keep going with a random salt so usernames don't
+                # oracle, fail at proof time — what real servers do
+                scram["pwd"] = base64.b64encode(os.urandom(9)).decode()
+            else:
+                scram["pwd"] = self.sasl_users[user]
+            scram["cfirst_bare"] = text[3:]
+            salt = os.urandom(16)
+            scram["salt"], scram["iters"] = salt, 4096
+            snonce = base64.b64encode(os.urandom(18)).decode()
+            scram["nonce"] = at.get("r", "") + snonce
+            sfirst = "r=%s,s=%s,i=%d" % (
+                scram["nonce"], base64.b64encode(salt).decode(), 4096)
+            scram["sfirst"] = sfirst
+            return self._sasl_auth_ok(sfirst.encode()), False
+        text = auth.decode()
+        at = _scram_attrs(text)
+        if at.get("r") != scram["nonce"]:
+            return self._sasl_auth_err("nonce mismatch"), False
+        noproof = text[:text.rindex(",p=")]
+        auth_message = ",".join((scram["cfirst_bare"], scram["sfirst"],
+                                 noproof))
+        try:
+            proof = base64.b64decode(at["p"])
+        except (KeyError, ValueError):
+            return self._sasl_auth_err("malformed proof"), False
+        if not scram_verify_proof(scram["pwd"], scram["salt"],
+                                  scram["iters"], auth_message, proof):
+            return self._sasl_auth_err(
+                "Authentication failed: Invalid username or "
+                "password"), False
+        import hmac as _hmac
+
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", scram["pwd"].encode(), scram["salt"],
+            scram["iters"])
+        server_key = _hmac.new(salted, b"Server Key",
+                               hashlib.sha256).digest()
+        server_sig = _hmac.new(server_key, auth_message.encode(),
+                               hashlib.sha256).digest()
+        return self._sasl_auth_ok(
+            ("v=%s" % base64.b64encode(server_sig).decode()).encode()
+        ), True
 
     def _metadata_response(self, body: bytes) -> bytes:
         nt = struct.unpack_from(">i", body)[0]
