@@ -862,7 +862,12 @@ class PipelineComposer:
                        frontend=opts.get("frontend"),
                        salt_dir=pdef.source.options_dict()
                        .get("checkpoint", ".cdc_checkpoint")
-                       if opts.get("frontend") else None)
+                       if opts.get("frontend") else None,
+                       # DorisDataSinkOptions / StarRocksDataSinkOptions
+                       # credential names; Stream Load requires basic
+                       # auth (Doris defaults root/empty)
+                       username=opts.get("username", "root"),
+                       password=opts.get("password", ""))
         if t == "elasticsearch" and ("output-dir" in opts or "hosts" in opts):
             # real _bulk wire-format sink: spool mode, or live `hosts`
             # (HTTP POST, per-item results checked)
@@ -871,7 +876,10 @@ class PipelineComposer:
             return ElasticsearchBulkSink(
                 output_dir=opts.get("output-dir"),
                 hosts=opts.get("hosts"),
-                shard_suffix_col=opts.get("sharding.suffix.key"))
+                shard_suffix_col=opts.get("sharding.suffix.key"),
+                # ElasticsearchDataSinkOptions username/password
+                username=opts.get("username"),
+                password=opts.get("password"))
         if t in ("doris", "starrocks", "paimon", "iceberg", "elasticsearch",
                  "fluss", "maxcompute", "oceanbase", "mysql", "postgres"):
             # lake/OLAP sinks: same changelog-apply contract (PK upsert,

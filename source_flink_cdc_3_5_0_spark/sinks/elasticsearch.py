@@ -48,12 +48,18 @@ class _EsMetadataApplier(MetadataApplier):
 class ElasticsearchBulkSink(DataSink):
     def __init__(self, output_dir: str | None = None,
                  hosts: str | None = None,
-                 shard_suffix_col: str | None = None):
+                 shard_suffix_col: str | None = None,
+                 username: str | None = None,
+                 password: str | None = None):
         if not output_dir and not hosts:
             raise ValueError("need output_dir (local _bulk spool) or hosts")
         self.output_dir = output_dir
         self.hosts = [h.strip() for h in hosts.split(",")] if hosts else []
         self.shard_suffix_col = shard_suffix_col
+        # ElasticsearchDataSinkOptions username/password — HTTP basic
+        # auth on every _bulk POST (X-Pack security, on by default
+        # since ES 8)
+        self.auth = (username, password) if username is not None else None
 
     def metadata_applier(self) -> MetadataApplier:
         return _EsMetadataApplier()
@@ -105,7 +111,7 @@ class ElasticsearchBulkSink(DataSink):
                 self.encode_bulk(table_id, df, schema).collect()) + "\n"
             # bounded driver-side collect: one final image per key, the
             # same batch a live connector's bulk processor accumulates
-            post_bulk(self.hosts, body)
+            post_bulk(self.hosts, body, auth=self.auth)
             return
         out = os.path.join(self.output_dir, table_id.identifier(),
                            f"batch_{batch_id}")
@@ -116,24 +122,35 @@ class ElasticsearchBulkSink(DataSink):
         os.rename(tmp, out)
 
 
-def post_bulk(hosts: list[str], body: str) -> dict:
+def post_bulk(hosts: list[str], body: str,
+              auth: "tuple[str, str] | None" = None) -> dict:
     """POST NDJSON to ``/_bulk`` on the first reachable host and check
     the response: HTTP errors and ``errors: true`` item results raise
-    by name (a silently dropped bulk item is lost data). Returns the
-    parsed response."""
+    by name (a silently dropped bulk item is lost data). ``auth`` =
+    (username, password) rides as HTTP basic auth; a 401 names the
+    security layer rather than dumping the body. Returns the parsed
+    response."""
+    import base64
     import http.client
     import json
 
+    headers = {"Content-Type": "application/x-ndjson"}
+    if auth is not None:
+        headers["Authorization"] = "Basic " + base64.b64encode(
+            ("%s:%s" % auth).encode("utf-8")).decode("ascii")
     last_err: Exception | None = None
     for host in hosts:
         h, _, port = host.partition(":")
         try:
             conn = http.client.HTTPConnection(h, int(port or 9200),
                                               timeout=30)
-            conn.request("POST", "/_bulk", body.encode("utf-8"),
-                         {"Content-Type": "application/x-ndjson"})
+            conn.request("POST", "/_bulk", body.encode("utf-8"), headers)
             resp = conn.getresponse()
             data = resp.read()
+            if resp.status == 401:
+                raise ValueError(
+                    "elasticsearch refused the credentials (HTTP 401%s)"
+                    % ("; no username configured" if auth is None else ""))
             if resp.status != 200:
                 raise ValueError("elasticsearch _bulk HTTP %d: %s"
                                  % (resp.status, data[:300]))
@@ -160,7 +177,9 @@ class ToyElasticsearchServer:
     so the sink's error surfacing is testable."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 fail_ids: set[str] | None = None):
+                 fail_ids: set[str] | None = None,
+                 auth: "tuple[str, str] | None" = None):
+        import base64
         import http.server
         import json
         import threading
@@ -168,12 +187,28 @@ class ToyElasticsearchServer:
         store: dict[str, dict[str, dict]] = {}
         self.store = store
         fail = fail_ids or set()
+        want_auth = (None if auth is None else
+                     "Basic " + base64.b64encode(
+                         ("%s:%s" % auth).encode()).decode())
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
                 return
 
             def do_POST(self):  # noqa: N802 (stdlib naming)
+                if want_auth is not None and \
+                        self.headers.get("Authorization") != want_auth:
+                    n = int(self.headers.get("Content-Length", 0))
+                    self.rfile.read(n)  # drain so the client can read
+                    body = json.dumps({"error": {
+                        "type": "security_exception",
+                        "reason": "missing authentication credentials"
+                    }}).encode()
+                    self.send_response(401)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 if self.path.rstrip("/").split("/")[-1] != "_bulk":
                     self.send_response(404)
                     self.end_headers()

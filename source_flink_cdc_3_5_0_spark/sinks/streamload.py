@@ -74,11 +74,16 @@ class _StreamLoadSink(DataSink):
     def __init__(self, output_dir: str | None = None,
                  frontend: str | None = None,
                  label_salt: str | None = None,
-                 salt_dir: str | None = None):
+                 salt_dir: str | None = None,
+                 username: str = "root", password: str = ""):
         if not output_dir and not frontend:
             raise ValueError("need output_dir (local spool) or frontend")
         self.output_dir = output_dir
         self.frontend = frontend
+        # Stream Load REQUIRES HTTP basic auth on the PUT (the public
+        # API's curl examples all carry -u user:passwd); Doris defaults
+        # to root/empty, mirrored here
+        self.auth = (username, password)
         # label salting (advice r10): Stream Load labels persist
         # server-side, so a purely batch-id-deterministic label makes a
         # CHECKPOINT RESET (batch ids restart at 0 with different data)
@@ -166,7 +171,8 @@ class _StreamLoadSink(DataSink):
             label = "cdc-%s%s-%s" % (
                 table_id.identifier().replace(".", "_"),
                 "-" + salt if salt else "", batch_id)
-            stream_load_put(self.frontend, table_id, body + "\n", label)
+            stream_load_put(self.frontend, table_id, body + "\n", label,
+                            auth=self.auth)
             return
         out = os.path.join(self.output_dir, table_id.identifier(),
                            f"batch_{batch_id}")
@@ -179,12 +185,16 @@ class _StreamLoadSink(DataSink):
 
 
 def stream_load_put(frontend: str, table_id: TableId, body: str,
-                    label: str) -> dict:
+                    label: str,
+                    auth: "tuple[str, str] | None" = None) -> dict:
     """One Stream Load transaction: HTTP PUT
-    ``/api/{db}/{table}/_stream_load`` with the json-lines body.
+    ``/api/{db}/{table}/_stream_load`` with the json-lines body and
+    HTTP basic auth (the public API requires ``-u user:passwd``;
+    the same header rides the FE→BE 307 redirect).
     Response handling per the public API: Status "Success" commits,
     "Label Already Exists" is a replay no-op, anything else raises with
     the server's own Message — a silently failed load is lost data."""
+    import base64
     import http.client
     import json
 
@@ -196,9 +206,14 @@ def stream_load_put(frontend: str, table_id: TableId, body: str,
     headers = {"label": label, "format": "json",
                "read_json_by_line": "true",
                "Content-Type": "application/json"}
+    if auth is not None:
+        headers["Authorization"] = "Basic " + base64.b64encode(
+            ("%s:%s" % auth).encode("utf-8")).decode("ascii")
     conn.request("PUT", path, body.encode("utf-8"), headers)
     resp = conn.getresponse()
     data = resp.read()
+    if resp.status == 401:
+        raise ValueError("stream load refused the credentials (HTTP 401)")
     if resp.status == 307:
         # a real frontend redirects the PUT to a backend
         loc = resp.getheader("Location") or ""
@@ -210,6 +225,9 @@ def stream_load_put(frontend: str, table_id: TableId, body: str,
                       body.encode("utf-8"), headers)
         resp = conn2.getresponse()
         data = resp.read()
+        if resp.status == 401:
+            raise ValueError(
+                "stream load backend refused the credentials (HTTP 401)")
     if resp.status != 200:
         raise ValueError("stream load HTTP %d: %s"
                          % (resp.status, data[:300]))
@@ -236,11 +254,16 @@ class ToyStreamLoadFrontend:
     def __init__(self, tables: dict[str, list[str]],
                  host: str = "127.0.0.1", port: int = 0,
                  redirect: bool = False,
-                 fail_labels: set[str] | None = None):
+                 fail_labels: set[str] | None = None,
+                 auth: "tuple[str, str] | None" = None):
+        import base64
         import http.server
         import json
         import threading
 
+        want_auth = (None if auth is None else
+                     "Basic " + base64.b64encode(
+                         ("%s:%s" % auth).encode()).decode())
         store: dict[str, dict[tuple, dict]] = {}
         labels: set[str] = set()
         self.store = store
@@ -264,6 +287,13 @@ class ToyStreamLoadFrontend:
                 return
 
             def do_PUT(self):  # noqa: N802 (stdlib naming)
+                if want_auth is not None and \
+                        self.headers.get("Authorization") != want_auth:
+                    n = int(self.headers.get("Content-Length", 0))
+                    self.rfile.read(n)
+                    respond(self, 401, {"Status": "Fail",
+                                        "Message": "Access denied"})
+                    return
                 seg = self.path.split("?")[0].strip("/").split("/")
                 if len(seg) != 4 or seg[0] != "api"                         or seg[3] != "_stream_load":
                     respond(self, 404, {"Status": "Fail",
