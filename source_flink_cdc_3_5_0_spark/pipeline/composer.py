@@ -877,9 +877,11 @@ class PipelineComposer:
                 output_dir=opts.get("output-dir"),
                 hosts=opts.get("hosts"),
                 shard_suffix_col=opts.get("sharding.suffix.key"),
-                # ElasticsearchDataSinkOptions username/password
+                # ElasticsearchDataSinkOptions username/password;
+                # https:// hosts take a CA pin
                 username=opts.get("username"),
-                password=opts.get("password"))
+                password=opts.get("password"),
+                ca_cert=opts.get("ssl.ca.location"))
         if t in ("doris", "starrocks", "paimon", "iceberg", "elasticsearch",
                  "fluss", "maxcompute", "oceanbase", "mysql", "postgres"):
             # lake/OLAP sinks: same changelog-apply contract (PK upsert,

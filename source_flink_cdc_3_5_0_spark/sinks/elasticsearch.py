@@ -50,7 +50,8 @@ class ElasticsearchBulkSink(DataSink):
                  hosts: str | None = None,
                  shard_suffix_col: str | None = None,
                  username: str | None = None,
-                 password: str | None = None):
+                 password: str | None = None,
+                 ca_cert: str | None = None):
         if not output_dir and not hosts:
             raise ValueError("need output_dir (local _bulk spool) or hosts")
         self.output_dir = output_dir
@@ -58,8 +59,9 @@ class ElasticsearchBulkSink(DataSink):
         self.shard_suffix_col = shard_suffix_col
         # ElasticsearchDataSinkOptions username/password — HTTP basic
         # auth on every _bulk POST (X-Pack security, on by default
-        # since ES 8)
+        # since ES 8); https:// hosts use TLS with ca_cert pinned
         self.auth = (username, password) if username is not None else None
+        self.ca_cert = ca_cert
 
     def metadata_applier(self) -> MetadataApplier:
         return _EsMetadataApplier()
@@ -111,7 +113,8 @@ class ElasticsearchBulkSink(DataSink):
                 self.encode_bulk(table_id, df, schema).collect()) + "\n"
             # bounded driver-side collect: one final image per key, the
             # same batch a live connector's bulk processor accumulates
-            post_bulk(self.hosts, body, auth=self.auth)
+            post_bulk(self.hosts, body, auth=self.auth,
+                      ca_cert=self.ca_cert)
             return
         out = os.path.join(self.output_dir, table_id.identifier(),
                            f"batch_{batch_id}")
@@ -123,13 +126,16 @@ class ElasticsearchBulkSink(DataSink):
 
 
 def post_bulk(hosts: list[str], body: str,
-              auth: "tuple[str, str] | None" = None) -> dict:
+              auth: "tuple[str, str] | None" = None,
+              ca_cert: str | None = None) -> dict:
     """POST NDJSON to ``/_bulk`` on the first reachable host and check
     the response: HTTP errors and ``errors: true`` item results raise
     by name (a silently dropped bulk item is lost data). ``auth`` =
     (username, password) rides as HTTP basic auth; a 401 names the
-    security layer rather than dumping the body. Returns the parsed
-    response."""
+    security layer rather than dumping the body. Hosts may carry an
+    ``https://`` scheme (ES 8 serves TLS by default) — ``ca_cert``
+    pins the cluster's CA, verify-ca semantics like the other
+    transports. Returns the parsed response."""
     import base64
     import http.client
     import json
@@ -140,10 +146,23 @@ def post_bulk(hosts: list[str], body: str,
             ("%s:%s" % auth).encode("utf-8")).decode("ascii")
     last_err: Exception | None = None
     for host in hosts:
-        h, _, port = host.partition(":")
+        scheme, _, rest = host.rpartition("://")
+        h, _, port = rest.partition(":")
         try:
-            conn = http.client.HTTPConnection(h, int(port or 9200),
-                                              timeout=30)
+            if scheme == "https":
+                import ssl
+
+                if ca_cert:
+                    ctx = ssl.create_default_context(cafile=ca_cert)
+                    ctx.check_hostname = False  # CA pin, not hostname
+                else:
+                    ctx = ssl.create_default_context()
+                    ctx.check_hostname = False
+                conn = http.client.HTTPSConnection(
+                    h, int(port or 9200), timeout=30, context=ctx)
+            else:
+                conn = http.client.HTTPConnection(h, int(port or 9200),
+                                                  timeout=30)
             conn.request("POST", "/_bulk", body.encode("utf-8"), headers)
             resp = conn.getresponse()
             data = resp.read()
@@ -178,11 +197,15 @@ class ToyElasticsearchServer:
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  fail_ids: set[str] | None = None,
-                 auth: "tuple[str, str] | None" = None):
+                 auth: "tuple[str, str] | None" = None,
+                 tls: bool = False):
         import base64
         import http.server
         import json
         import threading
+
+        self.tls = tls
+        self.ca_cert: str | None = None
 
         store: dict[str, dict[str, dict]] = {}
         self.store = store
@@ -258,13 +281,34 @@ class ToyElasticsearchServer:
                 self.wfile.write(body)
 
         self._srv = http.server.ThreadingHTTPServer((host, port), Handler)
+        if tls:
+            # one-shot self-signed cert (openssl, the other toys' pattern)
+            import os
+            import ssl
+            import subprocess
+            import tempfile
+
+            d = tempfile.mkdtemp(prefix="es-toy-tls-")
+            crt, key = os.path.join(d, "server.crt"), os.path.join(
+                d, "server.key")
+            subprocess.run(
+                ["openssl", "req", "-x509", "-newkey", "rsa:2048",
+                 "-nodes", "-keyout", key, "-out", crt, "-days", "2",
+                 "-subj", "/CN=127.0.0.1"],
+                check=True, capture_output=True)
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(crt, key)
+            self._srv.socket = ctx.wrap_socket(self._srv.socket,
+                                               server_side=True)
+            self.ca_cert = crt
         self.host, self.port = self._srv.server_address
         self._thread = threading.Thread(target=self._srv.serve_forever,
                                         daemon=True)
 
     @property
     def endpoint(self) -> str:
-        return "%s:%d" % (self.host, self.port)
+        return "%s%s:%d" % ("https://" if self.tls else "",
+                            self.host, self.port)
 
     def __enter__(self) -> "ToyElasticsearchServer":
         self._thread.start()
