@@ -60,6 +60,10 @@ class ElasticsearchBulkSink(DataSink):
         # ElasticsearchDataSinkOptions username/password — HTTP basic
         # auth on every _bulk POST (X-Pack security, on by default
         # since ES 8); https:// hosts use TLS with ca_cert pinned
+        if password is not None and username is None:
+            raise ValueError(
+                "elasticsearch password set without username — the "
+                "credential would silently go unused")
         self.auth = (username, password) if username is not None else None
         self.ca_cert = ca_cert
 

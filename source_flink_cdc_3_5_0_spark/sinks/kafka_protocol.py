@@ -549,6 +549,19 @@ class KafkaWireProducer:
                 sasl_username is None or sasl_password is None):
             raise ValueError("%s needs sasl_username and sasl_password"
                              % security_protocol)
+        if not security_protocol.startswith("sasl_") and (
+                sasl_username is not None or sasl_password is not None):
+            # configured credentials silently going unused is how a
+            # "secured" pipeline ships unauthenticated
+            raise ValueError(
+                "sasl_username/sasl_password set but security_protocol="
+                "%r sends no SASL — use sasl_plaintext or sasl_ssl"
+                % security_protocol)
+        if ssl_cafile is not None and security_protocol in (
+                "plaintext", "sasl_plaintext"):
+            raise ValueError(
+                "ssl_cafile set but security_protocol=%r is not TLS — "
+                "use ssl or sasl_ssl" % security_protocol)
         self.security_protocol = security_protocol
         self.sasl_mechanism = sasl_mechanism
         self.sasl_username = sasl_username
