@@ -763,9 +763,28 @@ class PipelineComposer:
                 "sasl_password": opts.get("properties.sasl.password"),
                 "ssl_cafile": opts.get("properties.ssl.ca.location"),
             }
-            for topic in opts["topics"].split(","):
+            topics = [tp.strip() for tp in opts["topics"].split(",")]
+            if len(topics) > 1 and os.path.isdir(spool):
+                # round-10 spools used un-prefixed file names; their
+                # watermark's topic is ambiguous under a multi-topic
+                # config, and whichever topic dumps FIRST would adopt
+                # it (skipping its own records) before the per-dump
+                # backstop can fire — refuse up front with the full
+                # topic list in hand
+                legacy = [n for n in os.listdir(spool)
+                          if n.startswith("part-")
+                          and n.endswith(".jsonl")]
+                if legacy:
+                    raise ValueError(
+                        "kafka spool %s holds legacy un-prefixed files "
+                        "(%s) under a multi-topic config %s — rename "
+                        "them to '<topic>.part-<pid>.<offset>.jsonl' "
+                        "for the topic the round-10 single-topic "
+                        "pipeline consumed, then re-run."
+                        % (spool, legacy[:3], topics))
+            for topic in topics:
                 dump_kafka_topic(
-                    opts["bootstrap-servers"], topic.strip(), spool,
+                    opts["bootstrap-servers"], topic, spool,
                     isolation_level=1 if iso == "read_committed" else 0,
                     security=security)
             raw = file_stream_source(self.spark, spool)

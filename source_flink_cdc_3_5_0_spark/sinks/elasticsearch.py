@@ -60,10 +60,14 @@ class ElasticsearchBulkSink(DataSink):
         # ElasticsearchDataSinkOptions username/password — HTTP basic
         # auth on every _bulk POST (X-Pack security, on by default
         # since ES 8); https:// hosts use TLS with ca_cert pinned
-        if password is not None and username is None:
+        if (password is None) != (username is None):
+            # half-configured credentials either go silently unused or
+            # send the literal string "None" as the password (review
+            # r11 finding #3) — both are misconfigurations, refuse
             raise ValueError(
-                "elasticsearch password set without username — the "
-                "credential would silently go unused")
+                "elasticsearch needs BOTH username and password (got "
+                "only %s)" % ("username" if password is None
+                              else "password"))
         self.auth = (username, password) if username is not None else None
         self.ca_cert = ca_cert
 
@@ -157,11 +161,14 @@ def post_bulk(hosts: list[str], body: str,
                 import ssl
 
                 if ca_cert:
+                    # explicit CA pin: verify-ca semantics (hostname
+                    # not enforced — toy certs carry CN=127.0.0.1)
                     ctx = ssl.create_default_context(cafile=ca_cert)
-                    ctx.check_hostname = False  # CA pin, not hostname
-                else:
-                    ctx = ssl.create_default_context()
                     ctx.check_hostname = False
+                else:
+                    # system trust store: full verification incl.
+                    # hostname, the default every real client applies
+                    ctx = ssl.create_default_context()
                 conn = http.client.HTTPSConnection(
                     h, int(port or 9200), timeout=30, context=ctx)
             else:

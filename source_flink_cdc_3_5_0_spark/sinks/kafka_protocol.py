@@ -286,17 +286,14 @@ def encode_record_batch(records: list[tuple[bytes | None, bytes | None,
                         is_control: bool = False,
                         producer_id: int = -1) -> bytes:
     """records = [(key, value, headers)] -> one v2 batch. Compression
-    (none | gzip | zstd) covers the records section only — the 49-byte
-    batch header stays plaintext, exactly as a real producer frames it;
-    the CRC32C covers the COMPRESSED bytes."""
+    (none | gzip | snappy | lz4 | zstd) covers the records section only
+    — the 49-byte batch header stays plaintext, exactly as a real
+    producer frames it; the CRC32C covers the COMPRESSED bytes."""
     recs = _compress_records(b"".join(
         encode_record(i, 0, k, v, h)
         for i, (k, v, h) in enumerate(records)), compression)
-    attrs = _CODEC_BITS.get(compression)
-    if attrs is None:
-        raise ValueError(
-            "unsupported producer compression %r (none | gzip | zstd)"
-            % compression)
+    # _compress_records already refused anything outside the codec table
+    attrs = _CODEC_BITS[compression]
     if is_transactional:
         attrs |= ATTR_TRANSACTIONAL
     if is_control:
@@ -349,7 +346,14 @@ def split_record_batches(buf: bytes) -> list[bytes]:
     out = []
     pos = 0
     while pos < len(buf):
+        if pos + 12 > len(buf):
+            raise ValueError("truncated record batch header at offset %d"
+                             % pos)
         batch_len = struct.unpack_from(">i", buf, pos + 8)[0]
+        if batch_len < 0 or pos + 12 + batch_len > len(buf):
+            raise ValueError(
+                "record batch at offset %d declares %d bytes but only "
+                "%d remain" % (pos, batch_len, len(buf) - pos - 12))
         out.append(buf[pos:pos + 12 + batch_len])
         pos += 12 + batch_len
     return out
@@ -389,6 +393,14 @@ def iter_record_batches(buf: bytes,
             raise ValueError(
                 "record batch at offset %d declares %d bytes but only "
                 "%d remain" % (pos, batch_len, len(buf) - pos - 12))
+        if batch_len < 49:
+            # a v2 batch header is 49 bytes past the (offset, length)
+            # prefix; a smaller declared length is corrupt and must
+            # refuse by name, not die in struct.unpack (review r11 #6)
+            raise ValueError(
+                "record batch at offset %d declares %d bytes — below "
+                "the 49-byte v2 header minimum (corrupt length field?)"
+                % (pos, batch_len))
         magic = buf[pos + 16]
         if magic != 2:
             raise ValueError("unsupported record batch magic %d" % magic)
@@ -580,13 +592,21 @@ class KafkaWireProducer:
                 import ssl as _ssl
 
                 if self.ssl_cafile:
+                    # explicit CA pin: verify-ca semantics (chain to
+                    # the pinned CA, hostname not enforced — toy certs
+                    # carry CN=127.0.0.1), like the MySQL/PG transports
                     ctx = _ssl.create_default_context(
                         cafile=self.ssl_cafile)
-                    ctx.check_hostname = False  # CA pin, not hostname
-                else:
-                    ctx = _ssl.create_default_context()
                     ctx.check_hostname = False
-                sock = ctx.wrap_socket(sock)
+                    sock = ctx.wrap_socket(sock)
+                else:
+                    # system trust store: FULL verification including
+                    # hostname — the real client's default
+                    # (ssl.endpoint.identification.algorithm=https);
+                    # disabling hostname checks here would accept any
+                    # publicly-signed cert for any host (review r11 #5)
+                    ctx = _ssl.create_default_context()
+                    sock = ctx.wrap_socket(sock, server_hostname=addr[0])
             if self.security_protocol.startswith("sasl_"):
                 self._sasl_authenticate(sock)
             return sock
@@ -724,9 +744,16 @@ class KafkaWireProducer:
 
     def fetch(self, topic: str, partition: int, offset: int,
               max_bytes: int = 1 << 20,
-              isolation_level: int = 0) -> tuple[int, list]:
+              isolation_level: int = 0) -> tuple[int, list, int]:
         """Fetch v4 from the partition leader ->
-        (high_watermark, [(offset, key, value, headers)]).
+        (high_watermark, [(offset, key, value, headers)], next_offset).
+
+        ``next_offset`` is the cursor for the FOLLOWING fetch: one past
+        the last COMPLETE batch the response carried, independent of
+        visibility filtering — a window holding only control markers or
+        aborted-txn data legally yields zero records while still
+        advancing (review r11 finding #1: keying the advance on visible
+        records silently dropped everything behind such a window).
 
         ``isolation_level=1`` (READ_COMMITTED) applies the response's
         aborted-transactions list client-side: data from aborted
@@ -761,34 +788,42 @@ class KafkaWireProducer:
                              % (topic, pid, _ERRORS.get(err, err)))
         # fetch.max.bytes semantics: the broker may cut the last batch
         # mid-bytes; the partial tail re-reads whole on the next fetch
-        parsed = iter_record_batches(batches, allow_trailing_partial=True)
+        consumed = iter_record_batches(batches,
+                                       allow_trailing_partial=True)
+        next_off = offset
+        for b in consumed:
+            next_off = max(next_off,
+                           b["base_offset"] + b["last_offset_delta"] + 1)
         if isolation_level == 1:
-            parsed = filter_read_committed(parsed, aborted)
+            parsed = filter_read_committed(consumed, aborted)
         else:
-            parsed = [b for b in parsed if not b["is_control"]]
+            parsed = [b for b in consumed if not b["is_control"]]
         recs = [r for b in parsed for r in b["records"] if r[0] >= offset]
-        return hw, recs
+        return hw, recs, next_off
 
     def fetch_all(self, topic: str,
                   isolation_level: int = 0) -> dict[int, list]:
         """Drain every partition from offset 0 ->
         {partition: [(offset, key, value, headers)]} — the bounded
-        read a spool-dump consumer performs. The cursor advances by
-        OFFSET, not record count: control markers and aborted-txn data
-        occupy offsets without yielding records, so counting records
-        would re-fetch (and duplicate) the tail."""
+        read a spool-dump consumer performs. The cursor advances by the
+        BATCHES each response consumed, never by visible record count:
+        control markers and aborted-txn data occupy offsets (sometimes
+        a whole fetch window) without yielding records, so keying the
+        advance on visible records either duplicated the tail or — the
+        round-11 review's reproduced finding #1 — stopped the drain at
+        a records-free window and silently dropped everything after
+        it."""
         meta = self.metadata(topic)
         out = {}
         for pid in sorted(meta["partitions"]):
             recs, hw, nxt = [], 1, 0
             while nxt < hw:
-                hw, got = self.fetch(topic, pid, nxt,
-                                     isolation_level=isolation_level)
-                got = [r for r in got if r[0] >= nxt]
-                if not got:
-                    break
-                recs.extend(got)
-                nxt = got[-1][0] + 1
+                hw, got, adv = self.fetch(topic, pid, nxt,
+                                          isolation_level=isolation_level)
+                recs.extend(r for r in got if r[0] >= nxt)
+                if adv <= nxt:
+                    break  # no complete batch consumed: end of data
+                nxt = adv
             out[pid] = recs
         return out
 
@@ -799,7 +834,8 @@ class KafkaWireProducer:
                 compression: str = "none") -> dict[int, int]:
         """Send records; ``partition=None`` routes each record by
         murmur2(key) over the topic's partition count (the default
-        partitioner). ``compression`` (none | gzip | zstd) compresses
+        partitioner). ``compression`` (none | gzip | snappy | lz4 |
+        zstd) compresses
         each batch's records section producer-side, exactly as
         ``compression.type`` does on a real producer. Returns
         {partition: base_offset}."""
@@ -855,14 +891,30 @@ def dump_kafka_topic(bootstrap: str, topic: str, spool_dir: str,
     from topic A's watermark, silently skipping records — and
     equal-offset files clobbered each other). The embedded next-offset
     makes re-dumps resume instead of duplicating. Legacy un-prefixed
-    ``part-*.N.jsonl`` names (round-10 single-topic spools) still count
-    toward the resume watermark so an existing checkpoint upgrades
-    without duplicating."""
+    ``part-*.N.jsonl`` names (round-10 single-topic spools) count
+    toward the resume watermark ONLY while the spool holds no OTHER
+    topic's prefixed files — once a second topic appears, whose topic
+    the legacy watermark belongs to is ambiguous, and counting it for
+    every topic silently skips the others' records (review r11 finding
+    #4: the upgrade path re-opened the exact bug the prefix fixed), so
+    that shape refuses by name with migration instructions."""
     import os
 
     os.makedirs(spool_dir, exist_ok=True)
     consumer = KafkaWireProducer(bootstrap, **(security or {}))
     written = []
+    names = [n for n in os.listdir(spool_dir) if n.endswith(".jsonl")]
+    legacy_names = [n for n in names if n.startswith("part-")]
+    other_topics = sorted({n.split(".part-")[0] for n in names
+                           if ".part-" in n} - {topic})
+    if legacy_names and other_topics:
+        raise ValueError(
+            "kafka spool %s holds legacy un-prefixed files (%s) next to "
+            "files for other topics (%s) — the legacy watermark's topic "
+            "is ambiguous. Rename the legacy files to "
+            "'<topic>.part-<pid>.<offset>.jsonl' for the topic that "
+            "round-10 single-topic pipeline consumed, then re-run."
+            % (spool_dir, legacy_names[:3], other_topics))
     for pid, recs in sorted(
             consumer.fetch_all(topic, isolation_level=isolation_level)
             .items()):
@@ -870,9 +922,7 @@ def dump_kafka_topic(bootstrap: str, topic: str, spool_dir: str,
         prefix = "%s.part-%05d." % (topic, pid)
         legacy = "part-%05d." % pid
         have = 0
-        for n in os.listdir(spool_dir):
-            if not n.endswith(".jsonl"):
-                continue
+        for n in names:
             stem = n[:-len(".jsonl")]
             for pref in (prefix, legacy):
                 if stem.startswith(pref):
@@ -1182,9 +1232,12 @@ class ToyKafkaBroker:
                         ctype = struct.unpack(">hh", ckey)[1]
                         first = txns.pop(producer, seg_base)
                         if ctype == 0:  # abort
+                            # (producer, first offset, MARKER offset) —
+                            # the marker position scopes which fetches
+                            # the entry is served to (review r11 #2)
                             self.aborted.setdefault(t, {}) \
                                 .setdefault(pid, []) \
-                                .append((producer, first))
+                                .append((producer, first, seg_base))
                         continue
                     if info["is_transactional"]:
                         txns.setdefault(producer, seg_base)
@@ -1244,9 +1297,15 @@ class ToyKafkaBroker:
                     send = bytes(kept)
                 else:
                     send = b"".join(blobs)
-                # READ_COMMITTED fetches carry the aborted-txn index the
-                # client filters with; READ_UNCOMMITTED gets an empty one
-                ab = (self.aborted.get(t, {}).get(pid, [])
+                # READ_COMMITTED fetches carry the aborted-txn index
+                # the client filters with, SCOPED to the fetched range:
+                # an entry whose abort marker precedes the fetch offset
+                # must not be served — the client would activate it with
+                # no deactivating marker in the window and drop
+                # committed batches (review r11 finding #2, reproduced)
+                ab = ([(p, f) for (p, f, m)
+                       in self.aborted.get(t, {}).get(pid, [])
+                       if m >= off]
                       if isolation == 1 else [])
                 parts.append((pid, 0, hw, ab, send))
             out_topics.append((t, parts))
