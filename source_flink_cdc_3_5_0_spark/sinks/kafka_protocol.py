@@ -1045,7 +1045,10 @@ class ToyKafkaBroker:
                         self.wfile.write(
                             struct.pack(">i", len(payload)) + payload)
                         self.wfile.flush()
-                except (ConnectionError, ValueError, OSError):
+                except (ConnectionError, ValueError, OSError,
+                        struct.error):
+                    # malformed request framing must close the session,
+                    # not leak a traceback out of the handler thread
                     return
 
         class Srv(socketserver.ThreadingTCPServer):
