@@ -45,8 +45,16 @@ import threading
 API_PRODUCE = 0
 API_FETCH = 1
 API_METADATA = 3
+API_API_VERSIONS = 18
 API_SASL_HANDSHAKE = 17
 API_SASL_AUTHENTICATE = 36
+
+#: (api_key, min_version, max_version) the toy broker advertises —
+#: what a real client's mandatory ApiVersions probe negotiates against
+_SUPPORTED_APIS = ((API_PRODUCE, 3, 3), (API_FETCH, 4, 4),
+                   (API_METADATA, 1, 1), (API_API_VERSIONS, 0, 0),
+                   (API_SASL_HANDSHAKE, 1, 1),
+                   (API_SASL_AUTHENTICATE, 1, 1))
 
 _ERRORS = {
     0: "NONE", 1: "OFFSET_OUT_OF_RANGE", 2: "CORRUPT_MESSAGE",
@@ -1022,7 +1030,16 @@ class ToyKafkaBroker:
                         api, ver, corr = struct.unpack_from(">hhi", msg)
                         _cid, pos = _read_str(msg, 8)
                         body = msg[pos:]
-                        if api == API_SASL_HANDSHAKE:
+                        if api == API_API_VERSIONS:
+                            # a real client's FIRST request on every
+                            # connection, legal before authentication
+                            # (v0: error i16 + [(key, min, max)])
+                            resp = struct.pack(">h", 0)
+                            resp += struct.pack(">i",
+                                                len(_SUPPORTED_APIS))
+                            for k, lo, hi in _SUPPORTED_APIS:
+                                resp += struct.pack(">hhh", k, lo, hi)
+                        elif api == API_SASL_HANDSHAKE:
                             resp = outer._sasl_handshake_response(
                                 body, scram)
                         elif api == API_SASL_AUTHENTICATE:
