@@ -764,24 +764,11 @@ class PipelineComposer:
                 "ssl_cafile": opts.get("properties.ssl.ca.location"),
             }
             topics = [tp.strip() for tp in opts["topics"].split(",")]
-            if len(topics) > 1 and os.path.isdir(spool):
-                # round-10 spools used un-prefixed file names; their
-                # watermark's topic is ambiguous under a multi-topic
-                # config, and whichever topic dumps FIRST would adopt
-                # it (skipping its own records) before the per-dump
-                # backstop can fire — refuse up front with the full
-                # topic list in hand
-                legacy = [n for n in os.listdir(spool)
-                          if n.startswith("part-")
-                          and n.endswith(".jsonl")]
-                if legacy:
-                    raise ValueError(
-                        "kafka spool %s holds legacy un-prefixed files "
-                        "(%s) under a multi-topic config %s — rename "
-                        "them to '<topic>.part-<pid>.<offset>.jsonl' "
-                        "for the topic the round-10 single-topic "
-                        "pipeline consumed, then re-run."
-                        % (spool, legacy[:3], topics))
+            # legacy un-prefixed spool files refuse inside
+            # dump_kafka_topic itself (their topic is unknowable —
+            # adopting the watermark for the wrong topic silently
+            # skips records); topics legally NAMED 'part-*' produce
+            # '<topic>.part-...' files and are not legacy
             for topic in topics:
                 dump_kafka_topic(
                     opts["bootstrap-servers"], topic, spool,

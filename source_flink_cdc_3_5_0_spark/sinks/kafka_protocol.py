@@ -752,7 +752,9 @@ class KafkaWireProducer:
 
     def fetch(self, topic: str, partition: int, offset: int,
               max_bytes: int = 1 << 20,
-              isolation_level: int = 0) -> tuple[int, list, int]:
+              isolation_level: int = 0,
+              leader_addr: "tuple[str, int] | None" = None
+              ) -> tuple[int, list, int]:
         """Fetch v4 from the partition leader ->
         (high_watermark, [(offset, key, value, headers)], next_offset).
 
@@ -768,16 +770,23 @@ class KafkaWireProducer:
         transactional producers is dropped between the transaction's
         first offset and its control marker. Control batches never
         surface as data at either level."""
-        meta = self.metadata(topic)
-        leader = meta["partitions"].get(partition)
-        if leader is None:
-            raise ValueError("no leader for %s/%d" % (topic, partition))
+        if leader_addr is None:
+            # resolve per call when the caller has no cached metadata;
+            # paginated drains resolve ONCE and pass leader_addr down
+            # (review r11 round two: a metadata round-trip + extra
+            # connection per window)
+            meta = self.metadata(topic)
+            leader = meta["partitions"].get(partition)
+            if leader is None:
+                raise ValueError("no leader for %s/%d"
+                                 % (topic, partition))
+            leader_addr = meta["brokers"][leader]
         body = (struct.pack(">iiiib", -1, 500, 1, max_bytes,
                             isolation_level)
                 + struct.pack(">i", 1) + _str(topic)
                 + struct.pack(">i", 1)
                 + struct.pack(">iqi", partition, offset, max_bytes))
-        with self._connect(meta["brokers"][leader]) as sock:
+        with self._connect(leader_addr) as sock:
             payload = self._call(sock, API_FETCH, 4, body)
         pos = 4  # throttle_time_ms
         pos += 4  # topic array count (1)
@@ -824,11 +833,13 @@ class KafkaWireProducer:
         meta = self.metadata(topic)
         out = {}
         for pid in sorted(meta["partitions"]):
+            addr = meta["brokers"][meta["partitions"][pid]]
             recs, hw, nxt = [], 1, 0
             while nxt < hw:
                 hw, got, adv = self.fetch(topic, pid, nxt,
-                                          isolation_level=isolation_level)
-                recs.extend(r for r in got if r[0] >= nxt)
+                                          isolation_level=isolation_level,
+                                          leader_addr=addr)
+                recs.extend(got)  # fetch() already floors at the offset
                 if adv <= nxt:
                     break  # no complete batch consumed: end of data
                 nxt = adv
@@ -899,45 +910,43 @@ def dump_kafka_topic(bootstrap: str, topic: str, spool_dir: str,
     from topic A's watermark, silently skipping records — and
     equal-offset files clobbered each other). The embedded next-offset
     makes re-dumps resume instead of duplicating. Legacy un-prefixed
-    ``part-*.N.jsonl`` names (round-10 single-topic spools) count
-    toward the resume watermark ONLY while the spool holds no OTHER
-    topic's prefixed files — once a second topic appears, whose topic
-    the legacy watermark belongs to is ambiguous, and counting it for
-    every topic silently skips the others' records (review r11 finding
-    #4: the upgrade path re-opened the exact bug the prefix fixed), so
-    that shape refuses by name with migration instructions."""
+    ``part-*.N.jsonl`` names (round-10 single-topic spools) REFUSE by
+    name: whose topic their watermark belongs to is unknowable here —
+    counting them for the wrong topic (a second topic in the config, or
+    the single topic simply renamed) silently skips that topic's
+    records, the exact data-loss class the prefix closed (review r11
+    rounds one and two). The caller knows which topic the round-10
+    pipeline consumed and renames the files once. Files whose name
+    merely STARTS with 'part-' because the topic is named that way
+    ('part-events.part-00000.N.jsonl') are prefixed, not legacy."""
     import os
 
     os.makedirs(spool_dir, exist_ok=True)
     consumer = KafkaWireProducer(bootstrap, **(security or {}))
     written = []
     names = [n for n in os.listdir(spool_dir) if n.endswith(".jsonl")]
-    legacy_names = [n for n in names if n.startswith("part-")]
-    other_topics = sorted({n.split(".part-")[0] for n in names
-                           if ".part-" in n} - {topic})
-    if legacy_names and other_topics:
+    legacy_names = [n for n in names
+                    if n.startswith("part-") and ".part-" not in n]
+    if legacy_names:
         raise ValueError(
-            "kafka spool %s holds legacy un-prefixed files (%s) next to "
-            "files for other topics (%s) — the legacy watermark's topic "
-            "is ambiguous. Rename the legacy files to "
-            "'<topic>.part-<pid>.<offset>.jsonl' for the topic that "
+            "kafka spool %s holds legacy un-prefixed files (%s) whose "
+            "topic is unknowable — resuming any topic against their "
+            "watermark risks silently skipping records. Rename them to "
+            "'<topic>.part-<pid>.<offset>.jsonl' for the topic the "
             "round-10 single-topic pipeline consumed, then re-run."
-            % (spool_dir, legacy_names[:3], other_topics))
+            % (spool_dir, legacy_names[:3]))
     for pid, recs in sorted(
             consumer.fetch_all(topic, isolation_level=isolation_level)
             .items()):
         # resume: skip offsets already spooled for THIS topic+partition
         prefix = "%s.part-%05d." % (topic, pid)
-        legacy = "part-%05d." % pid
         have = 0
         for n in names:
             stem = n[:-len(".jsonl")]
-            for pref in (prefix, legacy):
-                if stem.startswith(pref):
-                    tail = stem[len(pref):]
-                    if tail.isdigit():
-                        have = max(have, int(tail))
-                    break
+            if stem.startswith(prefix):
+                tail = stem[len(prefix):]
+                if tail.isdigit():
+                    have = max(have, int(tail))
         fresh = [r for r in recs if r[0] >= have]
         if not fresh:
             continue
@@ -1007,8 +1016,10 @@ class ToyKafkaBroker:
         #: occupy offsets, so len(log) is NOT the high watermark)
         self._next: dict[str, dict[int, int]] = {}
         #: aborted transactions per topic/partition:
-        #: [(producer_id, first_offset)] — served on READ_COMMITTED Fetch
-        self.aborted: dict[str, dict[int, list[tuple[int, int]]]] = {}
+        #: [(producer_id, first_offset, marker_offset)] — served on
+        #: READ_COMMITTED Fetch as (producer, first), scoped by marker
+        self.aborted: dict[str, dict[int,
+                                     list[tuple[int, int, int]]]] = {}
         #: open transactional producers: first offset of the current txn
         self._txn_first: dict[str, dict[int, dict[int, int]]] = {}
         self.num_partitions = num_partitions
@@ -1032,9 +1043,15 @@ class ToyKafkaBroker:
                         body = msg[pos:]
                         if api == API_API_VERSIONS:
                             # a real client's FIRST request on every
-                            # connection, legal before authentication
-                            # (v0: error i16 + [(key, min, max)])
-                            resp = struct.pack(">h", 0)
+                            # connection, legal before authentication.
+                            # A version we don't speak answers
+                            # UNSUPPORTED_VERSION (35) in the v0 body —
+                            # the protocol's negotiation contract: the
+                            # client falls back to v0 and retries
+                            # (answering err=0 with a v0 body to a v3
+                            # probe would parse as garbage)
+                            err_code = 0 if ver == 0 else 35
+                            resp = struct.pack(">h", err_code)
                             resp += struct.pack(">i",
                                                 len(_SUPPORTED_APIS))
                             for k, lo, hi in _SUPPORTED_APIS:
@@ -1292,10 +1309,18 @@ class ToyKafkaBroker:
                 pos += 16
                 plog = self.log.get(t, {}).get(pid)
                 if plog is None:
-                    parts.append((pid, 3, 0, [], b""))  # UNKNOWN_TOPIC...
+                    parts.append((pid, 3, 0, 0, [], b""))  # UNKNOWN_TOPIC
                     continue
                 hw = self._next.get(t, {}).get(pid, 0)
                 raw = self.raw.get(t, {}).get(pid, [])
+                # last stable offset: the first offset of the EARLIEST
+                # still-open transaction (no marker yet), else the high
+                # watermark. A READ_COMMITTED fetch must not be served
+                # bytes at or past the LSO — whether that data commits
+                # is undecided, and spooling it then seeing the txn
+                # abort is unrepairable (review r11 round two #3)
+                open_txns = self._txn_first.get(t, {}).get(pid, {})
+                lso = min(open_txns.values(), default=hw)
                 # serve every batch whose LAST offset is >= the fetch
                 # offset (a real broker also returns the whole batch
                 # containing the offset; clients skip within it)
@@ -1304,6 +1329,10 @@ class ToyKafkaBroker:
                     # baseOffset (bytes 0-7) + lastOffsetDelta (23-26)
                     if struct.unpack_from(">q", b)[0]
                     + struct.unpack_from(">i", b, 23)[0] >= off]
+                if isolation == 1:
+                    blobs = [b for b in blobs
+                             if struct.unpack_from(">q", b)[0]
+                             + struct.unpack_from(">i", b, 23)[0] < lso]
                 cap = self.fetch_max_bytes
                 if cap is not None and blobs:
                     kept = bytearray(blobs[0])  # first batch: whole
@@ -1327,14 +1356,14 @@ class ToyKafkaBroker:
                        in self.aborted.get(t, {}).get(pid, [])
                        if m >= off]
                       if isolation == 1 else [])
-                parts.append((pid, 0, hw, ab, send))
+                parts.append((pid, 0, hw, lso, ab, send))
             out_topics.append((t, parts))
         out = struct.pack(">i", 0)  # throttle
         out += struct.pack(">i", len(out_topics))
         for t, parts in out_topics:
             out += _str(t) + struct.pack(">i", len(parts))
-            for pid, err, hw, ab, blob in parts:
-                out += struct.pack(">ihqq", pid, err, hw, hw)
+            for pid, err, hw, lso, ab, blob in parts:
+                out += struct.pack(">ihqq", pid, err, hw, lso)
                 out += struct.pack(">i", len(ab))
                 for producer, first in ab:
                     out += struct.pack(">qq", producer, first)
