@@ -384,6 +384,16 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        # AQE coalescing targets BYTES, but the codec/decode operators are
+        # CPU-dense at ~µs/row over small shuffle payloads: with the 1m
+        # default floor a 6 MB post-agg exchange coalesces to ~5 tasks and
+        # the decode stage runs 5-way on a 32-core host (r11 profile:
+        # cdc_db2_asn's 9.8 s-CPU stage at 5 tasks). Lowering the floor
+        # keeps parallelismFirst actually parallel; at production scale
+        # shuffle partitions exceed any of these sizes, so the floor is
+        # inert there — parameterised for non-local deployments.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
         .config("spark.ui.enabled", "false")
         # keep stderr clean: \r-progress bars corrupt a captor that merges
         # streams, and the summary line must stay trivially greppable

@@ -73,8 +73,21 @@ def decode_db2_cdc(raw: DataFrame, payload_schema: T.StructType,
         T.StructField("row", _wire_row_schema(payload_schema), True),
     ])
     v = F.from_json(F.col(value_col).cast("string"), env)
-    parsed = raw.select(v.alias("v")).select("v.*").where(
-        F.col("row").isNotNull())
+    # parse ONCE (optimization r11, guide §4.4's duplication applied to
+    # JVM expressions): referencing the non-deterministic barrier column
+    # in the filter keeps PushDownPredicates from pushing the null-row
+    # check below this projection — without it the filter is rewritten
+    # to isnotnull(from_json(...).row) under the project and every row
+    # pays the JSON parse twice (measured in the r11 before-plan:
+    # Filter (8) re-evaluates from_json below Project (9)). The
+    # `barrier < -1` disjunct is always false, so the predicate is
+    # semantically unchanged.
+    parsed = (raw
+              .select(v.alias("v"),
+                      F.spark_partition_id().alias("__pushdown_barrier"))
+              .where(F.col("v.row").isNotNull()
+                     | (F.col("__pushdown_barrier") < F.lit(-1)))
+              .select("v.*"))
     payload_cols = [f.name for f in payload_schema.fields]
     image = F.struct(*[F.col(f"row.{c}").alias(c) for c in payload_cols])
     raw_op = F.col(f"row.{OPERATION_COL}")
@@ -84,11 +97,18 @@ def decode_db2_cdc(raw: DataFrame, payload_schema: T.StructType,
     w = (Window.partitionBy(F.col("db"), F.col("schema"), F.col("table"),
                             F.col(f"row.{COMMITSEQ_COL}"))
          .orderBy(F.col(f"row.{INTENTSEQ_COL}")))
+    # materialize lead/lag ONCE each (optimization r11): referencing the
+    # window expressions from every consumer inlined them — the r11
+    # before-plan carried 10 lead/lag slots in one Window operator for
+    # what is 2 distinct expressions (+ the before-image lag)
+    staged = parsed.select(
+        "db", "schema", "table", "row",
+        F.lead(raw_op, 1, "X").over(w).alias("__lead_op"),
+        F.lag(raw_op, 1, "X").over(w).alias("__lag_op"),
+        F.lag(image).over(w).alias("__prev_image"))
     # the reference's exact classification (Db2Connection.java:64-69)
-    lead_op = F.lead(raw_op, 1, "X").over(w)
-    lag_op = F.lag(raw_op, 1, "X").over(w)
-    opcode = (F.when((raw_op == "D") & (lead_op == "I"), F.lit(3))
-              .when((raw_op == "I") & (lag_op == "D"), F.lit(4))
+    opcode = (F.when((raw_op == "D") & (F.col("__lead_op") == "I"), F.lit(3))
+              .when((raw_op == "I") & (F.col("__lag_op") == "D"), F.lit(4))
               .when(raw_op == "D", F.lit(1))
               .when(raw_op == "I", F.lit(2))
               .otherwise(F.raise_error(F.format_string(
@@ -100,20 +120,28 @@ def decode_db2_cdc(raw: DataFrame, payload_schema: T.StructType,
                   "commitseq=%s; row-bearing records are never silently "
                   "dropped (this decoder speaks the D/I-pair contract)",
                   raw_op, F.col(f"row.{COMMITSEQ_COL}")))))
-    op = F.coalesce(*[F.when(opcode == k, F.lit(t)) for k, t in _OPS.items()])
-    before = F.when(opcode == 4, F.lag(image).over(w))
+    # a downstream filter on the op (e.g. latest_image dropping -U) still
+    # re-inlines this CASE when pushed below the projection, but with
+    # lead/lag materialized as plain columns the duplicated tree costs a
+    # couple of string compares, not a re-evaluated window expression
+    staged = staged.select(
+        "db", "schema", "table", "row", "__prev_image",
+        opcode.alias("__opcode"))
+    oc = F.col("__opcode")
+    op = F.coalesce(*[F.when(oc == k, F.lit(t)) for k, t in _OPS.items()])
+    before = F.when(oc == 4, F.col("__prev_image"))
     meta = F.map_from_arrays(
         F.array(F.lit("commitseq"), F.lit("intentseq"), F.lit("operation"),
                 F.lit("db"), F.lit("table")),
         F.array(F.col(f"row.{COMMITSEQ_COL}"), F.col(f"row.{INTENTSEQ_COL}"),
-                opcode.cast("string"), F.col("db"), F.col("table")))
-    out = parsed.select(
+                oc.cast("string"), F.col("db"), F.col("table")))
+    out = staged.select(
         image.alias("__row"),
         op.alias(OP_COL),
         before.alias(BEFORE_COL),
         meta.alias(META_COL),
         db2_cdc_seq(F.col(f"row.{COMMITSEQ_COL}"),
-                    F.col(f"row.{INTENTSEQ_COL}"), opcode).alias(SEQ_COL),
+                    F.col(f"row.{INTENTSEQ_COL}"), oc).alias(SEQ_COL),
     )
     return out.select("__row.*", OP_COL, BEFORE_COL, META_COL, SEQ_COL)
 

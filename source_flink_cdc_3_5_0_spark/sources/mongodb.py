@@ -130,13 +130,20 @@ def decode_mongo_changestream(raw: DataFrame, payload_schema: T.StructType,
     parsed = raw.select(
         F.from_json(val, env).alias("v"),
         ct_secs.alias("__ct_secs"), ct_long.alias("__ct_long"),
+        # parse ONCE (optimization r11): the non-deterministic barrier,
+        # referenced by the keep-filter below, stops PushDownPredicates
+        # from substituting from_json(...) into the filter under this
+        # projection — without it every row paid the envelope parse twice
+        # (once in the pushed filter, once here); see db2.py.
+        F.spark_partition_id().alias("__pushdown_barrier"),
         *([F.col("offset")] if has_offset else []),
     )
     otype = F.col("v.operationType")
     keep = otype.isin(*_MONGO_OPS)
     # reference :148-152 — update whose post-lookup fullDocument vanished
     keep = keep & ~((otype == "update") & F.col("v.fullDocument").isNull())
-    parsed = parsed.where(keep)
+    # always-false disjunct: keeps the predicate semantics, blocks pushdown
+    parsed = parsed.where(keep | (F.col("__pushdown_barrier") < F.lit(-1)))
 
     op = F.coalesce(
         *[F.when(otype == k, F.lit(v)) for k, v in _MONGO_OPS.items()])

@@ -107,8 +107,17 @@ def decode_sqlserver_cdc(raw: DataFrame, payload_schema: T.StructType,
         T.StructField("row", _wire_row_schema(payload_schema), True),
     ])
     v = F.from_json(F.col(value_col).cast("string"), env)
-    parsed = raw.select(v.alias("v")).select("v.*").where(
-        F.col("row").isNotNull())
+    # parse ONCE (optimization r11): the non-deterministic barrier column
+    # referenced in the filter keeps PushDownPredicates from rewriting the
+    # null-row check to isnotnull(from_json(...).row) below the project,
+    # which would evaluate the JSON parse twice per row (see db2.py, the
+    # same pattern; the `< -1` disjunct is always false).
+    parsed = (raw
+              .select(v.alias("v"),
+                      F.spark_partition_id().alias("__pushdown_barrier"))
+              .where(F.col("v.row").isNotNull()
+                     | (F.col("__pushdown_barrier") < F.lit(-1)))
+              .select("v.*"))
     payload_cols = [f.name for f in payload_schema.fields]
     image = F.struct(*[F.col(f"row.{c}").alias(c) for c in payload_cols])
     op_num = F.col(f"row.{OPERATION_COL}")
@@ -126,8 +135,15 @@ def decode_sqlserver_cdc(raw: DataFrame, payload_schema: T.StructType,
     w = (Window.partitionBy(F.col(f"row.{LSN_COL}"),
                             F.col(f"row.{SEQVAL_COL}"))
          .orderBy(op_num))
-    prev_op = F.lag(op_num).over(w)
-    prev_img = F.lag(image).over(w)
+    # materialize the lag expressions once (optimization r11): inlining
+    # them at every consumer multiplies the Window operator's expression
+    # slots (db2.py had 10 slots for 2 distinct lead/lags before this)
+    parsed = parsed.select(
+        "*",
+        F.lag(op_num).over(w).alias("__prev_op"),
+        F.lag(image).over(w).alias("__prev_img"))
+    prev_op = F.col("__prev_op")
+    prev_img = F.col("__prev_img")
     # capture contract: an UPDATE's op-3/op-4 pair shares one (lsn, seqval)
     # and a capture file never splits mid-transaction, so the pair is
     # always co-batched. An op-4 row with no adjacent op-3 means a capture
