@@ -20,7 +20,7 @@ import importlib
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..common.events import (
     AddColumnEvent,
@@ -403,7 +403,11 @@ class PipelineComposer:
         for u in pdef.udfs:
             mod, _, attr = u.classpath.partition(":")
             fn = getattr(importlib.import_module(mod), attr or u.name)
-            self.spark.udf.register(u.name, fn)
+            # Arrow-optimized eval (ArrowEvalPython): same per-row Python
+            # function, but columnar transfer across the JVM boundary
+            # instead of pickled rows. Return type stays the register()
+            # default (string), so results are unchanged.
+            self.spark.udf.register(u.name, F.udf(fn, useArrow=True))
             names.add(u.name)
         return names
 
