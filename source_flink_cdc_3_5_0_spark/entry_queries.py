@@ -88,6 +88,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to cluster parallelism when the scan
+    yields fewer partitions than cores (optimization r11, guide §2.5
+    "input skew: one huge unsplittable file ... repartition immediately
+    after the read"). The local fixtures are single-row-group parquet
+    files, so every scan stage is capped at ONE task and a CPU-dense
+    encode/decode chain above it runs serially on a 32-core host. The
+    condition is scale-adaptive: at production scale the file/row-group
+    count exceeds the core count, ``getNumPartitions() >= p`` holds, and
+    this is a no-op — no extra exchange ships. Call it on the NARROW
+    projection feeding the heavy compute so the exchange carries only
+    the needed columns (guide §2.3)."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 def sink_rows_to_df(spark: SparkSession, rows: list, struct_type: T.StructType) -> DataFrame:
     """Materialize driver-collected sink rows as a DataFrame through
     pandas + Arrow instead of the row-at-a-time pickle path
@@ -1893,7 +1912,8 @@ def q_cdc_mongo_changestream(spark, sf_dir):
     from .sources.mongodb import decode_mongo_changestream
     from .streaming.materialize import changelog_normalize
 
-    od = load(spark, sf_dir, "orders")
+    od = spread_scan(load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     upd_cents = cents + 500
     rep_cents = (F.when(F.col("o_orderkey") % 3 == 0, upd_cents)
@@ -3222,7 +3242,11 @@ def q_cdc_oracle_logminer(spark, sf_dir):
     from .sources.debezium import decode_debezium
     from .sources.oracle import logminer_to_debezium_json
 
-    od = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 4 == 0)
+    od = spread_scan(
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate"))
     k = F.col("o_orderkey").cast("long")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     odate = F.date_format("o_orderdate", "yyyy-MM-dd")
@@ -3683,7 +3707,8 @@ def q_zoned_timestamp_roundtrip(spark, sf_dir):
     from .functions.zoned_time import offset_col_name, render_zoned
     from .sources.debezium import decode_debezium
 
-    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    ev = spread_scan(load(spark, sf_dir, "events")
+                     .select("event_id", "ts", "user_id"))
     offs = F.element_at(
         F.array(F.lit("+05:30"), F.lit("-07:00"), F.lit("+00:00"), F.lit("+09:00")),
         (F.col("user_id") % 4 + 1).cast("int"))
@@ -4827,21 +4852,43 @@ def q_pipeline_corpus_prep(spark, sf_dir):
     oracled operator; composed, Catalyst still plans it as a handful of
     shuffles (quality gate is a projection, dedup one agg+join,
     decontam a broadcast semi-join, split one window)."""
+    from pyspark.sql import Window
+
     from .extensions.decontam import ngram_overlap_pairs
     from .extensions.sampling import stratified_split
     from .extensions.text import quality_filters
 
-    docs = load(spark, sf_dir, "documents")
-    kept = quality_filters(docs).where(F.col("keep")).select(
-        "doc_id", "lang", "source", "text")
-    # exact dedup: keep the smallest doc_id per exact-text fingerprint
+    docs = spread_scan(load(spark, sf_dir, "documents"))
+    # optimization r11: reference a non-deterministic barrier column in
+    # the keep-filter (the `< -1` disjunct is always false, semantics
+    # unchanged) so PushDownPredicates cannot push the regex-heavy
+    # quality predicate below the spread exchange into the single-task
+    # scan — the before-plan showed the whole CCNet filter inlined into
+    # the parquet scan Filter, serial on one core
+    kept = (quality_filters(docs)
+            .withColumn("__pushdown_barrier", F.spark_partition_id())
+            .where(F.col("keep")
+                   | (F.col("__pushdown_barrier") < F.lit(-1)))
+            .select("doc_id", "lang", "source", "text"))
+    # exact dedup: keep the smallest doc_id per exact-text fingerprint.
+    # optimization r11: min-over-window instead of agg + self-join —
+    # same survivors (doc_id == min(doc_id) per fingerprint), ONE
+    # fingerprint shuffle, and the quality-filtered subtree is planned
+    # once instead of re-scanned on both join sides
     fp = kept.withColumn("__fp", F.md5(F.col("text")))
-    reps = fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
-    deduped = fp.join(reps, ["__fp", "doc_id"]).drop("__fp")
-    # decontamination: drop docs overlapping the eval suite (src0)
+    deduped = (fp.withColumn(
+        "__min_id", F.min("doc_id").over(Window.partitionBy("__fp")))
+        .where(F.col("doc_id") == F.col("__min_id"))
+        .drop("__fp", "__min_id"))
+    # decontamination: drop docs overlapping the eval suite (src0).
+    # optimization r11: gram the PRE-dedup kept corpus — a doc's grams
+    # are identical either way, extra (duplicate) doc_ids in
+    # `contaminated` are no-ops for the anti-join, and the grams subtree
+    # then skips re-planning the fingerprint window
     ev = docs.where(F.col("source") == "src0")
     corpus = deduped.where(F.col("source") != "src0")
-    contaminated = ngram_overlap_pairs(corpus, ev, k=4) \
+    contaminated = ngram_overlap_pairs(
+        kept.where(F.col("source") != "src0"), ev, k=4) \
         .select(F.col("corpus_doc_id").alias("doc_id")).distinct()
     clean = corpus.join(contaminated, "doc_id", "left_anti")
     out = stratified_split(clean, ["lang"], "doc_id",
@@ -5416,7 +5463,9 @@ def q_profile_orders(spark, sf_dir):
     ``approx=True`` (HLL, no Expand — plan pinned in tests)."""
     from .extensions.dataquality import profile_table
 
-    orders = load(spark, sf_dir, "orders")
+    orders = spread_scan(load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
     return profile_table(orders, ["o_orderkey", "o_custkey", "o_orderstatus",
                                   "o_totalprice", "o_orderdate",
                                   "o_orderpriority"])
@@ -5549,7 +5598,8 @@ def q_text_lm_quality(spark, sf_dir):
     model."""
     from .extensions.lm import lm_quality_score
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread_scan(load(spark, sf_dir, "documents")
+                       .select("doc_id", "text"))
     aug = docs.select(
         "doc_id",
         F.concat(
