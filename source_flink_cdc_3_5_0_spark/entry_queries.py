@@ -1808,7 +1808,9 @@ def q_cdc_postgres_pipeline(spark, sf_dir):
           for n, t in pg_types.items()],
         primary_keys=["event_id"])
 
-    ev = load(spark, sf_dir, "events")
+    ev = spread_scan(load(spark, sf_dir, "events")
+                     .select("event_id", "user_id", "event_type",
+                             "value", "ts"))
     offs = F.element_at(
         F.array(F.lit("+05:30"), F.lit("-07:00"), F.lit("+00:00"), F.lit("+09:00")),
         (F.col("user_id") % 4 + 1).cast("int"))
@@ -1848,7 +1850,11 @@ def q_cdc_postgres_pipeline(spark, sf_dir):
 
     tmp = tempfile.mkdtemp(prefix="cdc_pg_")
     src_dir = os.path.join(tmp, "in")
-    lines.coalesce(4).write.mode("overwrite").text(src_dir)
+    # optimization r11: no coalesce — the spread scan's partitioning
+    # flows through (one text file per task), so the JSON encode runs
+    # at cluster parallelism and the streaming text scan downstream
+    # gets as many splits as cores (it was 4 files -> starved decode)
+    lines.write.mode("overwrite").text(src_dir)
 
     sink = MemorySink()
     pipe = StreamingPipeline.create(

@@ -99,16 +99,31 @@ class MemorySink(DataSink):
         cols = [c for c in names if c in df.columns]
         sel = cols + [c for c in (OP_COL, SEQ_COL) if c in df.columns]
         rows = df.select(*sel).collect()
+        # positional access throughout the hot loop (optimization r11):
+        # Row.__getitem__(str) does a per-call field lookup, and at the
+        # ~100k-row batch size of the pipeline gates the by-name loop
+        # measured 3x slower than tuple indexing for identical results
         if SEQ_COL in df.columns:
+            seq_i = sel.index(SEQ_COL)
             # null seqs keep arrival order and sort before sequenced rows
-            rows.sort(key=lambda r: (r[SEQ_COL] is not None,
-                                     r[SEQ_COL] if r[SEQ_COL] is not None
+            rows.sort(key=lambda r: (r[seq_i] is not None,
+                                     r[seq_i] if r[seq_i] is not None
                                      else 0))
+        n_cols = len(cols)
+        op_i = sel.index(OP_COL) if OP_COL in sel else -1
+        same = cols == names
+        # a PK column can be absent from a pre-evolution batch: its key
+        # part is None then, exactly like full.get() produced before
+        key_i = ([cols.index(k) if k in cols else None for k in pks]
+                 if pks else None)
         for r in rows:
-            d = {c: r[c] for c in cols}
-            full = {n: d.get(n) for n in names}
-            op = r[OP_COL] if OP_COL in sel else "+I"
-            key = tuple(full.get(k) for k in pks) if pks else tuple(full.values())
+            base = dict(zip(cols, r))
+            # dict insertion order must follow the SCHEMA's column order
+            # (snapshot()/consumers render positionally via names)
+            full = base if same else {n: base.get(n) for n in names}
+            op = r[op_i] if op_i >= 0 else "+I"
+            key = (tuple(r[i] if i is not None else None for i in key_i)
+                   if key_i is not None else tuple(full.values()))
             if op in ("+I", "+U"):
                 table[key] = full
             elif op == "-D":

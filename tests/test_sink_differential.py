@@ -121,3 +121,39 @@ def test_all_sinks_agree_on_random_scripts(spark, tmp_path, seed):
     assert got["memory"] == expected, "python-model mismatch"
     for name, st in got.items():
         assert st == expected, (name, st ^ expected)
+
+
+def test_memory_sink_write_loop_edges(spark):
+    """Pin the r11 positional rewrite of MemorySink.write against its
+    documented edge cases: null seqs apply FIRST in arrival order, -U
+    rows carry no state, -D drops, a schema column absent from the batch
+    df lands as None in schema order, and a PK column absent from the
+    batch keys as None (pre-evolution batches)."""
+    from pyspark.sql import Row
+
+    sink = MemorySink()
+    # batch df carries (id, v) but NOT n; __seq has nulls interleaved
+    df = spark.createDataFrame(
+        [Row(id=1, v="late", __op="+I", __seq=5),
+         Row(id=1, v="arrival-a", __op="+I", __seq=None),
+         Row(id=2, v="gone", __op="+I", __seq=None),
+         Row(id=1, v="arrival-b", __op="+U", __seq=None),
+         Row(id=2, v=None, __op="-D", __seq=6),
+         Row(id=3, v="before-img", __op="-U", __seq=7),
+         Row(id=1, v="winner", __op="+U", __seq=9)],
+        "id INT, v STRING, __op STRING, __seq LONG")
+    sink.write(TID, df, SCHEMA, batch_id=0)
+    # null-seq rows applied first (arrival order), then seq order; the
+    # seq-9 update wins key 1; key 2 deleted at seq 6; -U left no state
+    assert sink.state[TID] == {
+        (1,): {"id": 1, "v": "winner", "n": None}}
+    # dict insertion order must follow the schema's column order
+    assert list(sink.state[TID][(1,)].keys()) == ["id", "v", "n"]
+
+    # PK column absent from the batch: key part is None (legacy contract)
+    sink2 = MemorySink()
+    df2 = spark.createDataFrame(
+        [Row(v="x", n=1, __op="+I", __seq=1)],
+        "v STRING, n LONG, __op STRING, __seq LONG")
+    sink2.write(TID, df2, SCHEMA, batch_id=0)
+    assert sink2.state[TID] == {(None,): {"id": None, "v": "x", "n": 1}}
