@@ -515,9 +515,23 @@ def dumps_json(value) -> str:
     """Compact JSON text with opaque DECIMAL values rendered as plain
     numbers (Debezium's JsonBinary rendering) instead of quoted strings.
     Manual walk because json.JSONEncoder.default() cannot emit raw
-    number tokens; binlog JSON cells are small documents."""
+    number tokens; binlog JSON cells are small documents.
+
+    Fast path (optimization r11, guide §1.2 per-task work): a document
+    with no Decimal values renders through the C-accelerated
+    ``json.dumps`` with ``separators=(",", ":")`` / ``ensure_ascii=False``
+    — byte-identical to the manual walk (same insertion-order keys, same
+    compact separators, same float repr) — and Decimal presence surfaces
+    as the encoder's TypeError, falling back to the walk.  ~10× fewer
+    Python-level calls per JSON cell on the binlog/TiDB decode hot paths.
+    """
     import decimal
     import json
+
+    try:
+        return json.dumps(value, ensure_ascii=False, separators=(",", ":"))
+    except (TypeError, ValueError):
+        pass  # Decimal (or other opaque) present -> exact manual walk
 
     def render(v):
         if isinstance(v, decimal.Decimal):

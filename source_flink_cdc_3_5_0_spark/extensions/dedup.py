@@ -617,10 +617,20 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
             "embedding_neardup_pairs without block_col is an all-pairs cross "
             "join; pass a blocking column, use an LSH variant, or opt in "
             "explicitly with allow_all_pairs=True for small inputs")
+    # Hoist the L2 norm to one evaluation PER ROW before the join
+    # (optimization r11, guide §1.2 step 2): computed inside the pair
+    # condition it re-folds each 64-element vector once per CANDIDATE
+    # PAIR (within-label all-pairs — orders of magnitude more evaluations
+    # than rows).  Bit-exact: the hoisted expression is the identical
+    # left-to-right double fold over the identical per-row array, so
+    # cos = dot / (nrm_l * nrm_r) reproduces the pre-hoist double exactly.
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     v = df.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        vec.alias("v"),
+        F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x),
+                           F.lit(0.0), lambda a, x: a + x)).alias("nrm"),
     )
     on = [block_col] if block_col else []
     joined = (
@@ -629,9 +639,7 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     ).where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
     dot = F.aggregate(F.zip_with("l.v", "r.v", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda side: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(F.col(f"{side}.v"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    cos = dot / (norm("l") * norm("r"))
+    cos = dot / (F.col("l.nrm") * F.col("r.nrm"))
     return (
         joined.select(
             F.col(f"l.{id_col}").alias("id_a"),

@@ -825,20 +825,24 @@ class SnapshotLakeSink(DataSink):
                 keep_delete_marker=True)
         else:
             final = df.withColumn(OP_COL, F.lit("+I"))
-        # persist: the touched-bucket collect and the file write are two
-        # actions — unpersisted, a nondeterministic batch could write a
-        # bucket the manifest never records (and vacuum would delete)
-        final = (final.withColumn(_BUCKET_COL,
-                                  self._bucket_of(final, pks, schema))
-                 .persist())
+        final = final.withColumn(_BUCKET_COL,
+                                 self._bucket_of(final, pks, schema))
         if self.mode == "mor":
-            try:
-                self._write_mor_commit(table_id, final, names, pks, batch_id)
-            finally:
-                final.unpersist()
+            # single-pass commit (optimization r11, guide §2.4/§5): the
+            # staged write's added_map IS the touched-bucket set, so the
+            # MOR path needs neither the pre-write distinct().collect()
+            # job nor the persist that existed only to keep that collect
+            # and the write consistent — the manifest is derived from the
+            # files actually written, so it matches them by construction
+            # even for a nondeterministic batch
+            self._write_mor_commit(table_id, final, names, pks, batch_id)
             with open(marker, "w") as f:
                 f.write("ok")
             return
+        # persist: the touched-bucket collect and the file write are two
+        # actions — unpersisted, a nondeterministic batch could write a
+        # bucket the manifest never records (and vacuum would delete)
+        final = final.persist()
         try:
             touched = sorted(r[0] for r in
                              final.select(_BUCKET_COL).distinct().collect())
@@ -889,16 +893,15 @@ class SnapshotLakeSink(DataSink):
         delta_cols = names + [OP_COL, _BUCKET_COL]
         rows = (final.select(*delta_cols)
                 .withColumn(_COMMIT_SEQ, F.lit(seq).cast("bigint")))
-        touched = sorted(r[0] for r in
-                         final.select(_BUCKET_COL).distinct().collect())
         added_map = self._staged_write(
             rows.repartition(F.col(_BUCKET_COL)), self._delta_dir(tid))
         deltas = {k: list(v) for k, v in
                   (manifest.get("deltas") or {}).items()}
-        for b in touched:
-            added = added_map.get(str(b), [])
-            if added:
-                deltas[str(b)] = deltas.get(str(b), []) + added
+        # touched buckets = exactly the buckets the staged write produced
+        # (partitionBy writes no empty partitions) — no separate
+        # distinct().collect() pass over the batch
+        for b in sorted(added_map, key=int):
+            deltas[b] = deltas.get(b, []) + added_map[b]
         self._commit(tid, dict(manifest["buckets"]), batch_id, deltas=deltas)
 
     # -- read path ---------------------------------------------------------
@@ -1460,19 +1463,15 @@ class SnapshotLakeSink(DataSink):
                 .withColumn(_BUCKET_COL,
                             self._bucket_of(merged, pks,
                                             self._table_schema(tid)))
-                .withColumn(_COMMIT_SEQ, F.lit(new_seq).cast("bigint"))
-                .persist())
-        try:
-            touched = sorted(r[0] for r in
-                             rows.select(_BUCKET_COL).distinct().collect())
-            added_map = self._staged_write(
-                rows.repartition(F.col(_BUCKET_COL)), self._data_dir(tid))
-            new_buckets = {
-                str(b): added_map[str(b)]
-                for b in touched if added_map.get(str(b))}
-            self._commit(tid, new_buckets)
-        finally:
-            rows.unpersist()
+                .withColumn(_COMMIT_SEQ, F.lit(new_seq).cast("bigint")))
+        # single pass (optimization r11, guide §2.4/§5): the staged
+        # write's added_map is the touched-bucket set — no persist +
+        # distinct().collect() pre-pass; the committed manifest matches
+        # the files written by construction
+        added_map = self._staged_write(
+            rows.repartition(F.col(_BUCKET_COL)), self._data_dir(tid))
+        new_buckets = {b: v for b, v in added_map.items() if v}
+        self._commit(tid, new_buckets)
         if order_by or zorder:
             self.compact(spark, tid, order_by=order_by,
                          files_per_bucket=files_per_bucket,

@@ -152,15 +152,17 @@ class ParquetUpsertSink(DataSink):
             df, pks, seq_col=SEQ_COL if SEQ_COL in df.columns else None,
             keep_delete_marker=True)
         batch_final = batch_final.withColumn(_BUCKET_COL, self._bucket_of(batch_final, pks))
+        if not os.path.exists(data_dir):
+            # first commit: no merge, so no persist and no touched-bucket
+            # collect either (optimization r11 — they were computed before
+            # this branch and unused by it: one wasted full-batch job)
+            self._write_bucketed(
+                batch_final.where(F.col(OP_COL) != "-D")
+                .select(*names, _BUCKET_COL), "overwrite", data_dir)
+            return
         batch_final = batch_final.persist()
         try:
             touched = [r[0] for r in batch_final.select(_BUCKET_COL).distinct().collect()]
-            if not os.path.exists(data_dir):
-                self._write_bucketed(
-                    batch_final.where(F.col(OP_COL) != "-D")
-                    .select(*names, _BUCKET_COL), "overwrite", data_dir)
-                return
-            # dynamic partition overwrite: only touched buckets are replaced.
             # mergeSchema + null-fill keeps post-evolution batches intact:
             # existing files may predate an ADD COLUMN, so align BOTH sides
             # to the evolved column list instead of current.columns (which
@@ -180,19 +182,34 @@ class ParquetUpsertSink(DataSink):
                     batch_final.where(F.col(OP_COL) != "-D").select(*out_cols),
                     allowMissingColumns=True)
             )
-            merged = merged.persist()
-            remaining = {r[0] for r in merged.select(_BUCKET_COL).distinct().collect()}
-            self._write_bucketed(merged, "overwrite", data_dir, dynamic=True)
-            merged.unpersist()
-            # dynamic overwrite only replaces partitions present in the
-            # output — a touched bucket whose rows were ALL deleted writes
-            # nothing and would resurrect old data; clear it explicitly
+            # staged write-then-move (optimization r11, guide §2.4/§5):
+            # write the merged touched buckets ONCE to a staging dir, then
+            # swap every touched bucket dir for what was staged.  This
+            # replaces the previous persist + distinct().collect() +
+            # dynamic-partition-overwrite sequence (two materializations
+            # of `merged`) with a single pass, and the all-rows-deleted
+            # bucket case (dynamic overwrite writes nothing and would
+            # resurrect old data) is handled by the swap itself: a bucket
+            # with no staged dir is simply removed.
             import shutil
+            import uuid as _uuid
 
-            for b in set(touched) - remaining:
-                d = os.path.join(data_dir, f"{_BUCKET_COL}={b}")
-                if os.path.exists(d):
-                    shutil.rmtree(d)
+            staging = "%s.stage-%d-%s" % (data_dir.rstrip("/"), os.getpid(),
+                                          _uuid.uuid4().hex[:8])
+            (merged.repartition(F.col(_BUCKET_COL)).write.mode("overwrite")
+             .partitionBy(_BUCKET_COL).parquet(staging))
+            try:
+                staged = [d for d in os.listdir(staging)
+                          if d.startswith(f"{_BUCKET_COL}=")]
+                for b in touched:
+                    d = os.path.join(data_dir, f"{_BUCKET_COL}={b}")
+                    if os.path.exists(d):
+                        shutil.rmtree(d)
+                for d in staged:  # staged buckets ⊆ touched (merged holds
+                    os.rename(os.path.join(staging, d),  # only touched)
+                              os.path.join(data_dir, d))
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
         finally:
             batch_final.unpersist()
 

@@ -56,10 +56,14 @@ sandbox decodes captured or scripted binlog files.
 
 from __future__ import annotations
 
+import datetime
+import decimal
+import json
 import struct
 import zlib
 
-from ..common.mysql_json import read_lenc, write_lenc
+from ..common.mysql_json import (decode_json, encode_json, read_lenc,
+                                 write_lenc)
 from dataclasses import dataclass, field
 from typing import Iterator
 
@@ -498,7 +502,6 @@ def encode_datetime2(dt, fsp: int = 0) -> bytes:
 
 
 def decode_datetime2(buf: bytes, pos: int, fsp: int):
-    import datetime
     v = int.from_bytes(buf[pos:pos + 5], "big") & ((1 << 39) - 1)
     pos += 5
     us, pos = _decode_frac(buf, pos, fsp)
@@ -559,7 +562,6 @@ def encode_date(d) -> bytes:
 
 
 def decode_date(buf: bytes, pos: int):
-    import datetime
     v = int.from_bytes(buf[pos:pos + 3], "little")
     if v >> 9 == 0 or (v >> 5) & 0x0F == 0 or v & 0x1F == 0:
         return None, pos + 3  # zero-date (incl. month/day-zero forms)
@@ -710,7 +712,6 @@ def _encode_cell(col: BinlogColumn, v) -> bytes:
         w = col.meta[0] if col.meta else 4
         return len(data).to_bytes(w, "little") + data
     if t == MYSQL_TYPE_JSON:
-        from ..common.mysql_json import encode_json
         doc = encode_json(v)
         w = col.meta[0] if col.meta else 4
         return len(doc).to_bytes(w, "little") + doc
@@ -802,7 +803,6 @@ def _decode_cell(col: BinlogColumn, buf: bytes, pos: int):
             return _decode_text(data, col.collation), pos + n
         return data, pos + n
     if t == MYSQL_TYPE_JSON:
-        from ..common.mysql_json import decode_json
         w = col.meta[0] if col.meta else 4
         n = int.from_bytes(buf[pos:pos + w], "little")
         pos += w
@@ -2018,12 +2018,10 @@ class BinlogOffset:
         return self.compare(that) < 0
 
     def to_json(self) -> str:
-        import json
         return json.dumps(self._map(), sort_keys=True)
 
     @classmethod
     def from_json(cls, s: str) -> "BinlogOffset":
-        import json
         return cls.of(**json.loads(s))
 
 
@@ -2090,8 +2088,6 @@ def watermark_seq(offset: BinlogOffset) -> int:
 
 def _to_spark_value(ftype, v):
     """Wire cell -> the payload-schema field's Python value."""
-    import datetime
-    import decimal
 
     from pyspark.sql import types as T
 
@@ -2234,8 +2230,6 @@ def _json_safe(v):
     base64 (the JSON datasource's BinaryType convention), TIME2 tuples
     render as MySQL TIME literals, decoded JSON docs re-serialize."""
     import base64
-    import datetime
-    import decimal
 
     if isinstance(v, datetime.datetime):
         return v.isoformat()

@@ -38,9 +38,16 @@ whole existing streaming path runs unchanged.
 
 from __future__ import annotations
 
+import base64
+import datetime
+import decimal
+import json
 import struct
+import uuid as _uuid
 from dataclasses import dataclass
 from typing import Iterator
+
+from ..common.types import hms_text
 
 _PG_EPOCH_US = 946_684_800_000_000  # 2000-01-01 in unix µs
 
@@ -123,8 +130,6 @@ class PgRelation:
 
 def _render_text(oid: int, v) -> str:
     """Python value -> the column's Postgres text representation."""
-    import datetime
-
     if oid == OID_BOOL:
         return "t" if v else "f"
     if oid == OID_BYTEA:
@@ -150,7 +155,6 @@ def _render_text(oid: int, v) -> str:
 def _text_to_json_value(oid: int, text: str):
     """Postgres text value -> a JSON value Spark's from_json casts to the
     payload type (shared bridge conventions with the binlog source)."""
-    import base64
 
     if oid == OID_BOOL:
         return text == "t"
@@ -206,7 +210,6 @@ def _encode_pg_numeric(text) -> bytes:
     """numeric_send: u16 ndigits, i16 weight (base-10000 exponent of the
     first digit group), u16 sign (0 / 0x4000 neg / 0xC000 NaN), u16
     dscale, then ndigits u16 base-10000 groups."""
-    import decimal
     t = str(text).strip()
     if t.lower() == "nan":
         return struct.pack(">HhHH", 0, 0, 0xC000, 0)
@@ -257,8 +260,6 @@ def _us_text(seconds_text: str, us: int) -> str:
 
 def _binary_send(oid: int, v) -> bytes:
     """Python value -> the column's binary send bytes."""
-    import datetime
-    import uuid as _uuid
 
     if oid == OID_BOOL:
         return b"\x01" if v else b"\x00"
@@ -309,9 +310,6 @@ def _binary_to_json_value(oid: int, data: bytes):
     """Binary recv -> the SAME JSON-bridge value `_text_to_json_value`
     yields for the text format, so both send formats land on identical
     debezium-json records."""
-    import base64
-    import datetime
-    import uuid as _uuid
 
     if oid == OID_BOOL:
         return data != b"\x00"
@@ -347,7 +345,6 @@ def _binary_to_json_value(oid: int, data: bytes):
               + datetime.timedelta(microseconds=us))
         return _us_text(dt.strftime("%Y-%m-%dT%H:%M:%S"), dt.microsecond)
     if oid == OID_TIME:
-        from ..common.types import hms_text
         us = struct.unpack(">q", data)[0]
         s, us = divmod(us, 1_000_000)
         return hms_text(False, s // 3600, (s // 60) % 60, s % 60, us,
@@ -1077,7 +1074,6 @@ class PostgresOffset:
         return "%X/%X" % (self.lsn >> 32, self.lsn & 0xFFFFFFFF)
 
     def to_json(self) -> str:
-        import json
         d = {"lsn": str(self.lsn)}
         if self.tx_id is not None:
             d["txId"] = str(self.tx_id)
@@ -1087,7 +1083,6 @@ class PostgresOffset:
 
     @classmethod
     def from_json(cls, s: str) -> "PostgresOffset":
-        import json
         d = json.loads(s)
         return cls(int(d["lsn"]),
                    int(d["txId"]) if "txId" in d else None,

@@ -71,14 +71,27 @@ sandbox decodes captured or scripted KV event streams.
 
 from __future__ import annotations
 
+import datetime
+import decimal
+import json as _json
+import re as _re
 import struct
 from dataclasses import dataclass
+from functools import cached_property
 from typing import Iterator
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..common.events import BEFORE_COL, META_COL, OP_COL
+from ..common.mysql_json import (decode_json, decode_json_at, dumps_json,
+                                 encode_json)
+from ..common.types import hms_text
 from .base import SEQ_COL
+# leaf module: nothing imports sources.tidb, so these cross-module codec
+# imports (hot at µs/row on the decode path — previously function-local)
+# cannot create a cycle
+from .mysql_binlog import (decimal_bin_size, decode_newdecimal,
+                           encode_newdecimal)
 
 _SIGN = 1 << 63
 _MASK = (1 << 64) - 1
@@ -289,17 +302,29 @@ class TiTableInfo:
         return T.StructType([T.StructField(c.name, c.spark_type, True)
                              for c in self.columns])
 
-    @property
+    # cached_property (not @property): the row decoders hit these once
+    # per ROW on the CDC hot path — µs/row parity work (optimization r11,
+    # guide §1.2 per-task work).  Writes go through instance __dict__, so
+    # they compose with frozen=True.
+    @cached_property
     def handle_column(self) -> TiColumn | None:
         for c in self.columns:
             if c.pk_handle:
                 return c
         return None
 
-    @property
+    @cached_property
     def value_columns(self) -> tuple[TiColumn, ...]:
         """Columns stored in the row VALUE (pk-is-handle lives in the key)."""
         return tuple(c for c in self.columns if not c.pk_handle)
+
+    @cached_property
+    def _by_col_id(self) -> dict:
+        return {c.col_id: c for c in self.value_columns}
+
+    @cached_property
+    def _null_row(self) -> dict:
+        return {c.name: None for c in self.value_columns}
 
 
 # ---------------------------------------------------------------------------
@@ -310,8 +335,6 @@ class TiTableInfo:
 def duration_to_nanos(v) -> int:
     """``[-]HH:MM:SS[.ffffff]`` text (or a timedelta / raw nanosecond
     int) -> the signed int64 nanosecond count a DURATION datum stores."""
-    import datetime
-    import re as _re
     if isinstance(v, datetime.timedelta):
         return round(v.total_seconds() * 1_000_000) * 1000
     if isinstance(v, int):
@@ -331,7 +354,6 @@ def duration_to_nanos(v) -> int:
 def nanos_to_duration(n: int) -> str:
     """Nanoseconds -> the shared ``[-]HH:MM:SS[.ffffff]`` render
     (common.types.hms_text — same convention as the binlog TIME2 path)."""
-    from ..common.types import hms_text
     neg, n = (True, -n) if n < 0 else (False, n)
     us, n = (n // 1000) % 1_000_000, n // 1_000_000_000
     return hms_text(neg, n // 3600, (n // 60) % 60, n % 60, us)
@@ -350,7 +372,6 @@ def _to_datum(col: TiColumn, v):
         dt = col.spark_type
         return "decimal", (dt.precision, dt.scale, str(v))
     if col.kind == "json":
-        import json as _json
         return "json", (_json.loads(v) if isinstance(v, str) else v)
     if col.kind == "duration":
         return "duration", duration_to_nanos(v)
@@ -365,8 +386,6 @@ def _to_datum(col: TiColumn, v):
 
 def _from_wire(col: TiColumn, kind: str, v):
     """Wire value (+ its wire kind) -> python value for `col`."""
-    import datetime
-    import decimal
     if v is None:
         return None
     if col.kind in ("date", "datetime"):
@@ -378,7 +397,6 @@ def _from_wire(col: TiColumn, kind: str, v):
         return decimal.Decimal(v) if not isinstance(v, decimal.Decimal) \
             else v
     if col.kind == "json":
-        from ..common.mysql_json import dumps_json
         return dumps_json(v)
     if col.kind == "duration":
         return nanos_to_duration(int(v))
@@ -417,7 +435,6 @@ def _encode_datum(kind: str | None, v) -> bytes:
     if kind == "decimal":
         # codec.go EncodeDecimal: flag, precision, frac, WriteBin bytes
         # (byte-identical to the binlog NEWDECIMAL codec)
-        from .mysql_binlog import encode_newdecimal
         prec, scale, text = v
         return (bytes([_DECIMAL, prec, scale])
                 + encode_newdecimal(text, prec, scale))
@@ -426,7 +443,6 @@ def _encode_datum(kind: str | None, v) -> bytes:
         return bytes([_DURATION]) + encode_comparable_int(v)
     if kind == "json":
         # codec.go json case: flag + TypeCode + binary value
-        from ..common.mysql_json import encode_json
         return bytes([_JSON]) + encode_json(v)
     raise NotImplementedError("datum codec gated for kind %r" % kind)
 
@@ -456,8 +472,6 @@ def _decode_datum(buf: bytes, pos: int):
     if flag == _BYTES:
         return decode_comparable_bytes(buf, pos)
     if flag == _DECIMAL:
-        import decimal
-        from .mysql_binlog import decimal_bin_size, decode_newdecimal
         prec, scale = buf[pos], buf[pos + 1]
         n = decimal_bin_size(prec, scale)
         if pos + 2 + n > len(buf):
@@ -471,7 +485,6 @@ def _decode_datum(buf: bytes, pos: int):
     if flag == _JSON:
         # JSON datums have no length prefix: the decode itself yields the
         # end position (json.PeekBytesAsJSON analog)
-        from ..common.mysql_json import decode_json_at
         return decode_json_at(buf, pos)
     raise NotImplementedError("datum flag 0x%02x gated" % flag)
 
@@ -487,8 +500,8 @@ def encode_row_v1(table: TiTableInfo, row: dict) -> bytes:
 
 
 def decode_row_v1(table: TiTableInfo, buf: bytes) -> dict:
-    by_id = {c.col_id: c for c in table.value_columns}
-    row = {c.name: None for c in table.value_columns}
+    by_id = table._by_col_id
+    row = dict(table._null_row)
     if len(buf) <= 1:
         return row
     pos = 0
@@ -527,12 +540,10 @@ def _v2_cell(kind: str, v) -> bytes:
     if kind == "decimal":
         # rowcodec stores codec.EncodeDecimal output (no flag byte):
         # precision, frac, then the shared packed-decimal bytes
-        from .mysql_binlog import encode_newdecimal
         prec, scale, text = v
         return bytes([prec, scale]) + encode_newdecimal(text, prec, scale)
     if kind == "json":
         # rowcodec stores TypeCode + binary value = the whole document
-        from ..common.mysql_json import encode_json
         return encode_json(v)
     raise NotImplementedError("v2 cell codec gated for kind %r" % kind)
 
@@ -547,7 +558,6 @@ def _v2_uncell(col: TiColumn, cell: bytes):
     if k == "float":
         return decode_comparable_float(cell)[0]
     if k == "decimal":
-        from .mysql_binlog import decimal_bin_size, decode_newdecimal
         if len(cell) < 2:
             raise ValueError("truncated DECIMAL cell: %r" % (bytes(cell),))
         prec, scale = cell[0], cell[1]
@@ -558,7 +568,6 @@ def _v2_uncell(col: TiColumn, cell: bytes):
                 % (prec, scale, len(cell), 2 + n))
         return _from_wire(col, k, decode_newdecimal(cell[2:], prec, scale))
     if k == "json":
-        from ..common.mysql_json import decode_json
         return _from_wire(col, k, decode_json(bytes(cell)))
     return _from_wire(col, k, bytes(cell))
 
@@ -623,8 +632,8 @@ def decode_row_v2(table: TiTableInfo, buf: bytes) -> dict:
         raise ValueError(
             "corrupt v2 row: cell offsets %r do not tile the %d-byte data "
             "section" % (offs, data_len))
-    by_id = {c.col_id: c for c in table.value_columns}
-    row = {c.name: None for c in table.value_columns}
+    by_id = table._by_col_id
+    row = dict(table._null_row)
     start = 0
     for cid, end in zip(ids, offs):
         cell = buf[pos + start:pos + end]
@@ -690,9 +699,17 @@ def decode_tidb_kv(kv: DataFrame, table: TiTableInfo) -> DataFrame:
     names = [f.name for f in schema.fields]
     payload_cols = [c.name for c in table.columns]
 
+    tid_str = str(table.table_id)
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # columnar accumulation (optimization r11, guide §1.2 per-task
+        # work): append straight into per-column lists instead of one
+        # dict per record re-pivoted column-by-column afterwards —
+        # removes O(rows × cols) dict churn from the decode hot loop
         for pdf in batches:
-            recs: list[dict] = []
+            cols: dict[str, list] = {n: [] for n in names}
+            ops, befores, metas, seqs = (cols[OP_COL], cols[BEFORE_COL],
+                                         cols[META_COL], cols[SEQ_COL])
             for op_type, key, value, old, crts in zip(
                     pdf["op_type"], pdf["key"], pdf["value"],
                     pdf["old_value"], pdf["commit_ts"]):
@@ -712,19 +729,18 @@ def decode_tidb_kv(kv: DataFrame, table: TiTableInfo) -> DataFrame:
                         op, before = "+I", None
                 else:
                     raise ValueError("Unknown Row Op Type: %r" % op_type)
-                rec = dict(row)
-                rec[OP_COL] = op
-                rec[BEFORE_COL] = (
+                for c in payload_cols:
+                    cols[c].append(row[c])
+                ops.append(op)
+                befores.append(
                     {c: before.get(c) for c in payload_cols}
                     if before is not None else None)
-                rec[META_COL] = {"table_id": str(table.table_id),
-                                 "handle": str(handle),
-                                 "commit_ts": str(int(crts))}
-                rec[SEQ_COL] = int(crts)
-                recs.append(rec)
+                metas.append({"table_id": tid_str,
+                              "handle": str(handle),
+                              "commit_ts": str(int(crts))})
+                seqs.append(int(crts))
             yield pd.DataFrame(
-                {n: pd.Series([r.get(n) for r in recs], dtype=object)
-                 for n in names})
+                {n: pd.Series(cols[n], dtype=object) for n in names})
 
     return kv.mapInPandas(run, schema=schema)
 
