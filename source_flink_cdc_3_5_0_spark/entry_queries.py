@@ -2075,8 +2075,17 @@ def tidb_kv_frames(spark, sf_dir, replicas: int = 1):
     rows."""
     from .sources.tidb import TiTableInfo, encode_tidb_kv, ti_column
 
-    od = _replicate_keys(load(spark, sf_dir, "orders"), "o_orderkey",
-                         replicas, 100_000_000)
+    # spread the NARROW base columns before image building (optimization
+    # r11, guide §2.3/§2.5): the single-file orders scan capped the whole
+    # image-build + explode stage at ONE task and then shuffled ~17.5 MB
+    # of built structs to spread the codec; spreading the 5 base columns
+    # first shuffles ~3× fewer bytes and parallelizes the expression work
+    od = spread_scan(
+        _replicate_keys(
+            load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate"),
+            "o_orderkey", replicas, 100_000_000))
     k = F.col("o_orderkey")
     table = TiTableInfo(table_id=77, columns=(
         ti_column(1, "_id", T.LongType(), pk_handle=True),
@@ -2135,12 +2144,10 @@ def tidb_kv_frames(spark, sf_dir, replicas: int = 1):
             F.when(k % 7 == 0, rec("DELETE", null_img, fin, k * 10 + 2)),
         )).alias("w"))
         .where(F.col("w").isNotNull()).select("w.*"))
-    # the explode inherits the source's file-partitioning (3 files at
-    # sf0.1) — spread the Python codec stages over the full executor
-    # width; on a real TiKV feed the region-CDC stream is already
-    # many-partitioned
-    script = script.repartition(od.sparkSession.sparkContext.defaultParallelism)
-
+    # the explode inherits the spread partitioning of the base scan above,
+    # so image building, explode, and both Python codec stages already run
+    # at full executor width — no second exchange needed; on a real TiKV
+    # feed the region-CDC stream is already many-partitioned
     return encode_tidb_kv(script, table), table
 
 
@@ -2245,8 +2252,14 @@ def binlog_capture_files(spark, sf_dir, replicas: int = 1):
         MYSQL_TYPE_NEWDECIMAL, MYSQL_TYPE_VARCHAR, UPDATE_ROWS_EVENT,
         WRITE_ROWS_EVENT, BinlogColumn, BinlogTableMap, BinlogWriter)
 
-    cu = _replicate_keys(load(spark, sf_dir, "customer"), "c_custkey",
-                         replicas, 100_000_000)
+    # spread the narrow scan before the struct-build + explode (r11,
+    # guide §2.5/§2.3); the key repartition below is unchanged, so the
+    # capture files stay byte-identical
+    cu = spread_scan(_replicate_keys(
+        load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment"),
+        "c_custkey", replicas, 100_000_000))
     k = F.col("c_custkey").cast("long")
     cents = F.round(F.col("c_acctbal") * 100).cast("long")
     upd = k % 3 == 0
@@ -2658,8 +2671,13 @@ def pgoutput_capture_files(spark, sf_dir, replicas: int = 1):
         PgColumn("p_name", OID_TEXT), PgColumn("p_brand", OID_TEXT),
         PgColumn("p_retailprice", OID_FLOAT8)))
 
-    pt = _replicate_keys(load(spark, sf_dir, "part"), "p_partkey",
-                         replicas, 100_000_000)
+    # spread the narrow scan before the struct-build + explode (r11,
+    # guide §2.5/§2.3); the deterministic key repartition below is
+    # unchanged, so capture files stay byte-identical
+    pt = spread_scan(_replicate_keys(
+        load(spark, sf_dir, "part").select(
+            "p_partkey", "p_name", "p_brand", "p_retailprice"),
+        "p_partkey", replicas, 100_000_000))
     k = F.col("p_partkey").cast("long")
     name, brand, price = (F.col("p_name"), F.col("p_brand"),
                           F.col("p_retailprice"))
@@ -2836,7 +2854,12 @@ def q_cdc_pgoutput_binary_decode(spark, sf_dir):
         PgColumn("odate", OID_TIMESTAMP), PgColumn("u", OID_UUID),
         PgColumn("jb", OID_JSONB)))
 
-    od = load(spark, sf_dir, "orders")
+    # spread the narrow scan before the struct-build + explode (r11,
+    # guide §2.5/§2.3): single-file orders scan serialized ~1 s of
+    # expression work ahead of the key repartition; the key shuffle that
+    # follows is unchanged, so the capture files stay byte-identical
+    od = spread_scan(load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"))
     k = F.col("o_orderkey").cast("long")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
 
@@ -3097,7 +3120,10 @@ def q_cdc_sqlserver_changetable(spark, sf_dir):
     from .common.events import META_COL
     from .sources.sqlserver import decode_sqlserver_cdc
 
-    ev = load(spark, sf_dir, "events")
+    # spread the narrow single-file scan before the struct/to_json chain
+    # (r11, guide §2.5/§2.3)
+    ev = spread_scan(load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"))
     k = F.col("event_id").cast("long")
     cents = F.round(F.col("value") * 100).cast("long")
 
@@ -3348,7 +3374,11 @@ def q_cdc_vitess_vstream(spark, sf_dir):
     from .common.events import META_COL
     from .sources.vitess import decode_vstream
 
-    ev = load(spark, sf_dir, "events")
+    # spread the narrow scan before the struct/to_json/from_json chain
+    # (optimization r11, guide §2.5/§2.3): the single-file events scan
+    # capped 2.3 s of JVM expression CPU at one task on a 32-core host
+    ev = spread_scan(load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"))
     k = F.col("event_id").cast("long")
     cents = F.round(F.col("value") * 100).cast("long")
     shard = F.element_at(

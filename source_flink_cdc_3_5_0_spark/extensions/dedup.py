@@ -526,6 +526,24 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))
               .localCheckpoint())
+
+    # convergence probe (optimization r11, guide §2.4): labels are
+    # monotone non-increasing (min over a union that includes the node's
+    # own label), so Σlabel is strictly decreasing until the fixpoint —
+    # equality ⇔ zero labels changed.  A single partial-agg scan over the
+    # checkpointed blocks replaces a shuffle-join + count job per round;
+    # decimal(38,0) keeps the sum exact at any id magnitude / component
+    # count.  The sum is only exact for integral ids — for any other id
+    # type (a string cast would yield NULL and fake convergence) keep the
+    # join+count probe.
+    _integral = {"tinyint", "smallint", "int", "bigint"}
+    sum_probe = dict(labels.dtypes)["label"] in _integral
+
+    def label_sum(df):
+        return (df.agg(F.sum(F.col("label").cast("decimal(38,0)")))
+                .collect()[0][0])
+
+    prev_sum = label_sum(labels) if sum_probe else None
     changed = 0
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges.dst == labels.id)
@@ -533,9 +551,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         new_labels = (labels.unionAll(neigh)
                       .groupBy("id").agg(F.min("label").alias("label"))
                       .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), on="id")
-                   .where(F.col("n.label") < F.col("o.label")).count())
+        if sum_probe:
+            new_sum = label_sum(new_labels)
+            changed = 0 if new_sum == prev_sum else 1
+            prev_sum = new_sum
+        else:
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), on="id")
+                       .where(F.col("n.label") < F.col("o.label")).count())
         labels = new_labels
         if changed == 0:
             break
@@ -544,7 +567,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             edges.unpersist()
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} "
-                f"iterations ({changed} labels still improving): a component "
+                "iterations (labels still improving): a component "
                 "has diameter > max_iter. Raise max_iter, or use "
                 "on_max_iter='star' for the O(log² n) alternating-star "
                 "fallback.")
@@ -553,7 +576,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
             warnings.warn(
                 f"connected_components hit max_iter={max_iter} with "
-                f"{changed} labels still improving; returned rep_ids are "
+                "labels still improving; returned rep_ids are "
                 "NOT component minima for the unconverged components",
                 RuntimeWarning, stacklevel=2)
         else:  # star fallback: restart from the raw edges, diameter-proof

@@ -483,23 +483,27 @@ def test_wire_decoder_plan_shapes(spark):
 
     shapes = {
         # name -> (exchanges, map_in_pandas)
+        # r11: the scripted-churn builders spread the narrow single-file
+        # scan (spread_scan round-robin exchange) before the struct-build
+        # + explode so the expression/codec work parallelizes; the
+        # exchange is a no-op at production file counts.  Counts below
+        # include that exchange for the affected fixtures.
         "cdc_mysql_binlog_decode": (1, 1),  # decode half; encode below
+        # (the spread exchange lives in the encode job, not this plan)
         # round-10 payload/partial gate: all-in-one plan — encode Arrow
         # stage + spreading exchange, decode Arrow stage + materialize
         # exchange; the TRANSACTION_PAYLOAD unwrap happens inside the
         # per-file sequential decode and adds NO shuffle
         "cdc_mysql_binlog_payload_decode": (2, 2),
-        "cdc_pgoutput_decode": (2, 2),
-        "cdc_pgoutput_binary_decode": (2, 2),
+        "cdc_pgoutput_decode": (3, 2),
+        "cdc_pgoutput_binary_decode": (3, 2),
         # walsender-routed twin: decode half over the respooled files
         # (one Arrow bridge + materialize exchange), encode in its own job
         "cdc_pgoutput_walsender_decode": (1, 1),
-        "cdc_sqlserver_changetable": (1, 0),
+        "cdc_sqlserver_changetable": (2, 0),
         "cdc_db2_asn": (3, 0),
-        # r11: + one spread_scan round-robin exchange before the encode
-        # (local single-row-group fixture; absent at scale)
         "cdc_oracle_logminer": (2, 2),
-        "cdc_vitess_vstream": (1, 0),
+        "cdc_vitess_vstream": (2, 0),
         # round-11 wire gate: the produce half is a bounded driver-side
         # socket client (runs before the plan); the returned plan is the
         # consume half — text scan over the spool, from_json decode
@@ -516,9 +520,10 @@ def test_wire_decoder_plan_shapes(spark):
     # the binlog gate's decode half must scan the protocol-fetched spool...
     p = plan_of(EQ.QUERIES["cdc_mysql_binlog_decode"](spark, SF))
     assert "binaryFile" in p or "FileScan" in p, p
-    # ...and its encode half stays one Arrow stage over one spreading
-    # exchange (the capture-file job that feeds the TCP server)
+    # ...and its encode half stays one Arrow stage over the deterministic
+    # key exchange plus the r11 spread_scan exchange on the narrow scan
+    # (the capture-file job that feeds the TCP server)
     pe = plan_of(EQ.binlog_capture_files(spark, SF))
     assert pe.count("MapInPandas") == 1, pe
-    assert len(re.findall(r"\bExchange\b", pe)) == 1, pe
+    assert len(re.findall(r"\bExchange\b", pe)) == 2, pe
     assert "BatchEvalPython" not in pe, pe

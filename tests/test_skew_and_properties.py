@@ -190,6 +190,22 @@ class TestConnectedComponents:
         assert {r.rep_id for r in got.collect()} == {0}
         assert got.count() == n + 1
 
+    def test_string_ids_converge_exactly(self, spark):
+        """Non-integral ids must not ride the r11 Σlabel convergence
+        probe (a string→decimal cast yields NULL, and NULL sums would
+        fake instant convergence) — the join+count probe must kick in
+        and the chain must still fully propagate to the lexicographic
+        minimum."""
+        from source_flink_cdc_3_5_0_spark.extensions.dedup import (
+            connected_components)
+        # chain a-b-c-d needs 3+ rounds; a second component {x,y}
+        pairs = spark.createDataFrame(
+            [("b", "c"), ("a", "b"), ("c", "d"), ("x", "y")],
+            "id_a string, id_b string")
+        got = {(r.id, r.rep_id) for r in connected_components(pairs).collect()}
+        assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+                       ("x", "x"), ("y", "x")}
+
     def test_nonconvergence_raises_with_guidance(self, spark):
         import pytest as _pytest
 
