@@ -3593,7 +3593,12 @@ def q_fuzzy_join_names(spark, sf_dir):
     proves completeness)."""
     from .extensions.fuzzy import fuzzy_self_join
 
-    cust = load(spark, sf_dir, "customer")
+    # spread the narrow single-file scan (r11, guide §2.5): the
+    # deletion-neighborhood generation (O(len²) chars per row) ran as
+    # ONE task per join side (profiled 1.7 s + 1.1 s serial stages);
+    # no-op at production file counts
+    cust = spread_scan(load(spark, sf_dir, "customer")
+                       .select("c_custkey", "c_name"))
     return fuzzy_self_join(cust, "c_custkey", "c_name", max_distance=1)
 
 
@@ -4702,9 +4707,16 @@ def q_decontam_bloom(spark, sf_dir):
     the approximate operator passes an exact oracle."""
     from .extensions.decontam import bloom_decontam_flags
 
-    docs = load(spark, sf_dir, "documents")
-    ev = docs.where(F.col("source") == "src0")
-    corpus = docs.where(F.col("source") != "src0")
+    # spread the narrow single-file scans (r11, guide §2.5): gram
+    # generation + the 3 md5 probes per gram ran as ONE task per side
+    # (profiled 1.5-2.0 s of single-core CPU each); the gate makes this
+    # a no-op at production file counts, so the "corpus never shuffled"
+    # scale posture is unchanged
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    ev = spread_scan(docs.where(F.col("source") == "src0")
+                     .select("doc_id", "text"))
+    corpus = spread_scan(docs.where(F.col("source") != "src0")
+                         .select("doc_id", "text"))
     return bloom_decontam_flags(corpus, ev, k=4, m_bits=1 << 18, n_hashes=3)
 
 
@@ -6394,7 +6406,12 @@ def q_stats_correlation(spark, sf_dir):
     engines."""
     from .extensions.stats import pairwise_correlation
 
-    li = load(spark, sf_dir, "lineitem")
+    # spread the narrow 4-column projection (r11, guide §2.5): the
+    # single aggregate now runs once (see pairwise_correlation) and must
+    # use the full executor width — the local 3-file scan capped it at
+    # 3 tasks; no-op at production file counts
+    li = spread_scan(load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"))
     return pairwise_correlation(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 

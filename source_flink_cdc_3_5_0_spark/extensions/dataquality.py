@@ -9,12 +9,13 @@ are pure built-in-function aggregates — no Python in the data path:
 
 - ``profile_table``: ONE full-table aggregate computes per-column non-null
   counts and min/max (map-side partial agg, a single reduced row), plus a
-  distinct-cardinality channel.  Exact distinct counts over k columns make
-  Spark expand the scan k-fold before the shuffle (the standard
-  multi-distinct rewrite) — fine for an oracle gate, wrong at 100 TB — so
-  ``approx=True`` switches to HyperLogLog ``approx_count_distinct``, which
-  keeps the plan a plain two-phase aggregate with bounded sketch state
-  (no Expand; pinned in tests).
+  distinct-cardinality channel.  Exact distinct counts run as one
+  single-distinct aggregate per column crossJoined onto the profile row
+  (independent column-pruned scans; no Expand — pinned in tests) — exact
+  cardinalities over unique-ish keys are still heavy at 100 TB, so
+  ``approx=True`` switches to HyperLogLog ``approx_count_distinct``,
+  which folds back into the single wide aggregate with bounded sketch
+  state.
 - ``validate_constraints``: each rule compiles to the cheapest plan that
   can falsify it — row-level rules (not-null / accepted-values / range)
   share ONE scan as conditional sums; ``unique`` is one group-count on the
@@ -54,9 +55,11 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None,
     One wide aggregate produces a single row (every per-column aggregate
     rides the same map-side partial agg); the row is then unpivoted with
     ``stack`` — a 1-row local operation, not a shuffle.  ``approx=False``
-    adds exact ``count_distinct`` per column (Expand-based multi-distinct
-    rewrite: k-fold scan blowup before the shuffle — oracle-friendly);
-    ``approx=True`` uses HLL sketches and stays a plain aggregate.
+    adds exact ``count_distinct`` per column as one single-distinct
+    aggregate per column crossJoined onto the profile row (independent
+    column-pruned scans, no Expand — the multi-distinct form k-folded the
+    scan through one serial aggregate); ``approx=True`` uses HLL sketches
+    inside the single wide aggregate.
     """
     cols = list(columns) if columns is not None else df.columns
     schema = {f.name: f.dataType for f in df.schema.fields}
@@ -66,13 +69,11 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None,
         aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
         # include_distinct=False skips the cardinality channel entirely —
         # consumers that only read counts (schema_drift) shouldn't pay
-        # the Expand (exact) or sketch (approx) cost
+        # the per-column distinct (exact) or sketch (approx) cost
         if not include_distinct:
             aggs.append(F.lit(None).cast("bigint").alias(f"__nd_{c}"))
         elif approx:
             aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
-        else:
-            aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
         if isinstance(schema[c], _NUMERIC_TYPES):
             aggs.append(F.min(c).cast("double").alias(f"__min_{c}"))
             aggs.append(F.max(c).cast("double").alias(f"__max_{c}"))
@@ -80,6 +81,18 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None,
             aggs.append(F.min(c).cast("string").alias(f"__smin_{c}"))
             aggs.append(F.max(c).cast("string").alias(f"__smax_{c}"))
     one = df.agg(*aggs)
+    if include_distinct and not approx:
+        # exact cardinalities as ONE single-distinct aggregate per column,
+        # crossJoined onto the 1-row profile (optimization r11): the
+        # multi-distinct form made Spark Expand the scan k-fold through
+        # one serial aggregate; per-column distincts each scan ONLY their
+        # (parquet-pruned) column — total column bytes comparable to the
+        # one wide scan — run as independent concurrent stages, and each
+        # is a plain two-phase agg keyed on the column (no Expand).
+        # Values are identical: count_distinct per column either way.
+        for c in cols:
+            one = one.crossJoin(
+                df.agg(F.count_distinct(F.col(c)).alias(f"__nd_{c}")))
 
     # stack(k, 'name', n_null, ..., ...) unpivots the single reduced row.
     parts = []

@@ -896,10 +896,20 @@ def winnowed_fingerprint_pairs(df: DataFrame, text_col: str = "text",
                .where(F.size(F.col("__toks")) >= k)
                .withColumn("__grams", grams)
                .withColumn("__hashes", hashes)
-               .select(F.col(id_col), F.explode(fps).alias("fp")))
-    return (fp_rows.alias("l").join(fp_rows.alias("r"), on="fp")
-            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps")))
+               .select(F.col(id_col), F.explode(fps).alias("fp"))
+               # persist the selected fingerprints: they feed BOTH sides
+               # of the self-join, and when the planner broadcasts one
+               # side the exchanges differ so ReusedExchange can't fire —
+               # uncached, the tokenize + per-gram md5 + window-min
+               # subtree (the expensive part) runs twice (optimization
+               # r11, guide §2.4; same convention as gram_base/lsh_base)
+               .persist())
+    out = (fp_rows.alias("l").join(fp_rows.alias("r"), on="fp")
+           .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+           .select(F.col(f"l.{id_col}").alias("id_a"),
+                   F.col(f"r.{id_col}").alias("id_b"))
+           .groupBy("id_a", "id_b")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps")))
+    # release handle, same convention as ngram_jaccard_pairs' gram_base
+    out.fp_base = fp_rows
+    return out

@@ -41,8 +41,17 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iterations: int = 5,
     if not 0 <= damping_pct <= 100:
         raise ValueError("damping_pct must be in [0, 100]")
     base = (SCALE * (100 - damping_pct)) // 100
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # materialize the loop-invariant edge list and out-degrees ONCE
+    # (optimization r11, guide §2.4/§5): every iteration references both,
+    # and because the whole loop evaluates as one lazy plan the
+    # distinct's scan+shuffle subtree was re-planned per iteration (the
+    # 5-iteration plan carried 72 scans); localCheckpoint truncates the
+    # lineage to the materialized blocks, so each round reads O(edges)
+    # cached state instead of recomputing it
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct().localCheckpoint())
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
+        .localCheckpoint()
     ranks = nodes.select(F.col(node_col).alias("v"),
                          F.lit(SCALE).cast("bigint").alias("r"))
     for _ in range(iterations):

@@ -148,14 +148,20 @@ def pairwise_correlation(df: DataFrame, cols: list[str],
         s = F.col(f"__s_{c}").cast("double")
         return n * F.col(f"__ss_{c}").cast("double") - s * s
 
-    out = None
+    # one explode over an array of per-pair structs, NOT a union of
+    # per-pair selects: each union branch re-references the aggregate
+    # subtree, so k(k-1)/2 branches re-ran the ENTIRE scan+aggregate
+    # once per pair (6x for 4 columns — confirmed in the physical plan);
+    # the explode derives every pair from the single reduced row in one
+    # pass (optimization r11, guide §2.4 "duplicated subtrees")
+    rows = []
     for a, b in pairs:
         d = den2(a) * den2(b)
         r = F.when(d > 0, F.round(num(a, b) / F.sqrt(d), 6))
-        row = one.select(F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
-                         F.col("__n").alias("n"), r.alias("r"))
-        out = row if out is None else out.unionByName(row)
-    return out
+        rows.append(F.struct(F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
+                             F.col("__n").alias("n"), r.alias("r")))
+    return (one.select(F.explode(F.array(*rows)).alias("__row"))
+            .select("__row.*"))
 
 
 def correlation_oracle_sql(table: str, cols: list[str],

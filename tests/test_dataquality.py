@@ -31,14 +31,20 @@ class TestProfile:
         assert rows["s"]["min_num"] is None
         assert rows["x"]["n_null"] == 1 and rows["x"]["min_num"] == -4.0
 
-    def test_exact_mode_uses_expand_approx_does_not(self, spark, frame):
-        """Exact multi-distinct needs Spark's Expand rewrite (k-fold scan);
-        the 100-TB approx mode must stay a plain two-phase aggregate."""
+    def test_no_expand_in_either_distinct_mode(self, spark, frame):
+        """r11: exact mode computes one single-distinct aggregate per
+        column (crossJoined onto the profile row) instead of the
+        Expand-based multi-distinct rewrite — neither mode may carry an
+        Expand, and exact mode must actually use per-column
+        count(distinct) aggregates (approx uses HLL sketches)."""
         exact = profile_table(frame)._jdf.queryExecution().executedPlan().toString()
         approx = profile_table(frame, approx=True) \
             ._jdf.queryExecution().executedPlan().toString()
-        assert "Expand" in exact
+        assert "Expand" not in exact
         assert "Expand" not in approx
+        assert exact.count("count(distinct") >= 3, exact
+        assert "approx_count_distinct" not in exact
+        assert "approx_count_distinct" in approx
 
     def test_approx_mode_close_on_real_table(self, spark):
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
