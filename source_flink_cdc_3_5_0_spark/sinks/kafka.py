@@ -198,17 +198,30 @@ class KafkaChangelogSink(DataSink):
             # reference's PartitionStrategy semantics.
             from .kafka_protocol import KafkaWireProducer
 
-            rows = encoded.collect()
+            # Arrow collect (optimization r11, guide §6 "Arrow for driver
+            # transfers"): the row-path collect() built one Row object per
+            # record (~19k Row allocations + per-field fromInternal on the
+            # wire gate); toArrow ships the batch columnar and to_pylist
+            # yields plain str/bytes. The per-column loop below replaces a
+            # per-row `"headers" in encoded.columns` re-check that ran once
+            # per record.
+            cols = encoded.columns
             fixed = None
-            if "partition" in encoded.columns:
+            if "partition" in cols:
                 fixed = 0  # all-to-zero
-            records = []
-            for r in rows:
-                hdrs = [(h["key"], bytes(h["value"]))
-                        for h in (r["headers"]
-                                  if "headers" in encoded.columns else [])]
-                records.append((r["key"].encode("utf-8"),
-                                r["value"].encode("utf-8"), hdrs))
+            tbl = encoded.toArrow()
+            keys = tbl.column("key").to_pylist()
+            values = tbl.column("value").to_pylist()
+            if "headers" in cols:
+                hdr_lists = [
+                    [(h["key"], bytes(h["value"])) for h in hl or []]
+                    for hl in tbl.column("headers").to_pylist()]
+            else:
+                hdr_lists = None
+            records = [
+                (k.encode("utf-8"), v.encode("utf-8"),
+                 hdr_lists[i] if hdr_lists is not None else [])
+                for i, (k, v) in enumerate(zip(keys, values))]
             # properties.* the wire client can honor: compression.type
             # rides the batch attributes; anything else is surfaced, not
             # silently dropped (advice r10: configured client options

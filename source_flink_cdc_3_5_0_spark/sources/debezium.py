@@ -84,12 +84,26 @@ def decode_dbz_envelope(raw: DataFrame, payload_schema: T.StructType,
             T.StructField(f, T.StringType(), True) for f in source_fields
         ]), True),
     ])
+    # Pushdown barrier (optimization r11, guide §4.4 analog for JVM
+    # expressions): downstream op filters (drop_opless here, the
+    # -U drop inside latest_image) otherwise push BELOW this projection
+    # and re-inline the parse — the before-plans showed an extra
+    # op-pruned from_json per row on the spool gates and, on the vitess
+    # path (where `value` is itself to_json(w)), a SECOND full to_json
+    # serialization per row. Referencing the non-deterministic barrier
+    # column in a filter blocks PushDownPredicates and CollapseProject;
+    # the `barrier < -1` disjunct is always false and the bare
+    # `barrier >= -1` form is always true, so semantics are unchanged.
     parsed = raw.select(
         F.from_json(F.col(value_col).cast("string"), env).alias("v"),
         *([F.col("offset")] if "offset" in raw.columns else []),
+        F.spark_partition_id().alias("__pushdown_barrier"),
     )
     if drop_opless:
-        parsed = parsed.where(F.col("v.op").isNotNull())
+        parsed = parsed.where(F.col("v.op").isNotNull()
+                              | (F.col("__pushdown_barrier") < F.lit(-1)))
+    else:
+        parsed = parsed.where(F.col("__pushdown_barrier") >= F.lit(-1))
     op = F.coalesce(
         *[F.when(F.col("v.op") == k, F.lit(v)) for k, v in _DEBEZIUM_OPS.items()]
     )
@@ -316,10 +330,14 @@ def decode_canal(raw: DataFrame, payload_schema: T.StructType,
     """Canal-JSON -> engine changelog envelope (INSERT/UPDATE/DELETE; canal
     batches multiple rows per record in ``data`` — exploded here)."""
     env = canal_value_schema(payload_schema)
+    # same pushdown barrier as decode_dbz_envelope: keep downstream op
+    # filters from re-inlining a second (schema-pruned) parse below this
+    # projection (optimization r11)
     parsed = raw.select(
         F.from_json(F.col(value_col).cast("string"), env).alias("v"),
         *([F.col("offset")] if "offset" in raw.columns else []),
-    )
+        F.spark_partition_id().alias("__pushdown_barrier"),
+    ).where(F.col("__pushdown_barrier") >= F.lit(-1))
     exploded = parsed.select(
         "v.type", "v.database", "v.table", "v.ts",
         F.posexplode("v.data").alias("pos", "__row"),
