@@ -1262,7 +1262,12 @@ def q_ann_ivf_topk(spark, sf_dir):
             .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
             .collect())
     cents = [list(r["v"]) for r in seed]
-    out = ivf_topk(emb, emb.where(F.col("vec_id") < 8), cents, k=5, nprobe=3)
+    # spread the single-file data side (r11, guide §2.5): the per-vector
+    # centroid-distance expressions (interpreted higher-order lambdas,
+    # ~0.7 ms/row) ran serially at ONE scan task; the probe side stays
+    # tiny (8 rows) and unspread
+    out = ivf_topk(spread_scan(emb), emb.where(F.col("vec_id") < 8),
+                   cents, k=5, nprobe=3)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -3536,6 +3541,11 @@ def q_sketch_kmv_distinct(spark, sf_dir):
     full sort."""
     from .extensions.sketches import kmv_distinct_estimate
 
+    # r11: a spread_scan on the key column was TRIED and REVERTED —
+    # warm A/B showed the extra round-robin exchange costs more than
+    # the 32-way md5 parallelism buys (1.23 s -> 1.52 s); the partial
+    # distinct already reduces map-side, so the scan-task count is not
+    # the bottleneck here
     return kmv_distinct_estimate(
         load(spark, sf_dir, "lineitem"), "l_orderkey", k=256)
 

@@ -187,8 +187,16 @@ class JdbcUpsertSink(DataSink):
             final = df.withColumn(OP_COL, F.lit("+I"))
         final = final.select(*names, OP_COL)
 
-        n_parts = (self.write_partitions
-                   or final.sparkSession.sparkContext.defaultParallelism)
+        # default writer parallelism is dialect-aware (optimization r11,
+        # guide §2.6): SQLite serializes writers on the database file
+        # lock, so 32 partition writers only queue on it (measured
+        # 1.49 s -> 1.09 s at 4 on the upsert gate); a real MySQL/
+        # Postgres target takes cluster parallelism. Explicit
+        # write_partitions always wins.
+        n_parts = self.write_partitions or (
+            min(4, final.sparkSession.sparkContext.defaultParallelism)
+            if self.dialect == "sqlite"
+            else final.sparkSession.sparkContext.defaultParallelism)
         db_path = self.db_path
         upsert_sql = self.sql.upsert_sql(tname, names, pks)
         delete_sql = self.sql.delete_sql(tname, pks)

@@ -1422,8 +1422,7 @@ class SnapshotLakeSink(DataSink):
                           .option("basePath", self._data_dir(table_id))
                           .option("mergeSchema", "true").parquet(*all_paths))
                 zcol = _zvalue_col(df_all, zorder, zorder_bits)
-        new_buckets: dict[str, list[str]] = {}
-        for b, files in manifest["buckets"].items():
+        def _rewrite_bucket(b: str, files: list[str]) -> tuple[str, list[str]]:
             paths = [os.path.join(self._data_dir(table_id), p) for p in files]
             df = (spark.read.option("basePath", self._data_dir(table_id))
                   .option("mergeSchema", "true").parquet(*paths))
@@ -1439,7 +1438,27 @@ class SnapshotLakeSink(DataSink):
             else:
                 df = df.coalesce(1)
             added_map = self._staged_write(df, self._data_dir(table_id))
-            new_buckets[b] = added_map.get(str(b), [])
+            return b, added_map.get(str(b), [])
+
+        # overlap the independent per-bucket rewrite jobs (optimization
+        # r11, guide §2.6): each bucket's range-sample + clustered write
+        # is a small job whose tail left the cluster idle when run
+        # sequentially; _staged_write stages through a writer-unique dir
+        # so concurrent rewrites cannot collide, and the manifest merge
+        # below is driver-side. File layout per bucket is identical to
+        # the sequential form.
+        items = list(manifest["buckets"].items())
+        new_buckets: dict[str, list[str]] = {}
+        if len(items) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, len(items))) as pool:
+                for b, added in pool.map(lambda kv: _rewrite_bucket(*kv),
+                                         items):
+                    new_buckets[b] = added
+        else:
+            for b, files in items:
+                new_buckets[b] = _rewrite_bucket(b, files)[1]
         self._commit(table_id, new_buckets)
 
     def _compact_mor(self, spark: SparkSession, tid: TableId,
