@@ -7147,8 +7147,8 @@ WHERE rn = 1
 """
 
 
-QUERIES_ORDER_DERIVED_FROM_ROUND = 10
-# ^ The QUERIES ordering below was derived from CORRECTNESS_r01..r10.
+QUERIES_ORDER_DERIVED_FROM_ROUND = 11
+# ^ The QUERIES ordering below was derived from CORRECTNESS_r01..r11.
 #   test_registry_consistency scopes its re-derivation to records with
 #   round <= this stamp, so a fresh driver record written AFTER the
 #   literal was committed (always newer) can no longer flip the test
@@ -7159,66 +7159,13 @@ QUERIES: dict[str, object] = {
     # The correctness driver samples the FIRST 50 entries of this dict.
     # Rotation contract (verdict r6 item 4): entries sorted by OLDEST
     # last-green driver round first, so every round's sample
-    # re-validates the stalest evidence. Round-11 derivation
-    # (CORRECTNESS_r01..r10, stamped above):
-    #   1. cdc_kafka_wire_roundtrip (new this round, no evidence)
-    #   2. the r08-green cohort (47 queries, three rounds stale)
-    #   3. r09 (50), then r10 (50, freshest last).
-    # The literal is the derivation's output, asserted by
-    # test_registry_consistency against records <= the stamp.
-    # -- never driver-checked (new this round) -----------------------
-    "cdc_kafka_wire_roundtrip": q_cdc_kafka_wire_roundtrip,
-    # -- last green r08 ----------------------------------------------
-    "cdc_ddl_sql_evolution": q_cdc_ddl_sql_evolution,
-    "cdc_incremental_agg": q_cdc_incremental_agg,
-    "cdc_lake_incremental": q_cdc_lake_incremental,
-    "cdc_materialize_latest": q_cdc_materialize_latest,
-    "cdc_mysql_binlog_decode": q_cdc_mysql_binlog_decode,
-    "cdc_pgoutput_decode": q_cdc_pgoutput_decode,
-    "cdc_pgoutput_real_server_decode": q_cdc_pgoutput_real_server_decode,
-    "cdc_schema_evolution_lenient": q_cdc_schema_evolution_lenient,
-    "cdc_sqlserver_changetable": q_cdc_sqlserver_changetable,
-    "curriculum_order": q_curriculum_order,
-    "decontam_bloom": q_decontam_bloom,
-    "dedup_incremental": q_dedup_incremental,
-    "dedup_keep_best": q_dedup_keep_best,
-    "dedup_lines": q_dedup_lines,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_prefix": q_dedup_prefix,
-    "dedup_winnow": q_dedup_winnow,
-    "embedding_quantize": q_embedding_quantize,
-    "embedding_srp_neardup": q_embedding_srp_neardup,
-    "fuzzy_join_names": q_fuzzy_join_names,
-    "global_row_ids": q_global_row_ids,
-    "image_phash_dedup": q_image_phash_dedup,
-    "inference_batches": q_inference_batches,
-    "multimodal_real_codecs": q_multimodal_real_codecs,
-    "pack_sequences": q_pack_sequences,
-    "pipeline_corpus_prep": q_pipeline_corpus_prep,
-    "profile_orders": q_profile_orders,
-    "route_merge_union": q_route_merge_union,
-    "sample_negatives": q_sample_negatives,
-    "sample_repeat_epochs": q_sample_repeat_epochs,
-    "sample_stratified_split": q_sample_stratified_split,
-    "sample_temperature": q_sample_temperature,
-    "sample_token_budget": q_sample_token_budget,
-    "scd2_enrich_events": q_scd2_enrich_events,
-    "sink_es_bulk": q_sink_es_bulk,
-    "sink_lake_file_skipping": q_sink_lake_file_skipping,
-    "sink_lake_mor": q_sink_lake_mor,
-    "sink_lake_point_lookup": q_sink_lake_point_lookup,
-    "sink_lake_time_travel": q_sink_lake_time_travel,
-    "sketch_histogram_quantiles": q_sketch_histogram_quantiles,
-    "text_chunk_sliding": q_text_chunk_sliding,
-    "text_lm_quality": q_text_lm_quality,
-    "text_quality_filters": q_text_quality_filters,
-    "text_sentences": q_text_sentences,
-    "transform_metadata_cols": q_transform_metadata_cols,
-    "transform_temporal": q_transform_temporal,
-    "validate_orders": q_validate_orders,
+    # re-validates the stalest evidence. Round-12 derivation
+    # (CORRECTNESS_r01..r11, stamped above): the r09-green cohort
+    # (48 queries, three rounds stale) leads, then r10 (50), then
+    # r11 (50, freshest last). The literal is the derivation's
+    # output, asserted by test_registry_consistency against records
+    # <= the stamp.
     # -- last green r09 ----------------------------------------------
-    "agg_correlated_subquery": q_agg_correlated_subquery,
-    "agg_grouping_sets": q_agg_grouping_sets,
     "agg_mode_per_group": q_agg_mode_per_group,
     "agg_pricing_summary": q_agg_pricing_summary,
     "basket_pairs": q_basket_pairs,
@@ -7318,6 +7265,57 @@ QUERIES: dict[str, object] = {
     "window_running_total": q_window_running_total,
     "window_top_orders": q_window_top_orders,
     "zoned_timestamp_roundtrip": q_zoned_timestamp_roundtrip,
+    # -- last green r11 ----------------------------------------------
+    "agg_correlated_subquery": q_agg_correlated_subquery,
+    "agg_grouping_sets": q_agg_grouping_sets,
+    "cdc_ddl_sql_evolution": q_cdc_ddl_sql_evolution,
+    "cdc_incremental_agg": q_cdc_incremental_agg,
+    "cdc_kafka_wire_roundtrip": q_cdc_kafka_wire_roundtrip,
+    "cdc_lake_incremental": q_cdc_lake_incremental,
+    "cdc_materialize_latest": q_cdc_materialize_latest,
+    "cdc_mysql_binlog_decode": q_cdc_mysql_binlog_decode,
+    "cdc_pgoutput_decode": q_cdc_pgoutput_decode,
+    "cdc_pgoutput_real_server_decode": q_cdc_pgoutput_real_server_decode,
+    "cdc_schema_evolution_lenient": q_cdc_schema_evolution_lenient,
+    "cdc_sqlserver_changetable": q_cdc_sqlserver_changetable,
+    "curriculum_order": q_curriculum_order,
+    "decontam_bloom": q_decontam_bloom,
+    "dedup_incremental": q_dedup_incremental,
+    "dedup_keep_best": q_dedup_keep_best,
+    "dedup_lines": q_dedup_lines,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_prefix": q_dedup_prefix,
+    "dedup_winnow": q_dedup_winnow,
+    "embedding_quantize": q_embedding_quantize,
+    "embedding_srp_neardup": q_embedding_srp_neardup,
+    "fuzzy_join_names": q_fuzzy_join_names,
+    "global_row_ids": q_global_row_ids,
+    "image_phash_dedup": q_image_phash_dedup,
+    "inference_batches": q_inference_batches,
+    "multimodal_real_codecs": q_multimodal_real_codecs,
+    "pack_sequences": q_pack_sequences,
+    "pipeline_corpus_prep": q_pipeline_corpus_prep,
+    "profile_orders": q_profile_orders,
+    "route_merge_union": q_route_merge_union,
+    "sample_negatives": q_sample_negatives,
+    "sample_repeat_epochs": q_sample_repeat_epochs,
+    "sample_stratified_split": q_sample_stratified_split,
+    "sample_temperature": q_sample_temperature,
+    "sample_token_budget": q_sample_token_budget,
+    "scd2_enrich_events": q_scd2_enrich_events,
+    "sink_es_bulk": q_sink_es_bulk,
+    "sink_lake_file_skipping": q_sink_lake_file_skipping,
+    "sink_lake_mor": q_sink_lake_mor,
+    "sink_lake_point_lookup": q_sink_lake_point_lookup,
+    "sink_lake_time_travel": q_sink_lake_time_travel,
+    "sketch_histogram_quantiles": q_sketch_histogram_quantiles,
+    "text_chunk_sliding": q_text_chunk_sliding,
+    "text_lm_quality": q_text_lm_quality,
+    "text_quality_filters": q_text_quality_filters,
+    "text_sentences": q_text_sentences,
+    "transform_metadata_cols": q_transform_metadata_cols,
+    "transform_temporal": q_transform_temporal,
+    "validate_orders": q_validate_orders,
 }
 
 ORACLES: dict[str, str] = {
