@@ -101,12 +101,13 @@ def build_scaled_dir(base: str, replicas: int) -> str:
 def main() -> None:
     from pyspark.sql import SparkSession
 
+    from source_flink_cdc_3_5_0_spark.common.session import apply_engine_confs
+
     spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
+        apply_engine_confs(SparkSession.builder.master(f"local[{CPUS}]"))
         .appName("cdc-engine-bench-scale")
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -164,11 +165,10 @@ def main() -> None:
         # it cannot grow the heap; raise SPARK_GRAFT_DRIVER_MEM before
         # the script starts if 8g is not enough.
         spark = (
-            SparkSession.builder.master(f"local[{CPUS}]")
+            apply_engine_confs(SparkSession.builder.master(f"local[{CPUS}]"))
             .appName("cdc-engine-bench-scale-big")
             .config("spark.sql.shuffle.partitions", CPUS)
             .config("spark.sql.session.timeZone", "UTC")
-            .config("spark.sql.adaptive.enabled", "true")
             .config("spark.ui.enabled", "false")
             .getOrCreate()
         )

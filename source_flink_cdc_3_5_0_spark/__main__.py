@@ -63,10 +63,12 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
     if _spark is not None:
         spark = _spark
     else:
-        builder = (SparkSession.builder.master(args.master)
-                   .appName(pdef.config.name)
-                   .config("spark.sql.session.timeZone", pdef.config.local_time_zone)
-                   .config("spark.sql.adaptive.enabled", "true"))
+        from .common.session import apply_engine_confs
+
+        builder = apply_engine_confs(
+            SparkSession.builder.master(args.master)
+            .appName(pdef.config.name)
+            .config("spark.sql.session.timeZone", pdef.config.local_time_zone))
         shuffle = args.shuffle_partitions
         if shuffle is None and args.master.startswith("local"):
             import os as _os
@@ -147,10 +149,13 @@ def _lake_cmd(args, _spark) -> int:
     spark = _spark
     own = spark is None
     if own:
-        spark = (SparkSession.builder.master(args.master)
-                 .appName("lake-maintenance")
-                 .config("spark.sql.session.timeZone", "UTC")
-                 .config("spark.ui.enabled", "false").getOrCreate())
+        from .common.session import apply_engine_confs
+
+        spark = apply_engine_confs(
+            SparkSession.builder.master(args.master)
+            .appName("lake-maintenance")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")).getOrCreate()
     try:
         sink.compact(
             spark, tid,
