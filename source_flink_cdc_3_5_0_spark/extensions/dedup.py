@@ -411,12 +411,21 @@ def minhash_lsh_exact_pairs(df: DataFrame, text_col: str = "text", id_col: str =
     surv_ids = (pruned.select(F.col("id_a").alias(id_col))
                 .union(pruned.select(F.col("id_b").alias(id_col)))
                 .distinct())
+    # survivor grams persisted ONCE (optimization r12, guide §2.4): the
+    # id_a and id_b join sides below are different projections of this
+    # subtree, so without the persist each side re-ran the documents
+    # scan + semi-join + tokenization (profiled: the verify tier paid
+    # the whole gram derivation twice). This does NOT persist corpus-
+    # wide grams — only the est-filtered survivors' (bounded by the
+    # ~1000×-pruned candidate set), MEMORY_AND_DISK so a large survivor
+    # fraction spills instead of OOMing.
     grams = (
         df.join(surv_ids, on=id_col, how="leftsemi")
         .withColumn("__toks", tokens_col(text_col))
         .select(F.col(id_col),
                 word_ngrams_col("__toks", distinct=False,
                                 from_tokens=True).alias("grams"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pairs = (
         pruned.join(grams.select(F.col(id_col).alias("id_a"),
@@ -434,6 +443,7 @@ def minhash_lsh_exact_pairs(df: DataFrame, text_col: str = "text", id_col: str =
     )
     out.lsh_base = sig        # release handles:
     out.lsh_pruned = pruned   # out.lsh_base.unpersist(); out.lsh_pruned.unpersist()
+    out.lsh_grams = grams     # out.lsh_grams.unpersist()
     return out
 
 
@@ -468,10 +478,17 @@ def _alternating_star(und: DataFrame, max_rounds: int = 50) -> DataFrame:
         return (leaves.unionAll(centers)
                 .where(F.col("u") != F.col("v")).distinct())
 
+    # lazy checkpoints (optimization r12, guide §5): eager localCheckpoint
+    # is its OWN driver job; with eager=False the blocks materialize as a
+    # side effect of the convergence count that immediately follows, so
+    # each round runs one job instead of two (lineage truncation is
+    # identical — the count computes every partition)
     edges = (und.select(F.col("u"), F.col("v"))
-             .where(F.col("u") != F.col("v")).distinct().localCheckpoint())
+             .where(F.col("u") != F.col("v")).distinct()
+             .localCheckpoint(eager=False))
     for _ in range(max_rounds):
-        new_edges = small_star(large_star(edges)).localCheckpoint()
+        new_edges = small_star(large_star(edges)) \
+            .localCheckpoint(eager=False)
         same = (new_edges.count() == edges.count()
                 and new_edges.exceptAll(edges).count() == 0)
         edges = new_edges
@@ -523,9 +540,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     edges = fwd.unionAll(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # lazy checkpoint (optimization r12, guide §5): the convergence probe
+    # right below is the materializing action, so seeding labels costs
+    # one job, not two (eager localCheckpoint ran its own job and the
+    # probe then re-scanned the blocks)
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
 
     # convergence probe (optimization r11, guide §2.4): labels are
     # monotone non-increasing (min over a union that includes the node's
@@ -548,9 +569,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges.dst == labels.id)
                  .select(edges.src.alias("id"), "label"))
+        # eager=False: the convergence probe below (sum or join+count) is
+        # the action that computes every partition, checkpointing as a
+        # side effect — one driver job per round instead of two (r12)
         new_labels = (labels.unionAll(neigh)
                       .groupBy("id").agg(F.min("label").alias("label"))
-                      .localCheckpoint())
+                      .localCheckpoint(eager=False))
         if sum_probe:
             new_sum = label_sum(new_labels)
             changed = 0 if new_sum == prev_sum else 1

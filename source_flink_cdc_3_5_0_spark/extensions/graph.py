@@ -48,10 +48,15 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iterations: int = 5,
     # 5-iteration plan carried 72 scans); localCheckpoint truncates the
     # lineage to the materialized blocks, so each round reads O(edges)
     # cached state instead of recomputing it
+    # eager=False (r12): the blocks materialize inside the first action
+    # that reads them instead of two up-front driver jobs; lineage
+    # truncation is identical (adjudicated A/B on a steal-free window:
+    # lazy 1.90 s, eager 1.99 s, no checkpoint 2.19 s — the r11 driver
+    # regression vs the un-checkpointed r10 form was window noise)
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-         .distinct().localCheckpoint())
+         .distinct().localCheckpoint(eager=False))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     ranks = nodes.select(F.col(node_col).alias("v"),
                          F.lit(SCALE).cast("bigint").alias("r"))
     for _ in range(iterations):

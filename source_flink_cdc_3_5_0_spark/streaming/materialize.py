@@ -26,6 +26,15 @@ def latest_image(df: DataFrame, pk_cols: list[str], seq_col: str | None = None,
     """
     if OP_COL in df.columns:
         df = df.where(F.col(OP_COL) != "-U")
+    # NOTE (r12, measured): a max_by(struct(*cols)) aggregate looks like
+    # the cheaper shape (guide §2.3), but the row_number window is ALREADY
+    # map-side-reduced by Spark's WindowGroupLimit rewrite (rn=1 → partial
+    # top-1 per key BEFORE the exchange), and — decisively — the window
+    # stays transparent to column pruning: consumers selecting a column
+    # subset prune unused inputs straight through it (the sqlserver gate's
+    # pairing-lag window is eliminated entirely this way), while a max_by
+    # payload struct pins every column alive and re-grew the plan by one
+    # exchange + the pruned window. Keep the window form.
     order = []
     if seq_col is not None:
         order.append(F.col(seq_col).desc())
