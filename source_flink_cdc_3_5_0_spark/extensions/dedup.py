@@ -409,8 +409,9 @@ def minhash_lsh_exact_pairs(df: DataFrame, text_col: str = "text", id_col: str =
     # — see word_ngrams_col docstring; grams stay multiset because
     # array_intersect/array_union dedupe at verify time anyway).
     surv_ids = (pruned.select(F.col("id_a").alias(id_col))
-                .union(pruned.select(F.col("id_b").alias(id_col)))
-                .distinct())
+                .union(pruned.select(F.col("id_b").alias(id_col))))
+    # (no .distinct(): surv_ids only feeds the LeftSemi below, which
+    # dedups by construction — the distinct was a spare exchange)
     # survivor grams persisted ONCE (optimization r12, guide §2.4): the
     # id_a and id_b join sides below are different projections of this
     # subtree, so without the persist each side re-ran the documents
@@ -740,8 +741,11 @@ def incremental_dedup_flags(batch: DataFrame, store: DataFrame,
             .select(F.col(id_col), batch_fp.alias("fp"),
                     minhash_signature(F.col(text_col)).alias("sig"))
             .persist())
-    exact = (bsig.join(store.select("fp").distinct(), on="fp",
-                       how="leftsemi")
+    # no .distinct() on the semi-join build sides here or below (r12):
+    # LeftSemi dedups by construction — each distinct was a full
+    # exchange + aggregate stage spent pre-deduplicating rows the join's
+    # hash build dedups anyway
+    exact = (bsig.join(store.select("fp"), on="fp", how="leftsemi")
              .select(id_col))
     est_floor = max(jaccard_threshold - 0.35, 0.05)
     min_slots = int(np.ceil(est_floor * _N_HASHES))
@@ -755,13 +759,13 @@ def incremental_dedup_flags(batch: DataFrame, store: DataFrame,
             .where(F.col("__slots") >= min_slots)
             .select("__bid", "__cid")
             .persist())
-    gb = (batch.join(cand.select(F.col("__bid").alias(id_col)).distinct(),
+    gb = (batch.join(cand.select(F.col("__bid").alias(id_col)),
                      on=id_col, how="leftsemi")
           .withColumn("__toks", tokens_col(text_col))
           .select(F.col(id_col).alias("__bid"),
                   word_ngrams_col("__toks", distinct=False,
                                   from_tokens=True).alias("gb")))
-    gc = (corpus.join(cand.select(F.col("__cid").alias(id_col)).distinct(),
+    gc = (corpus.join(cand.select(F.col("__cid").alias(id_col)),
                       on=id_col, how="leftsemi")
           .withColumn("__toks", tokens_col(text_col))
           .select(F.col(id_col).alias("__cid"),
