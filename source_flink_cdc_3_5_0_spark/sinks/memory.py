@@ -98,6 +98,11 @@ class MemorySink(DataSink):
         names = [c.name for c in schema.columns]
         cols = [c for c in names if c in df.columns]
         sel = cols + [c for c in (OP_COL, SEQ_COL) if c in df.columns]
+        # NOTE (r12, measured): a JVM-side per-key max_by pre-reduction
+        # (collect only each key's final image) was built and A/B'd —
+        # rows identical, but NEUTRAL-to-slower locally: the struct
+        # payload forces a SortAggregate, paying a full batch sort to
+        # save ~35% of driver transfer. The plain collect+loop stays.
         rows = df.select(*sel).collect()
         # positional access throughout the hot loop (optimization r11):
         # Row.__getitem__(str) does a per-call field lookup, and at the
