@@ -2811,7 +2811,14 @@ def q_cdc_pgoutput_walsender_decode(spark, sf_dir):
     try:
         pgoutput_capture_files(spark, sf_dir).foreach(write_file)
         with PgWalToyServer(served) as srv:
-            fetched = start_replication_stream(srv.host, srv.port, spool)
+            # spool segment size = the decode-parallelism unit (the file
+            # decoder is per-file sequential). The library default (4 MiB,
+            # r12) suits production streams; this fixture's whole stream
+            # is ~3 MB, so size segments to the fixture like the lake
+            # gates size their bucket counts — decode half then runs ~12
+            # tasks instead of 1 (isolated A/B: 1.69 -> 0.76 s decode)
+            fetched = start_replication_stream(srv.host, srv.port, spool,
+                                               bytes_per_file=256 << 10)
     finally:
         shutil.rmtree(served, ignore_errors=True)
     if not fetched:

@@ -501,6 +501,7 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
                              database: str = "d", slot: str = "cdc_slot",
                              publication: str = "pub",
                              commits_per_file: int = 200,
+                             bytes_per_file: int = 4 << 20,
                              timeout: float = 30.0,
                              end_lsn: int | None = None,
                              idle_timeout: float | None = None,
@@ -514,7 +515,11 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
     """Connect as a logical-replication client, START_REPLICATION, and
     respool the XLogData stream into capture files (u64 LSN + u32 length
     frames). Files roll ONLY on commit boundaries with NO v2 streamed
-    transaction still open (every ``commits_per_file`` commits) —
+    transaction still open — at the first boundary past
+    ``bytes_per_file`` spooled bytes (like a binlog's max size: the
+    downstream decoder is per-file SEQUENTIAL, so spool file size is the
+    unit of decode parallelism — r12, guide §6 file sizing) or every
+    ``commits_per_file`` commits, whichever comes first —
     splitting a streamed transaction's segments from its Stream Commit
     would make the earlier file raise at decode and the later one drop
     the rows. Cached Relation/Type messages re-emit at each roll so
@@ -988,7 +993,9 @@ def start_replication_stream(host: str, port: int, spool_dir: str, *,
                 # prepared txn split from its Commit/Rollback Prepared)
                 # would raise at the earlier file's EOF and lose rows
                 # at the later one
-                if commits >= commits_per_file and not open_streams \
+                if (commits >= commits_per_file
+                        or committed_len >= bytes_per_file) \
+                        and not open_streams \
                         and not in_segment and not open_prepared:
                     commits = 0
                     flush()

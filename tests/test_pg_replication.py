@@ -82,6 +82,27 @@ def test_files_roll_on_commit_and_redeclare_relations(tmp_path):
     assert per_file[2][0]["after"] == {"id": 4, "v": "v4"}
 
 
+def test_files_roll_on_bytes_threshold(tmp_path):
+    """bytes_per_file (r12): files also roll at the first SAFE commit
+    boundary past the byte threshold — the spool file is the decode-
+    parallelism unit, so a small-commit/large-byte stream must not
+    accumulate into one giant sequential file. bytes_per_file=1 forces a
+    roll after every committed txn (every boundary is past threshold);
+    the rolled files still decode independently."""
+    src = _capture(tmp_path, n_txns=5)
+    spool = tmp_path / "spool"
+    with PgWalToyServer(str(src)) as srv:
+        written = start_replication_stream(srv.host, srv.port, str(spool),
+                                           bytes_per_file=1)
+    assert len(written) == 5
+    per_file = [
+        [c for c in pgoutput_changes((spool / n).read_bytes())
+         if c["kind"] == "change"]
+        for n in written]
+    assert [len(p) for p in per_file] == [1] * 5
+    assert [p[0]["after"]["id"] for p in per_file] == list(range(5))
+
+
 def test_wrong_password_rejected(tmp_path):
     src = _capture(tmp_path)
     with PgWalToyServer(str(src)) as srv:
