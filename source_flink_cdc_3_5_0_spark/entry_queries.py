@@ -5528,9 +5528,15 @@ def q_profile_orders(spark, sf_dir):
     ``approx=True`` (HLL, no Expand — plan pinned in tests)."""
     from .extensions.dataquality import profile_table
 
-    orders = spread_scan(load(spark, sf_dir, "orders").select(
+    # NO spread_scan here (r12): the repartition is replicated under
+    # EACH per-column distinct branch (each prunes to its own column, so
+    # the exchange never reuses — 6 extra full-column shuffles; the r11
+    # spread was a measured regression: A/B 3.76 -> 1.32 s without it).
+    # The branches' 3-task scans run concurrently across 7 jobs, which
+    # already fills the cluster.
+    orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        "o_orderdate", "o_orderpriority"))
+        "o_orderdate", "o_orderpriority")
     return profile_table(orders, ["o_orderkey", "o_custkey", "o_orderstatus",
                                   "o_totalprice", "o_orderdate",
                                   "o_orderpriority"])
