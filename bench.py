@@ -321,8 +321,17 @@ def resolve_bench_output(argv: list, environ: dict,
         with open(path) as f:
             prev = json.load(f)
     except (OSError, ValueError):
-        return path
+        prev = {}
     if not prev.get("retimes"):
+        # r12 (verdict r11 item 2, the r9/r11 clobber repeating): once a
+        # noisy bare run lands on BENCH_FULL, the on-disk record is bare
+        # and every later bare run overwrites freely — the COMMITTED
+        # adjudication is the durable thing to protect. If HEAD's copy
+        # of the default record carries retimes, bare runs keep
+        # redirecting even when the working-tree copy was clobbered
+        # (recover it with `git checkout -- BENCH_FULL.json`).
+        if not explicit and _head_record_is_adjudicated(path):
+            return os.path.join(os.path.dirname(path), "BENCH_LATEST.json")
         return path
     if explicit:
         # fail BEFORE the suite runs: a refusal after 3 minutes of
@@ -336,6 +345,46 @@ def resolve_bench_output(argv: list, environ: dict,
             "deliberately." % (path, prev.get("run_id"),
                                len(prev["retimes"])))
     return os.path.join(os.path.dirname(path), "BENCH_LATEST.json")
+
+
+def _head_record_is_adjudicated(path: str) -> bool:
+    """True when the GIT-COMMITTED version of ``path`` carries retimes.
+    Best-effort: outside a git repo / untracked file -> False."""
+    import subprocess
+
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    try:
+        out = subprocess.run(
+            ["git", "-C", d, "show", f"HEAD:./{os.path.basename(path)}"],
+            capture_output=True, timeout=10)
+        if out.returncode != 0:
+            return False
+        return bool(json.loads(out.stdout).get("retimes"))
+    except (OSError, ValueError, subprocess.SubprocessError):
+        return False
+
+
+def steal_redirect(full_path: str, new_record: dict, environ=None) -> str:
+    """Keep a contended measurement off the reference record (r12,
+    verdict r11 item 2): a retimes-free run whose own host-noise stamp
+    shows steal above SPARK_GRAFT_BENCH_MAX_STEAL percent (default 2.0)
+    lands in BENCH_LATEST.json beside the default record instead of
+    becoming it — the numbers still print and persist, they just never
+    masquerade as the repo's perf reference. Explicit targets
+    (non-default basename) and adjudicated records pass through."""
+    environ = os.environ if environ is None else environ
+    if os.path.basename(full_path) != "BENCH_FULL.json":
+        return full_path
+    if new_record.get("retimes"):
+        return full_path
+    try:
+        limit = float(environ.get("SPARK_GRAFT_BENCH_MAX_STEAL", "2.0"))
+    except ValueError:
+        limit = 2.0
+    steal = (new_record.get("host_noise") or {}).get("steal_pct")
+    if steal is None or steal <= limit:
+        return full_path
+    return os.path.join(os.path.dirname(full_path), "BENCH_LATEST.json")
 
 
 def guard_retimed_record(full_path: str, new_record: dict) -> None:
@@ -511,6 +560,10 @@ def main() -> None:
         "who": os.environ.get("SPARK_GRAFT_BENCH_WHO")
         or "%s@%s" % (__import__("getpass").getuser(), platform.node()),
     }
+    # a run measured under host contention must not become the repo's
+    # perf reference (its own noise stamp is the evidence) — land it in
+    # BENCH_LATEST.json instead
+    full_path = steal_redirect(full_path, full)
     # second guard right before the write: belt-and-braces against a
     # record that appeared mid-run
     guard_retimed_record(full_path, full)
