@@ -305,17 +305,21 @@ def write_varint(n: int) -> bytes:
             return bytes(out)
 
 
-#: encoded-varint memo (optimization r11): record encode spends most of
-#: its varint time on small repeated values (offset deltas, lengths);
-#: the map stays bounded by the distinct small ints a workload produces
+#: encoded-varint memo (optimization r11, bounded r12 per ADVICE r11):
+#: record encode spends most of its varint time on small repeated values
+#: (offset deltas, lengths). Only |n| < 4096 is memoized — larger values
+#: (arbitrary payload lengths) would grow the module-level map without
+#: bound in a long-running producer, a slow leak.
 _VARINT_MEMO: dict[int, bytes] = {}
 
 
 def _varint(n: int) -> bytes:
-    v = _VARINT_MEMO.get(n)
-    if v is None:
-        v = _VARINT_MEMO[n] = write_varint(n)
-    return v
+    if -4096 <= n < 4096:
+        v = _VARINT_MEMO.get(n)
+        if v is None:
+            v = _VARINT_MEMO[n] = write_varint(n)
+        return v
+    return write_varint(n)
 
 
 def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
