@@ -4952,9 +4952,11 @@ def q_pipeline_corpus_prep(spark, sf_dir):
     # then skips re-planning the fingerprint window
     ev = docs.where(F.col("source") == "src0")
     corpus = deduped.where(F.col("source") != "src0")
+    # no .distinct() on the anti-join build side (r12): LeftAnti dedups
+    # by construction — the distinct was a spare exchange+aggregate
     contaminated = ngram_overlap_pairs(
         kept.where(F.col("source") != "src0"), ev, k=4) \
-        .select(F.col("corpus_doc_id").alias("doc_id")).distinct()
+        .select(F.col("corpus_doc_id").alias("doc_id"))
     clean = corpus.join(contaminated, "doc_id", "left_anti")
     out = stratified_split(clean, ["lang"], "doc_id",
                            {"train": 0.8, "val": 0.1, "test": 0.1})
