@@ -188,9 +188,11 @@ def validate_constraints(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
                      .select(F.lit(c.name).alias("check"), "violations"))
             results.append(dup)
         elif c.kind == "fk":
+            # no .distinct() on the anti-join build side (r12): LeftAnti
+            # dedups by construction — the distinct was a spare
+            # exchange+aggregate stage
             orphans = (df.where(F.col(c.column).isNotNull())
-                         .join(c.parent.select(F.col(c.parent_key).alias(c.column))
-                                .distinct(),
+                         .join(c.parent.select(F.col(c.parent_key).alias(c.column)),
                                on=c.column, how="left_anti")
                          .agg(F.count(F.lit(1)).alias("violations"))
                          .select(F.lit(c.name).alias("check"), "violations"))
